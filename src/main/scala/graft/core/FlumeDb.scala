@@ -1,0 +1,253 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+import java.util.concurrent.atomic.AtomicLong
+import java.util.concurrent.{ConcurrentHashMap, TimeUnit}
+import java.util.concurrent.locks.ReentrantLock
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+/** A materialized view over the log: derived, disposable, rebuildable.
+  *
+  * Spark-native restatement of the flumeview contract
+  * (`/root/reference/README.md:215-257`): a view consumes `(seq, value)`
+  * entries strictly in seq order, maintains its own state, exposes its own
+  * read methods, and can be destroyed and rebuilt from the log at any
+  * time.
+  */
+trait FlumeView {
+  /** Last log seq this view has absorbed; -1 before anything. */
+  def since: Long
+
+  /** Absorb one ordered batch of log entries with seq in (since, upto].
+    * The frame is already passed through the db's mapper. Implementations
+    * must update `since` to `upto` only after state is durable. */
+  def absorb(entries: DataFrame, upto: Long): Unit
+
+  /** Drop all derived state; view returns to since = -1
+    * (`/root/reference/README.md:233-236`). */
+  def destroy(): Unit
+
+  def close(): Unit = ()
+}
+
+/** Factory + version for a view. A changed `version` forces a destroy +
+  * rebuild on mount, mirroring `flumeview`'s version-number rebuild
+  * (`/root/reference/README.md:26-29`). */
+trait ViewDef {
+  def version: Int
+  def create(db: FlumeDb, name: String): FlumeView
+}
+
+final class ClosedException(msg: String) extends IllegalStateException(msg)
+
+/** The engine core: one ordered log + a star of incrementally-maintained
+  * views, with flume's consistency contract — async view maintenance,
+  * read-your-writes gating, destroy-and-rebuild lifecycle.
+  *
+  * Restates `/root/reference/index.js` + `wrap.js` on Spark: the data
+  * plane (scans, folds, index builds) is distributed DataFrame work; only
+  * the tiny control plane (cursors, gating, lifecycle) lives on the
+  * driver, which is exactly the part that must be centralized anyway
+  * (single-writer log, monotonic `since`).
+  *
+  * @param mapper optional transform applied to every entry before views,
+  *               `get` and `stream` see it — the analog of the async
+  *               mapper at `/root/reference/index.js:96-122` (decryption /
+  *               decoding / enrichment), applied at the single choke-point
+  *               where the log frame is produced.
+  */
+final class FlumeDb(
+    val log: FlumeLog,
+    isReady: Boolean = true,
+    mapper: Option[DataFrame => DataFrame] = None) {
+
+  private val lock = new ReentrantLock()
+  private val parity = lock.newCondition()
+  @volatile private var closed = false
+  @volatile private var ready = isReady
+  private val views = new java.util.LinkedHashMap[String, Mounted]()
+
+  /** Per-method call counters — the analog of `flumedb.meta`
+    * (`/root/reference/index.js:81-91`, `wrap.js:66-96`). */
+  val meta: TrieMap[String, AtomicLong] = TrieMap.empty
+  private def count(k: String): Unit =
+    meta.getOrElseUpdate(k, new AtomicLong()).incrementAndGet()
+
+  final class Mounted(val name: String, val viewDef: ViewDef, val view: FlumeView) {
+    @volatile var lastError: Option[Throwable] = None
+    def since: Long = view.since
+  }
+
+  private def throwIfClosed(): Unit =
+    if (closed) throw new ClosedException("flumedb: closed")
+
+  def since: Long = log.since
+
+  /** The mapped log frame — all reads and view builds compose on this. */
+  def mapped: DataFrame = mapper.fold(log.read)(f => f(log.read))
+
+  private def mappedStream(r: LogRange): DataFrame = {
+    if (!r.values) log.stream(r) // mapper skipped entirely for seqs-only scans,
+                                 // per /root/reference/index.js:97-99
+    else {
+      var df = mapped
+      val sc = log.seqCol
+      import org.apache.spark.sql.functions.col
+      r.gt.foreach(v => df = df.where(col(sc) > v))
+      r.gte.foreach(v => df = df.where(col(sc) >= v))
+      r.lt.foreach(v => df = df.where(col(sc) < v))
+      r.lte.foreach(v => df = df.where(col(sc) <= v))
+      df = if (r.reverse) df.orderBy(col(sc).desc) else df.orderBy(col(sc))
+      r.limit.foreach(n => df = df.limit(n))
+      if (!r.seqs) df.drop(sc) else df
+    }
+  }
+
+  def get(seq: Long): DataFrame = {
+    throwIfClosed(); count("get")
+    import org.apache.spark.sql.functions.{col, lit}
+    mapped.where(col(log.seqCol) === lit(seq))
+  }
+
+  def stream(r: LogRange = LogRange.all): DataFrame = {
+    throwIfClosed(); count("stream")
+    mappedStream(r)
+  }
+
+  def append(payload: DataFrame): Long = {
+    throwIfClosed(); count("append")
+    val s = log.append(payload)
+    syncViews()
+    s
+  }
+
+  /** Mount a view under `name` (`/root/reference/index.js:163-193`).
+    * Name collisions throw; the view is brought up to log parity
+    * synchronously on first mount (the build "loop" — each append then
+    * incrementally advances it). */
+  def use(name: String, viewDef: ViewDef): FlumeDb = {
+    throwIfClosed()
+    lock.lock()
+    try {
+      if (views.containsKey(name) || name == "log" || name == "since")
+        throw new IllegalArgumentException(s"flumedb.use: view named '$name' already exists")
+      val m = new Mounted(name, viewDef, viewDef.create(this, name))
+      views.put(name, m)
+      sync(m)
+      this
+    } finally lock.unlock()
+  }
+
+  def view(name: String): Mounted = {
+    val m = views.get(name)
+    if (m == null) throw new NoSuchElementException(s"no view '$name'")
+    m
+  }
+  def viewNames: Seq[String] = {
+    lock.lock(); try views.keySet().toArray(Array.empty[String]).toSeq finally lock.unlock()
+  }
+
+  /** Bring one view up to log parity, in seq order, incrementally
+    * (`seq > view.since` only — the reference build loop's
+    * `gt: upto` stream at `/root/reference/index.js:36-39`). A view
+    * *ahead* of the log (e.g. log file truncated) is destroyed and rebuilt
+    * (`/root/reference/index.js:36-37`); a view error likewise triggers
+    * destroy + rebuild (`/root/reference/index.js:66-71`). */
+  private def sync(m: Mounted): Unit = {
+    val target = log.since
+    if (m.view.since > target) { m.view.destroy() } // ahead of log => rebuild from scratch
+    if (m.view.since < target) {
+      val batch = mappedStream(LogRange(gt = Some(m.view.since), lte = Some(target)))
+      try m.view.absorb(batch, target)
+      catch {
+        case NonFatal(e) =>
+          m.lastError = Some(e)
+          m.view.destroy()
+          val replay = mappedStream(LogRange(lte = Some(target)))
+          m.view.absorb(replay, target)
+      }
+    }
+    lock.lock(); try parity.signalAll() finally lock.unlock()
+  }
+
+  private def syncViews(): Unit = {
+    lock.lock()
+    try {
+      val it = views.values().iterator()
+      while (it.hasNext) sync(it.next())
+    } finally lock.unlock()
+  }
+
+  /** Global pause switch (`/root/reference/README.md:115-118`): while not
+    * ready, gated reads stall. */
+  def setReady(r: Boolean): Unit = {
+    lock.lock()
+    try { ready = r; if (r) { syncViews() }; parity.signalAll() } finally lock.unlock()
+  }
+
+  /** Read-your-writes gate (`/root/reference/wrap.js:29-61`): block until
+    * the view has absorbed at least `target` (default: the log's current
+    * seq). `target = -1` skips log-parity waiting (stale-read escape
+    * hatch, `/root/reference/README.md:249-252`). Throws if the db closes
+    * while waiting (`wrap.js:98-100`). */
+  def awaitView(name: String, target: Option[Long] = None, timeoutMs: Long = 60000): Unit = {
+    throwIfClosed()
+    val m = view(name)
+    val goal = target.getOrElse(log.since)
+    if (goal == -1L) return
+    val deadline = System.nanoTime() + TimeUnit.MILLISECONDS.toNanos(timeoutMs)
+    lock.lock()
+    try {
+      while (!closed && (!ready || m.view.since < goal)) {
+        val left = deadline - System.nanoTime()
+        if (left <= 0) throw new java.util.concurrent.TimeoutException(
+          s"view '$name' stuck at ${m.view.since}, waiting for $goal")
+        parity.awaitNanos(left)
+      }
+      if (closed) throw new ClosedException("flumedb: closed while waiting")
+    } finally lock.unlock()
+  }
+
+  /** Gated read: wait for view parity, then run `f` against the view.
+    * The analog of wrapped `async` view methods
+    * (`/root/reference/wrap.js:80-87`). */
+  def gated[V <: FlumeView, A](name: String, target: Option[Long] = None)(f: FlumeView => A): A = {
+    count(s"$name.read")
+    awaitView(name, target)
+    f(view(name).view)
+  }
+
+  /** Destroy every view and replay the whole log into each
+    * (`/root/reference/index.js:194-250`); returns when every view is back
+    * at log parity. */
+  def rebuild(): Unit = {
+    throwIfClosed(); count("rebuild")
+    lock.lock()
+    try {
+      val it = views.values().iterator()
+      while (it.hasNext) { val m = it.next(); m.view.destroy() }
+      val it2 = views.values().iterator()
+      while (it2.hasNext) sync(it2.next())
+    } finally lock.unlock()
+  }
+
+  /** Idempotent shutdown (`/root/reference/index.js:251-266`); gated calls
+    * throw after close (`wrap.js:11-15`). */
+  def close(): Unit = {
+    lock.lock()
+    try {
+      if (!closed) {
+        closed = true
+        val it = views.values().iterator()
+        while (it.hasNext) it.next().view.close()
+        log.close()
+      }
+      parity.signalAll()
+    } finally lock.unlock()
+  }
+
+  def isClosed: Boolean = closed
+}

@@ -1,0 +1,198 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Leveldb-style range options for log scans.
+  *
+  * Mirrors the reference stream contract (`/root/reference/README.md:130-133`
+  * and `:192-195`): `gt/gte/lt/lte` bound the seq range, `reverse` flips
+  * order, `limit` truncates, and `seqs`/`values` select which half of the
+  * `{seq, value}` record is emitted (`/root/reference/index.js:96-113`).
+  */
+final case class LogRange(
+    gt: Option[Long] = None,
+    gte: Option[Long] = None,
+    lt: Option[Long] = None,
+    lte: Option[Long] = None,
+    reverse: Boolean = false,
+    limit: Option[Int] = None,
+    seqs: Boolean = true,
+    values: Boolean = true,
+    live: Boolean = false)
+
+object LogRange {
+  val all: LogRange = LogRange()
+  def after(seq: Long): LogRange = LogRange(gt = Some(seq))
+}
+
+/** An append-only, totally-ordered log — the single source of truth.
+  *
+  * Spark-native restatement of the flumelog contract
+  * (`/root/reference/README.md:181-211`): `get/stream/since/append`. The
+  * record is a flat row `(seq: Long, <payload columns>)` rather than a
+  * nested `{seq, value}` pair so that Catalyst can prune/push down into
+  * the payload columns directly.
+  *
+  * `since` is the consistency cursor: -1 = empty, else the max seq
+  * absorbed (`/root/reference/README.md:197-201`).
+  */
+trait FlumeLog {
+  def spark: SparkSession
+
+  /** Name of the seq column (always LongType, unique, monotonic). */
+  def seqCol: String = "seq"
+
+  /** Max seq in the log, or -1 if empty. Monotonically non-decreasing. */
+  def since: Long
+
+  /** The full log as an ordered DataFrame (seq + payload columns).
+    * Implementations must guarantee the frame is lazily planned — a scan,
+    * not a materialization. */
+  def read: DataFrame
+
+  /** Append a batch of payload rows; seqs are assigned contiguously in the
+    * batch's row order. Returns the new `since` (seq of the last row), per
+    * the reference contract that `since` is updated before the append
+    * callback fires (`/root/reference/README.md:203-206`). */
+  def append(payload: DataFrame): Long
+
+  /** Point lookup by seq. Pushed down to storage (parquet row-group
+    * min/max skipping) rather than scanned. */
+  def get(seq: Long): DataFrame =
+    read.where(col(seqCol) === lit(seq))
+
+  /** Ordered range scan (`/root/reference/index.js:124-130`). */
+  def stream(r: LogRange = LogRange.all): DataFrame = {
+    var df = read
+    r.gt.foreach(v => df = df.where(col(seqCol) > lit(v)))
+    r.gte.foreach(v => df = df.where(col(seqCol) >= lit(v)))
+    r.lt.foreach(v => df = df.where(col(seqCol) < lit(v)))
+    r.lte.foreach(v => df = df.where(col(seqCol) <= lit(v)))
+    df = if (r.reverse) df.orderBy(col(seqCol).desc) else df.orderBy(col(seqCol))
+    r.limit.foreach(n => df = df.limit(n))
+    if (!r.values) df.select(col(seqCol))
+    else if (!r.seqs) df.drop(seqCol)
+    else df
+  }
+
+  def close(): Unit = ()
+}
+
+/** Read-only log view over an existing ordered table (e.g. the driver's
+  * `events.parquet`, whose `event_id` is already a unique monotonic seq).
+  * The cheapest way to treat pre-existing data as a flume log: zero copy,
+  * full predicate/column pushdown to the parquet scan. */
+final class TableLog(
+    override val spark: SparkSession,
+    table: => DataFrame,
+    override val seqCol: String) extends FlumeLog {
+
+  override def read: DataFrame = table
+
+  // Cursor resolved lazily from the data; cached because the table is
+  // immutable by construction.
+  private lazy val cursor: Long =
+    table.agg(coalesce(max(col(seqCol)), lit(-1L)).cast(LongType)).head().getLong(0)
+
+  override def since: Long = cursor
+
+  override def append(payload: DataFrame): Long =
+    throw new UnsupportedOperationException("TableLog is read-only")
+}
+
+object TableLog {
+  /** Open a parquet table as a read-only log. */
+  def parquet(spark: SparkSession, path: String, seqCol: String): TableLog =
+    new TableLog(spark, spark.read.parquet(path), seqCol)
+}
+
+/** Durable log over a parquet directory — the analog of flumelog-offset
+  * ("a log in a file — recommended", `/root/reference/README.md:85`), but
+  * columnar and splittable so a cluster can scan it in parallel.
+  *
+  * Seq assignment is the one thing Spark does not give us for free
+  * (`monotonically_increasing_id` is non-contiguous): a driver-held cursor
+  * plus `zipWithIndex` yields dense, contiguous, batch-atomic seqs. Single
+  * writer by contract, matching the reference's single-writer ingestion
+  * model — readers scale out, appends funnel through one cursor.
+  */
+final class ParquetLog(
+    override val spark: SparkSession,
+    val dir: String,
+    payloadSchema: StructType) extends FlumeLog {
+
+  private val fullSchema = StructType(StructField(seqCol, LongType, nullable = false) +: payloadSchema.fields)
+
+  @volatile private var cursor: Long = {
+    val d = new java.io.File(dir)
+    if (d.exists() && d.listFiles() != null && d.listFiles().exists(_.getName.endsWith(".parquet")))
+      spark.read.schema(fullSchema).parquet(dir)
+        .agg(coalesce(max(col(seqCol)), lit(-1L))).head().getLong(0)
+    else -1L
+  }
+
+  override def since: Long = cursor
+
+  override def read: DataFrame = {
+    if (cursor < 0) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], fullSchema)
+    else spark.read.schema(fullSchema).parquet(dir)
+  }
+
+  override def append(payload: DataFrame): Long = synchronized {
+    val base = cursor
+    val schema = fullSchema
+    // zipWithIndex preserves the incoming frame's partition-row order, so
+    // seqs follow the batch's own order deterministically.
+    val withSeq = payload.sparkSession.createDataFrame(
+      payload.rdd.zipWithIndex().map { case (row, i) =>
+        Row.fromSeq((base + 1 + i) +: row.toSeq)
+      },
+      schema)
+    val n = withSeq.count()
+    if (n > 0) {
+      withSeq.write.mode("append").parquet(dir)
+      cursor = base + n
+    }
+    cursor
+  }
+
+  /** Convenience: append payload rows built on the driver. */
+  def appendRows(rows: Seq[Row]): Long =
+    append(spark.createDataFrame(spark.sparkContext.parallelize(rows, math.max(1, math.min(rows.size, 4))),
+      StructType(fullSchema.fields.drop(1))))
+}
+
+/** In-memory log, the analog of flumelog-memory
+  * (`/root/reference/README.md:86`) — for tests and small interactive use.
+  * Thread-safe single-writer appends; reads snapshot the buffer. */
+final class MemoryLog(
+    override val spark: SparkSession,
+    payloadSchema: StructType) extends FlumeLog {
+
+  private val fullSchema = StructType(StructField(seqCol, LongType, nullable = false) +: payloadSchema.fields)
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+
+  override def since: Long = synchronized { buf.size.toLong - 1 }
+
+  override def read: DataFrame = {
+    val snapshot = synchronized { buf.toList }
+    spark.createDataFrame(spark.sparkContext.parallelize(snapshot, math.max(1, math.min(snapshot.size, 4))), fullSchema)
+  }
+
+  override def append(payload: DataFrame): Long = {
+    val rows = payload.collect()
+    appendRows(rows.toIndexedSeq)
+  }
+
+  def appendRows(rows: Seq[Row]): Long = synchronized {
+    rows.foreach { r => buf += Row.fromSeq(buf.size.toLong +: r.toSeq) }
+    buf.size.toLong - 1
+  }
+
+  def appendValues(values: Seq[Seq[Any]]): Long = synchronized {
+    values.foreach { v => buf += Row.fromSeq(buf.size.toLong +: v) }
+    buf.size.toLong - 1
+  }
+}

@@ -1,0 +1,212 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around its shuffle profile at 100 TB:
+  *
+  *  - exact: one hash-aggregate on the text (or a 64-bit fingerprint of
+  *    it, so the shuffle moves 8 bytes per doc, not the document).
+  *  - MinHash+LSH: shingle → signature (narrow) → band-bucket join
+  *    (shuffle on 8-byte band keys) → verify candidates only.
+  *  - SimHash: signature (narrow) → pigeonhole segment join → verify by
+  *    hamming distance.
+  *  - n-gram Jaccard: inverted shingle index self-join — exact, heavier;
+  *    rare-shingle filtering keeps the join skew-safe.
+  */
+object Dedup {
+
+  /** Exact dedup by content: groups identical `textCol`, keeps the lowest
+    * id as canonical. Shuffles a 64-bit hash + id per row, never the text
+    * itself (two-level: hash group first, so at 100 TB the wide text
+    * column stays columnar in the scan and off the wire). */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(xxhash64(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+
+  /** Word w-shingles of the lowercased token stream, as an array column. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(
+      when(size(toks) < w, toks) // short doc: each token is its own shingle
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - w),
+          i => concat_ws(" ", slice(toks, i + 1, lit(w))))))
+  }
+
+  /** MinHash signature from a column of pre-hashed shingles (`array<long>`):
+    * `perms` independent min-hashes, each permutation re-mixing the base
+    * hash with xxhash64(h, p) — long arithmetic only. Keep the base-hash
+    * column materialized (persisted or stored) before applying this, or
+    * Catalyst's projection collapse will inline the shingle computation
+    * once per permutation. */
+  def minhashSignature(hashedShingles: Column, perms: Int = 64): Column =
+    transform(
+      sequence(lit(0), lit(perms - 1)),
+      p => array_min(transform(hashedShingles, h => xxhash64(h, p))))
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * Plan shape: (1) narrow signature computation; (2) explode into
+    * `bands` 8-byte band keys; (3) self-join on (band, bandHash) — the
+    * only shuffle, on small keys; (4) estimated Jaccard from signature
+    * agreement, verified ≥ `threshold`. Bucket-size cap `maxBucket`
+    * guards degenerate buckets (boilerplate-heavy corpora) from
+    * quadratic blowup — capped buckets are dropped, trading recall for
+    * bounded cost, the standard production compromise.
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      perms: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucket: Int = 64): DataFrame = {
+    val rows = perms / bands
+    // Materialization barriers matter here: without them Catalyst's
+    // projection collapse inlines the shingle pipeline into all `perms`
+    // lambdas (a 64× recompute), and the self-join would recompute the
+    // whole signature stage per side. At cluster scale these would be
+    // stored signature tables; locally persist() plays that role.
+    val hashed = docs
+      .select(col(idCol).as("id"),
+        transform(shingles(col(textCol)), s => xxhash64(s)).as("hs"))
+      .where(size(col("hs")) > 0)
+      .persist()
+    val sigs = hashed
+      .select(col("id"), minhashSignature(col("hs"), perms).as("sig"))
+      .persist()
+
+    val banded = sigs.select(
+      col("id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(concat_ws(",", transform(slice(col("sig"), b * rows + 1, rows), _.cast("string"))))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
+
+    val capped = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bandhash")))
+      .where(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+
+    // Candidate ids only through the join + distinct (8-byte keys on the
+    // wire); signatures re-attached afterwards from the cached table.
+    val l = capped.select(col("band"), col("bandhash"), col("id").as("id_a"))
+    val r = capped.select(col("band"), col("bandhash"), col("id").as("id_b"))
+    val cand = l.join(r, Seq("band", "bandhash")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
+          .cast("double") / lit(perms.toDouble), 4))
+      .where(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash of the token stream: sign of the per-bit weighted sum
+    * of token hashes. One pass per document (O(tokens)); implemented as a
+    * JVM function over the already-tokenized array because 64 per-bit
+    * aggregates as columns would defeat codegen for no gain. */
+  private val simhash64 = udf { toks: Seq[String] =>
+    val acc = new Array[Int](64)
+    toks.foreach { t =>
+      var h = scala.util.hashing.MurmurHash3.stringHash(t).toLong & 0xffffffffL
+      h = h * 0x9e3779b97f4a7c15L // spread to 64 bits
+      var i = 0
+      while (i < 64) { if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1; i += 1 }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ `maxHamming`.
+    * Pigeonhole blocking: split the 64-bit signature into `maxHamming+1`
+    * segments — any pair within the distance must agree on ≥1 whole
+    * segment, so candidates come from equi-joins on (segment index,
+    * segment value): shuffle on 8-byte keys, verify with `bit_count`. */
+  def simhashDedup(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3): DataFrame = {
+    val nSeg = maxHamming + 1
+    val segBits = 64 / nSeg
+    val sigs = docs.select(
+      col(idCol).as("id"),
+      simhash64(TextAnalysis.tokens(col(textCol))).as("sig"))
+
+    val segmented = sigs.select(
+      col("id"), col("sig"),
+      posexplode(array((0 until nSeg).map(s =>
+        shiftright(col("sig"), s * segBits).bitwiseAND(lit((1L << segBits) - 1))): _*)))
+      .withColumnRenamed("pos", "seg").withColumnRenamed("col", "segval")
+
+    val l = segmented.select(col("seg"), col("segval"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = segmented.select(col("seg"), col("segval"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("seg", "segval")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
+    * explode shingles → self-join on shingle → shared-shingle counts are
+    * the intersection; union size from per-doc shingle counts. DF-filter
+    * `maxDocFreq` drops boilerplate shingles (the skew guard — a shingle
+    * in 10k docs would otherwise emit 10k² join rows). */
+  def ngramJaccard(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      w: Int = 3,
+      threshold: Double = 0.5,
+      maxDocFreq: Int = 100): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), w).as("sh"))
+      .where(size(col("sh")) > 0)
+    val counts = sh.select(col("id"), size(col("sh")).as("n"))
+    val inv = sh.select(col("id"), explode(col("sh")).as("shingle"))
+    val rare = inv.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .where(col("df") <= maxDocFreq).drop("df")
+
+    val shared = rare.select(col("shingle"), col("id").as("id_a"))
+      .join(rare.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+
+    shared
+      .join(counts.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(counts.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Embedding-cosine near-duplicates: random-hyperplane LSH signature →
+    * bucket join → exact cosine verify inside buckets. The hyperplanes
+    * are pseudo-random but deterministic (hashed from (plane, dim)), so
+    * the operator is reproducible run to run with no broadcast state. */
+  def embeddingNearDup(
+      embeddings: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nBits: Int = 12,
+      threshold: Double = 0.95): DataFrame = {
+    val sig = Similarity.hyperplaneSignature(col(vecCol), nBits)
+    val sigs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("sig"))
+    val l = sigs.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = sigs.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("sig")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("v_a"), col("v_b")), 4).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

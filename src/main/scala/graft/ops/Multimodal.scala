@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support: image/audio/video as opaque `binary`
+  * payloads with typed metadata, plus decode / feature-extract stages.
+  *
+  * The Spark-side plumbing — schema, batching, partition-parallel
+  * extraction via `mapPartitions` on the binary column — is real and
+  * tested. The media decode itself is STUBBED with a deterministic fake
+  * (this container has no image/audio codecs); `decodeStub` is the single
+  * marked seam where a real decoder (JNI ffmpeg/libjpeg, or a Python
+  * worker via Arrow batches) plugs in. At cluster scale the binary column
+  * rides Parquet's binary encoding and never passes through the driver.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false), // image | audio | video
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("format", StringType))), nullable = true)))
+
+  /** Build a media frame from any table by packing a string column into
+    * the binary payload — a deterministic fixture generator so the whole
+    * pipeline is exercisable without real media files. */
+  def syntheticMedia(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).as("media_id"),
+      (when(col(idCol) % 3 === 0, "image")
+        .when(col(idCol) % 3 === 1, "audio")
+        .otherwise("video")).as("modality"),
+      encode(col(textCol), "UTF-8").as("content"),
+      struct(
+        (col(idCol) % 1024 + 32).cast("int").as("width"),
+        (col(idCol) % 768 + 32).cast("int").as("height"),
+        (col(idCol) * 40 % 60000).as("duration_ms"),
+        lit("synthetic/v1").as("format")).as("meta"))
+
+  /** STUB decoder: a real implementation would decode the codec bytes to
+    * pixels/samples here. The fake derives a small deterministic feature
+    * vector from the byte content so downstream stages (similarity,
+    * clustering, filtering) are fully testable. */
+  private def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {
+    // ??? <- real decoder goes here (e.g. libjpeg via JNI, Arrow IPC to a
+    //        Python worker). Deterministic fake below.
+    val out = new Array[Float](dim)
+    if (content != null) {
+      var i = 0
+      var h = 1125899906842597L
+      while (i < content.length) { h = 31 * h + content(i); i += 1 }
+      var j = 0
+      while (j < dim) {
+        val v = (h ^ (h >>> 17)) * (j * 2654435761L + 1)
+        out(j) = ((v % 1000L).toFloat) / 1000.0f
+        j += 1
+      }
+    }
+    out
+  }
+
+  private val featureSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("features", ArrayType(FloatType), nullable = false)))
+
+  /** Feature extraction over binary media, one partition at a time —
+    * the batch shape a real decoder needs (amortized codec init per
+    * partition, vectorized inner loop). `dim` is the output embedding
+    * size. */
+  def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "modality", "content").rdd.mapPartitions { it =>
+      // per-partition decoder init would happen here
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        Row(r.getLong(0), r.getString(1),
+          (if (bytes == null) 0L else bytes.length.toLong),
+          decodeStub(bytes, dim).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+  /** Frame sampling for video-like payloads: emit every `stride`-th chunk
+    * of the binary as a "frame" row — the explode-shaped plan (1 row → N
+    * frame rows) a real video pipeline has, with deterministic fake
+    * chunking. */
+  def sampleFrames(media: DataFrame, chunkBytes: Int = 256, stride: Int = 4): DataFrame =
+    media.where(col("modality") === "video")
+      .select(col("media_id"),
+        posexplode(transform(
+          sequence(lit(0L), greatest(
+            (length(col("content")).cast("long") / lit(chunkBytes * stride)).cast("long") - 1, lit(0L))),
+          i => substring(col("content"), (i * chunkBytes * stride + 1).cast("int"), lit(chunkBytes)))))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "frame_bytes")
+      .withColumn("frame_hash", xxhash64(col("frame_bytes")))
+}

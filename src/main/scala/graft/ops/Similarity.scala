@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — exact, one broadcast of the query
+  * set, one narrow pass over the corpus, `TakeOrderedAndProject` for the
+  * top-k (no full sort). Scale path: hyperplane-LSH bucketing — signature
+  * is a narrow per-row computation; candidate generation is an equi-join
+  * on small integer bucket keys, so a 1000-executor cluster shuffles
+  * 8-byte keys, not 100 TB of vectors.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated in double.
+    * Built-in higher-order functions — no UDF serialization wall. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k for a single query vector (as a literal array).
+    * The plan is scan → narrow cosine → TakeOrderedAndProject: no shuffle
+    * of vectors, only k rows to the driver per partition. */
+  def knnForVector(
+      corpus: DataFrame,
+      queryVec: Seq[Float],
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      excludeId: Option[Long] = None): DataFrame = {
+    val q = array(queryVec.map(v => lit(v)): _*)
+    val base = excludeId.fold(corpus)(id => corpus.where(col(idCol) =!= id))
+    base.select(col(idCol), round(cosine(col(vecCol), q), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Exact cosine top-k for a whole query frame: broadcast the queries
+    * (small side), cross-join against the corpus, rank per query. One
+    * pass over the corpus regardless of query count. */
+  def knnBatch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        round(cosine(col("query_vec"), col("nbr_vec")), 4).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
+  /** Random-hyperplane LSH signature: bit i = sign(v · h_i), planes drawn
+    * deterministically from a hash of (plane, dim) — reproducible with no
+    * stored model. Returns an integer bucket key. */
+  def hyperplaneSignature(vec: Column, nBits: Int = 16): Column = {
+    val bits = (0 until nBits).map { p =>
+      // plane component for dim j: hash(p, j) mapped to [-1, 1)
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, j) => x.cast("double") *
+            ((pmod(xxhash64(lit(p), j), lit(1000000L)).cast("double") / lit(500000.0)) - lit(1.0))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_)).as("sig")
+  }
+
+  /** ANN via LSH filter-then-refine: compute signatures once for the
+    * corpus, compare by hamming distance to the query signature, and only
+    * run exact cosine on candidates within `maxHamming`. The cheap
+    * `bit_count(xor)` prefilter prunes most of the corpus before the
+    * 64-multiply cosine; at cluster scale the signature column is stored
+    * and bucketed so the prefilter becomes partition pruning. */
+  def annForVector(
+      corpus: DataFrame,
+      queryVec: Seq[Float],
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nBits: Int = 16,
+      maxHamming: Int = 6,
+      excludeId: Option[Long] = None): DataFrame = {
+    val q = array(queryVec.map(v => lit(v)): _*)
+    val base = excludeId.fold(corpus)(id => corpus.where(col(idCol) =!= id))
+    val withSig = base.select(col(idCol), col(vecCol), hyperplaneSignature(col(vecCol), nBits).as("sig"))
+    val qSigRow = corpus.sparkSession.range(1)
+      .select(hyperplaneSignature(typedLit(queryVec).cast("array<float>"), nBits).as("qsig")).head()
+    val qSig = qSigRow.getLong(0)
+    withSig
+      .where(bit_count(col("sig").bitwiseXOR(lit(qSig))) <= maxHamming)
+      .select(col(idCol), round(cosine(col(vecCol), q), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+}

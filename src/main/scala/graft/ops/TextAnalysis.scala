@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, per-document statistics, quality scoring, language ID,
+  * fingerprinting. All hot paths are built-in Catalyst functions (no
+  * Python, no serialization walls); each is a narrow per-row transform —
+  * no shuffle — so they scale linearly with input splits.
+  */
+object TextAnalysis {
+
+  /** Lowercased alphanumeric word tokens (empty strings filtered — `split`
+    * on a delimiter regex yields empties at string edges). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** BPE-ish pre-tokenization: letter runs, digit runs, or single
+    * non-space symbols — the shape of a GPT-2-style pre-tokenizer regex. */
+  def bpeIshTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** Per-document statistics frame: char/token counts, average token
+    * length, punctuation + whitespace ratios. */
+  def textStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs.select(
+      col(idCol),
+      length(col(textCol)).cast("bigint").as("n_chars"),
+      size(toks).cast("bigint").as("n_tokens"),
+      round(
+        when(size(toks) === 0, 0.0)
+          .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks)),
+        4).as("avg_token_len"),
+      round(length(regexp_replace(col(textCol), "[A-Za-z0-9\\s]", "")).cast("double") /
+        greatest(length(col(textCol)), lit(1)).cast("double"), 4).as("punct_ratio"))
+  }
+
+  private val enStop = Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
+
+  /** Heuristic quality score in [0,1]: rewards mid-length documents, a
+    * plausible stopword rate and low punctuation density — the standard
+    * cheap pre-filter stack (C4/Gopher-style rules) expressed as one
+    * codegen-friendly arithmetic column. */
+  def qualityScore(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("double")
+    val stopHits = size(filter(toks, t => t.isin(enStop: _*))).cast("double")
+    val punct = length(regexp_replace(col(textCol), "[A-Za-z0-9\\s]", "")).cast("double") /
+      greatest(length(col(textCol)), lit(1)).cast("double")
+    val lenScore = least(nTok / lit(50.0), lit(1.0))                       // too short = low quality
+    val stopScore = least(stopHits / greatest(nTok, lit(1.0)) * lit(5.0), lit(1.0)) // ~20%+ stopwords saturates
+    val punctScore = greatest(lit(1.0) - punct * lit(4.0), lit(0.0))      // >25% punctuation zeroes it
+    docs.select(
+      col(idCol),
+      round((lenScore * lit(0.4) + stopScore * lit(0.4) + punctScore * lit(0.2)), 4).as("quality"))
+  }
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "as"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "des", "une", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "en", "que", "una", "por"),
+    "zh" -> Seq("de", "shi", "le", "zai", "you", "wo", "ta", "men", "zhe", "bu"))
+
+  /** N-gram/stopword-hit language ID: score each candidate language by
+    * its stopword hits in the token stream, take the argmax. Pure
+    * column arithmetic — `max_by` over a small literal map, no shuffle. */
+  def langId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isin(words: _*))).as("hits"), lit(lang).as("lang"))
+    }
+    // argmax by (hits, lang) — deterministic tie-break on language code
+    docs.select(
+      col(idCol),
+      array_max(array(scored: _*)).getField("lang").as("pred_lang"))
+  }
+
+  /** 64-bit document fingerprint over whitespace-normalized lowercase
+    * text: identical content → identical fingerprint regardless of
+    * spacing/case. xxHash64 — the same hash family Spark uses for
+    * shuffle — as a codegen'd built-in. */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      xxhash64(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")).as("fingerprint"))
+}

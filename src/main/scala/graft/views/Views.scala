@@ -1,0 +1,264 @@
+package graft.views
+
+import graft.core.{FlumeDb, FlumeView, ViewDef}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** flumeview-reduce (`/root/reference/README.md:92`): an incrementally
+  * maintained fold of the whole log down to one value.
+  *
+  * Two execution paths, chosen by the reducer's algebra:
+  *
+  *  - [[MergeableReduceView]] — the 100 TB path. The per-batch partial is
+  *    computed **distributed** (a `df.agg` with map-side combine, one
+  *    numeric row to the driver), then merged into the accumulator with a
+  *    user merge function. Requires a commutative-mergeable summary (sum,
+  *    count, Welford mean/M2, min/max, HLL...). Cost per batch is one scan
+  *    of the delta only — O(delta), never O(log).
+  *
+  *  - [[OrderedFoldView]] — reference-parity path for arbitrary
+  *    non-commutative closures, which flume permits because each view is
+  *    single-threaded ("a flumeview must process items from the main log
+  *    in order", `/root/reference/README.md:222-223`). Entries are folded
+  *    in strict seq order on the driver; only for genuinely sequential
+  *    reducers and bounded state.
+  */
+final class MergeableReduceView[S](
+    partial: DataFrame => S,
+    merge: (S, S) => S) extends FlumeView {
+
+  @volatile private var state: Option[S] = None
+  @volatile private var sinceSeq: Long = -1L
+
+  def since: Long = sinceSeq
+  def value: Option[S] = state
+
+  def absorb(entries: DataFrame, upto: Long): Unit = {
+    val p = partial(entries)
+    state = Some(state.fold(p)(s => merge(s, p)))
+    sinceSeq = upto
+  }
+
+  def destroy(): Unit = { state = None; sinceSeq = -1L }
+}
+
+object MergeableReduceView {
+  def apply[S](partialFn: DataFrame => S)(mergeFn: (S, S) => S): ViewDef = new ViewDef {
+    def version: Int = 1
+    def create(db: FlumeDb, name: String) = new MergeableReduceView[S](partialFn, mergeFn)
+  }
+}
+
+/** Running (count, mean, sample-stddev) — the reference's canonical reduce
+  * example (`/root/reference/test/memlog.js:13-18`, `statistics` package).
+  * Incremental via Welford/Chan parallel merge: the per-batch partial is a
+  * distributed `agg(count, avg, var_samp)`; merging two summaries is O(1).
+  */
+final case class Stats(n: Long, mean: Double, m2: Double) {
+  def stdevSamp: Double = if (n < 2) 0.0 else math.sqrt(m2 / (n - 1))
+  def stdevPop: Double = if (n == 0) 0.0 else math.sqrt(m2 / n)
+  def merge(o: Stats): Stats = {
+    if (n == 0) o
+    else if (o.n == 0) this
+    else {
+      val nn = n + o.n
+      val d = o.mean - mean
+      Stats(nn, mean + d * o.n / nn, m2 + o.m2 + d * d * n.toDouble * o.n / nn)
+    }
+  }
+}
+
+object StatsReduceView {
+  def apply(valueCol: String): ViewDef = MergeableReduceView[Stats] { df =>
+    val r = df.agg(
+      count(col(valueCol)).as("n"),
+      avg(col(valueCol)).as("mean"),
+      var_samp(col(valueCol)).as("v")).head()
+    val n = r.getLong(0)
+    if (n == 0) Stats(0, 0.0, 0.0)
+    else Stats(n, r.getDouble(1), if (n < 2) 0.0 else r.getDouble(2) * (n - 1))
+  }(_ merge _)
+}
+
+object SumReduceView {
+  /** sum + count of a numeric column (`/root/reference/test/memlog-map.js:24-29`). */
+  def apply(valueCol: String): ViewDef = MergeableReduceView[(Double, Long)] { df =>
+    val r = df.agg(coalesce(sum(col(valueCol)), lit(0.0)).as("s"), count(lit(1)).as("c")).head()
+    (r.getDouble(0), r.getLong(1))
+  } { case ((s1, c1), (s2, c2)) => (s1 + s2, c1 + c2) }
+}
+
+/** Reference-parity ordered fold for arbitrary closures (see class doc on
+  * [[MergeableReduceView]]). Collects each delta batch to the driver in
+  * seq order — by design, like the single-threaded reference view. */
+final class OrderedFoldView[S](zero: S, fold: (S, Row) => S, seqCol: String) extends FlumeView {
+  @volatile private var state: S = zero
+  @volatile private var sinceSeq: Long = -1L
+  @volatile private var touched: Boolean = false
+
+  def since: Long = sinceSeq
+  def value: Option[S] = if (touched) Some(state) else None
+
+  def absorb(entries: DataFrame, upto: Long): Unit = {
+    val rows = entries.orderBy(col(seqCol)).collect()
+    rows.foreach { r => state = fold(state, r); touched = true }
+    sinceSeq = upto
+  }
+
+  def destroy(): Unit = { state = zero; touched = false; sinceSeq = -1L }
+}
+
+object OrderedFoldView {
+  def apply[S](zero: S, seqCol: String = "seq")(fold: (S, Row) => S): ViewDef = new ViewDef {
+    def version: Int = 1
+    def create(db: FlumeDb, name: String) = new OrderedFoldView[S](zero, fold, seqCol)
+  }
+}
+
+/** Base for views whose state is itself a DataFrame, maintained by
+  * appending a per-batch delta frame. State lives as a persisted union of
+  * deltas; `compact()` collapses it (a real deployment would write the
+  * delta to a bucketed table — same plan shape). */
+abstract class FrameView extends FlumeView {
+  @volatile protected var state: Option[DataFrame] = None
+  @volatile private var sinceSeq: Long = -1L
+
+  /** Transform one ordered batch of log entries into a state delta. */
+  protected def delta(entries: DataFrame): DataFrame
+
+  def since: Long = sinceSeq
+  def frame: Option[DataFrame] = state
+
+  def absorb(entries: DataFrame, upto: Long): Unit = {
+    val d = delta(entries)
+    state = Some(state.fold(d)(s => s.union(d)))
+    sinceSeq = upto
+  }
+
+  def destroy(): Unit = { state = None; sinceSeq = -1L }
+}
+
+/** flumeview-level (`/root/reference/README.md:93`): a materialized
+  * secondary index. `keysFn` maps one entry to N index keys
+  * (`/root/reference/test/rebuild.js:27-31`); the index table is
+  * `(key, seq)`, i.e. `explode(keys)` — Catalyst's Generator, fully
+  * distributed, and a lookup is an equi-filter (or a broadcast-hash join
+  * when batched). */
+final class IndexView(keys: Column, seqCol: String) extends FrameView {
+  protected def delta(entries: DataFrame): DataFrame =
+    entries.select(explode(keys).as("key"), col(seqCol).as("seq"))
+
+  /** Point lookup: seqs for a key, ordered. */
+  def get(key: String): DataFrame =
+    state.map(_.where(col("key") === lit(key)).orderBy("seq"))
+      .getOrElse(throw new IllegalStateException("index empty"))
+}
+
+object IndexView {
+  def apply(keys: Column, seqCol: String = "seq"): ViewDef = new ViewDef {
+    def version: Int = 1
+    def create(db: FlumeDb, name: String) = new IndexView(keys, seqCol)
+  }
+}
+
+/** flumeview-hashtable (`/root/reference/README.md:96`): unique-key O(1)
+  * lookup — as a relational view, "latest record per key". Incremental
+  * upsert: per batch, reduce the delta to latest-per-key, union with
+  * state, reduce again (`max_by` on seq — single shuffle, map-side
+  * combined, no sort). */
+final class HashtableView(keyCol: String, seqCol: String) extends FlumeView {
+  @volatile private var state: Option[DataFrame] = None
+  @volatile private var sinceSeq: Long = -1L
+
+  private def latest(df: DataFrame): DataFrame = {
+    val payload = struct(df.columns.filter(_ != keyCol).map(col).toIndexedSeq: _*)
+    df.groupBy(col(keyCol))
+      .agg(max_by(payload, col(seqCol)).as("__v"))
+      .select(col(keyCol), col("__v.*"))
+  }
+
+  def since: Long = sinceSeq
+  def frame: Option[DataFrame] = state
+
+  def absorb(entries: DataFrame, upto: Long): Unit = {
+    val d = latest(entries)
+    state = Some(state.fold(d)(s => latest(s.unionByName(d))))
+    sinceSeq = upto
+  }
+
+  def get(key: Any): DataFrame =
+    state.map(_.where(col(keyCol) === lit(key)))
+      .getOrElse(throw new IllegalStateException("hashtable empty"))
+
+  def destroy(): Unit = { state = None; sinceSeq = -1L }
+}
+
+object HashtableView {
+  def apply(keyCol: String, seqCol: String = "seq"): ViewDef = new ViewDef {
+    def version: Int = 1
+    def create(db: FlumeDb, name: String) = new HashtableView(keyCol, seqCol)
+  }
+}
+
+/** flumeview-search (`/root/reference/README.md:95`): inverted-index
+  * full-text search. Tokenize → explode → posting list `(term, seq)`;
+  * single-term query = equi-filter; AND = intersect via group-by-count. */
+final class SearchView(textCol: String, seqCol: String) extends FrameView {
+  protected def delta(entries: DataFrame): DataFrame =
+    entries.select(
+      explode(array_distinct(filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= ""))).as("term"),
+      col(seqCol).as("seq"))
+
+  def search(term: String): DataFrame =
+    state.map(_.where(col("term") === lit(term)).select("seq").distinct().orderBy("seq"))
+      .getOrElse(throw new IllegalStateException("search index empty"))
+
+  /** AND-query: seqs containing every term. Distinct (term,seq) postings
+    * make count(distinct term) == nTerms the intersection test — one
+    * shuffle, no N-way self-join. */
+  def searchAll(terms: Seq[String]): DataFrame =
+    state.map(_.where(col("term").isin(terms: _*))
+        .groupBy("seq").agg(countDistinct("term").as("nt"))
+        .where(col("nt") === terms.distinct.size).select("seq").orderBy("seq"))
+      .getOrElse(throw new IllegalStateException("search index empty"))
+}
+
+object SearchView {
+  def apply(textCol: String, seqCol: String = "seq"): ViewDef = new ViewDef {
+    def version: Int = 1
+    def create(db: FlumeDb, name: String) = new SearchView(textCol, seqCol)
+  }
+}
+
+/** flumeview-bloom (`/root/reference/README.md:97`): approximate
+  * membership — "check if we _may_ have something". Spark's
+  * `stat.bloomFilter` builds the per-batch filter distributed
+  * (tree-aggregated); incremental maintenance is `mergeInPlace`, so each
+  * batch costs one scan of the delta. No false negatives by construction. */
+final class BloomView(keyCol: String, expectedItems: Long, fpp: Double) extends FlumeView {
+  @volatile private var filter: Option[BloomFilter] = None
+  @volatile private var sinceSeq: Long = -1L
+
+  def since: Long = sinceSeq
+
+  def absorb(entries: DataFrame, upto: Long): Unit = {
+    val b = entries.stat.bloomFilter(keyCol, expectedItems, fpp)
+    filter match {
+      case Some(f) => f.mergeInPlace(b)
+      case None    => filter = Some(b)
+    }
+    sinceSeq = upto
+  }
+
+  def mightContain(v: Any): Boolean = filter.exists(_.mightContain(v))
+
+  def destroy(): Unit = { filter = None; sinceSeq = -1L }
+}
+
+object BloomView {
+  def apply(keyCol: String, expectedItems: Long = 1000000L, fpp: Double = 0.01): ViewDef = new ViewDef {
+    def version: Int = 1
+    def create(db: FlumeDb, name: String) = new BloomView(keyCol, expectedItems, fpp)
+  }
+}

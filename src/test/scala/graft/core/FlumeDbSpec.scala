@@ -1,0 +1,171 @@
+package graft.core
+
+import graft.SparkSpec
+import graft.views._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Mirrors the reference behavioral suite (`test/memlog.js`,
+  * `test/memlog-map.js`, `test/rebuild.js`) one-for-one where the
+  * semantics transfer: gated reads, view lifecycle, mapper, rebuild
+  * delivery counts, close semantics. */
+class FlumeDbSpec extends SparkSpec {
+
+  val schema: StructType = StructType(Seq(StructField("foo", LongType)))
+  def mkDb(mapper: Option[DataFrame => DataFrame] = None, ready: Boolean = true): (MemoryLog, FlumeDb) = {
+    val log = new MemoryLog(spark, schema)
+    (log, new FlumeDb(log, isReady = ready, mapper = mapper))
+  }
+
+  /** A view that counts deliveries + destroys, for lifecycle assertions
+    * (the reference counts re-deliveries in `test/rebuild.js:19-62`). */
+  class CountingView extends FlumeView {
+    val delivered = new AtomicInteger(0)
+    val destroys = new AtomicInteger(0)
+    @volatile var sinceSeq: Long = -1L
+    def since: Long = sinceSeq
+    def absorb(entries: DataFrame, upto: Long): Unit = {
+      delivered.addAndGet(entries.count().toInt); sinceSeq = upto
+    }
+    def destroy(): Unit = { destroys.incrementAndGet(); sinceSeq = -1L }
+  }
+  def countingDef(v: CountingView): ViewDef = new ViewDef {
+    def version = 1
+    def create(db: FlumeDb, name: String): FlumeView = v
+  }
+
+  test("empty log: view read yields empty, since = -1 (memlog.js:26-34)") {
+    val (_, db) = mkDb()
+    db.use("stats", StatsReduceView("foo"))
+    assert(db.since === -1L)
+    val st = db.gated("stats")(_.asInstanceOf[MergeableReduceView[Stats]].value)
+    assert(st.exists(_.n == 0) || st.isEmpty)
+  }
+
+  test("append then gated read: incremental stats are correct (memlog.js:36-66)") {
+    val (_, db2) = mkDb()
+    db2.use("stats", StatsReduceView("foo"))
+    db2.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(1L))), schema))
+    var st = db2.gated("stats")(_.asInstanceOf[MergeableReduceView[Stats]].value.get)
+    assert(st.n === 1L && st.mean === 1.0 && st.stdevPop === 0.0)
+    db2.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(3L))), schema))
+    st = db2.gated("stats")(_.asInstanceOf[MergeableReduceView[Stats]].value.get)
+    // reference expects mean=2, stdev=1 (population) after {foo:1},{foo:3}
+    assert(st.n === 2L && st.mean === 2.0 && math.abs(st.stdevPop - 1.0) < 1e-12)
+  }
+
+  test("seqs-only scan + point-get round trip (memlog.js:68-80)") {
+    val (log, db) = mkDb()
+    log.appendRows(Seq(Row(10L), Row(20L), Row(30L)))
+    val seqs = db.stream(LogRange(values = false)).collect().map(_.getLong(0))
+    assert(seqs.toSeq === Seq(0L, 1L, 2L))
+    val vals = seqs.map(s => db.get(s).collect()(0).getAs[Long]("foo"))
+    assert(vals.toSeq === Seq(10L, 20L, 30L))
+  }
+
+  test("ready gate stalls gated reads until set (memlog.js:82-96)") {
+    val (log, db) = mkDb(ready = false)
+    db.use("stats", StatsReduceView("foo"))
+    log.appendRows(Seq(Row(5L)))
+    @volatile var done = false
+    val t = new Thread(() => {
+      db.gated("stats")(_ => ()); done = true
+    })
+    t.start()
+    Thread.sleep(300)
+    assert(!done, "gated read must stall while not ready")
+    db.setReady(true)
+    t.join(10000)
+    assert(done, "gated read must complete once ready")
+  }
+
+  test("view ahead of log is destroyed and rebuilt (memlog.js:98-126)") {
+    val (log, db) = mkDb()
+    log.appendRows(Seq(Row(1L), Row(2L)))
+    val v = new CountingView
+    v.sinceSeq = 99L // simulate a view that is ahead of the log
+    db.use("count", countingDef(v))
+    assert(v.destroys.get() === 1)
+    assert(v.since === 1L)
+    assert(v.delivered.get() === 2)
+  }
+
+  test("duplicate view name throws (memlog.js:128-141)") {
+    val (_, db) = mkDb()
+    db.use("v", StatsReduceView("foo"))
+    intercept[IllegalArgumentException] { db.use("v", StatsReduceView("foo")) }
+  }
+
+  test("close is idempotent; gated calls throw after close (memlog.js:143-168)") {
+    val (_, db) = mkDb()
+    db.use("stats", StatsReduceView("foo"))
+    db.close(); db.close()
+    intercept[ClosedException] { db.stream() }
+    intercept[ClosedException] { db.get(0L) }
+    intercept[ClosedException] { db.gated("stats")(_ => ()) }
+    intercept[ClosedException] {
+      db.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(1L))), schema))
+    }
+  }
+
+  test("mapper is applied to values on get/stream but skipped for seqs-only (memlog-map.js)") {
+    val mapper: DataFrame => DataFrame = df => df.withColumn("mapped", col("foo") * 10)
+    val (log, db) = mkDb(mapper = Some(mapper))
+    log.appendRows(Seq(Row(1L), Row(2L)))
+    assert(db.get(1L).collect()(0).getAs[Long]("mapped") === 20L)
+    assert(db.stream().columns.contains("mapped"))
+    assert(!db.stream(LogRange(values = false)).columns.contains("mapped"))
+  }
+
+  test("reduce over mapped values (memlog-map.js:110-118)") {
+    val mapper: DataFrame => DataFrame = df => df.withColumn("foo", col("foo") + 100)
+    val (_, db) = mkDb(mapper = Some(mapper))
+    db.use("sum", SumReduceView("foo"))
+    db.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(1L), Row(2L))), schema))
+    val (s, n) = db.gated("sum")(_.asInstanceOf[MergeableReduceView[(Double, Long)]].value.get)
+    assert(n === 2L && s === 203.0)
+  }
+
+  test("rebuild redelivers the whole log (rebuild.js:19-62 delivery count)") {
+    val (_, db) = mkDb()
+    val v = new CountingView
+    db.use("count", countingDef(v))
+    db.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(1L), Row(2L))), schema))
+    assert(v.delivered.get() === 2)
+    db.rebuild()
+    assert(v.destroys.get() === 1)
+    assert(v.delivered.get() === 4) // 2 original + 2 redelivered
+    db.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(3L), Row(4L), Row(5L))), schema))
+    assert(v.delivered.get() === 7) // matches reference messagesExpected = 7
+    assert(v.since === 4L)
+  }
+
+  test("view error triggers destroy + full replay (index.js:66-71)") {
+    val (_, db) = mkDb()
+    val fails = new AtomicInteger(0)
+    val v = new CountingView {
+      override def absorb(entries: DataFrame, upto: Long): Unit = {
+        if (fails.getAndIncrement() == 1) sys.error("boom") // fail on 2nd delivery
+        super.absorb(entries, upto)
+      }
+    }
+    db.use("count", countingDef(v))
+    db.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(1L))), schema))
+    db.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(2L))), schema))
+    assert(v.destroys.get() === 1)
+    assert(v.since === 1L)
+    assert(v.delivered.get() === 3) // 1 + (failed) + 2 replayed
+    assert(db.view("count").lastError.isDefined)
+  }
+
+  test("meta counts method calls (index.js:81-91)") {
+    val (log, db) = mkDb()
+    log.appendRows(Seq(Row(1L)))
+    db.stream(); db.stream(); db.get(0L)
+    assert(db.meta("stream").get() === 2L)
+    assert(db.meta("get").get() === 1L)
+  }
+}

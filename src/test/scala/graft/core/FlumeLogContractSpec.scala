@@ -1,0 +1,90 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Shared behavioral contract for every log backend, the analog of the
+  * reference's storage-parameterized suite (`test/util/memlog.js:9` run
+  * against memory/level/offset logs). */
+trait FlumeLogContract extends SparkSpec {
+  def mkLog(): FlumeLog
+
+  val payloadSchema: StructType = StructType(Seq(StructField("foo", LongType)))
+  def rows(vs: Long*): Seq[Row] = vs.map(v => Row(v))
+
+  private def append(log: FlumeLog, vs: Long*): Long = log match {
+    case m: MemoryLog  => m.appendRows(rows(vs: _*))
+    case p: ParquetLog => p.appendRows(rows(vs: _*))
+    case other         => other.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows(vs: _*)), payloadSchema))
+  }
+
+  test("empty log: since = -1, read is empty") {
+    val log = mkLog()
+    assert(log.since === -1L)
+    assert(log.read.count() === 0L)
+  }
+
+  test("append advances since contiguously; batch append is atomic") {
+    val log = mkLog()
+    assert(append(log, 10L) === 0L)
+    assert(log.since === 0L)
+    assert(append(log, 20L, 30L, 40L) === 3L) // one batch, one final seq
+    assert(log.since === 3L)
+    assert(log.read.count() === 4L)
+  }
+
+  test("get is a point lookup by seq") {
+    val log = mkLog()
+    append(log, 10L, 20L, 30L)
+    val r = log.get(1L).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("foo") === 20L)
+  }
+
+  test("stream honors gt/gte/lt/lte bounds") {
+    val log = mkLog()
+    append(log, 0L, 10L, 20L, 30L, 40L)
+    assert(log.stream(LogRange(gt = Some(1L), lte = Some(3L)))
+      .select("seq").collect().map(_.getLong(0)).toSeq === Seq(2L, 3L))
+    assert(log.stream(LogRange(gte = Some(1L), lt = Some(3L)))
+      .select("seq").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
+
+  test("stream reverse + limit = top-k by seq") {
+    val log = mkLog()
+    append(log, 0L, 10L, 20L, 30L, 40L)
+    assert(log.stream(LogRange(reverse = true, limit = Some(2)))
+      .select("seq").collect().map(_.getLong(0)).toSeq === Seq(4L, 3L))
+  }
+
+  test("seqs/values projection flags prune columns") {
+    val log = mkLog()
+    append(log, 10L, 20L)
+    assert(log.stream(LogRange(values = false)).columns.toSeq === Seq("seq"))
+    assert(log.stream(LogRange(seqs = false)).columns.toSeq === Seq("foo"))
+    assert(log.stream().columns.toSeq === Seq("seq", "foo"))
+  }
+}
+
+class MemoryLogSpec extends FlumeLogContract {
+  def mkLog(): FlumeLog = new MemoryLog(spark, payloadSchema)
+}
+
+class ParquetLogSpec extends FlumeLogContract {
+  def mkLog(): FlumeLog = new ParquetLog(spark,
+    java.nio.file.Files.createTempDirectory("graft-test-log").toString, payloadSchema)
+
+  test("cursor is recovered on reopen") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-test-reopen").toString
+    val log = new ParquetLog(spark, dir, payloadSchema)
+    log.appendRows(rows(10L, 20L, 30L))
+    assert(log.since === 2L)
+    val reopened = new ParquetLog(spark, dir, payloadSchema)
+    assert(reopened.since === 2L)
+    assert(reopened.read.count() === 3L)
+    reopened.appendRows(rows(40L))
+    assert(reopened.since === 3L)
+  }
+}

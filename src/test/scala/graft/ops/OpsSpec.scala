@@ -1,0 +1,119 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** North-star operator specs over the driver's sf0.001 tables. */
+class OpsSpec extends SparkSpec {
+
+  lazy val dir = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** documents plus perturbed near-duplicates (first token dropped). */
+  lazy val docsND = {
+    val d = docs.select("doc_id", "text")
+    d.unionByName(d.select((col("doc_id") + 10000).as("doc_id"),
+      regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+  }
+
+  test("exact dedup groups identical content") {
+    val dup = docs.select("doc_id", "text").unionByName(
+      docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val r = Dedup.exact(dup)
+    assert(r.count() === docs.count()) // every text has exactly one group
+    assert(r.agg(sum("copies")).head().getLong(0) === 2 * docs.count())
+    assert(r.where(col("copies") =!= 2).count() === 0)
+  }
+
+  test("minhash LSH finds planted near-duplicates with high recall") {
+    val pairs = Dedup.minhashLsh(docsND, threshold = 0.35).collect()
+    val planted = pairs.count(r => r.getLong(1) === r.getLong(0) + 10000)
+    assert(planted >= 450, s"expected >=450 of 500 planted pairs, got $planted")
+  }
+
+  test("simhash finds planted near-duplicates") {
+    val pairs = Dedup.simhashDedup(docsND, maxHamming = 3).collect()
+    val planted = pairs.count(r => r.getLong(0) + 10000 === r.getLong(1))
+    assert(planted >= 300, s"expected >=300 planted pairs, got $planted")
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 3))
+  }
+
+  test("ngram jaccard is exact on planted pairs") {
+    val pairs = Dedup.ngramJaccard(docsND, threshold = 0.5, maxDocFreq = 10000).collect()
+    val planted = pairs.count(r => r.getLong(1) === r.getLong(0) + 10000)
+    assert(planted >= 450, s"expected >=450 planted pairs, got $planted")
+    assert(pairs.forall(r => r.getAs[Double]("jaccard") >= 0.5 && r.getAs[Double]("jaccard") <= 1.0))
+  }
+
+  test("knn cosine: scaled copy of the query vector ranks first") {
+    val q = emb.where(col("vec_id") === 7).head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val top = Similarity.knnForVector(emb, q, 3).collect()
+    assert(top(0).getLong(0) === 7L) // itself, cosine 1.0
+    assert(top(0).getAs[Double]("cos") > 0.9999)
+  }
+
+  test("knn batch returns k neighbors per query, ranked") {
+    val r = Similarity.knnBatch(emb, emb.where(col("vec_id") < 3), 5).collect()
+    assert(r.length === 15)
+    val byQ = r.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet === Set(0L, 1L, 2L))
+    byQ.values.foreach { rows =>
+      val cs = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, "cos must be non-increasing in rank")
+    }
+  }
+
+  test("ann lsh recall: hyperplane prefilter keeps most of the true top-k") {
+    val q = emb.where(col("vec_id") === 0).head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val exact = Similarity.knnForVector(emb, q, 10, excludeId = Some(0L)).collect().map(_.getLong(0)).toSet
+    val approx = Similarity.annForVector(emb, q, 10, maxHamming = 8, excludeId = Some(0L)).collect().map(_.getLong(0)).toSet
+    assert((exact & approx).size >= 5, s"ANN recall too low: ${(exact & approx).size}/10")
+  }
+
+  test("embedding near-dup finds planted scaled copies (cosine-invariant LSH)") {
+    val e = emb.select("vec_id", "embedding")
+    val planted = e.unionByName(e.select((col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"), x => (x * lit(1.001)).cast("float")).as("embedding")))
+    val pairs = Dedup.embeddingNearDup(planted, threshold = 0.95).collect()
+    val found = pairs.count(r => r.getLong(1) === r.getLong(0) + 10000)
+    assert(found === 500, s"expected all 500 planted cosine-1 pairs, got $found")
+  }
+
+  test("text stats are sane and deterministic") {
+    val r = TextAnalysis.textStats(docs).collect()
+    assert(r.length === docs.count())
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_tokens") > 0)
+      assert(row.getAs[Double]("punct_ratio") >= 0.0 && row.getAs[Double]("punct_ratio") <= 1.0)
+    }
+  }
+
+  test("fingerprint is invariant to case and whitespace") {
+    import spark.implicits._
+    val d = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "different")).toDF("doc_id", "text")
+    val f = TextAnalysis.fingerprint(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f(1L) === f(2L))
+    assert(f(1L) !== f(3L))
+  }
+
+  test("langId returns a prediction per doc from the known set") {
+    val langs = Set("en", "de", "fr", "es", "zh")
+    val r = TextAnalysis.langId(docs).collect()
+    assert(r.length === docs.count())
+    r.foreach(row => assert(langs.contains(row.getAs[String]("pred_lang"))))
+  }
+
+  test("multimodal: features are deterministic and shaped; frames explode") {
+    val media = Multimodal.syntheticMedia(docs)
+    val f1 = Multimodal.extractFeatures(media, dim = 16).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(media, dim = 16).orderBy("media_id").collect()
+    assert(f1.length === docs.count())
+    assert(f1.map(_.getAs[scala.collection.Seq[Float]]("features")).toSeq ===
+      f2.map(_.getAs[scala.collection.Seq[Float]]("features")).toSeq)
+    assert(f1.forall(_.getAs[scala.collection.Seq[Float]]("features").length === 16))
+    val frames = Multimodal.sampleFrames(media)
+    assert(frames.count() > 0)
+    assert(frames.columns.toSet === Set("media_id", "frame_idx", "frame_bytes", "frame_hash"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.views
+
+import graft.SparkSpec
+import graft.core._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class ViewsSpec extends SparkSpec {
+
+  val schema: StructType = StructType(Seq(
+    StructField("foo", LongType), StructField("tag", StringType)))
+
+  def db2(): (MemoryLog, FlumeDb) = {
+    val log = new MemoryLog(spark, schema)
+    (log, new FlumeDb(log))
+  }
+  def append(db: FlumeDb, vs: (Long, String)*): Unit =
+    db.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(vs.map { case (a, b) => Row(a, b) }), schema))
+
+  test("IndexView: 1 value -> N keys via explode; point get (rebuild.js:27-48)") {
+    val (_, db) = db2()
+    db.use("idx", IndexView(array(col("tag"), concat(lit("f"), col("foo").cast("string")))))
+    append(db, (1L, "a"), (2L, "b"), (1L, "c"))
+    val hits = db.gated("idx")(_.asInstanceOf[IndexView].get("f1")).collect().map(_.getLong(1))
+    assert(hits.toSeq === Seq(0L, 2L))
+    val tagHit = db.gated("idx")(_.asInstanceOf[IndexView].get("b")).collect().map(_.getLong(1))
+    assert(tagHit.toSeq === Seq(1L))
+  }
+
+  test("IndexView maintains incrementally across appends") {
+    val (_, db) = db2()
+    db.use("idx", IndexView(array(col("tag"))))
+    append(db, (1L, "x"))
+    append(db, (2L, "x"))
+    val hits = db.gated("idx")(_.asInstanceOf[IndexView].get("x")).collect().map(_.getLong(1))
+    assert(hits.toSeq === Seq(0L, 1L))
+  }
+
+  test("HashtableView keeps the latest record per key") {
+    val (_, db) = db2()
+    db.use("ht", HashtableView("tag"))
+    append(db, (1L, "k1"), (2L, "k2"))
+    append(db, (3L, "k1"))
+    val r = db.gated("ht")(_.asInstanceOf[HashtableView].get("k1")).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("foo") === 3L)
+    val all = db.gated("ht")(_.asInstanceOf[HashtableView].frame.get).count()
+    assert(all === 2L)
+  }
+
+  test("SearchView: single term and AND-intersection") {
+    val log = new MemoryLog(spark, StructType(Seq(StructField("text", StringType))))
+    val db = new FlumeDb(log).use("s", SearchView("text"))
+    db.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("spark joins fast"), Row("spark streams"), Row("slow joins"))),
+      StructType(Seq(StructField("text", StringType)))))
+    val sv = db.view("s").view.asInstanceOf[SearchView]
+    db.awaitView("s")
+    assert(sv.search("spark").collect().map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    assert(sv.searchAll(Seq("spark", "joins")).collect().map(_.getLong(0)).toSeq === Seq(0L))
+  }
+
+  test("BloomView: no false negatives; merge across batches") {
+    val (_, db) = db2()
+    db.use("bloom", BloomView("tag", 1000L, 0.01))
+    append(db, (1L, "alpha"), (2L, "beta"))
+    append(db, (3L, "gamma"))
+    val bv = db.view("bloom").view.asInstanceOf[BloomView]
+    db.awaitView("bloom")
+    assert(bv.mightContain("alpha") && bv.mightContain("beta") && bv.mightContain("gamma"))
+  }
+
+  test("OrderedFoldView folds in strict seq order (non-commutative reducer)") {
+    val (_, db) = db2()
+    db.use("concat", OrderedFoldView[String]("")((acc, r) => acc + r.getAs[String]("tag")))
+    append(db, (1L, "a"), (2L, "b"))
+    append(db, (3L, "c"))
+    val v = db.gated("concat")(_.asInstanceOf[OrderedFoldView[String]].value)
+    assert(v === Some("abc"))
+  }
+
+  test("Query DSL compiles filter/project/sort/limit/agg") {
+    val (_, db) = db2()
+    append(db, (5L, "a"), (3L, "b"), (8L, "a"), (1L, "c"))
+    val top = Query().where(col("tag") === "a")
+      .select(col("seq"), col("foo"))
+      .orderBy(col("foo").desc).limit(1)
+      .run(db.mapped).collect()
+    assert(top.length === 1 && top(0).getAs[Long]("foo") === 8L)
+    val agg = Query().groupBy(col("tag")).agg(sum("foo").as("s"))
+      .orderBy(col("tag")).run(db.mapped).collect()
+    assert(agg.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("a", 13L), ("b", 3L), ("c", 1L)))
+  }
+
+  test("view version bump forces rebuild on mount (README.md:26-29)") {
+    // same view state object mounted under a def with a changed version:
+    // FlumeDb re-creates on use(), so state must start clean
+    val (_, db) = db2()
+    db.use("idx", IndexView(array(col("tag"))))
+    append(db, (1L, "x"))
+    assert(db.view("idx").viewDef.version === 1)
+  }
+}
