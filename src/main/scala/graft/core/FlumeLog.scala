@@ -78,6 +78,17 @@ trait FlumeLog {
   }
 
   def close(): Unit = ()
+
+  /** The log as an unbounded stream — flume's `stream({live: true})`
+    * (`/root/reference/README.md:133`): emits existing entries, then new
+    * appends as they land. Default: the seq-offset micro-batch source
+    * (record-granular offsets); [[ParquetLog]] overrides with the file
+    * streaming source for cluster deployments. */
+  def readStream: DataFrame = {
+    val id = graft.streaming.LogStreamRegistry.register(this)
+    spark.readStream.format("graft.streaming.LogStreamProvider")
+      .option("logId", id).load()
+  }
 }
 
 /** Read-only log view over an existing ordered table (e.g. the driver's

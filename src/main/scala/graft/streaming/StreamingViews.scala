@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.core.{FlumeLog, FlumeView}
+import graft.views.Stats
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Streaming-maintained views: the reference's per-view build loop
+  * (`/root/reference/index.js:24-80`) as a Structured Streaming query.
+  * Each micro-batch is the (viewSince, logSince] delta in seq order; the
+  * checkpoint is the view cursor, so restart resumes incrementally —
+  * exactly flume's `gt: view.since` replay contract. */
+final class StreamingViewRunner(
+    log: FlumeLog,
+    view: FlumeView,
+    mapper: Option[DataFrame => DataFrame] = None,
+    checkpointDir: Option[String] = None) {
+
+  private val seqCol = log.seqCol
+
+  val query: StreamingQuery = {
+    val src = mapper.fold(log.readStream)(f => f(log.readStream))
+    var w = src.writeStream
+      .trigger(Trigger.ProcessingTime(0))
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val upto = batch.agg(max(col(seqCol))).head().getLong(0)
+          view.absorb(batch, upto)
+        }
+      }
+    checkpointDir.foreach(d => w = w.option("checkpointLocation", d))
+    w.start()
+  }
+
+  /** Block until the view has absorbed everything appended so far — the
+    * streaming analog of the read gate (`/root/reference/wrap.js:29-61`). */
+  def awaitParity(): Unit = query.processAllAvailable()
+
+  def stop(): Unit = query.stop()
+}
+
+/** Event-time analytics over the live log — the windowed-aggregation
+  * family flume cannot express (SURVEY §2.4: no watermarks/event-time in
+  * the reference; total seq order makes lateness impossible there). All
+  * state is Spark-managed (HDFSBackedStateStore / RocksDB at scale). */
+object StreamingViews {
+
+  /** Tumbling event-time counts with a watermark: late rows beyond
+    * `watermark` are dropped, windows close and emit once (append mode). */
+  def tumblingCounts(
+      stream: DataFrame,
+      tsCol: String,
+      window_ : String = "1 hour",
+      watermark: String = "30 minutes",
+      aggCol: String = "value"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_).as("w"))
+      .agg(count(lit(1)).as("cnt"), sum(col(aggCol)).as("sum_v"))
+      .select(col("w.start").as("window_start"), col("cnt"), col("sum_v"))
+
+  /** Per-key session windows (gap-based) on the stream. */
+  def sessionCounts(
+      stream: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gap: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(keyCol), col("w.start").as("session_start"), col("cnt"))
+
+  /** Custom incremental state via mapGroupsWithState: running
+    * count/mean/M2 per key, merged with Welford — the streaming analog of
+    * the reduce view, keyed. Demonstrates arbitrary user state where
+    * built-in aggs don't fit (`KeyValueGroupedDataset.mapGroupsWithState`). */
+  def runningStatsPerKey(
+      stream: DataFrame,
+      keyCol: String,
+      valueCol: String): Dataset[(Long, Stats)] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col(keyCol).cast("long"), col(valueCol).cast("double")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Stats, (Long, Stats)](GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[Stats]) =>
+          val batch = rows.map(_._2).foldLeft(Stats(0, 0.0, 0.0)) { (s, v) =>
+            val n = s.n + 1
+            val d = v - s.mean
+            val mean = s.mean + d / n
+            Stats(n, mean, s.m2 + d * (v - mean))
+          }
+          val merged = state.getOption.fold(batch)(_.merge(batch))
+          state.update(merged)
+          (key, merged)
+      }
+  }
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core._
+import graft.views.{MergeableReduceView, Stats, StatsReduceView}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+
+/** Streaming behavior: live tail via the seq-offset custom source
+  * (mirrors the reference's `{live: true}` append-after-start visibility),
+  * streaming view maintenance, and watermarked event-time windows. */
+class StreamingSpec extends SparkSpec {
+
+  val schema: StructType = StructType(Seq(StructField("foo", LongType)))
+
+  test("custom source: live tail sees existing entries then new appends") {
+    val log = new MemoryLog(spark, schema)
+    log.appendRows(Seq(Row(10L), Row(20L)))
+    val q = log.readStream.writeStream
+      .format("memory").queryName("tail_test").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT seq FROM tail_test ORDER BY seq").collect().map(_.getLong(0)).toSeq
+        === Seq(0L, 1L))
+      log.appendRows(Seq(Row(30L), Row(40L))) // append AFTER the stream started
+      q.processAllAvailable()
+      assert(spark.sql("SELECT seq, foo FROM tail_test ORDER BY seq").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        === Seq((0L, 10L), (1L, 20L), (2L, 30L), (3L, 40L)))
+    } finally q.stop()
+  }
+
+  test("custom source offsets are seq-granular (one batch per delta)") {
+    val log = new MemoryLog(spark, schema)
+    log.appendRows(Seq(Row(1L)))
+    val stream = new LogMicroBatchStream(
+      LogStreamRegistry.register(log), log.read.schema)
+    assert(stream.initialOffset() === SeqOffset(-1L))
+    assert(stream.latestOffset() === SeqOffset(0L))
+    log.appendRows(Seq(Row(2L), Row(3L)))
+    assert(stream.latestOffset() === SeqOffset(2L))
+    val parts = stream.planInputPartitions(SeqOffset(0L), SeqOffset(2L))
+    assert(parts.map(_.asInstanceOf[LogInputPartition].rows.length).sum === 2)
+    assert(stream.deserializeOffset("7") === SeqOffset(7L))
+  }
+
+  test("streaming view maintenance reaches parity incrementally") {
+    val log = new MemoryLog(spark, schema)
+    log.appendRows(Seq(Row(1L)))
+    val view = StatsReduceView("foo").create(null, "stats").asInstanceOf[MergeableReduceView[Stats]]
+    val runner = new StreamingViewRunner(log, view)
+    try {
+      runner.awaitParity()
+      assert(view.since === 0L)
+      assert(view.value.get.mean === 1.0)
+      log.appendRows(Seq(Row(3L)))
+      runner.awaitParity()
+      assert(view.since === 1L)
+      val st = view.value.get
+      assert(st.n === 2 && st.mean === 2.0 && math.abs(st.stdevPop - 1.0) < 1e-12)
+    } finally runner.stop()
+  }
+
+  test("watermarked tumbling window drops late data, emits closed windows") {
+    val tsSchema = StructType(Seq(StructField("ts", TimestampType), StructField("value", DoubleType)))
+    val log = new MemoryLog(spark, tsSchema)
+    def ts(min: Int): java.sql.Timestamp = new java.sql.Timestamp(min * 60000L)
+    log.appendRows(Seq(Row(ts(1), 1.0), Row(ts(2), 2.0)))
+    val agg = StreamingViews.tumblingCounts(log.readStream, "ts", "10 minutes", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("tumbling_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // watermark is still at 0; nothing closed yet
+      log.appendRows(Seq(Row(ts(30), 3.0))) // advances watermark to min 25 => closes [0,10)
+      q.processAllAvailable()
+      log.appendRows(Seq(Row(ts(3), 99.0))) // late beyond watermark: dropped
+      log.appendRows(Seq(Row(ts(50), 4.0))) // advances watermark further
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT window_start, cnt, sum_v FROM tumbling_test ORDER BY window_start")
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(1), r.getDouble(2)))
+      assert(rows.contains((0L, 2L, 3.0)), s"first window should have the 2 on-time rows only, got ${rows.toSeq}")
+      assert(!rows.exists(_._3 == 99.0), "late row must be dropped by the watermark")
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState: running per-key stats across batches") {
+    val kvSchema = StructType(Seq(StructField("k", LongType), StructField("v", DoubleType)))
+    val log = new MemoryLog(spark, kvSchema)
+    log.appendRows(Seq(Row(1L, 1.0), Row(1L, 3.0), Row(2L, 10.0)))
+    val stats = StreamingViews.runningStatsPerKey(log.readStream.select("k", "v"), "k", "v")
+    val q = stats.toDF("key", "stats").writeStream
+      .format("memory").queryName("mgws_test").outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      log.appendRows(Seq(Row(2L, 20.0)))
+      q.processAllAvailable()
+      val latest = spark.sql("SELECT key, stats.n, stats.mean FROM mgws_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+      assert(latest(1L) === (1L, 2L, 2.0))   // mean of 1,3
+      assert(latest(2L) === (2L, 2L, 15.0))  // mean of 10,20 across two batches
+    } finally q.stop()
+  }
+}
