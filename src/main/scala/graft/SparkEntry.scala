@@ -227,6 +227,87 @@ object SparkEntry {
         .select(col("user_id"), unix_millis(col("w.start")).as("start_ms"), col("cnt"))
         .orderBy("user_id", "start_ms")),
 
+    // ---- relational breadth: §2.4 categories the reference lacks ----
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("cnt"))
+        .orderBy("rf", "ls")),
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "events")
+        .cube(col("event_type"), pmod(col("user_id"), lit(10)).as("ub"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_v"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("et"),
+          coalesce(col("ub"), lit(-1L)).as("ub"), col("cnt"), col("sum_v"))
+        .orderBy("et", "ub")),
+    "q_semi_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+    "q_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+    "q_union" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.where(col("event_type") === "click").select("user_id")
+        .union(ev.where(col("event_type") === "error").select("user_id"))
+        .distinct().orderBy("user_id")
+    }),
+    "q_intersect" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.where(col("event_type") === "click").select("user_id")
+        .intersect(ev.where(col("event_type") === "purchase").select("user_id"))
+        .orderBy("user_id")
+    }),
+    "q_except" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.where(col("event_type") === "click").select("user_id")
+        .except(ev.where(col("event_type") === "purchase").select("user_id"))
+        .orderBy("user_id")
+    }),
+    "q_distinct" -> ((s, dir) =>
+      t(s, dir, "events").select("event_type").distinct().orderBy("event_type")),
+    "q_scalar_funcs" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id").as("seq"),
+        substring(col("event_type"), 1, 3).as("et3"),
+        upper(col("event_type")).as("etu"),
+        concat(col("event_type"), lit("-"), col("user_id").cast("string")).as("etkey"),
+        get_json_object(col("props"), "$.k").as("props_k"),
+        round(abs(col("value") - 50), 4).as("vabs"),
+        floor(col("value")).cast("bigint").as("vfloor"),
+        ceil(col("value")).cast("bigint").as("vceil"),
+        pmod(col("user_id"), lit(7)).as("umod"),
+        year(tsCol).cast("bigint").as("y"),
+        month(tsCol).cast("bigint").as("m"),
+        dayofmonth(tsCol).cast("bigint").as("d"))
+        .orderBy("seq")),
+    "q_window_running" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("event_id")
+      t(s, dir, "events").select(
+        col("user_id"), col("event_id").as("seq"),
+        round(sum("value").over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)), 4).as("running"),
+        round(coalesce(col("value") - lag("value", 1).over(w), lit(0.0)), 4).as("diff"))
+        .orderBy("user_id", "seq")
+    }),
+    "q_asof_join" -> ((s, dir) => {
+      // as-of (attribution) join: each purchase matched to the latest
+      // prior click of the same user — windowed running max, no self-join
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      t(s, dir, "events")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id").as("seq"), col("event_type"),
+          coalesce(max(when(col("event_type") === "click", col("event_id"))).over(w), lit(-1L)).as("last_click_seq"))
+        .where(col("event_type") === "purchase")
+        .select("user_id", "seq", "last_click_seq")
+        .orderBy("seq")
+    }),
+
     // ---- north-star: dedup / similarity / text / multimodal (SURVEY §2.5) ----
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"))
@@ -332,6 +413,28 @@ object SparkEntry {
       "SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, count(*) AS cnt, round(sum(value), 4) AS sum_v FROM events GROUP BY hour_ms ORDER BY hour_ms",
     "q_session_window" ->
       "WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events), s AS (SELECT user_id, ms, CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) >= 600000 THEN 1 ELSE 0 END AS new_s FROM e), g AS (SELECT user_id, ms, sum(new_s) OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid FROM s) SELECT user_id, min(ms) AS start_ms, count(*) AS cnt FROM g GROUP BY user_id, sid ORDER BY user_id, start_ms",
+    "q_rollup" ->
+      "SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls",
+    "q_cube" ->
+      "SELECT coalesce(event_type, 'ALL') AS et, coalesce(user_id % 10, -1) AS ub, count(*) AS cnt, round(sum(value), 4) AS sum_v FROM events GROUP BY CUBE(event_type, user_id % 10) ORDER BY et, ub",
+    "q_semi_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY c_custkey",
+    "q_anti_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+    "q_union" ->
+      "SELECT user_id FROM events WHERE event_type = 'click' UNION SELECT user_id FROM events WHERE event_type = 'error' ORDER BY user_id",
+    "q_intersect" ->
+      "SELECT user_id FROM events WHERE event_type = 'click' INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase' ORDER BY user_id",
+    "q_except" ->
+      "SELECT user_id FROM events WHERE event_type = 'click' EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase' ORDER BY user_id",
+    "q_distinct" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "q_scalar_funcs" ->
+      "SELECT event_id AS seq, substring(event_type, 1, 3) AS et3, upper(event_type) AS etu, event_type || '-' || CAST(user_id AS VARCHAR) AS etkey, json_extract_string(props, '$.k') AS props_k, round(abs(value - 50), 4) AS vabs, CAST(floor(value) AS BIGINT) AS vfloor, CAST(ceil(value) AS BIGINT) AS vceil, user_id % 7 AS umod, CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m, CAST(day(ts) AS BIGINT) AS d FROM events ORDER BY seq",
+    "q_window_running" ->
+      "SELECT user_id, event_id AS seq, round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running, round(coalesce(value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id), 0.0), 4) AS diff FROM events ORDER BY user_id, seq",
+    "q_asof_join" ->
+      "SELECT user_id, seq, last_click_seq FROM (SELECT user_id, event_id AS seq, event_type, coalesce(max(CASE WHEN event_type = 'click' THEN event_id END) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS last_click_seq FROM events WHERE event_type IN ('click', 'purchase')) WHERE event_type = 'purchase' ORDER BY seq",
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS copies FROM documents GROUP BY text ORDER BY keep_id",
     "q_knn_cosine" ->

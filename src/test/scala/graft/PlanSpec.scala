@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan assertions: these encode the scale contract — a plan
+  * that stops pushing filters to parquet, broadcasting small dims, or
+  * planning top-k as TakeOrderedAndProject would silently regress 100 TB
+  * behavior even though results stay correct. */
+class PlanSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String): DataFrame = SparkEntry.queries(name)(spark, dir)
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+  private def planString(df: DataFrame): String = {
+    val p = executed(df)
+    p.toString + "\n" + df.queryExecution.toString
+  }
+
+  test("range scan pushes seq predicates to the parquet reader") {
+    val s = planString(run("q_range_scan"))
+    assert(s.contains("PushedFilters") && s.contains("GreaterThan(event_id,100"),
+      s"expected pushed seq filters, got:\n${s.take(2000)}")
+  }
+
+  test("point get pushes an equality filter (row-group skipping)") {
+    val s = planString(run("q_get_point"))
+    assert(s.contains("EqualTo(event_id,500"), s"expected pushed point filter:\n${s.take(2000)}")
+  }
+
+  test("projection flags prune the parquet read schema") {
+    val s = planString(run("q_project_seqs"))
+    assert(s.contains("ReadSchema: struct<event_id:bigint>"),
+      s"seqs-only scan must read only event_id:\n${s.take(2000)}")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a full sort") {
+    val s = planString(run("q_topk"))
+    assert(s.contains("TakeOrderedAndProject"), s"expected top-k operator:\n${s.take(2000)}")
+  }
+
+  test("small-dim joins broadcast (no shuffle of the fact side)") {
+    val s = planString(run("q_join_agg"))
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast join:\n${s.take(2000)}")
+  }
+
+  test("group-agg does map-side partial aggregation") {
+    val s = executed(run("q_group_agg")).toString
+    val hashAggs = s.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate pair:\n${s.take(2000)}")
+  }
+
+  test("whole-stage codegen covers the scan+filter+project hot path") {
+    val s = executed(run("q_query_filter_project")).toString
+    // '*(n)' prefixes mark WholeStageCodegen stages in the plan string
+    assert(s.contains("*(1)"), s"expected codegen spans:\n${s.take(2000)}")
+  }
+
+  test("knn top-k does not shuffle the corpus (TakeOrderedAndProject over scan)") {
+    val df = graft.ops.Similarity.knnForVector(
+      spark.read.parquet(s"$dir/embeddings.parquet"),
+      Seq.fill(64)(0.1f), 5)
+    val s = executed(df).toString
+    assert(s.contains("TakeOrderedAndProject"), s"knn must be top-k, not sort-all:\n${s.take(2000)}")
+    assert(!s.contains("Exchange hashpartitioning"), s"knn must not shuffle the corpus:\n${s.take(2000)}")
+  }
+}
