@@ -132,7 +132,7 @@ final class FlumeDb(
     throwIfClosed()
     lock.lock()
     try {
-      if (views.containsKey(name) || name == "log" || name == "since")
+      if (views.containsKey(name) || name == "log" || name == "since" || log.methods.contains(name))
         throw new IllegalArgumentException(s"flumedb.use: view named '$name' already exists")
       val m = new Mounted(name, viewDef, viewDef.create(this, name))
       views.put(name, m)
@@ -218,6 +218,18 @@ final class FlumeDb(
     count(s"$name.read")
     awaitView(name, target)
     f(view(name).view)
+  }
+
+  /** One-shot parity wait for a view — `flumedb[name].ready(cb)`
+    * (`/root/reference/README.md:254-257`). */
+  def ready(name: String): Unit = awaitView(name)
+
+  /** Invoke a log-exported extra method by name
+    * (`/root/reference/index.js:270-283`). */
+  def call(method: String, args: Any*): Any = {
+    throwIfClosed(); count(method)
+    log.methods.getOrElse(method,
+      throw new NoSuchElementException(s"log exports no method '$method'"))(args)
   }
 
   /** Destroy every view and replay the whole log into each

@@ -79,6 +79,10 @@ trait FlumeLog {
 
   def close(): Unit = ()
 
+  /** Extra methods a log implementation exports, surfaced on the db —
+    * the log-method passthrough (`/root/reference/index.js:270-283`). */
+  def methods: Map[String, Seq[Any] => Any] = Map.empty
+
   /** The log as an unbounded stream — flume's `stream({live: true})`
     * (`/root/reference/README.md:133`): emits existing entries, then new
     * appends as they land. Default: the seq-offset micro-batch source
@@ -178,7 +182,7 @@ final class ParquetLog(
 /** In-memory log, the analog of flumelog-memory
   * (`/root/reference/README.md:86`) — for tests and small interactive use.
   * Thread-safe single-writer appends; reads snapshot the buffer. */
-final class MemoryLog(
+class MemoryLog(
     override val spark: SparkSession,
     payloadSchema: StructType) extends FlumeLog {
 

@@ -1,0 +1,71 @@
+package graft.core
+
+import graft.SparkSpec
+import graft.views.{MergeableReduceView, StatsReduceView, Stats}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property-based invariants the reference only samples (SURVEY §5):
+  * monotone contiguous since, batch-append ≡ single appends, rebuild
+  * idempotence, reduce-view/oracle agreement on arbitrary inputs. */
+object LogProperties extends Properties("FlumeLog") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8).withMaxDiscardRatio(10)
+
+  private lazy val spark = SparkSpec.session
+  private val schema = StructType(Seq(StructField("foo", LongType)))
+  private def rows(vs: Seq[Long]) = vs.map(v => Row(v))
+  private val values: Gen[List[Long]] = Gen.resize(20, Gen.listOf(Gen.chooseNum(-1000L, 1000L)))
+
+  property("since is monotone and contiguous across appends") = forAll(values, values) { (a, b) =>
+    val log = new MemoryLog(spark, schema)
+    val s0 = log.since
+    log.appendRows(rows(a))
+    val s1 = log.since
+    log.appendRows(rows(b))
+    val s2 = log.since
+    s0 == -1L && s1 == a.size.toLong - 1 && s2 == a.size.toLong + b.size - 1 && s1 <= s2
+  }
+
+  property("batch append ≡ one-by-one appends") = forAll(values) { vs =>
+    val batched = new MemoryLog(spark, schema)
+    batched.appendRows(rows(vs))
+    val single = new MemoryLog(spark, schema)
+    vs.foreach(v => single.appendRows(Seq(Row(v))))
+    val a = batched.read.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = single.read.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    a == b
+  }
+
+  property("rebuild is idempotent for reduce views") = forAll(Gen.resize(12, Gen.nonEmptyListOf(Gen.chooseNum(-100L, 100L)))) { vs =>
+    val db = new FlumeDb(new MemoryLog(spark, schema))
+    db.use("stats", StatsReduceView("foo"))
+    db.append(spark.createDataFrame(spark.sparkContext.parallelize(rows(vs)), schema))
+    def value: Stats = db.gated("stats")(_.asInstanceOf[MergeableReduceView[Stats]].value.get)
+    val before = value
+    db.rebuild()
+    val after = value
+    before.n == after.n &&
+      math.abs(before.mean - after.mean) < 1e-9 &&
+      math.abs(before.stdevSamp - after.stdevSamp) < 1e-9
+  }
+
+  property("incremental stats across appends match a one-shot fold") = forAll(
+    Gen.resize(10, Gen.nonEmptyListOf(Gen.chooseNum(-50L, 50L))),
+    Gen.resize(10, Gen.nonEmptyListOf(Gen.chooseNum(-50L, 50L)))) { (a, b) =>
+    val db = new FlumeDb(new MemoryLog(spark, schema))
+    db.use("stats", StatsReduceView("foo"))
+    db.append(spark.createDataFrame(spark.sparkContext.parallelize(rows(a)), schema))
+    db.append(spark.createDataFrame(spark.sparkContext.parallelize(rows(b)), schema))
+    val st = db.gated("stats")(_.asInstanceOf[MergeableReduceView[Stats]].value.get)
+    val all = a ++ b
+    val mean = all.sum.toDouble / all.size
+    val m2 = all.map(v => (v - mean) * (v - mean)).sum
+    st.n == all.size.toLong &&
+      math.abs(st.mean - mean) < 1e-9 &&
+      math.abs(st.m2 - m2) < 1e-6
+  }
+}

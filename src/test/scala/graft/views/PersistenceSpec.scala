@@ -1,0 +1,84 @@
+package graft.views
+
+import graft.SparkSpec
+import graft.core._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+/** Durable view lifecycle: incremental resume from the manifest cursor,
+  * version-bump rebuild, orphan-batch crash safety, log method
+  * passthrough. */
+class PersistenceSpec extends SparkSpec {
+
+  val schema: StructType = StructType(Seq(StructField("tag", StringType)))
+
+  test("persistent view resumes from manifest; version bump rebuilds") {
+    val logDir = Files.createTempDirectory("graft-plog").toString
+    val viewDir = Files.createTempDirectory("graft-pview").toString
+
+    // session 1: build some state
+    val log1 = new ParquetLog(spark, logDir, schema)
+    val db1 = new FlumeDb(log1)
+    db1.use("idx", PersistentIndexView(viewDir, array(col("tag")), version = 1))
+    db1.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("a"), Row("b"))), schema))
+    val v1 = db1.view("idx").view.asInstanceOf[PersistentIndexView]
+    assert(v1.since === 1L)
+    assert(v1.get("a").collect().map(_.getLong(1)).toSeq === Seq(0L))
+    db1.close()
+
+    // session 2, same version: cursor recovered, no replay needed
+    val log2 = new ParquetLog(spark, logDir, schema)
+    val db2 = new FlumeDb(log2)
+    db2.use("idx", PersistentIndexView(viewDir, array(col("tag")), version = 1))
+    val v2 = db2.view("idx").view.asInstanceOf[PersistentIndexView]
+    assert(v2.since === 1L, "view cursor must be recovered from the manifest")
+    assert(v2.get("b").collect().map(_.getLong(1)).toSeq === Seq(1L))
+    db2.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row("a"))), schema))
+    assert(v2.since === 2L)
+    assert(v2.get("a").collect().map(_.getLong(1)).toSeq === Seq(0L, 2L))
+    db2.close()
+
+    // session 3, bumped version: state wiped and rebuilt from the log
+    val log3 = new ParquetLog(spark, logDir, schema)
+    val db3 = new FlumeDb(log3)
+    db3.use("idx", PersistentIndexView(viewDir, array(upper(col("tag"))), version = 2))
+    val v3 = db3.view("idx").view.asInstanceOf[PersistentIndexView]
+    assert(v3.since === 2L, "rebuild must replay to log parity")
+    assert(v3.get("A").collect().map(_.getLong(1)).toSeq === Seq(0L, 2L),
+      "rebuilt state must use the NEW (v2) mapping")
+    assert(v3.get("a").collect().isEmpty)
+    db3.close()
+  }
+
+  test("orphaned uncommitted batch directories are ignored by readers") {
+    val viewDir = Files.createTempDirectory("graft-orphan").toString
+    val log = new MemoryLog(spark, schema)
+    val db = new FlumeDb(log)
+    db.use("idx", PersistentIndexView(viewDir, array(col("tag"))))
+    db.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row("x"))), schema))
+    val v = db.view("idx").view.asInstanceOf[PersistentIndexView]
+    // simulate a crash: a batch directory beyond the committed cursor
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row("phantom", 99L))),
+      StructType(Seq(StructField("key", StringType), StructField("seq", LongType))))
+      .write.parquet(s"$viewDir/idx/batch=99")
+    assert(v.frame.count() === 1L, "uncommitted delta must be invisible")
+    assert(v.get("phantom").collect().isEmpty)
+  }
+
+  test("log method passthrough with collision protection (index.js:270-283)") {
+    val log = new MemoryLog(spark, schema) {
+      override def methods: Map[String, Seq[Any] => Any] =
+        Map("blockSize" -> (_ => 1024), "echo" -> (args => args.mkString(",")))
+    }
+    val db = new FlumeDb(log)
+    assert(db.call("blockSize") === 1024)
+    assert(db.call("echo", "a", "b") === "a,b")
+    intercept[NoSuchElementException] { db.call("nope") }
+    intercept[IllegalArgumentException] { db.use("echo", StatsReduceView("x")) }
+    assert(db.meta("blockSize").get() === 1L)
+  }
+}
