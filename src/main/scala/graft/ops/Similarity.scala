@@ -25,8 +25,16 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
-  def cosine(a: Column, b: Column): Column =
+  /** Cosine via composable built-ins (reference formulation; kept for
+    * comparison tests — [[cosine]] routes to the native expression). */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Native codegen'd cosine ([[graft.functions.CosineSimilarity]]):
+    * primitive float loop inside whole-stage codegen, same accumulation
+    * order as the HOF form (bit-identical results). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosine_native(a, b)
 
   /** Exact cosine top-k for a single query vector (as a literal array).
     * The plan is scan → narrow cosine → TakeOrderedAndProject: no shuffle

@@ -80,6 +80,25 @@ class OpsSpec extends SparkSpec {
     assert(found === 500, s"expected all 500 planted cosine-1 pairs, got $found")
   }
 
+  test("native cosine expression is bit-identical to the HOF formulation") {
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va")).limit(30)
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb")).limit(30)
+    val both = a.crossJoin(b).select(
+      Similarity.cosine(col("va"), col("vb")).as("native"),
+      Similarity.cosineHof(col("va"), col("vb")).as("hof")).collect()
+    assert(both.length === 900)
+    both.foreach(r => assert(r.getDouble(0) === r.getDouble(1),
+      s"native=${r.getDouble(0)} hof=${r.getDouble(1)}"))
+  }
+
+  test("native cosine works through SQL registration and codegen") {
+    graft.functions.GraftFunctions.register(spark)
+    emb.createOrReplaceTempView("emb_cos_test")
+    val r = spark.sql(
+      "SELECT cosine_similarity(a.embedding, a.embedding) AS c FROM emb_cos_test a LIMIT 5").collect()
+    r.foreach(row => assert(math.abs(row.getDouble(0) - 1.0) < 1e-9))
+  }
+
   test("text stats are sane and deterministic") {
     val r = TextAnalysis.textStats(docs).collect()
     assert(r.length === docs.count())
