@@ -72,20 +72,33 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
-  /** Random-hyperplane LSH signature: bit i = sign(v · h_i), planes drawn
-    * deterministically from a hash of (plane, dim) — reproducible with no
-    * stored model. Returns an integer bucket key. */
-  def hyperplaneSignature(vec: Column, nBits: Int = 16): Column = {
-    val bits = (0 until nBits).map { p =>
-      // plane component for dim j: hash(p, j) mapped to [-1, 1)
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, j) => x.cast("double") *
-            ((pmod(xxhash64(lit(p), j), lit(1000000L)).cast("double") / lit(500000.0)) - lit(1.0))),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+  /** Random-hyperplane LSH signature: bit p = sign(v · h_p), planes drawn
+    * deterministically from a mix of (plane, dim) — reproducible with no
+    * stored model, and scale-invariant (so a scaled copy of a vector
+    * lands in the same bucket). Single JVM pass per vector: nBits × dim
+    * fused multiply-adds, versus nBits interpreted higher-order-function
+    * array traversals in the column-algebra formulation. */
+  def hyperplaneSignature(vec: Column, nBits: Int = 16): Column =
+    hyperplaneSigUdf(nBits)(vec.cast("array<float>")).as("sig")
+
+  private def hyperplaneSigUdf(nBits: Int) = udf { v: Seq[Float] =>
+    var sig = 0L
+    var p = 0
+    while (p < nBits) {
+      var acc = 0.0
+      var j = 0
+      val n = v.length
+      while (j < n) {
+        var h = (p.toLong * 0x9E3779B97F4A7C15L) ^ (j.toLong * 0xC2B2AE3D27D4EB4FL)
+        h = (h ^ (h >>> 31)) * 0x7FB5D329728EA185L
+        h ^= h >>> 27
+        acc += v(j) * ((java.lang.Math.floorMod(h, 1000000L).toDouble / 500000.0) - 1.0)
+        j += 1
+      }
+      if (acc >= 0) sig |= (1L << p)
+      p += 1
     }
-    bits.reduce(_.bitwiseOR(_)).as("sig")
+    sig
   }
 
   /** ANN via LSH filter-then-refine: compute signatures once for the

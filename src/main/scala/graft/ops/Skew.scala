@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-safe aggregation: two-stage salted group-by.
+  *
+  * A hot key (one user producing 10% of a 100 TB log) turns a plain
+  * `groupBy(key)` into a single straggler task. Salting spreads each key
+  * over `salts` partial groups — stage 1 aggregates `(key, salt)` with
+  * map-side combine, stage 2 merges the ≤`salts` partials per key. Works
+  * for any algebraic aggregate given its (partial, merge) column pair.
+  * AQE's skew-join splitting covers joins; this covers aggregation,
+  * which AQE does not rebalance.
+  */
+object Skew {
+
+  /** Salted count + sum of `valueCol` per `key` — the common shape.
+    * Result columns: key, cnt, sum_v. */
+  def saltedSumCount(df: DataFrame, key: Column, valueCol: Column, salts: Int = 16): DataFrame = {
+    val salted = df.groupBy(key.as("key"), pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).as("__salt"))
+      .agg(count(lit(1)).as("__cnt"), sum(valueCol).as("__sum"))
+    salted.groupBy("key")
+      .agg(sum("__cnt").as("cnt"), sum("__sum").as("sum_v"))
+  }
+
+  /** General two-stage form: `partials` aggregate within (key, salt);
+    * `merges` combine partials per key. The caller guarantees each merge
+    * column re-aggregates its partial (sum→sum, count→sum, min→min...). */
+  def salted(df: DataFrame, key: Column, partials: Seq[Column], merges: Seq[Column], salts: Int = 16): DataFrame = {
+    val stage1 = df
+      .groupBy(key.as("key"), pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).as("__salt"))
+      .agg(partials.head, partials.tail: _*)
+    stage1.groupBy("key").agg(merges.head, merges.tail: _*)
+  }
+}

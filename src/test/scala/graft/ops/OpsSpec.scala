@@ -99,6 +99,19 @@ class OpsSpec extends SparkSpec {
     r.foreach(row => assert(math.abs(row.getDouble(0) - 1.0) < 1e-9))
   }
 
+  test("salted aggregation matches plain groupBy (skew-safe path)") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val plain = ev.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"), sum("value").as("sum_v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val salted = Skew.saltedSumCount(ev, col("event_type"), col("value"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted.keySet === plain.keySet)
+    salted.foreach { case (k, (c, s)) =>
+      assert(c === plain(k)._1)
+      assert(math.abs(s - plain(k)._2) < 1e-6 * math.max(1.0, math.abs(plain(k)._2)))
+    }
+  }
+
   test("text stats are sane and deterministic") {
     val r = TextAnalysis.textStats(docs).collect()
     assert(r.length === docs.count())
