@@ -243,6 +243,18 @@ object SparkEntry {
         .select(coalesce(col("event_type"), lit("ALL")).as("et"),
           coalesce(col("ub"), lit(-1L)).as("ub"), col("cnt"), col("sum_v"))
         .orderBy("et", "ub")),
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("gs_events")
+      s.sql("""SELECT coalesce(event_type, 'ALL') AS et, coalesce(ub, -1) AS ub,
+               count(*) AS cnt, round(sum(value), 4) AS sum_v
+               FROM (SELECT event_type, user_id % 10 AS ub, value FROM gs_events)
+               GROUP BY GROUPING SETS ((event_type), (ub))
+               ORDER BY et, ub""")
+    }),
+    "q_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfSearch(t(s, dir, "embeddings"), queryVec(s, dir, 0L), 10,
+          nCentroids = 16, nProbe = 4, excludeId = Some(0L))
+        .orderBy(col("cos").desc, col("vec_id"))),
     "q_semi_join" -> ((s, dir) =>
       t(s, dir, "customer")
         .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
@@ -417,6 +429,8 @@ object SparkEntry {
       "SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls",
     "q_cube" ->
       "SELECT coalesce(event_type, 'ALL') AS et, coalesce(user_id % 10, -1) AS ub, count(*) AS cnt, round(sum(value), 4) AS sum_v FROM events GROUP BY CUBE(event_type, user_id % 10) ORDER BY et, ub",
+    "q_grouping_sets" ->
+      "SELECT coalesce(event_type, 'ALL') AS et, coalesce(ub, -1) AS ub, count(*) AS cnt, round(sum(value), 4) AS sum_v FROM (SELECT event_type, user_id % 10 AS ub, value FROM events) GROUP BY GROUPING SETS ((event_type), (ub)) ORDER BY et, ub",
     "q_semi_join" ->
       "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY c_custkey",
     "q_anti_join" ->

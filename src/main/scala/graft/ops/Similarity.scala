@@ -101,6 +101,50 @@ object Similarity {
     sig
   }
 
+  /** IVF (inverted-file) ANN — the other scale path. A coarse quantizer
+    * of `nCentroids` seed vectors partitions the corpus by nearest
+    * centroid; a query probes only the `nProbe` closest cells, so the
+    * exact-cosine refine touches `~nProbe/nCentroids` of the data. At
+    * cluster scale the cell id is a partition/bucket column and probing
+    * is partition pruning; here it is a pushed-down `isin` filter. */
+  def ivfSearch(
+      corpus: DataFrame,
+      queryVec: Seq[Float],
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      excludeId: Option[Long] = None): DataFrame = {
+    // deterministic coarse quantizer: the first nCentroids vectors by id
+    val cents = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Float]](1).toSeq))
+
+    def cellOf(vec: Column): Column =
+      array_max(array(cents.map { case (cid, cvec) =>
+        struct(cosine(vec, typedLit(cvec).cast("array<float>")).as("cos"), lit(cid).as("cid"))
+      }.toIndexedSeq: _*)).getField("cid")
+
+    val probeCells = cents
+      .map { case (cid, cvec) =>
+        val dot = cvec.zip(queryVec).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val n1 = math.sqrt(cvec.map(x => x.toDouble * x.toDouble).sum)
+        val n2 = math.sqrt(queryVec.map(x => x.toDouble * x.toDouble).sum)
+        (cid, dot / (n1 * n2))
+      }
+      .sortBy(-_._2).take(nProbe).map(_._1)
+
+    val q = typedLit(queryVec).cast("array<float>")
+    val base = excludeId.fold(corpus)(id => corpus.where(col(idCol) =!= id))
+    base
+      .withColumn("__cell", cellOf(col(vecCol)))
+      .where(col("__cell").isin(probeCells: _*))
+      .select(col(idCol), round(cosine(col(vecCol), q), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** ANN via LSH filter-then-refine: compute signatures once for the
     * corpus, compare by hamming distance to the query signature, and only
     * run exact cosine on candidates within `maxHamming`. The cheap

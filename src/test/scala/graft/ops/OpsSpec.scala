@@ -71,6 +71,19 @@ class OpsSpec extends SparkSpec {
     assert((exact & approx).size >= 5, s"ANN recall too low: ${(exact & approx).size}/10")
   }
 
+  test("ivf search prunes to probed cells and finds near neighbors") {
+    val q = emb.where(col("vec_id") === 5).head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val full = Similarity.ivfSearch(emb, q, 10, nCentroids = 16, nProbe = 16, excludeId = Some(5L))
+      .collect().map(_.getLong(0)).toSet
+    val exact = Similarity.knnForVector(emb, q, 10, excludeId = Some(5L))
+      .collect().map(_.getLong(0)).toSet
+    assert(full === exact, "probing ALL cells must equal exact knn")
+    val pruned = Similarity.ivfSearch(emb, q, 10, nCentroids = 16, nProbe = 4, excludeId = Some(5L))
+      .collect().map(_.getLong(0)).toSet
+    assert(pruned.nonEmpty)
+    assert((pruned & exact).nonEmpty, "probed cells should retain some true neighbors")
+  }
+
   test("embedding near-dup finds planted scaled copies (cosine-invariant LSH)") {
     val e = emb.select("vec_id", "embedding")
     val planted = e.unionByName(e.select((col("vec_id") + 10000).as("vec_id"),
