@@ -19,7 +19,7 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
     // raw long (nanos since epoch); all ts arithmetic goes through tsCol.
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
     s.read.parquet(s"$dir/$name.parquet")
   }
 
@@ -211,6 +211,18 @@ object SparkEntry {
         .withColumn("rnk", row_number().over(w).cast("bigint"))
         .where(col("rnk") <= 3)
         .select(col("user_id"), col("event_id").as("seq"), col("value"), col("rnk"))
+        .orderBy("user_id", "rnk")
+    }),
+    "q_topk_per_key" -> ((s, dir) => {
+      // grouped top-k via the bounded-heap aggregate: hash-agg with
+      // map-side combine instead of a rank window's per-key full sort
+      val topk = udaf(new graft.functions.TopKAggregator(3))
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(topk(col("value"), col("event_id")).as("top"))
+        .select(col("user_id"), posexplode(col("top")))
+        .select(col("user_id"), (col("pos") + 1).cast("bigint").as("rnk"),
+          col("col._2").as("seq"), col("col._1").as("value"))
         .orderBy("user_id", "rnk")
     }),
     "q_tumbling_count" -> ((s, dir) =>
@@ -421,6 +433,8 @@ object SparkEntry {
       "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
     "q_window_rank" ->
       "SELECT user_id, event_id AS seq, value, rnk FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk FROM events) WHERE rnk <= 3 ORDER BY user_id, rnk",
+    "q_topk_per_key" ->
+      "SELECT user_id, rnk, seq, value FROM (SELECT user_id, event_id AS seq, value, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk FROM events) WHERE rnk <= 3 ORDER BY user_id, rnk",
     "q_tumbling_count" ->
       "SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, count(*) AS cnt, round(sum(value), 4) AS sum_v FROM events GROUP BY hour_ms ORDER BY hour_ms",
     "q_session_window" ->

@@ -65,6 +65,12 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("*(1)"), s"expected codegen spans:\n${s.take(2000)}")
   }
 
+  test("grouped top-k aggregates with bounded heaps — no rank window sort") {
+    val s = executed(run("q_topk_per_key")).toString
+    assert(!s.contains("Window"), s"heap-agg top-k must not plan a Window:\n${s.take(2000)}")
+    assert(s.contains("Aggregate"), s"expected aggregate-based plan:\n${s.take(2000)}")
+  }
+
   test("knn top-k does not shuffle the corpus (TakeOrderedAndProject over scan)") {
     val df = graft.ops.Similarity.knnForVector(
       spark.read.parquet(s"$dir/embeddings.parquet"),
