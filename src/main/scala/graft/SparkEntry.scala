@@ -333,6 +333,18 @@ object SparkEntry {
     }),
 
     // ---- north-star: dedup / similarity / text / multimodal (SURVEY §2.5) ----
+    "q_pipeline_curate" -> ((s, dir) => {
+      import s.implicits._
+      // full curation pipeline over a corpus with planted dups: quality
+      // floor -> exact dedup -> minhash near-dedup (exact-verified)
+      val kept = graft.ops.Curate.curate(docsWithNearDups(s, dir),
+        minQuality = 0.2, nearThreshold = 0.6, verifyExact = true)
+      kept.agg(
+        count(lit(1)).as("n_kept"),
+        min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"),
+        sum(when(col("doc_id") >= 10000, 1L).otherwise(0L)).as("perturbed_kept"))
+    }),
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"))
         .select("keep_id", "copies").orderBy("keep_id")),

@@ -132,7 +132,8 @@ object Dedup {
       perms: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5,
-      maxBucket: Int = 64): DataFrame = {
+      maxBucket: Int = 64,
+      verifyExact: Boolean = false): DataFrame = {
     val rows = perms / bands
     // Materialization barriers matter here: without them Catalyst's
     // projection collapse inlines the shingle pipeline into all `perms`
@@ -166,14 +167,27 @@ object Dedup {
     val cand = l.join(r, Seq("band", "bandhash")).where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    cand
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .withColumn("est_jaccard",
-        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
-          .cast("double") / lit(perms.toDouble), 4))
-      .where(col("est_jaccard") >= threshold)
-      .select("id_a", "id_b", "est_jaccard")
+    if (verifyExact) {
+      // exact Jaccard on the true shingle sets of candidates only — the
+      // LSH narrows, the verify is authoritative (no estimator variance)
+      cand
+        .join(hashed.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+        .join(hashed.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+        .withColumn("est_jaccard",
+          round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+            size(array_union(col("hs_a"), col("hs_b"))).cast("double"), 4))
+        .where(col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    } else {
+      cand
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .withColumn("est_jaccard",
+          round(size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
+            .cast("double") / lit(perms.toDouble), 4))
+        .where(col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    }
   }
 
   /** 64-bit SimHash of the token stream: sign of the per-bit weighted sum

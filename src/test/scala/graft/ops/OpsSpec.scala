@@ -125,6 +125,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("curation pipeline drops planted near-dups, keeps originals") {
+    val kept = Curate.curate(docsND, minQuality = 0.0, nearThreshold = 0.6, verifyExact = true)
+      .collect().map(_.getLong(0)).toSet
+    val originals = kept.count(_ < 10000)
+    val perturbed = kept.count(_ >= 10000)
+    assert(originals >= 450, s"originals should survive, got $originals")
+    assert(perturbed <= 50, s"perturbed near-dups should be dropped, got $perturbed kept")
+  }
+
+  test("minhash exact-verify reports true jaccard for candidates") {
+    val pairs = Dedup.minhashLsh(docsND, threshold = 0.5, verifyExact = true).collect()
+    val planted = pairs.filter(r => r.getLong(1) === r.getLong(0) + 10000)
+    assert(planted.length >= 450)
+    planted.foreach { r =>
+      val j = r.getAs[Double]("est_jaccard")
+      assert(j > 0.5 && j <= 1.0, s"true jaccard of a near-identical pair should be high, got $j")
+    }
+  }
+
   test("text stats are sane and deterministic") {
     val r = TextAnalysis.textStats(docs).collect()
     assert(r.length === docs.count())
