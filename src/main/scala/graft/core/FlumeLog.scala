@@ -155,6 +155,17 @@ final class ParquetLog(
     else spark.read.schema(fullSchema).parquet(dir)
   }
 
+  /** Cluster-scale live tail: the parquet file streaming source. Offsets
+    * are file-granular (coarser than the seq-offset custom source), but
+    * view absorption is idempotent per batch — a durable view overwrites
+    * its `batch=<upto>` delta on replay — so recovery stays exactly-once
+    * in effect. */
+  override def readStream: DataFrame = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) d.mkdirs()
+    spark.readStream.schema(fullSchema).parquet(dir)
+  }
+
   override def append(payload: DataFrame): Long = synchronized {
     val base = cursor
     val schema = fullSchema

@@ -86,6 +86,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpointed restart resumes a durable view without replaying the log") {
+    import graft.views.PersistentIndexView
+    import org.apache.spark.sql.functions.{array, col}
+    val logDir = java.nio.file.Files.createTempDirectory("graft-slog").toString
+    val viewDir = java.nio.file.Files.createTempDirectory("graft-sview").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val tagSchema = StructType(Seq(StructField("tag", StringType)))
+
+    val log1 = new ParquetLog(spark, logDir, tagSchema)
+    log1.appendRows(Seq(Row("a"), Row("b")))
+    val view1 = new PersistentIndexView(spark, s"$viewDir/idx", 1, array(col("tag")), "seq")
+    val r1 = new StreamingViewRunner(log1, view1, checkpointDir = Some(ckpt))
+    try {
+      r1.awaitParity()
+      assert(view1.since === 1L)
+    } finally r1.stop()
+
+    // restart: new log handle, new view object, same checkpoint + manifest
+    val log2 = new ParquetLog(spark, logDir, tagSchema)
+    log2.appendRows(Seq(Row("a")))
+    val view2 = new PersistentIndexView(spark, s"$viewDir/idx", 1, array(col("tag")), "seq")
+    assert(view2.since === 1L, "manifest cursor must be recovered before the stream starts")
+    val r2 = new StreamingViewRunner(log2, view2, checkpointDir = Some(ckpt))
+    try {
+      r2.awaitParity()
+      assert(view2.since === 2L)
+      assert(view2.get("a").collect().map(_.getLong(1)).toSeq === Seq(0L, 2L))
+      // only the new delta was absorbed after restart: batches 1 and 2
+      val batchDirs = new java.io.File(s"$viewDir/idx").listFiles()
+        .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+      assert(batchDirs.toSeq === Seq("batch=1", "batch=2"),
+        s"restart must not replay the first batch, got ${batchDirs.toSeq}")
+    } finally r2.stop()
+  }
+
   test("mapGroupsWithState: running per-key stats across batches") {
     val kvSchema = StructType(Seq(StructField("k", LongType), StructField("v", DoubleType)))
     val log = new MemoryLog(spark, kvSchema)
