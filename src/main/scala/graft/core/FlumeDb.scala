@@ -30,6 +30,11 @@ trait FlumeView {
     * (`/root/reference/README.md:233-236`). */
   def destroy(): Unit
 
+  /** The view's state as a DataFrame, when it is relational (index,
+    * hashtable, search...) — lets [[FlumeDb.registerTempViews]] expose it
+    * to SQL. Scalar/sketch views return None. */
+  def frameOption: Option[DataFrame] = None
+
   def close(): Unit = ()
 }
 
@@ -219,6 +224,24 @@ final class FlumeDb(
     awaitView(name, target)
     f(view(name).view)
   }
+
+  /** Expose the mapped log and every relational view to Spark SQL as
+    * temp views `<prefix>_log` / `<prefix>_<viewName>` — the engine's
+    * free SQL surface (the reference has none; Catalyst gives it to us). */
+  def registerTempViews(prefix: String = "flume"): Unit = {
+    throwIfClosed()
+    mapped.createOrReplaceTempView(s"${prefix}_log")
+    lock.lock()
+    try {
+      val it = views.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        e.getValue.view.frameOption.foreach(_.createOrReplaceTempView(s"${prefix}_${e.getKey}"))
+      }
+    } finally lock.unlock()
+  }
+
+  def sql(query: String): DataFrame = { throwIfClosed(); count("sql"); log.spark.sql(query) }
 
   /** One-shot parity wait for a view — `flumedb[name].ready(cb)`
     * (`/root/reference/README.md:254-257`). */

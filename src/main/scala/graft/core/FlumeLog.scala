@@ -136,23 +136,71 @@ object TableLog {
 final class ParquetLog(
     override val spark: SparkSession,
     val dir: String,
-    payloadSchema: StructType) extends FlumeLog {
+    payloadSchema: StructType,
+    bucketSize: Long = 0L) extends FlumeLog {
 
   private val fullSchema = StructType(StructField(seqCol, LongType, nullable = false) +: payloadSchema.fields)
 
-  @volatile private var cursor: Long = {
+  /** When bucketSize > 0 the log is laid out as
+    * `seq_bucket=<seq/bucketSize>/part-*.parquet` and range scans add a
+    * bucket predicate, so `stream(gt, lte)` prunes whole directories at
+    * planning time (PartitionFilters) — at 100 TB that is the difference
+    * between listing a handful of partitions and scanning the log. */
+  private val bucketed = bucketSize > 0
+  private val bucketCol = "seq_bucket"
+
+  private def diskSchema: StructType =
+    if (bucketed) StructType(fullSchema.fields :+ StructField(bucketCol, LongType, nullable = false))
+    else fullSchema
+
+  private def hasData: Boolean = {
     val d = new java.io.File(dir)
-    if (d.exists() && d.listFiles() != null && d.listFiles().exists(_.getName.endsWith(".parquet")))
-      spark.read.schema(fullSchema).parquet(dir)
+    def containsParquet(f: java.io.File): Boolean = {
+      val fs = f.listFiles()
+      fs != null && fs.exists(c =>
+        c.getName.endsWith(".parquet") || (c.isDirectory && containsParquet(c)))
+    }
+    d.exists() && containsParquet(d)
+  }
+
+  @volatile private var cursor: Long =
+    if (hasData)
+      spark.read.option("basePath", dir).schema(diskSchema).parquet(dir)
         .agg(coalesce(max(col(seqCol)), lit(-1L))).head().getLong(0)
     else -1L
-  }
 
   override def since: Long = cursor
 
-  override def read: DataFrame = {
-    if (cursor < 0) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], fullSchema)
-    else spark.read.schema(fullSchema).parquet(dir)
+  /** Raw frame including the internal bucket column (bucketed layout). */
+  private def readRaw: DataFrame = {
+    if (cursor < 0) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], diskSchema)
+    else spark.read.option("basePath", dir).schema(diskSchema).parquet(dir)
+  }
+
+  override def read: DataFrame =
+    if (bucketed) readRaw.drop(bucketCol) else readRaw
+
+  /** Range scans on a bucketed log add directory-pruning predicates on
+    * the partition column derived from the seq bounds. */
+  override def stream(r: LogRange): DataFrame = {
+    if (!bucketed) super.stream(r)
+    else {
+      var df = readRaw
+      val lower: Option[Long] = (r.gt.map(_ + 1) ++ r.gte).reduceOption(_ max _)
+      val upper: Option[Long] = (r.lt.map(_ - 1) ++ r.lte).reduceOption(_ min _)
+      lower.foreach(v => df = df.where(col(bucketCol) >= v / bucketSize))
+      upper.foreach(v => df = df.where(col(bucketCol) <= v / bucketSize))
+      r.gt.foreach(v => df = df.where(col(seqCol) > lit(v)))
+      r.gte.foreach(v => df = df.where(col(seqCol) >= lit(v)))
+      r.lt.foreach(v => df = df.where(col(seqCol) < lit(v)))
+      r.lte.foreach(v => df = df.where(col(seqCol) <= lit(v)))
+      df = df.drop(bucketCol)
+      df = if (r.reverse) df.orderBy(col(seqCol).desc) else df.orderBy(col(seqCol))
+      r.limit.foreach(n => df = df.limit(n))
+      if (!r.values) df.select(col(seqCol))
+      else if (!r.seqs) df.drop(seqCol)
+      else df
+    }
   }
 
   /** Cluster-scale live tail: the parquet file streaming source. Offsets
@@ -163,7 +211,8 @@ final class ParquetLog(
   override def readStream: DataFrame = {
     val d = new java.io.File(dir)
     if (!d.exists()) d.mkdirs()
-    spark.readStream.schema(fullSchema).parquet(dir)
+    val s = spark.readStream.option("basePath", dir).schema(diskSchema).parquet(dir)
+    if (bucketed) s.drop(bucketCol) else s
   }
 
   override def append(payload: DataFrame): Long = synchronized {
@@ -178,7 +227,10 @@ final class ParquetLog(
       schema)
     val n = withSeq.count()
     if (n > 0) {
-      withSeq.write.mode("append").parquet(dir)
+      if (bucketed)
+        withSeq.withColumn(bucketCol, expr(s"$seqCol div $bucketSize"))
+          .write.partitionBy(bucketCol).mode("append").parquet(dir)
+      else withSeq.write.mode("append").parquet(dir)
       cursor = base + n
     }
     cursor

@@ -82,6 +82,8 @@ final class PersistentIndexView(
     else spark.read.parquet(dirs: _*)
   }
 
+  override def frameOption: Option[DataFrame] = Some(frame)
+
   def get(key: String): DataFrame =
     frame.where(col("key") === lit(key)).orderBy("seq")
 

@@ -129,6 +129,7 @@ abstract class FrameView extends FlumeView {
 
   def since: Long = sinceSeq
   def frame: Option[DataFrame] = state
+  override def frameOption: Option[DataFrame] = state
 
   def absorb(entries: DataFrame, upto: Long): Unit = {
     val d = delta(entries)
@@ -180,6 +181,7 @@ final class HashtableView(keyCol: String, seqCol: String) extends FlumeView {
 
   def since: Long = sinceSeq
   def frame: Option[DataFrame] = state
+  override def frameOption: Option[DataFrame] = state
 
   def absorb(entries: DataFrame, upto: Long): Unit = {
     val d = latest(entries)

@@ -72,6 +72,25 @@ class MemoryLogSpec extends FlumeLogContract {
   def mkLog(): FlumeLog = new MemoryLog(spark, payloadSchema)
 }
 
+class BucketedParquetLogSpec extends FlumeLogContract {
+  def mkLog(): FlumeLog = new ParquetLog(spark,
+    java.nio.file.Files.createTempDirectory("graft-test-blog").toString, payloadSchema,
+    bucketSize = 2L)
+
+  test("range scans prune seq buckets at planning time (PartitionFilters)") {
+    val log = mkLog().asInstanceOf[ParquetLog]
+    log.appendRows(rows(0L, 10L, 20L, 30L, 40L, 50L))
+    val buckets = new java.io.File(log.dir).listFiles().filter(_.getName.startsWith("seq_bucket=")).map(_.getName).sorted
+    assert(buckets.toSeq === Seq("seq_bucket=0", "seq_bucket=1", "seq_bucket=2"))
+    val df = log.stream(LogRange(gte = Some(2L), lte = Some(3L)))
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(2L, 3L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("seq_bucket") && plan.contains("isnotnull(seq_bucket"),
+      s"expected bucket partition pruning:\n${plan.take(1500)}")
+  }
+}
+
 class ParquetLogSpec extends FlumeLogContract {
   def mkLog(): FlumeLog = new ParquetLog(spark,
     java.nio.file.Files.createTempDirectory("graft-test-log").toString, payloadSchema)

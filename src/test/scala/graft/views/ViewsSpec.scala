@@ -94,6 +94,19 @@ class ViewsSpec extends SparkSpec {
     assert(agg.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("a", 13L), ("b", 3L), ("c", 1L)))
   }
 
+  test("SQL surface: log and relational views queryable via spark.sql") {
+    val (_, db) = db2()
+    db.use("idx", IndexView(array(col("tag"))))
+    append(db, (1L, "a"), (2L, "b"), (3L, "a"))
+    db.registerTempViews("t1")
+    val joined = db.sql(
+      """SELECT l.seq, l.foo FROM t1_idx i JOIN t1_log l ON i.seq = l.seq
+         WHERE i.key = 'a' ORDER BY l.seq""").collect()
+    assert(joined.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((0L, 1L), (2L, 3L)))
+    val agg = db.sql("SELECT count(*) FROM t1_log").head().getLong(0)
+    assert(agg === 3L)
+  }
+
   test("view version bump forces rebuild on mount (README.md:26-29)") {
     // same view state object mounted under a def with a changed version:
     // FlumeDb re-creates on use(), so state must start clean
