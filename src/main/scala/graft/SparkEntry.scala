@@ -43,7 +43,9 @@ object SparkEntry {
       val ev = t(s, dir, "events").orderBy("event_id")
         .select("ts", "user_id", "event_type", "value", "props")
       val tmp = java.nio.file.Files.createTempDirectory("graftlog").toString
-      val log = new ParquetLog(s, tmp, ev.schema)
+      // bucketed layout: range scans over the re-appended log prune
+      // seq_bucket directories instead of scanning the whole log
+      val log = new ParquetLog(s, tmp, ev.schema, bucketSize = 25000L)
       log.append(ev)
       log
     })

@@ -74,6 +74,21 @@ object StreamingViews {
       .agg(count(lit(1)).as("cnt"))
       .select(col(keyCol), col("w.start").as("session_start"), col("cnt"))
 
+  /** Streaming exact dedup: emit only the first record per key, with
+    * state bounded by the watermark — the streaming half of the dedup
+    * family (a pretraining ingest pipeline drops repeats at the door
+    * rather than re-scanning the corpus). */
+  def dedupStream(
+      stream: DataFrame,
+      keyCols: Seq[String],
+      tsCol: Option[String] = None,
+      watermark: String = "1 hour"): DataFrame =
+    tsCol match {
+      case Some(ts) => stream.withWatermark(ts, watermark)
+        .dropDuplicatesWithinWatermark(keyCols)
+      case None => stream.dropDuplicates(keyCols)
+    }
+
   /** Custom incremental state via mapGroupsWithState: running
     * count/mean/M2 per key, merged with Welford — the streaming analog of
     * the reduce view, keyed. Demonstrates arbitrary user state where

@@ -135,9 +135,24 @@ abstract class FrameView extends FlumeView {
     val d = delta(entries)
     state = Some(state.fold(d)(s => s.union(d)))
     sinceSeq = upto
+    appendsSinceCompact += 1
+    if (appendsSinceCompact >= compactEvery) compact()
   }
 
-  def destroy(): Unit = { state = None; sinceSeq = -1L }
+  /** Collapse the accumulated union lineage: after many small appends
+    * the plan tree grows linearly and planning time with it; a local
+    * checkpoint materializes state and truncates lineage (the in-memory
+    * analog of rewriting the view's backing table). Auto-triggered every
+    * `compactEvery` absorbs. */
+  def compact(): Unit = {
+    state = state.map(_.localCheckpoint(true))
+    appendsSinceCompact = 0
+  }
+
+  protected def compactEvery: Int = 32
+  @volatile private var appendsSinceCompact: Int = 0
+
+  def destroy(): Unit = { state = None; sinceSeq = -1L; appendsSinceCompact = 0 }
 }
 
 /** flumeview-level (`/root/reference/README.md:93`): a materialized

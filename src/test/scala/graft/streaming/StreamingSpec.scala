@@ -121,6 +121,24 @@ class StreamingSpec extends SparkSpec {
     } finally r2.stop()
   }
 
+  test("streaming dedup drops repeats across batches") {
+    val kvSchema = StructType(Seq(StructField("k", LongType), StructField("v", DoubleType)))
+    val log = new MemoryLog(spark, kvSchema)
+    log.appendRows(Seq(Row(1L, 1.0), Row(2L, 2.0), Row(1L, 99.0)))
+    val dedup = StreamingViews.dedupStream(log.readStream.select("k", "v"), Seq("k"))
+    val q = dedup.writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      log.appendRows(Seq(Row(2L, 98.0), Row(3L, 3.0))) // 2 repeats across the batch boundary
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT k, v FROM dedup_test ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rows.toSeq === Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)),
+        s"only first occurrence per key should survive, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: running per-key stats across batches") {
     val kvSchema = StructType(Seq(StructField("k", LongType), StructField("v", DoubleType)))
     val log = new MemoryLog(spark, kvSchema)

@@ -107,6 +107,27 @@ class ViewsSpec extends SparkSpec {
     assert(agg === 3L)
   }
 
+  test("frame views stay correct across many appends (auto-compaction)") {
+    val (_, db) = db2()
+    db.use("idx", IndexView(array(col("tag"))))
+    (1 to 40).foreach(i => append(db, (i.toLong, s"t${i % 5}")))
+    val v = db.view("idx").view.asInstanceOf[IndexView]
+    assert(v.frame.get.count() === 40L)
+    assert(v.get("t0").collect().map(_.getLong(1)).toSeq ===
+      (1 to 40).filter(_ % 5 == 0).map(i => (i - 1).toLong))
+  }
+
+  test("concurrent appends stay contiguous (single-writer lock)") {
+    val log = new MemoryLog(spark, schema)
+    val threads = (0 until 8).map { t =>
+      new Thread(() => (0 until 25).foreach(i => log.appendRows(Seq(Row(t * 100L + i, "x")))))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(log.since === 199L)
+    val seqs = log.read.select("seq").collect().map(_.getLong(0)).sorted
+    assert(seqs.toSeq === (0L until 200L))
+  }
+
   test("view version bump forces rebuild on mount (README.md:26-29)") {
     // same view state object mounted under a def with a changed version:
     // FlumeDb re-creates on use(), so state must start clean
