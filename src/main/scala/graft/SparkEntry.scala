@@ -257,6 +257,30 @@ object SparkEntry {
         .select(coalesce(col("event_type"), lit("ALL")).as("et"),
           coalesce(col("ub"), lit(-1L)).as("ub"), col("cnt"), col("sum_v"))
         .orderBy("et", "ub")),
+    "q_range_join" -> ((s, dir) =>
+      // equi key + range residual: hash join on orderkey, band predicate
+      // applied as the join residual (no nested-loop blowup)
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_shipped_30d"))
+        .orderBy("o_orderkey")),
+    "q_percentiles" -> ((s, dir) =>
+      t(s, dir, "events").agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))),
+    "q_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "events").agg(
+        approx_count_distinct("user_id").as("approx_users"),
+        countDistinct("user_id").as("exact_users"))),
+    "q_edit_distance" -> ((s, dir) =>
+      t(s, dir, "events").select("event_type").distinct()
+        .select(col("event_type"), levenshtein(col("event_type"), lit("click")).cast("bigint").as("dist"))
+        .orderBy("event_type")),
     "q_grouping_sets" -> ((s, dir) => {
       t(s, dir, "events").createOrReplaceTempView("gs_events")
       s.sql("""SELECT coalesce(event_type, 'ALL') AS et, coalesce(ub, -1) AS ub,
@@ -457,6 +481,12 @@ object SparkEntry {
       "SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls",
     "q_cube" ->
       "SELECT coalesce(event_type, 'ALL') AS et, coalesce(user_id % 10, -1) AS ub, count(*) AS cnt, round(sum(value), 4) AS sum_v FROM events GROUP BY CUBE(event_type, user_id % 10) ORDER BY et, ub",
+    "q_range_join" ->
+      "SELECT o_orderkey, count(*) AS n_shipped_30d FROM orders JOIN lineitem ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 30 DAY GROUP BY o_orderkey ORDER BY o_orderkey",
+    "q_percentiles" ->
+      "SELECT round(quantile_cont(value, 0.5), 4) AS p50, round(quantile_cont(value, 0.9), 4) AS p90, round(quantile_cont(value, 0.99), 4) AS p99 FROM events",
+    "q_edit_distance" ->
+      "SELECT event_type, levenshtein(event_type, 'click')::BIGINT AS dist FROM (SELECT DISTINCT event_type FROM events) ORDER BY event_type",
     "q_grouping_sets" ->
       "SELECT coalesce(event_type, 'ALL') AS et, coalesce(ub, -1) AS ub, count(*) AS cnt, round(sum(value), 4) AS sum_v FROM (SELECT event_type, user_id % 10 AS ub, value FROM events) GROUP BY GROUPING SETS ((event_type), (ub)) ORDER BY et, ub",
     "q_semi_join" ->

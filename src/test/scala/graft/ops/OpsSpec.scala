@@ -144,6 +144,13 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("approx distinct (HLL) lands within 5% of exact") {
+    val r = graft.SparkEntry.queries("q_approx_distinct")(spark, dir).head()
+    val approx = r.getLong(0).toDouble
+    val exact = r.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact <= 0.05, s"approx=$approx exact=$exact")
+  }
+
   test("text stats are sane and deterministic") {
     val r = TextAnalysis.textStats(docs).collect()
     assert(r.length === docs.count())
