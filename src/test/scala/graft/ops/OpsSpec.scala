@@ -104,6 +104,26 @@ class OpsSpec extends SparkSpec {
       s"native=${r.getDouble(0)} hof=${r.getDouble(1)}"))
   }
 
+  test("GraftExtensions injects cosine_similarity into a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark // keep the shared session alive (same SparkContext)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // spark.sql.extensions=graft.GraftExtensions does the same at
+      // cluster startup; tests share one SparkContext, so inject via the
+      // builder hook (identical code path inside the session)
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions().apply(_))
+        .getOrCreate()
+      val r = s2.sql("SELECT cosine_similarity(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c").head()
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("native cosine works through SQL registration and codegen") {
     graft.functions.GraftFunctions.register(spark)
     emb.createOrReplaceTempView("emb_cos_test")
