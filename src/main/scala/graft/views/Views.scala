@@ -116,6 +116,67 @@ object OrderedFoldView {
   }
 }
 
+/** The 100 TB answer to SURVEY §7.4's ordered-fold problem: when the
+  * user's reducer has an associative segment `merge` (it need NOT be
+  * commutative), the log delta is range-partitioned by seq, each
+  * partition folded **in seq order in parallel**, and the per-partition
+  * summaries merged left-to-right in seq order on the driver. Order
+  * semantics are preserved exactly; wall-clock drops from O(n) to
+  * O(n/p + p). `S` must be serializable (summaries travel to the
+  * driver). */
+final class SegmentedFoldView[S](
+    zero: S,
+    fold: (S, Row) => S,
+    mergeFn: (S, S) => S,
+    seqCol: String,
+    partitions: Int = 0) extends FlumeView {
+
+  @volatile private var state: S = zero
+  @volatile private var sinceSeq: Long = -1L
+  @volatile private var touched: Boolean = false
+
+  def since: Long = sinceSeq
+  def value: Option[S] = if (touched) Some(state) else None
+
+  def absorb(entries: DataFrame, upto: Long): Unit = {
+    val p = if (partitions > 0) partitions
+      else entries.sparkSession.sparkContext.defaultParallelism
+    val sc = seqCol
+    val z = zero
+    val f = fold
+    val ordered = entries
+      .repartitionByRange(p, col(sc))
+      .sortWithinPartitions(sc)
+    val summaries = ordered.rdd.mapPartitions { it =>
+      var s = z
+      var minSeq = Long.MaxValue
+      var any = false
+      it.foreach { r =>
+        if (!any) { minSeq = r.getAs[Long](sc); any = true }
+        s = f(s, r)
+      }
+      if (any) Iterator((minSeq, s)) else Iterator.empty
+    }.collect().sortBy(_._1).toSeq.map(_._2)
+    if (summaries.nonEmpty) {
+      val delta = summaries.reduceLeft(mergeFn)
+      state = if (touched) mergeFn(state, delta) else delta
+      touched = true
+    }
+    sinceSeq = upto
+  }
+
+  def destroy(): Unit = { state = zero; touched = false; sinceSeq = -1L }
+}
+
+object SegmentedFoldView {
+  def apply[S](zero: S, seqCol: String = "seq", partitions: Int = 0)(
+      fold: (S, Row) => S)(merge: (S, S) => S): ViewDef = new ViewDef {
+    def version: Int = 1
+    def create(db: FlumeDb, name: String) =
+      new SegmentedFoldView[S](zero, fold, merge, seqCol, partitions)
+  }
+}
+
 /** Base for views whose state is itself a DataFrame, maintained by
   * appending a per-batch delta frame. State lives as a persisted union of
   * deltas; `compact()` collapses it (a real deployment would write the

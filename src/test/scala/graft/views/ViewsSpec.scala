@@ -81,6 +81,18 @@ class ViewsSpec extends SparkSpec {
     assert(v === Some("abc"))
   }
 
+  test("SegmentedFoldView: parallel ordered fold equals sequential fold") {
+    val (_, db) = db2()
+    // string concat: associative but NOT commutative — order must hold
+    db.use("concat", SegmentedFoldView[String]("", partitions = 4)(
+      (acc, r) => acc + r.getAs[String]("tag"))(_ + _))
+    val tags = (0 until 37).map(i => (i.toLong, ('a' + i % 26).toChar.toString))
+    append(db, tags: _*)
+    append(db, (99L, "Z"))
+    val v = db.gated("concat")(_.asInstanceOf[SegmentedFoldView[String]].value)
+    assert(v === Some(tags.map(_._2).mkString + "Z"))
+  }
+
   test("Query DSL compiles filter/project/sort/limit/agg") {
     val (_, db) = db2()
     append(db, (5L, "a"), (3L, "b"), (8L, "a"), (1L, "c"))
