@@ -38,6 +38,10 @@ object ProfileDedup {
     time("full minhashLsh 2nd") {
       Dedup.minhashLsh(docs, threshold = 0.35).write.format("noop").mode("overwrite").save()
     }
+    time("full ngramJaccard") {
+      Dedup.ngramJaccard(docs, threshold = 0.5, maxDocFreq = 1000)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
