@@ -340,3 +340,35 @@ object BloomView {
     def create(db: FlumeDb, name: String) = new BloomView(keyCol, expectedItems, fpp)
   }
 }
+
+/** Count-min sketch view: approximate per-key frequencies (heavy
+  * hitters) in sublinear state. Like [[BloomView]], the per-batch sketch
+  * is built distributed and merged into the accumulator, so maintenance
+  * is one scan of the delta; estimates never undercount. */
+final class CountMinView(keyCol: String, eps: Double, confidence: Double, seed: Int) extends FlumeView {
+  @volatile private var sketch: Option[org.apache.spark.util.sketch.CountMinSketch] = None
+  @volatile private var sinceSeq: Long = -1L
+
+  def since: Long = sinceSeq
+
+  def absorb(entries: DataFrame, upto: Long): Unit = {
+    val s = entries.stat.countMinSketch(col(keyCol), eps, confidence, seed)
+    sketch match {
+      case Some(acc) => acc.mergeInPlace(s)
+      case None      => sketch = Some(s)
+    }
+    sinceSeq = upto
+  }
+
+  def estimate(v: Any): Long = sketch.map(_.estimateCount(v)).getOrElse(0L)
+
+  def destroy(): Unit = { sketch = None; sinceSeq = -1L }
+}
+
+object CountMinView {
+  def apply(keyCol: String, eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42): ViewDef =
+    new ViewDef {
+      def version: Int = 1
+      def create(db: FlumeDb, name: String) = new CountMinView(keyCol, eps, confidence, seed)
+    }
+}

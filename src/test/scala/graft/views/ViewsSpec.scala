@@ -72,6 +72,18 @@ class ViewsSpec extends SparkSpec {
     assert(bv.mightContain("alpha") && bv.mightContain("beta") && bv.mightContain("gamma"))
   }
 
+  test("CountMinView estimates merge across batches, never undercount") {
+    val (_, db) = db2()
+    db.use("cm", CountMinView("tag"))
+    append(db, (1L, "hot"), (2L, "hot"), (3L, "cold"))
+    append(db, (4L, "hot"))
+    val cm = db.view("cm").view.asInstanceOf[CountMinView]
+    db.awaitView("cm")
+    assert(cm.estimate("hot") >= 3L)
+    assert(cm.estimate("cold") >= 1L)
+    assert(cm.estimate("hot") <= 4L + 1L) // tiny input: estimate ~ exact
+  }
+
   test("OrderedFoldView folds in strict seq order (non-commutative reducer)") {
     val (_, db) = db2()
     db.use("concat", OrderedFoldView[String]("")((acc, r) => acc + r.getAs[String]("tag")))
