@@ -63,8 +63,21 @@ trait FlumeLog {
   def get(seq: Long): DataFrame =
     read.where(col(seqCol) === lit(seq))
 
-  /** Ordered range scan (`/root/reference/index.js:124-130`). */
+  /** Ordered range scan (`/root/reference/index.js:124-130`); with
+    * `live = true`, an unbounded stream with the same bounds and
+    * projection flags (sort/limit don't apply to unbounded streams —
+    * each micro-batch arrives in seq order from the source). */
   def stream(r: LogRange = LogRange.all): DataFrame = {
+    if (r.live) {
+      var df = readStream
+      r.gt.foreach(v => df = df.where(col(seqCol) > lit(v)))
+      r.gte.foreach(v => df = df.where(col(seqCol) >= lit(v)))
+      r.lt.foreach(v => df = df.where(col(seqCol) < lit(v)))
+      r.lte.foreach(v => df = df.where(col(seqCol) <= lit(v)))
+      return if (!r.values) df.select(col(seqCol))
+      else if (!r.seqs) df.drop(seqCol)
+      else df
+    }
     var df = read
     r.gt.foreach(v => df = df.where(col(seqCol) > lit(v)))
     r.gte.foreach(v => df = df.where(col(seqCol) >= lit(v)))

@@ -121,6 +121,43 @@ class StreamingSpec extends SparkSpec {
     } finally r2.stop()
   }
 
+  test("stream(live=true) routes through the streaming source with range bounds") {
+    val log = new MemoryLog(spark, schema)
+    log.appendRows(Seq(Row(1L), Row(2L), Row(3L)))
+    val live = log.stream(LogRange(gt = Some(0L), live = true))
+    assert(live.isStreaming)
+    val q = live.writeStream.format("memory").queryName("live_range_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      log.appendRows(Seq(Row(4L)))
+      q.processAllAvailable()
+      val seqs = spark.sql("SELECT seq FROM live_range_test ORDER BY seq").collect().map(_.getLong(0))
+      assert(seqs.toSeq === Seq(1L, 2L, 3L), s"gt=0 bound must hold on the live stream, got ${seqs.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming session windows group gap-separated activity per key") {
+    val evSchema = StructType(Seq(
+      StructField("user", LongType), StructField("ts", TimestampType)))
+    val log = new MemoryLog(spark, evSchema)
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    log.appendRows(Seq(Row(1L, ts(1)), Row(1L, ts(2)), Row(1L, ts(30)), Row(2L, ts(5))))
+    val sess = StreamingViews.sessionCounts(log.readStream, "user", "ts", gap = "10 minutes", watermark = "5 minutes")
+    val q = sess.writeStream.format("memory").queryName("sess_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      log.appendRows(Seq(Row(1L, ts(120)))) // push the watermark far forward
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user, session_start, cnt FROM sess_test ORDER BY user, session_start")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000, r.getLong(2)))
+      assert(rows.contains((1L, 1L, 2L)), s"user 1 minutes 1-2 should be one closed session of 2, got ${rows.toSeq}")
+      assert(rows.contains((1L, 30L, 1L)), s"user 1 minute 30 is its own session, got ${rows.toSeq}")
+      assert(rows.contains((2L, 5L, 1L)), s"user 2 has one session, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeats across batches") {
     val kvSchema = StructType(Seq(StructField("k", LongType), StructField("v", DoubleType)))
     val log = new MemoryLog(spark, kvSchema)
