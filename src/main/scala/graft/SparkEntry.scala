@@ -281,6 +281,17 @@ object SparkEntry {
       t(s, dir, "events").select("event_type").distinct()
         .select(col("event_type"), levenshtein(col("event_type"), lit("click")).cast("bigint").as("dist"))
         .orderBy("event_type")),
+    "q_array_funcs" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).cast("bigint").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("first_v"),
+        round(array_max(col("embedding")).cast("double"), 4).as("max_v"),
+        round(array_min(col("embedding")).cast("double"), 4).as("min_v"),
+        round(aggregate(transform(col("embedding"), _.cast("double")), lit(0.0), _ + _), 4).as("sum_v"),
+        round(element_at(sort_array(transform(col("embedding"), _.cast("double"))), 2), 4).as("second_smallest"),
+        size(filter(col("embedding"), x => x > 0)).cast("bigint").as("n_pos"))
+        .orderBy("vec_id")),
     "q_grouping_sets" -> ((s, dir) => {
       t(s, dir, "events").createOrReplaceTempView("gs_events")
       s.sql("""SELECT coalesce(event_type, 'ALL') AS et, coalesce(ub, -1) AS ub,
@@ -487,6 +498,8 @@ object SparkEntry {
       "SELECT round(quantile_cont(value, 0.5), 4) AS p50, round(quantile_cont(value, 0.9), 4) AS p90, round(quantile_cont(value, 0.99), 4) AS p99 FROM events",
     "q_edit_distance" ->
       "SELECT event_type, levenshtein(event_type, 'click')::BIGINT AS dist FROM (SELECT DISTINCT event_type FROM events) ORDER BY event_type",
+    "q_array_funcs" ->
+      "SELECT vec_id, len(embedding)::BIGINT AS dim, round(embedding[1]::DOUBLE, 4) AS first_v, round(list_max(embedding)::DOUBLE, 4) AS max_v, round(list_min(embedding)::DOUBLE, 4) AS min_v, round(list_sum(list_transform(embedding, x -> x::DOUBLE)), 4) AS sum_v, round(list_sort(list_transform(embedding, x -> x::DOUBLE))[2], 4) AS second_smallest, len(list_filter(embedding, x -> x > 0))::BIGINT AS n_pos FROM embeddings ORDER BY vec_id",
     "q_grouping_sets" ->
       "SELECT coalesce(event_type, 'ALL') AS et, coalesce(ub, -1) AS ub, count(*) AS cnt, round(sum(value), 4) AS sum_v FROM (SELECT event_type, user_id % 10 AS ub, value FROM events) GROUP BY GROUPING SETS ((event_type), (ub)) ORDER BY et, ub",
     "q_semi_join" ->
