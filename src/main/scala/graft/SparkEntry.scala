@@ -281,6 +281,14 @@ object SparkEntry {
       t(s, dir, "events").select("event_type").distinct()
         .select(col("event_type"), levenshtein(col("event_type"), lit("click")).cast("bigint").as("dist"))
         .orderBy("event_type")),
+    "q_regex_date" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id").as("seq"),
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("bigint").as("k_num"),
+        datediff(to_date(tsCol), lit(java.sql.Date.valueOf("2024-01-01"))).cast("bigint").as("days_since"),
+        dayofweek(tsCol).cast("bigint").as("dow"), // Sunday=1, matches DuckDB dayofweek+1
+        date_format(tsCol, "yyyy-MM").as("ym"))
+        .orderBy("seq")),
     "q_array_funcs" -> ((s, dir) =>
       t(s, dir, "embeddings").select(
         col("vec_id"),
@@ -498,6 +506,8 @@ object SparkEntry {
       "SELECT round(quantile_cont(value, 0.5), 4) AS p50, round(quantile_cont(value, 0.9), 4) AS p90, round(quantile_cont(value, 0.99), 4) AS p99 FROM events",
     "q_edit_distance" ->
       "SELECT event_type, levenshtein(event_type, 'click')::BIGINT AS dist FROM (SELECT DISTINCT event_type FROM events) ORDER BY event_type",
+    "q_regex_date" ->
+      "SELECT event_id AS seq, regexp_extract(props, '\"k\":\\s*(\\d+)', 1)::BIGINT AS k_num, datediff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS days_since, (dayofweek(ts) + 1)::BIGINT AS dow, strftime(ts, '%Y-%m') AS ym FROM events ORDER BY seq",
     "q_array_funcs" ->
       "SELECT vec_id, len(embedding)::BIGINT AS dim, round(embedding[1]::DOUBLE, 4) AS first_v, round(list_max(embedding)::DOUBLE, 4) AS max_v, round(list_min(embedding)::DOUBLE, 4) AS min_v, round(list_sum(list_transform(embedding, x -> x::DOUBLE)), 4) AS sum_v, round(list_sort(list_transform(embedding, x -> x::DOUBLE))[2], 4) AS second_smallest, len(list_filter(embedding, x -> x > 0))::BIGINT AS n_pos FROM embeddings ORDER BY vec_id",
     "q_grouping_sets" ->
