@@ -17,7 +17,7 @@ class EntrySpec extends SparkSpec {
     SparkEntry.queries.keys.foreach { k =>
       assert(k.matches("q_[a-z0-9_]+"), s"bad query name: $k")
     }
-    assert(SparkEntry.queries.size >= 63)
-    assert(SparkEntry.oracleSql.size >= 47)
+    assert(SparkEntry.queries.size >= 62)
+    assert(SparkEntry.oracleSql.size >= 50)
   }
 }
