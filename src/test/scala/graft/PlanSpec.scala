@@ -65,6 +65,19 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("*(1)"), s"expected codegen spans:\n${s.take(2000)}")
   }
 
+  test("multi-join broadcasts both small dims") {
+    val s = executed(run("q_multi_join")).toString
+    val broadcasts = s.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 2, s"customer and nation should broadcast:\n${s.take(2000)}")
+  }
+
+  test("range join keeps the equi hash join; band is a residual, not a nested loop") {
+    val s = executed(run("q_range_join")).toString
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"range join must not degrade to a nested loop:\n${s.take(2000)}")
+    assert(s.contains("l_shipdate"), s"band residual should appear in the join:\n${s.take(2000)}")
+  }
+
   test("grouped top-k aggregates with bounded heaps — no rank window sort") {
     val s = executed(run("q_topk_per_key")).toString
     assert(!s.contains("Window"), s"heap-agg top-k must not plan a Window:\n${s.take(2000)}")
