@@ -432,7 +432,13 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents")).orderBy("doc_id")),
     "q_multimodal_features" -> ((s, dir) =>
+      // The raw feature vector is reduced to hash-stable scalars (the
+      // driver's compare sorts/hashes rows, which an array column breaks):
+      // byte count, a 64-bit digest of the whole vector, and its head.
       Multimodal.extractFeatures(Multimodal.syntheticMedia(t(s, dir, "documents")))
+        .select(col("media_id"), col("modality"), col("n_bytes"),
+          xxhash64(col("features")).as("feat_hash"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("feat0"))
         .orderBy("media_id")),
     "q_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.syntheticMedia(t(s, dir, "documents")))

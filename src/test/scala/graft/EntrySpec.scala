@@ -20,4 +20,19 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.queries.size >= 62)
     assert(SparkEntry.oracleSql.size >= 50)
   }
+
+  test("every query output is sortable scalars (driver compare sorts+hashes rows)") {
+    // The driver's pandas compare sorts every column; an array/map/struct
+    // column makes the sort throw and voids the whole query's check.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      fn(spark, dir).schema.fields.foreach { f =>
+        assert(!f.dataType.isInstanceOf[ArrayType] &&
+               !f.dataType.isInstanceOf[MapType] &&
+               !f.dataType.isInstanceOf[StructType],
+          s"$name column '${f.name}' is non-scalar ${f.dataType.simpleString}")
+      }
+    }
+  }
 }
