@@ -230,23 +230,43 @@ final class ParquetLog(
 
   override def append(payload: DataFrame): Long = synchronized {
     val base = cursor
-    val schema = fullSchema
-    // zipWithIndex preserves the incoming frame's partition-row order, so
-    // seqs follow the batch's own order deterministically.
-    val withSeq = payload.sparkSession.createDataFrame(
-      payload.rdd.zipWithIndex().map { case (row, i) =>
-        Row.fromSeq((base + 1 + i) +: row.toSeq)
-      },
-      schema)
-    val n = withSeq.count()
-    if (n > 0) {
-      if (bucketed)
-        withSeq.withColumn(bucketCol, expr(s"$seqCol div $bucketSize"))
-          .write.partitionBy(bucketCol).mode("append").parquet(dir)
-      else withSeq.write.mode("append").parquet(dir)
-      cursor = base + n
-    }
-    cursor
+    // Contiguous seq assignment in ONE scan of the payload, staying
+    // columnar: `monotonically_increasing_id` stamps (partitionId << 33 |
+    // rowInPartition) as a narrow projection; a tiny per-partition count
+    // aggregate (one row per partition to the driver) yields the offset
+    // each partition's seqs start at; a broadcast join adds the offset
+    // back. The stamped frame is persisted so the counts job and the
+    // write read the same evaluation — a non-deterministic payload can't
+    // disagree with the counted n, and a 100 TB ingest batch is scanned
+    // once, not three times (zipWithIndex + count + write previously).
+    val stamped = payload.withColumn("__mid", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val parts = stamped
+        .groupBy(shiftright(col("__mid"), 33).as("__pid"))
+        .agg(count(lit(1)).as("__n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val n = parts.map(_._2).sum
+      if (n > 0) {
+        var acc = 0L
+        val offsets = parts.map { case (pid, cnt) => val o = (pid, acc); acc += cnt; o }
+        val offDf = payload.sparkSession.createDataFrame(offsets.toIndexedSeq)
+          .toDF("__pid", "__off")
+        val mask = (1L << 33) - 1
+        val withSeq = stamped
+          .withColumn("__pid", shiftright(col("__mid"), 33))
+          .join(broadcast(offDf), "__pid")
+          .withColumn(seqCol,
+            lit(base + 1L) + col("__off") + col("__mid").bitwiseAND(lit(mask)))
+          .select((seqCol +: payloadSchema.fieldNames.toSeq).map(col): _*)
+        if (bucketed)
+          withSeq.withColumn(bucketCol, expr(s"$seqCol div $bucketSize"))
+            .write.partitionBy(bucketCol).mode("append").parquet(dir)
+        else withSeq.write.mode("append").parquet(dir)
+        cursor = base + n
+      }
+      cursor
+    } finally stamped.unpersist(blocking = false)
   }
 
   /** Convenience: append payload rows built on the driver. */

@@ -95,6 +95,17 @@ class ParquetLogSpec extends FlumeLogContract {
   def mkLog(): FlumeLog = new ParquetLog(spark,
     java.nio.file.Files.createTempDirectory("graft-test-log").toString, payloadSchema)
 
+  test("multi-partition append preserves the batch's row order in seq order") {
+    val log = mkLog().asInstanceOf[ParquetLog]
+    // 1000 rows across 7 partitions with uneven sizes: the per-partition
+    // offset scheme must reproduce zipWithIndex's ordering exactly
+    val vals = (0L until 1000L).map(i => Row(i * 3))
+    log.append(spark.createDataFrame(spark.sparkContext.parallelize(vals, 7), payloadSchema))
+    assert(log.since === 999L)
+    val got = log.read.orderBy("seq").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === (0L until 1000L).map(i => (i, i * 3)))
+  }
+
   test("cursor is recovered on reopen") {
     val dir = java.nio.file.Files.createTempDirectory("graft-test-reopen").toString
     val log = new ParquetLog(spark, dir, payloadSchema)
