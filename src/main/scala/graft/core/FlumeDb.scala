@@ -97,7 +97,16 @@ final class FlumeDb(
   private def mappedStream(r: LogRange): DataFrame = {
     if (!r.values) log.stream(r) // mapper skipped entirely for seqs-only scans,
                                  // per /root/reference/index.js:97-99
-    else {
+    else if (r.live) {
+      // Live db-level stream: route through the log's streaming source so
+      // post-start appends are visible, and apply the mapper to the
+      // unbounded frame — the reference applies the mapper on live streams
+      // too (/root/reference/index.js:96-113). Sort/limit don't apply to
+      // unbounded streams (each micro-batch arrives in seq order).
+      val base = log.stream(r.copy(seqs = true))
+      val m = mapper.fold(base)(f => f(base))
+      if (!r.seqs) m.drop(log.seqCol) else m
+    } else {
       var df = mapped
       val sc = log.seqCol
       import org.apache.spark.sql.functions.col

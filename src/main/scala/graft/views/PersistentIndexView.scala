@@ -43,6 +43,27 @@ final class PersistentIndexView(
       case Some(_)                      => destroy() // version bump: rebuild
       case None                         => ()
     }
+    pruneOrphans()
+  }
+
+  /** Delete batch directories beyond the manifest cursor. An orphan is a
+    * delta written just before a crash whose manifest commit never landed;
+    * readers ignore it today, but once a post-restart absorb advances the
+    * cursor past its `upto` the stale overlapping delta would become
+    * visible and duplicate entries. Pruning at construction closes that
+    * resurrection window (the reference replays the log into the view
+    * instead — `/root/reference/index.js:36-39` — so it can never observe
+    * a half-committed delta). */
+  private def pruneOrphans(): Unit = {
+    if (!Files.isDirectory(root)) return
+    val orphans = Files.list(root).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("batch="))
+      .filter(p => p.getFileName.toString.stripPrefix("batch=").toLong > sinceSeq)
+      .toList
+    orphans.foreach { p =>
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
   }
 
   private def readManifest(): Option[(Int, Long)] =

@@ -137,6 +137,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("db-level live stream applies the mapper and sees post-start appends") {
+    // regression: FlumeDb.stream(live = true) used to silently return a
+    // static batch snapshot; the reference applies the mapper to live
+    // streams (/root/reference/index.js:96-113)
+    val log = new MemoryLog(spark, schema)
+    log.appendRows(Seq(Row(1L)))
+    val db = new FlumeDb(log, mapper = Some(df => df.withColumn("bar", col("foo") * 10)))
+    val live = db.stream(LogRange(live = true))
+    assert(live.isStreaming, "live db stream must be a streaming frame, not a snapshot")
+    val q = live.writeStream.format("memory").queryName("db_live_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      log.appendRows(Seq(Row(2L))) // append AFTER the stream started
+      db.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(3L))), schema))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT seq, foo, bar FROM db_live_test ORDER BY seq").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq === Seq((0L, 1L, 10L), (1L, 2L, 20L), (2L, 3L, 30L)),
+        s"live stream must carry mapped columns and post-start appends, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("db-level live stream honors projection flags (values-only drops seq)") {
+    val log = new MemoryLog(spark, schema)
+    log.appendRows(Seq(Row(7L)))
+    val db = new FlumeDb(log, mapper = Some(df => df.withColumn("bar", col("foo") + 1)))
+    val live = db.stream(LogRange(live = true, seqs = false))
+    assert(live.isStreaming)
+    assert(!live.columns.contains("seq") && live.columns.contains("bar"))
+    val seqsOnly = db.stream(LogRange(live = true, values = false))
+    assert(seqsOnly.isStreaming)
+    assert(seqsOnly.columns.toSeq === Seq("seq"), "seqs-only live stream skips the mapper")
+  }
+
   test("streaming session windows group gap-separated activity per key") {
     val evSchema = StructType(Seq(
       StructField("user", LongType), StructField("ts", TimestampType)))

@@ -69,6 +69,44 @@ class PersistenceSpec extends SparkSpec {
     assert(v.get("phantom").collect().isEmpty)
   }
 
+  test("orphaned batch dirs cannot resurrect once the cursor passes them") {
+    // regression: an orphan batch=<upto> written just before a crash was
+    // ignored at first, but once a post-restart absorb advanced the
+    // cursor past <upto> the stale delta became visible, duplicating
+    // entries. Construction must prune orphans (mirroring the counted
+    // re-delivery discipline of /root/reference/test/rebuild.js:19-62).
+    val viewDir = Files.createTempDirectory("graft-orphan2").toString
+    val log = new MemoryLog(spark, schema)
+    val db = new FlumeDb(log)
+    db.use("idx", PersistentIndexView(viewDir, array(col("tag"))))
+    db.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row("x"))), schema))
+    db.close()
+
+    // simulate the crash: a delta landed for upto=4 but the manifest write
+    // never happened (manifest still says 0). A later absorb lands at
+    // upto=5, so without pruning the orphan would sit strictly below the
+    // cursor and never be overwritten — permanently visible.
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row("phantom", 3L))),
+      StructType(Seq(StructField("key", StringType), StructField("seq", LongType))))
+      .write.parquet(s"$viewDir/idx/batch=4")
+
+    // restart: orphan must be pruned at construction...
+    val log2 = new MemoryLog(spark, schema)
+    log2.appendRows(Seq(Row("x")))
+    val db2 = new FlumeDb(log2)
+    db2.use("idx", PersistentIndexView(viewDir, array(col("tag"))))
+    val v2 = db2.view("idx").view.asInstanceOf[PersistentIndexView]
+    assert(!new java.io.File(s"$viewDir/idx/batch=4").exists(),
+      "orphan batch dir beyond the manifest cursor must be deleted on construction")
+
+    // ...so advancing the cursor past the orphan's upto shows no phantoms
+    db2.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("y"), Row("y"), Row("y"), Row("y"), Row("y"))), schema))
+    assert(v2.since >= 5L)
+    assert(v2.get("phantom").collect().isEmpty, "stale overlapping delta must never become visible")
+    assert(v2.frame.where(col("key") === "x").count() === 1L, "no duplicated entries after recovery")
+  }
+
   test("log method passthrough with collision protection (index.js:270-283)") {
     val log = new MemoryLog(spark, schema) {
       override def methods: Map[String, Seq[Any] => Any] =
