@@ -76,10 +76,46 @@ final class FlumeDb(
   private val views = new java.util.LinkedHashMap[String, Mounted]()
 
   /** Per-method call counters — the analog of `flumedb.meta`
-    * (`/root/reference/index.js:81-91`, `wrap.js:66-96`). */
+    * (`/root/reference/index.js:81-91`, `wrap.js:66-96`). Alongside each
+    * method-call counter, `<method>.records` counts every record actually
+    * pulled through that method's frame (the reference counts per record
+    * at `wrap.js:74-76`): frames are tagged with `observe()` — an
+    * accumulator inside whole-stage codegen, no extra pass — and a
+    * [[org.apache.spark.sql.util.QueryExecutionListener]] folds the
+    * observed counts in when the user's action completes. Counting is
+    * necessarily asynchronous: frames are lazy, so records can only be
+    * counted when a query actually runs. */
   val meta: TrieMap[String, AtomicLong] = TrieMap.empty
   private def count(k: String): Unit =
     meta.getOrElseUpdate(k, new AtomicLong()).incrementAndGet()
+
+  private val metaPrefix = s"graft_meta_${FlumeDb.dbIds.incrementAndGet()}:"
+  private val obsIds = new AtomicLong()
+
+  private val recordListener = new org.apache.spark.sql.util.QueryExecutionListener {
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+      qe.observedMetrics.foreach { case (name, row) =>
+        if (name.startsWith(metaPrefix)) {
+          val method = name.substring(metaPrefix.length, name.lastIndexOf(':'))
+          meta.getOrElseUpdate(s"$method.records", new AtomicLong())
+            .addAndGet(row.getAs[Long]("records"))
+        }
+      }
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution, error: Exception): Unit = ()
+  }
+  log.spark.listenerManager.register(recordListener)
+
+  /** Tag a returned frame so executed queries report their record count
+    * back into [[meta]]. Batch frames only — streaming metrics surface
+    * through the streaming listener API instead. */
+  private def observed(df: DataFrame, method: String): DataFrame =
+    if (df.isStreaming) df
+    else {
+      import org.apache.spark.sql.functions.{count => cnt, lit}
+      df.observe(s"$metaPrefix$method:${obsIds.incrementAndGet()}", cnt(lit(1)).as("records"))
+    }
 
   final class Mounted(val name: String, val viewDef: ViewDef, val view: FlumeView) {
     @volatile var lastError: Option[Throwable] = None
@@ -123,12 +159,12 @@ final class FlumeDb(
   def get(seq: Long): DataFrame = {
     throwIfClosed(); count("get")
     import org.apache.spark.sql.functions.{col, lit}
-    mapped.where(col(log.seqCol) === lit(seq))
+    observed(mapped.where(col(log.seqCol) === lit(seq)), "get")
   }
 
   def stream(r: LogRange = LogRange.all): DataFrame = {
     throwIfClosed(); count("stream")
-    mappedStream(r)
+    observed(mappedStream(r), "stream")
   }
 
   def append(payload: DataFrame): Long = {
@@ -285,6 +321,7 @@ final class FlumeDb(
     try {
       if (!closed) {
         closed = true
+        log.spark.listenerManager.unregister(recordListener)
         val it = views.values().iterator()
         while (it.hasNext) it.next().view.close()
         log.close()
@@ -294,4 +331,8 @@ final class FlumeDb(
   }
 
   def isClosed: Boolean = closed
+}
+
+object FlumeDb {
+  private val dbIds = new AtomicLong()
 }

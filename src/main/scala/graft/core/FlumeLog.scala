@@ -98,14 +98,17 @@ trait FlumeLog {
 
   /** The log as an unbounded stream — flume's `stream({live: true})`
     * (`/root/reference/README.md:133`): emits existing entries, then new
-    * appends as they land. Default: the seq-offset micro-batch source
-    * (record-granular offsets); [[ParquetLog]] overrides with the file
-    * streaming source for cluster deployments. */
-  def readStream: DataFrame = {
-    val id = graft.streaming.LogStreamRegistry.register(this)
-    spark.readStream.format("graft.streaming.LogStreamProvider")
-      .option("logId", id).load()
-  }
+    * appends as they land. No default: [[MemoryLog]] uses the seq-offset
+    * micro-batch source (record-granular offsets; its planner collects
+    * the delta, which is only sane for a driver-resident log) and
+    * [[ParquetLog]] the file streaming source. A log without a
+    * partition-planned source must throw rather than inherit a planner
+    * that would materialize the table on the driver — at 100 TB that is
+    * a cluster-killer, not a fallback. */
+  def readStream: DataFrame =
+    throw new UnsupportedOperationException(
+      s"${getClass.getSimpleName} has no streaming source; use ParquetLog (file source) " +
+        "or MemoryLog (seq-offset source) for live tailing")
 }
 
 /** Read-only log view over an existing ordered table (e.g. the driver's
@@ -284,6 +287,15 @@ class MemoryLog(
 
   private val fullSchema = StructType(StructField(seqCol, LongType, nullable = false) +: payloadSchema.fields)
   private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+
+  /** Seq-offset micro-batch source: offsets are seq-granular and each
+    * micro-batch is planned from the driver-resident buffer — exactly the
+    * right shape for an in-memory log (and only for one). */
+  override def readStream: DataFrame = {
+    val id = graft.streaming.LogStreamRegistry.register(this)
+    spark.readStream.format("graft.streaming.LogStreamProvider")
+      .option("logId", id).load()
+  }
 
   override def since: Long = synchronized { buf.size.toLong - 1 }
 

@@ -104,6 +104,13 @@ class LogBatch(logId: String, schema: StructType, gt: Option[Long], lte: Option[
 object LogBatch {
   def plan(log: FlumeLog, schema: StructType, gt: Option[Long], lte: Option[Long]): Array[InputPartition] = {
     import org.apache.spark.sql.functions.col
+    // This planner collects the delta to the driver — correct only for a
+    // log whose data is already driver-resident. Anything table-backed
+    // must use a partition-planned source (ParquetLog's file source);
+    // materializing a 100 TB table here would be a silent scale-killer.
+    require(log.isInstanceOf[graft.core.MemoryLog],
+      s"seq-offset source only plans MemoryLog deltas; ${log.getClass.getSimpleName} " +
+        "must provide a partition-planned streaming source")
     var df = log.read
     gt.foreach(v => df = df.where(col(log.seqCol) > v))
     lte.foreach(v => df = df.where(col(log.seqCol) <= v))

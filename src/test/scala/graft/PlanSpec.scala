@@ -84,6 +84,17 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("Aggregate"), s"expected aggregate-based plan:\n${s.take(2000)}")
   }
 
+  test("record-count observation does not block pruning/pushdown on db reads") {
+    import graft.core.{FlumeDb, TableLog}
+    val db = new FlumeDb(new TableLog(spark,
+      spark.read.parquet(s"$dir/events.parquet"), "event_id"))
+    val df = db.stream().select("event_id")
+    df.collect()
+    val s = df.queryExecution.toString
+    assert(s.contains("ReadSchema: struct<event_id:bigint>"),
+      s"projection must prune through the CollectMetrics node:\n${s.take(2000)}")
+  }
+
   test("knn top-k does not shuffle the corpus (TakeOrderedAndProject over scan)") {
     val df = graft.ops.Similarity.knnForVector(
       spark.read.parquet(s"$dir/embeddings.parquet"),

@@ -168,4 +168,45 @@ class FlumeDbSpec extends SparkSpec {
     assert(db.meta("stream").get() === 2L)
     assert(db.meta("get").get() === 1L)
   }
+
+  test("meta counts records pulled through stream/get (wrap.js:74-76)") {
+    val (log, db) = mkDb()
+    log.appendRows(Seq(Row(1L), Row(2L), Row(3L)))
+    db.stream().collect()
+    db.get(1L).collect()
+    // record counts land via the (async) query-execution listener
+    def poll(key: String, want: Long): Long = {
+      val deadline = System.currentTimeMillis() + 15000
+      while (System.currentTimeMillis() < deadline &&
+        !db.meta.get(key).exists(_.get() == want)) Thread.sleep(50)
+      db.meta.get(key).map(_.get()).getOrElse(-1L)
+    }
+    assert(poll("stream.records", 3L) === 3L, "full scan pulled 3 records")
+    assert(poll("get.records", 1L) === 1L, "point get pulled 1 record")
+    db.stream(LogRange(lte = Some(1L))).collect() // bounded scan: 2 more
+    assert(poll("stream.records", 5L) === 5L, "record counter accumulates per record, not per call")
+  }
+
+  test("throwing mapper errors the read instead of hanging (memlog-map.js:120-131)") {
+    val boom = udf { x: Long =>
+      if (x >= 0) throw new RuntimeException("mapper boom"); x
+    }
+    val mapper: DataFrame => DataFrame = df => df.withColumn("foo", boom(col("foo")))
+    val (_, db) = mkDb(mapper = Some(mapper))
+    db.use("sum", SumReduceView("foo"))
+    // the append's synchronous view sync hits the mapper error (absorb +
+    // the destroy/replay retry both fail) and must surface it
+    val ex = intercept[Exception] {
+      db.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(1L))), schema))
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: rootMessages(e.getCause))
+    assert(rootMessages(ex).exists(m => m != null && m.contains("mapper boom")),
+      s"mapper error must propagate, got: $ex")
+    assert(db.view("sum").lastError.isDefined)
+    // the gated read then times out at the stale cursor — an error, not a hang
+    intercept[java.util.concurrent.TimeoutException] {
+      db.awaitView("sum", timeoutMs = 1500)
+    }
+  }
 }

@@ -172,6 +172,18 @@ class StreamingSpec extends SparkSpec {
     assert(seqsOnly.columns.toSeq === Seq("seq"), "seqs-only live stream skips the mapper")
   }
 
+  test("TableLog has no streaming source (guards the driver-collect scale trap)") {
+    import org.apache.spark.sql.functions.lit
+    val table = spark.range(5).toDF("event_id").withColumn("v", lit(1.0))
+    val tlog = new TableLog(spark, table, "event_id")
+    intercept[UnsupportedOperationException] { tlog.readStream }
+    intercept[UnsupportedOperationException] { tlog.stream(LogRange(live = true)) }
+    // and the collect planner itself refuses non-memory logs
+    intercept[IllegalArgumentException] {
+      LogBatch.plan(tlog, table.schema, None, None)
+    }
+  }
+
   test("streaming session windows group gap-separated activity per key") {
     val evSchema = StructType(Seq(
       StructField("user", LongType), StructField("ts", TimestampType)))
