@@ -233,43 +233,44 @@ final class ParquetLog(
 
   override def append(payload: DataFrame): Long = synchronized {
     val base = cursor
-    // Contiguous seq assignment in ONE scan of the payload, staying
-    // columnar: `monotonically_increasing_id` stamps (partitionId << 33 |
-    // rowInPartition) as a narrow projection; a tiny per-partition count
-    // aggregate (one row per partition to the driver) yields the offset
-    // each partition's seqs start at; a broadcast join adds the offset
-    // back. The stamped frame is persisted so the counts job and the
-    // write read the same evaluation — a non-deterministic payload can't
-    // disagree with the counted n, and a 100 TB ingest batch is scanned
-    // once, not three times (zipWithIndex + count + write previously).
-    val stamped = payload.withColumn("__mid", monotonically_increasing_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    require(payload.schema.fieldNames.toSet == payloadSchema.fieldNames.toSet,
+      s"append payload columns ${payload.schema.fieldNames.mkString(",")} " +
+        s"must match the log schema ${payloadSchema.fieldNames.mkString(",")}")
+    // Contiguous seq assignment with no shuffle and no join: cache the
+    // payload rows once (partition order pins the batch's row order), pull
+    // ONE tiny count per partition to the driver, and stamp each
+    // partition's seqs from a driver-held offset map via
+    // mapPartitionsWithIndex. Caching greatly narrows (but cannot close —
+    // lost-block recompute) the window where a non-deterministic payload
+    // could disagree between the count pass and the write, and it means
+    // the payload is evaluated once, not twice. The cost is staging the
+    // batch in cache: for an ingest batch too big to stage, accept the
+    // two-scan recompute path by appending in bounded slices instead.
+    val aligned = payload.select(payloadSchema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
+    val rows = aligned.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val parts = stamped
-        .groupBy(shiftright(col("__mid"), 33).as("__pid"))
-        .agg(count(lit(1)).as("__n"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-      val n = parts.map(_._2).sum
+      val counts = rows
+        .mapPartitionsWithIndex((pid, it) => {
+          var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator((pid, n))
+        }, preservesPartitioning = true)
+        .collect().sortBy(_._1)
+      val n = counts.map(_._2).sum
       if (n > 0) {
         var acc = 0L
-        val offsets = parts.map { case (pid, cnt) => val o = (pid, acc); acc += cnt; o }
-        val offDf = payload.sparkSession.createDataFrame(offsets.toIndexedSeq)
-          .toDF("__pid", "__off")
-        val mask = (1L << 33) - 1
-        val withSeq = stamped
-          .withColumn("__pid", shiftright(col("__mid"), 33))
-          .join(broadcast(offDf), "__pid")
-          .withColumn(seqCol,
-            lit(base + 1L) + col("__off") + col("__mid").bitwiseAND(lit(mask)))
-          .select((seqCol +: payloadSchema.fieldNames.toSeq).map(col): _*)
+        val offsets = counts.map { case (pid, cnt) => val o = (pid, acc); acc += cnt; o }.toMap
+        val stamped = rows.mapPartitionsWithIndex { (pid, it) =>
+          var s = base + 1L + offsets(pid)
+          it.map { r => val out = Row.fromSeq(s +: r.toSeq); s += 1; out }
+        }
+        val withSeq = spark.createDataFrame(stamped, fullSchema)
         if (bucketed)
-          withSeq.withColumn(bucketCol, expr(s"$seqCol div $bucketSize"))
+          withSeq.withColumn(bucketCol, expr(s"`$seqCol` div $bucketSize"))
             .write.partitionBy(bucketCol).mode("append").parquet(dir)
         else withSeq.write.mode("append").parquet(dir)
         cursor = base + n
       }
       cursor
-    } finally stamped.unpersist(blocking = false)
+    } finally rows.unpersist(blocking = false)
   }
 
   /** Convenience: append payload rows built on the driver. */

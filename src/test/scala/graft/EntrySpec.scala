@@ -22,16 +22,18 @@ class EntrySpec extends SparkSpec {
   }
 
   test("every query output is sortable scalars (driver compare sorts+hashes rows)") {
-    // The driver's pandas compare sorts every column; an array/map/struct
-    // column makes the sort throw and voids the whole query's check.
-    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    // The driver's pandas compare sorts every column; whitelist the atomic
+    // types known to sort/hash cleanly there — anything else (array, map,
+    // struct, interval, ...) voids the whole query's check.
+    import org.apache.spark.sql.types._
+    val sortable: Set[DataType] = Set(
+      BooleanType, ByteType, ShortType, IntegerType, LongType,
+      FloatType, DoubleType, StringType, BinaryType, DateType, TimestampType)
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
       fn(spark, dir).schema.fields.foreach { f =>
-        assert(!f.dataType.isInstanceOf[ArrayType] &&
-               !f.dataType.isInstanceOf[MapType] &&
-               !f.dataType.isInstanceOf[StructType],
-          s"$name column '${f.name}' is non-scalar ${f.dataType.simpleString}")
+        assert(sortable.contains(f.dataType) || f.dataType.isInstanceOf[DecimalType],
+          s"$name column '${f.name}' is not a known-sortable scalar: ${f.dataType.simpleString}")
       }
     }
   }
