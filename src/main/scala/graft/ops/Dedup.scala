@@ -139,7 +139,10 @@ object Dedup {
     // projection collapse inlines the shingle pipeline into all `perms`
     // lambdas (a 64× recompute), and the self-join would recompute the
     // whole signature stage per side. At cluster scale these would be
-    // stored signature tables; locally persist() plays that role.
+    // stored signature tables; locally persist() plays that role. The
+    // persists are released before returning (the small pair table is
+    // checkpointed first), so repeated invocations don't accumulate
+    // cached blocks for the session lifetime.
     val hashed = docs
       .select(col(idCol).as("id"), hashedShinglesUdf(3)(col(textCol)).as("hs"))
       .where(size(col("hs")) > 0)
@@ -167,27 +170,36 @@ object Dedup {
     val cand = l.join(r, Seq("band", "bandhash")).where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    if (verifyExact) {
-      // exact Jaccard on the true shingle sets of candidates only — the
-      // LSH narrows, the verify is authoritative (no estimator variance)
-      cand
-        .join(hashed.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
-        .join(hashed.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
-        .withColumn("est_jaccard",
-          round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
-            size(array_union(col("hs_a"), col("hs_b"))).cast("double"), 4))
-        .where(col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
-    } else {
-      cand
-        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-        .withColumn("est_jaccard",
-          round(size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
-            .cast("double") / lit(perms.toDouble), 4))
-        .where(col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
-    }
+    val pairs =
+      if (verifyExact) {
+        // exact Jaccard on the true shingle sets of candidates only — the
+        // LSH narrows, the verify is authoritative (no estimator variance)
+        cand
+          .join(hashed.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+          .join(hashed.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+          .withColumn("est_jaccard",
+            round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+              size(array_union(col("hs_a"), col("hs_b"))).cast("double"), 4))
+          .where(col("est_jaccard") >= threshold)
+          .select("id_a", "id_b", "est_jaccard")
+      } else {
+        cand
+          .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+          .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+          .withColumn("est_jaccard",
+            round(size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
+              .cast("double") / lit(perms.toDouble), 4))
+          .where(col("est_jaccard") >= threshold)
+          .select("id_a", "id_b", "est_jaccard")
+      }
+    // Materialize the (small) pair table eagerly, then release the big
+    // cached frames — its blocks are cleaned by the context cleaner once
+    // the caller drops the result, unlike persist()'d plans which the
+    // shared cache manager pins forever.
+    val out = pairs.localCheckpoint(true)
+    hashed.unpersist(blocking = false)
+    sigs.unpersist(blocking = false)
+    out
   }
 
   /** 64-bit SimHash of the token stream: sign of the per-bit weighted sum
@@ -271,12 +283,16 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
 
-    shared
+    val pairs = shared
       .join(counts.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
       .join(counts.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4).as("jaccard"))
       .where(col("jaccard") >= threshold)
+    // eager pair table, then release the cached postings (see minhashLsh)
+    val out = pairs.localCheckpoint(true)
+    sh.unpersist(blocking = false)
+    out
   }
 
   /** Embedding-cosine near-duplicates: random-hyperplane LSH signature →

@@ -247,6 +247,13 @@ object IndexView {
 final class HashtableView(keyCol: String, seqCol: String) extends FlumeView {
   @volatile private var state: Option[DataFrame] = None
   @volatile private var sinceSeq: Long = -1L
+  @volatile private var absorbsSinceCompact: Int = 0
+
+  /** Upserts nest `latest(state ∪ delta)` per absorbed batch, so plan
+    * depth (and planning time) would grow linearly with appends; every
+    * `compactEvery` absorbs a localCheckpoint materializes the table and
+    * truncates the lineage, same discipline as [[FrameView.compact]]. */
+  private def compactEvery: Int = 8
 
   private def latest(df: DataFrame): DataFrame = {
     val payload = struct(df.columns.filter(_ != keyCol).map(col).toIndexedSeq: _*)
@@ -263,13 +270,18 @@ final class HashtableView(keyCol: String, seqCol: String) extends FlumeView {
     val d = latest(entries)
     state = Some(state.fold(d)(s => latest(s.unionByName(d))))
     sinceSeq = upto
+    absorbsSinceCompact += 1
+    if (absorbsSinceCompact >= compactEvery) {
+      state = state.map(_.localCheckpoint(true))
+      absorbsSinceCompact = 0
+    }
   }
 
   def get(key: Any): DataFrame =
     state.map(_.where(col(keyCol) === lit(key)))
       .getOrElse(throw new IllegalStateException("hashtable empty"))
 
-  def destroy(): Unit = { state = None; sinceSeq = -1L }
+  def destroy(): Unit = { state = None; sinceSeq = -1L; absorbsSinceCompact = 0 }
 }
 
 object HashtableView {
