@@ -400,7 +400,16 @@ object SparkEntry {
       Dedup.simhashDedup(docsWithNearDups(s, dir), maxHamming = 3)
         .orderBy("id_a", "id_b")),
     "q_dedup_ngram" -> ((s, dir) =>
+      // LSH-candidates + exact-verify path (linear in docs); parity with
+      // exhaustive = true is asserted in OpsSpec and against the DuckDB
+      // exact-Jaccard oracle
       Dedup.ngramJaccard(docsWithNearDups(s, dir), threshold = 0.5, maxDocFreq = 1000)
+        .orderBy("id_a", "id_b")),
+    "q_dedup_verified" -> ((s, dir) =>
+      // LSH candidate generation at 32 bands × 2 rows, authoritative
+      // exact-Jaccard verify: output is exactly the ≥-threshold pairs
+      Dedup.minhashLsh(docsWithNearDups(s, dir), bands = 32, threshold = 0.6,
+          maxBucket = 1000, verifyExact = true)
         .orderBy("id_a", "id_b")),
     "q_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDup(embWithNearDups(s, dir), threshold = 0.95)
@@ -538,6 +547,26 @@ object SparkEntry {
       "SELECT user_id, seq, last_click_seq FROM (SELECT user_id, event_id AS seq, event_type, coalesce(max(CASE WHEN event_type = 'click' THEN event_id END) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS last_click_seq FROM events WHERE event_type IN ('click', 'purchase')) WHERE event_type = 'purchase' ORDER BY seq",
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS copies FROM documents GROUP BY text ORDER BY keep_id",
+    "q_dedup_ngram" ->
+      ("WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, regexp_replace(text, '^\\S+\\s+', '') FROM documents), " +
+        "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM corpus), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(tk) = 0 THEN [] WHEN len(tk) < 3 THEN list_distinct(tk) ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sh FROM toks), " +
+        "counts AS (SELECT doc_id, len(sh) AS n FROM sh WHERE len(sh) > 0), " +
+        "inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM inv a JOIN inv b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, round(inter::DOUBLE / (ca.n + cb.n - inter), 4) AS jaccard " +
+        "FROM pairs JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b " +
+        "WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.5 ORDER BY id_a, id_b"),
+    "q_dedup_verified" ->
+      ("WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, regexp_replace(text, '^\\S+\\s+', '') FROM documents), " +
+        "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM corpus), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(tk) = 0 THEN [] WHEN len(tk) < 3 THEN list_distinct(tk) ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sh FROM toks), " +
+        "counts AS (SELECT doc_id, len(sh) AS n FROM sh WHERE len(sh) > 0), " +
+        "inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM inv a JOIN inv b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, round(inter::DOUBLE / (ca.n + cb.n - inter), 4) AS est_jaccard " +
+        "FROM pairs JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b " +
+        "WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.6 ORDER BY id_a, id_b"),
     "q_knn_cosine" ->
       "SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q WHERE e.vec_id <> 0 ORDER BY cos DESC, e.vec_id LIMIT 10",
     "q_knn_batch" ->

@@ -134,7 +134,6 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 64,
       verifyExact: Boolean = false): DataFrame = {
-    val rows = perms / bands
     // Materialization barriers matter here: without them Catalyst's
     // projection collapse inlines the shingle pipeline into all `perms`
     // lambdas (a 64× recompute), and the self-join would recompute the
@@ -151,24 +150,7 @@ object Dedup {
       .select(col("id"), minhashOph(perms)(col("hs")).as("sig"))
       .persist()
 
-    val banded = sigs.select(
-      col("id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(concat_ws(",", transform(slice(col("sig"), b * rows + 1, rows), _.cast("string"))))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
-
-    val capped = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bandhash")))
-      .where(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-
-    // Candidate ids only through the join + distinct (8-byte keys on the
-    // wire); signatures re-attached afterwards from the cached table.
-    val l = capped.select(col("band"), col("bandhash"), col("id").as("id_a"))
-    val r = capped.select(col("band"), col("bandhash"), col("id").as("id_b"))
-    val cand = l.join(r, Seq("band", "bandhash")).where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val cand = lshCandidates(sigs, perms, bands, maxBucket)
 
     val pairs =
       if (verifyExact) {
@@ -200,6 +182,37 @@ object Dedup {
     hashed.unpersist(blocking = false)
     sigs.unpersist(blocking = false)
     out
+  }
+
+  /** Banded-LSH candidate pairs from a signature table `(id, sig:
+    * array<long>)`: each signature is cut into `bands` row-groups hashed
+    * to an 8-byte band key; candidates are ids sharing any (band, key)
+    * bucket. The self-join — the only shuffle — moves 8-byte keys, never
+    * documents or signatures. `maxBucket` caps degenerate buckets
+    * (boilerplate-heavy corpora) so no bucket can go quadratic: capped
+    * buckets are dropped, trading recall for bounded cost. */
+  private def lshCandidates(sigs: DataFrame, perms: Int, bands: Int, maxBucket: Int): DataFrame = {
+    val rows = perms / bands
+    val banded = sigs.select(
+      col("id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(concat_ws(",", transform(slice(col("sig"), b * rows + 1, rows), _.cast("string"))))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
+
+    val capped =
+      if (maxBucket == Int.MaxValue) banded // uncapped: skip the window shuffle
+      else banded
+        .withColumn("bucket_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "bandhash")))
+        .where(col("bucket_n") <= maxBucket)
+        .drop("bucket_n")
+
+    // Candidate ids only through the join + distinct (8-byte keys on the
+    // wire); shingles/signatures re-attached afterwards from cache.
+    val l = capped.select(col("band"), col("bandhash"), col("id").as("id_a"))
+    val r = capped.select(col("band"), col("bandhash"), col("id").as("id_b"))
+    l.join(r, Seq("band", "bandhash")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
   }
 
   /** 64-bit SimHash of the token stream: sign of the per-bit weighted sum
@@ -251,44 +264,76 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
-    * explode shingles → self-join on shingle → shared-shingle counts are
-    * the intersection; union size from per-doc shingle counts. DF-filter
-    * `maxDocFreq` drops boilerplate shingles (the skew guard — a shingle
-    * in 10k docs would otherwise emit 10k² join rows). */
+  /** Exact n-gram Jaccard near-dup pairs.
+    *
+    * Default path (`exhaustive = false`) is LSH-candidates + exact
+    * verify: banded-minhash buckets generate candidate pairs (the same
+    * shared join as [[minhashLsh]] — shuffle on 8-byte band keys), and
+    * the reported Jaccard is computed exactly on the true shingle sets of
+    * candidates only. With 2 signature rows per band a true pair at the
+    * 0.5 threshold is missed with probability (1 − 0.5²)³² ≈ 1e-4, and
+    * near-dup corpora cluster well above threshold (every observed
+    * fixture pair ≥ 0.7 ⇒ miss ≤ 4e-10) — while candidate volume stays
+    * linear in documents instead of quadratic in hot postings.
+    *
+    * `exhaustive = true` keeps the inverted-index self-join: explode
+    * shingles → self-join on shingle → shared counts are the
+    * intersection. Guaranteed-exact recall, but pair generation is
+    * quadratic inside hot postings; DF-filter `maxDocFreq` drops
+    * boilerplate shingles (the skew guard — a shingle in 10k docs would
+    * otherwise emit 10k² join rows). */
   def ngramJaccard(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       w: Int = 3,
       threshold: Double = 0.5,
-      maxDocFreq: Int = 100): DataFrame = {
+      maxDocFreq: Int = 100,
+      exhaustive: Boolean = false,
+      perms: Int = 64,
+      bands: Int = 32): DataFrame = {
     // Posting keys are 8-byte shingle hashes, not the shingle strings —
-    // the self-join shuffle moves longs, not text. Collisions only
-    // perturb counts at ~2^-64, irrelevant for a 0-1 Jaccard.
+    // all shuffles move longs, not text. Collisions only perturb counts
+    // at ~2^-64, irrelevant for a 0-1 Jaccard.
     val sh = docs.select(col(idCol).as("id"), hashedShinglesUdf(w)(col(textCol)).as("sh"))
       .where(size(col("sh")) > 0)
       .persist()
-    val counts = sh.select(col("id"), size(col("sh")).as("n"))
-    val inv = sh.select(col("id"), explode(col("sh")).as("shingle"))
-    // document-frequency filter as a count-over-partition window: ONE
-    // shuffle of the posting list (an aggregate + semi-join formulation
-    // shuffles it twice and measured ~30% slower)
-    val rare = inv.withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-      .where(col("df") <= maxDocFreq).drop("df")
 
-    val shared = rare.select(col("shingle"), col("id").as("id_a"))
-      .join(rare.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
-      .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val pairs =
+      if (exhaustive) {
+        val counts = sh.select(col("id"), size(col("sh")).as("n"))
+        val inv = sh.select(col("id"), explode(col("sh")).as("shingle"))
+        // document-frequency filter as a count-over-partition window: ONE
+        // shuffle of the posting list (an aggregate + semi-join
+        // formulation shuffles it twice and measured ~30% slower)
+        val rare = inv.withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+          .where(col("df") <= maxDocFreq).drop("df")
 
-    val pairs = shared
-      .join(counts.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
-      .join(counts.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+        val shared = rare.select(col("shingle"), col("id").as("id_a"))
+          .join(rare.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
+          .where(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+
+        shared
+          .join(counts.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+          .join(counts.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4).as("jaccard"))
+          .where(col("jaccard") >= threshold)
+      } else {
+        // maxDocFreq plays the same role the bucket cap plays in
+        // minhashLsh: it bounds the quadratic inside any degenerate
+        // band bucket (boilerplate-heavy corpora)
+        val sigs = sh.select(col("id"), minhashOph(perms)(col("sh")).as("sig"))
+        lshCandidates(sigs, perms, bands, maxBucket = maxDocFreq)
+          .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+          .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4).as("jaccard"))
+          .where(col("jaccard") >= threshold)
+      }
     // eager pair table, then release the cached postings (see minhashLsh)
     val out = pairs.localCheckpoint(true)
     sh.unpersist(blocking = false)

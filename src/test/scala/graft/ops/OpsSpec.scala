@@ -46,6 +46,16 @@ class OpsSpec extends SparkSpec {
     assert(pairs.forall(r => r.getAs[Double]("jaccard") >= 0.5 && r.getAs[Double]("jaccard") <= 1.0))
   }
 
+  test("ngram jaccard: LSH-candidate path equals the exhaustive inverted index") {
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val lsh = Dedup.ngramJaccard(docsND, threshold = 0.5, maxDocFreq = 10000)
+      .collect().map(key).toSet
+    val ex = Dedup.ngramJaccard(docsND, threshold = 0.5, maxDocFreq = 10000, exhaustive = true)
+      .collect().map(key).toSet
+    assert(lsh === ex,
+      s"onlyLsh=${(lsh -- ex).take(5)} onlyExhaustive=${(ex -- lsh).take(5)}")
+  }
+
   test("knn cosine: scaled copy of the query vector ranks first") {
     val q = emb.where(col("vec_id") === 7).head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
     val top = Similarity.knnForVector(emb, q, 3).collect()
