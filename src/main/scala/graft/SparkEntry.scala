@@ -441,11 +441,20 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents")).orderBy("doc_id")),
     "q_multimodal_features" -> ((s, dir) =>
-      // The raw feature vector is reduced to hash-stable scalars (the
-      // driver's compare sorts/hashes rows, which an array column breaks):
-      // byte count, a 64-bit digest of the whole vector, and its head.
+      // The DuckDB-expressible half of the multimodal pipeline: id,
+      // modality routing, and payload byte count are all derivable from
+      // the synthetic fixture, so this row is fully oracle-backed. The
+      // decoder-derived features live in q_multimodal_embed (rows-only —
+      // the stub decoder has no SQL analog).
       Multimodal.extractFeatures(Multimodal.syntheticMedia(t(s, dir, "documents")))
-        .select(col("media_id"), col("modality"), col("n_bytes"),
+        .select(col("media_id"), col("modality"), col("n_bytes"))
+        .orderBy("media_id")),
+    "q_multimodal_embed" -> ((s, dir) =>
+      // Decoder-output check, reduced to hash-stable scalars (the
+      // driver's compare sorts/hashes rows, which an array column
+      // breaks): a 64-bit digest of the feature vector and its head.
+      Multimodal.extractFeatures(Multimodal.syntheticMedia(t(s, dir, "documents")))
+        .select(col("media_id"),
           xxhash64(col("features")).as("feat_hash"),
           round(element_at(col("features"), 1).cast("double"), 4).as("feat0"))
         .orderBy("media_id")),
@@ -577,6 +586,9 @@ object SparkEntry {
       "SELECT lang, sum(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')))::BIGINT AS n_tokens, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang",
     "q_lang_id" ->
       "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> t <> '') AS tk FROM documents), h AS (SELECT doc_id, len(list_filter(tk, t -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','den'], t))) AS h_de, len(list_filter(tk, t -> list_contains(['the','and','of','to','in','is','that','for','with','as'], t))) AS h_en, len(list_filter(tk, t -> list_contains(['el','la','los','las','es','y','en','que','una','por'], t))) AS h_es, len(list_filter(tk, t -> list_contains(['le','la','les','et','est','pas','des','une','que','pour'], t))) AS h_fr, len(list_filter(tk, t -> list_contains(['de','shi','le','zai','you','wo','ta','men','zhe','bu'], t))) AS h_zh FROM toks), u AS (SELECT doc_id, unnest([struct_pack(h := h_de, l := 'de'), struct_pack(h := h_en, l := 'en'), struct_pack(h := h_es, l := 'es'), struct_pack(h := h_fr, l := 'fr'), struct_pack(h := h_zh, l := 'zh')]) AS x FROM h) SELECT doc_id, pred_lang FROM (SELECT doc_id, x.l AS pred_lang, row_number() OVER (PARTITION BY doc_id ORDER BY x.h DESC, x.l DESC) AS rn FROM u) WHERE rn = 1 ORDER BY doc_id",
+    "q_multimodal_features" ->
+      ("SELECT doc_id AS media_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality, " +
+        "octet_length(encode(text))::BIGINT AS n_bytes FROM documents ORDER BY media_id"),
     "q_quality_score" ->
       "SELECT doc_id, round(least(n::DOUBLE / 50.0, 1.0) * 0.4 + least((stop_hits::DOUBLE / greatest(n::DOUBLE, 1.0)) * 5.0, 1.0) * 0.4 + greatest(1.0 - punct * 4.0, 0.0) * 0.2, 4) AS quality FROM (SELECT doc_id, len(toks) AS n, len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t))) AS stop_hits, length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS punct FROM (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks FROM documents)) ORDER BY doc_id"
   )

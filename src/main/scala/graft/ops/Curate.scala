@@ -17,7 +17,13 @@ object Curate {
     * Stages: quality floor → exact dedup (keep lowest doc_id per
     * identical content) → MinHash near-dedup (drop the higher id of
     * every near-pair at `nearThreshold` estimated Jaccard).
-    */
+    *
+    * The text is read ONCE for features: quality score, content hash and
+    * hashed shingles are computed in a single fused pass into a cached
+    * per-doc feature table (8 bytes + shingle hashes per doc — the text
+    * itself is NOT cached), and every stage filters/joins on that table.
+    * The final semi-join re-reads the source for the surviving text — at
+    * 100 TB, two columnar scans beat staging the corpus in cache. */
   def curate(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -27,14 +33,31 @@ object Curate {
       verifyExact: Boolean = false): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
 
-    val q = TextAnalysis.qualityScore(base)
-    val qualified = base.join(q.where(col("quality") >= minQuality).select("doc_id"), Seq("doc_id"), "left_semi")
+    val feats = base.select(
+        col("doc_id"),
+        TextAnalysis.qualityCol(col("text")).as("quality"),
+        xxhash64(col("text")).as("content_hash"),
+        Dedup.hashedShinglesCol(col("text")).as("hs"))
+      .persist()
 
-    val exactKeep = Dedup.exact(qualified).select(col("keep_id").as("doc_id"))
+    val qualified = feats.where(col("quality") >= minQuality)
+
+    // exact dedup: one hash-aggregate over the precomputed content hash
+    val exactKeep = qualified.groupBy("content_hash").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
     val exactKept = qualified.join(exactKeep, Seq("doc_id"), "left_semi")
 
-    val nearPairs = Dedup.minhashLsh(exactKept, threshold = nearThreshold, verifyExact = verifyExact)
+    // near-dedup on survivors, shingles reused from the feature table
+    val nearPairs = Dedup.minhashLshFromShingles(
+      exactKept.select(col("doc_id").as("id"), col("hs")).where(size(col("hs")) > 0),
+      threshold = nearThreshold, verifyExact = verifyExact)
     val nearDrop = nearPairs.select(col("id_b").as("doc_id")).distinct()
-    exactKept.join(nearDrop, Seq("doc_id"), "left_anti")
+
+    // surviving ids are small — checkpoint them, release the feature
+    // cache, and hand back a clean lazy semi-join against the source
+    val keptIds = exactKept.select("doc_id").join(nearDrop, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    feats.unpersist(blocking = false)
+    base.join(keptIds, Seq("doc_id"), "left_semi")
   }
 }

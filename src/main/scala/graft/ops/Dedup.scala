@@ -42,6 +42,10 @@ object Dedup {
     * split-regex → array<string> → concat_ws → xxhash64, and at 100 TB it
     * is the difference between one scan of the text bytes and four
     * materializations of them. Returns the distinct shingle-hash set. */
+  /** [[hashedShinglesUdf]] as a composable column, for pipelines that
+    * fuse shingling with other per-doc features in one text pass. */
+  def hashedShinglesCol(text: Column, w: Int = 3): Column = hashedShinglesUdf(w)(text)
+
   private def hashedShinglesUdf(w: Int) = udf { text: String =>
     if (text == null) Seq.empty[Long]
     else {
@@ -146,6 +150,23 @@ object Dedup {
       .select(col(idCol).as("id"), hashedShinglesUdf(3)(col(textCol)).as("hs"))
       .where(size(col("hs")) > 0)
       .persist()
+    val out = minhashLshFromShingles(hashed, perms, bands, threshold, maxBucket, verifyExact)
+    hashed.unpersist(blocking = false)
+    out
+  }
+
+  /** [[minhashLsh]] over a precomputed shingle table `(id, hs:
+    * array<long>)` — lets pipelines that already paid the text pass
+    * (e.g. [[Curate]]) reuse it. `hashed` should be persisted (or a
+    * stored table); the per-doc shingle sets are read twice: once for
+    * signatures, once to re-attach for verification. */
+  def minhashLshFromShingles(
+      hashed: DataFrame,
+      perms: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucket: Int = 64,
+      verifyExact: Boolean = false): DataFrame = {
     val sigs = hashed
       .select(col("id"), minhashOph(perms)(col("hs")).as("sig"))
       .persist()
@@ -177,9 +198,9 @@ object Dedup {
     // Materialize the (small) pair table eagerly, then release the big
     // cached frames — its blocks are cleaned by the context cleaner once
     // the caller drops the result, unlike persist()'d plans which the
-    // shared cache manager pins forever.
+    // shared cache manager pins forever. `hashed` is caller-owned and
+    // stays cached until the caller releases it.
     val out = pairs.localCheckpoint(true)
-    hashed.unpersist(blocking = false)
     sigs.unpersist(blocking = false)
     out
   }

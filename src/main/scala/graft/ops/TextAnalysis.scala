@@ -39,23 +39,26 @@ object TextAnalysis {
 
   private val enStop = Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
 
-  /** Heuristic quality score in [0,1]: rewards mid-length documents, a
-    * plausible stopword rate and low punctuation density — the standard
-    * cheap pre-filter stack (C4/Gopher-style rules) expressed as one
-    * codegen-friendly arithmetic column. */
-  def qualityScore(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
+  /** Heuristic quality score in [0,1] as a composable column: rewards
+    * mid-length documents, a plausible stopword rate and low punctuation
+    * density — the standard cheap pre-filter stack (C4/Gopher-style
+    * rules) expressed as one codegen-friendly arithmetic column, so
+    * pipelines (e.g. [[Curate]]) can fuse it into a single pass over the
+    * text alongside other per-doc features. */
+  def qualityCol(text: Column): Column = {
+    val toks = tokens(text)
     val nTok = size(toks).cast("double")
     val stopHits = size(filter(toks, t => t.isin(enStop: _*))).cast("double")
-    val punct = length(regexp_replace(col(textCol), "[A-Za-z0-9\\s]", "")).cast("double") /
-      greatest(length(col(textCol)), lit(1)).cast("double")
+    val punct = length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
     val lenScore = least(nTok / lit(50.0), lit(1.0))                       // too short = low quality
     val stopScore = least(stopHits / greatest(nTok, lit(1.0)) * lit(5.0), lit(1.0)) // ~20%+ stopwords saturates
     val punctScore = greatest(lit(1.0) - punct * lit(4.0), lit(0.0))      // >25% punctuation zeroes it
-    docs.select(
-      col(idCol),
-      round((lenScore * lit(0.4) + stopScore * lit(0.4) + punctScore * lit(0.2)), 4).as("quality"))
+    round(lenScore * lit(0.4) + stopScore * lit(0.4) + punctScore * lit(0.2), 4)
   }
+
+  def qualityScore(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), qualityCol(col(textCol)).as("quality"))
 
   private val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "as"),
