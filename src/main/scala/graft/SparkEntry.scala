@@ -67,6 +67,17 @@ object SparkEntry {
       transform(col("embedding"), x => (x * lit(1.001)).cast("float")).as("embedding")))
   }
 
+  /** Stored IVF index over the embeddings table (built once per scale
+    * factor through the view framework; probing is partition pruning). */
+  private val ivfViews = scala.collection.concurrent.TrieMap.empty[String, IVFIndexView]
+  private def ivfIndex(s: SparkSession, dir: String): IVFIndexView =
+    ivfViews.getOrElseUpdate(dir, {
+      val db = new FlumeDb(new TableLog(s, t(s, dir, "embeddings"), "vec_id"))
+      val vdir = java.nio.file.Files.createTempDirectory("graftivf").toString
+      db.use("ivf", IVFIndexView(vdir))
+      db.gated("ivf")(_.asInstanceOf[IVFIndexView])
+    })
+
   private def queryVec(s: SparkSession, dir: String, id: Long): Seq[Float] =
     t(s, dir, "embeddings").where(col("vec_id") === id)
       .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
@@ -309,8 +320,10 @@ object SparkEntry {
                ORDER BY et, ub""")
     }),
     "q_ann_ivf" -> ((s, dir) =>
-      Similarity.ivfSearch(t(s, dir, "embeddings"), queryVec(s, dir, 0L), 10,
-          nCentroids = 16, nProbe = 4, excludeId = Some(0L))
+      // stored-cell IVF: the cell column is a parquet partition column,
+      // so the nProbe probe is directory pruning, not a recomputed
+      // assignment over the corpus (OpsSpec asserts = ivfSearch)
+      ivfIndex(s, dir).search(queryVec(s, dir, 0L), 10, nProbe = 4, excludeId = Some(0L))
         .orderBy(col("cos").desc, col("vec_id"))),
     "q_semi_join" -> ((s, dir) =>
       t(s, dir, "customer")

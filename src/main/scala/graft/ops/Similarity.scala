@@ -107,6 +107,32 @@ object Similarity {
     * exact-cosine refine touches `~nProbe/nCentroids` of the data. At
     * cluster scale the cell id is a partition/bucket column and probing
     * is partition pruning; here it is a pushed-down `isin` filter. */
+  /** Deterministic coarse quantizer seeds: the first `nCentroids` vectors
+    * by id — reproducible with no trained model or stored state. */
+  def seedCentroids(corpus: DataFrame, nCentroids: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Long, Seq[Float])] =
+    corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Float]](1).toSeq))
+
+  /** Nearest-centroid cell id as a column (argmax cosine, ties to the
+    * higher centroid id) — the assignment used both by the one-shot
+    * [[ivfSearch]] and by [[graft.views.IVFIndexView]]'s stored layout. */
+  def cellAssign(vec: Column, cents: Array[(Long, Seq[Float])]): Column =
+    array_max(array(cents.map { case (cid, cvec) =>
+      struct(cosine(vec, typedLit(cvec).cast("array<float>")).as("cos"), lit(cid).as("cid"))
+    }.toIndexedSeq: _*)).getField("cid")
+
+  /** The `nProbe` centroid ids closest to the query, by driver-side
+    * cosine over the (tiny) centroid table. */
+  def probeCells(cents: Array[(Long, Seq[Float])], queryVec: Seq[Float], nProbe: Int): Seq[Long] =
+    cents.map { case (cid, cvec) =>
+      val dot = cvec.zip(queryVec).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val n1 = math.sqrt(cvec.map(x => x.toDouble * x.toDouble).sum)
+      val n2 = math.sqrt(queryVec.map(x => x.toDouble * x.toDouble).sum)
+      (cid, dot / (n1 * n2))
+    }.sortBy(-_._2).take(nProbe).map(_._1).toSeq
+
   def ivfSearch(
       corpus: DataFrame,
       queryVec: Seq[Float],
@@ -116,30 +142,13 @@ object Similarity {
       nCentroids: Int = 16,
       nProbe: Int = 4,
       excludeId: Option[Long] = None): DataFrame = {
-    // deterministic coarse quantizer: the first nCentroids vectors by id
-    val cents = corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol), col(vecCol)).collect()
-      .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Float]](1).toSeq))
-
-    def cellOf(vec: Column): Column =
-      array_max(array(cents.map { case (cid, cvec) =>
-        struct(cosine(vec, typedLit(cvec).cast("array<float>")).as("cos"), lit(cid).as("cid"))
-      }.toIndexedSeq: _*)).getField("cid")
-
-    val probeCells = cents
-      .map { case (cid, cvec) =>
-        val dot = cvec.zip(queryVec).map { case (x, y) => x.toDouble * y.toDouble }.sum
-        val n1 = math.sqrt(cvec.map(x => x.toDouble * x.toDouble).sum)
-        val n2 = math.sqrt(queryVec.map(x => x.toDouble * x.toDouble).sum)
-        (cid, dot / (n1 * n2))
-      }
-      .sortBy(-_._2).take(nProbe).map(_._1)
-
+    val cents = seedCentroids(corpus, nCentroids, idCol, vecCol)
+    val probe = probeCells(cents, queryVec, nProbe)
     val q = typedLit(queryVec).cast("array<float>")
     val base = excludeId.fold(corpus)(id => corpus.where(col(idCol) =!= id))
     base
-      .withColumn("__cell", cellOf(col(vecCol)))
-      .where(col("__cell").isin(probeCells: _*))
+      .withColumn("__cell", cellAssign(col(vecCol), cents))
+      .where(col("__cell").isin(probe: _*))
       .select(col(idCol), round(cosine(col(vecCol), q), 4).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)

@@ -1,0 +1,163 @@
+package graft.views
+
+import graft.core.{FlumeDb, FlumeView, ViewDef}
+import graft.ops.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Durable IVF (inverted-file) ANN index as a flume view: the corpus is
+  * stored partitioned by nearest-centroid cell, so probing `nProbe`
+  * cells is *partition pruning* at the parquet scan — the promise in
+  * [[graft.ops.Similarity.ivfSearch]]'s doc ("at cluster scale the cell
+  * id is a partition/bucket column"), kept. A query's exact-cosine
+  * refine then touches ~nProbe/nCentroids of the data on disk, not a
+  * recomputed cell column over the whole corpus.
+  *
+  * Layout under `dir`:
+  *  - `centroids/` — the coarse quantizer, fixed at first absorb
+  *    (deterministic seeds: first `nCentroids` vectors by id);
+  *  - `batch=<upto>/cell=<c>/` — batch-atomic deltas partitioned by
+  *    cell (incremental absorbs assign new vectors to existing cells);
+  *  - `MANIFEST` — `(version, since)`, written after the delta, same
+  *    crash discipline as [[PersistentIndexView]] (orphans beyond the
+  *    cursor are pruned at construction).
+  */
+final class IVFIndexView(
+    spark: SparkSession,
+    dir: String,
+    version: Int,
+    idCol: String,
+    vecCol: String,
+    nCentroids: Int) extends FlumeView {
+
+  private val root: Path = Paths.get(dir)
+  private val manifest: Path = root.resolve("MANIFEST")
+  private val centroidsDir: Path = root.resolve("centroids")
+  @volatile private var sinceSeq: Long = -1L
+  @volatile private var cents: Option[Array[(Long, Seq[Float])]] = None
+
+  locally {
+    Files.createDirectories(root)
+    readManifest() match {
+      case Some((v, s)) if v == version => sinceSeq = s
+      case Some(_)                      => destroy() // version bump: rebuild
+      case None                         => ()
+    }
+    pruneOrphans()
+  }
+
+  private def readManifest(): Option[(Int, Long)] =
+    if (!Files.exists(manifest)) None
+    else Files.readString(manifest).trim.split("\\s+") match {
+      case Array(v, s) => Some((v.toInt, s.toLong))
+      case _           => None
+    }
+
+  private def writeManifest(): Unit =
+    Files.writeString(manifest, s"$version $sinceSeq")
+
+  private def pruneOrphans(): Unit = {
+    if (!Files.isDirectory(root)) return
+    Files.list(root).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("batch="))
+      .filter(p => p.getFileName.toString.stripPrefix("batch=").toLong > sinceSeq)
+      .toList
+      .foreach(deleteTree)
+  }
+
+  private def deleteTree(p: Path): Unit =
+    Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.delete)
+
+  /** The quantizer: loaded from disk, or seeded from the given frame and
+    * persisted on first absorb. */
+  private def centroids(seedFrom: Option[DataFrame] = None): Array[(Long, Seq[Float])] =
+    cents.getOrElse {
+      val loaded =
+        if (Files.isDirectory(centroidsDir))
+          spark.read.parquet(centroidsDir.toString).collect()
+            .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Float]](1).toSeq))
+            .sortBy(_._1)
+        else seedFrom match {
+          case Some(df) =>
+            val seeds = Similarity.seedCentroids(df, nCentroids, idCol, vecCol)
+            import spark.implicits._
+            seeds.toSeq.toDF("cid", "vec").write.mode("overwrite")
+              .parquet(centroidsDir.toString)
+            seeds
+          case None => throw new IllegalStateException("IVF index is empty — no centroids yet")
+        }
+      cents = Some(loaded)
+      loaded
+    }
+
+  private def committedBatchDirs(): Seq[Path] = {
+    if (!Files.isDirectory(root)) return Nil
+    Files.list(root).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("batch="))
+      .filter(p => p.getFileName.toString.stripPrefix("batch=").toLong <= sinceSeq)
+      .toSeq.sortBy(_.getFileName.toString.stripPrefix("batch=").toLong)
+  }
+
+  def since: Long = sinceSeq
+
+  def absorb(entries: DataFrame, upto: Long): Unit = {
+    val cs = centroids(seedFrom = Some(entries))
+    entries.select(col(idCol), col(vecCol))
+      .withColumn("cell", Similarity.cellAssign(col(vecCol), cs))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(root.resolve(s"batch=$upto").toString)
+    sinceSeq = upto
+    writeManifest() // delta is durable before the cursor moves
+  }
+
+  /** The stored index, with `cell` as a partition column — a filter on
+    * it prunes whole directories at planning time. */
+  def frame: DataFrame = {
+    val dirs = committedBatchDirs().map(_.toString)
+    if (dirs.isEmpty)
+      throw new IllegalStateException("IVF index is empty")
+    spark.read.option("basePath", root.toString).parquet(dirs: _*)
+  }
+
+  override def frameOption: Option[DataFrame] =
+    if (committedBatchDirs().isEmpty) None else Some(frame)
+
+  /** Probe the `nProbe` closest cells, exact-cosine refine inside them.
+    * The cell filter is a partition-pruning `isin` — only the probed
+    * directories are listed and scanned. */
+  def search(queryVec: Seq[Float], k: Int, nProbe: Int = 4,
+      excludeId: Option[Long] = None): DataFrame = {
+    val probe = Similarity.probeCells(centroids(), queryVec, nProbe)
+    val q = typedLit(queryVec).cast("array<float>")
+    val base = excludeId.fold(frame)(id => frame.where(col(idCol) =!= id))
+    base.where(col("cell").isin(probe: _*))
+      .select(col(idCol), round(Similarity.cosine(col(vecCol), q), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  def destroy(): Unit = {
+    sinceSeq = -1L
+    cents = None
+    if (Files.isDirectory(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.filterNot(_ == root).foreach(Files.delete)
+    }
+  }
+}
+
+object IVFIndexView {
+  def apply(dir: String, idCol: String = "vec_id", vecCol: String = "embedding",
+      nCentroids: Int = 16, version: Int = 1): ViewDef = {
+    val v = version
+    new ViewDef {
+      def version: Int = v
+      def create(db: FlumeDb, name: String) =
+        new IVFIndexView(db.log.spark, s"$dir/$name", v, idCol, vecCol, nCentroids)
+    }
+  }
+}

@@ -95,6 +95,16 @@ class PlanSpec extends SparkSpec {
       s"projection must prune through the CollectMetrics node:\n${s.take(2000)}")
   }
 
+  test("IVF probe prunes stored cell partitions at planning time") {
+    val df = run("q_ann_ivf")
+    val s = planString(df)
+    assert(s.contains("PartitionFilters") && s.contains("cell"),
+      s"probing must prune cell= directories, got:\n${s.take(3000)}")
+    val scanned = s.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanned.contains("cell") && (scanned.contains("IN") || scanned.contains("isin") || scanned.contains("in(")),
+      s"expected an isin partition filter on cell:\n$scanned")
+  }
+
   test("knn top-k does not shuffle the corpus (TakeOrderedAndProject over scan)") {
     val df = graft.ops.Similarity.knnForVector(
       spark.read.parquet(s"$dir/embeddings.parquet"),

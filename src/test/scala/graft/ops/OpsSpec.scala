@@ -81,6 +81,28 @@ class OpsSpec extends SparkSpec {
     assert((exact & approx).size >= 5, s"ANN recall too low: ${(exact & approx).size}/10")
   }
 
+  test("stored IVFIndexView search equals the one-shot ivfSearch") {
+    import graft.core.{FlumeDb, TableLog}
+    import graft.views.IVFIndexView
+    val q = emb.where(col("vec_id") === 5).head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val vdir = java.nio.file.Files.createTempDirectory("graft-ivf-test").toString
+    val db = new FlumeDb(new TableLog(spark, emb, "vec_id"))
+    db.use("ivf", IVFIndexView(vdir))
+    val view = db.gated("ivf")(_.asInstanceOf[IVFIndexView])
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getAs[Double]("cos"))
+    for (probe <- Seq(4, 16)) {
+      val stored = view.search(q, 10, nProbe = probe, excludeId = Some(5L)).collect().map(key).toSeq
+      val oneShot = Similarity.ivfSearch(emb, q, 10, nCentroids = 16, nProbe = probe, excludeId = Some(5L))
+        .collect().map(key).toSeq
+      assert(stored === oneShot, s"nProbe=$probe stored=$stored oneShot=$oneShot")
+    }
+    // restart: centroids + manifest recover; results unchanged
+    val view2 = new IVFIndexView(spark, s"$vdir/ivf", 1, "vec_id", "embedding", 16)
+    assert(view2.since === view.since)
+    assert(view2.search(q, 10, nProbe = 4, excludeId = Some(5L)).collect().map(key).toSeq
+      === view.search(q, 10, nProbe = 4, excludeId = Some(5L)).collect().map(key).toSeq)
+  }
+
   test("ivf search prunes to probed cells and finds near neighbors") {
     val q = emb.where(col("vec_id") === 5).head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
     val full = Similarity.ivfSearch(emb, q, 10, nCentroids = 16, nProbe = 16, excludeId = Some(5L))
