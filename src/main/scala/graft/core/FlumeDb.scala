@@ -91,21 +91,7 @@ final class FlumeDb(
 
   private val metaPrefix = s"graft_meta_${FlumeDb.dbIds.incrementAndGet()}:"
   private val obsIds = new AtomicLong()
-
-  private val recordListener = new org.apache.spark.sql.util.QueryExecutionListener {
-    override def onSuccess(funcName: String,
-        qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
-      qe.observedMetrics.foreach { case (name, row) =>
-        if (name.startsWith(metaPrefix)) {
-          val method = name.substring(metaPrefix.length, name.lastIndexOf(':'))
-          meta.getOrElseUpdate(s"$method.records", new AtomicLong())
-            .addAndGet(row.getAs[Long]("records"))
-        }
-      }
-    override def onFailure(funcName: String,
-        qe: org.apache.spark.sql.execution.QueryExecution, error: Exception): Unit = ()
-  }
-  log.spark.listenerManager.register(recordListener)
+  FlumeDb.registerMeta(log.spark, metaPrefix, meta)
 
   /** Tag a returned frame so executed queries report their record count
     * back into [[meta]]. Batch frames only — streaming metrics surface
@@ -321,7 +307,7 @@ final class FlumeDb(
     try {
       if (!closed) {
         closed = true
-        log.spark.listenerManager.unregister(recordListener)
+        FlumeDb.unregisterMeta(metaPrefix)
         val it = views.values().iterator()
         while (it.hasNext) it.next().view.close()
         log.close()
@@ -335,4 +321,39 @@ final class FlumeDb(
 
 object FlumeDb {
   private val dbIds = new AtomicLong()
+
+  // ONE QueryExecutionListener per SparkSession, fanned out to per-db
+  // meta maps through this registry — many short-lived dbs on a shared
+  // session must not accumulate listeners for the session lifetime.
+  private val metaMaps = new ConcurrentHashMap[String, TrieMap[String, AtomicLong]]()
+  // weak keys: a dropped session must not be pinned by this registry
+  private val installedSessions =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
+
+  private def registerMeta(spark: org.apache.spark.sql.SparkSession,
+      prefix: String, meta: TrieMap[String, AtomicLong]): Unit = {
+    metaMaps.put(prefix, meta)
+    if (installedSessions.add(spark)) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft_meta_")) {
+              val m = metaMaps.get(name.substring(0, name.indexOf(':') + 1))
+              if (m != null) {
+                val method = name.substring(name.indexOf(':') + 1, name.lastIndexOf(':'))
+                m.getOrElseUpdate(s"$method.records", new AtomicLong())
+                  .addAndGet(row.getAs[Long]("records"))
+              }
+            }
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, error: Exception): Unit = ()
+      })
+    }
+  }
+
+  private def unregisterMeta(prefix: String): Unit = metaMaps.remove(prefix)
 }

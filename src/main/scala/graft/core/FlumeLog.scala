@@ -65,15 +65,23 @@ trait FlumeLog {
 
   /** Ordered range scan (`/root/reference/index.js:124-130`); with
     * `live = true`, an unbounded stream with the same bounds and
-    * projection flags (sort/limit don't apply to unbounded streams —
-    * each micro-batch arrives in seq order from the source). */
+    * projection flags. `limit` on a live stream caps the TOTAL records
+    * emitted across micro-batches (Spark's streaming global limit), the
+    * same semantics as a leveldb-style live stream that hangs up after N
+    * records; `reverse` has no meaning on an unbounded stream (the
+    * reference's live streams also emit in forward seq order once live —
+    * `/root/reference/README.md:133`) and throws rather than silently
+    * returning forward order. */
   def stream(r: LogRange = LogRange.all): DataFrame = {
     if (r.live) {
+      if (r.reverse) throw new UnsupportedOperationException(
+        "reverse is undefined on a live (unbounded) stream; use a batch scan for top-k by seq")
       var df = readStream
       r.gt.foreach(v => df = df.where(col(seqCol) > lit(v)))
       r.gte.foreach(v => df = df.where(col(seqCol) >= lit(v)))
       r.lt.foreach(v => df = df.where(col(seqCol) < lit(v)))
       r.lte.foreach(v => df = df.where(col(seqCol) <= lit(v)))
+      r.limit.foreach(n => df = df.limit(n))
       return if (!r.values) df.select(col(seqCol))
       else if (!r.seqs) df.drop(seqCol)
       else df

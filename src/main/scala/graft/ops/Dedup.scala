@@ -77,8 +77,27 @@ object Dedup {
       val res = new Array[Long](out.size)
       val it = out.iterator(); var r = 0
       while (it.hasNext) { res(r) = it.next(); r += 1 }
+      // sorted output: set semantics are order-free, and sorted arrays
+      // let the exact verify be a merge-count instead of hash-set ops
+      java.util.Arrays.sort(res)
       res.toSeq
     }
+  }
+
+  /** Exact Jaccard of two SORTED hash arrays by merge-count — no
+    * intermediate arrays or hash sets, ~10× cheaper per pair than
+    * `array_intersect`/`array_union` when verifying hundreds of
+    * thousands of LSH candidates. */
+  private val jaccardSorted = udf { (a: Seq[Long], b: Seq[Long]) =>
+    var i = 0; var j = 0; var inter = 0
+    val n = a.length; val m = b.length
+    while (i < n && j < m) {
+      val x = a(i); val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (n + m - inter)
   }
 
   /** MinHash signature from a column of pre-hashed shingles (`array<long>`):
@@ -176,13 +195,16 @@ object Dedup {
     val pairs =
       if (verifyExact) {
         // exact Jaccard on the true shingle sets of candidates only — the
-        // LSH narrows, the verify is authoritative (no estimator variance)
+        // LSH narrows, the verify is authoritative (no estimator
+        // variance). A size bound (j ≤ min/max, slackened past the
+        // rounding margin) discards most spurious candidates before any
+        // array work; survivors pay one merge-count over sorted hashes.
         cand
           .join(hashed.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
           .join(hashed.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
-          .withColumn("est_jaccard",
-            round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
-              size(array_union(col("hs_a"), col("hs_b"))).cast("double"), 4))
+          .where(least(size(col("hs_a")), size(col("hs_b"))).cast("double") >=
+            lit(threshold - 0.001) * greatest(size(col("hs_a")), size(col("hs_b"))).cast("double"))
+          .withColumn("est_jaccard", round(jaccardSorted(col("hs_a"), col("hs_b")), 4))
           .where(col("est_jaccard") >= threshold)
           .select("id_a", "id_b", "est_jaccard")
       } else {
@@ -205,35 +227,42 @@ object Dedup {
     out
   }
 
+  /** In-bucket pair expansion: all ordered pairs of a (small, capped)
+    * bucket's member ids. */
+  private val bucketPairs = udf { ids: Seq[Long] =>
+    val s = ids.sorted
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](s.length * (s.length - 1) / 2)
+    var i = 0
+    while (i < s.length) {
+      var j = i + 1
+      while (j < s.length) { out += ((s(i), s(j))); j += 1 }
+      i += 1
+    }
+    out.toSeq
+  }
+
   /** Banded-LSH candidate pairs from a signature table `(id, sig:
     * array<long>)`: each signature is cut into `bands` row-groups hashed
-    * to an 8-byte band key; candidates are ids sharing any (band, key)
-    * bucket. The self-join — the only shuffle — moves 8-byte keys, never
-    * documents or signatures. `maxBucket` caps degenerate buckets
-    * (boilerplate-heavy corpora) so no bucket can go quadratic: capped
-    * buckets are dropped, trading recall for bounded cost. */
+    * to an 8-byte band key (band index folded into the hash); candidate
+    * pairs are expanded *inside* each hash bucket after ONE shuffle of
+    * (bandKey, id) rows — group-collect the bucket, cap it, emit its
+    * pairs — rather than a self-join (which shuffles the banded table
+    * twice and probes a hash relation per row). `maxBucket` caps
+    * degenerate buckets (boilerplate-heavy corpora) so no bucket can go
+    * quadratic: capped buckets are dropped, trading recall for bounded
+    * cost, and the cap also bounds the collected bucket's memory. */
   private def lshCandidates(sigs: DataFrame, perms: Int, bands: Int, maxBucket: Int): DataFrame = {
     val rows = perms / bands
     val banded = sigs.select(
       col("id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(concat_ws(",", transform(slice(col("sig"), b * rows + 1, rows), _.cast("string"))))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
+      explode(array((0 until bands).map(b =>
+        xxhash64(lit(b), concat_ws(",", transform(slice(col("sig"), b * rows + 1, rows), _.cast("string"))))): _*)).as("bandkey"))
 
-    val capped =
-      if (maxBucket == Int.MaxValue) banded // uncapped: skip the window shuffle
-      else banded
-        .withColumn("bucket_n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("band", "bandhash")))
-        .where(col("bucket_n") <= maxBucket)
-        .drop("bucket_n")
-
-    // Candidate ids only through the join + distinct (8-byte keys on the
-    // wire); shingles/signatures re-attached afterwards from cache.
-    val l = capped.select(col("band"), col("bandhash"), col("id").as("id_a"))
-    val r = capped.select(col("band"), col("bandhash"), col("id").as("id_b"))
-    l.join(r, Seq("band", "bandhash")).where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    banded.groupBy("bandkey").agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+      .select(explode(bucketPairs(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
   }
 
   /** 64-bit SimHash of the token stream: sign of the per-bit weighted sum
@@ -345,14 +374,16 @@ object Dedup {
       } else {
         // maxDocFreq plays the same role the bucket cap plays in
         // minhashLsh: it bounds the quadratic inside any degenerate
-        // band bucket (boilerplate-heavy corpora)
+        // band bucket (boilerplate-heavy corpora). Size bound + sorted
+        // merge-count verify as in minhashLshFromShingles.
         val sigs = sh.select(col("id"), minhashOph(perms)(col("sh")).as("sig"))
         lshCandidates(sigs, perms, bands, maxBucket = maxDocFreq)
           .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
           .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+          .where(least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
+            lit(threshold - 0.001) * greatest(size(col("sh_a")), size(col("sh_b"))).cast("double"))
           .select(col("id_a"), col("id_b"),
-            round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-              size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4).as("jaccard"))
+            round(jaccardSorted(col("sh_a"), col("sh_b")), 4).as("jaccard"))
           .where(col("jaccard") >= threshold)
       }
     // eager pair table, then release the cached postings (see minhashLsh)

@@ -108,6 +108,9 @@ final class IVFIndexView(
     val cs = centroids(seedFrom = Some(entries))
     entries.select(col(idCol), col(vecCol))
       .withColumn("cell", Similarity.cellAssign(col(vecCol), cs))
+      // co-locate each cell before the dynamic-partition write: one file
+      // per cell instead of (tasks × cells) small files
+      .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite")
       .parquet(root.resolve(s"batch=$upto").toString)
     sinceSeq = upto

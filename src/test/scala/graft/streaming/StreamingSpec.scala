@@ -172,6 +172,26 @@ class StreamingSpec extends SparkSpec {
     assert(seqsOnly.columns.toSeq === Seq("seq"), "seqs-only live stream skips the mapper")
   }
 
+  test("live stream limit caps total records across batches; reverse throws") {
+    val log = new MemoryLog(spark, schema)
+    log.appendRows(Seq(Row(1L), Row(2L)))
+    intercept[UnsupportedOperationException] {
+      log.stream(LogRange(live = true, reverse = true))
+    }
+    val live = log.stream(LogRange(live = true, limit = Some(3)))
+    assert(live.isStreaming)
+    val q = live.writeStream.format("memory").queryName("live_limit_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      log.appendRows(Seq(Row(3L), Row(4L), Row(5L))) // would exceed the cap
+      q.processAllAvailable()
+      val seqs = spark.sql("SELECT seq FROM live_limit_test ORDER BY seq").collect().map(_.getLong(0))
+      assert(seqs.toSeq === Seq(0L, 1L, 2L),
+        s"limit must cap TOTAL records across micro-batches, got ${seqs.toSeq}")
+    } finally q.stop()
+  }
+
   test("TableLog has no streaming source (guards the driver-collect scale trap)") {
     import org.apache.spark.sql.functions.lit
     val table = spark.range(5).toDF("event_id").withColumn("v", lit(1.0))
