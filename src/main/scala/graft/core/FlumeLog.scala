@@ -285,6 +285,41 @@ final class ParquetLog(
   def appendRows(rows: Seq[Row]): Long =
     append(spark.createDataFrame(spark.sparkContext.parallelize(rows, math.max(1, math.min(rows.size, 4))),
       StructType(fullSchema.fields.drop(1))))
+
+  /** Rewrite the log's storage into right-sized files — the maintenance
+    * job for the "tiny appends → small files" failure mode. Contents and
+    * the cursor are unchanged; on a bucketed log the layout stays
+    * `seq_bucket=N/` with one file per bucket-task. Runs under the
+    * single-writer lock; readers planned BEFORE the swap must be re-read
+    * (same contract as any table rewrite — at cluster scale this is a
+    * per-bucket rewrite with an atomic manifest flip). */
+  def compact(targetFileBytes: Long = 128L * 1024 * 1024): Unit = synchronized {
+    if (cursor < 0) return
+    val root = new java.io.File(dir)
+    val tmp = new java.io.File(dir + ".compacting")
+    val old = new java.io.File(dir + ".precompact")
+    def deleteTree(f: java.io.File): Unit = {
+      val fs = f.listFiles(); if (fs != null) fs.foreach(deleteTree); f.delete()
+    }
+    deleteTree(tmp); deleteTree(old)
+    def bytesUnder(f: java.io.File): Long = {
+      val fs = f.listFiles()
+      if (fs == null) 0L else fs.map(c => if (c.isDirectory) bytesUnder(c) else c.length()).sum
+    }
+    val nFiles = math.max(1L, (bytesUnder(root) + targetFileBytes - 1) / targetFileBytes).toInt
+    if (bucketed)
+      readRaw.repartition(col(bucketCol))
+        .write.partitionBy(bucketCol).parquet(tmp.getPath)
+    else
+      readRaw.coalesce(nFiles).write.parquet(tmp.getPath)
+    if (!root.renameTo(old)) throw new java.io.IOException(s"compact: cannot move $root aside")
+    if (!tmp.renameTo(root)) { old.renameTo(root); throw new java.io.IOException(s"compact: cannot swap in $tmp") }
+    deleteTree(old)
+  }
+
+  override def methods: Map[String, Seq[Any] => Any] =
+    Map("compact" -> (args => { compact(args.headOption.map(_.toString.toLong)
+      .getOrElse(128L * 1024 * 1024)); cursor }))
 }
 
 /** In-memory log, the analog of flumelog-memory

@@ -187,6 +187,26 @@ class FlumeDbSpec extends SparkSpec {
     assert(poll("stream.records", 5L) === 5L, "record counter accumulates per record, not per call")
   }
 
+  test("record counters of two dbs on one session stay independent (shared listener)") {
+    val (log1, db1) = mkDb()
+    val (log2, db2) = mkDb()
+    log1.appendRows(Seq(Row(1L), Row(2L)))
+    log2.appendRows(Seq(Row(1L)))
+    db1.stream().collect()
+    db2.stream().collect()
+    def poll(db: graft.core.FlumeDb, key: String, want: Long): Long = {
+      val deadline = System.currentTimeMillis() + 15000
+      while (System.currentTimeMillis() < deadline &&
+        !db.meta.get(key).exists(_.get() == want)) Thread.sleep(50)
+      db.meta.get(key).map(_.get()).getOrElse(-1L)
+    }
+    assert(poll(db1, "stream.records", 2L) === 2L)
+    assert(poll(db2, "stream.records", 1L) === 1L)
+    db1.close() // unregisters db1's meta map...
+    db2.stream().collect()
+    assert(poll(db2, "stream.records", 2L) === 2L, "...while db2 keeps counting")
+  }
+
   test("throwing mapper errors the read instead of hanging (memlog-map.js:120-131)") {
     val boom = udf { x: Long =>
       if (x >= 0) throw new RuntimeException("mapper boom"); x

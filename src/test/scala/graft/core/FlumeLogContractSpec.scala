@@ -89,6 +89,21 @@ class BucketedParquetLogSpec extends FlumeLogContract {
       plan.contains("seq_bucket") && plan.contains("isnotnull(seq_bucket"),
       s"expected bucket partition pruning:\n${plan.take(1500)}")
   }
+
+  test("compact keeps the bucket layout and pruning") {
+    val log = mkLog().asInstanceOf[ParquetLog]
+    (0 until 6).foreach(i => log.appendRows(rows(i * 10L))) // tiny appends across 3 buckets
+    log.compact()
+    val buckets = new java.io.File(log.dir).listFiles()
+      .filter(_.getName.startsWith("seq_bucket=")).map(_.getName).sorted
+    assert(buckets.toSeq === Seq("seq_bucket=0", "seq_bucket=1", "seq_bucket=2"),
+      s"bucket directories must survive compaction, got ${buckets.toSeq}")
+    val df = log.stream(LogRange(gte = Some(2L), lte = Some(3L)))
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(2L, 3L))
+    assert(df.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    log.appendRows(rows(77L))
+    assert(log.since === 6L)
+  }
 }
 
 class ParquetLogSpec extends FlumeLogContract {
@@ -104,6 +119,38 @@ class ParquetLogSpec extends FlumeLogContract {
     assert(log.since === 999L)
     val got = log.read.orderBy("seq").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq === (0L until 1000L).map(i => (i, i * 3)))
+  }
+
+  test("compact coalesces small append files; contents and cursor unchanged") {
+    val log = mkLog().asInstanceOf[ParquetLog]
+    (0 until 8).foreach(i => log.appendRows(rows(i * 10L))) // 8 tiny appends
+    def parquetFiles(): Int = {
+      def walk(f: java.io.File): Int = {
+        val fs = f.listFiles()
+        if (fs == null) 0
+        else fs.map(c => if (c.isDirectory) walk(c) else if (c.getName.endsWith(".parquet")) 1 else 0).sum
+      }
+      walk(new java.io.File(log.dir))
+    }
+    val before = parquetFiles()
+    assert(before >= 8, s"8 appends should leave >=8 files, got $before")
+    val snapshot = log.read.orderBy("seq").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    log.compact()
+    assert(parquetFiles() < before, "compaction must reduce file count")
+    assert(log.since === 7L, "cursor unchanged")
+    assert(log.read.orderBy("seq").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === snapshot,
+      "contents unchanged")
+    log.appendRows(rows(99L)) // appends still work on the rewritten layout
+    assert(log.since === 8L)
+    assert(log.get(8L).collect()(0).getAs[Long]("foo") === 99L)
+  }
+
+  test("compact is exported as a log method on the db (passthrough)") {
+    val log = mkLog().asInstanceOf[ParquetLog]
+    log.appendRows(rows(1L, 2L))
+    val db = new FlumeDb(log)
+    assert(db.call("compact") === 1L) // returns the (unchanged) cursor
+    assert(db.meta("compact").get() === 1L)
   }
 
   test("cursor is recovered on reopen") {
