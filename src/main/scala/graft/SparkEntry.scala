@@ -67,6 +67,8 @@ object SparkEntry {
       transform(col("embedding"), x => (x * lit(1.001)).cast("float")).as("embedding")))
   }
 
+  private val streamIds = new java.util.concurrent.atomic.AtomicLong()
+
   /** Stored IVF index over the embeddings table (built once per scale
     * factor through the view framework; probing is partition pruning). */
   private val ivfViews = scala.collection.concurrent.TrieMap.empty[String, IVFIndexView]
@@ -452,7 +454,9 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents")).orderBy("doc_id")),
     "q_fingerprint" -> ((s, dir) =>
-      TextAnalysis.fingerprint(t(s, dir, "documents")).orderBy("doc_id")),
+      // md5 digest form: same normalization as the xxhash64 fingerprint
+      // (OpsSpec covers that one), but externally checkable
+      TextAnalysis.fingerprintMd5(t(s, dir, "documents")).orderBy("doc_id")),
     "q_multimodal_features" -> ((s, dir) =>
       // The DuckDB-expressible half of the multimodal pipeline: id,
       // modality routing, and payload byte count are all derivable from
@@ -472,9 +476,30 @@ object SparkEntry {
           round(element_at(col("features"), 1).cast("double"), 4).as("feat0"))
         .orderBy("media_id")),
     "q_frame_sample" -> ((s, dir) =>
+      // fully oracle-backed: the fixture text is ASCII, so byte-chunking
+      // the binary payload == char-chunking the text in DuckDB, and md5
+      // digests compare byte-for-byte
       Multimodal.sampleFrames(Multimodal.syntheticMedia(t(s, dir, "documents")))
-        .select("media_id", "frame_idx", "frame_hash")
-        .orderBy("media_id", "frame_idx"))
+        .select(col("media_id"), col("frame_idx").cast("bigint").as("frame_idx"), col("frame_md5"))
+        .orderBy("media_id", "frame_idx")),
+    "q_stream_tumbling" -> ((s, dir) => {
+      // Streaming == batch equivalence, oracle-checked: the events table
+      // replays through the parquet file streaming source, aggregates
+      // event-time tumbling windows in complete mode, and the final
+      // result must match the same batch oracle as q_tumbling_count.
+      scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
+      val schema = t(s, dir, "events").schema
+      val name = s"stream_tumbling_${streamIds.incrementAndGet()}"
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .groupBy(window(tsCol, "1 hour").as("w"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_v"))
+        .select(unix_millis(col("w.start")).as("hour_ms"), col("cnt"), col("sum_v"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).orderBy("hour_ms")
+    })
   )
 
   /** DuckDB oracles. Keys absent here (approximate / hash-seeded /
@@ -569,6 +594,16 @@ object SparkEntry {
       "SELECT user_id, seq, last_click_seq FROM (SELECT user_id, event_id AS seq, event_type, coalesce(max(CASE WHEN event_type = 'click' THEN event_id END) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS last_click_seq FROM events WHERE event_type IN ('click', 'purchase')) WHERE event_type = 'purchase' ORDER BY seq",
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS copies FROM documents GROUP BY text ORDER BY keep_id",
+    "q_fingerprint" ->
+      "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp_md5 FROM documents ORDER BY doc_id",
+    "q_ann_ivf" ->
+      ("WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16), " +
+        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+        "probe AS (SELECT cid FROM c, q ORDER BY list_cosine_similarity(cvec::DOUBLE[], qv::DOUBLE[]) DESC, cid LIMIT 4), " +
+        "assign AS (SELECT e.vec_id, e.embedding, (SELECT cid FROM c ORDER BY list_cosine_similarity(c.cvec::DOUBLE[], e.embedding::DOUBLE[]) DESC, cid DESC LIMIT 1) AS cell FROM embeddings e) " +
+        "SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)::DOUBLE[]), 4) AS cos " +
+        "FROM assign WHERE cell IN (SELECT cid FROM probe) AND vec_id <> 0 " +
+        "ORDER BY cos DESC, vec_id LIMIT 10"),
     "q_dedup_ngram" ->
       ("WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, regexp_replace(text, '^\\S+\\s+', '') FROM documents), " +
         "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM corpus), " +
@@ -602,6 +637,16 @@ object SparkEntry {
     "q_multimodal_features" ->
       ("SELECT doc_id AS media_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality, " +
         "octet_length(encode(text))::BIGINT AS n_bytes FROM documents ORDER BY media_id"),
+    "q_frame_sample" ->
+      ("WITH v AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2), " +
+        "f AS (SELECT media_id, unnest(generate_series(0, greatest(length(text) // 1024 - 1, 0))) AS frame_idx, text FROM v) " +
+        "SELECT media_id, frame_idx::BIGINT AS frame_idx, md5(substring(text, (frame_idx * 1024 + 1)::INT, 256)) AS frame_md5 " +
+        "FROM f ORDER BY media_id, frame_idx"),
+    "q_bloom_check" ->
+      ("SELECT key, key IN (SELECT DISTINCT event_type FROM events) AS might_contain " +
+        "FROM (VALUES ('click'),('error'),('nosuchtype'),('purchase'),('signup'),('view')) t(key) ORDER BY key"),
+    "q_stream_tumbling" ->
+      "SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, count(*) AS cnt, round(sum(value), 4) AS sum_v FROM events GROUP BY hour_ms ORDER BY hour_ms",
     "q_quality_score" ->
       "SELECT doc_id, round(least(n::DOUBLE / 50.0, 1.0) * 0.4 + least((stop_hits::DOUBLE / greatest(n::DOUBLE, 1.0)) * 5.0, 1.0) * 0.4 + greatest(1.0 - punct * 4.0, 0.0) * 0.2, 4) AS quality FROM (SELECT doc_id, len(toks) AS n, len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t))) AS stop_hits, length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS punct FROM (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks FROM documents)) ORDER BY doc_id"
   )

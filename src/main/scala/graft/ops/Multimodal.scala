@@ -92,7 +92,8 @@ object Multimodal {
   /** Frame sampling for video-like payloads: emit every `stride`-th chunk
     * of the binary as a "frame" row — the explode-shaped plan (1 row → N
     * frame rows) a real video pipeline has, with deterministic fake
-    * chunking. */
+    * chunking. Frames carry an md5 digest (byte-for-byte checkable by an
+    * external oracle) alongside the raw bytes. */
   def sampleFrames(media: DataFrame, chunkBytes: Int = 256, stride: Int = 4): DataFrame =
     media.where(col("modality") === "video")
       .select(col("media_id"),
@@ -102,5 +103,5 @@ object Multimodal {
           i => substring(col("content"), (i * chunkBytes * stride + 1).cast("int"), lit(chunkBytes)))))
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "frame_bytes")
-      .withColumn("frame_hash", xxhash64(col("frame_bytes")))
+      .withColumn("frame_md5", md5(col("frame_bytes")))
 }

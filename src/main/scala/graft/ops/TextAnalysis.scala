@@ -89,4 +89,13 @@ object TextAnalysis {
     docs.select(
       col(idCol),
       xxhash64(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")).as("fingerprint"))
+
+  /** [[fingerprint]] with an md5 digest instead of xxhash64 — same
+    * normalization, byte-for-byte checkable by any external system
+    * (xxhash64 is Spark-internal). Use the 64-bit form in shuffles/joins
+    * and this form where cross-system verification matters. */
+  def fingerprintMd5(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")).as("fp_md5"))
 }

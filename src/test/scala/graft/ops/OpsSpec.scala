@@ -237,6 +237,6 @@ class OpsSpec extends SparkSpec {
     assert(f1.forall(_.getAs[scala.collection.Seq[Float]]("features").length === 16))
     val frames = Multimodal.sampleFrames(media)
     assert(frames.count() > 0)
-    assert(frames.columns.toSet === Set("media_id", "frame_idx", "frame_bytes", "frame_hash"))
+    assert(frames.columns.toSet === Set("media_id", "frame_idx", "frame_bytes", "frame_md5"))
   }
 }
