@@ -490,14 +490,22 @@ object SparkEntry {
       scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
       val schema = t(s, dir, "events").schema
       val name = s"stream_tumbling_${streamIds.incrementAndGet()}"
-      val q = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .groupBy(window(tsCol, "1 hour").as("w"))
-        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_v"))
-        .select(unix_millis(col("w.start")).as("hour_ms"), col("cnt"), col("sum_v"))
-        .writeStream.format("memory").queryName(name)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
-      try q.processAllAvailable() finally q.stop()
+      // State partition count is fixed at stream start from
+      // shuffle.partitions; a 720-window aggregation needs a handful of
+      // state stores, not one per core (each store checkpoints to disk
+      // per micro-batch).
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .groupBy(window(tsCol, "1 hour").as("w"))
+          .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_v"))
+          .select(unix_millis(col("w.start")).as("hour_ms"), col("cnt"), col("sum_v"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.table(name).orderBy("hour_ms")
     })
   )
