@@ -507,6 +507,24 @@ object SparkEntry {
         try q.processAllAvailable() finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.table(name).orderBy("hour_ms")
+    }),
+    "q_stream_dedup" -> ((s, dir) => {
+      // Streaming dropDuplicates == batch DISTINCT, oracle-checked: the
+      // emitted key set is deterministic regardless of micro-batching.
+      scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
+      val schema = t(s, dir, "events").schema
+      val name = s"stream_dedup_${streamIds.incrementAndGet()}"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .select("user_id").dropDuplicates("user_id")
+          .writeStream.format("memory").queryName(name)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.table(name).orderBy("user_id")
     })
   )
 
@@ -655,6 +673,8 @@ object SparkEntry {
         "FROM (VALUES ('click'),('error'),('nosuchtype'),('purchase'),('signup'),('view')) t(key) ORDER BY key"),
     "q_stream_tumbling" ->
       "SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, count(*) AS cnt, round(sum(value), 4) AS sum_v FROM events GROUP BY hour_ms ORDER BY hour_ms",
+    "q_stream_dedup" ->
+      "SELECT DISTINCT user_id FROM events ORDER BY user_id",
     "q_quality_score" ->
       "SELECT doc_id, round(least(n::DOUBLE / 50.0, 1.0) * 0.4 + least((stop_hits::DOUBLE / greatest(n::DOUBLE, 1.0)) * 5.0, 1.0) * 0.4 + greatest(1.0 - punct * 4.0, 0.0) * 0.2, 4) AS quality FROM (SELECT doc_id, len(toks) AS n, len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t))) AS stop_hits, length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS punct FROM (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks FROM documents)) ORDER BY doc_id"
   )
