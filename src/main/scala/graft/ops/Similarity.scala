@@ -154,12 +154,25 @@ object Similarity {
       .limit(k)
   }
 
-  /** ANN via LSH filter-then-refine: compute signatures once for the
-    * corpus, compare by hamming distance to the query signature, and only
-    * run exact cosine on candidates within `maxHamming`. The cheap
-    * `bit_count(xor)` prefilter prunes most of the corpus before the
-    * 64-multiply cosine; at cluster scale the signature column is stored
-    * and bucketed so the prefilter becomes partition pruning. */
+  /** Corpus augmented with the hyperplane signature as a stored column —
+    * write this once (a table column, or a bucket key) so ANN queries
+    * skip the per-query signature pass and the `bit_count` prefilter
+    * reads an 8-byte column off disk instead of recomputing nBits × dim
+    * multiply-adds per row per query. */
+  def withHyperplaneSignatures(
+      corpus: DataFrame,
+      vecCol: String = "embedding",
+      nBits: Int = 16,
+      sigCol: String = "sig"): DataFrame =
+    corpus.withColumn(sigCol, hyperplaneSignature(col(vecCol), nBits))
+
+  /** ANN via LSH filter-then-refine: compare signatures by hamming
+    * distance to the query signature, and only run exact cosine on
+    * candidates within `maxHamming`. The cheap `bit_count(xor)`
+    * prefilter prunes most of the corpus before the 64-multiply cosine.
+    * Pass `sigCol` when the corpus already stores its signatures (see
+    * [[withHyperplaneSignatures]]) — computed here otherwise, and
+    * `nBits` must then match the stored column. */
   def annForVector(
       corpus: DataFrame,
       queryVec: Seq[Float],
@@ -168,10 +181,14 @@ object Similarity {
       vecCol: String = "embedding",
       nBits: Int = 16,
       maxHamming: Int = 6,
-      excludeId: Option[Long] = None): DataFrame = {
+      excludeId: Option[Long] = None,
+      sigCol: Option[String] = None): DataFrame = {
     val q = array(queryVec.map(v => lit(v)): _*)
     val base = excludeId.fold(corpus)(id => corpus.where(col(idCol) =!= id))
-    val withSig = base.select(col(idCol), col(vecCol), hyperplaneSignature(col(vecCol), nBits).as("sig"))
+    val withSig = sigCol match {
+      case Some(c) => base.select(col(idCol), col(vecCol), col(c).as("sig"))
+      case None    => base.select(col(idCol), col(vecCol), hyperplaneSignature(col(vecCol), nBits).as("sig"))
+    }
     val qSigRow = corpus.sparkSession.range(1)
       .select(hyperplaneSignature(typedLit(queryVec).cast("array<float>"), nBits).as("qsig")).head()
     val qSig = qSigRow.getLong(0)

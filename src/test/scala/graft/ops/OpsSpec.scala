@@ -81,6 +81,20 @@ class OpsSpec extends SparkSpec {
     assert((exact & approx).size >= 5, s"ANN recall too low: ${(exact & approx).size}/10")
   }
 
+  test("ANN over a stored signature column equals recomputed signatures") {
+    val q = emb.where(col("vec_id") === 0).head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    // make "stored" real: write the signed corpus to parquet, read back
+    val dirSig = java.nio.file.Files.createTempDirectory("graft-sig-test").toString
+    Similarity.withHyperplaneSignatures(emb.select("vec_id", "embedding")).write.parquet(s"$dirSig/corpus")
+    val stored = spark.read.parquet(s"$dirSig/corpus")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getAs[Double]("cos"))
+    val fromStored = Similarity.annForVector(stored, q, 10, maxHamming = 8,
+      excludeId = Some(0L), sigCol = Some("sig")).collect().map(key).toSeq
+    val recomputed = Similarity.annForVector(emb, q, 10, maxHamming = 8,
+      excludeId = Some(0L)).collect().map(key).toSeq
+    assert(fromStored === recomputed)
+  }
+
   test("stored IVFIndexView search equals the one-shot ivfSearch") {
     import graft.core.{FlumeDb, TableLog}
     import graft.views.IVFIndexView
