@@ -234,6 +234,12 @@ class OpsSpec extends SparkSpec {
     assert(f(1L) !== f(3L))
   }
 
+  test("langId one-pass UDF equals the column-algebra formulation") {
+    val fused = TextAnalysis.langId(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hof = TextAnalysis.langIdHof(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fused === hof)
+  }
+
   test("langId returns a prediction per doc from the known set") {
     val langs = Set("en", "de", "fr", "es", "zh")
     val r = TextAnalysis.langId(docs).collect()
