@@ -292,7 +292,10 @@ final class ParquetLog(
     * `seq_bucket=N/` with one file per bucket-task. Runs under the
     * single-writer lock; readers planned BEFORE the swap must be re-read
     * (same contract as any table rewrite — at cluster scale this is a
-    * per-bucket rewrite with an atomic manifest flip). */
+    * per-bucket rewrite with an atomic manifest flip). Do NOT compact
+    * while a live tail is running: the file streaming source tracks
+    * processed files by name, so rewritten files would be re-delivered
+    * to the stream as new data. */
   def compact(targetFileBytes: Long = 128L * 1024 * 1024): Unit = synchronized {
     if (cursor < 0) return
     val root = new java.io.File(dir)

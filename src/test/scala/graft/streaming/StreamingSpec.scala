@@ -172,6 +172,26 @@ class StreamingSpec extends SparkSpec {
     assert(seqsOnly.columns.toSeq === Seq("seq"), "seqs-only live stream skips the mapper")
   }
 
+  test("db-level live stream over a durable ParquetLog (file source) with mapper") {
+    val logDir = java.nio.file.Files.createTempDirectory("graft-plive").toString
+    val plog = new ParquetLog(spark, logDir, schema)
+    plog.appendRows(Seq(Row(1L)))
+    val db = new FlumeDb(plog, mapper = Some(df => df.withColumn("bar", col("foo") * 100)))
+    val live = db.stream(LogRange(live = true))
+    assert(live.isStreaming)
+    val q = live.writeStream.format("memory").queryName("plive_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      db.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(2L))), schema))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT seq, bar FROM plive_test ORDER BY seq").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq === Seq((0L, 100L), (1L, 200L)),
+        s"durable-log live tail must see post-start appends through the mapper, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("live stream limit caps total records across batches; reverse throws") {
     val log = new MemoryLog(spark, schema)
     log.appendRows(Seq(Row(1L), Row(2L)))
