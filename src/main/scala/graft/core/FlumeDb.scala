@@ -94,14 +94,15 @@ final class FlumeDb(
   FlumeDb.registerMeta(log.spark, metaPrefix, meta)
 
   /** Tag a returned frame so executed queries report their record count
-    * back into [[meta]]. Batch frames only — streaming metrics surface
-    * through the streaming listener API instead. */
-  private def observed(df: DataFrame, method: String): DataFrame =
-    if (df.isStreaming) df
-    else {
-      import org.apache.spark.sql.functions.{count => cnt, lit}
-      df.observe(s"$metaPrefix$method:${obsIds.incrementAndGet()}", cnt(lit(1)).as("records"))
-    }
+    * back into [[meta]]. Works for batch frames and live streams alike —
+    * the QueryExecutionListener fires per batch action AND per streaming
+    * micro-batch execution, so `stream.records` keeps counting as a live
+    * tail delivers; the reference's per-record source counting
+    * (`wrap.js:74-76`) covers live streams too. */
+  private def observed(df: DataFrame, method: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count => cnt, lit}
+    df.observe(s"$metaPrefix$method:${obsIds.incrementAndGet()}", cnt(lit(1)).as("records"))
+  }
 
   final class Mounted(val name: String, val viewDef: ViewDef, val view: FlumeView) {
     @volatile var lastError: Option[Throwable] = None
@@ -155,7 +156,9 @@ final class FlumeDb(
 
   def append(payload: DataFrame): Long = {
     throwIfClosed(); count("append")
+    val before = log.since
     val s = log.append(payload)
+    meta.getOrElseUpdate("append.records", new AtomicLong()).addAndGet(s - before)
     syncViews()
     s
   }
@@ -332,23 +335,26 @@ object FlumeDb {
       java.util.Collections.newSetFromMap(
         new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
 
+  private def foldMetric(name: String, row: org.apache.spark.sql.Row): Unit =
+    if (name.startsWith("graft_meta_")) {
+      val m = metaMaps.get(name.substring(0, name.indexOf(':') + 1))
+      if (m != null) {
+        val method = name.substring(name.indexOf(':') + 1, name.lastIndexOf(':'))
+        m.getOrElseUpdate(s"$method.records", new AtomicLong())
+          .addAndGet(row.getAs[Long]("records"))
+      }
+    }
+
   private def registerMeta(spark: org.apache.spark.sql.SparkSession,
       prefix: String, meta: TrieMap[String, AtomicLong]): Unit = {
     metaMaps.put(prefix, meta)
     if (installedSessions.add(spark)) {
+      // fires for batch actions AND for each streaming micro-batch
+      // execution (Spark 4), so one listener covers live streams too
       spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
-          qe.observedMetrics.foreach { case (name, row) =>
-            if (name.startsWith("graft_meta_")) {
-              val m = metaMaps.get(name.substring(0, name.indexOf(':') + 1))
-              if (m != null) {
-                val method = name.substring(name.indexOf(':') + 1, name.lastIndexOf(':'))
-                m.getOrElseUpdate(s"$method.records", new AtomicLong())
-                  .addAndGet(row.getAs[Long]("records"))
-              }
-            }
-          }
+          qe.observedMetrics.foreach { case (name, row) => foldMetric(name, row) }
         override def onFailure(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution, error: Exception): Unit = ()
       })

@@ -187,6 +187,35 @@ class FlumeDbSpec extends SparkSpec {
     assert(poll("stream.records", 5L) === 5L, "record counter accumulates per record, not per call")
   }
 
+  test("meta counts records delivered through a LIVE stream, per micro-batch") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val (log, db) = mkDb()
+    log.appendRows(Seq(Row(1L), Row(2L)))
+    def poll(key: String, want: Long): Long = {
+      val deadline = System.currentTimeMillis() + 15000
+      while (System.currentTimeMillis() < deadline &&
+        !db.meta.get(key).exists(_.get() == want)) Thread.sleep(50)
+      db.meta.get(key).map(_.get()).getOrElse(-1L)
+    }
+    val q = db.stream(LogRange(live = true)).writeStream
+      .format("memory").queryName("meta_live_test").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(poll("stream.records", 2L) === 2L, "initial delta counted")
+      log.appendRows(Seq(Row(3L)))
+      q.processAllAvailable()
+      assert(poll("stream.records", 3L) === 3L, "post-start appends keep counting")
+    } finally q.stop()
+  }
+
+  test("append.records counts appended rows") {
+    val (_, db) = mkDb()
+    db.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(1L), Row(2L))), schema))
+    db.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(3L))), schema))
+    assert(db.meta("append.records").get() === 3L)
+    assert(db.meta("append").get() === 2L)
+  }
+
   test("record counters of two dbs on one session stay independent (shared listener)") {
     val (log1, db1) = mkDb()
     val (log2, db2) = mkDb()
