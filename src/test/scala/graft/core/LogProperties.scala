@@ -53,6 +53,23 @@ object LogProperties extends Properties("FlumeLog") {
       math.abs(before.stdevSamp - after.stdevSamp) < 1e-9
   }
 
+  property("compact preserves contents, cursor, and future appends") = forAll(
+    Gen.resize(6, Gen.nonEmptyListOf(Gen.resize(4, Gen.nonEmptyListOf(Gen.chooseNum(-100L, 100L))))),
+    Gen.resize(4, Gen.listOf(Gen.chooseNum(-100L, 100L)))) { (batches, after) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft-prop-compact").toString
+    val log = new ParquetLog(spark, dir, schema)
+    batches.foreach(b => log.appendRows(rows(b)))
+    val expectBefore = batches.flatten.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val cursorBefore = log.since
+    log.compact()
+    val got = log.read.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val appendOk = if (after.nonEmpty) {
+      log.appendRows(rows(after))
+      log.since == cursorBefore + after.size
+    } else true
+    got == expectBefore && log.since >= cursorBefore && appendOk
+  }
+
   property("incremental stats across appends match a one-shot fold") = forAll(
     Gen.resize(10, Gen.nonEmptyListOf(Gen.chooseNum(-50L, 50L))),
     Gen.resize(10, Gen.nonEmptyListOf(Gen.chooseNum(-50L, 50L)))) { (a, b) =>
