@@ -84,6 +84,8 @@ final class IVFIndexView(
         else seedFrom match {
           case Some(df) =>
             val seeds = Similarity.seedCentroids(df, nCentroids, idCol, vecCol)
+            require(seeds.nonEmpty,
+              "IVF quantizer cannot seed from an empty batch; absorb data first")
             import spark.implicits._
             seeds.toSeq.toDF("cid", "vec").write.mode("overwrite")
               .parquet(centroidsDir.toString)
