@@ -70,15 +70,28 @@ object SparkEntry {
   private val streamIds = new java.util.concurrent.atomic.AtomicLong()
 
   /** Stored IVF index over the embeddings table (built once per scale
-    * factor through the view framework; probing is partition pruning). */
-  private val ivfViews = scala.collection.concurrent.TrieMap.empty[String, IVFIndexView]
-  private def ivfIndex(s: SparkSession, dir: String): IVFIndexView =
-    ivfViews.getOrElseUpdate(dir, {
+    * factor through the view framework; probing is partition pruning).
+    * Cache entries remember the session that built them: a cached view
+    * pins frames of that session, so a different (e.g. restarted)
+    * session re-using the same data dir must not see the stale entry —
+    * it is evicted, its db closed, and the index rebuilt. */
+  private final case class IvfEntry(session: SparkSession, db: FlumeDb, view: IVFIndexView)
+  private val ivfViews = scala.collection.concurrent.TrieMap.empty[String, IvfEntry]
+  private def ivfIndex(s: SparkSession, dir: String): IVFIndexView = {
+    def build(): IvfEntry = {
       val db = new FlumeDb(new TableLog(s, t(s, dir, "embeddings"), "vec_id"))
       val vdir = java.nio.file.Files.createTempDirectory("graftivf").toString
       db.use("ivf", IVFIndexView(vdir))
-      db.gated("ivf")(_.asInstanceOf[IVFIndexView])
-    })
+      IvfEntry(s, db, db.gated("ivf")(_.asInstanceOf[IVFIndexView]))
+    }
+    val e = ivfViews.getOrElseUpdate(dir, build())
+    if (e.session eq s) e.view
+    else {
+      ivfViews.remove(dir, e)
+      scala.util.Try(e.db.close())
+      ivfViews.getOrElseUpdate(dir, build()).view
+    }
+  }
 
   private def queryVec(s: SparkSession, dir: String, id: Long): Seq[Float] =
     t(s, dir, "embeddings").where(col("vec_id") === id)
@@ -396,9 +409,13 @@ object SparkEntry {
     "q_pipeline_curate" -> ((s, dir) => {
       import s.implicits._
       // full curation pipeline over a corpus with planted dups: quality
-      // floor -> exact dedup -> minhash near-dedup (exact-verified)
+      // floor -> exact dedup -> minhash near-dedup (exact-verified).
+      // 32 bands × 2 rows makes candidate recall oracle-grade on the
+      // fixture (planted pairs ≥0.7 jaccard ⇒ miss ~4e-10), so the whole
+      // pipeline is deterministic and DuckDB-checkable end to end.
       val kept = graft.ops.Curate.curate(docsWithNearDups(s, dir),
-        minQuality = 0.2, nearThreshold = 0.6, verifyExact = true)
+        minQuality = 0.2, nearThreshold = 0.6, verifyExact = true,
+        bands = 32, maxBucket = 1000)
       kept.agg(
         count(lit(1)).as("n_kept"),
         min("doc_id").as("min_id"),
@@ -650,6 +667,25 @@ object SparkEntry {
         "SELECT id_a, id_b, round(inter::DOUBLE / (ca.n + cb.n - inter), 4) AS est_jaccard " +
         "FROM pairs JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b " +
         "WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.6 ORDER BY id_a, id_b"),
+    "q_pipeline_curate" ->
+      // the full pipeline replayed declaratively: quality floor (same
+      // formula as q_quality_score), exact dedup keyed on the text itself
+      // (the Spark side keys on xxhash64(text) — identical mod 2^-64
+      // collisions), then exact-Jaccard near-drop of id_b per ≥0.6 pair
+      // among survivors (the Spark side's LSH+verify at 32 bands is
+      // exhaustive-equivalent on the fixture)
+      ("WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, regexp_replace(text, '^\\S+\\s+', '') FROM documents), " +
+        "qual AS (SELECT doc_id, text FROM (SELECT doc_id, text, round(least(n::DOUBLE / 50.0, 1.0) * 0.4 + least((stop_hits::DOUBLE / greatest(n::DOUBLE, 1.0)) * 5.0, 1.0) * 0.4 + greatest(1.0 - punct * 4.0, 0.0) * 0.2, 4) AS quality FROM (SELECT doc_id, text, len(toks) AS n, len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t))) AS stop_hits, length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS punct FROM (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks FROM corpus))) WHERE quality >= 0.2), " +
+        "exact_keep AS (SELECT min(doc_id) AS doc_id FROM qual GROUP BY text), " +
+        "kept1 AS (SELECT q.doc_id, q.text FROM qual q JOIN exact_keep e USING (doc_id)), " +
+        "toks2 AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM kept1), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(tk) = 0 THEN [] WHEN len(tk) < 3 THEN list_distinct(tk) ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sh FROM toks2), " +
+        "counts AS (SELECT doc_id, len(sh) AS n FROM sh WHERE len(sh) > 0), " +
+        "inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM inv a JOIN inv b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "nears AS (SELECT DISTINCT id_b FROM pairs JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.6), " +
+        "kept AS (SELECT doc_id FROM kept1 WHERE doc_id NOT IN (SELECT id_b FROM nears)) " +
+        "SELECT count(*) AS n_kept, min(doc_id) AS min_id, max(doc_id) AS max_id, sum(CASE WHEN doc_id >= 10000 THEN 1 ELSE 0 END)::BIGINT AS perturbed_kept FROM kept"),
     "q_knn_cosine" ->
       "SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q WHERE e.vec_id <> 0 ORDER BY cos DESC, e.vec_id LIMIT 10",
     "q_knn_batch" ->

@@ -177,15 +177,49 @@ final class ParquetLog(
     if (bucketed) StructType(fullSchema.fields :+ StructField(bucketCol, LongType, nullable = false))
     else fullSchema
 
+  private def containsParquet(f: java.io.File): Boolean = {
+    val fs = f.listFiles()
+    fs != null && fs.exists(c =>
+      c.getName.endsWith(".parquet") || (c.isDirectory && containsParquet(c)))
+  }
+
   private def hasData: Boolean = {
     val d = new java.io.File(dir)
-    def containsParquet(f: java.io.File): Boolean = {
-      val fs = f.listFiles()
-      fs != null && fs.exists(c =>
-        c.getName.endsWith(".parquet") || (c.isDirectory && containsParquet(c)))
-    }
     d.exists() && containsParquet(d)
   }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    val fs = f.listFiles(); if (fs != null) fs.foreach(deleteTree); f.delete()
+  }
+
+  /** Crash recovery for [[compact]]'s directory swap. A JVM death between
+    * the swap's two renames leaves the data only in `<dir>.precompact`
+    * (and the rewritten copy in `<dir>.compacting`); without recovery a
+    * reopen would see an empty root and report an empty log, and the next
+    * compact() would delete both leftovers — destroying the log. Rules:
+    * root has data → the side dirs are stale leftovers, delete them; root
+    * empty but `.precompact` has data → the crash hit between the renames,
+    * restore the original; else `.compacting` has a *complete* rewrite
+    * (parquet `_SUCCESS` marker) and root is empty → adopt it. Runs at
+    * construction (before the cursor is resolved) and at compact entry. */
+  private def recoverCompactLeftovers(): Unit = {
+    val root = new java.io.File(dir)
+    val tmp = new java.io.File(dir + ".compacting")
+    val old = new java.io.File(dir + ".precompact")
+    def nonEmpty(f: java.io.File): Boolean = f.exists() && containsParquet(f)
+    if (hasData) { deleteTree(tmp); deleteTree(old) }
+    else if (nonEmpty(old)) {
+      if (root.exists()) deleteTree(root)
+      if (!old.renameTo(root)) throw new java.io.IOException(s"compact recovery: cannot restore $old to $root")
+      deleteTree(tmp)
+    } else if (nonEmpty(tmp) && new java.io.File(tmp, "_SUCCESS").exists()) {
+      if (root.exists()) deleteTree(root)
+      if (!tmp.renameTo(root)) throw new java.io.IOException(s"compact recovery: cannot adopt $tmp as $root")
+      deleteTree(old)
+    }
+  }
+
+  recoverCompactLeftovers()
 
   @volatile private var cursor: Long =
     if (hasData)
@@ -235,9 +269,16 @@ final class ParquetLog(
   override def readStream: DataFrame = {
     val d = new java.io.File(dir)
     if (!d.exists()) d.mkdirs()
+    liveTailStarted = true
     val s = spark.readStream.option("basePath", dir).schema(diskSchema).parquet(dir)
     if (bucketed) s.drop(bucketCol) else s
   }
+
+  /** Sticky once a live tail has been planned on this log: the file
+    * streaming source tracks processed files by name for the session
+    * lifetime (checkpoints survive even a stopped query), so a compact
+    * would re-deliver every rewritten file as duplicate records. */
+  @volatile private var liveTailStarted = false
 
   override def append(payload: DataFrame): Long = synchronized {
     val base = cursor
@@ -292,19 +333,21 @@ final class ParquetLog(
     * `seq_bucket=N/` with one file per bucket-task. Runs under the
     * single-writer lock; readers planned BEFORE the swap must be re-read
     * (same contract as any table rewrite — at cluster scale this is a
-    * per-bucket rewrite with an atomic manifest flip). Do NOT compact
-    * while a live tail is running: the file streaming source tracks
-    * processed files by name, so rewritten files would be re-delivered
-    * to the stream as new data. */
+    * per-bucket rewrite with an atomic manifest flip). Refuses to run
+    * once a live tail has been started on this log: the file streaming
+    * source tracks processed files by name, so rewritten files would be
+    * re-delivered to the stream as new data. */
   def compact(targetFileBytes: Long = 128L * 1024 * 1024): Unit = synchronized {
+    if (liveTailStarted)
+      throw new IllegalStateException(
+        s"compact: a live tail (readStream) was started on $dir; compacting would " +
+          "re-deliver every rewritten file to the stream as duplicates. Stop the " +
+          "stream and reopen the log to compact.")
     if (cursor < 0) return
     val root = new java.io.File(dir)
     val tmp = new java.io.File(dir + ".compacting")
     val old = new java.io.File(dir + ".precompact")
-    def deleteTree(f: java.io.File): Unit = {
-      val fs = f.listFiles(); if (fs != null) fs.foreach(deleteTree); f.delete()
-    }
-    deleteTree(tmp); deleteTree(old)
+    recoverCompactLeftovers()
     def bytesUnder(f: java.io.File): Long = {
       val fs = f.listFiles()
       if (fs == null) 0L else fs.map(c => if (c.isDirectory) bytesUnder(c) else c.length()).sum

@@ -30,7 +30,9 @@ object Curate {
       textCol: String = "text",
       minQuality: Double = 0.2,
       nearThreshold: Double = 0.6,
-      verifyExact: Boolean = false): DataFrame = {
+      verifyExact: Boolean = false,
+      bands: Int = 16,
+      maxBucket: Int = 64): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
 
     val feats = base.select(
@@ -50,7 +52,8 @@ object Curate {
     // near-dedup on survivors, shingles reused from the feature table
     val nearPairs = Dedup.minhashLshFromShingles(
       exactKept.select(col("doc_id").as("id"), col("hs")).where(size(col("hs")) > 0),
-      threshold = nearThreshold, verifyExact = verifyExact)
+      threshold = nearThreshold, verifyExact = verifyExact,
+      bands = bands, maxBucket = maxBucket)
     val nearDrop = nearPairs.select(col("id_b").as("doc_id")).distinct()
 
     // surviving ids are small — checkpoint them, release the feature

@@ -84,11 +84,22 @@ object Dedup {
     }
   }
 
-  /** Exact Jaccard of two SORTED hash arrays by merge-count — no
-    * intermediate arrays or hash sets, ~10× cheaper per pair than
+  /** Exact Jaccard of two hash arrays by merge-count — no intermediate
+    * arrays or hash sets, ~10× cheaper per pair than
     * `array_intersect`/`array_union` when verifying hundreds of
-    * thousands of LSH candidates. */
-  private val jaccardSorted = udf { (a: Seq[Long], b: Seq[Long]) =>
+    * thousands of LSH candidates. The merge needs sorted input;
+    * [[hashedShinglesUdf]] emits sorted arrays, and anything else is
+    * detected by an O(n) scan and sorted defensively — an unsorted
+    * caller pays a sort per pair instead of silently undercounting. */
+  private val jaccardSorted = udf { (a0: Seq[Long], b0: Seq[Long]) =>
+    def sortedArr(s: Seq[Long]): Array[Long] = {
+      val a = s.toArray
+      var i = 1
+      while (i < a.length && a(i - 1) <= a(i)) i += 1
+      if (i < a.length) java.util.Arrays.sort(a)
+      a
+    }
+    val a = sortedArr(a0); val b = sortedArr(b0)
     var i = 0; var j = 0; var inter = 0
     val n = a.length; val m = b.length
     while (i < n && j < m) {
@@ -178,7 +189,11 @@ object Dedup {
     * array<long>)` — lets pipelines that already paid the text pass
     * (e.g. [[Curate]]) reuse it. `hashed` should be persisted (or a
     * stored table); the per-doc shingle sets are read twice: once for
-    * signatures, once to re-attach for verification. */
+    * signatures, once to re-attach for verification. The canonical
+    * producer of `hs` is [[hashedShinglesCol]], which emits SORTED
+    * arrays — the exact-verify path merge-counts them; unsorted input
+    * is detected and sorted defensively (correct, but pays an extra
+    * sort per candidate pair). */
   def minhashLshFromShingles(
       hashed: DataFrame,
       perms: Int = 64,
@@ -196,10 +211,23 @@ object Dedup {
       if (verifyExact) {
         // exact Jaccard on the true shingle sets of candidates only — the
         // LSH narrows, the verify is authoritative (no estimator
-        // variance). A size bound (j ≤ min/max, slackened past the
-        // rounding margin) discards most spurious candidates before any
-        // array work; survivors pay one merge-count over sorted hashes.
-        cand
+        // variance). Two cheap gates run BEFORE the heavy arrays are
+        // attached: (1) a signature-agreement prefilter — signatures are
+        // ~50 bytes/doc and auto-broadcastable where the shingle sets are
+        // kilobytes and are not, so estimating first means the candidate
+        // table never shuffles full arrays for pairs that are nowhere
+        // near the threshold. The slack (0.25 ≈ 4σ at 64 perms) makes a
+        // drop of a true ≥threshold pair as unlikely as an LSH banding
+        // miss, which this path already accepts. (2) the size bound
+        // (j ≤ min/max). Survivors pay one merge-count over sorted
+        // hashes.
+        val prefiltered = cand
+          .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+          .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+          .where(size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
+            .cast("double") >= lit((threshold - 0.25) * perms))
+          .select("id_a", "id_b")
+        prefiltered
           .join(hashed.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
           .join(hashed.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
           .where(least(size(col("hs_a")), size(col("hs_b"))).cast("double") >=
@@ -348,6 +376,7 @@ object Dedup {
     val sh = docs.select(col(idCol).as("id"), hashedShinglesUdf(w)(col(textCol)).as("sh"))
       .where(size(col("sh")) > 0)
       .persist()
+    var sigsToRelease: Option[DataFrame] = None
 
     val pairs =
       if (exhaustive) {
@@ -374,10 +403,18 @@ object Dedup {
       } else {
         // maxDocFreq plays the same role the bucket cap plays in
         // minhashLsh: it bounds the quadratic inside any degenerate
-        // band bucket (boilerplate-heavy corpora). Size bound + sorted
-        // merge-count verify as in minhashLshFromShingles.
-        val sigs = sh.select(col("id"), minhashOph(perms)(col("sh")).as("sig"))
-        lshCandidates(sigs, perms, bands, maxBucket = maxDocFreq)
+        // band bucket (boilerplate-heavy corpora). Signature-agreement
+        // prefilter (cheap, broadcastable sigs) + size bound run before
+        // the kilobyte shingle arrays are attached, then the sorted
+        // merge-count verify — same staging as minhashLshFromShingles.
+        val sigs = sh.select(col("id"), minhashOph(perms)(col("sh")).as("sig")).persist()
+        val prefiltered = lshCandidates(sigs, perms, bands, maxBucket = maxDocFreq)
+          .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+          .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+          .where(size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
+            .cast("double") >= lit((threshold - 0.25) * perms))
+          .select("id_a", "id_b")
+        val verified = prefiltered
           .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
           .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
           .where(least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
@@ -385,9 +422,12 @@ object Dedup {
           .select(col("id_a"), col("id_b"),
             round(jaccardSorted(col("sh_a"), col("sh_b")), 4).as("jaccard"))
           .where(col("jaccard") >= threshold)
+        sigsToRelease = Some(sigs)
+        verified
       }
     // eager pair table, then release the cached postings (see minhashLsh)
     val out = pairs.localCheckpoint(true)
+    sigsToRelease.foreach(_.unpersist(blocking = false))
     sh.unpersist(blocking = false)
     out
   }

@@ -59,18 +59,14 @@ final class IVFIndexView(
   private def writeManifest(): Unit =
     Files.writeString(manifest, s"$version $sinceSeq")
 
-  private def pruneOrphans(): Unit = {
-    if (!Files.isDirectory(root)) return
-    Files.list(root).iterator().asScala
+  private def pruneOrphans(): Unit =
+    FsLists.children(root)
       .filter(p => p.getFileName.toString.startsWith("batch="))
       .filter(p => p.getFileName.toString.stripPrefix("batch=").toLong > sinceSeq)
-      .toList
       .foreach(deleteTree)
-  }
 
   private def deleteTree(p: Path): Unit =
-    Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-      .iterator().asScala.foreach(Files.delete)
+    FsLists.walkDeepestFirst(p).foreach(Files.delete)
 
   /** The quantizer: loaded from disk, or seeded from the given frame and
     * persisted on first absorb. */
@@ -96,13 +92,11 @@ final class IVFIndexView(
       loaded
     }
 
-  private def committedBatchDirs(): Seq[Path] = {
-    if (!Files.isDirectory(root)) return Nil
-    Files.list(root).iterator().asScala
+  private def committedBatchDirs(): Seq[Path] =
+    FsLists.children(root)
       .filter(p => p.getFileName.toString.startsWith("batch="))
       .filter(p => p.getFileName.toString.stripPrefix("batch=").toLong <= sinceSeq)
-      .toSeq.sortBy(_.getFileName.toString.stripPrefix("batch=").toLong)
-  }
+      .sortBy(_.getFileName.toString.stripPrefix("batch=").toLong)
 
   def since: Long = sinceSeq
 
@@ -149,8 +143,7 @@ final class IVFIndexView(
     sinceSeq = -1L
     cents = None
     if (Files.isDirectory(root)) {
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.filterNot(_ == root).foreach(Files.delete)
+      FsLists.walkDeepestFirst(root).filterNot(_ == root).foreach(Files.delete)
     }
   }
 }

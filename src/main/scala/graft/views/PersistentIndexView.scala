@@ -54,17 +54,11 @@ final class PersistentIndexView(
     * resurrection window (the reference replays the log into the view
     * instead — `/root/reference/index.js:36-39` — so it can never observe
     * a half-committed delta). */
-  private def pruneOrphans(): Unit = {
-    if (!Files.isDirectory(root)) return
-    val orphans = Files.list(root).iterator().asScala
+  private def pruneOrphans(): Unit =
+    FsLists.children(root)
       .filter(p => p.getFileName.toString.startsWith("batch="))
       .filter(p => p.getFileName.toString.stripPrefix("batch=").toLong > sinceSeq)
-      .toList
-    orphans.foreach { p =>
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-    }
-  }
+      .foreach(p => FsLists.walkDeepestFirst(p).foreach(Files.delete))
 
   private def readManifest(): Option[(Int, Long)] =
     if (!Files.exists(manifest)) None
@@ -76,13 +70,11 @@ final class PersistentIndexView(
   private def writeManifest(): Unit =
     Files.writeString(manifest, s"$version $sinceSeq")
 
-  private def committedBatchDirs(): Seq[Path] = {
-    if (!Files.isDirectory(root)) return Nil
-    Files.list(root).iterator().asScala
+  private def committedBatchDirs(): Seq[Path] =
+    FsLists.children(root)
       .filter(p => p.getFileName.toString.startsWith("batch="))
       .filter(p => p.getFileName.toString.stripPrefix("batch=").toLong <= sinceSeq)
-      .toSeq.sortBy(_.getFileName.toString.stripPrefix("batch=").toLong)
-  }
+      .sortBy(_.getFileName.toString.stripPrefix("batch=").toLong)
 
   def since: Long = sinceSeq
 
@@ -111,8 +103,7 @@ final class PersistentIndexView(
   def destroy(): Unit = {
     sinceSeq = -1L
     if (Files.isDirectory(root)) {
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.filterNot(_ == root).foreach(Files.delete)
+      FsLists.walkDeepestFirst(root).filterNot(_ == root).foreach(Files.delete)
     }
   }
 }

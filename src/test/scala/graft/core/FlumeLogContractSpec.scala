@@ -164,4 +164,48 @@ class ParquetLogSpec extends FlumeLogContract {
     reopened.appendRows(rows(40L))
     assert(reopened.since === 3L)
   }
+
+  test("reopen recovers a crash between compact's two renames (.precompact survives)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-test-crash1").toString
+    val log = new ParquetLog(spark, dir, payloadSchema)
+    log.appendRows(rows(10L, 20L, 30L))
+    // Simulate the crash window: root moved aside, rewritten copy staged,
+    // JVM dies before tmp -> root.
+    val root = new java.io.File(dir)
+    val old = new java.io.File(dir + ".precompact")
+    val tmp = new java.io.File(dir + ".compacting")
+    assert(root.renameTo(old))
+    tmp.mkdirs() // a partial rewrite (no _SUCCESS) must not be adopted
+    val reopened = new ParquetLog(spark, dir, payloadSchema)
+    assert(reopened.since === 2L, "recovered log must see its data")
+    assert(reopened.read.orderBy("seq").collect().map(_.getLong(1)).toSeq === Seq(10L, 20L, 30L))
+    assert(!old.exists() && !tmp.exists(), "recovery must consume the leftover dirs")
+    reopened.compact() // and the next compact must not destroy anything
+    assert(reopened.since === 2L)
+  }
+
+  test("reopen recovers a crash after compact's swap (stale .precompact beside healthy root)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-test-crash2").toString
+    val log = new ParquetLog(spark, dir, payloadSchema)
+    log.appendRows(rows(10L, 20L))
+    // Simulate: swap completed, crash before deleteTree(old) — old holds a
+    // stale pre-compact copy that must NOT resurrect.
+    val old = new java.io.File(dir + ".precompact")
+    old.mkdirs()
+    java.nio.file.Files.copy(
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).head.toPath,
+      new java.io.File(old, "stale.parquet").toPath)
+    val reopened = new ParquetLog(spark, dir, payloadSchema)
+    assert(reopened.since === 1L)
+    assert(reopened.read.count() === 2L, "stale leftovers must not duplicate data")
+    assert(!old.exists(), "stale leftovers are deleted once root is known-good")
+  }
+
+  test("compact refuses to run once a live tail was started") {
+    val log = mkLog().asInstanceOf[ParquetLog]
+    log.appendRows(rows(1L, 2L, 3L))
+    log.readStream // plan a live tail; file source now tracks files by name
+    val e = intercept[IllegalStateException](log.compact())
+    assert(e.getMessage.contains("live tail"))
+  }
 }

@@ -210,6 +210,22 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("exact-verify jaccard is identical for sorted and unsorted shingle input") {
+    // The canonical producer (hashedShinglesCol) emits sorted arrays; a
+    // caller handing minhashLshFromShingles its own unsorted arrays must
+    // get the same (defensively sorted) exact jaccard, not a silent
+    // undercount from the merge.
+    val hs = docsND.select(col("doc_id").as("id"), Dedup.hashedShinglesCol(col("text")).as("hs"))
+    val sortedIn = hs.persist()
+    val unsortedIn = hs.select(col("id"), reverse(col("hs")).as("hs")).persist()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("est_jaccard"))).toSet
+    val a = pairSet(Dedup.minhashLshFromShingles(sortedIn, threshold = 0.5, verifyExact = true))
+    val b = pairSet(Dedup.minhashLshFromShingles(unsortedIn, threshold = 0.5, verifyExact = true))
+    sortedIn.unpersist(); unsortedIn.unpersist()
+    assert(a.nonEmpty && a === b)
+  }
+
   test("approx distinct (HLL) lands within 5% of exact") {
     val r = graft.SparkEntry.queries("q_approx_distinct")(spark, dir).head()
     val approx = r.getLong(0).toDouble
