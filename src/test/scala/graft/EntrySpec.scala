@@ -18,7 +18,7 @@ class EntrySpec extends SparkSpec {
       assert(k.matches("q_[a-z0-9_]+"), s"bad query name: $k")
     }
     assert(SparkEntry.queries.size >= 66)
-    assert(SparkEntry.oracleSql.size >= 59)
+    assert(SparkEntry.oracleSql.size >= 62)
   }
 
   test("every query output is sortable scalars (driver compare sorts+hashes rows)") {
