@@ -224,8 +224,7 @@ object Dedup {
         val prefiltered = cand
           .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
           .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-          .where(size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
-            .cast("double") >= lit((threshold - 0.25) * perms))
+          .where(sigMatches(col("sig_a"), col("sig_b")).cast("double") >= lit((threshold - 0.25) * perms))
           .select("id_a", "id_b")
         prefiltered
           .join(hashed.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
@@ -240,8 +239,7 @@ object Dedup {
           .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
           .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
           .withColumn("est_jaccard",
-            round(size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
-              .cast("double") / lit(perms.toDouble), 4))
+            round(sigMatches(col("sig_a"), col("sig_b")).cast("double") / lit(perms.toDouble), 4))
           .where(col("est_jaccard") >= threshold)
           .select("id_a", "id_b", "est_jaccard")
       }
@@ -253,6 +251,46 @@ object Dedup {
     val out = pairs.localCheckpoint(true)
     sigs.unpersist(blocking = false)
     out
+  }
+
+  /** Dev-tool access to the private stages (profilers live in
+    * graft.tools). */
+  private[graft] def minhashCol(hs: Column, perms: Int): Column = minhashOph(perms)(hs)
+  private[graft] def lshCandidatesPublic(sigs: DataFrame, perms: Int, bands: Int, maxBucket: Int): DataFrame =
+    lshCandidates(sigs, perms, bands, maxBucket)
+  private[graft] def sigMatchesPublic(a: Column, b: Column): Column = sigMatches(a, b)
+
+  /** Positions where two signatures agree — the MinHash Jaccard
+    * estimator's numerator, evaluated per candidate pair. Native codegen
+    * expression: both the `size(filter(zip_with(...)))` HOF chain and a
+    * Scala UDF measured ~5 µs/row from per-element boxing, which made
+    * the estimator the most expensive part of the prefilter stage. */
+  private def sigMatches(a: Column, b: Column): Column =
+    graft.functions.SigAgreement.sig_agreement(a, b)
+
+  /** All `bands` band keys of a signature in one pass — pure long
+    * mixing (rotate/multiply/xor per row value, band index folded in).
+    * The column-algebra form (`xxhash64(concat_ws(transform(slice(...))))`
+    * per band) stringifies every signature value in every band: 32 bands
+    * × 2 longs → 64 long→string conversions per row, which made
+    * candidate generation the most expensive LSH stage. Key quality only
+    * needs determinism + good mixing; equal row-groups hash equal either
+    * way, so planted-pair recall is identical. */
+  private def bandKeysUdf(perms: Int, bands: Int) = udf { sig: Seq[Long] =>
+    val rows = perms / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 1125899906842597L ^ (b.toLong * 0x9e3779b97f4a7c15L)
+      var r = 0
+      while (r < rows) {
+        h = java.lang.Long.rotateLeft(h * 0x87c37b91114253d5L, 31) ^ sig(b * rows + r)
+        r += 1
+      }
+      out(b) = (h ^ (h >>> 33)) * 0xff51afd7ed558ccdL
+      b += 1
+    }
+    out.toSeq
   }
 
   /** In-bucket pair expansion: all ordered pairs of a (small, capped)
@@ -280,11 +318,9 @@ object Dedup {
     * quadratic: capped buckets are dropped, trading recall for bounded
     * cost, and the cap also bounds the collected bucket's memory. */
   private def lshCandidates(sigs: DataFrame, perms: Int, bands: Int, maxBucket: Int): DataFrame = {
-    val rows = perms / bands
     val banded = sigs.select(
       col("id"),
-      explode(array((0 until bands).map(b =>
-        xxhash64(lit(b), concat_ws(",", transform(slice(col("sig"), b * rows + 1, rows), _.cast("string"))))): _*)).as("bandkey"))
+      explode(bandKeysUdf(perms, bands)(col("sig"))).as("bandkey"))
 
     banded.groupBy("bandkey").agg(collect_list(col("id")).as("ids"))
       .where(size(col("ids")).between(2, maxBucket))
@@ -411,8 +447,7 @@ object Dedup {
         val prefiltered = lshCandidates(sigs, perms, bands, maxBucket = maxDocFreq)
           .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
           .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-          .where(size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
-            .cast("double") >= lit((threshold - 0.25) * perms))
+          .where(sigMatches(col("sig_a"), col("sig_b")).cast("double") >= lit((threshold - 0.25) * perms))
           .select("id_a", "id_b")
         val verified = prefiltered
           .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
