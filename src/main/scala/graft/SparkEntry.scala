@@ -400,6 +400,22 @@ object SparkEntry {
         round(coalesce(col("value") - lag("value", 1).over(w), lit(0.0)), 4).as("diff"))
         .orderBy("user_id", "seq")
     }),
+    "q_asof_general" -> ((s, dir) => {
+      // the GENERAL two-table as-of operator (merge_asof): purchases
+      // probe the clicks table for the latest prior click per user,
+      // carrying both payloads — checked against DuckDB's native ASOF
+      // JOIN. (q_asof_join is the single-relation attribution form.)
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("value").as("purchase_value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("value").as("click_value"))
+      graft.ops.Joins.asofJoin(purchases, clicks, on = "event_id", by = Seq("user_id"))
+        .select(col("user_id"), col("event_id").as("purchase_seq"),
+          coalesce(col("event_id_right"), lit(-1L)).as("click_seq"),
+          coalesce(col("click_value"), lit(-1.0)).as("click_value"))
+        .orderBy("purchase_seq")
+    }),
     "q_asof_join" -> ((s, dir) => {
       // as-of (attribution) join: each purchase matched to the latest
       // prior click of the same user — windowed running max, no self-join
@@ -646,6 +662,11 @@ object SparkEntry {
       "SELECT event_id AS seq, substring(event_type, 1, 3) AS et3, upper(event_type) AS etu, event_type || '-' || CAST(user_id AS VARCHAR) AS etkey, json_extract_string(props, '$.k') AS props_k, round(abs(value - 50), 4) AS vabs, CAST(floor(value) AS BIGINT) AS vfloor, CAST(ceil(value) AS BIGINT) AS vceil, user_id % 7 AS umod, CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m, CAST(day(ts) AS BIGINT) AS d FROM events ORDER BY seq",
     "q_window_running" ->
       "SELECT user_id, event_id AS seq, round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running, round(coalesce(value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id), 0.0), 4) AS diff FROM events ORDER BY user_id, seq",
+    "q_asof_general" ->
+      ("SELECT p.user_id, p.event_id AS purchase_seq, coalesce(c.event_id, -1) AS click_seq, coalesce(c.value, -1.0) AS click_value " +
+        "FROM (SELECT user_id, event_id, value FROM events WHERE event_type = 'purchase') p " +
+        "ASOF LEFT JOIN (SELECT user_id, event_id, value FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND p.event_id >= c.event_id ORDER BY purchase_seq"),
     "q_asof_join" ->
       "SELECT user_id, seq, last_click_seq FROM (SELECT user_id, event_id AS seq, event_type, coalesce(max(CASE WHEN event_type = 'click' THEN event_id END) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS last_click_seq FROM events WHERE event_type IN ('click', 'purchase')) WHERE event_type = 'purchase' ORDER BY seq",
     "q_dedup_exact" ->
