@@ -554,6 +554,36 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.table(name).orderBy("hour_ms")
     }),
+    "q_stream_session" -> ((s, dir) => {
+      // Streaming per-key session windows in APPEND mode — the hard
+      // streaming case: a session only emits once the watermark passes
+      // its end. Determinism across micro-batchings comes from watermark
+      // closure: both this side and the batch oracle keep only sessions
+      // whose end is at least (watermark delay + a full hour) before the
+      // stream's final watermark, a region where emission is guaranteed.
+      scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
+      val schema = t(s, dir, "events").schema
+      val name = s"stream_session_${streamIds.incrementAndGet()}"
+      val cutoffMs = t(s, dir, "events")
+        .agg(max(expr("ts div 1000000"))).head().getLong(0) - 90L * 60L * 1000L
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts2", expr("timestamp_millis(ts div 1000000)"))
+          .withWatermark("ts2", "30 minutes")
+          .groupBy(col("user_id"), session_window(col("ts2"), "10 minutes").as("w"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("user_id"), unix_millis(col("w.start")).as("start_ms"),
+            unix_millis(col("w.end")).as("end_ms"), col("cnt"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.table(name).where(col("end_ms") <= cutoffMs)
+        .select("user_id", "start_ms", "cnt").orderBy("user_id", "start_ms")
+    }),
     "q_stream_dedup" -> ((s, dir) => {
       // Streaming dropDuplicates == batch DISTINCT, oracle-checked: the
       // emitted key set is deterministic regardless of micro-batching.
@@ -772,6 +802,17 @@ object SparkEntry {
       "SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, count(*) AS cnt, round(sum(value), 4) AS sum_v FROM events GROUP BY hour_ms ORDER BY hour_ms",
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id FROM events ORDER BY user_id",
+    "q_stream_session" ->
+      // gaps-and-islands sessions (as q_session_window), kept only where
+      // the streaming side is guaranteed to have emitted: session end
+      // (last event + gap) at least watermark + 1 h before the final
+      // watermark's anchor (the max event time)
+      ("WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events), " +
+        "mx AS (SELECT max(epoch_ms(ts)) AS m FROM events), " +
+        "s AS (SELECT user_id, ms, CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) >= 600000 THEN 1 ELSE 0 END AS new_s FROM e), " +
+        "g AS (SELECT user_id, ms, sum(new_s) OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid FROM s) " +
+        "SELECT user_id, min(ms) AS start_ms, count(*) AS cnt FROM g, mx GROUP BY user_id, sid, m " +
+        "HAVING max(ms) + 600000 <= m - 5400000 ORDER BY user_id, start_ms"),
     "q_quality_score" ->
       "SELECT doc_id, round(least(n::DOUBLE / 50.0, 1.0) * 0.4 + least((stop_hits::DOUBLE / greatest(n::DOUBLE, 1.0)) * 5.0, 1.0) * 0.4 + greatest(1.0 - punct * 4.0, 0.0) * 0.2, 4) AS quality FROM (SELECT doc_id, len(toks) AS n, len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t))) AS stop_hits, length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS punct FROM (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks FROM documents)) ORDER BY doc_id"
   )

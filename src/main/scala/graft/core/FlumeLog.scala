@@ -145,6 +145,20 @@ object TableLog {
   /** Open a parquet table as a read-only log. */
   def parquet(spark: SparkSession, path: String, seqCol: String): TableLog =
     new TableLog(spark, spark.read.parquet(path), seqCol)
+
+  /** Open a CSV table as a read-only log (the flumelog family is
+    * codec-pluggable — `/root/reference/README.md:84-87`; here the codec
+    * is a Spark reader). Schema required: inference is a second full
+    * scan, which at 100 TB is not a default anyone wants. */
+  def csv(spark: SparkSession, path: String, seqCol: String,
+      schema: StructType, header: Boolean = true): TableLog =
+    new TableLog(spark, spark.read.schema(schema)
+      .option("header", header.toString).csv(path), seqCol)
+
+  /** Open a JSON-lines table as a read-only log (schema required, as
+    * [[csv]]). */
+  def json(spark: SparkSession, path: String, seqCol: String, schema: StructType): TableLog =
+    new TableLog(spark, spark.read.schema(schema).json(path), seqCol)
 }
 
 /** Durable log over a parquet directory — the analog of flumelog-offset

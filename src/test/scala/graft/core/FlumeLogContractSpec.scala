@@ -209,3 +209,35 @@ class ParquetLogSpec extends FlumeLogContract {
     assert(e.getMessage.contains("live tail"))
   }
 }
+
+/** CSV / JSON-lines tables as read-only logs — the codec-pluggable half
+  * of the flumelog family (`/root/reference/README.md:84-87`). */
+class TableLogFormatsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions.col
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def sample = spark.createDataFrame(
+    spark.sparkContext.parallelize(Seq(Row(0L, "a"), Row(1L, "b"), Row(2L, "c"), Row(3L, "d"))),
+    schema)
+
+  test("csv table log: scan, range, point get") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    sample.write.option("header", "true").mode("overwrite").csv(dir)
+    val log = TableLog.csv(spark, dir, "id", schema)
+    assert(log.since === 3L)
+    assert(log.stream(LogRange(gte = Some(1L), lte = Some(2L)))
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    assert(log.get(2L).collect()(0).getAs[String]("v") === "c")
+  }
+
+  test("json table log: scan, range, appends rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
+    sample.write.mode("overwrite").json(dir)
+    val log = TableLog.json(spark, dir, "id", schema)
+    assert(log.since === 3L)
+    assert(log.read.where(col("id") > 1).count() === 2L)
+    intercept[UnsupportedOperationException](log.append(sample))
+  }
+}
