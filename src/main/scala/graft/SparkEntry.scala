@@ -483,6 +483,14 @@ object SparkEntry {
       Similarity.annForVector(t(s, dir, "embeddings"), queryVec(s, dir, 0L), 10,
           maxHamming = 8, excludeId = Some(0L))
         .orderBy(col("cos").desc, col("vec_id"))),
+    "q_hash_split" -> ((s, dir) =>
+      // deterministic train/eval assignment: a pure function of the key,
+      // reproduced bit-for-bit by the DuckDB oracle (md5 is the portable
+      // hash); narrow projection, no shuffle
+      graft.ops.Sampling.hashSplit(
+          t(s, dir, "documents").select("doc_id"), "doc_id", evalPermille = 100, salt = "v1")
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id")),
     "q_text_stats" -> ((s, dir) =>
       TextAnalysis.textStats(t(s, dir, "documents")).orderBy("doc_id")),
     "q_token_count" -> ((s, dir) =>
@@ -703,6 +711,10 @@ object SparkEntry {
       "SELECT min(doc_id) AS keep_id, count(*) AS copies FROM documents GROUP BY text ORDER BY keep_id",
     "q_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp_md5 FROM documents ORDER BY doc_id",
+    "q_hash_split" ->
+      ("SELECT doc_id, bucket, CASE WHEN bucket < 100 THEN 'eval' ELSE 'train' END AS split " +
+        "FROM (SELECT doc_id, CAST(concat('0x', substring(md5(doc_id::VARCHAR || 'v1'), 1, 7)) AS BIGINT) % 1000 AS bucket FROM documents) " +
+        "ORDER BY doc_id"),
     "q_ann_ivf" ->
       ("WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16), " +
         "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +

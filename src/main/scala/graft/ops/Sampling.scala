@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, portable sampling for training-data pipelines.
+  *
+  * `df.sample` / `sampleBy` draw from a seeded RNG whose stream depends
+  * on partitioning — rerun the pipeline with different parallelism and
+  * the sample changes. Training-data splits must be a pure function of
+  * the KEY: the same document lands in the same split on every run, on
+  * every engine, forever (eval contamination is the bug these guard
+  * against). So the bucket is derived from an md5 of the key — portable
+  * enough that the DuckDB oracle reproduces it bit-for-bit — and all
+  * assignment is a narrow, codegen'd projection: no shuffle, no state,
+  * trivially parallel at 100 TB.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, 1000) as a pure function of (key, salt):
+    * the first 7 md5 hex digits (28 bits — sign-safe everywhere) mod
+    * 1000. Change `salt` to draw an independent assignment. */
+  def hashPermille(key: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 7), 16, 10)
+      .cast("bigint") % 1000
+
+  /** Keep a deterministic `keepPermille`/1000 fraction of rows by key. */
+  def sampleByHash(df: DataFrame, keyCol: String, keepPermille: Int, salt: String = ""): DataFrame =
+    df.where(hashPermille(col(keyCol), salt) < keepPermille)
+
+  /** Stable train/eval split: rows whose bucket falls under
+    * `evalPermille` go to "eval", the rest to "train". */
+  def hashSplit(df: DataFrame, keyCol: String, evalPermille: Int, salt: String = ""): DataFrame =
+    df.withColumn("bucket", hashPermille(col(keyCol), salt))
+      .withColumn("split", when(col("bucket") < evalPermille, "eval").otherwise("train"))
+}

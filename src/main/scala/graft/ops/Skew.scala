@@ -33,4 +33,21 @@ object Skew {
       .agg(partials.head, partials.tail: _*)
     stage1.groupBy("key").agg(merges.head, merges.tail: _*)
   }
+
+  /** Skew-safe equi-join: salt the (skewed) fact side's key with a
+    * random-ish shard in [0, salts) and replicate each dimension row
+    * across ALL salts, so a hot key's join rows land on `salts` tasks
+    * instead of one. Semantics are exactly `fact.join(dim, keys, "inner")`
+    * with `dim` unique per key-tuple; the price is a `salts`× blow-up of
+    * the (small) dimension shuffle — the standard remedy when the dim is
+    * too large to broadcast outright and AQE's skew splitting is
+    * unavailable (e.g. the join feeds a co-partitioned downstream op).
+    * The salt must NOT be derived from the key (a hot key would land its
+    * whole bulk on one shard again) — it spreads rows, not keys. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String], salts: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).cast("int"))
+    val shards = dim.withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
+    saltedFact.join(shards, keys :+ "__salt").drop("__salt")
+  }
 }

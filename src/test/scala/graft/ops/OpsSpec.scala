@@ -178,6 +178,32 @@ class OpsSpec extends SparkSpec {
     r.foreach(row => assert(math.abs(row.getDouble(0) - 1.0) < 1e-9))
   }
 
+  test("salted join equals the plain equi-join (skew-safe path)") {
+    val ev = spark.read.parquet(s"$dir/events.parquet").select("event_id", "user_id", "value")
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_name"))
+    val plain = ev.join(dim, Seq("user_id")).select("event_id", "user_id", "c_name")
+    val salted = Skew.saltedJoin(ev, dim, Seq("user_id")).select("event_id", "user_id", "c_name")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("hash split is stable, disjoint, and close to the asked fraction") {
+    val s1 = Sampling.hashSplit(docs.select("doc_id"), "doc_id", evalPermille = 100, salt = "v1")
+    val s2 = Sampling.hashSplit(docs.select("doc_id").repartition(7), "doc_id", evalPermille = 100, salt = "v1")
+    // assignment is a pure function of the key: partitioning must not matter
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+    val evalN = s1.where(col("split") === "eval").count().toDouble
+    val n = s1.count().toDouble
+    assert(evalN / n > 0.05 && evalN / n < 0.15, s"~10% expected, got ${evalN / n}")
+    // independent salt draws an (almost surely) different assignment
+    val other = Sampling.hashSplit(docs.select("doc_id"), "doc_id", evalPermille = 100, salt = "v2")
+    assert(other.exceptAll(s1).count() > 0)
+    // sampleByHash keeps exactly the under-threshold buckets
+    val kept = Sampling.sampleByHash(docs.select("doc_id"), "doc_id", 100, salt = "v1")
+    assert(kept.count() === evalN.toLong)
+  }
+
   test("salted aggregation matches plain groupBy (skew-safe path)") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val plain = ev.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"), sum("value").as("sum_v"))
