@@ -575,6 +575,9 @@ object SparkEntry {
       val cutoffMs = t(s, dir, "events")
         .agg(max(expr("ts div 1000000"))).head().getLong(0) - 90L * 60L * 1000L
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      // 4 state stores as the other stateful streams (8 measured the
+      // same: the cost is the session merge + watermark eviction itself,
+      // not store parallelism).
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val q = s.readStream.schema(schema)
