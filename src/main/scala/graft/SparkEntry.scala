@@ -582,7 +582,7 @@ object SparkEntry {
       try {
         val q = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts2", expr("timestamp_millis(ts div 1000000)"))
+          .select(col("user_id"), expr("timestamp_millis(ts div 1000000)").as("ts2"))
           .withWatermark("ts2", "30 minutes")
           .groupBy(col("user_id"), session_window(col("ts2"), "10 minutes").as("w"))
           .agg(count(lit(1)).as("cnt"))
