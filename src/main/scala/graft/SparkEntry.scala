@@ -483,6 +483,12 @@ object SparkEntry {
       Similarity.annForVector(t(s, dir, "embeddings"), queryVec(s, dir, 0L), 10,
           maxHamming = 8, excludeId = Some(0L))
         .orderBy(col("cos").desc, col("vec_id"))),
+    "q_stratified_sample" -> ((s, dir) =>
+      // per-language quota of 30 docs, picked by md5 order of doc_id —
+      // balanced, RNG-free, partition-invariant
+      graft.ops.Sampling.stratifiedByHash(
+          t(s, dir, "documents").select("doc_id", "lang"), "lang", "doc_id", nPerGroup = 30, salt = "v1")
+        .orderBy("lang", "doc_id")),
     "q_hash_split" -> ((s, dir) =>
       // deterministic train/eval assignment: a pure function of the key,
       // reproduced bit-for-bit by the DuckDB oracle (md5 is the portable
@@ -714,6 +720,9 @@ object SparkEntry {
       "SELECT min(doc_id) AS keep_id, count(*) AS copies FROM documents GROUP BY text ORDER BY keep_id",
     "q_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp_md5 FROM documents ORDER BY doc_id",
+    "q_stratified_sample" ->
+      ("SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR || 'v1'), doc_id) AS rk FROM documents) " +
+        "WHERE rk <= 30 ORDER BY lang, doc_id"),
     "q_hash_split" ->
       ("SELECT doc_id, bucket, CASE WHEN bucket < 100 THEN 'eval' ELSE 'train' END AS split " +
         "FROM (SELECT doc_id, CAST(concat('0x', substring(md5(doc_id::VARCHAR || 'v1'), 1, 7)) AS BIGINT) % 1000 AS bucket FROM documents) " +

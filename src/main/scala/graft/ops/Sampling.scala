@@ -33,4 +33,20 @@ object Sampling {
   def hashSplit(df: DataFrame, keyCol: String, evalPermille: Int, salt: String = ""): DataFrame =
     df.withColumn("bucket", hashPermille(col(keyCol), salt))
       .withColumn("split", when(col("bucket") < evalPermille, "eval").otherwise("train"))
+
+  /** Deterministic per-group quota: at most `nPerGroup` rows per
+    * `groupCol`, chosen by md5 order of the key (ties broken by the key
+    * itself, so the pick is total and partition-invariant) — balanced
+    * per-language / per-source quotas without an RNG. One shuffle on the
+    * group key; a skewed group costs one task's sort of that group, the
+    * standard windowed-top-k tradeoff (grouped top-k via bounded heaps
+    * exists for the val-ranked case, `TopKAggregator`). */
+  def stratifiedByHash(df: DataFrame, groupCol: String, keyCol: String,
+      nPerGroup: Int, salt: String = ""): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(md5(concat(col(keyCol).cast("string"), lit(salt))), col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= nPerGroup)
+      .drop("__rk")
+  }
 }

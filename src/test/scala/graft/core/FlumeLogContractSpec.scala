@@ -201,6 +201,24 @@ class ParquetLogSpec extends FlumeLogContract {
     assert(!old.exists(), "stale leftovers are deleted once root is known-good")
   }
 
+  test("reopen discards an abandoned rewrite staged before the swap began") {
+    // Crash window 1: .compacting fully written (with _SUCCESS) but the
+    // JVM died before root was moved aside — root is intact and must win.
+    val dir = java.nio.file.Files.createTempDirectory("graft-test-crash0").toString
+    val log = new ParquetLog(spark, dir, payloadSchema)
+    log.appendRows(rows(10L, 20L))
+    val tmp = new java.io.File(dir + ".compacting")
+    tmp.mkdirs()
+    java.nio.file.Files.copy(
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).head.toPath,
+      new java.io.File(tmp, "staged.parquet").toPath)
+    java.nio.file.Files.createFile(new java.io.File(tmp, "_SUCCESS").toPath)
+    val reopened = new ParquetLog(spark, dir, payloadSchema)
+    assert(reopened.since === 1L)
+    assert(reopened.read.count() === 2L, "root must win over a staged rewrite")
+    assert(!tmp.exists(), "the abandoned rewrite is discarded")
+  }
+
   test("compact refuses to run once a live tail was started") {
     val log = mkLog().asInstanceOf[ParquetLog]
     log.appendRows(rows(1L, 2L, 3L))

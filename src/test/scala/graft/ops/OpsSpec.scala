@@ -204,6 +204,17 @@ class OpsSpec extends SparkSpec {
     assert(kept.count() === evalN.toLong)
   }
 
+  test("stratified hash sample honors quotas and is partition-invariant") {
+    val base = docs.select("doc_id", "lang")
+    val s1 = Sampling.stratifiedByHash(base, "lang", "doc_id", nPerGroup = 30)
+    val s2 = Sampling.stratifiedByHash(base.repartition(11), "lang", "doc_id", nPerGroup = 30)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+    val perGroup = s1.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perGroup.values.forall(_ <= 30))
+    val available = base.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perGroup.foreach { case (g, n) => assert(n === math.min(30L, available(g))) }
+  }
+
   test("salted aggregation matches plain groupBy (skew-safe path)") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val plain = ev.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"), sum("value").as("sum_v"))
