@@ -584,6 +584,9 @@ object SparkEntry {
       // 4 state stores as the other stateful streams (8 measured the
       // same: the cost is the session merge + watermark eviction itself,
       // not store parallelism).
+      // Default HDFSBacked state store: RocksDB measured 2.5x slower here
+      // (~100k sessions is in-memory-map territory; RocksDB pays JNI +
+      // file churn and only wins when state outgrows the heap).
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val q = s.readStream.schema(schema)
