@@ -604,6 +604,40 @@ object SparkEntry {
       s.table(name).where(col("end_ms") <= cutoffMs)
         .select("user_id", "start_ms", "cnt").orderBy("user_id", "start_ms")
     }),
+    "q_stream_join" -> ((s, dir) => {
+      // Stream-stream time-interval join (the impression↔click
+      // attribution shape): purchases join clicks of the same user within
+      // the preceding hour. Both sides are watermarked so the join state
+      // is bounded (clicks retire once no future purchase can reach
+      // them); an INNER interval join emits each matched pair exactly
+      // once whatever the micro-batching, so the full batch interval
+      // join is the oracle with no closure filtering needed.
+      scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
+      val schema = t(s, dir, "events").schema
+      val name = s"stream_join_${streamIds.incrementAndGet()}"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        def side(tpe: String, idAs: String, tsAs: String) =
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+            .where(col("event_type") === tpe)
+            .select(col("user_id"), col("event_id").as(idAs),
+              expr("timestamp_millis(ts div 1000000)").as(tsAs))
+            .withWatermark(tsAs, "30 minutes")
+        val purchases = side("purchase", "purchase_id", "pts")
+        val clicks = side("click", "click_id", "cts").withColumnRenamed("user_id", "c_user_id")
+        val q = purchases.join(clicks,
+            col("user_id") === col("c_user_id") &&
+              col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") && col("cts") <= col("pts"),
+            "inner")
+          .select(col("user_id"), col("purchase_id"), col("click_id"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.table(name).orderBy("user_id", "purchase_id", "click_id")
+    }),
     "q_stream_dedup" -> ((s, dir) => {
       // Streaming dropDuplicates == batch DISTINCT, oracle-checked: the
       // emitted key set is deterministic regardless of micro-batching.
@@ -829,6 +863,12 @@ object SparkEntry {
       "SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, count(*) AS cnt, round(sum(value), 4) AS sum_v FROM events GROUP BY hour_ms ORDER BY hour_ms",
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id FROM events ORDER BY user_id",
+    "q_stream_join" ->
+      ("SELECT p.user_id AS user_id, p.event_id AS purchase_id, c.event_id AS click_id " +
+        "FROM (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events WHERE event_type = 'purchase') p " +
+        "JOIN (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND c.ms >= p.ms - 3600000 AND c.ms <= p.ms " +
+        "ORDER BY user_id, purchase_id, click_id"),
     "q_stream_session" ->
       // gaps-and-islands sessions (as q_session_window), kept only where
       // the streaming side is guaranteed to have emitted: session end
