@@ -535,6 +535,16 @@ object SparkEntry {
           round(element_at(col("features"), 8).cast("double"), 4).as("feat7"),
           round(element_at(col("features"), 16).cast("double"), 4).as("feat15"))
         .orderBy("media_id")),
+    "q_multimodal_resize" -> ((s, dir) =>
+      // resize image-modality payloads to 16x16 stub-pixels; digest is
+      // DuckDB-recomputable (ASCII fixture: byte ops == char ops)
+      Multimodal.resize(
+          Multimodal.syntheticMedia(t(s, dir, "documents")).where(col("modality") === "image"),
+          targetW = 16, targetH = 16)
+        .select(col("media_id"), col("meta.width").cast("bigint").as("w"),
+          col("meta.height").cast("bigint").as("h"),
+          length(col("content")).cast("bigint").as("n_bytes"), md5(col("content")).as("content_md5"))
+        .orderBy("media_id")),
     "q_frame_sample" -> ((s, dir) =>
       // fully oracle-backed: the fixture text is ASCII, so byte-chunking
       // the binary payload == char-chunking the text in DuckDB, and md5
@@ -764,6 +774,12 @@ object SparkEntry {
     "q_stratified_sample" ->
       ("SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR || 'v1'), doc_id) AS rk FROM documents) " +
         "WHERE rk <= 30 ORDER BY lang, doc_id"),
+    "q_multimodal_resize" ->
+      // nearest-neighbor 1-D resample replayed over the ASCII text:
+      // out[i] = byte[(i*len)//256], 0-based -> substring 1-based
+      ("SELECT doc_id AS media_id, 16::BIGINT AS w, 16::BIGINT AS h, 256::BIGINT AS n_bytes, " +
+        "md5(array_to_string(list_transform(range(0, 256), i -> substring(text, 1 + CAST((i * length(text)) // 256 AS INT), 1)), '')) AS content_md5 " +
+        "FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id"),
     "q_hash_split" ->
       ("SELECT doc_id, bucket, CASE WHEN bucket < 100 THEN 'eval' ELSE 'train' END AS split " +
         "FROM (SELECT doc_id, CAST(concat('0x', substring(md5(doc_id::VARCHAR || 'v1'), 1, 7)) AS BIGINT) % 1000 AS bucket FROM documents) " +

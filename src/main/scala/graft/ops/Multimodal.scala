@@ -89,6 +89,36 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  /** STUB resize: nearest-neighbor 1-D byte resampling standing in for a
+    * pixel resize (a real implementation decodes, resamples 2-D, and
+    * re-encodes — the codec seam is [[decodeStub]]'s). The Spark-side
+    * shape is the real part: a narrow one-pass kernel per row, metadata
+    * rewritten to the target dims, no shuffle. Deterministic, so the
+    * DuckDB oracle reproduces the resampled digest byte-for-byte on the
+    * ASCII fixture. */
+  private val resampleBytes = udf { (b: Array[Byte], outLen: Int) =>
+    if (b == null || b.isEmpty || outLen <= 0) Array.empty[Byte]
+    else {
+      val out = new Array[Byte](outLen)
+      var i = 0
+      while (i < outLen) { out(i) = b((i.toLong * b.length / outLen).toInt); i += 1 }
+      out
+    }
+  }
+
+  /** Resize media payloads to `targetW` × `targetH` "pixels" (bytes in
+    * the stub): content resampled, `meta.width/height` rewritten, format
+    * preserved. */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame =
+    media.select(
+      col("media_id"), col("modality"),
+      resampleBytes(col("content"), lit(targetW * targetH)).as("content"),
+      struct(
+        lit(targetW).as("width"),
+        lit(targetH).as("height"),
+        col("meta.duration_ms").as("duration_ms"),
+        col("meta.format").as("format")).as("meta"))
+
   /** Frame sampling for video-like payloads: emit every `stride`-th chunk
     * of the binary as a "frame" row — the explode-shaped plan (1 row → N
     * frame rows) a real video pipeline has, with deterministic fake

@@ -312,4 +312,24 @@ class OpsSpec extends SparkSpec {
     assert(frames.count() > 0)
     assert(frames.columns.toSet === Set("media_id", "frame_idx", "frame_bytes", "frame_md5"))
   }
+
+  test("multimodal resize: exact target length, meta rewritten, up/downsample both defined") {
+    import spark.implicits._
+    val media = Multimodal.syntheticMedia(docs)
+    val r = Multimodal.resize(media, targetW = 16, targetH = 16)
+    val rows = r.collect()
+    assert(rows.length === docs.count())
+    rows.foreach { row =>
+      assert(row.getAs[Array[Byte]]("content").length === 256)
+      val meta = row.getAs[org.apache.spark.sql.Row]("meta")
+      assert(meta.getAs[Int]("width") === 16 && meta.getAs[Int]("height") === 16)
+    }
+    // upsample: 3-byte payload stretched to 8 repeats bytes, never crashes
+    val tiny = Multimodal.resize(
+      Seq((1L, "image", "abc".getBytes("UTF-8"))).toDF("media_id", "modality", "content")
+        .withColumn("meta", struct(lit(1).as("width"), lit(3).as("height"),
+          lit(0L).as("duration_ms"), lit("synthetic/v1").as("format"))),
+      targetW = 2, targetH = 4)
+    assert(new String(tiny.head().getAs[Array[Byte]]("content"), "UTF-8") === "aaabbbcc")
+  }
 }
