@@ -77,28 +77,50 @@ object SparkEntry {
     * it is evicted, its db closed, and the index rebuilt. */
   private final case class IvfEntry(session: SparkSession, db: FlumeDb, view: IVFIndexView)
   private val ivfViews = scala.collection.concurrent.TrieMap.empty[String, IvfEntry]
+  private val ivfBuildLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  /** 64-bit hex fingerprint of the source table's identity AND content
+    * generation (path + recursive mtime/length) — a regenerated table
+    * gets a different stored-index location, so the parity check can
+    * never "reopen" an index built from different data, and two data
+    * dirs cannot collide onto one index (32-bit hashCode could). */
+  private def sourceFingerprint(path: String): String = {
+    def stat(x: java.io.File): Long =
+      if (x.isFile) x.lastModified ^ (x.length * 0x9e3779b97f4a7c15L)
+      else { val cs = x.listFiles(); if (cs == null) 0L else cs.map(stat).sum }
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$path:${stat(new java.io.File(path))}".getBytes("UTF-8"))
+    d.take(8).map(b => f"$b%02x").mkString
+  }
+
   private def ivfIndex(s: SparkSession, dir: String): IVFIndexView = {
     def build(): IvfEntry = {
       val db = new FlumeDb(new TableLog(s, t(s, dir, "embeddings"), "vec_id"))
-      // Deterministic on-disk location per data dir: the index is a
-      // DURABLE view — the first process to touch a scale factor builds
-      // it, every later mount (same or new JVM) reopens at parity from
-      // the manifest and goes straight to probing. That is the 100 TB
-      // deployment shape: a long-lived stored index serving queries, not
-      // a per-process rebuild. Staleness is governed by the log cursor
-      // (parity check on mount) and the view version (bump forces a
-      // rebuild).
+      // Deterministic on-disk location per (data dir, content
+      // generation): the index is a DURABLE view — the first process to
+      // touch a scale factor builds it, every later mount (same or new
+      // JVM) reopens at parity from the manifest and goes straight to
+      // probing. That is the 100 TB deployment shape: a long-lived
+      // stored index serving queries, not a per-process rebuild.
       val vdir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        "graft-ivf-" + java.lang.Integer.toHexString(dir.hashCode)).toString
+        "graft-ivf-" + sourceFingerprint(s"$dir/embeddings.parquet")).toString
       db.use("ivf", IVFIndexView(vdir))
       IvfEntry(s, db, db.gated("ivf")(_.asInstanceOf[IVFIndexView]))
     }
-    val e = ivfViews.getOrElseUpdate(dir, build())
-    if (e.session eq s) e.view
-    else {
-      ivfViews.remove(dir, e)
-      scala.util.Try(e.db.close())
-      ivfViews.getOrElseUpdate(dir, build()).view
+    // One build at a time per data dir: TrieMap.getOrElseUpdate may race
+    // two thunks, and two concurrent IVFIndexView constructions on the
+    // same stored dir could prune each other's in-flight batch.
+    val lock = ivfBuildLocks.getOrElseUpdate(dir, new Object)
+    lock.synchronized {
+      val e = ivfViews.getOrElseUpdate(dir, build())
+      if (e.session eq s) e.view
+      else {
+        ivfViews.remove(dir, e)
+        scala.util.Try(e.db.close())
+        val fresh = build()
+        ivfViews.put(dir, fresh)
+        fresh.view
+      }
     }
   }
 

@@ -211,17 +211,22 @@ final class ParquetLog(
     * (and the rewritten copy in `<dir>.compacting`); without recovery a
     * reopen would see an empty root and report an empty log, and the next
     * compact() would delete both leftovers — destroying the log. Rules:
-    * root has data → the side dirs are stale leftovers, delete them; root
-    * empty but `.precompact` has data → the crash hit between the renames,
-    * restore the original; else `.compacting` has a *complete* rewrite
-    * (parquet `_SUCCESS` marker) and root is empty → adopt it. Runs at
-    * construction (before the cursor is resolved) and at compact entry. */
-  private def recoverCompactLeftovers(): Unit = {
+    * root has data → the side dirs are stale leftovers, deleted only when
+    * `cleanStale` (compact entry); root empty but `.precompact` has data
+    * → the crash hit between the renames, restore the original; else
+    * `.compacting` has a *complete* rewrite (parquet `_SUCCESS` marker)
+    * and root is empty → adopt it. Construction passes
+    * `cleanStale = false` so a read-only open of a HEALTHY log never
+    * mutates the directory; the restore paths only fire on a root with no
+    * data, a state a crashed compact leaves behind (the single-writer
+    * contract extends to compaction: no other process may be mid-compact
+    * while this one opens the log). */
+  private def recoverCompactLeftovers(cleanStale: Boolean): Unit = {
     val root = new java.io.File(dir)
     val tmp = new java.io.File(dir + ".compacting")
     val old = new java.io.File(dir + ".precompact")
     def nonEmpty(f: java.io.File): Boolean = f.exists() && containsParquet(f)
-    if (hasData) { deleteTree(tmp); deleteTree(old) }
+    if (hasData) { if (cleanStale) { deleteTree(tmp); deleteTree(old) } }
     else if (nonEmpty(old)) {
       if (root.exists()) deleteTree(root)
       if (!old.renameTo(root)) throw new java.io.IOException(s"compact recovery: cannot restore $old to $root")
@@ -233,7 +238,7 @@ final class ParquetLog(
     }
   }
 
-  recoverCompactLeftovers()
+  recoverCompactLeftovers(cleanStale = false)
 
   @volatile private var cursor: Long =
     if (hasData)
@@ -283,16 +288,10 @@ final class ParquetLog(
   override def readStream: DataFrame = {
     val d = new java.io.File(dir)
     if (!d.exists()) d.mkdirs()
-    liveTailStarted = true
+    ParquetLog.markLiveTail(dir)
     val s = spark.readStream.option("basePath", dir).schema(diskSchema).parquet(dir)
     if (bucketed) s.drop(bucketCol) else s
   }
-
-  /** Sticky once a live tail has been planned on this log: the file
-    * streaming source tracks processed files by name for the session
-    * lifetime (checkpoints survive even a stopped query), so a compact
-    * would re-deliver every rewritten file as duplicate records. */
-  @volatile private var liveTailStarted = false
 
   override def append(payload: DataFrame): Long = synchronized {
     val base = cursor
@@ -352,16 +351,16 @@ final class ParquetLog(
     * source tracks processed files by name, so rewritten files would be
     * re-delivered to the stream as new data. */
   def compact(targetFileBytes: Long = 128L * 1024 * 1024): Unit = synchronized {
-    if (liveTailStarted)
+    if (ParquetLog.liveTailStarted(dir))
       throw new IllegalStateException(
         s"compact: a live tail (readStream) was started on $dir; compacting would " +
           "re-deliver every rewritten file to the stream as duplicates. Stop the " +
-          "stream and reopen the log to compact.")
+          "stream before compacting in a fresh process.")
     if (cursor < 0) return
     val root = new java.io.File(dir)
     val tmp = new java.io.File(dir + ".compacting")
     val old = new java.io.File(dir + ".precompact")
-    recoverCompactLeftovers()
+    recoverCompactLeftovers(cleanStale = true)
     def bytesUnder(f: java.io.File): Long = {
       val fs = f.listFiles()
       if (fs == null) 0L else fs.map(c => if (c.isDirectory) bytesUnder(c) else c.length()).sum
@@ -380,6 +379,22 @@ final class ParquetLog(
   override def methods: Map[String, Seq[Any] => Any] =
     Map("compact" -> (args => { compact(args.headOption.map(_.toString.toLong)
       .getOrElse(128L * 1024 * 1024)); cursor }))
+}
+
+object ParquetLog {
+  /** Directories with a live tail planned THIS JVM — sticky for the
+    * process lifetime, because the file streaming source tracks
+    * processed files by name (a compact's rewritten files would be
+    * re-delivered as duplicates, even to a query started from another
+    * `ParquetLog` instance on the same dir). Keyed by canonical path so
+    * a second instance cannot sidestep the guard; cross-process tails
+    * are outside the guard and covered by the single-writer contract. */
+  private val liveTailDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def canonical(dir: String): String =
+    try new java.io.File(dir).getCanonicalPath catch { case _: java.io.IOException => dir }
+  private[core] def markLiveTail(dir: String): Unit = liveTailDirs.add(canonical(dir))
+  private[core] def liveTailStarted(dir: String): Boolean = liveTailDirs.contains(canonical(dir))
 }
 
 /** In-memory log, the analog of flumelog-memory

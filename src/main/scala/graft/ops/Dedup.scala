@@ -209,31 +209,7 @@ object Dedup {
 
     val pairs =
       if (verifyExact) {
-        // exact Jaccard on the true shingle sets of candidates only — the
-        // LSH narrows, the verify is authoritative (no estimator
-        // variance). Two cheap gates run BEFORE the heavy arrays are
-        // attached: (1) a signature-agreement prefilter — signatures are
-        // ~50 bytes/doc and auto-broadcastable where the shingle sets are
-        // kilobytes and are not, so estimating first means the candidate
-        // table never shuffles full arrays for pairs that are nowhere
-        // near the threshold. The slack (0.25 ≈ 4σ at 64 perms) makes a
-        // drop of a true ≥threshold pair as unlikely as an LSH banding
-        // miss, which this path already accepts. (2) the size bound
-        // (j ≤ min/max). Survivors pay one merge-count over sorted
-        // hashes.
-        val prefiltered = cand
-          .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-          .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-          .where(sigMatches(col("sig_a"), col("sig_b")).cast("double") >= lit((threshold - 0.25) * perms))
-          .select("id_a", "id_b")
-        prefiltered
-          .join(hashed.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
-          .join(hashed.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
-          .where(least(size(col("hs_a")), size(col("hs_b"))).cast("double") >=
-            lit(threshold - 0.001) * greatest(size(col("hs_a")), size(col("hs_b"))).cast("double"))
-          .withColumn("est_jaccard", round(jaccardSorted(col("hs_a"), col("hs_b")), 4))
-          .where(col("est_jaccard") >= threshold)
-          .select("id_a", "id_b", "est_jaccard")
+        verifyCandidatesExact(cand, sigs, hashed, "hs", threshold, perms, "est_jaccard")
       } else {
         cand
           .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
@@ -251,6 +227,36 @@ object Dedup {
     val out = pairs.localCheckpoint(true)
     sigs.unpersist(blocking = false)
     out
+  }
+
+  /** Exact Jaccard on the true shingle sets of candidate pairs — the
+    * LSH narrows, the verify is authoritative (no estimator variance).
+    * Two cheap gates run BEFORE the heavy arrays are attached: (1) a
+    * signature-agreement prefilter — signatures are ~50 bytes/doc and
+    * auto-broadcastable where the shingle sets are kilobytes and are
+    * not, so estimating first means the candidate table never shuffles
+    * full arrays for pairs that are nowhere near the threshold; the
+    * slack (0.25 ≈ 4σ at 64 perms) makes a drop of a true ≥threshold
+    * pair as unlikely as an LSH banding miss, which this path already
+    * accepts. (2) the size bound (j ≤ min/max). Survivors pay one
+    * merge-count over sorted hashes. Shared by the minhash and n-gram
+    * exact-verify paths so the staging can never diverge. */
+  private def verifyCandidatesExact(
+      cand: DataFrame, sigs: DataFrame, shingleTable: DataFrame, shingleCol: String,
+      threshold: Double, perms: Int, outCol: String): DataFrame = {
+    val prefiltered = cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .where(sigMatches(col("sig_a"), col("sig_b")).cast("double") >= lit((threshold - 0.25) * perms))
+      .select("id_a", "id_b")
+    prefiltered
+      .join(shingleTable.select(col("id").as("id_a"), col(shingleCol).as("hs_a")), Seq("id_a"))
+      .join(shingleTable.select(col("id").as("id_b"), col(shingleCol).as("hs_b")), Seq("id_b"))
+      .where(least(size(col("hs_a")), size(col("hs_b"))).cast("double") >=
+        lit(threshold - 0.001) * greatest(size(col("hs_a")), size(col("hs_b"))).cast("double"))
+      .withColumn(outCol, round(jaccardSorted(col("hs_a"), col("hs_b")), 4))
+      .where(col(outCol) >= threshold)
+      .select(col("id_a"), col("id_b"), col(outCol))
   }
 
   /** Dev-tool access to the private stages (profilers live in
@@ -456,26 +462,12 @@ object Dedup {
       } else {
         // maxDocFreq plays the same role the bucket cap plays in
         // minhashLsh: it bounds the quadratic inside any degenerate
-        // band bucket (boilerplate-heavy corpora). Signature-agreement
-        // prefilter (cheap, broadcastable sigs) + size bound run before
-        // the kilobyte shingle arrays are attached, then the sorted
-        // merge-count verify — same staging as minhashLshFromShingles.
+        // band bucket (boilerplate-heavy corpora). Verify staging shared
+        // with minhashLshFromShingles (verifyCandidatesExact).
         val sigs = sh.select(col("id"), minhashOph(perms)(col("sh")).as("sig")).persist()
-        val prefiltered = lshCandidates(sigs, perms, bands, maxBucket = maxDocFreq)
-          .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-          .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-          .where(sigMatches(col("sig_a"), col("sig_b")).cast("double") >= lit((threshold - 0.25) * perms))
-          .select("id_a", "id_b")
-        val verified = prefiltered
-          .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-          .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-          .where(least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
-            lit(threshold - 0.001) * greatest(size(col("sh_a")), size(col("sh_b"))).cast("double"))
-          .select(col("id_a"), col("id_b"),
-            round(jaccardSorted(col("sh_a"), col("sh_b")), 4).as("jaccard"))
-          .where(col("jaccard") >= threshold)
+        val cand = lshCandidates(sigs, perms, bands, maxBucket = maxDocFreq)
         sigsToRelease = Some(sigs)
-        verified
+        verifyCandidatesExact(cand, sigs, sh, "sh", threshold, perms, "jaccard")
       }
     // eager pair table, then release the cached postings (see minhashLsh)
     val out = pairs.localCheckpoint(true)

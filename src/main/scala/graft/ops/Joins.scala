@@ -53,10 +53,16 @@ object Joins {
 
     // One spine: (by, on, side-tag, payload struct). The right payload is
     // nullable on left rows and vice versa; unionByName fills the gap.
+    // Null `on` values never match under merge_asof semantics: null right
+    // rows are dropped from the spine outright (sort order would
+    // otherwise place them nulls-first and last(ignoreNulls) would carry
+    // them as phantom matches); null LEFT rows survive (left-outer) but
+    // have their match nulled below.
     val lTagged = left
       .withColumn("__lpay", struct(leftCols.map(col): _*))
       .select((by :+ on).map(col) :+ lit(true).as("__isL") :+ col("__lpay") : _*)
     val rTagged = right
+      .where(col(on).isNotNull)
       .withColumn("__rpay", struct(rightPayloadCols.map(col): _*))
       .select((by :+ on).map(col) :+ lit(false).as("__isL") :+ col("__rpay") : _*)
     val spine = lTagged.unionByName(rTagged, allowMissingColumns = true)
@@ -71,7 +77,8 @@ object Joins {
     val w = Window.partitionBy(by.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val matched = spine
-      .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
+      .withColumn("__match",
+        when(col(on).isNotNull, last(col("__rpay"), ignoreNulls = true).over(w)))
       .where(col("__isL"))
 
     // Tolerance nulls the match but keeps the left row.

@@ -198,7 +198,12 @@ class ParquetLogSpec extends FlumeLogContract {
     val reopened = new ParquetLog(spark, dir, payloadSchema)
     assert(reopened.since === 1L)
     assert(reopened.read.count() === 2L, "stale leftovers must not duplicate data")
-    assert(!old.exists(), "stale leftovers are deleted once root is known-good")
+    // a read-only open of a healthy log never mutates the directory;
+    // the next compact is what cleans the stale leftover
+    assert(old.exists())
+    reopened.compact()
+    assert(!old.exists(), "compact cleans stale leftovers before swapping")
+    assert(reopened.read.count() === 2L)
   }
 
   test("reopen discards an abandoned rewrite staged before the swap began") {
@@ -216,15 +221,21 @@ class ParquetLogSpec extends FlumeLogContract {
     val reopened = new ParquetLog(spark, dir, payloadSchema)
     assert(reopened.since === 1L)
     assert(reopened.read.count() === 2L, "root must win over a staged rewrite")
-    assert(!tmp.exists(), "the abandoned rewrite is discarded")
+    assert(tmp.exists(), "a read-only open leaves the leftover in place")
+    reopened.compact()
+    assert(reopened.read.count() === 2L, "compact discards the abandoned rewrite, not the data")
   }
 
-  test("compact refuses to run once a live tail was started") {
+  test("compact refuses to run once a live tail was started — on any instance for the dir") {
     val log = mkLog().asInstanceOf[ParquetLog]
     log.appendRows(rows(1L, 2L, 3L))
     log.readStream // plan a live tail; file source now tracks files by name
     val e = intercept[IllegalStateException](log.compact())
     assert(e.getMessage.contains("live tail"))
+    // the guard is per-directory, not per-instance: a fresh handle on the
+    // same dir must refuse too (the running stream doesn't know about it)
+    val second = new ParquetLog(spark, log.dir, payloadSchema)
+    intercept[IllegalStateException](second.compact())
   }
 }
 

@@ -55,6 +55,18 @@ class JoinsSpec extends SparkSpec {
       500L -> Some(9.0)))  // distance 1
   }
 
+  test("null times never match: null right rows are ignored, null left rows get no match") {
+    val q = Seq(("A", Option.empty[Long], 9.0), ("A", Some(20L), 2.0)).toDF("sym", "t", "px")
+    val tr = Seq(("A", Some(5L), 100L), ("A", Some(25L), 200L), ("A", Option.empty[Long], 300L))
+      .toDF("sym", "t", "qty")
+    val j = Joins.asofJoin(tr, q, on = "t", by = Seq("sym"))
+    assert(j.count() === 3, "left-outer: null-time left rows survive")
+    assert(matches(j) === Map(
+      100L -> None,        // t=5: the null-time quote must NOT be a phantom match
+      200L -> Some(2.0),   // t=25: quote at 20
+      300L -> None))       // null-time probe matches nothing
+  }
+
   test("right columns clashing with left are suffixed; by-keys are not duplicated") {
     val j = Joins.asofJoin(trades, quotes, on = "t", by = Seq("sym"))
     assert(j.columns.toSeq === Seq("sym", "t", "qty", "t_right", "px"))
