@@ -164,6 +164,8 @@ class OpsSpec extends SparkSpec {
         .getOrCreate()
       val r = s2.sql("SELECT cosine_similarity(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c").head()
       assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+      val m = s2.sql("SELECT sig_agreement(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS m").head()
+      assert(m.getInt(0) === 2)
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
