@@ -1,7 +1,7 @@
 package graft
 
 import graft.core._
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Cluster, Decontaminate, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.views._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -58,6 +58,23 @@ object SparkEntry {
     d.unionByName(d.select(
       (col("doc_id") + 10000).as("doc_id"),
       regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+  }
+
+  /** Three-copy CHAIN fixture for duplicate clustering: original, first
+    * token dropped (+10000), first two tokens dropped (+20000). Every
+    * planted pair keeps jaccard ≥ (d-2)/d ≥ 0.75 on the driver corpus
+    * (min distinct-shingle count is 8 at every SF), so LSH candidate
+    * generation at 32 bands stays oracle-grade, while the components are
+    * triangles — survivor selection must apply transitivity, not just
+    * read pairs. */
+  private def docsWithDupChain(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    d.unionByName(d.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+      .unionByName(d.select(
+        (col("doc_id") + 20000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+\\S+\\s+", "").as("text")))
   }
 
   private def embWithNearDups(s: SparkSession, dir: String): DataFrame = {
@@ -484,6 +501,24 @@ object SparkEntry {
       // exact-Jaccard oracle
       Dedup.ngramJaccard(docsWithNearDups(s, dir), threshold = 0.5, maxDocFreq = 1000)
         .orderBy("id_a", "id_b")),
+    "q_decontaminate" -> ((s, dir) => {
+      // benchmark = 10-token prefixes of every 97th document; the corpus
+      // (with near-dup copies) must flag exactly the source docs and the
+      // copies that still contain a full 8-gram of the prefix
+      val bench = t(s, dir, "documents")
+        .where(col("doc_id") % 97 === 0)
+        .select(concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 10)).as("text"))
+      Decontaminate.sharedNgrams(docsWithNearDups(s, dir), bench, w = 8)
+        .orderBy("doc_id")
+    }),
+    "q_dedup_clusters" -> ((s, dir) => {
+      // pairs -> connected components -> survivor labels: the pair
+      // generator emits the triangle edges; clustering must collapse
+      // them (and any transitive chain) to the component minimum
+      val corpus = docsWithDupChain(s, dir)
+      val pairs = Dedup.ngramJaccard(corpus, threshold = 0.5, maxDocFreq = 1000)
+      Cluster.dupClusters(corpus, pairs).orderBy("doc_id")
+    }),
     "q_dedup_verified" -> ((s, dir) =>
       // LSH candidate generation at 32 bands × 2 rows, authoritative
       // exact-Jaccard verify: output is exactly the ≥-threshold pairs
@@ -824,6 +859,35 @@ object SparkEntry {
         "SELECT id_a, id_b, round(inter::DOUBLE / (ca.n + cb.n - inter), 4) AS jaccard " +
         "FROM pairs JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b " +
         "WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.5 ORDER BY id_a, id_b"),
+    "q_decontaminate" ->
+      // string 8-grams in the oracle vs 64-bit hashed 8-grams in Spark:
+      // identical join/count results modulo 2^-64 hash collisions (the
+      // same argument as the exact-dedup and ngram oracles)
+      ("WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, regexp_replace(text, '^\\S+\\s+', '') FROM documents), " +
+        "btoks AS (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')[1:10] AS tk FROM documents WHERE doc_id % 97 = 0), " +
+        "bg AS (SELECT DISTINCT unnest(CASE WHEN len(tk) = 0 THEN [] WHEN len(tk) < 8 THEN list_distinct(tk) ELSE list_distinct(list_transform(generate_series(1, len(tk) - 7), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) END) AS g FROM btoks), " +
+        "dtoks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM corpus), " +
+        "dg AS (SELECT doc_id, unnest(CASE WHEN len(tk) = 0 THEN [] WHEN len(tk) < 8 THEN list_distinct(tk) ELSE list_distinct(list_transform(generate_series(1, len(tk) - 7), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) END) AS g FROM dtoks) " +
+        "SELECT doc_id, count(*)::BIGINT AS shared_ngrams FROM dg JOIN bg USING (g) GROUP BY doc_id ORDER BY doc_id"),
+    "q_dedup_clusters" ->
+      // independent formulation: exact-Jaccard pairs (no LSH) symmetrized,
+      // then a recursive-CTE transitive closure labels every doc with the
+      // minimum reachable id. The Spark side's star-contraction loop must
+      // produce the identical fixpoint. LSH candidate recall stays
+      // oracle-grade on the chain fixture: at sf0.01 the minimum kept-pair
+      // jaccard is 0.7 (band miss ~4e-10); see FIXTURES.md §C.
+      ("WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 10000, regexp_replace(text, '^\\S+\\s+', '') FROM documents " +
+        "UNION ALL SELECT doc_id + 20000, regexp_replace(text, '^\\S+\\s+\\S+\\s+', '') FROM documents), " +
+        "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM corpus), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(tk) = 0 THEN [] WHEN len(tk) < 3 THEN list_distinct(tk) ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sh FROM toks), " +
+        "counts AS (SELECT doc_id, len(sh) AS n FROM sh WHERE len(sh) > 0), " +
+        "inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM inv a JOIN inv b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "good AS (SELECT id_a, id_b FROM pairs JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.5), " +
+        "sym AS (SELECT id_a AS s, id_b AS d FROM good UNION SELECT id_b, id_a FROM good), " +
+        "reach AS (SELECT doc_id AS id, doc_id AS r FROM corpus UNION SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.id) " +
+        "SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id"),
     "q_dedup_verified" ->
       ("WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, regexp_replace(text, '^\\S+\\s+', '') FROM documents), " +
         "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM corpus), " +
