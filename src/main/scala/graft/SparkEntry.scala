@@ -501,6 +501,11 @@ object SparkEntry {
       // exact-Jaccard oracle
       Dedup.ngramJaccard(docsWithNearDups(s, dir), threshold = 0.5, maxDocFreq = 1000)
         .orderBy("id_a", "id_b")),
+    "q_search_bm25" -> ((s, dir) =>
+      // ranked retrieval over the corpus; scores are distinct at 4
+      // decimals around the k=20 cutoff at every SF (checked), so the
+      // top-k SET is deterministic cross-engine
+      TextAnalysis.bm25Rank(t(s, dir, "documents"), Seq("data", "hash", "scan"), k = 20)),
     "q_decontaminate" -> ((s, dir) => {
       // benchmark = 10-token prefixes of every 97th document; the corpus
       // (with near-dup copies) must flag exactly the source docs and the
@@ -859,6 +864,14 @@ object SparkEntry {
         "SELECT id_a, id_b, round(inter::DOUBLE / (ca.n + cb.n - inter), 4) AS jaccard " +
         "FROM pairs JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b " +
         "WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.5 ORDER BY id_a, id_b"),
+    "q_search_bm25" ->
+      ("WITH base AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM documents), " +
+        "b2 AS (SELECT doc_id, len(tk)::DOUBLE AS dl, tk FROM base), " +
+        "g AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM b2), " +
+        "tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM (SELECT doc_id, dl, unnest(tk) AS term FROM b2) WHERE term IN ('data', 'hash', 'scan') GROUP BY 1, 2, 3), " +
+        "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1), " +
+        "s AS (SELECT doc_id, ln(1.0 + (g.n_docs - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl / g.avgdl)) AS s FROM tf JOIN df USING (term), g) " +
+        "SELECT doc_id, round(sum(s), 4) AS score FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"),
     "q_decontaminate" ->
       // string 8-grams in the oracle vs 64-bit hashed 8-grams in Spark:
       // identical join/count results modulo 2^-64 hash collisions (the

@@ -121,6 +121,57 @@ object TextAnalysis {
   def langId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol), langIdUdf(col(textCol)).as("pred_lang"))
 
+  /** BM25 ranked retrieval: top-`k` documents for a bag-of-terms query,
+    * scored with the standard Okapi BM25 (idf·tf saturation·length
+    * normalization; idf = ln(1 + (N−df+½)/(df+½))).
+    *
+    * Scale shape: the exploded token stream is filtered to the QUERY
+    * terms before anything aggregates — the corpus-wide posting list is
+    * never materialized, so the shuffle carries only matching (doc,
+    * term) rows. Document frequencies and the (N, avgdl) corpus scalars
+    * are tiny aggregates broadcast back; the final top-k is a
+    * TakeOrderedAndProject, not a global sort. */
+  def bm25Rank(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).cast("double").as("dl"))
+    // persisted so the df aggregate reads the (tiny) matched-postings
+    // frame instead of re-scanning and re-tokenizing the corpus; released
+    // after the k-row result is checkpointed, so repeated queries don't
+    // accumulate cached blocks
+    val tfs = base.select(col("doc_id"), col("dl"),
+        explode(filter(col("tk"), t => t.isin(terms: _*))).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .persist()
+    val globals = base.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg("dl").as("avgdl"))
+    val dfs = tfs.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val out = tfs.join(broadcast(dfs), "term")
+      .crossJoin(broadcast(globals))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("s", col("idf") * col("tf") * lit(k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("s")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .localCheckpoint(true)
+    tfs.unpersist(blocking = false)
+    out
+  }
+
   /** 64-bit document fingerprint over whitespace-normalized lowercase
     * text: identical content → identical fingerprint regardless of
     * spacing/case. xxHash64 — the same hash family Spark uses for

@@ -17,8 +17,8 @@ class EntrySpec extends SparkSpec {
     SparkEntry.queries.keys.foreach { k =>
       assert(k.matches("q_[a-z0-9_]+"), s"bad query name: $k")
     }
-    assert(SparkEntry.queries.size >= 74)
-    assert(SparkEntry.oracleSql.size >= 70)
+    assert(SparkEntry.queries.size >= 75)
+    assert(SparkEntry.oracleSql.size >= 71)
   }
 
   test("every query output is sortable scalars (driver compare sorts+hashes rows)") {

@@ -334,4 +334,41 @@ class OpsSpec extends SparkSpec {
       targetW = 2, targetH = 4)
     assert(new String(tiny.head().getAs[Array[Byte]]("content"), "UTF-8") === "aaabbbcc")
   }
+
+  test("bm25 ranking matches a per-row reference computation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "data data data hash scan and filler words beyond"),
+      (2L, "data hash"),
+      (3L, "scan only here with a longer tail of padding tokens stretching the length"),
+      (4L, "nothing relevant whatsoever in this document"),
+      (5L, "hash hash hash hash data scan")
+    ).toDF("doc_id", "text")
+    val terms = Seq("data", "hash", "scan")
+    val got = TextAnalysis.bm25Rank(docs, terms, k = 10)
+      .as[(Long, Double)].collect()
+
+    // reference BM25 computed independently (plain Scala)
+    val toks = Map(
+      1L -> "data data data hash scan and filler words beyond",
+      2L -> "data hash",
+      3L -> "scan only here with a longer tail of padding tokens stretching the length",
+      4L -> "nothing relevant whatsoever in this document",
+      5L -> "hash hash hash hash data scan"
+    ).view.mapValues(_.split("\\s+").toSeq).toMap
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.size).sum / n
+    def df(t: String) = toks.values.count(_.contains(t)).toDouble
+    def score(id: Long): Double = terms.map { t =>
+      val tf = toks(id).count(_ == t).toDouble
+      if (tf == 0) 0.0
+      else math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) * tf * 2.2 /
+        (tf + 1.2 * (0.25 + 0.75 * toks(id).size / avgdl))
+    }.sum
+    val want = toks.keys.toSeq.map(id => id -> BigDecimal(score(id)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .filter(_._2 > 0).sortBy { case (id, s) => (-s, id) }
+    assert(got.toSeq === want)
+    // doc 4 matches no term and must be absent
+    assert(!got.exists(_._1 == 4L))
+  }
 }
