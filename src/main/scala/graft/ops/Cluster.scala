@@ -52,14 +52,15 @@ object Cluster {
     var iter = 0
     while (!converged && iter < maxIter) {
       // large-star: per node u (over BOTH endpoints' neighborhoods),
-      // connect every strictly-larger neighbor to min(N(u) ∪ {u})
+      // connect every strictly-larger neighbor to min(N(u) ∪ {u}).
+      // No distinct here: duplicates can't change the small-star minima
+      // and the final distinct cleans them — one less exchange per round.
       val nbrs = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       val minsL = nbrs.groupBy("u").agg(min("v").as("mn"))
       val large = nbrs.join(minsL, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("nu"), least(col("mn"), col("u")).as("nv"))
         .toDF("u", "v")
-        .distinct()
 
       // small-star: per node u over its smaller neighbors (which is ALL
       // of them under the orientation invariant), point u and every
@@ -73,11 +74,14 @@ object Cluster {
         .distinct()
         .localCheckpoint()
 
-      // exact convergence: same edge set as last round (an anti-join,
-      // not a checksum — a hash-collision "false converged" would emit
-      // silently wrong clusters)
-      converged = small.count() == edges.count() &&
-        small.except(edges).isEmpty
+      // exact convergence in ONE job: both sides are distinct sets, so
+      // the edge set changed iff some (u,v) appears exactly once in the
+      // union. Exact, not a checksum — a hash-collision "false
+      // converged" would emit silently wrong clusters.
+      converged = small.unionByName(edges)
+        .groupBy("u", "v").agg(count(lit(1)).as("c"))
+        .where(col("c") === 1)
+        .isEmpty
       edges = small
       iter += 1
     }
