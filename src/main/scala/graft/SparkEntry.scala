@@ -77,6 +77,20 @@ object SparkEntry {
         regexp_replace(col("text"), "^\\S+\\s+\\S+\\s+", "").as("text")))
   }
 
+  /** documents with deterministic synthetic PII appended (emails, an
+    * IPv4, a toy phone number) — the driver corpus contains none, so the
+    * scrub operator needs planted positives to prove it redacts. Pure
+    * column arithmetic, replayed verbatim by the oracle. */
+  private def docsWithPii(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        lit(" backup ops-team@corp.example.org"),
+        lit(" from 10.1."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7"),
+        lit(" call 555-"), (pmod(col("doc_id"), lit(9000)) + 1000).cast("string")
+      ).as("text"))
+
   private def embWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
     e.unionByName(e.select(
@@ -559,6 +573,31 @@ object SparkEntry {
           t(s, dir, "documents").select("doc_id"), "doc_id", evalPermille = 100, salt = "v1")
         .select("doc_id", "bucket", "split")
         .orderBy("doc_id")),
+    "q_kmeans" -> ((s, dir) =>
+      // distributed Lloyd: narrow literal-centroid assignment + one
+      // partial-aggregated (cell, dim) shuffle per iteration; seeding,
+      // ties and empty cells are all deterministic, so two iterations
+      // replay exactly in the oracle's CTE chain
+      graft.ops.KMeans.clusterSummary(t(s, dir, "embeddings"), k = 8, iters = 2)
+        .orderBy("cell")),
+    "q_embed_quantize" -> ((s, dir) =>
+      graft.ops.Embeddings.quantizeInt8(t(s, dir, "embeddings"))
+        .orderBy("vec_id")),
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(round(sum("o_totalprice"), 2))
+        .toDF("o_orderstatus", "p_urgent", "p_high", "p_medium", "p_notspec", "p_low")
+        .orderBy("o_orderstatus")),
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(t(s, dir, "documents")).orderBy("doc_id")),
+    "q_pii_scrub" -> ((s, dir) =>
+      TextAnalysis.scrubPii(docsWithPii(s, dir))
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          md5(col("scrubbed")).as("scrub_md5"))
+        .orderBy("doc_id")),
     "q_text_stats" -> ((s, dir) =>
       TextAnalysis.textStats(t(s, dir, "documents")).orderBy("doc_id")),
     "q_token_count" -> ((s, dir) =>
@@ -713,6 +752,42 @@ object SparkEntry {
         try q.processAllAvailable() finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.table(name).orderBy("user_id", "purchase_id", "click_id")
+    }),
+    "q_stream_state" -> ((s, dir) => {
+      // Arbitrary user state via mapGroupsWithState: per-key Welford
+      // running stats maintained across micro-batches (StreamingViews.
+      // runningStatsPerKey). The FINAL state per key is micro-batching-
+      // invariant — (count, mean) over a fixed multiset of values — so
+      // the batch per-key aggregate is the oracle. Update-mode memory
+      // sink keeps every state emission; the last one per key (max n)
+      // is the final state.
+      scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
+      val schema = t(s, dir, "events").schema
+      val name = s"stream_state_${streamIds.incrementAndGet()}"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val q = graft.streaming.StreamingViews.runningStatsPerKey(src, "user_id", "value")
+          .toDF("user_id", "st")
+          .select(col("user_id"), col("st.n").as("n"), col("st.mean").as("mean"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n").desc)
+      // Emit (n, sum) rather than (n, mean): the fixture's values have
+      // two decimals, so per-key SUMS sit safely off every 4-decimal
+      // rounding boundary, while MEANS (sum/n) can land exactly on one
+      // (user 20 at sf0.01: 58.55575) where the two engines' binary
+      // representations round apart. sum = mean·n re-derives the state's
+      // sum to ~1e-9, far inside the 5e-5 boundary margin.
+      s.table(name)
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("user_id"), col("n"), round(col("mean") * col("n"), 4).as("sum_v"))
+        .orderBy("user_id")
     }),
     "q_stream_dedup" -> ((s, dir) => {
       // Streaming dropDuplicates == batch DISTINCT, oracle-checked: the
@@ -999,6 +1074,59 @@ object SparkEntry {
         "g AS (SELECT user_id, ms, sum(new_s) OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid FROM s) " +
         "SELECT user_id, min(ms) AS start_ms, count(*) AS cnt FROM g, mx GROUP BY user_id, sid, m " +
         "HAVING max(ms) + 600000 <= m - 5400000 ORDER BY user_id, start_ms"),
+    "q_kmeans" ->
+      // two Lloyd iterations replayed as a CTE chain: seed = 8 lowest
+      // ids, argmin ties to lowest cid, empty cells keep their previous
+      // centroid (the LEFT JOIN coalesce), final labeling under the
+      // twice-updated centroids
+      ("WITH pts AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "c0 AS (SELECT (row_number() OVER (ORDER BY id))::INT - 1 AS cid, v AS cv FROM (SELECT id, v FROM pts ORDER BY id LIMIT 8)), " +
+        "d1 AS (SELECT p.id, p.v, c.cid, list_sum(list_transform(range(1, 65), i -> (p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i]))) AS d FROM pts p CROSS JOIN c0 c), " +
+        "a1 AS (SELECT id, v, cid FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn FROM d1) WHERE rn = 1), " +
+        "m1 AS (SELECT cid, list(m ORDER BY i) AS cv FROM (SELECT cid, i, avg(v[i]) AS m FROM a1 CROSS JOIN range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid), " +
+        "c1 AS (SELECT c0.cid, coalesce(m1.cv, c0.cv) AS cv FROM c0 LEFT JOIN m1 USING (cid)), " +
+        "d2 AS (SELECT p.id, p.v, c.cid, list_sum(list_transform(range(1, 65), i -> (p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i]))) AS d FROM pts p CROSS JOIN c1 c), " +
+        "a2 AS (SELECT id, v, cid FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn FROM d2) WHERE rn = 1), " +
+        "m2 AS (SELECT cid, list(m ORDER BY i) AS cv FROM (SELECT cid, i, avg(v[i]) AS m FROM a2 CROSS JOIN range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid), " +
+        "c2 AS (SELECT c1.cid, coalesce(m2.cv, c1.cv) AS cv FROM c1 LEFT JOIN m2 USING (cid)), " +
+        "d3 AS (SELECT p.id, c.cid, list_sum(list_transform(range(1, 65), i -> (p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i]))) AS d FROM pts p CROSS JOIN c2 c), " +
+        "a3 AS (SELECT id, cid, d FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn FROM d3) WHERE rn = 1) " +
+        "SELECT cid::BIGINT AS cell, count(*) AS n_members, min(id) AS min_id, round(avg(d), 4) AS avg_sqdist FROM a3 GROUP BY cid ORDER BY cell"),
+    "q_embed_quantize" ->
+      ("WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+        "m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v), " +
+        "q AS (SELECT vec_id, mx, CASE WHEN mx = 0 THEN list_transform(v, x -> 0::BIGINT) ELSE list_transform(v, x -> floor(x / (mx / 127.0) + 0.5)::BIGINT) END AS q FROM m) " +
+        "SELECT vec_id, round(mx / 127.0, 6) AS scale, list_sum(q)::BIGINT AS q_sum, list_min(q)::BIGINT AS q_min, list_max(q)::BIGINT AS q_max, " +
+        "len(list_filter(q, x -> abs(x) = 127))::BIGINT AS n_saturated FROM q ORDER BY vec_id"),
+    "q_pivot" ->
+      ("SELECT o_orderstatus, " +
+        "round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS p_urgent, " +
+        "round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS p_high, " +
+        "round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS p_medium, " +
+        "round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS p_notspec, " +
+        "round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS p_low " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q_repetition" ->
+      ("WITH toks AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM documents), " +
+        "l AS (SELECT doc_id, list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines, tk FROM toks), " +
+        "b AS (SELECT doc_id, lines, CASE WHEN len(tk) < 2 THEN [] ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END AS bg FROM l) " +
+        "SELECT doc_id, len(lines)::BIGINT AS n_lines, " +
+        "round(CASE WHEN len(lines) = 0 THEN 0.0 ELSE 1.0 - len(list_distinct(lines))::DOUBLE / len(lines) END, 4) AS dup_line_frac, " +
+        "len(bg)::BIGINT AS n_bigrams, " +
+        "round(CASE WHEN len(bg) = 0 THEN 0.0 ELSE 1.0 - len(list_distinct(bg))::DOUBLE / len(bg) END, 4) AS dup_bigram_frac " +
+        "FROM b ORDER BY doc_id"),
+    "q_pii_scrub" ->
+      ("WITH pii AS (SELECT doc_id, text || ' contact user' || doc_id::VARCHAR || '@example.com' || ' backup ops-team@corp.example.org' || " +
+        "' from 10.1.' || (doc_id % 256)::VARCHAR || '.7' || ' call 555-' || (doc_id % 9000 + 1000)::VARCHAR AS text FROM documents) " +
+        "SELECT doc_id, " +
+        "len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails, " +
+        "len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ips, " +
+        "len(regexp_extract_all(text, '\\b\\d{3}-\\d{4}\\b'))::BIGINT AS n_phones, " +
+        "md5(regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) AS scrub_md5 " +
+        "FROM pii ORDER BY doc_id"),
+    "q_stream_state" ->
+      "SELECT user_id, count(*) AS n, round(sum(value), 4) AS sum_v FROM events GROUP BY user_id ORDER BY user_id",
     "q_quality_score" ->
       "SELECT doc_id, round(least(n::DOUBLE / 50.0, 1.0) * 0.4 + least((stop_hits::DOUBLE / greatest(n::DOUBLE, 1.0)) * 5.0, 1.0) * 0.4 + greatest(1.0 - punct * 4.0, 0.0) * 0.2, 4) AS quality FROM (SELECT doc_id, len(toks) AS n, len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t))) AS stop_hits, length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS punct FROM (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks FROM documents)) ORDER BY doc_id"
   )

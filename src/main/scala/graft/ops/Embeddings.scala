@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-column utilities for training-data pipelines. All narrow
+  * per-row transforms (no shuffle, no UDFs — pure Catalyst column
+  * algebra), so they scale linearly with input splits and stay inside
+  * whole-stage codegen. */
+object Embeddings {
+
+  /** L2 norm of an array column (as double). */
+  def l2norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")), lit(0.0), _ + _))
+
+  /** Unit-normalized copy of the vector (zero vectors pass through). */
+  def normalized(v: Column): Column = {
+    val n = l2norm(v)
+    when(n === 0.0, transform(v, _.cast("double")))
+      .otherwise(transform(v, x => x.cast("double") / n))
+  }
+
+  /** Symmetric int8 quantization: `scale = max|x| / 127`,
+    * `q_i = floor(x_i / scale + 0.5)` (round-half-up, sign-symmetric
+    * range [-127, 127]). The standard storage/serving compression for
+    * embedding tables — 4× smaller than float32 on the wire and on
+    * disk, which at 100 TB of vectors is the difference between one
+    * cluster and four. Deterministic pure arithmetic: reproducible
+    * anywhere, including the SQL oracle. */
+  def quantizeInt8(
+      embeddings: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = transform(col(vecCol), _.cast("double"))
+    val maxabs = array_max(transform(v, x => abs(x)))
+    val scale = maxabs / lit(127.0)
+    val q = when(maxabs === 0.0,
+        transform(v, _ => lit(0L)))
+      .otherwise(transform(v, x => floor(x / scale + lit(0.5)).cast("long")))
+    embeddings.select(
+      col(idCol),
+      round(scale, 6).as("scale"),
+      aggregate(q, lit(0L), _ + _).as("q_sum"),
+      array_min(q).as("q_min"),
+      array_max(q).as("q_max"),
+      size(filter(q, x => abs(x) === 127L)).cast("bigint").as("n_saturated"))
+  }
+
+  /** The quantized vectors themselves (`array<long>` in [-127,127]),
+    * for pipelines that store the compressed table. */
+  def quantizedVectors(
+      embeddings: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = transform(col(vecCol), _.cast("double"))
+    val maxabs = array_max(transform(v, x => abs(x)))
+    val scale = maxabs / lit(127.0)
+    embeddings.select(
+      col(idCol),
+      scale.as("scale"),
+      when(maxabs === 0.0, transform(v, _ => lit(0L)))
+        .otherwise(transform(v, x => floor(x / scale + lit(0.5)).cast("long"))).as("q"))
+  }
+}

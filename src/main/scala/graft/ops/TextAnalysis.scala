@@ -172,6 +172,56 @@ object TextAnalysis {
     out
   }
 
+  /** Intra-document repetition signals (Gopher-style quality rules):
+    * the fraction of duplicate lines and duplicate word bigrams inside
+    * each document. Boilerplate-heavy or looping generations score high
+    * and get filtered before training. Narrow per-row column algebra —
+    * no shuffle, no UDF. */
+  def repetition(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= "")
+    val toks = tokens(col(textCol))
+    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+    def dupFrac(arr: Column): Column =
+      when(size(arr) === 0, lit(0.0))
+        .otherwise(lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr).cast("double"))
+    docs.select(
+      col(idCol),
+      size(lines).cast("bigint").as("n_lines"),
+      round(dupFrac(lines), 4).as("dup_line_frac"),
+      size(bigrams).cast("bigint").as("n_bigrams"),
+      round(dupFrac(bigrams), 4).as("dup_bigram_frac"))
+  }
+
+  // Deliberately simple patterns sharing the common Java-regex/RE2
+  // subset (no lookarounds, no backrefs) so the operator is replayable
+  // by any engine, including the SQL oracle.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val phoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII detection + redaction: counts and scrubs emails, IPv4
+    * addresses and (toy) phone numbers. Redaction order is fixed
+    * (email → ip → phone) so the passes compose deterministically —
+    * an email's host segment can never be re-matched as an IP. One
+    * narrow pass, codegen'd `RegExpReplace`/`RegExpExtractAll` — the
+    * shape of every compliance scrub that has to touch all 100 TB. */
+  def scrubPii(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), emailRe, "<EMAIL>"),
+          ipRe, "<IP>"),
+        phoneRe, "<PHONE>")
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))).cast("bigint").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(ipRe), lit(0))).cast("bigint").as("n_ips"),
+      size(regexp_extract_all(col(textCol), lit(phoneRe), lit(0))).cast("bigint").as("n_phones"),
+      scrubbed.as("scrubbed"))
+  }
+
   /** 64-bit document fingerprint over whitespace-normalized lowercase
     * text: identical content → identical fingerprint regardless of
     * spacing/case. xxHash64 — the same hash family Spark uses for

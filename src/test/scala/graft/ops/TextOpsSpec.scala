@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition flags duplicated lines and bigrams") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),            // all distinct
+      (2L, "spam ham spam ham spam ham spam ham"),            // bigrams repeat
+      (3L, "one line\none line\nother line\n\n  ")            // dup line
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(r(2L).getAs[Double]("dup_bigram_frac") > 0.5)
+    assert(r(3L).getAs[Long]("n_lines") == 3L) // blank/whitespace lines dropped
+    assert(r(3L).getAs[Double]("dup_line_frac") > 0.3)
+    assert(r(1L).getAs[Double]("dup_line_frac") == 0.0)
+  }
+
+  test("pii scrub counts and redacts emails, ips, phones") {
+    val docs = Seq(
+      (1L, "reach me at jo.doe+x@corp.example.com or 192.168.1.10 tel 555-1234"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.scrubPii(docs).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Long]("n_emails") == 1L)
+    assert(r(1L).getAs[Long]("n_ips") == 1L)
+    assert(r(1L).getAs[Long]("n_phones") == 1L)
+    val s = r(1L).getAs[String]("scrubbed")
+    assert(s.contains("<EMAIL>") && s.contains("<IP>") && s.contains("<PHONE>"))
+    assert(!s.contains("@") && !s.contains("192.168"))
+    assert(r(2L).getAs[String]("scrubbed") == "no pii here at all")
+    assert(r(2L).getAs[Long]("n_emails") == 0L)
+  }
+
+  test("pii scrub is idempotent on already-scrubbed text") {
+    val once = TextAnalysis.scrubPii(
+      Seq((1L, "mail a@b.co ip 10.0.0.1 tel 555-0000")).toDF("doc_id", "text"))
+      .select("doc_id", "scrubbed").withColumnRenamed("scrubbed", "text")
+    val twice = TextAnalysis.scrubPii(once).head()
+    assert(twice.getAs[Long]("n_emails") == 0L)
+    assert(twice.getAs[Long]("n_ips") == 0L)
+    assert(twice.getAs[Long]("n_phones") == 0L)
+  }
+}
