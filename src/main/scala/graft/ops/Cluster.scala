@@ -72,7 +72,10 @@ object Cluster {
           .select(col("v").as("nu"), col("mn").as("nv"))
           .toDF("u", "v"))
         .distinct()
-        .localCheckpoint()
+        // LAZY checkpoint: the convergence-check job below is the first
+        // to compute these partitions, so it doubles as the
+        // materialization pass — one job per round instead of two
+        .localCheckpoint(false)
 
       // exact convergence in ONE job: both sides are distinct sets, so
       // the edge set changed iff some (u,v) appears exactly once in the

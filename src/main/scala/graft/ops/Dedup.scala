@@ -205,12 +205,15 @@ object Dedup {
       .select(col("id"), minhashOph(perms)(col("hs")).as("sig"))
       .persist()
 
-    val cand = lshCandidates(sigs, perms, bands, maxBucket)
-
     val pairs =
       if (verifyExact) {
+        // dup-tolerant candidate stream: the verify's broadcast
+        // prefilter dedups survivors, so the full stream skips its
+        // distinct shuffle
+        val cand = lshCandidates(sigs, perms, bands, maxBucket, dedup = false)
         verifyCandidatesExact(cand, sigs, hashed, "hs", threshold, perms, "est_jaccard")
       } else {
+        val cand = lshCandidates(sigs, perms, bands, maxBucket)
         cand
           .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
           .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
@@ -244,11 +247,26 @@ object Dedup {
   private def verifyCandidatesExact(
       cand: DataFrame, sigs: DataFrame, shingleTable: DataFrame, shingleCol: String,
       threshold: Double, perms: Int, outCol: String): DataFrame = {
+    // Broadcast the signature table when it is PROVABLY broadcast-sized:
+    // every caller persists `sigs`, so count() materializes that cache
+    // once (a barrier the pipeline wants anyway) and gives an exact row
+    // count — the optimizer can't see through the shingle UDF's unknown
+    // stats and would otherwise shuffle the (large) candidate table
+    // twice just to attach 8-byte-per-perm signatures. Beyond the bound
+    // (billions of docs) the joins fall back to the optimizer's shuffle
+    // join on id — the right plan at that scale.
+    val sigBytes = sigs.count() * (perms.toLong * 8L + 16L)
+    val sigsB = if (sigBytes <= (32L << 20)) broadcast(sigs) else sigs
+    // The candidate stream may carry band-duplicates (a pair colliding
+    // in b bands arrives b times): dedup AFTER the narrow broadcast
+    // prefilter, where survivors are few, instead of shuffling the full
+    // candidate stream up front.
     val prefiltered = cand
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .join(sigsB.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigsB.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .where(sigMatches(col("sig_a"), col("sig_b")).cast("double") >= lit((threshold - 0.25) * perms))
       .select("id_a", "id_b")
+      .distinct()
     prefiltered
       .join(shingleTable.select(col("id").as("id_a"), col(shingleCol).as("hs_a")), Seq("id_a"))
       .join(shingleTable.select(col("id").as("id_b"), col(shingleCol).as("hs_b")), Seq("id_b"))
@@ -311,13 +329,15 @@ object Dedup {
     * degenerate buckets (boilerplate-heavy corpora) so no bucket can go
     * quadratic: oversize runs are dropped whole, trading recall for
     * bounded cost. */
-  private def lshCandidates(sigs: DataFrame, perms: Int, bands: Int, maxBucket: Int): DataFrame = {
+  private def lshCandidates(
+      sigs: DataFrame, perms: Int, bands: Int, maxBucket: Int,
+      dedup: Boolean = true): DataFrame = {
     val spark = sigs.sparkSession
     import spark.implicits._
     val banded = sigs.select(
       col("id"),
       explode(bandKeysUdf(perms, bands)(col("sig"))).as("bandkey"))
-    banded.repartition(col("bandkey")).sortWithinPartitions("bandkey", "id")
+    val pairs = banded.repartition(col("bandkey")).sortWithinPartitions("bandkey", "id")
       .select(col("bandkey"), col("id")).as[(Long, Long)]
       .mapPartitions { it =>
         val buf = new scala.collection.mutable.ArrayBuffer[Long](64)
@@ -349,7 +369,11 @@ object Dedup {
         }.flatten
       }
       .toDF("id_a", "id_b")
-      .distinct()
+    // A pair colliding in b bands is emitted b times. Exact-verify
+    // callers dedup AFTER their cheap prefilter (dedup = false here),
+    // so the full candidate stream never pays a shuffle of its own;
+    // estimator-only callers need the distinct up front.
+    if (dedup) pairs.distinct() else pairs
   }
 
   /** 64-bit SimHash of the token stream: sign of the per-bit weighted sum
@@ -465,7 +489,7 @@ object Dedup {
         // band bucket (boilerplate-heavy corpora). Verify staging shared
         // with minhashLshFromShingles (verifyCandidatesExact).
         val sigs = sh.select(col("id"), minhashOph(perms)(col("sh")).as("sig")).persist()
-        val cand = lshCandidates(sigs, perms, bands, maxBucket = maxDocFreq)
+        val cand = lshCandidates(sigs, perms, bands, maxBucket = maxDocFreq, dedup = false)
         sigsToRelease = Some(sigs)
         verifyCandidatesExact(cand, sigs, sh, "sh", threshold, perms, "jaccard")
       }
