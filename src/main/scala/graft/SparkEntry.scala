@@ -36,10 +36,13 @@ object SparkEntry {
   private def tsCol: Column = expr("timestamp_micros(ts div 1000)")
 
   // Re-appending the events table through the ParquetLog write path is
-  // part of q_append_scan; cache per scale factor so bench reuse is O(1).
-  private val appendedLogs = scala.collection.concurrent.TrieMap.empty[String, ParquetLog]
-  private def appendedEventsLog(s: SparkSession, dir: String): ParquetLog =
-    appendedLogs.getOrElseUpdate(dir, {
+  // part of q_append_scan; cache per scale factor so bench reuse is
+  // O(1). Entries remember the session that built them (same hazard as
+  // the IVF cache): a restarted session reusing the dir must rebuild,
+  // not read through a log pinned to the stopped session.
+  private val appendedLogs = scala.collection.concurrent.TrieMap.empty[String, (SparkSession, ParquetLog)]
+  private def appendedEventsLog(s: SparkSession, dir: String): ParquetLog = {
+    def build(): (SparkSession, ParquetLog) = {
       val ev = t(s, dir, "events").orderBy("event_id")
         .select("ts", "user_id", "event_type", "value", "props")
       val tmp = java.nio.file.Files.createTempDirectory("graftlog").toString
@@ -47,8 +50,16 @@ object SparkEntry {
       // seq_bucket directories instead of scanning the whole log
       val log = new ParquetLog(s, tmp, ev.schema, bucketSize = 25000L)
       log.append(ev)
-      log
-    })
+      (s, log)
+    }
+    val e = appendedLogs.getOrElseUpdate(dir, build())
+    if (e._1 eq s) e._2
+    else {
+      appendedLogs.remove(dir, e)
+      scala.util.Try(e._2.close())
+      appendedLogs.getOrElseUpdate(dir, build())._2
+    }
+  }
 
   /** documents ∪ a perturbed copy (first token dropped, doc_id+10000) —
     * the deterministic near-duplicate fixture for the dedup family (the

@@ -421,8 +421,12 @@ object Dedup {
     l.join(r, Seq("seg", "segval")).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
+      // hamming filter BEFORE the distinct: the verify is a narrow
+      // bit_count, so the dedup shuffle only carries surviving pairs
+      // (a pair agreeing on s segments arrives s times; survivors are
+      // the selective minority)
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact n-gram Jaccard near-dup pairs.
