@@ -61,6 +61,28 @@ object SparkEntry {
     }
   }
 
+  // events re-laid-out as a range-bucketed directory table keyed on
+  // event_id (graft.sources.Layout); cached per dir with the same
+  // stale-session guard as the other derived structures. The layout
+  // query demonstrates plan-time partition pruning on the generic
+  // (non-log) path.
+  private val rangeLayouts = scala.collection.concurrent.TrieMap.empty[String, (SparkSession, String)]
+  private def eventsRangeLayout(s: SparkSession, dir: String): String = {
+    def build(): (SparkSession, String) = {
+      val tmp = java.nio.file.Files.createTempDirectory("graftlayout").toString
+      graft.sources.Layout.writeRangeBucketed(
+        t(s, dir, "events").select("event_id", "user_id", "event_type", "value"),
+        tmp, nBuckets = 32, key = "event_id")
+      (s, tmp)
+    }
+    val e = rangeLayouts.getOrElseUpdate(dir, build())
+    if (e._1 eq s) e._2
+    else {
+      rangeLayouts.remove(dir, e)
+      rangeLayouts.getOrElseUpdate(dir, build())._2
+    }
+  }
+
   /** documents ∪ a perturbed copy (first token dropped, doc_id+10000) —
     * the deterministic near-duplicate fixture for the dedup family (the
     * driver corpus itself is 100% distinct). */
@@ -604,6 +626,11 @@ object SparkEntry {
         .orderBy("o_orderstatus")),
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(t(s, dir, "documents")).orderBy("doc_id")),
+    "q_layout_scan" -> ((s, dir) =>
+      graft.sources.Layout.scanRange(s, eventsRangeLayout(s, dir), 1000, 1999)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 4).as("value"))
+        .orderBy("event_id")),
     "q_pii_scrub" -> ((s, dir) =>
       TextAnalysis.scrubPii(docsWithPii(s, dir))
         .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
@@ -1117,6 +1144,9 @@ object SparkEntry {
         "round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS p_notspec, " +
         "round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS p_low " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q_layout_scan" ->
+      ("SELECT event_id, user_id, event_type, round(value, 4) AS value " +
+        "FROM events WHERE event_id BETWEEN 1000 AND 1999 ORDER BY event_id"),
     "q_repetition" ->
       ("WITH toks AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM documents), " +
         "l AS (SELECT doc_id, list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines, tk FROM toks), " +

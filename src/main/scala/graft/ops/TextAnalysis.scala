@@ -178,20 +178,39 @@ object TextAnalysis {
     * and get filtered before training. Narrow per-row column algebra —
     * no shuffle, no UDF. */
   def repetition(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= "")
-    val toks = tokens(col(textCol))
-    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
-    def dupFrac(arr: Column): Column =
-      when(size(arr) === 0, lit(0.0))
-        .otherwise(lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr).cast("double"))
-    docs.select(
+    // Staged projections: higher-order array expressions are not
+    // whole-stage-codegen'd, so Project-level subexpression elimination
+    // does not deduplicate them — a single flat select would recompute
+    // the tokenizer once per reference. Each stage materializes an
+    // expensive array once; CollapseProject leaves the stages alone
+    // because the arrays are non-cheap and multiply referenced.
+    val linesE = filter(transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= "")
+    val toksE = tokens(col(textCol))
+    val staged = docs.select(col(idCol), linesE.as("__lines"), toksE.as("__toks"))
+    // Bigrams as zip_with over two shifted slices: O(n) per document,
+    // vs O(n^2) for the per-index slice-in-a-loop formulation.
+    val tk = col("__toks")
+    val bigramsE = when(size(tk) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(tk, lit(1), size(tk) - 1),
+        slice(tk, lit(2), size(tk) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+    val withBigrams = staged.select(col(idCol), col("__lines"), bigramsE.as("__bigrams"))
+    val counted = withBigrams.select(
       col(idCol),
-      size(lines).cast("bigint").as("n_lines"),
-      round(dupFrac(lines), 4).as("dup_line_frac"),
-      size(bigrams).cast("bigint").as("n_bigrams"),
-      round(dupFrac(bigrams), 4).as("dup_bigram_frac"))
+      size(col("__lines")).as("__nl"),
+      size(array_distinct(col("__lines"))).as("__ndl"),
+      size(col("__bigrams")).as("__nb"),
+      size(array_distinct(col("__bigrams"))).as("__ndb"))
+    def dupFrac(n: Column, nd: Column): Column =
+      when(n === 0, lit(0.0))
+        .otherwise(lit(1.0) - nd.cast("double") / n.cast("double"))
+    counted.select(
+      col(idCol),
+      col("__nl").cast("bigint").as("n_lines"),
+      round(dupFrac(col("__nl"), col("__ndl")), 4).as("dup_line_frac"),
+      col("__nb").cast("bigint").as("n_bigrams"),
+      round(dupFrac(col("__nb"), col("__ndb")), 4).as("dup_bigram_frac"))
   }
 
   // Deliberately simple patterns sharing the common Java-regex/RE2
