@@ -626,6 +626,8 @@ object SparkEntry {
         .orderBy("o_orderstatus")),
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(t(s, dir, "documents")).orderBy("doc_id")),
+    "q_vocab_build" -> ((s, dir) =>
+      TextAnalysis.vocabBuild(t(s, dir, "documents"), minDf = 2, topN = 1000)),
     "q_layout_scan" -> ((s, dir) =>
       graft.sources.Layout.scanRange(s, eventsRangeLayout(s, dir), 1000, 1999)
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -1144,6 +1146,11 @@ object SparkEntry {
         "round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS p_notspec, " +
         "round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS p_low " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q_vocab_build" ->
+      ("WITH tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term FROM documents) " +
+        "SELECT term, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df " +
+        "FROM tk GROUP BY term HAVING count(DISTINCT doc_id) >= 2 " +
+        "ORDER BY tf DESC, term LIMIT 1000"),
     "q_layout_scan" ->
       ("SELECT event_id, user_id, event_type, round(value, 4) AS value " +
         "FROM events WHERE event_id BETWEEN 1000 AND 1999 ORDER BY event_id"),

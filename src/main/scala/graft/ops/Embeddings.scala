@@ -31,19 +31,29 @@ object Embeddings {
       embeddings: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val v = transform(col(vecCol), _.cast("double"))
-    val maxabs = array_max(transform(v, x => abs(x)))
-    val scale = maxabs / lit(127.0)
-    val q = when(maxabs === 0.0,
-        transform(v, _ => lit(0L)))
-      .otherwise(transform(v, x => floor(x / scale + lit(0.5)).cast("long")))
-    embeddings.select(
+    // Staged projections: higher-order array expressions sit outside
+    // whole-stage codegen, so a flat select would recompute v/maxabs/q
+    // once per referencing output column. Each stage materializes one
+    // expensive array exactly once; CollapseProject keeps the stages
+    // because the producers are non-cheap and multiply referenced.
+    val s1 = embeddings.select(
+      col(idCol), transform(col(vecCol), _.cast("double")).as("__v"))
+    val s2 = s1.select(
+      col(idCol), col("__v"),
+      array_max(transform(col("__v"), x => abs(x))).as("__maxabs"))
+    val scale = col("__maxabs") / lit(127.0)
+    val s3 = s2.select(
+      col(idCol), col("__maxabs"),
+      when(col("__maxabs") === 0.0, transform(col("__v"), _ => lit(0L)))
+        .otherwise(transform(col("__v"), x => floor(x / scale + lit(0.5)).cast("long")))
+        .as("__q"))
+    s3.select(
       col(idCol),
-      round(scale, 6).as("scale"),
-      aggregate(q, lit(0L), _ + _).as("q_sum"),
-      array_min(q).as("q_min"),
-      array_max(q).as("q_max"),
-      size(filter(q, x => abs(x) === 127L)).cast("bigint").as("n_saturated"))
+      round(col("__maxabs") / lit(127.0), 6).as("scale"),
+      aggregate(col("__q"), lit(0L), _ + _).as("q_sum"),
+      array_min(col("__q")).as("q_min"),
+      array_max(col("__q")).as("q_max"),
+      size(filter(col("__q"), x => abs(x) === 127L)).cast("bigint").as("n_saturated"))
   }
 
   /** The quantized vectors themselves (`array<long>` in [-127,127]),

@@ -172,6 +172,35 @@ object TextAnalysis {
     out
   }
 
+  /** Vocabulary construction: corpus-wide term frequency (total
+    * occurrences) and document frequency (docs containing the term),
+    * with a min-df floor and a deterministic top-N cut — the vocab-build
+    * stage in front of any tokenizer/featurizer training run.
+    *
+    * Scale shape: two hash aggregations, both with map-side partials.
+    * The first groups the exploded (term, doc) stream, so the shuffle
+    * carries one row per DISTINCT (doc, term) — boilerplate terms that
+    * appear thousands of times in one document cost one wire row. The
+    * second re-keys that (already small) frame by term alone; tf is a
+    * sum and df a count of the pre-reduced rows, so no count-distinct
+    * expansion is ever planned. The top-N is a TakeOrderedAndProject
+    * (bounded heap per partition), not a global sort. */
+  def vocabBuild(
+      docs: DataFrame,
+      minDf: Int = 2,
+      topN: Int = 1000,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("cnt"))
+    perDoc.groupBy("term")
+      .agg(sum("cnt").cast("bigint").as("tf"), count(lit(1)).cast("bigint").as("df"))
+      .where(col("df") >= minDf)
+      .orderBy(col("tf").desc, col("term"))
+      .limit(topN)
+  }
+
   /** Intra-document repetition signals (Gopher-style quality rules):
     * the fraction of duplicate lines and duplicate word bigrams inside
     * each document. Boilerplate-heavy or looping generations score high

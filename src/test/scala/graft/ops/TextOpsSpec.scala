@@ -45,4 +45,19 @@ class TextOpsSpec extends SparkSpec {
     assert(twice.getAs[Long]("n_ips") == 0L)
     assert(twice.getAs[Long]("n_phones") == 0L)
   }
+
+  test("vocabBuild counts tf per occurrence, df per doc, honors minDf and tie order") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry cherry"),
+      (3L, "banana durian")
+    ).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabBuild(docs, minDf = 2, topN = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // durian (df=1) and cherry's df=1 check: cherry appears twice but only in doc 2
+    assert(v.toSeq == Seq(("apple", 3L, 2L), ("banana", 2L, 2L)))
+    // topN cut is deterministic under tf ties (term breaks the tie)
+    val cut = TextAnalysis.vocabBuild(docs, minDf = 1, topN = 3).collect().map(_.getString(0))
+    assert(cut.toSeq == Seq("apple", "banana", "cherry")) // tf 3, 2, 2; the tf tie breaks on term asc
+  }
 }
