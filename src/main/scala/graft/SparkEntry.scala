@@ -1,7 +1,7 @@
 package graft
 
 import graft.core._
-import graft.ops.{Cluster, Decontaminate, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Cluster, Decontaminate, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 import graft.views._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -628,6 +628,9 @@ object SparkEntry {
       TextAnalysis.repetition(t(s, dir, "documents")).orderBy("doc_id")),
     "q_vocab_build" -> ((s, dir) =>
       TextAnalysis.vocabBuild(t(s, dir, "documents"), minDf = 2, topN = 1000)),
+    "q_seq_pack" -> ((s, dir) =>
+      Packing.packSequences(t(s, dir, "documents"), capacity = 2048)
+        .orderBy("doc_id")),
     "q_layout_scan" -> ((s, dir) =>
       graft.sources.Layout.scanRange(s, eventsRangeLayout(s, dir), 1000, 1999)
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -1146,6 +1149,11 @@ object SparkEntry {
         "round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS p_notspec, " +
         "round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS p_low " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q_seq_pack" ->
+      ("WITH c AS (SELECT doc_id, len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))::BIGINT AS n_tokens FROM documents), " +
+        "s AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM c) " +
+        "SELECT doc_id, n_tokens, (cum // 2048)::BIGINT AS seq_id, (cum % 2048)::BIGINT AS seq_offset " +
+        "FROM s ORDER BY doc_id"),
     "q_vocab_build" ->
       ("WITH tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term FROM documents) " +
         "SELECT term, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df " +
