@@ -42,24 +42,37 @@ object Packing {
     if (bounds.isNullAt(0)) return counted.withColumn("seq_id", lit(0L)).withColumn("seq_offset", lit(0L))
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val width = math.max(1L, (hi - lo) / nBuckets + 1)
-    val bucketed = counted.withColumn("__b", (col("doc_id") - lit(lo)) / lit(width))
-      .withColumn("__b", col("__b").cast("long"))
+    // integer `div`, not double division: bucket ids stay exact past
+    // 2^53 where a double quotient would round
+    val bucketed = counted.withColumn("__b", expr(s"(doc_id - ${lo}L) div ${width}L"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // exclusive prefix offset per bucket: sum of all earlier buckets'
-    // token totals. P rows — window over P rows is fine.
-    val perBucket = bucketed.groupBy("__b").agg(sum("n_tokens").as("__bsum"))
-    val wB = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = perBucket.select(
-      col("__b"), coalesce(sum("__bsum").over(wB), lit(0L)).as("__off"))
+    // Per-bucket token totals: P rows collected to the driver. The
+    // collect doubles as the cache materialization, so the corpus is
+    // scanned and tokenized exactly ONCE — the window pass below reads
+    // the (id, n_tokens, b) cache, never the text again.
+    val totals = bucketed.groupBy("__b").agg(sum("n_tokens").as("__bsum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offs = totals.scanLeft((0L, 0L)) { case ((_, acc), (b, s)) => (b, acc + s) }
+    val offsets = totals.map(_._1).zip(offs.dropRight(1).map(_._2)).toSeq
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF("__b", "__off")
 
     val wIn = Window.partitionBy("__b").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    bucketed.join(broadcast(offsets), "__b")
+    val out = bucketed.join(broadcast(offDf), "__b")
       .withColumn("__cum", coalesce(sum("n_tokens").over(wIn), lit(0L)) + col("__off"))
       .select(
         col("doc_id"),
         col("n_tokens"),
-        (col("__cum") / lit(capacity)).cast("long").as("seq_id"),
+        expr(s"__cum div ${capacity}L").as("seq_id"),
         pmod(col("__cum"), lit(capacity)).as("seq_offset"))
+      // eager checkpoint of the (4-long-columns) result releases the
+      // cached scan frame without handing the caller a DF that would
+      // silently re-tokenize the corpus on every action
+      .localCheckpoint(true)
+    bucketed.unpersist(blocking = false)
+    out
   }
 }

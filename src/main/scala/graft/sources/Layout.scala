@@ -31,9 +31,11 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Bucket function: floor((key - origin) / width). */
-  private def bucketOf(key: Column, origin: Long, width: Long): Column =
-    floor((key - lit(origin)).cast("double") / lit(width.toDouble)).cast("bigint")
+  /** Bucket function: floor((key - origin) / width), as integer `div`
+    * so bucket ids stay exact past 2^53 (origin = table min, so the
+    * numerator is non-negative and div == floor). */
+  private def bucketOf(key: String, origin: Long, width: Long): Column =
+    expr(s"(`$key` - ${origin}L) div ${width}L")
 
   /** Write `df` range-bucketed by numeric `key` into `path` with
     * `nBuckets` directories; returns (origin, width). One shuffle
@@ -42,7 +44,7 @@ object Layout {
     val Array(lo, hi) = df.agg(min(col(key)).cast("bigint"), max(col(key)).cast("bigint"))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
     val width = math.max(1L, (hi - lo) / nBuckets + 1)
-    val bucketed = df.withColumn("__bucket", bucketOf(col(key), lo, width))
+    val bucketed = df.withColumn("__bucket", bucketOf(key, lo, width))
     bucketed
       .repartition(col("__bucket"))
       .sortWithinPartitions(col("__bucket"), col(key))
