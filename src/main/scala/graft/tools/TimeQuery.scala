@@ -11,8 +11,8 @@ object TimeQuery {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = args.drop(1).toSeq
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(sys.env.getOrElse("TQ_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("TQ_SHUFFLE", "4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
