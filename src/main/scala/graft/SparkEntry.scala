@@ -57,6 +57,10 @@ object SparkEntry {
     else {
       appendedLogs.remove(dir, e)
       scala.util.Try(e._2.close())
+      // the evicted log's temp dir holds a full events copy — delete it,
+      // or a JVM cycling sessions accumulates one copy per restart
+      scala.util.Try(graft.views.FsLists.walkDeepestFirst(
+        java.nio.file.Paths.get(e._2.dir)).foreach(java.nio.file.Files.deleteIfExists))
       appendedLogs.getOrElseUpdate(dir, build())._2
     }
   }
@@ -79,6 +83,8 @@ object SparkEntry {
     if (e._1 eq s) e._2
     else {
       rangeLayouts.remove(dir, e)
+      scala.util.Try(graft.views.FsLists.walkDeepestFirst(
+        java.nio.file.Paths.get(e._2)).foreach(java.nio.file.Files.deleteIfExists))
       rangeLayouts.getOrElseUpdate(dir, build())._2
     }
   }
@@ -100,7 +106,7 @@ object SparkEntry {
     * generation at 32 bands stays oracle-grade, while the components are
     * triangles — survivor selection must apply transitivity, not just
     * read pairs. */
-  private def docsWithDupChain(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def docsWithDupChain(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select("doc_id", "text")
     d.unionByName(d.select(
         (col("doc_id") + 10000).as("doc_id"),

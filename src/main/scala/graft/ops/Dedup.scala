@@ -256,12 +256,17 @@ object Dedup {
     // (billions of docs) the joins fall back to the optimizer's shuffle
     // join on id — the right plan at that scale.
     val sigBytes = sigs.count() * (perms.toLong * 8L + 16L)
-    val sigsB = if (sigBytes <= (32L << 20)) broadcast(sigs) else sigs
+    val broadcastable = sigBytes <= (32L << 20)
+    val sigsB = if (broadcastable) broadcast(sigs) else sigs
     // The candidate stream may carry band-duplicates (a pair colliding
-    // in b bands arrives b times): dedup AFTER the narrow broadcast
-    // prefilter, where survivors are few, instead of shuffling the full
-    // candidate stream up front.
-    val prefiltered = cand
+    // in b bands arrives b times). With broadcast joins the prefilter is
+    // narrow, so dedup AFTER it, where survivors are few. On the
+    // shuffle-join fallback that ordering inverts: the joins would
+    // shuffle the duplicated stream at band-multiplied volume, so drop
+    // duplicates up front — one pair-key shuffle vs up to `bands`× the
+    // join wire cost.
+    val candIn = if (broadcastable) cand else cand.distinct()
+    val prefiltered = candIn
       .join(sigsB.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigsB.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .where(sigMatches(col("sig_a"), col("sig_b")).cast("double") >= lit((threshold - 0.25) * perms))

@@ -62,13 +62,19 @@ object Embeddings {
       embeddings: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val v = transform(col(vecCol), _.cast("double"))
-    val maxabs = array_max(transform(v, x => abs(x)))
-    val scale = maxabs / lit(127.0)
-    embeddings.select(
+    // staged like quantizeInt8: with scale inlined, the per-element
+    // lambda would re-run array_max over the whole vector for EVERY
+    // element — O(d^2) per row
+    val s1 = embeddings.select(
+      col(idCol), transform(col(vecCol), _.cast("double")).as("__v"))
+    val s2 = s1.select(
+      col(idCol), col("__v"),
+      (array_max(transform(col("__v"), x => abs(x))) / lit(127.0)).as("scale"))
+    s2.select(
       col(idCol),
-      scale.as("scale"),
-      when(maxabs === 0.0, transform(v, _ => lit(0L)))
-        .otherwise(transform(v, x => floor(x / scale + lit(0.5)).cast("long"))).as("q"))
+      col("scale"),
+      when(col("scale") === 0.0, transform(col("__v"), _ => lit(0L)))
+        .otherwise(transform(col("__v"), x => floor(x / col("scale") + lit(0.5)).cast("long")))
+        .as("q"))
   }
 }

@@ -41,8 +41,12 @@ object Layout {
     * `nBuckets` directories; returns (origin, width). One shuffle
     * (repartition by bucket) + one tiny min/max agg over the key. */
   def writeRangeBucketed(df: DataFrame, path: String, nBuckets: Int, key: String): (Long, Long) = {
-    val Array(lo, hi) = df.agg(min(col(key)).cast("bigint"), max(col(key)).cast("bigint"))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val bounds = df.agg(min(col(key)).cast("bigint"), max(col(key)).cast("bigint")).head()
+    // fail fast: writing an empty frame would produce a directory with
+    // no parquet files, and a later scanRange would die on schema
+    // inference far from the actual cause
+    require(!bounds.isNullAt(0), s"cannot range-bucket an empty table (no non-null `$key`)")
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val width = math.max(1L, (hi - lo) / nBuckets + 1)
     val bucketed = df.withColumn("__bucket", bucketOf(key, lo, width))
     bucketed

@@ -14,13 +14,9 @@ object ProfileNgramCurrent {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
-    val corpus = d
-      .unionByName(d.select((col("doc_id") + 10000).as("doc_id"),
-        regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
-      .unionByName(d.select((col("doc_id") + 20000).as("doc_id"),
-        regexp_replace(col("text"), "^\\S+\\s+\\S+\\s+", "").as("text")))
-      .persist()
+    // the exact q_dedup_clusters fixture — reuse it so the profiler
+    // can't drift from what the query actually runs on
+    val corpus = graft.SparkEntry.docsWithDupChain(spark, dir).persist()
     corpus.count()
     def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f

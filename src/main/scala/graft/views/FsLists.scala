@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
   * closed — these run on view hot paths (every frame/search call lists
   * committed batch dirs), so an unclosed stream leaks a directory handle
   * per call. Materialize eagerly, close in `finally`. */
-private[views] object FsLists {
+private[graft] object FsLists {
 
   /** Immediate children of `p` (empty if not a directory). */
   def children(p: Path): List[Path] =
