@@ -637,6 +637,19 @@ object SparkEntry {
     "q_seq_pack" -> ((s, dir) =>
       Packing.packSequences(t(s, dir, "documents"), capacity = 2048)
         .orderBy("doc_id")),
+    "q_domain_mix" -> ((s, dir) => {
+      // deterministic source labels planted on the corpus (the driver
+      // tables carry no domain column), then weighted downsampling to
+      // the 50/20/20/10 recipe
+      val labeled = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, "web")
+          .when(col("doc_id") % 4 === 1, "books")
+          .when(col("doc_id") % 4 === 2, "code")
+          .otherwise("wiki").as("source"))
+      graft.ops.Sampling.mixDomains(labeled, "source", "doc_id",
+        Map("web" -> 0.5, "books" -> 0.2, "code" -> 0.2, "wiki" -> 0.1), salt = "mix1")
+        .orderBy("doc_id")
+    }),
     "q_layout_scan" -> ((s, dir) =>
       graft.sources.Layout.scanRange(s, eventsRangeLayout(s, dir), 1000, 1999)
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -1155,6 +1168,17 @@ object SparkEntry {
         "round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS p_notspec, " +
         "round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS p_low " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q_domain_mix" ->
+      ("WITH src AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN 'web' WHEN doc_id % 4 = 1 THEN 'books' " +
+        "WHEN doc_id % 4 = 2 THEN 'code' ELSE 'wiki' END AS source FROM documents), " +
+        "cnt AS (SELECT source, count(*) AS n FROM src GROUP BY source), " +
+        "shares(source, share) AS (VALUES ('web', 0.5::DOUBLE), ('books', 0.2::DOUBLE), ('code', 0.2::DOUBLE), ('wiki', 0.1::DOUBLE)), " +
+        "j AS (SELECT c.source, c.n, s.share FROM cnt c JOIN shares s ON c.source = s.source), " +
+        "t AS (SELECT min(n / share) AS total FROM j), " +
+        "pm AS (SELECT source, least(1000, floor(1000.0 * share * total / n + 1e-9))::BIGINT AS p FROM j CROSS JOIN t) " +
+        "SELECT s.doc_id, s.source FROM src s JOIN pm ON s.source = pm.source " +
+        "WHERE CAST(concat('0x', substring(md5(s.doc_id::VARCHAR || 'mix1'), 1, 7)) AS BIGINT) % 1000 < pm.p " +
+        "ORDER BY s.doc_id"),
     "q_seq_pack" ->
       ("WITH c AS (SELECT doc_id, len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))::BIGINT AS n_tokens FROM documents), " +
         "s AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM c) " +

@@ -38,7 +38,8 @@ object Cluster {
       pairs: DataFrame,
       aCol: String = "id_a",
       bCol: String = "id_b",
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50,
+      driverEdgeLimit: Long = 500000L): DataFrame = {
     // canonical orientation big -> small; both stars preserve it, so the
     // invariant "u > v on every edge" holds at every round
     var edges = pairs
@@ -48,7 +49,37 @@ object Cluster {
       .distinct()
       .localCheckpoint()
 
-    var converged = edges.isEmpty
+    // Strategy switch, same spirit as a broadcast-join threshold: the
+    // deduplicated edge set is already materialized, so its count is
+    // free, and below ~500k edges (8 MB of longs) an exact driver-side
+    // union-find replaces O(log^2 n) shuffle rounds with one collect.
+    // The distributed loop below is the 100 TB path; this is the "the
+    // pair generator found almost nothing" path, which is the common
+    // case for a well-curated corpus.
+    val edgeCount = edges.count()
+    if (edgeCount > 0 && edgeCount <= driverEdgeLimit) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.collect().foreach { row =>
+        val (ru, rv) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ru != rv) { // union by min id -> the component root IS the min
+          if (ru < rv) parent(rv) = ru else parent(ru) = rv
+        }
+        parent.getOrElseUpdate(row.getLong(0), find(row.getLong(0)))
+        parent.getOrElseUpdate(row.getLong(1), find(row.getLong(1)))
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "cluster_id")
+    }
+
+    var converged = edgeCount == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
       // large-star: per node u (over BOTH endpoints' neighborhoods),

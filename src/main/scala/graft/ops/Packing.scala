@@ -32,7 +32,8 @@ object Packing {
       nBuckets: Int = 32,
       idCol: String = "doc_id",
       textCol: String = "text",
-      tokensOf: Column => Column = TextAnalysis.tokens): DataFrame = {
+      tokensOf: Column => Column = TextAnalysis.tokens,
+      checkpointResult: Boolean = true): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     val counted = docs.select(
       col(idCol).cast("long").as("doc_id"),
@@ -68,11 +69,12 @@ object Packing {
         col("n_tokens"),
         expr(s"__cum div ${capacity}L").as("seq_id"),
         pmod(col("__cum"), lit(capacity)).as("seq_offset"))
-      // eager checkpoint of the (4-long-columns) result releases the
-      // cached scan frame without handing the caller a DF that would
-      // silently re-tokenize the corpus on every action
-      .localCheckpoint(true)
+    if (!checkpointResult) return out // lazy form (plan inspection); cache lives with the session
+    // eager checkpoint of the (4-long-columns) result releases the
+    // cached scan frame without handing the caller a DF that would
+    // silently re-tokenize the corpus on every action
+    val ck = out.localCheckpoint(true)
     bucketed.unpersist(blocking = false)
-    out
+    ck
   }
 }

@@ -34,6 +34,45 @@ object Sampling {
     df.withColumn("bucket", hashPermille(col(keyCol), salt))
       .withColumn("split", when(col("bucket") < evalPermille, "eval").otherwise("train"))
 
+  /** Domain mixing: downsample each source so the output matches the
+    * `targetShares` mixture (web/books/code/... proportions of a
+    * pretraining recipe), keeping as much data as feasible — the
+    * binding source (largest target share relative to its row count)
+    * is kept whole and every other source is hash-downsampled to
+    * match. No upsampling, no RNG: acceptance is the same md5-permille
+    * function of the key as every other split here, so the selection
+    * is partition-invariant and replayable by the oracle.
+    *
+    * The per-source counts are a tiny aggregate collected to the
+    * driver (the mixture spec is driver-side anyway); the filter
+    * itself is a narrow projection — no shuffle on the data path.
+    * Sources missing from `targetShares` are dropped. */
+  def mixDomains(
+      df: DataFrame,
+      sourceCol: String,
+      keyCol: String,
+      targetShares: Map[String, Double],
+      salt: String = ""): DataFrame = {
+    require(targetShares.nonEmpty && targetShares.values.forall(_ > 0),
+      "targetShares must be non-empty and positive")
+    val counts = df.groupBy(sourceCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = targetShares.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
+    if (present.isEmpty) return df.where(lit(false))
+    // feasible output size: the binding source caps it
+    val total = present.map { case (s, share) => counts(s) / share }.min
+    // permille arithmetic mirrors the oracle expression exactly
+    // (left-assoc double ops on exact integer counts), so both engines
+    // floor the same IEEE value
+    val permille = present.map { case (s, share) =>
+      s -> math.min(1000L, math.floor(1000.0 * share * total / counts(s) + 1e-9).toLong)
+    }
+    val pmCol = permille.foldLeft(lit(-1L)) { case (acc, (s, p)) =>
+      when(col(sourceCol) === s, lit(p)).otherwise(acc)
+    }
+    df.where(hashPermille(col(keyCol), salt) < pmCol)
+  }
+
   /** Deterministic per-group quota: at most `nPerGroup` rows per
     * `groupCol`, chosen by md5 order of the key (ties broken by the key
     * itself, so the pick is total and partition-invariant) — balanced

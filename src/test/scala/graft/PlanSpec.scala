@@ -113,4 +113,30 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("TakeOrderedAndProject"), s"knn must be top-k, not sort-all:\n${s.take(2000)}")
     assert(!s.contains("Exchange hashpartitioning"), s"knn must not shuffle the corpus:\n${s.take(2000)}")
   }
+
+  test("sequence packing never plans a single-partition global window") {
+    // the query result is an eager checkpoint, so inspect the lazy form;
+    // what must NOT appear is Exchange SinglePartition feeding a Window —
+    // the collapsed global cumsum the two-phase scan exists to avoid
+    val df = graft.ops.Packing.packSequences(
+      spark.read.parquet(s"$dir/documents.parquet"), capacity = 2048,
+      checkpointResult = false)
+    val s = planString(df)
+    assert(!s.contains("Exchange SinglePartition"),
+      s"packing must not single-partition the corpus:\n${s.take(3000)}")
+    assert(s.contains("Window"), s"expected the per-bucket window:\n${s.take(2000)}")
+  }
+
+  test("vocab build pre-reduces (term, doc) before the term aggregate — no expand/count-distinct plan") {
+    val s = planString(run("q_vocab_build"))
+    assert(!s.contains("Expand"), s"df must come from pre-reduced rows, not an Expand:\n${s.take(3000)}")
+    assert(s.contains("partial_"), s"expected map-side partial aggregation:\n${s.take(2000)}")
+    assert(s.contains("TakeOrderedAndProject"), s"top-N must be a bounded heap:\n${s.take(2000)}")
+  }
+
+  test("vocab tokenizer reads only (doc_id, text)") {
+    val s = planString(run("q_vocab_build"))
+    assert(s.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must prune to the two used columns:\n${s.take(2000)}")
+  }
 }

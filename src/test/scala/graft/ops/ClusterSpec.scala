@@ -20,39 +20,48 @@ class ClusterSpec extends SparkSpec {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Cluster.connectedComponents(edges.toDF("id_a", "id_b"))
+  /** Both execution strategies must agree: `limit = 0` forces the
+    * distributed alternating-star loop, the default takes the driver
+    * union-find short-circuit. */
+  private def ccOf(edges: Seq[(Long, Long)], driverLimit: Long = 500000L): Map[Long, Long] =
+    Cluster.connectedComponents(edges.toDF("id_a", "id_b"), driverEdgeLimit = driverLimit)
       .as[(Long, Long)].collect().toMap
 
-  test("transitive chain collapses to one component") {
-    // A~B, B~C, C~D: pair generator never emits A~D, clustering must
-    val got = ccOf(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  private def bothPaths(name: String)(edges: Seq[(Long, Long)], want: Map[Long, Long]): Unit = {
+    test(s"$name (driver union-find)") { assert(ccOf(edges) === want) }
+    test(s"$name (distributed star loop)") { assert(ccOf(edges, driverLimit = 0L) === want) }
   }
 
-  test("separate components keep separate minima; duplicates and reversed pairs are harmless") {
-    val got = ccOf(Seq((10L, 7L), (7L, 10L), (10L, 7L), (20L, 25L), (3L, 3L)))
-    assert(got === Map(7L -> 7L, 10L -> 7L, 20L -> 20L, 25L -> 20L))
-  }
+  bothPaths("transitive chain collapses to one component")(
+    // A~B, B~C, C~D: pair generator never emits A~D, clustering must
+    Seq((1L, 2L), (2L, 3L), (3L, 4L)),
+    Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+
+  bothPaths("separate components keep separate minima; duplicates and reversed pairs are harmless")(
+    Seq((10L, 7L), (7L, 10L), (10L, 7L), (20L, 25L), (3L, 3L)),
+    Map(7L -> 7L, 10L -> 7L, 20L -> 20L, 25L -> 20L))
 
   test("empty pair set yields empty labels") {
     assert(ccOf(Seq.empty) === Map.empty)
   }
 
-  test("matches union-find on random graphs") {
+  test("matches union-find on random graphs, on both strategies") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 5) {
       val n = 30 + trial * 17
       val edges = Seq.fill(n) {
         (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)
       }.filter { case (a, b) => a != b }
-      assert(ccOf(edges) === bruteComponents(edges), s"trial $trial: $edges")
+      val want = bruteComponents(edges)
+      assert(ccOf(edges) === want, s"trial $trial (driver): $edges")
+      if (trial % 2 == 0)
+        assert(ccOf(edges, driverLimit = 0L) === want, s"trial $trial (distributed): $edges")
     }
   }
 
   test("long path converges within the iteration budget (log rounds, not diameter)") {
     val path = (0L until 200L).sliding(2).map(s => (s(0), s(1))).toSeq
-    val got = ccOf(path)
+    val got = ccOf(path, driverLimit = 0L) // the distributed loop is what the budget bounds
     assert(got.size === 200 && got.values.forall(_ == 0L))
   }
 

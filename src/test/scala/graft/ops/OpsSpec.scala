@@ -217,6 +217,29 @@ class OpsSpec extends SparkSpec {
     perGroup.foreach { case (g, n) => assert(n === math.min(30L, available(g))) }
   }
 
+  test("domain mix hits the target proportions and keeps the binding source whole") {
+    import spark.implicits._
+    // skewed corpus: 4000 web, 1000 books, 400 code — recipe wants 50/25/25.
+    // code is binding (400/0.25 = 1600 feasible): kept whole, others downsampled.
+    val rows = (0L until 4000L).map((_, "web")) ++
+      (10000L until 11000L).map((_, "books")) ++ (20000L until 20400L).map((_, "code"))
+    val df = rows.toDF("doc_id", "source")
+    val mixed = Sampling.mixDomains(df, "source", "doc_id",
+      Map("web" -> 0.5, "books" -> 0.25, "code" -> 0.25), salt = "t")
+    val got = mixed.groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("code") === 400L, s"binding source must be kept whole, got $got")
+    // permille quantization + hash variance: ±15% around 800/400
+    assert(math.abs(got("web") - 800L) < 120, s"web ~800 expected, got $got")
+    assert(math.abs(got("books") - 400L) < 60, s"books ~400 expected, got $got")
+    // partition-invariant
+    val again = Sampling.mixDomains(df.repartition(13), "source", "doc_id",
+      Map("web" -> 0.5, "books" -> 0.25, "code" -> 0.25), salt = "t")
+    assert(mixed.exceptAll(again).isEmpty && again.exceptAll(mixed).isEmpty)
+    // a source absent from the recipe is dropped
+    val dropped = Sampling.mixDomains(df, "source", "doc_id", Map("web" -> 1.0), salt = "t")
+    assert(dropped.where(col("source") =!= "web").count() === 0L)
+  }
+
   test("salted aggregation matches plain groupBy (skew-safe path)") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val plain = ev.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"), sum("value").as("sum_v"))
