@@ -26,6 +26,19 @@ class PackingSpec extends SparkSpec {
     assert(got.toSeq == ref.toSeq)
   }
 
+  test("parity holds at every bucketing granularity") {
+    val docs = Seq.tabulate(200) { i =>
+      (i.toLong * 13 + (i % 5), Seq.fill(i % 23 + 1)("t").mkString(" "))
+    }.toDF("doc_id", "text")
+    val want = Packing.packSequences(docs, capacity = 32, nBuckets = 1)
+      .orderBy("doc_id").collect().toSeq
+    for (nb <- Seq(3, 17, 64, 1000)) {
+      val got = Packing.packSequences(docs, capacity = 32, nBuckets = nb)
+        .orderBy("doc_id").collect().toSeq
+      assert(got == want, s"nBuckets=$nb diverged from single-bucket reference")
+    }
+  }
+
   test("a document straddling a boundary starts in the sequence holding its first token") {
     val docs = Seq((1L, Seq.fill(60)("a").mkString(" ")), (2L, Seq.fill(10)("b").mkString(" ")))
       .toDF("doc_id", "text")
