@@ -577,6 +577,17 @@ object SparkEntry {
       val pairs = Dedup.ngramJaccard(corpus, threshold = 0.5, maxDocFreq = 1000)
       Cluster.dupClusters(corpus, pairs).orderBy("doc_id")
     }),
+    "q_dedup_incremental" -> ((s, dir) => {
+      // new-crawl-vs-kept-corpus shape: the perturbed copy is the new
+      // batch, the driver corpus the base; 32 bands × 2 rows + exact
+      // verify, same oracle-grade recall argument as q_dedup_verified
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val newBatch = base.select((col("doc_id") + 10000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+      Dedup.minhashLshIncremental(newBatch, base, bands = 32, threshold = 0.6,
+          maxBucket = 1000, verifyExact = true)
+        .orderBy("id_a", "id_b")
+    }),
     "q_dedup_verified" -> ((s, dir) =>
       // LSH candidate generation at 32 bands × 2 rows, authoritative
       // exact-Jaccard verify: output is exactly the ≥-threshold pairs
@@ -1038,6 +1049,20 @@ object SparkEntry {
         "sym AS (SELECT id_a AS s, id_b AS d FROM good UNION SELECT id_b, id_a FROM good), " +
         "reach AS (SELECT doc_id AS id, doc_id AS r FROM corpus UNION SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.id) " +
         "SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id"),
+    "q_dedup_incremental" ->
+      ("WITH nw AS (SELECT doc_id + 10000 AS doc_id, regexp_replace(text, '^\\S+\\s+', '') AS text FROM documents), " +
+        "tn AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM nw), " +
+        "tb AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM documents), " +
+        "sn AS (SELECT doc_id, CASE WHEN len(tk) = 0 THEN [] WHEN len(tk) < 3 THEN list_distinct(tk) ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sh FROM tn), " +
+        "sb AS (SELECT doc_id, CASE WHEN len(tk) = 0 THEN [] WHEN len(tk) < 3 THEN list_distinct(tk) ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sh FROM tb), " +
+        "cn AS (SELECT doc_id, len(sh) AS n FROM sn WHERE len(sh) > 0), " +
+        "cb AS (SELECT doc_id, len(sh) AS n FROM sb WHERE len(sh) > 0), " +
+        "ivn AS (SELECT doc_id, unnest(sh) AS shingle FROM sn), " +
+        "ivb AS (SELECT doc_id, unnest(sh) AS shingle FROM sb), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM ivn a JOIN ivb b USING (shingle) GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, round(inter::DOUBLE / (cn.n + cb.n - inter), 4) AS est_jaccard " +
+        "FROM pairs JOIN cn ON cn.doc_id = id_a JOIN cb ON cb.doc_id = id_b " +
+        "WHERE round(inter::DOUBLE / (cn.n + cb.n - inter), 4) >= 0.6 ORDER BY id_a, id_b"),
     "q_dedup_verified" ->
       ("WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, regexp_replace(text, '^\\S+\\s+', '') FROM documents), " +
         "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM corpus), " +

@@ -232,6 +232,70 @@ object Dedup {
     out
   }
 
+  /** Incremental near-dedup: candidate pairs between a NEW batch and an
+    * EXISTING corpus — the operational shape of production dedup, where
+    * each crawl is checked against the already-kept corpus rather than
+    * re-running the self-join over everything. Returns
+    * `(id_a = new id, id_b = base id, est_jaccard)`.
+    *
+    * Id spaces must be disjoint (a new batch vs a stored corpus always
+    * is). Scale shape: band keys explode on BOTH sides and meet in one
+    * equi-join on the 8-byte key — the base side would be a STORED
+    * signature/band table in a real pipeline, so the recurring cost is
+    * proportional to the new batch, not the corpus. Hot band buckets
+    * are capped on each side independently (fanout per key ≤
+    * maxBucket²), the same recall-for-bounded-cost trade as the
+    * self-join path. */
+  def minhashLshIncremental(
+      newDocs: DataFrame,
+      baseDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      perms: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucket: Int = 64,
+      verifyExact: Boolean = false): DataFrame = {
+    def shingled(df: DataFrame) = df
+      .select(col(idCol).as("id"), hashedShinglesUdf(3)(col(textCol)).as("hs"))
+      .where(size(col("hs")) > 0)
+      .persist()
+    val hn = shingled(newDocs); val hb = shingled(baseDocs)
+    def sigsOf(h: DataFrame) =
+      h.select(col("id"), minhashOph(perms)(col("hs")).as("sig")).persist()
+    val sn = sigsOf(hn); val sb = sigsOf(hb)
+
+    def banded(s: DataFrame, as: String) = s.select(
+      col("id").as(as), explode(bandKeysUdf(perms, bands)(col("sig"))).as("bandkey"))
+    def dropHot(b: DataFrame) = {
+      val hot = b.groupBy("bandkey").count().where(col("count") > maxBucket).select("bandkey")
+      b.join(hot, Seq("bandkey"), "left_anti")
+    }
+    val cand = dropHot(banded(sn, "id_a"))
+      .join(dropHot(banded(sb, "id_b")), Seq("bandkey"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    val pairs =
+      if (verifyExact) {
+        // ids are disjoint, so the two sides stack into the keyed
+        // tables the shared verify stage expects
+        verifyCandidatesExact(cand, sn.unionByName(sb), hn.unionByName(hb), "hs",
+          threshold, perms, "est_jaccard")
+      } else {
+        cand
+          .join(sn.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+          .join(sb.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+          .withColumn("est_jaccard",
+            round(sigMatches(col("sig_a"), col("sig_b")).cast("double") / lit(perms.toDouble), 4))
+          .where(col("est_jaccard") >= threshold)
+          .select("id_a", "id_b", "est_jaccard")
+      }
+    val out = pairs.localCheckpoint(true)
+    Seq(sn, sb, hn, hb).foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Exact Jaccard on the true shingle sets of candidate pairs — the
     * LSH narrows, the verify is authoritative (no estimator variance).
     * Two cheap gates run BEFORE the heavy arrays are attached: (1) a

@@ -32,6 +32,26 @@ class OpsSpec extends SparkSpec {
     assert(planted >= 450, s"expected >=450 of 500 planted pairs, got $planted")
   }
 
+  test("incremental minhash dedup matches the self-join on the cross-set pairs") {
+    // new batch = perturbed copies; base = originals. Every planted pair
+    // is cross-set, so incremental must find what the self-join finds.
+    val base = docs.select("doc_id", "text")
+    val newBatch = docs.select((col("doc_id") + 10000).as("doc_id"),
+      regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+    val inc = Dedup.minhashLshIncremental(newBatch, base, bands = 32,
+        threshold = 0.5, maxBucket = 1000, verifyExact = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val self = Dedup.minhashLsh(docsND, bands = 32, threshold = 0.5,
+        maxBucket = 1000, verifyExact = true)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2)))
+      // the corpus has natural near-dups WITHIN each set too — the
+      // self-join reports those, the incremental op must not. Compare on
+      // the cross-set restriction, flipped to (new, base) orientation.
+      .filter { case (b, a, _) => b >= 10000L && a < 10000L }.toSet
+    assert(inc === self, s"incremental=${inc.size} self-cross=${self.size}")
+    assert(inc.count { case (a, b, _) => a === b + 10000 } >= 450)
+  }
+
   test("simhash finds planted near-duplicates") {
     val pairs = Dedup.simhashDedup(docsND, maxHamming = 3).collect()
     val planted = pairs.count(r => r.getLong(0) + 10000 === r.getLong(1))
