@@ -20,15 +20,19 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try exec(fn(spark, "/root/testdata/sf0.001")) catch { case _: Throwable => () }
     }
+    // a throwing query must be VISIBLE in the output, not score ~0s —
+    // a silent failure would read as "fast" while producing nothing
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
+      try exec(fn(spark, sfDir)) catch { case _: Throwable => failed += name }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -65,7 +65,7 @@ object ProfileCurate {
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .where(size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
         .cast("double") >= lit((0.6 - 0.25) * 64))
-    time("sig prefilter") { println("  post-prefilter: " + pf.count()) }
+    time("sig prefilter (legacy HOF chain)") { println("  post-prefilter: " + pf.count()) }
     val attachOnly = cand
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
@@ -77,7 +77,7 @@ object ProfileCurate {
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .where(Dedup.sigMatchesPublic(col("sig_a"), col("sig_b")).cast("double") >= lit((0.6 - 0.25) * 64))
-    time("sig prefilter (JVM udf)") { println("  " + pfU.count()) }
+    time("sig prefilter (native SigAgreement — current)") { println("  " + pfU.count()) }
     spark.stop()
   }
 }
