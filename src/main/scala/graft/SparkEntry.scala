@@ -89,6 +89,29 @@ object SparkEntry {
     }
   }
 
+  // the documents corpus's minhash signature table, written once per
+  // data dir and read back as a stored parquet table — the base side of
+  // q_dedup_incremental (same stale-session guard as the other caches)
+  private val sigTables = scala.collection.concurrent.TrieMap.empty[String, (SparkSession, String)]
+  private def baseSignatures(s: SparkSession, dir: String): DataFrame = {
+    def build(): (SparkSession, String) = {
+      val tmp = java.nio.file.Files.createTempDirectory("graftsigs").toString
+      graft.ops.Dedup.signatureTable(t(s, dir, "documents").select("doc_id", "text"))
+        .write.mode("overwrite").parquet(tmp)
+      (s, tmp)
+    }
+    val e = sigTables.getOrElseUpdate(dir, build())
+    val path =
+      if (e._1 eq s) e._2
+      else {
+        sigTables.remove(dir, e)
+        scala.util.Try(graft.views.FsLists.walkDeepestFirst(
+          java.nio.file.Paths.get(e._2)).foreach(java.nio.file.Files.deleteIfExists))
+        sigTables.getOrElseUpdate(dir, build())._2
+      }
+    s.read.parquet(path)
+  }
+
   /** documents ∪ a perturbed copy (first token dropped, doc_id+10000) —
     * the deterministic near-duplicate fixture for the dedup family (the
     * driver corpus itself is 100% distinct). */
@@ -579,13 +602,15 @@ object SparkEntry {
     }),
     "q_dedup_incremental" -> ((s, dir) => {
       // new-crawl-vs-kept-corpus shape: the perturbed copy is the new
-      // batch, the driver corpus the base; 32 bands × 2 rows + exact
-      // verify, same oracle-grade recall argument as q_dedup_verified
+      // batch, checked against the corpus's STORED signature table (the
+      // operational setup — recurring cost scales with the batch, not
+      // the corpus); 32 bands × 2 rows + exact verify, same oracle-grade
+      // recall argument as q_dedup_verified
       val base = t(s, dir, "documents").select("doc_id", "text")
       val newBatch = base.select((col("doc_id") + 10000).as("doc_id"),
         regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
-      Dedup.minhashLshIncremental(newBatch, base, bands = 32, threshold = 0.6,
-          maxBucket = 1000, verifyExact = true)
+      Dedup.minhashLshIncrementalStored(newBatch, baseSignatures(s, dir),
+          bands = 32, threshold = 0.6, maxBucket = 1000, verifyExact = true)
         .orderBy("id_a", "id_b")
     }),
     "q_dedup_verified" -> ((s, dir) =>

@@ -255,15 +255,51 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5,
       maxBucket: Int = 64,
-      verifyExact: Boolean = false): DataFrame = {
-    def shingled(df: DataFrame) = df
+      verifyExact: Boolean = false): DataFrame =
+    minhashLshIncrementalStored(newDocs,
+      signatureTable(baseDocs, idCol, textCol, perms).persist(),
+      idCol, textCol, perms, bands, threshold, maxBucket, verifyExact,
+      ownsBase = true)
+
+  /** The `(id, hs, sig)` signature table of a corpus — compute once,
+    * store (parquet), and hand to [[minhashLshIncrementalStored]] for
+    * every subsequent batch: the recurring dedup cost then scales with
+    * the new batch, never the corpus. */
+  def signatureTable(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      perms: Int = 64): DataFrame = {
+    val hashed = docs
+      .select(col(idCol).as("id"), hashedShinglesUdf(3)(col(textCol)).as("hs"))
+      .where(size(col("hs")) > 0)
+    // two-stage select: sig must not inline the shingle UDF per reference
+    hashed.select(col("id"), col("hs"), minhashOph(perms)(col("hs")).as("sig"))
+  }
+
+  /** [[minhashLshIncremental]] against a precomputed base signature
+    * table (`(id, hs, sig)` as produced by [[signatureTable]], typically
+    * read back from storage). `baseSigs` should be persisted or a stored
+    * table; it is read for band keys, the prefilter, and (with
+    * `verifyExact`) the shingle re-attach. */
+  def minhashLshIncrementalStored(
+      newDocs: DataFrame,
+      baseSigs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      perms: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucket: Int = 64,
+      verifyExact: Boolean = false,
+      ownsBase: Boolean = false): DataFrame = {
+    val hn = newDocs
       .select(col(idCol).as("id"), hashedShinglesUdf(3)(col(textCol)).as("hs"))
       .where(size(col("hs")) > 0)
       .persist()
-    val hn = shingled(newDocs); val hb = shingled(baseDocs)
-    def sigsOf(h: DataFrame) =
-      h.select(col("id"), minhashOph(perms)(col("hs")).as("sig")).persist()
-    val sn = sigsOf(hn); val sb = sigsOf(hb)
+    val sn = hn.select(col("id"), minhashOph(perms)(col("hs")).as("sig")).persist()
+    val sb = baseSigs.select("id", "sig")
+    val hb = baseSigs.select("id", "hs")
 
     def banded(s: DataFrame, as: String) = s.select(
       col("id").as(as), explode(bandKeysUdf(perms, bands)(col("sig"))).as("bandkey"))
@@ -292,7 +328,8 @@ object Dedup {
           .select("id_a", "id_b", "est_jaccard")
       }
     val out = pairs.localCheckpoint(true)
-    Seq(sn, sb, hn, hb).foreach(_.unpersist(blocking = false))
+    Seq(sn, hn).foreach(_.unpersist(blocking = false))
+    if (ownsBase) baseSigs.unpersist(blocking = false)
     out
   }
 
