@@ -22,17 +22,27 @@ object Bench {
     }
     // a throwing query must be VISIBLE in the output, not score ~0s —
     // a silent failure would read as "fast" while producing nothing
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // median-of-3: single-run timings on sub-second queries swing ±3×
+    // run-to-run, which makes per-query regressions unfalsifiable
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try exec(fn(spark, sfDir)) catch { case _: Throwable => failed += name }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try exec(fn(spark, sfDir)) catch { case _: Throwable => failed += name }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // full per-query dict first, compact total line LAST: the driver's
+    // tail capture must never lose the total (it did in r4)
+    println(s"""{"metric":"per_query","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

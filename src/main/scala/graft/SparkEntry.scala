@@ -331,7 +331,10 @@ object SparkEntry {
     }),
     "q_group_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
-        .where(col("l_shipdate").cast("date") <= lit(java.sql.Date.valueOf("1998-09-02")))
+        // compare in the storage type (timestamp), literally the oracle's
+        // predicate — a cast-to-date form only coincides with it when every
+        // boundary-day timestamp is midnight-aligned
+        .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),

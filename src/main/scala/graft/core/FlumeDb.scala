@@ -106,6 +106,11 @@ final class FlumeDb(
 
   final class Mounted(val name: String, val viewDef: ViewDef, val view: FlumeView) {
     @volatile var lastError: Option[Throwable] = None
+    /** True once the view has completed its first sync — the analog of the
+      * view's `since` observable having emitted (`sv.since.once`,
+      * `/root/reference/wrap.js:40`). A `since: -1` stale read waits for
+      * THIS, not for log parity. */
+    @volatile var loaded: Boolean = false
     def since: Long = view.since
   }
 
@@ -209,7 +214,7 @@ final class FlumeDb(
           m.view.absorb(replay, target)
       }
     }
-    lock.lock(); try parity.signalAll() finally lock.unlock()
+    lock.lock(); try { m.loaded = true; parity.signalAll() } finally lock.unlock()
   }
 
   private def syncViews(): Unit = {
@@ -230,13 +235,29 @@ final class FlumeDb(
   /** Read-your-writes gate (`/root/reference/wrap.js:29-61`): block until
     * the view has absorbed at least `target` (default: the log's current
     * seq). `target = -1` skips log-parity waiting (stale-read escape
-    * hatch, `/root/reference/README.md:249-252`). Throws if the db closes
-    * while waiting (`wrap.js:98-100`). */
+    * hatch, `/root/reference/README.md:249-252`) but still waits for the
+    * view to have LOADED — `sv.since.once(cb)` at `wrap.js:37-41`, which
+    * fires on first view-since emission regardless of the global ready
+    * flag. Throws if the db closes while waiting (`wrap.js:98-100`). */
   def awaitView(name: String, target: Option[Long] = None, timeoutMs: Long = 60000): Unit = {
     throwIfClosed()
     val m = view(name)
     val goal = target.getOrElse(log.since)
-    if (goal == -1L) return
+    if (goal == -1L) {
+      // stale read: ignore `ready` and log parity; only require first load
+      val deadline = System.nanoTime() + TimeUnit.MILLISECONDS.toNanos(timeoutMs)
+      lock.lock()
+      try {
+        while (!closed && !m.loaded) {
+          val left = deadline - System.nanoTime()
+          if (left <= 0) throw new java.util.concurrent.TimeoutException(
+            s"view '$name' never loaded")
+          parity.awaitNanos(left)
+        }
+        if (closed) throw new ClosedException("flumedb: closed while waiting")
+      } finally lock.unlock()
+      return
+    }
     val deadline = System.nanoTime() + TimeUnit.MILLISECONDS.toNanos(timeoutMs)
     lock.lock()
     try {

@@ -34,6 +34,14 @@ final class MergeableReduceView[S](
   def since: Long = sinceSeq
   def value: Option[S] = state
 
+  /** Read a path INTO the reduced value — flumeview-reduce's `get(path)`
+    * (the reference reads `.foo` / sub-fields of the reduced object,
+    * `/root/reference/test/memlog.js:26-33`). Empty path = whole value;
+    * missing path segment or empty view = None (the reference calls back
+    * `undefined`). */
+  def get(path: Seq[String] = Nil): Option[Any] =
+    state.flatMap(ReduceValue.navigate(_, path))
+
   def absorb(entries: DataFrame, upto: Long): Unit = {
     val p = partial(entries)
     state = Some(state.fold(p)(s => merge(s, p)))
@@ -41,6 +49,29 @@ final class MergeableReduceView[S](
   }
 
   def destroy(): Unit = { state = None; sinceSeq = -1L }
+}
+
+/** Path navigation into a reduced value, for flumeview-reduce `get(path)`
+  * parity: each segment indexes a Map key, a case-class field (by
+  * constructor-parameter name), or a no-arg accessor (so derived reads
+  * like `stdev` on [[Stats]] resolve too, as they would on a JS object). */
+object ReduceValue {
+  def navigate(v: Any, path: Seq[String]): Option[Any] =
+    path.foldLeft(Option(v)) {
+      case (Some(m: scala.collection.Map[_, _]), k) =>
+        m.asInstanceOf[scala.collection.Map[String, Any]].get(k)
+      case (Some(p: Product), k) =>
+        val i = p.productElementNames.indexOf(k)
+        if (i >= 0) Some(p.productElement(i))
+        else accessor(p, k)
+      case (Some(o), k) => accessor(o, k)
+      case (None, _) => None
+    }
+
+  private def accessor(o: Any, k: String): Option[Any] =
+    o.getClass.getMethods
+      .find(m => m.getName == k && m.getParameterCount == 0)
+      .map(_.invoke(o))
 }
 
 object MergeableReduceView {
@@ -99,6 +130,10 @@ final class OrderedFoldView[S](zero: S, fold: (S, Row) => S, seqCol: String) ext
 
   def since: Long = sinceSeq
   def value: Option[S] = if (touched) Some(state) else None
+
+  /** Path read into the folded value (flumeview-reduce `get(path)`). */
+  def get(path: Seq[String] = Nil): Option[Any] =
+    value.flatMap(ReduceValue.navigate(_, path))
 
   def absorb(entries: DataFrame, upto: Long): Unit = {
     val rows = entries.orderBy(col(seqCol)).collect()

@@ -129,6 +129,45 @@ class FlumeDbSpec extends SparkSpec {
     assert(n === 2L && s === 203.0)
   }
 
+  test("since:-1 stale read waits only for view load, not ready/parity (wrap.js:37-41)") {
+    // ready=false stalls NORMAL gated reads (memlog.js:82-96), but a
+    // since:-1 read goes through as soon as the view has loaded: the
+    // reference's `sv.since.once(cb)` fires regardless of isReady.
+    val (log, db) = mkDb(ready = false)
+    db.use("stats", StatsReduceView("foo"))
+    log.appendRows(Seq(Row(7L)))
+    @volatile var staleDone = false
+    val stale = new Thread(() => {
+      db.gated("stats", target = Some(-1L))(_ => ()); staleDone = true
+    })
+    stale.start(); stale.join(10000)
+    assert(staleDone, "since:-1 read must not stall on the ready gate")
+    // …whereas the normal gated read still stalls until setReady(true)
+    @volatile var gatedDone = false
+    val t = new Thread(() => { db.gated("stats")(_ => ()); gatedDone = true })
+    t.start(); Thread.sleep(300)
+    assert(!gatedDone, "normal gated read must stall while not ready")
+    db.setReady(true); t.join(10000)
+    assert(gatedDone)
+  }
+
+  test("reduce get(path) reads a path into the reduced value (memlog.js:26-33)") {
+    val (_, db) = mkDb()
+    db.use("stats", StatsReduceView("foo"))
+    // empty view: get → None (reference calls back undefined)
+    assert(db.gated("stats", target = Some(-1L))(
+      _.asInstanceOf[MergeableReduceView[Stats]].get(Seq("mean"))).isEmpty)
+    db.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(1L), Row(3L))), schema))
+    val v = db.view("stats").view.asInstanceOf[MergeableReduceView[Stats]]
+    db.ready("stats")
+    assert(v.get() === Some(Stats(2, 2.0, 2.0)))         // whole value on empty path
+    assert(v.get(Seq("mean")) === Some(2.0))             // case-class field
+    assert(v.get(Seq("n")) === Some(2L))
+    // derived accessor resolves like a JS object property would
+    assert(v.get(Seq("stdevPop")) === Some(1.0))
+    assert(v.get(Seq("nope")).isEmpty)                   // missing segment -> None
+  }
+
   test("rebuild redelivers the whole log (rebuild.js:19-62 delivery count)") {
     val (_, db) = mkDb()
     val v = new CountingView
