@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, SigAgreement}
+import graft.functions.{CosineSimilarity, HyperplaneSig, SigAgreement}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -19,5 +19,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sig_agreement"),
       new ExpressionInfo(classOf[SigAgreement].getName, "sig_agreement"),
       (exprs: Seq[Expression]) => SigAgreement(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
+      (exprs: Seq[Expression]) => HyperplaneSig(
+        exprs.head,
+        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Number].intValue else 16)))
   }
 }

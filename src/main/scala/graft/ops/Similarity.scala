@@ -75,10 +75,17 @@ object Similarity {
   /** Random-hyperplane LSH signature: bit p = sign(v · h_p), planes drawn
     * deterministically from a mix of (plane, dim) — reproducible with no
     * stored model, and scale-invariant (so a scaled copy of a vector
-    * lands in the same bucket). Single JVM pass per vector: nBits × dim
-    * fused multiply-adds, versus nBits interpreted higher-order-function
-    * array traversals in the column-algebra formulation. */
+    * lands in the same bucket). Routes to the native codegen'd
+    * [[graft.functions.HyperplaneSig]]: a primitive nBits × dim loop
+    * inside whole-stage codegen, versus a Scala UDF paying per-row Seq
+    * boxing outside it (the last hot-path UDF in the project before this
+    * rung of the expression ladder). */
   def hyperplaneSignature(vec: Column, nBits: Int = 16): Column =
+    graft.functions.HyperplaneSig.hyperplane_sig(vec, nBits).as("sig")
+
+  /** UDF formulation, kept ONLY for bit-identity comparison tests against
+    * the native expression (the [[cosineHof]] precedent). */
+  def hyperplaneSignatureUdf(vec: Column, nBits: Int = 16): Column =
     hyperplaneSigUdf(nBits)(vec.cast("array<float>")).as("sig")
 
   private def hyperplaneSigUdf(nBits: Int) = udf { v: Seq[Float] =>

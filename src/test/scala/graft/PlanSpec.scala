@@ -139,4 +139,17 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"scan must prune to the two used columns:\n${s.take(2000)}")
   }
+
+  test("ann lsh serves signatures from the stored column — no corpus recompute, no UDF") {
+    val s = planString(run("q_ann_lsh"))
+    // the 8-byte sig column is READ off parquet (filter-then-refine input)…
+    assert(s.contains("sig:bigint"),
+      s"expected the stored sig column in the read schema:\n${s.take(3000)}")
+    // …not recomputed: no hyperplane expression over the corpus scan and
+    // no Scala UDF anywhere in the hot path
+    assert(!s.contains("UDF"),
+      s"signature kernel must be the native expression, not a UDF:\n${s.take(3000)}")
+    assert(!s.contains("hyperplanesig"),
+      s"corpus-side signatures must come from storage, not recompute:\n${s.take(3000)}")
+  }
 }

@@ -101,6 +101,16 @@ class OpsSpec extends SparkSpec {
     assert((exact & approx).size >= 5, s"ANN recall too low: ${(exact & approx).size}/10")
   }
 
+  test("native hyperplane_sig expression is bit-identical to the UDF form") {
+    for (nBits <- Seq(16, 32)) {
+      val both = emb.select(
+        Similarity.hyperplaneSignature(col("embedding"), nBits).as("native"),
+        Similarity.hyperplaneSignatureUdf(col("embedding"), nBits).as("hof"))
+      assert(both.where(col("native") =!= col("hof")).count() === 0L,
+        s"native vs UDF signatures diverge at nBits=$nBits")
+    }
+  }
+
   test("ANN over a stored signature column equals recomputed signatures") {
     val q = emb.where(col("vec_id") === 0).head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
     // make "stored" real: write the signed corpus to parquet, read back
