@@ -147,6 +147,23 @@ object SparkEntry {
       regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
   }
 
+  /** documents ∪ composite docs (id+30000) built from the first 20
+    * tokens of doc d and the first 20 of doc d+1 (every 7th d) — the
+    * planted fixture for SUBSTRING dedup: each composite shares a long
+    * verbatim token run with each source while staying far below any
+    * whole-document Jaccard threshold (40 tokens vs a full doc), i.e.
+    * exactly the cross-document span duplication MinHash misses. */
+  private def docsWithPlantedSpans(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val tk = graft.ops.TextAnalysis.tokens(col("text"))
+    val a = d.where(col("doc_id") % 7 === 0).select(col("doc_id"), tk.as("tka"))
+    val b = d.select((col("doc_id") - 1).as("doc_id"), tk.as("tkb"))
+    val planted = a.join(b, "doc_id")
+      .select((col("doc_id") + 30000).as("doc_id"),
+        concat_ws(" ", concat(slice(col("tka"), 1, 20), slice(col("tkb"), 1, 20))).as("text"))
+    d.unionByName(planted)
+  }
+
   /** Three-copy CHAIN fixture for duplicate clustering: original, first
     * token dropped (+10000), first two tokens dropped (+20000). Every
     * planted pair keeps jaccard ≥ (d-2)/d ≥ 0.75 on the driver corpus
@@ -605,6 +622,12 @@ object SparkEntry {
       // exact-Jaccard oracle
       Dedup.ngramJaccard(docsWithNearDups(s, dir), threshold = 0.5, maxDocFreq = 1000)
         .orderBy("id_a", "id_b")),
+    "q_dedup_substring" -> ((s, dir) =>
+      // Lee et al. exact-substring dedup: maximal ≥15-token spans
+      // recurring across documents, over the planted-span fixture the
+      // pairwise dedup family cannot catch
+      Dedup.substringSpans(docsWithPlantedSpans(s, dir), k = 15)
+        .orderBy("doc_id", "start_tok")),
     "q_search_bm25" -> ((s, dir) =>
       // ranked retrieval over the corpus; scores are distinct at 4
       // decimals around the k=20 cutoff at every SF (checked), so the
@@ -1069,6 +1092,23 @@ object SparkEntry {
         "SELECT id_a, id_b, round(inter::DOUBLE / (ca.n + cb.n - inter), 4) AS jaccard " +
         "FROM pairs JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b " +
         "WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.5 ORDER BY id_a, id_b"),
+    "q_dedup_substring" ->
+      // string k-grams in the oracle vs 64-bit hashed k-grams in Spark:
+      // identical span output modulo 2^-64 fingerprint collisions (the
+      // decontaminate / exact-dedup argument)
+      ("WITH d AS (SELECT doc_id, text FROM documents), " +
+        "tk0 AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM d), " +
+        "planted AS (SELECT a.doc_id + 30000 AS doc_id, array_to_string(a.tk[1:20] || b.tk[1:20], ' ') AS text FROM tk0 a JOIN tk0 b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 7 = 0), " +
+        "corpus AS (SELECT doc_id, text FROM d UNION ALL SELECT doc_id, text FROM planted), " +
+        "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM corpus), " +
+        "grams AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 14), i -> {'pos': i, 'g': array_to_string(tk[i:i+14], ' ')})) AS pg FROM toks WHERE len(tk) >= 15), " +
+        "g2 AS (SELECT doc_id, pg.pos AS pos, pg.g AS g FROM grams), " +
+        "dup AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM g2) GROUP BY g HAVING count(*) >= 2), " +
+        "hits AS (SELECT doc_id, pos FROM g2 JOIN dup USING (g)), " +
+        "lagd AS (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM hits), " +
+        "isl AS (SELECT doc_id, pos, sum(CASE WHEN prev IS NULL OR pos - prev > 15 THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM lagd) " +
+        "SELECT doc_id, min(pos) AS start_tok, max(pos) + 14 AS end_tok, max(pos) + 15 - min(pos) AS dup_tokens " +
+        "FROM isl GROUP BY doc_id, island ORDER BY doc_id, start_tok"),
     "q_search_bm25" ->
       ("WITH base AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM documents), " +
         "b2 AS (SELECT doc_id, len(tk)::DOUBLE AS dl, tk FROM base), " +

@@ -610,6 +610,65 @@ object Dedup {
     out
   }
 
+  /** Substring-level exact dedup — the public Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" ExactSubstr method,
+    * restated as sorted k-gram fingerprints instead of a suffix array:
+    * find maximal token spans of length ≥ k that recur across documents.
+    * This catches cross-document repeated SPANS (boilerplate, licenses,
+    * quoted passages) that document-pair methods miss — two documents can
+    * sit far below any Jaccard threshold yet share a long verbatim run.
+    *
+    * Pipeline: tokenize → positional k-gram 64-bit fingerprints (one row
+    * per token position) → document frequency per fingerprint → keep
+    * fingerprints seen in ≥ `minDocs` distinct docs → merge each doc's
+    * surviving positions into maximal spans (gaps-and-islands window per
+    * doc). Output: `(doc_id, start_tok, end_tok, dup_tokens)`, token
+    * positions 1-based inclusive.
+    *
+    * 100 TB shape: everything that shuffles is an 8-byte fingerprint +
+    * id + position — never text; the frequency pass is two map-side
+    * partial hash aggregates ((g, doc) then g, the vocabBuild shape);
+    * the island merge windows per-document, never globally. Like the
+    * minhash `signatureTable`, a production corpus stores the positional
+    * fingerprint table once and re-derives spans per policy change; here
+    * both derivations re-scan the text (two columnar scans of one
+    * column), the same trade `Curate` makes over caching the corpus. */
+  def substringSpans(
+      docs: DataFrame,
+      k: Int = 15,
+      minDocs: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) >= k)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("tk")) - lit(k - 1)),
+        i => struct(i.cast("long").as("pos"),
+          xxhash64(concat_ws(" ", slice(col("tk"), i, lit(k)))).as("g")))).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+    // fingerprints recurring across ≥ minDocs docs; (g, doc) pre-reduce
+    // keeps the count-distinct out of the plan (no Expand)
+    val dupGrams = grams.select("g", "doc_id").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= minDocs).select("g")
+    val hits = grams.join(dupGrams, "g").select("doc_id", "pos")
+    // gaps-and-islands: positions p, p' (p < p') merge when p' - p <= k —
+    // their k-token windows overlap or touch, forming one duplicated run
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val islands = hits
+      .withColumn("prev", lag("pos", 1).over(byDoc))
+      .withColumn("brk", when(col("prev").isNull || col("pos") - col("prev") > k, 1).otherwise(0))
+      .withColumn("island", sum("brk").over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy("doc_id", "island")
+      .agg(
+        min("pos").as("start_tok"),
+        (max(col("pos")) + lit(k - 1)).cast("long").as("end_tok"),
+        (max(col("pos")) + lit(k) - min(col("pos"))).cast("long").as("dup_tokens"))
+      .drop("island")
+  }
+
   /** Embedding-cosine near-duplicates: random-hyperplane LSH signature →
     * bucket join → exact cosine verify inside buckets. The hyperplanes
     * are pseudo-random but deterministic (hashed from (plane, dim)), so

@@ -76,6 +76,40 @@ class OpsSpec extends SparkSpec {
       s"onlyLsh=${(lsh -- ex).take(5)} onlyExhaustive=${(ex -- lsh).take(5)}")
   }
 
+  test("substring dedup finds cross-document spans that whole-doc jaccard misses") {
+    import spark.implicits._
+    // A: 30 unique tokens; B: 10 own + A's tokens 11..20 + 10 own —
+    // shares a verbatim 10-token run with A at positions 11..20 of BOTH
+    val aToks = (1 to 30).map(i => s"a$i")
+    val bToks = (1 to 10).map(i => s"b$i") ++ aToks.slice(10, 20) ++ (1 to 10).map(i => s"c$i")
+    // D: two 8-token runs of A (positions 1..8 and 21..28) separated by
+    // 12 unrelated tokens — must come out as TWO spans, not one
+    val dToks = aToks.slice(0, 8) ++ (1 to 12).map(i => s"d$i") ++ aToks.slice(20, 28)
+    val fx = Seq(
+      (1L, aToks.mkString(" ")),
+      (2L, bToks.mkString(" ")),
+      (3L, dToks.mkString(" "))).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(fx, k = 5)
+      .orderBy("doc_id", "start_tok")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // A: 11..20 shared with B; 1..8 and 21..28 shared with D — the
+    // [1,8] and [11,20] islands are 3 apart (< k=5)… positions 9,10 are
+    // not duplicated but the k-gram WINDOWS [6..10],[7..11] etc. only
+    // fire where all 5 tokens match, so A's hits are at 1..4 (span
+    // [1,8]), 11..16 (span [11,20]), 21..24 (span [21,28]).
+    // gap 11-4=7 > 5 and 21-16=5 <= 5: the last two merge? No —
+    // hit 16 covers [16,20], hit 21 covers [21,25]: touching runs, and
+    // the operator merges touching runs by design (pos'-pos == k).
+    assert(spans.filter(_._1 == 1L).toSeq === Seq((1L, 1L, 8L, 8L), (1L, 11L, 28L, 18L)))
+    assert(spans.filter(_._1 == 2L).toSeq === Seq((2L, 11L, 20L, 10L)))
+    assert(spans.filter(_._1 == 3L).toSeq === Seq((3L, 1L, 8L, 8L), (3L, 21L, 28L, 8L)))
+    // …and the A-B pair is invisible to whole-document similarity at the
+    // usual threshold: 8 shared 3-gram shingles of 48 → jaccard ≈ 0.17
+    val mh = Dedup.ngramJaccard(fx, threshold = 0.5, w = 3)
+    assert(mh.where((col("id_a") === 1L && col("id_b") === 2L) ||
+      (col("id_a") === 2L && col("id_b") === 1L)).count() === 0L)
+  }
+
   test("knn cosine: scaled copy of the query vector ranks first") {
     val q = emb.where(col("vec_id") === 7).head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
     val top = Similarity.knnForVector(emb, q, 3).collect()
