@@ -147,6 +147,18 @@ object SparkEntry {
       regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
   }
 
+  // the corpus BPE merge table, trained once per data dir (the model is
+  // N small driver rows, like k-means centroids; training reads only the
+  // distinct-word table) — q_bpe_train/q_bpe_encode share it
+  private val bpeModels = scala.collection.concurrent.TrieMap.empty[String, (SparkSession, Seq[graft.ops.Bpe.Merge])]
+  private def bpeMerges(s: SparkSession, dir: String): Seq[graft.ops.Bpe.Merge] = {
+    def build(): (SparkSession, Seq[graft.ops.Bpe.Merge]) =
+      (s, graft.ops.Bpe.train(t(s, dir, "documents"), nMerges = 30))
+    val e = bpeModels.getOrElseUpdate(dir, build())
+    if (e._1 eq s) e._2
+    else { bpeModels.remove(dir, e); bpeModels.getOrElseUpdate(dir, build())._2 }
+  }
+
   /** documents ∪ composite docs (id+30000) built from the first 20
     * tokens of doc d and the first 20 of doc d+1 (every 7th d) — the
     * planted fixture for SUBSTRING dedup: each composite shares a long
@@ -622,6 +634,29 @@ object SparkEntry {
       // exact-Jaccard oracle
       Dedup.ngramJaccard(docsWithNearDups(s, dir), threshold = 0.5, maxDocFreq = 1000)
         .orderBy("id_a", "id_b")),
+    "q_bpe_train" -> ((s, dir) => {
+      // the learned merge table itself — deterministic (count DESC,
+      // left, right tie-break), replayed end-to-end by the oracle's
+      // training chain
+      import s.implicits._
+      bpeMerges(s, dir).toDF()
+        .select(col("rank").cast("bigint").as("rank"),
+          col("left").as("left_sym"), col("right").as("right_sym"))
+        .orderBy("rank")
+    }),
+    "q_bpe_encode" -> ((s, dir) => {
+      // encode-as-a-column: a fold of 30 codegen'd string replaces over
+      // the pipe-wrapped word (each one greedy merge pass), no UDF
+      val merges = bpeMerges(s, dir)
+      val enc = graft.ops.Bpe.applyMerges(graft.ops.Bpe.wrapSymbols(col("word")), merges)
+      graft.ops.Bpe.wordCounts(t(s, dir, "documents"))
+        .orderBy(col("freq").desc, col("word")).limit(300)
+        .select(col("word"), enc.as("__enc"))
+        .select(col("word"),
+          size(graft.ops.Bpe.symbolsOf(col("__enc"))).cast("bigint").as("n_subtokens"),
+          array_join(graft.ops.Bpe.symbolsOf(col("__enc")), " ").as("encoded"))
+        .orderBy("word")
+    }),
     "q_dedup_substring" -> ((s, dir) =>
       // Lee et al. exact-substring dedup: maximal ≥15-token spans
       // recurring across documents, over the planted-span fixture the
@@ -965,6 +1000,36 @@ object SparkEntry {
   /** DuckDB oracles. Keys absent here (approximate / hash-seeded /
     * lifecycle operators) fall back to the driver's rows-only check and
     * are covered by ScalaTest instead. */
+  /** The BPE training chain as generated DuckDB CTEs: w0 = distinct-word
+    * frequencies with pipe-wrapped symbols; per rank i, b{i} = argmax
+    * pair (count DESC, a, b) and w{i} = one greedy merge pass via
+    * replace-all on the wrapped form (exactly the Spark semantics —
+    * matches can only align on whole symbols and never share
+    * characters). MATERIALIZED is load-bearing: w{i} is referenced by
+    * both b{i+1} and w{i+1}, so inlining would blow up 2^N. */
+  private val bpeNMerges = 30
+  private def bpeChain: String = {
+    val parts = scala.collection.mutable.ArrayBuffer(
+      "w0 AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq, regexp_replace(word, '(.)', '|\\1|', 'g') AS s " +
+        "FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS word FROM documents) GROUP BY word)")
+    (1 to bpeNMerges).foreach { i =>
+      parts += (s"b$i AS MATERIALIZED (SELECT pr.a AS a, pr.b AS b FROM " +
+        "(SELECT freq, unnest(list_transform(generate_series(1, len(sy) - 1), j -> {'a': sy[j], 'b': sy[j+1]})) AS pr " +
+        s"FROM (SELECT freq, string_split(trim(s, '|'), '||') AS sy FROM w${i - 1})) GROUP BY pr.a, pr.b ORDER BY sum(freq) DESC, pr.a, pr.b LIMIT 1)")
+      parts += (s"w$i AS MATERIALIZED (SELECT word, freq, replace(s, coalesce((SELECT '|'||a||'||'||b||'|' FROM b$i), '~'), " +
+        s"coalesce((SELECT '|'||a||b||'|' FROM b$i), '~')) AS s FROM w${i - 1})")
+    }
+    "WITH " + parts.mkString(", ")
+  }
+  private def bpeTrainOracle: String =
+    bpeChain + ", m AS (" +
+      (1 to bpeNMerges).map(i => s"SELECT $i AS rank, a AS left_sym, b AS right_sym FROM b$i").mkString(" UNION ALL ") +
+      ") SELECT rank::BIGINT AS rank, left_sym, right_sym FROM m ORDER BY rank"
+  private def bpeEncodeOracle: String =
+    bpeChain + s", top AS (SELECT word, s FROM w$bpeNMerges ORDER BY freq DESC, word LIMIT 300) " +
+      "SELECT word, len(string_split(trim(s, '|'), '||'))::BIGINT AS n_subtokens, " +
+      "array_to_string(string_split(trim(s, '|'), '||'), ' ') AS encoded FROM top ORDER BY word"
+
   def oracleSql: Map[String, String] = Map(
     "q_append_scan" ->
       "SELECT row_number() OVER (ORDER BY event_id) - 1 AS seq, user_id, event_type, value, props FROM events ORDER BY seq",
@@ -1092,6 +1157,8 @@ object SparkEntry {
         "SELECT id_a, id_b, round(inter::DOUBLE / (ca.n + cb.n - inter), 4) AS jaccard " +
         "FROM pairs JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b " +
         "WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.5 ORDER BY id_a, id_b"),
+    "q_bpe_train" -> bpeTrainOracle,
+    "q_bpe_encode" -> bpeEncodeOracle,
     "q_dedup_substring" ->
       // string k-grams in the oracle vs 64-bit hashed k-grams in Spark:
       // identical span output modulo 2^-64 fingerprint collisions (the
