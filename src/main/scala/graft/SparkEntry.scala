@@ -834,6 +834,14 @@ object SparkEntry {
           col("meta.height").cast("bigint").as("h"),
           length(col("content")).cast("bigint").as("n_bytes"), md5(col("content")).as("content_md5"))
         .orderBy("media_id")),
+    "q_image_decode" -> ((s, dir) =>
+      // the REAL codec path end-to-end: deterministic gray PNGs are
+      // encoded with the JDK writer, decoded back with javax.imageio in
+      // the partition-batched shape, and the oracle recomputes the exact
+      // integer pixel stats from the generator formula — it verifies a
+      // true encode→decode round trip without ever touching the bytes
+      Multimodal.imageStats(Multimodal.syntheticPngMedia(t(s, dir, "documents")))
+        .orderBy("media_id")),
     "q_frame_sample" -> ((s, dir) =>
       // fully oracle-backed: the fixture text is ASCII, so byte-chunking
       // the binary payload == char-chunking the text in DuckDB, and md5
@@ -1296,6 +1304,11 @@ object SparkEntry {
     "q_multimodal_features" ->
       ("SELECT doc_id AS media_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality, " +
         "octet_length(encode(text))::BIGINT AS n_bytes FROM documents ORDER BY media_id"),
+    "q_image_decode" ->
+      ("WITH ids AS (SELECT doc_id AS media_id, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h FROM documents WHERE doc_id % 3 = 0) " +
+        "SELECT media_id, w::BIGINT AS width, h::BIGINT AS height, (w * h)::BIGINT AS n_pixels, " +
+        "list_sum(flatten(list_transform(generate_series(0, h - 1), yy -> list_transform(generate_series(0, w - 1), xx -> (media_id * 31 + 7 * xx + 13 * yy) % 256))))::BIGINT AS sum_lum " +
+        "FROM ids ORDER BY media_id"),
     "q_frame_sample" ->
       ("WITH v AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2), " +
         "f AS (SELECT media_id, unnest(generate_series(0, greatest(length(text) // 1024 - 1, 0))) AS frame_idx, text FROM v) " +

@@ -402,6 +402,25 @@ class OpsSpec extends SparkSpec {
     assert(frames.columns.toSet === Set("media_id", "frame_idx", "frame_bytes", "frame_md5"))
   }
 
+  test("real PNG decode: round trip recovers exact pixels; features come from pixels") {
+    val media = Multimodal.syntheticPngMedia(docs)
+    // id=0: 16x16, pixel(x,y) = (7x + 13y) % 256 — exact integer stats
+    val s0 = Multimodal.imageStats(media).where(col("media_id") === 0L).head()
+    val expectedSum = (for { y <- 0 until 16; x <- 0 until 16 } yield (7 * x + 13 * y) % 256).sum.toLong
+    assert(s0.getLong(1) === 16L && s0.getLong(2) === 16L && s0.getLong(3) === 256L)
+    assert(s0.getLong(4) === expectedSum)
+    // the feature extractor routes decodable bytes to the REAL pixel
+    // path: band 0 of id=0 = mean of rows y=0..3 over 255
+    val f0 = Multimodal.extractFeatures(media, dim = 4)
+      .where(col("media_id") === 0L).head().getAs[scala.collection.Seq[Float]]("features")
+    val band0 = (for { y <- 0 until 4; x <- 0 until 16 } yield (7 * x + 13 * y) % 256).sum
+    assert(math.abs(f0(0) - band0.toDouble / (64 * 255.0)) < 1e-6)
+    // …while non-decodable payloads keep the stub (features in [0,1) by
+    // a different construction; just check the stub didn't crash/change shape)
+    val stub = Multimodal.extractFeatures(Multimodal.syntheticMedia(docs), dim = 4)
+    assert(stub.count() === docs.count())
+  }
+
   test("multimodal resize: exact target length, meta rewritten, up/downsample both defined") {
     import spark.implicits._
     val media = Multimodal.syntheticMedia(docs)
