@@ -280,12 +280,40 @@ final class ParquetLog(
     }
   }
 
-  /** Cluster-scale live tail: the parquet file streaming source. Offsets
-    * are file-granular (coarser than the seq-offset custom source), but
-    * view absorption is idempotent per batch — a durable view overwrites
-    * its `batch=<upto>` delta on replay — so recovery stays exactly-once
-    * in effect. */
+  /** Bucket size when the log is range-bucketed, for the streaming
+    * source's plan-time directory pruning. */
+  private[graft] def bucketSizeOpt: Option[Long] = if (bucketed) Some(bucketSize) else None
+
+  /** Record-granular live tail: the seq-offset DSv2 source. Offsets ARE
+    * seqs — each micro-batch is exactly the (start, end] interval of the
+    * log, planned as partitioned parquet readers per overlapping file
+    * (bucket-directory pruning on a bucketed layout, footer min/max
+    * skipping otherwise; no driver collect — see
+    * [[graft.streaming.ParquetLogMicroBatchStream]]). This is the
+    * reference build loop's `{gt: upto, live: true}` at record precision
+    * on the durable log. Nested payload types fall back to the
+    * file-granular [[readStreamFiles]] source, which delivers the same
+    * rows at coarser offset granularity. */
   override def readStream: DataFrame = {
+    val flat = scala.util.Try(
+      graft.streaming.ParquetSliceReader.requireSupported(fullSchema)).isSuccess
+    if (!flat) readStreamFiles
+    else {
+      val d = new java.io.File(dir)
+      if (!d.exists()) d.mkdirs()
+      ParquetLog.markLiveTail(dir)
+      val id = graft.streaming.LogStreamRegistry.register(this)
+      spark.readStream.format("graft.streaming.LogStreamProvider")
+        .option("logId", id).load()
+    }
+  }
+
+  /** File streaming source over the log directory — the fallback live
+    * tail for payload schemas the slice reader does not decode (nested
+    * types). Offsets are file-granular, but view absorption is
+    * idempotent per batch — a durable view overwrites its `batch=<upto>`
+    * delta on replay — so recovery stays exactly-once in effect. */
+  def readStreamFiles: DataFrame = {
     val d = new java.io.File(dir)
     if (!d.exists()) d.mkdirs()
     ParquetLog.markLiveTail(dir)

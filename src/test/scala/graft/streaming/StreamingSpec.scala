@@ -46,6 +46,73 @@ class StreamingSpec extends SparkSpec {
     assert(stream.deserializeOffset("7") === SeqOffset(7L))
   }
 
+  test("durable log live tail is record-granular: seq offsets, post-start appends visible") {
+    val logDir = java.nio.file.Files.createTempDirectory("graft-ptail").toString
+    val plog = new ParquetLog(spark, logDir, schema)
+    plog.appendRows(Seq(Row(10L), Row(20L)))
+    val q = plog.readStream.writeStream
+      .format("memory").queryName("ptail_test").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT seq FROM ptail_test ORDER BY seq").collect().map(_.getLong(0)).toSeq
+        === Seq(0L, 1L))
+      // offsets ARE seqs — the stream's end offset is the log cursor, not
+      // a file index (record-granular checkpoint recovery)
+      assert(q.lastProgress.sources(0).endOffset === "1")
+      plog.appendRows(Seq(Row(30L))) // append AFTER the stream started
+      q.processAllAvailable()
+      assert(spark.sql("SELECT seq, foo FROM ptail_test ORDER BY seq").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        === Seq((0L, 10L), (1L, 20L), (2L, 30L)))
+      assert(q.lastProgress.sources(0).endOffset === "2")
+    } finally q.stop()
+  }
+
+  test("durable live tail plans partitioned file readers with bucket pruning, no collect") {
+    val logDir = java.nio.file.Files.createTempDirectory("graft-pplan").toString
+    val plog = new ParquetLog(spark, logDir, schema, bucketSize = 10L)
+    plog.appendRows((1L to 25L).map(Row(_)))  // seqs 0..24 → buckets 0, 1, 2
+    val stream = new ParquetLogMicroBatchStream(
+      LogStreamRegistry.register(plog), plog, plog.read.schema)
+    assert(stream.latestOffset() === SeqOffset(24L))
+    // batch (14, 24]: bucket 0 (seqs 0-9) must be pruned at plan time
+    val parts = stream.planInputPartitions(SeqOffset(14L), SeqOffset(24L))
+    assert(parts.nonEmpty)
+    assert(parts.forall(_.isInstanceOf[ParquetSlicePartition]),
+      "partitions must be file slices, not collected rows")
+    val files = parts.map(_.asInstanceOf[ParquetSlicePartition].file)
+    assert(files.forall(f => f.contains("seq_bucket=1") || f.contains("seq_bucket=2")),
+      s"bucket 0 must be pruned from the plan, got:\n${files.mkString("\n")}")
+    // readers deliver exactly the slice (start, end], in executor tasks
+    val ranges = parts.map(_.asInstanceOf[ParquetSlicePartition])
+    assert(ranges.forall(p => p.gt == 14L && p.lte == 24L))
+    // empty interval plans nothing
+    assert(stream.planInputPartitions(SeqOffset(24L), SeqOffset(24L)).isEmpty)
+  }
+
+  test("slice reader round-trips primitive payload types including timestamps") {
+    val logDir = java.nio.file.Files.createTempDirectory("graft-ptypes").toString
+    val tySchema = StructType(Seq(
+      StructField("s", StringType), StructField("d", DoubleType),
+      StructField("i", IntegerType), StructField("ts", TimestampType),
+      StructField("b", BinaryType), StructField("fl", BooleanType)))
+    val plog = new ParquetLog(spark, logDir, tySchema)
+    val t0 = java.sql.Timestamp.valueOf("2024-05-06 07:08:09.123456")
+    plog.appendRows(Seq(Row("hey", 1.5, 7, t0, Array[Byte](1, 2, 3), true), Row(null, null, null, null, null, null)))
+    val q = plog.readStream.writeStream
+      .format("memory").queryName("ptypes_test").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM ptypes_test ORDER BY seq").collect()
+      assert(rows.length === 2)
+      assert(rows(0).getString(1) === "hey" && rows(0).getDouble(2) === 1.5 && rows(0).getInt(3) === 7)
+      assert(rows(0).getTimestamp(4) === t0)
+      assert(rows(0).getAs[Array[Byte]](5).toSeq === Seq[Byte](1, 2, 3))
+      assert(rows(0).getBoolean(6) === true)
+      assert((1 to 6).forall(rows(1).isNullAt))
+    } finally q.stop()
+  }
+
   test("streaming view maintenance reaches parity incrementally") {
     val log = new MemoryLog(spark, schema)
     log.appendRows(Seq(Row(1L)))
