@@ -640,6 +640,10 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Both derivations (doc-frequency and position hits) consume the
+    // positional gram table; persist it so the corpus text is tokenized
+    // and gram-hashed ONCE (the minhashLsh persist-and-release pattern —
+    // at 100 TB this table is the stored artifact, like signatureTable).
     val grams = docs
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("tk"))
       .where(size(col("tk")) >= k)
@@ -648,6 +652,7 @@ object Dedup {
         i => struct(i.cast("long").as("pos"),
           xxhash64(concat_ws(" ", slice(col("tk"), i, lit(k)))).as("g")))).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+      .persist()
     // fingerprints recurring across ≥ minDocs docs; (g, doc) pre-reduce
     // keeps the count-distinct out of the plan (no Expand)
     val dupGrams = grams.select("g", "doc_id").distinct()
@@ -661,12 +666,16 @@ object Dedup {
       .withColumn("prev", lag("pos", 1).over(byDoc))
       .withColumn("brk", when(col("prev").isNull || col("pos") - col("prev") > k, 1).otherwise(0))
       .withColumn("island", sum("brk").over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    islands.groupBy("doc_id", "island")
+    val spans = islands.groupBy("doc_id", "island")
       .agg(
         min("pos").as("start_tok"),
         (max(col("pos")) + lit(k - 1)).cast("long").as("end_tok"),
         (max(col("pos")) + lit(k) - min(col("pos"))).cast("long").as("dup_tokens"))
       .drop("island")
+    // eager span table, then release the cached gram postings
+    val out = spans.localCheckpoint(true)
+    grams.unpersist(blocking = false)
+    out
   }
 
   /** Embedding-cosine near-duplicates: random-hyperplane LSH signature →
