@@ -657,6 +657,20 @@ object SparkEntry {
           array_join(graft.ops.Bpe.symbolsOf(col("__enc")), " ").as("encoded"))
         .orderBy("word")
     }),
+    "q_bpe_doc_tokens" -> ((s, dir) => {
+      // encode as a COLUMN over the whole corpus: the 30-replace encoding
+      // fold runs once per DISTINCT word, and the exploded corpus meets
+      // it in a broadcast join — tokens are never re-encoded per
+      // occurrence (at 100 TB: encode the vocab, join the corpus)
+      val merges = bpeMerges(s, dir)
+      val docs = t(s, dir, "documents")
+      val vocab = graft.ops.Bpe.wordCounts(docs).select(col("word"),
+        size(graft.ops.Bpe.encodeWord(col("word"), merges)).cast("bigint").as("n_sub"))
+      docs.select(col("doc_id"), explode(graft.ops.TextAnalysis.tokens(col("text"))).as("word"))
+        .join(broadcast(vocab), "word")
+        .groupBy("doc_id").agg(sum("n_sub").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
     "q_dedup_substring" -> ((s, dir) =>
       // Lee et al. exact-substring dedup: maximal ≥15-token spans
       // recurring across documents, over the planted-span fixture the
@@ -1037,6 +1051,10 @@ object SparkEntry {
     bpeChain + s", top AS (SELECT word, s FROM w$bpeNMerges ORDER BY freq DESC, word LIMIT 300) " +
       "SELECT word, len(string_split(trim(s, '|'), '||'))::BIGINT AS n_subtokens, " +
       "array_to_string(string_split(trim(s, '|'), '||'), ' ') AS encoded FROM top ORDER BY word"
+  private def bpeDocTokensOracle: String =
+    bpeChain + s", vocab AS (SELECT word, len(string_split(trim(s, '|'), '||'))::BIGINT AS n_sub FROM w$bpeNMerges), " +
+      "tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS word FROM documents) " +
+      "SELECT doc_id, sum(n_sub)::BIGINT AS n_bpe_tokens FROM tok JOIN vocab USING (word) GROUP BY doc_id ORDER BY doc_id"
 
   def oracleSql: Map[String, String] = Map(
     "q_append_scan" ->
@@ -1167,6 +1185,7 @@ object SparkEntry {
         "WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.5 ORDER BY id_a, id_b"),
     "q_bpe_train" -> bpeTrainOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
+    "q_bpe_doc_tokens" -> bpeDocTokensOracle,
     "q_dedup_substring" ->
       // string k-grams in the oracle vs 64-bit hashed k-grams in Spark:
       // identical span output modulo 2^-64 fingerprint collisions (the

@@ -140,6 +140,14 @@ class PlanSpec extends SparkSpec {
       s"scan must prune to the two used columns:\n${s.take(2000)}")
   }
 
+  test("bpe corpus encode runs the fold per distinct word and broadcasts it to the corpus") {
+    val s = planString(run("q_bpe_doc_tokens"))
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      s"vocab side must broadcast, not shuffle the corpus:\n${s.take(3000)}")
+    assert(s.contains("partial_"), s"expected map-side partial aggregation:\n${s.take(2000)}")
+    assert(!s.contains("UDF"), s"encode must be codegen'd string replaces, no UDF:\n${s.take(2000)}")
+  }
+
   test("ann lsh serves signatures from the stored column — no corpus recompute, no UDF") {
     val s = planString(run("q_ann_lsh"))
     // the 8-byte sig column is READ off parquet (filter-then-refine input)…
