@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property checks for the round-6 pipeline operators against obvious
+  * driver-side reference computations on arbitrary small corpora drawn
+  * from a tiny alphabet (to force gram/pair collisions on purpose). */
+object PipelineProperties extends Properties("Pipeline") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5).withMaxDiscardRatio(10)
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  // ---- substring spans ----
+
+  private val tokGen = Gen.oneOf("x", "y", "z", "w")
+  private val docGen = Gen.resize(30, Gen.nonEmptyListOf(tokGen)).map(_.mkString(" "))
+  private val corpusGen = Gen.resize(6, Gen.nonEmptyListOf(docGen))
+    .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  /** Reference: string k-grams with positions, doc frequency, hit
+    * positions, left-to-right island merge. */
+  private def refSpans(corpus: List[(Long, String)], k: Int): Set[(Long, Long, Long, Long)] = {
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toList }
+    val grams = toks.flatMap { case (id, tk) =>
+      if (tk.length < k) Nil
+      else (0 to tk.length - k).map(i => (id, i + 1L, tk.slice(i, i + k).mkString(" ")))
+    }
+    val dup = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    grams.filter(g => dup(g._3)).groupBy(_._1).flatMap { case (id, hs) =>
+      val ps = hs.map(_._2).distinct.sorted
+      // islands: break when gap > k
+      val islands = ps.foldLeft(List.empty[List[Long]]) {
+        case (Nil, p) => List(List(p))
+        case (cur :: done, p) =>
+          if (p - cur.head <= k) (p :: cur) :: done else List(p) :: (cur :: done)
+      }
+      islands.map { isl =>
+        val lo = isl.min; val hi = isl.max
+        (id, lo, hi + k - 1, hi + k - lo)
+      }
+    }.toSet
+  }
+
+  property("substringSpans matches the reference on arbitrary corpora") =
+    forAll(corpusGen, Gen.chooseNum(2, 4)) { (corpus, k) =>
+      val got = Dedup.substringSpans(corpus.toDF("doc_id", "text"), k = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      got == refSpans(corpus, k)
+    }
+
+  // ---- BPE ----
+
+  private val wordGen = Gen.resize(8, Gen.nonEmptyListOf(Gen.oneOf('a', 'b'))).map(_.mkString)
+  private val wcGen = Gen.resize(8, Gen.nonEmptyListOf(Gen.zip(wordGen, Gen.chooseNum(1L, 9L))))
+    .map(_.distinctBy(_._1).toArray)
+
+  property("bpe encode round-trips and merges are well-formed") =
+    forAll(wcGen, Gen.chooseNum(1, 6)) { (wf, n) =>
+      val merges = Bpe.trainDriver(wf, n)
+      // ranks contiguous from 1; each merge's symbols only reference
+      // chars or earlier merges (the invariant encode-in-rank-order needs)
+      val ok = merges.zipWithIndex.forall { case (m, i) =>
+        m.rank == i + 1 && {
+          val known = Set("a", "b") ++ merges.take(i).map(m2 => m2.left + m2.right)
+          known(m.left) && known(m.right)
+        }
+      }
+      val enc = wf.map(_._1).toSeq.toDF("word")
+        .select(org.apache.spark.sql.functions.array_join(
+          Bpe.encodeWord(org.apache.spark.sql.functions.col("word"), merges), "").as("glued"),
+          org.apache.spark.sql.functions.col("word"))
+        .collect().forall(r => r.getString(0) == r.getString(1))
+      ok && enc
+    }
+}
