@@ -440,6 +440,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_v"))
         .select(unix_millis(col("w.start")).as("hour_ms"), col("cnt"), col("sum_v"))
         .orderBy("hour_ms")),
+    "q_sliding_count" -> ((s, dir) =>
+      // sliding windows (1h length, 30min slide): each event lands in
+      // exactly two epoch-aligned windows — completes the event-time
+      // window family next to tumbling and session
+      t(s, dir, "events")
+        .groupBy(window(tsCol, "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_v"))
+        .select(unix_millis(col("w.start")).as("start_ms"), col("cnt"), col("sum_v"))
+        .orderBy("start_ms")),
     "q_session_window" -> ((s, dir) =>
       t(s, dir, "events")
         .withColumn("ts2", expr("timestamp_millis(ts div 1000000)"))
@@ -1107,6 +1116,11 @@ object SparkEntry {
       "SELECT user_id, rnk, seq, value FROM (SELECT user_id, event_id AS seq, value, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk FROM events) WHERE rnk <= 3 ORDER BY user_id, rnk",
     "q_tumbling_count" ->
       "SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, count(*) AS cnt, round(sum(value), 4) AS sum_v FROM events GROUP BY hour_ms ORDER BY hour_ms",
+    "q_sliding_count" ->
+      ("WITH e AS (SELECT epoch_ms(ts) AS ms, value FROM events), " +
+        "w AS (SELECT ms - (ms % 1800000) AS w0, value FROM e), " +
+        "x AS (SELECT w0 AS start_ms, value FROM w UNION ALL SELECT w0 - 1800000 AS start_ms, value FROM w) " +
+        "SELECT start_ms, count(*) AS cnt, round(sum(value), 4) AS sum_v FROM x GROUP BY start_ms ORDER BY start_ms"),
     "q_session_window" ->
       "WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events), s AS (SELECT user_id, ms, CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) >= 600000 THEN 1 ELSE 0 END AS new_s FROM e), g AS (SELECT user_id, ms, sum(new_s) OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid FROM s) SELECT user_id, min(ms) AS start_ms, count(*) AS cnt FROM g GROUP BY user_id, sid ORDER BY user_id, start_ms",
     "q_rollup" ->
