@@ -165,21 +165,35 @@ class ParquetLogMicroBatchStream(
     if (fs == null) Seq.empty
     else fs.toSeq.flatMap {
       case d if d.isDirectory =>
+        val name = d.getName
+        // a concurrent append's in-flight commit dir must never be
+        // planned (its files are incomplete; their seqs are beyond this
+        // batch's end anyway)
+        if (name.startsWith("_") || name.startsWith(".")) Seq.empty
         // bucketed layout: prune whole seq_bucket=N directories that
         // cannot intersect (start, end] — plan-time partition pruning
-        val name = d.getName
-        if (name.startsWith("seq_bucket=") && log.bucketSizeOpt.exists(_ > 0)) {
+        else if (name.startsWith("seq_bucket=") && log.bucketSizeOpt.exists(_ > 0)) {
           val b = name.stripPrefix("seq_bucket=").toLong
           val bs = log.bucketSizeOpt.get
           if (b >= lower / bs && b <= upper / bs) listParquet(d, lower, upper) else Seq.empty
         } else listParquet(d, lower, upper)
-      case p if p.getName.endsWith(".parquet") => Seq(p)
+      case p if p.getName.endsWith(".parquet") &&
+        !p.getName.startsWith(".") && !p.getName.startsWith("_") => Seq(p)
       case _ => Seq.empty
     }
   }
 
-  private def bounds(path: String): (Long, Long) =
-    footerBounds.getOrElseUpdate(path, ParquetSliceReader.seqBounds(path, log.seqCol))
+  /** Footer bounds, or None while a footer is unreadable (a file still
+    * being committed by a concurrent append — its seqs are beyond this
+    * batch's `end` by the append protocol, so skipping it is correct;
+    * nothing is cached so the completed file is picked up next batch). */
+  private def bounds(path: String): Option[(Long, Long)] =
+    footerBounds.get(path).orElse {
+      try {
+        val b = ParquetSliceReader.seqBounds(path, log.seqCol)
+        footerBounds.put(path, b); Some(b)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val gt = start.asInstanceOf[SeqOffset].seq
@@ -187,7 +201,7 @@ class ParquetLogMicroBatchStream(
     if (lte <= gt) return Array.empty
     listParquet(new java.io.File(log.dir), gt + 1, lte)
       .map(_.getPath)
-      .filter { p => val (lo, hi) = bounds(p); hi > gt && lo <= lte }
+      .filter(p => bounds(p).exists { case (lo, hi) => hi > gt && lo <= lte })
       .sorted
       .map(p => ParquetSlicePartition(p, gt, lte): InputPartition)
       .toArray
