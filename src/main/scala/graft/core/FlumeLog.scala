@@ -76,7 +76,11 @@ trait FlumeLog {
     if (r.live) {
       if (r.reverse) throw new UnsupportedOperationException(
         "reverse is undefined on a live (unbounded) stream; use a batch scan for top-k by seq")
-      var df = readStream
+      // a lower bound becomes the stream's START OFFSET (a seek, like the
+      // reference's `stream({gt, live: true})`) — the filters below stay
+      // as defense in depth and for upper bounds
+      val startGt: Long = (r.gt ++ r.gte.map(_ - 1)).reduceOption(_ max _).getOrElse(-1L)
+      var df = if (startGt > -1L) readStreamFrom(startGt) else readStream
       r.gt.foreach(v => df = df.where(col(seqCol) > lit(v)))
       r.gte.foreach(v => df = df.where(col(seqCol) >= lit(v)))
       r.lt.foreach(v => df = df.where(col(seqCol) < lit(v)))
@@ -117,6 +121,12 @@ trait FlumeLog {
     throw new UnsupportedOperationException(
       s"${getClass.getSimpleName} has no streaming source; use ParquetLog (file source) " +
         "or MemoryLog (seq-offset source) for live tailing")
+
+  /** Live tail starting AFTER seq `gt` — the seek form of
+    * `stream({gt, live: true})`. Default falls back to the full stream
+    * (callers layer a filter); seq-offset sources override to skip the
+    * prefix at the source. */
+  def readStreamFrom(gt: Long): DataFrame = readStream
 }
 
 /** Read-only log view over an existing ordered table (e.g. the driver's
@@ -294,7 +304,9 @@ final class ParquetLog(
     * on the durable log. Nested payload types fall back to the
     * file-granular [[readStreamFiles]] source, which delivers the same
     * rows at coarser offset granularity. */
-  override def readStream: DataFrame = {
+  override def readStream: DataFrame = readStreamFrom(-1L)
+
+  override def readStreamFrom(gt: Long): DataFrame = {
     val flat = scala.util.Try(
       graft.streaming.ParquetSliceReader.requireSupported(fullSchema)).isSuccess
     if (!flat) readStreamFiles
@@ -304,7 +316,7 @@ final class ParquetLog(
       ParquetLog.markLiveTail(dir)
       val id = graft.streaming.LogStreamRegistry.register(this)
       spark.readStream.format("graft.streaming.LogStreamProvider")
-        .option("logId", id).load()
+        .option("logId", id).option("startSeq", gt.toString).load()
     }
   }
 
@@ -521,10 +533,12 @@ class MemoryLog(
   /** Seq-offset micro-batch source: offsets are seq-granular and each
     * micro-batch is planned from the driver-resident buffer — exactly the
     * right shape for an in-memory log (and only for one). */
-  override def readStream: DataFrame = {
+  override def readStream: DataFrame = readStreamFrom(-1L)
+
+  override def readStreamFrom(gt: Long): DataFrame = {
     val id = graft.streaming.LogStreamRegistry.register(this)
     spark.readStream.format("graft.streaming.LogStreamProvider")
-      .option("logId", id).load()
+      .option("logId", id).option("startSeq", gt.toString).load()
   }
 
   override def since: Long = synchronized { buf.size.toLong - 1 }

@@ -53,10 +53,12 @@ class LogStreamProvider extends TableProvider {
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new LogStreamTable(schema, properties.get("logId"))
+    new LogStreamTable(schema, properties.get("logId"),
+      Option(properties.get("startSeq")).map(_.toLong).getOrElse(-1L))
 }
 
-class LogStreamTable(schema: StructType, logId: String) extends Table with SupportsRead {
+class LogStreamTable(schema: StructType, logId: String, startSeq: Long = -1L)
+    extends Table with SupportsRead {
   override def name(): String = s"graft-log-$logId"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -68,8 +70,8 @@ class LogStreamTable(schema: StructType, logId: String) extends Table with Suppo
         override def readSchema(): StructType = schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           LogStreamRegistry.get(logId) match {
-            case p: graft.core.ParquetLog => new ParquetLogMicroBatchStream(logId, p, schema)
-            case _ => new LogMicroBatchStream(logId, schema)
+            case p: graft.core.ParquetLog => new ParquetLogMicroBatchStream(logId, p, schema, startSeq)
+            case _ => new LogMicroBatchStream(logId, schema, startSeq)
           }
         override def toBatch: Batch = new LogBatch(logId, schema, None, None)
       }
@@ -80,11 +82,15 @@ class LogStreamTable(schema: StructType, logId: String) extends Table with Suppo
   * split into `parallelism` contiguous sub-ranges. Rows are serialized to
   * UnsafeRow at plan time (local-mode logs are driver-resident; partition
   * payloads stay small because a batch is only the delta). */
-class LogMicroBatchStream(logId: String, schema: StructType) extends MicroBatchStream {
+class LogMicroBatchStream(logId: String, schema: StructType, startSeq: Long = -1L)
+    extends MicroBatchStream {
   private def log = LogStreamRegistry.get(logId)
 
   override def latestOffset(): Offset = SeqOffset(log.since)
-  override def initialOffset(): Offset = SeqOffset(-1L)
+  /** A live tail from `{gt: N}` starts AT N — a seek, not a scan+filter
+    * (`/root/reference/index.js:39`); only consulted when the query has
+    * no checkpoint yet. */
+  override def initialOffset(): Offset = SeqOffset(startSeq)
   override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -146,7 +152,8 @@ object LogBatch {
 class ParquetLogMicroBatchStream(
     logId: String,
     log: graft.core.ParquetLog,
-    schema: StructType) extends MicroBatchStream {
+    schema: StructType,
+    startSeq: Long = -1L) extends MicroBatchStream {
 
   ParquetSliceReader.requireSupported(schema)
 
@@ -155,7 +162,11 @@ class ParquetLogMicroBatchStream(
   private val footerBounds = TrieMap.empty[String, (Long, Long)]
 
   override def latestOffset(): Offset = SeqOffset(log.since)
-  override def initialOffset(): Offset = SeqOffset(-1L)
+  /** A live tail from `{gt: N}` starts AT N: the skipped prefix is never
+    * listed, never footer-read, never decoded — the seek semantics of
+    * the reference's `stream({gt, live: true})`. Only consulted when
+    * the query has no checkpoint yet. */
+  override def initialOffset(): Offset = SeqOffset(startSeq)
   override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -90,6 +90,26 @@ class StreamingSpec extends SparkSpec {
     assert(stream.planInputPartitions(SeqOffset(24L), SeqOffset(24L)).isEmpty)
   }
 
+  test("live tail with gt is a SEEK: the skipped prefix is never read by the source") {
+    val logDir = java.nio.file.Files.createTempDirectory("graft-pseek").toString
+    val plog = new ParquetLog(spark, logDir, schema)
+    plog.appendRows((1L to 50L).map(Row(_)))   // seqs 0..49
+    val live = plog.stream(LogRange(gt = Some(44L), live = true))
+    val q = live.writeStream.format("memory").queryName("pseek_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT seq FROM pseek_test ORDER BY seq").collect().map(_.getLong(0)).toSeq
+        === (45L to 49L))
+      // the source's first batch spans (44, 49] — 5 input rows, not 50:
+      // the prefix was skipped at the source, not filtered after reading
+      val p = q.recentProgress.find(_.numInputRows > 0).get
+      assert(p.numInputRows === 5, s"expected a 5-row seek batch, got ${p.numInputRows}")
+      // batch 0 reports a null startOffset; the end offset is the cursor
+      assert(p.sources(0).endOffset === "49")
+    } finally q.stop()
+  }
+
   test("slice reader round-trips primitive payload types including timestamps") {
     val logDir = java.nio.file.Files.createTempDirectory("graft-ptypes").toString
     val tySchema = StructType(Seq(
