@@ -20,7 +20,15 @@ final class StreamingViewRunner(
   private val seqCol = log.seqCol
 
   val query: StreamingQuery = {
-    val src = mapper.fold(log.readStream)(f => f(log.readStream))
+    // Start the stream AT the view's own cursor (a seek): on a fresh
+    // checkpoint the first batch is exactly (view.since, logSince] — the
+    // reference build loop's `gt: upto` (`/root/reference/index.js:39`).
+    // The view cursor is the source of truth; the checkpoint, when
+    // present, wins (initial offsets are only consulted before the first
+    // commit) and is an optimization, not a correctness requirement —
+    // losing it no longer replays the log into a durable view.
+    val base = log.readStreamFrom(view.since)
+    val src = mapper.fold(base)(f => f(base))
     var w = src.writeStream
       .trigger(Trigger.ProcessingTime(0))
       .outputMode(OutputMode.Append())

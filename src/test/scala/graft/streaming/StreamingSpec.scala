@@ -90,6 +90,34 @@ class StreamingSpec extends SparkSpec {
     assert(stream.planInputPartitions(SeqOffset(24L), SeqOffset(24L)).isEmpty)
   }
 
+  test("durable view reattaches WITHOUT a checkpoint: resumes from its own cursor, no replay") {
+    import graft.views.PersistentIndexView
+    import org.apache.spark.sql.functions.{array, col}
+    val logDir = java.nio.file.Files.createTempDirectory("graft-reat-log").toString
+    val viewDir = java.nio.file.Files.createTempDirectory("graft-reat-view").toString
+    val tagSchema = StructType(Seq(StructField("tag", StringType)))
+    val log1 = new ParquetLog(spark, logDir, tagSchema)
+    log1.appendRows(Seq(Row("a"), Row("b")))
+    val view1 = new PersistentIndexView(spark, s"$viewDir/idx", 1, array(col("tag")), "seq")
+    val r1 = new StreamingViewRunner(log1, view1) // no checkpoint at all
+    try { r1.awaitParity(); assert(view1.since === 1L) } finally r1.stop()
+
+    // reattach with a brand-new runner and STILL no checkpoint: the view
+    // manifest cursor alone must position the stream — only the delta is
+    // absorbed, nothing is re-delivered
+    val log2 = new ParquetLog(spark, logDir, tagSchema)
+    log2.appendRows(Seq(Row("a")))
+    val view2 = new PersistentIndexView(spark, s"$viewDir/idx", 1, array(col("tag")), "seq")
+    assert(view2.since === 1L)
+    val r2 = new StreamingViewRunner(log2, view2)
+    try {
+      r2.awaitParity()
+      assert(view2.since === 2L)
+      assert(view2.get("a").collect().map(_.getLong(1)).toSeq === Seq(0L, 2L),
+        "seqs for 'a' must appear exactly once each — no replay duplication")
+    } finally r2.stop()
+  }
+
   test("live tail with gt is a SEEK: the skipped prefix is never read by the source") {
     val logDir = java.nio.file.Files.createTempDirectory("graft-pseek").toString
     val plog = new ParquetLog(spark, logDir, schema)
