@@ -666,6 +666,11 @@ object SparkEntry {
           array_join(graft.ops.Bpe.symbolsOf(col("__enc")), " ").as("encoded"))
         .orderBy("word")
     }),
+    "q_chunk" -> ((s, dir) =>
+      // sliding-window chunking, 64-token windows / 16-token overlap —
+      // the RAG / context-window prep op; narrow explode, no shuffle
+      graft.ops.TextAnalysis.chunkTokens(t(s, dir, "documents"), size = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_idx")),
     "q_bpe_doc_tokens" -> ((s, dir) => {
       // encode as a COLUMN over the whole corpus: the 30-replace encoding
       // fold runs once per DISTINCT word, and the exploded corpus meets
@@ -1197,6 +1202,13 @@ object SparkEntry {
         "SELECT id_a, id_b, round(inter::DOUBLE / (ca.n + cb.n - inter), 4) AS jaccard " +
         "FROM pairs JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b " +
         "WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.5 ORDER BY id_a, id_b"),
+    "q_chunk" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM documents), " +
+        "nz AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0), " +
+        "c AS (SELECT doc_id, tk, unnest(generate_series(0, CASE WHEN n <= 64 THEN 0 ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) END)) AS chunk_idx FROM nz) " +
+        "SELECT doc_id, chunk_idx, len(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64])::BIGINT AS n_tokens, " +
+        "array_to_string(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text " +
+        "FROM c ORDER BY doc_id, chunk_idx"),
     "q_bpe_train" -> bpeTrainOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
     "q_bpe_doc_tokens" -> bpeDocTokensOracle,

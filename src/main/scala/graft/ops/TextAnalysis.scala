@@ -21,6 +21,38 @@ object TextAnalysis {
   def bpeIshTokens(text: Column): Column =
     regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
 
+  /** Sliding-window document chunking (the RAG / context-window prep
+    * shape): fixed-`size` token windows advancing by `size - overlap`,
+    * the last window shortened to the document end. One narrow
+    * explode-shaped pass — `(doc, chunk_idx)` rows with the chunk's
+    * token count and text; no shuffle, no UDF. Chunk count is
+    * `1 + ceil((n - size) / stride)` (1 for docs that fit in one
+    * window), so every token is covered and consecutive chunks share
+    * exactly `overlap` tokens. */
+  def chunkTokens(
+      docs: DataFrame,
+      size: Int = 64,
+      overlap: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(size > overlap && overlap >= 0, s"need size > overlap >= 0, got $size/$overlap")
+    val stride = size - overlap
+    val n = org.apache.spark.sql.functions.size(col("__tk"))
+    val nChunks = when(n <= lit(size), lit(1))
+      .otherwise(lit(1) + ceil((n - lit(size)).cast("double") / stride).cast("int"))
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__tk"))
+      .where(org.apache.spark.sql.functions.size(col("__tk")) > 0)
+      .select(col("doc_id"), col("__tk"), explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("bigint").as("chunk_idx"),
+        slice(col("__tk"), col("chunk_idx") * stride + 1, lit(size)).as("__c"))
+      .select(col("doc_id"), col("chunk_idx"),
+        org.apache.spark.sql.functions.size(col("__c")).cast("bigint").as("n_tokens"),
+        concat_ws(" ", col("__c")).as("chunk_text"))
+  }
+
   /** Per-document statistics frame: char/token counts, average token
     * length, punctuation + whitespace ratios. */
   def textStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -5,6 +5,24 @@ import graft.SparkSpec
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("chunkTokens: full coverage, exact overlap, short docs in one chunk") {
+    // 10 tokens, size 4, overlap 1 (stride 3): chunks at 1,4,7,10 —
+    // nChunks = 1 + ceil((10-4)/3) = 3 → starts 1,4,7; last covers to 10
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.chunkTokens(docs, size = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    assert(r.filter(_._1 == 1L).toSeq === Seq(
+      (1L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 4L, "t7 t8 t9 t10")))
+    assert(r.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 2L, "a b"))) // fits one window
+    assert(!r.exists(_._1 == 3L), "empty docs emit no chunks")
+    // consecutive chunks share exactly `overlap` tokens; union covers all
+    val toks = r.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
+    assert(toks === (1 to 10).map(i => s"t$i").toSet)
+  }
+
   test("repetition flags duplicated lines and bigrams") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),            // all distinct
