@@ -666,6 +666,15 @@ object SparkEntry {
           array_join(graft.ops.Bpe.symbolsOf(col("__enc")), " ").as("encoded"))
         .orderBy("word")
     }),
+    "q_budget_select" -> ((s, dir) =>
+      // data selection under a token budget: best-quality-first greedy
+      // keep, global prefix sum via the two-phase score-bucketed scan
+      // (never a one-partition Window.orderBy) — the step between
+      // quality scoring and training-set assembly
+      graft.ops.Sampling.selectByBudget(
+          t(s, dir, "documents"), budgetTokens = 15000L,
+          score = graft.ops.TextAnalysis.qualityCol(col("text")))
+        .orderBy("doc_id")),
     "q_chunk" -> ((s, dir) =>
       // sliding-window chunking, 64-token windows / 16-token overlap —
       // the RAG / context-window prep op; narrow explode, no shuffle
@@ -1202,8 +1211,13 @@ object SparkEntry {
         "SELECT id_a, id_b, round(inter::DOUBLE / (ca.n + cb.n - inter), 4) AS jaccard " +
         "FROM pairs JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b " +
         "WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.5 ORDER BY id_a, id_b"),
+    "q_budget_select" ->
+      ("WITH toks AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks FROM documents), " +
+        "q AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens, round(least(len(toks)::DOUBLE / 50.0, 1.0) * 0.4 + least((len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t)))::DOUBLE / greatest(len(toks)::DOUBLE, 1.0)) * 5.0, 1.0) * 0.4 + greatest(1.0 - (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / greatest(length(text), 1)) * 4.0, 0.0) * 0.2, 4) AS score FROM toks), " +
+        "o AS (SELECT doc_id, score, n_tokens, coalesce(sum(n_tokens) OVER (ORDER BY score DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before FROM q) " +
+        "SELECT doc_id, score, n_tokens, cum_before FROM o WHERE cum_before < 15000 ORDER BY doc_id"),
     "q_chunk" ->
-      ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM documents), " +
+      ("WITH toks AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM documents), " +
         "nz AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0), " +
         "c AS (SELECT doc_id, tk, unnest(generate_series(0, CASE WHEN n <= 64 THEN 0 ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) END)) AS chunk_idx FROM nz) " +
         "SELECT doc_id, chunk_idx, len(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64])::BIGINT AS n_tokens, " +

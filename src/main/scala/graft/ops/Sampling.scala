@@ -88,4 +88,64 @@ object Sampling {
       .where(col("__rk") <= nPerGroup)
       .drop("__rk")
   }
+
+  /** Token-budget corpus selection: greedily keep documents in
+    * (score DESC, id ASC) order while the running token total stays
+    * under `budgetTokens` — "take the best N-token corpus", the
+    * data-selection step between scoring and training. A document is
+    * kept iff the total BEFORE it is under budget (the last kept doc may
+    * straddle the line).
+    *
+    * The running total is a global prefix sum in score order — the
+    * `Window.orderBy` one-partition trap again — so this reuses
+    * [[Packing]]'s two-phase scan with SCORE-range buckets: bucket =
+    * floor((max - score) / width) (a pure function of the score, so
+    * equal scores share a bucket and bucket order IS descending score
+    * order), per-bucket totals collected as P driver rows, exclusive
+    * offsets broadcast back, cumulative window per bucket. One shuffle
+    * of (id, n_tokens, score) triples; the text is scanned once.
+    *
+    * `score` must be deterministic and cross-engine-stable (e.g. the
+    * ROUNDED [[TextAnalysis.qualityCol]]); ties break on id. */
+  def selectByBudget(
+      docs: DataFrame,
+      budgetTokens: Long,
+      score: Column,
+      nBuckets: Int = 32,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      checkpointResult: Boolean = true): DataFrame = {
+    require(budgetTokens > 0, "budget must be positive")
+    val counted = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"),
+      score.cast("double").as("score"))
+    val b = counted.agg(min("score"), max("score")).head()
+    if (b.isNullAt(1)) return counted.withColumn("cum_before", lit(0L)).limit(0)
+    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    val width = if (hi > lo) (hi - lo) / nBuckets else 1.0
+    val bucketed = counted.withColumn("__b",
+      least(greatest(floor((lit(hi) - col("score")) / lit(width)), lit(0.0)),
+        lit((nBuckets - 1).toDouble)).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // P rows to the driver; the collect doubles as cache materialization
+    val totals = bucketed.groupBy("__b").agg(sum("n_tokens").as("__bsum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offs = totals.scanLeft((0L, 0L)) { case ((_, acc), (bk, s)) => (bk, acc + s) }
+    val offsets = totals.map(_._1).zip(offs.dropRight(1).map(_._2)).toSeq
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF("__b", "__off")
+    val wIn = org.apache.spark.sql.expressions.Window.partitionBy("__b")
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val out = bucketed.join(broadcast(offDf), "__b")
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(wIn), lit(0L)) + col("__off"))
+      .where(col("cum_before") < budgetTokens)
+      .select(col("doc_id"), col("score"), col("n_tokens"), col("cum_before"))
+    if (!checkpointResult) return out
+    val ck = out.localCheckpoint(true)
+    bucketed.unpersist(blocking = false)
+    ck
+  }
 }

@@ -76,6 +76,25 @@ class OpsSpec extends SparkSpec {
       s"onlyLsh=${(lsh -- ex).take(5)} onlyExhaustive=${(ex -- lsh).take(5)}")
   }
 
+  test("budget selection keeps best-score-first exactly to the token budget") {
+    import spark.implicits._
+    // scores via a column; tokens = word count. budget 10: A(4 tok, s=3),
+    // B(5 tok, s=2), C(3 tok, s=2), D(9 tok, s=1):
+    // order = A, B, C (score desc, id) — cum_before 0, 4, 9; C straddles
+    // (9 < 10), D dropped (12 >= 10)
+    val fx = Seq(
+      (1L, "a a a a", 3.0), (2L, "b b b b b", 2.0),
+      (3L, "c c c", 2.0), (4L, "d d d d d d d d d", 1.0)).toDF("doc_id", "text", "s")
+    val kept = Sampling.selectByBudget(fx, budgetTokens = 10L, score = col("s"), nBuckets = 2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(kept.toSeq === Seq((1L, 0L), (2L, 4L), (3L, 9L)))
+    // the lazy plan never collapses the corpus into one partition
+    val plan = Sampling.selectByBudget(fx, 10L, col("s"), nBuckets = 2, checkpointResult = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"budget scan must stay bucketed, not single-partition:\n${plan.take(2000)}")
+  }
+
   test("substring dedup finds cross-document spans that whole-doc jaccard misses") {
     import spark.implicits._
     // A: 30 unique tokens; B: 10 own + A's tokens 11..20 + 10 own —
