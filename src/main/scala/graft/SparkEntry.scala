@@ -723,6 +723,17 @@ object SparkEntry {
       val pairs = Dedup.ngramJaccard(corpus, threshold = 0.5, maxDocFreq = 1000)
       Cluster.dupClusters(corpus, pairs).orderBy("doc_id")
     }),
+    "q_cluster_survivors" -> ((s, dir) => {
+      // which member of each duplicate cluster do we keep? the best by
+      // (quality DESC, id ASC) — clusters from the same chain fixture,
+      // quality from the shared rounded formula
+      val corpus = docsWithDupChain(s, dir)
+      val pairs = Dedup.ngramJaccard(corpus, threshold = 0.5, maxDocFreq = 1000)
+      val clustered = Cluster.dupClusters(corpus, pairs)
+      val quality = corpus.select(col("doc_id"),
+        graft.ops.TextAnalysis.qualityCol(col("text")).as("score"))
+      Cluster.survivors(clustered, quality).orderBy("cluster_id")
+    }),
     "q_dedup_incremental" -> ((s, dir) => {
       // new-crawl-vs-kept-corpus shape: the perturbed copy is the new
       // batch, checked against the corpus's STORED signature table (the
@@ -1280,6 +1291,25 @@ object SparkEntry {
         "sym AS (SELECT id_a AS s, id_b AS d FROM good UNION SELECT id_b, id_a FROM good), " +
         "reach AS (SELECT doc_id AS id, doc_id AS r FROM corpus UNION SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.id) " +
         "SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id"),
+    "q_cluster_survivors" ->
+      // the clusters oracle (recursive-CTE transitive closure) extended
+      // with the shared rounded quality formula and a per-cluster argmax
+      ("WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 10000, regexp_replace(text, '^\\S+\\s+', '') FROM documents " +
+        "UNION ALL SELECT doc_id + 20000, regexp_replace(text, '^\\S+\\s+\\S+\\s+', '') FROM documents), " +
+        "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM corpus), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(tk) = 0 THEN [] WHEN len(tk) < 3 THEN list_distinct(tk) ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sh FROM toks), " +
+        "counts AS (SELECT doc_id, len(sh) AS n FROM sh WHERE len(sh) > 0), " +
+        "inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM inv a JOIN inv b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "good AS (SELECT id_a, id_b FROM pairs JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.5), " +
+        "sym AS (SELECT id_a AS s, id_b AS d FROM good UNION SELECT id_b, id_a FROM good), " +
+        "reach AS (SELECT doc_id AS id, doc_id AS r FROM corpus UNION SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.id), " +
+        "cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id), " +
+        "qual AS (SELECT c.doc_id, round(least(len(t.tk)::DOUBLE / 50.0, 1.0) * 0.4 + least((len(list_filter(t.tk, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x)))::DOUBLE / greatest(len(t.tk)::DOUBLE, 1.0)) * 5.0, 1.0) * 0.4 + greatest(1.0 - (length(regexp_replace(c.text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / greatest(length(c.text), 1)) * 4.0, 0.0) * 0.2, 4) AS score FROM corpus c JOIN toks t USING (doc_id)), " +
+        "j AS (SELECT cl.cluster_id, cl.doc_id, qual.score FROM cl JOIN qual USING (doc_id)), " +
+        "r2 AS (SELECT cluster_id, doc_id, score, row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rn, count(*) OVER (PARTITION BY cluster_id) AS nm FROM j) " +
+        "SELECT cluster_id, doc_id AS survivor_id, score AS survivor_score, nm::BIGINT AS n_members FROM r2 WHERE rn = 1 ORDER BY cluster_id"),
     "q_dedup_incremental" ->
       ("WITH nw AS (SELECT doc_id + 10000 AS doc_id, regexp_replace(text, '^\\S+\\s+', '') AS text FROM documents), " +
         "tn AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM nw), " +

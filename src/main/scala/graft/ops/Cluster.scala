@@ -142,4 +142,23 @@ object Cluster {
     base.join(labels, base(idCol) === labels("id"), "left")
       .select(base(idCol), coalesce(col("cluster_id"), base(idCol)).as("cluster_id"))
   }
+
+  /** QUALITY-based survivor selection: per duplicate cluster, keep the
+    * member with the best (score DESC, id ASC) — "which copy do we
+    * train on" once clusters are known (min-id labeling answers *which
+    * cluster*, this answers *which member*). One shuffle on cluster_id;
+    * the argmax is a map-side-combined `max_by` on a (score, -id)
+    * struct, so no per-cluster sort is ever planned. */
+  def survivors(
+      clustered: DataFrame,
+      scores: DataFrame,
+      idCol: String = "doc_id",
+      clusterCol: String = "cluster_id",
+      scoreCol: String = "score"): DataFrame =
+    clustered.join(scores, idCol)
+      .groupBy(col(clusterCol))
+      .agg(
+        max_by(col(idCol), struct(col(scoreCol), (-col(idCol)).as("nid"))).as("survivor_id"),
+        max(col(scoreCol)).as("survivor_score"),
+        count(lit(1)).as("n_members"))
 }
