@@ -653,11 +653,19 @@ object Dedup {
           xxhash64(concat_ws(" ", slice(col("tk"), i, lit(k)))).as("g")))).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
       .persist()
-    // fingerprints recurring across ≥ minDocs docs; (g, doc) pre-reduce
-    // keeps the count-distinct out of the plan (no Expand)
-    val dupGrams = grams.select("g", "doc_id").distinct()
-      .groupBy("g").agg(count(lit(1)).as("nd"))
-      .where(col("nd") >= minDocs).select("g")
+    // fingerprints recurring across ≥ minDocs docs. For the default
+    // minDocs = 2, "appears in ≥2 distinct docs" is exactly
+    // min(doc) != max(doc): ONE map-side-combined aggregate instead of
+    // a distinct + count pair (two shuffles). The general case keeps the
+    // (g, doc) pre-reduce so no count-distinct Expand is ever planned.
+    val dupGrams =
+      if (minDocs == 2)
+        grams.groupBy("g").agg(min("doc_id").as("__lo"), max("doc_id").as("__hi"))
+          .where(col("__lo") =!= col("__hi")).select("g")
+      else
+        grams.select("g", "doc_id").distinct()
+          .groupBy("g").agg(count(lit(1)).as("nd"))
+          .where(col("nd") >= minDocs).select("g")
     val hits = grams.join(dupGrams, "g").select("doc_id", "pos")
     // gaps-and-islands: positions p, p' (p < p') merge when p' - p <= k —
     // their k-token windows overlap or touch, forming one duplicated run
