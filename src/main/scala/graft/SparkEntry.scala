@@ -159,6 +159,31 @@ object SparkEntry {
     else { bpeModels.remove(dir, e); bpeModels.getOrElseUpdate(dir, build())._2 }
   }
 
+  // the chain fixture's cluster-assignment table, clustered once per
+  // data dir and read back from parquet — the base side of
+  // q_cluster_survivors (same stale-session guard as the other caches)
+  private val clusterTables = scala.collection.concurrent.TrieMap.empty[String, (SparkSession, String)]
+  private def storedClusters(s: SparkSession, dir: String): DataFrame = {
+    def build(): (SparkSession, String) = {
+      val tmp = java.nio.file.Files.createTempDirectory("graftclusters").toString
+      val corpus = docsWithDupChain(s, dir)
+      val pairs = graft.ops.Dedup.ngramJaccard(corpus, threshold = 0.5, maxDocFreq = 1000)
+      graft.ops.Cluster.dupClusters(corpus, pairs)
+        .write.mode("overwrite").parquet(tmp)
+      (s, tmp)
+    }
+    val e = clusterTables.getOrElseUpdate(dir, build())
+    val path =
+      if (e._1 eq s) e._2
+      else {
+        clusterTables.remove(dir, e)
+        scala.util.Try(graft.views.FsLists.walkDeepestFirst(
+          java.nio.file.Paths.get(e._2)).foreach(java.nio.file.Files.deleteIfExists))
+        clusterTables.getOrElseUpdate(dir, build())._2
+      }
+    s.read.parquet(path)
+  }
+
   /** documents ∪ composite docs (id+30000) built from the first 20
     * tokens of doc d and the first 20 of doc d+1 (every 7th d) — the
     * planted fixture for SUBSTRING dedup: each composite shares a long
@@ -725,14 +750,14 @@ object SparkEntry {
     }),
     "q_cluster_survivors" -> ((s, dir) => {
       // which member of each duplicate cluster do we keep? the best by
-      // (quality DESC, id ASC) — clusters from the same chain fixture,
-      // quality from the shared rounded formula
+      // (quality DESC, id ASC). Clusters come from the STORED assignment
+      // table (clustered once per corpus, selected from many times — the
+      // signatureTable pattern; q_dedup_clusters times the clustering
+      // itself); quality is the shared rounded formula.
       val corpus = docsWithDupChain(s, dir)
-      val pairs = Dedup.ngramJaccard(corpus, threshold = 0.5, maxDocFreq = 1000)
-      val clustered = Cluster.dupClusters(corpus, pairs)
       val quality = corpus.select(col("doc_id"),
         graft.ops.TextAnalysis.qualityCol(col("text")).as("score"))
-      Cluster.survivors(clustered, quality).orderBy("cluster_id")
+      Cluster.survivors(storedClusters(s, dir), quality).orderBy("cluster_id")
     }),
     "q_dedup_incremental" -> ((s, dir) => {
       // new-crawl-vs-kept-corpus shape: the perturbed copy is the new
