@@ -53,6 +53,26 @@ object PipelineProperties extends Properties("Pipeline") {
       got == refSpans(corpus, k)
     }
 
+  // ---- budget selection ----
+
+  private val rowGen = Gen.zip(Gen.chooseNum(0L, 40L), Gen.oneOf(1.0, 2.0, 2.5, 3.0),
+    Gen.chooseNum(1, 6))
+  private val budgetCorpusGen = Gen.resize(20, Gen.nonEmptyListOf(rowGen))
+    .map(_.zipWithIndex.map { case ((_, s, nt), i) => (i.toLong, Seq.fill(nt)("w").mkString(" "), s) })
+
+  property("selectByBudget equals the single-ordering greedy reference (ties included)") =
+    forAll(budgetCorpusGen, Gen.chooseNum(1L, 60L)) { (rows, budget) =>
+      val df = rows.toDF("doc_id", "text", "s")
+      val got = Sampling.selectByBudget(df, budget, org.apache.spark.sql.functions.col("s"), nBuckets = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+      // reference: sort by (score desc, id), exclusive running total
+      val ordered = rows.map { case (id, t, s) => (id, t.split(" ").count(_.nonEmpty).toLong, s) }
+        .sortBy { case (id, _, s) => (-s, id) }
+      val ref = ordered.scanLeft((-1L, 0L, 0L)) { case ((_, acc, _), (id, nt, _)) => (id, acc + nt, acc) }
+        .drop(1).filter(_._3 < budget).map(x => (x._1, x._3)).toMap
+      got == ref
+    }
+
   // ---- BPE ----
 
   private val wordGen = Gen.resize(8, Gen.nonEmptyListOf(Gen.oneOf('a', 'b'))).map(_.mkString)
