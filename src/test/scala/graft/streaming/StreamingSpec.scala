@@ -90,6 +90,33 @@ class StreamingSpec extends SparkSpec {
     assert(stream.planInputPartitions(SeqOffset(24L), SeqOffset(24L)).isEmpty)
   }
 
+  test("durable tail restart from checkpoint is record-precise (delta only)") {
+    val logDir = java.nio.file.Files.createTempDirectory("graft-prestart").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-prestart-ck").toString
+    val plog = new ParquetLog(spark, logDir, schema)
+    plog.appendRows(Seq(Row(1L), Row(2L)))
+    // foreachBatch sink: the recovery-capable sink shape views use
+    val got = java.util.Collections.synchronizedList(new java.util.ArrayList[Long]())
+    def start() = plog.readStream.writeStream
+      .option("checkpointLocation", ckpt).outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        b.collect().foreach(r => got.add(r.getLong(0)))
+      }.start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(got.toArray.toSeq === Seq(0L, 1L))
+
+    plog.appendRows(Seq(Row(3L))) // append while no query is running
+    got.clear()
+    // new query, same checkpoint: only the (1, 2] delta arrives
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(got.toArray.toSeq === Seq(2L),
+        s"restart must deliver exactly the (1, 2] delta, got ${got.toArray.toSeq}")
+    } finally q2.stop()
+  }
+
   test("durable view reattaches WITHOUT a checkpoint: resumes from its own cursor, no replay") {
     import graft.views.PersistentIndexView
     import org.apache.spark.sql.functions.{array, col}
