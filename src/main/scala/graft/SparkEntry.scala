@@ -948,6 +948,27 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.table(name).orderBy("hour_ms")
     }),
+    "q_stream_sliding" -> ((s, dir) => {
+      // Streaming SLIDING windows in complete mode: each event feeds two
+      // overlapping epoch-aligned windows; final state must equal the
+      // q_sliding_count batch oracle whatever the micro-batching.
+      scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
+      val schema = t(s, dir, "events").schema
+      val name = s"stream_sliding_${streamIds.incrementAndGet()}"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .groupBy(window(tsCol, "1 hour", "30 minutes").as("w"))
+          .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_v"))
+          .select(unix_millis(col("w.start")).as("start_ms"), col("cnt"), col("sum_v"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.table(name).orderBy("start_ms")
+    }),
     "q_stream_session" -> ((s, dir) => {
       // Streaming per-key session windows in APPEND mode — the hard
       // streaming case: a session only emits once the watermark passes
@@ -1166,6 +1187,11 @@ object SparkEntry {
       "SELECT user_id, rnk, seq, value FROM (SELECT user_id, event_id AS seq, value, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk FROM events) WHERE rnk <= 3 ORDER BY user_id, rnk",
     "q_tumbling_count" ->
       "SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, count(*) AS cnt, round(sum(value), 4) AS sum_v FROM events GROUP BY hour_ms ORDER BY hour_ms",
+    "q_stream_sliding" ->
+      ("WITH e AS (SELECT epoch_ms(ts) AS ms, value FROM events), " +
+        "w AS (SELECT ms - (ms % 1800000) AS w0, value FROM e), " +
+        "x AS (SELECT w0 AS start_ms, value FROM w UNION ALL SELECT w0 - 1800000 AS start_ms, value FROM w) " +
+        "SELECT start_ms, count(*) AS cnt, round(sum(value), 4) AS sum_v FROM x GROUP BY start_ms ORDER BY start_ms"),
     "q_sliding_count" ->
       ("WITH e AS (SELECT epoch_ms(ts) AS ms, value FROM events), " +
         "w AS (SELECT ms - (ms % 1800000) AS w0, value FROM e), " +
