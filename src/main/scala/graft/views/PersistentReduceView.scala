@@ -1,0 +1,120 @@
+package graft.views
+
+import graft.core.{FlumeDb, FlumeView, ViewDef}
+import org.apache.spark.sql.DataFrame
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Durable flumeview-reduce: the reduced value persisted alongside
+  * `(version, since)` in ONE atomically-replaced file — the shape of the
+  * reference's store for reduce views (flumeview-reduce keeps
+  * `{version, since, value}` in an atomic file and reloads it at open,
+  * so a restart resumes from the stored cursor instead of refolding the
+  * log). Restated here per-absorb rather than on a write timer: the
+  * value file is the commit record, written AFTER the in-memory fold, via
+  * write-temp-then-rename so a crash leaves either the old state or the
+  * new — never a torn file.
+  *
+  * The data plane is [[MergeableReduceView]]'s: the per-batch partial is
+  * a distributed aggregate (map-side combined, one summary row to the
+  * driver), merged into the accumulator; only the tiny encoded summary
+  * ever touches disk. A version bump at mount wipes the file and returns
+  * the view to since = -1 (the "version changes ⇒ just rebuilds" rule,
+  * `/root/reference/README.md:26-29`).
+  *
+  * @param encode/decode value codec (a short text line) — no Java
+  *                      serialization, so stored state survives
+  *                      recompiles and is greppable on disk.
+  */
+final class PersistentReduceView[S](
+    dir: String,
+    version: Int,
+    partial: DataFrame => S,
+    merge: (S, S) => S,
+    encode: S => String,
+    decode: String => S) extends FlumeView {
+
+  private val root: Path = Paths.get(dir)
+  private val file: Path = root.resolve("VALUE")
+  @volatile private var state: Option[S] = None
+  @volatile private var sinceSeq: Long = -1L
+
+  locally {
+    Files.createDirectories(root)
+    readFile() match {
+      case Some((v, s, enc)) if v == version =>
+        sinceSeq = s
+        state = enc.map(decode)
+      case Some(_) => destroy() // version bump: rebuild from scratch
+      case None    => ()
+    }
+  }
+
+  private def readFile(): Option[(Int, Long, Option[String])] =
+    if (!Files.exists(file)) None
+    else Files.readString(file).split("\n", 2) match {
+      case Array(head, enc) => head.trim.split("\\s+") match {
+        case Array(v, s) => Some((v.toInt, s.toLong, Some(enc)))
+        case _           => None
+      }
+      case Array(head) => head.trim.split("\\s+") match {
+        case Array(v, s) => Some((v.toInt, s.toLong, None))
+        case _           => None
+      }
+      case _ => None
+    }
+
+  private def writeFile(): Unit = {
+    val tmp = root.resolve("VALUE.tmp")
+    val body = s"$version $sinceSeq" + state.map(s => "\n" + encode(s)).getOrElse("")
+    Files.writeString(tmp, body)
+    Files.move(tmp, file, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def since: Long = sinceSeq
+  def value: Option[S] = state
+
+  /** Path read into the reduced value (flumeview-reduce `get(path)`). */
+  def get(path: Seq[String] = Nil): Option[Any] =
+    state.flatMap(ReduceValue.navigate(_, path))
+
+  def absorb(entries: DataFrame, upto: Long): Unit = {
+    val p = partial(entries)
+    state = Some(state.fold(p)(s => merge(s, p)))
+    sinceSeq = upto
+    writeFile()
+  }
+
+  def destroy(): Unit = {
+    state = None; sinceSeq = -1L
+    Files.deleteIfExists(file)
+  }
+}
+
+object PersistentStatsReduceView {
+  /** Durable running (count, mean, m2) — the persistent form of
+    * [[StatsReduceView]], codec = one "n mean m2" text line. */
+  def apply(dir: String, viewVersion: Int, valueCol: String): ViewDef = new ViewDef {
+    def version: Int = viewVersion
+    def create(db: FlumeDb, name: String): FlumeView = {
+      import org.apache.spark.sql.functions._
+      new PersistentReduceView[Stats](
+        dir, viewVersion,
+        partial = { df =>
+          val r = df.agg(
+            count(col(valueCol)).as("n"),
+            avg(col(valueCol)).as("mean"),
+            var_samp(col(valueCol)).as("v")).head()
+          val n = r.getLong(0)
+          if (n == 0) Stats(0, 0.0, 0.0)
+          else Stats(n, r.getDouble(1), if (n < 2) 0.0 else r.getDouble(2) * (n - 1))
+        },
+        merge = _ merge _,
+        encode = s => s"${s.n} ${s.mean} ${s.m2}",
+        decode = { line =>
+          val Array(n, mean, m2) = line.trim.split("\\s+")
+          Stats(n.toLong, mean.toDouble, m2.toDouble)
+        })
+    }
+  }
+}

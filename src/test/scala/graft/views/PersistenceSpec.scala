@@ -54,6 +54,44 @@ class PersistenceSpec extends SparkSpec {
     db3.close()
   }
 
+  test("persistent reduce view: value survives reopen; version bump rebuilds; atomic file") {
+    val numSchema = StructType(Seq(StructField("foo", LongType)))
+    val logDir = Files.createTempDirectory("graft-prlog").toString
+    val viewDir = Files.createTempDirectory("graft-prview").toString
+
+    // session 1: fold some values, value + cursor land in the atomic file
+    val log1 = new ParquetLog(spark, logDir, numSchema)
+    val db1 = new FlumeDb(log1)
+    db1.use("stats", PersistentStatsReduceView(viewDir, viewVersion = 1, "foo"))
+    db1.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L), Row(3L))), numSchema))
+    val v1 = db1.view("stats").view.asInstanceOf[PersistentReduceView[Stats]]
+    assert(v1.since === 1L && v1.value === Some(Stats(2, 2.0, 2.0)))
+    assert(Files.readString(java.nio.file.Paths.get(viewDir, "VALUE")).startsWith("1 1\n"))
+
+    // session 2: reopen — cursor AND value recovered, no refold; then an
+    // append advances incrementally from the stored state
+    val log2 = new ParquetLog(spark, logDir, numSchema)
+    val db2 = new FlumeDb(log2)
+    db2.use("stats2", PersistentStatsReduceView(viewDir, viewVersion = 1, "foo"))
+    val v2 = db2.view("stats2").view.asInstanceOf[PersistentReduceView[Stats]]
+    assert(v2.since === 1L && v2.value === Some(Stats(2, 2.0, 2.0)))
+    db2.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(5L))), numSchema))
+    assert(v2.value.map(_.n) === Some(3L))
+    assert(v2.value.map(_.mean) === Some(3.0))
+    assert(v2.get(Seq("mean")) === Some(3.0)) // path read on the durable view
+
+    // session 3: version bump wipes the stored value and rebuilds from the log
+    val log3 = new ParquetLog(spark, logDir, numSchema)
+    val db3 = new FlumeDb(log3)
+    db3.use("stats3", PersistentStatsReduceView(viewDir, viewVersion = 2, "foo"))
+    val v3 = db3.view("stats3").view.asInstanceOf[PersistentReduceView[Stats]]
+    assert(v3.since === 2L, "rebuild must replay the whole log after a version bump")
+    assert(v3.value.map(_.n) === Some(3L))
+    assert(Files.readString(java.nio.file.Paths.get(viewDir, "VALUE")).startsWith("2 2\n"))
+  }
+
   test("orphaned uncommitted batch directories are ignored by readers") {
     val viewDir = Files.createTempDirectory("graft-orphan").toString
     val log = new MemoryLog(spark, schema)
