@@ -1,0 +1,138 @@
+package graft.views
+
+import graft.core.{FlumeDb, FlumeView, ViewDef}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Durable flumeview-hashtable: latest-record-per-key as a
+  * log-structured parquet table — the "compacted changelog" shape.
+  *
+  * Writes are [[PersistentIndexView]]'s batch-atomic delta protocol
+  * (each absorbed batch's per-key latest lands under `batch=<upto>/`,
+  * manifest commits after the delta, orphans pruned at open, version
+  * bump wipes). Reads merge the deltas with one `max_by(seq)` aggregate
+  * — the LSM read path; [[compact]] collapses all committed deltas into
+  * a single base delta so read cost stays O(keys), the same rewrite a
+  * compacted topic or an LSM level merge performs. At cluster scale the
+  * deltas are partitioned tables and compaction is a per-bucket rewrite
+  * job; the manifest stays the tiny driver-side commit record. */
+final class PersistentHashtableView(
+    spark: SparkSession,
+    dir: String,
+    viewVersion: Int,
+    keyCol: String,
+    seqCol: String) extends FlumeView {
+
+  private val root: Path = Paths.get(dir)
+  private val manifest: Path = root.resolve("MANIFEST")
+  @volatile private var sinceSeq: Long = -1L
+
+  locally {
+    Files.createDirectories(root)
+    readManifest() match {
+      case Some((v, s)) if v == viewVersion => sinceSeq = s
+      case Some(_)                          => destroy()
+      case None                             => ()
+    }
+    pruneOrphans()
+    // compact crash recovery: a death between "old deltas deleted" and
+    // "base moved in" leaves zero committed deltas and a COMPLETE
+    // compact.tmp (the deletes only start after its write returned) —
+    // adopt it; in every other interleaving tmp is garbage and the next
+    // compact() clears it.
+    locally {
+      val tmp = root.resolve("compact.tmp")
+      if (sinceSeq >= 0 && batchDirs(all = false).isEmpty &&
+          Files.exists(tmp.resolve("_SUCCESS")))
+        Files.move(tmp, root.resolve(s"batch=$sinceSeq"))
+    }
+  }
+
+  private def readManifest(): Option[(Int, Long)] =
+    if (!Files.exists(manifest)) None
+    else Files.readString(manifest).trim.split("\\s+") match {
+      case Array(v, s) => Some((v.toInt, s.toLong))
+      case _           => None
+    }
+
+  private def writeManifest(): Unit =
+    Files.writeString(manifest, s"$viewVersion $sinceSeq")
+
+  private def batchDirs(all: Boolean): Seq[Path] =
+    FsLists.children(root)
+      .filter(p => p.getFileName.toString.startsWith("batch="))
+      .filter(p => all || p.getFileName.toString.stripPrefix("batch=").toLong <= sinceSeq)
+      .sortBy(_.getFileName.toString.stripPrefix("batch=").toLong)
+
+  private def pruneOrphans(): Unit =
+    FsLists.children(root)
+      .filter(p => p.getFileName.toString.startsWith("batch="))
+      .filter(p => p.getFileName.toString.stripPrefix("batch=").toLong > sinceSeq)
+      .foreach(p => FsLists.walkDeepestFirst(p).foreach(Files.delete))
+
+  private def latest(df: DataFrame): DataFrame = {
+    val payload = struct(df.columns.filter(_ != keyCol).map(col).toIndexedSeq: _*)
+    df.groupBy(col(keyCol))
+      .agg(max_by(payload, col(seqCol)).as("__v"))
+      .select(col(keyCol), col("__v.*"))
+  }
+
+  def since: Long = sinceSeq
+
+  def absorb(entries: DataFrame, upto: Long): Unit = {
+    latest(entries)
+      .write.mode("overwrite").parquet(root.resolve(s"batch=$upto").toString)
+    sinceSeq = upto
+    writeManifest() // delta durable before the cursor moves
+  }
+
+  /** Merged view of all committed deltas (the LSM read path). */
+  def frame: DataFrame = {
+    val dirs = batchDirs(all = false).map(_.toString)
+    if (dirs.isEmpty) throw new IllegalStateException("hashtable empty")
+    latest(spark.read.parquet(dirs: _*))
+  }
+
+  override def frameOption: Option[DataFrame] =
+    if (batchDirs(all = false).isEmpty) None else Some(frame)
+
+  def get(key: Any): DataFrame = frame.where(col(keyCol) === lit(key))
+
+  /** Collapse all committed deltas into one base delta at the current
+    * cursor — the compacted-topic rewrite. Protocol: write the merged
+    * base under `compact.tmp`, delete the old deltas, move the base to
+    * `batch=<cursor>`. The manifest cursor never moves, and the one
+    * dangerous interleaving (death after the deletes, before the move)
+    * is recovered at open by adopting the complete tmp (see the
+    * constructor), so readers see either the old deltas or the base in
+    * every crash window. */
+  def compact(): Unit = {
+    val dirs = batchDirs(all = false)
+    if (dirs.size <= 1) return
+    val tmp = root.resolve("compact.tmp")
+    if (Files.exists(tmp)) FsLists.walkDeepestFirst(tmp).foreach(Files.delete)
+    frame.write.parquet(tmp.toString)
+    dirs.foreach(p => FsLists.walkDeepestFirst(p).foreach(Files.delete))
+    Files.move(tmp, root.resolve(s"batch=$sinceSeq"))
+  }
+
+  def destroy(): Unit = {
+    sinceSeq = -1L
+    if (Files.isDirectory(root)) {
+      FsLists.walkDeepestFirst(root).filterNot(_ == root).foreach(Files.delete)
+    }
+  }
+}
+
+object PersistentHashtableView {
+  def apply(dir: String, keyCol: String, seqCol: String = "seq", version: Int = 1): ViewDef = {
+    val v = version
+    new ViewDef {
+      def version: Int = v
+      def create(db: FlumeDb, name: String) =
+        new PersistentHashtableView(db.log.spark, s"$dir/$name", v, keyCol, seqCol)
+    }
+  }
+}

@@ -92,6 +92,50 @@ class PersistenceSpec extends SparkSpec {
     assert(Files.readString(java.nio.file.Paths.get(viewDir, "VALUE")).startsWith("2 2\n"))
   }
 
+  test("persistent hashtable: reopen at parity, LSM merge across deltas, compaction + crash recovery") {
+    val kvSchema = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+    val logDir = Files.createTempDirectory("graft-phlog").toString
+    val viewDir = Files.createTempDirectory("graft-phview").toString
+
+    val log1 = new ParquetLog(spark, logDir, kvSchema)
+    val db1 = new FlumeDb(log1)
+    db1.use("ht", PersistentHashtableView(viewDir, "k"))
+    db1.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "a"), Row(2L, "b"))), kvSchema))
+    db1.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "a2"))), kvSchema)) // upsert key 1
+    val v1 = db1.view("ht").view.asInstanceOf[PersistentHashtableView]
+    assert(v1.since === 2L)
+    // LSM read: latest across two deltas
+    assert(v1.get(1L).head().getString(2) === "a2")
+    assert(v1.get(2L).head().getString(2) === "b")
+
+    // reopen: manifest cursor recovered, merged state identical, no replay
+    val log2 = new ParquetLog(spark, logDir, kvSchema)
+    val db2 = new FlumeDb(log2)
+    db2.use("ht", PersistentHashtableView(viewDir, "k"))
+    val v2 = db2.view("ht").view.asInstanceOf[PersistentHashtableView]
+    assert(v2.since === 2L)
+    assert(v2.get(1L).head().getString(2) === "a2")
+
+    // compaction collapses the deltas; results unchanged
+    v2.compact()
+    val dirs = new java.io.File(s"$viewDir/ht").listFiles().map(_.getName).filter(_.startsWith("batch=")).sorted
+    assert(dirs.toSeq === Seq("batch=2"), s"expected one base delta, got ${dirs.toSeq}")
+    assert(v2.get(1L).head().getString(2) === "a2")
+    assert(v2.frame.count() === 2L)
+
+    // crash window: simulate death between the deletes and the move —
+    // base left in compact.tmp, no committed deltas; open must adopt it
+    val root = java.nio.file.Paths.get(s"$viewDir/ht")
+    java.nio.file.Files.move(root.resolve("batch=2"), root.resolve("compact.tmp"))
+    val db3 = new FlumeDb(new ParquetLog(spark, logDir, kvSchema))
+    db3.use("ht", PersistentHashtableView(viewDir, "k"))
+    val v3 = db3.view("ht").view.asInstanceOf[PersistentHashtableView]
+    assert(v3.since === 2L)
+    assert(v3.get(1L).head().getString(2) === "a2", "open must adopt the complete compact.tmp")
+  }
+
   test("orphaned uncommitted batch directories are ignored by readers") {
     val viewDir = Files.createTempDirectory("graft-orphan").toString
     val log = new MemoryLog(spark, schema)
