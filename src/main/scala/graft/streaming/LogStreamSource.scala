@@ -27,6 +27,9 @@ object LogStreamRegistry {
   }
   def get(id: String): FlumeLog =
     logs.getOrElse(id, throw new NoSuchElementException(s"no registered log '$id'"))
+  /** Streams unregister on stop — a long-lived session starting many
+    * tails must not pin every log instance for the JVM lifetime. */
+  def unregister(id: String): Unit = logs.remove(id)
 }
 
 /** Seq-granular offset: flume's `since` as a streaming offset.
@@ -93,7 +96,7 @@ class LogMicroBatchStream(logId: String, schema: StructType, startSeq: Long = -1
   override def initialOffset(): Offset = SeqOffset(startSeq)
   override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+  override def stop(): Unit = LogStreamRegistry.unregister(logId)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     LogBatch.plan(log, schema,
@@ -169,7 +172,7 @@ class ParquetLogMicroBatchStream(
   override def initialOffset(): Offset = SeqOffset(startSeq)
   override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+  override def stop(): Unit = LogStreamRegistry.unregister(logId)
 
   private def listParquet(f: java.io.File, lower: Long, upper: Long): Seq[java.io.File] = {
     val fs = f.listFiles()
