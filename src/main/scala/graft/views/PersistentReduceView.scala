@@ -91,6 +91,83 @@ final class PersistentReduceView[S](
   }
 }
 
+/** Durable flumeview-bloom: the sketch bytes persisted atomically after
+  * each absorb (same write-temp-then-rename commit as
+  * [[PersistentReduceView]]'s value file; Spark's `BloomFilter` has a
+  * stable binary codec). The per-batch filter is still built
+  * distributed (tree-aggregated) and merged in place; only the sketch —
+  * megabytes at most, independent of corpus size — touches disk, so a
+  * reopen answers membership immediately with no log replay. */
+final class PersistentBloomView(
+    dir: String,
+    viewVersion: Int,
+    keyCol: String,
+    expectedItems: Long,
+    fpp: Double) extends FlumeView {
+
+  private val root = Paths.get(dir)
+  private val file = root.resolve("SKETCH")
+  @volatile private var filter: Option[org.apache.spark.util.sketch.BloomFilter] = None
+  @volatile private var sinceSeq: Long = -1L
+
+  locally {
+    Files.createDirectories(root)
+    if (Files.exists(file)) {
+      val in = Files.newInputStream(file)
+      try {
+        val head = new java.io.DataInputStream(in)
+        val v = head.readInt(); val s = head.readLong()
+        if (v == viewVersion) {
+          sinceSeq = s
+          filter = Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+        } else destroy()
+      } finally in.close()
+    }
+  }
+
+  private def writeFile(): Unit = {
+    val tmp = root.resolve("SKETCH.tmp")
+    val out = Files.newOutputStream(tmp)
+    try {
+      val head = new java.io.DataOutputStream(out)
+      head.writeInt(viewVersion); head.writeLong(sinceSeq)
+      filter.foreach(_.writeTo(out))
+    } finally out.close()
+    Files.move(tmp, file, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def since: Long = sinceSeq
+
+  def absorb(entries: DataFrame, upto: Long): Unit = {
+    val b = entries.stat.bloomFilter(keyCol, expectedItems, fpp)
+    filter match {
+      case Some(f) => f.mergeInPlace(b)
+      case None    => filter = Some(b)
+    }
+    sinceSeq = upto
+    writeFile()
+  }
+
+  def mightContain(v: Any): Boolean = filter.exists(_.mightContain(v))
+
+  def destroy(): Unit = {
+    filter = None; sinceSeq = -1L
+    Files.deleteIfExists(file)
+  }
+}
+
+object PersistentBloomView {
+  def apply(dir: String, keyCol: String, expectedItems: Long = 1000000L,
+      fpp: Double = 0.01, version: Int = 1): ViewDef = {
+    val v = version
+    new ViewDef {
+      def version: Int = v
+      def create(db: FlumeDb, name: String): FlumeView =
+        new PersistentBloomView(s"$dir/$name", v, keyCol, expectedItems, fpp)
+    }
+  }
+}
+
 object PersistentStatsReduceView {
   /** Durable running (count, mean, m2) — the persistent form of
     * [[StatsReduceView]], codec = one "n mean m2" text line. */

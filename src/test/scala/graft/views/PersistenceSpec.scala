@@ -136,6 +136,58 @@ class PersistenceSpec extends SparkSpec {
     assert(v3.get(1L).head().getString(2) === "a2", "open must adopt the complete compact.tmp")
   }
 
+  test("persistent bloom view: sketch survives reopen; version bump rebuilds") {
+    val kSchema = StructType(Seq(StructField("k", StringType)))
+    val logDir = Files.createTempDirectory("graft-pblog").toString
+    val viewDir = Files.createTempDirectory("graft-pbview").toString
+
+    val db1 = new FlumeDb(new ParquetLog(spark, logDir, kSchema))
+    db1.use("bloom", PersistentBloomView(viewDir, "k", expectedItems = 1000))
+    db1.append(spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq(Row("alpha"), Row("beta"))), kSchema))
+    val v1 = db1.view("bloom").view.asInstanceOf[PersistentBloomView]
+    assert(v1.mightContain("alpha") && v1.mightContain("beta"))
+
+    // reopen: membership answered from the stored sketch, no replay
+    val db2 = new FlumeDb(new ParquetLog(spark, logDir, kSchema))
+    db2.use("bloom", PersistentBloomView(viewDir, "k", expectedItems = 1000))
+    val v2 = db2.view("bloom").view.asInstanceOf[PersistentBloomView]
+    assert(v2.since === 1L)
+    assert(v2.mightContain("alpha") && v2.mightContain("beta"))
+    // no false negatives after an incremental absorb either
+    db2.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row("gamma"))), kSchema))
+    assert(v2.mightContain("gamma") && v2.since === 2L)
+
+    // version bump: stored sketch wiped, full log refolded at mount
+    val db3 = new FlumeDb(new ParquetLog(spark, logDir, kSchema))
+    db3.use("bloom", PersistentBloomView(viewDir, "k", expectedItems = 1000, version = 2))
+    val v3 = db3.view("bloom").view.asInstanceOf[PersistentBloomView]
+    assert(v3.since === 2L)
+    assert(v3.mightContain("alpha") && v3.mightContain("gamma"))
+  }
+
+  test("durable search index is PersistentIndexView with a tokenizer key (posting lists)") {
+    val txtSchema = StructType(Seq(StructField("text", StringType)))
+    val logDir = Files.createTempDirectory("graft-pslog").toString
+    val viewDir = Files.createTempDirectory("graft-psview").toString
+    val tokenKeys = array_distinct(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""))
+
+    val db1 = new FlumeDb(new ParquetLog(spark, logDir, txtSchema))
+    db1.use("search", PersistentIndexView(viewDir, tokenKeys))
+    db1.append(spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq(Row("spark joins data"), Row("duck data bills"))), txtSchema))
+    val v1 = db1.view("search").view.asInstanceOf[PersistentIndexView]
+    assert(v1.get("data").collect().map(_.getLong(1)).toSeq === Seq(0L, 1L))
+    assert(v1.get("spark").collect().map(_.getLong(1)).toSeq === Seq(0L))
+
+    // reopen: postings served from disk at parity, no replay
+    val db2 = new FlumeDb(new ParquetLog(spark, logDir, txtSchema))
+    db2.use("search", PersistentIndexView(viewDir, tokenKeys))
+    val v2 = db2.view("search").view.asInstanceOf[PersistentIndexView]
+    assert(v2.since === 1L)
+    assert(v2.get("bills").collect().map(_.getLong(1)).toSeq === Seq(1L))
+  }
+
   test("orphaned uncommitted batch directories are ignored by readers") {
     val viewDir = Files.createTempDirectory("graft-orphan").toString
     val log = new MemoryLog(spark, schema)
