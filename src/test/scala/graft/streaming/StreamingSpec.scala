@@ -117,6 +117,28 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming runner maintains the durable LSM hashtable (streaming upserts)") {
+    import graft.views.PersistentHashtableView
+    val kvSchema = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+    val logDir = java.nio.file.Files.createTempDirectory("graft-shlog").toString
+    val viewDir = java.nio.file.Files.createTempDirectory("graft-shview").toString
+    val log = new ParquetLog(spark, logDir, kvSchema)
+    log.appendRows(Seq(Row(1L, "a"), Row(2L, "b")))
+    val db = new FlumeDb(log)
+    db.use("ht", PersistentHashtableView(viewDir, "k"))
+    val view = db.view("ht").view.asInstanceOf[PersistentHashtableView]
+    val r = new StreamingViewRunner(log, view)
+    try {
+      r.awaitParity()
+      log.appendRows(Seq(Row(1L, "a2"))) // live upsert through the stream
+      r.awaitParity()
+      assert(view.since === 2L)
+      assert(view.get(1L).head().getString(2) === "a2")
+      assert(view.get(2L).head().getString(2) === "b")
+      assert(view.frame.count() === 2L)
+    } finally r.stop()
+  }
+
   test("durable view reattaches WITHOUT a checkpoint: resumes from its own cursor, no replay") {
     import graft.views.PersistentIndexView
     import org.apache.spark.sql.functions.{array, col}
