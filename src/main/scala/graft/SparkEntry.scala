@@ -691,6 +691,13 @@ object SparkEntry {
           array_join(graft.ops.Bpe.symbolsOf(col("__enc")), " ").as("encoded"))
         .orderBy("word")
     }),
+    "q_shard" -> ((s, dir) =>
+      // deterministic export sharding: shard + in-shard position are
+      // pure functions of (doc_id, salt) — reproducible epoch order,
+      // per-shard windows only
+      graft.ops.Sampling.shardByHash(
+          t(s, dir, "documents").select("doc_id"), "doc_id", nShards = 8, salt = "v1")
+        .orderBy("doc_id")),
     "q_budget_select" -> ((s, dir) =>
       // data selection under a token budget: best-quality-first greedy
       // keep, global prefix sum via the two-phase score-bucketed scan
@@ -1273,6 +1280,11 @@ object SparkEntry {
         "SELECT id_a, id_b, round(inter::DOUBLE / (ca.n + cb.n - inter), 4) AS jaccard " +
         "FROM pairs JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b " +
         "WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.5 ORDER BY id_a, id_b"),
+    "q_shard" ->
+      ("WITH h AS (SELECT doc_id, md5(doc_id::VARCHAR || 'v1') AS hh, " +
+        "CAST(concat('0x', substring(md5(doc_id::VARCHAR || 'v1'), 1, 7)) AS BIGINT) % 1000 % 8 AS shard FROM documents) " +
+        "SELECT doc_id, shard::BIGINT AS shard, row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id)::BIGINT AS shard_pos " +
+        "FROM h ORDER BY doc_id"),
     "q_budget_select" ->
       ("WITH toks AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks FROM documents), " +
         "q AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens, round(least(len(toks)::DOUBLE / 50.0, 1.0) * 0.4 + least((len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t)))::DOUBLE / greatest(len(toks)::DOUBLE, 1.0)) * 5.0, 1.0) * 0.4 + greatest(1.0 - (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / greatest(length(text), 1)) * 4.0, 0.0) * 0.2, 4) AS score FROM toks), " +

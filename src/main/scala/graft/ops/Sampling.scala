@@ -89,6 +89,29 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Deterministic training-data sharding: assign each row to one of
+    * `nShards` output shards and give it a stable position inside the
+    * shard — both pure functions of (key, salt), so the exported order
+    * is partition-invariant and reproducible forever (the same md5
+    * discipline as the split family; an RNG shuffle would re-deal on
+    * every rerun). Shard = md5-permille mod nShards; position = rank by
+    * (md5, key) inside the shard — a per-shard window, never a global
+    * sort. Change `salt` for an independent epoch order. */
+  def shardByHash(
+      df: DataFrame,
+      keyCol: String,
+      nShards: Int,
+      salt: String = ""): DataFrame = {
+    require(nShards > 0, "need at least one shard")
+    val h = md5(concat(col(keyCol).cast("string"), lit(salt)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__h"), col(keyCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", (hashPermille(col(keyCol), salt) % nShards).cast("bigint"))
+      .withColumn("shard_pos", row_number().over(w).cast("bigint"))
+      .drop("__h")
+  }
+
   /** Token-budget corpus selection: greedily keep documents in
     * (score DESC, id ASC) order while the running token total stays
     * under `budgetTokens` — "take the best N-token corpus", the
