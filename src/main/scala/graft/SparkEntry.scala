@@ -1418,12 +1418,13 @@ object SparkEntry {
         "SELECT count(*) AS n_kept, min(doc_id) AS min_id, max(doc_id) AS max_id, sum(CASE WHEN doc_id >= 10000 THEN 1 ELSE 0 END)::BIGINT AS perturbed_kept FROM kept"),
     "q_embed_neardup" ->
       // Oracle-safe because the pipeline's only stochastic stage — the
-      // hyperplane bucketing — cannot change the answer on this fixture:
-      // planted pairs are exact scalar multiples (identical signs on
-      // every deterministic plane ⇒ always co-bucketed) and the corpus
-      // has no natural pair above cosine ~0.45, so the exact-cosine
-      // ≥0.95 verify makes bucket spill irrelevant. The all-pairs SQL is
-      // the exhaustive form of the same predicate.
+      // banded hyperplane bucketing — cannot change the answer on this
+      // fixture: planted pairs are exact scalar multiples (identical
+      // signs on every deterministic plane ⇒ co-bucketed in EVERY band)
+      // and the corpus has no natural pair above cosine ~0.45, so the
+      // exact-cosine ≥0.95 verify makes extra candidates irrelevant; no
+      // band bucket approaches the maxBucket cap at these SFs. The
+      // all-pairs SQL is the exhaustive form of the same predicate.
       ("WITH corpus AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x * 1.001 AS FLOAT)) FROM embeddings) " +
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos " +
         "FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id " +

@@ -720,23 +720,67 @@ object Dedup {
     out
   }
 
-  /** Embedding-cosine near-duplicates: random-hyperplane LSH signature →
-    * bucket join → exact cosine verify inside buckets. The hyperplanes
-    * are pseudo-random but deterministic (hashed from (plane, dim)), so
-    * the operator is reproducible run to run with no broadcast state. */
+  /** Embedding-cosine near-duplicates: banded random-hyperplane LSH →
+    * capped bucket join → exact cosine verify on candidates only. The
+    * hyperplanes are pseudo-random but deterministic (hashed from
+    * (plane, dim)), so the operator is reproducible run to run with no
+    * broadcast state.
+    *
+    * Same 100 TB shape as [[minhashLsh]]: one `bands × bitsPerBand`-bit
+    * signature per vector (a single codegen'd pass,
+    * [[graft.functions.HyperplaneSig]]), cut into `bands` band keys by
+    * pure column algebra (shift/mask — no UDF), pair expansion ONLY
+    * inside equal-band-key buckets, and buckets larger than `maxBucket`
+    * dropped with a left-anti join before expansion (degenerate regions —
+    * zero vectors, template embeddings — would otherwise expand
+    * O(bucket²)). Banding makes the cap safe for recall: a pair survives
+    * if ANY of its `bands` buckets is cold, so a true near-pair is lost
+    * only when every band it shares is hot. Scale `bitsPerBand` with the
+    * corpus (r ≈ log2(n / targetBucket)); `bands × bitsPerBand ≤ 64`
+    * keeps the signature one long.
+    *
+    * Near-identical vectors agree on (almost) every plane sign, so they
+    * share every band; exact scalar multiples share all of them. The
+    * final exact-cosine verify means extra candidates can never change
+    * the answer, only cost. */
   def embeddingNearDup(
       embeddings: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      nBits: Int = 12,
-      threshold: Double = 0.95): DataFrame = {
-    val sig = Similarity.hyperplaneSignature(col(vecCol), nBits)
+      bands: Int = 4,
+      bitsPerBand: Int = 8,
+      threshold: Double = 0.95,
+      maxBucket: Int = 1024,
+      checkpointResult: Boolean = true): DataFrame = {
+    require(bands >= 1 && bitsPerBand >= 1 && bands * bitsPerBand <= 64,
+      s"bands*bitsPerBand must fit one 64-bit signature, got $bands*$bitsPerBand")
+    val sig = Similarity.hyperplaneSignature(col(vecCol), bands * bitsPerBand)
     val sigs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("sig"))
-    val l = sigs.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = sigs.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("sig")).where(col("id_a") < col("id_b"))
+      .persist()
+    val width = 1L << bitsPerBand
+    // bandkey = band * 2^r + bits: the band index folded in keeps band b
+    // of one vector from ever colliding with band b' of another
+    val keys = (0 until bands).map(b =>
+      shiftrightunsigned(col("sig"), b * bitsPerBand).bitwiseAND(lit(width - 1)) +
+        lit(b.toLong * width))
+    val banded = sigs.select(col("id"), explode(array(keys: _*)).as("bandkey"))
+    val hot = banded.groupBy("bandkey").count().where(col("count") > maxBucket).select("bandkey")
+    val kept = banded.join(hot, Seq("bandkey"), "left_anti")
+    val cand = kept.select(col("bandkey"), col("id").as("id_a"))
+      .join(kept.select(col("bandkey"), col("id").as("id_b")), Seq("bandkey"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val out = cand
+      .join(sigs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(Similarity.cosine(col("v_a"), col("v_b")), 4).as("cos"))
       .where(col("cos") >= threshold)
+    if (!checkpointResult) return out
+    // eager pair table, then release the cached signatures
+    val ck = out.localCheckpoint(true)
+    sigs.unpersist(blocking = false)
+    ck
   }
 }

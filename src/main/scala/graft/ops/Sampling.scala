@@ -144,7 +144,11 @@ object Sampling {
       size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"),
       score.cast("double").as("score"))
     val b = counted.agg(min("score"), max("score")).head()
-    if (b.isNullAt(1)) return counted.withColumn("cum_before", lit(0L)).limit(0)
+    // same column ORDER as the normal path — positional consumers must
+    // see one schema whether or not the input was empty
+    if (b.isNullAt(1))
+      return counted.select(col("doc_id"), col("score"), col("n_tokens"))
+        .withColumn("cum_before", lit(0L)).limit(0)
     val (lo, hi) = (b.getDouble(0), b.getDouble(1))
     val width = if (hi > lo) (hi - lo) / nBuckets else 1.0
     val bucketed = counted.withColumn("__b",

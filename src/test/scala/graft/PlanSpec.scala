@@ -160,4 +160,23 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("hyperplanesig"),
       s"corpus-side signatures must come from storage, not recompute:\n${s.take(3000)}")
   }
+
+  test("embedding near-dup joins on capped band keys, never the raw signature") {
+    val df = graft.ops.Dedup.embeddingNearDup(
+      spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding"),
+      checkpointResult = false)
+    // the optimized LOGICAL plan: AQE erases the left-anti at this SF
+    // (no hot buckets ⇒ empty build side ⇒ join eliminated), which is
+    // exactly the runtime behavior we want but hides the cap's presence
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.exists(_.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti),
+      "the maxBucket cap (left-anti against hot buckets) must be in the plan")
+    joins.foreach { j =>
+      val keyNames = j.condition.toSeq.flatMap(_.references).map(_.name).toSet
+      assert(!keyNames.contains("sig"),
+        s"no join may bucket on the full signature (uncapped self-join): $keyNames")
+    }
+  }
 }

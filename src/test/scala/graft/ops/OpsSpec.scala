@@ -222,6 +222,29 @@ class OpsSpec extends SparkSpec {
     assert(found === 500, s"expected all 500 planted cosine-1 pairs, got $found")
   }
 
+  test("embedding near-dup caps deliberately hot buckets, keeps cold-bucket pairs") {
+    import spark.implicits._
+    // 50 identical vectors (same signature in every band ⇒ one bucket of
+    // 50 per band) + one planted near-pair far from them in angle
+    val hotVec = Array.tabulate(64)(i => (1.0f + i * 0.01f))
+    val pairVec = Array.tabulate(64)(i => (if (i % 2 == 0) 1.0f else -1.0f) * (1.0f + i * 0.005f))
+    val rows =
+      (0L until 50L).map(i => (i, hotVec.toSeq)) ++
+        Seq((100L, pairVec.toSeq), (101L, pairVec.map(x => x * 1.001f).toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    // uncapped: the 50 identical vectors yield 50*49/2 cosine-1 pairs
+    val uncapped = Dedup.embeddingNearDup(df, maxBucket = 1024, checkpointResult = false).collect()
+    assert(uncapped.count(r => r.getLong(0) < 50 && r.getLong(1) < 50) === 1225)
+    // maxBucket=10: every band bucket of the hot clump exceeds the cap ⇒
+    // its pairs are dropped; the cold planted pair must survive
+    val capped = Dedup.embeddingNearDup(df, maxBucket = 10, checkpointResult = false).collect()
+    assert(capped.count(r => r.getLong(0) < 50 && r.getLong(1) < 50) === 0,
+      "hot-bucket pairs must be dropped by the cap")
+    assert(capped.exists(r => r.getLong(0) === 100L && r.getLong(1) === 101L),
+      "the cold-bucket planted pair must survive the cap")
+  }
+
   test("native cosine expression is bit-identical to the HOF formulation") {
     val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va")).limit(30)
     val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb")).limit(30)
