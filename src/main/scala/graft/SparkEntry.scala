@@ -375,6 +375,18 @@ object SparkEntry {
         .orderBy(col("value_r").desc, col("seq"))
         .limit(100)
         .run(eventsDb(s, dir).mapped)),
+    "q_query_indexed" -> ((s, dir) => {
+      // same query, but run(db) with a mounted index on event_type: the
+      // equality conjunct becomes a posting-table lookup + read-by-seq,
+      // not a full-log filter (reference index selection, README.md:94)
+      val db = eventsDb(s, dir).use("byTypeIdx", IndexView.onColumn("event_type", "event_id"))
+      Query()
+        .where(col("event_type") === "purchase" && col("value") > 50)
+        .select(col("event_id").as("seq"), col("user_id"), round(col("value"), 4).as("value_r"))
+        .orderBy(col("value_r").desc, col("seq"))
+        .limit(100)
+        .run(db)
+    }),
     "q_search_term" -> ((s, dir) => {
       val db = new FlumeDb(new TableLog(s, t(s, dir, "documents"), "doc_id"))
         .use("search", SearchView("text", "doc_id"))
@@ -1173,6 +1185,10 @@ object SparkEntry {
     "q_index_multikey" ->
       "SELECT key, seq FROM (SELECT event_type AS key, event_id AS seq FROM events UNION ALL SELECT 'u:' || CAST(user_id AS VARCHAR), event_id FROM events) ORDER BY key, seq",
     "q_query_filter_project" ->
+      "SELECT event_id AS seq, user_id, round(value, 4) AS value_r FROM events WHERE event_type = 'purchase' AND value > 50 ORDER BY value_r DESC, seq LIMIT 100",
+    "q_query_indexed" ->
+      // identical answer to the unindexed form — index selection is a
+      // physical rewrite, never a semantic one
       "SELECT event_id AS seq, user_id, round(value, 4) AS value_r FROM events WHERE event_type = 'purchase' AND value > 50 ORDER BY value_r DESC, seq LIMIT 100",
     "q_search_term" ->
       "SELECT doc_id AS seq FROM documents WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'spark') ORDER BY seq",

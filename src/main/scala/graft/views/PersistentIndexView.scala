@@ -30,7 +30,8 @@ final class PersistentIndexView(
     dir: String,
     version: Int,
     keys: Column,
-    seqCol: String) extends FlumeView {
+    seqCol: String,
+    val indexedColumn: Option[String] = None) extends FlumeView {
 
   private val root: Path = Paths.get(dir)
   private val manifest: Path = root.resolve("MANIFEST")
@@ -115,6 +116,18 @@ object PersistentIndexView {
       def version: Int = v
       def create(db: FlumeDb, name: String) =
         new PersistentIndexView(db.log.spark, s"$dir/$name", v, keys, seqCol)
+    }
+  }
+
+  /** Durable single-column equality index, eligible for [[Query]] index
+    * selection (see [[IndexView.onColumn]]). */
+  def onColumn(dir: String, column: String, seqCol: String = "seq", version: Int = 1): ViewDef = {
+    val v = version
+    new ViewDef {
+      def version: Int = v
+      def create(db: FlumeDb, name: String) =
+        new PersistentIndexView(db.log.spark, s"$dir/$name", v,
+          array(col(column).cast("string")), seqCol, Some(column))
     }
   }
 }

@@ -257,7 +257,8 @@ abstract class FrameView extends FlumeView {
   * `(key, seq)`, i.e. `explode(keys)` — Catalyst's Generator, fully
   * distributed, and a lookup is an equi-filter (or a broadcast-hash join
   * when batched). */
-final class IndexView(keys: Column, seqCol: String) extends FrameView {
+final class IndexView(keys: Column, seqCol: String,
+    val indexedColumn: Option[String] = None) extends FrameView {
   protected def delta(entries: DataFrame): DataFrame =
     entries.select(explode(keys).as("key"), col(seqCol).as("seq"))
 
@@ -271,6 +272,17 @@ object IndexView {
   def apply(keys: Column, seqCol: String = "seq"): ViewDef = new ViewDef {
     def version: Int = 1
     def create(db: FlumeDb, name: String) = new IndexView(keys, seqCol)
+  }
+
+  /** A single-column equality index: key = the column value cast to
+    * string. Declaring the indexed COLUMN (not an opaque key expression)
+    * is what lets [[Query.run(db*]] rewrite an equality/`isin` filter on
+    * it into a posting-table lookup — the reference's "query language
+    * with index selection" (`/root/reference/README.md:94`). */
+  def onColumn(column: String, seqCol: String = "seq"): ViewDef = new ViewDef {
+    def version: Int = 1
+    def create(db: FlumeDb, name: String) =
+      new IndexView(array(col(column).cast("string")), seqCol, Some(column))
   }
 }
 

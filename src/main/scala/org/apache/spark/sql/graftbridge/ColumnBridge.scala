@@ -10,4 +10,45 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  import org.apache.spark.sql.internal.{ColumnNode, Literal, UnresolvedAttribute, UnresolvedFunction}
+
+  /** The "and"-split conjuncts of a boolean filter Column. Spark 4
+    * Columns are lazy [[ColumnNode]] trees (`private[sql]`), so the
+    * decomposition has to live in this bridge — `&&` is the node
+    * `UnresolvedFunction("and", …)`, not a Catalyst `And`. */
+  def conjuncts(c: Column): Seq[Column] = {
+    def go(n: ColumnNode): Seq[ColumnNode] = n match {
+      case f: UnresolvedFunction if f.functionName == "and" => f.arguments.flatMap(go)
+      case other => Seq(other)
+    }
+    go(c.node).map(n => Column(n))
+  }
+
+  /** If the filter Column is `attr = literal`, `literal = attr` or
+    * `attr IN (literals…)`, return (attribute name, literal values) —
+    * the shape a secondary index can serve. Null literals are dropped
+    * (`x = NULL` / `IN (NULL)` never select a row). */
+  def eqInOnAttribute(c: Column): Option[(String, Seq[Any])] = {
+    def attr(n: ColumnNode): Option[String] = n match {
+      case a: UnresolvedAttribute => Some(a.nameParts.mkString("."))
+      case _ => None
+    }
+    def lit(n: ColumnNode): Option[Any] = n match {
+      case l: Literal => Some(l.value)
+      case _ => None
+    }
+    c.node match {
+      case f: UnresolvedFunction if f.functionName == "=" && f.arguments.size == 2 =>
+        val Seq(x, y) = f.arguments
+        attr(x).zip(lit(y)).orElse(attr(y).zip(lit(x)))
+          .map { case (a, v) => (a, Seq(v).filter(_ != null)) }
+      case f: UnresolvedFunction if f.functionName == "in" && f.arguments.size >= 2 =>
+        attr(f.arguments.head).flatMap { a =>
+          val vs = f.arguments.tail.map(lit)
+          if (vs.forall(_.isDefined)) Some((a, vs.flatten.filter(_ != null))) else None
+        }
+      case _ => None
+    }
+  }
 }

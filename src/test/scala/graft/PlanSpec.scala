@@ -161,6 +161,22 @@ class PlanSpec extends SparkSpec {
       s"corpus-side signatures must come from storage, not recompute:\n${s.take(3000)}")
   }
 
+  test("query index selection reads the posting table, not the full log") {
+    val s = planString(run("q_query_indexed"))
+    // the equality conjunct was satisfied by the index lookup: the log
+    // read carries a pushed seq-membership predicate (row-group skipping,
+    // the point-get path) and never mentions event_type at all
+    assert(s.contains("In(event_id"),
+      s"expected the inlined seq list pushed to the events scan:\n${s.take(3000)}")
+    // the indexed column is neither read (pruned from ReadSchema) nor
+    // filtered (no 'purchase' literal anywhere in the executed plan) —
+    // it only survives in the logical Relation's full attribute list
+    assert(!s.contains("event_type:string"),
+      s"the indexed column must be pruned from the parquet read:\n${s.take(3000)}")
+    assert(!s.contains("purchase"),
+      s"the equality must be served by the index, not a scan filter:\n${s.take(3000)}")
+  }
+
   test("embedding near-dup joins on capped band keys, never the raw signature") {
     val df = graft.ops.Dedup.embeddingNearDup(
       spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding"),

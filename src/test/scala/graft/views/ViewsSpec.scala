@@ -118,6 +118,29 @@ class ViewsSpec extends SparkSpec {
     assert(agg.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("a", 13L), ("b", 3L), ("c", 1L)))
   }
 
+  test("Query index selection: equality and isin served by a mounted column index") {
+    val (_, db) = db2()
+    db.use("byTag", IndexView.onColumn("tag"))
+    append(db, (5L, "a"), (3L, "b"), (8L, "a"), (1L, "c"), (9L, "b"))
+    def key(r: Row) = (r.getLong(0), r.getLong(1))
+    val plain = Query().where(col("tag") === "a" && col("foo") > 4)
+      .select(col("seq"), col("foo")).orderBy(col("seq"))
+    assert(plain.run(db).collect().map(key).toSeq === plain.run(db.mapped).collect().map(key).toSeq)
+    // isin conjunct; also exercise the semi-join fallback (maxInline = 1)
+    val multi = Query().where(col("tag").isin("a", "b"))
+      .select(col("seq"), col("foo")).orderBy(col("seq"))
+    assert(multi.run(db).collect().map(key).toSeq === multi.run(db.mapped).collect().map(key).toSeq)
+    assert(multi.run(db, maxInline = 1).collect().map(key).toSeq
+      === multi.run(db.mapped).collect().map(key).toSeq)
+    // no matching key → empty, not an error
+    assert(Query().where(col("tag") === "zzz").run(db).collect().isEmpty)
+    // a db with no index on the column falls back to the plain scan
+    val (_, db2_) = db2()
+    append(db2_, (5L, "a"), (3L, "b"))
+    assert(Query().where(col("tag") === "a").select(col("seq")).run(db2_)
+      .collect().map(_.getLong(0)).toSeq === Seq(0L))
+  }
+
   test("SQL surface: log and relational views queryable via spark.sql") {
     val (_, db) = db2()
     db.use("idx", IndexView(array(col("tag"))))
