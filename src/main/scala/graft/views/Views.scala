@@ -351,12 +351,15 @@ final class SearchView(textCol: String, seqCol: String) extends FrameView {
     state.map(_.where(col("term") === lit(term)).select("seq").distinct().orderBy("seq"))
       .getOrElse(throw new IllegalStateException("search index empty"))
 
-  /** AND-query: seqs containing every term. Distinct (term,seq) postings
-    * make count(distinct term) == nTerms the intersection test — one
-    * shuffle, no N-way self-join. */
+  /** AND-query: seqs containing every term. Postings are distinct
+    * (term, seq) pairs BY CONSTRUCTION (array_distinct per doc, one log
+    * entry per seq), so the intersection test is a plain count == nTerms
+    * — one map-side-combined shuffle, no N-way self-join, and no
+    * count-distinct Expand (which doubled the query's cost in the r5
+    * bench). */
   def searchAll(terms: Seq[String]): DataFrame =
-    state.map(_.where(col("term").isin(terms: _*))
-        .groupBy("seq").agg(countDistinct("term").as("nt"))
+    state.map(_.where(col("term").isin(terms.distinct: _*))
+        .groupBy("seq").agg(count(lit(1)).as("nt"))
         .where(col("nt") === terms.distinct.size).select("seq").orderBy("seq"))
       .getOrElse(throw new IllegalStateException("search index empty"))
 }

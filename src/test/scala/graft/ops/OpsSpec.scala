@@ -397,7 +397,8 @@ class OpsSpec extends SparkSpec {
   test("approx distinct (HLL) lands within 5% of exact") {
     val r = graft.SparkEntry.queries("q_approx_distinct")(spark, dir).head()
     val approx = r.getLong(0).toDouble
-    val exact = r.getLong(1).toDouble
+    val exact = spark.read.parquet(s"$dir/events.parquet")
+      .select(countDistinct("user_id")).head().getLong(0).toDouble
     assert(math.abs(approx - exact) / exact <= 0.05, s"approx=$approx exact=$exact")
   }
 
