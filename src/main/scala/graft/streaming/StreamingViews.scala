@@ -15,7 +15,8 @@ final class StreamingViewRunner(
     log: FlumeLog,
     view: FlumeView,
     mapper: Option[DataFrame => DataFrame] = None,
-    checkpointDir: Option[String] = None) {
+    checkpointDir: Option[String] = None,
+    viewVersion: Int = 1) {
 
   private val seqCol = log.seqCol
 
@@ -27,6 +28,12 @@ final class StreamingViewRunner(
     // present, wins (initial offsets are only consulted before the first
     // commit) and is an optimization, not a correctness requirement —
     // losing it no longer replays the log into a durable view.
+    //
+    // The checkpoint location is namespaced by the view VERSION: a
+    // version bump wipes the view back to since = -1, and a stale
+    // checkpoint whose committed offset is past the regressed cursor
+    // would silently skip every seq ≤ that offset. A new version ⇒ a
+    // fresh checkpoint ⇒ the stream reseeks to the (wiped) view cursor.
     val base = log.readStreamFrom(view.since)
     val src = mapper.fold(base)(f => f(base))
     var w = src.writeStream
@@ -35,10 +42,17 @@ final class StreamingViewRunner(
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
           val upto = batch.agg(max(col(seqCol))).head().getLong(0)
-          view.absorb(batch, upto)
+          // foreachBatch is at-least-once: a crash between a durable
+          // absorb and the checkpoint commit replays the same batch on
+          // restart. The replayed batch spans the identical seq interval,
+          // so upto ≤ view.since detects it — skipping makes recovery
+          // exactly-once for merge-style views (reduce/bloom/sketch)
+          // whose absorb is not idempotent, not just the delta-protocol
+          // views (hashtable/index) whose batch=<upto> overwrite is.
+          if (upto > view.since) view.absorb(batch, upto)
         }
       }
-    checkpointDir.foreach(d => w = w.option("checkpointLocation", d))
+    checkpointDir.foreach(d => w = w.option("checkpointLocation", s"$d/v$viewVersion"))
     w.start()
   }
 

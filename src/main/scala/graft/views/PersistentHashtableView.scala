@@ -37,16 +37,27 @@ final class PersistentHashtableView(
       case None                             => ()
     }
     pruneOrphans()
-    // compact crash recovery: a death between "old deltas deleted" and
-    // "base moved in" leaves zero committed deltas and a COMPLETE
-    // compact.tmp (the deletes only start after its write returned) —
-    // adopt it; in every other interleaving tmp is garbage and the next
-    // compact() clears it.
+    // compact crash recovery: once the cursor marker exists, compact.tmp
+    // is the COMPLETE merge of all committed deltas at the (unchanged)
+    // manifest cursor — the deletes may have stopped anywhere, leaving a
+    // PARTIAL delta set that would silently lose keys if read. Adopt the
+    // tmp in every such interleaving: delete whatever deltas remain,
+    // move tmp in. Without the marker (death mid-write of tmp, or tmp
+    // from a compact whose cursor has since moved on under an old
+    // binary) tmp is garbage: leave the intact deltas and let the next
+    // compact() clear it.
     locally {
       val tmp = root.resolve("compact.tmp")
-      if (sinceSeq >= 0 && batchDirs(all = false).isEmpty &&
-          Files.exists(tmp.resolve("_SUCCESS")))
+      val marker = root.resolve("compact.cursor")
+      val markerCursor =
+        if (Files.exists(marker)) scala.util.Try(Files.readString(marker).trim.toLong).toOption
+        else None
+      if (sinceSeq >= 0 && markerCursor.contains(sinceSeq) &&
+          Files.exists(tmp.resolve("_SUCCESS"))) {
+        batchDirs(all = false).foreach(p => FsLists.walkDeepestFirst(p).foreach(Files.delete))
         Files.move(tmp, root.resolve(s"batch=$sinceSeq"))
+        Files.delete(marker)
+      } else if (markerCursor.isDefined) Files.delete(marker)
     }
   }
 
@@ -102,20 +113,25 @@ final class PersistentHashtableView(
 
   /** Collapse all committed deltas into one base delta at the current
     * cursor — the compacted-topic rewrite. Protocol: write the merged
-    * base under `compact.tmp`, delete the old deltas, move the base to
-    * `batch=<cursor>`. The manifest cursor never moves, and the one
-    * dangerous interleaving (death after the deletes, before the move)
-    * is recovered at open by adopting the complete tmp (see the
-    * constructor), so readers see either the old deltas or the base in
-    * every crash window. */
+    * base under `compact.tmp`, commit it with the `compact.cursor`
+    * marker, delete the old deltas, move the base to `batch=<cursor>`.
+    * The manifest cursor never moves; a death anywhere after the marker
+    * lands is recovered at open by adopting the complete tmp over
+    * whatever deltas remain (see the constructor), and a death before it
+    * leaves every delta intact — so readers see either the old deltas or
+    * the base in EVERY crash window, never a partial delta set. */
   def compact(): Unit = {
     val dirs = batchDirs(all = false)
     if (dirs.size <= 1) return
     val tmp = root.resolve("compact.tmp")
+    val marker = root.resolve("compact.cursor")
+    if (Files.exists(marker)) Files.delete(marker)
     if (Files.exists(tmp)) FsLists.walkDeepestFirst(tmp).foreach(Files.delete)
     frame.write.parquet(tmp.toString)
+    Files.writeString(marker, sinceSeq.toString) // tmp is now the commit point
     dirs.foreach(p => FsLists.walkDeepestFirst(p).foreach(Files.delete))
     Files.move(tmp, root.resolve(s"batch=$sinceSeq"))
+    Files.delete(marker)
   }
 
   def destroy(): Unit = {

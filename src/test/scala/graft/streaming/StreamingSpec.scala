@@ -285,6 +285,74 @@ class StreamingSpec extends SparkSpec {
     } finally r2.stop()
   }
 
+  test("replayed micro-batch after crash-before-commit is absorbed exactly once") {
+    import graft.views.PersistentReduceView
+    val logDir = java.nio.file.Files.createTempDirectory("graft-rlog").toString
+    val viewDir = java.nio.file.Files.createTempDirectory("graft-rview").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rckpt").toString
+    def mkView() = new PersistentReduceView[Long](s"$viewDir/sum", 1,
+      df => df.agg(sum("foo")).head().getLong(0), _ + _, _.toString, _.toLong)
+
+    val log1 = new ParquetLog(spark, logDir, schema)
+    log1.appendRows(Seq(Row(10L), Row(20L)))
+    val view1 = mkView()
+    val r1 = new StreamingViewRunner(log1, view1, checkpointDir = Some(ckpt))
+    try { r1.awaitParity(); assert(view1.value === Some(30L)) } finally r1.stop()
+
+    // crash window: the absorb durably committed (VALUE file written)
+    // but the checkpoint commit was lost — foreachBatch will REPLAY the
+    // same seq interval on restart, and a merge-style absorb would
+    // double-count it without the upto ≤ since guard
+    val commits = new java.io.File(s"$ckpt/v1/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit))
+    assert(commits.nonEmpty)
+    val latest = commits.maxBy(_.getName.toInt)
+    // also drop the local-FS checksum sidecar, or the replayed commit's
+    // atomic rename trips over it
+    new java.io.File(latest.getParent, s".${latest.getName}.crc").delete()
+    assert(latest.delete())
+
+    val log2 = new ParquetLog(spark, logDir, schema)
+    val view2 = mkView()
+    assert(view2.value === Some(30L), "durable state must survive the crash")
+    val r2 = new StreamingViewRunner(log2, view2, checkpointDir = Some(ckpt))
+    try {
+      r2.awaitParity()
+      assert(view2.value === Some(30L), "replayed batch must not double-count")
+      log2.appendRows(Seq(Row(5L))) // genuinely new data still flows
+      r2.awaitParity()
+      assert(view2.value === Some(35L))
+    } finally r2.stop()
+  }
+
+  test("version bump with a reused checkpoint dir rebuilds from the wiped cursor") {
+    import graft.views.PersistentReduceView
+    val logDir = java.nio.file.Files.createTempDirectory("graft-vlog").toString
+    val viewDir = java.nio.file.Files.createTempDirectory("graft-vview").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-vckpt").toString
+    def mkView(version: Int) = new PersistentReduceView[Long](s"$viewDir/sum", version,
+      df => df.agg(sum("foo")).head().getLong(0), _ + _, _.toString, _.toLong)
+
+    val log1 = new ParquetLog(spark, logDir, schema)
+    log1.appendRows(Seq(Row(1L), Row(2L)))
+    val v1 = mkView(1)
+    val r1 = new StreamingViewRunner(log1, v1, checkpointDir = Some(ckpt), viewVersion = 1)
+    try { r1.awaitParity(); assert(v1.value === Some(3L)) } finally r1.stop()
+
+    // version bump wipes the view to since = -1; with an UN-namespaced
+    // checkpoint the old committed offset would pin the stream past the
+    // regressed cursor and the rebuild would silently miss every seq
+    val v2 = mkView(2)
+    assert(v2.since === -1L, "version bump must wipe the durable view")
+    val log2 = new ParquetLog(spark, logDir, schema)
+    val r2 = new StreamingViewRunner(log2, v2, checkpointDir = Some(ckpt), viewVersion = 2)
+    try {
+      r2.awaitParity()
+      assert(v2.value === Some(3L), "rebuild must re-deliver every seq from the wiped cursor")
+      assert(v2.since === 1L)
+    } finally r2.stop()
+  }
+
   test("stream(live=true) routes through the streaming source with range bounds") {
     val log = new MemoryLog(spark, schema)
     log.appendRows(Seq(Row(1L), Row(2L), Row(3L)))

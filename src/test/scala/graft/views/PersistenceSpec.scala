@@ -125,15 +125,39 @@ class PersistenceSpec extends SparkSpec {
     assert(v2.get(1L).head().getString(2) === "a2")
     assert(v2.frame.count() === 2L)
 
-    // crash window: simulate death between the deletes and the move —
-    // base left in compact.tmp, no committed deltas; open must adopt it
+    // crash window A: death between the deletes and the move — base left
+    // in compact.tmp with the cursor marker committed, no committed
+    // deltas; open must adopt it
     val root = java.nio.file.Paths.get(s"$viewDir/ht")
     java.nio.file.Files.move(root.resolve("batch=2"), root.resolve("compact.tmp"))
+    java.nio.file.Files.writeString(root.resolve("compact.cursor"), "2")
     val db3 = new FlumeDb(new ParquetLog(spark, logDir, kvSchema))
     db3.use("ht", PersistentHashtableView(viewDir, "k"))
     val v3 = db3.view("ht").view.asInstanceOf[PersistentHashtableView]
     assert(v3.since === 2L)
     assert(v3.get(1L).head().getString(2) === "a2", "open must adopt the complete compact.tmp")
+
+    // crash window B: death PARTWAY through the deletes — marker + tmp
+    // complete, a PARTIAL delta set remains on disk. Reading the partial
+    // set would silently lose keys whose latest lived in a deleted
+    // delta; open must adopt the tmp instead.
+    db3.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "a3"))), kvSchema)) // delta batch=3
+    assert(v3.since === 3L)
+    v3.frame.write.parquet(root.resolve("compact.tmp").toString) // what compact() writes
+    java.nio.file.Files.writeString(root.resolve("compact.cursor"), "3")
+    // the crash deleted batch=2 (which held key 2's only record) but not batch=3
+    graft.views.FsLists.walkDeepestFirst(root.resolve("batch=2")).foreach(java.nio.file.Files.delete)
+    val db4 = new FlumeDb(new ParquetLog(spark, logDir, kvSchema))
+    db4.use("ht", PersistentHashtableView(viewDir, "k"))
+    val v4 = db4.view("ht").view.asInstanceOf[PersistentHashtableView]
+    assert(v4.since === 3L)
+    assert(v4.get(2L).head().getString(2) === "b",
+      "adopting the tmp must recover the key whose latest lived in a deleted delta")
+    assert(v4.get(1L).head().getString(2) === "a3")
+    val dirs4 = new java.io.File(s"$viewDir/ht").listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).sorted
+    assert(dirs4.toSeq === Seq("batch=3"), s"tmp adopted as the single base, got ${dirs4.toSeq}")
   }
 
   test("persistent bloom view: sketch survives reopen; version bump rebuilds") {
