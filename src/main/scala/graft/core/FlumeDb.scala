@@ -112,12 +112,44 @@ final class FlumeDb(
       * THIS, not for log parity. */
     @volatile var loaded: Boolean = false
     def since: Long = view.since
+
+    private val sinceListeners =
+      new java.util.concurrent.CopyOnWriteArrayList[Long => Unit]()
+    @volatile private var lastEmitted: Long = Long.MinValue
+
+    /** View-level `since` observable — `sv.since(fn)` as the reference's
+      * wrap layer consumes it (`/root/reference/wrap.js:17-20`): fires
+      * after every completed sync with the view's cursor; on subscribe,
+      * fires immediately iff the view has loaded (obz `once` semantics —
+      * the observable has no value until first emission, `wrap.js:37-41`).
+      * Returns an unsubscribe thunk. */
+    def onSince(fn: Long => Unit): () => Unit = {
+      sinceListeners.add(fn)
+      if (loaded) fn(view.since)
+      () => { sinceListeners.remove(fn); () }
+    }
+
+    private[core] def emitSince(): Unit = {
+      val v = view.since
+      if (v != lastEmitted) {
+        lastEmitted = v
+        val it = sinceListeners.iterator()
+        while (it.hasNext) it.next()(v)
+      }
+    }
   }
 
   private def throwIfClosed(): Unit =
     if (closed) throw new ClosedException("flumedb: closed")
 
   def since: Long = log.since
+
+  /** Subscription form of the cursor — the reference surfaces the log's
+    * obz observable directly as `db.since`
+    * (`/root/reference/index.js:142`, `README.md:135-140`): `fn` fires now
+    * with the current value and after every committed append. Returns an
+    * unsubscribe thunk. */
+  def onSince(fn: Long => Unit): () => Unit = { throwIfClosed(); log.onSince(fn) }
 
   /** The mapped log frame — all reads and view builds compose on this. */
   def mapped: DataFrame = mapper.fold(log.read)(f => f(log.read))
@@ -215,6 +247,7 @@ final class FlumeDb(
       }
     }
     lock.lock(); try { m.loaded = true; parity.signalAll() } finally lock.unlock()
+    m.emitSince()
   }
 
   private def syncViews(): Unit = {

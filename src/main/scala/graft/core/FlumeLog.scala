@@ -104,6 +104,37 @@ trait FlumeLog {
 
   def close(): Unit = ()
 
+  // ---- since observable -------------------------------------------------
+  // The reference's `log.since` is an obz observable surfaced directly as
+  // `db.since` (`/root/reference/index.js:142`, `README.md:135-140`):
+  // subscribing emits the current value immediately and again on every
+  // change, and returns an unsubscribe thunk. Restated here as a plain
+  // callback list on the driver-side control plane (cursor changes are
+  // driver events; no data-plane cost).
+  private[this] val sinceListeners =
+    new java.util.concurrent.CopyOnWriteArrayList[Long => Unit]()
+  @volatile private[this] var lastEmitted: Long = Long.MinValue
+
+  /** Subscribe to cursor changes: `fn` fires now with the current `since`
+    * and after every committed append. Returns an unsubscribe thunk. */
+  def onSince(fn: Long => Unit): () => Unit = {
+    sinceListeners.add(fn)
+    fn(since)
+    () => { sinceListeners.remove(fn); () }
+  }
+
+  /** Implementations call this after a committed append advances `since`.
+    * De-dupes on value (obz emits on change), so calling it defensively
+    * after a zero-row append is safe. */
+  protected final def emitSince(): Unit = {
+    val v = since
+    if (v != lastEmitted) {
+      lastEmitted = v
+      val it = sinceListeners.iterator()
+      while (it.hasNext) it.next()(v)
+    }
+  }
+
   /** Extra methods a log implementation exports, surfaced on the db —
     * the log-method passthrough (`/root/reference/index.js:270-283`). */
   def methods: Map[String, Seq[Any] => Any] = Map.empty
@@ -313,7 +344,11 @@ final class ParquetLog(
     else {
       val d = new java.io.File(dir)
       if (!d.exists()) d.mkdirs()
-      ParquetLog.markLiveTail(dir)
+      // no compaction fence: this source plans by seq intervals against
+      // the directory's current files (listing is atomic with compact's
+      // swap via the log monitor, and readers re-resolve their interval
+      // if a planned file was rewritten), so a live tail and compact()
+      // coexist — every seq is still delivered exactly once
       val id = graft.streaming.LogStreamRegistry.register(this)
       spark.readStream.format("graft.streaming.LogStreamProvider")
         .option("logId", id).option("startSeq", gt.toString).load()
@@ -370,6 +405,7 @@ final class ParquetLog(
             .write.partitionBy(bucketCol).mode("append").parquet(dir)
         else withSeq.write.mode("append").parquet(dir)
         cursor = base + n
+        emitSince()
       }
       cursor
     } finally rows.unpersist(blocking = false)
@@ -386,16 +422,22 @@ final class ParquetLog(
     * `seq_bucket=N/` with one file per bucket-task. Runs under the
     * single-writer lock; readers planned BEFORE the swap must be re-read
     * (same contract as any table rewrite — at cluster scale this is a
-    * per-bucket rewrite with an atomic manifest flip). Refuses to run
-    * once a live tail has been started on this log: the file streaming
-    * source tracks processed files by name, so rewritten files would be
-    * re-delivered to the stream as new data. */
+    * per-bucket rewrite with an atomic manifest flip).
+    *
+    * Coexists with the default seq-offset live tail ([[readStream]]):
+    * that source plans each micro-batch by seq interval under this same
+    * monitor and its readers re-resolve a rewritten file's interval, so
+    * every seq is delivered exactly once across the rewrite. Only the
+    * file-granular fallback tail ([[readStreamFiles]]) still fences
+    * compaction: the file streaming source tracks processed files by
+    * name, so rewritten files would be re-delivered as duplicates. */
   def compact(targetFileBytes: Long = 128L * 1024 * 1024): Unit = synchronized {
     if (ParquetLog.liveTailStarted(dir))
       throw new IllegalStateException(
-        s"compact: a live tail (readStream) was started on $dir; compacting would " +
-          "re-deliver every rewritten file to the stream as duplicates. Stop the " +
-          "stream before compacting in a fresh process.")
+        s"compact: a file-granular live tail (readStreamFiles) was started on $dir; " +
+          "compacting would re-deliver every rewritten file to that stream as " +
+          "duplicates. Stop the stream before compacting in a fresh process. " +
+          "(The default seq-offset tail does not fence compaction.)")
     if (cursor < 0) return
     val root = new java.io.File(dir)
     val tmp = new java.io.File(dir + ".compacting")
@@ -422,13 +464,15 @@ final class ParquetLog(
 }
 
 object ParquetLog {
-  /** Directories with a live tail planned THIS JVM — sticky for the
-    * process lifetime, because the file streaming source tracks
-    * processed files by name (a compact's rewritten files would be
-    * re-delivered as duplicates, even to a query started from another
-    * `ParquetLog` instance on the same dir). Keyed by canonical path so
-    * a second instance cannot sidestep the guard; cross-process tails
-    * are outside the guard and covered by the single-writer contract. */
+  /** Directories with a FILE-GRANULAR live tail ([[ParquetLog.readStreamFiles]])
+    * planned THIS JVM — sticky for the process lifetime, because the file
+    * streaming source tracks processed files by name (a compact's
+    * rewritten files would be re-delivered as duplicates, even to a query
+    * started from another `ParquetLog` instance on the same dir). The
+    * default seq-offset tail is compaction-safe and does not mark here.
+    * Keyed by canonical path so a second instance cannot sidestep the
+    * guard; cross-process tails are outside the guard and covered by the
+    * single-writer contract. */
   private val liveTailDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def canonical(dir: String): String =
@@ -510,6 +554,7 @@ final class JsonLinesLog(
         }
         spark.createDataFrame(stamped, fullSchema).write.mode("append").json(dir)
         cursor = base + n
+        emitSince()
       }
       cursor
     } finally rows.unpersist(blocking = false)
@@ -555,11 +600,13 @@ class MemoryLog(
 
   def appendRows(rows: Seq[Row]): Long = synchronized {
     rows.foreach { r => buf += Row.fromSeq(buf.size.toLong +: r.toSeq) }
+    emitSince()
     buf.size.toLong - 1
   }
 
   def appendValues(values: Seq[Seq[Any]]): Long = synchronized {
     values.foreach { v => buf += Row.fromSeq(buf.size.toLong +: v) }
+    emitSince()
     buf.size.toLong - 1
   }
 }

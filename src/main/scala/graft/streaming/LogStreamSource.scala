@@ -213,20 +213,43 @@ class ParquetLogMicroBatchStream(
     val gt = start.asInstanceOf[SeqOffset].seq
     val lte = end.asInstanceOf[SeqOffset].seq
     if (lte <= gt) return Array.empty
-    listParquet(new java.io.File(log.dir), gt + 1, lte)
-      .map(_.getPath)
-      .filter(p => bounds(p).exists { case (lo, hi) => hi > gt && lo <= lte })
-      .sorted
-      .map(p => ParquetSlicePartition(p, gt, lte): InputPartition)
-      .toArray
+    // Atomic w.r.t. compact()'s directory swap: compact holds the log
+    // monitor across rewrite + rename, so a listing taken under the same
+    // monitor sees the pre-compact layout or the post-compact layout,
+    // never the empty mid-swap gap (which would silently plan zero rows
+    // for a committed offset range — data loss).
+    log.synchronized {
+      listParquet(new java.io.File(log.dir), gt + 1, lte)
+        .map(_.getPath)
+        .flatMap { p =>
+          bounds(p).collect { case (lo, hi) if hi > gt && lo <= lte =>
+            // clip the batch interval to THIS file's footer range: log
+            // files carry pairwise-disjoint seq ranges, so the clipped
+            // intervals partition the batch — and if compaction deletes
+            // the file before the task runs, the reader re-resolves
+            // exactly its own share from the rewritten layout with no
+            // overlap against sibling partitions
+            val gtEff = if (lo == Long.MinValue || lo - 1 < gt) gt else lo - 1
+            val lteEff = math.min(lte, hi)
+            ParquetSlicePartition(p, gtEff, lteEff, log.dir)
+          }
+        }
+        .sortBy(_.gt)
+        .map(p => p: InputPartition)
+        .toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ParquetSliceReaderFactory(schema, log.seqCol)
 }
 
-/** One parquet file's slice of a micro-batch: rows with seq ∈ (gt, lte]. */
-case class ParquetSlicePartition(file: String, gt: Long, lte: Long) extends InputPartition
+/** One parquet file's slice of a micro-batch: rows with seq ∈ (gt, lte],
+  * where (gt, lte] is already clipped to the file's footer seq range.
+  * `dir` is the log root, carried so the reader can re-resolve its
+  * interval if a compaction rewrote the layout after planning. */
+case class ParquetSlicePartition(file: String, gt: Long, lte: Long, dir: String)
+    extends InputPartition
 
 class ParquetSliceReaderFactory(schema: StructType, seqCol: String) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -237,7 +260,15 @@ class ParquetSliceReaderFactory(schema: StructType, seqCol: String) extends Part
 
 /** Executor-side parquet decode of one file with a pushed seq-range
   * filter (row groups skipped by min/max stats, records filtered by the
-  * predicate) — the reader never materializes out-of-range rows. */
+  * predicate) — the reader never materializes out-of-range rows.
+  *
+  * Compaction resilience: the planned file is the fast path. If a
+  * [[graft.core.ParquetLog.compact]] rewrote the log between planning
+  * and execution the file is gone but its rows are not — the partition's
+  * clipped (gt, lte] interval is re-resolved against the log directory's
+  * CURRENT files. Planned partitions carry disjoint intervals, so the
+  * fallback neither duplicates nor drops records, which is what lets a
+  * live tail and compaction coexist. */
 class ParquetSliceReader(part: ParquetSlicePartition, schema: StructType, seqCol: String)
     extends PartitionReader[InternalRow] {
   import org.apache.parquet.filter2.compat.FilterCompat
@@ -248,24 +279,46 @@ class ParquetSliceReader(part: ParquetSlicePartition, schema: StructType, seqCol
     FilterApi.gt(FilterApi.longColumn(seqCol), java.lang.Long.valueOf(part.gt)),
     FilterApi.ltEq(FilterApi.longColumn(seqCol), java.lang.Long.valueOf(part.lte)))
 
-  @SuppressWarnings(Array("deprecation"))
-  private val reader = org.apache.parquet.hadoop.ParquetReader
-    .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
-      new org.apache.hadoop.fs.Path(part.file))
-    .withConf(new org.apache.hadoop.conf.Configuration())
-    .withFilter(FilterCompat.get(pred))
-    .build()
+  private def open(path: String): org.apache.parquet.hadoop.ParquetReader[Group] =
+    org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(path))
+      .withConf(new org.apache.hadoop.conf.Configuration())
+      .withFilter(FilterCompat.get(pred))
+      .build()
 
+  private var paths: List[String] = List(part.file)
+  private var fellBack = false
+  private var reader: org.apache.parquet.hadoop.ParquetReader[Group] = null
   private var row: Group = _
 
+  /** Open the next file, falling back to interval re-resolution exactly
+    * once if the planned file vanished under a compaction. A fallback
+    * file vanishing too (a second compaction mid-read) fails the task;
+    * Spark's task retry re-resolves from scratch. */
+  private def advanceReader(): Boolean = paths match {
+    case p :: rest =>
+      paths = rest
+      if (reader != null) { reader.close(); reader = null }
+      try { reader = open(p); true }
+      catch {
+        case _: java.io.FileNotFoundException if !fellBack =>
+          fellBack = true
+          paths = ParquetSliceReader.resolveInterval(part.dir, seqCol, part.gt, part.lte)
+          advanceReader()
+      }
+    case Nil => false
+  }
+
   override def next(): Boolean = {
+    if (reader == null && !advanceReader()) return false
     row = reader.read()
     // parquet's record-level filter drops out-of-range rows already; the
     // loop guards against readers configured without record filtering
     while (row != null && {
       val s = row.getLong(seqIdx, 0); s <= part.gt || s > part.lte
     }) row = reader.read()
-    row != null
+    if (row == null) { if (advanceReader()) next() else false } else true
   }
 
   private lazy val seqIdx = schema.fieldIndex(seqCol)
@@ -273,7 +326,7 @@ class ParquetSliceReader(part: ParquetSlicePartition, schema: StructType, seqCol
   override def get(): InternalRow =
     InternalRow.fromSeq(schema.fields.indices.map(i => ParquetSliceReader.readField(row, i, schema.fields(i).dataType)))
 
-  override def close(): Unit = reader.close()
+  override def close(): Unit = if (reader != null) reader.close()
 }
 
 object ParquetSliceReader {
@@ -292,6 +345,41 @@ object ParquetSliceReader {
         s"seq-offset parquet source supports flat primitive payloads; column '${f.name}' is $other — " +
           "use ParquetLog.readStreamFiles (file streaming source) for nested payloads")
     }
+  }
+
+  /** Re-resolve a seq interval against a log directory's current files —
+    * the executor-side fallback when a planned file was deleted by a
+    * compaction between planning and execution. Lists the tree, keeps
+    * files whose footer range overlaps (gt, lte], in seq order. The
+    * interval's rows are known to exist (the offset was committed against
+    * a durable cursor), so an empty resolution can only be compact's
+    * two-rename swap window — retry briefly, then fail the task rather
+    * than silently drop records. */
+  def resolveInterval(dir: String, seqCol: String, gt: Long, lte: Long): List[String] = {
+    def walk(f: java.io.File): List[java.io.File] = {
+      val fs = f.listFiles()
+      if (fs == null) Nil
+      else fs.toList.flatMap {
+        case d if d.isDirectory =>
+          if (d.getName.startsWith("_") || d.getName.startsWith(".")) Nil else walk(d)
+        case p if p.getName.endsWith(".parquet") &&
+          !p.getName.startsWith(".") && !p.getName.startsWith("_") => List(p)
+        case _ => Nil
+      }
+    }
+    def attempt(): List[String] =
+      walk(new java.io.File(dir)).flatMap { p =>
+        try {
+          val (lo, hi) = seqBounds(p.getPath, seqCol)
+          if (hi > gt && lo <= lte) List((lo, p.getPath)) else Nil
+        } catch { case scala.util.control.NonFatal(_) => Nil } // file mid-commit: not ours
+      }.sortBy(_._1).map(_._2)
+    var out = attempt()
+    var tries = 0
+    while (out.isEmpty && tries < 20) { Thread.sleep(50); out = attempt(); tries += 1 }
+    if (out.isEmpty) throw new java.io.FileNotFoundException(
+      s"seq interval ($gt, $lte] unresolvable under $dir after compaction")
+    out
   }
 
   /** (min, max) of the seq column from the file footer — metadata only. */

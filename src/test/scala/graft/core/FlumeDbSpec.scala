@@ -297,4 +297,43 @@ class FlumeDbSpec extends SparkSpec {
       db.awaitView("sum", timeoutMs = 1500)
     }
   }
+
+  test("onSince: db cursor observable emits now and on every append (index.js:142)") {
+    val (_, db) = mkDb()
+    val seen = scala.collection.mutable.Buffer[Long]()
+    val unsub = db.onSince(seen += _)
+    assert(seen.toSeq === Seq(-1L), "subscribe emits the current value (obz)")
+    db.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(1L))), schema))
+    assert(seen.toSeq === Seq(-1L, 0L))
+    db.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(2L), Row(3L))), schema))
+    assert(seen.toSeq === Seq(-1L, 0L, 2L), "one emission per committed batch, at its final seq")
+    unsub()
+    db.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(4L))), schema))
+    assert(seen.size === 3, "unsubscribed listener must not fire")
+  }
+
+  test("view onSince drains queued waiters in seq order (wrap.js:17-20)") {
+    val (_, db) = mkDb()
+    db.use("stats", StatsReduceView("foo"))
+    val m = db.view("stats")
+    // Restate wrap.js's waiter queue on the callback surface: waiters are
+    // (seq, cb) sorted by seq; each since emission pops every waiter whose
+    // seq <= upto, in order.
+    val fired = scala.collection.mutable.Buffer[Long]()
+    val waiting = scala.collection.mutable.Queue(
+      0L -> (() => fired += 0L), 2L -> (() => fired += 2L), 5L -> (() => fired += 5L))
+    m.onSince { upto =>
+      while (waiting.nonEmpty && waiting.head._1 <= upto) waiting.dequeue()._2()
+    }
+    assert(fired.isEmpty, "view at since=-1: no waiter is due yet")
+    db.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(1L))), schema))
+    assert(fired.toSeq === Seq(0L), "since=0 drains exactly the seq<=0 waiter")
+    db.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(2L), Row(3L))), schema))
+    assert(fired.toSeq === Seq(0L, 2L), "since=2 drains the seq<=2 waiter; seq=5 still queued")
+    assert(waiting.nonEmpty && waiting.head._1 === 5L)
+    // a late subscriber on a loaded view gets the current value immediately
+    var late = -100L
+    m.onSince(late = _)
+    assert(late === 2L)
+  }
 }

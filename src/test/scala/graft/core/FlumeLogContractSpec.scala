@@ -255,12 +255,15 @@ class ParquetLogSpec extends FlumeLogContract {
     assert(reopened.read.count() === 2L, "compact discards the abandoned rewrite, not the data")
   }
 
-  test("compact refuses to run once a live tail was started — on any instance for the dir") {
+  test("compact fences the file-granular tail only; the seq-offset tail is compact-safe") {
     val log = mkLog().asInstanceOf[ParquetLog]
     log.appendRows(rows(1L, 2L, 3L))
-    log.readStream // plan a live tail; file source now tracks files by name
+    log.readStream // DEFAULT tail: seq-offset source, plans by seq intervals
+    log.compact()  // ...so compaction proceeds
+    assert(log.read.count() === 3L)
+    log.readStreamFiles // file source tracks processed files by name → fence
     val e = intercept[IllegalStateException](log.compact())
-    assert(e.getMessage.contains("live tail"))
+    assert(e.getMessage.contains("file-granular"))
     // the guard is per-directory, not per-instance: a fresh handle on the
     // same dir must refuse too (the running stream doesn't know about it)
     val second = new ParquetLog(spark, log.dir, payloadSchema)

@@ -83,11 +83,64 @@ class StreamingSpec extends SparkSpec {
     val files = parts.map(_.asInstanceOf[ParquetSlicePartition].file)
     assert(files.forall(f => f.contains("seq_bucket=1") || f.contains("seq_bucket=2")),
       s"bucket 0 must be pruned from the plan, got:\n${files.mkString("\n")}")
-    // readers deliver exactly the slice (start, end], in executor tasks
-    val ranges = parts.map(_.asInstanceOf[ParquetSlicePartition])
-    assert(ranges.forall(p => p.gt == 14L && p.lte == 24L))
+    // per-file intervals are clipped to footer bounds, pairwise disjoint,
+    // and chain to cover exactly (14, 24] — the invariant that makes the
+    // compaction fallback duplicate-free
+    val ranges = parts.map(_.asInstanceOf[ParquetSlicePartition]).sortBy(_.gt)
+    assert(ranges.forall(p => p.gt >= 14L && p.lte <= 24L))
+    val covered = ranges.foldLeft(14L) { (cursor, p) =>
+      assert(p.gt === cursor, s"intervals must chain without gap/overlap at $cursor"); p.lte
+    }
+    assert(covered === 24L, "clipped intervals must cover the whole batch")
     // empty interval plans nothing
     assert(stream.planInputPartitions(SeqOffset(24L), SeqOffset(24L)).isEmpty)
+  }
+
+  test("live tail and compact() coexist: every seq delivered exactly once across rewrites") {
+    val logDir = java.nio.file.Files.createTempDirectory("graft-ctail").toString
+    val plog = new ParquetLog(spark, logDir, schema)
+    plog.appendRows(Seq(Row(10L), Row(11L), Row(12L)))
+    val q = plog.readStream.writeStream
+      .format("memory").queryName("compact_tail").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      plog.compact(1024L * 1024) // seq-offset tail running: must NOT throw
+      plog.appendRows(Seq(Row(13L), Row(14L)))
+      q.processAllAvailable()
+      plog.compact(1024L * 1024) // and again between later batches
+      plog.appendRows(Seq(Row(15L)))
+      q.processAllAvailable()
+      val seqs = spark.sql("SELECT seq FROM compact_tail ORDER BY seq")
+        .collect().map(_.getLong(0)).toSeq
+      assert(seqs === (0L to 5L), s"exactly-once across compactions, got $seqs")
+    } finally q.stop()
+  }
+
+  test("planned file rewritten by compact: reader re-resolves its interval (no dupes/loss)") {
+    val logDir = java.nio.file.Files.createTempDirectory("graft-cfall").toString
+    val plog = new ParquetLog(spark, logDir, schema)
+    plog.appendRows(Seq(Row(10L), Row(11L)))
+    plog.appendRows(Seq(Row(12L), Row(13L)))
+    val stream = new ParquetLogMicroBatchStream(
+      LogStreamRegistry.register(plog), plog, plog.read.schema)
+    // plan against the pre-compact layout...
+    val parts = stream.planInputPartitions(SeqOffset(-1L), SeqOffset(3L))
+      .map(_.asInstanceOf[ParquetSlicePartition])
+    assert(parts.length >= 2)
+    // ...then compaction rewrites the directory before the tasks run
+    plog.compact()
+    assert(parts.exists(p => !new java.io.File(p.file).exists()),
+      "compact must have replaced the planned files for this test to bite")
+    val got = parts.flatMap { p =>
+      val r = new ParquetSliceReader(p, plog.read.schema, "seq")
+      try {
+        val buf = scala.collection.mutable.Buffer[Long]()
+        while (r.next()) buf += r.get().getLong(0)
+        buf
+      } finally r.close()
+    }
+    assert(got.sorted.toSeq === Seq(0L, 1L, 2L, 3L),
+      s"fallback must re-read each partition's exact interval, got ${got.sorted.toSeq}")
   }
 
   test("durable tail restart from checkpoint is record-precise (delta only)") {
