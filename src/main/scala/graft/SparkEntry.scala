@@ -936,6 +936,24 @@ object SparkEntry {
       // true encode→decode round trip without ever touching the bytes
       Multimodal.imageStats(Multimodal.syntheticPngMedia(t(s, dir, "documents")))
         .orderBy("media_id")),
+    "q_image_jpeg" -> ((s, dir) =>
+      // the LOSSY codec end-to-end: JDK-encoded JPEGs decode back through
+      // the same partition-batched path; dimensions and pixel count
+      // survive the codec bit-exactly (the oracle recomputes them from
+      // the generator), pixel sums are tolerance-checked in OpsSpec
+      Multimodal.imageStats(Multimodal.syntheticJpegMedia(t(s, dir, "documents")))
+        .select(col("media_id"), col("width"), col("height"), col("n_pixels"))
+        .orderBy("media_id")),
+    "q_image_resize" -> ((s, dir) =>
+      // REAL resize kernel end-to-end: 16x16 gray PNGs -> center-aligned
+      // bilinear 2x downscale (exactly the integer 4-neighbor average at
+      // ratio 2, so DuckDB replays it from the generator formula) -> PNG
+      // re-encode -> decode -> exact integer stats
+      Multimodal.imageStats(
+          Multimodal.resize(
+            Multimodal.syntheticPngMedia(t(s, dir, "documents"), fixedW = 16, fixedH = 16),
+            targetW = 8, targetH = 8))
+        .orderBy("media_id")),
     "q_frame_sample" -> ((s, dir) =>
       // fully oracle-backed: the fixture text is ASCII, so byte-chunking
       // the binary payload == char-chunking the text in DuckDB, and md5
@@ -1479,6 +1497,18 @@ object SparkEntry {
       ("WITH ids AS (SELECT doc_id AS media_id, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h FROM documents WHERE doc_id % 3 = 0) " +
         "SELECT media_id, w::BIGINT AS width, h::BIGINT AS height, (w * h)::BIGINT AS n_pixels, " +
         "list_sum(flatten(list_transform(generate_series(0, h - 1), yy -> list_transform(generate_series(0, w - 1), xx -> (media_id * 31 + 7 * xx + 13 * yy) % 256))))::BIGINT AS sum_lum " +
+        "FROM ids ORDER BY media_id"),
+    "q_image_jpeg" ->
+      ("WITH ids AS (SELECT doc_id AS media_id, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h FROM documents WHERE doc_id % 3 = 1) " +
+        "SELECT media_id, w::BIGINT AS width, h::BIGINT AS height, (w * h)::BIGINT AS n_pixels FROM ids ORDER BY media_id"),
+    "q_image_resize" ->
+      // bilinear at exactly 2x = integer 4-neighbor average of the
+      // generator pixels: (p(2x,2y)+p(2x+1,2y)+p(2x,2y+1)+p(2x+1,2y+1)+2)//4
+      ("WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 0) " +
+        "SELECT media_id, 8::BIGINT AS width, 8::BIGINT AS height, 64::BIGINT AS n_pixels, " +
+        "list_sum(flatten(list_transform(generate_series(0, 7), yy -> list_transform(generate_series(0, 7), xx -> " +
+        "((media_id * 31 + 7 * (2 * xx) + 13 * (2 * yy)) % 256 + (media_id * 31 + 7 * (2 * xx + 1) + 13 * (2 * yy)) % 256 + " +
+        "(media_id * 31 + 7 * (2 * xx) + 13 * (2 * yy + 1)) % 256 + (media_id * 31 + 7 * (2 * xx + 1) + 13 * (2 * yy + 1)) % 256 + 2) // 4))))::BIGINT AS sum_lum " +
         "FROM ids ORDER BY media_id"),
     "q_frame_sample" ->
       ("WITH v AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2), " +

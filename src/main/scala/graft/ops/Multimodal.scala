@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing — schema, batching, partition-parallel
   * extraction via `mapPartitions` on the binary column — is real and
-  * tested. The media decode itself is STUBBED with a deterministic fake
-  * (this container has no image/audio codecs); `decodeStub` is the single
-  * marked seam where a real decoder (JNI ffmpeg/libjpeg, or a Python
-  * worker via Arrow batches) plugs in. At cluster scale the binary column
-  * rides Parquet's binary encoding and never passes through the driver.
+  * tested, and so is the IMAGE path: PNG/JPEG/BMP/GIF decode via
+  * `javax.imageio` (public JDK, no native deps) and resizing via our own
+  * bilinear kernel, both oracle-verified end-to-end. Payloads no
+  * installed reader accepts (and audio/video, which the JRE has no codec
+  * for) fall back to `decodeStub`'s deterministic fake — the single
+  * marked seam where a JNI/ffmpeg or Arrow-batch Python decoder plugs
+  * in. At cluster scale the binary column rides Parquet's binary
+  * encoding and never passes through the driver.
   */
 object Multimodal {
 
@@ -132,14 +135,15 @@ object Multimodal {
     * pixels whatever the writer's compression choices — which is what
     * lets a SQL oracle verify a REAL codec round-trip: it recomputes the
     * pixel statistics from the formula, never touching the bytes. */
-  def syntheticPngMedia(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+  def syntheticPngMedia(docs: DataFrame, idCol: String = "doc_id",
+      fixedW: Int = 0, fixedH: Int = 0): DataFrame = {
     val spark = docs.sparkSession
     val rdd = docs.select(col(idCol)).where(col(idCol) % 3 === 0).rdd.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val id = r.getLong(0)
-        val w = 16 + (id % 16).toInt
-        val h = 16 + (id % 8).toInt
+        val w = if (fixedW > 0) fixedW else 16 + (id % 16).toInt
+        val h = if (fixedH > 0) fixedH else 16 + (id % 8).toInt
         val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
         val raster = img.getRaster
         var y = 0
@@ -151,6 +155,36 @@ object Multimodal {
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
         Row(id, "image", bos.toByteArray, Row(w, h, 0L, "image/png"))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Deterministic REAL-JPEG fixture: a smooth gray gradient
+    * `pixel(x, y) = (x*255/(w-1) + y*255/(h-1)) / 2` (integer division),
+    * encoded with the JDK's JPEG writer. JPEG is lossy, so oracles check
+    * the DIMENSIONS and pixel count (which survive the codec bit-exactly)
+    * while pixel sums are spec-checked within a tolerance — the gradient
+    * is smooth, exactly the content JPEG's DCT represents well. */
+  def syntheticJpegMedia(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol)).where(col(idCol) % 3 === 1).rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = 16 + (id % 16).toInt
+        val h = 16 + (id % 8).toInt
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, (x * 255 / (w - 1) + y * 255 / (h - 1)) / 2); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        Row(id, "image", bos.toByteArray, Row(w, h, 0L, "image/jpeg"))
       }
     }
     spark.createDataFrame(rdd, mediaSchema)
@@ -188,14 +222,10 @@ object Multimodal {
     spark.createDataFrame(rdd, imageStatsSchema)
   }
 
-  /** STUB resize: nearest-neighbor 1-D byte resampling standing in for a
-    * pixel resize (a real implementation decodes, resamples 2-D, and
-    * re-encodes — the codec seam is [[decodeStub]]'s). The Spark-side
-    * shape is the real part: a narrow one-pass kernel per row, metadata
-    * rewritten to the target dims, no shuffle. Deterministic, so the
-    * DuckDB oracle reproduces the resampled digest byte-for-byte on the
-    * ASCII fixture. */
-  private val resampleBytes = udf { (b: Array[Byte], outLen: Int) =>
+  /** Nearest-neighbor 1-D byte resample — the fallback for payloads that
+    * are not decodable images (deterministic, so the ASCII fixtures stay
+    * byte-for-byte oracle-checkable in DuckDB). */
+  private def resampleStub(b: Array[Byte], outLen: Int): Array[Byte] =
     if (b == null || b.isEmpty || outLen <= 0) Array.empty[Byte]
     else {
       val out = new Array[Byte](outLen)
@@ -203,20 +233,69 @@ object Multimodal {
       while (i < outLen) { out(i) = b((i.toLong * b.length / outLen).toInt); i += 1 }
       out
     }
+
+  /** REAL resize kernel: center-aligned bilinear resample of the image's
+    * band 0 (grayscale; a color build loops bands identically). The
+    * arithmetic is deliberately our own rather than `Graphics2D` so it is
+    * EXACTLY reproducible: at an integer 2× downscale the sample point
+    * lands mid-cell and the kernel degenerates to the 4-neighbor average
+    * `(p00+p10+p01+p11+2) / 4` in pure integer math — which is what lets
+    * a SQL oracle replay the resize bit-for-bit (see `q_image_resize`).
+    * Weights are dyadic rationals there, so the double-precision path has
+    * zero rounding error. */
+  private def bilinearResize(img: java.awt.image.BufferedImage, tw: Int, th: Int): java.awt.image.BufferedImage = {
+    val sw = img.getWidth; val sh = img.getHeight
+    val src = img.getRaster
+    val out = new java.awt.image.BufferedImage(tw, th, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val dst = out.getRaster
+    val sx = sw.toDouble / tw; val sy = sh.toDouble / th
+    var y = 0
+    while (y < th) {
+      val fy = math.max(0.0, math.min((y + 0.5) * sy - 0.5, sh - 1.0))
+      val y0 = fy.toInt; val y1 = math.min(sh - 1, y0 + 1); val wy = fy - y0
+      var x = 0
+      while (x < tw) {
+        val fx = math.max(0.0, math.min((x + 0.5) * sx - 0.5, sw - 1.0))
+        val x0 = fx.toInt; val x1 = math.min(sw - 1, x0 + 1); val wx = fx - x0
+        val p00 = src.getSample(x0, y0, 0); val p10 = src.getSample(x1, y0, 0)
+        val p01 = src.getSample(x0, y1, 0); val p11 = src.getSample(x1, y1, 0)
+        val v = (1 - wy) * ((1 - wx) * p00 + wx * p10) + wy * ((1 - wx) * p01 + wx * p11)
+        dst.setSample(x, y, 0, math.min(255, (v + 0.5).toInt))
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
-  /** Resize media payloads to `targetW` × `targetH` "pixels" (bytes in
-    * the stub): content resampled, `meta.width/height` rewritten, format
-    * preserved. */
-  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame =
-    media.select(
-      col("media_id"), col("modality"),
-      resampleBytes(col("content"), lit(targetW * targetH)).as("content"),
-      struct(
-        lit(targetW).as("width"),
-        lit(targetH).as("height"),
-        col("meta.duration_ms").as("duration_ms"),
-        col("meta.format").as("format")).as("meta"))
+  /** Resize media payloads to `targetW` × `targetH`: payloads that decode
+    * as real images go through [[bilinearResize]] and are re-encoded as
+    * lossless PNG (format rewritten accordingly); everything else keeps
+    * the deterministic byte-stub resample with format preserved. Runs
+    * partition-batched like the other codec stages (decoder init once per
+    * partition, no shuffle, metadata rewritten to the target dims). */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "modality", "content", "meta").rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        val (outBytes, fmtOverride) = decodeImage(bytes) match {
+          case Some(img) =>
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(bilinearResize(img, targetW, targetH), "png", bos)
+            (bos.toByteArray, Some("image/png"))
+          case None => (resampleStub(bytes, targetW * targetH), None)
+        }
+        val meta = r.getAs[Row]("meta")
+        val duration = if (meta == null || meta.isNullAt(2)) 0L else meta.getLong(2)
+        val format = fmtOverride.getOrElse(
+          if (meta == null || meta.isNullAt(3)) null else meta.getString(3))
+        Row(r.getLong(0), r.getString(1), outBytes, Row(targetW, targetH, duration, format))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
 
   /** Frame sampling for video-like payloads: emit every `stride`-th chunk
     * of the binary as a "frame" row — the explode-shaped plan (1 row → N

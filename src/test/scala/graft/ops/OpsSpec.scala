@@ -464,6 +464,36 @@ class OpsSpec extends SparkSpec {
     assert(stub.count() === docs.count())
   }
 
+  test("real bilinear resize: 2x downscale = integer 4-neighbor average; identity is exact; JPEG dims survive") {
+    def p(id: Long, x: Int, y: Int): Int = ((id * 31 + 7 * x + 13 * y) % 256).toInt
+    val media = Multimodal.syntheticPngMedia(docs, fixedW = 16, fixedH = 16)
+    // 2x downscale: sample point lands mid-cell, kernel degenerates to
+    // (p00+p10+p01+p11+2)/4 — all-integer, replayed here per pixel
+    val half = Multimodal.imageStats(Multimodal.resize(media, 8, 8))
+      .where(col("media_id") === 3L).head()
+    val expected = (for { y <- 0 until 8; x <- 0 until 8 } yield
+      (p(3, 2 * x, 2 * y) + p(3, 2 * x + 1, 2 * y) + p(3, 2 * x, 2 * y + 1) + p(3, 2 * x + 1, 2 * y + 1) + 2) / 4)
+      .sum.toLong
+    assert(half.getLong(1) === 8L && half.getLong(2) === 8L && half.getLong(3) === 64L)
+    assert(half.getLong(4) === expected)
+    // identity resize through the lossless codec is pixel-exact
+    val same = Multimodal.imageStats(Multimodal.resize(media, 16, 16))
+      .where(col("media_id") === 0L).head()
+    val srcSum = (for { y <- 0 until 16; x <- 0 until 16 } yield p(0, x, y)).sum.toLong
+    assert(same.getLong(4) === srcSum)
+    // JPEG: dimensions/pixel-count survive the lossy codec bit-exactly;
+    // mean luminance of the smooth gradient stays within codec tolerance
+    val jm = Multimodal.imageStats(Multimodal.syntheticJpegMedia(docs)).collect()
+    assert(jm.nonEmpty)
+    jm.foreach { row =>
+      val id = row.getLong(0); val w = 16 + (id % 16).toInt; val h = 16 + (id % 8).toInt
+      assert(row.getLong(1) === w.toLong && row.getLong(2) === h.toLong && row.getLong(3) === w.toLong * h)
+      val truth = (for { y <- 0 until h; x <- 0 until w } yield (x * 255 / (w - 1) + y * 255 / (h - 1)) / 2).sum.toDouble
+      assert(math.abs(row.getLong(4) - truth) / (w * h) < 4.0,
+        s"JPEG mean-luminance drift too large for id=$id: got ${row.getLong(4)}, truth $truth")
+    }
+  }
+
   test("multimodal resize: exact target length, meta rewritten, up/downsample both defined") {
     import spark.implicits._
     val media = Multimodal.syntheticMedia(docs)
