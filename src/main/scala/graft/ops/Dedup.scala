@@ -41,12 +41,19 @@ object Dedup {
     * strings. At 10k docs this is ~30× cheaper than
     * split-regex → array<string> → concat_ws → xxhash64, and at 100 TB it
     * is the difference between one scan of the text bytes and four
-    * materializations of them. Returns the distinct shingle-hash set. */
-  /** [[hashedShinglesUdf]] as a composable column, for pipelines that
-    * fuse shingling with other per-doc features in one text pass. */
-  def hashedShinglesCol(text: Column, w: Int = 3): Column = hashedShinglesUdf(w)(text)
+    * materializations of them. Returns the SORTED distinct shingle-hash
+    * set. Backed by the native codegen expression
+    * [[graft.functions.HashedShingles]] (no ScalaUDF conversion wall);
+    * [[hashedShinglesUdf]] below is its retained reference twin, pinned
+    * bit-identical by OpsSpec. */
+  def hashedShinglesCol(text: Column, w: Int = 3): Column =
+    graft.functions.HashedShingles.hashed_shingles(text, w)
 
-  private def hashedShinglesUdf(w: Int) = udf { text: String =>
+  /** Reference twin of [[hashedShinglesCol]] in plain Scala UDF form —
+    * kept (test-visible, never planned in production paths) so the
+    * native expression's bit-identity is continuously verifiable, the
+    * same twin pattern as `Similarity.cosineUdf`. */
+  private[graft] def hashedShinglesUdf(w: Int) = udf { text: String =>
     if (text == null) Seq.empty[Long]
     else {
       val tokens = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -177,7 +184,7 @@ object Dedup {
     // checkpointed first), so repeated invocations don't accumulate
     // cached blocks for the session lifetime.
     val hashed = docs
-      .select(col(idCol).as("id"), hashedShinglesUdf(3)(col(textCol)).as("hs"))
+      .select(col(idCol).as("id"), hashedShinglesCol(col(textCol)).as("hs"))
       .where(size(col("hs")) > 0)
       .persist()
     val out = minhashLshFromShingles(hashed, perms, bands, threshold, maxBucket, verifyExact)
@@ -271,7 +278,7 @@ object Dedup {
       textCol: String = "text",
       perms: Int = 64): DataFrame = {
     val hashed = docs
-      .select(col(idCol).as("id"), hashedShinglesUdf(3)(col(textCol)).as("hs"))
+      .select(col(idCol).as("id"), hashedShinglesCol(col(textCol)).as("hs"))
       .where(size(col("hs")) > 0)
     // two-stage select: sig must not inline the shingle UDF per reference
     hashed.select(col("id"), col("hs"), minhashOph(perms)(col("hs")).as("sig"))
@@ -294,7 +301,7 @@ object Dedup {
       verifyExact: Boolean = false,
       ownsBase: Boolean = false): DataFrame = {
     val hn = newDocs
-      .select(col(idCol).as("id"), hashedShinglesUdf(3)(col(textCol)).as("hs"))
+      .select(col(idCol).as("id"), hashedShinglesCol(col(textCol)).as("hs"))
       .where(size(col("hs")) > 0)
       .persist()
     val sn = hn.select(col("id"), minhashOph(perms)(col("hs")).as("sig")).persist()
@@ -566,7 +573,7 @@ object Dedup {
     // Posting keys are 8-byte shingle hashes, not the shingle strings —
     // all shuffles move longs, not text. Collisions only perturb counts
     // at ~2^-64, irrelevant for a 0-1 Jaccard.
-    val sh = docs.select(col(idCol).as("id"), hashedShinglesUdf(w)(col(textCol)).as("sh"))
+    val sh = docs.select(col(idCol).as("id"), hashedShinglesCol(col(textCol), w).as("sh"))
       .where(size(col("sh")) > 0)
       .persist()
     var sigsToRelease: Option[DataFrame] = None

@@ -161,6 +161,14 @@ class PlanSpec extends SparkSpec {
       s"corpus-side signatures must come from storage, not recompute:\n${s.take(3000)}")
   }
 
+  test("decontamination gram path runs the native shingle expression — no UDF") {
+    val s = planString(run("q_decontaminate"))
+    assert(s.toLowerCase.contains("hashedshingles"),
+      s"expected the native hashed-shingles expression in the plan:\n${s.take(3000)}")
+    assert(!s.contains("UDF"),
+      s"the gram path must be UDF-free end to end:\n${s.take(3000)}")
+  }
+
   test("query index selection reads the posting table, not the full log") {
     val s = planString(run("q_query_indexed"))
     // the equality conjunct was satisfied by the index lookup: the log

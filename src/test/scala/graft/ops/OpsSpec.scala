@@ -378,6 +378,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("native hashed-shingles expression is bit-identical to its UDF twin") {
+    import spark.implicits._
+    // real corpus at two gram widths (LSH shingles, decontamination grams)
+    for (w <- Seq(3, 8)) {
+      val native = docsND.select(col("doc_id"), Dedup.hashedShinglesCol(col("text"), w).as("hs"))
+        .orderBy("doc_id").collect().map(_.getAs[scala.collection.Seq[Long]]("hs").toSeq).toSeq
+      val twin = docsND.select(col("doc_id"), Dedup.hashedShinglesUdf(w)(col("text")).as("hs"))
+        .orderBy("doc_id").collect().map(_.getAs[scala.collection.Seq[Long]]("hs").toSeq).toSeq
+      assert(native.nonEmpty && native === twin, s"native/UDF divergence at w=$w")
+    }
+    // edges: null, empty, short docs (< w tokens), repeated shingles,
+    // unicode whose toLowerCase lands in [a-z] (İ -> i)
+    val edges = Seq((0L, null: String), (1L, ""), (2L, "one"), (3L, "a b"),
+      (4L, "x y z x y z x y z"), (5L, "İstanbul İstanbul İstanbul İstanbul"))
+      .toDF("doc_id", "text")
+    val en = edges.select(col("doc_id"), Dedup.hashedShinglesCol(col("text")).as("hs"))
+      .orderBy("doc_id").collect().map(_.getAs[scala.collection.Seq[Long]]("hs").toSeq).toSeq
+    val et = edges.select(col("doc_id"), Dedup.hashedShinglesUdf(3)(col("text")).as("hs"))
+      .orderBy("doc_id").collect().map(_.getAs[scala.collection.Seq[Long]]("hs").toSeq).toSeq
+    assert(en === et)
+    assert(en.head === Seq.empty, "null text yields an empty set on both paths")
+  }
+
   test("exact-verify jaccard is identical for sorted and unsorted shingle input") {
     // The canonical producer (hashedShinglesCol) emits sorted arrays; a
     // caller handing minhashLshFromShingles its own unsorted arrays must
