@@ -954,6 +954,14 @@ object SparkEntry {
             Multimodal.syntheticPngMedia(t(s, dir, "documents"), fixedW = 16, fixedH = 16),
             targetW = 8, targetH = 8))
         .orderBy("media_id")),
+    "q_audio_decode" -> ((s, dir) =>
+      // the AUDIO codec end-to-end: deterministic 16-bit PCM waveforms
+      // are WAVE-encoded with the JDK writer, decoded back with
+      // javax.sound.sampled in the partition-batched shape, and the
+      // oracle recomputes the exact integer sample stats from the
+      // waveform formula (PCM is lossless)
+      Multimodal.audioStats(Multimodal.syntheticWavMedia(t(s, dir, "documents")))
+        .orderBy("media_id")),
     "q_frame_sample" -> ((s, dir) =>
       // fully oracle-backed: the fixture text is ASCII, so byte-chunking
       // the binary payload == char-chunking the text in DuckDB, and md5
@@ -1509,6 +1517,11 @@ object SparkEntry {
         "list_sum(flatten(list_transform(generate_series(0, 7), yy -> list_transform(generate_series(0, 7), xx -> " +
         "((media_id * 31 + 7 * (2 * xx) + 13 * (2 * yy)) % 256 + (media_id * 31 + 7 * (2 * xx + 1) + 13 * (2 * yy)) % 256 + " +
         "(media_id * 31 + 7 * (2 * xx) + 13 * (2 * yy + 1)) % 256 + (media_id * 31 + 7 * (2 * xx + 1) + 13 * (2 * yy + 1)) % 256 + 2) // 4))))::BIGINT AS sum_lum " +
+        "FROM ids ORDER BY media_id"),
+    "q_audio_decode" ->
+      ("WITH ids AS (SELECT doc_id AS media_id, 800 + doc_id % 400 AS n FROM documents WHERE doc_id % 3 = 2) " +
+        "SELECT media_id, 8000::BIGINT AS sample_rate, 1::BIGINT AS channels, n::BIGINT AS n_samples, " +
+        "list_sum(list_transform(generate_series(0, n - 1), i -> (media_id * 31 + 17 * i) % 2003 - 1001))::BIGINT AS sum_amp " +
         "FROM ids ORDER BY media_id"),
     "q_frame_sample" ->
       ("WITH v AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2), " +

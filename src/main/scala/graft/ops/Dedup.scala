@@ -640,14 +640,16 @@ object Dedup {
     * fingerprint table once and re-derives spans per policy change; here
     * both derivations re-scan the text (two columnar scans of one
     * column), the same trade `Curate` makes over caching the corpus. */
-  /** Positional k-gram fingerprints in ONE pass over the raw text —
-    * the positional sibling of [[hashedShinglesUdf]] (same tokenizer,
-    * same mixing): emits `(pos, hash)` per gram start, 1-based token
-    * positions, NO intermediate token or gram strings. The column-
-    * algebra form (`transform` + `concat_ws` + `xxhash64` per position)
-    * re-materializes the gram text k times per token; measured 1.4 s →
-    * 0.3 s for the gram pass at sf0.1. */
-  private def positionalGramsUdf(k: Int) = udf { text: String =>
+  /** Reference twin of [[graft.functions.PositionalGrams]] in plain UDF
+    * form — kept test-visible for the bit-identity spec, like
+    * [[hashedShinglesUdf]]. (History: the column-algebra form
+    * (`transform` + `concat_ws` + `xxhash64` per position)
+    * re-materializes the gram text k times per token; this one-pass
+    * kernel measured 1.4 s → 0.3 s for the gram pass at sf0.1, and now
+    * runs natively in codegen.) Null text: the UDF returns an empty seq
+    * where the native expression null-propagates — indistinguishable
+    * under the `explode` every caller applies. */
+  private[graft] def positionalGramsUdf(k: Int) = udf { text: String =>
     if (text == null) Seq.empty[(Long, Long)]
     else {
       val tokens = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -691,7 +693,8 @@ object Dedup {
     // and gram-hashed ONCE (the minhashLsh persist-and-release pattern —
     // at 100 TB this table is the stored artifact, like signatureTable).
     val grams = docs
-      .select(col(idCol).as("doc_id"), explode(positionalGramsUdf(k)(col(textCol))).as("pg"))
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.PositionalGrams.positional_grams(col(textCol), k)).as("pg"))
       .select(col("doc_id"), col("pg._1").as("pos"), col("pg._2").as("g"))
       .persist()
     // fingerprints recurring across ≥ minDocs docs. For the default

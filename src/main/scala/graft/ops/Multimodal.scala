@@ -190,6 +190,82 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  /** Deterministic REAL-WAV fixture: 16-bit signed little-endian mono PCM
+    * with `n = 800 + id % 400` samples of the integer waveform
+    * `s(i) = (id*31 + 17*i) % 2003 - 1001`, wrapped through the JDK's
+    * `javax.sound.sampled` WAVE writer. PCM is lossless, so the decode
+    * side recovers the exact samples — the audio analog of
+    * [[syntheticPngMedia]]: a SQL oracle re-derives the sample sum from
+    * the formula without touching the bytes. */
+  def syntheticWavMedia(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol)).where(col(idCol) % 3 === 2).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val n = 800 + (id % 400).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = ((id * 31 + 17L * i) % 2003L - 1001L).toShort
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(id, "audio", bos.toByteArray, Row(0, 0, n * 1000L / 8000L, "audio/wav"))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  private val audioStatsSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("channels", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sum_amp", LongType, nullable = false)))
+
+  /** Decode audio payloads for real (`javax.sound.sampled`, public JDK —
+    * WAV/AIFF/AU readers ship with the JRE) and report exact integer
+    * sample statistics — the audio end of the codec proof, shaped like
+    * [[imageStats]]: partition-batched decode, rows that no installed
+    * reader accepts are dropped. 16-bit PCM is parsed little/big-endian
+    * per the stream's declared format. */
+  def audioStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        if (bytes == null || bytes.length < 12) None
+        else try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16, "fixture decoder handles 16-bit PCM")
+            val data = ais.readAllBytes()
+            val bigEndian = fmt.isBigEndian
+            var sum = 0L; var i = 0
+            while (i + 1 < data.length) {
+              val lo = data(if (bigEndian) i + 1 else i) & 0xff
+              val hi = data(if (bigEndian) i else i + 1)
+              sum += (hi << 8 | lo).toShort
+              i += 2
+            }
+            Some(Row(r.getLong(0), fmt.getSampleRate.toLong, fmt.getChannels.toLong,
+              (data.length / (2 * fmt.getChannels)).toLong, sum))
+          } finally ais.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+    spark.createDataFrame(rdd, audioStatsSchema)
+  }
+
   private val imageStatsSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("width", LongType, nullable = false),

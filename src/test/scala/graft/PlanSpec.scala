@@ -169,6 +169,23 @@ class PlanSpec extends SparkSpec {
       s"the gram path must be UDF-free end to end:\n${s.take(3000)}")
   }
 
+  test("substring-dedup gram pass runs the native positional-grams expression — no UDF") {
+    // q_dedup_substring's own plan is truncated by the eager span
+    // checkpoint (the gram postings are released after the span table is
+    // materialized), so assert on the gram stage as substringSpans
+    // builds it
+    import org.apache.spark.sql.functions.{col, explode}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val grams = docs.select(col("doc_id"),
+      explode(graft.functions.PositionalGrams.positional_grams(col("text"), 15)).as("pg"))
+      .select(col("doc_id"), col("pg._1").as("pos"), col("pg._2").as("g"))
+    val s = planString(grams)
+    assert(s.toLowerCase.contains("positionalgrams"),
+      s"expected the native positional-grams expression in the plan:\n${s.take(3000)}")
+    assert(!s.contains("UDF"),
+      s"the substring gram pass must be UDF-free:\n${s.take(3000)}")
+  }
+
   test("query index selection reads the posting table, not the full log") {
     val s = planString(run("q_query_indexed"))
     // the equality conjunct was satisfied by the index lookup: the log

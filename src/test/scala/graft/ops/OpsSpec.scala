@@ -401,6 +401,19 @@ class OpsSpec extends SparkSpec {
     assert(en.head === Seq.empty, "null text yields an empty set on both paths")
   }
 
+  test("native positional-grams expression is bit-identical to its UDF twin (exploded form)") {
+    import spark.implicits._
+    val frame = docsND.unionByName(
+      Seq((90001L, null: String), (90002L, ""), (90003L, "just two")).toDF("doc_id", "text"))
+    def rows(c: org.apache.spark.sql.Column) = frame
+      .select(col("doc_id"), explode(c).as("pg"))
+      .select(col("doc_id"), col("pg._1").as("pos"), col("pg._2").as("g"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val native = rows(graft.functions.PositionalGrams.positional_grams(col("text"), 5))
+    val twin = rows(Dedup.positionalGramsUdf(5)(col("text")))
+    assert(native.nonEmpty && native === twin)
+  }
+
   test("exact-verify jaccard is identical for sorted and unsorted shingle input") {
     // The canonical producer (hashedShinglesCol) emits sorted arrays; a
     // caller handing minhashLshFromShingles its own unsorted arrays must
@@ -515,6 +528,20 @@ class OpsSpec extends SparkSpec {
       assert(math.abs(row.getLong(4) - truth) / (w * h) < 4.0,
         s"JPEG mean-luminance drift too large for id=$id: got ${row.getLong(4)}, truth $truth")
     }
+  }
+
+  test("real WAV decode: PCM round trip recovers exact sample stats; non-audio is dropped") {
+    val media = Multimodal.syntheticWavMedia(docs)
+    val rows = Multimodal.audioStats(media).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val id = row.getLong(0); val n = 800 + (id % 400).toInt
+      assert(row.getLong(1) === 8000L && row.getLong(2) === 1L && row.getLong(3) === n.toLong)
+      val sum = (0 until n).map(i => (id * 31 + 17L * i) % 2003L - 1001L).sum
+      assert(row.getLong(4) === sum, s"PCM sample sum must round-trip exactly for id=$id")
+    }
+    // text-byte payloads decode as nothing: dropped, not mis-parsed
+    assert(Multimodal.audioStats(Multimodal.syntheticMedia(docs)).count() === 0L)
   }
 
   test("multimodal resize: exact target length, meta rewritten, up/downsample both defined") {
