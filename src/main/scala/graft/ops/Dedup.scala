@@ -133,9 +133,10 @@ object Dedup {
     * hashed shingles, bucketed by `h mod perms` with min per bucket, plus
     * rotation densification for empty buckets. O(K + perms) per document
     * versus O(K × perms) for classic MinHash — at 100 TB this is the
-    * difference between one scan and sixty-four. JVM function: a tight
-    * primitive loop beats 64 interpreted higher-order-function passes. */
-  private def minhashOph(perms: Int) = udf { hs: Seq[Long] =>
+    * difference between one scan and sixty-four. Reference twin of the
+    * native codegen expression [[graft.functions.MinhashOph]] — kept
+    * test-visible for the bit-identity spec, like [[hashedShinglesUdf]]. */
+  private[graft] def minhashOphUdf(perms: Int) = udf { hs: Seq[Long] =>
     val sig = Array.fill[Long](perms)(Long.MaxValue)
     hs.foreach { h =>
       val b = ((h % perms) + perms) % perms
@@ -209,7 +210,7 @@ object Dedup {
       maxBucket: Int = 64,
       verifyExact: Boolean = false): DataFrame = {
     val sigs = hashed
-      .select(col("id"), minhashOph(perms)(col("hs")).as("sig"))
+      .select(col("id"), graft.functions.MinhashOph.minhash_oph(col("hs"), perms).as("sig"))
       .persist()
 
     val pairs =
@@ -281,7 +282,7 @@ object Dedup {
       .select(col(idCol).as("id"), hashedShinglesCol(col(textCol)).as("hs"))
       .where(size(col("hs")) > 0)
     // two-stage select: sig must not inline the shingle UDF per reference
-    hashed.select(col("id"), col("hs"), minhashOph(perms)(col("hs")).as("sig"))
+    hashed.select(col("id"), col("hs"), graft.functions.MinhashOph.minhash_oph(col("hs"), perms).as("sig"))
   }
 
   /** [[minhashLshIncremental]] against a precomputed base signature
@@ -304,7 +305,7 @@ object Dedup {
       .select(col(idCol).as("id"), hashedShinglesCol(col(textCol)).as("hs"))
       .where(size(col("hs")) > 0)
       .persist()
-    val sn = hn.select(col("id"), minhashOph(perms)(col("hs")).as("sig")).persist()
+    val sn = hn.select(col("id"), graft.functions.MinhashOph.minhash_oph(col("hs"), perms).as("sig")).persist()
     val sb = baseSigs.select("id", "sig")
     val hb = baseSigs.select("id", "hs")
 
@@ -392,7 +393,8 @@ object Dedup {
 
   /** Dev-tool access to the private stages (profilers live in
     * graft.tools). */
-  private[graft] def minhashCol(hs: Column, perms: Int): Column = minhashOph(perms)(hs)
+  private[graft] def minhashCol(hs: Column, perms: Int): Column =
+    graft.functions.MinhashOph.minhash_oph(hs, perms)
   private[graft] def lshCandidatesPublic(sigs: DataFrame, perms: Int, bands: Int, maxBucket: Int): DataFrame =
     lshCandidates(sigs, perms, bands, maxBucket)
   private[graft] def sigMatchesPublic(a: Column, b: Column): Column = sigMatches(a, b)
@@ -605,7 +607,7 @@ object Dedup {
         // minhashLsh: it bounds the quadratic inside any degenerate
         // band bucket (boilerplate-heavy corpora). Verify staging shared
         // with minhashLshFromShingles (verifyCandidatesExact).
-        val sigs = sh.select(col("id"), minhashOph(perms)(col("sh")).as("sig")).persist()
+        val sigs = sh.select(col("id"), graft.functions.MinhashOph.minhash_oph(col("sh"), perms).as("sig")).persist()
         val cand = lshCandidates(sigs, perms, bands, maxBucket = maxDocFreq, dedup = false)
         sigsToRelease = Some(sigs)
         verifyCandidatesExact(cand, sigs, sh, "sh", threshold, perms, "jaccard")

@@ -401,6 +401,26 @@ class OpsSpec extends SparkSpec {
     assert(en.head === Seq.empty, "null text yields an empty set on both paths")
   }
 
+  test("native one-permutation minhash is bit-identical to its UDF twin") {
+    val hs = docsND.select(col("doc_id"), Dedup.hashedShinglesCol(col("text")).as("hs"))
+    for (perms <- Seq(16, 64)) {
+      def sigs(c: org.apache.spark.sql.Column) = hs.select(col("doc_id"), c.as("sig"))
+        .orderBy("doc_id").collect().map(_.getAs[scala.collection.Seq[Long]]("sig").toSeq).toSeq
+      val native = sigs(graft.functions.MinhashOph.minhash_oph(col("hs"), perms))
+      val twin = sigs(Dedup.minhashOphUdf(perms)(col("hs")))
+      assert(native.nonEmpty && native === twin, s"native/UDF divergence at perms=$perms")
+    }
+    // empty shingle set: densification bottoms out deterministically and
+    // identically on both paths (first bucket 0, later buckets borrow)
+    import spark.implicits._
+    val empty = Seq((1L, Seq.empty[Long])).toDF("doc_id", "hs")
+    def one(c: org.apache.spark.sql.Column) =
+      empty.select(c.as("sig")).head().getAs[scala.collection.Seq[Long]]("sig").toSeq
+    val en = one(graft.functions.MinhashOph.minhash_oph(col("hs"), 8))
+    assert(en === one(Dedup.minhashOphUdf(8)(col("hs"))))
+    assert(en.head === 0L)
+  }
+
   test("native positional-grams expression is bit-identical to its UDF twin (exploded form)") {
     import spark.implicits._
     val frame = docsND.unionByName(
