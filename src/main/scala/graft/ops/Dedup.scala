@@ -310,7 +310,7 @@ object Dedup {
     val hb = baseSigs.select("id", "hs")
 
     def banded(s: DataFrame, as: String) = s.select(
-      col("id").as(as), explode(bandKeysUdf(perms, bands)(col("sig"))).as("bandkey"))
+      col("id").as(as), explode(graft.functions.BandKeys.band_keys(col("sig"), perms, bands)).as("bandkey"))
     def dropHot(b: DataFrame) = {
       val hot = b.groupBy("bandkey").count().where(col("count") > maxBucket).select("bandkey")
       b.join(hot, Seq("bandkey"), "left_anti")
@@ -415,7 +415,9 @@ object Dedup {
     * candidate generation the most expensive LSH stage. Key quality only
     * needs determinism + good mixing; equal row-groups hash equal either
     * way, so planted-pair recall is identical. */
-  private def bandKeysUdf(perms: Int, bands: Int) = udf { sig: Seq[Long] =>
+  /** Reference twin of [[graft.functions.BandKeys]] — test-visible for
+    * the bit-identity spec, like [[minhashOphUdf]]. */
+  private[graft] def bandKeysUdf(perms: Int, bands: Int) = udf { sig: Seq[Long] =>
     val rows = perms / bands
     val out = new Array[Long](bands)
     var b = 0
@@ -451,7 +453,7 @@ object Dedup {
     import spark.implicits._
     val banded = sigs.select(
       col("id"),
-      explode(bandKeysUdf(perms, bands)(col("sig"))).as("bandkey"))
+      explode(graft.functions.BandKeys.band_keys(col("sig"), perms, bands)).as("bandkey"))
     val pairs = banded.repartition(col("bandkey")).sortWithinPartitions("bandkey", "id")
       .select(col("bandkey"), col("id")).as[(Long, Long)]
       .mapPartitions { it =>

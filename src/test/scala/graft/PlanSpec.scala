@@ -169,6 +169,26 @@ class PlanSpec extends SparkSpec {
       s"the gram path must be UDF-free end to end:\n${s.take(3000)}")
   }
 
+  test("minhash LSH chain (shingle -> sig -> band keys) plans as native expressions — no UDF") {
+    // the declared minhash queries checkpoint their pair table (plan
+    // truncation), so assert on the chain exactly as minhashLsh builds
+    // its band-key side: one fused projection, three native kernels
+    import org.apache.spark.sql.functions.{col, explode}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val chain = docs.select(col("doc_id"),
+      explode(graft.functions.BandKeys.band_keys(
+        graft.functions.MinhashOph.minhash_oph(
+          graft.ops.Dedup.hashedShinglesCol(col("text")), 64), 64, 16)).as("bandkey"))
+    val s = planString(chain)
+    for (e <- Seq("hashedshingles", "minhashoph", "bandkeys"))
+      assert(s.toLowerCase.contains(e),
+        s"expected native expression '$e' in the LSH plan:\n${s.take(3000)}")
+    assert(!s.contains("UDF"),
+      s"the LSH chain must be UDF-free end to end:\n${s.take(3000)}")
+    assert(s.contains("*(1) Generate"),
+      s"the fused chain must run inside one whole-stage-codegen span (the *(n) prefix):\n${s.take(3000)}")
+  }
+
   test("substring-dedup gram pass runs the native positional-grams expression — no UDF") {
     // q_dedup_substring's own plan is truncated by the eager span
     // checkpoint (the gram postings are released after the span table is

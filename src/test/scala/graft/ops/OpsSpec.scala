@@ -421,6 +421,16 @@ class OpsSpec extends SparkSpec {
     assert(en.head === 0L)
   }
 
+  test("native band-keys expression is bit-identical to its UDF twin") {
+    val sigs = docsND.select(col("doc_id"),
+      graft.functions.MinhashOph.minhash_oph(Dedup.hashedShinglesCol(col("text")), 64).as("sig"))
+    def keys(c: org.apache.spark.sql.Column) = sigs.select(col("doc_id"), c.as("bk"))
+      .orderBy("doc_id").collect().map(_.getAs[scala.collection.Seq[Long]]("bk").toSeq).toSeq
+    val native = keys(graft.functions.BandKeys.band_keys(col("sig"), 64, 16))
+    val twin = keys(Dedup.bandKeysUdf(64, 16)(col("sig")))
+    assert(native.nonEmpty && native === twin)
+  }
+
   test("native positional-grams expression is bit-identical to its UDF twin (exploded form)") {
     import spark.implicits._
     val frame = docsND.unionByName(
