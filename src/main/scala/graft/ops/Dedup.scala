@@ -493,11 +493,11 @@ object Dedup {
     if (dedup) pairs.distinct() else pairs
   }
 
-  /** 64-bit SimHash of the token stream: sign of the per-bit weighted sum
-    * of token hashes. One pass per document (O(tokens)); implemented as a
-    * JVM function over the already-tokenized array because 64 per-bit
-    * aggregates as columns would defeat codegen for no gain. */
-  private val simhash64 = udf { toks: Seq[String] =>
+  /** Reference twin of [[graft.functions.SimHash64]] over the tokenized
+    * array — test-visible for the bit-identity spec, like
+    * [[hashedShinglesUdf]]. (The native form fuses tokenization and
+    * signing into one codegen'd pass over the raw text.) */
+  private[graft] val simhash64Udf = udf { toks: Seq[String] =>
     val acc = new Array[Int](64)
     toks.foreach { t =>
       var h = scala.util.hashing.MurmurHash3.stringHash(t).toLong & 0xffffffffL
@@ -525,7 +525,7 @@ object Dedup {
     val segBits = 64 / nSeg
     val sigs = docs.select(
       col(idCol).as("id"),
-      simhash64(TextAnalysis.tokens(col(textCol))).as("sig"))
+      graft.functions.SimHash64.simhash64(col(textCol)).as("sig"))
 
     val segmented = sigs.select(
       col("id"), col("sig"),

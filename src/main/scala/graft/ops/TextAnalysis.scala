@@ -126,32 +126,38 @@ object TextAnalysis {
     * interpreted string-compares per token (~10⁴ compares for a
     * 200-token doc); this is T hash lookups — measured ~3× faster at
     * sf0.1. */
-  private val langIdUdf = udf { text: String =>
-    if (text == null) null
-    else {
-      val counts = new Array[Int](langList.length)
-      val sb = new java.lang.StringBuilder
-      var i = 0; val n = text.length
-      while (i <= n) {
-        val c = if (i < n) Character.toLowerCase(text.charAt(i)) else ' '
-        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
-        else if (sb.length > 0) {
-          tokenLangs.get(sb.toString).foreach(_.foreach(counts(_) += 1))
-          sb.setLength(0)
-        }
-        i += 1
+  /** The kernel, shared by the native expression
+    * [[graft.functions.LangId]] (interpreted + generated paths) and the
+    * UDF twin below. */
+  private[graft] def langIdKernel(text: String): String = {
+    val counts = new Array[Int](langList.length)
+    val sb = new java.lang.StringBuilder
+    var i = 0; val n = text.length
+    while (i <= n) {
+      val c = if (i < n) Character.toLowerCase(text.charAt(i)) else ' '
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else if (sb.length > 0) {
+        tokenLangs.get(sb.toString).foreach(_.foreach(counts(_) += 1))
+        sb.setLength(0)
       }
-      var best = 0
-      var j = 1
-      while (j < counts.length) { if (counts(j) >= counts(best)) best = j; j += 1 }
-      langList(best)
+      i += 1
     }
+    var best = 0
+    var j = 1
+    while (j < counts.length) { if (counts(j) >= counts(best)) best = j; j += 1 }
+    langList(best)
   }
 
-  /** N-gram/stopword-hit language ID: [[langIdUdf]] single pass per doc,
+  /** Reference twin of [[graft.functions.LangId]] — test-visible for the
+    * bit-identity spec. */
+  private[graft] val langIdUdf = udf { text: String =>
+    if (text == null) null else langIdKernel(text)
+  }
+
+  /** N-gram/stopword-hit language ID: one native codegen'd pass per doc,
     * no shuffle. */
   def langId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol), langIdUdf(col(textCol)).as("pred_lang"))
+    docs.select(col(idCol), graft.functions.LangId.lang_id(col(textCol)).as("pred_lang"))
 
   /** BM25 ranked retrieval: top-`k` documents for a bag-of-terms query,
     * scored with the standard Okapi BM25 (idf·tf saturation·length

@@ -421,6 +421,25 @@ class OpsSpec extends SparkSpec {
     assert(en.head === 0L)
   }
 
+  test("native lang-id expression is bit-identical to its UDF twin") {
+    val native = TextAnalysis.langId(docs).orderBy("doc_id").collect()
+      .map(_.getAs[String]("pred_lang")).toSeq
+    val twin = docs.select(col("doc_id"), TextAnalysis.langIdUdf(col("text")).as("pred_lang"))
+      .orderBy("doc_id").collect().map(_.getAs[String]("pred_lang")).toSeq
+    assert(native.nonEmpty && native === twin)
+  }
+
+  test("native simhash64 expression matches the UDF twin over tokens()") {
+    import graft.ops.TextAnalysis
+    val native = docsND.select(col("doc_id"),
+      graft.functions.SimHash64.simhash64(col("text")).as("sig"))
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    val twin = docsND.select(col("doc_id"),
+      Dedup.simhash64Udf(TextAnalysis.tokens(col("text"))).as("sig"))
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    assert(native.nonEmpty && native === twin)
+  }
+
   test("native band-keys expression is bit-identical to its UDF twin") {
     val sigs = docsND.select(col("doc_id"),
       graft.functions.MinhashOph.minhash_oph(Dedup.hashedShinglesCol(col("text")), 64).as("sig"))
