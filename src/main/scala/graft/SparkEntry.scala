@@ -810,6 +810,18 @@ object SparkEntry {
           t(s, dir, "embeddings").where(col("vec_id") < 8), 5)
         .withColumn("rnk", col("rnk").cast("bigint"))
         .orderBy("query_id", "rnk")),
+    "q_knn_quantized" -> ((s, dir) => {
+      // kNN over the STORED int8-quantized table: cosine is per-vector
+      // scale-invariant, so search runs on the compressed vectors (4x
+      // smaller scan + memory at 100 TB) with no dequantization. The
+      // integer dot/norm sums are exact in double, so the oracle
+      // replays the quantize + cosine chain deterministically.
+      val qv = graft.ops.Embeddings.quantizedVectors(t(s, dir, "embeddings"))
+        .select(col("vec_id"), transform(col("q"), _.cast("float")).as("qv"))
+      val q0 = qv.where(col("vec_id") === 0L).head().getAs[scala.collection.Seq[Float]]("qv")
+      Similarity.knnForVector(qv, q0.toSeq, 10, vecCol = "qv", excludeId = Some(0L))
+        .orderBy(col("cos").desc, col("vec_id"))
+    }),
     "q_ann_lsh" -> ((s, dir) =>
       // signatures come from the STORED parquet table (written once per
       // corpus, like the minhash signatureTable / IVF cells): the
@@ -1492,6 +1504,13 @@ object SparkEntry {
       "SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q WHERE e.vec_id <> 0 ORDER BY cos DESC, e.vec_id LIMIT 10",
     "q_knn_batch" ->
       "SELECT q.vec_id AS query_id, e.vec_id AS nbr_id, round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos, row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) DESC, e.vec_id) AS rnk FROM embeddings e, embeddings q WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id QUALIFY rnk <= 5 ORDER BY query_id, rnk",
+    "q_knn_quantized" ->
+      ("WITH qv AS (SELECT vec_id, CASE WHEN list_max(list_transform(embedding, x -> abs(x::DOUBLE))) = 0 " +
+        "THEN list_transform(embedding, x -> 0::DOUBLE) " +
+        "ELSE list_transform(embedding, x -> floor(x::DOUBLE / (list_max(list_transform(embedding, y -> abs(y::DOUBLE))) / 127.0) + 0.5)) END AS q " +
+        "FROM embeddings) " +
+        "SELECT vec_id, round(list_cosine_similarity(q, (SELECT q FROM qv WHERE vec_id = 0)), 4) AS cos " +
+        "FROM qv WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10"),
     "q_text_stats" ->
       "SELECT doc_id, length(text)::BIGINT AS n_chars, len(toks)::BIGINT AS n_tokens, round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) END, 4) AS avg_token_len, round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / greatest(length(text), 1), 4) AS punct_ratio FROM (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks FROM documents) ORDER BY doc_id",
     "q_token_count" ->

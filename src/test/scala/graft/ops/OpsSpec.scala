@@ -429,6 +429,21 @@ class OpsSpec extends SparkSpec {
     assert(native.nonEmpty && native === twin)
   }
 
+  test("quantized kNN ranks nearly like exact kNN (int8 search fidelity)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q0f = emb.where(col("vec_id") === 0L).head().getAs[scala.collection.Seq[Float]]("embedding")
+    val exact = Similarity.knnForVector(emb, q0f.toSeq, 10, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val qv = Embeddings.quantizedVectors(emb)
+      .select(col("vec_id"), transform(col("q"), _.cast("float")).as("qv"))
+    val q0q = qv.where(col("vec_id") === 0L).head().getAs[scala.collection.Seq[Float]]("qv")
+    val quant = Similarity.knnForVector(qv, q0q.toSeq, 10, vecCol = "qv", excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.size === 10 && quant.size === 10)
+    assert((exact intersect quant).size >= 8,
+      s"int8 quantization should preserve the top-10 neighborhood, overlap=${(exact intersect quant).size}")
+  }
+
   test("native simhash64 expression matches the UDF twin over tokens()") {
     import graft.ops.TextAnalysis
     val native = docsND.select(col("doc_id"),
