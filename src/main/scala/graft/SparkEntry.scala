@@ -966,6 +966,13 @@ object SparkEntry {
             Multimodal.syntheticPngMedia(t(s, dir, "documents"), fixedW = 16, fixedH = 16),
             targetW = 8, targetH = 8))
         .orderBy("media_id")),
+    "q_lm_score" -> ((s, dir) =>
+      // CCNet-style quality gate: average bigram negative log-likelihood
+      // under a Laplace-smoothed model trained on the reference corpus
+      // (here the corpus itself — the fixture shape; production trains
+      // on a curated seed set and scores the crawl)
+      TextAnalysis.bigramLmScore(t(s, dir, "documents"), t(s, dir, "documents"))
+        .orderBy("doc_id")),
     "q_audio_decode" -> ((s, dir) =>
       // the AUDIO codec end-to-end: deterministic 16-bit PCM waveforms
       // are WAVE-encoded with the JDK writer, decoded back with
@@ -1537,6 +1544,14 @@ object SparkEntry {
         "((media_id * 31 + 7 * (2 * xx) + 13 * (2 * yy)) % 256 + (media_id * 31 + 7 * (2 * xx + 1) + 13 * (2 * yy)) % 256 + " +
         "(media_id * 31 + 7 * (2 * xx) + 13 * (2 * yy + 1)) % 256 + (media_id * 31 + 7 * (2 * xx + 1) + 13 * (2 * yy + 1)) % 256 + 2) // 4))))::BIGINT AS sum_lum " +
         "FROM ids ORDER BY media_id"),
+    "q_lm_score" ->
+      ("WITH toks AS MATERIALIZED (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM documents), " +
+        "uni AS MATERIALIZED (SELECT t AS w1, count(*) AS c1 FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY 1), " +
+        "v AS (SELECT count(*)::DOUBLE AS v FROM uni), " +
+        "bg AS MATERIALIZED (SELECT doc_id, x.b AS bigram, x.w AS w1 FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1), i -> struct_pack(b := tk[i] || ' ' || tk[i+1], w := tk[i]))) AS x FROM toks WHERE len(tk) >= 2)), " +
+        "bigc AS MATERIALIZED (SELECT bigram, count(*) AS c2 FROM bg GROUP BY 1), " +
+        "scored AS (SELECT g.doc_id, -ln((coalesce(bc.c2, 0) + 1)::DOUBLE / (coalesce(u.c1, 0) + (SELECT v FROM v))) AS nl FROM bg g LEFT JOIN bigc bc USING (bigram) LEFT JOIN uni u ON u.w1 = g.w1) " +
+        "SELECT doc_id, count(*)::BIGINT AS n_bigrams, round(avg(nl), 4) AS nll FROM scored GROUP BY 1 ORDER BY doc_id"),
     "q_audio_decode" ->
       ("WITH ids AS (SELECT doc_id AS media_id, 800 + doc_id % 400 AS n FROM documents WHERE doc_id % 3 = 2) " +
         "SELECT media_id, 8000::BIGINT AS sample_rate, 1::BIGINT AS channels, n::BIGINT AS n_samples, " +

@@ -126,6 +126,54 @@ object TextAnalysis {
     * interpreted string-compares per token (~10⁴ compares for a
     * 200-token doc); this is T hash lookups — measured ~3× faster at
     * sf0.1. */
+  /** Bigram-LM document scoring — the CCNet-style quality gate: score
+    * each document by its average negative log-likelihood under a
+    * Laplace-smoothed bigram model trained on a REFERENCE corpus
+    * (`P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)`). Low `nll` ≈ looks
+    * like the reference; high ≈ gibberish/boilerplate. Returns
+    * `(doc_id, n_bigrams, nll)` for docs with ≥1 bigram.
+    *
+    * Scale shape: training is two map-side-combined hash aggregates
+    * over the reference (unigram + bigram counts — at 100 TB these
+    * tables are the stored model, written once and joined many times);
+    * scoring is one explode + two equi-joins on the count tables (AQE
+    * broadcasts them when the reference is seed-corpus-sized, the
+    * common case) + one per-doc aggregate. Nothing driver-side; the
+    * vocabulary size rides a broadcast 1-row frame. All arithmetic is
+    * exact-rational into `ln`, so a SQL oracle replays it. */
+  def bigramLmScore(
+      docs: DataFrame,
+      ref: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      refTextCol: String = "text"): DataFrame = {
+    def bigrams(tk: Column): Column =
+      transform(sequence(lit(1), size(tk) - 1), i =>
+        struct(concat_ws(" ", element_at(tk, i), element_at(tk, i + 1)).as("bigram"),
+          element_at(tk, i).as("w1")))
+    val refToks = ref.select(tokens(col(refTextCol)).as("tk"))
+    val uni = refToks.select(explode(col("tk")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
+    val refBg = refToks.where(size(col("tk")) >= 2)
+      .select(explode(bigrams(col("tk"))).as("x")).select(col("x.bigram").as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c2"))
+    val docBg = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(bigrams(col("tk"))).as("x"))
+      .select(col("doc_id"), col("x.bigram").as("bigram"), col("x.w1").as("w1"))
+    docBg
+      .join(refBg, Seq("bigram"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (-log((coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("c1"), lit(0L)).cast("double") + col("v")))).as("nl"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_bigrams"), round(avg(col("nl")), 4).as("nll"))
+  }
+
   /** The kernel, shared by the native expression
     * [[graft.functions.LangId]] (interpreted + generated paths) and the
     * UDF twin below. */

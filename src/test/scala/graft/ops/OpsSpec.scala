@@ -429,6 +429,24 @@ class OpsSpec extends SparkSpec {
     assert(native.nonEmpty && native === twin)
   }
 
+  test("bigram LM score: Laplace math on a hand-computable fixture; gibberish scores worse") {
+    import spark.implicits._
+    val ref = Seq((0L, "the cat sat"), (1L, "the cat ran")).toDF("doc_id", "text")
+    // model: V=4 (the,cat,sat,ran); c1(the)=2, c1(cat)=2; c2(the cat)=2, c2(cat sat)=1
+    val scored = TextAnalysis.bigramLmScore(ref, ref).orderBy("doc_id").collect()
+    val expected0 = -(math.log(3.0 / 6.0) + math.log(2.0 / 6.0)) / 2.0 // (the cat), (cat sat)
+    assert(scored(0).getLong(1) === 2L)
+    assert(math.abs(scored(0).getDouble(2) - expected0) < 5e-5)
+    // a doc full of unseen bigrams scores strictly worse than in-domain text
+    val crawl = Seq((10L, "the cat sat"), (11L, "zx qv plortle zx qv")).toDF("doc_id", "text")
+    val s2 = TextAnalysis.bigramLmScore(crawl, ref).orderBy("doc_id").collect()
+    assert(s2(0).getDouble(2) < s2(1).getDouble(2),
+      "in-domain text must have lower nll than out-of-vocabulary gibberish")
+    // docs with < 2 tokens produce no row
+    val tiny = Seq((20L, "one")).toDF("doc_id", "text")
+    assert(TextAnalysis.bigramLmScore(tiny, ref).count() === 0L)
+  }
+
   test("quantized kNN ranks nearly like exact kNN (int8 search fidelity)") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val q0f = emb.where(col("vec_id") === 0L).head().getAs[scala.collection.Seq[Float]]("embedding")
