@@ -35,6 +35,19 @@ trait FlumeLogContract extends SparkSpec {
     assert(log.read.count() === 4L)
   }
 
+  test("onSince: subscribe emits the current cursor, each committed append emits once") {
+    val log = mkLog()
+    append(log, 1L)
+    val seen = scala.collection.mutable.Buffer[Long]()
+    val unsub = log.onSince(seen += _)
+    assert(seen.toSeq === Seq(0L), "subscribe emits the current value (obz)")
+    append(log, 2L, 3L)
+    assert(seen.toSeq === Seq(0L, 2L), "one emission per committed batch, at its final seq")
+    unsub()
+    append(log, 4L)
+    assert(seen.size === 2, "unsubscribed listener must not fire")
+  }
+
   test("get is a point lookup by seq") {
     val log = mkLog()
     append(log, 10L, 20L, 30L)
