@@ -862,10 +862,29 @@ object SparkEntry {
         .agg(round(sum("o_totalprice"), 2))
         .toDF("o_orderstatus", "p_urgent", "p_high", "p_medium", "p_notspec", "p_low")
         .orderBy("o_orderstatus")),
+    "q_unpivot" -> ((s, dir) =>
+      // melt: wide measure columns to (measure, val) long form — the
+      // inverse of q_pivot, a narrow Expand with no shuffle
+      t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .select(col("l_orderkey"), col("l_linenumber"), col("measure"),
+          round(col("val"), 4).as("val"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+        // val completes the key (remaining ties are identical rows)
+        .orderBy("l_orderkey", "l_linenumber", "measure", "val")),
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(t(s, dir, "documents")).orderBy("doc_id")),
     "q_vocab_build" -> ((s, dir) =>
       TextAnalysis.vocabBuild(t(s, dir, "documents"), minDf = 2, topN = 1000)),
+    "q_heavy_hitters" -> ((s, dir) =>
+      // distributed Misra-Gries candidates (guaranteed superset) + exact
+      // verify restricted to the candidate set; integer-math threshold
+      TextAnalysis.heavyHitters(t(s, dir, "documents"), k = 30)),
     "q_seq_pack" -> ((s, dir) =>
       Packing.packSequences(t(s, dir, "documents"), capacity = 2048)
         .orderBy("doc_id")),
@@ -1618,6 +1637,12 @@ object SparkEntry {
         "round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS p_notspec, " +
         "round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS p_low " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q_unpivot" ->
+      ("SELECT l_orderkey, l_linenumber, measure, round(val, 4) AS val " +
+        "FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax " +
+        "FROM lineitem WHERE l_orderkey % 50 = 0) " +
+        "ON l_quantity, l_extendedprice, l_discount, l_tax INTO NAME measure VALUE val) " +
+        "ORDER BY l_orderkey, l_linenumber, measure, val"),
     "q_domain_mix" ->
       ("WITH src AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN 'web' WHEN doc_id % 4 = 1 THEN 'books' " +
         "WHEN doc_id % 4 = 2 THEN 'code' ELSE 'wiki' END AS source FROM documents), " +
@@ -1639,6 +1664,12 @@ object SparkEntry {
         "SELECT term, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df " +
         "FROM tk GROUP BY term HAVING count(DISTINCT doc_id) >= 2 " +
         "ORDER BY tf DESC, term LIMIT 1000"),
+    "q_heavy_hitters" ->
+      ("WITH tk AS (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term FROM documents), " +
+        "tot AS (SELECT count(*) AS n FROM tk) " +
+        "SELECT term, count(*)::BIGINT AS cnt FROM tk GROUP BY term " +
+        "HAVING count(*) * 30 > (SELECT n FROM tot) " +
+        "ORDER BY cnt DESC, term"),
     "q_layout_scan" ->
       ("SELECT event_id, user_id, event_type, round(value, 4) AS value " +
         "FROM events WHERE event_id BETWEEN 1000 AND 1999 ORDER BY event_id"),

@@ -287,6 +287,64 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Exact corpus heavy hitters: every term whose occurrence count
+    * strictly exceeds `total/k` (the classic frequent-items threshold).
+    * Shape: (1) one narrow pass computes the distributed Misra-Gries
+    * candidate sketch (`stat.freqItems` — mergeable per-partition state
+    * of ~k entries, guaranteed to contain every true heavy hitter, may
+    * contain false positives); (2) one count pass for the threshold;
+    * (3) one agg pass restricted to the <=~k candidates verifies exact
+    * counts and drops the false positives. The verify agg's map side
+    * discards every non-candidate row before the shuffle, so the
+    * shuffle carries at most (partitions x k) rows regardless of corpus
+    * size — the 100 TB shape for "find the stopwords". Threshold is
+    * compared in integer math (`cnt * k > total`), so the output is
+    * deterministic and oracle-able. */
+  def heavyHitters(
+      docs: DataFrame,
+      k: Int = 30,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    val terms = docs.select(explode(tokens(col(textCol))).as("term"))
+    val candidates = terms.stat.freqItems(Array("term"), 1.0 / k)
+      .head.getSeq[String](0)
+    val total = terms.count()
+    terms.where(col("term").isin(candidates: _*))
+      .groupBy("term").agg(count(lit(1)).cast("bigint").as("cnt"))
+      .where(col("cnt") * k > total)
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
+  /** Approximate heavy hitters: same candidate sketch, but counts come
+    * from a Count-Min Sketch (`stat.countMinSketch`, mergeable,
+    * `O(1/eps * log(1/delta))` space) instead of an exact verify pass —
+    * two narrow passes total, no shuffle at all. CMS never
+    * underestimates, so with the same threshold the result is a
+    * SUPERSET of [[heavyHitters]]; each estimate is within `eps*total`
+    * of truth with probability `confidence`. The production shape when
+    * the candidate pass and the counting pass must share one scan
+    * budget. */
+  def heavyHittersApprox(
+      docs: DataFrame,
+      k: Int = 30,
+      eps: Double = 1e-3,
+      confidence: Double = 0.99,
+      seed: Int = 42,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = docs.select(explode(tokens(col(textCol))).as("term"))
+    val candidates = terms.stat.freqItems(Array("term"), 1.0 / k)
+      .head.getSeq[String](0)
+    val cms = terms.stat.countMinSketch(col("term"), eps, confidence, seed)
+    val total = cms.totalCount()
+    candidates.map(t => (t, cms.estimateCount(t)))
+      .filter { case (_, est) => est * k > total }
+      .sortBy { case (t, est) => (-est, t) }
+      .toDF("term", "est_cnt")
+  }
+
   /** Intra-document repetition signals (Gopher-style quality rules):
     * the fraction of duplicate lines and duplicate word bigrams inside
     * each document. Boilerplate-heavy or looping generations score high

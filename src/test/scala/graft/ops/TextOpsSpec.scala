@@ -78,4 +78,40 @@ class TextOpsSpec extends SparkSpec {
     val cut = TextAnalysis.vocabBuild(docs, minDf = 1, topN = 3).collect().map(_.getString(0))
     assert(cut.toSeq == Seq("apple", "banana", "cherry")) // tf 3, 2, 2; the tf tie breaks on term asc
   }
+
+  test("heavyHitters finds exactly the terms above total/k, in exact counts") {
+    // 40 tokens: "the" x 12 (30%), "of" x 6 (15%), everything else unique
+    val filler = (1 to 22).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, ("the " * 8).trim + " of of of " + filler),
+      (2L, ("the " * 4).trim + " of of of")
+    ).toDF("doc_id", "text")
+    // k=5 → threshold 40/5 = 8: "the" (12 > 8) qualifies, "of" (6) does not
+    val r = TextAnalysis.heavyHitters(docs, k = 5).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r.toSeq == Seq(("the", 12L)))
+    // k=10 → threshold 4: both qualify, ordered by cnt desc
+    val r2 = TextAnalysis.heavyHitters(docs, k = 10).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r2.toSeq == Seq(("the", 12L), ("of", 6L)))
+  }
+
+  test("heavyHittersApprox is a superset of exact with CMS-bounded estimates") {
+    // skewed corpus: planted heavy terms over a uniform tail
+    val docs = (1 to 200).map { i =>
+      (i.toLong, s"alpha beta u${i}a u${i}b" + (if (i % 2 == 0) " alpha" else ""))
+    }.toDF("doc_id", "text")
+    val n = 200 * 4 + 100 // 900 tokens; alpha=300, beta=200
+    val exact = TextAnalysis.heavyHitters(docs, k = 6).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(exact == Map("alpha" -> 300L, "beta" -> 200L)) // threshold 150
+    val approx = TextAnalysis.heavyHittersApprox(docs, k = 6, eps = 1e-3, seed = 42)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+    // CMS never underestimates → no false negatives vs exact
+    assert(exact.keySet.subsetOf(approx.keySet))
+    for ((t, est) <- approx; truth <- exact.get(t)) {
+      assert(est >= truth, s"$t: CMS must not underestimate")
+      assert(est <= truth + (1e-3 * n).ceil.toLong + 1, s"$t: est $est too far above $truth")
+    }
+  }
 }
