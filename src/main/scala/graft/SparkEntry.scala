@@ -89,6 +89,27 @@ object SparkEntry {
     }
   }
 
+  // events re-laid-out on the Z-order curve over (user_id, event_id) —
+  // the 2-D data-skipping layout; cached per dir like eventsRangeLayout
+  private val zLayouts = scala.collection.concurrent.TrieMap.empty[String, (SparkSession, String)]
+  private def eventsZLayout(s: SparkSession, dir: String): String = {
+    def build(): (SparkSession, String) = {
+      val tmp = java.nio.file.Files.createTempDirectory("graftzlayout").toString
+      graft.sources.Layout.writeZOrdered(
+        t(s, dir, "events").select("event_id", "user_id", "event_type", "value"),
+        tmp, keyX = "user_id", keyY = "event_id", bitsPerDim = 8, nBuckets = 64)
+      (s, tmp)
+    }
+    val e = zLayouts.getOrElseUpdate(dir, build())
+    if (e._1 eq s) e._2
+    else {
+      zLayouts.remove(dir, e)
+      scala.util.Try(graft.views.FsLists.walkDeepestFirst(
+        java.nio.file.Paths.get(e._2)).foreach(java.nio.file.Files.deleteIfExists))
+      zLayouts.getOrElseUpdate(dir, build())._2
+    }
+  }
+
   // the documents corpus's minhash signature table, written once per
   // data dir and read back as a stored parquet table — the base side of
   // q_dedup_incremental (same stale-session guard as the other caches)
@@ -906,6 +927,13 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"),
           round(col("value"), 4).as("value"))
         .orderBy("event_id")),
+    "q_zorder_scan" -> ((s, dir) =>
+      // 2-D box over the Morton-clustered layout: both dimensions prune
+      // partition directories at plan time (asserted in LayoutSpec)
+      graft.sources.Layout.scanBox(s, eventsZLayout(s, dir), 100, 119, 2000, 3999)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 4).as("value"))
+        .orderBy("event_id")),
     "q_pii_scrub" -> ((s, dir) =>
       TextAnalysis.scrubPii(docsWithPii(s, dir))
         .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
@@ -1673,6 +1701,10 @@ object SparkEntry {
     "q_layout_scan" ->
       ("SELECT event_id, user_id, event_type, round(value, 4) AS value " +
         "FROM events WHERE event_id BETWEEN 1000 AND 1999 ORDER BY event_id"),
+    "q_zorder_scan" ->
+      ("SELECT event_id, user_id, event_type, round(value, 4) AS value " +
+        "FROM events WHERE user_id BETWEEN 100 AND 119 AND event_id BETWEEN 2000 AND 3999 " +
+        "ORDER BY event_id"),
     "q_repetition" ->
       ("WITH toks AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM documents), " +
         "l AS (SELECT doc_id, list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines, tk FROM toks), " +
