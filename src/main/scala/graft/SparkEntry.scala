@@ -222,6 +222,21 @@ object SparkEntry {
     d.unionByName(planted)
   }
 
+  /** documents ∪ quote docs (id+40000): every 5th doc contributes its
+    * first 25 tokens as a standalone "quote" document — the planted
+    * fixture for CONTAINMENT dedup. Each quote's shingle set is a
+    * subset of its source's (containment 1.0) while whole-document
+    * Jaccard stays ≈ 23/n — far below any symmetric threshold, i.e.
+    * exactly the subset duplication MinHash-LSH is blind to. */
+  private def docsWithQuotes(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val tk = graft.ops.TextAnalysis.tokens(col("text"))
+    val quotes = d.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 40000).as("doc_id"),
+        concat_ws(" ", slice(tk, 1, 25)).as("text"))
+    d.unionByName(quotes)
+  }
+
   /** Three-copy CHAIN fixture for duplicate clustering: original, first
     * token dropped (+10000), first two tokens dropped (+20000). Every
     * planted pair keeps jaccard ≥ (d-2)/d ≥ 0.75 on the driver corpus
@@ -761,6 +776,11 @@ object SparkEntry {
         .groupBy("doc_id").agg(sum("n_sub").as("n_bpe_tokens"))
         .orderBy("doc_id")
     }),
+    "q_dedup_containment" -> ((s, dir) =>
+      // subset/quote duplication: containment over shingle sets via the
+      // inverted index (LSH estimates Jaccard, which is ~0 here)
+      Dedup.containment(docsWithQuotes(s, dir), threshold = 0.8, maxDocFreq = 1000)
+        .orderBy("id_a", "id_b")),
     "q_dedup_substring" -> ((s, dir) =>
       // Lee et al. exact-substring dedup: maximal ≥15-token spans
       // recurring across documents, over the planted-span fixture the
@@ -1390,6 +1410,18 @@ object SparkEntry {
         "SELECT id_a, id_b, round(inter::DOUBLE / (ca.n + cb.n - inter), 4) AS jaccard " +
         "FROM pairs JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b " +
         "WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.5 ORDER BY id_a, id_b"),
+    "q_dedup_containment" ->
+      ("WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 40000 AS doc_id, array_to_string(list_slice(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''), 1, 25), ' ') AS text " +
+        "FROM documents WHERE doc_id % 5 = 0), " +
+        "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM corpus), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(tk) = 0 THEN [] WHEN len(tk) < 3 THEN list_distinct(tk) ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sh FROM toks), " +
+        "counts AS (SELECT doc_id, len(sh) AS n FROM sh WHERE len(sh) > 0), " +
+        "inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM inv a JOIN inv b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, round(inter::DOUBLE / least(ca.n, cb.n), 4) AS containment " +
+        "FROM pairs JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b " +
+        "WHERE round(inter::DOUBLE / least(ca.n, cb.n), 4) >= 0.8 ORDER BY id_a, id_b"),
     "q_shard" ->
       ("WITH h AS (SELECT doc_id, md5(doc_id::VARCHAR || 'v1') AS hh, " +
         "CAST(concat('0x', substring(md5(doc_id::VARCHAR || 'v1'), 1, 7)) AS BIGINT) % 1000 % 8 AS shard FROM documents) " +

@@ -621,6 +621,50 @@ object Dedup {
     out
   }
 
+  /** Asymmetric containment near-dup pairs: C = |A∩B| / min(|A|,|B|) on
+    * word w-shingle sets — the subset/quote detector. A short document
+    * fully embedded in a long one has containment ≈ 1 but Jaccard
+    * ≈ |A|/|B| ≈ 0, so MinHash-LSH (which estimates JACCARD) is
+    * structurally blind to it — its bands collide with probability
+    * driven by the small Jaccard, not the large containment. Candidate
+    * generation therefore uses the inverted index, not signatures: the
+    * intersection |A∩B| is an exact per-pair count of shared shingle
+    * hashes (one posting-list self-join, the [[ngramJaccard]]
+    * `exhaustive` shape), and the df cap `maxDocFreq` is the skew guard
+    * that bounds the quadratic inside hot postings. All shuffles carry
+    * 8-byte hashes; output pairs are undirected (`id_a < id_b`) — the
+    * contained side is the one with the smaller shingle count. */
+  def containment(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      w: Int = 3,
+      threshold: Double = 0.8,
+      maxDocFreq: Int = 100): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), hashedShinglesCol(col(textCol), w).as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist()
+    val counts = sh.select(col("id"), size(col("sh")).as("n"))
+    val inv = sh.select(col("id"), explode(col("sh")).as("shingle"))
+    val rare = inv.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .where(col("df") <= maxDocFreq).drop("df")
+    val shared = rare.select(col("shingle"), col("id").as("id_a"))
+      .join(rare.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val out = shared
+      .join(counts.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(counts.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / least(col("n_a"), col("n_b")).cast("double"), 4)
+          .as("containment"))
+      .where(col("containment") >= threshold)
+      .localCheckpoint(true)
+    sh.unpersist(blocking = false)
+    out
+  }
+
   /** Substring-level exact dedup — the public Lee et al. "Deduplicating
     * Training Data Makes Language Models Better" ExactSubstr method,
     * restated as sorted k-gram fingerprints instead of a suffix array:

@@ -76,6 +76,41 @@ class OpsSpec extends SparkSpec {
       s"onlyLsh=${(lsh -- ex).take(5)} onlyExhaustive=${(ex -- lsh).take(5)}")
   }
 
+  test("containment catches a short doc embedded in a long one that jaccard misses") {
+    import spark.implicits._
+    // doc 2 = 6 tokens quoted verbatim from the middle of doc 1's 60;
+    // doc 3 is unrelated
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val quote = (20 to 25).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, quote), (3L, "x1 x2 x3 x4 x5 x6 x7 x8"))
+      .toDF("doc_id", "text")
+    val c = Dedup.containment(docs, threshold = 0.8, maxDocFreq = 100).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // 4 shingles of the quote, all present in doc 1 → containment 1.0
+    assert(c == Map((1L, 2L) -> 1.0))
+    // symmetric jaccard on the same pair is 4/58 — invisible at any
+    // sane threshold, even to the exhaustive path
+    val j = Dedup.ngramJaccard(docs, threshold = 0.3, maxDocFreq = 100, exhaustive = true)
+      .collect()
+    assert(!j.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("containment df cap bounds hot postings without dropping cold pairs") {
+    import spark.implicits._
+    // a boilerplate shingle shared by many docs is dropped by the cap;
+    // the planted subset pair survives on its rare shingles
+    val boiler = "copyright notice follows"
+    val docs = ((1 to 50).map(i => (100L + i, s"$boiler unique$i filler$i")) ++
+      Seq((1L, (1 to 30).map(i => s"t$i").mkString(" ")),
+        (2L, (5 to 12).map(i => s"t$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    val c = Dedup.containment(docs, threshold = 0.9, maxDocFreq = 10).collect()
+    assert(c.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getDouble(2) == 1.0))
+    // no pair among the boilerplate docs: their only shared shingle is
+    // over the df cap, so the quadratic never materializes
+    assert(!c.exists(r => r.getLong(0) >= 100L))
+  }
+
   test("budget selection keeps best-score-first exactly to the token budget") {
     import spark.implicits._
     // scores via a column; tokens = word count. budget 10: A(4 tok, s=3),
