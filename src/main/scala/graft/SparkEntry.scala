@@ -158,6 +158,31 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  // the PQ model (m x k x dim/m driver doubles) and the encoded code
+  // table, trained/written once per data dir — q_ann_pq serves ADC off
+  // the stored codes, touching full vectors only for the re-rank rows
+  private val pqModels = scala.collection.concurrent.TrieMap.empty[String, (SparkSession, graft.ops.Pq.Model, String)]
+  private def storedPqIndex(s: SparkSession, dir: String): (graft.ops.Pq.Model, DataFrame) = {
+    def build(): (SparkSession, graft.ops.Pq.Model, String) = {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val model = graft.ops.Pq.train(emb, m = 8, k = 16, iters = 5)
+      val tmp = java.nio.file.Files.createTempDirectory("graftpqcodes").toString
+      graft.ops.Pq.encode(emb, model).write.mode("overwrite").parquet(tmp)
+      (s, model, tmp)
+    }
+    val e = pqModels.getOrElseUpdate(dir, build())
+    val (model, path) =
+      if (e._1 eq s) (e._2, e._3)
+      else {
+        pqModels.remove(dir, e)
+        scala.util.Try(graft.views.FsLists.walkDeepestFirst(
+          java.nio.file.Paths.get(e._3)).foreach(java.nio.file.Files.deleteIfExists))
+        val n = pqModels.getOrElseUpdate(dir, build())
+        (n._2, n._3)
+      }
+    (model, s.read.parquet(path))
+  }
+
   /** documents ∪ a perturbed copy (first token dropped, doc_id+10000) —
     * the deterministic near-duplicate fixture for the dedup family (the
     * driver corpus itself is 100% distinct). */
@@ -871,6 +896,14 @@ object SparkEntry {
       Similarity.annForVector(storedAnnSignatures(s, dir), queryVec(s, dir, 0L), 10,
           maxHamming = 8, excludeId = Some(0L), sigCol = Some("sig"))
         .orderBy(col("cos").desc, col("vec_id"))),
+    "q_ann_pq" -> ((s, dir) => {
+      // product-quantization ANN: ADC over the stored 8-byte code table,
+      // exact-cosine re-rank of the top-50 shortlist only
+      val (model, codes) = storedPqIndex(s, dir)
+      graft.ops.Pq.search(codes, t(s, dir, "embeddings"), model,
+          queryVec(s, dir, 0L), k = 10, rerank = 50, excludeId = Some(0L))
+        .orderBy(col("cos").desc, col("vec_id"))
+    }),
     "q_stratified_sample" -> ((s, dir) =>
       // per-language quota of 30 docs, picked by md5 order of doc_id —
       // balanced, RNG-free, partition-invariant

@@ -73,4 +73,73 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("scale") == 0.0)
     assert(r.getAs[Long]("q_sum") == 0L)
   }
+
+  // --- product quantization ---
+
+  private def fvecs(rows: (Long, Seq[Float])*) =
+    rows.toSeq.toDF("vec_id", "embedding")
+
+  test("pq encode picks the nearest sub-centroid in every subspace") {
+    // 8-dim, m=2: subspace blobs around 0-vector and 5-vector; every
+    // vector's code must match the brute-force per-subspace argmin
+    val data = (0L until 40L).map { i =>
+      val hi1 = i % 2 == 0; val hi2 = i % 3 == 0
+      i -> (0 until 8).map { d =>
+        val base = if (d < 4) { if (hi1) 5.0f else 0.0f } else { if (hi2) 5.0f else 0.0f }
+        base + (((i + d) % 5) - 2) * 0.01f
+      }
+    }
+    val df = fvecs(data: _*)
+    val model = Pq.train(df, m = 2, k = 4, iters = 4)
+    val codes = Pq.encode(df, model).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val books = model.codebooks
+    data.foreach { case (id, v) =>
+      (0 until 2).foreach { mi =>
+        val sub = v.slice(mi * 4, mi * 4 + 4).map(_.toDouble)
+        val best = books(mi).map { case (cid, c) =>
+          (sub.lazyZip(c).map((a, b) => (a - b) * (a - b)).sum, cid)
+        }.min._2
+        assert(codes(id)(mi) == best, s"vec $id subspace $mi")
+      }
+    }
+  }
+
+  test("pq search finds the planted nearest cluster and the exact top-k after re-rank") {
+    // 4 well-separated direction clusters in 8-dim; query sits in
+    // cluster 0 — ADC must shortlist cluster 0, re-rank makes the
+    // returned top-k EXACTLY the brute-force top-k
+    val dirs = Seq(
+      Seq(1f, 1f, 0f, 0f, 0f, 0f, 0f, 0f), Seq(0f, 0f, 1f, 1f, 0f, 0f, 0f, 0f),
+      Seq(0f, 0f, 0f, 0f, 1f, 1f, 0f, 0f), Seq(0f, 0f, 0f, 0f, 0f, 0f, 1f, 1f))
+    val data = (0L until 80L).map { i =>
+      val c = (i % 4).toInt
+      i -> dirs(c).zipWithIndex.map { case (x, d) => x * 10f + (((i + d) % 7).toFloat - 3f) * 0.1f }
+    }
+    val df = fvecs(data: _*)
+    val model = Pq.train(df, m = 4, k = 8, iters = 4)
+    val codes = Pq.encode(df, model)
+    val query = data.find(_._1 == 0L).get._2
+    val got = Pq.search(codes, df, model, query, k = 10, rerank = 20, excludeId = Some(0L))
+      .collect().map(_.getLong(0))
+    assert(got.forall(_ % 4 == 0), s"all hits from the query's cluster, got ${got.toSeq}")
+    val exact = Similarity.knnForVector(df, query, 10, excludeId = Some(0L))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == exact.toSeq,
+      s"re-ranked pq == exact knn on separated clusters: $got vs $exact")
+  }
+
+  test("pq recall on the real corpus: top-10 after re-rank-50 covers the exact top-10") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val query = emb.where(col("vec_id") === 0L).head()
+      .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val model = Pq.train(emb, m = 8, k = 16, iters = 5)
+    val codes = Pq.encode(emb, model)
+    val pq = Pq.search(codes, emb, model, query, k = 10, rerank = 50, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val exact = Similarity.knnForVector(emb, query, 10, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val recall = (pq & exact).size
+    assert(recall >= 7, s"pq recall@10 = $recall/10 (expected >= 7)")
+  }
 }
