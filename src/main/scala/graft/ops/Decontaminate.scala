@@ -49,6 +49,52 @@ object Decontaminate {
       .agg(count(lit(1)).as("shared_ngrams"))
   }
 
+  /** [[sharedNgrams]] with a Bloom prefilter — the middle of the scale
+    * ladder. `broadcastBench = true` dies when the benchmark gram set
+    * outgrows a broadcast hash table (~100M grams); the plain shuffle
+    * join then moves EVERY corpus gram. A Bloom filter of the benchmark
+    * grams costs ~10 bits per element (20-60× smaller than hashed rows),
+    * still broadcasts long after the hash table cannot, and discards
+    * non-matching corpus grams map-side — the exact join only receives
+    * the survivors, so its shuffle is proportional to candidate hits,
+    * not corpus size. False positives only add rows to the exact join;
+    * false negatives do not exist, so the result is IDENTICAL to
+    * [[sharedNgrams]] (asserted in DecontaminateSpec).
+    * Built on `bloom_filter_agg` / `might_contain` (the same public
+    * expressions Spark's runtime row-level filtering injects). */
+  def sharedNgramsBloomed(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      w: Int = 8,
+      expectedGrams: Long = 1L << 20,
+      numBits: Long = 1L << 23,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      benchTextCol: String = "text"): DataFrame = {
+    val docGrams = docs.select(
+      col(idCol).as("doc_id"),
+      explode(Dedup.hashedShinglesCol(col(textCol), w)).as("g"))
+    val benchGrams = benchmark
+      .select(explode(Dedup.hashedShinglesCol(col(benchTextCol), w)).as("g"))
+      .distinct()
+    // The bloom is built distributed (one pass over the bench grams) and
+    // collected to the driver — numBits/8 bytes, a model-sized artifact
+    // like k-means centroids — then folded into the plan as a BINARY
+    // literal for `might_contain` (a public catalyst expression, absent
+    // from the SQL registry; it requires a constant bloom, which the
+    // literal is — the plan ships it to executors like a broadcast var).
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val bf = benchGrams.stat.bloomFilter(col("g"), expectedGrams, numBits)
+    val bytes = { val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b); b.toByteArray }
+    val candidates = docGrams
+      .where(ColumnBridge.column(BloomFilterMightContain(
+        ColumnBridge.expression(lit(bytes)), ColumnBridge.expression(col("g")))))
+    candidates.join(benchGrams, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+  }
+
   /** The corpus with contaminated documents removed. */
   def clean(
       docs: DataFrame,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class DecontaminateSpec extends SparkSpec {
   import spark.implicits._
@@ -41,5 +42,24 @@ class DecontaminateSpec extends SparkSpec {
     val got = Decontaminate.sharedNgrams(docs, bench)
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 1L))
+  }
+
+  test("bloom-prefiltered path is identical to the exact path on the real corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // benchmark = 12-token slices of every 9th doc, so some docs hit
+    val tk = graft.ops.TextAnalysis.tokens(col("text"))
+    val bench = docs.where(col("doc_id") % 9 === 0)
+      .select(concat_ws(" ", slice(tk, 3, 12)).as("text"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toMap
+    val exact = key(Decontaminate.sharedNgrams(docs, bench))
+    val bloomed = key(Decontaminate.sharedNgramsBloomed(docs, bench))
+    assert(exact.nonEmpty, "fixture must plant contamination")
+    assert(bloomed === exact, "bloom prefilter must not change the result")
+    // the plan actually carries the bloom prefilter
+    val plan = Decontaminate.sharedNgramsBloomed(docs, bench)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "expected might_contain in the plan")
   }
 }
