@@ -1088,6 +1088,13 @@ object SparkEntry {
       Multimodal.sampleFrames(Multimodal.syntheticMedia(t(s, dir, "documents")))
         .select(col("media_id"), col("frame_idx").cast("bigint").as("frame_idx"), col("frame_md5"))
         .orderBy("media_id", "frame_idx")),
+    "q_video_frames" -> ((s, dir) =>
+      // REAL multi-frame container round trip: animated GIFs encoded by
+      // the JDK writer, decoded frame-by-frame via the ImageReader
+      // sequence API; gray palette is lossless so the oracle re-derives
+      // every frame's exact pixel sum from the generator formula
+      Multimodal.frameStats(Multimodal.syntheticGifMedia(t(s, dir, "documents")))
+        .orderBy("media_id", "frame_idx")),
     "q_stream_tumbling" -> ((s, dir) => {
       // Streaming == batch equivalence, oracle-checked: the events table
       // replays through the parquet file streaming source, aggregates
@@ -1674,6 +1681,15 @@ object SparkEntry {
         "f AS (SELECT media_id, unnest(generate_series(0, greatest(length(text) // 1024 - 1, 0))) AS frame_idx, text FROM v) " +
         "SELECT media_id, frame_idx::BIGINT AS frame_idx, md5(substring(text, (frame_idx * 1024 + 1)::INT, 256)) AS frame_md5 " +
         "FROM f ORDER BY media_id, frame_idx"),
+    "q_video_frames" ->
+      ("WITH m AS (SELECT doc_id AS media_id, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h, 3 + doc_id % 3 AS nf " +
+        "FROM documents WHERE doc_id % 3 = 2), " +
+        "f AS (SELECT media_id, w, h, unnest(generate_series(0, nf - 1)) AS frame_idx FROM m), " +
+        "xs AS (SELECT unnest(range(0, 32)) AS x), ys AS (SELECT unnest(range(0, 24)) AS y) " +
+        "SELECT media_id, frame_idx::BIGINT AS frame_idx, w::BIGINT AS width, h::BIGINT AS height, " +
+        "sum((media_id * 31 + 7 * x + 13 * y + 29 * frame_idx) % 256)::BIGINT AS px_sum " +
+        "FROM f JOIN xs ON x < w JOIN ys ON y < h " +
+        "GROUP BY media_id, frame_idx, w, h ORDER BY media_id, frame_idx"),
     "q_bloom_check" ->
       ("SELECT key, key IN (SELECT DISTINCT event_type FROM events) AS might_contain " +
         "FROM (VALUES ('click'),('error'),('nosuchtype'),('purchase'),('signup'),('view')) t(key) ORDER BY key"),

@@ -190,6 +190,98 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  /** Deterministic REAL-GIF fixture: a multi-frame (animated) GIF per
+    * row — `3 + id % 3` full frames of `(16 + id%16) × (16 + id%8)` gray
+    * pixels, frame `f`'s pixel at (x, y) being
+    * `(id*31 + 7x + 13y + 29f) mod 256`, written frame-by-frame through
+    * the JDK's GIF `ImageWriter` sequence API. A 256-level gray palette
+    * fits GIF's 8-bit palette exactly, so the codec is LOSSLESS here and
+    * a SQL oracle can re-derive every frame's pixel sum from the formula
+    * — the video-container analog of [[syntheticPngMedia]]: real
+    * multi-frame encode → binary column → per-frame decode. */
+  def syntheticGifMedia(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol)).where(col(idCol) % 3 === 2).rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = 16 + (id % 16).toInt
+        val h = 16 + (id % 8).toInt
+        val frames = 3 + (id % 3).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < frames) {
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, ((id * 31 + 7L * x + 13L * y + 29L * f) % 256L).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence(); ios.close(); writer.dispose()
+        Row(id, "video", bos.toByteArray, Row(w, h, frames * 40L, "image/gif"))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  private val frameStatsSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("px_sum", LongType, nullable = false)))
+
+  /** REAL per-frame decode of multi-frame containers (`ImageReader`
+    * sequence API — GIF ships with the JRE): one output row per frame
+    * with exact integer pixel statistics. Partition-batched like
+    * [[imageStats]]; payloads with no reader are dropped. Gray values
+    * come from `getRGB & 0xFF` (palette-indexed rasters store palette
+    * INDICES in the sample — reading samples would silently report
+    * indices, not pixels). */
+  def frameStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) { in.close(); Iterator.empty }
+        else {
+          val reader = readers.next()
+          reader.setInput(in, false, true)
+          val n = reader.getNumImages(true)
+          val rows = (0 until n).map { i =>
+            val img = reader.read(i)
+            val w = img.getWidth; val h = img.getHeight
+            var sum = 0L; var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += img.getRGB(x, y) & 0xFF; x += 1 }
+              y += 1
+            }
+            Row(r.getLong(0), i.toLong, w.toLong, h.toLong, sum)
+          }
+          reader.dispose(); in.close()
+          rows.iterator
+        }
+      }
+    }
+    spark.createDataFrame(rdd, frameStatsSchema)
+  }
+
   /** Deterministic REAL-WAV fixture: 16-bit signed little-endian mono PCM
     * with `n = 800 + id % 400` samples of the integer waveform
     * `s(i) = (id*31 + 17*i) % 2003 - 1001`, wrapped through the JDK's

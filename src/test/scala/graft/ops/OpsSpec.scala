@@ -661,6 +661,26 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.audioStats(Multimodal.syntheticMedia(docs)).count() === 0L)
   }
 
+  test("real GIF multi-frame decode: every frame's pixels round-trip exactly; frame count honored") {
+    val media = Multimodal.syntheticGifMedia(docs)
+    val rows = Multimodal.frameStats(media).collect()
+    assert(rows.nonEmpty)
+    val byMedia = rows.groupBy(_.getLong(0))
+    byMedia.foreach { case (id, frames) =>
+      val w = 16 + (id % 16).toInt; val h = 16 + (id % 8).toInt
+      assert(frames.length === 3 + (id % 3).toInt, s"frame count for id=$id")
+      frames.foreach { row =>
+        val f = row.getLong(1)
+        assert(row.getLong(2) === w.toLong && row.getLong(3) === h.toLong)
+        val expect = (for { y <- 0 until h; x <- 0 until w }
+          yield (id * 31 + 7L * x + 13L * y + 29L * f) % 256L).sum
+        assert(row.getLong(4) === expect, s"gray palette is lossless for id=$id frame=$f")
+      }
+    }
+    // text-byte payloads have no image reader: dropped, not mis-parsed
+    assert(Multimodal.frameStats(Multimodal.syntheticMedia(docs)).count() === 0L)
+  }
+
   test("multimodal resize: exact target length, meta rewritten, up/downsample both defined") {
     import spark.implicits._
     val media = Multimodal.syntheticMedia(docs)
