@@ -975,6 +975,17 @@ object SparkEntry {
         Map("web" -> 0.5, "books" -> 0.2, "code" -> 0.2, "wiki" -> 0.1), salt = "mix1")
         .orderBy("doc_id")
     }),
+    "q_temperature_mix" -> ((s, dir) => {
+      // skewed planted sources (60/30/10), flattened at alpha = 0.5;
+      // keep-fraction per source is (n_min/n_i)^(1-alpha) — the
+      // normalizing sum cancels, so the oracle replays pure pow/floor
+      val labeled = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 <= 5, "web")
+          .when(col("doc_id") % 10 <= 8, "books")
+          .otherwise("wiki").as("source"))
+      graft.ops.Sampling.mixByTemperature(labeled, "source", "doc_id",
+        alpha = 0.5, salt = "temp1").orderBy("doc_id")
+    }),
     "q_layout_scan" -> ((s, dir) =>
       graft.sources.Layout.scanRange(s, eventsRangeLayout(s, dir), 1000, 1999)
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -1762,6 +1773,14 @@ object SparkEntry {
         "pm AS (SELECT source, least(1000, floor(1000.0 * share * total / n + 1e-9))::BIGINT AS p FROM j CROSS JOIN t) " +
         "SELECT s.doc_id, s.source FROM src s JOIN pm ON s.source = pm.source " +
         "WHERE CAST(concat('0x', substring(md5(s.doc_id::VARCHAR || 'mix1'), 1, 7)) AS BIGINT) % 1000 < pm.p " +
+        "ORDER BY s.doc_id"),
+    "q_temperature_mix" ->
+      ("WITH src AS (SELECT doc_id, CASE WHEN doc_id % 10 <= 5 THEN 'web' WHEN doc_id % 10 <= 8 THEN 'books' ELSE 'wiki' END AS source FROM documents), " +
+        "cnt AS (SELECT source, count(*) AS n FROM src GROUP BY source), " +
+        "mn AS (SELECT min(n) AS nmin FROM cnt), " +
+        "pm AS (SELECT source, least(1000, floor(1000.0 * pow(nmin::DOUBLE / n, 0.5) + 1e-9))::BIGINT AS p FROM cnt CROSS JOIN mn) " +
+        "SELECT s.doc_id, s.source FROM src s JOIN pm USING (source) " +
+        "WHERE CAST(concat('0x', substring(md5(s.doc_id::VARCHAR || 'temp1'), 1, 7)) AS BIGINT) % 1000 < pm.p " +
         "ORDER BY s.doc_id"),
     "q_seq_pack" ->
       ("WITH c AS (SELECT doc_id, len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))::BIGINT AS n_tokens FROM documents), " +

@@ -73,6 +73,37 @@ object Sampling {
     df.where(hashPermille(col(keyCol), salt) < pmCol)
   }
 
+  /** Temperature-scaled domain mixing (the multilingual-pretraining
+    * recipe: sample source i with probability ∝ nᵢ^α, α ∈ [0, 1] —
+    * α = 1 keeps the natural distribution, α → 0 flattens toward
+    * uniform). Restated as downsampling-only acceptance, the target
+    * share s_i = nᵢ^α / Σ nⱼ^α with the smallest source kept whole
+    * reduces to a per-source keep-fraction `(n_min / nᵢ)^(1-α)` — the
+    * normalizing sum cancels, so no cross-engine float summation enters
+    * the oracle math. Per-source counts are a tiny driver aggregate;
+    * acceptance is the same portable md5-permille as the rest of the
+    * sampling family (no RNG, partition-invariant). */
+  def mixByTemperature(
+      df: DataFrame,
+      sourceCol: String,
+      keyCol: String,
+      alpha: Double,
+      salt: String = ""): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val counts = df.groupBy(sourceCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return df.where(lit(false))
+    val nMin = counts.values.min
+    val permille = counts.map { case (s, n) =>
+      s -> math.min(1000L,
+        math.floor(1000.0 * math.pow(nMin.toDouble / n, 1.0 - alpha) + 1e-9).toLong)
+    }
+    val pmCol = permille.foldLeft(lit(-1L)) { case (acc, (s, p)) =>
+      when(col(sourceCol) === s, lit(p)).otherwise(acc)
+    }
+    df.where(hashPermille(col(keyCol), salt) < pmCol)
+  }
+
   /** Deterministic per-group quota: at most `nPerGroup` rows per
     * `groupCol`, chosen by md5 order of the key (ties broken by the key
     * itself, so the pick is total and partition-invariant) — balanced

@@ -381,6 +381,28 @@ class OpsSpec extends SparkSpec {
     assert(dropped.where(col("source") =!= "web").count() === 0L)
   }
 
+  test("temperature mix flattens skew: alpha=1 natural, alpha=0 uniform, monotone between") {
+    import spark.implicits._
+    val rows = (0L until 3600L).map((_, "web")) ++
+      (10000L until 10900L).map((_, "books")) ++ (20000L until 20100L).map((_, "wiki"))
+    val df = rows.toDF("doc_id", "source")
+    def countsAt(alpha: Double) =
+      Sampling.mixByTemperature(df, "source", "doc_id", alpha, salt = "t")
+        .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha = 1: natural distribution — nothing dropped
+    assert(countsAt(1.0) === Map("web" -> 3600L, "books" -> 900L, "wiki" -> 100L))
+    // alpha = 0: uniform — every source cut to ~n_min (permille + hash variance)
+    val flat = countsAt(0.0)
+    assert(flat("wiki") === 100L)
+    assert(math.abs(flat("web") - 100L) < 30 && math.abs(flat("books") - 100L) < 30, s"$flat")
+    // alpha = 0.5: between natural and uniform — keep-fraction
+    // (100/3600)^0.5 ≈ 0.167 for web, (100/900)^0.5 ≈ 0.333 for books
+    val half = countsAt(0.5)
+    assert(half("wiki") === 100L)
+    assert(math.abs(half("web") - 600L) < 90, s"web ~600 expected, got $half")
+    assert(math.abs(half("books") - 300L) < 50, s"books ~300 expected, got $half")
+  }
+
   test("salted aggregation matches plain groupBy (skew-safe path)") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val plain = ev.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"), sum("value").as("sum_v"))
