@@ -183,6 +183,33 @@ object SparkEntry {
     (model, s.read.parquet(path))
   }
 
+  // the composed IVF+PQ index: codes WITH the coarse cell id, written
+  // once per data dir PARTITIONED BY cell — probing is plan-time
+  // directory pruning over files already 32x smaller than the vectors
+  private val ivfpqModels = scala.collection.concurrent.TrieMap.empty[String, (SparkSession, graft.ops.Pq.Model, Array[(Long, Seq[Float])], String)]
+  private def storedIvfPqIndex(s: SparkSession, dir: String): (graft.ops.Pq.Model, Array[(Long, Seq[Float])], DataFrame) = {
+    def build(): (SparkSession, graft.ops.Pq.Model, Array[(Long, Seq[Float])], String) = {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val model = graft.ops.Pq.train(emb, m = 8, k = 16, iters = 5)
+      val cents = graft.ops.Similarity.seedCentroids(emb, nCentroids = 16)
+      val tmp = java.nio.file.Files.createTempDirectory("graftivfpq").toString
+      graft.ops.Pq.encodeWithCells(emb, model, cents)
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      (s, model, cents, tmp)
+    }
+    val e = ivfpqModels.getOrElseUpdate(dir, build())
+    val (model, cents, path) =
+      if (e._1 eq s) (e._2, e._3, e._4)
+      else {
+        ivfpqModels.remove(dir, e)
+        scala.util.Try(graft.views.FsLists.walkDeepestFirst(
+          java.nio.file.Paths.get(e._4)).foreach(java.nio.file.Files.deleteIfExists))
+        val n = ivfpqModels.getOrElseUpdate(dir, build())
+        (n._2, n._3, n._4)
+      }
+    (model, cents, s.read.parquet(path))
+  }
+
   /** documents ∪ a perturbed copy (first token dropped, doc_id+10000) —
     * the deterministic near-duplicate fixture for the dedup family (the
     * driver corpus itself is 100% distinct). */
@@ -896,6 +923,15 @@ object SparkEntry {
       Similarity.annForVector(storedAnnSignatures(s, dir), queryVec(s, dir, 0L), 10,
           maxHamming = 8, excludeId = Some(0L), sigCol = Some("sig"))
         .orderBy(col("cos").desc, col("vec_id"))),
+    "q_ann_ivfpq" -> ((s, dir) => {
+      // the composed production ANN: probe 4 of 16 cells (partition
+      // pruning over the stored code table), ADC inside probed cells,
+      // exact re-rank of the shortlist
+      val (model, cents, codes) = storedIvfPqIndex(s, dir)
+      graft.ops.Pq.searchCells(codes, t(s, dir, "embeddings"), model, cents,
+          queryVec(s, dir, 0L), k = 10, nProbe = 4, rerank = 50, excludeId = Some(0L))
+        .orderBy(col("cos").desc, col("vec_id"))
+    }),
     "q_ann_pq" -> ((s, dir) => {
       // product-quantization ANN: ADC over the stored 8-byte code table,
       // exact-cosine re-rank of the top-50 shortlist only

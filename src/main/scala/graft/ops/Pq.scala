@@ -84,6 +84,45 @@ object Pq {
     corpus.select(col(idCol).as("id"), array(codeCols: _*).as("code"))
   }
 
+  /** [[encode]] plus the IVF coarse cell id — the composed IVF+PQ
+    * artifact (the public FAISS `IVFPQ` shape): write it partitioned by
+    * `cell` and a probe is DIRECTORY pruning over code files that are
+    * already 32× smaller than the vectors. */
+  def encodeWithCells(
+      corpus: DataFrame,
+      model: Model,
+      cents: Array[(Long, Seq[Float])],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    encode(corpus, model, idCol, vecCol)
+      .join(corpus.select(col(idCol).as("id"),
+        Similarity.cellAssign(col(vecCol), cents).as("cell")), Seq("id"))
+
+  /** IVF+PQ search: probe the `nProbe` nearest coarse cells (driver-side
+    * over the tiny centroid table — at cluster scale the `isin` on the
+    * cell partition column is plan-time directory pruning), run ADC over
+    * the probed cells' codes only, exact-cosine re-rank the shortlist.
+    * With `nProbe = nCentroids` and `rerank >= |corpus|` this equals
+    * exact kNN (asserted in EmbeddingOpsSpec) — the knob trades recall
+    * for touched bytes exactly like [[Similarity.ivfSearch]], on a code
+    * table a fraction of the vector table's size. */
+  def searchCells(
+      codes: DataFrame,
+      corpus: DataFrame,
+      model: Model,
+      cents: Array[(Long, Seq[Float])],
+      queryVec: Seq[Float],
+      k: Int,
+      nProbe: Int = 4,
+      rerank: Int = 50,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      excludeId: Option[Long] = None): DataFrame = {
+    val probe = Similarity.probeCells(cents, queryVec, nProbe)
+    search(codes.where(col("cell").isin(probe: _*)), corpus, model, queryVec,
+      k, rerank, idCol, vecCol, excludeId)
+  }
+
   /** ADC top-`k` over a code table, with exact-cosine re-rank of the
     * top-`rerank` shortlist against `corpus` (must be the table `codes`
     * was encoded from). Output `(vec_id, cos)` sorted cos desc. */

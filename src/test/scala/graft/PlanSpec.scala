@@ -240,4 +240,40 @@ class PlanSpec extends SparkSpec {
         s"no join may bucket on the full signature (uncapped self-join): $keyNames")
     }
   }
+
+  test("unpivot is a narrow Expand over the pushed scan — no shuffle before the sort") {
+    val s = planString(run("q_unpivot"))
+    assert(s.contains("Expand"), "unpivot should plan an Expand")
+    // only the output sort may exchange; the melt itself is narrow
+    val beforeSort = s.substring(s.indexOf("Expand"))
+    assert(!beforeSort.contains("Exchange hashpartitioning"),
+      "no hash exchange below the Expand — melt must stay narrow")
+    assert(s.contains("PushedFilters: [IsNotNull(l_orderkey)"),
+      "the orderkey filter must reach parquet")
+  }
+
+  test("heavy-hitter verify agg is partial (map-side combined) and candidate-filtered") {
+    val df = graft.ops.TextAnalysis.heavyHitters(
+      spark.read.parquet(s"$dir/documents.parquet"), k = 30)
+    val s = planString(df)
+    assert(s.contains("partial_count") || s.contains("HashAggregate(keys=[term"),
+      "verify aggregation must be a hash agg with map-side partials")
+    assert(s.contains("isin") || s.contains("IN ") || s.contains(" INSET "),
+      "the candidate filter must appear below the aggregate")
+  }
+
+  test("pq search scans codes, not vectors; re-rank joins via broadcast") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val model = graft.ops.Pq.train(emb, m = 8, k = 16, iters = 2)
+    val codes = graft.ops.Pq.encode(emb, model)
+      .write.mode("overwrite").parquet("/tmp/planspec_pqcodes")
+    val stored = spark.read.parquet("/tmp/planspec_pqcodes")
+    val q = emb.where(org.apache.spark.sql.functions.col("vec_id") === 0L).head()
+      .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val s = planString(graft.ops.Pq.search(stored, emb, model, q, k = 5, rerank = 20))
+    assert(s.contains("TakeOrderedAndProject"),
+      "ADC shortlist must be a bounded heap, not a global sort")
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      "re-rank must broadcast the shortlist to the corpus")
+  }
 }

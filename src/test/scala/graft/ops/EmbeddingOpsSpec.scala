@@ -129,6 +129,41 @@ class EmbeddingOpsSpec extends SparkSpec {
       s"re-ranked pq == exact knn on separated clusters: $got vs $exact")
   }
 
+  test("ivf+pq: full probe + full re-rank equals exact knn; probing prunes cell partitions") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count().toInt
+    val query = emb.where(col("vec_id") === 0L).head()
+      .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val model = Pq.train(emb, m = 8, k = 16, iters = 3)
+    val cents = Similarity.seedCentroids(emb, nCentroids = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqspec").toString
+    try {
+      Pq.encodeWithCells(emb, model, cents)
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      val codes = spark.read.parquet(dir)
+      // full probe + rerank >= corpus: the learned quantization cannot
+      // lose anything — output IS exact knn
+      val full = Pq.searchCells(codes, emb, model, cents, query, k = 10,
+        nProbe = 16, rerank = n, excludeId = Some(0L)).collect().map(_.getLong(0))
+      val exact = Similarity.knnForVector(emb, query, 10, excludeId = Some(0L))
+        .collect().map(_.getLong(0))
+      assert(full.toSeq == exact.toSeq)
+      // partial probe: high recall at a fraction of the touched cells
+      val probed = Pq.searchCells(codes, emb, model, cents, query, k = 10,
+        nProbe = 4, rerank = 50, excludeId = Some(0L)).collect().map(_.getLong(0)).toSet
+      val recall = (probed & exact.toSet).size
+      assert(recall >= 6, s"ivf+pq recall@10 with 4/16 cells = $recall/10")
+      // the probe is plan-time partition pruning over the code table
+      val probe = Similarity.probeCells(cents, query, 4)
+      val (total, read) = graft.sources.Layout.pruningCounts(
+        codes, codes.where(col("cell").isin(probe: _*)))
+      assert(total >= 8 && read <= 4, s"probe must prune cell dirs: read $read of $total")
+    } finally {
+      scala.util.Try(graft.views.FsLists.walkDeepestFirst(
+        java.nio.file.Paths.get(dir)).foreach(java.nio.file.Files.deleteIfExists))
+    }
+  }
+
   test("pq recall on the real corpus: top-10 after re-rank-50 covers the exact top-10") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val query = emb.where(col("vec_id") === 0L).head()
