@@ -1299,6 +1299,42 @@ object SparkEntry {
         .select(col("user_id"), col("n"), round(col("mean") * col("n"), 4).as("sum_v"))
         .orderBy("user_id")
     }),
+    "q_stream_state_tws" -> ((s, dir) => {
+      // The same per-key Welford state on Spark 4's transformWithState
+      // surface (typed ValueState inside a StatefulProcessor, RocksDB
+      // state store as TWS requires). Identical state transitions ⇒ the
+      // same batch oracle as q_stream_state.
+      scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
+      val schema = t(s, dir, "events").schema
+      val name = s"stream_state_tws_${streamIds.incrementAndGet()}"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val q = graft.streaming.StreamingViews.runningStatsPerKeyTws(src, "user_id", "value")
+          .toDF("user_id", "st")
+          .select(col("user_id"), col("st.n").as("n"), col("st.mean").as("mean"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        prevProvider match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n").desc)
+      s.table(name)
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("user_id"), col("n"), round(col("mean") * col("n"), 4).as("sum_v"))
+        .orderBy("user_id")
+    }),
     "q_stream_dedup" -> ((s, dir) => {
       // Streaming dropDuplicates == batch DISTINCT, oracle-checked: the
       // emitted key set is deterministic regardless of micro-batching.
@@ -1861,6 +1897,8 @@ object SparkEntry {
         "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) AS scrub_md5 " +
         "FROM pii ORDER BY doc_id"),
     "q_stream_state" ->
+      "SELECT user_id, count(*) AS n, round(sum(value), 4) AS sum_v FROM events GROUP BY user_id ORDER BY user_id",
+    "q_stream_state_tws" ->
       "SELECT user_id, count(*) AS n, round(sum(value), 4) AS sum_v FROM events GROUP BY user_id ORDER BY user_id",
     "q_quality_score" ->
       "SELECT doc_id, round(least(n::DOUBLE / 50.0, 1.0) * 0.4 + least((stop_hits::DOUBLE / greatest(n::DOUBLE, 1.0)) * 5.0, 1.0) * 0.4 + greatest(1.0 - punct * 4.0, 0.0) * 0.2, 4) AS quality FROM (SELECT doc_id, len(toks) AS n, len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t))) AS stop_hits, length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS punct FROM (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks FROM documents)) ORDER BY doc_id"

@@ -111,6 +111,28 @@ object StreamingViews {
       case None => stream.dropDuplicates(keyCols)
     }
 
+  /** [[runningStatsPerKey]] on the `transformWithState` API (Spark 4's
+    * arbitrary-stateful-processing surface, the successor to
+    * mapGroupsWithState): the same per-key Welford merge, held in a
+    * typed `ValueState` inside a [[org.apache.spark.sql.streaming.StatefulProcessor]].
+    * What TWS buys at scale: state lives in the RocksDB state store
+    * (disk-backed, not executor-heap-bound — the provider TWS requires),
+    * state variables are schema-evolvable and independently TTL-able,
+    * and one processor can hold several typed states. The final per-key
+    * state is micro-batching-invariant, so the SAME batch aggregate
+    * oracles both implementations (`q_stream_state` / `q_stream_state_tws`). */
+  def runningStatsPerKeyTws(
+      stream: DataFrame,
+      keyCol: String,
+      valueCol: String): Dataset[(Long, Stats)] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col(keyCol).cast("long"), col(valueCol).cast("double")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new WelfordProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Custom incremental state via mapGroupsWithState: running
     * count/mean/M2 per key, merged with Welford — the streaming analog of
     * the reduce view, keyed. Demonstrates arbitrary user state where
@@ -135,5 +157,36 @@ object StreamingViews {
           state.update(merged)
           (key, merged)
       }
+  }
+}
+
+/** Per-key Welford state as a Spark 4 `StatefulProcessor`: one typed
+  * `ValueState[Stats]`, updated with the same fold/merge as the
+  * mapGroupsWithState twin (bit-identical state transitions, so the two
+  * implementations share an oracle). */
+private[streaming] class WelfordProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), (Long, Stats)] {
+  @transient private var state: org.apache.spark.sql.streaming.ValueState[Stats] = _
+
+  override def init(
+      outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    state = getHandle.getValueState[Stats]("welford",
+      org.apache.spark.sql.Encoders.product[Stats],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Double)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Stats)] = {
+    val batch = rows.map(_._2).foldLeft(Stats(0, 0.0, 0.0)) { (s, v) =>
+      val n = s.n + 1
+      val d = v - s.mean
+      val mean = s.mean + d / n
+      Stats(n, mean, s.m2 + d * (v - mean))
+    }
+    val merged = Option(state.get()).fold(batch)(_.merge(batch))
+    state.update(merged)
+    Iterator.single((key, merged))
   }
 }

@@ -597,4 +597,37 @@ class StreamingSpec extends SparkSpec {
       assert(latest(2L) === (2L, 2L, 15.0))  // mean of 10,20 across two batches
     } finally q.stop()
   }
+
+  test("transformWithState twin reaches the same per-key state across batches") {
+    val kvSchema = StructType(Seq(StructField("k", LongType), StructField("v", DoubleType)))
+    val log = new MemoryLog(spark, kvSchema)
+    log.appendRows(Seq(Row(1L, 1.0), Row(1L, 3.0), Row(2L, 10.0)))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stats = StreamingViews.runningStatsPerKeyTws(log.readStream.select("k", "v"), "k", "v")
+      val q = stats.toDF("key", "stats").writeStream
+        .format("memory").queryName("tws_test").outputMode(OutputMode.Update()).start()
+      try {
+        q.processAllAvailable()
+        log.appendRows(Seq(Row(2L, 20.0)))
+        q.processAllAvailable()
+        val latest = spark.sql("SELECT key, stats.n, stats.mean FROM tws_test")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+        // identical state transitions to the mapGroupsWithState twin
+        assert(latest(1L) === (1L, 2L, 2.0))
+        assert(latest(2L) === (2L, 2L, 15.0))
+        // the query really runs the TWS operator
+        assert(q.lastProgress.stateOperators.exists(
+          _.operatorName.toLowerCase.contains("transformwithstate")),
+          s"expected a transformWithState operator, got " +
+            q.lastProgress.stateOperators.map(_.operatorName).mkString(","))
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
