@@ -1135,6 +1135,13 @@ object SparkEntry {
       Multimodal.sampleFrames(Multimodal.syntheticMedia(t(s, dir, "documents")))
         .select(col("media_id"), col("frame_idx").cast("bigint").as("frame_idx"), col("frame_md5"))
         .orderBy("media_id", "frame_idx")),
+    "q_image_dedup" -> ((s, dir) =>
+      // cross-codec pixel dedup: pairs (2j, 2j+1) carry identical pixels
+      // as PNG vs BMP — byte-level dedup can't pair them, decoded-pixel
+      // hashing must. Image identity is j mod 256 (the fixture formula's
+      // period), which the oracle replays arithmetically.
+      Multimodal.pixelDedup(Multimodal.syntheticMixedCodecMedia(t(s, dir, "documents")))
+        .orderBy("keep_id")),
     "q_video_frames" -> ((s, dir) =>
       // REAL multi-frame container round trip: animated GIFs encoded by
       // the JDK writer, decoded frame-by-frame via the ImageReader
@@ -1764,6 +1771,9 @@ object SparkEntry {
         "f AS (SELECT media_id, unnest(generate_series(0, greatest(length(text) // 1024 - 1, 0))) AS frame_idx, text FROM v) " +
         "SELECT media_id, frame_idx::BIGINT AS frame_idx, md5(substring(text, (frame_idx * 1024 + 1)::INT, 256)) AS frame_md5 " +
         "FROM f ORDER BY media_id, frame_idx"),
+    "q_image_dedup" ->
+      ("WITH m AS (SELECT doc_id, (doc_id // 2) % 256 AS g FROM documents) " +
+        "SELECT min(doc_id) AS keep_id, count(*) AS copies FROM m GROUP BY g ORDER BY keep_id"),
     "q_video_frames" ->
       ("WITH m AS (SELECT doc_id AS media_id, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h, 3 + doc_id % 3 AS nf " +
         "FROM documents WHERE doc_id % 3 = 2), " +

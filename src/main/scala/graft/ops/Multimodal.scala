@@ -236,6 +236,74 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  /** Mixed-codec duplicate fixture: consecutive id pairs (2j, 2j+1)
+    * carry IDENTICAL pixels — formula keyed on j = id/2 — but 2j is
+    * PNG-encoded and 2j+1 is BMP-encoded. Byte-level dedup (hash of
+    * `content`) sees two distinct blobs; pixel-level dedup must pair
+    * them. Both codecs are lossless for 8-bit gray, so the planted
+    * pairs are exact at the pixel level. */
+  def syntheticMixedCodecMedia(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol)).rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val j = id / 2
+        val w = 16 + (j % 16).toInt
+        val h = 16 + (j % 8).toInt
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, ((j * 31 + 7L * x + 13L * y) % 256L).toInt); x += 1 }
+          y += 1
+        }
+        val fmt = if (id % 2 == 0) "png" else "bmp"
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, fmt, bos)
+        Row(id, "image", bos.toByteArray, Row(w, h, 0L, s"image/$fmt"))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Pixel-level exact image dedup: decode each payload, canonicalize to
+    * the gray pixel byte stream, and group by its hash — finds the SAME
+    * image stored under DIFFERENT encodings (PNG vs BMP vs re-encoded
+    * copies), which byte-level [[Dedup.exact]] on `content` cannot pair
+    * by construction. Decode is the partition-batched seam; everything
+    * after it is a plain 16-bytes-per-row hash groupBy, the exact-dedup
+    * scale shape. Output: `(keep_id, copies)` per duplicate group,
+    * lowest id kept. Non-decodable payloads are dropped. */
+  def pixelDedup(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        decodeImage(r.getAs[Array[Byte]]("content")).map { img =>
+          val w = img.getWidth; val h = img.getHeight
+          val px = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { px(y * w + x) = (img.getRGB(x, y) & 0xFF).toByte; x += 1 }
+            y += 1
+          }
+          val md = java.security.MessageDigest.getInstance("MD5")
+          md.update(java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h).array())
+          Row(r.getLong(0), java.util.Base64.getEncoder.encodeToString(md.digest(px)))
+        }
+      }
+    }
+    val hashed = spark.createDataFrame(rdd, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("px_hash", StringType, nullable = false))))
+    hashed.groupBy("px_hash")
+      .agg(min("media_id").as("keep_id"), count(lit(1)).as("copies"))
+      .select("keep_id", "copies")
+  }
+
   private val frameStatsSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("frame_idx", LongType, nullable = false),

@@ -703,6 +703,20 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.frameStats(Multimodal.syntheticMedia(docs)).count() === 0L)
   }
 
+  test("pixel dedup pairs identical images across codecs; byte dedup cannot") {
+    val media = Multimodal.syntheticMixedCodecMedia(docs.limit(40))
+    // the PNG and BMP blobs of a pair are different BYTES...
+    val contents = media.select(col("media_id"), md5(col("content")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(contents(0L) != contents(1L), "different codecs must yield different bytes")
+    // ...but pixel dedup groups each (2j, 2j+1) pair
+    val groups = Multimodal.pixelDedup(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups.keySet.forall(_ % 2 == 0), "keep lowest id of each pair")
+    assert(groups.values.forall(_ == 2L), s"every group is the planted pair: $groups")
+    assert(groups.size == 20)
+  }
+
   test("multimodal resize: exact target length, meta rewritten, up/downsample both defined") {
     import spark.implicits._
     val media = Multimodal.syntheticMedia(docs)
