@@ -708,6 +708,18 @@ object SparkEntry {
         round(coalesce(col("value") - lag("value", 1).over(w), lit(0.0)), 4).as("diff"))
         .orderBy("user_id", "seq")
     }),
+    "q_fuzzy_join" -> ((s, dir) => {
+      // edit-distance join via q-gram blocking + exact levenshtein
+      // verify: typo'd probes (last char dropped) against the corpus
+      // vocabulary; the exhaustive cross join is the oracle
+      val vocab = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term")).distinct()
+      val probes = vocab.where(length(col("term")) >= 5)
+        .select(expr("substring(term, 1, length(term) - 1)").as("probe"))
+      graft.ops.Joins.fuzzyJoin(probes, vocab, "probe", "term", maxDist = 1)
+        .select(col("a").as("probe"), col("b").as("term"), col("dist"))
+        .orderBy("probe", "term")
+    }),
     "q_asof_general" -> ((s, dir) => {
       // the GENERAL two-table as-of operator (merge_asof): purchases
       // probe the clicks table for the latest prior click per user,
@@ -1771,6 +1783,12 @@ object SparkEntry {
         "f AS (SELECT media_id, unnest(generate_series(0, greatest(length(text) // 1024 - 1, 0))) AS frame_idx, text FROM v) " +
         "SELECT media_id, frame_idx::BIGINT AS frame_idx, md5(substring(text, (frame_idx * 1024 + 1)::INT, 256)) AS frame_md5 " +
         "FROM f ORDER BY media_id, frame_idx"),
+    "q_fuzzy_join" ->
+      ("WITH vocab AS (SELECT DISTINCT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term FROM documents), " +
+        "probes AS (SELECT DISTINCT substring(term, 1, length(term) - 1) AS probe FROM vocab WHERE length(term) >= 5) " +
+        "SELECT probe, term, levenshtein(probe, term)::BIGINT AS dist " +
+        "FROM probes CROSS JOIN vocab WHERE levenshtein(probe, term) <= 1 " +
+        "ORDER BY probe, term"),
     "q_image_dedup" ->
       ("WITH m AS (SELECT doc_id, (doc_id // 2) % 256 AS g FROM documents) " +
         "SELECT min(doc_id) AS keep_id, count(*) AS copies FROM m GROUP BY g ORDER BY keep_id"),

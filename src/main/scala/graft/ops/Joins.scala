@@ -93,4 +93,51 @@ object Joins {
     val rightOut = rightPayloadCols.map(c => col("__match")(c).as(outName(c)))
     withTol.select(leftOut ++ rightOut: _*)
   }
+
+  /** Fuzzy (edit-distance) string join: all `(a, b)` pairs with
+    * `levenshtein(a, b) <= maxDist`, without the quadratic cross join.
+    *
+    * Candidate generation is q-gram blocking: `d` edits destroy at most
+    * `d·q` of a string's `len − q + 1` grams, so two strings of length
+    * ≥ `q·(d+1)` within distance `d` MUST share a q-gram — the prefilter
+    * is provably complete there, and the equi-join on gram keys shuffles
+    * small tokens, never pairs. Strings shorter than `q·(d+1)` carry too
+    * few grams for the bound and fall back to a length-banded all-pairs
+    * (|len difference| ≤ d) — bounded by the short-string population, the
+    * documented skew guard of this operator. Survivors are verified with
+    * the built-in `levenshtein` (codegen'd), so the output is EXACT.
+    * Inputs are deduplicated on the join value (string-match semantics). */
+  def fuzzyJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      maxDist: Int = 1,
+      q: Int = 2): DataFrame = {
+    require(maxDist >= 1 && q >= 2, s"need maxDist >= 1, q >= 2; got $maxDist/$q")
+    val minLongLen = q * (maxDist + 1)
+    val la = left.select(col(leftCol).cast("string").as("a")).where(col("a").isNotNull).distinct()
+    val rb = right.select(col(rightCol).cast("string").as("b")).where(col("b").isNotNull).distinct()
+    def gramsOf(s: Column): Column =
+      array_distinct(transform(sequence(lit(1), length(s) - (q - 1)),
+        i => s.substr(i, lit(q))))
+    val longA = la.where(length(col("a")) >= minLongLen)
+      .select(col("a"), explode(gramsOf(col("a"))).as("g"))
+    val longB = rb.where(length(col("b")) >= minLongLen)
+      .select(col("b"), explode(gramsOf(col("b"))).as("g"))
+    val gramCand = longA.join(longB, "g").select("a", "b").distinct()
+    val shortA = la.where(length(col("a")) < minLongLen)
+    val shortCand = shortA.crossJoin(rb)
+      .where(abs(length(col("a")) - length(col("b"))) <= maxDist)
+      .select("a", "b")
+    val shortB = rb.where(length(col("b")) < minLongLen)
+    val shortCandB = la.crossJoin(shortB)
+      .where(abs(length(col("a")) - length(col("b"))) <= maxDist)
+      .select("a", "b")
+    gramCand.unionByName(shortCand).unionByName(shortCandB).distinct()
+      .where(abs(length(col("a")) - length(col("b"))) <= maxDist)
+      .select(col("a"), col("b"),
+        levenshtein(col("a"), col("b")).cast("bigint").as("dist"))
+      .where(col("dist") <= maxDist)
+  }
 }

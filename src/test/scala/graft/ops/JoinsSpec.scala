@@ -94,4 +94,42 @@ class JoinsSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
       s"expected at most one key shuffle:\n${plan.take(1200)}")
   }
+
+  test("fuzzy join equals the exhaustive levenshtein cross join, incl short strings") {
+    import spark.implicits._
+    // vocabulary with planted near-misses at every length class: long
+    // words (gram path), length-3 words (short all-pairs path), and
+    // substitution/insertion/deletion variants
+    val terms = Seq("spark", "spork", "sparkle", "catalyst", "catalist",
+      "cat", "car", "ca", "dog", "dig", "partition", "partitions",
+      "shuffle", "shufle", "window", "winnow").toDF("term")
+    val probes = Seq("spark", "catalyst", "cat", "dg", "shuffl", "windw",
+      "partition").toDF("probe")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val got = key(Joins.fuzzyJoin(probes, terms, "probe", "term", maxDist = 1))
+    val exhaustive = key(probes.crossJoin(terms)
+      .select(col("probe").as("a"), col("term").as("b"),
+        levenshtein(col("probe"), col("term")).cast("bigint").as("dist"))
+      .where(col("dist") <= 1))
+    assert(got == exhaustive,
+      s"missing=${exhaustive -- got} extra=${got -- exhaustive}")
+    // sanity: the planted pairs are present, including the short 'dg'→'dog'/'dig'
+    assert(got.contains(("dg", "dog", 1L)) && got.contains(("dg", "dig", 1L)))
+    assert(got.contains(("shuffl", "shuffle", 1L)) && got.contains(("spark", "spork", 1L)))
+  }
+
+  test("fuzzy join at maxDist=2 stays complete (wider gram threshold, longer min length)") {
+    import spark.implicits._
+    val terms = (1 to 60).map(i => s"function$i").toDF("term") // shared 'function' stem
+    val probes = Seq("function1", "functoin2", "fnction3", "xyz").toDF("probe")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val got = key(Joins.fuzzyJoin(probes, terms, "probe", "term", maxDist = 2))
+    val exhaustive = key(probes.crossJoin(terms)
+      .select(col("probe").as("a"), col("term").as("b"),
+        levenshtein(col("probe"), col("term")).cast("bigint").as("dist"))
+      .where(col("dist") <= 2))
+    assert(got == exhaustive, s"missing=${exhaustive -- got} extra=${got -- exhaustive}")
+  }
 }
