@@ -1318,6 +1318,42 @@ object SparkEntry {
         .select(col("user_id"), col("n"), round(col("mean") * col("n"), 4).as("sum_v"))
         .orderBy("user_id")
     }),
+    "q_stream_left_join" -> ((s, dir) => {
+      // LEFT OUTER stream-stream interval join: unmatched purchases
+      // surface with a null click once the watermark closes their join
+      // window. The left side is capped at maxTs - 2h INSIDE the query,
+      // so every kept purchase's window is provably closed by the final
+      // watermark (maxTs - 30min) — making the emitted set deterministic
+      // and equal to the capped batch left join, which is the oracle.
+      scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
+      val schema = t(s, dir, "events").schema
+      val maxMs = t(s, dir, "events").agg(max(expr("ts div 1000000"))).head().getLong(0)
+      val capMs = maxMs - 2L * 3600 * 1000
+      val name = s"stream_ljoin_${streamIds.incrementAndGet()}"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        def side(tpe: String, idAs: String, tsAs: String) =
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+            .where(col("event_type") === tpe)
+            .select(col("user_id"), col("event_id").as(idAs),
+              expr("timestamp_millis(ts div 1000000)").as(tsAs))
+            .withWatermark(tsAs, "30 minutes")
+        val purchases = side("purchase", "purchase_id", "pts")
+          .where(col("pts") <= expr(s"timestamp_millis(${capMs}L)"))
+        val clicks = side("click", "click_id", "cts").withColumnRenamed("user_id", "c_user_id")
+        val q = purchases.join(clicks,
+            col("user_id") === col("c_user_id") &&
+              col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") && col("cts") <= col("pts"),
+            "left_outer")
+          .select(col("user_id"), col("purchase_id"), col("click_id"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.table(name).orderBy("user_id", "purchase_id", "click_id")
+    }),
     "q_stream_state_tws" -> ((s, dir) => {
       // The same per-key Welford state on Spark 4's transformWithState
       // surface (typed ValueState inside a StatefulProcessor, RocksDB
@@ -1812,6 +1848,13 @@ object SparkEntry {
       ("SELECT p.user_id AS user_id, p.event_id AS purchase_id, c.event_id AS click_id " +
         "FROM (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events WHERE event_type = 'purchase') p " +
         "JOIN (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND c.ms >= p.ms - 3600000 AND c.ms <= p.ms " +
+        "ORDER BY user_id, purchase_id, click_id"),
+    "q_stream_left_join" ->
+      ("WITH mx AS (SELECT max(epoch_ms(ts)) AS m FROM events) " +
+        "SELECT p.user_id AS user_id, p.event_id AS purchase_id, c.event_id AS click_id " +
+        "FROM (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events, mx WHERE event_type = 'purchase' AND epoch_ms(ts) <= m - 7200000) p " +
+        "LEFT JOIN (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events WHERE event_type = 'click') c " +
         "ON p.user_id = c.user_id AND c.ms >= p.ms - 3600000 AND c.ms <= p.ms " +
         "ORDER BY user_id, purchase_id, click_id"),
     "q_stream_session" ->

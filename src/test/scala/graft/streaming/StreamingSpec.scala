@@ -598,6 +598,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join emits null rows for closable unmatched lefts") {
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("id", LongType), StructField("ts", TimestampType)))
+    def ts(min: Int): java.sql.Timestamp = new java.sql.Timestamp(min * 60000L)
+    val left = new MemoryLog(spark, sch)
+    val right = new MemoryLog(spark, sch)
+    // matched pair (k=1), unmatched left (k=2), and a late sentinel on
+    // BOTH sides that pushes the watermark far past every join window
+    left.appendRows(Seq(Row(1L, 100L, ts(10)), Row(2L, 200L, ts(12))))
+    right.appendRows(Seq(Row(1L, 900L, ts(8))))
+    val l = left.readStream.select(col("k"), col("id").as("lid"), col("ts").as("lts"))
+      .withWatermark("lts", "5 minutes")
+    val r = right.readStream.select(col("k").as("rk"), col("id").as("rid"), col("ts").as("rts"))
+      .withWatermark("rts", "5 minutes")
+    val joined = l.join(r,
+      col("k") === col("rk") &&
+        col("rts") >= col("lts") - org.apache.spark.sql.functions.expr("INTERVAL 5 MINUTES") &&
+        col("rts") <= col("lts"),
+      "left_outer")
+      .select(col("k"), col("lid"), col("rid"))
+    val q = joined.writeStream.format("memory").queryName("louter_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      left.appendRows(Seq(Row(9L, 999L, ts(120))))
+      right.appendRows(Seq(Row(9L, 998L, ts(120))))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT k, lid, rid FROM louter_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(rows.contains((1L, 100L, 900L)), s"matched pair must join: $rows")
+      assert(rows.contains((2L, 200L, -1L)),
+        s"unmatched left must emit with null right once its window closes: $rows")
+    } finally q.stop()
+  }
+
   test("transformWithState twin reaches the same per-key state across batches") {
     val kvSchema = StructType(Seq(StructField("k", LongType), StructField("v", DoubleType)))
     val log = new MemoryLog(spark, kvSchema)
