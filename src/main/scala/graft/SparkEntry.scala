@@ -1003,6 +1003,10 @@ object SparkEntry {
       TextAnalysis.repetition(t(s, dir, "documents")).orderBy("doc_id")),
     "q_vocab_build" -> ((s, dir) =>
       TextAnalysis.vocabBuild(t(s, dir, "documents"), minDf = 2, topN = 1000)),
+    "q_compress_ratio" -> ((s, dir) =>
+      // rows-only: SQL cannot deflate; determinism + ordering pinned in
+      // TextOpsSpec (fixed level, single-thread JDK Deflater)
+      TextAnalysis.compressionRatio(t(s, dir, "documents")).orderBy("doc_id")),
     "q_heavy_hitters" -> ((s, dir) =>
       // distributed Misra-Gries candidates (guaranteed superset) + exact
       // verify restricted to the candidate set; integer-math threshold

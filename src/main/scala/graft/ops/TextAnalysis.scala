@@ -287,6 +287,44 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Deflate compression ratio per document — the Gopher-style
+    * "compressibility" quality signal: highly repetitive or templated
+    * text compresses far below natural prose, so a low ratio flags
+    * boilerplate and looping generations that n-gram rules miss. Uses
+    * the JDK `Deflater` (public, deterministic for a fixed level)
+    * partition-batched with one reused deflater per partition — the
+    * compressor is the cost, so no per-row allocation. Rows-only at the
+    * oracle (SQL cannot deflate); the spec pins the planted
+    * repetitive-vs-prose ordering and determinism. */
+  def compressionRatio(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      level: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol).cast("long"), col(textCol)).rdd.mapPartitions { it =>
+      val deflater = new java.util.zip.Deflater(level)
+      val buf = new Array[Byte](64 * 1024)
+      it.map { r =>
+        val raw = Option(r.getString(1)).getOrElse("")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        deflater.reset()
+        deflater.setInput(raw)
+        deflater.finish()
+        var compressed = 0L
+        while (!deflater.finished()) compressed += deflater.deflate(buf)
+        val ratio = if (raw.length == 0) 1.0 else compressed.toDouble / raw.length
+        org.apache.spark.sql.Row(r.getLong(0), raw.length.toLong, compressed,
+          BigDecimal(ratio).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_bytes", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_compressed", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("compress_ratio", org.apache.spark.sql.types.DoubleType, nullable = false))))
+  }
+
   /** Exact corpus heavy hitters: every term whose occurrence count
     * strictly exceeds `total/k` (the classic frequent-items threshold).
     * Shape: (1) one narrow pass computes the distributed Misra-Gries

@@ -79,6 +79,28 @@ class TextOpsSpec extends SparkSpec {
     assert(cut.toSeq == Seq("apple", "banana", "cherry")) // tf 3, 2, 2; the tf tie breaks on term asc
   }
 
+  test("compression ratio flags repetitive text below natural prose, deterministically") {
+    val prose = "the quick brown fox jumps over a lazy dog while seventeen " +
+      "violinists argue about parquet encodings near the harbor at dusk"
+    val docs = Seq(
+      (1L, prose),
+      (2L, "spam ham " * 40),                 // highly repetitive
+      (3L, "")                                // empty: ratio defined as 1.0
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.compressionRatio(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(2L).getAs[Double]("compress_ratio") < 0.2, "repetition compresses hard")
+    assert(r(1L).getAs[Double]("compress_ratio") >
+      r(2L).getAs[Double]("compress_ratio") + 0.2, "prose compresses far less")
+    assert(r(3L).getAs[Double]("compress_ratio") == 1.0)
+    assert(r(1L).getAs[Long]("n_bytes") == prose.getBytes("UTF-8").length.toLong)
+    // deterministic across runs and partitionings
+    val again = TextAnalysis.compressionRatio(docs.repartition(3)).collect()
+      .map(x => x.getLong(0) -> x.getAs[Double]("compress_ratio")).toMap
+    assert(docs.collect().forall(row =>
+      again(row.getLong(0)) == r(row.getLong(0)).getAs[Double]("compress_ratio")))
+  }
+
   test("heavyHitters finds exactly the terms above total/k, in exact counts") {
     // 40 tokens: "the" x 12 (30%), "of" x 6 (15%), everything else unique
     val filler = (1 to 22).map(i => s"w$i").mkString(" ")
