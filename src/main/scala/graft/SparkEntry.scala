@@ -110,6 +110,45 @@ object SparkEntry {
     }
   }
 
+  // orders + lineitem re-laid-out as co-located hash-bucketed tables on
+  // the order key (graft.sources.Bucketed): both sides bucketed+sorted
+  // into the same 8 buckets, so the fact-fact join in q_bucketed_join
+  // plans with NO exchange on either side — the pay-the-shuffle-once-
+  // at-write layout for joins where neither side broadcasts. Written
+  // once per data dir; bucket METADATA lives in the session catalog, so
+  // a stale session rebuilds (a cluster metastore would persist it and
+  // Bucketed.register would re-attach instead).
+  private val bucketedJoinTables = scala.collection.concurrent.TrieMap.empty[String, (SparkSession, String)]
+  private def bucketedOrdersLineitem(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val (ordName, liName) = (s"graft_orders_$suffix", s"graft_lineitem_$suffix")
+    def build(): (SparkSession, String) = {
+      val tmp = java.nio.file.Files.createTempDirectory("graftbucketed").toString
+      // repartition by the bucket key first (same Murmur3 hash as the
+      // bucket function), so each task owns exactly one bucket and the
+      // writer emits ONE sorted file per bucket — the join then needs
+      // neither exchange nor sort
+      graft.sources.Bucketed.write(
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          .repartition(8, col("o_orderkey")),
+        s"$tmp/orders", ordName, "o_orderkey", 8)
+      graft.sources.Bucketed.write(
+        t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+          .repartition(8, col("l_orderkey")),
+        s"$tmp/lineitem", liName, "l_orderkey", 8)
+      (s, tmp)
+    }
+    val e = bucketedJoinTables.getOrElseUpdate(dir, build())
+    if (e._1 ne s) {
+      bucketedJoinTables.remove(dir, e)
+      scala.util.Try(graft.views.FsLists.walkDeepestFirst(
+        java.nio.file.Paths.get(e._2)).foreach(java.nio.file.Files.deleteIfExists))
+      bucketedJoinTables.getOrElseUpdate(dir, build())
+    }
+    (s.table(ordName), s.table(liName))
+  }
+
   // the documents corpus's minhash signature table, written once per
   // data dir and read back as a stored parquet table — the base side of
   // q_dedup_incremental (same stale-session guard as the other caches)
@@ -320,6 +359,20 @@ object SparkEntry {
         lit(" call 555-"), (pmod(col("doc_id"), lit(9000)) + 1000).cast("string")
       ).as("text"))
 
+  /** documents with deterministic planted URLs (the driver corpus has
+    * none): one http URL whose host cycles over 37 subdomains plus one
+    * https URL over 11 — every concat piece is a bigint-to-string cast
+    * both engines print identically. */
+  private def docsWithUrls(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(
+        col("text"),
+        lit(" see http://site"), pmod(col("doc_id"), lit(37)).cast("string"),
+        lit(".example.com/p/"), col("doc_id").cast("string"),
+        lit(" and https://cdn"), pmod(col("doc_id"), lit(11)).cast("string"),
+        lit(".example.org/a?x="), col("doc_id").cast("string")
+      ).as("text"))
+
   private def embWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
     e.unionByName(e.select(
@@ -485,6 +538,12 @@ object SparkEntry {
         .use("search", SearchView("text", "doc_id"))
       db.gated("search")(_.asInstanceOf[SearchView].searchAll(Seq("spark", "join")))
     }),
+    "q_search_phrase" -> ((s, dir) => {
+      val db = new FlumeDb(new TableLog(s, t(s, dir, "documents"), "doc_id"))
+        .use("psearch", PositionalSearchView("text", "doc_id"))
+      db.gated("psearch")(_.asInstanceOf[PositionalSearchView]
+        .searchPhrase(Seq("table", "scan")))
+    }),
     "q_hashtable_latest" -> ((s, dir) => {
       val db = eventsDb(s, dir).use("latest", HashtableView("user_id", "event_id"))
       db.gated("latest")(_.asInstanceOf[HashtableView].frame.get)
@@ -523,6 +582,18 @@ object SparkEntry {
           round(avg("l_quantity"), 4).as("avg_qty"),
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag", "l_linestatus")),
+    "q_bucketed_join" -> ((s, dir) => {
+      // fact-fact join over the co-located bucketed layout: the merge
+      // hint keeps the sort-merge join (broadcast would hide the
+      // zero-exchange property PlanSpec asserts); only the final
+      // priority agg shuffles
+      val (ord, li) = bucketedOrdersLineitem(s, dir)
+      ord.hint("merge").join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
     "q_join_agg" -> ((s, dir) =>
       t(s, dir, "orders")
         .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
@@ -1065,6 +1136,30 @@ object SparkEntry {
         .orderBy("lang")),
     "q_quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents")).orderBy("doc_id")),
+    "q_quantile_filter" -> ((s, dir) =>
+      // exact top-10%-by-quality cut: rank semantics via the two-phase
+      // budget scan (unit weights), NOT an exact-percentile aggregate
+      // (which buffers every value) — cum_before IS the global rank
+      graft.ops.Sampling.topFraction(
+          TextAnalysis.qualityScore(t(s, dir, "documents")), frac = 0.1, score = col("quality"))
+        .select(col("doc_id"), col("score").as("quality"), col("rank_before"))
+        .orderBy("doc_id")),
+    "q_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), topK = 3)
+        .orderBy("doc_id", "rnk")),
+    "q_url_stats" -> ((s, dir) =>
+      TextAnalysis.urlStats(docsWithUrls(s, dir))),
+    "q_salted_agg" -> ((s, dir) =>
+      // identical answer to the plain group-by — salting is a physical
+      // rewrite spreading a hot key over 16 partial groups
+      graft.ops.Skew.saltedSumCount(t(s, dir, "events"), col("user_id"), col("value"))
+        .select(col("key").as("user_id"), col("cnt"), round(col("sum_v"), 4).as("sum_v"))
+        .orderBy("user_id")),
+    "q_resample" -> ((s, dir) =>
+      graft.ops.TimeSeries.resampleLocf(t(s, dir, "events"), "user_id", tsCol, col("value"))
+        .select(col("user_id"), unix_millis(col("bucket")).as("hour_ms"),
+          round(col("v"), 4).as("v"))
+        .orderBy("user_id", "hour_ms")),
     "q_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents")).orderBy("doc_id")),
     "q_fingerprint" -> ((s, dir) =>
@@ -1488,6 +1583,13 @@ object SparkEntry {
       "SELECT event_id AS seq, user_id, round(value, 4) AS value_r FROM events WHERE event_type = 'purchase' AND value > 50 ORDER BY value_r DESC, seq LIMIT 100",
     "q_search_term" ->
       "SELECT doc_id AS seq FROM documents WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'spark') ORDER BY seq",
+    "q_search_phrase" ->
+      // positional adjacency replayed with 1-based list indexing; the
+      // Spark side's 0-based posexplode positions cancel in b = a + 1
+      ("WITH docs AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents), " +
+        "toks AS (SELECT doc_id, toks[i] AS term, i AS pos FROM docs, LATERAL unnest(range(1, len(toks) + 1)) AS u(i)) " +
+        "SELECT DISTINCT a.doc_id AS seq FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 " +
+        "WHERE a.term = 'table' AND b.term = 'scan' ORDER BY seq"),
     "q_search_and" ->
       "SELECT doc_id AS seq FROM documents WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'spark') AND list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'join') ORDER BY seq",
     "q_hashtable_latest" ->
@@ -1496,6 +1598,8 @@ object SparkEntry {
       "SELECT l.event_id AS seq, l.user_id, round(l.value, 4) AS value_r FROM (SELECT event_id FROM events WHERE event_type = 'error') i JOIN events l ON i.event_id = l.event_id ORDER BY seq",
     "q_group_agg" ->
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base, round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc, round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, round(avg(l_quantity), 4) AS avg_qty, count(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "q_bucketed_join" ->
+      "SELECT o_orderpriority, count(*) AS n_items, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "q_join_agg" ->
       "SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment",
     "q_multi_join" ->
@@ -1976,6 +2080,35 @@ object SparkEntry {
     "q_stream_state_tws" ->
       "SELECT user_id, count(*) AS n, round(sum(value), 4) AS sum_v FROM events GROUP BY user_id ORDER BY user_id",
     "q_quality_score" ->
-      "SELECT doc_id, round(least(n::DOUBLE / 50.0, 1.0) * 0.4 + least((stop_hits::DOUBLE / greatest(n::DOUBLE, 1.0)) * 5.0, 1.0) * 0.4 + greatest(1.0 - punct * 4.0, 0.0) * 0.2, 4) AS quality FROM (SELECT doc_id, len(toks) AS n, len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t))) AS stop_hits, length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS punct FROM (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks FROM documents)) ORDER BY doc_id"
+      "SELECT doc_id, round(least(n::DOUBLE / 50.0, 1.0) * 0.4 + least((stop_hits::DOUBLE / greatest(n::DOUBLE, 1.0)) * 5.0, 1.0) * 0.4 + greatest(1.0 - punct * 4.0, 0.0) * 0.2, 4) AS quality FROM (SELECT doc_id, len(toks) AS n, len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t))) AS stop_hits, length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS punct FROM (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks FROM documents)) ORDER BY doc_id",
+    "q_quantile_filter" ->
+      // the q_quality_score formula as a CTE, then the exact top-10% cut
+      // by global (quality DESC, doc_id) rank — rank_before = rn - 1
+      ("WITH q AS (SELECT doc_id, round(least(n::DOUBLE / 50.0, 1.0) * 0.4 + least((stop_hits::DOUBLE / greatest(n::DOUBLE, 1.0)) * 5.0, 1.0) * 0.4 + greatest(1.0 - punct * 4.0, 0.0) * 0.2, 4) AS quality FROM (SELECT doc_id, len(toks) AS n, len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t))) AS stop_hits, length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS punct FROM (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks FROM documents))), " +
+        "r AS (SELECT doc_id, quality, row_number() OVER (ORDER BY quality DESC, doc_id) - 1 AS rank_before FROM q), " +
+        "n AS (SELECT count(*) AS n FROM q) " +
+        "SELECT doc_id, quality, rank_before FROM r, n WHERE rank_before < greatest(CAST(floor(0.1 * n) AS BIGINT), 1) ORDER BY doc_id"),
+    "q_tfidf" ->
+      ("WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "s AS (SELECT tf.doc_id, tf.term, tf.tf * ln((n.n_docs + 1) / (df.df + 1)) AS score FROM tf JOIN df USING (term) CROSS JOIN n), " +
+        "r AS (SELECT doc_id, term, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM s) " +
+        "SELECT doc_id, rnk, term, round(score, 4) AS score FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"),
+    "q_url_stats" ->
+      ("WITH planted AS (SELECT doc_id, text || ' see http://site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR) || ' and https://cdn' || CAST(doc_id % 11 AS VARCHAR) || '.example.org/a?x=' || CAST(doc_id AS VARCHAR) AS text FROM documents), " +
+        "u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\\s]+')) AS url FROM planted) " +
+        "SELECT regexp_extract(url, 'https?://([^/\\s?]+)', 1) AS host, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs FROM u GROUP BY host ORDER BY host"),
+    "q_salted_agg" ->
+      "SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS sum_v FROM events GROUP BY user_id ORDER BY user_id",
+    "q_resample" ->
+      ("WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h, value FROM events), " +
+        "o AS (SELECT user_id, h, avg(value) AS v FROM e GROUP BY user_id, h), " +
+        "b AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM o GROUP BY user_id), " +
+        "g AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b), " +
+        "j AS (SELECT g.user_id, g.h, o.v FROM g LEFT JOIN o ON g.user_id = o.user_id AND g.h = o.h), " +
+        "f AS (SELECT user_id, h, last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h ROWS UNBOUNDED PRECEDING) AS v FROM j) " +
+        "SELECT user_id, epoch_ms(h) AS hour_ms, round(v, 4) AS v FROM f ORDER BY user_id, hour_ms")
   )
 }

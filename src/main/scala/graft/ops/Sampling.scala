@@ -174,6 +174,41 @@ object Sampling {
       col(idCol).cast("long").as("doc_id"),
       size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"),
       score.cast("double").as("score"))
+    budgetScan(counted, budgetTokens, nBuckets, checkpointResult)
+  }
+
+  /** Exact top-fraction selection by score — keep the `frac`·n
+    * highest-(score, doc_id)-ranked rows. A quantile FILTER restated as
+    * a count budget with unit weights, so it rides [[selectByBudget]]'s
+    * two-phase distributed prefix scan: exact global rank semantics
+    * without an exact-percentile aggregate (which buffers every value)
+    * and without a one-partition global window. Bucketing by score
+    * range preserves the total (score DESC, doc_id ASC) order across
+    * buckets, so `cum_before` IS the global 0-based rank. */
+  def topFraction(
+      docs: DataFrame,
+      frac: Double,
+      score: Column,
+      idCol: String = "doc_id",
+      nBuckets: Int = 32): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac out of (0,1]: $frac")
+    val counted = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      lit(1L).as("n_tokens"),
+      score.cast("double").as("score"))
+    val keepN = math.max(1L, math.floor(counted.count() * frac).toLong)
+    budgetScan(counted, keepN, nBuckets, checkpointResult = true)
+      .select(col("doc_id"), col("score"), col("cum_before").as("rank_before"))
+  }
+
+  /** The shared two-phase scan over a pre-counted (doc_id, n_tokens,
+    * score) frame: score-range buckets, P-row broadcast offsets,
+    * per-bucket windows. */
+  private def budgetScan(
+      counted: DataFrame,
+      budgetTokens: Long,
+      nBuckets: Int,
+      checkpointResult: Boolean): DataFrame = {
     val b = counted.agg(min("score"), max("score")).head()
     // same column ORDER as the normal path — positional consumers must
     // see one schema whether or not the input was empty
@@ -191,7 +226,7 @@ object Sampling {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val offs = totals.scanLeft((0L, 0L)) { case ((_, acc), (bk, s)) => (bk, acc + s) }
     val offsets = totals.map(_._1).zip(offs.dropRight(1).map(_._2)).toSeq
-    val spark = docs.sparkSession
+    val spark = counted.sparkSession
     import spark.implicits._
     val offDf = offsets.toDF("__b", "__off")
     val wIn = org.apache.spark.sql.expressions.Window.partitionBy("__b")

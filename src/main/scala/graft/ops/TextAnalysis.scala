@@ -287,6 +287,53 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** TF-IDF top-`topK` terms per document — the classic keyword /
+    * relevance weighting (tf · ln((N+1)/(df+1)), smoothed idf). Shape:
+    * the (doc, term) tf table is one map-side-combined hash agg; the
+    * term df table aggregates THAT (never re-reading the corpus, never
+    * a count-distinct Expand); the doc count is a broadcast scalar; the
+    * final per-doc top-k window partitions by doc_id — all shuffles are
+    * keyed and partial-aggregated, nothing global. Ties (same score —
+    * same (tf, df) pair) break on term ASC, so output is deterministic
+    * and the oracle replays it exactly (both engines compute the same
+    * IEEE double for tf · ln(z)). */
+  def tfidfTopTerms(
+      docs: DataFrame,
+      topK: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfTable = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfTable, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * log((col("n_docs") + 1) / (col("df") + 1)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .where(col("rnk") <= topK)
+      .select(col("doc_id"), col("rnk"), col("term"), round(col("score"), 4).as("score"))
+  }
+
+  /** URL / domain statistics — the crawl-pipeline census op (per-domain
+    * doc and link counts drive domain filtering and mixing decisions).
+    * URLs are pulled with one regexp pass, the host with another — both
+    * RE2/Java-common regexes, so the oracle replays them verbatim. The
+    * host agg is map-side combined; the per-host distinct-doc count
+    * shuffles (host, doc) pairs once. */
+  def urlStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val urls = docs.select(
+      col(idCol).as("doc_id"),
+      explode(regexp_extract_all(col(textCol), lit("https?://[^\\s]+"), lit(0))).as("url"))
+    urls
+      .select(col("doc_id"), regexp_extract(col("url"), "https?://([^/\\s?]+)", 1).as("host"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_urls"), countDistinct("doc_id").as("n_docs"))
+      .orderBy("host")
+  }
+
   /** Deflate compression ratio per document — the Gopher-style
     * "compressibility" quality signal: highly repetitive or templated
     * text compresses far below natural prose, so a low ratio flags

@@ -371,6 +371,43 @@ object SearchView {
   }
 }
 
+/** Positional full-text search: postings carry the token position, so
+  * the index answers PHRASE queries ("spark join" as adjacent tokens),
+  * not just term membership. A k-term phrase is k-1 equi-joins on
+  * (seq, pos − i) over postings already filtered to the phrase's terms
+  * — each side is a tiny slice of the index, the join key carries the
+  * doc AND the offset, and no positions array is ever materialized
+  * per document (the classic positional-inverted-index plan, e.g.
+  * Lucene's PhraseQuery, expressed relationally). */
+final class PositionalSearchView(textCol: String, seqCol: String) extends FrameView {
+  protected def delta(entries: DataFrame): DataFrame =
+    entries.select(
+      posexplode(filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")),
+      col(seqCol).as("seq"))
+      .select(col("col").as("term"), col("pos"), col("seq"))
+
+  /** Seqs containing `terms` as consecutive tokens, in order. */
+  def searchPhrase(terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "empty phrase")
+    val postings = state.getOrElse(throw new IllegalStateException("search index empty"))
+      .where(col("term").isin(terms.distinct: _*))
+    val anchor = postings.where(col("term") === terms.head).select("seq", "pos")
+    terms.zipWithIndex.drop(1).foldLeft(anchor) { case (acc, (t, i)) =>
+      acc.join(
+        postings.where(col("term") === t)
+          .select(col("seq"), (col("pos") - i).as("pos")),
+        Seq("seq", "pos"))
+    }.select("seq").distinct().orderBy("seq")
+  }
+}
+
+object PositionalSearchView {
+  def apply(textCol: String, seqCol: String = "seq"): ViewDef = new ViewDef {
+    def version: Int = 1
+    def create(db: FlumeDb, name: String) = new PositionalSearchView(textCol, seqCol)
+  }
+}
+
 /** flumeview-bloom (`/root/reference/README.md:97`): approximate
   * membership — "check if we _may_ have something". Spark's
   * `stat.bloomFilter` builds the per-batch filter distributed

@@ -53,6 +53,14 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("BroadcastHashJoin"), s"expected broadcast join:\n${s.take(2000)}")
   }
 
+  test("bucketed fact-fact join shuffles neither side (only the final agg)") {
+    val s = executed(run("q_bucketed_join")).toString
+    assert(s.contains("SortMergeJoin"), s"expected co-located SMJ:\n${s.take(3000)}")
+    val hashExchanges = s.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 1,
+      s"expected at most the priority-agg exchange, got $hashExchanges:\n${s.take(3000)}")
+  }
+
   test("group-agg does map-side partial aggregation") {
     val s = executed(run("q_group_agg")).toString
     val hashAggs = s.linesIterator.count(_.contains("HashAggregate"))

@@ -130,6 +130,19 @@ class OpsSpec extends SparkSpec {
       s"budget scan must stay bucketed, not single-partition:\n${plan.take(2000)}")
   }
 
+  test("topFraction keeps exactly the top ceil-free floor(frac*n) by (score desc, id)") {
+    import spark.implicits._
+    // 10 rows, frac 0.3 -> keepN = 3; ties at score 5.0 break on id asc
+    val fx = (1L to 10L).map(i => (i, if (i <= 4) 5.0 else 10.0 - i)).toDF("doc_id", "s")
+    val kept = Sampling.topFraction(fx, frac = 0.3, score = col("s"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    // scores: ids 1-4 at 5.0 (ranks 0-3 by id), rest lower — top-3 = ids 1,2,3
+    assert(kept.toSeq === Seq((1L, 0L), (2L, 1L), (3L, 2L)))
+    // frac so small the floor hits zero still keeps one row
+    val one = Sampling.topFraction(fx, frac = 0.01, score = col("s")).collect()
+    assert(one.map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("substring dedup finds cross-document spans that whole-doc jaccard misses") {
     import spark.implicits._
     // A: 30 unique tokens; B: 10 own + A's tokens 11..20 + 10 own —

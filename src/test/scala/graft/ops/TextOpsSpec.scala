@@ -5,6 +5,34 @@ import graft.SparkSpec
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("tfidfTopTerms: rare terms outrank common ones; ties break on term asc") {
+    // 'rare' appears in 1 doc, 'shared' in all 3 — idf(shared) = ln(4/4) = 0
+    val docs = Seq(
+      (1L, "shared shared rare rare rare"),
+      (2L, "shared alpha beta"),
+      (3L, "shared alpha gamma")).toDF("doc_id", "text")
+    val r = TextAnalysis.tfidfTopTerms(docs, topK = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: rare (tf=3, df=1 -> 3*ln(2)=2.0794) then shared (score 0)
+    assert(r.filter(_._1 == 1L).map(_._3).toSeq === Seq("rare", "shared"))
+    assert(math.abs(r.find(x => x._1 == 1L && x._3 == "rare").get._4 - 2.0794) < 1e-9)
+    // doc 2: alpha (df=2) and beta (df=1) — beta rarer, ranks first
+    assert(r.filter(_._1 == 2L).map(_._3).toSeq === Seq("beta", "alpha"))
+    // doc 3: gamma first (df=1), then alpha; 'shared' (score 0) cut at k=2
+    assert(r.filter(_._1 == 3L).map(_._3).toSeq === Seq("gamma", "alpha"))
+  }
+
+  test("urlStats: per-host url and distinct-doc counts") {
+    val docs = Seq(
+      (1L, "a http://x.example.com/1 b http://x.example.com/2 c https://y.example.org/p?q=1"),
+      (2L, "see http://x.example.com/3 only"),
+      (3L, "no urls at all")).toDF("doc_id", "text")
+    val r = TextAnalysis.urlStats(docs)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq === Seq(("x.example.com", 3L, 2L), ("y.example.org", 1L, 1L)))
+  }
+
   test("chunkTokens: full coverage, exact overlap, short docs in one chunk") {
     // 10 tokens, size 4, overlap 1 (stride 3): chunks at 1,4,7,10 —
     // nChunks = 1 + ceil((10-4)/3) = 3 → starts 1,4,7; last covers to 10

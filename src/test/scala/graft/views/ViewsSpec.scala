@@ -62,6 +62,28 @@ class ViewsSpec extends SparkSpec {
     assert(sv.searchAll(Seq("spark", "joins")).collect().map(_.getLong(0)).toSeq === Seq(0L))
   }
 
+  test("PositionalSearchView: phrase matches adjacency and order, not co-occurrence") {
+    val log = new MemoryLog(spark, StructType(Seq(StructField("text", StringType))))
+    val db = new FlumeDb(log).use("p", PositionalSearchView("text"))
+    db.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("a full table scan hurts"),       // 0: phrase present
+      Row("scan the table again"),          // 1: both terms, wrong order
+      Row("table by table, scan by scan"),  // 2: both terms, never adjacent... but "table, scan" IS adjacent after tokenization
+      Row("no relevant terms here"),        // 3: neither
+      Row("table scan table scan"))),       // 4: phrase twice -> one seq
+      StructType(Seq(StructField("text", StringType)))))
+    val pv = db.view("p").view.asInstanceOf[PositionalSearchView]
+    db.awaitView("p")
+    // tokenizer strips punctuation, so doc 2's "table, scan" IS adjacent
+    assert(pv.searchPhrase(Seq("table", "scan")).collect().map(_.getLong(0)).toSeq
+      === Seq(0L, 2L, 4L))
+    // three-term phrase: only doc 0
+    assert(pv.searchPhrase(Seq("full", "table", "scan")).collect().map(_.getLong(0)).toSeq
+      === Seq(0L))
+    // wrong order finds nothing adjacent in doc 0
+    assert(!pv.searchPhrase(Seq("scan", "full")).collect().map(_.getLong(0)).contains(0L))
+  }
+
   test("BloomView: no false negatives; merge across batches") {
     val (_, db) = db2()
     db.use("bloom", BloomView("tag", 1000L, 0.01))
