@@ -1453,6 +1453,53 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.table(name).orderBy("user_id", "purchase_id", "click_id")
     }),
+    "q_stream_full_join" -> ((s, dir) => {
+      // FULL OUTER stream-stream interval join: unmatched rows from
+      // BOTH sides surface with nulls once the watermark closes their
+      // windows. The GLOBAL watermark is the MIN over both sides'
+      // watermarks (each = that side's max event time - 30min), so the
+      // cap is min(max purchase ts, max click ts) - 2h: every kept
+      // click then satisfies cts < W - 1h (its whole purchase window
+      // [cts, cts+1h] is final) and every kept purchase pts < W — the
+      // emitted set provably equals the capped batch full join, which
+      // is the oracle. (Capping at the OVERALL max ts is wrong whenever
+      // one side's stream ends hours before the other's — the min
+      // policy holds the watermark back at the earlier side.)
+      scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
+      val schema = t(s, dir, "events").schema
+      val mm = t(s, dir, "events").agg(
+        max(when(col("event_type") === "purchase", expr("ts div 1000000"))).as("mp"),
+        max(when(col("event_type") === "click", expr("ts div 1000000"))).as("mc")).head()
+      val capMs = math.min(mm.getLong(0), mm.getLong(1)) - 2L * 3600 * 1000
+      val name = s"stream_fjoin_${streamIds.incrementAndGet()}"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        def side(tpe: String, idAs: String, tsAs: String) =
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+            .where(col("event_type") === tpe)
+            .select(col("user_id"), col("event_id").as(idAs),
+              expr("timestamp_millis(ts div 1000000)").as(tsAs))
+            .withWatermark(tsAs, "30 minutes")
+        val cap = expr(s"timestamp_millis(${capMs}L)")
+        val purchases = side("purchase", "purchase_id", "pts").where(col("pts") <= cap)
+        val clicks = side("click", "click_id", "cts").withColumnRenamed("user_id", "c_user_id")
+          .where(col("cts") <= cap)
+        val q = purchases.join(clicks,
+            col("user_id") === col("c_user_id") &&
+              col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") && col("cts") <= col("pts"),
+            "full_outer")
+          .select(coalesce(col("user_id"), col("c_user_id")).as("user_id"),
+            col("purchase_id"), col("click_id"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      // explicit NULLS FIRST on both engines — their defaults differ
+      s.table(name).orderBy(col("user_id"),
+        col("purchase_id").asc_nulls_first, col("click_id").asc_nulls_first)
+    }),
     "q_stream_state_tws" -> ((s, dir) => {
       // The same per-key Welford state on Spark 4's transformWithState
       // surface (typed ValueState inside a StatefulProcessor, RocksDB
@@ -1965,6 +2012,13 @@ object SparkEntry {
         "LEFT JOIN (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events WHERE event_type = 'click') c " +
         "ON p.user_id = c.user_id AND c.ms >= p.ms - 3600000 AND c.ms <= p.ms " +
         "ORDER BY user_id, purchase_id, click_id"),
+    "q_stream_full_join" ->
+      ("WITH mx AS (SELECT least(max(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END), max(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END)) AS m FROM events) " +
+        "SELECT coalesce(p.user_id, c.user_id) AS user_id, p.event_id AS purchase_id, c.event_id AS click_id " +
+        "FROM (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events, mx WHERE event_type = 'purchase' AND epoch_ms(ts) <= m - 7200000) p " +
+        "FULL JOIN (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events, mx WHERE event_type = 'click' AND epoch_ms(ts) <= m - 7200000) c " +
+        "ON p.user_id = c.user_id AND c.ms >= p.ms - 3600000 AND c.ms <= p.ms " +
+        "ORDER BY user_id, purchase_id NULLS FIRST, click_id NULLS FIRST"),
     "q_stream_session" ->
       // gaps-and-islands sessions (as q_session_window), kept only where
       // the streaming side is guaranteed to have emitted: session end
