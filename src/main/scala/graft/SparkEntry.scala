@@ -1149,6 +1149,43 @@ object SparkEntry {
         .orderBy("doc_id", "rnk")),
     "q_url_stats" -> ((s, dir) =>
       TextAnalysis.urlStats(docsWithUrls(s, dir))),
+    "q_url_dedup" -> ((s, dir) =>
+      // the planted https URLs differ only in their query string, so
+      // canonicalization collapses them 500 docs -> 11 keepers; the
+      // http URLs stay distinct (path carries the doc id)
+      TextAnalysis.urlDedup(docsWithUrls(s, dir))),
+    "q_token_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(t(s, dir, "documents")).orderBy("doc_id")),
+    "q_percentiles_by_key" -> ((s, dir) =>
+      // exact grouped percentiles: per-group value buffering is the
+      // known cost (see SCALING — approx_percentile is the hyperscale
+      // path); groups here are few and bounded
+      t(s, dir, "events").groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5D)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9D)"), 4).as("p90"))
+        .orderBy("event_type")),
+    "q_stream_static_join" -> ((s, dir) => {
+      // stream-static broadcast enrichment: the static dim joins into
+      // every micro-batch statelessly — no watermark, no join state
+      scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
+      val schema = t(s, dir, "events").schema
+      val name = s"stream_sjoin_${streamIds.incrementAndGet()}"
+      val dim = t(s, dir, "events").select(col("user_id")).distinct()
+        .withColumn("cohort", pmod(col("user_id"), lit(7L)))
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .where(col("event_type") === "purchase")
+        val q = stream.join(broadcast(dim), "user_id")
+          .select(col("event_id").as("seq"), col("user_id"), col("cohort"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.table(name).orderBy("seq")
+    }),
     "q_salted_agg" -> ((s, dir) =>
       // identical answer to the plain group-by — salting is a physical
       // rewrite spreading a hot key over 16 partial groups
@@ -2156,6 +2193,19 @@ object SparkEntry {
         "SELECT regexp_extract(url, 'https?://([^/\\s?]+)', 1) AS host, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs FROM u GROUP BY host ORDER BY host"),
     "q_salted_agg" ->
       "SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS sum_v FROM events GROUP BY user_id ORDER BY user_id",
+    "q_url_dedup" ->
+      ("WITH planted AS (SELECT doc_id, text || ' see http://site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR) || ' and https://cdn' || CAST(doc_id % 11 AS VARCHAR) || '.example.org/a?x=' || CAST(doc_id AS VARCHAR) AS text FROM documents), " +
+        "u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\\s]+')) AS url FROM planted) " +
+        "SELECT lower(regexp_replace(url, '[?#].*$', '')) AS curl, min(doc_id) AS keeper, count(*) AS n_refs FROM u GROUP BY curl ORDER BY curl"),
+    "q_token_entropy" ->
+      ("WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), " +
+        "h AS (SELECT doc_id, sum(tf)::BIGINT AS n, sum(tf * ln(tf)) AS s FROM tf GROUP BY doc_id) " +
+        "SELECT doc_id, n, round(ln(n) - s / n, 4) AS entropy FROM h ORDER BY doc_id"),
+    "q_percentiles_by_key" ->
+      "SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, round(quantile_cont(value, 0.9), 4) AS p90 FROM events GROUP BY event_type ORDER BY event_type",
+    "q_stream_static_join" ->
+      "SELECT event_id AS seq, user_id, user_id % 7 AS cohort FROM events WHERE event_type = 'purchase' ORDER BY seq",
     "q_resample" ->
       ("WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h, value FROM events), " +
         "o AS (SELECT user_id, h, avg(value) AS v FROM e GROUP BY user_id, h), " +

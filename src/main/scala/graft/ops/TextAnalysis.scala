@@ -334,6 +334,32 @@ object TextAnalysis {
       .orderBy("host")
   }
 
+  /** URL-keyed dedup — crawl dedup's first, cheapest pass: canonicalize
+    * (lowercase, strip query string + fragment) and keep the lowest doc
+    * per canonical URL. One regexp explode + one map-side-combined agg;
+    * the shuffle key is the canonical URL, so a URL crawled a million
+    * times costs one reduced row per partition. */
+  def urlDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(regexp_extract_all(col(textCol), lit("https?://[^\\s]+"), lit(0))).as("url"))
+      .withColumn("curl", lower(regexp_replace(col("url"), "[?#].*$", "")))
+      .groupBy("curl")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_refs"))
+      .orderBy("curl")
+
+  /** Per-document Shannon entropy of the term distribution (nats) — the
+    * diversity quality signal: templated/repetitive text has low
+    * entropy even when its dup-line fraction is zero. Algebra:
+    * H = ln n − (Σ tf·ln tf)/n, so one (doc, term) tf agg and one
+    * per-doc agg — no per-doc probability arrays, both map-side
+    * combined. */
+  def tokenEntropy(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n"), sum(col("tf") * log(col("tf"))).as("s"))
+      .select(col("doc_id"), col("n"), round(log(col("n")) - col("s") / col("n"), 4).as("entropy"))
+
   /** Deflate compression ratio per document — the Gopher-style
     * "compressibility" quality signal: highly repetitive or templated
     * text compresses far below natural prose, so a low ratio flags

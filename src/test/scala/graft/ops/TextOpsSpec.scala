@@ -23,6 +23,31 @@ class TextOpsSpec extends SparkSpec {
     assert(r.filter(_._1 == 3L).map(_._3).toSeq === Seq("gamma", "alpha"))
   }
 
+  test("urlDedup: canonicalization collapses query/fragment variants; lowest doc wins") {
+    val docs = Seq(
+      (5L, "x http://A.example.com/p?q=1 y"),
+      (2L, "z http://a.example.com/p?q=2#frag"),
+      (9L, "w http://a.example.com/other")).toDF("doc_id", "text")
+    val r = TextAnalysis.urlDedup(docs)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq === Seq(
+      ("http://a.example.com/other", 9L, 1L),
+      ("http://a.example.com/p", 2L, 2L)))
+  }
+
+  test("tokenEntropy: uniform text maxes ln(n); constant text scores zero") {
+    val docs = Seq(
+      (1L, "a b c d"),      // 4 distinct -> H = ln 4
+      (2L, "a a a a"),      // constant -> H = 0
+      (3L, "a a b b")).toDF("doc_id", "text") // 2 symbols p=1/2 -> ln 2
+    val r = TextAnalysis.tokenEntropy(docs)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).sortBy(_._1)
+    assert(r(0)._3 === BigDecimal(math.log(4)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r(1)._3 === 0.0)
+    assert(r(2)._3 === BigDecimal(math.log(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.map(_._2).toSeq === Seq(4L, 4L, 4L))
+  }
+
   test("urlStats: per-host url and distinct-doc counts") {
     val docs = Seq(
       (1L, "a http://x.example.com/1 b http://x.example.com/2 c https://y.example.org/p?q=1"),
