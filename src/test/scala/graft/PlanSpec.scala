@@ -61,6 +61,14 @@ class PlanSpec extends SparkSpec {
       s"expected at most the priority-agg exchange, got $hashExchanges:\n${s.take(3000)}")
   }
 
+  test("profiling census is one pass — a single scan of the table") {
+    // count scans in the executed-plan text (AQE stage leaves hide the
+    // scan node from collectLeaves, but the tree print descends stages)
+    val s = executed(run("q_profile")).toString
+    val scans = s.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected one table scan, got $scans:\n${s.take(2000)}")
+  }
+
   test("group-agg does map-side partial aggregation") {
     val s = executed(run("q_group_agg")).toString
     val hashAggs = s.linesIterator.count(_.contains("HashAggregate"))
