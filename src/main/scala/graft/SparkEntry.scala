@@ -359,6 +359,27 @@ object SparkEntry {
         lit(" call 555-"), (pmod(col("doc_id"), lit(9000)) + 1000).cast("string")
       ).as("text"))
 
+  // events rewritten once per data dir as an ORC table — the other
+  // native columnar codec; q_orc_scan range-reads it through the same
+  // TableLog surface (same stale-session guard as the other caches)
+  private val orcTables = scala.collection.concurrent.TrieMap.empty[String, (SparkSession, String)]
+  private def eventsOrcPath(s: SparkSession, dir: String): String = {
+    def build(): (SparkSession, String) = {
+      val tmp = java.nio.file.Files.createTempDirectory("graftorc").toString
+      t(s, dir, "events").select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").orc(tmp)
+      (s, tmp)
+    }
+    val e = orcTables.getOrElseUpdate(dir, build())
+    if (e._1 eq s) e._2
+    else {
+      orcTables.remove(dir, e)
+      scala.util.Try(graft.views.FsLists.walkDeepestFirst(
+        java.nio.file.Paths.get(e._2)).foreach(java.nio.file.Files.deleteIfExists))
+      orcTables.getOrElseUpdate(dir, build())._2
+    }
+  }
+
   /** documents with deterministic planted URLs (the driver corpus has
     * none): one http URL whose host cycles over 37 subdomains plus one
     * https URL over 11 — every concat piece is a bigint-to-string cast
@@ -459,6 +480,12 @@ object SparkEntry {
         .select(col("event_id").as("seq"), col("user_id"), col("event_type"), col("value"), col("props"))),
     "q_range_scan" -> ((s, dir) =>
       eventsLog(s, dir).stream(LogRange(gt = Some(100L), lte = Some(600L)))
+        .select(col("event_id").as("seq"), col("event_type"), col("value"))),
+    "q_orc_scan" -> ((s, dir) =>
+      // the same log surface over the ORC codec: range predicate pushed
+      // to ORC stripe/row-group stats, projection pruned
+      TableLog.orc(s, eventsOrcPath(s, dir), "event_id")
+        .stream(LogRange(gt = Some(300L), lte = Some(900L)))
         .select(col("event_id").as("seq"), col("event_type"), col("value"))),
     "q_reverse_scan" -> ((s, dir) =>
       eventsLog(s, dir).stream(LogRange(gte = Some(200L), lt = Some(300L), reverse = true))
@@ -1640,6 +1667,8 @@ object SparkEntry {
       "SELECT event_id AS seq, user_id, event_type, value, props FROM events WHERE event_id = 500",
     "q_range_scan" ->
       "SELECT event_id AS seq, event_type, value FROM events WHERE event_id > 100 AND event_id <= 600 ORDER BY seq",
+    "q_orc_scan" ->
+      "SELECT event_id AS seq, event_type, value FROM events WHERE event_id > 300 AND event_id <= 900 ORDER BY seq",
     "q_reverse_scan" ->
       "SELECT event_id AS seq, event_type, value FROM events WHERE event_id >= 200 AND event_id < 300 ORDER BY seq DESC",
     "q_limit" ->

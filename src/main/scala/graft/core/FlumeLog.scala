@@ -200,6 +200,12 @@ object TableLog {
     * [[csv]]). */
   def json(spark: SparkSession, path: String, seqCol: String, schema: StructType): TableLog =
     new TableLog(spark, spark.read.schema(schema).json(path), seqCol)
+
+  /** Open an ORC table as a read-only log — the other columnar codec
+    * Spark ships natively; same pushdown/pruning machinery as parquet
+    * (predicate pushdown via ORC row-group stats). */
+  def orc(spark: SparkSession, path: String, seqCol: String): TableLog =
+    new TableLog(spark, spark.read.orc(path), seqCol)
 }
 
 /** Durable log over a parquet directory — the analog of flumelog-offset

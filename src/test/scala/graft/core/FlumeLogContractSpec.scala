@@ -314,4 +314,18 @@ class TableLogFormatsSpec extends SparkSpec {
     assert(log.read.where(col("id") > 1).count() === 2L)
     intercept[UnsupportedOperationException](log.append(sample))
   }
+
+  test("orc table log: scan, range, point get, predicate pushdown") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    sample.write.mode("overwrite").orc(dir)
+    val log = TableLog.orc(spark, dir, "id")
+    assert(log.since === 3L)
+    assert(log.stream(LogRange(gte = Some(1L), lte = Some(2L)))
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(log.get(2L).collect()(0).getAs[String]("v") === "c")
+    // the range predicate reaches the ORC reader (stripe-stat skipping)
+    val qe = log.stream(LogRange(gt = Some(1L))).queryExecution.toString
+    assert(qe.contains("PushedFilters") && qe.contains("GreaterThan(id,1"),
+      s"expected pushed ORC filters:\n${qe.take(1500)}")
+  }
 }
