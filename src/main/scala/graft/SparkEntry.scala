@@ -394,6 +394,19 @@ object SparkEntry {
         lit(".example.org/a?x="), col("doc_id").cast("string")
       ).as("text"))
 
+  /** Documents with planted multi-line structure: a sitewide boilerplate
+    * line (every doc), a per-bucket share line (`doc_id % 5` — ~n/5 docs
+    * each), the original text, and a unique per-doc ref line. Line-level
+    * dedup must drop the first two and keep the last two. */
+  private def docsWithLines(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(
+        lit("subscribe to our newsletter today\n"),
+        col("text"),
+        lit("\nshare this page on social media "), pmod(col("doc_id"), lit(5)).cast("string"),
+        lit("\nref item "), col("doc_id").cast("string")
+      ).as("text"))
+
   private def embWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
     e.unionByName(e.select(
@@ -1620,6 +1633,58 @@ object SparkEntry {
         try q.processAllAvailable() finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.table(name).orderBy("user_id")
+    }),
+
+    // ---- round 6 additions ----
+    "q_line_dedup" -> ((s, dir) =>
+      // boilerplate-line removal (RefinedWeb-style): lines recurring in
+      // >= 3 distinct docs vanish; cleaned text reassembled in order
+      TextAnalysis.lineDedup(docsWithLines(s, dir), minDocs = 3)
+        .orderBy("doc_id")),
+    "q_jaccard_prefix" -> ((s, dir) =>
+      // EXACT similarity join via prefix filtering (AllPairs/PPJoin):
+      // no recall loss, candidates only from rarest-first prefixes
+      Dedup.jaccardPrefixJoin(t(s, dir, "documents"), threshold = 0.8)
+        .orderBy("id_a", "id_b")),
+    "q_nb_classifier" -> ((s, dir) => {
+      // train-then-classify quality/language filter loop: multinomial NB
+      // log-odds trained on even doc_ids, scoring the odd half
+      val docs = t(s, dir, "documents")
+      graft.ops.NaiveBayes.trainAndClassify(
+          docs.where(pmod(col("doc_id"), lit(2)) === 0),
+          docs.where(pmod(col("doc_id"), lit(2)) === 1))
+        .orderBy("doc_id")
+    }),
+    "q_outliers" -> ((s, dir) =>
+      // robust per-type outliers: median/MAD z-score, exact grouped
+      // percentiles over bounded-cardinality groups
+      graft.ops.Profile.outliers(
+          t(s, dir, "events").select("event_id", "event_type", "value")
+            .withColumnRenamed("event_id", "id"),
+          groupCol = "event_type", valueCol = "value", k = 3.5)
+        .orderBy("event_type", "value")),
+    "q_null_anti" -> ((s, dir) => {
+      // NOT IN (null-aware anti join): customers with no 300k+ order —
+      // exercises Spark's null-aware single-column anti-join plan
+      t(s, dir, "customer").createOrReplaceTempView("na_customer")
+      t(s, dir, "orders").createOrReplaceTempView("na_orders")
+      s.sql("""SELECT c_custkey, c_name FROM na_customer
+               WHERE c_custkey NOT IN
+                 (SELECT o_custkey FROM na_orders WHERE o_totalprice > 300000)
+               ORDER BY c_custkey""")
+    }),
+    "q_window_range" -> ((s, dir) => {
+      // event-time RANGE frame: per-user trailing 30-minute sum — a
+      // range window, not a row window (gaps and ties handled by time)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("sec")).rangeBetween(-1800L, 0L)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000000000").as("sec"),
+          col("value"))
+        .withColumn("trailing_sum", round(sum("value").over(w), 4))
+        .select("event_id", "user_id", "sec", "trailing_sum")
+        .orderBy("event_id")
     })
   )
 
@@ -2252,6 +2317,58 @@ object SparkEntry {
         "g AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b), " +
         "j AS (SELECT g.user_id, g.h, o.v FROM g LEFT JOIN o ON g.user_id = o.user_id AND g.h = o.h), " +
         "f AS (SELECT user_id, h, last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h ROWS UNBOUNDED PRECEDING) AS v FROM j) " +
-        "SELECT user_id, epoch_ms(h) AS hour_ms, round(v, 4) AS v FROM f ORDER BY user_id, hour_ms")
+        "SELECT user_id, epoch_ms(h) AS hour_ms, round(v, 4) AS v FROM f ORDER BY user_id, hour_ms"),
+
+    // ---- round 6 additions ----
+    "q_line_dedup" ->
+      ("WITH planted AS (SELECT doc_id, 'subscribe to our newsletter today' || chr(10) || text || chr(10) || 'share this page on social media ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) || 'ref item ' || CAST(doc_id AS VARCHAR) AS text FROM documents), " +
+        "l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted), " +
+        "l AS (SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos FROM l0), " +
+        "ne AS (SELECT * FROM l WHERE line <> ''), " +
+        "perdoc AS (SELECT line, doc_id FROM ne GROUP BY 1, 2), " +
+        "dup AS (SELECT line FROM perdoc GROUP BY line HAVING count(*) >= 3), " +
+        "kept AS (SELECT ne.* FROM ne LEFT JOIN dup ON ne.line = dup.line WHERE dup.line IS NULL), " +
+        "reb AS (SELECT doc_id, count(*) AS n_kept, string_agg(line, chr(10) ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id), " +
+        "tot AS (SELECT doc_id, count(*) AS n_lines FROM ne GROUP BY doc_id) " +
+        "SELECT t.doc_id, t.n_lines, coalesce(r.n_kept, 0) AS n_kept, coalesce(r.clean_text, '') AS clean_text " +
+        "FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY doc_id"),
+    "q_jaccard_prefix" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM documents), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(tk) = 0 THEN [] WHEN len(tk) < 3 THEN list_distinct(tk) ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sh FROM toks), " +
+        "counts AS (SELECT doc_id, len(sh) AS n FROM sh WHERE len(sh) > 0), " +
+        "inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM inv a JOIN inv b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, round(inter::DOUBLE / (ca.n + cb.n - inter), 4) AS jaccard " +
+        "FROM pairs JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b " +
+        "WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.8 ORDER BY id_a, id_b"),
+    "q_nb_classifier" ->
+      ("WITH tr AS (SELECT * FROM documents WHERE doc_id % 2 = 0), " +
+        "te AS (SELECT * FROM documents WHERE doc_id % 2 = 1), " +
+        "trtok AS (SELECT lang AS cls, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term FROM tr), " +
+        "trtf AS (SELECT cls, term, count(*) AS tf FROM trtok GROUP BY 1, 2), " +
+        "v AS (SELECT count(DISTINCT term) AS v FROM trtf), " +
+        "ct AS (SELECT cls, sum(tf) AS t_c FROM trtf GROUP BY 1), " +
+        "pr AS (SELECT lang AS cls, count(*) AS n_c FROM tr GROUP BY 1), " +
+        "nt AS (SELECT count(*) AS n_train FROM tr), " +
+        "classes AS (SELECT ct.cls, ln(n_c::DOUBLE / n_train) AS logprior, (t_c + v)::DOUBLE AS denom FROM ct JOIN pr USING (cls) CROSS JOIN nt CROSS JOIN v), " +
+        "tetok AS (SELECT doc_id, lang AS label, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term FROM te), " +
+        "tetf AS (SELECT doc_id, label, term, count(*) AS tf FROM tetok GROUP BY 1, 2, 3), " +
+        "sc AS (SELECT doc_id, label, c.cls, any_value(c.logprior) + sum(tf * coalesce(l.logp, ln(1.0 / c.denom))) AS score " +
+        "FROM tetf CROSS JOIN classes c LEFT JOIN (SELECT cls, term, ln((tf + 1)::DOUBLE / denom) AS logp FROM trtf JOIN classes USING (cls)) l ON l.cls = c.cls AND l.term = tetf.term GROUP BY 1, 2, 3), " +
+        "r AS (SELECT doc_id, label, cls, score, row_number() OVER (PARTITION BY doc_id ORDER BY round(score, 6) DESC, cls) AS rn FROM sc) " +
+        "SELECT doc_id, label, cls AS pred, round(score, 4) AS score FROM r WHERE rn = 1 ORDER BY doc_id"),
+    "q_outliers" ->
+      ("WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m FROM events GROUP BY 1), " +
+        "mad AS (SELECT e.event_type, quantile_cont(abs(value - m), 0.5) AS md FROM events e JOIN med USING (event_type) GROUP BY 1) " +
+        "SELECT event_type, value, round(m, 4) AS med, round(md, 4) AS mad, round((value - m) / (1.4826 * md), 4) AS robust_z " +
+        "FROM events e JOIN med USING (event_type) JOIN mad USING (event_type) " +
+        "WHERE md > 0 AND abs((value - m) / (1.4826 * md)) > 3.5 ORDER BY event_type, value"),
+    "q_null_anti" ->
+      ("SELECT c_custkey, c_name FROM customer " +
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000) ORDER BY c_custkey"),
+    "q_window_range" ->
+      ("SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, " +
+        "round(sum(value) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW), 4) AS trailing_sum " +
+        "FROM events ORDER BY event_id")
   )
 }

@@ -665,6 +665,70 @@ object Dedup {
     out
   }
 
+  /** EXACT all-pairs Jaccard similarity join by prefix filtering — the
+    * AllPairs/PPJoin family (Bayardo et al. WWW'07; Xiao et al. WWW'08)
+    * over word w-shingle sets. Unlike [[minhashLsh]] (probabilistic,
+    * recall < 1) and the [[ngramJaccard]] `exhaustive` path (joins the
+    * FULL inverted index, candidate volume ∝ Σ df²  over every posting),
+    * prefix filtering is exact with a certificate: order each set's
+    * shingles by ascending global document frequency (rarest first,
+    * hash tie-break) and index only each document's first
+    * `n − ceil(t·n) + 1` shingles. If J(A,B) ≥ t then
+    * |A∩B| ≥ ceil(t·max(|A|,|B|)), so the intersection cannot hide
+    * entirely in either suffix (pigeonhole: each suffix holds
+    * ≤ ceil(t·n) − 1 elements) — every qualifying pair shares a PREFIX
+    * shingle, and only prefix postings are ever joined.
+    *
+    * 100 TB shape: the prefix index is the rarest (1−t) fraction of the
+    * postings — the df ordering concentrates the join on the tokens
+    * least likely to collide, so hot boilerplate shingles land in
+    * suffixes and never generate candidates (the self-limiting property
+    * the `maxDocFreq` cap approximates for the full-index path, here
+    * with zero recall loss). All shuffles carry 8-byte hashes; the
+    * per-pair verify is the [[jaccardSorted]] merge over stored sorted
+    * arrays, bounded by candidate count, plus the size filter
+    * t·|B| ≤ |A| ≤ |B|/t that removes length-incompatible candidates
+    * before any array is touched. */
+  def jaccardPrefixJoin(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      w: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val sh = docs.select(col(idCol).as("id"), hashedShinglesCol(col(textCol), w).as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist()
+    val inv = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
+    // global rarity order: df per shingle, then rank within each doc by
+    // (df, g). One posting shuffle computes df (window over g), one doc
+    // shuffle ranks — same partitioning serves both window specs.
+    val byG = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("df"), col("g"))
+    val prefix = inv
+      .withColumn("df", count(lit(1)).over(byG))
+      .withColumn("rn", row_number().over(byDoc))
+      .where(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select("id", "n", "g")
+    val cand = prefix.select(col("g"), col("id").as("id_a"), col("n").as("n_a"))
+      .join(prefix.select(col("g"), col("id").as("id_b"), col("n").as("n_b")), Seq("g"))
+      .where(col("id_a") < col("id_b") &&
+        least(col("n_a"), col("n_b")).cast("double") >=
+          lit(threshold - 1e-9) * greatest(col("n_a"), col("n_b")).cast("double"))
+      .select("id_a", "id_b")
+      .distinct()
+    val out = cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("hs_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("hs_b")), Seq("id_b"))
+      .withColumn("jaccard", round(jaccardSorted(col("hs_a"), col("hs_b")), 4))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .localCheckpoint(true)
+    sh.unpersist(blocking = false)
+    out
+  }
+
   /** Substring-level exact dedup — the public Lee et al. "Deduplicating
     * Training Data Makes Language Models Better" ExactSubstr method,
     * restated as sorted k-gram fingerprints instead of a suffix array:

@@ -28,4 +28,39 @@ object Profile {
         s"stack(${cols.size}, $stackArgs) AS (column_name, n, n_nulls, n_distinct)"))
       .orderBy("column_name")
   }
+
+  /** Robust per-group outlier detection: flag rows whose value sits more
+    * than `k` scaled MADs from the group median (the classic
+    * median/MAD robust z-score — unlike mean/stdev it does not let the
+    * outliers inflate their own yardstick). MAD is scaled by 1.4826
+    * (consistency constant for the normal distribution).
+    *
+    * Plan: two grouped EXACT `percentile` aggregates (group medians,
+    * then MAD = median of |v − med|), broadcast back as group-level
+    * tables, then a narrow filter — the corpus is scanned twice, rows
+    * shuffle only into per-group percentile state. Exact percentile
+    * buffers each GROUP's values — right for bounded-cardinality group
+    * keys (event types, sources); at hyperscale swap
+    * `approx_percentile` (sketch state, same plan shape). */
+  def outliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Double = 3.5): DataFrame = {
+    val med = df.groupBy(groupCol)
+      .agg(expr(s"percentile($valueCol, 0.5D)").as("med"))
+    val mad = df.join(med, groupCol)
+      .groupBy(groupCol)
+      .agg(expr(s"percentile(abs($valueCol - med), 0.5D)").as("mad"))
+    df.join(broadcast(med), groupCol).join(broadcast(mad), groupCol)
+      .withColumn("rz", (col(valueCol) - col("med")) / (lit(1.4826) * col("mad")))
+      // mad = 0 (constant or majority-constant group) means the robust
+      // scale is undefined — no finite z, so no flags (and no NaN/Inf
+      // rows whose comparison semantics differ across engines)
+      .where(col("mad") > 0 && abs(col("rz")) > k)
+      .select(col(groupCol), col(valueCol),
+        round(col("med"), 4).as("med"),
+        round(col("mad"), 4).as("mad"),
+        round(col("rz"), 4).as("robust_z"))
+  }
 }

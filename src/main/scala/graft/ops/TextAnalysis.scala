@@ -360,6 +360,52 @@ object TextAnalysis {
       .agg(sum("tf").as("n"), sum(col("tf") * log(col("tf"))).as("s"))
       .select(col("doc_id"), col("n"), round(log(col("n")) - col("s") / col("n"), 4).as("entropy"))
 
+  /** Line-level deduplication — the RefinedWeb/Falcon boilerplate pass:
+    * a LINE (navigation chrome, cookie banners, share buttons) that
+    * recurs across ≥ `minDocs` distinct documents is removed from every
+    * document; the cleaned text is reassembled in original line order.
+    * This catches template boilerplate that document-level dedup can
+    * never see (every page is unique, every header identical).
+    *
+    * Plan shape: posexplode lines once; the cross-document frequency
+    * pass groups a 64-bit `xxhash64` of the line — never the line text —
+    * pre-reduced by (hash, doc) so a line repeated within one document
+    * costs one shuffled row; dup hashes anti-join the exploded lines;
+    * per-document reassembly windows by (doc, pos) — never globally.
+    * At 100 TB the dup-line table is the stored artifact (like the
+    * minhash `signatureTable`): re-cleaning with a new `minDocs` policy
+    * reuses the frequency table without re-reading the corpus.
+    *
+    * Output: `(doc_id, n_lines, n_kept, clean_text)` — `clean_text` is
+    * '' when every line was boilerplate (the row is kept so the
+    * drop-the-husk policy decision stays downstream). */
+  def lineDedup(
+      docs: DataFrame,
+      minDocs: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .where(col("line") =!= "")
+      .withColumn("lh", xxhash64(col("line")))
+    // distinct-doc frequency: (hash, doc) pre-reduce then a plain count —
+    // no count-distinct Expand, both aggs map-side combined
+    val dup = lines.select("lh", "doc_id").distinct()
+      .groupBy("lh").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= minDocs).select("lh")
+    val kept = lines.join(dup, Seq("lh"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n", array_sort(collect_list(struct(col("pos"), col("line"))))
+          .getField("line")).as("clean_text"))
+    val totals = lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+    totals.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Deflate compression ratio per document — the Gopher-style
     * "compressibility" quality signal: highly repetitive or templated
     * text compresses far below natural prose, so a low ratio flags

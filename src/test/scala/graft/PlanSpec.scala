@@ -292,4 +292,32 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
       "re-rank must broadcast the shortlist to the corpus")
   }
+
+  test("line dedup pre-reduces (hash, doc) and plans no count-distinct Expand") {
+    val s = planString(run("q_line_dedup"))
+    assert(!s.contains("Expand"),
+      "distinct-doc line frequency must be the two-agg pre-reduce, not count(distinct)")
+    assert(s.contains("xxhash64"),
+      "cross-doc frequency must group the 64-bit line hash, not the line text")
+    assert(s.contains("LeftAnti") || s.contains("left_anti"),
+      "dup-line removal must be an anti join")
+  }
+
+  test("NOT IN plans the null-aware anti join, not a cartesian filter") {
+    val s = planString(run("q_null_anti"))
+    // BroadcastHashJoinExec renders its isNullAwareAntiJoin flag as the
+    // trailing `true` after the build side
+    assert(s.contains("LeftAnti, BuildRight, true"),
+      s"expected a null-aware (single-column) broadcast anti join:\n${s.take(3000)}")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "no nested-loop/cartesian fallback")
+  }
+
+  test("NB classifier broadcasts the model; test-side tf is map-side combined") {
+    val s = planString(run("q_nb_classifier"))
+    assert(s.contains("BroadcastExchange"),
+      "the classes/model table must broadcast, never shuffle the corpus by term alone")
+    assert(s.contains("partial_count") || s.contains("partial_sum"),
+      "tf aggregation must have map-side partials")
+  }
 }

@@ -786,4 +786,80 @@ class OpsSpec extends SparkSpec {
     // doc 4 matches no term and must be absent
     assert(!got.exists(_._1 == 4L))
   }
+
+  test("jaccardPrefixJoin is EXACT: parity with the full-inverted-index join") {
+    // near-dup corpus: the prefix-filtered join must find precisely the
+    // pairs the exhaustive (uncapped full-index) path finds — the
+    // no-false-negative certificate, at a threshold low enough that the
+    // prefixes are a real fraction of each set, not the whole set
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val exhaustive = Dedup.ngramJaccard(docsND, threshold = 0.5,
+        maxDocFreq = Int.MaxValue, exhaustive = true)
+      .collect().map(key).toSet
+    val prefix = Dedup.jaccardPrefixJoin(docsND, threshold = 0.5)
+      .collect().map(key).toSet
+    assert(prefix === exhaustive)
+    assert(prefix.nonEmpty) // the planted near-dups are in there
+  }
+
+  test("jaccardPrefixJoin: hot boilerplate shingles stay out of prefixes") {
+    import spark.implicits._
+    // 40 docs share a common run (a hot shingle in every doc) but differ
+    // in unique tails — no pair is similar; the rarest-first prefix must
+    // not explode candidates through the hot posting. We can't observe
+    // candidate count directly; we assert the RESULT is empty (no false
+    // positives survive verify) and the op completes with prefix len 1
+    // per doc at t=0.9 (n=8 shingles → prefix = 8 - ceil(7.2) + 1 = 1).
+    val docs = (1 to 40).map(i =>
+      (i.toLong, s"common shared boiler plate line here u${i}a u${i}b u${i}c u${i}d")).toDF("doc_id", "text")
+    val r = Dedup.jaccardPrefixJoin(docs, threshold = 0.9).collect()
+    assert(r.isEmpty)
+    // and identical docs still meet through their (identical) prefixes
+    val dup = docs.unionByName(docs.select((col("doc_id") + 100).as("doc_id"), col("text")))
+    val r2 = Dedup.jaccardPrefixJoin(dup, threshold = 0.9).collect()
+    assert(r2.length === 40 && r2.forall(_.getDouble(2) === 1.0))
+  }
+
+  test("NaiveBayes learns a planted vocabulary split and is deterministic") {
+    import spark.implicits._
+    // class 'fruit' docs use fruit words, class 'auto' docs car words;
+    // train on even ids, classify odd ids — separable, so every
+    // prediction must be right
+    val corpus = (0 until 40).map { i =>
+      val cls = if (i % 4 < 2) "fruit" else "auto"
+      val text = if (cls == "fruit") s"apple banana cherry plum x$i"
+                 else s"engine wheel brake clutch x$i"
+      (i.toLong, cls, text)
+    }.toDF("doc_id", "lang", "text")
+    val out = NaiveBayes.trainAndClassify(
+        corpus.where(col("doc_id") % 2 === 0),
+        corpus.where(col("doc_id") % 2 === 1))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.length === 20)
+    assert(out.forall { case (_, label, pred, _) => label === pred })
+    // scores are log-likelihoods: strictly negative, deterministic
+    val again = NaiveBayes.trainAndClassify(
+        corpus.where(col("doc_id") % 2 === 0),
+        corpus.where(col("doc_id") % 2 === 1))
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.map(x => (x._1, x._3, x._4)).toSeq === again.toSeq)
+    assert(out.forall(_._4 < 0))
+  }
+
+  test("outliers: planted spike flagged, symmetric inliers untouched") {
+    import spark.implicits._
+    // group 'a': tight cluster around 10 plus one spike at 1000;
+    // group 'b': the same spike VALUE is normal (its own scale)
+    val rows = (1 to 99).map(i => ("a", 10.0 + (i % 5))) ++ Seq(("a", 1000.0)) ++
+      (1 to 50).map(i => ("b", 990.0 + (i % 21)))
+    val df = rows.toDF("grp", "v")
+    val out = Profile.outliers(df, "grp", "v", k = 3.5)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.toSeq === Seq(("a", 1000.0)))
+    // MAD = 0 guard: a constant group yields no finite flags, not a crash
+    val const = (1 to 10).map(_ => ("c", 5.0)).toDF("grp", "v")
+    assert(Profile.outliers(const, "grp", "v").collect().isEmpty)
+  }
 }

@@ -189,4 +189,47 @@ class TextOpsSpec extends SparkSpec {
       assert(est <= truth + (1e-3 * n).ceil.toLong + 1, s"$t: est $est too far above $truth")
     }
   }
+
+  test("lineDedup: cross-doc boilerplate lines drop, unique lines keep order") {
+    val docs = Seq(
+      (1L, "follow us everywhere\nalpha unique content\nfooter text here"),
+      (2L, "follow us everywhere\nbeta body line\nfooter text here"),
+      (3L, "follow us everywhere\ngamma middle\nfooter text here"),
+      (4L, "follow us everywhere\n\ndelta only")).toDF("doc_id", "text")
+    val r = TextAnalysis.lineDedup(docs, minDocs = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+      .sortBy(_._1)
+    // 'follow us...' in 4 docs and 'footer...' in 3 docs — both dropped;
+    // empty line in doc 4 never counts
+    assert(r(0) === ((1L, 3L, 1L, "alpha unique content")))
+    assert(r(1) === ((2L, 3L, 1L, "beta body line")))
+    assert(r(2) === ((3L, 3L, 1L, "gamma middle")))
+    assert(r(3) === ((4L, 2L, 1L, "delta only")))
+  }
+
+  test("lineDedup: a fully-boilerplate doc survives as an empty husk") {
+    val docs = Seq(
+      (1L, "x\ny"), (2L, "x\ny"), (3L, "x\ny"),
+      (4L, "x\nkeep me\ny")).toDF("doc_id", "text")
+    val r = TextAnalysis.lineDedup(docs, minDocs = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+      .sortBy(_._1)
+    assert(r(0) === ((1L, 2L, 0L, "")))
+    assert(r(3) === ((4L, 3L, 1L, "keep me")))
+    // multi-line keeps reassemble with the original separator and order
+    val r2 = TextAnalysis.lineDedup(
+        Seq((9L, "c line\na line\nb line")).toDF("doc_id", "text"), minDocs = 2)
+      .collect().map(_.getString(3))
+    assert(r2.head === "c line\na line\nb line")
+  }
+
+  test("lineDedup: a line repeated within ONE doc is not cross-doc boilerplate") {
+    val docs = Seq(
+      (1L, "echo\necho\necho\nbody one"),
+      (2L, "other\nbody two")).toDF("doc_id", "text")
+    // 'echo' has 3 occurrences but 1 distinct doc — must survive
+    val r = TextAnalysis.lineDedup(docs, minDocs = 2)
+      .collect().map(x => (x.getLong(0), x.getString(3))).sortBy(_._1)
+    assert(r(0)._2 === "echo\necho\necho\nbody one")
+  }
 }
