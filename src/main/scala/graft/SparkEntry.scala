@@ -1673,6 +1673,21 @@ object SparkEntry {
                  (SELECT o_custkey FROM na_orders WHERE o_totalprice > 300000)
                ORDER BY c_custkey""")
     }),
+    "q_similar_topk" -> ((s, dir) =>
+      // related-document retrieval: per-doc top-3 neighbors over the
+      // EXACT prefix-filtered pair set; bounded-heap agg, no rank window
+      Dedup.similarTopK(t(s, dir, "documents"), k = 3, threshold = 0.3)
+        .orderBy("doc_id", "rnk")),
+    "q_regression" -> ((s, dir) =>
+      // per-type linear trend from one pass of stable moment aggregates
+      graft.ops.TimeSeries.trendRegression(
+          t(s, dir, "events"), "event_type", expr("ts div 1000000000"), col("value"))
+        .orderBy("event_type")),
+    "q_winsorize" -> ((s, dir) =>
+      // tail clipping into the per-type exact [p05, p95] band
+      graft.ops.Profile.winsorize(
+          t(s, dir, "events").select("event_type", "value"), "event_type", "value")
+        .orderBy("event_type", "value")),
     "q_window_range" -> ((s, dir) => {
       // event-time RANGE frame: per-user trailing 30-minute sum — a
       // range window, not a row window (gaps and ties handled by time)
@@ -2366,6 +2381,27 @@ object SparkEntry {
     "q_null_anti" ->
       ("SELECT c_custkey, c_name FROM customer " +
         "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000) ORDER BY c_custkey"),
+    "q_similar_topk" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM documents), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(tk) = 0 THEN [] WHEN len(tk) < 3 THEN list_distinct(tk) ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sh FROM toks), " +
+        "counts AS (SELECT doc_id, len(sh) AS n FROM sh WHERE len(sh) > 0), " +
+        "inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM inv a JOIN inv b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "j AS (SELECT id_a, id_b, round(inter::DOUBLE / (ca.n + cb.n - inter), 4) AS jaccard FROM pairs JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.3), " +
+        "sym AS (SELECT id_a AS doc_id, id_b AS nbr, jaccard FROM j UNION ALL SELECT id_b, id_a, jaccard FROM j), " +
+        "r AS (SELECT doc_id, nbr, jaccard, row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, nbr) AS rnk FROM sym) " +
+        "SELECT doc_id, rnk::BIGINT AS rnk, nbr, jaccard FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"),
+    "q_regression" ->
+      ("WITH d AS (SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) - 1700000000) / 3600.0 AS x, value AS y FROM events) " +
+        "SELECT event_type, count(*) AS n, round(covar_pop(x, y) / var_pop(x), 4) AS slope_per_hour, " +
+        "round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 4) AS intercept, " +
+        "CASE WHEN var_pop(y) > 0 THEN round(covar_pop(x, y) * covar_pop(x, y) / (var_pop(x) * var_pop(y)), 4) END AS r2 " +
+        "FROM d GROUP BY event_type HAVING var_pop(x) > 0 ORDER BY event_type"),
+    "q_winsorize" ->
+      ("WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS p_lo, quantile_cont(value, 0.95) AS p_hi FROM events GROUP BY 1) " +
+        "SELECT event_type, value, round(p_lo, 4) AS p_lo, round(p_hi, 4) AS p_hi, " +
+        "round(least(greatest(value, p_lo), p_hi), 4) AS clipped " +
+        "FROM events JOIN b USING (event_type) ORDER BY event_type, value"),
     "q_window_range" ->
       ("SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, " +
         "round(sum(value) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW), 4) AS trailing_sum " +

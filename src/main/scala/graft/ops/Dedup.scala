@@ -729,6 +729,32 @@ object Dedup {
     out
   }
 
+  /** Similar-document retrieval: for each document, its `k` nearest
+    * neighbors among all documents with Jaccard ≥ `threshold` — the
+    * "related documents" / duplicate-triage surface over the EXACT
+    * [[jaccardPrefixJoin]] pair set (no recall loss to explain to a
+    * reviewer). The per-doc top-k is the bounded-heap
+    * [[graft.functions.TopKAggregator]] — a hash aggregate with
+    * map-side combine over the (already sparse) pair list, never a
+    * rank window over all pairs. Ties break (jaccard desc, neighbor
+    * asc), same contract as the grouped top-k query. */
+  def similarTopK(
+      docs: DataFrame,
+      k: Int = 3,
+      threshold: Double = 0.3,
+      w: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val pairs = jaccardPrefixJoin(docs, idCol, textCol, w, threshold)
+    val sym = pairs.select(col("id_a").as("doc_id"), col("id_b").as("nbr"), col("jaccard"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"), col("id_a").as("nbr"), col("jaccard")))
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    sym.groupBy("doc_id").agg(topk(col("jaccard"), col("nbr")).as("top"))
+      .select(col("doc_id"), posexplode(col("top")))
+      .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("rnk"),
+        col("col._2").as("nbr"), col("col._1").as("jaccard"))
+  }
+
   /** Substring-level exact dedup — the public Lee et al. "Deduplicating
     * Training Data Makes Language Models Better" ExactSubstr method,
     * restated as sorted k-gram fingerprints instead of a suffix array:

@@ -63,4 +63,30 @@ object Profile {
         round(col("mad"), 4).as("mad"),
         round(col("rz"), 4).as("robust_z"))
   }
+
+  /** Per-group winsorization: clip `valueCol` into the group's
+    * [`lo`, `hi`] exact percentile band — the standard tail-taming
+    * transform before means/regressions on heavy-tailed metrics
+    * (winsorized mean resists outliers without dropping rows the way
+    * [[outliers]]-then-filter does). One grouped percentile aggregate
+    * (two quantiles in one pass) broadcasts back as a group-level
+    * table; the clip itself is a narrow projection. Same exact-vs-
+    * approx percentile trade as [[outliers]]. */
+  def winsorize(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      lo: Double = 0.05,
+      hi: Double = 0.95): DataFrame = {
+    require(0 <= lo && lo < hi && hi <= 1, s"need 0 <= lo < hi <= 1, got $lo/$hi")
+    val bounds = df.groupBy(groupCol)
+      .agg(expr(s"percentile($valueCol, ${lo}D)").as("p_lo"),
+        expr(s"percentile($valueCol, ${hi}D)").as("p_hi"))
+    df.join(broadcast(bounds), groupCol)
+      .withColumn("clipped", least(greatest(col(valueCol), col("p_lo")), col("p_hi")))
+      .select(col(groupCol), col(valueCol),
+        round(col("p_lo"), 4).as("p_lo"),
+        round(col("p_hi"), 4).as("p_hi"),
+        round(col("clipped"), 4).as("clipped"))
+  }
 }

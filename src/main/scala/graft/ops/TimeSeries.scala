@@ -47,4 +47,43 @@ object TimeSeries {
           coalesce(col("__next") - step, col("bucket")), step)).as("bucket"),
         col("v"))
   }
+
+  /** Per-key linear trend: ordinary least squares of `value` on time,
+    * computed entirely from Spark's single-pass stable moment
+    * aggregates (`covar_pop` / `var_pop` / `corr` — Welford-style
+    * merges, the same shapes DuckDB implements, so the oracle replays
+    * them exactly): slope = cov(x,y)/var(x), intercept = ȳ − slope·x̄,
+    * r² = corr². One map-side-combined aggregation; no window, no
+    * second scan, no driver math. `x` is HOURS since a fixed epoch so
+    * slopes land in a numerically comfortable range (per-second slopes
+    * round to zero; raw epoch seconds put 1e18-scale cancellation into
+    * var_pop).
+    *
+    * Keys with a degenerate x-variance (a single observation, or all
+    * observations in one instant) have no defined trend and are
+    * dropped, mirroring the mad = 0 convention in
+    * [[Profile.outliers]]. */
+  def trendRegression(
+      df: DataFrame,
+      key: String,
+      tsSecs: Column,
+      value: Column): DataFrame = {
+    val x = (tsSecs - lit(1700000000L)).cast("double") / 3600.0
+    // r² as cov²/(vx·vy), not corr(): Spark's ANSI-mode corr raises
+    // DIVIDE_BY_ZERO inside the aggregate when a group has var(y) = 0
+    // (a constant series), where this form can guard with a CASE
+    val out = df.select(col(key), x.as("x"), value.cast("double").as("y"))
+      .groupBy(key)
+      .agg(count(lit(1)).as("n"),
+        covar_pop(col("x"), col("y")).as("cov"),
+        var_pop(col("x")).as("vx"),
+        var_pop(col("y")).as("vy"),
+        avg(col("x")).as("mx"), avg(col("y")).as("my"))
+      .where(col("vx") > 0)
+    out.select(col(key), col("n"),
+      round(col("cov") / col("vx"), 4).as("slope_per_hour"),
+      round(col("my") - (col("cov") / col("vx")) * col("mx"), 4).as("intercept"),
+      when(col("vy") > 0,
+        round(col("cov") * col("cov") / (col("vx") * col("vy")), 4)).as("r2"))
+  }
 }

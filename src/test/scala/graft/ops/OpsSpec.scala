@@ -848,6 +848,63 @@ class OpsSpec extends SparkSpec {
     assert(out.forall(_._4 < 0))
   }
 
+  test("similarTopK ranks neighbors by exact jaccard with bounded k") {
+    import spark.implicits._
+    // base ~ near (1 token changed) > far (half replaced); unrelated off
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "alpha beta gamma delta epsilon mu nu xi omicron pi"),
+      (4L, "totally different words nothing shared here at all folks okay")).toDF("doc_id", "text")
+    val r = Dedup.similarTopK(docs, k = 3, threshold = 0.05)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val byDoc = r.groupBy(_._1)
+    // doc 1: nearest is 2, then 3; doc 4 appears nowhere
+    assert(byDoc(1L).map(_._3).toSeq === Seq(2L, 3L))
+    assert(byDoc(1L).head._4 > byDoc(1L).last._4)
+    assert(!r.exists(x => x._1 == 4L || x._3 == 4L))
+    // symmetry: 2's top neighbor is 1 with the identical score
+    assert(byDoc(2L).head._3 === 1L)
+    assert(byDoc(2L).head._4 === byDoc(1L).head._4)
+    // k bound
+    assert(byDoc.values.forall(_.length <= 3))
+  }
+
+  test("trendRegression recovers a planted line exactly; degenerate keys drop") {
+    import spark.implicits._
+    // y = 2·x + 1 with x in hours: slope 2, intercept 1, r² = 1
+    val base = 1700000000L
+    val lin = (0 until 24).map(h => ("lin", base + h * 3600L, 1.0 + 2.0 * h))
+    val flat = (0 until 24).map(h => ("flat", base + h * 3600L, 7.5))
+    val one = Seq(("single", base, 3.0))
+    val df = (lin ++ flat ++ one).toDF("k", "sec", "v")
+    val r = TimeSeries.trendRegression(df, "k", col("sec"), col("v"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getDouble(2), x.getDouble(3),
+        if (x.isNullAt(4)) None else Some(x.getDouble(4))))
+      .sortBy(_._1).toList
+    assert(r.map(_._1) === List("flat", "lin")) // 'single' dropped: var(x)=0
+    val lin_ = r.find(_._1 == "lin").get
+    assert(lin_._3 === 2.0 && lin_._4 === 1.0 && lin_._5 === Some(1.0))
+    // a constant series has zero slope and UNDEFINED r² (var(y) = 0 →
+    // r² guarded to NULL, matching the oracle's CASE)
+    val flat_ = r.find(_._1 == "flat").get
+    assert(flat_._3 === 0.0 && flat_._4 === 7.5 && flat_._5 === None)
+  }
+
+  test("winsorize clips only the tails, bounds are the group's own percentiles") {
+    import spark.implicits._
+    // 1..100 in group a: p05 = 5.95, p95 = 95.05 (interpolated)
+    val df = (1 to 100).map(i => ("a", i.toDouble)).toDF("grp", "v")
+    val r = Profile.winsorize(df, "grp", "v", lo = 0.05, hi = 0.95)
+      .collect().map(x => (x.getDouble(1), x.getDouble(4))).sortBy(_._1)
+    assert(r.head === ((1.0, 5.95)))   // low tail clipped up
+    assert(r.last === ((100.0, 95.05))) // high tail clipped down
+    assert(r.find(_._1 == 50.0).get._2 === 50.0) // interior untouched
+    val clipped = r.map(_._2)
+    assert(clipped.min === 5.95 && clipped.max === 95.05)
+  }
+
   test("outliers: planted spike flagged, symmetric inliers untouched") {
     import spark.implicits._
     // group 'a': tight cluster around 10 plus one spike at 1000;

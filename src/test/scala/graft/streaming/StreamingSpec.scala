@@ -665,4 +665,66 @@ class StreamingSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("streaming signature table: ingest-time sigs equal batch recompute; incremental dedup parity") {
+    import graft.views.SignatureTableView
+    import graft.ops.Dedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val logDir = java.nio.file.Files.createTempDirectory("graft-siglog").toString
+    val viewDir = java.nio.file.Files.createTempDirectory("graft-sigview").toString
+    def doc(i: Long) =
+      Row(i, s"the quick brown fox number $i jumps over the lazy dog near gate $i")
+    val log = new ParquetLog(spark, logDir, docSchema)
+    log.appendRows((1L to 20L).map(doc))
+    val db = new FlumeDb(log)
+    db.use("sigs", SignatureTableView(viewDir))
+    val view = db.view("sigs").view.asInstanceOf[graft.views.SignatureTableView]
+    val r = new StreamingViewRunner(log, view)
+    try {
+      r.awaitParity()
+      log.appendRows((21L to 30L).map(doc)) // second batch through the live tail
+      r.awaitParity()
+      assert(view.since === log.since)
+
+      // stored signatures == batch recompute over the same corpus
+      val stored = view.sigs.select("id", "sig")
+        .collect().map(x => (x.getLong(0), x.getSeq[Long](1).toList)).toMap
+      val batch = Dedup.signatureTable(log.read.select("doc_id", "text"))
+        .select("id", "sig")
+        .collect().map(x => (x.getLong(0), x.getSeq[Long](1).toList)).toMap
+      assert(stored === batch)
+
+      // a new batch dedups against the STORED table with the same answer
+      // as recomputing the whole corpus from scratch
+      import spark.implicits._
+      val newDocs = Seq(doc(5L), doc(99L)).map(r0 => (r0.getLong(0) + 1000, r0.getString(1)))
+        .toDF("doc_id", "text") // 1005 duplicates doc 5's text
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val viaStored = pairs(Dedup.minhashLshIncrementalStored(
+        newDocs, view.sigs, threshold = 0.9, verifyExact = true))
+      val scratch = pairs(Dedup.minhashLshIncremental(
+        newDocs, log.read.select("doc_id", "text"), threshold = 0.9, verifyExact = true))
+      assert(viaStored === scratch)
+      assert(viaStored.contains((1005L, 5L)) || viaStored.contains((5L, 1005L)),
+        "the planted duplicate must be found against the stored corpus")
+    } finally r.stop()
+  }
+
+  test("signature table view survives restart from its manifest; version bump rebuilds") {
+    import graft.views.SignatureTableView
+    val viewDir = java.nio.file.Files.createTempDirectory("graft-sigv2").toString
+    import spark.implicits._
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val v1 = new graft.views.SignatureTableView(spark, s"$viewDir/s", 1, "doc_id", "text")
+    v1.absorb(b1, 0L)
+    assert(v1.since === 0L && v1.sigs.count() === 1L)
+    // reopen: cursor restored from the manifest, data intact
+    val v2 = new graft.views.SignatureTableView(spark, s"$viewDir/s", 1, "doc_id", "text")
+    assert(v2.since === 0L && v2.sigs.count() === 1L)
+    // version bump: state wiped, since back to -1 (flume rebuild rule)
+    val v3 = new graft.views.SignatureTableView(spark, s"$viewDir/s", 2, "doc_id", "text")
+    assert(v3.since === -1L && v3.frameOption.isEmpty)
+  }
 }
