@@ -390,20 +390,26 @@ object TextAnalysis {
       .where(col("line") =!= "")
       .withColumn("lh", xxhash64(col("line")))
     // distinct-doc frequency: (hash, doc) pre-reduce then a plain count —
-    // no count-distinct Expand, both aggs map-side combined
+    // no count-distinct Expand, both aggs map-side combined. The dup set
+    // is aggregate-sized (lines recurring in ≥ minDocs docs are few
+    // DISTINCT values however often they occur), so it broadcasts; the
+    // line text then crosses the wire exactly once — in the per-doc
+    // reassembly shuffle — instead of once for an anti join and again
+    // for the regroup.
     val dup = lines.select("lh", "doc_id").distinct()
       .groupBy("lh").agg(count(lit(1)).as("nd"))
-      .where(col("nd") >= minDocs).select("lh")
-    val kept = lines.join(dup, Seq("lh"), "left_anti")
-    val rebuilt = kept.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws("\n", array_sort(collect_list(struct(col("pos"), col("line"))))
-          .getField("line")).as("clean_text"))
-    val totals = lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
-    totals.join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_lines"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .where(col("nd") >= minDocs)
+      .select(col("lh"), lit(true).as("__dup"))
+    lines.join(broadcast(dup), Seq("lh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("__dup").isNull, 1)).as("n_kept"),
+        // collect_list skips nulls, so dropped lines vanish here and the
+        // sort-by-(pos) reassembly sees only survivors
+        concat_ws("\n",
+          array_sort(collect_list(when(col("__dup").isNull, struct(col("pos"), col("line")))))
+            .getField("line")).as("clean_text"))
+      .select("doc_id", "n_lines", "n_kept", "clean_text")
   }
 
   /** Deflate compression ratio per document — the Gopher-style

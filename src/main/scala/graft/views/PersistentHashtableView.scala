@@ -111,6 +111,23 @@ final class PersistentHashtableView(
 
   def get(key: Any): DataFrame = frame.where(col(keyCol) === lit(key))
 
+  /** Snapshot read: the per-key-latest table as of the absorbed batch
+    * whose `upto ≤ seq` — log-centric time travel over the delta
+    * layout (the LSM read path, restricted to the deltas that existed
+    * at that cursor). Snapshots exist at ABSORBED-BATCH granularity
+    * (each delta stores its batch's per-key latest, so intra-batch
+    * history is already folded), and [[compact]] folds all history
+    * into the base — the travel window is the uncompacted delta chain,
+    * the same trade a compacted changelog topic makes. */
+  def frameAsOf(seq: Long): DataFrame = {
+    val dirs = batchDirs(all = false)
+      .filter(_.getFileName.toString.stripPrefix("batch=").toLong <= seq)
+      .map(_.toString)
+    if (dirs.isEmpty)
+      throw new IllegalStateException(s"no committed batch at or before seq=$seq (compacted or empty)")
+    latest(spark.read.parquet(dirs: _*))
+  }
+
   /** Collapse all committed deltas into one base delta at the current
     * cursor — the compacted-topic rewrite. Protocol: write the merged
     * base under `compact.tmp`, commit it with the `compact.cursor`

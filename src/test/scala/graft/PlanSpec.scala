@@ -299,8 +299,10 @@ class PlanSpec extends SparkSpec {
       "distinct-doc line frequency must be the two-agg pre-reduce, not count(distinct)")
     assert(s.contains("xxhash64"),
       "cross-doc frequency must group the 64-bit line hash, not the line text")
-    assert(s.contains("LeftAnti") || s.contains("left_anti"),
-      "dup-line removal must be an anti join")
+    // dup marking is a BROADCAST left join of the aggregate-sized dup
+    // set, so line text shuffles exactly once (per-doc reassembly)
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftOuter"),
+      "dup-line marking must broadcast the dup set onto the exploded lines")
   }
 
   test("NOT IN plans the null-aware anti join, not a cartesian filter") {

@@ -160,6 +160,31 @@ class PersistenceSpec extends SparkSpec {
     assert(dirs4.toSeq === Seq("batch=3"), s"tmp adopted as the single base, got ${dirs4.toSeq}")
   }
 
+  test("hashtable snapshot reads: frameAsOf travels the delta chain; compaction folds it") {
+    val kvSchema = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+    val viewDir = Files.createTempDirectory("graft-asof").toString
+    val v = new PersistentHashtableView(spark, s"$viewDir/ht", 1, "k", "seq")
+    def batch(rows: Seq[Row], upto: Long): Unit = {
+      val withSeq = rows.zipWithIndex.map { case (r, i) => Row(upto - rows.length + i + 1, r.getLong(0), r.getString(1)) }
+      val schema = StructType(StructField("seq", LongType) +: kvSchema.fields.toIndexedSeq)
+      v.absorb(spark.createDataFrame(spark.sparkContext.parallelize(withSeq), schema), upto)
+    }
+    batch(Seq(Row(1L, "a"), Row(2L, "b")), 1L)  // seqs 0, 1
+    batch(Seq(Row(1L, "a2")), 2L)               // seq 2 upserts key 1
+    // as of the first batch: key 1 still "a"
+    val snap = v.frameAsOf(1L).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(snap === Map(1L -> "a", 2L -> "b"))
+    // as of the head: identical to frame
+    val head = v.frameAsOf(2L).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(head === Map(1L -> "a2", 2L -> "b"))
+    // before any committed batch: no state to read
+    intercept[IllegalStateException](v.frameAsOf(0L))
+    // compaction folds history: the old snapshot is gone, head unchanged
+    v.compact()
+    intercept[IllegalStateException](v.frameAsOf(1L))
+    assert(v.frameAsOf(2L).collect().map(r => r.getLong(0) -> r.getString(2)).toMap === head)
+  }
+
   test("persistent bloom view: sketch survives reopen; version bump rebuilds") {
     val kSchema = StructType(Seq(StructField("k", StringType)))
     val logDir = Files.createTempDirectory("graft-pblog").toString
