@@ -1659,8 +1659,7 @@ object SparkEntry {
       // robust per-type outliers: median/MAD z-score, exact grouped
       // percentiles over bounded-cardinality groups
       graft.ops.Profile.outliers(
-          t(s, dir, "events").select("event_id", "event_type", "value")
-            .withColumnRenamed("event_id", "id"),
+          t(s, dir, "events").select("event_type", "value"),
           groupCol = "event_type", valueCol = "value", k = 3.5)
         .orderBy("event_type", "value")),
     "q_null_anti" -> ((s, dir) => {

@@ -697,6 +697,13 @@ object Dedup {
       w: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    // The final accept is on ROUNDED jaccard (round(J,4) >= t — the
+    // oracle's and ngramJaccard's contract), so a pair with true
+    // J ∈ [t − 5e-5, t) still qualifies. Every PRUNING stage therefore
+    // uses tEff = t − 5e-5: prefixes a shade longer, size/positional
+    // bounds a shade looser — strictly more candidates, never fewer, so
+    // the no-false-negative certificate holds for the rounded accept.
+    val tEff = threshold - 5e-5
     val sh = docs.select(col(idCol).as("id"), hashedShinglesCol(col(textCol), w).as("sh"))
       .where(size(col("sh")) > 0)
       .persist()
@@ -711,7 +718,7 @@ object Dedup {
       .orderBy(col("df"), col("g"))
     val prefix = inv.join(freq, Seq("g"))
       .withColumn("rn", row_number().over(byDoc))
-      .where(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .where(col("rn") <= col("n") - ceil(lit(tEff) * col("n")) + 1)
       .select("id", "n", "rn", "g")
     // PPJoin positional filter (Xiao et al. §3.2), applied per shared
     // prefix token BEFORE the pair distinct: J ≥ t needs overlap
@@ -725,9 +732,9 @@ object Dedup {
       .join(prefix.select(col("g"), col("id").as("id_b"), col("n").as("n_b"), col("rn").as("r_b")), Seq("g"))
       .where(col("id_a") < col("id_b") &&
         least(col("n_a"), col("n_b")).cast("double") >=
-          lit(threshold - 1e-9) * greatest(col("n_a"), col("n_b")).cast("double") &&
+          lit(tEff - 1e-9) * greatest(col("n_a"), col("n_b")).cast("double") &&
         (lit(1) + least(col("n_a") - col("r_a"), col("n_b") - col("r_b"))).cast("double") >=
-          lit(threshold / (1 + threshold)) * (col("n_a") + col("n_b")).cast("double") - lit(1e-9))
+          lit(tEff / (1 + tEff)) * (col("n_a") + col("n_b")).cast("double") - lit(1e-9))
       .select("id_a", "id_b")
       .distinct()
     val out = cand

@@ -5,8 +5,7 @@ import graft.ops.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
+import java.nio.file.{Files, Path}
 
 /** Durable IVF (inverted-file) ANN index as a flume view: the corpus is
   * stored partitioned by nearest-centroid cell, so probing `nProbe`
@@ -20,53 +19,21 @@ import scala.jdk.CollectionConverters._
   *  - `centroids/` — the coarse quantizer, fixed at first absorb
   *    (deterministic seeds: first `nCentroids` vectors by id);
   *  - `batch=<upto>/cell=<c>/` — batch-atomic deltas partitioned by
-  *    cell (incremental absorbs assign new vectors to existing cells);
-  *  - `MANIFEST` — `(version, since)`, written after the delta, same
-  *    crash discipline as [[PersistentIndexView]] (orphans beyond the
-  *    cursor are pruned at construction).
+  *    cell (incremental absorbs assign new vectors to existing cells),
+  *    stored via the shared [[DeltaProtocol]] crash discipline.
   */
 final class IVFIndexView(
     spark: SparkSession,
-    dir: String,
-    version: Int,
+    protected val dir: String,
+    protected val protocolVersion: Int,
     idCol: String,
     vecCol: String,
-    nCentroids: Int) extends FlumeView {
+    nCentroids: Int) extends FlumeView with DeltaProtocol {
 
-  private val root: Path = Paths.get(dir)
-  private val manifest: Path = root.resolve("MANIFEST")
   private val centroidsDir: Path = root.resolve("centroids")
-  @volatile private var sinceSeq: Long = -1L
   @volatile private var cents: Option[Array[(Long, Seq[Float])]] = None
 
-  locally {
-    Files.createDirectories(root)
-    readManifest() match {
-      case Some((v, s)) if v == version => sinceSeq = s
-      case Some(_)                      => destroy() // version bump: rebuild
-      case None                         => ()
-    }
-    pruneOrphans()
-  }
-
-  private def readManifest(): Option[(Int, Long)] =
-    if (!Files.exists(manifest)) None
-    else Files.readString(manifest).trim.split("\\s+") match {
-      case Array(v, s) => Some((v.toInt, s.toLong))
-      case _           => None
-    }
-
-  private def writeManifest(): Unit =
-    Files.writeString(manifest, s"$version $sinceSeq")
-
-  private def pruneOrphans(): Unit =
-    FsLists.children(root)
-      .filter(p => p.getFileName.toString.startsWith("batch="))
-      .filter(p => p.getFileName.toString.stripPrefix("batch=").toLong > sinceSeq)
-      .foreach(deleteTree)
-
-  private def deleteTree(p: Path): Unit =
-    FsLists.walkDeepestFirst(p).foreach(Files.delete)
+  openProtocol()
 
   /** The quantizer: loaded from disk, or seeded from the given frame and
     * persisted on first absorb. */
@@ -92,14 +59,6 @@ final class IVFIndexView(
       loaded
     }
 
-  private def committedBatchDirs(): Seq[Path] =
-    FsLists.children(root)
-      .filter(p => p.getFileName.toString.startsWith("batch="))
-      .filter(p => p.getFileName.toString.stripPrefix("batch=").toLong <= sinceSeq)
-      .sortBy(_.getFileName.toString.stripPrefix("batch=").toLong)
-
-  def since: Long = sinceSeq
-
   def absorb(entries: DataFrame, upto: Long): Unit = {
     val cs = centroids(seedFrom = Some(entries))
     entries.select(col(idCol), col(vecCol))
@@ -108,7 +67,7 @@ final class IVFIndexView(
       // per cell instead of (tasks × cells) small files
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite")
-      .parquet(root.resolve(s"batch=$upto").toString)
+      .parquet(batchPath(upto).toString)
     sinceSeq = upto
     writeManifest() // delta is durable before the cursor moves
   }
@@ -139,12 +98,9 @@ final class IVFIndexView(
       .limit(k)
   }
 
-  def destroy(): Unit = {
-    sinceSeq = -1L
+  override def destroy(): Unit = {
     cents = None
-    if (Files.isDirectory(root)) {
-      FsLists.walkDeepestFirst(root).filterNot(_ == root).foreach(Files.delete)
-    }
+    super.destroy()
   }
 }
 

@@ -1,42 +1,32 @@
 package graft.views
 
 import graft.core.{FlumeDb, FlumeView, ViewDef}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.Files
 
 /** Durable flumeview-hashtable: latest-record-per-key as a
   * log-structured parquet table — the "compacted changelog" shape.
   *
-  * Writes are [[PersistentIndexView]]'s batch-atomic delta protocol
-  * (each absorbed batch's per-key latest lands under `batch=<upto>/`,
-  * manifest commits after the delta, orphans pruned at open, version
-  * bump wipes). Reads merge the deltas with one `max_by(seq)` aggregate
-  * — the LSM read path; [[compact]] collapses all committed deltas into
-  * a single base delta so read cost stays O(keys), the same rewrite a
-  * compacted topic or an LSM level merge performs. At cluster scale the
-  * deltas are partitioned tables and compaction is a per-bucket rewrite
-  * job; the manifest stays the tiny driver-side commit record. */
+  * Writes are the shared [[DeltaProtocol]] (each absorbed batch's
+  * per-key latest lands under `batch=<upto>/`, manifest commits after
+  * the delta, orphans pruned at open, version bump wipes). Reads merge
+  * the deltas with one `max_by(seq)` aggregate — the LSM read path;
+  * [[compact]] collapses all committed deltas into a single base delta
+  * so read cost stays O(keys), the same rewrite a compacted topic or an
+  * LSM level merge performs. At cluster scale the deltas are
+  * partitioned tables and compaction is a per-bucket rewrite job; the
+  * manifest stays the tiny driver-side commit record. */
 final class PersistentHashtableView(
     spark: SparkSession,
-    dir: String,
-    viewVersion: Int,
+    protected val dir: String,
+    protected val protocolVersion: Int,
     keyCol: String,
-    seqCol: String) extends FlumeView {
-
-  private val root: Path = Paths.get(dir)
-  private val manifest: Path = root.resolve("MANIFEST")
-  @volatile private var sinceSeq: Long = -1L
+    seqCol: String) extends FlumeView with DeltaProtocol {
 
   locally {
-    Files.createDirectories(root)
-    readManifest() match {
-      case Some((v, s)) if v == viewVersion => sinceSeq = s
-      case Some(_)                          => destroy()
-      case None                             => ()
-    }
-    pruneOrphans()
+    openProtocol()
     // compact crash recovery: once the cursor marker exists, compact.tmp
     // is the COMPLETE merge of all committed deltas at the (unchanged)
     // manifest cursor — the deletes may have stopped anywhere, leaving a
@@ -46,42 +36,18 @@ final class PersistentHashtableView(
     // from a compact whose cursor has since moved on under an old
     // binary) tmp is garbage: leave the intact deltas and let the next
     // compact() clear it.
-    locally {
-      val tmp = root.resolve("compact.tmp")
-      val marker = root.resolve("compact.cursor")
-      val markerCursor =
-        if (Files.exists(marker)) scala.util.Try(Files.readString(marker).trim.toLong).toOption
-        else None
-      if (sinceSeq >= 0 && markerCursor.contains(sinceSeq) &&
-          Files.exists(tmp.resolve("_SUCCESS"))) {
-        batchDirs(all = false).foreach(p => FsLists.walkDeepestFirst(p).foreach(Files.delete))
-        Files.move(tmp, root.resolve(s"batch=$sinceSeq"))
-        Files.delete(marker)
-      } else if (markerCursor.isDefined) Files.delete(marker)
-    }
+    val tmp = root.resolve("compact.tmp")
+    val marker = root.resolve("compact.cursor")
+    val markerCursor =
+      if (Files.exists(marker)) scala.util.Try(Files.readString(marker).trim.toLong).toOption
+      else None
+    if (sinceSeq >= 0 && markerCursor.contains(sinceSeq) &&
+        Files.exists(tmp.resolve("_SUCCESS"))) {
+      committedBatchDirs().foreach(p => FsLists.walkDeepestFirst(p).foreach(Files.delete))
+      Files.move(tmp, batchPath(sinceSeq))
+      Files.delete(marker)
+    } else if (markerCursor.isDefined) Files.delete(marker)
   }
-
-  private def readManifest(): Option[(Int, Long)] =
-    if (!Files.exists(manifest)) None
-    else Files.readString(manifest).trim.split("\\s+") match {
-      case Array(v, s) => Some((v.toInt, s.toLong))
-      case _           => None
-    }
-
-  private def writeManifest(): Unit =
-    Files.writeString(manifest, s"$viewVersion $sinceSeq")
-
-  private def batchDirs(all: Boolean): Seq[Path] =
-    FsLists.children(root)
-      .filter(p => p.getFileName.toString.startsWith("batch="))
-      .filter(p => all || p.getFileName.toString.stripPrefix("batch=").toLong <= sinceSeq)
-      .sortBy(_.getFileName.toString.stripPrefix("batch=").toLong)
-
-  private def pruneOrphans(): Unit =
-    FsLists.children(root)
-      .filter(p => p.getFileName.toString.startsWith("batch="))
-      .filter(p => p.getFileName.toString.stripPrefix("batch=").toLong > sinceSeq)
-      .foreach(p => FsLists.walkDeepestFirst(p).foreach(Files.delete))
 
   private def latest(df: DataFrame): DataFrame = {
     val payload = struct(df.columns.filter(_ != keyCol).map(col).toIndexedSeq: _*)
@@ -90,24 +56,22 @@ final class PersistentHashtableView(
       .select(col(keyCol), col("__v.*"))
   }
 
-  def since: Long = sinceSeq
-
   def absorb(entries: DataFrame, upto: Long): Unit = {
     latest(entries)
-      .write.mode("overwrite").parquet(root.resolve(s"batch=$upto").toString)
+      .write.mode("overwrite").parquet(batchPath(upto).toString)
     sinceSeq = upto
     writeManifest() // delta durable before the cursor moves
   }
 
   /** Merged view of all committed deltas (the LSM read path). */
   def frame: DataFrame = {
-    val dirs = batchDirs(all = false).map(_.toString)
+    val dirs = committedBatchDirs().map(_.toString)
     if (dirs.isEmpty) throw new IllegalStateException("hashtable empty")
     latest(spark.read.parquet(dirs: _*))
   }
 
   override def frameOption: Option[DataFrame] =
-    if (batchDirs(all = false).isEmpty) None else Some(frame)
+    if (committedBatchDirs().isEmpty) None else Some(frame)
 
   def get(key: Any): DataFrame = frame.where(col(keyCol) === lit(key))
 
@@ -120,7 +84,7 @@ final class PersistentHashtableView(
     * into the base — the travel window is the uncompacted delta chain,
     * the same trade a compacted changelog topic makes. */
   def frameAsOf(seq: Long): DataFrame = {
-    val dirs = batchDirs(all = false)
+    val dirs = committedBatchDirs()
       .filter(_.getFileName.toString.stripPrefix("batch=").toLong <= seq)
       .map(_.toString)
     if (dirs.isEmpty)
@@ -138,7 +102,7 @@ final class PersistentHashtableView(
     * leaves every delta intact — so readers see either the old deltas or
     * the base in EVERY crash window, never a partial delta set. */
   def compact(): Unit = {
-    val dirs = batchDirs(all = false)
+    val dirs = committedBatchDirs()
     if (dirs.size <= 1) return
     val tmp = root.resolve("compact.tmp")
     val marker = root.resolve("compact.cursor")
@@ -147,15 +111,8 @@ final class PersistentHashtableView(
     frame.write.parquet(tmp.toString)
     Files.writeString(marker, sinceSeq.toString) // tmp is now the commit point
     dirs.foreach(p => FsLists.walkDeepestFirst(p).foreach(Files.delete))
-    Files.move(tmp, root.resolve(s"batch=$sinceSeq"))
+    Files.move(tmp, batchPath(sinceSeq))
     Files.delete(marker)
-  }
-
-  def destroy(): Unit = {
-    sinceSeq = -1L
-    if (Files.isDirectory(root)) {
-      FsLists.walkDeepestFirst(root).filterNot(_ == root).foreach(Files.delete)
-    }
   }
 }
 

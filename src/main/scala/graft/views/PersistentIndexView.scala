@@ -4,11 +4,9 @@ import graft.core.{FlumeDb, FlumeView, ViewDef}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
-
-/** Durable view state on disk: batch-atomic parquet deltas plus a
-  * manifest `(version, since)`.
+/** Durable flumeview-level index: posting lists `(key, seq)` stored via
+  * the shared [[DeltaProtocol]] (batch-atomic parquet deltas + manifest
+  * `(version, since)`).
   *
   * Implements flume's full view lifecycle contract:
   *  - incremental: each absorbed batch lands under `batch=<upto>/`, so
@@ -27,61 +25,17 @@ import scala.jdk.CollectionConverters._
   */
 final class PersistentIndexView(
     spark: SparkSession,
-    dir: String,
-    version: Int,
+    protected val dir: String,
+    protected val protocolVersion: Int,
     keys: Column,
     seqCol: String,
-    val indexedColumn: Option[String] = None) extends FlumeView {
+    val indexedColumn: Option[String] = None) extends FlumeView with DeltaProtocol {
 
-  private val root: Path = Paths.get(dir)
-  private val manifest: Path = root.resolve("MANIFEST")
-  @volatile private var sinceSeq: Long = -1L
-
-  locally {
-    Files.createDirectories(root)
-    readManifest() match {
-      case Some((v, s)) if v == version => sinceSeq = s
-      case Some(_)                      => destroy() // version bump: rebuild
-      case None                         => ()
-    }
-    pruneOrphans()
-  }
-
-  /** Delete batch directories beyond the manifest cursor. An orphan is a
-    * delta written just before a crash whose manifest commit never landed;
-    * readers ignore it today, but once a post-restart absorb advances the
-    * cursor past its `upto` the stale overlapping delta would become
-    * visible and duplicate entries. Pruning at construction closes that
-    * resurrection window (the reference replays the log into the view
-    * instead — `/root/reference/index.js:36-39` — so it can never observe
-    * a half-committed delta). */
-  private def pruneOrphans(): Unit =
-    FsLists.children(root)
-      .filter(p => p.getFileName.toString.startsWith("batch="))
-      .filter(p => p.getFileName.toString.stripPrefix("batch=").toLong > sinceSeq)
-      .foreach(p => FsLists.walkDeepestFirst(p).foreach(Files.delete))
-
-  private def readManifest(): Option[(Int, Long)] =
-    if (!Files.exists(manifest)) None
-    else Files.readString(manifest).trim.split("\\s+") match {
-      case Array(v, s) => Some((v.toInt, s.toLong))
-      case _           => None
-    }
-
-  private def writeManifest(): Unit =
-    Files.writeString(manifest, s"$version $sinceSeq")
-
-  private def committedBatchDirs(): Seq[Path] =
-    FsLists.children(root)
-      .filter(p => p.getFileName.toString.startsWith("batch="))
-      .filter(p => p.getFileName.toString.stripPrefix("batch=").toLong <= sinceSeq)
-      .sortBy(_.getFileName.toString.stripPrefix("batch=").toLong)
-
-  def since: Long = sinceSeq
+  openProtocol()
 
   def absorb(entries: DataFrame, upto: Long): Unit = {
     entries.select(explode(keys).as("key"), col(seqCol).as("seq"))
-      .write.mode("overwrite").parquet(root.resolve(s"batch=$upto").toString)
+      .write.mode("overwrite").parquet(batchPath(upto).toString)
     sinceSeq = upto
     writeManifest() // delta is durable before the cursor moves
   }
@@ -100,13 +54,6 @@ final class PersistentIndexView(
 
   def get(key: String): DataFrame =
     frame.where(col("key") === lit(key)).orderBy("seq")
-
-  def destroy(): Unit = {
-    sinceSeq = -1L
-    if (Files.isDirectory(root)) {
-      FsLists.walkDeepestFirst(root).filterNot(_ == root).foreach(Files.delete)
-    }
-  }
 }
 
 object PersistentIndexView {

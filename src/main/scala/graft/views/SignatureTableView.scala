@@ -2,9 +2,6 @@ package graft.views
 
 import graft.core.{FlumeDb, FlumeView, ViewDef}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-
-import java.nio.file.{Files, Path, Paths}
 
 /** Durable, streaming-maintained MinHash signature table — the
   * continuous-curation bridge between the flume view machinery and the
@@ -16,8 +13,8 @@ import java.nio.file.{Files, Path, Paths}
   * ∝ batch, never corpus, with the signature pass itself incremental
   * (each document's shingles are hashed exactly once, at ingest).
   *
-  * Same delta protocol as [[PersistentIndexView]] (manifest after
-  * delta ⇒ crash-safe; orphan pruning at open; version bump ⇒ wipe and
+  * Storage is the shared [[DeltaProtocol]] (manifest after delta ⇒
+  * crash-safe; orphan pruning at open; version bump ⇒ wipe and
   * rebuild), so it slots under [[graft.streaming.StreamingViewRunner]]
   * with exactly-once recovery. At cluster scale this is the stored
   * signature artifact every production dedup pipeline keeps — here it
@@ -26,52 +23,19 @@ import java.nio.file.{Files, Path, Paths}
   */
 final class SignatureTableView(
     spark: SparkSession,
-    dir: String,
-    version: Int,
+    protected val dir: String,
+    protected val protocolVersion: Int,
     idCol: String,
     textCol: String,
-    perms: Int = 64) extends FlumeView {
+    perms: Int = 64) extends FlumeView with DeltaProtocol {
 
-  private val root: Path = Paths.get(dir)
-  private val manifest: Path = root.resolve("MANIFEST")
-  @volatile private var sinceSeq: Long = -1L
-
-  locally {
-    Files.createDirectories(root)
-    readManifest() match {
-      case Some((v, s)) if v == version => sinceSeq = s
-      case Some(_)                      => destroy()
-      case None                         => ()
-    }
-    pruneOrphans()
-  }
-
-  private def pruneOrphans(): Unit =
-    FsLists.children(root)
-      .filter(p => p.getFileName.toString.startsWith("batch="))
-      .filter(p => p.getFileName.toString.stripPrefix("batch=").toLong > sinceSeq)
-      .foreach(p => FsLists.walkDeepestFirst(p).foreach(Files.delete))
-
-  private def readManifest(): Option[(Int, Long)] =
-    if (!Files.exists(manifest)) None
-    else Files.readString(manifest).trim.split("\\s+") match {
-      case Array(v, s) => Some((v.toInt, s.toLong))
-      case _           => None
-    }
-
-  private def committedBatchDirs(): Seq[Path] =
-    FsLists.children(root)
-      .filter(p => p.getFileName.toString.startsWith("batch="))
-      .filter(p => p.getFileName.toString.stripPrefix("batch=").toLong <= sinceSeq)
-      .sortBy(_.getFileName.toString.stripPrefix("batch=").toLong)
-
-  def since: Long = sinceSeq
+  openProtocol()
 
   def absorb(entries: DataFrame, upto: Long): Unit = {
     graft.ops.Dedup.signatureTable(entries, idCol, textCol, perms)
-      .write.mode("overwrite").parquet(root.resolve(s"batch=$upto").toString)
+      .write.mode("overwrite").parquet(batchPath(upto).toString)
     sinceSeq = upto
-    Files.writeString(manifest, s"$version $sinceSeq")
+    writeManifest()
   }
 
   /** The accumulated `(id, hs, sig)` table — feed to
@@ -84,13 +48,6 @@ final class SignatureTableView(
 
   override def frameOption: Option[DataFrame] =
     if (committedBatchDirs().isEmpty) None else Some(sigs)
-
-  def destroy(): Unit = {
-    sinceSeq = -1L
-    if (Files.isDirectory(root)) {
-      FsLists.walkDeepestFirst(root).filterNot(_ == root).foreach(Files.delete)
-    }
-  }
 }
 
 object SignatureTableView {
