@@ -1672,6 +1672,18 @@ object SparkEntry {
                  (SELECT o_custkey FROM na_orders WHERE o_totalprice > 300000)
                ORDER BY c_custkey""")
     }),
+    "q_window_stats" -> ((s, dir) => {
+      // distribution-rank window family: percent_rank/cume_dist/ntile
+      // over a TOTAL order (value, event_id) — ntile ties are assigned
+      // by row position, so the tie-broken order is part of the contract
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      t(s, dir, "events").select("event_id", "event_type", "value")
+        .withColumn("pr", round(percent_rank().over(w), 4))
+        .withColumn("cd", round(cume_dist().over(w), 4))
+        .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+        .orderBy("event_id")
+    }),
     "q_similar_topk" -> ((s, dir) =>
       // related-document retrieval: per-doc top-3 neighbors over the
       // EXACT prefix-filtered pair set; bounded-heap agg, no rank window
@@ -2380,6 +2392,12 @@ object SparkEntry {
     "q_null_anti" ->
       ("SELECT c_custkey, c_name FROM customer " +
         "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000) ORDER BY c_custkey"),
+    "q_window_stats" ->
+      ("SELECT event_id, event_type, value, " +
+        "round(percent_rank() OVER w, 4) AS pr, " +
+        "round(cume_dist() OVER w, 4) AS cd, " +
+        "ntile(4) OVER w AS quartile " +
+        "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id) ORDER BY event_id"),
     "q_similar_topk" ->
       ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM documents), " +
         "sh AS (SELECT doc_id, CASE WHEN len(tk) = 0 THEN [] WHEN len(tk) < 3 THEN list_distinct(tk) ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sh FROM toks), " +

@@ -712,6 +712,38 @@ class StreamingSpec extends SparkSpec {
     } finally r.stop()
   }
 
+  test("log sink: stream-to-log ingestion is exactly-once across epoch replays") {
+    val logDirA = java.nio.file.Files.createTempDirectory("graft-sink-src").toString
+    val logDirB = java.nio.file.Files.createTempDirectory("graft-sink-dst").toString
+    val commit = java.nio.file.Files.createTempDirectory("graft-sink-c").resolve("_sink_commit").toString
+    val src = new ParquetLog(spark, logDirA, schema)
+    val dst = new ParquetLog(spark, logDirB, schema)
+    src.appendRows(Seq(Row(10L), Row(20L)))
+    // e2e: source log tail → sink log; payload flows, seqs re-stamped
+    val q = LogSink.start(src.readStream.select("foo"), dst, commit)
+    try {
+      q.processAllAvailable()
+      src.appendRows(Seq(Row(30L)))
+      q.processAllAvailable()
+      assert(dst.read.orderBy("seq").collect().map(_.getLong(1)).toSeq === Seq(10L, 20L, 30L))
+      assert(dst.since === 2L)
+    } finally q.stop()
+
+    // replay simulation: foreachBatch re-delivers an epoch after a crash
+    // between append and checkpoint commit — the committer must skip it
+    val committer = new LogSink.BatchCommitter(dst, commit)
+    import spark.implicits._
+    val epoch = Seq(40L).toDF("foo")
+    committer.addBatch(epoch, 2L) // fresh epoch: appends
+    assert(dst.read.count() === 4L)
+    committer.addBatch(epoch, 2L) // replayed epoch: must be a no-op
+    committer.addBatch(epoch, 1L) // stale epoch: must be a no-op
+    assert(dst.read.count() === 4L, "replayed epochs must not double-append")
+    committer.addBatch(Seq(50L).toDF("foo"), 3L)
+    assert(dst.read.orderBy("seq").collect().map(_.getLong(1)).toSeq
+      === Seq(10L, 20L, 30L, 40L, 50L))
+  }
+
   test("signature table view survives restart from its manifest; version bump rebuilds") {
     import graft.views.SignatureTableView
     val viewDir = java.nio.file.Files.createTempDirectory("graft-sigv2").toString
