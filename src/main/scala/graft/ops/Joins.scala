@@ -102,9 +102,14 @@ object Joins {
     * ≥ `q·(d+1)` within distance `d` MUST share a q-gram — the prefilter
     * is provably complete there, and the equi-join on gram keys shuffles
     * small tokens, never pairs. Strings shorter than `q·(d+1)` carry too
-    * few grams for the bound and fall back to a length-banded all-pairs
-    * (|len difference| ≤ d) — bounded by the short-string population, the
-    * documented skew guard of this operator. Survivors are verified with
+    * few grams for the bound; for them the `|len(a) − len(b)| ≤ d` band
+    * IS an equi-join key — each short string explodes to its ±d
+    * neighborhood of lengths and equi-joins the other side keyed by
+    * length, pre-pruned to `len ≤ q·(d+1) − 1 + d` (nothing longer can
+    * be within d of a short string). So the short path shuffles only the
+    * near-short population, never a cross join against the full corpus;
+    * the low-cardinality length key is the operator's documented skew
+    * point, split by AQE. Survivors are verified with
     * the built-in `levenshtein` (codegen'd), so the output is EXACT.
     * Inputs are deduplicated on the join value (string-match semantics). */
   def fuzzyJoin(
@@ -126,13 +131,18 @@ object Joins {
     val longB = rb.where(length(col("b")) >= minLongLen)
       .select(col("b"), explode(gramsOf(col("b"))).as("g"))
     val gramCand = longA.join(longB, "g").select("a", "b").distinct()
-    val shortA = la.where(length(col("a")) < minLongLen)
-    val shortCand = shortA.crossJoin(rb)
-      .where(abs(length(col("a")) - length(col("b"))) <= maxDist)
+    val maxMatchLen = minLongLen - 1 + maxDist
+    def lenBand(s: Column): Column =
+      explode(sequence(greatest(length(s) - maxDist, lit(1)), length(s) + maxDist))
+    val shortCand = la.where(length(col("a")) < minLongLen)
+      .select(col("a"), lenBand(col("a")).as("lb"))
+      .join(rb.where(length(col("b")) <= maxMatchLen)
+        .select(col("b"), length(col("b")).as("lb")), "lb")
       .select("a", "b")
-    val shortB = rb.where(length(col("b")) < minLongLen)
-    val shortCandB = la.crossJoin(shortB)
-      .where(abs(length(col("a")) - length(col("b"))) <= maxDist)
+    val shortCandB = rb.where(length(col("b")) < minLongLen)
+      .select(col("b"), lenBand(col("b")).as("lb"))
+      .join(la.where(length(col("a")) <= maxMatchLen)
+        .select(col("a"), length(col("a")).as("lb")), "lb")
       .select("a", "b")
     gramCand.unionByName(shortCand).unionByName(shortCandB).distinct()
       .where(abs(length(col("a")) - length(col("b"))) <= maxDist)
