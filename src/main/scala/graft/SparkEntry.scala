@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    // raw long (nanos since epoch); all ts arithmetic goes through tsCol.
+    // The driver has shipped events.ts both as parquet TIMESTAMP(NANOS)
+    // (only readable as a raw nanos long under nanosAsLong) and as
+    // timestamp[us] (read as TIMESTAMP_NTZ). The conf keeps the nanos
+    // form readable; tsCol/tsMs/tsSec adapt to whichever form loaded.
     scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
     s.read.parquet(s"$dir/$name.parquet")
   }
@@ -30,10 +32,33 @@ object SparkEntry {
   private def eventsDb(s: SparkSession, dir: String): FlumeDb =
     new FlumeDb(eventsLog(s, dir))
 
-  /** events.ts as a microsecond timestamp. Integer `div` (not `/`, which
-    * is double division and loses precision at 1e18 nanos) keeps the
-    * floor-to-micros exact, matching DuckDB's ns-aware arithmetic. */
-  private def tsCol: Column = expr("timestamp_micros(ts div 1000)")
+  // events.ts physical type per data dir (cached: one parquet footer
+  // read). All ts arithmetic below is schema-adaptive through these
+  // three helpers; both physical forms denote the same UTC instants
+  // (FIXTURES.md convention), and the TIMESTAMP_NTZ form re-interprets
+  // as an instant under the UTC session timezone every main sets.
+  private val tsLongCache = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private def tsIsLong(s: SparkSession, dir: String): Boolean =
+    tsLongCache.getOrElseUpdate(dir,
+      t(s, dir, "events").schema("ts").dataType == org.apache.spark.sql.types.LongType)
+
+  /** events.ts as a microsecond-precision timestamp. On the nanos-long
+    * form, integer `div` (not `/`, which is double division and loses
+    * precision at 1e18 nanos) keeps the floor-to-micros exact, matching
+    * DuckDB's ns-aware arithmetic. */
+  private def tsCol(s: SparkSession, dir: String): Column =
+    if (tsIsLong(s, dir)) expr("timestamp_micros(ts div 1000)")
+    else col("ts").cast("timestamp")
+
+  /** events.ts as epoch milliseconds (floored) — DuckDB `epoch_ms(ts)`. */
+  private def tsMs(s: SparkSession, dir: String): Column =
+    if (tsIsLong(s, dir)) expr("ts div 1000000")
+    else unix_millis(col("ts").cast("timestamp"))
+
+  /** events.ts as epoch seconds (floored) — DuckDB `floor(epoch(ts))`. */
+  private def tsSec(s: SparkSession, dir: String): Column =
+    if (tsIsLong(s, dir)) expr("ts div 1000000000")
+    else unix_seconds(col("ts").cast("timestamp"))
 
   // Re-appending the events table through the ParquetLog write path is
   // part of q_append_scan; cache per scale factor so bench reuse is
@@ -672,7 +697,7 @@ object SparkEntry {
     }),
     "q_tumbling_count" -> ((s, dir) =>
       t(s, dir, "events")
-        .groupBy(window(tsCol, "1 hour").as("w"))
+        .groupBy(window(tsCol(s, dir), "1 hour").as("w"))
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_v"))
         .select(unix_millis(col("w.start")).as("hour_ms"), col("cnt"), col("sum_v"))
         .orderBy("hour_ms")),
@@ -681,13 +706,13 @@ object SparkEntry {
       // exactly two epoch-aligned windows — completes the event-time
       // window family next to tumbling and session
       t(s, dir, "events")
-        .groupBy(window(tsCol, "1 hour", "30 minutes").as("w"))
+        .groupBy(window(tsCol(s, dir), "1 hour", "30 minutes").as("w"))
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_v"))
         .select(unix_millis(col("w.start")).as("start_ms"), col("cnt"), col("sum_v"))
         .orderBy("start_ms")),
     "q_session_window" -> ((s, dir) =>
       t(s, dir, "events")
-        .withColumn("ts2", expr("timestamp_millis(ts div 1000000)"))
+        .withColumn("ts2", timestamp_millis(tsMs(s, dir)))
         .groupBy(col("user_id"), session_window(col("ts2"), "10 minutes").as("w"))
         .agg(count(lit(1)).as("cnt"))
         .select(col("user_id"), unix_millis(col("w.start")).as("start_ms"), col("cnt"))
@@ -739,9 +764,9 @@ object SparkEntry {
       t(s, dir, "events").select(
         col("event_id").as("seq"),
         regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("bigint").as("k_num"),
-        datediff(to_date(tsCol), lit(java.sql.Date.valueOf("2024-01-01"))).cast("bigint").as("days_since"),
-        dayofweek(tsCol).cast("bigint").as("dow"), // Sunday=1, matches DuckDB dayofweek+1
-        date_format(tsCol, "yyyy-MM").as("ym"))
+        datediff(to_date(tsCol(s, dir)), lit(java.sql.Date.valueOf("2024-01-01"))).cast("bigint").as("days_since"),
+        dayofweek(tsCol(s, dir)).cast("bigint").as("dow"), // Sunday=1, matches DuckDB dayofweek+1
+        date_format(tsCol(s, dir), "yyyy-MM").as("ym"))
         .orderBy("seq")),
     "q_array_funcs" -> ((s, dir) =>
       t(s, dir, "embeddings").select(
@@ -807,9 +832,9 @@ object SparkEntry {
         floor(col("value")).cast("bigint").as("vfloor"),
         ceil(col("value")).cast("bigint").as("vceil"),
         pmod(col("user_id"), lit(7)).as("umod"),
-        year(tsCol).cast("bigint").as("y"),
-        month(tsCol).cast("bigint").as("m"),
-        dayofmonth(tsCol).cast("bigint").as("d"))
+        year(tsCol(s, dir)).cast("bigint").as("y"),
+        month(tsCol(s, dir)).cast("bigint").as("m"),
+        dayofmonth(tsCol(s, dir)).cast("bigint").as("d"))
         .orderBy("seq")),
     "q_window_running" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("event_id")
@@ -1210,7 +1235,6 @@ object SparkEntry {
     "q_stream_static_join" -> ((s, dir) => {
       // stream-static broadcast enrichment: the static dim joins into
       // every micro-batch statelessly — no watermark, no join state
-      scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
       val schema = t(s, dir, "events").schema
       val name = s"stream_sjoin_${streamIds.incrementAndGet()}"
       val dim = t(s, dir, "events").select(col("user_id")).distinct()
@@ -1236,7 +1260,7 @@ object SparkEntry {
         .select(col("key").as("user_id"), col("cnt"), round(col("sum_v"), 4).as("sum_v"))
         .orderBy("user_id")),
     "q_resample" -> ((s, dir) =>
-      graft.ops.TimeSeries.resampleLocf(t(s, dir, "events"), "user_id", tsCol, col("value"))
+      graft.ops.TimeSeries.resampleLocf(t(s, dir, "events"), "user_id", tsCol(s, dir), col("value"))
         .select(col("user_id"), unix_millis(col("bucket")).as("hour_ms"),
           round(col("v"), 4).as("v"))
         .orderBy("user_id", "hour_ms")),
@@ -1345,7 +1369,6 @@ object SparkEntry {
       // replays through the parquet file streaming source, aggregates
       // event-time tumbling windows in complete mode, and the final
       // result must match the same batch oracle as q_tumbling_count.
-      scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
       val schema = t(s, dir, "events").schema
       val name = s"stream_tumbling_${streamIds.incrementAndGet()}"
       // State partition count is fixed at stream start from
@@ -1357,7 +1380,7 @@ object SparkEntry {
       try {
         val q = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .groupBy(window(tsCol, "1 hour").as("w"))
+          .groupBy(window(tsCol(s, dir), "1 hour").as("w"))
           .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_v"))
           .select(unix_millis(col("w.start")).as("hour_ms"), col("cnt"), col("sum_v"))
           .writeStream.format("memory").queryName(name)
@@ -1370,7 +1393,6 @@ object SparkEntry {
       // Streaming SLIDING windows in complete mode: each event feeds two
       // overlapping epoch-aligned windows; final state must equal the
       // q_sliding_count batch oracle whatever the micro-batching.
-      scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
       val schema = t(s, dir, "events").schema
       val name = s"stream_sliding_${streamIds.incrementAndGet()}"
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
@@ -1378,7 +1400,7 @@ object SparkEntry {
       try {
         val q = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .groupBy(window(tsCol, "1 hour", "30 minutes").as("w"))
+          .groupBy(window(tsCol(s, dir), "1 hour", "30 minutes").as("w"))
           .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_v"))
           .select(unix_millis(col("w.start")).as("start_ms"), col("cnt"), col("sum_v"))
           .writeStream.format("memory").queryName(name)
@@ -1394,11 +1416,10 @@ object SparkEntry {
       // closure: both this side and the batch oracle keep only sessions
       // whose end is at least (watermark delay + a full hour) before the
       // stream's final watermark, a region where emission is guaranteed.
-      scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
       val schema = t(s, dir, "events").schema
       val name = s"stream_session_${streamIds.incrementAndGet()}"
       val cutoffMs = t(s, dir, "events")
-        .agg(max(expr("ts div 1000000"))).head().getLong(0) - 90L * 60L * 1000L
+        .agg(max(tsMs(s, dir))).head().getLong(0) - 90L * 60L * 1000L
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       // 4 state stores as the other stateful streams (8 measured the
       // same: the cost is the session merge + watermark eviction itself,
@@ -1410,7 +1431,7 @@ object SparkEntry {
       try {
         val q = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .select(col("user_id"), expr("timestamp_millis(ts div 1000000)").as("ts2"))
+          .select(col("user_id"), timestamp_millis(tsMs(s, dir)).as("ts2"))
           .withWatermark("ts2", "30 minutes")
           .groupBy(col("user_id"), session_window(col("ts2"), "10 minutes").as("w"))
           .agg(count(lit(1)).as("cnt"))
@@ -1431,7 +1452,6 @@ object SparkEntry {
       // them); an INNER interval join emits each matched pair exactly
       // once whatever the micro-batching, so the full batch interval
       // join is the oracle with no closure filtering needed.
-      scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
       val schema = t(s, dir, "events").schema
       val name = s"stream_join_${streamIds.incrementAndGet()}"
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
@@ -1446,7 +1466,7 @@ object SparkEntry {
             .option("pathGlobFilter", "events.parquet").parquet(dir)
             .where(col("event_type") === tpe)
             .select(col("user_id"), col("event_id").as(idAs),
-              expr("timestamp_millis(ts div 1000000)").as(tsAs))
+              timestamp_millis(tsMs(s, dir)).as(tsAs))
             .withWatermark(tsAs, "30 minutes")
         val purchases = side("purchase", "purchase_id", "pts")
         val clicks = side("click", "click_id", "cts").withColumnRenamed("user_id", "c_user_id")
@@ -1469,7 +1489,6 @@ object SparkEntry {
       // the batch per-key aggregate is the oracle. Update-mode memory
       // sink keeps every state emission; the last one per key (max n)
       // is the final state.
-      scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
       val schema = t(s, dir, "events").schema
       val name = s"stream_state_${streamIds.incrementAndGet()}"
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
@@ -1504,9 +1523,8 @@ object SparkEntry {
       // so every kept purchase's window is provably closed by the final
       // watermark (maxTs - 30min) — making the emitted set deterministic
       // and equal to the capped batch left join, which is the oracle.
-      scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
       val schema = t(s, dir, "events").schema
-      val maxMs = t(s, dir, "events").agg(max(expr("ts div 1000000"))).head().getLong(0)
+      val maxMs = t(s, dir, "events").agg(max(tsMs(s, dir))).head().getLong(0)
       val capMs = maxMs - 2L * 3600 * 1000
       val name = s"stream_ljoin_${streamIds.incrementAndGet()}"
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
@@ -1517,7 +1535,7 @@ object SparkEntry {
             .option("pathGlobFilter", "events.parquet").parquet(dir)
             .where(col("event_type") === tpe)
             .select(col("user_id"), col("event_id").as(idAs),
-              expr("timestamp_millis(ts div 1000000)").as(tsAs))
+              timestamp_millis(tsMs(s, dir)).as(tsAs))
             .withWatermark(tsAs, "30 minutes")
         val purchases = side("purchase", "purchase_id", "pts")
           .where(col("pts") <= expr(s"timestamp_millis(${capMs}L)"))
@@ -1545,11 +1563,10 @@ object SparkEntry {
       // is the oracle. (Capping at the OVERALL max ts is wrong whenever
       // one side's stream ends hours before the other's — the min
       // policy holds the watermark back at the earlier side.)
-      scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
       val schema = t(s, dir, "events").schema
       val mm = t(s, dir, "events").agg(
-        max(when(col("event_type") === "purchase", expr("ts div 1000000"))).as("mp"),
-        max(when(col("event_type") === "click", expr("ts div 1000000"))).as("mc")).head()
+        max(when(col("event_type") === "purchase", tsMs(s, dir))).as("mp"),
+        max(when(col("event_type") === "click", tsMs(s, dir))).as("mc")).head()
       val capMs = math.min(mm.getLong(0), mm.getLong(1)) - 2L * 3600 * 1000
       val name = s"stream_fjoin_${streamIds.incrementAndGet()}"
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
@@ -1560,7 +1577,7 @@ object SparkEntry {
             .option("pathGlobFilter", "events.parquet").parquet(dir)
             .where(col("event_type") === tpe)
             .select(col("user_id"), col("event_id").as(idAs),
-              expr("timestamp_millis(ts div 1000000)").as(tsAs))
+              timestamp_millis(tsMs(s, dir)).as(tsAs))
             .withWatermark(tsAs, "30 minutes")
         val cap = expr(s"timestamp_millis(${capMs}L)")
         val purchases = side("purchase", "purchase_id", "pts").where(col("pts") <= cap)
@@ -1585,7 +1602,6 @@ object SparkEntry {
       // surface (typed ValueState inside a StatefulProcessor, RocksDB
       // state store as TWS requires). Identical state transitions ⇒ the
       // same batch oracle as q_stream_state.
-      scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
       val schema = t(s, dir, "events").schema
       val name = s"stream_state_tws_${streamIds.incrementAndGet()}"
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
@@ -1619,7 +1635,6 @@ object SparkEntry {
     "q_stream_dedup" -> ((s, dir) => {
       // Streaming dropDuplicates == batch DISTINCT, oracle-checked: the
       // emitted key set is deterministic regardless of micro-batching.
-      scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
       val schema = t(s, dir, "events").schema
       val name = s"stream_dedup_${streamIds.incrementAndGet()}"
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
@@ -1692,7 +1707,7 @@ object SparkEntry {
     "q_regression" -> ((s, dir) =>
       // per-type linear trend from one pass of stable moment aggregates
       graft.ops.TimeSeries.trendRegression(
-          t(s, dir, "events"), "event_type", expr("ts div 1000000000"), col("value"))
+          t(s, dir, "events"), "event_type", tsSec(s, dir), col("value"))
         .orderBy("event_type")),
     "q_winsorize" -> ((s, dir) =>
       // tail clipping into the per-type exact [p05, p95] band
@@ -1706,7 +1721,7 @@ object SparkEntry {
         .partitionBy("user_id").orderBy(col("sec")).rangeBetween(-1800L, 0L)
       t(s, dir, "events")
         .select(col("event_id"), col("user_id"),
-          expr("ts div 1000000000").as("sec"),
+          tsSec(s, dir).as("sec"),
           col("value"))
         .withColumn("trailing_sum", round(sum("value").over(w), 4))
         .select("event_id", "user_id", "sec", "trailing_sum")
