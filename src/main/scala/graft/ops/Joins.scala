@@ -133,7 +133,7 @@ object Joins {
     val gramCand = longA.join(longB, "g").select("a", "b").distinct()
     val maxMatchLen = minLongLen - 1 + maxDist
     def lenBand(s: Column): Column =
-      explode(sequence(greatest(length(s) - maxDist, lit(1)), length(s) + maxDist))
+      explode(sequence(greatest(length(s) - maxDist, lit(0)), length(s) + maxDist))
     val shortCand = la.where(length(col("a")) < minLongLen)
       .select(col("a"), lenBand(col("a")).as("lb"))
       .join(rb.where(length(col("b")) <= maxMatchLen)

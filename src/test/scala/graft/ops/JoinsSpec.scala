@@ -102,9 +102,9 @@ class JoinsSpec extends SparkSpec {
     // substitution/insertion/deletion variants
     val terms = Seq("spark", "spork", "sparkle", "catalyst", "catalist",
       "cat", "car", "ca", "dog", "dig", "partition", "partitions",
-      "shuffle", "shufle", "window", "winnow").toDF("term")
+      "shuffle", "shufle", "window", "winnow", "", "a", "b").toDF("term")
     val probes = Seq("spark", "catalyst", "cat", "dg", "shuffl", "windw",
-      "partition").toDF("probe")
+      "partition", "", "x").toDF("probe")
     def key(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     val got = key(Joins.fuzzyJoin(probes, terms, "probe", "term", maxDist = 1))
@@ -117,12 +117,14 @@ class JoinsSpec extends SparkSpec {
     // sanity: the planted pairs are present, including the short 'dg'→'dog'/'dig'
     assert(got.contains(("dg", "dog", 1L)) && got.contains(("dg", "dig", 1L)))
     assert(got.contains(("shuffl", "shuffle", 1L)) && got.contains(("spark", "spork", 1L)))
+    // empty-string boundary: ("","") at dist 0 and ("","a")/("x","") at dist 1
+    assert(got.contains(("", "", 0L)) && got.contains(("", "a", 1L)) && got.contains(("x", "", 1L)))
   }
 
   test("fuzzy join at maxDist=2 stays complete (wider gram threshold, longer min length)") {
     import spark.implicits._
-    val terms = (1 to 60).map(i => s"function$i").toDF("term") // shared 'function' stem
-    val probes = Seq("function1", "functoin2", "fnction3", "xyz").toDF("probe")
+    val terms = ((1 to 60).map(i => s"function$i") ++ Seq("", "q", "qr")).toDF("term") // shared 'function' stem + length<=maxDist boundary
+    val probes = Seq("function1", "functoin2", "fnction3", "xyz", "", "z").toDF("probe")
     def key(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     val got = key(Joins.fuzzyJoin(probes, terms, "probe", "term", maxDist = 2))
