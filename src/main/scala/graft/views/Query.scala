@@ -64,15 +64,20 @@ final case class Query(
     * Catalyst's own pushdown takes over. */
   def run(db: FlumeDb, maxInline: Int = 8192): DataFrame = {
     val conjuncts = filters.flatMap(ColumnBridge.conjuncts)
-    Query.indexHit(db, conjuncts) match {
+    val hit = Query.indexHit(db, conjuncts).orElse(Query.rangeIndexHit(db, conjuncts))
+    hit match {
       case None => run(db.mapped)
-      case Some((viewName, matchedIdx, keys)) =>
+      case Some(Query.IndexPlan(viewName, matched, postingFilter, dropMatched)) =>
         db.gated(viewName)(_.frameOption) match {
           case None => run(db.mapped)
           case Some(posting) =>
             val sc = db.log.seqCol
-            val seqDf = posting.where(col("key").isin(keys: _*)).select(col("seq"))
-            val residual = conjuncts.zipWithIndex.collect { case (c, j) if j != matchedIdx => c }
+            // single-column index: exactly one key per entry, so the
+            // filtered posting yields distinct seqs — no dedup shuffle
+            val seqDf = postingFilter(posting).select(col("seq"))
+            val residual = conjuncts.zipWithIndex.collect {
+              case (c, j) if !(dropMatched && matched(j)) => c
+            }
             val head = seqDf.limit(maxInline + 1).collect().map(_.getLong(0))
             val base =
               if (head.isEmpty) db.mapped.where(lit(false))
@@ -102,6 +107,18 @@ final case class Query(
 object Query {
   def apply(): Query = new Query()
 
+  /** A chosen index access path: which mounted view serves it, which
+    * conjunct positions it absorbed, the filter over the `(key, seq)`
+    * posting table, and whether the absorbed conjuncts are fully served
+    * (equality: yes) or re-checked as residuals (range: the posting
+    * filter decodes the string key back to the column type, so the
+    * original conjunct is kept as a zero-cost exactness guard). */
+  private[views] final case class IndexPlan(
+      viewName: String,
+      matched: Set[Int],
+      postingFilter: DataFrame => DataFrame,
+      dropMatched: Boolean)
+
   /** Literal value → the string key the single-column index stores. The
     * index build writes `cast(col as string)`; the filter `col = lit`
     * coerces the literal to the COLUMN's type first — so the key is
@@ -115,18 +132,20 @@ object Query {
     Option(Cast(typed, StringType).eval(null)).map(_.toString)
   }
 
-  /** First conjunct of the form `indexedCol = lit` / `indexedCol in
-    * (lits…)` for which the db has a mounted single-column index:
-    * (view name, conjunct position, key strings). */
-  private def indexHit(
-      db: FlumeDb, conjuncts: Seq[Column]): Option[(String, Int, Seq[String])] = {
-    val indexes: Map[String, String] = db.viewNames.flatMap { n =>
+  /** Mounted single-column indexes: indexed column name → view name. */
+  private def mountedIndexes(db: FlumeDb): Map[String, String] =
+    db.viewNames.flatMap { n =>
       db.view(n).view match {
         case iv: IndexView           => iv.indexedColumn.map(_ -> n)
         case pv: PersistentIndexView => pv.indexedColumn.map(_ -> n)
         case _                       => None
       }
     }.toMap
+
+  /** First conjunct of the form `indexedCol = lit` / `indexedCol in
+    * (lits…)` for which the db has a mounted single-column index. */
+  private def indexHit(db: FlumeDb, conjuncts: Seq[Column]): Option[IndexPlan] = {
+    val indexes = mountedIndexes(db)
     if (indexes.isEmpty) return None
     lazy val schema = db.mapped.schema
     conjuncts.zipWithIndex.collectFirst(Function.unlift { case (c, i) =>
@@ -137,7 +156,56 @@ object Query {
         keys <- Some(values.flatMap(v => keyString(v, field.dataType)))
         // a key that failed conversion means we can't trust the lookup
         if keys.length == values.length
-      } yield (viewName, i, keys)
+      } yield IndexPlan(viewName, Set(i),
+        p => p.where(col("key").isin(keys: _*)), dropMatched = true)
+    })
+  }
+
+  /** Range-predicate index selection (the reference's level views are
+    * ORDERED — range reads are native to its index family,
+    * `/root/reference/README.md:93`). The first indexed column carrying
+    * `>=`/`<=`/`>`/`<` conjuncts (in conjunct order; `between` arrives as
+    * its two halves via the `and`-split) becomes a range read of that
+    * index's posting table: the stored string key is decoded back to the
+    * column's type and bounded by ALL of that column's range conjuncts at
+    * once. For a string column the decode is the identity, so the bound
+    * pushes straight to the posting parquet's min/max stats; for other
+    * types the posting table is still orders of magnitude narrower than
+    * the log scan it replaces. The original conjuncts stay as residual
+    * filters on the seq-restricted rows — a zero-cost guard that keeps
+    * the rewrite exact even where `cast(cast(x as string) as t)` might
+    * not round-trip. */
+  private def rangeIndexHit(db: FlumeDb, conjuncts: Seq[Column]): Option[IndexPlan] = {
+    val indexes = mountedIndexes(db)
+    if (indexes.isEmpty) return None
+    lazy val schema = db.mapped.schema
+    val ranged = conjuncts.zipWithIndex.flatMap { case (c, i) =>
+      ColumnBridge.rangeOnAttribute(c).map { case (a, op, v) => (a, op, v, i) }
+    }
+    ranged.collectFirst(Function.unlift { case (attr, _, _, _) =>
+      for {
+        viewName <- indexes.get(attr)
+        field <- schema.find(_.name == attr)
+        bounds <- Some(ranged.filter(_._1 == attr))
+        // every bound literal must represent cleanly in the column type;
+        // otherwise fall back to the scan rather than mis-bound the read
+        if bounds.forall { case (_, _, v, _) =>
+          scala.util.Try(keyString(v, field.dataType)).toOption.flatten.isDefined
+        }
+      } yield {
+        val decoded = col("key").cast(field.dataType)
+        val pred = bounds.map { case (_, op, v, _) =>
+          val l = lit(v).cast(field.dataType)
+          op match {
+            case ">=" => decoded >= l
+            case "<=" => decoded <= l
+            case ">"  => decoded > l
+            case "<"  => decoded < l
+          }
+        }.reduce(_ && _)
+        IndexPlan(viewName, bounds.map(_._4).toSet,
+          p => p.where(pred), dropMatched = false)
+      }
     })
   }
 }

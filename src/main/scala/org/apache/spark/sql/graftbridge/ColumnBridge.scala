@@ -25,19 +25,20 @@ object ColumnBridge {
     go(c.node).map(n => Column(n))
   }
 
+  private def attr(n: ColumnNode): Option[String] = n match {
+    case a: UnresolvedAttribute => Some(a.nameParts.mkString("."))
+    case _ => None
+  }
+  private def lit(n: ColumnNode): Option[Any] = n match {
+    case l: Literal => Some(l.value)
+    case _ => None
+  }
+
   /** If the filter Column is `attr = literal`, `literal = attr` or
     * `attr IN (literals…)`, return (attribute name, literal values) —
     * the shape a secondary index can serve. Null literals are dropped
     * (`x = NULL` / `IN (NULL)` never select a row). */
   def eqInOnAttribute(c: Column): Option[(String, Seq[Any])] = {
-    def attr(n: ColumnNode): Option[String] = n match {
-      case a: UnresolvedAttribute => Some(a.nameParts.mkString("."))
-      case _ => None
-    }
-    def lit(n: ColumnNode): Option[Any] = n match {
-      case l: Literal => Some(l.value)
-      case _ => None
-    }
     c.node match {
       case f: UnresolvedFunction if f.functionName == "=" && f.arguments.size == 2 =>
         val Seq(x, y) = f.arguments
@@ -48,6 +49,23 @@ object ColumnBridge {
           val vs = f.arguments.tail.map(lit)
           if (vs.forall(_.isDefined)) Some((a, vs.flatten.filter(_ != null))) else None
         }
+      case _ => None
+    }
+  }
+
+  /** If the filter Column is a comparison `attr op literal` (either arg
+    * order), return (attribute name, op normalized to attr-on-the-left,
+    * literal value) — the shape an ORDERED secondary index can serve as a
+    * range read. Null literals disqualify (`x >= NULL` selects nothing a
+    * range read could improve on). */
+  def rangeOnAttribute(c: Column): Option[(String, String, Any)] = {
+    val flip = Map(">=" -> "<=", "<=" -> ">=", ">" -> "<", "<" -> ">")
+    c.node match {
+      case f: UnresolvedFunction if flip.contains(f.functionName) && f.arguments.size == 2 =>
+        val Seq(x, y) = f.arguments
+        attr(x).zip(lit(y)).map { case (a, v) => (a, f.functionName, v) }
+          .orElse(attr(y).zip(lit(x)).map { case (a, v) => (a, flip(f.functionName), v) })
+          .filter(_._3 != null)
       case _ => None
     }
   }

@@ -238,6 +238,14 @@ class PlanSpec extends SparkSpec {
       s"the equality must be served by the index, not a scan filter:\n${s.take(3000)}")
   }
 
+  test("range index selection reads the posting table, not the full log") {
+    val s = planString(run("q_query_indexed_range"))
+    // the user_id range was served by the posting read: the log scan
+    // carries the inlined seq-membership predicate (point-get path)
+    assert(s.contains("In(event_id"),
+      s"expected the inlined seq list pushed to the events scan:\n${s.take(3000)}")
+  }
+
   test("embedding near-dup joins on capped band keys, never the raw signature") {
     val df = graft.ops.Dedup.embeddingNearDup(
       spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding"),

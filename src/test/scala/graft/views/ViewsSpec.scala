@@ -163,6 +163,40 @@ class ViewsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq === Seq(0L))
   }
 
+  test("Query index selection: range conjuncts served as a posting range read") {
+    val (_, db) = db2()
+    db.use("byFoo", IndexView.onColumn("foo"))
+    append(db, (5L, "a"), (3L, "b"), (8L, "a"), (1L, "c"), (9L, "b"), (12L, "a"))
+    def key(r: Row) = (r.getLong(0), r.getLong(1))
+    // numeric range: string-keyed postings MUST be decoded, not compared
+    // lexically ("12" < "3" as strings, but 12 > 3 as longs)
+    val band = Query().where(col("foo") >= 3 && col("foo") < 9)
+      .select(col("seq"), col("foo")).orderBy(col("seq"))
+    assert(band.run(db).collect().map(key).toSeq === band.run(db.mapped).collect().map(key).toSeq)
+    val high = Query().where(col("foo") > 8).select(col("seq"), col("foo")).orderBy(col("seq"))
+    assert(high.run(db).collect().map(key).toSeq === high.run(db.mapped).collect().map(key).toSeq)
+    assert(high.run(db).collect().map(_.getLong(1)).toSet === Set(9L, 12L))
+    // flipped literal order (lit <= attr) and between (splits into >= + <=)
+    val flipped = Query().where(lit(9) <= col("foo")).select(col("foo"))
+    assert(flipped.run(db).collect().map(_.getLong(0)).toSet === Set(9L, 12L))
+    val btw = Query().where(col("foo").between(3, 8)).select(col("foo")).orderBy(col("foo"))
+    assert(btw.run(db).collect().map(_.getLong(0)).toSeq === Seq(3L, 5L, 8L))
+    // range + residual on another column, and the semi-join fallback
+    val mixed = Query().where(col("foo") >= 3 && col("tag") === "a")
+      .select(col("seq"), col("foo")).orderBy(col("seq"))
+    assert(mixed.run(db).collect().map(key).toSeq === mixed.run(db.mapped).collect().map(key).toSeq)
+    assert(mixed.run(db, maxInline = 1).collect().map(key).toSeq
+      === mixed.run(db.mapped).collect().map(key).toSeq)
+    // string-column range uses key order directly
+    val (_, dbs) = db2()
+    dbs.use("byTag", IndexView.onColumn("tag"))
+    append(dbs, (5L, "apple"), (3L, "pear"), (8L, "fig"), (1L, "zuc"))
+    val sRange = Query().where(col("tag") >= "fig" && col("tag") <= "pear").select(col("tag"))
+    assert(sRange.run(dbs).collect().map(_.getString(0)).toSet === Set("fig", "pear"))
+    // empty range → empty, not an error
+    assert(Query().where(col("foo") > 1000).run(db).collect().isEmpty)
+  }
+
   test("SQL surface: log and relational views queryable via spark.sql") {
     val (_, db) = db2()
     db.use("idx", IndexView(array(col("tag"))))
