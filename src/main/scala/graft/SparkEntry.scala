@@ -223,13 +223,17 @@ object SparkEntry {
   }
 
   // the PQ model (m x k x dim/m driver doubles) and the encoded code
-  // table, trained/written once per data dir — q_ann_pq serves ADC off
-  // the stored codes, touching full vectors only for the re-rank rows
+  // table, built/written once per data dir — q_ann_pq serves ADC off
+  // the stored codes, touching full vectors only for the re-rank rows.
+  // Seed codebooks (first-k subvectors, like the IVF seed centroids)
+  // keep the whole encode -> ADC -> re-rank chain DuckDB-replayable,
+  // converting both PQ queries from rows-only to hash-matched; the
+  // k-means-trained path stays covered by EmbeddingOpsSpec recall tests
   private val pqModels = scala.collection.concurrent.TrieMap.empty[String, (SparkSession, graft.ops.Pq.Model, String)]
   private def storedPqIndex(s: SparkSession, dir: String): (graft.ops.Pq.Model, DataFrame) = {
     def build(): (SparkSession, graft.ops.Pq.Model, String) = {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val model = graft.ops.Pq.train(emb, m = 8, k = 16, iters = 5)
+      val model = graft.ops.Pq.seedModel(emb, m = 8, k = 16)
       val tmp = java.nio.file.Files.createTempDirectory("graftpqcodes").toString
       graft.ops.Pq.encode(emb, model).write.mode("overwrite").parquet(tmp)
       (s, model, tmp)
@@ -254,7 +258,7 @@ object SparkEntry {
   private def storedIvfPqIndex(s: SparkSession, dir: String): (graft.ops.Pq.Model, Array[(Long, Seq[Float])], DataFrame) = {
     def build(): (SparkSession, graft.ops.Pq.Model, Array[(Long, Seq[Float])], String) = {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val model = graft.ops.Pq.train(emb, m = 8, k = 16, iters = 5)
+      val model = graft.ops.Pq.seedModel(emb, m = 8, k = 16)
       val cents = graft.ops.Similarity.seedCentroids(emb, nCentroids = 16)
       val tmp = java.nio.file.Files.createTempDirectory("graftivfpq").toString
       graft.ops.Pq.encodeWithCells(emb, model, cents)
@@ -588,6 +592,19 @@ object SparkEntry {
       val db = eventsDb(s, dir).use("byTypeIdx", IndexView.onColumn("event_type", "event_id"))
       Query()
         .where(col("event_type") === "purchase" && col("value") > 50)
+        .select(col("event_id").as("seq"), col("user_id"), round(col("value"), 4).as("value_r"))
+        .orderBy(col("value_r").desc, col("seq"))
+        .limit(100)
+        .run(db)
+    }),
+    "q_query_indexed_range" -> ((s, dir) => {
+      // range-predicate index selection: >=/< conjuncts on the indexed
+      // column become a range read of the (key, seq) posting table — the
+      // reference's level views are ordered, so range reads are native to
+      // its index family (README.md:93); value > 50 stays residual
+      val db = eventsDb(s, dir).use("byUserIdx", IndexView.onColumn("user_id", "event_id"))
+      Query()
+        .where(col("user_id") >= 3 && col("user_id") < 9 && col("value") > 50)
         .select(col("event_id").as("seq"), col("user_id"), round(col("value"), 4).as("value_r"))
         .orderBy(col("value_r").desc, col("seq"))
         .limit(100)
@@ -1803,6 +1820,8 @@ object SparkEntry {
       // identical answer to the unindexed form — index selection is a
       // physical rewrite, never a semantic one
       "SELECT event_id AS seq, user_id, round(value, 4) AS value_r FROM events WHERE event_type = 'purchase' AND value > 50 ORDER BY value_r DESC, seq LIMIT 100",
+    "q_query_indexed_range" ->
+      "SELECT event_id AS seq, user_id, round(value, 4) AS value_r FROM events WHERE user_id >= 3 AND user_id < 9 AND value > 50 ORDER BY value_r DESC, seq LIMIT 100",
     "q_search_term" ->
       "SELECT doc_id AS seq FROM documents WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'spark') ORDER BY seq",
     "q_search_phrase" ->
@@ -1908,6 +1927,39 @@ object SparkEntry {
         "SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)::DOUBLE[]), 4) AS cos " +
         "FROM assign WHERE cell IN (SELECT cid FROM probe) AND vec_id <> 0 " +
         "ORDER BY cos DESC, vec_id LIMIT 10"),
+    // PQ replay: the seed codebooks (first-16 subvectors, cid = id rank)
+    // make encode -> ADC -> shortlist -> exact re-rank fully
+    // deterministic SQL; arithmetic mirrors the Spark side op-for-op
+    // (L2^2 sums in subspace order, shortlist tie-break (adist, vec_id))
+    "q_ann_pq" ->
+      ("WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "q AS (SELECT v AS qv FROM emb WHERE vec_id = 0), " +
+        "seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16)), " +
+        "seedsub AS (SELECT cid, j, v[j*8+1 : (j+1)*8] AS cv FROM seeds, range(8) t(j)), " +
+        "qsub AS (SELECT j, qv[j*8+1 : (j+1)*8] AS qs FROM q, range(8) t(j)), " +
+        "qdist AS (SELECT s.j, s.cid, list_sum(list_transform(list_zip(q2.qs, s.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d FROM seedsub s JOIN qsub q2 ON s.j = q2.j), " +
+        "sub AS (SELECT vec_id, j, v[j*8+1 : (j+1)*8] AS sv FROM emb, range(8) t(j)), " +
+        "codes AS (SELECT vec_id, j, (SELECT cid FROM seedsub ss WHERE ss.j = sub.j ORDER BY list_sum(list_transform(list_zip(sub.sv, ss.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), cid LIMIT 1) AS cid FROM sub), " +
+        "adc AS (SELECT c.vec_id, list_sum(list(d.d ORDER BY c.j)) AS adist FROM codes c JOIN qdist d ON c.j = d.j AND c.cid = d.cid WHERE c.vec_id <> 0 GROUP BY c.vec_id), " +
+        "short AS (SELECT vec_id FROM adc ORDER BY adist, vec_id LIMIT 50) " +
+        "SELECT e.vec_id, round(list_cosine_similarity(e.v, (SELECT qv FROM q)), 4) AS cos " +
+        "FROM emb e JOIN short USING (vec_id) ORDER BY cos DESC, e.vec_id LIMIT 10"),
+    "q_ann_ivfpq" ->
+      ("WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "q AS (SELECT v AS qv FROM emb WHERE vec_id = 0), " +
+        "cents AS (SELECT vec_id AS ccid, v AS cvec FROM emb ORDER BY vec_id LIMIT 16), " +
+        "probe AS (SELECT ccid FROM cents, q ORDER BY list_cosine_similarity(cvec, qv) DESC, ccid LIMIT 4), " +
+        "assign AS (SELECT e.vec_id, (SELECT ccid FROM cents c ORDER BY list_cosine_similarity(c.cvec, e.v) DESC, ccid DESC LIMIT 1) AS cell FROM emb e), " +
+        "seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16)), " +
+        "seedsub AS (SELECT cid, j, v[j*8+1 : (j+1)*8] AS cv FROM seeds, range(8) t(j)), " +
+        "qsub AS (SELECT j, qv[j*8+1 : (j+1)*8] AS qs FROM q, range(8) t(j)), " +
+        "qdist AS (SELECT s.j, s.cid, list_sum(list_transform(list_zip(q2.qs, s.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d FROM seedsub s JOIN qsub q2 ON s.j = q2.j), " +
+        "sub AS (SELECT vec_id, j, v[j*8+1 : (j+1)*8] AS sv FROM emb, range(8) t(j) WHERE vec_id IN (SELECT a.vec_id FROM assign a WHERE a.cell IN (SELECT ccid FROM probe))), " +
+        "codes AS (SELECT vec_id, j, (SELECT cid FROM seedsub ss WHERE ss.j = sub.j ORDER BY list_sum(list_transform(list_zip(sub.sv, ss.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), cid LIMIT 1) AS cid FROM sub), " +
+        "adc AS (SELECT c.vec_id, list_sum(list(d.d ORDER BY c.j)) AS adist FROM codes c JOIN qdist d ON c.j = d.j AND c.cid = d.cid WHERE c.vec_id <> 0 GROUP BY c.vec_id), " +
+        "short AS (SELECT vec_id FROM adc ORDER BY adist, vec_id LIMIT 50) " +
+        "SELECT e.vec_id, round(list_cosine_similarity(e.v, (SELECT qv FROM q)), 4) AS cos " +
+        "FROM emb e JOIN short USING (vec_id) ORDER BY cos DESC, e.vec_id LIMIT 10"),
     "q_dedup_ngram" ->
       ("WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, regexp_replace(text, '^\\S+\\s+', '') FROM documents), " +
         "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM corpus), " +

@@ -60,6 +60,33 @@ object Pq {
     Model(m, subDim, books)
   }
 
+  /** Deterministic, externally replayable codebooks: subspace `mi`'s `k`
+    * codewords are the sub-vectors of the first `k` corpus vectors by id
+    * (`cid` = rank in id order) — the PQ analog of
+    * [[Similarity.seedCentroids]]. Recall trails [[train]]'s k-means
+    * books, but the encode → ADC → re-rank pipeline and its cost shape
+    * are identical, and the whole search becomes replayable by an
+    * external oracle with no trained state. */
+  def seedModel(
+      corpus: DataFrame,
+      m: Int = 8,
+      k: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Model = {
+    val rows = corpus.orderBy(col(idCol)).limit(k)
+      .select(transform(col(vecCol), _.cast("double")))
+      .collect().map(_.getAs[scala.collection.Seq[Double]](0).toSeq)
+    val dim = rows.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val books = (0 until m).map { mi =>
+      rows.zipWithIndex.map { case (v, i) =>
+        (i, v.slice(mi * subDim, (mi + 1) * subDim))
+      }.toSeq
+    }
+    Model(m, subDim, books)
+  }
+
   /** Per-subspace argmin code struct — the [[KMeans]] `nearest` shape. */
   private def subCode(sub: Column, book: Seq[(Int, Seq[Double])]): Column = {
     val carr = array(book.map { case (cid, cv) =>

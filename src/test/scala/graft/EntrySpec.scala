@@ -30,11 +30,19 @@ class EntrySpec extends SparkSpec {
       BooleanType, ByteType, ShortType, IntegerType, LongType,
       FloatType, DoubleType, StringType, BinaryType, DateType, TimestampType)
     val dir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (name, fn) =>
-      fn(spark, dir).schema.fields.foreach { f =>
-        assert(sortable.contains(f.dataType) || f.dataType.isInstanceOf[DecimalType],
-          s"$name column '${f.name}' is not a known-sortable scalar: ${f.dataType.simpleString}")
+    // Accumulate across queries: a single bad query (or one that fails
+    // analysis) reports by name instead of aborting the sweep at the first
+    // exception. DataContractSpec owns the analyzes-at-all check.
+    val problems = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        fn(spark, dir).schema.fields.collect {
+          case f if !sortable.contains(f.dataType) && !f.dataType.isInstanceOf[DecimalType] =>
+            s"$name column '${f.name}' is not a known-sortable scalar: ${f.dataType.simpleString}"
+        }
+      } catch { case e: Exception =>
+        Seq(s"$name fails analysis: ${e.getMessage.linesIterator.take(1).mkString}")
       }
     }
+    assert(problems.isEmpty, problems.mkString("\n"))
   }
 }

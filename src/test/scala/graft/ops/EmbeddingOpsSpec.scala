@@ -164,6 +164,30 @@ class EmbeddingOpsSpec extends SparkSpec {
     }
   }
 
+  test("pq seed model: codebooks are the first-k subvectors by id, search stays recall-sane") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Pq.seedModel(emb, m = 8, k = 16)
+    assert(model.m == 8 && model.subDim == 8 && model.codebooks.forall(_.length == 16))
+    // codebook mi, cid c == subvector mi of the (c+1)-th vector by id
+    val firstK = emb.orderBy("vec_id").limit(16).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toSeq)
+    (0 until 8).foreach { mi =>
+      model.codebooks(mi).foreach { case (cid, cv) =>
+        assert(cv == firstK(cid).slice(mi * 8, mi * 8 + 8), s"book $mi cid $cid")
+      }
+    }
+    val query = emb.where(col("vec_id") === 0L).head()
+      .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val codes = Pq.encode(emb, model)
+    // with rerank >= corpus the seed quantization cannot lose anything
+    val n = emb.count().toInt
+    val full = Pq.search(codes, emb, model, query, k = 10, rerank = n, excludeId = Some(0L))
+      .collect().map(_.getLong(0))
+    val exact = Similarity.knnForVector(emb, query, 10, excludeId = Some(0L))
+      .collect().map(_.getLong(0))
+    assert(full.toSeq == exact.toSeq)
+  }
+
   test("pq recall on the real corpus: top-10 after re-rank-50 covers the exact top-10") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val query = emb.where(col("vec_id") === 0L).head()
