@@ -573,6 +573,31 @@ object SparkEntry {
       val db = eventsDb(s, dir).use("byType", IndexView(array(col("event_type")), "event_id"))
       db.gated("byType")(_.asInstanceOf[IndexView].get("click"))
     }),
+    "q_index_compacted" -> ((s, dir) => {
+      // durable index absorbed in two deltas then compacted to one base
+      // (the LSM level-merge keeping a 100 TB delta chain off the
+      // small-files wall) — reads over the base must equal the chain
+      val tmp = java.nio.file.Files.createTempDirectory("graftcidx").toString
+      val v = new graft.views.PersistentIndexView(s, s"$tmp/idx", 1,
+        array(col("event_type")), "event_id")
+      val ev = t(s, dir, "events").select("event_type", "event_id")
+      v.absorb(ev.where(col("event_id") < 500), 1L)
+      v.absorb(ev.where(col("event_id") >= 500), 2L)
+      v.compact()
+      v.frame.orderBy("key", "seq")
+    }),
+    "q_index_asof" -> ((s, dir) => {
+      // snapshot read: postings as of the first absorbed delta — flume's
+      // log-centric determinism (state at cursor N is a pure function of
+      // entries ≤ N) surfaced as time travel over the delta store
+      val tmp = java.nio.file.Files.createTempDirectory("graftaidx").toString
+      val v = new graft.views.PersistentIndexView(s, s"$tmp/idx", 1,
+        array(col("event_type")), "event_id")
+      val ev = t(s, dir, "events").select("event_type", "event_id")
+      v.absorb(ev.where(col("event_id") < 500), 1L)
+      v.absorb(ev.where(col("event_id") >= 500), 2L)
+      v.frameAsOf(1L).orderBy("key", "seq")
+    }),
     "q_index_multikey" -> ((s, dir) => {
       val db = eventsDb(s, dir).use("multi",
         IndexView(array(col("event_type"), concat(lit("u:"), col("user_id").cast("string"))), "event_id"))
@@ -1814,6 +1839,11 @@ object SparkEntry {
       "SELECT event_type AS key, event_id AS seq FROM events WHERE event_type = 'click' ORDER BY seq",
     "q_index_multikey" ->
       "SELECT key, seq FROM (SELECT event_type AS key, event_id AS seq FROM events UNION ALL SELECT 'u:' || CAST(user_id AS VARCHAR), event_id FROM events) ORDER BY key, seq",
+    "q_index_compacted" ->
+      // compaction is a physical rewrite: identical postings to a plain scan
+      "SELECT event_type AS key, event_id AS seq FROM events ORDER BY key, seq",
+    "q_index_asof" ->
+      "SELECT event_type AS key, event_id AS seq FROM events WHERE event_id < 500 ORDER BY key, seq",
     "q_query_filter_project" ->
       "SELECT event_id AS seq, user_id, round(value, 4) AS value_r FROM events WHERE event_type = 'purchase' AND value > 50 ORDER BY value_r DESC, seq LIMIT 100",
     "q_query_indexed" ->

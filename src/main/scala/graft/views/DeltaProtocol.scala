@@ -1,5 +1,7 @@
 package graft.views
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 import java.nio.file.{Files, Path, Paths}
 
 /** The ONE copy of the durable-view delta-store protocol shared by
@@ -40,6 +42,33 @@ private[views] trait DeltaProtocol {
       case None                                 => ()
     }
     pruneOrphans()
+    recoverCompact()
+  }
+
+  protected def compactTmp: Path = root.resolve("compact.tmp")
+  protected def compactMarker: Path = root.resolve("compact.cursor")
+
+  /** Compaction crash recovery (no-op for views that never compact):
+    * once the cursor marker exists, `compact.tmp` is the COMPLETE merge
+    * of all committed deltas at the (unchanged) manifest cursor — the
+    * delta deletes may have stopped anywhere, leaving a PARTIAL delta
+    * set that would silently lose rows if read. Adopt the tmp in every
+    * such interleaving: delete whatever deltas remain, move tmp in.
+    * Without the marker (death mid-write of tmp, or a tmp whose cursor
+    * has since moved on) tmp is garbage: leave the intact deltas and
+    * let the next compact() clear it. Pure filesystem — shared by every
+    * delta-store view regardless of its data plane. */
+  private def recoverCompact(): Unit = {
+    val markerCursor =
+      if (Files.exists(compactMarker))
+        scala.util.Try(Files.readString(compactMarker).trim.toLong).toOption
+      else None
+    if (sinceSeq >= 0 && markerCursor.contains(sinceSeq) &&
+        Files.exists(compactTmp.resolve("_SUCCESS"))) {
+      committedBatchDirs().foreach(p => FsLists.walkDeepestFirst(p).foreach(Files.delete))
+      Files.move(compactTmp, batchPath(sinceSeq))
+      Files.delete(compactMarker)
+    } else if (markerCursor.isDefined) Files.delete(compactMarker)
   }
 
   protected def readManifest(): Option[(Int, Long)] =
@@ -55,7 +84,7 @@ private[views] trait DeltaProtocol {
 
   protected def batchPath(upto: Long): Path = root.resolve(s"batch=$upto")
 
-  private def batchUpto(p: Path): Long =
+  protected def batchUpto(p: Path): Long =
     p.getFileName.toString.stripPrefix("batch=").toLong
 
   protected def allBatchDirs(): Seq[Path] =
@@ -76,5 +105,65 @@ private[views] trait DeltaProtocol {
     if (Files.isDirectory(root)) {
       FsLists.walkDeepestFirst(root).filterNot(_ == root).foreach(Files.delete)
     }
+  }
+}
+
+/** Shared compaction + snapshot reads for [[DeltaProtocol]] views whose
+  * deltas are parquet directories. After thousands of absorbed batches
+  * the delta chain is the classic small-files death at 100 TB — every
+  * read lists and opens every `batch=` dir. [[compact]] collapses all
+  * committed deltas into ONE base delta at the current cursor (the LSM
+  * level-merge / compacted-changelog rewrite), crash-safe in every
+  * window via the write-tmp → marker-commit → delete-deltas → move
+  * protocol recovered by [[DeltaProtocol.openProtocol]]: readers always
+  * see either the full delta chain or the full base, never a partial
+  * set.
+  *
+  * [[frameAsOf]] is the dual: a snapshot read over the deltas that
+  * existed at an earlier cursor — log-centric time travel at
+  * absorbed-batch granularity. Compaction folds history into the base,
+  * so the travel window is the uncompacted delta chain: the same trade
+  * a compacted changelog topic makes. */
+private[views] trait CompactableDeltas extends DeltaProtocol {
+  protected def spark: SparkSession
+
+  /** Reader-visible fold of the unioned delta rows: identity for
+    * append-only views (index postings, signature rows); overridden
+    * where reads fold (hashtable's latest-per-key). */
+  protected def mergeDeltas(union: DataFrame): DataFrame = union
+
+  /** Read a set of delta dirs as one frame (IVF overrides to keep its
+    * partition-column discovery). */
+  protected def readDeltas(dirs: Seq[Path]): DataFrame =
+    spark.read.parquet(dirs.map(_.toString): _*)
+
+  /** Write the merged base delta (IVF overrides to keep its cell
+    * partitioning). */
+  protected def writeMerged(df: DataFrame, path: Path): Unit =
+    df.write.parquet(path.toString)
+
+  /** Snapshot read: the view content as of the absorbed batch whose
+    * `upto ≤ seq`. */
+  def frameAsOf(seq: Long): DataFrame = {
+    val dirs = committedBatchDirs().filter(batchUpto(_) <= seq)
+    if (dirs.isEmpty)
+      throw new IllegalStateException(s"no committed batch at or before seq=$seq (compacted or empty)")
+    mergeDeltas(readDeltas(dirs))
+  }
+
+  /** Collapse all committed deltas into one base delta at the current
+    * cursor. The manifest cursor never moves; a death after the marker
+    * lands is recovered at open by adopting the complete tmp, a death
+    * before it leaves every delta intact. */
+  def compact(): Unit = {
+    val dirs = committedBatchDirs()
+    if (dirs.size <= 1) return
+    if (Files.exists(compactMarker)) Files.delete(compactMarker)
+    if (Files.exists(compactTmp)) FsLists.walkDeepestFirst(compactTmp).foreach(Files.delete)
+    writeMerged(mergeDeltas(readDeltas(dirs)), compactTmp)
+    Files.writeString(compactMarker, sinceSeq.toString) // tmp is now the commit point
+    dirs.foreach(p => FsLists.walkDeepestFirst(p).foreach(Files.delete))
+    Files.move(compactTmp, batchPath(sinceSeq))
+    Files.delete(compactMarker)
   }
 }

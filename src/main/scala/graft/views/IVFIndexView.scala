@@ -23,12 +23,12 @@ import java.nio.file.{Files, Path}
   *    stored via the shared [[DeltaProtocol]] crash discipline.
   */
 final class IVFIndexView(
-    spark: SparkSession,
+    protected val spark: SparkSession,
     protected val dir: String,
     protected val protocolVersion: Int,
     idCol: String,
     vecCol: String,
-    nCentroids: Int) extends FlumeView with DeltaProtocol {
+    nCentroids: Int) extends FlumeView with CompactableDeltas {
 
   private val centroidsDir: Path = root.resolve("centroids")
   @volatile private var cents: Option[Array[(Long, Seq[Float])]] = None
@@ -97,6 +97,19 @@ final class IVFIndexView(
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
+
+  /** Delta reads keep `cell` (and `batch`) as discovered partition
+    * columns so filters on them stay directory pruning. */
+  override protected def readDeltas(dirs: Seq[java.nio.file.Path]): DataFrame =
+    spark.read.option("basePath", root.toString).parquet(dirs.map(_.toString): _*)
+
+  /** The compacted base keeps the per-cell layout (one dir per cell, so
+    * probes prune the base exactly like they pruned the deltas); the
+    * discovered `batch` column is dropped — the base carries the cursor
+    * in its own `batch=<cursor>` dir name. */
+  override protected def writeMerged(df: DataFrame, path: java.nio.file.Path): Unit =
+    df.drop("batch").repartition(col("cell"))
+      .write.partitionBy("cell").parquet(path.toString)
 
   override def destroy(): Unit = {
     cents = None

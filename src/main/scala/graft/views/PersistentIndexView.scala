@@ -24,12 +24,12 @@ import org.apache.spark.sql.functions._
   * storage; the manifest is the tiny driver-side commit record.
   */
 final class PersistentIndexView(
-    spark: SparkSession,
+    protected val spark: SparkSession,
     protected val dir: String,
     protected val protocolVersion: Int,
     keys: Column,
     seqCol: String,
-    val indexedColumn: Option[String] = None) extends FlumeView with DeltaProtocol {
+    val indexedColumn: Option[String] = None) extends FlumeView with CompactableDeltas {
 
   openProtocol()
 

@@ -22,12 +22,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * contract.
   */
 final class SignatureTableView(
-    spark: SparkSession,
+    protected val spark: SparkSession,
     protected val dir: String,
     protected val protocolVersion: Int,
     idCol: String,
     textCol: String,
-    perms: Int = 64) extends FlumeView with DeltaProtocol {
+    perms: Int = 64) extends FlumeView with CompactableDeltas {
 
   openProtocol()
 

@@ -290,6 +290,82 @@ class PersistenceSpec extends SparkSpec {
     assert(v2.frame.where(col("key") === "x").count() === 1L, "no duplicated entries after recovery")
   }
 
+  test("index and signature views share the compaction protocol: one base delta, reads unchanged") {
+    // index view: 3 absorbed batches -> compact -> single base dir,
+    // postings and snapshot reads identical
+    val viewDir = Files.createTempDirectory("graft-cmpidx").toString
+    val v = new PersistentIndexView(spark, s"$viewDir/idx", 1, array(col("tag")), "seq")
+    val s2 = StructType(Seq(StructField("tag", StringType), StructField("seq", LongType)))
+    def rows(rs: (String, Long)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rs.map { case (t, s) => Row(t, s) }), s2)
+    v.absorb(rows("a" -> 0L, "b" -> 1L), 1L)
+    v.absorb(rows("a" -> 2L), 2L)
+    v.absorb(rows("c" -> 3L), 3L)
+    val before = v.frame.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val snapBefore = v.frameAsOf(2L).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(snapBefore === Set("a" -> 0L, "b" -> 1L, "a" -> 2L),
+      "snapshot read stops at the cursor's delta chain")
+    v.compact()
+    val dirs = new java.io.File(s"$viewDir/idx").listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).sorted
+    assert(dirs.toSeq === Seq("batch=3"), s"expected one base delta, got ${dirs.toSeq}")
+    assert(v.frame.collect().map(r => (r.getString(0), r.getLong(1))).toSet === before)
+    assert(v.get("a").collect().map(_.getLong(1)).toSeq === Seq(0L, 2L))
+    intercept[IllegalStateException](v.frameAsOf(2L)) // history folded into the base
+
+    // reopen after compaction: cursor intact, base served
+    val v2 = new PersistentIndexView(spark, s"$viewDir/idx", 1, array(col("tag")), "seq")
+    assert(v2.since === 3L)
+    assert(v2.frame.collect().map(r => (r.getString(0), r.getLong(1))).toSet === before)
+
+    // signature table: same protocol through the shared trait
+    val sigDir = Files.createTempDirectory("graft-cmpsig").toString
+    val sv = new SignatureTableView(spark, s"$sigDir/sig", 1, "doc_id", "text")
+    val ds = StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType)))
+    def docs(rs: (Long, String)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rs.map { case (i, t) => Row(i, t) }), ds)
+    sv.absorb(docs(1L -> "alpha beta gamma delta", 2L -> "one two three four"), 1L)
+    sv.absorb(docs(3L -> "alpha beta gamma delta"), 2L)
+    val sigsBefore = sv.sigs.select("id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    sv.compact()
+    val sigDirs = new java.io.File(s"$sigDir/sig").listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).sorted
+    assert(sigDirs.toSeq === Seq("batch=2"))
+    val sigsAfter = sv.sigs.select("id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigsAfter === sigsBefore, "compaction must not change a single signature")
+  }
+
+  test("IVF compaction keeps the per-cell layout: probes still prune the compacted base") {
+    val viewDir = Files.createTempDirectory("graft-cmpivf").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val v = new IVFIndexView(spark, s"$viewDir/ivf", 1, "vec_id", "embedding", 4)
+    val (lo, hi) = (emb.where(col("vec_id") < 250), emb.where(col("vec_id") >= 250))
+    v.absorb(lo, 1L)
+    v.absorb(hi, 2L)
+    val query = emb.where(col("vec_id") === 0L).head()
+      .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val before = v.search(query, 10, nProbe = 2, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    v.compact()
+    val dirs = new java.io.File(s"$viewDir/ivf").listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).sorted
+    assert(dirs.toSeq === Seq("batch=2"), s"expected one base delta, got ${dirs.toSeq}")
+    val cellDirs = new java.io.File(s"$viewDir/ivf/batch=2").listFiles().map(_.getName)
+      .filter(_.startsWith("cell="))
+    assert(cellDirs.length >= 2, "base must keep one directory per cell")
+    assert(v.search(query, 10, nProbe = 2, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === before,
+      "search over the compacted base must be identical")
+    // probing still prunes at plan time over the base
+    val probeFrame = v.frame
+    val probed = v.frame.where(col("cell").isin(0L, 1L))
+    val (total, read) = graft.sources.Layout.pruningCounts(probeFrame, probed)
+    assert(read < total, s"probe must prune cell dirs after compaction: read $read of $total")
+  }
+
   test("log method passthrough with collision protection (index.js:270-283)") {
     val log = new MemoryLog(spark, schema) {
       override def methods: Map[String, Seq[Any] => Any] =
