@@ -142,6 +142,16 @@ private[views] trait CompactableDeltas extends DeltaProtocol {
   protected def writeMerged(df: DataFrame, path: Path): Unit =
     df.write.parquet(path.toString)
 
+  /** When > 0, absorb paths call [[maybeCompact]] after committing each
+    * delta, collapsing the chain whenever the committed delta count
+    * reaches this bound — the small-files ceiling enforced inline, with
+    * no external compaction job to schedule (deployments that want a
+    * separate job leave this 0 and call [[compact]] themselves). */
+  protected def autoCompactEvery: Int = 0
+
+  protected def maybeCompact(): Unit =
+    if (autoCompactEvery > 0 && committedBatchDirs().size >= autoCompactEvery) compact()
+
   /** Snapshot read: the view content as of the absorbed batch whose
     * `upto ≤ seq`. */
   def frameAsOf(seq: Long): DataFrame = {

@@ -28,7 +28,10 @@ final class IVFIndexView(
     protected val protocolVersion: Int,
     idCol: String,
     vecCol: String,
-    nCentroids: Int) extends FlumeView with CompactableDeltas {
+    nCentroids: Int,
+    compactEvery: Int = 0) extends FlumeView with CompactableDeltas {
+
+  override protected def autoCompactEvery: Int = compactEvery
 
   private val centroidsDir: Path = root.resolve("centroids")
   @volatile private var cents: Option[Array[(Long, Seq[Float])]] = None
@@ -70,6 +73,7 @@ final class IVFIndexView(
       .parquet(batchPath(upto).toString)
     sinceSeq = upto
     writeManifest() // delta is durable before the cursor moves
+    maybeCompact()
   }
 
   /** The stored index, with `cell` as a partition column — a filter on
@@ -119,12 +123,12 @@ final class IVFIndexView(
 
 object IVFIndexView {
   def apply(dir: String, idCol: String = "vec_id", vecCol: String = "embedding",
-      nCentroids: Int = 16, version: Int = 1): ViewDef = {
+      nCentroids: Int = 16, version: Int = 1, compactEvery: Int = 0): ViewDef = {
     val v = version
     new ViewDef {
       def version: Int = v
       def create(db: FlumeDb, name: String) =
-        new IVFIndexView(db.log.spark, s"$dir/$name", v, idCol, vecCol, nCentroids)
+        new IVFIndexView(db.log.spark, s"$dir/$name", v, idCol, vecCol, nCentroids, compactEvery)
     }
   }
 }

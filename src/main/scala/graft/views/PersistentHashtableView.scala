@@ -21,7 +21,10 @@ final class PersistentHashtableView(
     protected val dir: String,
     protected val protocolVersion: Int,
     keyCol: String,
-    seqCol: String) extends FlumeView with CompactableDeltas {
+    seqCol: String,
+    compactEvery: Int = 0) extends FlumeView with CompactableDeltas {
+
+  override protected def autoCompactEvery: Int = compactEvery
 
   openProtocol() // includes compact crash recovery (see DeltaProtocol)
 
@@ -40,6 +43,7 @@ final class PersistentHashtableView(
       .write.mode("overwrite").parquet(batchPath(upto).toString)
     sinceSeq = upto
     writeManifest() // delta durable before the cursor moves
+    maybeCompact()
   }
 
   /** Merged view of all committed deltas (the LSM read path). */
@@ -56,12 +60,12 @@ final class PersistentHashtableView(
 }
 
 object PersistentHashtableView {
-  def apply(dir: String, keyCol: String, seqCol: String = "seq", version: Int = 1): ViewDef = {
+  def apply(dir: String, keyCol: String, seqCol: String = "seq", version: Int = 1, compactEvery: Int = 0): ViewDef = {
     val v = version
     new ViewDef {
       def version: Int = v
       def create(db: FlumeDb, name: String) =
-        new PersistentHashtableView(db.log.spark, s"$dir/$name", v, keyCol, seqCol)
+        new PersistentHashtableView(db.log.spark, s"$dir/$name", v, keyCol, seqCol, compactEvery)
     }
   }
 }

@@ -29,7 +29,10 @@ final class PersistentIndexView(
     protected val protocolVersion: Int,
     keys: Column,
     seqCol: String,
-    val indexedColumn: Option[String] = None) extends FlumeView with CompactableDeltas {
+    val indexedColumn: Option[String] = None,
+    compactEvery: Int = 0) extends FlumeView with CompactableDeltas {
+
+  override protected def autoCompactEvery: Int = compactEvery
 
   openProtocol()
 
@@ -38,6 +41,7 @@ final class PersistentIndexView(
       .write.mode("overwrite").parquet(batchPath(upto).toString)
     sinceSeq = upto
     writeManifest() // delta is durable before the cursor moves
+    maybeCompact()
   }
 
   def frame: DataFrame = {
@@ -57,24 +61,24 @@ final class PersistentIndexView(
 }
 
 object PersistentIndexView {
-  def apply(dir: String, keys: Column, seqCol: String = "seq", version: Int = 1): ViewDef = {
+  def apply(dir: String, keys: Column, seqCol: String = "seq", version: Int = 1, compactEvery: Int = 0): ViewDef = {
     val v = version
     new ViewDef {
       def version: Int = v
       def create(db: FlumeDb, name: String) =
-        new PersistentIndexView(db.log.spark, s"$dir/$name", v, keys, seqCol)
+        new PersistentIndexView(db.log.spark, s"$dir/$name", v, keys, seqCol, compactEvery = compactEvery)
     }
   }
 
   /** Durable single-column equality index, eligible for [[Query]] index
     * selection (see [[IndexView.onColumn]]). */
-  def onColumn(dir: String, column: String, seqCol: String = "seq", version: Int = 1): ViewDef = {
+  def onColumn(dir: String, column: String, seqCol: String = "seq", version: Int = 1, compactEvery: Int = 0): ViewDef = {
     val v = version
     new ViewDef {
       def version: Int = v
       def create(db: FlumeDb, name: String) =
         new PersistentIndexView(db.log.spark, s"$dir/$name", v,
-          array(col(column).cast("string")), seqCol, Some(column))
+          array(col(column).cast("string")), seqCol, Some(column), compactEvery = compactEvery)
     }
   }
 }

@@ -27,7 +27,10 @@ final class SignatureTableView(
     protected val protocolVersion: Int,
     idCol: String,
     textCol: String,
-    perms: Int = 64) extends FlumeView with CompactableDeltas {
+    perms: Int = 64,
+    compactEvery: Int = 0) extends FlumeView with CompactableDeltas {
+
+  override protected def autoCompactEvery: Int = compactEvery
 
   openProtocol()
 
@@ -36,6 +39,7 @@ final class SignatureTableView(
       .write.mode("overwrite").parquet(batchPath(upto).toString)
     sinceSeq = upto
     writeManifest()
+    maybeCompact()
   }
 
   /** The accumulated `(id, hs, sig)` table — feed to
@@ -52,12 +56,12 @@ final class SignatureTableView(
 
 object SignatureTableView {
   def apply(dir: String, idCol: String = "doc_id", textCol: String = "text",
-      perms: Int = 64, version: Int = 1): ViewDef = {
+      perms: Int = 64, version: Int = 1, compactEvery: Int = 0): ViewDef = {
     val v = version
     new ViewDef {
       def version: Int = v
       def create(db: FlumeDb, name: String) =
-        new SignatureTableView(db.log.spark, s"$dir/$name", v, idCol, textCol, perms)
+        new SignatureTableView(db.log.spark, s"$dir/$name", v, idCol, textCol, perms, compactEvery)
     }
   }
 }

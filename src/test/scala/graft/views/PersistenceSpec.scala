@@ -337,6 +337,26 @@ class PersistenceSpec extends SparkSpec {
     assert(sigsAfter === sigsBefore, "compaction must not change a single signature")
   }
 
+  test("auto-compaction bounds the delta chain: compactEvery collapses inline during absorbs") {
+    val viewDir = Files.createTempDirectory("graft-autocmp").toString
+    val v = new PersistentIndexView(spark, s"$viewDir/idx", 1, array(col("tag")), "seq",
+      compactEvery = 3)
+    val s2 = StructType(Seq(StructField("tag", StringType), StructField("seq", LongType)))
+    def rows(rs: (String, Long)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rs.map { case (t, s) => Row(t, s) }), s2)
+    def deltaCount = new java.io.File(s"$viewDir/idx").listFiles()
+      .map(_.getName).count(_.startsWith("batch="))
+    (1 to 7).foreach { i => v.absorb(rows(s"t$i" -> i.toLong), i.toLong) }
+    // every absorb that reaches 3 committed deltas collapses them, so the
+    // chain never exceeds the bound
+    assert(deltaCount <= 3, s"auto-compaction must bound the chain, got $deltaCount dirs")
+    assert(v.since === 7L)
+    assert(v.frame.count() === 7L, "no rows lost across inline compactions")
+    (1 to 7).foreach { i =>
+      assert(v.get(s"t$i").collect().map(_.getLong(1)).toSeq === Seq(i.toLong))
+    }
+  }
+
   test("IVF compaction keeps the per-cell layout: probes still prune the compacted base") {
     val viewDir = Files.createTempDirectory("graft-cmpivf").toString
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
