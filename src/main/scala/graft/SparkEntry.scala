@@ -1274,6 +1274,35 @@ object SparkEntry {
         .agg(round(expr("percentile(value, 0.5D)"), 4).as("p50"),
           round(expr("percentile(value, 0.9D)"), 4).as("p90"))
         .orderBy("event_type")),
+    "q_stream_curate" -> ((s, dir) => {
+      // continuous curation: originals stream in as batch 1, perturbed
+      // copies as batch 2 — batch 2 near-dedups against the STORED
+      // signature table of batch 1's survivors (cost ∝ batch, never
+      // corpus). Unlike q_pipeline_curate's one-pot semantics, kept =
+      // phase-1 survivors ∪ phase-2 survivors-vs-(batch ∪ stored).
+      def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+      val docSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+      val srcLog = new ParquetLog(s, tmp("graftscur-src"), docSchema)
+      val curLog = new ParquetLog(s, tmp("graftscur-dst"), docSchema)
+      val sigView = new graft.views.SignatureTableView(s, s"${tmp("graftscur-sig")}/s", 1, "doc_id", "text")
+      val commit = java.nio.file.Paths.get(tmp("graftscur-c"), "_mark").toString
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      srcLog.append(docs)
+      val cur = new graft.streaming.StreamingCurator(srcLog, curLog, sigView, commit)
+      try {
+        cur.awaitParity()
+        srcLog.append(docs.select((col("doc_id") + 10000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+        cur.awaitParity()
+      } finally cur.stop()
+      curLog.read.agg(
+        count(lit(1)).as("n_kept"),
+        min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"),
+        sum(when(col("doc_id") >= 10000, 1L).otherwise(0L)).as("perturbed_kept"))
+    }),
     "q_stream_static_join" -> ((s, dir) => {
       // stream-static broadcast enrichment: the static dim joins into
       // every micro-batch statelessly — no watermark, no join state
@@ -1808,6 +1837,31 @@ object SparkEntry {
       "tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS word FROM documents) " +
       "SELECT doc_id, sum(n_sub)::BIGINT AS n_bpe_tokens FROM tok JOIN vocab USING (word) GROUP BY doc_id ORDER BY doc_id"
 
+  // Shared DuckDB fragments for the curation oracles: the quality floor
+  // (same formula as q_quality_score) and 3-gram shingling (same rules
+  // as hashedShinglesCol: distinct word trigrams, distinct words when
+  // the doc is shorter than one trigram).
+  private def sqlQualityFilter(src: String): String =
+    s"(SELECT doc_id, text FROM (SELECT doc_id, text, round(least(n::DOUBLE / 50.0, 1.0) * 0.4 + least((stop_hits::DOUBLE / greatest(n::DOUBLE, 1.0)) * 5.0, 1.0) * 0.4 + greatest(1.0 - punct * 4.0, 0.0) * 0.2, 4) AS quality FROM (SELECT doc_id, text, len(toks) AS n, len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t))) AS stop_hits, length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS punct FROM (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks FROM $src))) WHERE quality >= 0.2)"
+
+  private def sqlShingles(src: String): String =
+    s"(SELECT doc_id, CASE WHEN len(tk) = 0 THEN [] WHEN len(tk) < 3 THEN list_distinct(tk) ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sh FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM $src))"
+
+  /** One curation phase in SQL: quality floor → exact dedup → self
+    * near-drop of id_b per verified ≥0.6 pair. Emits CTEs prefixed `p`
+    * ending in `kept$p`; `c$p`/`i$p` (shingle counts / inverted index)
+    * are reused by the cross-phase stage. */
+  private def sqlCuratePhase(p: String, src: String): String =
+    s"q$p AS ${sqlQualityFilter(src)}, " +
+      s"e$p AS (SELECT min(doc_id) AS doc_id FROM q$p GROUP BY text), " +
+      s"k$p AS (SELECT q.doc_id, q.text FROM q$p q JOIN e$p USING (doc_id)), " +
+      s"sh$p AS ${sqlShingles(s"k$p")}, " +
+      s"c$p AS (SELECT doc_id, len(sh) AS n FROM sh$p WHERE len(sh) > 0), " +
+      s"i$p AS (SELECT doc_id, unnest(sh) AS shingle FROM sh$p), " +
+      s"p$p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM i$p a JOIN i$p b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      s"n$p AS (SELECT DISTINCT id_b FROM p$p JOIN c$p ca ON ca.doc_id = id_a JOIN c$p cb ON cb.doc_id = id_b WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.6), " +
+      s"kept$p AS (SELECT doc_id, text FROM k$p WHERE doc_id NOT IN (SELECT id_b FROM n$p))"
+
   def oracleSql: Map[String, String] = Map(
     "q_append_scan" ->
       "SELECT row_number() OVER (ORDER BY event_id) - 1 AS seq, user_id, event_type, value, props FROM events ORDER BY seq",
@@ -2147,6 +2201,24 @@ object SparkEntry {
         "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM inv a JOIN inv b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), " +
         "nears AS (SELECT DISTINCT id_b FROM pairs JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.6), " +
         "kept AS (SELECT doc_id FROM kept1 WHERE doc_id NOT IN (SELECT id_b FROM nears)) " +
+        "SELECT count(*) AS n_kept, min(doc_id) AS min_id, max(doc_id) AS max_id, sum(CASE WHEN doc_id >= 10000 THEN 1 ELSE 0 END)::BIGINT AS perturbed_kept FROM kept"),
+    "q_stream_curate" ->
+      // two-phase replay of the streaming curator: phase 1 curates the
+      // originals, phase 2 curates the perturbed batch INTERNALLY and
+      // then against phase 1's survivors (the stored-signature check) —
+      // per-batch semantics, deliberately different from
+      // q_pipeline_curate's one-pot pool. LSH settings (32 bands,
+      // exact verify) make the Spark side exhaustive-equivalent here,
+      // same argument as q_pipeline_curate.
+      ("WITH orig AS (SELECT doc_id, text FROM documents), " +
+        "pert AS (SELECT doc_id + 10000 AS doc_id, regexp_replace(text, '^\\S+\\s+', '') AS text FROM documents), " +
+        sqlCuratePhase("1", "orig") + ", " +
+        sqlCuratePhase("2", "pert") + ", " +
+        "i2s AS (SELECT i2.doc_id, shingle FROM i2 JOIN kept2 USING (doc_id)), " +
+        "i1k AS (SELECT i1.doc_id, shingle FROM i1 JOIN kept1 USING (doc_id)), " +
+        "px AS (SELECT a.doc_id AS id_new, b.doc_id AS id_base, count(*) AS inter FROM i2s a JOIN i1k b ON a.shingle = b.shingle GROUP BY 1, 2), " +
+        "nx AS (SELECT DISTINCT id_new FROM px JOIN c2 ca ON ca.doc_id = id_new JOIN c1 cb ON cb.doc_id = id_base WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.6), " +
+        "kept AS (SELECT doc_id FROM kept1 UNION ALL SELECT doc_id FROM kept2 WHERE doc_id NOT IN (SELECT id_new FROM nx)) " +
         "SELECT count(*) AS n_kept, min(doc_id) AS min_id, max(doc_id) AS max_id, sum(CASE WHEN doc_id >= 10000 THEN 1 ELSE 0 END)::BIGINT AS perturbed_kept FROM kept"),
     "q_embed_neardup" ->
       // Oracle-safe because the pipeline's only stochastic stage — the

@@ -744,6 +744,67 @@ class StreamingSpec extends SparkSpec {
       === Seq(10L, 20L, 30L, 40L, 50L))
   }
 
+  test("streaming curator: quality + exact + near dedup per batch, incremental vs stored corpus, exactly-once restart") {
+    import graft.views.SignatureTableView
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val srcLog = new ParquetLog(spark, tmp("graft-cur-src"), docSchema)
+    val curLog = new ParquetLog(spark, tmp("graft-cur-dst"), docSchema)
+    val sigView = new graft.views.SignatureTableView(spark, s"${tmp("graft-cur-sig")}/s", 1, "doc_id", "text")
+    val commit = java.nio.file.Paths.get(tmp("graft-cur-c"), "_curate_commit").toString
+    def doc(i: Long, body: String) = Row(i, body)
+    val base = "the quick brown fox jumps over the lazy dog and it is a fine day for running in the field"
+    // batch A: 1-2 distinct, 3 = exact dup of 1, 4 = near dup of 2, 5 = garbage quality
+    srcLog.appendRows(Seq(
+      doc(1L, base + " alpha"),
+      doc(2L, "it was the best of times and it was the worst of times for all of the people in the town"),
+      doc(3L, base + " alpha"),
+      doc(4L, "it was the best of times and it was the worst of times for all of the people in a town"),
+      doc(5L, "@@@ ### $$$ %%% ^^^ &&& *** ((( )))")))
+    val cur = new StreamingCurator(srcLog, curLog, sigView, commit)
+    try {
+      cur.awaitParity()
+      val kept1 = curLog.read.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept1 === Set(1L, 2L), s"exact dup (3), near dup (4) and garbage (5) must drop, got $kept1")
+      assert(sigView.since === srcLog.since)
+      // signature table holds exactly the curated survivors
+      assert(sigView.sigs.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+
+      // batch B through the live tail: 6 = near dup of STORED doc 2
+      // (caught only via the stored signature table), 7 = fresh
+      srcLog.appendRows(Seq(
+        doc(6L, "it was the best of times and it was the worst of times for all of the people in every town"),
+        doc(7L, "a completely different story about ships and the sea where the wind was cold and the night was long")))
+      cur.awaitParity()
+      val kept2 = curLog.read.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept2 === Set(1L, 2L, 7L), s"6 must drop against the stored corpus, got $kept2")
+      assert(sigView.sigs.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 2L, 7L))
+    } finally cur.stop()
+
+    // restart with NO checkpoint: the stream re-seeks to the signature
+    // cursor, so the already-curated interval is never re-delivered and
+    // the curated log does not double up
+    val cur2 = new StreamingCurator(srcLog, curLog, sigView, commit)
+    try {
+      cur2.awaitParity()
+      assert(curLog.read.count() === 3L, "restart must not re-append curated docs")
+      // new work after restart still flows
+      srcLog.appendRows(Seq(doc(8L,
+        "deep in the forest the old bear slept through the winter and the snow fell on the tall pines")))
+      cur2.awaitParity()
+      assert(curLog.read.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L, 7L, 8L))
+      assert(sigView.since === srcLog.since)
+    } finally cur2.stop()
+
+    // crash window: append committed (mark written) but absorb lost —
+    // replaying the same interval must skip the append and only absorb
+    val survivors = cur2.surviveBatch(
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(doc(9L,
+        "yet another unique tale of mountains and the rivers that run through the green valley all summer"))), docSchema))
+    assert(survivors.count() === 1L, "fresh doc survives the decision function")
+  }
+
   test("signature table view survives restart from its manifest; version bump rebuilds") {
     import graft.views.SignatureTableView
     val viewDir = java.nio.file.Files.createTempDirectory("graft-sigv2").toString
