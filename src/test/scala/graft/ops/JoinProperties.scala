@@ -57,4 +57,35 @@ object JoinProperties extends Properties("AsofJoin") {
   property("tolerance matches the per-row reference") = forAll(leftGen, rightGen) { (l, r) =>
     l.isEmpty || run(l, r, "backward", Some(5L)) == reference(l, r, backward = true, Some(5L))
   }
+
+  // fuzzyJoin completeness on arbitrary strings — including empty and
+  // length ≤ maxDist values, the band-clamp edge the round-7 fix closed:
+  // the blocked join must equal the exhaustive levenshtein cross join
+  private val wordGen = Gen.oneOf(
+    Gen.const(""),
+    Gen.choose(1, 6).flatMap(n => Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c'))))
+  private val vocabGen = Gen.resize(18, Gen.nonEmptyListOf(wordGen))
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private def fuzzyProp(maxDist: Int) = forAll(vocabGen, vocabGen) { (ls, rs) =>
+    val got = Joins.fuzzyJoin(ls.toDF("a"), rs.toDF("b"), "a", "b", maxDist = maxDist)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val want = (for {
+      a <- ls.distinct; b <- rs.distinct
+      d = lev(a, b) if d <= maxDist
+    } yield (a, b, d.toLong)).toSet
+    got == want
+  }
+
+  property("fuzzyJoin(maxDist=1) equals exhaustive levenshtein incl empty strings") = fuzzyProp(1)
+  property("fuzzyJoin(maxDist=2) equals exhaustive levenshtein incl empty strings") = fuzzyProp(2)
 }
