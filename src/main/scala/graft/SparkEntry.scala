@@ -716,6 +716,39 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("cnt"))
         .orderBy("n_name")),
+    "q_tpch_q3" -> ((s, dir) =>
+      // TPC-H Q3 (shipping priority), dates shifted into the synthetic
+      // horizon: 3-way join narrows customer first (broadcast-sized
+      // after the segment filter), revenue agg, top-10 — the canonical
+      // composite the relational surface must get right end to end
+      t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          col("o_orderdate").cast("timestamp").as("o_orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)),
+    "q_tpch_q5" -> ((s, dir) =>
+      // TPC-H Q5 (local supplier volume): the 6-table join with the
+      // customer-and-supplier-in-the-same-nation constraint; region and
+      // nation broadcast, the fact-side joins shuffle on their keys
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey") && col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))),
     "q_window_rank" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
@@ -1243,6 +1276,12 @@ object SparkEntry {
         .orderBy("lang")),
     "q_quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents")).orderBy("doc_id")),
+    "q_gopher_rules" -> ((s, dir) =>
+      // Gopher/MassiveWeb structural gates (Rae et al. 2021 App. A):
+      // measures + composite verdict in one narrow pass; word bounds
+      // scaled to the fixture's 10-99-word documents
+      TextAnalysis.gopherRules(t(s, dir, "documents"), minWords = 20, maxWords = 90)
+        .orderBy("doc_id")),
     "q_quantile_filter" -> ((s, dir) =>
       // exact top-10%-by-quality cut: rank semantics via the two-phase
       // budget scan (unit weights), NOT an exact-percentile aggregate
@@ -1906,6 +1945,35 @@ object SparkEntry {
       "SELECT event_id AS seq, user_id, round(value, 4) AS value_r FROM events WHERE event_type = 'purchase' AND value > 50 ORDER BY value_r DESC, seq LIMIT 100",
     "q_query_indexed_range" ->
       "SELECT event_id AS seq, user_id, round(value, 4) AS value_r FROM events WHERE user_id >= 3 AND user_id < 9 AND value > 50 ORDER BY value_r DESC, seq LIMIT 100",
+    "q_gopher_rules" ->
+      ("WITH m AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS words, " +
+        "list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS lines, " +
+        "(length(text) - length(replace(text, '#', '')))::DOUBLE + (len(string_split(text, '...')) - 1)::DOUBLE AS symbols " +
+        "FROM documents), " +
+        "v AS (SELECT doc_id, len(words) AS n_words, " +
+        "list_sum(list_transform(words, w -> length(w)))::DOUBLE / greatest(len(words), 1) AS mean_word_len, " +
+        "symbols / greatest(len(words), 1) AS symbol_ratio, " +
+        "len(list_filter(lines, l -> starts_with(l, '-') OR starts_with(l, '*') OR starts_with(l, '•')))::DOUBLE / greatest(len(lines), 1) AS bullet_ratio, " +
+        "len(list_filter(lines, l -> ends_with(l, '...')))::DOUBLE / greatest(len(lines), 1) AS ellipsis_ratio, " +
+        "len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / greatest(len(words), 1) AS alpha_frac, " +
+        "len(list_filter(['the','be','to','of','and','that','have','with'], s -> list_contains(list_transform(words, w -> lower(w)), s))) AS stop_hits " +
+        "FROM m) " +
+        "SELECT doc_id, n_words::INT AS n_words, round(mean_word_len, 4) AS mean_word_len, round(symbol_ratio, 4) AS symbol_ratio, round(bullet_ratio, 4) AS bullet_ratio, round(ellipsis_ratio, 4) AS ellipsis_ratio, round(alpha_frac, 4) AS alpha_frac, stop_hits::BIGINT AS stop_hits, " +
+        "(n_words BETWEEN 20 AND 90 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3 AND alpha_frac >= 0.8 AND stop_hits >= 2) AS passes " +
+        "FROM v ORDER BY doc_id"),
+    "q_tpch_q3" ->
+      ("SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, o_orderdate " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' " +
+        "GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+    "q_tpch_q5" ->
+      ("SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "GROUP BY n_name ORDER BY revenue DESC, n_name"),
     "q_search_term" ->
       "SELECT doc_id AS seq FROM documents WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'spark') ORDER BY seq",
     "q_search_phrase" ->

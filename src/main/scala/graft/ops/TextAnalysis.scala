@@ -594,4 +594,76 @@ object TextAnalysis {
     docs.select(
       col(idCol),
       md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")).as("fp_md5"))
+
+  /** Gopher-style structural quality rules (public: Rae et al. 2021,
+    * "Scaling Language Models", Appendix A — the MassiveWeb filters):
+    * the hard per-document gates every large pretraining pipeline runs
+    * BEFORE any model-based scoring, each a cheap whole-document
+    * measure. Emits the measures plus the composite verdict so
+    * downstream stages can re-threshold without re-reading text:
+    *
+    *  - word count within `[minWords, maxWords]`;
+    *  - mean word length within `[minMeanWordLen, maxMeanWordLen]`;
+    *  - `#`-or-`...` symbol-to-word ratio ≤ `maxSymbolRatio`;
+    *  - fraction of lines starting with a bullet ≤ `maxBulletRatio`;
+    *  - fraction of lines ending in `...` ≤ `maxEllipsisRatio`;
+    *  - fraction of words containing an alphabetic char ≥ `minAlphaFrac`;
+    *  - at least `minStopwords` distinct required stopwords present
+    *    (the paper's the/be/to/of/and/that/have/with).
+    *
+    * Narrow single-pass projection — words and lines are split once and
+    * every measure derives from those arrays; no shuffle, no UDF. The
+    * defaults are the fixture-scaled variants the declared query uses
+    * (the paper's absolute 50..100k word bounds assume web pages). */
+  def gopherRules(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minWords: Int = 20,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletRatio: Double = 0.9,
+      maxEllipsisRatio: Double = 0.3,
+      minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2): DataFrame = {
+    val required = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val words = filter(split(col(textCol), "\\s+"), w => w =!= "")
+    val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= "")
+    val nw = size(words).cast("double")
+    val nl = size(lines).cast("double")
+    val meanLen = aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+      greatest(nw, lit(1.0))
+    // '...' counted by non-overlapping split on the literal — identical
+    // semantics in DuckDB's string_split, so the oracle replays it
+    val nHash = (length(col(textCol)) - length(regexp_replace(col(textCol), "#", ""))).cast("double")
+    val nEllipsis = (size(split(col(textCol), "\\.\\.\\.", -1)) - 1).cast("double")
+    val symbolRatio = (nHash + nEllipsis) / greatest(nw, lit(1.0))
+    val bulletRatio = size(filter(lines, l =>
+      l.startsWith("-") || l.startsWith("*") || l.startsWith("•"))).cast("double") /
+      greatest(nl, lit(1.0))
+    val ellipsisRatio = size(filter(lines, l => l.endsWith("..."))).cast("double") /
+      greatest(nl, lit(1.0))
+    val alphaFrac = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") /
+      greatest(nw, lit(1.0))
+    val lowerWords = transform(words, w => lower(w))
+    val stopHits = size(filter(typedLit(required), s => array_contains(lowerWords, s)))
+    docs.select(
+      col(idCol),
+      size(words).as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(symbolRatio, 4).as("symbol_ratio"),
+      round(bulletRatio, 4).as("bullet_ratio"),
+      round(ellipsisRatio, 4).as("ellipsis_ratio"),
+      round(alphaFrac, 4).as("alpha_frac"),
+      stopHits.cast("bigint").as("stop_hits"),
+      (size(words).between(minWords, maxWords) &&
+        meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
+        symbolRatio <= maxSymbolRatio &&
+        bulletRatio <= maxBulletRatio &&
+        ellipsisRatio <= maxEllipsisRatio &&
+        alphaFrac >= minAlphaFrac &&
+        stopHits >= minStopwords).as("passes"))
+  }
 }

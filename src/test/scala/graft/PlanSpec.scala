@@ -238,6 +238,16 @@ class PlanSpec extends SparkSpec {
       s"the equality must be served by the index, not a scan filter:\n${s.take(3000)}")
   }
 
+  test("tpch q5: dims broadcast, date range pushed to the orders scan") {
+    val s = planString(run("q_tpch_q5"))
+    assert(s.contains("BroadcastHashJoin"),
+      s"nation/region must broadcast:\n${s.take(3000)}")
+    assert(s.contains("GreaterThanOrEqual(o_orderdate"),
+      s"the orderdate range must reach the orders scan:\n${s.take(3000)}")
+    assert(!s.contains("CartesianProduct"),
+      s"no cartesian anywhere in the 6-table join:\n${s.take(3000)}")
+  }
+
   test("range index selection reads the posting table, not the full log") {
     val s = planString(run("q_query_indexed_range"))
     // the user_id range was served by the posting read: the log scan

@@ -232,4 +232,32 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), x.getString(3))).sortBy(_._1)
     assert(r(0)._2 === "echo\necho\necho\nbody one")
   }
+
+  test("gopherRules: each structural gate trips on its planted violator, measures exact") {
+    val good = (1 to 30).map(i => s"word$i").mkString("the quick fox and that dog have fun with it ", " ", "")
+    val docs = Seq(
+      (1L, good),                                                    // passes everything
+      (2L, "too short but the and of that have with be to"),          // < minWords
+      (3L, good + " " + (1 to 10).map(_ => "###").mkString(" ")),     // symbol ratio blows the 0.1 cap
+      (4L, (1 to 25).map(i => s"- bullet $i the of and").mkString("\n")), // bullet lines > 0.9
+      (5L, ("1 2 3 4 5 6 7 8 9 0 " * 3) + "the of and that with be to have " + (1 to 12).map(_ => "42").mkString(" ")), // alpha frac < 0.8
+      (6L, (1 to 30).map(i => s"w$i").mkString(" ")))                  // no required stopwords
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs, minWords = 20, maxWords = 90)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Boolean]("passes"), "clean doc must pass")
+    assert(!r(2L).getAs[Boolean]("passes") && r(2L).getAs[Int]("n_words") < 20)
+    assert(!r(3L).getAs[Boolean]("passes") && r(3L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!r(4L).getAs[Boolean]("passes") && r(4L).getAs[Double]("bullet_ratio") > 0.9)
+    assert(!r(5L).getAs[Boolean]("passes") && r(5L).getAs[Double]("alpha_frac") < 0.8)
+    assert(!r(6L).getAs[Boolean]("passes") && r(6L).getAs[Long]("stop_hits") === 0L)
+    // exact measure spot check on the clean doc: 10 header + 30 filler words
+    assert(r(1L).getAs[Int]("n_words") === 40)
+    assert(r(1L).getAs[Long]("stop_hits") >= 4L)
+    // ellipsis lines
+    val e = TextAnalysis.gopherRules(
+        Seq((7L, "first line...\nsecond line\nthird goes on...")).toDF("doc_id", "text"),
+        minWords = 1).collect().head
+    assert(e.getAs[Double]("ellipsis_ratio") === 0.6667)
+  }
 }
