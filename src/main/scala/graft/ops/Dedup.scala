@@ -306,6 +306,39 @@ object Dedup {
       .where(size(col("hs")) > 0)
       .persist()
     val sn = hn.select(col("id"), graft.functions.MinhashOph.minhash_oph(col("hs"), perms).as("sig")).persist()
+    val out = incrementalFromParts(hn, sn, baseSigs, perms, bands, threshold, maxBucket,
+      verifyExact, ownsBase)
+    Seq(sn, hn).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** [[minhashLshIncrementalStored]] when the NEW side's signature table
+    * `(id, hs, sig)` is ALSO precomputed (and persisted) — zero text or
+    * shingle recompute on either side. The streaming curator's shape:
+    * one signature pass per batch serves self-dedup, the incremental
+    * check AND the absorb. */
+  def minhashLshIncrementalFromSigs(
+      newSigs: DataFrame,
+      baseSigs: DataFrame,
+      perms: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucket: Int = 64,
+      verifyExact: Boolean = false,
+      ownsBase: Boolean = false): DataFrame =
+    incrementalFromParts(newSigs.select("id", "hs"), newSigs.select("id", "sig"),
+      baseSigs, perms, bands, threshold, maxBucket, verifyExact, ownsBase)
+
+  private def incrementalFromParts(
+      hn: DataFrame,
+      sn: DataFrame,
+      baseSigs: DataFrame,
+      perms: Int,
+      bands: Int,
+      threshold: Double,
+      maxBucket: Int,
+      verifyExact: Boolean,
+      ownsBase: Boolean): DataFrame = {
     val sb = baseSigs.select("id", "sig")
     val hb = baseSigs.select("id", "hs")
 
@@ -336,9 +369,37 @@ object Dedup {
           .select("id_a", "id_b", "est_jaccard")
       }
     val out = pairs.localCheckpoint(true)
-    Seq(sn, hn).foreach(_.unpersist(blocking = false))
     if (ownsBase) baseSigs.unpersist(blocking = false)
     out
+  }
+
+  /** [[minhashLshFromShingles]] over a full precomputed `(id, hs, sig)`
+    * signature table (persisted or stored) — the self-join dedup with
+    * zero shingle or minhash recompute. */
+  def minhashLshFromSigs(
+      sigTable: DataFrame,
+      perms: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucket: Int = 64,
+      verifyExact: Boolean = false): DataFrame = {
+    val sigs = sigTable.select("id", "sig")
+    val pairs =
+      if (verifyExact) {
+        val cand = lshCandidates(sigs, perms, bands, maxBucket, dedup = false)
+        verifyCandidatesExact(cand, sigs, sigTable.select("id", "hs"), "hs",
+          threshold, perms, "est_jaccard")
+      } else {
+        val cand = lshCandidates(sigs, perms, bands, maxBucket)
+        cand
+          .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+          .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+          .withColumn("est_jaccard",
+            round(sigMatches(col("sig_a"), col("sig_b")).cast("double") / lit(perms.toDouble), 4))
+          .where(col("est_jaccard") >= threshold)
+          .select("id_a", "id_b", "est_jaccard")
+      }
+    pairs.localCheckpoint(true)
   }
 
   /** Exact Jaccard on the true shingle sets of candidate pairs — the

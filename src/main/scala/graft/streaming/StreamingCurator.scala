@@ -60,25 +60,38 @@ final class StreamingCurator(
 
   /** The curation decision for one batch: quality floor → exact dedup →
     * self near-dedup → incremental near-dedup vs the stored corpus.
-    * Pure function of (batch, signature table state). */
-  private[streaming] def surviveBatch(batch: DataFrame): DataFrame = {
-    val q = batch.where(graft.ops.TextAnalysis.qualityCol(col(textCol)) >= minQuality)
+    * Pure function of (batch, signature table state). Returns the
+    * survivors and the batch's PERSISTED `(id, hs, sig)` signature
+    * table — text is shingled and minhashed exactly ONCE per batch, and
+    * that one table serves the self-join, the incremental check and the
+    * absorb (the caller unpersists it after the absorb lands). */
+  private[streaming] def surviveBatch(batch: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    // one quality/text pass: the filtered batch is staged once and feeds
+    // the exact-dedup agg, the signature pass and the survivor join
+    val q = batch.where(graft.ops.TextAnalysis.qualityCol(col(textCol)) >= minQuality).persist()
     val exactKeep = q.groupBy(xxhash64(col(textCol)).as("__h"))
       .agg(min(col(idCol)).as(idCol)).select(idCol)
     val exact = q.join(exactKeep, Seq(idCol), "left_semi")
-    val selfDrop = graft.ops.Dedup.minhashLsh(exact, idCol, textCol,
+    val st = graft.ops.Dedup.signatureTable(exact, idCol, textCol).persist()
+    val selfDrop = graft.ops.Dedup.minhashLshFromSigs(st,
         threshold = threshold, verifyExact = true, bands = bands, maxBucket = maxBucket)
       .select(col("id_b").as(idCol)).distinct()
-    val afterSelf = exact.join(selfDrop, Seq(idCol), "left_anti")
+    // the self-join's pairs are (lower id, higher id): dropping id_b and
+    // keeping the remaining side for the cross check preserves the
+    // keep-lowest-id rule; docs with empty shingle sets bypass both
+    // near-dedup stages (they are absent from st) but survive
     val crossDrop = sigView.frameOption match {
-      case Some(sigs) =>
-        graft.ops.Dedup.minhashLshIncrementalStored(afterSelf, sigs, idCol, textCol,
+      case Some(base) =>
+        graft.ops.Dedup.minhashLshIncrementalFromSigs(
+            st.join(selfDrop.withColumnRenamed(idCol, "id"), Seq("id"), "left_anti"), base,
             threshold = threshold, verifyExact = true, bands = bands, maxBucket = maxBucket)
           .select(col("id_a").as(idCol)).distinct()
-      case None => afterSelf.select(col(idCol)).limit(0)
+      case None => selfDrop.limit(0)
     }
-    afterSelf.join(crossDrop, Seq(idCol), "left_anti")
+    val survivors = exact
+      .join(selfDrop.unionByName(crossDrop).distinct(), Seq(idCol), "left_anti")
       .select(col(idCol), col(textCol))
+    (survivors, st, q)
   }
 
   val query: StreamingQuery = {
@@ -89,14 +102,21 @@ final class StreamingCurator(
         if (!batch.isEmpty) {
           val upto = batch.agg(max(col(seqCol))).head().getLong(0)
           if (upto > sigView.since) { // replay after the absorb committed: skip whole
-            val survivors = surviveBatch(batch.drop(seqCol)).localCheckpoint(true)
+            val (sv, st, staged) = surviveBatch(batch.drop(seqCol))
+            val survivors = sv.localCheckpoint(true)
             if (upto > appendedUpto) { // replay after the append committed: skip append
               if (!survivors.isEmpty) curated.append(survivors)
               Files.writeString(markPath, upto.toString) // append durable before the mark
             }
             // absorbed even when empty so the cursor tracks the log and
-            // restarts never re-deliver a fully-curated interval
-            sigView.absorb(survivors, upto)
+            // restarts never re-deliver a fully-curated interval; the
+            // survivors' rows of the ALREADY-COMPUTED signature table
+            // land directly — no re-shingling at absorb
+            sigView.absorbSigs(
+              st.join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi"), upto)
+            st.unpersist(blocking = false)
+            staged.unpersist(blocking = false)
+            ()
           }
         }
       }

@@ -34,8 +34,14 @@ final class SignatureTableView(
 
   openProtocol()
 
-  def absorb(entries: DataFrame, upto: Long): Unit = {
-    graft.ops.Dedup.signatureTable(entries, idCol, textCol, perms)
+  def absorb(entries: DataFrame, upto: Long): Unit =
+    absorbSigs(graft.ops.Dedup.signatureTable(entries, idCol, textCol, perms), upto)
+
+  /** Absorb a PRECOMPUTED `(id, hs, sig)` delta — for callers (the
+    * streaming curator) that already paid the signature pass for their
+    * dedup decision and must not pay it again. */
+  def absorbSigs(sigTable: DataFrame, upto: Long): Unit = {
+    sigTable.select("id", "hs", "sig")
       .write.mode("overwrite").parquet(batchPath(upto).toString)
     sinceSeq = upto
     writeManifest()

@@ -799,10 +799,12 @@ class StreamingSpec extends SparkSpec {
 
     // crash window: append committed (mark written) but absorb lost —
     // replaying the same interval must skip the append and only absorb
-    val survivors = cur2.surviveBatch(
+    val (survivors, st9, staged9) = cur2.surviveBatch(
       spark.createDataFrame(spark.sparkContext.parallelize(Seq(doc(9L,
         "yet another unique tale of mountains and the rivers that run through the green valley all summer"))), docSchema))
     assert(survivors.count() === 1L, "fresh doc survives the decision function")
+    st9.unpersist(blocking = false)
+    staged9.unpersist(blocking = false)
   }
 
   test("signature table view survives restart from its manifest; version bump rebuilds") {
