@@ -348,8 +348,26 @@ object Dedup {
       val hot = b.groupBy("bandkey").count().where(col("count") > maxBucket).select("bandkey")
       b.join(hot, Seq("bandkey"), "left_anti")
     }
-    val cand = dropHot(banded(sn, "id_a"))
-      .join(dropHot(banded(sb, "id_b")), Seq("bandkey"))
+    // The recurring-cost contract: nothing corpus-sized may shuffle per
+    // batch. The batch's (small) capped band-key set BROADCASTS, so the
+    // base side is ONE columnar scan with a map-side band explode +
+    // broadcast-hash filter — survivors (∝ batch × bucket) are the only
+    // base rows that ever enter an exchange. The base-side hot-bucket
+    // cap counts those survivors, which for every matched key is exactly
+    // the key's full bucket count — identical drops to a corpus-wide
+    // count, without the corpus-wide aggregate the old shape paid.
+    val bn = dropHot(banded(sn, "id_a"))
+    val newKeys = bn.select("bandkey").distinct().persist()
+    // fence: a batch so large its key set won't broadcast (~32 MB of
+    // 8-byte keys) is corpus-sized — fall back to the symmetric shuffle,
+    // where incremental dedup was the wrong tool to begin with
+    val broadcastKeys = newKeys.count() <= 4L * 1000 * 1000
+    val matched =
+      (if (broadcastKeys) banded(sb, "id_b").join(broadcast(newKeys), Seq("bandkey"))
+       else banded(sb, "id_b").join(newKeys, Seq("bandkey"))).persist()
+    val hotBase = matched.groupBy("bandkey").count().where(col("count") > maxBucket).select("bandkey")
+    val cand = bn
+      .join(matched.join(hotBase, Seq("bandkey"), "left_anti"), Seq("bandkey"))
       .select("id_a", "id_b")
       .distinct()
 
@@ -369,6 +387,7 @@ object Dedup {
           .select("id_a", "id_b", "est_jaccard")
       }
     val out = pairs.localCheckpoint(true)
+    Seq(matched, newKeys).foreach(_.unpersist(blocking = false))
     if (ownsBase) baseSigs.unpersist(blocking = false)
     out
   }
