@@ -192,6 +192,43 @@ class StreamingSpec extends SparkSpec {
     } finally r.stop()
   }
 
+  test("streaming runner maintains the IVF ANN index incrementally, auto-compacted") {
+    import graft.views.IVFIndexView
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val embSchema = emb.schema
+    val logDir = java.nio.file.Files.createTempDirectory("graft-sivflog").toString
+    val viewDir = java.nio.file.Files.createTempDirectory("graft-sivfview").toString
+    val log = new ParquetLog(spark, logDir, embSchema)
+    log.append(emb.where(col("vec_id") < 200))
+    val db = new FlumeDb(log)
+    db.use("ivf", IVFIndexView(viewDir, nCentroids = 8, compactEvery = 2))
+    val view = db.view("ivf").view.asInstanceOf[IVFIndexView]
+    val r = new StreamingViewRunner(log, view)
+    try {
+      r.awaitParity()
+      // vectors arriving through the live tail extend the index
+      log.append(emb.where(col("vec_id") >= 200 && col("vec_id") < 350))
+      r.awaitParity()
+      log.append(emb.where(col("vec_id") >= 350))
+      r.awaitParity()
+      assert(view.since === log.since)
+      // auto-compaction kept the delta chain bounded
+      val dirs = new java.io.File(s"$viewDir/ivf").listFiles().map(_.getName)
+        .count(_.startsWith("batch="))
+      assert(dirs <= 2, s"compactEvery=2 must bound the chain, got $dirs dirs")
+      // full probe + the streamed index == brute-force exact top-k (the
+      // quantizer was seeded from batch 1, so assignment is deterministic)
+      val query = emb.where(col("vec_id") === 0L).head()
+        .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+      val got = view.search(query, 10, nProbe = 8, excludeId = Some(0L))
+        .collect().map(_.getLong(0)).toSeq
+      val exact = graft.ops.Similarity.knnForVector(emb, query, 10, excludeId = Some(0L))
+        .collect().map(_.getLong(0)).toSeq
+      assert(got === exact, s"streamed+compacted IVF at full probe must equal exact kNN")
+    } finally r.stop()
+  }
+
   test("durable view reattaches WITHOUT a checkpoint: resumes from its own cursor, no replay") {
     import graft.views.PersistentIndexView
     import org.apache.spark.sql.functions.{array, col}
