@@ -341,35 +341,8 @@ object Dedup {
       ownsBase: Boolean): DataFrame = {
     val sb = baseSigs.select("id", "sig")
     val hb = baseSigs.select("id", "hs")
-
-    def banded(s: DataFrame, as: String) = s.select(
-      col("id").as(as), explode(graft.functions.BandKeys.band_keys(col("sig"), perms, bands)).as("bandkey"))
-    def dropHot(b: DataFrame) = {
-      val hot = b.groupBy("bandkey").count().where(col("count") > maxBucket).select("bandkey")
-      b.join(hot, Seq("bandkey"), "left_anti")
-    }
-    // The recurring-cost contract: nothing corpus-sized may shuffle per
-    // batch. The batch's (small) capped band-key set BROADCASTS, so the
-    // base side is ONE columnar scan with a map-side band explode +
-    // broadcast-hash filter — survivors (∝ batch × bucket) are the only
-    // base rows that ever enter an exchange. The base-side hot-bucket
-    // cap counts those survivors, which for every matched key is exactly
-    // the key's full bucket count — identical drops to a corpus-wide
-    // count, without the corpus-wide aggregate the old shape paid.
-    val bn = dropHot(banded(sn, "id_a"))
-    val newKeys = bn.select("bandkey").distinct().persist()
-    // fence: a batch so large its key set won't broadcast (~32 MB of
-    // 8-byte keys) is corpus-sized — fall back to the symmetric shuffle,
-    // where incremental dedup was the wrong tool to begin with
-    val broadcastKeys = newKeys.count() <= 4L * 1000 * 1000
-    val matched =
-      (if (broadcastKeys) banded(sb, "id_b").join(broadcast(newKeys), Seq("bandkey"))
-       else banded(sb, "id_b").join(newKeys, Seq("bandkey"))).persist()
-    val hotBase = matched.groupBy("bandkey").count().where(col("count") > maxBucket).select("bandkey")
-    val cand = bn
-      .join(matched.join(hotBase, Seq("bandkey"), "left_anti"), Seq("bandkey"))
-      .select("id_a", "id_b")
-      .distinct()
+    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+    val cand = incrementalCandidates(sn, sb, perms, bands, maxBucket, persisted)
 
     val pairs =
       if (verifyExact) {
@@ -387,10 +360,58 @@ object Dedup {
           .select("id_a", "id_b", "est_jaccard")
       }
     val out = pairs.localCheckpoint(true)
-    Seq(matched, newKeys).foreach(_.unpersist(blocking = false))
+    persisted.foreach(_.unpersist(blocking = false))
     if (ownsBase) baseSigs.unpersist(blocking = false)
     out
   }
+
+  /** The incremental candidate stage — the recurring-cost contract:
+    * nothing corpus-sized may shuffle per batch. The batch's (small)
+    * capped band-key set BROADCASTS, so the base side is ONE columnar
+    * scan with a map-side band explode + broadcast-hash filter —
+    * survivors (∝ batch × bucket) are the only base rows that ever enter
+    * an exchange. The base-side hot-bucket cap counts those survivors,
+    * which for every matched key is exactly the key's full bucket count
+    * — identical drops to a corpus-wide count, without the corpus-wide
+    * aggregate the old shape paid. Frames persisted here are appended to
+    * `persisted` for the caller to release after materialization. */
+  private def incrementalCandidates(
+      sn: DataFrame,
+      sb: DataFrame,
+      perms: Int,
+      bands: Int,
+      maxBucket: Int,
+      persisted: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
+    def banded(s: DataFrame, as: String) = s.select(
+      col("id").as(as), explode(graft.functions.BandKeys.band_keys(col("sig"), perms, bands)).as("bandkey"))
+    def dropHot(b: DataFrame) = {
+      val hot = b.groupBy("bandkey").count().where(col("count") > maxBucket).select("bandkey")
+      b.join(hot, Seq("bandkey"), "left_anti")
+    }
+    val bn = dropHot(banded(sn, "id_a"))
+    val newKeys = bn.select("bandkey").distinct().persist()
+    persisted += newKeys
+    // fence: a batch so large its key set won't broadcast (~32 MB of
+    // 8-byte keys) is corpus-sized — fall back to the symmetric shuffle,
+    // where incremental dedup was the wrong tool to begin with
+    val broadcastKeys = newKeys.count() <= 4L * 1000 * 1000
+    val matched =
+      (if (broadcastKeys) banded(sb, "id_b").join(broadcast(newKeys), Seq("bandkey"))
+       else banded(sb, "id_b").join(newKeys, Seq("bandkey"))).persist()
+    persisted += matched
+    val hotBase = matched.groupBy("bandkey").count().where(col("count") > maxBucket).select("bandkey")
+    bn.join(matched.join(hotBase, Seq("bandkey"), "left_anti"), Seq("bandkey"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Dev/test access to the incremental candidate stage (pre-checkpoint,
+    * so plan assertions can see the broadcast shape). */
+  private[graft] def incrementalCandidatesPublic(
+      newSigs: DataFrame, baseSigs: DataFrame,
+      perms: Int = 64, bands: Int = 16, maxBucket: Int = 64): DataFrame =
+    incrementalCandidates(newSigs.select("id", "sig"), baseSigs.select("id", "sig"),
+      perms, bands, maxBucket, scala.collection.mutable.Buffer.empty)
 
   /** [[minhashLshFromShingles]] over a full precomputed `(id, hs, sig)`
     * signature table (persisted or stored) — the self-join dedup with

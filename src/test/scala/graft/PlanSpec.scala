@@ -238,6 +238,26 @@ class PlanSpec extends SparkSpec {
       s"the equality must be served by the index, not a scan filter:\n${s.take(3000)}")
   }
 
+  test("incremental dedup candidates: the corpus side is filtered by a BROADCAST of the batch keys") {
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 40L).map(i =>
+      (i, s"the quick brown fox number $i jumps over the lazy dog near gate $i"))
+    val base = graft.ops.Dedup.signatureTable(
+      spark.createDataFrame(docs).toDF("doc_id", "text")).persist()
+    val fresh = graft.ops.Dedup.signatureTable(
+      spark.createDataFrame(docs.take(5).map { case (i, t) => (i + 1000, t) }).toDF("doc_id", "text")).persist()
+    try {
+      val cand = graft.ops.Dedup.incrementalCandidatesPublic(fresh, base)
+      val s = planString(cand)
+      // the batch's band-key set must reach the base side as a broadcast
+      // hint in the optimized plan — a symmetric band shuffle here is the
+      // recurring-cost scale bug this stage exists to avoid
+      assert(s.contains("strategy=broadcast"),
+        s"the batch band keys must broadcast into the base-side filter:\n${s.take(4000)}")
+      assert(cand.collect().length >= 5, "planted copies must surface as candidates")
+    } finally Seq(base, fresh).foreach(_.unpersist(blocking = false))
+  }
+
   test("tpch q5: dims broadcast, date range pushed to the orders scan") {
     val s = planString(run("q_tpch_q5"))
     assert(s.contains("BroadcastHashJoin"),
