@@ -629,41 +629,51 @@ object TextAnalysis {
       minAlphaFrac: Double = 0.8,
       minStopwords: Int = 2): DataFrame = {
     val required = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val words = filter(split(col(textCol), "\\s+"), w => w =!= "")
-    val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= "")
+    // Staged projections (the [[repetition]] discipline): the split
+    // arrays are non-cheap, non-codegen HOF inputs referenced by many
+    // measures — a flat select would re-split the text once per measure.
+    // '...' counted by non-overlapping split on the literal — identical
+    // semantics in DuckDB's string_split, so the oracle replays it.
+    val staged = docs.select(
+      col(idCol),
+      filter(split(col(textCol), "\\s+"), w => w =!= "").as("__words"),
+      filter(transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= "").as("__lines"),
+      ((length(col(textCol)) - length(regexp_replace(col(textCol), "#", ""))).cast("double") +
+        (size(split(col(textCol), "\\.\\.\\.", -1)) - 1).cast("double")).as("__symbols"))
+    val words = col("__words")
+    val lines = col("__lines")
     val nw = size(words).cast("double")
     val nl = size(lines).cast("double")
-    val meanLen = aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") /
-      greatest(nw, lit(1.0))
-    // '...' counted by non-overlapping split on the literal — identical
-    // semantics in DuckDB's string_split, so the oracle replays it
-    val nHash = (length(col(textCol)) - length(regexp_replace(col(textCol), "#", ""))).cast("double")
-    val nEllipsis = (size(split(col(textCol), "\\.\\.\\.", -1)) - 1).cast("double")
-    val symbolRatio = (nHash + nEllipsis) / greatest(nw, lit(1.0))
-    val bulletRatio = size(filter(lines, l =>
-      l.startsWith("-") || l.startsWith("*") || l.startsWith("•"))).cast("double") /
-      greatest(nl, lit(1.0))
-    val ellipsisRatio = size(filter(lines, l => l.endsWith("..."))).cast("double") /
-      greatest(nl, lit(1.0))
-    val alphaFrac = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") /
-      greatest(nw, lit(1.0))
-    val lowerWords = transform(words, w => lower(w))
-    val stopHits = size(filter(typedLit(required), s => array_contains(lowerWords, s)))
-    docs.select(
+    val measured = staged.select(
       col(idCol),
       size(words).as("n_words"),
-      round(meanLen, 4).as("mean_word_len"),
-      round(symbolRatio, 4).as("symbol_ratio"),
-      round(bulletRatio, 4).as("bullet_ratio"),
-      round(ellipsisRatio, 4).as("ellipsis_ratio"),
-      round(alphaFrac, 4).as("alpha_frac"),
-      stopHits.cast("bigint").as("stop_hits"),
-      (size(words).between(minWords, maxWords) &&
-        meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
-        symbolRatio <= maxSymbolRatio &&
-        bulletRatio <= maxBulletRatio &&
-        ellipsisRatio <= maxEllipsisRatio &&
-        alphaFrac >= minAlphaFrac &&
-        stopHits >= minStopwords).as("passes"))
+      (aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        greatest(nw, lit(1.0))).as("__mean_len"),
+      (col("__symbols") / greatest(nw, lit(1.0))).as("__symbol_ratio"),
+      (size(filter(lines, l =>
+        l.startsWith("-") || l.startsWith("*") || l.startsWith("•"))).cast("double") /
+        greatest(nl, lit(1.0))).as("__bullet_ratio"),
+      (size(filter(lines, l => l.endsWith("..."))).cast("double") /
+        greatest(nl, lit(1.0))).as("__ellipsis_ratio"),
+      (size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") /
+        greatest(nw, lit(1.0))).as("__alpha_frac"),
+      size(filter(typedLit(required), s =>
+        array_contains(transform(words, w => lower(w)), s))).cast("bigint").as("stop_hits"))
+    measured.select(
+      col(idCol),
+      col("n_words"),
+      round(col("__mean_len"), 4).as("mean_word_len"),
+      round(col("__symbol_ratio"), 4).as("symbol_ratio"),
+      round(col("__bullet_ratio"), 4).as("bullet_ratio"),
+      round(col("__ellipsis_ratio"), 4).as("ellipsis_ratio"),
+      round(col("__alpha_frac"), 4).as("alpha_frac"),
+      col("stop_hits"),
+      (col("n_words").between(minWords, maxWords) &&
+        col("__mean_len") >= minMeanWordLen && col("__mean_len") <= maxMeanWordLen &&
+        col("__symbol_ratio") <= maxSymbolRatio &&
+        col("__bullet_ratio") <= maxBulletRatio &&
+        col("__ellipsis_ratio") <= maxEllipsisRatio &&
+        col("__alpha_frac") >= minAlphaFrac &&
+        col("stop_hits") >= minStopwords).as("passes"))
   }
 }

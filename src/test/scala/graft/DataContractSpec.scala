@@ -13,27 +13,31 @@ import org.apache.spark.sql.types._
 class DataContractSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
+  // both gate SFs: the t1 smoke runs at sf0.001, the t2 correctness gate
+  // at sf0.01 — drift in either must fail here first
+  private val contractDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
 
   /** Forms `SparkEntry`'s schema-adaptive timestamp access supports. */
   private val tsForms: Set[DataType] = Set(LongType, TimestampType, TimestampNTZType)
 
-  private def check(table: String, expected: Map[String, Either[DataType, Set[DataType]]]): Unit = {
-    val schema = spark.read.parquet(s"$dir/$table.parquet").schema
-    val actual = schema.fields.map(f => f.name -> f.dataType).toMap
-    val problems = expected.flatMap { case (colName, want) =>
-      actual.get(colName) match {
-        case None => Some(s"$table.$colName: MISSING (have ${schema.fieldNames.mkString(",")})")
-        case Some(dt) => want match {
-          case Left(one) if dt != one =>
-            Some(s"$table.$colName: ${dt.simpleString}, contract requires ${one.simpleString}")
-          case Right(set) if !set.contains(dt) =>
-            Some(s"$table.$colName: ${dt.simpleString}, adapter handles only ${set.map(_.simpleString).mkString("|")}")
-          case _ => None
+  private def check(table: String, expected: Map[String, Either[DataType, Set[DataType]]]): Unit =
+    contractDirs.foreach { d =>
+      val schema = spark.read.parquet(s"$d/$table.parquet").schema
+      val actual = schema.fields.map(f => f.name -> f.dataType).toMap
+      val problems = expected.flatMap { case (colName, want) =>
+        actual.get(colName) match {
+          case None => Some(s"$d $table.$colName: MISSING (have ${schema.fieldNames.mkString(",")})")
+          case Some(dt) => want match {
+            case Left(one) if dt != one =>
+              Some(s"$d $table.$colName: ${dt.simpleString}, contract requires ${one.simpleString}")
+            case Right(set) if !set.contains(dt) =>
+              Some(s"$d $table.$colName: ${dt.simpleString}, adapter handles only ${set.map(_.simpleString).mkString("|")}")
+            case _ => None
+          }
         }
       }
+      assert(problems.isEmpty, problems.mkString("\n"))
     }
-    assert(problems.isEmpty, problems.mkString("\n"))
-  }
 
   private def exact(pairs: (String, DataType)*): Map[String, Either[DataType, Set[DataType]]] =
     pairs.map { case (n, t) => n -> (Left(t): Either[DataType, Set[DataType]]) }.toMap
