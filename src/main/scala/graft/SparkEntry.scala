@@ -1445,6 +1445,12 @@ object SparkEntry {
       // on a curated seed set and scores the crawl)
       TextAnalysis.bigramLmScore(t(s, dir, "documents"), t(s, dir, "documents"))
         .orderBy("doc_id")),
+    "q_audio_activity" -> ((s, dir) =>
+      // voice-activity segmentation: 20ms windows (160 samples @ 8 kHz)
+      // over the decoded PCM, silence/active verdict in pure integers —
+      // the oracle re-derives every window sum from the waveform formula
+      Multimodal.audioActivity(Multimodal.syntheticWavMedia(t(s, dir, "documents")))
+        .orderBy("media_id", "window_idx")),
     "q_audio_decode" -> ((s, dir) =>
       // the AUDIO codec end-to-end: deterministic 16-bit PCM waveforms
       // are WAVE-encoded with the JDK writer, decoded back with
@@ -2361,6 +2367,13 @@ object SparkEntry {
         "bigc AS MATERIALIZED (SELECT bigram, count(*) AS c2 FROM bg GROUP BY 1), " +
         "scored AS (SELECT g.doc_id, -ln((coalesce(bc.c2, 0) + 1)::DOUBLE / (coalesce(u.c1, 0) + (SELECT v FROM v))) AS nl FROM bg g LEFT JOIN bigc bc USING (bigram) LEFT JOIN uni u ON u.w1 = g.w1) " +
         "SELECT doc_id, count(*)::BIGINT AS n_bigrams, round(avg(nl), 4) AS nll FROM scored GROUP BY 1 ORDER BY doc_id"),
+    "q_audio_activity" ->
+      ("WITH ids AS (SELECT doc_id AS media_id, 800 + doc_id % 400 AS n FROM documents WHERE doc_id % 3 = 2), " +
+        "w AS (SELECT media_id, n, unnest(generate_series(0, (n + 159) // 160 - 1)) AS window_idx FROM ids), " +
+        "s AS (SELECT media_id, window_idx, least(160, n - window_idx * 160) AS n_in_window, " +
+        "list_sum(list_transform(generate_series(window_idx * 160, least(window_idx * 160 + 159, n - 1)), i -> abs((media_id * 31 + 17 * i) % 2003 - 1001))) AS sum_abs FROM w) " +
+        "SELECT media_id, window_idx::BIGINT AS window_idx, n_in_window::BIGINT AS n_in_window, sum_abs::BIGINT AS sum_abs, " +
+        "(sum_abs > 600 * n_in_window) AS active FROM s ORDER BY media_id, window_idx"),
     "q_audio_decode" ->
       ("WITH ids AS (SELECT doc_id AS media_id, 800 + doc_id % 400 AS n FROM documents WHERE doc_id % 3 = 2) " +
         "SELECT media_id, 8000::BIGINT AS sample_rate, 1::BIGINT AS channels, n::BIGINT AS n_samples, " +

@@ -426,6 +426,62 @@ object Multimodal {
     spark.createDataFrame(rdd, audioStatsSchema)
   }
 
+  private val audioActivitySchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("window_idx", LongType, nullable = false),
+    StructField("n_in_window", LongType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false),
+    StructField("active", BooleanType, nullable = false)))
+
+  /** Voice-activity segmentation over decoded PCM — the ASR-pipeline
+    * pre-filter that drops silence before any expensive transcription
+    * model runs: the sample stream is cut into fixed windows of
+    * `windowSamples`, each window reports its exact integer
+    * sum-of-|amplitude|, and `active` = mean |amplitude| above
+    * `threshold`, compared cross-multiplied in integers so there is no
+    * float anywhere for an oracle to disagree with. Same
+    * partition-batched decode shape as [[audioStats]]; interleaved
+    * channels are windowed as one stream (the fixture corpus is mono).
+    * At scale this is a narrow flatMap — windows per row, no shuffle. */
+  def audioActivity(
+      media: DataFrame,
+      windowSamples: Int = 160,
+      threshold: Int = 600): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        if (bytes == null || bytes.length < 12) Iterator.empty
+        else try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16, "fixture decoder handles 16-bit PCM")
+            val data = ais.readAllBytes()
+            val bigEndian = fmt.isBigEndian
+            val n = data.length / 2
+            val nWindows = (n + windowSamples - 1) / windowSamples
+            (0 until nWindows).iterator.map { w =>
+              val from = w * windowSamples
+              val until = math.min(from + windowSamples, n)
+              var sum = 0L; var i = from
+              while (i < until) {
+                val lo = data(if (bigEndian) 2 * i + 1 else 2 * i) & 0xff
+                val hi = data(if (bigEndian) 2 * i else 2 * i + 1)
+                sum += math.abs((hi << 8 | lo).toShort.toLong)
+                i += 1
+              }
+              val inWindow = (until - from).toLong
+              Row(r.getLong(0), w.toLong, inWindow, sum, sum > threshold * inWindow)
+            }
+          } finally ais.close()
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+      }
+    }
+    spark.createDataFrame(rdd, audioActivitySchema)
+  }
+
   private val imageStatsSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("width", LongType, nullable = false),

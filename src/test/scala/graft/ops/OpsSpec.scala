@@ -696,6 +696,35 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.audioStats(Multimodal.syntheticMedia(docs)).count() === 0L)
   }
 
+  test("audio activity: planted silence and speech segments get the right window verdicts") {
+    // hand-built WAV: 320 silent samples (two windows), then 320 loud
+    // ones (two windows), then a 100-sample loud tail (partial window)
+    val n = 740
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val s: Short = if (i < 320) 0 else 900
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+        7L, "audio", bos.toByteArray,
+        org.apache.spark.sql.Row(0, 0, 0L, "audio/wav")))),
+      Multimodal.syntheticWavMedia(docs).schema)
+    val rows = Multimodal.audioActivity(media, windowSamples = 160, threshold = 600)
+      .collect().sortBy(_.getLong(1))
+    assert(rows.length === 5, s"ceil(740/160) windows expected, got ${rows.length}")
+    assert(rows.map(_.getBoolean(4)).toSeq === Seq(false, false, true, true, true))
+    assert(rows(0).getLong(3) === 0L && rows(2).getLong(3) === 900L * 160)
+    assert(rows(4).getLong(2) === 100L && rows(4).getLong(3) === 900L * 100)
+  }
+
   test("real GIF multi-frame decode: every frame's pixels round-trip exactly; frame count honored") {
     val media = Multimodal.syntheticGifMedia(docs)
     val rows = Multimodal.frameStats(media).collect()
