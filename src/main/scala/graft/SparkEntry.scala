@@ -1451,6 +1451,33 @@ object SparkEntry {
       // the oracle re-derives every window sum from the waveform formula
       Multimodal.audioActivity(Multimodal.syntheticWavMedia(t(s, dir, "documents")))
         .orderBy("media_id", "window_idx")),
+    "q_dsir_select" -> ((s, dir) => {
+      // DSIR: domain-match the corpus to the English seed slice by
+      // hashed-bigram importance weights, keep the top 100
+      val docs = t(s, dir, "documents")
+      graft.ops.Dsir.importanceSelect(docs, docs.where(col("lang") === "en"), k = 100)
+    }),
+    "q_semdedup" -> ((s, dir) =>
+      // SemDeDup over the planted-near-dup corpus: seed-centroid cells
+      // (shared with the IVF family, so fully replayable), within-cell
+      // cosine prune — per-vector keep/drop verdicts
+      Dedup.semanticDedup(embWithNearDups(s, dir), nCells = 16, tau = 0.95)
+        .orderBy("vec_id")),
+    "q_rolling_zscore" -> ((s, dir) =>
+      // trailing-window anomaly gate: each event scored against its
+      // user's previous <=10 values (self excluded), flagged at 2.5 sigma
+      graft.ops.TimeSeries.rollingZscore(
+          t(s, dir, "events"), "user_id", col("event_id"), col("value"))
+        .orderBy("user_id", "seq")),
+    "q_view_changes" -> ((s, dir) => {
+      // CDC read of the latest-per-key view between two log positions,
+      // answered from the log itself (one aggregate, no stored view)
+      val ev = t(s, dir, "events")
+      val mx = ev.agg(max("event_id")).head().getLong(0)
+      Changelog.changesBetween(ev, "user_id", "event_id", "value",
+          fromSeq = mx * 2 / 5, toSeq = mx * 4 / 5)
+        .orderBy("user_id")
+    }),
     "q_audio_decode" -> ((s, dir) =>
       // the AUDIO codec end-to-end: deterministic 16-bit PCM waveforms
       // are WAVE-encoded with the JDK writer, decoded back with
@@ -2374,6 +2401,57 @@ object SparkEntry {
         "list_sum(list_transform(generate_series(window_idx * 160, least(window_idx * 160 + 159, n - 1)), i -> abs((media_id * 31 + 17 * i) % 2003 - 1001))) AS sum_abs FROM w) " +
         "SELECT media_id, window_idx::BIGINT AS window_idx, n_in_window::BIGINT AS n_in_window, sum_abs::BIGINT AS sum_abs, " +
         "(sum_abs > 600 * n_in_window) AS active FROM s ORDER BY media_id, window_idx"),
+    "q_dsir_select" ->
+      // The full DSIR replay: portable md5 bucket (the hash-split
+      // convention), Laplace-smoothed target/source models, identical
+      // left-associated ln-ratio arithmetic, ordering on the ROUNDED
+      // weight (budget-select convention)
+      ("WITH toks AS MATERIALIZED (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM documents), " +
+        "fb AS MATERIALIZED (SELECT doc_id, lang, CAST(concat('0x', substring(md5(x.g), 1, 7)) AS BIGINT) % 4096 AS b FROM " +
+        "(SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1])) AS g FROM toks WHERE len(tk) >= 2) x), " +
+        "tot AS (SELECT count(*)::DOUBLE AS ns, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS nt FROM fb), " +
+        "cs AS (SELECT b, count(*) AS cs FROM fb GROUP BY 1), " +
+        "ct AS (SELECT b, count(*) AS ct FROM fb WHERE lang = 'en' GROUP BY 1), " +
+        "ratio AS (SELECT cs.b, ln((coalesce(ct.ct, 0) + 1.0) / ((SELECT nt FROM tot) + 4096.0)) - ln((cs.cs + 1.0) / ((SELECT ns FROM tot) + 4096.0)) AS r FROM cs LEFT JOIN ct USING (b)), " +
+        "dc AS (SELECT doc_id, b, count(*) AS n FROM fb GROUP BY 1, 2), " +
+        "w AS (SELECT doc_id, round(sum(n * r), 4) AS weight, sum(n)::BIGINT AS n_feats FROM dc JOIN ratio USING (b) GROUP BY 1) " +
+        "SELECT doc_id, weight, n_feats FROM w ORDER BY weight DESC, doc_id LIMIT 100"),
+    "q_semdedup" ->
+      // Replays the whole pipeline: the planted corpus, the first-16
+      // seed centroids, argmax-cosine cell assignment (ties to the
+      // higher cid, as in q_ann_ivf), the >maxCell guard, and the
+      // within-cell lower-id prune. Oracle-safe on this fixture for the
+      // q_embed_neardup reasons: planted pairs are exact scalar
+      // multiples (cos = 1), natural pairs top out near 0.45, so the
+      // tau = 0.95 verdicts sit nowhere near a float boundary.
+      ("WITH corpus AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x * 1.001 AS FLOAT)) FROM embeddings), " +
+        "c AS (SELECT vec_id AS cid, embedding AS cvec FROM corpus ORDER BY vec_id LIMIT 16), " +
+        "assign AS MATERIALIZED (SELECT e.vec_id, e.embedding, (SELECT cid FROM c ORDER BY list_cosine_similarity(c.cvec::DOUBLE[], e.embedding::DOUBLE[]) DESC, cid DESC LIMIT 1) AS cell FROM corpus e), " +
+        "big AS (SELECT cell FROM assign GROUP BY cell HAVING count(*) > 4096), " +
+        "small AS (SELECT * FROM assign WHERE cell NOT IN (SELECT cell FROM big)), " +
+        "dropped AS (SELECT DISTINCT b.vec_id FROM small a JOIN small b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95) " +
+        "SELECT vec_id, cell, vec_id NOT IN (SELECT vec_id FROM dropped) AS kept FROM assign ORDER BY vec_id"),
+    "q_rolling_zscore" ->
+      // sum_base, not mean_base: the fixture's 2-decimal values make
+      // window MEANS land exactly on 4-decimal half-way points where
+      // the engines' rounding rules diverge (FIXTURES.md "Rounding
+      // boundaries"); sums stay 2-decimal-exact
+      ("WITH s AS (SELECT user_id, event_id AS seq, value AS x, " +
+        "count(value) OVER w AS n_base, avg(value) OVER w AS mean_base, stddev_pop(value) OVER w AS sd_base " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)) " +
+        "SELECT user_id, seq, x AS value, round(mean_base * n_base, 4) AS sum_base, round(sd_base, 4) AS sd_base, n_base, " +
+        "CASE WHEN sd_base > 0 THEN round((x - mean_base) / sd_base, 4) END AS zscore " +
+        "FROM s WHERE n_base >= 5 AND abs(x - mean_base) >= 2.5 * sd_base AND abs(x - mean_base) > 0 ORDER BY user_id, seq"),
+    "q_view_changes" ->
+      ("WITH m AS (SELECT max(event_id) * 2 // 5 AS lo, max(event_id) * 4 // 5 AS hi FROM events), " +
+        "g AS (SELECT user_id, " +
+        "max(event_id) FILTER (WHERE event_id <= (SELECT lo FROM m)) AS old_seq, " +
+        "max_by(value, event_id) FILTER (WHERE event_id <= (SELECT lo FROM m)) AS old_value, " +
+        "max(event_id) AS new_seq, max_by(value, event_id) AS new_value " +
+        "FROM events WHERE event_id <= (SELECT hi FROM m) GROUP BY user_id) " +
+        "SELECT user_id, CASE WHEN old_seq IS NULL THEN 'insert' ELSE 'update' END AS op, " +
+        "old_seq, old_value, new_seq, new_value FROM g WHERE new_seq > (SELECT lo FROM m) ORDER BY user_id"),
     "q_audio_decode" ->
       ("WITH ids AS (SELECT doc_id AS media_id, 800 + doc_id % 400 AS n FROM documents WHERE doc_id % 3 = 2) " +
         "SELECT media_id, 8000::BIGINT AS sample_rate, 1::BIGINT AS channels, n::BIGINT AS n_samples, " +

@@ -1051,4 +1051,51 @@ object Dedup {
     sigs.unpersist(blocking = false)
     ck
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-then-prune
+    * semantic dedup. The corpus is partitioned by a coarse quantizer
+    * (the deterministic seed centroids shared with the IVF family —
+    * [[Similarity.seedCentroids]]/[[Similarity.cellAssign]], so the
+    * whole pipeline is replayable with no trained model); within each
+    * cell, a vector is dropped when a lower-id cell-mate has cosine
+    * ≥ `tau` to it. Unlike [[embeddingNearDup]] (which banded-LSH-pairs
+    * the corpus to REPORT near-dup pairs), this emits a per-vector
+    * keep/drop verdict — the form a pretraining pipeline consumes.
+    *
+    * Scale shape: assignment is one narrow pass (nCells cosines per
+    * row, no shuffle); pairing is an equi-join on the 8-byte cell id
+    * only — never all-pairs across cells. Cells over `maxCell` skip the
+    * pairwise stage entirely and keep all members (the hot-bucket guard
+    * every capped dedup here uses; at 100 TB you raise nCells ∝ N so
+    * expected cell size stays constant, exactly how the paper scales k).
+    * Pairwise cost within a cell is the algorithm as published — O(c²)
+    * bounded by maxCell².
+    */
+  def semanticDedup(
+      embeddings: DataFrame,
+      nCells: Int = 16,
+      tau: Double = 0.95,
+      maxCell: Int = 4096,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = Similarity.seedCentroids(embeddings, nCells, idCol, vecCol)
+    val assigned = embeddings
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        Similarity.cellAssign(col(vecCol), cents).as("cell"))
+      .persist()
+    val hot = assigned.groupBy("cell").count()
+      .where(col("count") > maxCell).select("cell")
+    val small = assigned.join(hot, Seq("cell"), "left_anti")
+    val dropped = small.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+      .join(small.select(col("cell"), col("id").as("id_b"), col("v").as("v_b")), Seq("cell"))
+      .where(col("id_a") < col("id_b") &&
+        Similarity.cosine(col("v_a"), col("v_b")) >= tau)
+      .select(col("id_b").as("id")).distinct()
+    val kept = assigned
+      .join(dropped.withColumn("__drop", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell"), col("__drop").isNull.as("kept"))
+    val ck = kept.localCheckpoint(true)
+    assigned.unpersist(blocking = false)
+    ck
+  }
 }

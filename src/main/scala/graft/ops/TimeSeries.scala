@@ -86,4 +86,53 @@ object TimeSeries {
       when(col("vy") > 0,
         round(col("cov") * col("cov") / (col("vx") * col("vy")), 4)).as("r2"))
   }
+
+  /** Per-key rolling z-score anomaly detection: each observation is
+    * scored against the trailing `lookback` observations (EXCLUDING
+    * itself — the score must not let the candidate pull its own
+    * baseline), and flagged when `|x − mean| ≥ z · stddev`. The classic
+    * streaming-telemetry outlier gate, as a batch operator.
+    *
+    * One keyed row-frame window — partitioned by `key`, so a
+    * 1000-executor cluster scores every key independently with a single
+    * hash partition exchange and no global sort. The frame is ROWS-based
+    * (not RANGE), so the baseline is the last-N observations regardless
+    * of event spacing; `minObs` suppresses scores until the baseline has
+    * enough support (early rows of a key are unscored, not
+    * zero-variance-flagged). Degenerate baselines (stddev = 0) flag any
+    * deviation iff it is nonzero, via the cross-multiplied form
+    * `|x − mean| ≥ z·sd` which needs no division and so has no
+    * divide-by-zero edge.
+    *
+    * Output: one row per FLAGGED observation — key, seq, value, the
+    * baseline (SUM + n, not the mean: per the FIXTURES.md rounding
+    * convention, sums of fixed-decimal inputs never sit on a rounding
+    * boundary where cross-engine half-way rules diverge; the mean is
+    * sum/n to the consumer), sd, and the signed z (null when sd = 0,
+    * mirroring [[Profile.outliers]]'s mad = 0 convention). */
+  def rollingZscore(
+      df: DataFrame,
+      key: String,
+      orderCol: Column,
+      value: Column,
+      lookback: Int = 10,
+      minObs: Int = 5,
+      z: Double = 2.5): DataFrame = {
+    val w = Window.partitionBy(key).orderBy("seq")
+      .rowsBetween(-lookback.toLong, -1L)
+    val scored = df.select(col(key), orderCol.as("seq"), value.cast("double").as("x"))
+      .withColumn("n_base", count(col("x")).over(w))
+      .withColumn("mean_base", avg(col("x")).over(w))
+      .withColumn("sd_base", stddev_pop(col("x")).over(w))
+    scored
+      .where(col("n_base") >= minObs &&
+        abs(col("x") - col("mean_base")) >= lit(z) * col("sd_base") &&
+        abs(col("x") - col("mean_base")) > 0) // sd = 0: only a NONZERO deviation flags
+      .select(col(key), col("seq"), col("x").as("value"),
+        round(col("mean_base") * col("n_base"), 4).as("sum_base"),
+        round(col("sd_base"), 4).as("sd_base"),
+        col("n_base"),
+        when(col("sd_base") > 0,
+          round((col("x") - col("mean_base")) / col("sd_base"), 4)).as("zscore"))
+  }
 }

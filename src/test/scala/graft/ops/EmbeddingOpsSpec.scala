@@ -201,4 +201,41 @@ class EmbeddingOpsSpec extends SparkSpec {
     val recall = (pq & exact).size
     assert(recall >= 7, s"pq recall@10 = $recall/10 (expected >= 7)")
   }
+
+  test("semanticDedup drops planted twins, keeps originals, verdicts cover the corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val n = emb.count()
+    val corpus = emb.unionByName(emb.select(
+      (col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"), x => (x * lit(1.001)).cast("float")).as("embedding")))
+    val r = Dedup.semanticDedup(corpus, nCells = 16, tau = 0.95).collect()
+    assert(r.length === 2 * n, "one verdict per corpus vector")
+    val kept = r.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    // every original survives (it is the lower id of its twin pair; the
+    // corpus has no natural pair above cosine ~0.45), every twin drops —
+    // a scalar multiple shares its source's cell under argmax cosine
+    assert((0L until n).forall(kept.contains), "all originals kept")
+    assert((0L until n).forall(id => !kept.contains(id + 10000)), "all twins dropped")
+  }
+
+  test("semanticDedup never compares across cells; oversize cells skip the prune") {
+    // two orthogonal blobs -> two cells (seeds 0 and 1, one per blob).
+    // tau = 0.9: within-blob vectors are near-parallel (drop), across
+    // blobs cosine ~ 0 (blind)
+    val pts = vecs(
+      0L -> Seq(1.0, 0.0, 0.01), 1L -> Seq(0.0, 1.0, 0.01),
+      2L -> Seq(1.0, 0.0, 0.02), 3L -> Seq(0.0, 1.0, 0.02),
+      4L -> Seq(1.0, 0.0, 0.03))
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val r = Dedup.semanticDedup(pts, nCells = 2, tau = 0.9, maxCell = 10)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(r === Map(0L -> true, 1L -> true, 2L -> false, 3L -> false, 4L -> false))
+    // maxCell below the blob size: the pairwise stage is skipped for
+    // every (hot) cell and the whole corpus survives — the capped-dedup
+    // guard, same semantics as embeddingNearDup's maxBucket
+    val capped = Dedup.semanticDedup(pts, nCells = 2, tau = 0.9, maxCell = 1)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(capped.values.forall(identity), "hot cells keep all members")
+  }
 }

@@ -260,4 +260,29 @@ class TextOpsSpec extends SparkSpec {
         minWords = 1).collect().head
     assert(e.getAs[Double]("ellipsis_ratio") === 0.6667)
   }
+
+  test("DSIR: target-like docs outweigh off-domain docs; featureless docs unscored") {
+    // target speaks "alpha beta gamma"; corpus mixes target-like docs,
+    // off-domain docs, and a one-token doc (no bigrams -> no score)
+    val target = Seq(
+      (100L, "alpha beta gamma alpha beta"),
+      (101L, "beta gamma alpha beta gamma")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma alpha beta gamma"), // on-domain
+      (2L, "delta epsilon zeta delta epsilon"),  // off-domain
+      (3L, "alpha beta delta epsilon"),          // mixed
+      (4L, "solo")                               // featureless
+    ).toDF("doc_id", "text")
+    val w = Dsir.importanceWeights(corpus, target)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!w.contains(4L), "a doc with < 2 tokens has no features")
+    assert(w(1L) > w(3L) && w(3L) > w(2L),
+      s"weights must order on-domain > mixed > off-domain, got $w")
+    assert(w(1L) > 0 && w(2L) < 0,
+      s"target bigrams score positive, unseen bigrams negative: $w")
+    // selection takes the top-k in (rounded weight, id) order
+    val sel = Dsir.importanceSelect(corpus, target, k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(sel === Seq(1L, 3L))
+  }
 }

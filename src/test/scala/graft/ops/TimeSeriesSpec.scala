@@ -37,4 +37,47 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.groupBy("user_id").count().orderBy("user_id")
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq === Seq((1L, 1L), (2L, 2L)))
   }
+
+  test("rollingZscore flags a planted spike against its trailing baseline only") {
+    // key 1: ten quiet observations around 10, then a spike, then quiet
+    // again — only the spike is flagged; the spike itself must not be
+    // part of its own baseline (frame excludes the current row)
+    val rows = (1 to 10).map(i => (1L, i.toLong, 10.0 + (i % 3) * 0.1)) ++
+      Seq((1L, 11L, 100.0)) ++ (12 to 15).map(i => (1L, i.toLong, 10.1))
+    val df = rows.toDF("k", "seq", "v")
+    val r = TimeSeries.rollingZscore(df, "k", col("seq"), col("v"),
+      lookback = 10, minObs = 5, z = 2.5).collect()
+    assert(r.map(_.getLong(1)).toSeq === Seq(11L))
+    val row = r.head
+    assert(row.getDouble(2) === 100.0)
+    assert(row.getLong(5) === 10L) // n_base: full lookback
+    assert(row.getDouble(6) > 100) // zscore of a 90-sigma-ish spike
+  }
+
+  test("rollingZscore suppresses early rows below minObs — no zero-variance noise") {
+    // first observations of a key have thin baselines; rows 1..minObs
+    // are unscorable by construction even when wildly different
+    val df = Seq((1L, 1L, 5.0), (1L, 2L, 500.0), (1L, 3L, 5.0), (1L, 4L, 500.0))
+      .toDF("k", "seq", "v")
+    val r = TimeSeries.rollingZscore(df, "k", col("seq"), col("v"), minObs = 5)
+    assert(r.count() === 0L)
+  }
+
+  test("rollingZscore zero-variance baseline: any nonzero deviation flags, zscore is null") {
+    val rows = (1 to 6).map(i => (1L, i.toLong, 7.0)) :+ ((1L, 7L, 7.5))
+    val df = rows.toDF("k", "seq", "v")
+    val r = TimeSeries.rollingZscore(df, "k", col("seq"), col("v"), minObs = 5).collect()
+    assert(r.map(_.getLong(1)).toSeq === Seq(7L))
+    assert(r.head.isNullAt(6)) // sd = 0 -> no finite z, the mad = 0 convention
+  }
+
+  test("rollingZscore baselines never cross keys") {
+    // key 1 quiet at 10, key 2 quiet at 1000: key 2's first value would
+    // be a huge outlier against key 1's baseline but must not be scored
+    // against it
+    val rows = (1 to 8).map(i => (1L, i.toLong, 10.0)) ++
+      (1 to 8).map(i => (2L, i.toLong, 1000.0))
+    val df = rows.toDF("k", "seq", "v")
+    assert(TimeSeries.rollingZscore(df, "k", col("seq"), col("v"), minObs = 5).count() === 0L)
+  }
 }

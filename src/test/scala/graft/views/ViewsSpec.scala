@@ -239,4 +239,34 @@ class ViewsSpec extends SparkSpec {
     append(db, (1L, "x"))
     assert(db.view("idx").viewDef.version === 1)
   }
+
+  private def changelogFixture = {
+    import spark.implicits._
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 11.0),
+      (4L, "c", 30.0), (5L, "a", 12.0), (6L, "b", 21.0))
+      .toDF("seq", "k", "v")
+  }
+
+  test("Changelog.changesBetween: insert vs update, old/new images, untouched keys dropped") {
+    val r = Changelog.changesBetween(changelogFixture, "k", "seq", "v", fromSeq = 2, toSeq = 5)
+      .orderBy("k").collect()
+      .map(x => (x.getString(0), x.getString(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2),
+        if (x.isNullAt(3)) -1.0 else x.getDouble(3),
+        x.getLong(4), x.getDouble(5)))
+    assert(r.toSeq === Seq(
+      ("a", "update", 1L, 10.0, 5L, 12.0),  // seen before `from`, changed in window
+      ("c", "insert", -1L, -1.0, 4L, 30.0)  // first appearance inside the window
+    )) // b's last change (seq 2) predates the window -> absent
+  }
+
+  test("Changelog.changesBetween: empty window is empty; from=-1 replays latest-per-key as inserts") {
+    val df = changelogFixture
+    assert(Changelog.changesBetween(df, "k", "seq", "v", 4, 4).count() === 0L)
+    val full = Changelog.changesBetween(df, "k", "seq", "v", -1L, 6L)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(4), x.getDouble(5))).toSet
+    // the full-range changelog IS the hashtable view's state, all inserts
+    assert(full === Set(("a", "insert", 5L, 12.0), ("b", "insert", 6L, 21.0),
+      ("c", "insert", 4L, 30.0)))
+  }
 }
