@@ -1463,6 +1463,14 @@ object SparkEntry {
       // cosine prune — per-vector keep/drop verdicts
       Dedup.semanticDedup(embWithNearDups(s, dir), nCells = 16, tau = 0.95)
         .orderBy("vec_id")),
+    "q_semdedup_incremental" -> ((s, dir) => {
+      // the recurring form: a perturbed batch dedups against the STORED
+      // IVF corpus — only the touched cell partitions are read
+      val batch = t(s, dir, "embeddings").select(
+        (col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(1.001)).cast("float")).as("embedding"))
+      ivfIndex(s, dir).dedupBatch(batch, tau = 0.95).orderBy("vec_id")
+    }),
     "q_rolling_zscore" -> ((s, dir) =>
       // trailing-window anomaly gate: each event scored against its
       // user's previous <=10 values (self excluded), flagged at 2.5 sigma
@@ -2432,6 +2440,19 @@ object SparkEntry {
         "dropped AS (SELECT DISTINCT b.vec_id FROM small a JOIN small b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
         "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95) " +
         "SELECT vec_id, cell, vec_id NOT IN (SELECT vec_id FROM dropped) AS kept FROM assign ORDER BY vec_id"),
+    "q_semdedup_incremental" ->
+      // Same determinism argument as q_semdedup/q_ann_ivf: stored seeds
+      // are the first-16 corpus vectors, both sides' assignments replay
+      // as argmax-cosine CTEs, and the tau verdicts are far from any
+      // float boundary on this fixture
+      ("WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16), " +
+        "corp AS MATERIALIZED (SELECT e.vec_id, e.embedding, (SELECT cid FROM c ORDER BY list_cosine_similarity(c.cvec::DOUBLE[], e.embedding::DOUBLE[]) DESC, cid DESC LIMIT 1) AS cell FROM embeddings e), " +
+        "b AS (SELECT vec_id + 10000 AS vec_id, list_transform(embedding, x -> CAST(x * 1.001 AS FLOAT)) AS embedding FROM embeddings), " +
+        "bat AS MATERIALIZED (SELECT b2.vec_id, b2.embedding, (SELECT cid FROM c ORDER BY list_cosine_similarity(c.cvec::DOUBLE[], b2.embedding::DOUBLE[]) DESC, cid DESC LIMIT 1) AS cell FROM b b2), " +
+        "vsbase AS (SELECT bat.vec_id, min(corp.vec_id) AS d1 FROM bat JOIN corp ON bat.cell = corp.cell AND list_cosine_similarity(bat.embedding::DOUBLE[], corp.embedding::DOUBLE[]) >= 0.95 GROUP BY 1), " +
+        "vsself AS (SELECT b2.vec_id, min(b1.vec_id) AS d2 FROM bat b1 JOIN bat b2 ON b1.cell = b2.cell AND b1.vec_id < b2.vec_id AND list_cosine_similarity(b1.embedding::DOUBLE[], b2.embedding::DOUBLE[]) >= 0.95 GROUP BY 1) " +
+        "SELECT bat.vec_id, bat.cell, (d1 IS NULL AND d2 IS NULL) AS kept, least(d1, d2) AS dup_of " +
+        "FROM bat LEFT JOIN vsbase USING (vec_id) LEFT JOIN vsself USING (vec_id) ORDER BY vec_id"),
     "q_rolling_zscore" ->
       // sum_base, not mean_base: the fixture's 2-decimal values make
       // window MEANS land exactly on 4-decimal half-way points where

@@ -102,6 +102,49 @@ final class IVFIndexView(
       .limit(k)
   }
 
+  /** Incremental SemDeDup ([[graft.ops.Dedup.semanticDedup]]'s
+    * recurring form): keep/drop verdicts for a NEW batch against the
+    * STORED corpus. Batch vectors assign to the FIXED quantizer; only
+    * the touched cells' partitions are read (an `isin` over ≤
+    * nCentroids cell ids — directory pruning, so the recurring cost is
+    * ∝ batch × mean cell size, never the corpus: the same contract as
+    * `minhashLshIncrementalStored`). A batch vector drops when a
+    * stored cell-mate has cosine ≥ `tau` (the stored copy is always
+    * canonical) or a lower-id batch cell-mate does; `dup_of` is the
+    * lowest such id. Equivalent to from-scratch semanticDedup over
+    * corpus ∪ batch whenever stored ids precede batch ids and the
+    * seeds coincide — `PersistenceSpec` pins that parity.
+    *
+    * Output: (idCol, cell, kept, dup_of) — one verdict per batch row. */
+  def dedupBatch(batch: DataFrame, tau: Double): DataFrame = {
+    val cs = centroids()
+    val assigned = batch
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        Similarity.cellAssign(col(vecCol), cs).as("cell"))
+      .persist()
+    val touched = assigned.select("cell").distinct()
+      .collect().map(_.getLong(0)) // ≤ nCentroids values — driver-safe
+    val base = frame.where(col("cell").isin(touched.toIndexedSeq: _*))
+      .select(col("cell"), col(idCol).as("bid"), col(vecCol).as("bv"))
+    val vsBase = assigned.join(base, Seq("cell"))
+      .where(Similarity.cosine(col("v"), col("bv")) >= tau)
+      .groupBy("id").agg(min("bid").as("__dupBase"))
+    val vsSelf = assigned.select(col("cell"), col("id").as("ida"), col("v").as("va"))
+      .join(assigned.select(col("cell"), col("id"), col("v").as("vb")), Seq("cell"))
+      .where(col("ida") < col("id") &&
+        Similarity.cosine(col("va"), col("vb")) >= tau)
+      .groupBy("id").agg(min("ida").as("__dupSelf"))
+    val out = assigned
+      .join(vsBase, Seq("id"), "left")
+      .join(vsSelf, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell"),
+        (col("__dupBase").isNull && col("__dupSelf").isNull).as("kept"),
+        least(col("__dupBase"), col("__dupSelf")).as("dup_of"))
+    val ck = out.localCheckpoint(true)
+    assigned.unpersist(blocking = false)
+    ck
+  }
+
   /** Delta reads keep `cell` (and `batch`) as discovered partition
     * columns so filters on them stay directory pruning. */
   override protected def readDeltas(dirs: Seq[java.nio.file.Path]): DataFrame =

@@ -386,6 +386,42 @@ class PersistenceSpec extends SparkSpec {
     assert(read < total, s"probe must prune cell dirs after compaction: read $read of $total")
   }
 
+  test("IVF dedupBatch: incremental SemDeDup == from-scratch on the union; cell reads prune") {
+    val viewDir = Files.createTempDirectory("graft-ivfdedup").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val n = emb.count()
+    val v = new IVFIndexView(spark, s"$viewDir/ivf", 1, "vec_id", "embedding", 16)
+    v.absorb(emb, 1L)
+    val batch = emb.select((col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"), x => (x * lit(1.001)).cast("float")).as("embedding"))
+    val got = v.dedupBatch(batch, tau = 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got.size === n, "one verdict per batch row")
+    // every twin drops against its stored original (the canonical copy)
+    got.foreach { case (id, (_, kept, dupOf)) =>
+      assert(!kept && dupOf === id - 10000, s"twin $id must drop against ${id - 10000}")
+    }
+    // parity with from-scratch semanticDedup over corpus ∪ batch: stored
+    // ids precede batch ids and the seeds coincide (first 16 by id), so
+    // the incremental verdicts must be the union run's, restricted to
+    // the batch
+    val scratch = graft.ops.Dedup.semanticDedup(
+        emb.unionByName(batch), nCells = 16, tau = 0.95)
+      .where(col("vec_id") >= 10000)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    got.foreach { case (id, (cell, kept, _)) =>
+      assert(scratch(id) === ((cell, kept)), s"verdict parity for $id")
+    }
+    // the base read is an isin over the touched cells — directory
+    // pruning over the stored per-cell layout (the recurring-cost
+    // contract: a one-cell batch reads one cell)
+    val oneCell = v.frame.where(col("cell").isin(got(10000L)._1))
+    val (total, read) = graft.sources.Layout.pruningCounts(v.frame, oneCell)
+    assert(total >= 8 && read <= 2, s"one-cell probe must prune: read $read of $total")
+  }
+
   test("log method passthrough with collision protection (index.js:270-283)") {
     val log = new MemoryLog(spark, schema) {
       override def methods: Map[String, Seq[Any] => Any] =
