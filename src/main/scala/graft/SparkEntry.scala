@@ -1463,6 +1463,27 @@ object SparkEntry {
       // cosine prune — per-vector keep/drop verdicts
       Dedup.semanticDedup(embWithNearDups(s, dir), nCells = 16, tau = 0.95)
         .orderBy("vec_id")),
+    "q_image_phash" -> ((s, dir) =>
+      // dHash over the REAL decode of the textured PNG fixture; emitted
+      // as two 32-bit halves (both engines overflow assembling bit 63)
+      Multimodal.perceptualHash(
+          Multimodal.syntheticTexturePngMedia(t(s, dir, "documents")))
+        .select(col("media_id"),
+          shiftrightunsigned(col("phash"), 32).as("ph_hi"),
+          col("phash").bitwiseAND(lit(0xFFFFFFFFL)).as("ph_lo"))
+        .orderBy("media_id")),
+    "q_image_phash_neardup" -> ((s, dir) => {
+      // planted brightness-shifted copies (+5 mod 256, ids +30000)
+      // against the originals: pigeonhole segment join + bit_count
+      // verify — exact at these SFs (no segment bucket nears the cap)
+      val base = Multimodal.syntheticTexturePngMedia(t(s, dir, "documents"))
+      val shifted = Multimodal.syntheticTexturePngMedia(
+        t(s, dir, "documents"), shift = 5, idOffset = 30000L)
+      Multimodal.perceptualNearDup(
+          Multimodal.perceptualHash(base.unionByName(shifted)))
+        .withColumn("hamming", col("hamming").cast("bigint"))
+        .orderBy("id_a", "id_b")
+    }),
     "q_semdedup_incremental" -> ((s, dir) => {
       // the recurring form: a perturbed batch dedups against the STORED
       // IVF corpus — only the touched cell partitions are read
@@ -2440,6 +2461,41 @@ object SparkEntry {
         "dropped AS (SELECT DISTINCT b.vec_id FROM small a JOIN small b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
         "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95) " +
         "SELECT vec_id, cell, vec_id NOT IN (SELECT vec_id FROM dropped) AS kept FROM assign ORDER BY vec_id"),
+    "q_image_phash" ->
+      // PNG is lossless, so the decoded gray channel IS the mixer
+      // formula and every dHash bit re-derives in integers: nearest
+      // sample coords, multiply + double-xor-fold pixel, right-neighbor
+      // comparison, bits assembled into two 32-bit halves
+      ("WITH ids AS (SELECT doc_id AS media_id, doc_id AS oid, 0 AS sh, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h FROM documents WHERE doc_id % 3 = 0), " +
+        "args AS (SELECT media_id, sh, k, " +
+        "(oid * 31 + 7 * (((k % 8) * w) // 9) + 13 * (((k // 8) * h) // 8)) * 2654435761 AS ma, " +
+        "(oid * 31 + 7 * ((((k % 8) + 1) * w) // 9) + 13 * (((k // 8) * h) // 8)) * 2654435761 AS mb " +
+        "FROM ids, (SELECT unnest(generate_series(0, 63)) AS k)), " +
+        "bits AS (SELECT media_id, k, CASE WHEN (xor(xor(mb, mb // 32768), mb // 1073741824) + sh) % 256 > (xor(xor(ma, ma // 32768), ma // 1073741824) + sh) % 256 THEN 1::BIGINT ELSE 0::BIGINT END AS bit FROM args) " +
+        "SELECT media_id, sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)::BIGINT AS ph_hi, " +
+        "sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)::BIGINT AS ph_lo " +
+        "FROM bits GROUP BY 1 ORDER BY media_id"),
+    "q_image_phash_neardup" ->
+      // the full near-dup replay: formula phashes for originals AND the
+      // +5-brightness copies, the same 8x8-bit pigeonhole segments, the
+      // >maxBucket drop, candidate join, bit_count verify
+      ("WITH ids AS (SELECT doc_id AS media_id, doc_id AS oid, 0 AS sh, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h FROM documents WHERE doc_id % 3 = 0 " +
+        "UNION ALL SELECT doc_id + 30000, doc_id, 5, 16 + doc_id % 16, 16 + doc_id % 8 FROM documents WHERE doc_id % 3 = 0), " +
+        "args AS (SELECT media_id, sh, k, " +
+        "(oid * 31 + 7 * (((k % 8) * w) // 9) + 13 * (((k // 8) * h) // 8)) * 2654435761 AS ma, " +
+        "(oid * 31 + 7 * ((((k % 8) + 1) * w) // 9) + 13 * (((k // 8) * h) // 8)) * 2654435761 AS mb " +
+        "FROM ids, (SELECT unnest(generate_series(0, 63)) AS k)), " +
+        "bits AS (SELECT media_id, k, CASE WHEN (xor(xor(mb, mb // 32768), mb // 1073741824) + sh) % 256 > (xor(xor(ma, ma // 32768), ma // 1073741824) + sh) % 256 THEN 1::BIGINT ELSE 0::BIGINT END AS bit FROM args), " +
+        "ph AS MATERIALIZED (SELECT media_id, sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)::BIGINT AS hi, " +
+        "sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)::BIGINT AS lo FROM bits GROUP BY 1), " +
+        "seg AS MATERIALIZED (SELECT media_id, s, CASE WHEN s < 4 THEN (lo // (1::BIGINT << (8 * s))) % 256 ELSE (hi // (1::BIGINT << (8 * (s - 4)))) % 256 END AS segval " +
+        "FROM ph, (SELECT unnest(generate_series(0, 7)) AS s)), " +
+        "hot AS (SELECT s, segval FROM seg GROUP BY 1, 2 HAVING count(*) > 256), " +
+        "kept AS (SELECT * FROM seg ANTI JOIN hot USING (s, segval)), " +
+        "cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b FROM kept a JOIN kept b ON a.s = b.s AND a.segval = b.segval AND a.media_id < b.media_id) " +
+        "SELECT id_a, id_b, (bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)))::BIGINT AS hamming " +
+        "FROM cand JOIN ph pa ON pa.media_id = id_a JOIN ph pb ON pb.media_id = id_b " +
+        "WHERE bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)) <= 7 ORDER BY id_a, id_b"),
     "q_semdedup_incremental" ->
       // Same determinism argument as q_semdedup/q_ann_ivf: stored seeds
       // are the first-16 corpus vectors, both sides' assignments replay

@@ -604,4 +604,123 @@ object Multimodal {
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "frame_bytes")
       .withColumn("frame_md5", md5(col("frame_bytes")))
+
+  /** Textured PNG fixture for the perceptual-hash family: pixel values
+    * come from a multiply + double-xor-fold integer mixer, so distinct
+    * images hash ~independently (the smooth-ramp fixtures are
+    * brightness-shifted copies of each other under any gradient hash —
+    * every same-size pair collides). `shift` brightens every pixel by a
+    * constant mod 256: the dHash-invariant perturbation except where
+    * values wrap, which is exactly the "slightly edited copy" a
+    * perceptual near-dup pass must catch. `idOffset` relabels ids while
+    * keeping dims and texture keyed to the ORIGINAL id, so (id,
+    * id + offset) are planted near-dup pairs. */
+  def syntheticTexturePngMedia(docs: DataFrame, idCol: String = "doc_id",
+      shift: Int = 0, idOffset: Long = 0L): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol)).where(col(idCol) % 3 === 0).rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = 16 + (id % 16).toInt
+        val h = 16 + (id % 8).toInt
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val a = id * 31 + 7L * x + 13L * y
+            val m = a * 2654435761L
+            val v = (m ^ (m >> 15) ^ (m >> 30)) + shift
+            raster.setSample(x, y, 0, java.lang.Math.floorMod(v, 256L).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id + idOffset, "image", bos.toByteArray, Row(w, h, 0L, "image/png"))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  private val phashSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("phash", LongType, nullable = false)))
+
+  /** dHash perceptual fingerprint (difference hash — the public aHash/
+    * dHash family used by large-scale image dedup pipelines): decode,
+    * nearest-neighbor downsample the gray channel to (hashW+1)×hashH,
+    * and set one bit per cell for "right neighbor brighter" — a 64-bit
+    * signature invariant to resizing and global brightness shifts
+    * (modulo wrap), cheap enough to compute at ingest and store as a
+    * bucket key. Narrow partition-batched decode, no shuffle; rows that
+    * do not decode are dropped. */
+  def perceptualHash(media: DataFrame, hashW: Int = 8, hashH: Int = 8): DataFrame = {
+    require(hashW * hashH <= 64, s"hash must fit 64 bits, got ${hashW}x$hashH")
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        decodeImage(r.getAs[Array[Byte]]("content")).map { img =>
+          val w = img.getWidth; val h = img.getHeight
+          // raw band-0 samples, NOT getRGB: the gray->sRGB color map is
+          // monotone but not injective, so it collapses near-tie
+          // neighbors and flips comparison bits (imageStats' choice,
+          // for the same exactness reason)
+          val raster = img.getRaster
+          var hash = 0L
+          var y = 0
+          while (y < hashH) {
+            val sy = y * h / hashH
+            var x = 0
+            while (x < hashW) {
+              val pa = raster.getSample(x * w / (hashW + 1), sy, 0)
+              val pb = raster.getSample((x + 1) * w / (hashW + 1), sy, 0)
+              if (pb > pa) hash |= 1L << (y * hashW + x)
+              x += 1
+            }
+            y += 1
+          }
+          Row(r.getLong(0), hash)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, phashSchema)
+  }
+
+  /** Perceptual near-dup pairs from a stored `(media_id, phash)` table:
+    * pigeonhole segment join (the [[graft.ops.Dedup.simhashDedup]]
+    * scheme — `maxHamming + 1` segments tiling the 64 bits, so any pair
+    * within the distance shares ≥ 1 whole segment and the candidate
+    * join shuffles 8-byte keys), verified by `bit_count(xor)`. EXACT
+    * except for segment buckets over `maxBucket` (dropped whole — the
+    * standard hot-bucket trade; mixer-textured corpora never approach
+    * it, flat-image corpora would). */
+  def perceptualNearDup(
+      hashes: DataFrame,
+      maxHamming: Int = 7,
+      maxBucket: Int = 256): DataFrame = {
+    val nSeg = maxHamming + 1
+    require(64 % nSeg == 0, s"maxHamming + 1 = $nSeg must divide 64 to tile the hash")
+    val segBits = 64 / nSeg
+    val segmented = hashes.select(
+      col("media_id").as("id"), col("phash"),
+      posexplode(array((0 until nSeg).map(s =>
+        shiftright(col("phash"), s * segBits).bitwiseAND(lit((1L << segBits) - 1))): _*)))
+      .withColumnRenamed("pos", "seg").withColumnRenamed("col", "segval")
+    val hot = segmented.groupBy("seg", "segval").count()
+      .where(col("count") > maxBucket).select("seg", "segval")
+    val kept = segmented.join(hot, Seq("seg", "segval"), "left_anti")
+    kept.select(col("seg"), col("segval"), col("id").as("id_a"), col("phash").as("ph_a"))
+      .join(kept.select(col("seg"), col("segval"), col("id").as("id_b"), col("phash").as("ph_b")),
+        Seq("seg", "segval"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

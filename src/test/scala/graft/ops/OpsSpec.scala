@@ -948,4 +948,56 @@ class OpsSpec extends SparkSpec {
     val const = (1 to 10).map(_ => ("c", 5.0)).toDF("grp", "v")
     assert(Profile.outliers(const, "grp", "v").collect().isEmpty)
   }
+
+  private def grayPng(id: Long, w: Int, h: Int, f: (Int, Int) => Int) = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, f(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    org.apache.spark.sql.Row(id, "image", bos.toByteArray,
+      org.apache.spark.sql.Row(w, h, 0L, "image/png"))
+  }
+
+  test("perceptual dHash: wrap-free brightness shift is invariant; planted copies stay near") {
+    // the defining perceptual property: +5 brightness with no mod-256
+    // wrap preserves every neighbor comparison -> IDENTICAL hash
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        grayPng(1L, 20, 20, (x, y) => (7 * x + 3 * y) % 200),
+        grayPng(2L, 20, 20, (x, y) => (7 * x + 3 * y) % 200 + 5))),
+      Multimodal.mediaSchema)
+    val ph = Multimodal.perceptualHash(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ph(1L) === ph(2L), "no-wrap brightness shift must not move the hash")
+    // textured fixture: each +5-mod-256 copy lands within the radius of
+    // its original for >= 90% of images (wrap-heavy outliers excepted)
+    val base = Multimodal.syntheticTexturePngMedia(docs)
+    val shifted = Multimodal.syntheticTexturePngMedia(docs, shift = 5, idOffset = 30000L)
+    val pairs = Multimodal.perceptualNearDup(
+        Multimodal.perceptualHash(base.unionByName(shifted)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nImgs = base.count()
+    val recalled = pairs.count { case (a, b) => b == a + 30000L }
+    assert(recalled >= (nImgs * 9) / 10, s"planted recall $recalled/$nImgs")
+  }
+
+  test("perceptualNearDup: pigeonhole candidates == exhaustive hamming pairs; hot buckets drop") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val baseHashes = (0L until 200L).map(i => (i, rnd.nextLong()))
+    val near = (0L until 20L).map(i => // 1-bit-flipped copies of the first 20
+      (1000L + i, baseHashes(i.toInt)._2 ^ (1L << rnd.nextInt(64))))
+    val hashes = baseHashes ++ near
+    val hs = hashes.toDF("media_id", "phash")
+    val got = Multimodal.perceptualNearDup(hs, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exhaustive = (for {
+      Seq((a, ha), (b, hb)) <- hashes.combinations(2)
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 7
+    } yield (math.min(a, b), math.max(a, b), d)).toSet
+    assert(got === exhaustive, "segment join must be pigeonhole-complete and verified-exact")
+    // a degenerate corpus (one hash everywhere) trips the cap -> no pairs
+    val flat = (0L until 300L).map(i => (i, 0L)).toDF("media_id", "phash")
+    assert(Multimodal.perceptualNearDup(flat, maxHamming = 7, maxBucket = 64).count() === 0L)
+  }
 }
