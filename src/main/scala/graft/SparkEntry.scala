@@ -1688,6 +1688,27 @@ object SparkEntry {
         .select(col("user_id"), col("n"), round(col("mean") * col("n"), 4).as("sum_v"))
         .orderBy("user_id")
     }),
+    "q_stream_anomaly" -> ((s, dir) => {
+      // the rolling z-score gate as LIVE per-key state: a trailing ring
+      // buffer scores each arriving event, emitting only anomalies
+      // (Append). One-file source = one batch = exact batch semantics,
+      // so q_rolling_zscore's oracle is this query's oracle too.
+      val schema = t(s, dir, "events").schema
+      val name = s"stream_anom_${streamIds.incrementAndGet()}"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val q = graft.streaming.StreamingViews
+          .rollingAnomalyPerKey(src, "user_id", "event_id", "value")
+          .toDF("user_id", "seq", "value", "sum_base", "sd_base", "n_base", "zscore")
+          .writeStream.format("memory").queryName(name)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.table(name).orderBy("user_id", "seq")
+    }),
     "q_stream_left_join" -> ((s, dir) => {
       // LEFT OUTER stream-stream interval join: unmatched purchases
       // surface with a null click once the watermark closes their join
@@ -2514,6 +2535,15 @@ object SparkEntry {
       // window MEANS land exactly on 4-decimal half-way points where
       // the engines' rounding rules diverge (FIXTURES.md "Rounding
       // boundaries"); sums stay 2-decimal-exact
+      ("WITH s AS (SELECT user_id, event_id AS seq, value AS x, " +
+        "count(value) OVER w AS n_base, avg(value) OVER w AS mean_base, stddev_pop(value) OVER w AS sd_base " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)) " +
+        "SELECT user_id, seq, x AS value, round(mean_base * n_base, 4) AS sum_base, round(sd_base, 4) AS sd_base, n_base, " +
+        "CASE WHEN sd_base > 0 THEN round((x - mean_base) / sd_base, 4) END AS zscore " +
+        "FROM s WHERE n_base >= 5 AND abs(x - mean_base) >= 2.5 * sd_base AND abs(x - mean_base) > 0 ORDER BY user_id, seq"),
+    "q_stream_anomaly" ->
+      // identical to q_rolling_zscore: the streaming gate re-derives the
+      // batch answer (one-file source, in-seq processing, same rounding)
       ("WITH s AS (SELECT user_id, event_id AS seq, value AS x, " +
         "count(value) OVER w AS n_base, avg(value) OVER w AS mean_base, stddev_pop(value) OVER w AS sd_base " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)) " +

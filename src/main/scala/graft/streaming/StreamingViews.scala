@@ -133,6 +133,69 @@ object StreamingViews {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  /** Trailing-window state for [[rollingAnomalyPerKey]]: the last
+    * `lookback` values of one key, in seq order. */
+  final case class TrailingWindow(vals: Seq[Double])
+
+  /** One flagged observation — schema-aligned with the batch
+    * [[graft.ops.TimeSeries.rollingZscore]] so both share an oracle. */
+  final case class AnomalyHit(key: Long, seq: Long, value: Double,
+      sum_base: Double, sd_base: Double, n_base: Long, zscore: Option[Double])
+
+  // Spark's Round(double, 4): BigDecimal.valueOf + HALF_UP — shared so
+  // the streaming emission rounds exactly like the batch plan
+  private def r4(d: Double): Double =
+    java.math.BigDecimal.valueOf(d).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** The [[graft.ops.TimeSeries.rollingZscore]] anomaly gate as per-key
+    * streaming state (`flatMapGroupsWithState`, Append): a ring buffer
+    * of each key's trailing `lookback` values scores every arriving
+    * observation against its own history and emits ONLY the flagged
+    * ones — the live-telemetry form, state O(lookback) per key, no
+    * window re-scan per micro-batch. Rows are processed in `seqCol`
+    * order within each batch (sorted here); across batches the source
+    * must deliver per-key in seq order — the log stream source
+    * contract (`README.md:222`), same assumption as every view. */
+  def rollingAnomalyPerKey(
+      stream: DataFrame,
+      keyCol: String,
+      seqCol: String,
+      valueCol: String,
+      lookback: Int = 10,
+      minObs: Int = 5,
+      z: Double = 2.5): Dataset[AnomalyHit] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col(keyCol).cast("long"), col(seqCol).cast("long"),
+        col(valueCol).cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TrailingWindow, AnomalyHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[TrailingWindow]) =>
+          var vals = state.getOption.fold(Vector.empty[Double])(_.vals.toVector)
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyHit]
+          rows.toSeq.sortBy(_._2).foreach { case (_, seq, x) =>
+            val n = vals.length
+            if (n >= minObs) {
+              var sum = 0.0
+              vals.foreach(sum += _)
+              val mean = sum / n
+              var m2 = 0.0
+              vals.foreach(v => m2 += (v - mean) * (v - mean))
+              val sd = math.sqrt(m2 / n)
+              val dev = math.abs(x - mean)
+              if (dev >= z * sd && dev > 0)
+                out += AnomalyHit(key, seq, x, r4(mean * n), r4(sd), n,
+                  if (sd > 0) Some(r4((x - mean) / sd)) else None)
+            }
+            vals = (vals :+ x).takeRight(lookback)
+          }
+          state.update(TrailingWindow(vals))
+          out.iterator
+      }
+  }
+
   /** Custom incremental state via mapGroupsWithState: running
     * count/mean/M2 per key, merged with Welford — the streaming analog of
     * the reduce view, keyed. Demonstrates arbitrary user state where

@@ -859,4 +859,43 @@ class StreamingSpec extends SparkSpec {
     val v3 = new graft.views.SignatureTableView(spark, s"$viewDir/s", 2, "doc_id", "text")
     assert(v3.since === -1L && v3.frameOption.isEmpty)
   }
+
+  test("streaming anomaly gate: ring buffer carries across batches, equals the batch operator") {
+    val kvSchema = StructType(Seq(
+      StructField("k", LongType), StructField("s", LongType), StructField("v", DoubleType)))
+    val log = new MemoryLog(spark, kvSchema)
+    // batch 1: a quiet baseline for key 1 — too thin to flag anything
+    val quiet = (1 to 7).map(i => Row(1L, i.toLong, 10.0 + (i % 3) * 0.1))
+    log.appendRows(quiet)
+    val hits = StreamingViews.rollingAnomalyPerKey(
+      log.readStream.select("k", "s", "v"), "k", "s", "v")
+    val q = hits.writeStream.format("memory").queryName("anom_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("anom_test").count() === 0L, "baseline alone flags nothing")
+      // batch 2: the spike arrives LATER — it must be scored against
+      // state carried from batch 1, not against an empty buffer
+      log.appendRows(Seq(Row(1L, 8L, 500.0), Row(1L, 9L, 10.1)))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT key, seq, value FROM anom_test ORDER BY seq")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.toSeq === Seq((1L, 8L, 500.0)), s"only the spike flags, got ${got.toSeq}")
+      // parity: the streaming emissions equal the batch operator over
+      // the same totally-ordered data (same flags, same rounded stats)
+      val all = quiet ++ Seq(Row(1L, 8L, 500.0), Row(1L, 9L, 10.1))
+      val batchDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(all.toIndexedSeq), kvSchema)
+      val batch = graft.ops.TimeSeries.rollingZscore(batchDf, "k", col("s"), col("v"))
+        .orderBy("seq").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getLong(5)))
+      val stream = spark.sql(
+        "SELECT key, seq, value, sum_base, sd_base, n_base FROM anom_test ORDER BY seq")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getLong(5)))
+      assert(stream.toSeq === batch.toSeq, "streaming emissions == batch rollingZscore")
+    } finally q.stop()
+  }
 }

@@ -260,6 +260,35 @@ class ViewsSpec extends SparkSpec {
     )) // b's last change (seq 2) predates the window -> absent
   }
 
+  test("Changelog.changesBetween equals a driver-side recompute on random logs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 3) {
+      val n = 40 + rnd.nextInt(40)
+      val rows = (1 to n).map(i => (i.toLong, s"k${rnd.nextInt(8)}", rnd.nextInt(100).toDouble))
+      val a = rnd.nextInt(n).toLong
+      val b = a + rnd.nextInt(n - a.toInt + 1)
+      val got = Changelog.changesBetween(rows.toDF("seq", "k", "v"), "k", "seq", "v", a, b)
+        .collect().map(r => (r.getString(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1.0 else r.getDouble(3), r.getLong(4), r.getDouble(5))).toSet
+      val want = rows.filter(_._1 <= b).groupBy(_._2).flatMap { case (k, es) =>
+        val newest = es.maxBy(_._1)
+        if (newest._1 <= a) None
+        else {
+          val old = es.filter(_._1 <= a) match {
+            case Seq() => None
+            case seen  => Some(seen.maxBy(_._1))
+          }
+          Some((k, if (old.isEmpty) "insert" else "update",
+            old.map(_._1).getOrElse(-1L), old.map(_._3).getOrElse(-1.0),
+            newest._1, newest._3))
+        }
+      }.toSet
+      assert(got === want, s"round $round (a=$a b=$b)")
+    }
+  }
+
   test("Changelog.changesBetween: empty window is empty; from=-1 replays latest-per-key as inserts") {
     val df = changelogFixture
     assert(Changelog.changesBetween(df, "k", "seq", "v", 4, 4).count() === 0L)
