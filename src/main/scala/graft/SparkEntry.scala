@@ -1498,6 +1498,12 @@ object SparkEntry {
       graft.ops.TimeSeries.rollingZscore(
           t(s, dir, "events"), "user_id", col("event_id"), col("value"))
         .orderBy("user_id", "seq")),
+    "q_ewma" -> ((s, dir) =>
+      // truncated exponential smoothing per user: geometric weights over
+      // the trailing 10 observations, normalized by realized weight mass
+      graft.ops.TimeSeries.ewma(
+          t(s, dir, "events"), "user_id", col("event_id"), col("value"))
+        .orderBy("user_id", "seq")),
     "q_view_changes" -> ((s, dir) => {
       // CDC read of the latest-per-key view between two log positions,
       // answered from the log itself (one aggregate, no stored view)
@@ -2550,6 +2556,14 @@ object SparkEntry {
         "SELECT user_id, seq, x AS value, round(mean_base * n_base, 4) AS sum_base, round(sd_base, 4) AS sd_base, n_base, " +
         "CASE WHEN sd_base > 0 THEN round((x - mean_base) / sd_base, 4) END AS zscore " +
         "FROM s WHERE n_base >= 5 AND abs(x - mean_base) >= 2.5 * sd_base AND abs(x - mean_base) > 0 ORDER BY user_id, seq"),
+    "q_ewma" ->
+      // identical frame, identical 0-based age exponents, identical
+      // left-to-right folds — pow ulp jitter lands far inside round(,4)
+      ("SELECT user_id, seq, round(" +
+        "list_sum(list_transform(generate_series(1, len(vals)), i -> vals[i] * pow(0.8, len(vals) - i))) / " +
+        "list_sum(list_transform(generate_series(1, len(vals)), i -> pow(0.8, len(vals) - i))), 4) AS ewma " +
+        "FROM (SELECT user_id, event_id AS seq, list(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vals FROM events) " +
+        "ORDER BY user_id, seq"),
     "q_view_changes" ->
       ("WITH m AS (SELECT max(event_id) * 2 // 5 AS lo, max(event_id) * 4 // 5 AS hi FROM events), " +
         "g AS (SELECT user_id, " +

@@ -87,6 +87,39 @@ object TimeSeries {
         round(col("cov") * col("cov") / (col("vx") * col("vy")), 4)).as("r2"))
   }
 
+  /** Truncated exponentially-weighted moving average: geometric weights
+    * `decay^age` over the trailing `lookback` observations (self
+    * included), normalized by the realized weight mass so early rows
+    * with short histories are proper weighted means. The infinite-
+    * history EWMA is a sequential recurrence no relational engine can
+    * window; the truncated form is the windowed approximation with
+    * relative error ≤ decay^lookback (≈ 0.11 at the defaults) and is
+    * exactly replayable cross-engine — same reasoning as the
+    * [[resampleLocf]] oracle replaying the naive plan.
+    *
+    * One keyed ROWS window; the frame's values are collected in frame
+    * order (≤ lookback doubles) and folded with higher-order functions
+    * — index-weighted products, left-to-right sums, no UDF. */
+  def ewma(
+      df: DataFrame,
+      key: String,
+      orderCol: Column,
+      value: Column,
+      lookback: Int = 10,
+      decay: Double = 0.8): DataFrame = {
+    val w = Window.partitionBy(key).orderBy("seq")
+      .rowsBetween(-(lookback - 1).toLong, 0L)
+    val vals = col("vals")
+    val age = (i: Column) => (size(vals) - 1 - i).cast("double")
+    val num = aggregate(
+      transform(vals, (v, i) => v * pow(lit(decay), age(i))), lit(0.0), _ + _)
+    val den = aggregate(
+      transform(vals, (v, i) => pow(lit(decay), age(i))), lit(0.0), _ + _)
+    df.select(col(key), orderCol.as("seq"), value.cast("double").as("x"))
+      .withColumn("vals", collect_list("x").over(w))
+      .select(col(key), col("seq"), round(num / den, 4).as("ewma"))
+  }
+
   /** Per-key rolling z-score anomaly detection: each observation is
     * scored against the trailing `lookback` observations (EXCLUDING
     * itself — the score must not let the candidate pull its own

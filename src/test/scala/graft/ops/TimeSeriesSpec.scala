@@ -71,6 +71,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.head.isNullAt(6)) // sd = 0 -> no finite z, the mad = 0 convention
   }
 
+  test("ewma: constant series is a fixed point; recency outweighs history; truncation at lookback") {
+    val df = ((1 to 6).map(i => (1L, i.toLong, 5.0)) ++ // constant -> ewma 5.0
+      Seq((2L, 1L, 0.0), (2L, 2L, 0.0), (2L, 3L, 1.0),  // recent 1 beats old 1
+        (3L, 1L, 1.0), (3L, 2L, 0.0), (3L, 3L, 0.0)))
+      .toDF("k", "seq", "v")
+    val r = TimeSeries.ewma(df, "k", col("seq"), col("v"), lookback = 3, decay = 0.5)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    (1 to 6).foreach(i => assert(r((1L, i.toLong)) === 5.0, s"constant fixed point at $i"))
+    // weights at len 3: 0.25, 0.5, 1.0 (normalized /1.75)
+    assert(r((2L, 3L)) === 0.5714) // recent 1: 1/1.75
+    assert(r((3L, 3L)) === 0.1429) // old 1: 0.25/1.75
+    assert(r((2L, 3L)) > r((3L, 3L)), "recency must dominate")
+    // truncation: only the last `lookback` rows contribute — a spike
+    // older than the window leaves no trace
+    val spike = (Seq((9L, 1L, 1000.0)) ++ (2 to 5).map(i => (9L, i.toLong, 1.0)))
+      .toDF("k", "seq", "v")
+    val out = TimeSeries.ewma(spike, "k", col("seq"), col("v"), lookback = 3, decay = 0.5)
+      .collect().map(x => x.getLong(1) -> x.getDouble(2)).toMap
+    assert(out(5L) === 1.0, s"seq-1 spike must age out of the window, got ${out(5L)}")
+  }
+
   test("rollingZscore baselines never cross keys") {
     // key 1 quiet at 10, key 2 quiet at 1000: key 2's first value would
     // be a huge outlier against key 1's baseline but must not be scored
