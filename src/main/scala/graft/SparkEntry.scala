@@ -1451,12 +1451,13 @@ object SparkEntry {
       // the oracle re-derives every window sum from the waveform formula
       Multimodal.audioActivity(Multimodal.syntheticWavMedia(t(s, dir, "documents")))
         .orderBy("media_id", "window_idx")),
-    "q_dsir_select" -> ((s, dir) => {
+    "q_dsir_select" -> ((s, dir) =>
       // DSIR: domain-match the corpus to the English seed slice by
-      // hashed-bigram importance weights, keep the top 100
-      val docs = t(s, dir, "documents")
-      graft.ops.Dsir.importanceSelect(docs, docs.where(col("lang") === "en"), k = 100)
-    }),
+      // hashed-bigram importance weights, keep the top 100. The target
+      // is a corpus slice, so the self variant hashes the text ONCE
+      // (TextOpsSpec pins = the two-pass general form)
+      graft.ops.Dsir.importanceSelectSelf(
+        t(s, dir, "documents"), col("lang") === "en", k = 100)),
     "q_semdedup" -> ((s, dir) =>
       // SemDeDup over the planted-near-dup corpus: seed-centroid cells
       // (shared with the IVF family, so fully replayable), within-cell

@@ -79,6 +79,44 @@ object Dsir {
     ck
   }
 
+  /** [[importanceWeights]] when the target IS a slice of the corpus
+    * (`targetFilter` on corpus columns — the common "curated subset of
+    * the crawl" shape): the text is tokenized and hashed ONCE, and the
+    * target model is an aggregate over the flagged rows of the same
+    * feature table. Halves the dominant cost (two text passes → one). */
+  def importanceWeightsSelf(
+      corpus: DataFrame,
+      targetFilter: Column,
+      nBuckets: Int = 4096,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val feats = corpus
+      .select(col(idCol).as("id"), targetFilter.as("t"),
+        explode(hashedBigramBuckets(col(textCol), nBuckets)).as("b"))
+      .persist()
+    // one grouped pass yields BOTH models: source = all rows, target =
+    // the flagged subset (conditional count), totals fold driver-side
+    // from the <= nBuckets stat rows
+    val stats = feats.groupBy("b")
+      .agg(count(lit(1)).as("cs"), count(when(col("t"), 1)).as("ct"))
+      .persist()
+    val tot = stats.agg(sum("cs"), sum("ct")).head()
+    val (srcTot, tgtTot) = (tot.getLong(0).toDouble, tot.getLong(1).toDouble)
+    val ratio = stats.select(col("b"),
+      (log((col("ct") + 1.0) / (tgtTot + nBuckets)) -
+        log((col("cs") + 1.0) / (srcTot + nBuckets))).as("r"))
+    val w = feats.groupBy("id", "b").agg(count(lit(1)).as("n"))
+      .join(broadcast(ratio), Seq("b"))
+      .groupBy("id")
+      .agg(round(sum(col("n") * col("r")), 4).as("weight"),
+        sum("n").as("n_feats"))
+      .select(col("id").as(idCol), col("weight"), col("n_feats"))
+    val ck = w.localCheckpoint(true)
+    feats.unpersist(blocking = false)
+    stats.unpersist(blocking = false)
+    ck
+  }
+
   /** The selection step: top `k` documents by (weight DESC, id) — the
     * rounded weight is the ordering key (the budget-select convention:
     * a float-jitter-proof total order both engines share). */
@@ -90,6 +128,18 @@ object Dsir {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     importanceWeights(corpus, target, nBuckets, idCol, textCol)
+      .orderBy(col("weight").desc, col(idCol))
+      .limit(k)
+
+  /** [[importanceSelect]] over [[importanceWeightsSelf]]. */
+  def importanceSelectSelf(
+      corpus: DataFrame,
+      targetFilter: Column,
+      k: Int,
+      nBuckets: Int = 4096,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    importanceWeightsSelf(corpus, targetFilter, nBuckets, idCol, textCol)
       .orderBy(col("weight").desc, col(idCol))
       .limit(k)
 }

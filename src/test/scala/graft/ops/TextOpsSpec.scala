@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -284,5 +285,14 @@ class TextOpsSpec extends SparkSpec {
     val sel = Dsir.importanceSelect(corpus, target, k = 2)
       .collect().map(_.getLong(0)).toSeq
     assert(sel === Seq(1L, 3L))
+  }
+
+  test("DSIR self variant (one text pass) equals the general two-pass form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val general = Dsir.importanceWeights(docs, docs.where(col("lang") === "en"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val self = Dsir.importanceWeightsSelf(docs, col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(self === general, "identical weights: same counts feed the same log-ratio arithmetic")
   }
 }
