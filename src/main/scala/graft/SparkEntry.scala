@@ -573,6 +573,19 @@ object SparkEntry {
       val db = eventsDb(s, dir).use("byType", IndexView(array(col("event_type")), "event_id"))
       db.gated("byType")(_.asInstanceOf[IndexView].get("click"))
     }),
+    "q_index_count" -> ((s, dir) => {
+      // covering-index aggregation: count-by-key answered ENTIRELY from
+      // the durable (key, seq) posting table — the log is never scanned
+      // (PlanSpec asserts the plan reads the posting parquet only)
+      val tmp = java.nio.file.Files.createTempDirectory("graftcntidx").toString
+      val db = eventsDb(s, dir).use("byTypeCnt",
+        PersistentIndexView.onColumn(tmp, "event_type", "event_id"))
+      Query()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+        .run(db)
+    }),
     "q_index_compacted" -> ((s, dir) => {
       // durable index absorbed in two deltas then compacted to one base
       // (the LSM level-merge keeping a 100 TB delta chain off the
@@ -2022,6 +2035,9 @@ object SparkEntry {
       "SELECT event_type AS key, event_id AS seq FROM events WHERE event_type = 'click' ORDER BY seq",
     "q_index_multikey" ->
       "SELECT key, seq FROM (SELECT event_type AS key, event_id AS seq FROM events UNION ALL SELECT 'u:' || CAST(user_id AS VARCHAR), event_id FROM events) ORDER BY key, seq",
+    "q_index_count" ->
+      // the covering-index rewrite is physical, never semantic
+      "SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
     "q_index_compacted" ->
       // compaction is a physical rewrite: identical postings to a plain scan
       "SELECT event_type AS key, event_id AS seq FROM events ORDER BY key, seq",

@@ -63,6 +63,14 @@ final case class Query(
     * With no matching index the query runs as a plain log scan and
     * Catalyst's own pushdown takes over. */
   def run(db: FlumeDb, maxInline: Int = 8192): DataFrame = {
+    indexOnlyCount(db) match {
+      case Some(agg) =>
+        var out = agg
+        if (sort.nonEmpty) out = out.orderBy(sort: _*)
+        limitN.foreach(n => out = out.limit(n))
+        return out
+      case None => ()
+    }
     val conjuncts = filters.flatMap(ColumnBridge.conjuncts)
     val hit = Query.indexHit(db, conjuncts).orElse(Query.rangeIndexHit(db, conjuncts))
     hit match {
@@ -88,6 +96,36 @@ final case class Query(
             finish(residual.foldLeft(base)((d, f) => d.where(f)))
         }
     }
+  }
+
+  /** Covering-index aggregation: `groupBy(indexedCol).agg(count(1) as
+    * n)` (optionally with equality/`isin` filters on the SAME column)
+    * is answered ENTIRELY from the `(key, seq)` posting table — the log
+    * is never scanned. The single-column index stores one entry per log
+    * record (null values included — `explode(array(cast(col)))` keeps
+    * them), so per-key posting counts ARE per-value record counts. The
+    * stored string key is cast back to the column's type; restricted to
+    * types whose string round-trip is lossless, everything else falls
+    * through to the normal path. The reference's level views serve reads
+    * without touching the log in exactly this way (`README.md:93`). */
+  private def indexOnlyCount(db: FlumeDb): Option[DataFrame] = {
+    if (projections.nonEmpty || groupBys.size != 1 || aggs.size != 1) return None
+    val keyAttr = ColumnBridge.attributeName(groupBys.head).getOrElse(return None)
+    val alias = ColumnBridge.countAlias(aggs.head).getOrElse(return None)
+    val eqs = filters.flatMap(ColumnBridge.conjuncts).map(ColumnBridge.eqInOnAttribute)
+    if (eqs.exists(_.isEmpty)) return None
+    val eqList = eqs.flatten
+    if (!eqList.forall(_._1 == keyAttr)) return None
+    val viewName = Query.mountedIndexes(db).get(keyAttr).getOrElse(return None)
+    val field = db.mapped.schema.fields.find(_.name == keyAttr).getOrElse(return None)
+    if (!Query.losslessKeyRoundTrip(field.dataType)) return None
+    val posting = db.gated(viewName)(_.frameOption).getOrElse(return None)
+    val filtered = eqList.foldLeft(posting) { case (p, (_, vals)) =>
+      val keys = vals.flatMap(v => Query.keyString(v, field.dataType))
+      if (keys.isEmpty) p.where(lit(false)) else p.where(col("key").isin(keys: _*))
+    }
+    Some(filtered.groupBy(col("key")).agg(count(lit(1)).as(alias))
+      .select(col("key").cast(field.dataType).as(keyAttr), col(alias)))
   }
 
   private def finish(filtered: DataFrame): DataFrame = {
@@ -130,6 +168,17 @@ object Query {
     val lit = org.apache.spark.sql.catalyst.expressions.Literal(v)
     val typed = if (lit.dataType == colType) lit else Cast(lit, colType)
     Option(Cast(typed, StringType).eval(null)).map(_.toString)
+  }
+
+  /** Types whose `cast(cast(x as string) as t)` round-trip is the
+    * identity — the set the covering-index count may cast back. Floats
+    * and decimals are excluded (formatting variance), timestamps too
+    * (zone-sensitive rendering). */
+  private[views] def losslessKeyRoundTrip(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+    case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.BooleanType => true
+    case _ => false
   }
 
   /** Mounted single-column indexes: indexed column name → view name. */

@@ -69,4 +69,21 @@ object ColumnBridge {
       case _ => None
     }
   }
+
+  /** Bare attribute name of a Column, if it is exactly one. */
+  def attributeName(c: Column): Option[String] = attr(c.node)
+
+  /** If the Column is an ALIASED bare `count(<literal>)` (non-distinct),
+    * return the alias — the aggregate shape a covering index can serve
+    * without touching the log. */
+  def countAlias(c: Column): Option[String] = c.node match {
+    case al: org.apache.spark.sql.internal.Alias if al.name.size == 1 =>
+      al.child match {
+        case f: UnresolvedFunction if f.functionName == "count" && !f.isDistinct &&
+            f.arguments.size == 1 && lit(f.arguments.head).isDefined =>
+          Some(al.name.head)
+        case _ => None
+      }
+    case _ => None
+  }
 }

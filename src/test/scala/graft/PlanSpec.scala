@@ -276,6 +276,14 @@ class PlanSpec extends SparkSpec {
       s"expected the inlined seq list pushed to the events scan:\n${s.take(3000)}")
   }
 
+  test("covering-index count never scans the log — the plan reads only the posting parquet") {
+    val s = planString(run("q_index_count"))
+    assert(!s.contains("events.parquet"),
+      s"count-by-indexed-key must be served by the posting table alone:\n${s.take(3000)}")
+    assert(s.contains("graftcntidx"), // the PersistentIndexView delta dirs
+      s"expected a posting-parquet scan in the plan:\n${s.take(3000)}")
+  }
+
   test("embedding near-dup joins on capped band keys, never the raw signature") {
     val df = graft.ops.Dedup.embeddingNearDup(
       spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding"),

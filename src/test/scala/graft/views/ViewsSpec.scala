@@ -240,6 +240,31 @@ class ViewsSpec extends SparkSpec {
     assert(db.view("idx").viewDef.version === 1)
   }
 
+  test("Query covering-index count: posting-only aggregation, null keys, filters, fallback") {
+    val (_, db) = db2()
+    db.use("tagIdx", IndexView.onColumn("tag", "seq"))
+    db.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "a"), Row(2L, "b"), Row(3L, "a"), Row(4L, null), Row(5L, "a"))), schema))
+    def collect(q: Query) = q.run(db).collect()
+      .map(r => (if (r.isNullAt(0)) "<null>" else r.getString(0)) -> r.getLong(1)).toMap
+    // count-by-key from the posting table — null values are a group too
+    val n = collect(Query().groupBy(col("tag")).agg(count(lit(1)).as("n")))
+    assert(n === Map("a" -> 3L, "b" -> 1L, "<null>" -> 1L))
+    // equality filter on the SAME column narrows the posting read
+    val one = collect(Query().where(col("tag") === "a")
+      .groupBy(col("tag")).agg(count(lit(1)).as("n")))
+    assert(one === Map("a" -> 3L))
+    // non-count aggregate: falls through to the normal path, same answer
+    val sums = Query().groupBy(col("tag")).agg(sum("foo").as("s")).run(db)
+      .collect().map(r => (if (r.isNullAt(0)) "<null>" else r.getString(0)) -> r.getLong(1)).toMap
+    assert(sums === Map("a" -> 9L, "b" -> 2L, "<null>" -> 4L))
+    // filter on a DIFFERENT column: not coverable, falls through
+    val filtered = collect(Query().where(col("foo") > 2)
+      .groupBy(col("tag")).agg(count(lit(1)).as("n")))
+    assert(filtered === Map("a" -> 2L, "<null>" -> 1L))
+  }
+
   private def changelogFixture = {
     import spark.implicits._
     Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 11.0),
