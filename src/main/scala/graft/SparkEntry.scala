@@ -573,6 +573,20 @@ object SparkEntry {
       val db = eventsDb(s, dir).use("byType", IndexView(array(col("event_type")), "event_id"))
       db.gated("byType")(_.asInstanceOf[IndexView].get("click"))
     }),
+    "q_query_composite" -> ((s, dir) => {
+      // composite-index selection: equality on BOTH components becomes
+      // one posting lookup on the NUL-joined key (the isin side expands
+      // as a capped cartesian key list); the reference's level views
+      // take composite keys natively (README.md:93)
+      val db = eventsDb(s, dir).use("byTypeUser",
+        IndexView.onColumns(Seq("event_type", "user_id"), "event_id"))
+      Query()
+        .where(col("event_type") === "purchase" && col("user_id").isin(3L, 7L))
+        .select(col("event_id").as("seq"), col("user_id"),
+          round(col("value"), 4).as("value_r"))
+        .orderBy(col("seq"))
+        .run(db)
+    }),
     "q_index_count" -> ((s, dir) => {
       // covering-index aggregation: count-by-key answered ENTIRELY from
       // the durable (key, seq) posting table — the log is never scanned
@@ -2035,6 +2049,10 @@ object SparkEntry {
       "SELECT event_type AS key, event_id AS seq FROM events WHERE event_type = 'click' ORDER BY seq",
     "q_index_multikey" ->
       "SELECT key, seq FROM (SELECT event_type AS key, event_id AS seq FROM events UNION ALL SELECT 'u:' || CAST(user_id AS VARCHAR), event_id FROM events) ORDER BY key, seq",
+    "q_query_composite" ->
+      // identical answer to the unindexed form — composite selection is
+      // a physical rewrite, never a semantic one
+      "SELECT event_id AS seq, user_id, round(value, 4) AS value_r FROM events WHERE event_type = 'purchase' AND user_id IN (3, 7) ORDER BY seq",
     "q_index_count" ->
       // the covering-index rewrite is physical, never semantic
       "SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",

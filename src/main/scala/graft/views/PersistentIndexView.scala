@@ -30,6 +30,7 @@ final class PersistentIndexView(
     keys: Column,
     seqCol: String,
     val indexedColumn: Option[String] = None,
+    val indexedColumns: Option[Seq[String]] = None,
     compactEvery: Int = 0) extends FlumeView with CompactableDeltas {
 
   override protected def autoCompactEvery: Int = compactEvery
@@ -79,6 +80,20 @@ object PersistentIndexView {
       def create(db: FlumeDb, name: String) =
         new PersistentIndexView(db.log.spark, s"$dir/$name", v,
           array(col(column).cast("string")), seqCol, Some(column), compactEvery = compactEvery)
+    }
+  }
+
+  /** Durable composite equality index (see [[IndexView.onColumns]]). */
+  def onColumns(dir: String, columns: Seq[String], seqCol: String = "seq",
+      version: Int = 1, compactEvery: Int = 0): ViewDef = {
+    require(columns.size >= 2, "composite index needs >= 2 columns; use onColumn")
+    val v = version
+    new ViewDef {
+      def version: Int = v
+      def create(db: FlumeDb, name: String) =
+        new PersistentIndexView(db.log.spark, s"$dir/$name", v,
+          IndexView.compositeKeys(columns), seqCol,
+          None, Some(columns.toList), compactEvery = compactEvery)
     }
   }
 }

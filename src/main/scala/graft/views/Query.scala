@@ -72,7 +72,9 @@ final case class Query(
       case None => ()
     }
     val conjuncts = filters.flatMap(ColumnBridge.conjuncts)
-    val hit = Query.indexHit(db, conjuncts).orElse(Query.rangeIndexHit(db, conjuncts))
+    val hit = Query.compositeIndexHit(db, conjuncts)
+      .orElse(Query.indexHit(db, conjuncts))
+      .orElse(Query.rangeIndexHit(db, conjuncts))
     hit match {
       case None => run(db.mapped)
       case Some(Query.IndexPlan(viewName, matched, postingFilter, dropMatched)) =>
@@ -190,6 +192,65 @@ object Query {
         case _                       => None
       }
     }.toMap
+
+  /** Mounted composite indexes: indexed column lists → view name. */
+  private def mountedCompositeIndexes(db: FlumeDb): Seq[(Seq[String], String)] =
+    db.viewNames.flatMap { n =>
+      db.view(n).view match {
+        case iv: IndexView           => iv.indexedColumns.map(_ -> n)
+        case pv: PersistentIndexView => pv.indexedColumns.map(_ -> n)
+        case _                       => None
+      }
+    }
+
+  /** Composite-index selection: a mounted [[IndexView.onColumns]] whose
+    * EVERY component carries an equality/`isin` conjunct becomes one
+    * posting lookup on the NUL-joined key. Multi-value (`isin`)
+    * components expand as a cartesian key list, capped at
+    * `maxCompositeKeys` combinations (beyond that a scan's one pass
+    * beats planning thousands of point lookups). Preferred over a
+    * single-column hit — the composite key is strictly more selective. */
+  private val maxCompositeKeys = 256
+  private def compositeIndexHit(db: FlumeDb, conjuncts: Seq[Column]): Option[IndexPlan] = {
+    val composites = mountedCompositeIndexes(db)
+    if (composites.isEmpty) return None
+    lazy val schema = db.mapped.schema
+    // attr -> (values, conjunct position) for every eq/isin conjunct;
+    // an attr constrained twice keeps its first conjunct (rare, sound:
+    // the other stays as a residual filter below)
+    val eqs = conjuncts.zipWithIndex.flatMap { case (c, i) =>
+      ColumnBridge.eqInOnAttribute(c).map { case (a, vs) => (a, vs, i) }
+    }
+    val byAttr = eqs.groupBy(_._1).map { case (a, hits) => a -> hits.head }
+    composites.collectFirst(Function.unlift { case (cols, viewName) =>
+      val parts = cols.map(byAttr.get)
+      if (parts.exists(_.isEmpty)) None
+      else {
+        val keyLists = cols.zip(parts.flatten).map { case (c, (_, vs, _)) =>
+          schema.find(_.name == c).map(f => vs.flatMap(v => keyString(v, f.dataType)))
+            .filter(_.nonEmpty)
+        }
+        if (keyLists.exists(_.isEmpty)) None
+        else {
+          val lists = keyLists.flatten
+          if (lists.map(_.size.toLong).product > maxCompositeKeys) None
+          else {
+            // seed from the first component (a Seq("") seed would
+            // conflate with a legitimate empty-string key value)
+            val full = lists.tail.foldLeft(lists.head) { (acc, vs) =>
+              for (a <- acc; v <- vs) yield a + "\u0000" + v
+            }
+            val matched = parts.flatten.map(_._3).toSet
+            // dropMatched = false: an `isin` with a value that casts to
+            // null was filtered out of the key list, so the original
+            // conjuncts must stay as (zero-cost) residual guards
+            Some(IndexPlan(viewName, matched,
+              p => p.where(col("key").isin(full: _*)), dropMatched = false))
+          }
+        }
+      }
+    })
+  }
 
   /** First conjunct of the form `indexedCol = lit` / `indexedCol in
     * (lits…)` for which the db has a mounted single-column index. */

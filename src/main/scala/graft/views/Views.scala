@@ -258,7 +258,8 @@ abstract class FrameView extends FlumeView {
   * distributed, and a lookup is an equi-filter (or a broadcast-hash join
   * when batched). */
 final class IndexView(keys: Column, seqCol: String,
-    val indexedColumn: Option[String] = None) extends FrameView {
+    val indexedColumn: Option[String] = None,
+    val indexedColumns: Option[Seq[String]] = None) extends FrameView {
   protected def delta(entries: DataFrame): DataFrame =
     entries.select(explode(keys).as("key"), col(seqCol).as("seq"))
 
@@ -284,6 +285,31 @@ object IndexView {
     def create(db: FlumeDb, name: String) =
       new IndexView(array(col(column).cast("string")), seqCol, Some(column))
   }
+
+  /** A composite equality index: key = the columns' string forms joined
+    * on NUL (the reference's level views take arbitrary composite keys,
+    * charwise-encoded — `README.md:93`). Rows where ANY component is
+    * null are not indexed: an equality conjunct with a non-null literal
+    * can never select them, and `= NULL` selects nothing. [[Query]]
+    * rewrites a filter carrying equality conjuncts on ALL components
+    * into one posting lookup. Values containing NUL would alias the
+    * separator — such columns should use a single-column index. */
+  def onColumns(columns: Seq[String], seqCol: String = "seq"): ViewDef = {
+    require(columns.size >= 2, "composite index needs >= 2 columns; use onColumn")
+    new ViewDef {
+      def version: Int = 1
+      def create(db: FlumeDb, name: String) =
+        new IndexView(IndexView.compositeKeys(columns), seqCol,
+          None, Some(columns.toList))
+    }
+  }
+
+  /** `[concat_ws(NUL, cols)]` when every component is non-null, else
+    * empty (explode drops the row). */
+  private[views] def compositeKeys(columns: Seq[String]): Column =
+    when(columns.map(c => col(c).isNotNull).reduce(_ && _),
+      array(concat_ws("\u0000", columns.map(c => col(c).cast("string")): _*)))
+      .otherwise(array().cast("array<string>"))
 }
 
 /** flumeview-hashtable (`/root/reference/README.md:96`): unique-key O(1)

@@ -240,6 +240,31 @@ class ViewsSpec extends SparkSpec {
     assert(db.view("idx").viewDef.version === 1)
   }
 
+  test("Query composite-index selection: both-component lookup, null rows, partial-match fallthrough") {
+    val (_, db) = db2()
+    db.use("cidx", IndexView.onColumns(Seq("tag", "foo"), "seq"))
+    db.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "a"), Row(2L, "b"), Row(1L, "a"), Row(3L, null), Row(2L, "a"))), schema))
+    def rows(q: Query) = q.run(db).collect().map(_.getLong(0)).sorted.toSeq
+    // equality on BOTH components: served by the composite lookup
+    assert(rows(Query().where(col("tag") === "a" && col("foo") === 1L)
+      .select(col("seq"))) === Seq(0L, 2L))
+    // isin expands the cartesian key list
+    assert(rows(Query().where(col("tag").isin("a", "b") && col("foo") === 2L)
+      .select(col("seq"))) === Seq(1L, 4L))
+    // null-component rows are not indexed AND not equality-selectable:
+    // same (empty) answer either path
+    assert(rows(Query().where(col("tag") === "x" && col("foo") === 3L)
+      .select(col("seq"))) === Seq())
+    // only ONE component constrained: composite can't serve it; the
+    // answer must still be right (plain scan path)
+    assert(rows(Query().where(col("foo") === 2L).select(col("seq"))) === Seq(1L, 4L))
+    // the null-component row is reachable by a scan (IS NULL is not an
+    // equality conjunct, so no index path claims it)
+    assert(rows(Query().where(col("tag").isNull).select(col("seq"))) === Seq(3L))
+  }
+
   test("Query covering-index count: posting-only aggregation, null keys, filters, fallback") {
     val (_, db) = db2()
     db.use("tagIdx", IndexView.onColumn("tag", "seq"))
