@@ -596,7 +596,9 @@ object SparkEntry {
         PersistentIndexView.onColumn(tmp, "event_type", "event_id"))
       Query()
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("first_seq"), // first/last occurrence per
+          max(col("event_id")).as("last_seq")) // value — also posting-covered
         .orderBy(col("event_type"))
         .run(db)
     }),
@@ -2055,7 +2057,7 @@ object SparkEntry {
       "SELECT event_id AS seq, user_id, round(value, 4) AS value_r FROM events WHERE event_type = 'purchase' AND user_id IN (3, 7) ORDER BY seq",
     "q_index_count" ->
       // the covering-index rewrite is physical, never semantic
-      "SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+      "SELECT event_type, count(*) AS n, min(event_id) AS first_seq, max(event_id) AS last_seq FROM events GROUP BY 1 ORDER BY 1",
     "q_index_compacted" ->
       // compaction is a physical rewrite: identical postings to a plain scan
       "SELECT event_type AS key, event_id AS seq FROM events ORDER BY key, seq",

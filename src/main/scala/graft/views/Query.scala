@@ -100,10 +100,13 @@ final case class Query(
     }
   }
 
-  /** Covering-index aggregation: `groupBy(indexedCol).agg(count(1) as
-    * n)` (optionally with equality/`isin` filters on the SAME column)
-    * is answered ENTIRELY from the `(key, seq)` posting table — the log
-    * is never scanned. The single-column index stores one entry per log
+  /** Covering-index aggregation: `groupBy(indexedCol)` with aggregates
+    * the `(key, seq)` posting table itself can answer — `count(1)` and
+    * `min`/`max` of the log's SEQ column (first/last occurrence per
+    * value: the "when did each key appear" read a log-centric DB serves
+    * constantly) — optionally with equality/`isin` filters on the same
+    * column, is answered ENTIRELY from the posting table; the log is
+    * never scanned. The single-column index stores one entry per log
     * record (null values included — `explode(array(cast(col)))` keeps
     * them), so per-key posting counts ARE per-value record counts. The
     * stored string key is cast back to the column's type; restricted to
@@ -111,9 +114,17 @@ final case class Query(
     * through to the normal path. The reference's level views serve reads
     * without touching the log in exactly this way (`README.md:93`). */
   private def indexOnlyCount(db: FlumeDb): Option[DataFrame] = {
-    if (projections.nonEmpty || groupBys.size != 1 || aggs.size != 1) return None
+    if (projections.nonEmpty || groupBys.size != 1 || aggs.isEmpty) return None
     val keyAttr = ColumnBridge.attributeName(groupBys.head).getOrElse(return None)
-    val alias = ColumnBridge.countAlias(aggs.head).getOrElse(return None)
+    val seqName = db.log.seqCol
+    val aggCols: Seq[(Column, String)] = aggs.map { a =>
+      ColumnBridge.countAlias(a).map(al => (count(lit(1)).as(al), al))
+        .orElse(ColumnBridge.minMaxAlias(a).collect {
+          case ("min", `seqName`, al) => (min(col("seq")).as(al), al)
+          case ("max", `seqName`, al) => (max(col("seq")).as(al), al)
+        })
+        .getOrElse(return None)
+    }
     val eqs = filters.flatMap(ColumnBridge.conjuncts).map(ColumnBridge.eqInOnAttribute)
     if (eqs.exists(_.isEmpty)) return None
     val eqList = eqs.flatten
@@ -126,8 +137,9 @@ final case class Query(
       val keys = vals.flatMap(v => Query.keyString(v, field.dataType))
       if (keys.isEmpty) p.where(lit(false)) else p.where(col("key").isin(keys: _*))
     }
-    Some(filtered.groupBy(col("key")).agg(count(lit(1)).as(alias))
-      .select(col("key").cast(field.dataType).as(keyAttr), col(alias)))
+    val out = filtered.groupBy(col("key")).agg(aggCols.head._1, aggCols.tail.map(_._1): _*)
+    Some(out.select(col("key").cast(field.dataType).as(keyAttr) +:
+      aggCols.map { case (_, al) => col(al) }: _*))
   }
 
   private def finish(filtered: DataFrame): DataFrame = {

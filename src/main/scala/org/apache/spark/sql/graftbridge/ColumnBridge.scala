@@ -86,4 +86,18 @@ object ColumnBridge {
       }
     case _ => None
   }
+
+  /** If the Column is an ALIASED `min(attr)`/`max(attr)`, return
+    * (fn, attribute, alias) — with attr = the log's seq column this is
+    * the other aggregate the `(key, seq)` posting table covers. */
+  def minMaxAlias(c: Column): Option[(String, String, String)] = c.node match {
+    case al: org.apache.spark.sql.internal.Alias if al.name.size == 1 =>
+      al.child match {
+        case f: UnresolvedFunction if (f.functionName == "min" || f.functionName == "max") &&
+            !f.isDistinct && f.arguments.size == 1 =>
+          attr(f.arguments.head).map(a => (f.functionName, a, al.name.head))
+        case _ => None
+      }
+    case _ => None
+  }
 }

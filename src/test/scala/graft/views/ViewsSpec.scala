@@ -276,6 +276,17 @@ class ViewsSpec extends SparkSpec {
     // count-by-key from the posting table — null values are a group too
     val n = collect(Query().groupBy(col("tag")).agg(count(lit(1)).as("n")))
     assert(n === Map("a" -> 3L, "b" -> 1L, "<null>" -> 1L))
+    // min/max of the SEQ column are posting-covered too (first/last
+    // occurrence per value); any other min/max falls through
+    val span = Query().groupBy(col("tag"))
+      .agg(min(col("seq")).as("fs"), max(col("seq")).as("ls")).run(db)
+      .collect().map(r => (if (r.isNullAt(0)) "<null>" else r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(span === Map("a" -> ((0L, 4L)), "b" -> ((1L, 1L)), "<null>" -> ((3L, 3L))))
+    val fooMin = Query().groupBy(col("tag")).agg(min(col("foo")).as("m")).run(db)
+      .collect().map(r => (if (r.isNullAt(0)) "<null>" else r.getString(0)) -> r.getLong(1)).toMap
+    assert(fooMin === Map("a" -> 1L, "b" -> 2L, "<null>" -> 4L),
+      "min of a NON-seq column must fall through to the scan path and stay correct")
     // equality filter on the SAME column narrows the posting read
     val one = collect(Query().where(col("tag") === "a")
       .groupBy(col("tag")).agg(count(lit(1)).as("n")))
