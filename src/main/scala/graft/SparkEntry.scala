@@ -573,6 +573,12 @@ object SparkEntry {
       val db = eventsDb(s, dir).use("byType", IndexView(array(col("event_type")), "event_id"))
       db.gated("byType")(_.asInstanceOf[IndexView].get("click"))
     }),
+    "q_funnel" -> ((s, dir) =>
+      // ordered funnel view -> click -> purchase by log seq: per-user
+      // first-occurrence chain, nulls where the user fell out
+      graft.ops.Funnel.funnel(t(s, dir, "events"), "user_id",
+          col("event_id"), col("event_type"), Seq("view", "click", "purchase"))
+        .orderBy("user_id")),
     "q_query_composite" -> ((s, dir) => {
       // composite-index selection: equality on BOTH components becomes
       // one posting lookup on the NUL-joined key (the isin side expands
@@ -2051,6 +2057,15 @@ object SparkEntry {
       "SELECT event_type AS key, event_id AS seq FROM events WHERE event_type = 'click' ORDER BY seq",
     "q_index_multikey" ->
       "SELECT key, seq FROM (SELECT event_type AS key, event_id AS seq FROM events UNION ALL SELECT 'u:' || CAST(user_id AS VARCHAR), event_id FROM events) ORDER BY key, seq",
+    "q_funnel" ->
+      // the same per-stage derivation: first view, first click AFTER it,
+      // first purchase after that; stage = depth reached
+      ("WITH v AS (SELECT user_id, min(event_id) AS s_view FROM events WHERE event_type = 'view' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, min(event_id) AS s_click FROM events e JOIN v ON e.user_id = v.user_id AND e.event_id > v.s_view WHERE e.event_type = 'click' GROUP BY 1), " +
+        "p AS (SELECT e.user_id, min(event_id) AS s_purchase FROM events e JOIN c ON e.user_id = c.user_id AND e.event_id > c.s_click WHERE e.event_type = 'purchase' GROUP BY 1) " +
+        "SELECT v.user_id, s_view, s_click, s_purchase, " +
+        "CASE WHEN s_purchase IS NOT NULL THEN 3 WHEN s_click IS NOT NULL THEN 2 ELSE 1 END AS stage " +
+        "FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id) ORDER BY user_id"),
     "q_query_composite" ->
       // identical answer to the unindexed form — composite selection is
       // a physical rewrite, never a semantic one

@@ -949,6 +949,38 @@ class OpsSpec extends SparkSpec {
     assert(Profile.outliers(const, "grp", "v").collect().isEmpty)
   }
 
+  test("funnel: strict in-order chaining, fallout stages, absent without stage 1") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: full funnel in order
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      // user 2: purchase BEFORE the first view -> doesn't count; click after view, no
+      // purchase after the click -> stage 2
+      (2L, 1L, "purchase"), (2L, 2L, "view"), (2L, 3L, "click"),
+      // user 3: click precedes the first view -> stage 1 only
+      (3L, 1L, "click"), (3L, 2L, "view"),
+      // user 4: no view at all -> absent from the funnel
+      (4L, 1L, "click"), (4L, 2L, "purchase"),
+      // user 5: later view must NOT reopen the chain — first view binds
+      (5L, 1L, "view"), (5L, 2L, "purchase"), (5L, 3L, "view"), (5L, 4L, "click"))
+      .toDF("user_id", "seq", "et")
+    val r = Funnel.funnel(ev, "user_id", col("seq"), col("et"),
+        Seq("view", "click", "purchase"))
+      .collect().map(x => x.getLong(0) -> ((
+        x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3),
+        x.getInt(4)))).toMap
+    assert(r === Map(
+      1L -> ((1L, 2L, 3L, 3)),
+      2L -> ((2L, 3L, -1L, 2)),
+      3L -> ((2L, -1L, -1L, 1)),
+      5L -> ((1L, 4L, -1L, 2))))
+    val counts = Funnel.funnelCounts(ev, "user_id", col("seq"), col("et"),
+      Seq("view", "click", "purchase")).head()
+    assert((counts.getLong(0), counts.getLong(1), counts.getLong(2)) === ((4L, 3L, 1L)))
+  }
+
   private def grayPng(id: Long, w: Int, h: Int, f: (Int, Int) => Int) = {
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, f(x, y))
