@@ -579,6 +579,11 @@ object SparkEntry {
       graft.ops.Funnel.funnel(t(s, dir, "events"), "user_id",
           col("event_id"), col("event_type"), Seq("view", "click", "purchase"))
         .orderBy("user_id")),
+    "q_retention" -> ((s, dir) =>
+      // day-cohort retention: users grouped by first-event day, counted
+      // active again N days later (offset 0 = cohort size)
+      graft.ops.Retention.retention(t(s, dir, "events"), "user_id", tsCol(s, dir))
+        .orderBy("cohort_ms", "day_offset")),
     "q_query_composite" -> ((s, dir) => {
       // composite-index selection: equality on BOTH components becomes
       // one posting lookup on the NUL-joined key (the isin side expands
@@ -2057,6 +2062,12 @@ object SparkEntry {
       "SELECT event_type AS key, event_id AS seq FROM events WHERE event_type = 'click' ORDER BY seq",
     "q_index_multikey" ->
       "SELECT key, seq FROM (SELECT event_type AS key, event_id AS seq FROM events UNION ALL SELECT 'u:' || CAST(user_id AS VARCHAR), event_id FROM events) ORDER BY key, seq",
+    "q_retention" ->
+      ("WITH p AS (SELECT user_id, CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS p_s FROM events), " +
+        "f AS (SELECT user_id, min(p_s) AS cohort_s FROM p GROUP BY 1), " +
+        "a AS (SELECT DISTINCT user_id, p_s FROM p) " +
+        "SELECT cohort_s * 1000 AS cohort_ms, (p_s - cohort_s) // 86400 AS day_offset, count(*) AS n_active " +
+        "FROM a JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY cohort_ms, day_offset"),
     "q_funnel" ->
       // the same per-stage derivation: first view, first click AFTER it,
       // first purchase after that; stage = depth reached

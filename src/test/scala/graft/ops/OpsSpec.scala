@@ -981,6 +981,27 @@ class OpsSpec extends SparkSpec {
     assert((counts.getLong(0), counts.getLong(1), counts.getLong(2)) === ((4L, 3L, 1L)))
   }
 
+  test("retention: cohorts bind to the FIRST period; repeat same-day activity counts once") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 23:00:00")), // same day: once
+      (1L, ts("2024-01-03 09:00:00")),                                   // day+2
+      (2L, ts("2024-01-01 08:00:00")), (2L, ts("2024-01-02 08:00:00")),
+      (3L, ts("2024-01-02 12:00:00"))                                    // later cohort
+    ).toDF("user_id", "t")
+    val r = Retention.retention(ev, "user_id", col("t"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val d1 = ts("2024-01-01 00:00:00").getTime
+    val d2 = ts("2024-01-02 00:00:00").getTime
+    assert(r === Map(
+      (d1, 0L) -> 2L, // users 1,2 in the Jan-1 cohort
+      (d1, 1L) -> 1L, // user 2 back the next day
+      (d1, 2L) -> 1L, // user 1 back two days later
+      (d2, 0L) -> 1L  // user 3 cohorts on Jan 2
+    ))
+  }
+
   private def grayPng(id: Long, w: Int, h: Int, f: (Int, Int) => Int) = {
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, f(x, y))
