@@ -579,6 +579,12 @@ object SparkEntry {
       graft.ops.Funnel.funnel(t(s, dir, "events"), "user_id",
           col("event_id"), col("event_type"), Seq("view", "click", "purchase"))
         .orderBy("user_id")),
+    "q_event_paths" -> ((s, dir) =>
+      // top trigram navigation paths within 10-minute-gap sessions,
+      // (ms, seq)-ordered so clock ties break on the log's own seq
+      graft.ops.Paths.topPaths(t(s, dir, "events"), "user_id",
+          tsMs(s, dir), col("event_id"), col("event_type"))
+        .orderBy(col("cnt").desc, col("path"))),
     "q_retention" -> ((s, dir) =>
       // day-cohort retention: users grouped by first-event day, counted
       // active again N days later (offset 0 = cohort size)
@@ -2062,6 +2068,13 @@ object SparkEntry {
       "SELECT event_type AS key, event_id AS seq FROM events WHERE event_type = 'click' ORDER BY seq",
     "q_index_multikey" ->
       "SELECT key, seq FROM (SELECT event_type AS key, event_id AS seq FROM events UNION ALL SELECT 'u:' || CAST(user_id AS VARCHAR), event_id FROM events) ORDER BY key, seq",
+    "q_event_paths" ->
+      ("WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id AS seq, event_type AS et FROM events), " +
+        "s AS (SELECT user_id, ms, seq, et, CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w >= 600000 THEN 1 ELSE 0 END AS new_s FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, seq)), " +
+        "g AS (SELECT user_id, ms, seq, et, sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, seq ROWS UNBOUNDED PRECEDING) AS sid FROM s), " +
+        "p AS (SELECT user_id, sid, list(et ORDER BY ms, seq) AS tl FROM g GROUP BY 1, 2), " +
+        "ng AS (SELECT unnest(list_transform(generate_series(1, len(tl) - 2), i -> tl[i] || '>' || tl[i+1] || '>' || tl[i+2])) AS path FROM p WHERE len(tl) >= 3) " +
+        "SELECT path, count(*) AS cnt FROM ng GROUP BY 1 ORDER BY cnt DESC, path LIMIT 20"),
     "q_retention" ->
       ("WITH p AS (SELECT user_id, CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS p_s FROM events), " +
         "f AS (SELECT user_id, min(p_s) AS cohort_s FROM p GROUP BY 1), " +

@@ -981,6 +981,22 @@ class OpsSpec extends SparkSpec {
     assert((counts.getLong(0), counts.getLong(1), counts.getLong(2)) === ((4L, 3L, 1L)))
   }
 
+  test("topPaths: gap sessionization bounds n-grams; clock ties break on seq") {
+    import spark.implicits._
+    val ev = Seq(
+      // key 1, session 1: a>b>c and b>c>d
+      (1L, 0L, 1L, "a"), (1L, 1000L, 2L, "b"), (1L, 2000L, 3L, "c"), (1L, 3000L, 4L, "d"),
+      // gap >= 10 min: new session, too short for a trigram — b>c>d must
+      // NOT chain across the session boundary
+      (1L, 700000L, 5L, "e"), (1L, 700100L, 6L, "f"),
+      // key 2: same-millisecond events order by seq -> x>y>z, never y>x>z
+      (2L, 0L, 10L, "x"), (2L, 0L, 11L, "y"), (2L, 100L, 12L, "z"))
+      .toDF("user_id", "ms", "seq", "et")
+    val r = Paths.topPaths(ev, "user_id", col("ms"), col("seq"), col("et"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r === Map("a>b>c" -> 1L, "b>c>d" -> 1L, "x>y>z" -> 1L))
+  }
+
   test("retention: cohorts bind to the FIRST period; repeat same-day activity counts once") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
