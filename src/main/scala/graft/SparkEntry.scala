@@ -579,6 +579,11 @@ object SparkEntry {
       graft.ops.Funnel.funnel(t(s, dir, "events"), "user_id",
           col("event_id"), col("event_type"), Seq("view", "click", "purchase"))
         .orderBy("user_id")),
+    "q_type_affinity" -> ((s, dir) =>
+      // association rules over event types: per-user distinct type
+      // sets, pairwise co-occurrence, floored-ppm support and lift
+      graft.ops.Affinity.typeAffinity(t(s, dir, "events"), "user_id", col("event_type"))
+        .orderBy("type_a", "type_b")),
     "q_event_paths" -> ((s, dir) =>
       // top trigram navigation paths within 10-minute-gap sessions,
       // (ms, seq)-ordered so clock ties break on the log's own seq
@@ -2068,6 +2073,18 @@ object SparkEntry {
       "SELECT event_type AS key, event_id AS seq FROM events WHERE event_type = 'click' ORDER BY seq",
     "q_index_multikey" ->
       "SELECT key, seq FROM (SELECT event_type AS key, event_id AS seq FROM events UNION ALL SELECT 'u:' || CAST(user_id AS VARCHAR), event_id FROM events) ORDER BY key, seq",
+    "q_type_affinity" ->
+      // identical left-associated arithmetic from exact integer counts;
+      // floor + 1e-9 nudge is the domain-mix convention
+      ("WITH b AS (SELECT DISTINCT user_id, event_type FROM events), " +
+        "u AS (SELECT count(DISTINCT user_id)::DOUBLE AS u FROM events), " +
+        "per AS (SELECT event_type, count(*) AS n FROM b GROUP BY 1), " +
+        "pr AS (SELECT a.event_type AS type_a, bb.event_type AS type_b, count(*) AS n_xy FROM b a JOIN b bb ON a.user_id = bb.user_id AND a.event_type < bb.event_type GROUP BY 1, 2) " +
+        "SELECT type_a, type_b, n_xy, " +
+        "CAST(floor(n_xy * 1000000.0 / (SELECT u FROM u) + 1e-9) AS BIGINT) AS support_ppm, " +
+        "CAST(floor(n_xy * (SELECT u FROM u) * 1000000.0 / (pa.n * pb.n) + 1e-9) AS BIGINT) AS lift_ppm " +
+        "FROM pr JOIN per pa ON pa.event_type = type_a JOIN per pb ON pb.event_type = type_b " +
+        "ORDER BY type_a, type_b"),
     "q_event_paths" ->
       ("WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id AS seq, event_type AS et FROM events), " +
         "s AS (SELECT user_id, ms, seq, et, CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w >= 600000 THEN 1 ELSE 0 END AS new_s FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, seq)), " +

@@ -981,6 +981,22 @@ class OpsSpec extends SparkSpec {
     assert((counts.getLong(0), counts.getLong(1), counts.getLong(2)) === ((4L, 3L, 1L)))
   }
 
+  test("typeAffinity: distinct sets, exact pair counts, lift above/below independence") {
+    import spark.implicits._
+    // 4 users: x∧y for 2 of them, x∧z never co-occur
+    val ev = Seq(
+      (1L, "x"), (1L, "x"), (1L, "y"),       // repeats collapse
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (4L, "z"))
+      .toDF("user_id", "et")
+    val r = Affinity.typeAffinity(ev, "user_id", col("et"))
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    // n_x=3, n_y=2, n_z=1, U=4; xy: n=2, support=2/4=0.5, lift=2*4/(3*2)=1.333..
+    assert(r === Map(("x", "y") -> ((2L, 500000L, 1333333L))))
+    assert(!r.contains(("x", "z")), "never-co-occurring pairs are absent")
+  }
+
   test("topPaths: gap sessionization bounds n-grams; clock ties break on seq") {
     import spark.implicits._
     val ev = Seq(
