@@ -97,4 +97,40 @@ object PipelineProperties extends Properties("Pipeline") {
         .collect().forall(r => r.getString(0) == r.getString(1))
       ok && enc
     }
+
+  // ---- ordered funnel ----
+
+  private val evGen = for {
+    n <- Gen.choose(1, 40)
+    evs <- Gen.listOfN(n, for {
+      u <- Gen.choose(1L, 5L)
+      t <- Gen.oneOf("view", "click", "purchase", "other")
+    } yield (u, t))
+  } yield evs.zipWithIndex.map { case ((u, t), i) => (u, i.toLong, t) }
+
+  /** Reference: walk each user's events in seq order, advancing the
+    * stage pointer on exact matches. */
+  private def refFunnel(evs: List[(Long, Long, String)], stages: List[String])
+      : Map[Long, (List[Long], Int)] =
+    evs.groupBy(_._1).flatMap { case (u, es) =>
+      var stage = 0
+      val seqs = scala.collection.mutable.ListBuffer.empty[Long]
+      es.sortBy(_._2).foreach { case (_, seq, t) =>
+        if (stage < stages.length && t == stages(stage)) { seqs += seq; stage += 1 }
+      }
+      if (stage == 0) None else Some(u -> ((seqs.toList, stage)))
+    }
+
+  property("funnel == per-user ordered walk on random event logs") =
+    forAll(evGen) { evs =>
+      val stages = List("view", "click", "purchase")
+      val got = Funnel.funnel(evs.toDF("user_id", "seq", "et"),
+          "user_id", org.apache.spark.sql.functions.col("seq"),
+          org.apache.spark.sql.functions.col("et"), stages)
+        .collect().map { r =>
+          val seqs = (1 to 3).flatMap(i => if (r.isNullAt(i)) None else Some(r.getLong(i))).toList
+          r.getLong(0) -> ((seqs, r.getInt(4)))
+        }.toMap
+      got == refFunnel(evs, stages)
+    }
 }
