@@ -609,6 +609,21 @@ object SparkEntry {
         .orderBy(col("seq"))
         .run(db)
     }),
+    "q_index_join" -> ((s, dir) => {
+      // index nested-loop join: the probe table meets the posting
+      // table, matching seqs drive a point-get read of the log (inline
+      // isin under maxInline — the sf0.001/0.01 path — or a seq
+      // semi-join beyond it — the sf0.1 path; both exercised)
+      val db = eventsDb(s, dir).use("byTypeJoin",
+        IndexView.onColumn("event_type", "event_id"))
+      import s.implicits._
+      val probe = Seq(("purchase", "rev"), ("signup", "acq"), ("error", "ops"))
+        .toDF("event_type", "label")
+      Query.lookupJoin(db, probe, "event_type")
+        .select(col("event_id").as("seq"), col("event_type"), col("label"),
+          round(col("value"), 4).as("value_r"))
+        .orderBy("seq")
+    }),
     "q_index_count" -> ((s, dir) => {
       // covering-index aggregation: count-by-key answered ENTIRELY from
       // the durable (key, seq) posting table — the log is never scanned
@@ -2111,6 +2126,9 @@ object SparkEntry {
       // identical answer to the unindexed form — composite selection is
       // a physical rewrite, never a semantic one
       "SELECT event_id AS seq, user_id, round(value, 4) AS value_r FROM events WHERE event_type = 'purchase' AND user_id IN (3, 7) ORDER BY seq",
+    "q_index_join" ->
+      ("SELECT event_id AS seq, event_type, label, round(value, 4) AS value_r " +
+        "FROM events JOIN (VALUES ('purchase', 'rev'), ('signup', 'acq'), ('error', 'ops')) p(event_type, label) USING (event_type) ORDER BY seq"),
     "q_index_count" ->
       // the covering-index rewrite is physical, never semantic
       "SELECT event_type, count(*) AS n, min(event_id) AS first_seq, max(event_id) AS last_seq FROM events GROUP BY 1 ORDER BY 1",

@@ -81,20 +81,13 @@ final case class Query(
         db.gated(viewName)(_.frameOption) match {
           case None => run(db.mapped)
           case Some(posting) =>
-            val sc = db.log.seqCol
             // single-column index: exactly one key per entry, so the
             // filtered posting yields distinct seqs — no dedup shuffle
             val seqDf = postingFilter(posting).select(col("seq"))
             val residual = conjuncts.zipWithIndex.collect {
               case (c, j) if !(dropMatched && matched(j)) => c
             }
-            val head = seqDf.limit(maxInline + 1).collect().map(_.getLong(0))
-            val base =
-              if (head.isEmpty) db.mapped.where(lit(false))
-              else if (head.length <= maxInline)
-                db.mapped.where(col(sc).isin(head.toIndexedSeq: _*))
-              else
-                db.mapped.join(seqDf.withColumnRenamed("seq", sc), Seq(sc), "left_semi")
+            val base = Query.readBySeqs(db, seqDf, maxInline)
             finish(residual.foldLeft(base)((d, f) => d.where(f)))
         }
     }
@@ -158,6 +151,49 @@ final case class Query(
 
 object Query {
   def apply(): Query = new Query()
+
+  /** Log rows whose seq appears in `seqDf`: small lists (≤ `maxInline`
+    * 8-byte seqs) inline as an `isin` pushed to the parquet scan as
+    * row-group skipping — the distributed index-then-point-get; bigger
+    * lists fall back to a semi-join (never worse than a scan). */
+  private[views] def readBySeqs(db: FlumeDb, seqDf: DataFrame, maxInline: Int): DataFrame = {
+    val sc = db.log.seqCol
+    val head = seqDf.limit(maxInline + 1).collect().map(_.getLong(0))
+    if (head.isEmpty) db.mapped.where(lit(false))
+    else if (head.length <= maxInline)
+      db.mapped.where(col(sc).isin(head.toIndexedSeq: _*))
+    else
+      db.mapped.join(seqDf.withColumnRenamed("seq", sc), Seq(sc), "left_semi")
+  }
+
+  /** Index lookup join (index nested-loop join): inner-join a probe
+    * table against the log on a mounted-indexed column WITHOUT scanning
+    * the log — probe keys meet the posting table on the stored string
+    * key, the matching seqs drive a [[readBySeqs]] point-get read, and
+    * the probe joins back onto the narrowed rows. The reference's
+    * index-then-point-get (`README.md:93-94`), generalized from literal
+    * predicates to a probe relation; with no mounted index on `onCol`
+    * the call degrades to the plain join it replaces. Probe keys whose
+    * string form can't round-trip are simply absent from the posting
+    * (no false matches — the index stores `cast(col as string)`). */
+  def lookupJoin(
+      db: FlumeDb,
+      probe: DataFrame,
+      onCol: String,
+      maxInline: Int = 8192): DataFrame = {
+    val plain = () => probe.join(db.mapped, Seq(onCol))
+    mountedIndexes(db).get(onCol) match {
+      case None => plain()
+      case Some(viewName) =>
+        db.gated(viewName)(_.frameOption) match {
+          case None => plain()
+          case Some(posting) =>
+            val keys = probe.select(col(onCol).cast("string").as("key")).distinct()
+            val seqDf = posting.join(broadcast(keys), Seq("key")).select("seq")
+            probe.join(readBySeqs(db, seqDf, maxInline), Seq(onCol))
+        }
+    }
+  }
 
   /** A chosen index access path: which mounted view serves it, which
     * conjunct positions it absorbed, the filter over the `(key, seq)`

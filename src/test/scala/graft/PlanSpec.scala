@@ -282,6 +282,12 @@ class PlanSpec extends SparkSpec {
       s"expected the composite posting lookup's seq list pushed to the events scan:\n${s.take(3000)}")
   }
 
+  test("index lookup join: the log scan carries the inlined seq membership at small SF") {
+    val s = planString(run("q_index_join"))
+    assert(s.contains("In(event_id"),
+      s"expected the posting-driven seq list pushed to the events scan:\n${s.take(3000)}")
+  }
+
   test("covering-index count never scans the log — the plan reads only the posting parquet") {
     val s = planString(run("q_index_count"))
     assert(!s.contains("events.parquet"),

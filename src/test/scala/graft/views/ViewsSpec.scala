@@ -265,6 +265,28 @@ class ViewsSpec extends SparkSpec {
     assert(rows(Query().where(col("tag").isNull).select(col("seq"))) === Seq(3L))
   }
 
+  test("Query.lookupJoin: probe join via the posting table on both read paths; no-index degrade") {
+    import spark.implicits._
+    val (_, db) = db2()
+    db.use("tagIdx2", IndexView.onColumn("tag", "seq"))
+    db.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "a"), Row(2L, "b"), Row(3L, "a"), Row(4L, "c"), Row(5L, "a"))), schema))
+    val probe = Seq(("a", 10L), ("c", 30L), ("zz", 99L)).toDF("tag", "w")
+    def runIt(maxInline: Int) = Query.lookupJoin(db, probe, "tag", maxInline)
+      .select("seq", "tag", "w", "foo")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val want = Set(
+      (0L, "a", 10L, 1L), (2L, "a", 10L, 3L), (4L, "a", 10L, 5L),
+      (3L, "c", 30L, 4L)) // 'zz' matches nothing; 'b' not probed
+    assert(runIt(8192) === want, "inline isin path")
+    assert(runIt(1) === want, "semi-join path (posting list over maxInline)")
+    // no mounted index on foo: degrades to the plain join, same semantics
+    val plain = Query.lookupJoin(db, Seq((1L, "x")).toDF("foo", "lbl"), "foo")
+      .select("seq", "lbl").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(plain === Set((0L, "x")))
+  }
+
   test("Query covering-index count: posting-only aggregation, null keys, filters, fallback") {
     val (_, db) = db2()
     db.use("tagIdx", IndexView.onColumn("tag", "seq"))
