@@ -1761,6 +1761,37 @@ object SparkEntry {
         .select(col("user_id"), col("n"), round(col("mean") * col("n"), 4).as("sum_v"))
         .orderBy("user_id")
     }),
+    "q_stream_funnel" -> ((s, dir) => {
+      // the ordered funnel as live per-key state: final progress after
+      // the stream drains equals the batch funnel (shared oracle). The
+      // latest emission per key is the max-stage row; equal-stage
+      // emissions are identical, so distinct + top-1 is deterministic.
+      val schema = t(s, dir, "events").schema
+      val name = s"stream_funnel_${streamIds.incrementAndGet()}"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val q = graft.streaming.StreamingViews
+          .funnelPerKey(src, "user_id", "event_id", "event_type",
+            Seq("view", "click", "purchase"))
+          .toDF("user_id", "seqs", "stage")
+          .writeStream.format("memory").queryName(name)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("stage").desc)
+      s.table(name).distinct()
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1 && col("stage") >= 1)
+        .select(col("user_id"),
+          element_at(col("seqs"), 1).as("s_view"),
+          element_at(col("seqs"), 2).as("s_click"),
+          element_at(col("seqs"), 3).as("s_purchase"),
+          col("stage"))
+        .orderBy("user_id")
+    }),
     "q_stream_anomaly" -> ((s, dir) => {
       // the rolling z-score gate as LIVE per-key state: a trailing ring
       // buffer scores each arriving event, emitting only anomalies
@@ -2113,6 +2144,15 @@ object SparkEntry {
         "a AS (SELECT DISTINCT user_id, p_s FROM p) " +
         "SELECT cohort_s * 1000 AS cohort_ms, (p_s - cohort_s) // 86400 AS day_offset, count(*) AS n_active " +
         "FROM a JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY cohort_ms, day_offset"),
+    "q_stream_funnel" ->
+      // identical to q_funnel: the live state machine re-derives the
+      // batch answer over the one-file source
+      ("WITH v AS (SELECT user_id, min(event_id) AS s_view FROM events WHERE event_type = 'view' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, min(event_id) AS s_click FROM events e JOIN v ON e.user_id = v.user_id AND e.event_id > v.s_view WHERE e.event_type = 'click' GROUP BY 1), " +
+        "p AS (SELECT e.user_id, min(event_id) AS s_purchase FROM events e JOIN c ON e.user_id = c.user_id AND e.event_id > c.s_click WHERE e.event_type = 'purchase' GROUP BY 1) " +
+        "SELECT v.user_id, s_view, s_click, s_purchase, " +
+        "CASE WHEN s_purchase IS NOT NULL THEN 3 WHEN s_click IS NOT NULL THEN 2 ELSE 1 END AS stage " +
+        "FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id) ORDER BY user_id"),
     "q_funnel" ->
       // the same per-stage derivation: first view, first click AFTER it,
       // first purchase after that; stage = depth reached

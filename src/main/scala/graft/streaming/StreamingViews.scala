@@ -196,6 +196,42 @@ object StreamingViews {
       }
   }
 
+  /** Per-key funnel progress for [[funnelPerKey]]: how many stages are
+    * matched and the seq where each fired. */
+  final case class FunnelProgress(stage: Int, seqs: Seq[Long])
+
+  /** The [[graft.ops.Funnel]] ordered funnel as LIVE per-key state: a
+    * (stage, seqs) cursor per key advances whenever the next expected
+    * stage type arrives — O(stages) state per key, each event touched
+    * once, emissions carry the key's current progress (Update mode).
+    * Rows are processed in seq order within a batch; across batches the
+    * source must deliver per-key in seq order (the log stream source
+    * contract), the same assumption as [[rollingAnomalyPerKey]]. The
+    * FINAL state per key equals the batch funnel — they share an
+    * oracle. */
+  def funnelPerKey(
+      stream: DataFrame,
+      keyCol: String,
+      seqCol: String,
+      typeCol: String,
+      stages: Seq[String]): Dataset[(Long, Seq[Long], Int)] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col(keyCol).cast("long"), col(seqCol).cast("long"), col(typeCol))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelProgress, (Long, Seq[Long], Int)](GroupStateTimeout.NoTimeout) {
+        case (k, rows, state: GroupState[FunnelProgress]) =>
+          var p = state.getOption.getOrElse(FunnelProgress(0, Nil))
+          rows.toSeq.sortBy(_._2).foreach { case (_, seq, t) =>
+            if (p.stage < stages.length && t == stages(p.stage))
+              p = FunnelProgress(p.stage + 1, p.seqs :+ seq)
+          }
+          state.update(p)
+          (k, p.seqs, p.stage)
+      }
+  }
+
   /** Custom incremental state via mapGroupsWithState: running
     * count/mean/M2 per key, merged with Welford — the streaming analog of
     * the reduce view, keyed. Demonstrates arbitrary user state where

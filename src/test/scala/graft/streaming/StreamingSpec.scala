@@ -860,6 +860,36 @@ class StreamingSpec extends SparkSpec {
     assert(v3.since === -1L && v3.frameOption.isEmpty)
   }
 
+  test("streaming funnel: stage cursor carries across batches; out-of-order types don't count") {
+    val kvSchema = StructType(Seq(
+      StructField("k", LongType), StructField("s", LongType), StructField("et", StringType)))
+    val log = new MemoryLog(spark, kvSchema)
+    // batch 1: user 1 views; user 2 purchases FIRST (must not count)
+    log.appendRows(Seq(Row(1L, 1L, "view"), Row(2L, 2L, "purchase"), Row(2L, 3L, "view")))
+    val q = StreamingViews.funnelPerKey(
+        log.readStream.select("k", "s", "et"), "k", "s", "et",
+        Seq("view", "click", "purchase"))
+      .toDF("k", "seqs", "stage")
+      .writeStream.format("memory").queryName("funnel_live")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      // batch 2: user 1's click+purchase arrive later and must chain off
+      // the batch-1 view; user 2's click opens stage 2 off their view
+      log.appendRows(Seq(Row(1L, 4L, "click"), Row(1L, 5L, "purchase"), Row(2L, 6L, "click")))
+      q.processAllAvailable()
+      val fin = spark.sql(
+        "SELECT k, seqs, stage FROM funnel_live ORDER BY stage DESC")
+        .collect().groupBy(_.getLong(0)).map { case (k, rows) =>
+          val r = rows.head // max stage per key
+          k -> ((r.getAs[scala.collection.Seq[Long]](1).toList, r.getInt(2)))
+        }
+      assert(fin === Map(
+        1L -> ((List(1L, 4L, 5L), 3)), // full funnel across the batch boundary
+        2L -> ((List(3L, 6L), 2))))    // early purchase never counted
+    } finally q.stop()
+  }
+
   test("streaming anomaly gate: ring buffer carries across batches, equals the batch operator") {
     val kvSchema = StructType(Seq(
       StructField("k", LongType), StructField("s", LongType), StructField("v", DoubleType)))
