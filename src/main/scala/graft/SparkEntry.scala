@@ -579,6 +579,10 @@ object SparkEntry {
       graft.ops.Funnel.funnel(t(s, dir, "events"), "user_id",
           col("event_id"), col("event_type"), Seq("view", "click", "purchase"))
         .orderBy("user_id")),
+    "q_funnel_counts" -> ((s, dir) =>
+      // the funnel summary: users reaching AT LEAST each stage
+      graft.ops.Funnel.funnelCounts(t(s, dir, "events"), "user_id",
+        col("event_id"), col("event_type"), Seq("view", "click", "purchase"))),
     "q_type_affinity" -> ((s, dir) =>
       // association rules over event types: per-user distinct type
       // sets, pairwise co-occurrence, floored-ppm support and lift
@@ -2119,6 +2123,11 @@ object SparkEntry {
       "SELECT event_type AS key, event_id AS seq FROM events WHERE event_type = 'click' ORDER BY seq",
     "q_index_multikey" ->
       "SELECT key, seq FROM (SELECT event_type AS key, event_id AS seq FROM events UNION ALL SELECT 'u:' || CAST(user_id AS VARCHAR), event_id FROM events) ORDER BY key, seq",
+    "q_funnel_counts" ->
+      ("WITH v AS (SELECT user_id, min(event_id) AS s_view FROM events WHERE event_type = 'view' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, min(event_id) AS s_click FROM events e JOIN v ON e.user_id = v.user_id AND e.event_id > v.s_view WHERE e.event_type = 'click' GROUP BY 1), " +
+        "p AS (SELECT e.user_id, min(event_id) AS s_purchase FROM events e JOIN c ON e.user_id = c.user_id AND e.event_id > c.s_click WHERE e.event_type = 'purchase' GROUP BY 1) " +
+        "SELECT count(*) AS n_view, (SELECT count(*) FROM c) AS n_click, (SELECT count(*) FROM p) AS n_purchase FROM v"),
     "q_type_affinity" ->
       // identical left-associated arithmetic from exact integer counts;
       // floor + 1e-9 nudge is the domain-mix convention

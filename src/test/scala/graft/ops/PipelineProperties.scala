@@ -121,6 +121,39 @@ object PipelineProperties extends Properties("Pipeline") {
       if (stage == 0) None else Some(u -> ((seqs.toList, stage)))
     }
 
+  /** Reference: per-user (ms, seq)-ordered walk, gap-split sessions,
+    * trigram slide, global counts. */
+  private def refPaths(evs: List[(Long, Long, Long, String)], gap: Long)
+      : Map[String, Long] =
+    evs.groupBy(_._1).values.flatMap { es =>
+      val ordered = es.sortBy(e => (e._2, e._3))
+      val sessions = ordered.foldLeft(List.empty[List[(Long, Long, Long, String)]]) {
+        case (Nil, e) => List(List(e))
+        case (cur :: done, e) =>
+          if (e._2 - cur.head._2 >= gap) List(e) :: (cur :: done)
+          else (e :: cur) :: done
+      }.map(_.reverse)
+      sessions.flatMap(s => s.map(_._4).sliding(3).filter(_.size == 3)
+        .map(_.mkString(">")))
+    }.groupBy(identity).map { case (p, os) => p -> os.size.toLong }
+
+  property("topPaths == per-session reference walk on random event logs") =
+    forAll(for {
+      n <- Gen.choose(3, 30)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 3L)
+        ms <- Gen.choose(0L, 20L).map(_ * 400000L) // gaps straddle the 600k threshold
+        t <- Gen.oneOf("a", "b", "c")
+      } yield (u, ms, t))
+    } yield evs.zipWithIndex.map { case ((u, ms, t), i) => (u, ms, i.toLong, t) }) { evs =>
+      val got = Paths.topPaths(evs.toDF("user_id", "ms", "seq", "et"),
+          "user_id", org.apache.spark.sql.functions.col("ms"),
+          org.apache.spark.sql.functions.col("seq"),
+          org.apache.spark.sql.functions.col("et"), k = 1000)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      got == refPaths(evs, 600000L)
+    }
+
   property("funnel == per-user ordered walk on random event logs") =
     forAll(evGen) { evs =>
       val stages = List("view", "click", "purchase")
