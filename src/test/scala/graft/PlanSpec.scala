@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan assertions: these encode the scale contract — a plan
   * that stops pushing filters to parquet, broadcasting small dims, or
@@ -294,6 +295,52 @@ class PlanSpec extends SparkSpec {
       s"count-by-indexed-key must be served by the posting table alone:\n${s.take(3000)}")
     assert(s.contains("graftcntidx"), // the PersistentIndexView delta dirs
       s"expected a posting-parquet scan in the plan:\n${s.take(3000)}")
+  }
+
+  test("semanticDedup pairs only inside cells — no join keys on raw vectors") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
+    val df = graft.ops.Dedup.semanticDedup(emb, nCells = 8, tau = 0.95)
+    // pre-checkpoint contract is in the operator; the checkpointed
+    // result hides it, so rebuild the pairing stage the way the
+    // operator builds it and inspect the OPTIMIZED logical plan
+    val joins = {
+      val cents = graft.ops.Similarity.seedCentroids(emb, 8)
+      val assigned = emb.select(col("vec_id").as("id"), col("embedding").as("v"),
+        graft.ops.Similarity.cellAssign(col("embedding"), cents).as("cell"))
+      val pairs = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+        .join(assigned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b")), Seq("cell"))
+        .where(col("id_a") < col("id_b"))
+      pairs.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+    }
+    assert(joins.nonEmpty, "the pairing stage must be a join")
+    joins.foreach { j =>
+      val keyNames = j.condition.toSeq.flatMap(_.references).map(_.name).toSet
+      assert(keyNames.contains("cell") && !keyNames.exists(_.startsWith("v")),
+        s"pairing must equi-join the 8-byte cell id, not vectors: $keyNames")
+    }
+    // and the operator's verdicts still cover the corpus
+    assert(df.count() === emb.count())
+  }
+
+  test("DSIR scores via a BROADCAST of the bucket log-ratio table") {
+    // the operator localCheckpoints its result (plan truncated to a
+    // Scan ExistingRDD), so rebuild the pre-checkpoint weight join the
+    // way importanceWeightsSelf builds it
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val feats = docs.select(col("doc_id").as("id"), (col("lang") === "en").as("t"),
+      explode(graft.ops.Dsir.hashedBigramBuckets(col("text"), 4096)).as("b"))
+    val stats = feats.groupBy("b")
+      .agg(count(lit(1)).as("cs"), count(when(col("t"), 1)).as("ct"))
+    val ratio = stats.select(col("b"), (col("ct") + col("cs")).cast("double").as("r"))
+    val w = feats.groupBy("id", "b").agg(count(lit(1)).as("n"))
+      .join(broadcast(ratio), Seq("b"))
+      .groupBy("id").agg(sum(col("n") * col("r")).as("weight"))
+    val s = executed(w).toString
+    assert(s.contains("BroadcastHashJoin"),
+      s"the <=nBuckets ratio table must broadcast into the weight join:\n${s.take(2000)}")
   }
 
   test("embedding near-dup joins on capped band keys, never the raw signature") {
