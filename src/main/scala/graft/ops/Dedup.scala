@@ -1079,9 +1079,9 @@ object Dedup {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val cents = Similarity.seedCentroids(embeddings, nCells, idCol, vecCol)
-    val assigned = embeddings
-      .select(col(idCol).as("id"), col(vecCol).as("v"),
-        Similarity.cellAssign(col(vecCol), cents).as("cell"))
+    val assigned = Similarity.assignCells(
+        embeddings.select(col(idCol).as("id"), col(vecCol).as("v")),
+        cents, "id", "v", "cell")
       .persist()
     val hot = assigned.groupBy("cell").count()
       .where(col("count") > maxCell).select("cell")

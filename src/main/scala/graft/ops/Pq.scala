@@ -122,8 +122,9 @@ object Pq {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
     encode(corpus, model, idCol, vecCol)
-      .join(corpus.select(col(idCol).as("id"),
-        Similarity.cellAssign(col(vecCol), cents).as("cell")), Seq("id"))
+      .join(Similarity.assignCells(
+        corpus.select(col(idCol).as("id"), col(vecCol)), cents, "id", vecCol, "cell")
+        .select("id", "cell"), Seq("id"))
 
   /** IVF+PQ search: probe the `nProbe` nearest coarse cells (driver-side
     * over the tiny centroid table — at cluster scale the `isin` on the

@@ -124,11 +124,76 @@ object Similarity {
 
   /** Nearest-centroid cell id as a column (argmax cosine, ties to the
     * higher centroid id) — the assignment used both by the one-shot
-    * [[ivfSearch]] and by [[graft.views.IVFIndexView]]'s stored layout. */
+    * [[ivfSearch]] and by [[graft.views.IVFIndexView]]'s stored layout.
+    *
+    * This literal form inlines one struct per centroid into the
+    * expression tree — narrow and shuffle-free, but O(nCents) plan
+    * nodes, so it is capped at [[CellAssignLiteralMax]]; above that,
+    * [[assignCells]] switches to the broadcast-join argmax
+    * ([[cellAssignJoined]]) that SemDeDup's published k ∝ N operating
+    * point (~1e5 clusters, Abbas et al. 2023 §3) requires. */
   def cellAssign(vec: Column, cents: Array[(Long, Seq[Float])]): Column =
     array_max(array(cents.map { case (cid, cvec) =>
       struct(cosine(vec, typedLit(cvec).cast("array<float>")).as("cos"), lit(cid).as("cid"))
     }.toIndexedSeq: _*)).getField("cid")
+
+  /** Strategy threshold for [[assignCells]]: at or below this many
+    * centroids the literal expression tree ([[cellAssign]]) wins (zero
+    * shuffle, whole-stage codegen); above it, expression-tree size and
+    * codegen limits are O(nCents) and the broadcast-centroid-table join
+    * takes over — the same materialized-cost strategy switch as
+    * [[Cluster.connectedComponents]]'s driver/distributed fork. */
+  val CellAssignLiteralMax = 256
+
+  /** Nearest-centroid assignment via a broadcast JOIN of the centroid
+    * table: each corpus row meets every centroid (broadcast nested-loop
+    * against a k-row table — no corpus shuffle), cosine is computed per
+    * (row, centroid), and a `max(struct(cos, cid))` aggregate takes the
+    * argmax (ties to the higher cid — bit-identical tie-break and
+    * accumulation order to [[cellAssign]], pinned by `EmbeddingOpsSpec`).
+    * The partial aggregate collapses the k-fold expansion map-side
+    * (every row's k candidates live in one partition, by construction of
+    * a broadcast join), so the shuffle moves one row per input row — the
+    * grouped columns plus the row's other columns carried via `first`.
+    * `idCol` must be unique per row (it is the aggregate key).
+    *
+    * Plan shape is O(1) in nCents: one broadcast of a k × dim float
+    * table (k = 1e5 × 768 dims ≈ 300 MB — broadcast-sized, vs infeasible
+    * as literal expression nodes). */
+  def cellAssignJoined(
+      df: DataFrame,
+      cents: Array[(Long, Seq[Float])],
+      idCol: String,
+      vecCol: String,
+      cellCol: String = "cell"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centTable = cents.toSeq.toDF("__cent_cid", "__cent_vec")
+      .select(col("__cent_cid"), col("__cent_vec").cast("array<float>").as("__cent_vec"))
+    val carried = df.columns.filterNot(_ == idCol).toIndexedSeq
+      .map(c => first(col(c)).as(c))
+    val cellAgg = max(struct(
+      cosine(col(vecCol), col("__cent_vec")).as("cos"),
+      col("__cent_cid").as("cid"))).getField("cid").as(cellCol)
+    df.crossJoin(broadcast(centTable))
+      .groupBy(col(idCol))
+      .agg((carried :+ cellAgg).head, (carried :+ cellAgg).tail: _*)
+  }
+
+  /** Nearest-centroid cell assignment with the strategy switch: appends
+    * `cellCol` to `df`, via the literal expression for small quantizers
+    * and the broadcast-join argmax above [[CellAssignLiteralMax]]. All
+    * IVF/SemDeDup call sites route through this, so raising nCells to
+    * the published k ∝ N scale changes the plan, not the caller. */
+  def assignCells(
+      df: DataFrame,
+      cents: Array[(Long, Seq[Float])],
+      idCol: String,
+      vecCol: String,
+      cellCol: String = "cell"): DataFrame =
+    if (cents.length <= CellAssignLiteralMax)
+      df.withColumn(cellCol, cellAssign(col(vecCol), cents))
+    else cellAssignJoined(df, cents, idCol, vecCol, cellCol)
 
   /** The `nProbe` centroid ids closest to the query, by driver-side
     * cosine over the (tiny) centroid table. */
@@ -153,8 +218,7 @@ object Similarity {
     val probe = probeCells(cents, queryVec, nProbe)
     val q = typedLit(queryVec).cast("array<float>")
     val base = excludeId.fold(corpus)(id => corpus.where(col(idCol) =!= id))
-    base
-      .withColumn("__cell", cellAssign(col(vecCol), cents))
+    assignCells(base, cents, idCol, vecCol, "__cell")
       .where(col("__cell").isin(probe: _*))
       .select(col(idCol), round(cosine(col(vecCol), q), 4).as("cos"))
       .orderBy(col("cos").desc, col(idCol))

@@ -64,8 +64,7 @@ final class IVFIndexView(
 
   def absorb(entries: DataFrame, upto: Long): Unit = {
     val cs = centroids(seedFrom = Some(entries))
-    entries.select(col(idCol), col(vecCol))
-      .withColumn("cell", Similarity.cellAssign(col(vecCol), cs))
+    Similarity.assignCells(entries.select(col(idCol), col(vecCol)), cs, idCol, vecCol, "cell")
       // co-locate each cell before the dynamic-partition write: one file
       // per cell instead of (tasks × cells) small files
       .repartition(col("cell"))
@@ -118,9 +117,9 @@ final class IVFIndexView(
     * Output: (idCol, cell, kept, dup_of) — one verdict per batch row. */
   def dedupBatch(batch: DataFrame, tau: Double): DataFrame = {
     val cs = centroids()
-    val assigned = batch
-      .select(col(idCol).as("id"), col(vecCol).as("v"),
-        Similarity.cellAssign(col(vecCol), cs).as("cell"))
+    val assigned = Similarity.assignCells(
+        batch.select(col(idCol).as("id"), col(vecCol).as("v")),
+        cs, "id", "v", "cell")
       .persist()
     val touched = assigned.select("cell").distinct()
       .collect().map(_.getLong(0)) // ≤ nCentroids values — driver-safe

@@ -324,6 +324,31 @@ class PlanSpec extends SparkSpec {
     assert(df.count() === emb.count())
   }
 
+  test("4096-cell quantizer plans as a broadcast centroid join — no O(k) expression tree") {
+    // the published SemDeDup operating point is k ∝ N (~1e5 cells);
+    // the literal path would inline one struct per centroid. Above
+    // CellAssignLiteralMax the plan must be O(1) in nCells: a broadcast
+    // of the centroid TABLE plus a constant-size argmax aggregate.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
+    val cents = Array.tabulate(4096)(i =>
+      (i.toLong, Seq.tabulate(8)(j => ((i * 31 + j * 7) % 97).toFloat / 97.0f - 0.5f)))
+    val df = graft.ops.Similarity.assignCells(emb, cents, "vec_id", "embedding", "cell")
+    val opt = df.queryExecution.optimizedPlan
+    val joins = opt.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty, "large-k assignment must join the centroid table")
+    // expression-node count must not scale with k (literal path: >4096)
+    val exprNodes = opt.expressions.map(e => e.collect { case x => x }.size).sum
+    assert(exprNodes < 200, s"plan must be O(1) in nCells, got $exprNodes expression nodes")
+    // the centroid side broadcasts; the corpus side never shuffles
+    // before the partial aggregate collapses the k-fold expansion
+    val s = planString(df)
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
+      s"centroid table must broadcast:\n${s.take(2000)}")
+    // the k-fold expansion collapses map-side: a partial argmax runs
+    // BEFORE the vec_id exchange, so the shuffle moves one row per input
+    assert(s.contains("partial_max"), s"argmax must partial-aggregate pre-shuffle:\n${s.take(2000)}")
+  }
+
   test("DSIR scores via a BROADCAST of the bucket log-ratio table") {
     // the operator localCheckpoints its result (plan truncated to a
     // Scan ExistingRDD), so rebuild the pre-checkpoint weight join the

@@ -238,4 +238,40 @@ class EmbeddingOpsSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
     assert(capped.values.forall(identity), "hot cells keep all members")
   }
+
+  test("cellAssignJoined matches the literal cellAssign bit-for-bit, carries all columns") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.seedCentroids(emb, 16)
+    val lit = emb.withColumn("cell", Similarity.cellAssign(col("embedding"), cents))
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val joined = Similarity.cellAssignJoined(emb, cents, "vec_id", "embedding")
+    // schema parity: every input column survives, plus the cell
+    assert(joined.columns.toSet === (emb.columns.toSet + "cell"))
+    val got = joined.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === lit, "joined argmax must equal the literal expression argmax")
+    // carried non-key columns are the input row's values, not nulls
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    joined.select("vec_id", "label").collect()
+      .foreach(r => assert(labels(r.getLong(0)) === r.getInt(1)))
+  }
+
+  test("assignCells strategy-switches at CellAssignLiteralMax") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    def hasJoin(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.nonEmpty
+    val small = Similarity.seedCentroids(emb, 16)
+    assert(!hasJoin(Similarity.assignCells(emb, small, "vec_id", "embedding")),
+      "small quantizer must stay a narrow literal expression")
+    val dim = emb.head().getAs[scala.collection.Seq[Float]]("embedding").length
+    val big = Array.tabulate(Similarity.CellAssignLiteralMax + 1)(i =>
+      (i.toLong, Seq.tabulate(dim)(j => ((i * 31 + j * 7) % 97).toFloat / 97.0f - 0.5f)))
+    assert(hasJoin(Similarity.assignCells(emb, big, "vec_id", "embedding")),
+      "above the cap the assignment must become a centroid-table join")
+  }
 }
