@@ -583,6 +583,13 @@ object SparkEntry {
       // the funnel summary: users reaching AT LEAST each stage
       graft.ops.Funnel.funnelCounts(t(s, dir, "events"), "user_id",
         col("event_id"), col("event_type"), Seq("view", "click", "purchase"))),
+    "q_funnel_windowed" -> ((s, dir) =>
+      // the expiring funnel: each stage must fire within 24h of the
+      // previous chosen stage's event (greedy by seq, gap on event ts)
+      graft.ops.Funnel.funnel(t(s, dir, "events"), "user_id",
+          col("event_id"), col("event_type"), Seq("view", "click", "purchase"),
+          tsCol = Some(tsMs(s, dir)), maxGap = Some(86400000L))
+        .orderBy("user_id")),
     "q_type_affinity" -> ((s, dir) =>
       // association rules over event types: per-user distinct type
       // sets, pairwise co-occurrence, floored-ppm support and lift
@@ -2159,6 +2166,17 @@ object SparkEntry {
       ("WITH v AS (SELECT user_id, min(event_id) AS s_view FROM events WHERE event_type = 'view' GROUP BY 1), " +
         "c AS (SELECT e.user_id, min(event_id) AS s_click FROM events e JOIN v ON e.user_id = v.user_id AND e.event_id > v.s_view WHERE e.event_type = 'click' GROUP BY 1), " +
         "p AS (SELECT e.user_id, min(event_id) AS s_purchase FROM events e JOIN c ON e.user_id = c.user_id AND e.event_id > c.s_click WHERE e.event_type = 'purchase' GROUP BY 1) " +
+        "SELECT v.user_id, s_view, s_click, s_purchase, " +
+        "CASE WHEN s_purchase IS NOT NULL THEN 3 WHEN s_click IS NOT NULL THEN 2 ELSE 1 END AS stage " +
+        "FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id) ORDER BY user_id"),
+    "q_funnel_windowed" ->
+      // greedy gap-gated chain: each stage CTE carries the CHOSEN
+      // event's ts (arg_min by seq) so the next stage's join predicate
+      // can bound the gap — mirrors min_by(ts, seq) on the Spark side
+      ("WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type FROM events), " +
+        "v AS (SELECT user_id, min(event_id) AS s_view, arg_min(ms, event_id) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, min(e.event_id) AS s_click, arg_min(e.ms, e.event_id) AS t_click FROM e JOIN v ON e.user_id = v.user_id AND e.event_id > v.s_view AND e.ms - v.t_view <= 86400000 WHERE e.event_type = 'click' GROUP BY 1), " +
+        "p AS (SELECT e.user_id, min(e.event_id) AS s_purchase FROM e JOIN c ON e.user_id = c.user_id AND e.event_id > c.s_click AND e.ms - c.t_click <= 86400000 WHERE e.event_type = 'purchase' GROUP BY 1) " +
         "SELECT v.user_id, s_view, s_click, s_purchase, " +
         "CASE WHEN s_purchase IS NOT NULL THEN 3 WHEN s_click IS NOT NULL THEN 2 ELSE 1 END AS stage " +
         "FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id) ORDER BY user_id"),

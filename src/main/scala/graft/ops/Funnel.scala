@@ -23,30 +23,65 @@ object Funnel {
   /** Per-key funnel: one row per key that reached stage ≥ 1, with one
     * nullable `s_<stage>` seq column per stage and `stage` = how deep
     * the key got (1-based; keys that never fired stage 1 are absent —
-    * they are the complement of the stage-1 scan). */
+    * they are the complement of the stage-1 scan).
+    *
+    * Time-bounded form: with `tsCol` + `maxGap`, a stage-i event only
+    * qualifies while `its ts − previous stage's ts <= maxGap` (same
+    * units as `tsCol`) — "purchase within N hours of the click", the
+    * expiring funnel every real pipeline runs (ClickHouse
+    * `windowFunnel`'s gap semantics, applied per transition). Stage
+    * choice stays GREEDY by seq — first qualifying event after the
+    * previous stage's chosen one; the chosen event's ts rides along as
+    * a `min_by(ts, seq)` in the same aggregate, so the shape is still
+    * K map-side-combined aggregates + K−1 equi-joins on the key. */
   def funnel(
       events: DataFrame,
       key: String,
       seqCol: Column,
       typeCol: Column,
-      stages: Seq[String]): DataFrame = {
+      stages: Seq[String],
+      tsCol: Option[Column] = None,
+      maxGap: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val first = events.where(typeCol === stages.head)
-      .groupBy(col(key)).agg(min(seqCol).as(s"s_${stages.head}"))
+    // colliding s_<stage> columns would mis-resolve the prev-stage
+    // reference in the fold (r7 ADVICE)
+    require(stages.distinct.size == stages.size,
+      s"funnel stages must be distinct, got $stages")
+    require(maxGap.isEmpty || tsCol.nonEmpty, "maxGap needs tsCol to measure gaps on")
+    val gapped = maxGap.isDefined
+    val ts = tsCol.getOrElse(lit(0L))
+    def tAgg(st: String) = min_by(col("__ts"), col("__seq")).as(s"__t_$st")
+    val first0 = events.where(typeCol === stages.head)
+      .select(col(key), seqCol.as("__seq"), ts.as("__ts"))
+      .groupBy(col(key))
+    val first =
+      if (gapped) first0.agg(min(col("__seq")).as(s"s_${stages.head}"), tAgg(stages.head))
+      else first0.agg(min(col("__seq")).as(s"s_${stages.head}"))
     val full = stages.zipWithIndex.tail.foldLeft(first) { case (acc, (st, i)) =>
       val prevCol = s"s_${stages(i - 1)}"
-      val nxt = events.where(typeCol === st)
-        .select(col(key), seqCol.as("__seq"))
-        .join(acc.select(col(key), col(prevCol)), Seq(key))
-        .where(col("__seq") > col(prevCol))
-        .groupBy(col(key)).agg(min(col("__seq")).as(s"s_$st"))
-      acc.join(nxt.select(col(key), col(s"s_$st")), Seq(key), "left")
+      val prevT = s"__t_${stages(i - 1)}"
+      val accSel = if (gapped) acc.select(col(key), col(prevCol), col(prevT))
+                   else acc.select(col(key), col(prevCol))
+      val qualifies =
+        if (gapped) col("__seq") > col(prevCol) && col("__ts") - col(prevT) <= maxGap.get
+        else col("__seq") > col(prevCol)
+      val grouped = events.where(typeCol === st)
+        .select(col(key), seqCol.as("__seq"), ts.as("__ts"))
+        .join(accSel, Seq(key))
+        .where(qualifies)
+        .groupBy(col(key))
+      val nxt = if (gapped) grouped.agg(min(col("__seq")).as(s"s_$st"), tAgg(st))
+                else grouped.agg(min(col("__seq")).as(s"s_$st"))
+      val nxtSel = if (gapped) nxt.select(col(key), col(s"s_$st"), col(s"__t_$st"))
+                   else nxt.select(col(key), col(s"s_$st"))
+      acc.join(nxtSel, Seq(key), "left")
     }
     // forward fold so the DEEPEST non-null stage ends up outermost
     val stageExpr = stages.zipWithIndex.foldLeft(lit(0)) { case (e, (st, i)) =>
       when(col(s"s_$st").isNotNull, lit(i + 1)).otherwise(e)
     }
     full.withColumn("stage", stageExpr)
+      .drop(stages.map(st => s"__t_$st"): _*)
   }
 
   /** The funnel summary: how many keys reached AT LEAST each stage. */

@@ -617,6 +617,12 @@ object Multimodal {
     * id + offset) are planted near-dup pairs. */
   def syntheticTexturePngMedia(docs: DataFrame, idCol: String = "doc_id",
       shift: Int = 0, idOffset: Long = 0L): DataFrame = {
+    // the DuckDB oracles replay the pixel formula with truncated `%`,
+    // which agrees with floorMod only while `v` stays non-negative:
+    // shift must not be negative, and ids must keep a*2654435761 below
+    // 2^63 (true for every fixture id; r7 ADVICE) — fail loudly rather
+    // than silently diverge from the oracle
+    require(shift >= 0, s"shift must be >= 0 (oracle replays with truncated %), got $shift")
     val spark = docs.sparkSession
     val rdd = docs.select(col(idCol)).where(col(idCol) % 3 === 0).rdd.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)

@@ -111,11 +111,18 @@ final class IVFIndexView(
     * stored cell-mate has cosine ≥ `tau` (the stored copy is always
     * canonical) or a lower-id batch cell-mate does; `dup_of` is the
     * lowest such id. Equivalent to from-scratch semanticDedup over
-    * corpus ∪ batch whenever stored ids precede batch ids and the
-    * seeds coincide — `PersistenceSpec` pins that parity.
+    * corpus ∪ batch (same `maxCell`) whenever stored ids precede batch
+    * ids and the seeds coincide — `PersistenceSpec` pins that parity.
+    *
+    * `maxCell` is the hot-cell guard mirroring `semanticDedup`'s: a
+    * cell whose stored + batch population exceeds it skips the pairwise
+    * stage and keeps all its batch members — both for parity and so
+    * the batch-vs-stored join stays bounded by maxCell × batch-members
+    * per cell on a skewed corpus (the SCALING.md recurring-cost
+    * contract assumed this; r7 ADVICE flagged its absence).
     *
     * Output: (idCol, cell, kept, dup_of) — one verdict per batch row. */
-  def dedupBatch(batch: DataFrame, tau: Double): DataFrame = {
+  def dedupBatch(batch: DataFrame, tau: Double, maxCell: Int = 4096): DataFrame = {
     val cs = centroids()
     val assigned = Similarity.assignCells(
         batch.select(col(idCol).as("id"), col(vecCol).as("v")),
@@ -125,11 +132,18 @@ final class IVFIndexView(
       .collect().map(_.getLong(0)) // ≤ nCentroids values — driver-safe
     val base = frame.where(col("cell").isin(touched.toIndexedSeq: _*))
       .select(col("cell"), col(idCol).as("bid"), col(vecCol).as("bv"))
-    val vsBase = assigned.join(base, Seq("cell"))
+    // hot cell = stored + batch members over maxCell (the union count,
+    // so the verdict matches from-scratch semanticDedup on the union)
+    val hot = base.groupBy("cell").agg(count(lit(1)).as("__nb"))
+      .join(assigned.groupBy("cell").agg(count(lit(1)).as("__na")), Seq("cell"), "full")
+      .where(coalesce(col("__nb"), lit(0L)) + coalesce(col("__na"), lit(0L)) > maxCell)
+      .select("cell")
+    val small = assigned.join(hot, Seq("cell"), "left_anti")
+    val vsBase = small.join(base, Seq("cell"))
       .where(Similarity.cosine(col("v"), col("bv")) >= tau)
       .groupBy("id").agg(min("bid").as("__dupBase"))
-    val vsSelf = assigned.select(col("cell"), col("id").as("ida"), col("v").as("va"))
-      .join(assigned.select(col("cell"), col("id"), col("v").as("vb")), Seq("cell"))
+    val vsSelf = small.select(col("cell"), col("id").as("ida"), col("v").as("va"))
+      .join(small.select(col("cell"), col("id"), col("v").as("vb")), Seq("cell"))
       .where(col("ida") < col("id") &&
         Similarity.cosine(col("va"), col("vb")) >= tau)
       .groupBy("id").agg(min("ida").as("__dupSelf"))

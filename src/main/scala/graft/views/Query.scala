@@ -180,7 +180,8 @@ object Query {
       db: FlumeDb,
       probe: DataFrame,
       onCol: String,
-      maxInline: Int = 8192): DataFrame = {
+      maxInline: Int = 8192,
+      maxBroadcastKeys: Long = 1L << 20): DataFrame = {
     val plain = () => probe.join(db.mapped, Seq(onCol))
     mountedIndexes(db).get(onCol) match {
       case None => plain()
@@ -189,7 +190,17 @@ object Query {
           case None => plain()
           case Some(posting) =>
             val keys = probe.select(col(onCol).cast("string").as("key")).distinct()
-            val seqDf = posting.join(broadcast(keys), Seq("key")).select("seq")
+            // broadcast fence (r7 ADVICE): the probe relation is
+            // caller-supplied and may be huge — force-broadcasting its
+            // distinct keys unconditionally could OOM executors. Count
+            // up to the cap only (a limit-bounded job, no collect);
+            // over it, the posting-vs-keys join shuffles string keys —
+            // still never the full log scan the plain join pays.
+            val fenced =
+              if (keys.limit((maxBroadcastKeys + 1).toInt).count() <= maxBroadcastKeys)
+                broadcast(keys)
+              else keys
+            val seqDf = posting.join(fenced, Seq("key")).select("seq")
             probe.join(readBySeqs(db, seqDf, maxInline), Seq(onCol))
         }
     }

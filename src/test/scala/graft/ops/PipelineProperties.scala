@@ -166,4 +166,44 @@ object PipelineProperties extends Properties("Pipeline") {
         }.toMap
       got == refFunnel(evs, stages)
     }
+
+  /** Reference for the time-bounded funnel: same seq-ordered walk, but a
+    * stage only advances while its ts is within `gap` of the previously
+    * chosen stage's ts (the first qualifying event IS the min-seq
+    * qualifying event, because the walk runs in seq order). */
+  private def refFunnelGapped(evs: List[(Long, Long, Long, String)],
+      stages: List[String], gap: Long): Map[Long, (List[Long], Int)] =
+    evs.groupBy(_._1).flatMap { case (u, es) =>
+      var stage = 0
+      var prevMs = 0L
+      val seqs = scala.collection.mutable.ListBuffer.empty[Long]
+      es.sortBy(_._2).foreach { case (_, seq, ms, t) =>
+        if (stage < stages.length && t == stages(stage) &&
+            (stage == 0 || ms - prevMs <= gap)) {
+          seqs += seq; prevMs = ms; stage += 1
+        }
+      }
+      if (stage == 0) None else Some(u -> ((seqs.toList, stage)))
+    }
+
+  property("time-bounded funnel == gap-gated walk on random event logs") =
+    forAll(for {
+      n <- Gen.choose(1, 40)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 5L)
+        ms <- Gen.choose(0L, 15L) // gap = 5 straddles the boundary
+        t <- Gen.oneOf("view", "click", "purchase", "other")
+      } yield (u, ms, t))
+    } yield evs.zipWithIndex.map { case ((u, ms, t), i) => (u, i.toLong, ms, t) }) { evs =>
+      val stages = List("view", "click", "purchase")
+      val got = Funnel.funnel(evs.toDF("user_id", "seq", "ms", "et"),
+          "user_id", org.apache.spark.sql.functions.col("seq"),
+          org.apache.spark.sql.functions.col("et"), stages,
+          tsCol = Some(org.apache.spark.sql.functions.col("ms")), maxGap = Some(5L))
+        .collect().map { r =>
+          val seqs = (1 to 3).flatMap(i => if (r.isNullAt(i)) None else Some(r.getLong(i))).toList
+          r.getLong(0) -> ((seqs, r.getInt(4)))
+        }.toMap
+      got == refFunnelGapped(evs, stages, 5L)
+    }
 }

@@ -420,6 +420,13 @@ class PersistenceSpec extends SparkSpec {
     val oneCell = v.frame.where(col("cell").isin(got(10000L)._1))
     val (total, read) = graft.sources.Layout.pruningCounts(v.frame, oneCell)
     assert(total >= 8 && read <= 2, s"one-cell probe must prune: read $read of $total")
+    // hot-cell guard (union count over maxCell skips the pairwise
+    // stage): with maxCell = 1 every touched cell is hot, so all batch
+    // members survive — matching from-scratch semanticDedup at the cap
+    val capped = v.dedupBatch(batch, tau = 0.95, maxCell = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(capped.size === n && capped.values.forall(identity),
+      "hot cells must keep all batch members")
   }
 
   test("log method passthrough with collision protection (index.js:270-283)") {
