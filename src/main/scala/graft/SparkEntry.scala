@@ -469,6 +469,34 @@ object SparkEntry {
     d.take(8).map(b => f"$b%02x").mkString
   }
 
+  // Stored phash table per (data dir, content generation) — the same
+  // durable-artifact discipline as the IVF index: built once, reopened
+  // at parity from the manifest by every later mount.
+  private val phashViews = scala.collection.concurrent.TrieMap.empty[String, (SparkSession, graft.views.PhashTableView)]
+  private val phashBuildLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def phashTable(s: SparkSession, dir: String): graft.views.PhashTableView = {
+    def build(): (SparkSession, graft.views.PhashTableView) = {
+      val vdir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft-phash-" + sourceFingerprint(s"$dir/documents.parquet")).toString
+      val v = new graft.views.PhashTableView(s, vdir, 1)
+      if (v.since < 0)
+        v.absorbHashes(Multimodal.perceptualHash(
+          Multimodal.syntheticTexturePngMedia(t(s, dir, "documents"))), 1L)
+      (s, v)
+    }
+    val lock = phashBuildLocks.getOrElseUpdate(dir, new Object)
+    lock.synchronized {
+      val e = phashViews.getOrElseUpdate(dir, build())
+      if (e._1 eq s) e._2
+      else {
+        phashViews.remove(dir, e)
+        val fresh = build()
+        phashViews.put(dir, fresh)
+        fresh._2
+      }
+    }
+  }
+
   private def ivfIndex(s: SparkSession, dir: String): IVFIndexView = {
     def build(): IvfEntry = {
       val db = new FlumeDb(new TableLog(s, t(s, dir, "embeddings"), "vec_id"))
@@ -1559,6 +1587,17 @@ object SparkEntry {
         t(s, dir, "documents"), shift = 5, idOffset = 30000L)
       Multimodal.perceptualNearDup(
           Multimodal.perceptualHash(base.unionByName(shifted)))
+        .withColumn("hamming", col("hamming").cast("bigint"))
+        .orderBy("id_a", "id_b")
+    }),
+    "q_image_phash_incremental" -> ((s, dir) => {
+      // the recurring form: the +5-brightness image batch checks
+      // against the STORED corpus phash table — batch segment keys
+      // broadcast, the stored side never shuffles; id_a = batch id,
+      // id_b = the stored original it collides with
+      val batch = Multimodal.perceptualHash(Multimodal.syntheticTexturePngMedia(
+        t(s, dir, "documents"), shift = 5, idOffset = 30000L))
+      phashTable(s, dir).dedupBatchHashes(batch)
         .withColumn("hamming", col("hamming").cast("bigint"))
         .orderBy("id_a", "id_b")
     }),
@@ -2698,6 +2737,32 @@ object SparkEntry {
         "hot AS (SELECT s, segval FROM seg GROUP BY 1, 2 HAVING count(*) > 256), " +
         "kept AS (SELECT * FROM seg ANTI JOIN hot USING (s, segval)), " +
         "cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b FROM kept a JOIN kept b ON a.s = b.s AND a.segval = b.segval AND a.media_id < b.media_id) " +
+        "SELECT id_a, id_b, (bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)))::BIGINT AS hamming " +
+        "FROM cand JOIN ph pa ON pa.media_id = id_a JOIN ph pb ON pb.media_id = id_b " +
+        "WHERE bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)) <= 7 ORDER BY id_a, id_b"),
+    "q_image_phash_incremental" ->
+      // the incremental replay: formula phashes for both sides, the
+      // batch side's (>= 30000) kept segment keys select the stored
+      // side's matches (per-side >maxBucket drops, mirroring the
+      // operator), candidates cross new x stored, bit_count verify
+      ("WITH ids AS (SELECT doc_id AS media_id, doc_id AS oid, 0 AS sh, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h FROM documents WHERE doc_id % 3 = 0 " +
+        "UNION ALL SELECT doc_id + 30000, doc_id, 5, 16 + doc_id % 16, 16 + doc_id % 8 FROM documents WHERE doc_id % 3 = 0), " +
+        "args AS (SELECT media_id, sh, k, " +
+        "(oid * 31 + 7 * (((k % 8) * w) // 9) + 13 * (((k // 8) * h) // 8)) * 2654435761 AS ma, " +
+        "(oid * 31 + 7 * ((((k % 8) + 1) * w) // 9) + 13 * (((k // 8) * h) // 8)) * 2654435761 AS mb " +
+        "FROM ids, (SELECT unnest(generate_series(0, 63)) AS k)), " +
+        "bits AS (SELECT media_id, k, CASE WHEN (xor(xor(mb, mb // 32768), mb // 1073741824) + sh) % 256 > (xor(xor(ma, ma // 32768), ma // 1073741824) + sh) % 256 THEN 1::BIGINT ELSE 0::BIGINT END AS bit FROM args), " +
+        "ph AS MATERIALIZED (SELECT media_id, sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)::BIGINT AS hi, " +
+        "sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)::BIGINT AS lo FROM bits GROUP BY 1), " +
+        "seg AS MATERIALIZED (SELECT media_id, s, CASE WHEN s < 4 THEN (lo // (1::BIGINT << (8 * s))) % 256 ELSE (hi // (1::BIGINT << (8 * (s - 4)))) % 256 END AS segval " +
+        "FROM ph, (SELECT unnest(generate_series(0, 7)) AS s)), " +
+        "hotn AS (SELECT s, segval FROM seg WHERE media_id >= 30000 GROUP BY 1, 2 HAVING count(*) > 256), " +
+        "kn AS (SELECT * FROM (SELECT * FROM seg WHERE media_id >= 30000) ANTI JOIN hotn USING (s, segval)), " +
+        "nk AS (SELECT DISTINCT s, segval FROM kn), " +
+        "mt AS MATERIALIZED (SELECT * FROM (SELECT * FROM seg WHERE media_id < 30000) SEMI JOIN nk USING (s, segval)), " +
+        "hotb AS (SELECT s, segval FROM mt GROUP BY 1, 2 HAVING count(*) > 256), " +
+        "mk AS (SELECT * FROM mt ANTI JOIN hotb USING (s, segval)), " +
+        "cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b FROM kn a JOIN mk b ON a.s = b.s AND a.segval = b.segval) " +
         "SELECT id_a, id_b, (bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)))::BIGINT AS hamming " +
         "FROM cand JOIN ph pa ON pa.media_id = id_a JOIN ph pb ON pb.media_id = id_b " +
         "WHERE bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)) <= 7 ORDER BY id_a, id_b"),

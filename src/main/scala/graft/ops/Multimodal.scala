@@ -729,4 +729,74 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Incremental perceptual near-dup: hamming-≤`maxHamming` pairs
+    * between a NEW image batch's phashes and the STORED corpus table
+    * (`id_a` = batch, `id_b` = stored) — the recurring form of
+    * [[perceptualNearDup]], completing the multimodal ladder the text
+    * side already has (`minhashLshIncrementalStored`). Within-batch
+    * pairs are the batch's own one-shot pass, not this one's.
+    *
+    * Same 100 TB shape as the text incremental: the BATCH's pigeonhole
+    * segment keys broadcast (count-fenced), the stored corpus
+    * semi-joins against them and never shuffles — recurring cost ∝
+    * batch × matched bucket population, never the corpus. Hot-bucket
+    * caps apply per side (batch buckets before keying, matched stored
+    * buckets before expansion), so a degenerate segment value cannot
+    * expand O(corpus); a true pair is missed only if EVERY segment it
+    * shares is hot on some side. */
+  def perceptualNearDupIncremental(
+      newHashes: DataFrame,
+      storedHashes: DataFrame,
+      maxHamming: Int = 7,
+      maxBucket: Int = 256,
+      maxBroadcastKeys: Long = 4L * 1000 * 1000): DataFrame = {
+    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+    val out = perceptualNearDupIncrementalStage(newHashes, storedHashes,
+      maxHamming, maxBucket, maxBroadcastKeys, persisted)
+    val ck = out.localCheckpoint(true)
+    persisted.foreach(_.unpersist(blocking = false))
+    ck
+  }
+
+  /** The pre-checkpoint pair stage — split out so PlanSpec can assert
+    * the broadcast shape (`localCheckpoint` truncates the visible
+    * plan). Caches it creates are appended to `persisted`. */
+  private[graft] def perceptualNearDupIncrementalStage(
+      newHashes: DataFrame,
+      storedHashes: DataFrame,
+      maxHamming: Int,
+      maxBucket: Int,
+      maxBroadcastKeys: Long,
+      persisted: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
+    val nSeg = maxHamming + 1
+    require(64 % nSeg == 0, s"maxHamming + 1 = $nSeg must divide 64 to tile the hash")
+    val segBits = 64 / nSeg
+    def segmented(df: DataFrame, idAs: String, phAs: String) = df.select(
+      col("media_id").as(idAs), col("phash").as(phAs),
+      posexplode(array((0 until nSeg).map(s =>
+        shiftright(col("phash"), s * segBits).bitwiseAND(lit((1L << segBits) - 1))): _*)))
+      .withColumnRenamed("pos", "seg").withColumnRenamed("col", "segval")
+    val bn0 = segmented(newHashes, "id_a", "ph_a")
+    val hotNew = bn0.groupBy("seg", "segval").count()
+      .where(col("count") > maxBucket).select("seg", "segval")
+    val bn = bn0.join(hotNew, Seq("seg", "segval"), "left_anti")
+    val newKeys = bn.select("seg", "segval").distinct().persist()
+    persisted += newKeys
+    // fence: a batch whose key set won't broadcast is corpus-sized —
+    // fall back to the symmetric shuffle (the one-shot's shape)
+    val bcast = newKeys.count() <= maxBroadcastKeys
+    val stored = segmented(storedHashes, "id_b", "ph_b")
+    val matched =
+      (if (bcast) stored.join(broadcast(newKeys), Seq("seg", "segval"))
+       else stored.join(newKeys, Seq("seg", "segval"))).persist()
+    persisted += matched
+    val hotBase = matched.groupBy("seg", "segval").count()
+      .where(col("count") > maxBucket).select("seg", "segval")
+    bn.join(matched.join(hotBase, Seq("seg", "segval"), "left_anti"), Seq("seg", "segval"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

@@ -259,6 +259,24 @@ class PlanSpec extends SparkSpec {
     } finally Seq(base, fresh).foreach(_.unpersist(blocking = false))
   }
 
+  test("incremental phash dedup: stored side filtered by a BROADCAST of batch segment keys") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val stored = (0L until 200L).map(i => (i, rnd.nextLong())).toDF("media_id", "phash")
+    val batch = (0L until 10L).map(i => (1000L + i, rnd.nextLong())).toDF("media_id", "phash")
+    val persisted = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+    try {
+      val pairs = graft.ops.Multimodal.perceptualNearDupIncrementalStage(
+        batch, stored, 7, 256, 4L * 1000 * 1000, persisted)
+      val s = planString(pairs)
+      // the batch's segment-key set must reach the stored side as a
+      // broadcast — a symmetric segment shuffle of the corpus is the
+      // recurring-cost scale bug this operator exists to avoid
+      assert(s.contains("strategy=broadcast"),
+        s"batch segment keys must broadcast into the stored-side filter:\n${s.take(4000)}")
+    } finally persisted.foreach(_.unpersist(blocking = false))
+  }
+
   test("tpch q5: dims broadcast, date range pushed to the orders scan") {
     val s = planString(run("q_tpch_q5"))
     assert(s.contains("BroadcastHashJoin"),

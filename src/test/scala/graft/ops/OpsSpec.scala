@@ -1085,4 +1085,31 @@ class OpsSpec extends SparkSpec {
     val flat = (0L until 300L).map(i => (i, 0L)).toDF("media_id", "phash")
     assert(Multimodal.perceptualNearDup(flat, maxHamming = 7, maxBucket = 64).count() === 0L)
   }
+
+  test("perceptualNearDupIncremental == one-shot restricted to the cross set") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val stored = (0L until 150L).map(i => (i, rnd.nextLong()))
+    // new batch: 1-bit flips of the first 25 stored + 25 fresh randoms
+    val batch = (0L until 25L).map(i =>
+      (1000L + i, stored(i.toInt)._2 ^ (1L << rnd.nextInt(64)))) ++
+      (25L until 50L).map(i => (1000L + i, rnd.nextLong()))
+    val got = Multimodal.perceptualNearDupIncremental(
+        batch.toDF("media_id", "phash"), stored.toDF("media_id", "phash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // one-shot over the union, restricted to cross pairs, re-oriented
+    // (incremental emits id_a = batch, id_b = stored)
+    val oneShot = Multimodal.perceptualNearDup(
+        (stored ++ batch).toDF("media_id", "phash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter { case (a, b, _) => a < 1000L && b >= 1000L }
+      .map { case (a, b, d) => (b, a, d) }.toSet
+    assert(got === oneShot, "cross-set parity with the one-shot pass")
+    // within-batch pairs are NOT this operator's job
+    assert(got.forall { case (a, b, _) => a >= 1000L && b < 1000L })
+    // degenerate stored corpus: the matched-bucket cap blinds the pair
+    val flat = (0L until 300L).map(i => (i, 0L)).toDF("media_id", "phash")
+    assert(Multimodal.perceptualNearDupIncremental(
+      Seq((1000L, 0L)).toDF("media_id", "phash"), flat, maxBucket = 64).count() === 0L)
+  }
 }

@@ -337,6 +337,35 @@ class PersistenceSpec extends SparkSpec {
     assert(sigsAfter === sigsBefore, "compaction must not change a single signature")
   }
 
+  test("PhashTableView: durable deltas, reopen at parity, incremental dedup, compaction") {
+    import spark.implicits._
+    val phDir = Files.createTempDirectory("graft-phash").toString
+    val v = new PhashTableView(spark, s"$phDir/ph", 1)
+    val rnd = new scala.util.Random(11)
+    val b1 = (0L until 60L).map(i => (i, rnd.nextLong()))
+    val b2 = (60L until 100L).map(i => (i, rnd.nextLong()))
+    v.absorbHashes(b1.toDF("media_id", "phash"), 1L)
+    v.absorbHashes(b2.toDF("media_id", "phash"), 2L)
+    assert(v.hashes.count() === 100L)
+    // reopen from the manifest: a new instance sees both deltas
+    val v2 = new PhashTableView(spark, s"$phDir/ph", 1)
+    assert(v2.since === 2L && v2.hashes.count() === 100L)
+    // incremental dedup: 1-bit flips of ids from BOTH stored batches
+    val batch = Seq((1000L, b1(5)._2 ^ 1L), (1001L, b2(10)._2 ^ (1L << 40)),
+      (1002L, rnd.nextLong()))
+    val pairs = v2.dedupBatchHashes(batch.toDF("media_id", "phash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1000L, 5L)) && pairs.contains((1001L, 70L)),
+      s"planted flips must match their stored originals, got $pairs")
+    // compaction collapses the chain without changing a single hash
+    val before = v2.hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    v2.compact()
+    val dirs = new java.io.File(s"$phDir/ph").listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).sorted
+    assert(dirs.toSeq === Seq("batch=2"))
+    assert(v2.hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === before)
+  }
+
   test("auto-compaction bounds the delta chain: compactEvery collapses inline during absorbs") {
     val viewDir = Files.createTempDirectory("graft-autocmp").toString
     val v = new PersistentIndexView(spark, s"$viewDir/idx", 1, array(col("tag")), "seq",
