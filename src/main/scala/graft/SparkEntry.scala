@@ -2061,6 +2061,19 @@ object SparkEntry {
       graft.ops.Profile.winsorize(
           t(s, dir, "events").select("event_type", "value"), "event_type", "value")
         .orderBy("event_type", "value")),
+    "q_outliers_approx" -> ((s, dir) =>
+      // the sketch twin of q_outliers (GK approx_percentile state, the
+      // 1e9-row-hot-group form); estimator row — no oracle (the GK
+      // value pick is not SQL-replayable), tolerance pinned in OpsSpec
+      graft.ops.Profile.outliersApprox(
+          t(s, dir, "events").select("event_type", "value"),
+          groupCol = "event_type", valueCol = "value", k = 3.5)
+        .orderBy("event_type", "value")),
+    "q_winsorize_approx" -> ((s, dir) =>
+      // sketch twin of q_winsorize, same estimator convention
+      graft.ops.Profile.winsorizeApprox(
+          t(s, dir, "events").select("event_type", "value"), "event_type", "value")
+        .orderBy("event_type", "value")),
     "q_window_range" -> ((s, dir) => {
       // event-time RANGE frame: per-user trailing 30-minute sum — a
       // range window, not a row window (gaps and ties handled by time)

@@ -89,4 +89,64 @@ object Profile {
         round(col("p_hi"), 4).as("p_hi"),
         round(col("clipped"), 4).as("clipped"))
   }
+
+  /** [[outliers]] on `approx_percentile` sketches — the form that
+    * survives a hot group with 10⁹ rows. Exact grouped `percentile`
+    * buffers every group value in the aggregation state; the
+    * Greenwald–Khanna sketch holds O(accuracy · log n) entries and
+    * merges map-side, so a single skewed group no longer means one
+    * executor materializing the whole group.
+    *
+    * Error bound: each returned quantile is an ACTUAL group value whose
+    * rank is within `n / accuracy` of the target rank (GK guarantee) —
+    * at the default 10⁴ that is ±0.01 % of the group in rank space.
+    * The med/mad/robust_z outputs inherit that rank tolerance, so a
+    * row within it of the `k`-sigma boundary may flag differently than
+    * [[outliers]] — estimator convention: rows-only gate + ProfileSpec
+    * tolerance checks, no DuckDB oracle (GK pick is not replayable). */
+  def outliersApprox(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Double = 3.5,
+      accuracy: Int = 10000): DataFrame = {
+    val med = df.groupBy(groupCol)
+      .agg(expr(s"approx_percentile($valueCol, 0.5D, $accuracy)").as("med"))
+    val mad = df.join(broadcast(med), groupCol)
+      .groupBy(groupCol)
+      .agg(expr(s"approx_percentile(abs($valueCol - med), 0.5D, $accuracy)").as("mad"))
+    df.join(broadcast(med), groupCol).join(broadcast(mad), groupCol)
+      .withColumn("rz", (col(valueCol) - col("med")) / (lit(1.4826) * col("mad")))
+      .where(col("mad") > 0 && abs(col("rz")) > k)
+      .select(col(groupCol), col(valueCol),
+        round(col("med"), 4).as("med"),
+        round(col("mad"), 4).as("mad"),
+        round(col("rz"), 4).as("robust_z"))
+  }
+
+  /** [[winsorize]] on `approx_percentile` — both band quantiles from
+    * one sketch pass (same state, two queries). Same GK rank-error
+    * contract as [[outliersApprox]]: clip bounds are actual group
+    * values within `n / accuracy` ranks of the exact band, so clipped
+    * values differ from the exact twin only for rows inside that rank
+    * tolerance of either bound. Estimator convention (rows-only +
+    * ProfileSpec), like every sketch-backed operator here. */
+  def winsorizeApprox(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      lo: Double = 0.05,
+      hi: Double = 0.95,
+      accuracy: Int = 10000): DataFrame = {
+    require(0 <= lo && lo < hi && hi <= 1, s"need 0 <= lo < hi <= 1, got $lo/$hi")
+    val bounds = df.groupBy(groupCol)
+      .agg(expr(s"approx_percentile($valueCol, array(${lo}D, ${hi}D), $accuracy)").as("b"))
+      .select(col(groupCol), col("b").getItem(0).as("p_lo"), col("b").getItem(1).as("p_hi"))
+    df.join(broadcast(bounds), groupCol)
+      .withColumn("clipped", least(greatest(col(valueCol), col("p_lo")), col("p_hi")))
+      .select(col(groupCol), col(valueCol),
+        round(col("p_lo"), 4).as("p_lo"),
+        round(col("p_hi"), 4).as("p_hi"),
+        round(col("clipped"), 4).as("clipped"))
+  }
 }

@@ -949,6 +949,65 @@ class OpsSpec extends SparkSpec {
     assert(Profile.outliers(const, "grp", "v").collect().isEmpty)
   }
 
+  test("outliersApprox: sketch twin flags the same clear outliers as the exact pass") {
+    import spark.implicits._
+    val rows = (1 to 99).map(i => ("a", 10.0 + (i % 5))) ++ Seq(("a", 1000.0)) ++
+      (1 to 50).map(i => ("b", 990.0 + (i % 21)))
+    val df = rows.toDF("grp", "v")
+    val approx = Profile.outliersApprox(df, "grp", "v", k = 3.5)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(approx.toSeq === Seq(("a", 1000.0)),
+      "far-from-boundary verdicts must agree with the exact twin")
+    val const = (1 to 10).map(_ => ("c", 5.0)).toDF("grp", "v")
+    assert(Profile.outliersApprox(const, "grp", "v").collect().isEmpty)
+    // tolerance contract on real data: approx med within the GK rank
+    // bound of the exact rank (accuracy >> n here, so <= 1 rank off)
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_type").as("grp"), col("value").as("v"))
+    val exactByGrp = ev.collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).sorted }
+    val meds = Profile.outliersApprox(ev, "grp", "v", k = 0.0) // flag-all: read med per grp
+      .select("grp", "med").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    meds.foreach { case (g, m) =>
+      val vs = exactByGrp(g)
+      val target = 0.5 * (vs.length - 1)
+      // med is an actual value with rank within tolerance of the target
+      val ranks = vs.zipWithIndex.collect { case (v, i) if math.abs(v - m) < 1e-4 => i }
+      assert(ranks.nonEmpty, s"approx med $m must be an actual value of group $g")
+      val tol = math.max(2.0, 2.0 * vs.length / 10000.0)
+      assert(ranks.exists(r => math.abs(r - target) <= tol),
+        s"group $g: approx med rank ${ranks.mkString(",")} vs target $target")
+    }
+  }
+
+  test("winsorizeApprox: band bounds are group values within the GK rank tolerance") {
+    import spark.implicits._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_type").as("grp"), col("value").as("v"))
+    val exactByGrp = ev.collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).sorted }
+    val bounds = Profile.winsorizeApprox(ev, "grp", "v")
+      .select("grp", "p_lo", "p_hi").distinct()
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(bounds.nonEmpty)
+    bounds.foreach { case (g, plo, phi) =>
+      val vs = exactByGrp(g)
+      val tol = math.max(2.0, 2.0 * vs.length / 10000.0)
+      def rankClose(x: Double, p: Double): Boolean = {
+        val ranks = vs.zipWithIndex.collect { case (v, i) if math.abs(v - x) < 1e-4 => i }
+        ranks.nonEmpty && ranks.exists(r => math.abs(r - p * (vs.length - 1)) <= tol)
+      }
+      assert(rankClose(plo, 0.05), s"group $g p_lo $plo off the 5% rank band")
+      assert(rankClose(phi, 0.95), s"group $g p_hi $phi off the 95% rank band")
+    }
+    // clip invariant holds regardless of sketch choice
+    val clipped = Profile.winsorizeApprox(ev, "grp", "v").collect()
+    clipped.foreach { r =>
+      assert(r.getDouble(4) >= r.getDouble(2) - 1e-9 && r.getDouble(4) <= r.getDouble(3) + 1e-9)
+    }
+  }
+
   test("funnel: strict in-order chaining, fallout stages, absent without stage 1") {
     import spark.implicits._
     val ev = Seq(
