@@ -1842,6 +1842,36 @@ object SparkEntry {
           col("stage"))
         .orderBy("user_id")
     }),
+    "q_stream_retention" -> ((s, dir) => {
+      // cohort retention as live per-key state: each batch emits the
+      // key's full (cohort, offsets) snapshot (self-revising, so a
+      // late earlier period can move the cohort); snapshots strictly
+      // grow, so latest = most offsets, and the final snapshots
+      // aggregate to the batch operator's answer (shared oracle).
+      val schema = t(s, dir, "events").schema
+      val name = s"stream_ret_${streamIds.incrementAndGet()}"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val q = graft.streaming.StreamingViews
+          .retentionPerKey(
+            src.withColumn("__p", unix_seconds(date_trunc("day", tsCol(s, dir)))),
+            "user_id", "__p")
+          .toDF("user_id", "cohort_ms", "offsets")
+          .writeStream.format("memory").queryName(name)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(size(col("offsets")).desc)
+      s.table(name).distinct()
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("cohort_ms"), explode(col("offsets")).as("day_offset"))
+        .groupBy("cohort_ms", "day_offset").agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort_ms", "day_offset")
+    }),
     "q_stream_anomaly" -> ((s, dir) => {
       // the rolling z-score gate as LIVE per-key state: a trailing ring
       // buffer scores each arriving event, emitting only anomalies
@@ -2207,6 +2237,14 @@ object SparkEntry {
         "ng AS (SELECT unnest(list_transform(generate_series(1, len(tl) - 2), i -> tl[i] || '>' || tl[i+1] || '>' || tl[i+2])) AS path FROM p WHERE len(tl) >= 3) " +
         "SELECT path, count(*) AS cnt FROM ng GROUP BY 1 ORDER BY cnt DESC, path LIMIT 20"),
     "q_retention" ->
+      ("WITH p AS (SELECT user_id, CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS p_s FROM events), " +
+        "f AS (SELECT user_id, min(p_s) AS cohort_s FROM p GROUP BY 1), " +
+        "a AS (SELECT DISTINCT user_id, p_s FROM p) " +
+        "SELECT cohort_s * 1000 AS cohort_ms, (p_s - cohort_s) // 86400 AS day_offset, count(*) AS n_active " +
+        "FROM a JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY cohort_ms, day_offset"),
+    "q_stream_retention" ->
+      // identical to q_retention: the live snapshots re-derive the
+      // batch cohort table over the one-file source
       ("WITH p AS (SELECT user_id, CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS p_s FROM events), " +
         "f AS (SELECT user_id, min(p_s) AS cohort_s FROM p GROUP BY 1), " +
         "a AS (SELECT DISTINCT user_id, p_s FROM p) " +

@@ -232,6 +232,46 @@ object StreamingViews {
       }
   }
 
+  /** Per-key retention state for [[retentionPerKey]]: the key's cohort
+    * (earliest activity period seen so far) and every distinct activity
+    * period. */
+  final case class RetentionProgress(cohortS: Long, periods: Seq[Long])
+
+  /** [[graft.ops.Retention.retention]] as LIVE per-key state: each key
+    * carries (first-seen period, distinct activity periods) and every
+    * batch it appears in emits the key's full (cohort, offsets)
+    * snapshot (Update mode). Snapshots are self-revising — a
+    * late-arriving EARLIER period moves the cohort and re-derives every
+    * offset, which an incremental per-(cohort, offset) count could
+    * never retract — and strictly grow (a state change always adds a
+    * period), so the latest snapshot per key is simply the one with
+    * the most offsets and the final snapshots aggregate to exactly the
+    * batch operator's answer: they share an oracle.
+    *
+    * State is O(distinct periods) per key — bounded by the key's
+    * active days, the same cardinality the batch operator's activity
+    * distinct carries per key; day granularity means ≤ 365 longs per
+    * key-year, far below any hot-key threshold. */
+  def retentionPerKey(
+      stream: DataFrame,
+      keyCol: String,
+      periodCol: String,
+      periodSeconds: Long = 86400L): Dataset[(Long, Long, Seq[Long])] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col(keyCol).cast("long"), col(periodCol).cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[RetentionProgress, (Long, Long, Seq[Long])](GroupStateTimeout.NoTimeout) {
+        case (k, rows, state: GroupState[RetentionProgress]) =>
+          val prev = state.getOption.getOrElse(RetentionProgress(Long.MaxValue, Nil))
+          val ps = (prev.periods.toSet ++ rows.map(_._2)).toSeq.sorted
+          val cohort = ps.head
+          state.update(RetentionProgress(cohort, ps))
+          (k, cohort * 1000L, ps.map(p => (p - cohort) / periodSeconds))
+      }
+  }
+
   /** Custom incremental state via mapGroupsWithState: running
     * count/mean/M2 per key, merged with Welford — the streaming analog of
     * the reduce view, keyed. Demonstrates arbitrary user state where

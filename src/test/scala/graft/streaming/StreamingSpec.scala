@@ -890,6 +890,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming retention: snapshots carry across batches and self-revise the cohort") {
+    val kvSchema = StructType(Seq(
+      StructField("k", LongType), StructField("p", LongType)))
+    val day = 86400L
+    val log = new MemoryLog(spark, kvSchema)
+    // batch 1: key 1 active on days 10 and 12; key 2 on day 11
+    log.appendRows(Seq(Row(1L, 10 * day), Row(1L, 12 * day), Row(2L, 11 * day)))
+    val q = StreamingViews.retentionPerKey(
+        log.readStream.select("k", "p"), "k", "p")
+      .toDF("k", "cohort_ms", "offsets")
+      .writeStream.format("memory").queryName("ret_live")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      // batch 2: key 1 re-activates on day 13; key 2's EARLIER day 9
+      // arrives late — its cohort must move and offsets re-derive
+      log.appendRows(Seq(Row(1L, 13 * day), Row(2L, 9 * day)))
+      q.processAllAvailable()
+      val latest = spark.sql("SELECT k, cohort_ms, offsets FROM ret_live").distinct()
+        .collect().groupBy(_.getLong(0)).map { case (k, rows) =>
+          val r = rows.maxBy(_.getAs[scala.collection.Seq[Long]](2).length)
+          k -> ((r.getLong(1), r.getAs[scala.collection.Seq[Long]](2).toList))
+        }
+      assert(latest === Map(
+        1L -> ((10 * day * 1000L, List(0L, 2L, 3L))),
+        2L -> ((9 * day * 1000L, List(0L, 2L)))), s"got $latest")
+      // and the aggregated snapshots equal the batch operator
+      val batchDf = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+          Row(1L, 10 * day), Row(1L, 12 * day), Row(2L, 11 * day),
+          Row(1L, 13 * day), Row(2L, 9 * day))), kvSchema)
+        .select(col("k"), org.apache.spark.sql.functions.timestamp_seconds(col("p")).as("ts"))
+      val batch = graft.ops.Retention.retention(batchDf, "k", col("ts"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val streamed = latest.toSeq.flatMap { case (_, (cms, offs)) =>
+        offs.map(o => (cms, o))
+      }.groupBy(identity).map { case ((cms, o), xs) => (cms, o, xs.size.toLong) }.toSet
+      assert(streamed === batch, "final snapshots must aggregate to the batch operator")
+    } finally q.stop()
+  }
+
   test("streaming anomaly gate: ring buffer carries across batches, equals the batch operator") {
     val kvSchema = StructType(Seq(
       StructField("k", LongType), StructField("s", LongType), StructField("v", DoubleType)))
