@@ -1,0 +1,281 @@
+package graft
+
+import graft.core._
+import graft.ops.{Cluster, Decontaminate, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.views._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal queries: image/audio/video codecs, resize, perceptual-hash dedup ladder, frame sampling (SURVEY §2.5).
+  *
+  * A pure round-8 relocation of [[SparkEntry]] catalog entries (r7
+  * verdict #7) — zero renames, zero semantic changes; the driver
+  * contract stays on [[SparkEntry.queries]]/[[SparkEntry.oracleSql]],
+  * which merge the per-domain objects. Shared fixtures/caches live in
+  * [[EntryHelpers]].
+  */
+private[graft] object MultimodalQueries {
+  import EntryHelpers._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_features" -> ((s, dir) =>
+      // The DuckDB-expressible half of the multimodal pipeline: id,
+      // modality routing, and payload byte count are all derivable from
+      // the synthetic fixture, so this row is fully oracle-backed. The
+      // decoder-derived features live in q_multimodal_embed (rows-only —
+      // the stub decoder has no SQL analog).
+      Multimodal.extractFeatures(Multimodal.syntheticMedia(t(s, dir, "documents")))
+        .select(col("media_id"), col("modality"), col("n_bytes"))
+        .orderBy("media_id")),
+    "q_multimodal_embed" -> ((s, dir) =>
+      // Decoder-output check, reduced to hash-stable scalars (the
+      // driver's compare sorts/hashes rows, which an array column
+      // breaks): three dims spanning the generator (j = 0, 7, 15). The
+      // stub decoder is a deterministic rolling hash over the payload
+      // bytes, so these are DuckDB-recomputable — the oracle replays the
+      // wrap-around 64-bit arithmetic in HUGEINT mod 2^64.
+      Multimodal.extractFeatures(Multimodal.syntheticMedia(t(s, dir, "documents")))
+        .select(col("media_id"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("feat0"),
+          round(element_at(col("features"), 8).cast("double"), 4).as("feat7"),
+          round(element_at(col("features"), 16).cast("double"), 4).as("feat15"))
+        .orderBy("media_id")),
+    "q_multimodal_resize" -> ((s, dir) =>
+      // resize image-modality payloads to 16x16 stub-pixels; digest is
+      // DuckDB-recomputable (ASCII fixture: byte ops == char ops)
+      Multimodal.resize(
+          Multimodal.syntheticMedia(t(s, dir, "documents")).where(col("modality") === "image"),
+          targetW = 16, targetH = 16)
+        .select(col("media_id"), col("meta.width").cast("bigint").as("w"),
+          col("meta.height").cast("bigint").as("h"),
+          length(col("content")).cast("bigint").as("n_bytes"), md5(col("content")).as("content_md5"))
+        .orderBy("media_id")),
+    "q_image_decode" -> ((s, dir) =>
+      // the REAL codec path end-to-end: deterministic gray PNGs are
+      // encoded with the JDK writer, decoded back with javax.imageio in
+      // the partition-batched shape, and the oracle recomputes the exact
+      // integer pixel stats from the generator formula — it verifies a
+      // true encode→decode round trip without ever touching the bytes
+      Multimodal.imageStats(Multimodal.syntheticPngMedia(t(s, dir, "documents")))
+        .orderBy("media_id")),
+    "q_image_jpeg" -> ((s, dir) =>
+      // the LOSSY codec end-to-end: JDK-encoded JPEGs decode back through
+      // the same partition-batched path; dimensions and pixel count
+      // survive the codec bit-exactly (the oracle recomputes them from
+      // the generator), pixel sums are tolerance-checked in OpsSpec
+      Multimodal.imageStats(Multimodal.syntheticJpegMedia(t(s, dir, "documents")))
+        .select(col("media_id"), col("width"), col("height"), col("n_pixels"))
+        .orderBy("media_id")),
+    "q_image_resize" -> ((s, dir) =>
+      // REAL resize kernel end-to-end: 16x16 gray PNGs -> center-aligned
+      // bilinear 2x downscale (exactly the integer 4-neighbor average at
+      // ratio 2, so DuckDB replays it from the generator formula) -> PNG
+      // re-encode -> decode -> exact integer stats
+      Multimodal.imageStats(
+          Multimodal.resize(
+            Multimodal.syntheticPngMedia(t(s, dir, "documents"), fixedW = 16, fixedH = 16),
+            targetW = 8, targetH = 8))
+        .orderBy("media_id")),
+    "q_audio_activity" -> ((s, dir) =>
+      // voice-activity segmentation: 20ms windows (160 samples @ 8 kHz)
+      // over the decoded PCM, silence/active verdict in pure integers —
+      // the oracle re-derives every window sum from the waveform formula
+      Multimodal.audioActivity(Multimodal.syntheticWavMedia(t(s, dir, "documents")))
+        .orderBy("media_id", "window_idx")),
+    "q_image_phash" -> ((s, dir) =>
+      // dHash over the REAL decode of the textured PNG fixture; emitted
+      // as two 32-bit halves (both engines overflow assembling bit 63)
+      Multimodal.perceptualHash(
+          Multimodal.syntheticTexturePngMedia(t(s, dir, "documents")))
+        .select(col("media_id"),
+          shiftrightunsigned(col("phash"), 32).as("ph_hi"),
+          col("phash").bitwiseAND(lit(0xFFFFFFFFL)).as("ph_lo"))
+        .orderBy("media_id")),
+    "q_image_phash_neardup" -> ((s, dir) => {
+      // planted brightness-shifted copies (+5 mod 256, ids +30000)
+      // against the originals: pigeonhole segment join + bit_count
+      // verify — exact at these SFs (no segment bucket nears the cap)
+      val base = Multimodal.syntheticTexturePngMedia(t(s, dir, "documents"))
+      val shifted = Multimodal.syntheticTexturePngMedia(
+        t(s, dir, "documents"), shift = 5, idOffset = 30000L)
+      Multimodal.perceptualNearDup(
+          Multimodal.perceptualHash(base.unionByName(shifted)))
+        .withColumn("hamming", col("hamming").cast("bigint"))
+        .orderBy("id_a", "id_b")
+    }),
+    "q_image_phash_incremental" -> ((s, dir) => {
+      // the recurring form: the +5-brightness image batch checks
+      // against the STORED corpus phash table — batch segment keys
+      // broadcast, the stored side never shuffles; id_a = batch id,
+      // id_b = the stored original it collides with
+      val batch = Multimodal.perceptualHash(Multimodal.syntheticTexturePngMedia(
+        t(s, dir, "documents"), shift = 5, idOffset = 30000L))
+      phashTable(s, dir).dedupBatchHashes(batch)
+        .withColumn("hamming", col("hamming").cast("bigint"))
+        .orderBy("id_a", "id_b")
+    }),
+    "q_audio_decode" -> ((s, dir) =>
+      // the AUDIO codec end-to-end: deterministic 16-bit PCM waveforms
+      // are WAVE-encoded with the JDK writer, decoded back with
+      // javax.sound.sampled in the partition-batched shape, and the
+      // oracle recomputes the exact integer sample stats from the
+      // waveform formula (PCM is lossless)
+      Multimodal.audioStats(Multimodal.syntheticWavMedia(t(s, dir, "documents")))
+        .orderBy("media_id")),
+    "q_frame_sample" -> ((s, dir) =>
+      // fully oracle-backed: the fixture text is ASCII, so byte-chunking
+      // the binary payload == char-chunking the text in DuckDB, and md5
+      // digests compare byte-for-byte
+      Multimodal.sampleFrames(Multimodal.syntheticMedia(t(s, dir, "documents")))
+        .select(col("media_id"), col("frame_idx").cast("bigint").as("frame_idx"), col("frame_md5"))
+        .orderBy("media_id", "frame_idx")),
+    "q_image_dedup" -> ((s, dir) =>
+      // cross-codec pixel dedup: pairs (2j, 2j+1) carry identical pixels
+      // as PNG vs BMP — byte-level dedup can't pair them, decoded-pixel
+      // hashing must. Image identity is j mod 256 (the fixture formula's
+      // period), which the oracle replays arithmetically.
+      Multimodal.pixelDedup(Multimodal.syntheticMixedCodecMedia(t(s, dir, "documents")))
+        .orderBy("keep_id")),
+    "q_video_frames" -> ((s, dir) =>
+      // REAL multi-frame container round trip: animated GIFs encoded by
+      // the JDK writer, decoded frame-by-frame via the ImageReader
+      // sequence API; gray palette is lossless so the oracle re-derives
+      // every frame's exact pixel sum from the generator formula
+      Multimodal.frameStats(Multimodal.syntheticGifMedia(t(s, dir, "documents")))
+        .orderBy("media_id", "frame_idx")),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_multimodal_resize" ->
+      // nearest-neighbor 1-D resample replayed over the ASCII text:
+      // out[i] = byte[(i*len)//256], 0-based -> substring 1-based
+      ("SELECT doc_id AS media_id, 16::BIGINT AS w, 16::BIGINT AS h, 256::BIGINT AS n_bytes, " +
+        "md5(array_to_string(list_transform(range(0, 256), i -> substring(text, 1 + CAST((i * length(text)) // 256 AS INT), 1)), '')) AS content_md5 " +
+        "FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id"),
+    "q_multimodal_embed" ->
+      // The stub decoder replayed declaratively: Java's wrap-around
+      // 64-bit arithmetic (h = 31h + byte; m = h ^ (h >>> 17);
+      // v_j = m * (2654435761 j + 1); feat = (v_j % 1000) / 1000f) is
+      // emulated in HUGEINT mod 2^64 — unsigned/signed reinterpretation
+      // at the xor and the final truncated %, float division at the end.
+      // ASCII fixture ⇒ ord(char) == payload byte.
+      ("WITH codes AS (SELECT doc_id, list_transform(range(1, length(text)+1), i -> ord(text[i])::HUGEINT) AS cs FROM documents), " +
+        "hu AS (SELECT doc_id, list_reduce(list_prepend(1125899906842597::HUGEINT, cs), (acc, b) -> (31*acc + b) % 18446744073709551616::HUGEINT) AS h FROM codes), " +
+        "hs AS (SELECT doc_id, (CASE WHEN h >= 9223372036854775808::HUGEINT THEN h - 18446744073709551616::HUGEINT ELSE h END)::BIGINT AS h_signed, (h // 131072)::BIGINT AS h_shift17 FROM hu), " +
+        "m AS (SELECT doc_id, (CASE WHEN xor(h_signed, h_shift17) < 0 THEN xor(h_signed, h_shift17)::HUGEINT + 18446744073709551616::HUGEINT ELSE xor(h_signed, h_shift17)::HUGEINT END) AS m_u FROM hs), " +
+        "f AS (SELECT doc_id, j, round((((CASE WHEN vu >= 9223372036854775808::HUGEINT THEN vu - 18446744073709551616::HUGEINT ELSE vu END)::BIGINT % 1000)::FLOAT / 1000.0::FLOAT)::DOUBLE, 4) AS feat " +
+        "FROM (SELECT doc_id, j, (m_u * (j*2654435761::HUGEINT + 1)) % 18446744073709551616::HUGEINT AS vu FROM m, unnest([0,7,15]) AS t(j))) " +
+        "SELECT doc_id AS media_id, max(CASE WHEN j = 0 THEN feat END) AS feat0, max(CASE WHEN j = 7 THEN feat END) AS feat7, max(CASE WHEN j = 15 THEN feat END) AS feat15 " +
+        "FROM f GROUP BY doc_id ORDER BY media_id"),
+    "q_multimodal_features" ->
+      ("SELECT doc_id AS media_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality, " +
+        "octet_length(encode(text))::BIGINT AS n_bytes FROM documents ORDER BY media_id"),
+    "q_image_decode" ->
+      ("WITH ids AS (SELECT doc_id AS media_id, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h FROM documents WHERE doc_id % 3 = 0) " +
+        "SELECT media_id, w::BIGINT AS width, h::BIGINT AS height, (w * h)::BIGINT AS n_pixels, " +
+        "list_sum(flatten(list_transform(generate_series(0, h - 1), yy -> list_transform(generate_series(0, w - 1), xx -> (media_id * 31 + 7 * xx + 13 * yy) % 256))))::BIGINT AS sum_lum " +
+        "FROM ids ORDER BY media_id"),
+    "q_image_jpeg" ->
+      ("WITH ids AS (SELECT doc_id AS media_id, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h FROM documents WHERE doc_id % 3 = 1) " +
+        "SELECT media_id, w::BIGINT AS width, h::BIGINT AS height, (w * h)::BIGINT AS n_pixels FROM ids ORDER BY media_id"),
+    "q_image_resize" ->
+      // bilinear at exactly 2x = integer 4-neighbor average of the
+      // generator pixels: (p(2x,2y)+p(2x+1,2y)+p(2x,2y+1)+p(2x+1,2y+1)+2)//4
+      ("WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 0) " +
+        "SELECT media_id, 8::BIGINT AS width, 8::BIGINT AS height, 64::BIGINT AS n_pixels, " +
+        "list_sum(flatten(list_transform(generate_series(0, 7), yy -> list_transform(generate_series(0, 7), xx -> " +
+        "((media_id * 31 + 7 * (2 * xx) + 13 * (2 * yy)) % 256 + (media_id * 31 + 7 * (2 * xx + 1) + 13 * (2 * yy)) % 256 + " +
+        "(media_id * 31 + 7 * (2 * xx) + 13 * (2 * yy + 1)) % 256 + (media_id * 31 + 7 * (2 * xx + 1) + 13 * (2 * yy + 1)) % 256 + 2) // 4))))::BIGINT AS sum_lum " +
+        "FROM ids ORDER BY media_id"),
+    "q_audio_activity" ->
+      ("WITH ids AS (SELECT doc_id AS media_id, 800 + doc_id % 400 AS n FROM documents WHERE doc_id % 3 = 2), " +
+        "w AS (SELECT media_id, n, unnest(generate_series(0, (n + 159) // 160 - 1)) AS window_idx FROM ids), " +
+        "s AS (SELECT media_id, window_idx, least(160, n - window_idx * 160) AS n_in_window, " +
+        "list_sum(list_transform(generate_series(window_idx * 160, least(window_idx * 160 + 159, n - 1)), i -> abs((media_id * 31 + 17 * i) % 2003 - 1001))) AS sum_abs FROM w) " +
+        "SELECT media_id, window_idx::BIGINT AS window_idx, n_in_window::BIGINT AS n_in_window, sum_abs::BIGINT AS sum_abs, " +
+        "(sum_abs > 600 * n_in_window) AS active FROM s ORDER BY media_id, window_idx"),
+    "q_image_phash" ->
+      // PNG is lossless, so the decoded gray channel IS the mixer
+      // formula and every dHash bit re-derives in integers: nearest
+      // sample coords, multiply + double-xor-fold pixel, right-neighbor
+      // comparison, bits assembled into two 32-bit halves
+      ("WITH ids AS (SELECT doc_id AS media_id, doc_id AS oid, 0 AS sh, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h FROM documents WHERE doc_id % 3 = 0), " +
+        "args AS (SELECT media_id, sh, k, " +
+        "(oid * 31 + 7 * (((k % 8) * w) // 9) + 13 * (((k // 8) * h) // 8)) * 2654435761 AS ma, " +
+        "(oid * 31 + 7 * ((((k % 8) + 1) * w) // 9) + 13 * (((k // 8) * h) // 8)) * 2654435761 AS mb " +
+        "FROM ids, (SELECT unnest(generate_series(0, 63)) AS k)), " +
+        "bits AS (SELECT media_id, k, CASE WHEN (xor(xor(mb, mb // 32768), mb // 1073741824) + sh) % 256 > (xor(xor(ma, ma // 32768), ma // 1073741824) + sh) % 256 THEN 1::BIGINT ELSE 0::BIGINT END AS bit FROM args) " +
+        "SELECT media_id, sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)::BIGINT AS ph_hi, " +
+        "sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)::BIGINT AS ph_lo " +
+        "FROM bits GROUP BY 1 ORDER BY media_id"),
+    "q_image_phash_neardup" ->
+      // the full near-dup replay: formula phashes for originals AND the
+      // +5-brightness copies, the same 8x8-bit pigeonhole segments, the
+      // >maxBucket drop, candidate join, bit_count verify
+      ("WITH ids AS (SELECT doc_id AS media_id, doc_id AS oid, 0 AS sh, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h FROM documents WHERE doc_id % 3 = 0 " +
+        "UNION ALL SELECT doc_id + 30000, doc_id, 5, 16 + doc_id % 16, 16 + doc_id % 8 FROM documents WHERE doc_id % 3 = 0), " +
+        "args AS (SELECT media_id, sh, k, " +
+        "(oid * 31 + 7 * (((k % 8) * w) // 9) + 13 * (((k // 8) * h) // 8)) * 2654435761 AS ma, " +
+        "(oid * 31 + 7 * ((((k % 8) + 1) * w) // 9) + 13 * (((k // 8) * h) // 8)) * 2654435761 AS mb " +
+        "FROM ids, (SELECT unnest(generate_series(0, 63)) AS k)), " +
+        "bits AS (SELECT media_id, k, CASE WHEN (xor(xor(mb, mb // 32768), mb // 1073741824) + sh) % 256 > (xor(xor(ma, ma // 32768), ma // 1073741824) + sh) % 256 THEN 1::BIGINT ELSE 0::BIGINT END AS bit FROM args), " +
+        "ph AS MATERIALIZED (SELECT media_id, sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)::BIGINT AS hi, " +
+        "sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)::BIGINT AS lo FROM bits GROUP BY 1), " +
+        "seg AS MATERIALIZED (SELECT media_id, s, CASE WHEN s < 4 THEN (lo // (1::BIGINT << (8 * s))) % 256 ELSE (hi // (1::BIGINT << (8 * (s - 4)))) % 256 END AS segval " +
+        "FROM ph, (SELECT unnest(generate_series(0, 7)) AS s)), " +
+        "hot AS (SELECT s, segval FROM seg GROUP BY 1, 2 HAVING count(*) > 256), " +
+        "kept AS (SELECT * FROM seg ANTI JOIN hot USING (s, segval)), " +
+        "cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b FROM kept a JOIN kept b ON a.s = b.s AND a.segval = b.segval AND a.media_id < b.media_id) " +
+        "SELECT id_a, id_b, (bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)))::BIGINT AS hamming " +
+        "FROM cand JOIN ph pa ON pa.media_id = id_a JOIN ph pb ON pb.media_id = id_b " +
+        "WHERE bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)) <= 7 ORDER BY id_a, id_b"),
+    "q_image_phash_incremental" ->
+      // the incremental replay: formula phashes for both sides, the
+      // batch side's (>= 30000) kept segment keys select the stored
+      // side's matches (per-side >maxBucket drops, mirroring the
+      // operator), candidates cross new x stored, bit_count verify
+      ("WITH ids AS (SELECT doc_id AS media_id, doc_id AS oid, 0 AS sh, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h FROM documents WHERE doc_id % 3 = 0 " +
+        "UNION ALL SELECT doc_id + 30000, doc_id, 5, 16 + doc_id % 16, 16 + doc_id % 8 FROM documents WHERE doc_id % 3 = 0), " +
+        "args AS (SELECT media_id, sh, k, " +
+        "(oid * 31 + 7 * (((k % 8) * w) // 9) + 13 * (((k // 8) * h) // 8)) * 2654435761 AS ma, " +
+        "(oid * 31 + 7 * ((((k % 8) + 1) * w) // 9) + 13 * (((k // 8) * h) // 8)) * 2654435761 AS mb " +
+        "FROM ids, (SELECT unnest(generate_series(0, 63)) AS k)), " +
+        "bits AS (SELECT media_id, k, CASE WHEN (xor(xor(mb, mb // 32768), mb // 1073741824) + sh) % 256 > (xor(xor(ma, ma // 32768), ma // 1073741824) + sh) % 256 THEN 1::BIGINT ELSE 0::BIGINT END AS bit FROM args), " +
+        "ph AS MATERIALIZED (SELECT media_id, sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)::BIGINT AS hi, " +
+        "sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)::BIGINT AS lo FROM bits GROUP BY 1), " +
+        "seg AS MATERIALIZED (SELECT media_id, s, CASE WHEN s < 4 THEN (lo // (1::BIGINT << (8 * s))) % 256 ELSE (hi // (1::BIGINT << (8 * (s - 4)))) % 256 END AS segval " +
+        "FROM ph, (SELECT unnest(generate_series(0, 7)) AS s)), " +
+        "hotn AS (SELECT s, segval FROM seg WHERE media_id >= 30000 GROUP BY 1, 2 HAVING count(*) > 256), " +
+        "kn AS (SELECT * FROM (SELECT * FROM seg WHERE media_id >= 30000) ANTI JOIN hotn USING (s, segval)), " +
+        "nk AS (SELECT DISTINCT s, segval FROM kn), " +
+        "mt AS MATERIALIZED (SELECT * FROM (SELECT * FROM seg WHERE media_id < 30000) SEMI JOIN nk USING (s, segval)), " +
+        "hotb AS (SELECT s, segval FROM mt GROUP BY 1, 2 HAVING count(*) > 256), " +
+        "mk AS (SELECT * FROM mt ANTI JOIN hotb USING (s, segval)), " +
+        "cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b FROM kn a JOIN mk b ON a.s = b.s AND a.segval = b.segval) " +
+        "SELECT id_a, id_b, (bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)))::BIGINT AS hamming " +
+        "FROM cand JOIN ph pa ON pa.media_id = id_a JOIN ph pb ON pb.media_id = id_b " +
+        "WHERE bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)) <= 7 ORDER BY id_a, id_b"),
+    "q_audio_decode" ->
+      ("WITH ids AS (SELECT doc_id AS media_id, 800 + doc_id % 400 AS n FROM documents WHERE doc_id % 3 = 2) " +
+        "SELECT media_id, 8000::BIGINT AS sample_rate, 1::BIGINT AS channels, n::BIGINT AS n_samples, " +
+        "list_sum(list_transform(generate_series(0, n - 1), i -> (media_id * 31 + 17 * i) % 2003 - 1001))::BIGINT AS sum_amp " +
+        "FROM ids ORDER BY media_id"),
+    "q_frame_sample" ->
+      ("WITH v AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2), " +
+        "f AS (SELECT media_id, unnest(generate_series(0, greatest(length(text) // 1024 - 1, 0))) AS frame_idx, text FROM v) " +
+        "SELECT media_id, frame_idx::BIGINT AS frame_idx, md5(substring(text, (frame_idx * 1024 + 1)::INT, 256)) AS frame_md5 " +
+        "FROM f ORDER BY media_id, frame_idx"),
+    "q_image_dedup" ->
+      ("WITH m AS (SELECT doc_id, (doc_id // 2) % 256 AS g FROM documents) " +
+        "SELECT min(doc_id) AS keep_id, count(*) AS copies FROM m GROUP BY g ORDER BY keep_id"),
+    "q_video_frames" ->
+      ("WITH m AS (SELECT doc_id AS media_id, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h, 3 + doc_id % 3 AS nf " +
+        "FROM documents WHERE doc_id % 3 = 2), " +
+        "f AS (SELECT media_id, w, h, unnest(generate_series(0, nf - 1)) AS frame_idx FROM m), " +
+        "xs AS (SELECT unnest(range(0, 32)) AS x), ys AS (SELECT unnest(range(0, 24)) AS y) " +
+        "SELECT media_id, frame_idx::BIGINT AS frame_idx, w::BIGINT AS width, h::BIGINT AS height, " +
+        "sum((media_id * 31 + 7 * x + 13 * y + 29 * frame_idx) % 256)::BIGINT AS px_sum " +
+        "FROM f JOIN xs ON x < w JOIN ys ON y < h " +
+        "GROUP BY media_id, frame_idx, w, h ORDER BY media_id, frame_idx"),
+  )
+}

@@ -1,0 +1,484 @@
+package graft
+
+import graft.core._
+import graft.ops.{Cluster, Decontaminate, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.views._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational queries: joins, aggregates, windows, set ops, scalar library, batch event-time windows (SURVEY §2.4).
+  *
+  * A pure round-8 relocation of [[SparkEntry]] catalog entries (r7
+  * verdict #7) — zero renames, zero semantic changes; the driver
+  * contract stays on [[SparkEntry.queries]]/[[SparkEntry.oracleSql]],
+  * which merge the per-domain objects. Shared fixtures/caches live in
+  * [[EntryHelpers]].
+  */
+private[graft] object RelationalQueries {
+  import EntryHelpers._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_group_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        // compare in the storage type (timestamp), literally the oracle's
+        // predicate — a cast-to-date form only coincides with it when every
+        // boundary-day timestamp is midnight-aligned
+        .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q_bucketed_join" -> ((s, dir) => {
+      // fact-fact join over the co-located bucketed layout: the merge
+      // hint keeps the sort-merge join (broadcast would hide the
+      // zero-exchange property PlanSpec asserts); only the final
+      // priority agg shuffles
+      val (ord, li) = bucketedOrdersLineitem(s, dir)
+      ord.hint("merge").join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+    "q_join_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("c_mktsegment")),
+    "q_multi_join" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy("n_name")),
+    "q_tpch_q3" -> ((s, dir) =>
+      // TPC-H Q3 (shipping priority), dates shifted into the synthetic
+      // horizon: 3-way join narrows customer first (broadcast-sized
+      // after the segment filter), revenue agg, top-10 — the canonical
+      // composite the relational surface must get right end to end
+      t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          col("o_orderdate").cast("timestamp").as("o_orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)),
+    "q_tpch_q5" -> ((s, dir) =>
+      // TPC-H Q5 (local supplier volume): the 6-table join with the
+      // customer-and-supplier-in-the-same-nation constraint; region and
+      // nation broadcast, the fact-side joins shuffle on their keys
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey") && col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))),
+    "q_window_rank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .where(col("rnk") <= 3)
+        .select(col("user_id"), col("event_id").as("seq"), col("value"), col("rnk"))
+        .orderBy("user_id", "rnk")
+    }),
+    "q_topk_per_key" -> ((s, dir) => {
+      // grouped top-k via the bounded-heap aggregate: hash-agg with
+      // map-side combine instead of a rank window's per-key full sort
+      val topk = udaf(new graft.functions.TopKAggregator(3))
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(topk(col("value"), col("event_id")).as("top"))
+        .select(col("user_id"), posexplode(col("top")))
+        .select(col("user_id"), (col("pos") + 1).cast("bigint").as("rnk"),
+          col("col._2").as("seq"), col("col._1").as("value"))
+        .orderBy("user_id", "rnk")
+    }),
+    "q_tumbling_count" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(tsCol(s, dir), "1 hour").as("w"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_v"))
+        .select(unix_millis(col("w.start")).as("hour_ms"), col("cnt"), col("sum_v"))
+        .orderBy("hour_ms")),
+    "q_sliding_count" -> ((s, dir) =>
+      // sliding windows (1h length, 30min slide): each event lands in
+      // exactly two epoch-aligned windows — completes the event-time
+      // window family next to tumbling and session
+      t(s, dir, "events")
+        .groupBy(window(tsCol(s, dir), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_v"))
+        .select(unix_millis(col("w.start")).as("start_ms"), col("cnt"), col("sum_v"))
+        .orderBy("start_ms")),
+    "q_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("ts2", timestamp_millis(tsMs(s, dir)))
+        .groupBy(col("user_id"), session_window(col("ts2"), "10 minutes").as("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"), unix_millis(col("w.start")).as("start_ms"), col("cnt"))
+        .orderBy("user_id", "start_ms")),
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("cnt"))
+        .orderBy("rf", "ls")),
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "events")
+        .cube(col("event_type"), pmod(col("user_id"), lit(10)).as("ub"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_v"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("et"),
+          coalesce(col("ub"), lit(-1L)).as("ub"), col("cnt"), col("sum_v"))
+        .orderBy("et", "ub")),
+    "q_range_join" -> ((s, dir) =>
+      // equi key + range residual: hash join on orderkey, band predicate
+      // applied as the join residual (no nested-loop blowup)
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_shipped_30d"))
+        .orderBy("o_orderkey")),
+    "q_percentiles" -> ((s, dir) =>
+      t(s, dir, "events").agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))),
+    "q_approx_distinct" -> ((s, dir) =>
+      // approx ONLY: pairing countDistinct into the same agg planned an
+      // Expand that tripled the query's cost (r5 bench regression); the
+      // ≤5% error bound vs exact lives in OpsSpec, not the benched query
+      t(s, dir, "events").agg(
+        approx_count_distinct("user_id").as("approx_users"))),
+    "q_edit_distance" -> ((s, dir) =>
+      t(s, dir, "events").select("event_type").distinct()
+        .select(col("event_type"), levenshtein(col("event_type"), lit("click")).cast("bigint").as("dist"))
+        .orderBy("event_type")),
+    "q_regex_date" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id").as("seq"),
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("bigint").as("k_num"),
+        datediff(to_date(tsCol(s, dir)), lit(java.sql.Date.valueOf("2024-01-01"))).cast("bigint").as("days_since"),
+        dayofweek(tsCol(s, dir)).cast("bigint").as("dow"), // Sunday=1, matches DuckDB dayofweek+1
+        date_format(tsCol(s, dir), "yyyy-MM").as("ym"))
+        .orderBy("seq")),
+    "q_array_funcs" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).cast("bigint").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("first_v"),
+        round(array_max(col("embedding")).cast("double"), 4).as("max_v"),
+        round(array_min(col("embedding")).cast("double"), 4).as("min_v"),
+        round(aggregate(transform(col("embedding"), _.cast("double")), lit(0.0), _ + _), 4).as("sum_v"),
+        round(element_at(sort_array(transform(col("embedding"), _.cast("double"))), 2), 4).as("second_smallest"),
+        size(filter(col("embedding"), x => x > 0)).cast("bigint").as("n_pos"))
+        .orderBy("vec_id")),
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("gs_events")
+      s.sql("""SELECT coalesce(event_type, 'ALL') AS et, coalesce(ub, -1) AS ub,
+               count(*) AS cnt, round(sum(value), 4) AS sum_v
+               FROM (SELECT event_type, user_id % 10 AS ub, value FROM gs_events)
+               GROUP BY GROUPING SETS ((event_type), (ub))
+               ORDER BY et, ub""")
+    }),
+    "q_semi_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+    "q_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+    "q_union" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.where(col("event_type") === "click").select("user_id")
+        .union(ev.where(col("event_type") === "error").select("user_id"))
+        .distinct().orderBy("user_id")
+    }),
+    "q_intersect" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.where(col("event_type") === "click").select("user_id")
+        .intersect(ev.where(col("event_type") === "purchase").select("user_id"))
+        .orderBy("user_id")
+    }),
+    "q_except" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.where(col("event_type") === "click").select("user_id")
+        .except(ev.where(col("event_type") === "purchase").select("user_id"))
+        .orderBy("user_id")
+    }),
+    "q_distinct" -> ((s, dir) =>
+      t(s, dir, "events").select("event_type").distinct().orderBy("event_type")),
+    "q_scalar_funcs" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id").as("seq"),
+        substring(col("event_type"), 1, 3).as("et3"),
+        upper(col("event_type")).as("etu"),
+        concat(col("event_type"), lit("-"), col("user_id").cast("string")).as("etkey"),
+        get_json_object(col("props"), "$.k").as("props_k"),
+        round(abs(col("value") - 50), 4).as("vabs"),
+        floor(col("value")).cast("bigint").as("vfloor"),
+        ceil(col("value")).cast("bigint").as("vceil"),
+        pmod(col("user_id"), lit(7)).as("umod"),
+        year(tsCol(s, dir)).cast("bigint").as("y"),
+        month(tsCol(s, dir)).cast("bigint").as("m"),
+        dayofmonth(tsCol(s, dir)).cast("bigint").as("d"))
+        .orderBy("seq")),
+    "q_window_running" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("event_id")
+      t(s, dir, "events").select(
+        col("user_id"), col("event_id").as("seq"),
+        round(sum("value").over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)), 4).as("running"),
+        round(coalesce(col("value") - lag("value", 1).over(w), lit(0.0)), 4).as("diff"))
+        .orderBy("user_id", "seq")
+    }),
+    "q_fuzzy_join" -> ((s, dir) => {
+      // edit-distance join via q-gram blocking + exact levenshtein
+      // verify: typo'd probes (last char dropped) against the corpus
+      // vocabulary; the exhaustive cross join is the oracle
+      val vocab = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term")).distinct()
+      val probes = vocab.where(length(col("term")) >= 5)
+        .select(expr("substring(term, 1, length(term) - 1)").as("probe"))
+      graft.ops.Joins.fuzzyJoin(probes, vocab, "probe", "term", maxDist = 1)
+        .select(col("a").as("probe"), col("b").as("term"), col("dist"))
+        .orderBy("probe", "term")
+    }),
+    "q_asof_general" -> ((s, dir) => {
+      // the GENERAL two-table as-of operator (merge_asof): purchases
+      // probe the clicks table for the latest prior click per user,
+      // carrying both payloads — checked against DuckDB's native ASOF
+      // JOIN. (q_asof_join is the single-relation attribution form.)
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("value").as("purchase_value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("value").as("click_value"))
+      graft.ops.Joins.asofJoin(purchases, clicks, on = "event_id", by = Seq("user_id"))
+        .select(col("user_id"), col("event_id").as("purchase_seq"),
+          coalesce(col("event_id_right"), lit(-1L)).as("click_seq"),
+          coalesce(col("click_value"), lit(-1.0)).as("click_value"))
+        .orderBy("purchase_seq")
+    }),
+    "q_asof_join" -> ((s, dir) => {
+      // as-of (attribution) join: each purchase matched to the latest
+      // prior click of the same user — windowed running max, no self-join
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      t(s, dir, "events")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id").as("seq"), col("event_type"),
+          coalesce(max(when(col("event_type") === "click", col("event_id"))).over(w), lit(-1L)).as("last_click_seq"))
+        .where(col("event_type") === "purchase")
+        .select("user_id", "seq", "last_click_seq")
+        .orderBy("seq")
+    }),
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(round(sum("o_totalprice"), 2))
+        .toDF("o_orderstatus", "p_urgent", "p_high", "p_medium", "p_notspec", "p_low")
+        .orderBy("o_orderstatus")),
+    "q_unpivot" -> ((s, dir) =>
+      // melt: wide measure columns to (measure, val) long form — the
+      // inverse of q_pivot, a narrow Expand with no shuffle
+      t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .select(col("l_orderkey"), col("l_linenumber"), col("measure"),
+          round(col("val"), 4).as("val"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+        // val completes the key (remaining ties are identical rows)
+        .orderBy("l_orderkey", "l_linenumber", "measure", "val")),
+    "q_percentiles_by_key" -> ((s, dir) =>
+      // exact grouped percentiles: per-group value buffering is the
+      // known cost (see SCALING — approx_percentile is the hyperscale
+      // path); groups here are few and bounded
+      t(s, dir, "events").groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5D)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9D)"), 4).as("p90"))
+        .orderBy("event_type")),
+    "q_salted_agg" -> ((s, dir) =>
+      // identical answer to the plain group-by — salting is a physical
+      // rewrite spreading a hot key over 16 partial groups
+      graft.ops.Skew.saltedSumCount(t(s, dir, "events"), col("user_id"), col("value"))
+        .select(col("key").as("user_id"), col("cnt"), round(col("sum_v"), 4).as("sum_v"))
+        .orderBy("user_id")),
+    "q_null_anti" -> ((s, dir) => {
+      // NOT IN (null-aware anti join): customers with no 300k+ order —
+      // exercises Spark's null-aware single-column anti-join plan
+      t(s, dir, "customer").createOrReplaceTempView("na_customer")
+      t(s, dir, "orders").createOrReplaceTempView("na_orders")
+      s.sql("""SELECT c_custkey, c_name FROM na_customer
+               WHERE c_custkey NOT IN
+                 (SELECT o_custkey FROM na_orders WHERE o_totalprice > 300000)
+               ORDER BY c_custkey""")
+    }),
+    "q_window_stats" -> ((s, dir) => {
+      // distribution-rank window family: percent_rank/cume_dist/ntile
+      // over a TOTAL order (value, event_id) — ntile ties are assigned
+      // by row position, so the tie-broken order is part of the contract
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      t(s, dir, "events").select("event_id", "event_type", "value")
+        .withColumn("pr", round(percent_rank().over(w), 4))
+        .withColumn("cd", round(cume_dist().over(w), 4))
+        .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+        .orderBy("event_id")
+    }),
+    "q_window_range" -> ((s, dir) => {
+      // event-time RANGE frame: per-user trailing 30-minute sum — a
+      // range window, not a row window (gaps and ties handled by time)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("sec")).rangeBetween(-1800L, 0L)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          tsSec(s, dir).as("sec"),
+          col("value"))
+        .withColumn("trailing_sum", round(sum("value").over(w), 4))
+        .select("event_id", "user_id", "sec", "trailing_sum")
+        .orderBy("event_id")
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_tpch_q3" ->
+      ("SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, o_orderdate " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' " +
+        "GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+    "q_tpch_q5" ->
+      ("SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+    "q_group_agg" ->
+      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base, round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc, round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, round(avg(l_quantity), 4) AS avg_qty, count(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "q_bucketed_join" ->
+      "SELECT o_orderpriority, count(*) AS n_items, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "q_join_agg" ->
+      "SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    "q_multi_join" ->
+      "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
+    "q_window_rank" ->
+      "SELECT user_id, event_id AS seq, value, rnk FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk FROM events) WHERE rnk <= 3 ORDER BY user_id, rnk",
+    "q_topk_per_key" ->
+      "SELECT user_id, rnk, seq, value FROM (SELECT user_id, event_id AS seq, value, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk FROM events) WHERE rnk <= 3 ORDER BY user_id, rnk",
+    "q_tumbling_count" ->
+      "SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, count(*) AS cnt, round(sum(value), 4) AS sum_v FROM events GROUP BY hour_ms ORDER BY hour_ms",
+    "q_sliding_count" ->
+      ("WITH e AS (SELECT epoch_ms(ts) AS ms, value FROM events), " +
+        "w AS (SELECT ms - (ms % 1800000) AS w0, value FROM e), " +
+        "x AS (SELECT w0 AS start_ms, value FROM w UNION ALL SELECT w0 - 1800000 AS start_ms, value FROM w) " +
+        "SELECT start_ms, count(*) AS cnt, round(sum(value), 4) AS sum_v FROM x GROUP BY start_ms ORDER BY start_ms"),
+    "q_session_window" ->
+      "WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events), s AS (SELECT user_id, ms, CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) >= 600000 THEN 1 ELSE 0 END AS new_s FROM e), g AS (SELECT user_id, ms, sum(new_s) OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid FROM s) SELECT user_id, min(ms) AS start_ms, count(*) AS cnt FROM g GROUP BY user_id, sid ORDER BY user_id, start_ms",
+    "q_rollup" ->
+      "SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls",
+    "q_cube" ->
+      "SELECT coalesce(event_type, 'ALL') AS et, coalesce(user_id % 10, -1) AS ub, count(*) AS cnt, round(sum(value), 4) AS sum_v FROM events GROUP BY CUBE(event_type, user_id % 10) ORDER BY et, ub",
+    "q_range_join" ->
+      "SELECT o_orderkey, count(*) AS n_shipped_30d FROM orders JOIN lineitem ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 30 DAY GROUP BY o_orderkey ORDER BY o_orderkey",
+    "q_percentiles" ->
+      "SELECT round(quantile_cont(value, 0.5), 4) AS p50, round(quantile_cont(value, 0.9), 4) AS p90, round(quantile_cont(value, 0.99), 4) AS p99 FROM events",
+    "q_edit_distance" ->
+      "SELECT event_type, levenshtein(event_type, 'click')::BIGINT AS dist FROM (SELECT DISTINCT event_type FROM events) ORDER BY event_type",
+    "q_regex_date" ->
+      "SELECT event_id AS seq, regexp_extract(props, '\"k\":\\s*(\\d+)', 1)::BIGINT AS k_num, datediff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS days_since, (dayofweek(ts) + 1)::BIGINT AS dow, strftime(ts, '%Y-%m') AS ym FROM events ORDER BY seq",
+    "q_array_funcs" ->
+      "SELECT vec_id, len(embedding)::BIGINT AS dim, round(embedding[1]::DOUBLE, 4) AS first_v, round(list_max(embedding)::DOUBLE, 4) AS max_v, round(list_min(embedding)::DOUBLE, 4) AS min_v, round(list_sum(list_transform(embedding, x -> x::DOUBLE)), 4) AS sum_v, round(list_sort(list_transform(embedding, x -> x::DOUBLE))[2], 4) AS second_smallest, len(list_filter(embedding, x -> x > 0))::BIGINT AS n_pos FROM embeddings ORDER BY vec_id",
+    "q_grouping_sets" ->
+      "SELECT coalesce(event_type, 'ALL') AS et, coalesce(ub, -1) AS ub, count(*) AS cnt, round(sum(value), 4) AS sum_v FROM (SELECT event_type, user_id % 10 AS ub, value FROM events) GROUP BY GROUPING SETS ((event_type), (ub)) ORDER BY et, ub",
+    "q_semi_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY c_custkey",
+    "q_anti_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+    "q_union" ->
+      "SELECT user_id FROM events WHERE event_type = 'click' UNION SELECT user_id FROM events WHERE event_type = 'error' ORDER BY user_id",
+    "q_intersect" ->
+      "SELECT user_id FROM events WHERE event_type = 'click' INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase' ORDER BY user_id",
+    "q_except" ->
+      "SELECT user_id FROM events WHERE event_type = 'click' EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase' ORDER BY user_id",
+    "q_distinct" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "q_scalar_funcs" ->
+      "SELECT event_id AS seq, substring(event_type, 1, 3) AS et3, upper(event_type) AS etu, event_type || '-' || CAST(user_id AS VARCHAR) AS etkey, json_extract_string(props, '$.k') AS props_k, round(abs(value - 50), 4) AS vabs, CAST(floor(value) AS BIGINT) AS vfloor, CAST(ceil(value) AS BIGINT) AS vceil, user_id % 7 AS umod, CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m, CAST(day(ts) AS BIGINT) AS d FROM events ORDER BY seq",
+    "q_window_running" ->
+      "SELECT user_id, event_id AS seq, round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running, round(coalesce(value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id), 0.0), 4) AS diff FROM events ORDER BY user_id, seq",
+    "q_asof_general" ->
+      ("SELECT p.user_id, p.event_id AS purchase_seq, coalesce(c.event_id, -1) AS click_seq, coalesce(c.value, -1.0) AS click_value " +
+        "FROM (SELECT user_id, event_id, value FROM events WHERE event_type = 'purchase') p " +
+        "ASOF LEFT JOIN (SELECT user_id, event_id, value FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND p.event_id >= c.event_id ORDER BY purchase_seq"),
+    "q_asof_join" ->
+      "SELECT user_id, seq, last_click_seq FROM (SELECT user_id, event_id AS seq, event_type, coalesce(max(CASE WHEN event_type = 'click' THEN event_id END) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS last_click_seq FROM events WHERE event_type IN ('click', 'purchase')) WHERE event_type = 'purchase' ORDER BY seq",
+    "q_fuzzy_join" ->
+      ("WITH vocab AS (SELECT DISTINCT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term FROM documents), " +
+        "probes AS (SELECT DISTINCT substring(term, 1, length(term) - 1) AS probe FROM vocab WHERE length(term) >= 5) " +
+        "SELECT probe, term, levenshtein(probe, term)::BIGINT AS dist " +
+        "FROM probes CROSS JOIN vocab WHERE levenshtein(probe, term) <= 1 " +
+        "ORDER BY probe, term"),
+    "q_pivot" ->
+      ("SELECT o_orderstatus, " +
+        "round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS p_urgent, " +
+        "round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS p_high, " +
+        "round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS p_medium, " +
+        "round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS p_notspec, " +
+        "round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS p_low " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q_unpivot" ->
+      ("SELECT l_orderkey, l_linenumber, measure, round(val, 4) AS val " +
+        "FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax " +
+        "FROM lineitem WHERE l_orderkey % 50 = 0) " +
+        "ON l_quantity, l_extendedprice, l_discount, l_tax INTO NAME measure VALUE val) " +
+        "ORDER BY l_orderkey, l_linenumber, measure, val"),
+    "q_salted_agg" ->
+      "SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS sum_v FROM events GROUP BY user_id ORDER BY user_id",
+    "q_percentiles_by_key" ->
+      "SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, round(quantile_cont(value, 0.9), 4) AS p90 FROM events GROUP BY event_type ORDER BY event_type",
+    "q_null_anti" ->
+      ("SELECT c_custkey, c_name FROM customer " +
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000) ORDER BY c_custkey"),
+    "q_window_stats" ->
+      ("SELECT event_id, event_type, value, " +
+        "round(percent_rank() OVER w, 4) AS pr, " +
+        "round(cume_dist() OVER w, 4) AS cd, " +
+        "ntile(4) OVER w AS quartile " +
+        "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id) ORDER BY event_id"),
+    "q_window_range" ->
+      ("SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, " +
+        "round(sum(value) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW), 4) AS trailing_sum " +
+        "FROM events ORDER BY event_id"),
+  )
+}

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
   * as-long to timestamp[us]), this spec fails naming the table and the
   * offending column — instead of 14 queries silently erroring at the
   * correctness gate. Columns the engine reads schema-adaptively (the
-  * timestamp family, see `SparkEntry.tsCol`) accept every form the
+  * timestamp family, see `EntryHelpers.tsCol`) accept every form the
   * adapter handles. */
 class DataContractSpec extends SparkSpec {
 
