@@ -251,6 +251,29 @@ private[graft] object StreamingQueries {
           col("stage"))
         .orderBy("user_id")
     }),
+    "q_stream_paths" -> ((s, dir) => {
+      // session path mining as live per-key state: a trailing 2-type
+      // window emits each completed trigram exactly once (Append);
+      // the emission table grouped by path equals the batch operator
+      // (shared oracle with q_event_paths)
+      val schema = t(s, dir, "events").schema
+      val name = s"stream_paths_${streamIds.incrementAndGet()}"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val q = graft.streaming.StreamingViews
+          .pathsPerKey(src.withColumn("__ms", tsMs(s, dir)),
+            "user_id", "__ms", "event_id", "event_type")
+          .toDF("path")
+          .writeStream.format("memory").queryName(name)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.table(name).groupBy("path").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("path")).limit(20)
+    }),
     "q_stream_retention" -> ((s, dir) => {
       // cohort retention as live per-key state: each batch emits the
       // key's full (cohort, offsets) snapshot (self-revising, so a
@@ -438,6 +461,15 @@ private[graft] object StreamingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_stream_paths" ->
+      // identical to q_event_paths: the live trailing window emits the
+      // same trigram multiset over the one-file source
+      ("WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id AS seq, event_type AS et FROM events), " +
+        "s AS (SELECT user_id, ms, seq, et, CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w >= 600000 THEN 1 ELSE 0 END AS new_s FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, seq)), " +
+        "g AS (SELECT user_id, ms, seq, et, sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, seq ROWS UNBOUNDED PRECEDING) AS sid FROM s), " +
+        "p AS (SELECT user_id, sid, list(et ORDER BY ms, seq) AS tl FROM g GROUP BY 1, 2), " +
+        "ng AS (SELECT unnest(list_transform(generate_series(1, len(tl) - 2), i -> tl[i] || '>' || tl[i+1] || '>' || tl[i+2])) AS path FROM p WHERE len(tl) >= 3) " +
+        "SELECT path, count(*) AS cnt FROM ng GROUP BY 1 ORDER BY cnt DESC, path LIMIT 20"),
     "q_stream_retention" ->
       // identical to q_retention: the live snapshots re-derive the
       // batch cohort table over the one-file source

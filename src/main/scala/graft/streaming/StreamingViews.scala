@@ -272,6 +272,58 @@ object StreamingViews {
       }
   }
 
+  /** Per-key path state for [[pathsPerKey]]: the ms of the key's last
+    * event and the trailing n−1 event types of its CURRENT session. */
+  final case class PathWindow(hasLast: Boolean, lastMs: Long, tail: Seq[String])
+
+  /** [[graft.ops.Paths.topPaths]]'s n-gram generation as LIVE per-key
+    * state (the quartet's last batch-only member): a trailing window of
+    * n−1 event types per key slides along the session, emitting each
+    * completed n-gram exactly once (Append mode) — so the emission
+    * table grouped by path equals the batch operator's counts and they
+    * share an oracle. A session break (gap ≥ `gapMs` vs the previous
+    * event) resets the window, exactly the batch `new_s` rule.
+    *
+    * State is O(n) per key — two strings and a long at the default
+    * trigram setting, the smallest state machine here. Rows are
+    * processed in (ms, seq) order within a batch; across batches the
+    * source must deliver per-key in event-time order — a stricter
+    * contract than funnel's seq order, satisfied when ts is assigned
+    * at append (monotone with seq per key, as in the events fixture);
+    * a late cross-batch event would need the retention view's
+    * self-revising-snapshot form instead, at O(history) state. */
+  def pathsPerKey(
+      stream: DataFrame,
+      keyCol: String,
+      msCol: String,
+      seqCol: String,
+      typeCol: String,
+      gapMs: Long = 600000L,
+      n: Int = 3): Dataset[String] = {
+    require(n >= 2, "a path needs at least 2 steps")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col(keyCol).cast("long"), col(msCol).cast("long"),
+        col(seqCol).cast("long"), col(typeCol))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PathWindow, String](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[PathWindow]) =>
+          var st = state.getOption.getOrElse(PathWindow(false, 0L, Nil))
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ms, _, et) =>
+            val window =
+              if (!st.hasLast || ms - st.lastMs >= gapMs) Seq(et)
+              else st.tail :+ et
+            if (window.length == n) out += window.mkString(">")
+            st = PathWindow(hasLast = true, ms, window.takeRight(n - 1))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Custom incremental state via mapGroupsWithState: running
     * count/mean/M2 per key, merged with Welford — the streaming analog of
     * the reduce view, keyed. Demonstrates arbitrary user state where

@@ -930,6 +930,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming paths: trailing window carries across batches; session gap resets it") {
+    val kvSchema = StructType(Seq(
+      StructField("k", LongType), StructField("ms", LongType),
+      StructField("s", LongType), StructField("et", StringType)))
+    val log = new MemoryLog(spark, kvSchema)
+    // batch 1: key 1 starts a session a,b (no trigram yet)
+    log.appendRows(Seq(Row(1L, 0L, 1L, "a"), Row(1L, 1000L, 2L, "b")))
+    val q = StreamingViews.pathsPerKey(
+        log.readStream.select("k", "ms", "s", "et"), "k", "ms", "s", "et")
+      .toDF("path")
+      .writeStream.format("memory").queryName("paths_live")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("paths_live").count() === 0L, "two events make no trigram")
+      // batch 2: c completes a>b>c ACROSS the batch boundary, d slides to
+      // b>c>d; then a >=10-min gap resets the window — x,y,z form only
+      // x>y>z in the new session
+      log.appendRows(Seq(Row(1L, 2000L, 3L, "c"), Row(1L, 3000L, 4L, "d"),
+        Row(1L, 700000L, 5L, "x"), Row(1L, 701000L, 6L, "y"), Row(1L, 702000L, 7L, "z")))
+      q.processAllAvailable()
+      val got = spark.table("paths_live").collect().map(_.getString(0)).sorted.toSeq
+      assert(got === Seq("a>b>c", "b>c>d", "x>y>z"), s"got $got")
+      // parity: the emission multiset equals the batch operator's counts
+      val all = Seq((1L, 0L, 1L, "a"), (1L, 1000L, 2L, "b"), (1L, 2000L, 3L, "c"),
+        (1L, 3000L, 4L, "d"), (1L, 700000L, 5L, "x"), (1L, 701000L, 6L, "y"),
+        (1L, 702000L, 7L, "z"))
+      import spark.implicits._
+      val batch = graft.ops.Paths.topPaths(all.toDF("k", "ms", "s", "et"),
+          "k", col("ms"), col("s"), col("et"), k = 1000)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(batch === got.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong })
+    } finally q.stop()
+  }
+
   test("streaming anomaly gate: ring buffer carries across batches, equals the batch operator") {
     val kvSchema = StructType(Seq(
       StructField("k", LongType), StructField("s", LongType), StructField("v", DoubleType)))
