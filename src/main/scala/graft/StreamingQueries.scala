@@ -251,6 +251,34 @@ private[graft] object StreamingQueries {
           col("stage"))
         .orderBy("user_id")
     }),
+    "q_stream_affinity" -> ((s, dir) => {
+      // association rules as live per-key state: each key's distinct
+      // type-set snapshot grows monotonically (latest = largest);
+      // exploding the final snapshots reproduces the batch operator's
+      // (key, type) table, so support/lift follow from the same
+      // arithmetic (shared oracle with q_type_affinity)
+      val schema = t(s, dir, "events").schema
+      val name = s"stream_aff_${streamIds.incrementAndGet()}"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val q = graft.streaming.StreamingViews
+          .typeSetPerKey(src, "user_id", "event_type")
+          .toDF("k", "types")
+          .writeStream.format("memory").queryName(name)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(size(col("types")).desc)
+      val base = s.table(name).distinct()
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("k"), explode(col("types")).as("t"))
+      graft.ops.Affinity.typeAffinity(base, "k", col("t"))
+        .orderBy("type_a", "type_b")
+    }),
     "q_stream_paths" -> ((s, dir) => {
       // session path mining as live per-key state: a trailing 2-type
       // window emits each completed trigram exactly once (Append);
@@ -461,6 +489,18 @@ private[graft] object StreamingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_stream_affinity" ->
+      // identical to q_type_affinity: the live type-set snapshots
+      // reproduce the batch (key, type) table over the one-file source
+      ("WITH b AS (SELECT DISTINCT user_id, event_type FROM events), " +
+        "u AS (SELECT count(DISTINCT user_id)::DOUBLE AS u FROM events), " +
+        "per AS (SELECT event_type, count(*) AS n FROM b GROUP BY 1), " +
+        "pr AS (SELECT a.event_type AS type_a, bb.event_type AS type_b, count(*) AS n_xy FROM b a JOIN b bb ON a.user_id = bb.user_id AND a.event_type < bb.event_type GROUP BY 1, 2) " +
+        "SELECT type_a, type_b, n_xy, " +
+        "CAST(floor(n_xy * 1000000.0 / (SELECT u FROM u) + 1e-9) AS BIGINT) AS support_ppm, " +
+        "CAST(floor(n_xy * (SELECT u FROM u) * 1000000.0 / (pa.n * pb.n) + 1e-9) AS BIGINT) AS lift_ppm " +
+        "FROM pr JOIN per pa ON pa.event_type = type_a JOIN per pb ON pb.event_type = type_b " +
+        "ORDER BY type_a, type_b"),
     "q_stream_paths" ->
       // identical to q_event_paths: the live trailing window emits the
       // same trigram multiset over the one-file source

@@ -272,6 +272,43 @@ object StreamingViews {
       }
   }
 
+  /** Per-key distinct-type state for [[typeSetPerKey]]. */
+  final case class TypeSet(types: Seq[String])
+
+  /** The distinct (key, type) activity table behind
+    * [[graft.ops.Affinity.typeAffinity]] as LIVE per-key state — the
+    * last of the log-analytics quartet to get a streaming twin. Each
+    * key carries its sorted distinct type set and emits the full
+    * snapshot every batch it appears in (Update mode); snapshots
+    * strictly grow (a state change always adds a type), so latest =
+    * largest, and exploding the final snapshots reproduces the batch
+    * operator's `base` table exactly — support/lift then follow from
+    * the same arithmetic and the twins share an oracle. Pair expansion
+    * and the global counts stay OUT of the state machine on purpose:
+    * lift depends on the global key population, which no per-key
+    * emission can maintain incrementally — the read-side aggregate is
+    * where that join belongs (the [[retentionPerKey]] discipline).
+    *
+    * State is O(|type vocabulary|) per key — bounded by the event-type
+    * alphabet, not event count. */
+  def typeSetPerKey(
+      stream: DataFrame,
+      keyCol: String,
+      typeCol: String): Dataset[(Long, Seq[String])] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col(keyCol).cast("long"), col(typeCol))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[TypeSet, (Long, Seq[String])](GroupStateTimeout.NoTimeout) {
+        case (k, rows, state: GroupState[TypeSet]) =>
+          val prev = state.getOption.getOrElse(TypeSet(Nil))
+          val ts = (prev.types.toSet ++ rows.map(_._2)).toSeq.sorted
+          state.update(TypeSet(ts))
+          (k, ts)
+      }
+  }
+
   /** Per-key path state for [[pathsPerKey]]: the ms of the key's last
     * event and the trailing n−1 event types of its CURRENT session. */
   final case class PathWindow(hasLast: Boolean, lastMs: Long, tail: Seq[String])

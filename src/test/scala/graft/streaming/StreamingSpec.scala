@@ -930,6 +930,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming type sets: snapshots grow across batches; explode equals the batch base") {
+    val kvSchema = StructType(Seq(
+      StructField("k", LongType), StructField("et", StringType)))
+    val log = new MemoryLog(spark, kvSchema)
+    log.appendRows(Seq(Row(1L, "a"), Row(1L, "b"), Row(2L, "a")))
+    val q = StreamingViews.typeSetPerKey(
+        log.readStream.select("k", "et"), "k", "et")
+      .toDF("k", "types")
+      .writeStream.format("memory").queryName("types_live")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      // batch 2: key 1 repeats a (no state change), key 2 adds c
+      log.appendRows(Seq(Row(1L, "a"), Row(2L, "c")))
+      q.processAllAvailable()
+      val latest = spark.table("types_live").distinct()
+        .collect().groupBy(_.getLong(0)).map { case (k, rows) =>
+          k -> rows.maxBy(_.getAs[scala.collection.Seq[String]](1).length)
+            .getAs[scala.collection.Seq[String]](1).toList
+        }
+      assert(latest === Map(1L -> List("a", "b"), 2L -> List("a", "c")))
+      // affinity over the exploded snapshots equals the batch operator
+      import spark.implicits._
+      val base = latest.toSeq.flatMap { case (k, ts) => ts.map(k -> _) }.toDF("k", "t")
+      val viaStream = graft.ops.Affinity.typeAffinity(base, "k", col("t"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val batchDf = Seq((1L, "a"), (1L, "b"), (2L, "a"), (1L, "a"), (2L, "c")).toDF("k", "t")
+      val viaBatch = graft.ops.Affinity.typeAffinity(batchDf, "k", col("t"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(viaStream === viaBatch)
+    } finally q.stop()
+  }
+
   test("streaming paths: trailing window carries across batches; session gap resets it") {
     val kvSchema = StructType(Seq(
       StructField("k", LongType), StructField("ms", LongType),
