@@ -54,6 +54,12 @@ private[graft] object AnalyticsQueries {
     "q_profile" -> ((s, dir) =>
       graft.ops.Profile.profile(t(s, dir, "events"),
         Seq("event_id", "event_type", "user_id", "value"))),
+    "q_profile_approx" -> ((s, dir) =>
+      // the HLL census twin: one pass, no per-column Expand; exact
+      // n/n_nulls, ~2% rsd on n_distinct (estimator row, OpsSpec
+      // tolerance — HLL++ registers are not SQL-replayable)
+      graft.ops.Profile.profileApprox(t(s, dir, "events"),
+        Seq("event_id", "event_type", "user_id", "value"))),
     "q_resample" -> ((s, dir) =>
       graft.ops.TimeSeries.resampleLocf(t(s, dir, "events"), "user_id", tsCol(s, dir), col("value"))
         .select(col("user_id"), unix_millis(col("bucket")).as("hour_ms"),

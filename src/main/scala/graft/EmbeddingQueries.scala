@@ -99,6 +99,14 @@ private[graft] object EmbeddingQueries {
       // cosine prune — per-vector keep/drop verdicts
       Dedup.semanticDedup(embWithNearDups(s, dir), nCells = 16, tau = 0.95)
         .orderBy("vec_id")),
+    "q_semdedup_bigk" -> ((s, dir) =>
+      // the published k ∝ N operating point in miniature: nCells above
+      // CellAssignLiteralMax (256), so the assignment runs the
+      // broadcast-centroid-join argmax (Similarity.cellAssignJoined)
+      // end-to-end against the same oracle arithmetic — the r8 large-k
+      // path proven oracle-correct, not just parity-tested
+      Dedup.semanticDedup(embWithNearDups(s, dir), nCells = 300, tau = 0.95)
+        .orderBy("vec_id")),
     "q_semdedup_incremental" -> ((s, dir) => {
       // the recurring form: a perturbed batch dedups against the STORED
       // IVF corpus — only the touched cell partitions are read
@@ -209,6 +217,19 @@ private[graft] object EmbeddingQueries {
       // tau = 0.95 verdicts sit nowhere near a float boundary.
       ("WITH corpus AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x * 1.001 AS FLOAT)) FROM embeddings), " +
         "c AS (SELECT vec_id AS cid, embedding AS cvec FROM corpus ORDER BY vec_id LIMIT 16), " +
+        "assign AS MATERIALIZED (SELECT e.vec_id, e.embedding, (SELECT cid FROM c ORDER BY list_cosine_similarity(c.cvec::DOUBLE[], e.embedding::DOUBLE[]) DESC, cid DESC LIMIT 1) AS cell FROM corpus e), " +
+        "big AS (SELECT cell FROM assign GROUP BY cell HAVING count(*) > 4096), " +
+        "small AS (SELECT * FROM assign WHERE cell NOT IN (SELECT cell FROM big)), " +
+        "dropped AS (SELECT DISTINCT b.vec_id FROM small a JOIN small b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95) " +
+        "SELECT vec_id, cell, vec_id NOT IN (SELECT vec_id FROM dropped) AS kept FROM assign ORDER BY vec_id"),
+    "q_semdedup_bigk" ->
+      // q_semdedup's oracle at 300 seed centroids: the argmax arithmetic
+      // is identical (float inputs widened to double, same accumulation
+      // order in both engines), only the candidate count grows — the
+      // Spark side meanwhile switches to the broadcast-join plan
+      ("WITH corpus AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x * 1.001 AS FLOAT)) FROM embeddings), " +
+        "c AS (SELECT vec_id AS cid, embedding AS cvec FROM corpus ORDER BY vec_id LIMIT 300), " +
         "assign AS MATERIALIZED (SELECT e.vec_id, e.embedding, (SELECT cid FROM c ORDER BY list_cosine_similarity(c.cvec::DOUBLE[], e.embedding::DOUBLE[]) DESC, cid DESC LIMIT 1) AS cell FROM corpus e), " +
         "big AS (SELECT cell FROM assign GROUP BY cell HAVING count(*) > 4096), " +
         "small AS (SELECT * FROM assign WHERE cell NOT IN (SELECT cell FROM big)), " +

@@ -90,6 +90,27 @@ object Profile {
         round(col("clipped"), 4).as("clipped"))
   }
 
+  /** [[profile]] on `approx_count_distinct` (HyperLogLog++) — the
+    * scale form the exact twin's Scaladoc names: exact multi-column
+    * countDistinct plans one Expand replica of the scan PER COLUMN,
+    * so a 50-column census reads the table 50×; HLL sketches merge
+    * map-side in a single pass with no Expand at all. Row and null
+    * counts stay exact (they share the same aggregate); only
+    * `n_distinct` is estimated, with standard error `rsd` (default
+    * 2 %). Estimator convention: rows-only gate + OpsSpec tolerance
+    * (HLL++ register layout is not SQL-replayable). */
+  def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.02): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"cnt_$c"),
+      approx_count_distinct(col(c), rsd).as(s"nd_$c")))
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = cols.map(c => s"'$c', n_rows, n_rows - cnt_$c, nd_$c").mkString(", ")
+    one.select(expr(
+        s"stack(${cols.size}, $stackArgs) AS (column_name, n, n_nulls, n_distinct)"))
+      .orderBy("column_name")
+  }
+
   /** [[outliers]] on `approx_percentile` sketches — the form that
     * survives a hot group with 10⁹ rows. Exact grouped `percentile`
     * buffers every group value in the aggregation state; the

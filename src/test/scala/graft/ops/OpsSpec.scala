@@ -949,6 +949,27 @@ class OpsSpec extends SparkSpec {
     assert(Profile.outliers(const, "grp", "v").collect().isEmpty)
   }
 
+  test("profileApprox: exact counts, HLL distinct within rsd, no Expand in the plan") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val cols = Seq("event_id", "event_type", "user_id", "value")
+    val exact = Profile.profile(ev, cols).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val approx = Profile.profileApprox(ev, cols).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    cols.foreach { c =>
+      val (n, nn, nd) = exact(c); val (an, ann, and_) = approx(c)
+      assert((an, ann) === ((n, nn)), s"$c: row/null counts must stay exact")
+      // HLL++ at rsd 2%: allow 5 sigma
+      assert(math.abs(and_ - nd) <= math.max(2.0, 0.10 * nd), s"$c: $and_ vs exact $nd")
+    }
+    // the scale contract: the exact twin pays one Expand replica per
+    // column; the sketch twin must plan none
+    def hasExpand(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("Expand")
+    assert(hasExpand(Profile.profile(ev, cols)), "exact twin plans the Expand (sanity)")
+    assert(!hasExpand(Profile.profileApprox(ev, cols)), "approx twin must not plan an Expand")
+  }
+
   test("outliersApprox: sketch twin flags the same clear outliers as the exact pass") {
     import spark.implicits._
     val rows = (1 to 99).map(i => ("a", 10.0 + (i % 5))) ++ Seq(("a", 1000.0)) ++
