@@ -229,6 +229,40 @@ class StreamingSpec extends SparkSpec {
     } finally r.stop()
   }
 
+  test("streaming runner maintains the durable phash table; image dedup vs the live corpus") {
+    import graft.views.PhashTableView
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = graft.ops.Multimodal.syntheticTexturePngMedia(docs)
+    val logDir = java.nio.file.Files.createTempDirectory("graft-sphlog").toString
+    val viewDir = java.nio.file.Files.createTempDirectory("graft-sphview").toString
+    val log = new ParquetLog(spark, logDir, media.schema)
+    log.append(media.where(col("media_id") < 200))
+    val db = new FlumeDb(log)
+    db.use("ph", PhashTableView(viewDir, compactEvery = 2))
+    val view = db.view("ph").view.asInstanceOf[PhashTableView]
+    val r = new StreamingViewRunner(log, view)
+    try {
+      r.awaitParity()
+      // images arriving through the live tail extend the stored table
+      log.append(media.where(col("media_id") >= 200))
+      r.awaitParity()
+      assert(view.since === log.since)
+      assert(view.hashes.count() === media.count(),
+        "every ingested image hashed exactly once")
+      val dirs = new java.io.File(s"$viewDir/ph").listFiles().map(_.getName)
+        .count(_.startsWith("batch="))
+      assert(dirs <= 2, s"compactEvery=2 must bound the chain, got $dirs dirs")
+      // a brightness-shifted batch dedups against the STREAMED corpus
+      val batch = graft.ops.Multimodal.syntheticTexturePngMedia(
+        docs, shift = 5, idOffset = 30000L)
+      val pairs = view.dedupBatch(batch)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val n = media.count()
+      val recalled = pairs.count { case (a, b) => a == b + 30000L }
+      assert(recalled >= (n * 9) / 10, s"planted recall $recalled/$n vs streamed table")
+    } finally r.stop()
+  }
+
   test("durable view reattaches WITHOUT a checkpoint: resumes from its own cursor, no replay") {
     import graft.views.PersistentIndexView
     import org.apache.spark.sql.functions.{array, col}
