@@ -35,6 +35,12 @@ private[graft] object AnalyticsQueries {
           col("event_id"), col("event_type"), Seq("view", "click", "purchase"),
           tsCol = Some(tsMs(s, dir)), maxGap = Some(86400000L))
         .orderBy("user_id")),
+    "q_funnel_counts_windowed" -> ((s, dir) =>
+      // the expiring funnel's summary: keys reaching at least each
+      // stage under the 24h per-transition gap
+      graft.ops.Funnel.funnelCounts(t(s, dir, "events"), "user_id",
+        col("event_id"), col("event_type"), Seq("view", "click", "purchase"),
+        tsCol = Some(tsMs(s, dir)), maxGap = Some(86400000L))),
     "q_type_affinity" -> ((s, dir) =>
       // association rules over event types: per-user distinct type
       // sets, pairwise co-occurrence, floored-ppm support and lift
@@ -140,6 +146,13 @@ private[graft] object AnalyticsQueries {
         "a AS (SELECT DISTINCT user_id, p_s FROM p) " +
         "SELECT cohort_s * 1000 AS cohort_ms, (p_s - cohort_s) // 86400 AS day_offset, count(*) AS n_active " +
         "FROM a JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY cohort_ms, day_offset"),
+    "q_funnel_counts_windowed" ->
+      // the gap-gated chain (q_funnel_windowed), reduced to counts
+      ("WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type FROM events), " +
+        "v AS (SELECT user_id, min(event_id) AS s_view, arg_min(ms, event_id) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, min(e.event_id) AS s_click, arg_min(e.ms, e.event_id) AS t_click FROM e JOIN v ON e.user_id = v.user_id AND e.event_id > v.s_view AND e.ms - v.t_view <= 86400000 WHERE e.event_type = 'click' GROUP BY 1), " +
+        "p AS (SELECT e.user_id, min(e.event_id) AS s_purchase FROM e JOIN c ON e.user_id = c.user_id AND e.event_id > c.s_click AND e.ms - c.t_click <= 86400000 WHERE e.event_type = 'purchase' GROUP BY 1) " +
+        "SELECT count(*) AS n_view, (SELECT count(*) FROM c) AS n_click, (SELECT count(*) FROM p) AS n_purchase FROM v"),
     "q_funnel_windowed" ->
       // greedy gap-gated chain: each stage CTE carries the CHOSEN
       // event's ts (arg_min by seq) so the next stage's join predicate

@@ -84,14 +84,18 @@ object Funnel {
       .drop(stages.map(st => s"__t_$st"): _*)
   }
 
-  /** The funnel summary: how many keys reached AT LEAST each stage. */
+  /** The funnel summary: how many keys reached AT LEAST each stage.
+    * `tsCol`/`maxGap` pass through to [[funnel]] for the time-bounded
+    * form. */
   def funnelCounts(
       events: DataFrame,
       key: String,
       seqCol: Column,
       typeCol: Column,
-      stages: Seq[String]): DataFrame = {
-    val f = funnel(events, key, seqCol, typeCol, stages)
+      stages: Seq[String],
+      tsCol: Option[Column] = None,
+      maxGap: Option[Long] = None): DataFrame = {
+    val f = funnel(events, key, seqCol, typeCol, stages, tsCol, maxGap)
     val reached = stages.zipWithIndex.map { case (st, i) =>
       sum(when(col("stage") >= i + 1, 1L).otherwise(0L)).as(s"n_$st")
     }

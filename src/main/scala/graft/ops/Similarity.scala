@@ -225,6 +225,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch IVF search: every query in `queries` probes its own
+    * `nProbe` closest cells and refines with exact cosine — the
+    * ANN-serving shape for a query FRAME (vs [[ivfSearch]]'s single
+    * driver-side vector). Per-query probe selection is distributed: the
+    * (tiny) centroid table broadcasts against the query frame and a
+    * per-query window keeps the top `nProbe` cells (ties to the LOWER
+    * cid — [[probeCells]]' stable-sort convention), so nothing about
+    * the query set ever lands on the driver. The candidate join is
+    * (query, cell) ⨝ (corpus, cell) on the 8-byte cell id — at cluster
+    * scale with a stored per-cell layout ([[graft.views.IVFIndexView]])
+    * the corpus side is partition-pruned to the union of probed cells;
+    * refine cost is ~nProbe/nCentroids of corpus × queries. Top-k per
+    * query tie-breaks (cos DESC, nbr id ASC) like [[knnBatch]]. */
+  def ivfSearchBatch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val cents = seedCentroids(corpus, nCentroids, idCol, vecCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centTable = cents.toSeq.toDF("__cid", "__cvec")
+      .select(col("__cid"), col("__cvec").cast("array<float>").as("__cvec"))
+    val qw = Window.partitionBy("query_id").orderBy(col("__qcos").desc, col("__cid"))
+    val probe = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+      .crossJoin(broadcast(centTable))
+      .select(col("query_id"), col("query_vec"), col("__cid"),
+        cosine(col("query_vec"), col("__cvec")).as("__qcos"))
+      .withColumn("__rn", row_number().over(qw)).where(col("__rn") <= nProbe)
+      .select(col("query_id"), col("query_vec"), col("__cid").as("__cell"))
+    val assigned = assignCells(
+      corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec")),
+      cents, "nbr_id", "nbr_vec", "__cell")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id"))
+    assigned.join(broadcast(probe), Seq("__cell"))
+      .where(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        round(cosine(col("query_vec"), col("nbr_vec")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
   /** Corpus augmented with the hyperplane signature as a stored column —
     * write this once (a table column, or a bucket key) so ANN queries
     * skip the per-query signature pass and the `bit_count` prefilter

@@ -239,6 +239,30 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(capped.values.forall(identity), "hot cells keep all members")
   }
 
+  test("ivfSearchBatch at full probe equals exact knnBatch; partial probe is a subset chain") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val queries = emb.where(col("vec_id") < 5)
+    def results(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val full = results(Similarity.ivfSearchBatch(emb, queries, 10, nCentroids = 8, nProbe = 8))
+    val exact = results(Similarity.knnBatch(emb, queries, 10))
+    assert(full === exact, "probing every cell must reduce to exact batch kNN")
+    // partial probe: per-query results equal the single-vector ivfSearch
+    val part = Similarity.ivfSearchBatch(emb, queries, 10, nCentroids = 8, nProbe = 2)
+      .collect().groupBy(_.getLong(0)).map { case (q, rows) =>
+        q -> rows.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
+      }
+    (0L until 5L).foreach { q =>
+      val qv = emb.where(col("vec_id") === q).head()
+        .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+      val solo = Similarity.ivfSearch(emb, qv, 10, nCentroids = 8, nProbe = 2,
+          excludeId = Some(q))
+        .collect().map(_.getLong(0)).toSeq
+      assert(part(q) === solo, s"query $q: batch must equal single-vector ivfSearch")
+    }
+  }
+
   test("cellAssignJoined matches the literal cellAssign bit-for-bit, carries all columns") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = Similarity.seedCentroids(emb, 16)
