@@ -108,6 +108,15 @@ private[graft] object EmbeddingQueries {
           t(s, dir, "embeddings").where(col("vec_id") < 8), 5)
         .withColumn("rnk", col("rnk").cast("bigint"))
         .orderBy("query_id", "rnk")),
+    "q_ann_ivf_batch_stored" -> ((s, dir) =>
+      // the same batch search served from the STORED per-cell index:
+      // the corpus scan is directory-pruned to the union of probed
+      // cells before the per-query candidate join (PersistenceSpec
+      // asserts the pruning; result == the one-shot batch search)
+      ivfIndex(s, dir).searchBatch(
+          t(s, dir, "embeddings").where(col("vec_id") < 8), 5)
+        .withColumn("rnk", col("rnk").cast("bigint"))
+        .orderBy("query_id", "rnk")),
     "q_semdedup_bigk" -> ((s, dir) =>
       // the published k ∝ N operating point in miniature: nCells above
       // CellAssignLiteralMax (256), so the assignment runs the
@@ -232,6 +241,18 @@ private[graft] object EmbeddingQueries {
         "dropped AS (SELECT DISTINCT b.vec_id FROM small a JOIN small b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
         "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95) " +
         "SELECT vec_id, cell, vec_id NOT IN (SELECT vec_id FROM dropped) AS kept FROM assign ORDER BY vec_id"),
+    "q_ann_ivf_batch_stored" ->
+      // identical answer to q_ann_ivf_batch: the stored layout is a
+      // physical rewrite (directory pruning), never a semantic one
+      ("WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16), " +
+        "q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8), " +
+        "pr AS (SELECT query_id, cid, row_number() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(cvec::DOUBLE[], qv::DOUBLE[]) DESC, cid) AS rn FROM q, c), " +
+        "probe AS (SELECT query_id, cid FROM pr WHERE rn <= 4), " +
+        "assign AS MATERIALIZED (SELECT e.vec_id, e.embedding, (SELECT cid FROM c ORDER BY list_cosine_similarity(c.cvec::DOUBLE[], e.embedding::DOUBLE[]) DESC, cid DESC LIMIT 1) AS cell FROM embeddings e), " +
+        "cand AS (SELECT q.query_id, a.vec_id AS nbr_id, round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv::DOUBLE[]), 4) AS cos " +
+        "FROM probe p JOIN q ON q.query_id = p.query_id JOIN assign a ON a.cell = p.cid WHERE a.vec_id <> q.query_id), " +
+        "r AS (SELECT query_id, nbr_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rnk FROM cand) " +
+        "SELECT query_id, nbr_id, cos, rnk FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"),
     "q_ann_ivf_batch" ->
       // q_ann_ivf's determinism argument per query: probe ties (cos
       // DESC, cid ASC), assignment ties (cos DESC, cid DESC), scores

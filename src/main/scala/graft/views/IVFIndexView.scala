@@ -101,6 +101,45 @@ final class IVFIndexView(
       .limit(k)
   }
 
+  /** Batch search over the STORED per-cell layout — the serving twin
+    * of [[graft.ops.Similarity.ivfSearchBatch]]: each query's `nProbe`
+    * cells come from a distributed window over the broadcast stored
+    * centroid table, the corpus scan is pruned to the UNION of probed
+    * cells (an `isin` on the `cell` partition column — directory
+    * pruning, ≤ nCentroids values so driver-safe), and the candidate
+    * equi-join on `cell` restricts each query to its own probes before
+    * the exact-cosine top-k. Cost: touched bytes ∝ |∪ probes| /
+    * nCentroids of the index, refine ∝ queries × their probed cells. */
+  def searchBatch(queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    val cs = centroids()
+    import spark.implicits._
+    val centTable = cs.toSeq.toDF("__cid", "__cvec")
+      .select(col("__cid"), col("__cvec").cast("array<float>").as("__cvec"))
+    val qw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__qcos").desc, col("__cid"))
+    val probe = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+      .crossJoin(broadcast(centTable))
+      .select(col("query_id"), col("query_vec"), col("__cid"),
+        Similarity.cosine(col("query_vec"), col("__cvec")).as("__qcos"))
+      .withColumn("__rn", row_number().over(qw)).where(col("__rn") <= nProbe)
+      .select(col("query_id"), col("query_vec"), col("__cid").as("cell"))
+      .persist()
+    val touched = probe.select("cell").distinct()
+      .collect().map(_.getLong(0)) // ≤ nCentroids values — driver-safe
+    val pruned = frame.where(col("cell").isin(touched.toIndexedSeq: _*))
+      .select(col("cell"), col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id"))
+    val out = pruned.join(broadcast(probe), Seq("cell"))
+      .where(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        round(Similarity.cosine(col("query_vec"), col("nbr_vec")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+    val ck = out.localCheckpoint(true)
+    probe.unpersist(blocking = false)
+    ck
+  }
+
   /** Incremental SemDeDup ([[graft.ops.Dedup.semanticDedup]]'s
     * recurring form): keep/drop verdicts for a NEW batch against the
     * STORED corpus. Batch vectors assign to the FIXED quantizer; only

@@ -415,6 +415,26 @@ class PersistenceSpec extends SparkSpec {
     assert(read < total, s"probe must prune cell dirs after compaction: read $read of $total")
   }
 
+  test("IVF searchBatch: stored-layout pruning; equals the one-shot batch search") {
+    val viewDir = Files.createTempDirectory("graft-ivfbatch").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val v = new IVFIndexView(spark, s"$viewDir/ivf", 1, "vec_id", "embedding", 16)
+    v.absorb(emb, 1L)
+    val queries = emb.where(col("vec_id") < 5)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val stored = res(v.searchBatch(queries, 10, nProbe = 4))
+    val oneShot = res(graft.ops.Similarity.ivfSearchBatch(emb, queries, 10,
+      nCentroids = 16, nProbe = 4))
+    assert(stored === oneShot, "stored layout is a physical rewrite, never semantic")
+    // the searchBatch scan shape — cell isin over the stored per-cell
+    // dirs — is directory pruning, asserted on a two-cell probe
+    val (total, read) = graft.sources.Layout.pruningCounts(v.frame,
+      v.frame.where(col("cell").isin(0L, 1L)))
+    assert(total >= 8 && read < total, s"cell isin must prune the stored dirs: $read of $total")
+  }
+
   test("IVF dedupBatch: incremental SemDeDup == from-scratch on the union; cell reads prune") {
     val viewDir = Files.createTempDirectory("graft-ivfdedup").toString
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
