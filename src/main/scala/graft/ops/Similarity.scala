@@ -166,6 +166,8 @@ object Similarity {
       idCol: String,
       vecCol: String,
       cellCol: String = "cell"): DataFrame = {
+    require(!df.columns.contains(cellCol),
+      s"input already has a '$cellCol' column — the carried-column aggregate would collide")
     val spark = df.sparkSession
     import spark.implicits._
     val centTable = cents.toSeq.toDF("__cent_cid", "__cent_vec")

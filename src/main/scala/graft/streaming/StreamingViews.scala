@@ -197,8 +197,9 @@ object StreamingViews {
   }
 
   /** Per-key funnel progress for [[funnelPerKey]]: how many stages are
-    * matched and the seq where each fired. */
-  final case class FunnelProgress(stage: Int, seqs: Seq[Long])
+    * matched, the seq where each fired, and the ts of the LAST matched
+    * stage (the gap anchor for the time-bounded form; 0 when unused). */
+  final case class FunnelProgress(stage: Int, seqs: Seq[Long], lastTs: Long = 0L)
 
   /** The [[graft.ops.Funnel]] ordered funnel as LIVE per-key state: a
     * (stage, seqs) cursor per key advances whenever the next expected
@@ -208,24 +209,35 @@ object StreamingViews {
     * source must deliver per-key in seq order (the log stream source
     * contract), the same assumption as [[rollingAnomalyPerKey]]. The
     * FINAL state per key equals the batch funnel — they share an
-    * oracle. */
+    * oracle.
+    *
+    * Time-bounded form (`tsCol` + `maxGap`, the batch operator's
+    * expiring-funnel twin): a stage beyond the first advances only
+    * while its ts is within `maxGap` of the previously CHOSEN stage's
+    * ts — the greedy seq-order walk, so final state still equals
+    * [[graft.ops.Funnel.funnel]] with the same gap. */
   def funnelPerKey(
       stream: DataFrame,
       keyCol: String,
       seqCol: String,
       typeCol: String,
-      stages: Seq[String]): Dataset[(Long, Seq[Long], Int)] = {
+      stages: Seq[String],
+      tsCol: Option[String] = None,
+      maxGap: Option[Long] = None): Dataset[(Long, Seq[Long], Int)] = {
+    require(maxGap.isEmpty || tsCol.nonEmpty, "maxGap needs tsCol to measure gaps on")
     val spark = stream.sparkSession
     import spark.implicits._
-    stream.select(col(keyCol).cast("long"), col(seqCol).cast("long"), col(typeCol))
-      .as[(Long, Long, String)]
+    val ts = tsCol.map(c => col(c).cast("long")).getOrElse(lit(0L))
+    stream.select(col(keyCol).cast("long"), col(seqCol).cast("long"), ts.as("__ts"), col(typeCol))
+      .as[(Long, Long, Long, String)]
       .groupByKey(_._1)
       .mapGroupsWithState[FunnelProgress, (Long, Seq[Long], Int)](GroupStateTimeout.NoTimeout) {
         case (k, rows, state: GroupState[FunnelProgress]) =>
           var p = state.getOption.getOrElse(FunnelProgress(0, Nil))
-          rows.toSeq.sortBy(_._2).foreach { case (_, seq, t) =>
-            if (p.stage < stages.length && t == stages(p.stage))
-              p = FunnelProgress(p.stage + 1, p.seqs :+ seq)
+          rows.toSeq.sortBy(_._2).foreach { case (_, seq, ms, t) =>
+            if (p.stage < stages.length && t == stages(p.stage) &&
+                (maxGap.isEmpty || p.stage == 0 || ms - p.lastTs <= maxGap.get))
+              p = FunnelProgress(p.stage + 1, p.seqs :+ seq, ms)
           }
           state.update(p)
           (k, p.seqs, p.stage)

@@ -924,6 +924,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed funnel: gap gate rides the cursor across batches") {
+    val kvSchema = StructType(Seq(
+      StructField("k", LongType), StructField("s", LongType),
+      StructField("ms", LongType), StructField("et", StringType)))
+    val log = new MemoryLog(spark, kvSchema)
+    // batch 1: both users view at t=0
+    log.appendRows(Seq(Row(1L, 1L, 0L, "view"), Row(2L, 2L, 0L, "view")))
+    val q = StreamingViews.funnelPerKey(
+        log.readStream.select("k", "s", "ms", "et"), "k", "s", "et",
+        Seq("view", "click", "purchase"), tsCol = Some("ms"), maxGap = Some(100L))
+      .toDF("k", "seqs", "stage")
+      .writeStream.format("memory").queryName("funnel_w_live")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      // batch 2: user 1 clicks within the gap (t=50) and purchases
+      // within the gap OF THE CLICK (t=120 <= 50+100); user 2's click
+      // arrives too late (t=200 > 0+100) — stuck at stage 1, and a
+      // LATER in-gap click must not rescue it (the chain is greedy
+      // within... actually a later click CAN fire if within gap of the
+      // view: t=90 qualifies)
+      log.appendRows(Seq(
+        Row(1L, 3L, 50L, "click"), Row(1L, 4L, 120L, "purchase"),
+        Row(2L, 5L, 200L, "click"), Row(2L, 6L, 90L, "click")))
+      q.processAllAvailable()
+      val fin = spark.table("funnel_w_live").collect()
+        .groupBy(_.getLong(0)).map { case (k, rows) =>
+          val r = rows.maxBy(_.getInt(2))
+          k -> ((r.getAs[scala.collection.Seq[Long]](1).toList, r.getInt(2)))
+        }
+      // user 2: seq order processes seq 5 (ms 200, out of gap — no
+      // advance) then seq 6 (ms 90, within gap — advances)
+      assert(fin === Map(
+        1L -> ((List(1L, 3L, 4L), 3)),
+        2L -> ((List(2L, 6L), 2))), s"got $fin")
+      // parity with the batch windowed funnel over the same rows
+      import spark.implicits._
+      val all = Seq((1L, 1L, 0L, "view"), (2L, 2L, 0L, "view"),
+        (1L, 3L, 50L, "click"), (1L, 4L, 120L, "purchase"),
+        (2L, 5L, 200L, "click"), (2L, 6L, 90L, "click"))
+      val batch = graft.ops.Funnel.funnel(all.toDF("k", "s", "ms", "et"), "k",
+          col("s"), col("et"), Seq("view", "click", "purchase"),
+          tsCol = Some(col("ms")), maxGap = Some(100L))
+        .collect().map { r =>
+          val seqs = (1 to 3).flatMap(i => if (r.isNullAt(i)) None else Some(r.getLong(i))).toList
+          r.getLong(0) -> ((seqs, r.getInt(4)))
+        }.toMap
+      assert(batch === fin, "live windowed funnel == batch windowed funnel")
+    } finally q.stop()
+  }
+
   test("streaming retention: snapshots carry across batches and self-revise the cohort") {
     val kvSchema = StructType(Seq(
       StructField("k", LongType), StructField("p", LongType)))
