@@ -341,6 +341,50 @@ private[graft] object EntryHelpers {
     d.unionByName(planted)
   }
 
+  /** New-crawl batch for INCREMENTAL substring dedup: every 7th corpus
+    * doc contributes a batch doc (id+40000) opening with its first 20
+    * tokens then two novel tokens (spans 1..20 exist in the corpus;
+    * the tail grams straddle novel tokens and must not hit), and every
+    * 11th contributes a fully novel 20-token doc (id+45000) that must
+    * produce no spans at all. */
+  def docsWithCorpusSpansBatch(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val tk = graft.ops.TextAnalysis.tokens(col("text"))
+    val planted = d.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 40000).as("doc_id"),
+        concat_ws(" ",
+          concat_ws(" ", slice(tk, 1, 20)),
+          concat(lit("zzq"), col("doc_id")),
+          concat(lit("zzr"), col("doc_id"))).as("text"))
+    val fresh = d.where(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 45000).as("doc_id"),
+        concat_ws(" ", (0 until 20).map(j =>
+          concat(lit("zzw"), col("doc_id"), lit("x" + j))): _*).as("text"))
+    planted.unionByName(fresh)
+  }
+
+  // Stored distinct-gram fingerprint table per (data dir, generation) —
+  // the substring family's stored artifact (the baseSignatures pattern).
+  private val gramTables = scala.collection.concurrent.TrieMap.empty[String, (SparkSession, String)]
+  def storedGramTable(s: SparkSession, dir: String): DataFrame = {
+    def build(): (SparkSession, String) = {
+      val tmp = java.nio.file.Files.createTempDirectory("graftgrams").toString
+      graft.ops.Dedup.gramTable(t(s, dir, "documents").select("doc_id", "text"))
+        .write.mode("overwrite").parquet(tmp)
+      (s, tmp)
+    }
+    val e = gramTables.getOrElseUpdate(dir, build())
+    val path =
+      if (e._1 eq s) e._2
+      else {
+        gramTables.remove(dir, e)
+        scala.util.Try(graft.views.FsLists.walkDeepestFirst(
+          java.nio.file.Paths.get(e._2)).foreach(java.nio.file.Files.deleteIfExists))
+        gramTables.getOrElseUpdate(dir, build())._2
+      }
+    s.read.parquet(path)
+  }
+
   /** documents ∪ quote docs (id+40000): every 5th doc contributes its
     * first 25 tokens as a standalone "quote" document — the planted
     * fixture for CONTAINMENT dedup. Each quote's shingle set is a

@@ -118,6 +118,14 @@ private[graft] object TextQueries {
       // pairwise dedup family cannot catch
       Dedup.substringSpans(docsWithPlantedSpans(s, dir), k = 15)
         .orderBy("doc_id", "start_tok")),
+    "q_dedup_substring_incremental" -> ((s, dir) =>
+      // span-granular "already in the corpus" check for a new crawl:
+      // batch positions whose 15-gram fingerprint exists in the STORED
+      // gram table (batch keys broadcast, stored table never shuffles),
+      // gaps-and-islands merged exactly like the one-shot
+      Dedup.substringSpansIncremental(docsWithCorpusSpansBatch(s, dir),
+          storedGramTable(s, dir))
+        .orderBy("doc_id", "start_tok")),
     "q_decontaminate" -> ((s, dir) => {
       // benchmark = 10-token prefixes of every 97th document; the corpus
       // (with near-dup copies) must flag exactly the source docs and the
@@ -374,6 +382,24 @@ private[graft] object TextQueries {
         "g2 AS (SELECT doc_id, pg.pos AS pos, pg.g AS g FROM grams), " +
         "dup AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM g2) GROUP BY g HAVING count(*) >= 2), " +
         "hits AS (SELECT doc_id, pos FROM g2 JOIN dup USING (g)), " +
+        "lagd AS (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM hits), " +
+        "isl AS (SELECT doc_id, pos, sum(CASE WHEN prev IS NULL OR pos - prev > 15 THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM lagd) " +
+        "SELECT doc_id, min(pos) AS start_tok, max(pos) + 14 AS end_tok, max(pos) + 15 - min(pos) AS dup_tokens " +
+        "FROM isl GROUP BY doc_id, island ORDER BY doc_id, start_tok"),
+    "q_dedup_substring_incremental" ->
+      // string 15-grams in the oracle vs 64-bit hashed fingerprints in
+      // Spark (the q_dedup_substring argument); the batch fixture and
+      // the novel-token tails replay token-for-token
+      ("WITH d AS (SELECT doc_id, text FROM documents), " +
+        "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM d), " +
+        "sg AS (SELECT unnest(list_transform(generate_series(1, len(tk) - 14), i -> array_to_string(tk[i:i+14], ' '))) AS g FROM toks WHERE len(tk) >= 15), " +
+        "stored AS MATERIALIZED (SELECT DISTINCT g FROM sg), " +
+        "batch AS (SELECT doc_id + 40000 AS doc_id, array_to_string(tk[1:20], ' ') || ' zzq' || doc_id || ' zzr' || doc_id AS text FROM toks WHERE doc_id % 7 = 0 " +
+        "UNION ALL SELECT doc_id + 45000, array_to_string(list_transform(generate_series(0, 19), j -> 'zzw' || doc_id || 'x' || j), ' ') FROM d WHERE doc_id % 11 = 0), " +
+        "btoks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM batch), " +
+        "bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 14), i -> {'pos': i, 'g': array_to_string(tk[i:i+14], ' ')})) AS pg FROM btoks WHERE len(tk) >= 15), " +
+        "g2 AS (SELECT doc_id, pg.pos AS pos, pg.g AS g FROM bg), " +
+        "hits AS (SELECT doc_id, pos FROM g2 SEMI JOIN stored USING (g)), " +
         "lagd AS (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM hits), " +
         "isl AS (SELECT doc_id, pos, sum(CASE WHEN prev IS NULL OR pos - prev > 15 THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM lagd) " +
         "SELECT doc_id, min(pos) AS start_tok, max(pos) + 14 AS end_tok, max(pos) + 15 - min(pos) AS dup_tokens " +

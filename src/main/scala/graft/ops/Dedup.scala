@@ -969,22 +969,79 @@ object Dedup {
           .groupBy("g").agg(count(lit(1)).as("nd"))
           .where(col("nd") >= minDocs).select("g")
     val hits = grams.join(dupGrams, "g").select("doc_id", "pos")
-    // gaps-and-islands: positions p, p' (p < p') merge when p' - p <= k —
-    // their k-token windows overlap or touch, forming one duplicated run
+    // eager span table, then release the cached gram postings
+    val out = spansFromHits(hits, k).localCheckpoint(true)
+    grams.unpersist(blocking = false)
+    out
+  }
+
+  /** Gaps-and-islands over matched gram positions: positions p, p'
+    * (p < p') merge when p' − p <= k — their k-token windows overlap or
+    * touch, forming one duplicated run. Shared by [[substringSpans]]
+    * and [[substringSpansIncremental]]. */
+  private def spansFromHits(hits: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val islands = hits
+    hits
       .withColumn("prev", lag("pos", 1).over(byDoc))
       .withColumn("brk", when(col("prev").isNull || col("pos") - col("prev") > k, 1).otherwise(0))
       .withColumn("island", sum("brk").over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val spans = islands.groupBy("doc_id", "island")
+      .groupBy("doc_id", "island")
       .agg(
         min("pos").as("start_tok"),
         (max(col("pos")) + lit(k - 1)).cast("long").as("end_tok"),
         (max(col("pos")) + lit(k) - min(col("pos"))).cast("long").as("dup_tokens"))
       .drop("island")
-    // eager span table, then release the cached gram postings
-    val out = spans.localCheckpoint(true)
-    grams.unpersist(blocking = false)
+  }
+
+  /** Distinct k-gram fingerprint table of a corpus — the 8-bytes-per-
+    * distinct-gram stored artifact behind [[substringSpansIncremental]]
+    * (the substring family's analog of the minhash signature table /
+    * phash table: pay the tokenize + gram-hash pass once, at ingest). */
+  def gramTable(
+      docs: DataFrame,
+      k: Int = 15,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(explode(graft.functions.PositionalGrams.positional_grams(col(textCol), k)).as("pg"))
+      .select(col("pg._2").as("g")).distinct()
+
+  /** Spans of a NEW batch that already exist in the STORED corpus — the
+    * recurring form of [[substringSpans]] and the span-granular shape
+    * of decontamination ("which parts of this crawl are already in the
+    * corpus / benchmark"). A batch position is a hit when its k-gram
+    * fingerprint appears in `storedGrams` ([[gramTable]] output);
+    * islands merge exactly like the one-shot.
+    *
+    * 100 TB shape (the `minhashLshIncrementalStored` discipline): the
+    * BATCH's distinct gram keys broadcast (count-fenced), the stored
+    * table is one scan + semi-join against them — it never shuffles —
+    * and the matched keys (≤ the batch's) broadcast back onto the
+    * batch postings. Recurring cost ∝ batch; within-batch duplication
+    * is the batch's own one-shot pass, not this one's. */
+  def substringSpansIncremental(
+      newDocs: DataFrame,
+      storedGrams: DataFrame,
+      k: Int = 15,
+      maxBroadcastKeys: Long = 4L * 1000 * 1000,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val grams = newDocs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.PositionalGrams.positional_grams(col(textCol), k)).as("pg"))
+      .select(col("doc_id"), col("pg._1").as("pos"), col("pg._2").as("g"))
+      .persist()
+    val batchKeys = grams.select("g").distinct().persist()
+    val bcast = batchKeys.count() <= maxBroadcastKeys
+    val stored = storedGrams.select("g")
+    val matched =
+      (if (bcast) stored.join(broadcast(batchKeys), Seq("g"), "left_semi")
+       else stored.join(batchKeys, Seq("g"), "left_semi")).persist()
+    val hits =
+      (if (bcast) grams.join(broadcast(matched), Seq("g"))
+       else grams.join(matched, Seq("g"))).select("doc_id", "pos")
+    val out = spansFromHits(hits, k).localCheckpoint(true)
+    Seq(grams, batchKeys, matched).foreach(_.unpersist(blocking = false))
     out
   }
 

@@ -1166,6 +1166,27 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.perceptualNearDup(flat, maxHamming = 7, maxBucket = 64).count() === 0L)
   }
 
+  test("substringSpansIncremental: batch spans vs stored grams, novel docs silent") {
+    import spark.implicits._
+    // stored corpus: two docs sharing nothing (distinct vocabularies)
+    val corpus = Seq(
+      (1L, (1 to 30).map(i => s"alpha$i").mkString(" ")),
+      (2L, (1 to 30).map(i => s"beta$i").mkString(" "))).toDF("doc_id", "text")
+    val stored = Dedup.gramTable(corpus, k = 15)
+    // batch doc 100: 20 tokens of doc 1, then novel tail; doc 101: novel
+    val batch = Seq(
+      (100L, ((1 to 20).map(i => s"alpha$i") ++ Seq("zz1", "zz2")).mkString(" ")),
+      (101L, (1 to 20).map(i => s"nova$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.substringSpansIncremental(batch, stored, k = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // positions 1..6 hit (grams 7..8 straddle the novel tail) -> one
+    // island: start 1, end 6+14 = 20, dup 20
+    assert(got.toSeq === Seq((100L, 1L, 20L, 20L)), s"got ${got.toSeq}")
+    // an empty batch-vs-stored intersection is silent, not an error
+    assert(Dedup.substringSpansIncremental(
+      batch.where(col("doc_id") === 101L), stored, k = 15).count() === 0L)
+  }
+
   test("perceptualNearDupIncremental == one-shot restricted to the cross set") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
