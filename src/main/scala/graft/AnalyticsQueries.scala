@@ -35,6 +35,14 @@ private[graft] object AnalyticsQueries {
           col("event_id"), col("event_type"), Seq("view", "click", "purchase"),
           tsCol = Some(tsMs(s, dir)), maxGap = Some(86400000L))
         .orderBy("user_id")),
+    "q_funnel_total_window" -> ((s, dir) =>
+      // the total-conversion-window funnel (ClickHouse windowFunnel
+      // semantic): every stage must fire within 48h of the CHOSEN
+      // first view — gap anchored on stage 1, not the previous stage
+      graft.ops.Funnel.funnel(t(s, dir, "events"), "user_id",
+          col("event_id"), col("event_type"), Seq("view", "click", "purchase"),
+          tsCol = Some(tsMs(s, dir)), maxGap = Some(172800000L), gapFrom = "first")
+        .orderBy("user_id")),
     "q_funnel_counts_windowed" -> ((s, dir) =>
       // the expiring funnel's summary: keys reaching at least each
       // stage under the 24h per-transition gap
@@ -146,6 +154,16 @@ private[graft] object AnalyticsQueries {
         "a AS (SELECT DISTINCT user_id, p_s FROM p) " +
         "SELECT cohort_s * 1000 AS cohort_ms, (p_s - cohort_s) // 86400 AS day_offset, count(*) AS n_active " +
         "FROM a JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY cohort_ms, day_offset"),
+    "q_funnel_total_window" ->
+      // every stage gated on the distance to the CHOSEN stage-1 ts
+      // (carried from v into both chain steps), greedy by seq
+      ("WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type FROM events), " +
+        "v AS (SELECT user_id, min(event_id) AS s_view, arg_min(ms, event_id) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, min(e.event_id) AS s_click FROM e JOIN v ON e.user_id = v.user_id AND e.event_id > v.s_view AND e.ms - v.t_view <= 172800000 WHERE e.event_type = 'click' GROUP BY 1), " +
+        "p AS (SELECT e.user_id, min(e.event_id) AS s_purchase FROM e JOIN c ON e.user_id = c.user_id AND e.event_id > c.s_click JOIN v ON v.user_id = e.user_id AND e.ms - v.t_view <= 172800000 WHERE e.event_type = 'purchase' GROUP BY 1) " +
+        "SELECT v.user_id, s_view, s_click, s_purchase, " +
+        "CASE WHEN s_purchase IS NOT NULL THEN 3 WHEN s_click IS NOT NULL THEN 2 ELSE 1 END AS stage " +
+        "FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id) ORDER BY user_id"),
     "q_funnel_counts_windowed" ->
       // the gap-gated chain (q_funnel_windowed), reduced to counts
       ("WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type FROM events), " +

@@ -26,14 +26,17 @@ object Funnel {
     * they are the complement of the stage-1 scan).
     *
     * Time-bounded form: with `tsCol` + `maxGap`, a stage-i event only
-    * qualifies while `its ts − previous stage's ts <= maxGap` (same
-    * units as `tsCol`) — "purchase within N hours of the click", the
-    * expiring funnel every real pipeline runs (ClickHouse
-    * `windowFunnel`'s gap semantics, applied per transition). Stage
-    * choice stays GREEDY by seq — first qualifying event after the
-    * previous stage's chosen one; the chosen event's ts rides along as
-    * a `min_by(ts, seq)` in the same aggregate, so the shape is still
-    * K map-side-combined aggregates + K−1 equi-joins on the key. */
+    * qualifies while its ts is within `maxGap` (same units as `tsCol`)
+    * of the gap ANCHOR — per `gapFrom`: `"prev"` (default) anchors each
+    * transition on the previous CHOSEN stage's ts ("purchase within N
+    * hours of the click"); `"first"` anchors every stage on the chosen
+    * stage-1 ts — a total conversion window ("complete the funnel
+    * within N hours of the first view", ClickHouse `windowFunnel`'s
+    * semantic). Stage choice stays GREEDY by seq — first qualifying
+    * event after the previous stage's chosen one; the chosen event's
+    * ts rides along as a `min_by(ts, seq)` in the same aggregate, so
+    * the shape is still K map-side-combined aggregates + K−1
+    * equi-joins on the key. */
   def funnel(
       events: DataFrame,
       key: String,
@@ -41,13 +44,15 @@ object Funnel {
       typeCol: Column,
       stages: Seq[String],
       tsCol: Option[Column] = None,
-      maxGap: Option[Long] = None): DataFrame = {
+      maxGap: Option[Long] = None,
+      gapFrom: String = "prev"): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     // colliding s_<stage> columns would mis-resolve the prev-stage
     // reference in the fold (r7 ADVICE)
     require(stages.distinct.size == stages.size,
       s"funnel stages must be distinct, got $stages")
     require(maxGap.isEmpty || tsCol.nonEmpty, "maxGap needs tsCol to measure gaps on")
+    require(gapFrom == "prev" || gapFrom == "first", s"gapFrom must be prev|first, got $gapFrom")
     val gapped = maxGap.isDefined
     val ts = tsCol.getOrElse(lit(0L))
     def tAgg(st: String) = min_by(col("__ts"), col("__seq")).as(s"__t_$st")
@@ -59,11 +64,14 @@ object Funnel {
       else first0.agg(min(col("__seq")).as(s"s_${stages.head}"))
     val full = stages.zipWithIndex.tail.foldLeft(first) { case (acc, (st, i)) =>
       val prevCol = s"s_${stages(i - 1)}"
-      val prevT = s"__t_${stages(i - 1)}"
-      val accSel = if (gapped) acc.select(col(key), col(prevCol), col(prevT))
+      // gap anchor: the previous chosen stage's ts, or stage 1's for
+      // the total-conversion-window form
+      val anchorT = if (gapFrom == "first") s"__t_${stages.head}"
+                    else s"__t_${stages(i - 1)}"
+      val accSel = if (gapped) acc.select(col(key), col(prevCol), col(anchorT))
                    else acc.select(col(key), col(prevCol))
       val qualifies =
-        if (gapped) col("__seq") > col(prevCol) && col("__ts") - col(prevT) <= maxGap.get
+        if (gapped) col("__seq") > col(prevCol) && col("__ts") - col(anchorT) <= maxGap.get
         else col("__seq") > col(prevCol)
       val grouped = events.where(typeCol === st)
         .select(col(key), seqCol.as("__seq"), ts.as("__ts"))

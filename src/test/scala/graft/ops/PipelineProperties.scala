@@ -186,6 +186,45 @@ object PipelineProperties extends Properties("Pipeline") {
       if (stage == 0) None else Some(u -> ((seqs.toList, stage)))
     }
 
+  /** Reference for the TOTAL-window funnel: every stage beyond the
+    * first must land within `gap` of the chosen stage-1 ts. */
+  private def refFunnelTotalWindow(evs: List[(Long, Long, Long, String)],
+      stages: List[String], gap: Long): Map[Long, (List[Long], Int)] =
+    evs.groupBy(_._1).flatMap { case (u, es) =>
+      var stage = 0
+      var firstMs = 0L
+      val seqs = scala.collection.mutable.ListBuffer.empty[Long]
+      es.sortBy(_._2).foreach { case (_, seq, ms, t) =>
+        if (stage < stages.length && t == stages(stage) &&
+            (stage == 0 || ms - firstMs <= gap)) {
+          seqs += seq; if (stage == 0) firstMs = ms; stage += 1
+        }
+      }
+      if (stage == 0) None else Some(u -> ((seqs.toList, stage)))
+    }
+
+  property("total-window funnel == first-anchored walk on random event logs") =
+    forAll(for {
+      n <- Gen.choose(1, 40)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 5L)
+        ms <- Gen.choose(0L, 15L)
+        t <- Gen.oneOf("view", "click", "purchase", "other")
+      } yield (u, ms, t))
+    } yield evs.zipWithIndex.map { case ((u, ms, t), i) => (u, i.toLong, ms, t) }) { evs =>
+      val stages = List("view", "click", "purchase")
+      val got = Funnel.funnel(evs.toDF("user_id", "seq", "ms", "et"),
+          "user_id", org.apache.spark.sql.functions.col("seq"),
+          org.apache.spark.sql.functions.col("et"), stages,
+          tsCol = Some(org.apache.spark.sql.functions.col("ms")),
+          maxGap = Some(5L), gapFrom = "first")
+        .collect().map { r =>
+          val seqs = (1 to 3).flatMap(i => if (r.isNullAt(i)) None else Some(r.getLong(i))).toList
+          r.getLong(0) -> ((seqs, r.getInt(4)))
+        }.toMap
+      got == refFunnelTotalWindow(evs, stages, 5L)
+    }
+
   property("time-bounded funnel == gap-gated walk on random event logs") =
     forAll(for {
       n <- Gen.choose(1, 40)
