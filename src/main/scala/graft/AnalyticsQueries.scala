@@ -65,6 +65,14 @@ private[graft] object AnalyticsQueries {
       // active again N days later (offset 0 = cohort size)
       graft.ops.Retention.retention(t(s, dir, "events"), "user_id", tsCol(s, dir))
         .orderBy("cohort_ms", "day_offset")),
+    "q_retention_weekly" -> ((s, dir) =>
+      // the same cohort shape at week granularity (both engines
+      // truncate to ISO Monday) — the unit/periodSeconds parameters
+      // exercised beyond their defaults
+      graft.ops.Retention.retention(t(s, dir, "events"), "user_id", tsCol(s, dir),
+          unit = "week", periodSeconds = 604800L)
+        .withColumnRenamed("day_offset", "week_offset")
+        .orderBy("cohort_ms", "week_offset")),
     "q_profile" -> ((s, dir) =>
       graft.ops.Profile.profile(t(s, dir, "events"),
         Seq("event_id", "event_type", "user_id", "value"))),
@@ -129,6 +137,12 @@ private[graft] object AnalyticsQueries {
         "c AS (SELECT e.user_id, min(event_id) AS s_click FROM events e JOIN v ON e.user_id = v.user_id AND e.event_id > v.s_view WHERE e.event_type = 'click' GROUP BY 1), " +
         "p AS (SELECT e.user_id, min(event_id) AS s_purchase FROM events e JOIN c ON e.user_id = c.user_id AND e.event_id > c.s_click WHERE e.event_type = 'purchase' GROUP BY 1) " +
         "SELECT count(*) AS n_view, (SELECT count(*) FROM c) AS n_click, (SELECT count(*) FROM p) AS n_purchase FROM v"),
+    "q_retention_weekly" ->
+      ("WITH p AS (SELECT user_id, CAST(floor(epoch(date_trunc('week', ts))) AS BIGINT) AS p_s FROM events), " +
+        "f AS (SELECT user_id, min(p_s) AS cohort_s FROM p GROUP BY 1), " +
+        "a AS (SELECT DISTINCT user_id, p_s FROM p) " +
+        "SELECT cohort_s * 1000 AS cohort_ms, (p_s - cohort_s) // 604800 AS week_offset, count(*) AS n_active " +
+        "FROM a JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY cohort_ms, week_offset"),
     "q_type_affinity" ->
       // identical left-associated arithmetic from exact integer counts;
       // floor + 1e-9 nudge is the domain-mix convention

@@ -285,6 +285,38 @@ private[graft] object StreamingQueries {
           col("stage"))
         .orderBy("user_id")
     }),
+    "q_stream_funnel_total" -> ((s, dir) => {
+      // the total-conversion-window funnel live: the anchor pins at
+      // stage 1 and rides the same cursor (shared oracle with
+      // q_funnel_total_window)
+      val schema = t(s, dir, "events").schema
+      val name = s"stream_funnel_t_${streamIds.incrementAndGet()}"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val q = graft.streaming.StreamingViews
+          .funnelPerKey(src.withColumn("__ms", tsMs(s, dir)),
+            "user_id", "event_id", "event_type",
+            Seq("view", "click", "purchase"),
+            tsCol = Some("__ms"), maxGap = Some(172800000L), gapFrom = "first")
+          .toDF("user_id", "seqs", "stage")
+          .writeStream.format("memory").queryName(name)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("stage").desc)
+      s.table(name).distinct()
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1 && col("stage") >= 1)
+        .select(col("user_id"),
+          expr("try_element_at(seqs, 1)").as("s_view"),
+          expr("try_element_at(seqs, 2)").as("s_click"),
+          expr("try_element_at(seqs, 3)").as("s_purchase"),
+          col("stage"))
+        .orderBy("user_id")
+    }),
     "q_stream_affinity" -> ((s, dir) => {
       // association rules as live per-key state: each key's distinct
       // type-set snapshot grows monotonically (latest = largest);
@@ -530,6 +562,15 @@ private[graft] object StreamingQueries {
         "v AS (SELECT user_id, min(event_id) AS s_view, arg_min(ms, event_id) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1), " +
         "c AS (SELECT e.user_id, min(e.event_id) AS s_click, arg_min(e.ms, e.event_id) AS t_click FROM e JOIN v ON e.user_id = v.user_id AND e.event_id > v.s_view AND e.ms - v.t_view <= 86400000 WHERE e.event_type = 'click' GROUP BY 1), " +
         "p AS (SELECT e.user_id, min(e.event_id) AS s_purchase FROM e JOIN c ON e.user_id = c.user_id AND e.event_id > c.s_click AND e.ms - c.t_click <= 86400000 WHERE e.event_type = 'purchase' GROUP BY 1) " +
+        "SELECT v.user_id, s_view, s_click, s_purchase, " +
+        "CASE WHEN s_purchase IS NOT NULL THEN 3 WHEN s_click IS NOT NULL THEN 2 ELSE 1 END AS stage " +
+        "FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id) ORDER BY user_id"),
+    "q_stream_funnel_total" ->
+      // identical to q_funnel_total_window over the one-file source
+      ("WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type FROM events), " +
+        "v AS (SELECT user_id, min(event_id) AS s_view, arg_min(ms, event_id) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, min(e.event_id) AS s_click FROM e JOIN v ON e.user_id = v.user_id AND e.event_id > v.s_view AND e.ms - v.t_view <= 172800000 WHERE e.event_type = 'click' GROUP BY 1), " +
+        "p AS (SELECT e.user_id, min(e.event_id) AS s_purchase FROM e JOIN c ON e.user_id = c.user_id AND e.event_id > c.s_click JOIN v ON v.user_id = e.user_id AND e.ms - v.t_view <= 172800000 WHERE e.event_type = 'purchase' GROUP BY 1) " +
         "SELECT v.user_id, s_view, s_click, s_purchase, " +
         "CASE WHEN s_purchase IS NOT NULL THEN 3 WHEN s_click IS NOT NULL THEN 2 ELSE 1 END AS stage " +
         "FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id) ORDER BY user_id"),

@@ -213,9 +213,13 @@ object StreamingViews {
     *
     * Time-bounded form (`tsCol` + `maxGap`, the batch operator's
     * expiring-funnel twin): a stage beyond the first advances only
-    * while its ts is within `maxGap` of the previously CHOSEN stage's
-    * ts — the greedy seq-order walk, so final state still equals
-    * [[graft.ops.Funnel.funnel]] with the same gap. */
+    * while its ts is within `maxGap` of the gap ANCHOR — the previous
+    * CHOSEN stage's ts (`gapFrom = "prev"`), or stage 1's for the
+    * total-conversion-window form (`"first"`, ClickHouse
+    * `windowFunnel`) — the greedy seq-order walk, so final state still
+    * equals [[graft.ops.Funnel.funnel]] with the same gap mode. The
+    * single `lastTs` field IS the anchor: updated per advance in
+    * `"prev"`, pinned at stage 1 in `"first"`. */
   def funnelPerKey(
       stream: DataFrame,
       keyCol: String,
@@ -223,8 +227,10 @@ object StreamingViews {
       typeCol: String,
       stages: Seq[String],
       tsCol: Option[String] = None,
-      maxGap: Option[Long] = None): Dataset[(Long, Seq[Long], Int)] = {
+      maxGap: Option[Long] = None,
+      gapFrom: String = "prev"): Dataset[(Long, Seq[Long], Int)] = {
     require(maxGap.isEmpty || tsCol.nonEmpty, "maxGap needs tsCol to measure gaps on")
+    require(gapFrom == "prev" || gapFrom == "first", s"gapFrom must be prev|first, got $gapFrom")
     val spark = stream.sparkSession
     import spark.implicits._
     val ts = tsCol.map(c => col(c).cast("long")).getOrElse(lit(0L))
@@ -236,8 +242,10 @@ object StreamingViews {
           var p = state.getOption.getOrElse(FunnelProgress(0, Nil))
           rows.toSeq.sortBy(_._2).foreach { case (_, seq, ms, t) =>
             if (p.stage < stages.length && t == stages(p.stage) &&
-                (maxGap.isEmpty || p.stage == 0 || ms - p.lastTs <= maxGap.get))
-              p = FunnelProgress(p.stage + 1, p.seqs :+ seq, ms)
+                (maxGap.isEmpty || p.stage == 0 || ms - p.lastTs <= maxGap.get)) {
+              val anchor = if (gapFrom == "first" && p.stage > 0) p.lastTs else ms
+              p = FunnelProgress(p.stage + 1, p.seqs :+ seq, anchor)
+            }
           }
           state.update(p)
           (k, p.seqs, p.stage)

@@ -972,6 +972,24 @@ class StreamingSpec extends SparkSpec {
           r.getLong(0) -> ((seqs, r.getInt(4)))
         }.toMap
       assert(batch === fin, "live windowed funnel == batch windowed funnel")
+      // total-window mode discriminates: user 1's purchase@120 passes
+      // the per-transition gap (120-50 <= 100) but NOT the stage-1
+      // anchor (120-0 > 100) -> stuck at stage 2
+      val qt = StreamingViews.funnelPerKey(
+          log.readStream.select("k", "s", "ms", "et"), "k", "s", "et",
+          Seq("view", "click", "purchase"), tsCol = Some("ms"), maxGap = Some(100L),
+          gapFrom = "first")
+        .toDF("k", "seqs", "stage")
+        .writeStream.format("memory").queryName("funnel_t_live")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        qt.processAllAvailable()
+        val tot = spark.table("funnel_t_live").collect()
+          .groupBy(_.getLong(0)).map { case (k, rows) =>
+            k -> rows.maxBy(_.getInt(2)).getInt(2)
+          }
+        assert(tot === Map(1L -> 2, 2L -> 2), s"got $tot")
+      } finally qt.stop()
     } finally q.stop()
   }
 
