@@ -1026,23 +1026,41 @@ object Dedup {
       maxBroadcastKeys: Long = 4L * 1000 * 1000,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+    val out = substringSpansIncrementalStage(newDocs, storedGrams, k,
+      maxBroadcastKeys, idCol, textCol, persisted).localCheckpoint(true)
+    persisted.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** The pre-checkpoint span stage — split out so PlanSpec can assert
+    * the broadcast shape (`localCheckpoint` truncates the plan). */
+  private[graft] def substringSpansIncrementalStage(
+      newDocs: DataFrame,
+      storedGrams: DataFrame,
+      k: Int,
+      maxBroadcastKeys: Long,
+      idCol: String,
+      textCol: String,
+      persisted: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
     val grams = newDocs
       .select(col(idCol).as("doc_id"),
         explode(graft.functions.PositionalGrams.positional_grams(col(textCol), k)).as("pg"))
       .select(col("doc_id"), col("pg._1").as("pos"), col("pg._2").as("g"))
       .persist()
+    persisted += grams
     val batchKeys = grams.select("g").distinct().persist()
+    persisted += batchKeys
     val bcast = batchKeys.count() <= maxBroadcastKeys
     val stored = storedGrams.select("g")
     val matched =
       (if (bcast) stored.join(broadcast(batchKeys), Seq("g"), "left_semi")
        else stored.join(batchKeys, Seq("g"), "left_semi")).persist()
+    persisted += matched
     val hits =
       (if (bcast) grams.join(broadcast(matched), Seq("g"))
        else grams.join(matched, Seq("g"))).select("doc_id", "pos")
-    val out = spansFromHits(hits, k).localCheckpoint(true)
-    Seq(grams, batchKeys, matched).foreach(_.unpersist(blocking = false))
-    out
+    spansFromHits(hits, k)
   }
 
   /** Embedding-cosine near-duplicates: banded random-hyperplane LSH →

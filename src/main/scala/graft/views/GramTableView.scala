@@ -1,0 +1,77 @@
+package graft.views
+
+import graft.core.{FlumeDb, FlumeView, ViewDef}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Durable, streaming-maintainable k-gram fingerprint table — the
+  * substring-dedup family's stored artifact as a flume view,
+  * completing the view triad next to [[SignatureTableView]] (minhash)
+  * and [[PhashTableView]] (images): documents append to the log, each
+  * absorbed batch lands its DISTINCT 15-gram fingerprints
+  * ([[graft.ops.Dedup.gramTable]] — tokenize + gram-hash paid once, at
+  * ingest) as a batch-atomic parquet delta, and every new crawl batch
+  * span-checks against the whole stored corpus via
+  * [[graft.ops.Dedup.substringSpansIncremental]] — recurring cost ∝
+  * batch, never corpus.
+  *
+  * Deltas may repeat grams across batches (each stores its own
+  * distinct set); [[grams]] re-distincts at read, and compaction
+  * collapses the chain into one deduplicated base — at 8 bytes per
+  * distinct gram the artifact is a small fraction of the text.
+  * Storage is the shared [[DeltaProtocol]] + [[CompactableDeltas]]
+  * crash discipline, so it slots under
+  * [[graft.streaming.StreamingViewRunner]] with exactly-once recovery.
+  */
+final class GramTableView(
+    protected val spark: SparkSession,
+    protected val dir: String,
+    protected val protocolVersion: Int,
+    idCol: String,
+    textCol: String,
+    k: Int = 15,
+    compactEvery: Int = 0) extends FlumeView with CompactableDeltas {
+
+  override protected def autoCompactEvery: Int = compactEvery
+
+  openProtocol()
+
+  def absorb(entries: DataFrame, upto: Long): Unit = {
+    graft.ops.Dedup.gramTable(entries, k, idCol, textCol)
+      .write.mode("overwrite").parquet(batchPath(upto).toString)
+    sinceSeq = upto
+    writeManifest()
+    maybeCompact()
+  }
+
+  /** The accumulated distinct gram table — feed to
+    * [[graft.ops.Dedup.substringSpansIncremental]]. */
+  def grams: DataFrame = {
+    val dirs = committedBatchDirs().map(_.toString)
+    require(dirs.nonEmpty, "gram table empty — absorb a batch first")
+    spark.read.parquet(dirs: _*).distinct()
+  }
+
+  /** Spans of a new batch already present in the stored corpus. */
+  def spansForBatch(newDocs: DataFrame, maxBroadcastKeys: Long = 4L * 1000 * 1000): DataFrame =
+    graft.ops.Dedup.substringSpansIncremental(newDocs, grams, k, maxBroadcastKeys, idCol, textCol)
+
+  /** Compaction dedups the union — the chain collapses to one
+    * distinct base delta. */
+  override protected def writeMerged(df: DataFrame, path: java.nio.file.Path): Unit =
+    df.distinct().write.parquet(path.toString)
+
+  override def frameOption: Option[DataFrame] =
+    if (committedBatchDirs().isEmpty) None else Some(grams)
+}
+
+object GramTableView {
+  def apply(dir: String, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 15, version: Int = 1, compactEvery: Int = 0): ViewDef = {
+    val v = version
+    new ViewDef {
+      def version: Int = v
+      def create(db: FlumeDb, name: String) =
+        new GramTableView(db.log.spark, s"$dir/$name", v, idCol, textCol, k, compactEvery)
+    }
+  }
+}

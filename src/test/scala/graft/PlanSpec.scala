@@ -277,6 +277,24 @@ class PlanSpec extends SparkSpec {
     } finally persisted.foreach(_.unpersist(blocking = false))
   }
 
+  test("incremental substring dedup: stored gram table filtered by a BROADCAST of batch keys") {
+    import spark.implicits._
+    val stored = graft.ops.Dedup.gramTable(
+      Seq((1L, (1 to 40).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text"))
+    val batch = Seq((100L, (5 to 30).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val persisted = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+    try {
+      val spans = graft.ops.Dedup.substringSpansIncrementalStage(
+        batch, stored, 15, 4L * 1000 * 1000, "doc_id", "text", persisted)
+      val s = planString(spans)
+      // the batch's gram-key set must reach the stored side as a
+      // broadcast — a shuffle of the corpus gram table per batch is the
+      // recurring-cost scale bug this operator exists to avoid
+      assert(s.contains("strategy=broadcast"),
+        s"batch gram keys must broadcast into the stored-side semi-join:\n${s.take(4000)}")
+    } finally persisted.foreach(_.unpersist(blocking = false))
+  }
+
   test("tpch q5: dims broadcast, date range pushed to the orders scan") {
     val s = planString(run("q_tpch_q5"))
     assert(s.contains("BroadcastHashJoin"),

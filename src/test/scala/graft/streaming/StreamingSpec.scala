@@ -263,6 +263,35 @@ class StreamingSpec extends SparkSpec {
     } finally r.stop()
   }
 
+  test("streaming runner maintains the gram table; span check vs the live corpus") {
+    import graft.views.GramTableView
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val logDir = java.nio.file.Files.createTempDirectory("graft-sgrlog").toString
+    val viewDir = java.nio.file.Files.createTempDirectory("graft-sgrview").toString
+    val log = new ParquetLog(spark, logDir, docSchema)
+    log.appendRows(Seq(Row(1L, (1 to 30).map(i => s"alpha$i").mkString(" "))))
+    val db = new FlumeDb(log)
+    db.use("gr", GramTableView(viewDir, compactEvery = 2))
+    val view = db.view("gr").view.asInstanceOf[GramTableView]
+    val r = new StreamingViewRunner(log, view)
+    try {
+      r.awaitParity()
+      // a second corpus doc arrives through the live tail
+      log.appendRows(Seq(Row(2L, (1 to 30).map(i => s"beta$i").mkString(" "))))
+      r.awaitParity()
+      assert(view.since === log.since)
+      assert(view.grams.count() === 32L) // 2 vocabularies x 16 positions
+      // a new batch quoting the STREAMED doc 2 is span-flagged
+      import spark.implicits._
+      val batch = Seq((100L, ((1 to 20).map(i => s"beta$i") ++ Seq("zz")).mkString(" ")))
+        .toDF("doc_id", "text")
+      val spans = view.spansForBatch(batch)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      assert(spans.toSeq === Seq((100L, 1L, 20L)), s"got ${spans.toSeq}")
+    } finally r.stop()
+  }
+
   test("durable view reattaches WITHOUT a checkpoint: resumes from its own cursor, no replay") {
     import graft.views.PersistentIndexView
     import org.apache.spark.sql.functions.{array, col}

@@ -337,6 +337,38 @@ class PersistenceSpec extends SparkSpec {
     assert(sigsAfter === sigsBefore, "compaction must not change a single signature")
   }
 
+  test("GramTableView: durable deltas, reopen, batch span check, dedup compaction") {
+    import spark.implicits._
+    val gDir = Files.createTempDirectory("graft-gram").toString
+    val v = new GramTableView(spark, s"$gDir/g", 1, "doc_id", "text")
+    val d1 = Seq((1L, (1 to 30).map(i => s"alpha$i").mkString(" "))).toDF("doc_id", "text")
+    val d2 = Seq((2L, (1 to 30).map(i => s"beta$i").mkString(" ")),
+      // doc 3 repeats doc 1's text: its grams are already in delta 1
+      (3L, (1 to 30).map(i => s"alpha$i").mkString(" "))).toDF("doc_id", "text")
+    v.absorb(d1, 1L)
+    v.absorb(d2, 2L)
+    val nDistinct = v.grams.count()
+    // 2 distinct vocabularies x 16 gram positions each
+    assert(nDistinct === 32L, s"got $nDistinct")
+    // reopen at parity
+    val v2 = new GramTableView(spark, s"$gDir/g", 1, "doc_id", "text")
+    assert(v2.since === 2L && v2.grams.count() === nDistinct)
+    // batch span check against the stored corpus
+    val batch = Seq((100L, ((5 to 24).map(i => s"alpha$i") ++ Seq("zz1", "zz2")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val spans = v2.spansForBatch(batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.toSeq === Seq((100L, 1L, 20L)), s"got ${spans.toSeq}")
+    // compaction dedups the union into one base delta, answers unchanged
+    v2.compact()
+    val dirs = new java.io.File(s"$gDir/g").listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).sorted
+    assert(dirs.toSeq === Seq("batch=2"))
+    assert(v2.grams.count() === nDistinct)
+    // the base itself holds exactly the distinct set (no re-distinct debt)
+    assert(spark.read.parquet(s"$gDir/g/batch=2").count() === nDistinct)
+  }
+
   test("PhashTableView: durable deltas, reopen at parity, incremental dedup, compaction") {
     import spark.implicits._
     val phDir = Files.createTempDirectory("graft-phash").toString
