@@ -1053,9 +1053,13 @@ object Dedup {
     persisted += batchKeys
     val bcast = batchKeys.count() <= maxBroadcastKeys
     val stored = storedGrams.select("g")
+    // distinct AFTER the semi-join: matched is batch-sized, so the
+    // dedup is cheap here — and it makes the operator duplicate-safe
+    // on a stored table whose deltas repeat grams (GramTableView's raw
+    // union), sparing that table a corpus-wide distinct per read
     val matched =
       (if (bcast) stored.join(broadcast(batchKeys), Seq("g"), "left_semi")
-       else stored.join(batchKeys, Seq("g"), "left_semi")).persist()
+       else stored.join(batchKeys, Seq("g"), "left_semi")).distinct().persist()
     persisted += matched
     val hits =
       (if (bcast) grams.join(broadcast(matched), Seq("g"))

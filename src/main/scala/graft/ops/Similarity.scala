@@ -247,7 +247,8 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       nCentroids: Int = 16,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4,
+      maxBroadcastQueries: Long = 10000L): DataFrame = {
     val cents = seedCentroids(corpus, nCentroids, idCol, vecCol)
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -263,8 +264,16 @@ object Similarity {
     val assigned = assignCells(
       corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec")),
       cents, "nbr_id", "nbr_vec", "__cell")
+    // broadcast fence (the lookupJoin discipline): the probe carries
+    // nProbe rows WITH the query vector per query — a corpus-sized
+    // query frame must fall back to the cell equi-join shuffle, not
+    // force-broadcast gigabytes of vectors
+    val fenced =
+      if (queries.limit((maxBroadcastQueries + 1).toInt).count() <= maxBroadcastQueries)
+        broadcast(probe)
+      else probe
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id"))
-    assigned.join(broadcast(probe), Seq("__cell"))
+    assigned.join(fenced, Seq("__cell"))
       .where(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
         round(cosine(col("query_vec"), col("nbr_vec")), 4).as("cos"))

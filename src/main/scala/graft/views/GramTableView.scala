@@ -43,17 +43,29 @@ final class GramTableView(
     maybeCompact()
   }
 
-  /** The accumulated distinct gram table — feed to
-    * [[graft.ops.Dedup.substringSpansIncremental]]. */
-  def grams: DataFrame = {
+  /** The raw delta union — grams may repeat across deltas until
+    * compaction folds them. Fine for every semi-join/membership
+    * consumer ([[graft.ops.Dedup.substringSpansIncremental]] is
+    * duplicate-safe by construction), and it avoids the corpus-wide
+    * distinct shuffle [[grams]] pays per read. */
+  private def rawGrams: DataFrame = {
     val dirs = committedBatchDirs().map(_.toString)
     require(dirs.nonEmpty, "gram table empty — absorb a batch first")
-    spark.read.parquet(dirs: _*).distinct()
+    spark.read.parquet(dirs: _*)
   }
 
-  /** Spans of a new batch already present in the stored corpus. */
+  /** The accumulated DISTINCT gram table. This dedups at read (one
+    * shuffle of the whole table) — use it for counts/inspection;
+    * membership consumers should take the duplicate-safe path
+    * ([[spansForBatch]] does, via the raw delta union). Compaction
+    * makes the two equivalent until the next absorb. */
+  def grams: DataFrame = rawGrams.distinct()
+
+  /** Spans of a new batch already present in the stored corpus — reads
+    * the RAW delta union (no corpus-wide distinct: the span operator
+    * semi-joins and dedups its batch-sized matched set instead). */
   def spansForBatch(newDocs: DataFrame, maxBroadcastKeys: Long = 4L * 1000 * 1000): DataFrame =
-    graft.ops.Dedup.substringSpansIncremental(newDocs, grams, k, maxBroadcastKeys, idCol, textCol)
+    graft.ops.Dedup.substringSpansIncremental(newDocs, rawGrams, k, maxBroadcastKeys, idCol, textCol)
 
   /** Compaction dedups the union — the chain collapses to one
     * distinct base delta. */

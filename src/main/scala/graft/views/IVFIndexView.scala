@@ -110,7 +110,8 @@ final class IVFIndexView(
     * equi-join on `cell` restricts each query to its own probes before
     * the exact-cosine top-k. Cost: touched bytes ∝ |∪ probes| /
     * nCentroids of the index, refine ∝ queries × their probed cells. */
-  def searchBatch(queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+  def searchBatch(queries: DataFrame, k: Int, nProbe: Int = 4,
+      maxBroadcastQueries: Long = 10000L): DataFrame = {
     val cs = centroids()
     import spark.implicits._
     val centTable = cs.toSeq.toDF("__cid", "__cvec")
@@ -128,9 +129,15 @@ final class IVFIndexView(
       .collect().map(_.getLong(0)) // ≤ nCentroids values — driver-safe
     val pruned = frame.where(col("cell").isin(touched.toIndexedSeq: _*))
       .select(col("cell"), col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
+    // broadcast fence (the lookupJoin discipline): a corpus-sized query
+    // frame falls back to the cell equi-join shuffle
+    val fenced =
+      if (queries.limit((maxBroadcastQueries + 1).toInt).count() <= maxBroadcastQueries)
+        broadcast(probe)
+      else probe
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id"))
-    val out = pruned.join(broadcast(probe), Seq("cell"))
+    val out = pruned.join(fenced, Seq("cell"))
       .where(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
         round(Similarity.cosine(col("query_vec"), col("nbr_vec")), 4).as("cos"))
