@@ -112,6 +112,15 @@ private[graft] object TextQueries {
       // inverted index (LSH estimates Jaccard, which is ~0 here)
       Dedup.containment(docsWithQuotes(s, dir), threshold = 0.8, maxDocFreq = 1000)
         .orderBy("id_a", "id_b")),
+    "q_dedup_containment_incremental" -> ((s, dir) =>
+      // quote-batch-vs-stored-corpus containment: the new snippets
+      // check against the STORED signature table's shingle sets (hs) —
+      // batch shingle keys broadcast, the stored inverted index never
+      // shuffles, df cap over matched postings only
+      Dedup.containmentIncremental(
+          docsWithQuotes(s, dir).where(col("doc_id") >= 40000),
+          baseSignatures(s, dir), threshold = 0.8, maxDocFreq = 1000)
+        .orderBy("id_a", "id_b")),
     "q_dedup_substring" -> ((s, dir) =>
       // Lee et al. exact-substring dedup: maximal ≥15-token spans
       // recurring across documents, over the planted-span fixture the
@@ -369,6 +378,23 @@ private[graft] object TextQueries {
     "q_bpe_train" -> bpeTrainOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
     "q_bpe_doc_tokens" -> bpeDocTokensOracle,
+    "q_dedup_containment_incremental" ->
+      // the q_dedup_containment replay restricted cross-set: batch
+      // (quote) shingles vs stored corpus shingles, id_a = batch
+      ("WITH batch AS (SELECT doc_id + 40000 AS doc_id, array_to_string(list_slice(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''), 1, 25), ' ') AS text " +
+        "FROM documents WHERE doc_id % 5 = 0), " +
+        "btoks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM batch), " +
+        "bsh AS (SELECT doc_id, CASE WHEN len(tk) = 0 THEN [] WHEN len(tk) < 3 THEN list_distinct(tk) ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sh FROM btoks), " +
+        "bc AS (SELECT doc_id, len(sh) AS n FROM bsh WHERE len(sh) > 0), " +
+        "binv AS (SELECT doc_id, unnest(sh) AS shingle FROM bsh), " +
+        "stoks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM documents), " +
+        "ssh AS (SELECT doc_id, CASE WHEN len(tk) = 0 THEN [] WHEN len(tk) < 3 THEN list_distinct(tk) ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sh FROM stoks), " +
+        "sc AS (SELECT doc_id, len(sh) AS n FROM ssh WHERE len(sh) > 0), " +
+        "sinv AS (SELECT doc_id, unnest(sh) AS shingle FROM ssh), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM binv a JOIN sinv b USING (shingle) GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, round(inter::DOUBLE / least(ca.n, cb.n), 4) AS containment " +
+        "FROM pairs JOIN bc ca ON ca.doc_id = id_a JOIN sc cb ON cb.doc_id = id_b " +
+        "WHERE round(inter::DOUBLE / least(ca.n, cb.n), 4) >= 0.8 ORDER BY id_a, id_b"),
     "q_dedup_substring" ->
       // string k-grams in the oracle vs 64-bit hashed k-grams in Spark:
       // identical span output modulo 2^-64 fingerprint collisions (the

@@ -767,6 +767,58 @@ object Dedup {
     out
   }
 
+  /** Containment verdicts for a NEW batch against a STORED corpus —
+    * [[containment]]'s recurring form, closing the last dedup-family
+    * ladder: which stored documents contain (or are contained by) each
+    * new quote/snippet. Consumes the `(id, hs)` columns the minhash
+    * [[signatureTable]] already stores — the shingle sets are shared
+    * infrastructure, no new artifact.
+    *
+    * 100 TB shape (the incremental discipline): the batch's distinct
+    * shingle keys broadcast (count-fenced), the stored inverted index
+    * is one explode + broadcast semi-join — it never shuffles — and
+    * the document-frequency cap is computed over MATCHED postings only
+    * (batch-scoped, never a corpus-wide aggregate; a hot boilerplate
+    * shingle is dropped exactly as the one-shot drops it). The pair
+    * aggregate and the size joins are batch-scoped. */
+  def containmentIncremental(
+      newDocs: DataFrame,
+      baseSigs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      w: Int = 3,
+      threshold: Double = 0.8,
+      maxDocFreq: Int = 100,
+      maxBroadcastKeys: Long = 4L * 1000 * 1000): DataFrame = {
+    val hn = newDocs
+      .select(col(idCol).as("id_a"), hashedShinglesCol(col(textCol), w).as("sh"))
+      .where(size(col("sh")) > 0).persist()
+    val na = hn.select(col("id_a"), size(col("sh")).as("n_a"))
+    val invA = hn.select(col("id_a"), explode(col("sh")).as("shingle"))
+    val keys = invA.select("shingle").distinct().persist()
+    val bcast = keys.count() <= maxBroadcastKeys
+    val storedInv = baseSigs.select(col("id").as("id_b"), explode(col("hs")).as("shingle"))
+    val matched =
+      (if (bcast) storedInv.join(broadcast(keys), Seq("shingle"))
+       else storedInv.join(keys, Seq("shingle"))).persist()
+    val hot = matched.groupBy("shingle").count()
+      .where(col("count") > maxDocFreq).select("shingle")
+    val cold = matched.join(hot, Seq("shingle"), "left_anti")
+    val shared = invA.join(cold, Seq("shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val nb = baseSigs.select(col("id").as("id_b"), size(col("hs")).as("n_b"))
+    // the pair table is batch-scoped — broadcast it into the corpus-side
+    // size lookup rather than shuffling the (id, n) table
+    val out = nb.join(broadcast(shared.join(broadcast(na), Seq("id_a"))), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / least(col("n_a"), col("n_b")).cast("double"), 4)
+          .as("containment"))
+      .where(col("containment") >= threshold)
+      .localCheckpoint(true)
+    Seq(hn, keys, matched).foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** EXACT all-pairs Jaccard similarity join by prefix filtering — the
     * AllPairs/PPJoin family (Bayardo et al. WWW'07; Xiao et al. WWW'08)
     * over word w-shingle sets. Unlike [[minhashLsh]] (probabilistic,

@@ -1166,6 +1166,30 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.perceptualNearDup(flat, maxHamming = 7, maxBucket = 64).count() === 0L)
   }
 
+  test("containmentIncremental == one-shot restricted to the cross set; hot shingles capped") {
+    import spark.implicits._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val batch = corpus.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 40000).as("doc_id"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 25)).as("text"))
+    val sigs = Dedup.signatureTable(corpus)
+    val got = Dedup.containmentIncremental(batch, sigs,
+        threshold = 0.8, maxDocFreq = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oneShot = Dedup.containment(corpus.unionByName(batch),
+        threshold = 0.8, maxDocFreq = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a < 40000L && b >= 40000L }
+      .map { case (a, b, c) => (b, a, c) }.toSet
+    assert(got === oneShot, "cross-set parity with the one-shot inverted index")
+    assert(got.nonEmpty && got.forall { case (a, b, _) => a >= 40000L && b < 40000L })
+    // a hot shingle over the df cap is dropped from candidates: with
+    // maxDocFreq = 0 every matched posting is hot -> no pairs at all
+    assert(Dedup.containmentIncremental(batch, sigs,
+      threshold = 0.8, maxDocFreq = 0).count() === 0L)
+  }
+
   test("substringSpansIncremental: batch spans vs stored grams, novel docs silent") {
     import spark.implicits._
     // stored corpus: two docs sharing nothing (distinct vocabularies)
