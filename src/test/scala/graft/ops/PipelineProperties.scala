@@ -245,4 +245,67 @@ object PipelineProperties extends Properties("Pipeline") {
         }.toMap
       got == refFunnelGapped(evs, stages, 5L)
     }
+
+  // ---- cohort retention ----
+
+  /** Reference: per-key cohort = min period, offsets = distinct
+    * (period − cohort) / width, counts per (cohort, offset). */
+  private def refRetention(evs: List[(Long, Long)], width: Long): Map[(Long, Long), Long] =
+    evs.groupBy(_._1).toList.flatMap { case (_, es) =>
+      val ps = es.map(_._2).distinct
+      val cohort = ps.min
+      ps.map(p => (cohort * 1000L, (p - cohort) / width))
+    }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+
+  property("retention == per-key cohort walk on random activity") =
+    forAll(for {
+      n <- Gen.choose(1, 40)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 6L)
+        d <- Gen.choose(0L, 9L) // day index
+      } yield (u, d * 86400L))
+    } yield evs) { evs =>
+      val df = evs.toDF("k", "sec")
+        .select(org.apache.spark.sql.functions.col("k"),
+          org.apache.spark.sql.functions.timestamp_seconds(
+            org.apache.spark.sql.functions.col("sec")).as("ts"))
+      val got = Retention.retention(df, "k", org.apache.spark.sql.functions.col("ts"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      got == refRetention(evs, 86400L)
+    }
+
+  // ---- type affinity ----
+
+  /** Reference: distinct (key, type), ordered pairs, floored-ppm
+    * support/lift with the 1e-9 nudge — same double arithmetic order. */
+  private def refAffinity(evs: List[(Long, String)]): Set[(String, String, Long, Long, Long)] = {
+    val b = evs.distinct
+    val u = b.map(_._1).distinct.size.toDouble
+    val per = b.groupBy(_._2).map { case (t, xs) => t -> xs.size }
+    b.groupBy(_._1).values.toList
+      .flatMap(ts => for {
+        a <- ts.map(_._2); c <- ts.map(_._2) if a < c
+      } yield (a, c))
+      .groupBy(identity).map { case ((a, c), xs) =>
+        val nxy = xs.size
+        (a, c, nxy.toLong,
+          math.floor(nxy * 1000000.0 / u + 1e-9).toLong,
+          math.floor(nxy * u * 1000000.0 / (per(a).toDouble * per(c).toDouble) + 1e-9).toLong)
+      }.toSet
+  }
+
+  property("typeAffinity == reference pair counts on random activity") =
+    forAll(for {
+      n <- Gen.choose(1, 40)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 5L)
+        t <- Gen.oneOf("a", "b", "c", "d")
+      } yield (u, t))
+    } yield evs) { evs =>
+      val got = Affinity.typeAffinity(evs.toDF("k", "t"), "k",
+          org.apache.spark.sql.functions.col("t"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      got == refAffinity(evs)
+    }
 }
