@@ -341,6 +341,28 @@ private[graft] object EntryHelpers {
     d.unionByName(planted)
   }
 
+  // Stored line-frequency table per (data dir, generation) — lineDedup's
+  // stored artifact (the baseSignatures pattern).
+  private val lineFreqTables = scala.collection.concurrent.TrieMap.empty[String, (SparkSession, String)]
+  def storedLineFreq(s: SparkSession, dir: String): DataFrame = {
+    def build(): (SparkSession, String) = {
+      val tmp = java.nio.file.Files.createTempDirectory("graftlinefreq").toString
+      graft.ops.TextAnalysis.lineFrequencyTable(docsWithLines(s, dir))
+        .write.mode("overwrite").parquet(tmp)
+      (s, tmp)
+    }
+    val e = lineFreqTables.getOrElseUpdate(dir, build())
+    val path =
+      if (e._1 eq s) e._2
+      else {
+        lineFreqTables.remove(dir, e)
+        scala.util.Try(graft.views.FsLists.walkDeepestFirst(
+          java.nio.file.Paths.get(e._2)).foreach(java.nio.file.Files.deleteIfExists))
+        lineFreqTables.getOrElseUpdate(dir, build())._2
+      }
+    s.read.parquet(path)
+  }
+
   /** New-crawl batch for INCREMENTAL substring dedup: every 7th corpus
     * doc contributes a batch doc (id+40000) opening with its first 20
     * tokens then two novel tokens (spans 1..20 exist in the corpus;

@@ -291,6 +291,22 @@ private[graft] object TextQueries {
       // >= 3 distinct docs vanish; cleaned text reassembled in order
       TextAnalysis.lineDedup(docsWithLines(s, dir), minDocs = 3)
         .orderBy("doc_id")),
+    "q_line_dedup_incremental" -> ((s, dir) => {
+      // clean a NEW crawl batch of the corpus's KNOWN boilerplate: the
+      // stored line-frequency table's >= minDocs lines vanish; lines
+      // novel to the batch survive (within-batch policy is a separate
+      // one-shot pass). Batch line hashes broadcast; the stored
+      // frequency table never shuffles.
+      val batch = t(s, dir, "documents").where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 50000).as("doc_id"),
+          concat(
+            lit("subscribe to our newsletter today\n"),
+            col("text"),
+            lit("\nshare this page on social media "), pmod(col("doc_id"), lit(5)).cast("string"),
+            lit("\nfresh line "), col("doc_id").cast("string")).as("text"))
+      TextAnalysis.lineDedupIncremental(batch, storedLineFreq(s, dir), minDocs = 3)
+        .orderBy("doc_id")
+    }),
     "q_jaccard_prefix" -> ((s, dir) =>
       // EXACT similarity join via prefix filtering (AllPairs/PPJoin):
       // no recall loss, candidates only from rarest-first prefixes
@@ -625,6 +641,25 @@ private[graft] object TextQueries {
         "kept AS (SELECT ne.* FROM ne LEFT JOIN dup ON ne.line = dup.line WHERE dup.line IS NULL), " +
         "reb AS (SELECT doc_id, count(*) AS n_kept, string_agg(line, chr(10) ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id), " +
         "tot AS (SELECT doc_id, count(*) AS n_lines FROM ne GROUP BY doc_id) " +
+        "SELECT t.doc_id, t.n_lines, coalesce(r.n_kept, 0) AS n_kept, coalesce(r.clean_text, '') AS clean_text " +
+        "FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY doc_id"),
+    "q_line_dedup_incremental" ->
+      // line-TEXT joins in the oracle vs xxhash64 in Spark (the
+      // q_line_dedup collision argument), cross-set: corpus frequency,
+      // batch cleaning
+      ("WITH corpus AS (SELECT doc_id, 'subscribe to our newsletter today' || chr(10) || text || chr(10) || 'share this page on social media ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) || 'ref item ' || CAST(doc_id AS VARCHAR) AS text FROM documents), " +
+        "cl0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus), " +
+        "cl AS (SELECT doc_id, unnest(ls) AS line FROM cl0), " +
+        "cne AS (SELECT DISTINCT line, doc_id FROM cl WHERE line <> ''), " +
+        "freq AS MATERIALIZED (SELECT line, count(*) AS nd FROM cne GROUP BY 1), " +
+        "batch AS (SELECT doc_id + 50000 AS doc_id, 'subscribe to our newsletter today' || chr(10) || text || chr(10) || 'share this page on social media ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) || 'fresh line ' || CAST(doc_id AS VARCHAR) AS text FROM documents WHERE doc_id % 3 = 0), " +
+        "bl0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM batch), " +
+        "bl AS (SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos FROM bl0), " +
+        "bne AS (SELECT * FROM bl WHERE line <> ''), " +
+        "dup AS (SELECT line FROM freq WHERE nd >= 3), " +
+        "kept AS (SELECT bne.* FROM bne LEFT JOIN dup ON bne.line = dup.line WHERE dup.line IS NULL), " +
+        "reb AS (SELECT doc_id, count(*) AS n_kept, string_agg(line, chr(10) ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id), " +
+        "tot AS (SELECT doc_id, count(*) AS n_lines FROM bne GROUP BY doc_id) " +
         "SELECT t.doc_id, t.n_lines, coalesce(r.n_kept, 0) AS n_kept, coalesce(r.clean_text, '') AS clean_text " +
         "FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY doc_id"),
     "q_jaccard_prefix" ->

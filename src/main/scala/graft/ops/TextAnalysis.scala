@@ -412,6 +412,69 @@ object TextAnalysis {
       .select("doc_id", "n_lines", "n_kept", "clean_text")
   }
 
+  /** The cross-document line-frequency table — [[lineDedup]]'s stored
+    * artifact, named in its Scaladoc: `(lh, nd)` where `lh` is the
+    * 64-bit line hash and `nd` its distinct-document frequency. 16
+    * bytes per distinct line; re-cleaning with a new `minDocs` policy
+    * (or cleaning NEW batches — [[lineDedupIncremental]]) reuses it
+    * without re-reading the corpus. */
+  def lineFrequencyTable(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(split(col(textCol), "\n")).as("line"))
+      .where(col("line") =!= "")
+      .select(xxhash64(col("line")).as("lh"), col("doc_id"))
+      .distinct()
+      .groupBy("lh").agg(count(lit(1)).as("nd"))
+
+  /** [[lineDedup]] for a NEW batch against the STORED corpus frequency
+    * table — clean a new crawl of the corpus's KNOWN boilerplate
+    * (lines in ≥ `minDocs` stored documents), the recurring form: the
+    * policy is the corpus's, so a line novel to the batch survives
+    * even if the batch repeats it (within-batch boilerplate is the
+    * batch's own one-shot pass).
+    *
+    * The incremental discipline: the batch's distinct line hashes
+    * broadcast (count-fenced), the stored frequency table is one scan
+    * + semi-join — never shuffled — and the ≤-batch-sized matched dup
+    * set broadcasts back into the reassembly join. */
+  def lineDedupIncremental(
+      newDocs: DataFrame,
+      lineFreq: DataFrame,
+      minDocs: Int = 3,
+      maxBroadcastKeys: Long = 4L * 1000 * 1000,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lines = newDocs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .where(col("line") =!= "")
+      .withColumn("lh", xxhash64(col("line")))
+      .persist()
+    val keys = lines.select("lh").distinct().persist()
+    val bcast = keys.count() <= maxBroadcastKeys
+    val storedDup = lineFreq.where(col("nd") >= minDocs).select("lh")
+    val dup =
+      (if (bcast) storedDup.join(broadcast(keys), Seq("lh"), "left_semi")
+       else storedDup.join(keys, Seq("lh"), "left_semi"))
+        .distinct().select(col("lh"), lit(true).as("__dup"))
+    val joined =
+      if (bcast) lines.join(broadcast(dup), Seq("lh"), "left")
+      else lines.join(dup, Seq("lh"), "left")
+    val out = joined
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("__dup").isNull, 1)).as("n_kept"),
+        concat_ws("\n",
+          array_sort(collect_list(when(col("__dup").isNull, struct(col("pos"), col("line")))))
+            .getField("line")).as("clean_text"))
+      .select("doc_id", "n_lines", "n_kept", "clean_text")
+      .localCheckpoint(true)
+    Seq(lines, keys).foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Deflate compression ratio per document — the Gopher-style
     * "compressibility" quality signal: highly repetitive or templated
     * text compresses far below natural prose, so a low ratio flags

@@ -1166,6 +1166,25 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.perceptualNearDup(flat, maxHamming = 7, maxBucket = 64).count() === 0L)
   }
 
+  test("lineDedupIncremental: corpus boilerplate vanishes, batch-novel repeats survive") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "boiler\nalpha"), (2L, "boiler\nbeta"), (3L, "boiler\ngamma"))
+      .toDF("doc_id", "text")
+    val freq = TextAnalysis.lineFrequencyTable(corpus)
+    // batch doc: corpus boilerplate + a line the BATCH repeats 3x but
+    // the corpus has never seen — the policy is the corpus's, so it
+    // survives; a corpus line under minDocs (alpha, nd=1) survives too
+    val batch = Seq(
+      (100L, "boiler\nnovel\nalpha\nnovel\nnovel")).toDF("doc_id", "text")
+    val r = TextAnalysis.lineDedupIncremental(batch, freq, minDocs = 3).head()
+    assert((r.getLong(1), r.getLong(2)) === ((5L, 4L)), s"got $r")
+    assert(r.getString(3) === "novel\nalpha\nnovel\nnovel")
+    // minDocs = 1: every corpus line is boilerplate, alpha drops too
+    val strict = TextAnalysis.lineDedupIncremental(batch, freq, minDocs = 1).head()
+    assert(strict.getString(3) === "novel\nnovel\nnovel")
+  }
+
   test("containmentIncremental == one-shot restricted to the cross set; hot shingles capped") {
     import spark.implicits._
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
