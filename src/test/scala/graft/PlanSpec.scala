@@ -385,6 +385,35 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("partial_max"), s"argmax must partial-aggregate pre-shuffle:\n${s.take(2000)}")
   }
 
+  test("4096-centroid k-means Lloyd iteration plans as a broadcast join — no O(k) expression tree") {
+    // training a quantizer at the SemDeDup operating point (k ∝ N) runs
+    // this assignment once per Lloyd iteration; above
+    // CellAssignLiteralMax it must be the broadcast-centroid-table
+    // argmin, not 4096 literal structs inlined into every iteration
+    import org.apache.spark.sql.functions._
+    val pts = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val cents: Seq[(Int, Seq[Double])] = (0 until 4096).map(i =>
+      (i, Seq.tabulate(8)(j => ((i * 31 + j * 7) % 97) / 97.0 - 0.5)))
+    // the exact per-iteration shape `fit` builds: assign → posexplode →
+    // per-(cell, dim) mean
+    val iter = graft.ops.KMeans.assignNearest(pts, cents, "id", "v", "a")
+      .select(col("a.cid").as("cell"), posexplode(col("v")))
+      .groupBy("cell", "pos").agg(avg("col").as("m"))
+    val opt = iter.queryExecution.optimizedPlan
+    val joins = opt.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty, "large-k training assignment must join the centroid table")
+    val exprNodes = opt.expressions.map(e => e.collect { case x => x }.size).sum
+    assert(exprNodes < 200, s"iteration plan must be O(1) in k, got $exprNodes expression nodes")
+    val s = planString(iter)
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
+      s"centroid table must broadcast:\n${s.take(2000)}")
+    // the k-fold expansion collapses map-side: a partial argmin runs
+    // BEFORE the id exchange, so the shuffle moves one row per input
+    assert(s.contains("partial_min"), s"argmin must partial-aggregate pre-shuffle:\n${s.take(2000)}")
+  }
+
   test("DSIR scores via a BROADCAST of the bucket log-ratio table") {
     // the operator localCheckpoints its result (plan truncated to a
     // Scan ExistingRDD), so rebuild the pre-checkpoint weight join the

@@ -282,6 +282,58 @@ class EmbeddingOpsSpec extends SparkSpec {
       .foreach(r => assert(labels(r.getLong(0)) === r.getInt(1)))
   }
 
+  test("KMeans.nearestJoined matches the literal argmin bit-for-bit, carries all columns") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    // double-precision centroids, deterministic, with exact duplicates so
+    // argmin TIES exist (equal dist → both paths must pick the lowest cid)
+    val dim = emb.head().getAs[scala.collection.Seq[Double]]("v").length
+    val cents: Seq[(Int, Seq[Double])] = (0 until 12).map { i =>
+      val base = i % 8 // cids 8..11 duplicate 0..3 exactly
+      (i, Seq.tabulate(dim)(j => ((base * 37 + j * 11) % 101) / 101.0 - 0.5))
+    }
+    // literal path (k = 12 <= CellAssignLiteralMax)
+    val lit = KMeans.assignNearest(emb, cents, "vec_id", "v", "a")
+      .select(col("vec_id"), col("a.cid"), col("a.dist")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    // joined path, same centroids, called directly
+    val joined = KMeans.nearestJoined(emb, cents, "vec_id", "v", "a")
+    assert(joined.columns.toSet === (emb.columns.toSet + "a"))
+    val got = joined.select(col("vec_id"), col("a.cid"), col("a.dist")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(got === lit, "joined argmin must equal the literal argmin (dist bits + tie-break)")
+    // ties actually exercised: every nearest cid must be < 8 (duplicate
+    // copies 8..11 lose every tie to their lower-cid original)
+    assert(got.values.forall(_._1 < 8), "ties must break to the lowest cid")
+    // carried non-key columns are the input row's values
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    joined.select("vec_id", "label").collect()
+      .foreach(r => assert(labels(r.getLong(0)) === r.getInt(1)))
+  }
+
+  test("KMeans.assignNearest strategy-switches at CellAssignLiteralMax") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    def hasJoin(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.nonEmpty
+    val dim = emb.head().getAs[scala.collection.Seq[Double]]("v").length
+    def mk(k: Int): Seq[(Int, Seq[Double])] = (0 until k).map(i =>
+      (i, Seq.tabulate(dim)(j => ((i * 31 + j * 7) % 97) / 97.0 - 0.5)))
+    assert(!hasJoin(KMeans.assignNearest(emb, mk(16), "vec_id", "v", "a")),
+      "small k must stay a narrow literal expression")
+    assert(hasJoin(KMeans.assignNearest(emb, mk(Similarity.CellAssignLiteralMax + 1), "vec_id", "v", "a")),
+      "above the cap the training assignment must become a centroid-table join")
+    // the switch is what fit/clusterSummary/assign route through: a
+    // large-k fit must not blow up the expression tree (smoke: 1 iter)
+    val model = KMeans.fit(emb.limit(40).select(col("vec_id"), col("v").as("embedding")),
+      k = 20, iters = 1, vecCol = "embedding")
+    assert(model.size === 20)
+  }
+
   test("assignCells strategy-switches at CellAssignLiteralMax") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")
