@@ -69,6 +69,40 @@ final class StreamingViewRunner(
   * state is Spark-managed (HDFSBackedStateStore / RocksDB at scale). */
 object StreamingViews {
 
+  /** State-eviction knob shared by every per-key state machine below
+    * (`idleTtl`): `None` (default) keeps state for every key ever seen —
+    * byte-identical to the historical behavior; `Some(duration)` arms a
+    * processing-time timeout per key, re-armed on every batch the key
+    * appears in, so a key idle longer than the TTL is EVICTED at the
+    * next triggered batch.
+    *
+    * Eviction semantics (documented per operator, uniform in shape):
+    * the Update-mode snapshot machines (funnel / retention / type-set /
+    * running-stats) emit the key's final snapshot one last time on
+    * eviction — idempotent for a latest-per-key consumer — then drop
+    * the state; the Append-mode emitters (paths / anomaly) emit nothing
+    * (no n-gram or flag completes on an idle deadline). A key that
+    * reactivates after eviction starts FRESH: a new funnel attempt at
+    * stage 0, a new cohort dated at the reactivation (long-idle
+    * returners count as new users), an empty type set / stats / window.
+    * When full-history semantics are required, the batch operator over
+    * the durable log IS the rebuild path — the same log-replay contract
+    * every view relies on. At 100 TB this is the knob that bounds a
+    * long-lived live view's state store to its ACTIVE key population
+    * instead of every key ever seen.
+    *
+    * Operational caveat (Spark engine semantics, not ours): arming a
+    * processing-time timeout makes `shouldRunAnotherBatch` permanently
+    * true — the engine schedules timeout-sweep batches on EVERY trigger
+    * tick, data or not. Pair `idleTtl` with a real trigger interval
+    * (`Trigger.ProcessingTime("1 minute")` or similar); the default
+    * run-ASAP trigger busy-loops sweeps, and
+    * `StreamingQuery.processAllAvailable` never returns (it waits for a
+    * no-work quiesce that timeout scheduling forbids) — gate tests and
+    * parity checks on sink contents instead. */
+  private def timeoutConf(idleTtl: Option[String]): GroupStateTimeout =
+    idleTtl.fold(GroupStateTimeout.NoTimeout)(_ => GroupStateTimeout.ProcessingTimeTimeout)
+
   /** Tumbling event-time counts with a watermark: late rows beyond
     * `watermark` are dropped, windows close and emit once (append mode). */
   def tumblingCounts(
@@ -163,7 +197,8 @@ object StreamingViews {
       valueCol: String,
       lookback: Int = 10,
       minObs: Int = 5,
-      z: Double = 2.5): Dataset[AnomalyHit] = {
+      z: Double = 2.5,
+      idleTtl: Option[String] = None): Dataset[AnomalyHit] = {
     val spark = stream.sparkSession
     import spark.implicits._
     stream.select(col(keyCol).cast("long"), col(seqCol).cast("long"),
@@ -171,8 +206,14 @@ object StreamingViews {
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[TrailingWindow, AnomalyHit](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), timeoutConf(idleTtl)) {
+        case (_, _, state: GroupState[TrailingWindow]) if state.hasTimedOut =>
+          // evicted = cold telemetry key: its trailing window is gone;
+          // reactivation rebuilds history from scratch (minObs gate)
+          state.remove()
+          Iterator.empty
         case (key, rows, state: GroupState[TrailingWindow]) =>
+          idleTtl.foreach(state.setTimeoutDuration)
           var vals = state.getOption.fold(Vector.empty[Double])(_.vals.toVector)
           val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyHit]
           rows.toSeq.sortBy(_._2).foreach { case (_, seq, x) =>
@@ -228,7 +269,8 @@ object StreamingViews {
       stages: Seq[String],
       tsCol: Option[String] = None,
       maxGap: Option[Long] = None,
-      gapFrom: String = "prev"): Dataset[(Long, Seq[Long], Int)] = {
+      gapFrom: String = "prev",
+      idleTtl: Option[String] = None): Dataset[(Long, Seq[Long], Int)] = {
     require(maxGap.isEmpty || tsCol.nonEmpty, "maxGap needs tsCol to measure gaps on")
     require(gapFrom == "prev" || gapFrom == "first", s"gapFrom must be prev|first, got $gapFrom")
     val spark = stream.sparkSession
@@ -237,8 +279,16 @@ object StreamingViews {
     stream.select(col(keyCol).cast("long"), col(seqCol).cast("long"), ts.as("__ts"), col(typeCol))
       .as[(Long, Long, Long, String)]
       .groupByKey(_._1)
-      .mapGroupsWithState[FunnelProgress, (Long, Seq[Long], Int)](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[FunnelProgress, (Long, Seq[Long], Int)](timeoutConf(idleTtl)) {
+        case (k, _, state: GroupState[FunnelProgress]) if state.hasTimedOut =>
+          // evicted = abandoned funnel: the final snapshot re-emits (a
+          // latest-per-key consumer already holds it), then the cursor
+          // drops; reactivation starts a NEW attempt at stage 0
+          val p = state.get
+          state.remove()
+          (k, p.seqs, p.stage)
         case (k, rows, state: GroupState[FunnelProgress]) =>
+          idleTtl.foreach(state.setTimeoutDuration)
           var p = state.getOption.getOrElse(FunnelProgress(0, Nil))
           rows.toSeq.sortBy(_._2).foreach { case (_, seq, ms, t) =>
             if (p.stage < stages.length && t == stages(p.stage) &&
@@ -276,14 +326,24 @@ object StreamingViews {
       stream: DataFrame,
       keyCol: String,
       periodCol: String,
-      periodSeconds: Long = 86400L): Dataset[(Long, Long, Seq[Long])] = {
+      periodSeconds: Long = 86400L,
+      idleTtl: Option[String] = None): Dataset[(Long, Long, Seq[Long])] = {
     val spark = stream.sparkSession
     import spark.implicits._
     stream.select(col(keyCol).cast("long"), col(periodCol).cast("long"))
       .as[(Long, Long)]
       .groupByKey(_._1)
-      .mapGroupsWithState[RetentionProgress, (Long, Long, Seq[Long])](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[RetentionProgress, (Long, Long, Seq[Long])](timeoutConf(idleTtl)) {
+        case (k, _, state: GroupState[RetentionProgress]) if state.hasTimedOut =>
+          // evicted = cohort finalized: the key's last snapshot re-emits
+          // and its history drops; a long-idle returner starts a NEW
+          // cohort dated at reactivation (counts as a new user). Full
+          // first-touch attribution = rebuild from the log (batch op).
+          val p = state.get
+          state.remove()
+          (k, p.cohortS * 1000L, p.periods.map(x => (x - p.cohortS) / periodSeconds))
         case (k, rows, state: GroupState[RetentionProgress]) =>
+          idleTtl.foreach(state.setTimeoutDuration)
           val prev = state.getOption.getOrElse(RetentionProgress(Long.MaxValue, Nil))
           val ps = (prev.periods.toSet ++ rows.map(_._2)).toSeq.sorted
           val cohort = ps.head
@@ -314,14 +374,22 @@ object StreamingViews {
   def typeSetPerKey(
       stream: DataFrame,
       keyCol: String,
-      typeCol: String): Dataset[(Long, Seq[String])] = {
+      typeCol: String,
+      idleTtl: Option[String] = None): Dataset[(Long, Seq[String])] = {
     val spark = stream.sparkSession
     import spark.implicits._
     stream.select(col(keyCol).cast("long"), col(typeCol))
       .as[(Long, String)]
       .groupByKey(_._1)
-      .mapGroupsWithState[TypeSet, (Long, Seq[String])](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[TypeSet, (Long, Seq[String])](timeoutConf(idleTtl)) {
+        case (k, _, state: GroupState[TypeSet]) if state.hasTimedOut =>
+          // evicted = affinity membership finalized: final snapshot
+          // re-emits, set drops; reactivation rebuilds an empty set
+          val p = state.get
+          state.remove()
+          (k, p.types)
         case (k, rows, state: GroupState[TypeSet]) =>
+          idleTtl.foreach(state.setTimeoutDuration)
           val prev = state.getOption.getOrElse(TypeSet(Nil))
           val ts = (prev.types.toSet ++ rows.map(_._2)).toSeq.sorted
           state.update(TypeSet(ts))
@@ -356,7 +424,8 @@ object StreamingViews {
       seqCol: String,
       typeCol: String,
       gapMs: Long = 600000L,
-      n: Int = 3): Dataset[String] = {
+      n: Int = 3,
+      idleTtl: Option[String] = None): Dataset[String] = {
     require(n >= 2, "a path needs at least 2 steps")
     val spark = stream.sparkSession
     import spark.implicits._
@@ -365,8 +434,15 @@ object StreamingViews {
       .as[(Long, Long, Long, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[PathWindow, String](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), timeoutConf(idleTtl)) {
+        case (_, _, state: GroupState[PathWindow]) if state.hasTimedOut =>
+          // evicted = session closed on an idle deadline: no n-gram
+          // completes; with ttl ≥ gapMs this agrees with the session
+          // rule — the next event would have reset the window anyway
+          state.remove()
+          Iterator.empty
         case (_, rows, state: GroupState[PathWindow]) =>
+          idleTtl.foreach(state.setTimeoutDuration)
           var st = state.getOption.getOrElse(PathWindow(false, 0L, Nil))
           val out = scala.collection.mutable.ArrayBuffer.empty[String]
           rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ms, _, et) =>
@@ -388,13 +464,21 @@ object StreamingViews {
   def runningStatsPerKey(
       stream: DataFrame,
       keyCol: String,
-      valueCol: String): Dataset[(Long, Stats)] = {
+      valueCol: String,
+      idleTtl: Option[String] = None): Dataset[(Long, Stats)] = {
     val spark = stream.sparkSession
     import spark.implicits._
     stream.select(col(keyCol).cast("long"), col(valueCol).cast("double")).as[(Long, Double)]
       .groupByKey(_._1)
-      .mapGroupsWithState[Stats, (Long, Stats)](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[Stats, (Long, Stats)](timeoutConf(idleTtl)) {
+        case (key, _, state: GroupState[Stats]) if state.hasTimedOut =>
+          // evicted = counters flushed: final snapshot re-emits, then
+          // the key restarts from zero on reactivation
+          val p = state.get
+          state.remove()
+          (key, p)
         case (key, rows, state: GroupState[Stats]) =>
+          idleTtl.foreach(state.setTimeoutDuration)
           val batch = rows.map(_._2).foldLeft(Stats(0, 0.0, 0.0)) { (s, v) =>
             val n = s.n + 1
             val d = v - s.mean

@@ -1022,6 +1022,111 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // With ProcessingTimeTimeout armed, the engine schedules timeout-sweep
+  // batches on every trigger tick, so processAllAvailable never quiesces
+  // (see StreamingViews.timeoutConf doc) — TTL tests gate on sink
+  // contents instead.
+  private def pollUntil(what: String, timeoutMs: Long = 30000L)(cond: => Boolean): Unit = {
+    val end = System.currentTimeMillis + timeoutMs
+    while (System.currentTimeMillis < end && !cond) Thread.sleep(50)
+    assert(cond, s"condition not reached within ${timeoutMs}ms: $what")
+  }
+
+  test("idleTtl evicts an idle funnel key; reactivation starts a fresh attempt") {
+    val kvSchema = StructType(Seq(
+      StructField("k", LongType), StructField("s", LongType), StructField("et", StringType)))
+    val log = new MemoryLog(spark, kvSchema)
+    log.appendRows(Seq(Row(1L, 1L, "view"), Row(1L, 2L, "click")))
+    val q = StreamingViews.funnelPerKey(
+        log.readStream.select("k", "s", "et"), "k", "s", "et",
+        Seq("view", "click", "purchase"), idleTtl = Some("1 millisecond"))
+      .toDF("k", "seqs", "stage")
+      .writeStream.format("memory").queryName("funnel_ttl")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def k1rows = spark.sql("SELECT seqs, stage FROM funnel_ttl WHERE k = 1")
+        .collect().map(r => (r.getAs[scala.collection.Seq[Long]](0).toList, r.getInt(1))).toSet
+      pollUntil("key 1 reaches stage 2")(k1rows.exists(_._2 == 2))
+      Thread.sleep(300) // key 1 idles past the TTL; sweep ticks evict it
+      // reactivation: under the old cursor "purchase" would complete
+      // the funnel (stage 3); after eviction it starts a NEW attempt
+      // and doesn't match stage 1 ("view") — snapshot stage 0
+      log.appendRows(Seq(Row(1L, 4L, "purchase")))
+      pollUntil("evicted key restarts at stage 0")(k1rows.contains((Nil, 0)))
+      assert(!k1rows.exists(_._2 == 3),
+        s"the funnel must NOT complete across an eviction, got $k1rows")
+    } finally q.stop()
+  }
+
+  test("idleTtl = armed-but-unexpired emits exactly the NoTimeout run; paths eviction closes the session") {
+    // (1) same events, TTL armed at 1 hour (never fires): the armed run
+    // must emit exactly the NoTimeout run's rows — no more, no fewer
+    val kvSchema = StructType(Seq(
+      StructField("k", LongType), StructField("s", LongType), StructField("et", StringType)))
+    def run(name: String, ttl: Option[String]): Seq[(Long, List[Long], Int)] = {
+      val log = new MemoryLog(spark, kvSchema)
+      log.appendRows(Seq(Row(1L, 1L, "view"), Row(2L, 2L, "view")))
+      val q = StreamingViews.funnelPerKey(
+          log.readStream.select("k", "s", "et"), "k", "s", "et",
+          Seq("view", "click", "purchase"), idleTtl = ttl)
+        .toDF("k", "seqs", "stage")
+        .writeStream.format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+        .outputMode(OutputMode.Update()).start()
+      try {
+        def rows = spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Long]](1).toList, r.getInt(2)))
+          .toSeq
+        pollUntil(s"$name: batch 1 snapshots")(rows.size >= 2)
+        log.appendRows(Seq(Row(1L, 3L, "click"), Row(2L, 4L, "purchase")))
+        pollUntil(s"$name: batch 2 snapshots")(rows.size >= 4)
+        Thread.sleep(300) // several sweep ticks: no further emission may appear
+        rows.sortBy(r => (r._1, r._3))
+      } finally q.stop()
+    }
+    val none = run("fttl_none", None)
+    val armed = run("fttl_hour", Some("1 hour"))
+    assert(armed === none,
+      "an armed-but-unexpired TTL must emit exactly the NoTimeout run's rows")
+
+    // (2) paths (Append-shape): eviction drops the trailing window, so a
+    // bigram that would span the idle gap is NOT emitted
+    val pSchema = StructType(Seq(
+      StructField("k", LongType), StructField("ms", LongType),
+      StructField("s", LongType), StructField("et", StringType)))
+    def runPaths(name: String, ttl: Option[String]): Seq[String] = {
+      val log = new MemoryLog(spark, pSchema)
+      // key 8's p>q completes inside batch 1 — the sentinel proving
+      // key 1's "a" was processed before the idle wait starts
+      log.appendRows(Seq(Row(1L, 1000L, 1L, "a"),
+        Row(8L, 1100L, 2L, "p"), Row(8L, 1200L, 3L, "q")))
+      val q = StreamingViews.pathsPerKey(
+          log.readStream.select("k", "ms", "s", "et"), "k", "ms", "s", "et",
+          gapMs = 1000000000L, n = 2, idleTtl = ttl)
+        .toDF("path")
+        .writeStream.format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+        .outputMode(OutputMode.Append()).start()
+      try {
+        def paths = spark.table(name).collect().map(_.getString(0)).toSeq
+        pollUntil(s"$name: batch-1 sentinel")(paths.contains("p>q"))
+        if (ttl.nonEmpty) Thread.sleep(400) // sweep ticks evict key 1
+        // event-time gap (1000 ms) is far below gapMs: only an eviction
+        // can break the a>b chain. Key 9's x>y completes in-batch —
+        // the sentinel proving batch 2 was fully processed.
+        log.appendRows(Seq(Row(1L, 2000L, 4L, "b"),
+          Row(9L, 1500L, 5L, "x"), Row(9L, 1600L, 6L, "y")))
+        pollUntil(s"$name: batch-2 sentinel")(paths.contains("x>y"))
+        paths.sorted
+      } finally q.stop()
+    }
+    assert(runPaths("pttl_none", None).contains("a>b"),
+      "without TTL the in-session bigram completes")
+    assert(!runPaths("pttl_fast", Some("1 millisecond")).contains("a>b"),
+      "eviction must close the session: no bigram across the evicted window")
+  }
+
   test("streaming retention: snapshots carry across batches and self-revise the cohort") {
     val kvSchema = StructType(Seq(
       StructField("k", LongType), StructField("p", LongType)))
