@@ -169,6 +169,22 @@ private[graft] object CoreQueries {
         .limit(100)
         .run(db)
     }),
+    "q_query_indexed_or" -> ((s, dir) => {
+      // index-UNION selection (r8 verdict #3): a disjunction whose every
+      // arm is an indexed equality resolves to a union-distinct of
+      // posting reads — two index lookups, zero log scans; the level-view
+      // analog is a union of two ordered index reads (README.md:93).
+      // value > 50 stays a residual filter on the seq-narrowed rows.
+      val db = eventsDb(s, dir)
+        .use("byTypeIdx", IndexView.onColumn("event_type", "event_id"))
+        .use("byUserIdx", IndexView.onColumn("user_id", "event_id"))
+      Query()
+        .where((col("event_type") === "purchase" || col("user_id") === 3) && col("value") > 50)
+        .select(col("event_id").as("seq"), col("user_id"), round(col("value"), 4).as("value_r"))
+        .orderBy(col("value_r").desc, col("seq"))
+        .limit(100)
+        .run(db)
+    }),
     "q_query_indexed_range" -> ((s, dir) => {
       // range-predicate index selection: >=/< conjuncts on the indexed
       // column become a range read of the (key, seq) posting table — the
@@ -299,6 +315,10 @@ private[graft] object CoreQueries {
       // identical answer to the unindexed form — index selection is a
       // physical rewrite, never a semantic one
       "SELECT event_id AS seq, user_id, round(value, 4) AS value_r FROM events WHERE event_type = 'purchase' AND value > 50 ORDER BY value_r DESC, seq LIMIT 100",
+    "q_query_indexed_or" ->
+      // identical answer to the unindexed disjunction — index-union
+      // selection is a physical rewrite, never a semantic one
+      "SELECT event_id AS seq, user_id, round(value, 4) AS value_r FROM events WHERE (event_type = 'purchase' OR user_id = 3) AND value > 50 ORDER BY value_r DESC, seq LIMIT 100",
     "q_query_indexed_range" ->
       "SELECT event_id AS seq, user_id, round(value, 4) AS value_r FROM events WHERE user_id >= 3 AND user_id < 9 AND value > 50 ORDER BY value_r DESC, seq LIMIT 100",
     "q_search_term" ->

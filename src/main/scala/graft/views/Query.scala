@@ -76,7 +76,16 @@ final case class Query(
       .orElse(Query.indexHit(db, conjuncts))
       .orElse(Query.rangeIndexHit(db, conjuncts))
     hit match {
-      case None => run(db.mapped)
+      case None =>
+        Query.orIndexSeqs(db, conjuncts) match {
+          case None => run(db.mapped)
+          case Some((matchedIdx, seqDf)) =>
+            val residual = conjuncts.zipWithIndex.collect {
+              case (c, j) if j != matchedIdx => c
+            }
+            val base = Query.readBySeqs(db, seqDf, maxInline)
+            finish(residual.foldLeft(base)((d, f) => d.where(f)))
+        }
       case Some(Query.IndexPlan(viewName, matched, postingFilter, dropMatched)) =>
         db.gated(viewName)(_.frameOption) match {
           case None => run(db.mapped)
@@ -305,6 +314,68 @@ object Query {
             // conjuncts must stay as (zero-cost) residual guards
             Some(IndexPlan(viewName, matched,
               p => p.where(col("key").isin(full: _*)), dropMatched = false))
+          }
+        }
+      }
+    })
+  }
+
+  /** Index-UNION selection (the r8 verdict's OR gap): the first
+    * top-level DISJUNCTION conjunct whose EVERY disjunct is an
+    * equality/`isin` on a mounted single-column index resolves to a
+    * union-distinct of posting reads — `type = 'a' OR user = 3` reads
+    * two posting tables and unions their seqs instead of scanning the
+    * log. The level-view analog is a union of two ordered index reads
+    * (`/root/reference/README.md:93`).
+    *
+    * Per VIEW the disjuncts' keys merge into ONE `isin` posting filter
+    * (one read per index, however many disjuncts name it); across
+    * views the seq lists union with `distinct` — a row matching two
+    * disjuncts must surface once, and the dedup shuffles only 8-byte
+    * seqs from already key-filtered postings, never log rows. Within
+    * one view no dedup is needed (a record holds one key, so distinct
+    * eq keys select disjoint postings). Equality lookups are exact
+    * (the `keyString` cast-round-trip contract, as [[indexHit]]), so
+    * the matched conjunct is fully served and dropped; any disqualified
+    * disjunct (unindexed column, un-castable literal) disqualifies the
+    * whole disjunction — OR is only safe to serve when every arm is.
+    * A conjunction without any OR conjunct returns None at zero cost. */
+  private[views] def orIndexSeqs(db: FlumeDb, conjuncts: Seq[Column]): Option[(Int, DataFrame)] = {
+    val indexes = mountedIndexes(db)
+    if (indexes.isEmpty) return None
+    lazy val schema = db.mapped.schema
+    conjuncts.zipWithIndex.collectFirst(Function.unlift { case (c, i) =>
+      val ds = ColumnBridge.disjuncts(c)
+      if (ds.length < 2) None
+      else {
+        // every disjunct must be an indexed eq/isin with clean keys
+        val arms: Seq[Option[(String, Seq[String])]] = ds.map { d =>
+          for {
+            (attr, values) <- ColumnBridge.eqInOnAttribute(d)
+            viewName <- indexes.get(attr)
+            field <- schema.find(_.name == attr)
+            keys <- Some(values.flatMap(v => keyString(v, field.dataType)))
+            if keys.length == values.length
+          } yield (viewName, keys)
+        }
+        if (arms.exists(_.isEmpty)) None
+        else {
+          val byView = arms.flatten.groupBy(_._1)
+            .map { case (v, ks) => v -> ks.flatMap(_._2).distinct }
+          // every posting must be mounted AND ready, else fall back
+          val postings = byView.toSeq.sortBy(_._1).map { case (viewName, keys) =>
+            db.gated(viewName)(_.frameOption).map { p =>
+              if (keys.isEmpty) p.where(lit(false)).select(col("seq"))
+              else p.where(col("key").isin(keys: _*)).select(col("seq"))
+            }
+          }
+          if (postings.exists(_.isEmpty)) None
+          else {
+            val reads = postings.flatten
+            val seqDf =
+              if (reads.length == 1) reads.head
+              else reads.reduce(_ union _).distinct()
+            Some((i, seqDf))
           }
         }
       }

@@ -25,6 +25,18 @@ object ColumnBridge {
     go(c.node).map(n => Column(n))
   }
 
+  /** The "or"-split disjuncts of a boolean filter Column — the dual of
+    * [[conjuncts]], for index-union selection: `a || b` is the node
+    * `UnresolvedFunction("or", …)`. A non-disjunction returns itself
+    * (one disjunct). */
+  def disjuncts(c: Column): Seq[Column] = {
+    def go(n: ColumnNode): Seq[ColumnNode] = n match {
+      case f: UnresolvedFunction if f.functionName == "or" => f.arguments.flatMap(go)
+      case other => Seq(other)
+    }
+    go(c.node).map(n => Column(n))
+  }
+
   private def attr(n: ColumnNode): Option[String] = n match {
     case a: UnresolvedAttribute => Some(a.nameParts.mkString("."))
     case _ => None

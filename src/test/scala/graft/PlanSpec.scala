@@ -239,6 +239,20 @@ class PlanSpec extends SparkSpec {
       s"the equality must be served by the index, not a scan filter:\n${s.take(3000)}")
   }
 
+  test("index-union (OR) selection reads two postings, never scans the log for the disjunction") {
+    val s = planString(run("q_query_indexed_or"))
+    // both arms were served by posting reads whose unioned seqs inline
+    // as a membership predicate on the log read (row-group skipping)
+    assert(s.contains("In(event_id"),
+      s"expected the unioned seq list pushed to the events scan:\n${s.take(3000)}")
+    // the disjunction never touches the log: no 'purchase' literal
+    // anywhere, and the type column is pruned from the parquet read
+    assert(!s.contains("purchase"),
+      s"the OR must be served by the index union, not a scan filter:\n${s.take(3000)}")
+    assert(!s.contains("event_type:string"),
+      s"the indexed type column must be pruned from the parquet read:\n${s.take(3000)}")
+  }
+
   test("incremental dedup candidates: the corpus side is filtered by a BROADCAST of the batch keys") {
     import org.apache.spark.sql.functions._
     val docs = (1L to 40L).map(i =>

@@ -197,6 +197,37 @@ class ViewsSpec extends SparkSpec {
     assert(Query().where(col("foo") > 1000).run(db).collect().isEmpty)
   }
 
+  test("Query index-union (OR) selection: every-arm-indexed disjunction reads postings, dedups, falls back") {
+    val (_, db) = db2()
+    db.use("byTag", IndexView.onColumn("tag"))
+    db.use("byFoo", IndexView.onColumn("foo"))
+    // (3, "a") matches BOTH arms of (tag = 'a' OR foo = 3) — the union
+    // must surface it exactly once
+    append(db, (5L, "a"), (3L, "b"), (8L, "a"), (1L, "c"), (3L, "a"), (9L, "b"))
+    def key(r: Row) = (r.getLong(0), r.getLong(1))
+    val both = Query().where((col("tag") === "a" || col("foo") === 3L) && col("foo") > 2)
+      .select(col("seq"), col("foo")).orderBy(col("seq"))
+    assert(both.run(db).collect().map(key).toSeq === both.run(db.mapped).collect().map(key).toSeq)
+    // the double-match row appears once (union-distinct across views)
+    assert(both.run(db).where(col("seq") === 4L).count() === 1L)
+    // isin arm + semi-join fallback (maxInline = 1)
+    val mixed = Query().where(col("tag").isin("a", "c") || col("foo") === 9L)
+      .select(col("seq"), col("foo")).orderBy(col("seq"))
+    assert(mixed.run(db).collect().map(key).toSeq === mixed.run(db.mapped).collect().map(key).toSeq)
+    assert(mixed.run(db, maxInline = 1).collect().map(key).toSeq
+      === mixed.run(db.mapped).collect().map(key).toSeq)
+    // no arm matches anything → empty, not an error
+    assert(Query().where(col("tag") === "zzz" || col("foo") === 777L).run(db).collect().isEmpty)
+    // one arm on an UNINDEXED column disqualifies the whole disjunction
+    // (falls back to the scan — same answer, no wrong-plan risk)
+    val (_, dbp) = db2()
+    dbp.use("byTag", IndexView.onColumn("tag"))
+    append(dbp, (5L, "a"), (3L, "b"), (8L, "a"))
+    val partial = Query().where(col("tag") === "a" || col("foo") === 3L)
+      .select(col("seq")).orderBy(col("seq"))
+    assert(partial.run(dbp).collect().map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+  }
+
   test("SQL surface: log and relational views queryable via spark.sql") {
     val (_, db) = db2()
     db.use("idx", IndexView(array(col("tag"))))
