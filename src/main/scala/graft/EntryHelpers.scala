@@ -539,6 +539,31 @@ private[graft] object EntryHelpers {
   // at parity from the manifest by every later mount.
   val phashViews = scala.collection.concurrent.TrieMap.empty[String, (SparkSession, graft.views.PhashTableView)]
   val phashBuildLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
+  val afpViews = scala.collection.concurrent.TrieMap.empty[String, (SparkSession, graft.views.AudioFingerprintTableView)]
+  val afpBuildLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
+  def afpTable(s: SparkSession, dir: String): graft.views.AudioFingerprintTableView = {
+    def build(): (SparkSession, graft.views.AudioFingerprintTableView) = {
+      val vdir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft-afp-" + sourceFingerprint(s"$dir/documents.parquet")).toString
+      val v = new graft.views.AudioFingerprintTableView(s, vdir, 1)
+      if (v.since < 0)
+        v.absorbFingerprints(Multimodal.audioFingerprint(
+          Multimodal.syntheticWavMedia(t(s, dir, "documents"), textured = true)), 1L)
+      (s, v)
+    }
+    val lock = afpBuildLocks.getOrElseUpdate(dir, new Object)
+    lock.synchronized {
+      val e = afpViews.getOrElseUpdate(dir, build())
+      if (e._1 eq s) e._2
+      else {
+        afpViews.remove(dir, e)
+        val fresh = build()
+        afpViews.put(dir, fresh)
+        fresh._2
+      }
+    }
+  }
+
   def phashTable(s: SparkSession, dir: String): graft.views.PhashTableView = {
     def build(): (SparkSession, graft.views.PhashTableView) = {
       val vdir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),

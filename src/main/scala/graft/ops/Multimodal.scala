@@ -357,16 +357,43 @@ object Multimodal {
     * side recovers the exact samples — the audio analog of
     * [[syntheticPngMedia]]: a SQL oracle re-derives the sample sum from
     * the formula without touching the bytes. */
-  def syntheticWavMedia(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+  def syntheticWavMedia(docs: DataFrame, idCol: String = "doc_id",
+      gain: Int = 1, padSamples: Int = 0, idOffset: Long = 0L,
+      textured: Boolean = false): DataFrame = {
+    // textured = the fingerprint-family fixture: samples come from the
+    // multiply + double-xor-fold mixer (the texture-PNG trick) instead
+    // of the sawtooth. The sawtooth waveforms are SHIFTED COPIES of one
+    // arithmetic progression, so their energy envelopes correlate and
+    // every pair looks near-dup to an envelope hash — exactly the
+    // smooth-ramp degeneracy the image fixtures hit. Mixer samples give
+    // ~independent envelopes: unrelated pairs sit at hamming ≈ 32,
+    // planted copies at 0. The mixer is replayable in DuckDB
+    // (xor + floor-division, positive operands throughout).
+    // gain/padSamples/idOffset plant near-dup copies the way the texture
+    // PNG fixture's shift/idOffset do: waveform and length stay keyed to
+    // the ORIGINAL id, so (id, id + offset) are planted pairs — a
+    // gain-scaled, silence-padded re-encode of the same recording. The
+    // fingerprint is invariant to both by construction (energy
+    // comparisons scale with gain; zero samples add nothing to any
+    // window energy), so planted pairs land at hamming 0.
+    require(gain >= 1 && gain <= 30, s"gain must keep 16-bit PCM exact, got $gain")
     val spark = docs.sparkSession
     val rdd = docs.select(col(idCol)).where(col(idCol) % 3 === 2).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
-        val n = 800 + (id % 400).toInt
+        val nOrig = 800 + (id % 400).toInt
+        val n = nOrig + padSamples
         val pcm = new Array[Byte](n * 2)
         var i = 0
         while (i < n) {
-          val s = ((id * 31 + 17L * i) % 2003L - 1001L).toShort
+          val s = if (i < nOrig) {
+            val v =
+              if (textured) {
+                val m = (id * 31 + 17L * i) * 2654435761L
+                (m ^ (m >> 15) ^ (m >> 30)) % 2003L - 1001L
+              } else (id * 31 + 17L * i) % 2003L - 1001L
+            (gain * v).toShort
+          } else 0.toShort
           pcm(2 * i) = (s & 0xff).toByte
           pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
           i += 1
@@ -377,7 +404,7 @@ object Multimodal {
         val bos = new java.io.ByteArrayOutputStream()
         javax.sound.sampled.AudioSystem.write(
           ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        Row(id, "audio", bos.toByteArray, Row(0, 0, n * 1000L / 8000L, "audio/wav"))
+        Row(id + idOffset, "audio", bos.toByteArray, Row(0, 0, n * 1000L / 8000L, "audio/wav"))
       }
     }
     spark.createDataFrame(rdd, mediaSchema)
@@ -481,6 +508,108 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, audioActivitySchema)
   }
+
+  private val audioFpSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_windows", LongType, nullable = false),
+    StructField("afp", LongType, nullable = false)))
+
+  /** Audio fingerprint over the REAL PCM decode: a difference hash on
+    * the energy envelope — the windowed-spectral-landmark idea
+    * (Shazam/Chromaprint family) reduced to its integer core. The sample
+    * stream is cut into `windowSamples`-sample windows (the
+    * [[audioActivity]] machinery); window w's energy is its exact
+    * integer sum-of-|amplitude|; fingerprint bit k (k < `nBits`) is set
+    * iff energy(k+1) > energy(k). Bits past the last window pair stay 0
+    * (zero-padding).
+    *
+    * Two invariances fall out by construction — exactly the
+    * re-encodings an ASR-ingest dedup must catch:
+    *  - GAIN: scaling every sample by g > 0 scales every window energy
+    *    by g, preserving every comparison — identical fingerprint;
+    *  - TRAILING SILENCE: zero samples add nothing to any window
+    *    energy, and an all-zero appended window loses its boundary
+    *    comparison (0 > e is false) — bit-identical to the zero-padding
+    *    of the unpadded stream.
+    * Like [[perceptualHash]], this is a narrow partition-batched
+    * decode — no shuffle, rows that do not decode are dropped; the
+    * 8-byte fingerprint is the stored artifact, the audio bytes stay
+    * cold. Every energy is an exact integer, so a SQL oracle replays
+    * every bit from the waveform formula ([[syntheticWavMedia]]). */
+  def audioFingerprint(
+      media: DataFrame,
+      windowSamples: Int = 16,
+      nBits: Int = 64): DataFrame = {
+    require(nBits >= 1 && nBits <= 64, s"fingerprint must fit 64 bits, got $nBits")
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        if (bytes == null || bytes.length < 12) None
+        else try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16, "fixture decoder handles 16-bit PCM")
+            val data = ais.readAllBytes()
+            val bigEndian = fmt.isBigEndian
+            val n = data.length / 2
+            val nWindows = (n + windowSamples - 1) / windowSamples
+            val energy = new Array[Long](nWindows)
+            var w = 0
+            while (w < nWindows) {
+              val from = w * windowSamples
+              val until = math.min(from + windowSamples, n)
+              var sum = 0L; var i = from
+              while (i < until) {
+                val lo = data(if (bigEndian) 2 * i + 1 else 2 * i) & 0xff
+                val hi = data(if (bigEndian) 2 * i else 2 * i + 1)
+                sum += math.abs((hi << 8 | lo).toShort.toLong)
+                i += 1
+              }
+              energy(w) = sum
+              w += 1
+            }
+            var afp = 0L
+            var k = 0
+            val kMax = math.min(nBits, nWindows - 1)
+            while (k < kMax) {
+              if (energy(k + 1) > energy(k)) afp |= 1L << k
+              k += 1
+            }
+            Some(Row(r.getLong(0), nWindows.toLong, afp))
+          } finally ais.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+    spark.createDataFrame(rdd, audioFpSchema)
+  }
+
+  /** Audio near-dup pairs from a `(media_id, afp)` fingerprint table:
+    * the [[perceptualNearDup]] pigeonhole-segment machinery verbatim —
+    * a 64-bit hamming space doesn't care which modality produced it. */
+  def audioNearDup(
+      fingerprints: DataFrame,
+      maxHamming: Int = 7,
+      maxBucket: Int = 256): DataFrame =
+    perceptualNearDup(
+      fingerprints.select(col("media_id"), col("afp").as("phash")),
+      maxHamming, maxBucket)
+
+  /** Incremental audio near-dup: a NEW batch's fingerprints against the
+    * STORED corpus table — [[perceptualNearDupIncremental]]'s broadcast
+    * shape (batch keys broadcast, stored side never shuffles). */
+  def audioNearDupIncremental(
+      newFingerprints: DataFrame,
+      storedFingerprints: DataFrame,
+      maxHamming: Int = 7,
+      maxBucket: Int = 256,
+      maxBroadcastKeys: Long = 4L * 1000 * 1000): DataFrame =
+    perceptualNearDupIncremental(
+      newFingerprints.select(col("media_id"), col("afp").as("phash")),
+      storedFingerprints.select(col("media_id"), col("afp").as("phash")),
+      maxHamming, maxBucket, maxBroadcastKeys)
 
   private val imageStatsSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

@@ -725,6 +725,40 @@ class OpsSpec extends SparkSpec {
     assert(rows(4).getLong(2) === 100L && rows(4).getLong(3) === 900L * 100)
   }
 
+  test("audio fingerprint: gain and trailing-silence invariance give TOTAL planted recall") {
+    val base = Multimodal.syntheticWavMedia(docs, textured = true)
+    val copies = Multimodal.syntheticWavMedia(docs, gain = 3, padSamples = 24,
+      idOffset = 60000L, textured = true)
+    val fb = Multimodal.audioFingerprint(base).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val fc = Multimodal.audioFingerprint(copies).collect()
+      .map(r => (r.getLong(0) - 60000L) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fb.nonEmpty && fb.keySet === fc.keySet)
+    fb.foreach { case (id, (nw, afp)) =>
+      // gain x3 scales every window energy; 24 zero samples pad the last
+      // window and append silent windows — both preserve every bit
+      assert(fc(id)._2 === afp, s"fingerprint must be gain/silence-invariant for id=$id")
+      val n = 800 + (id % 400).toInt
+      assert(nw === ((n + 15) / 16).toLong && fc(id)._1 === ((n + 24 + 15) / 16).toLong)
+    }
+    // near-dup over the union finds EXACTLY the planted pairs, at hamming 0
+    val pairs = Multimodal.audioNearDup(
+        Multimodal.audioFingerprint(base.unionByName(copies)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val planted = pairs.filter { case (a, b, _) => b == a + 60000L }
+    assert(planted.length === fb.size, s"planted recall ${planted.length}/${fb.size}")
+    assert(planted.forall(_._3 == 0), "planted re-encodes must land at hamming 0")
+    // the mixer fixture keeps unrelated envelopes independent: nothing
+    // else collides within the hamming budget
+    assert(pairs.length === planted.length,
+      s"unrelated pairs must stay far apart, got ${pairs.length - planted.length} extras")
+    // incremental == one-shot restricted to the cross set (batch x stored)
+    val inc = Multimodal.audioNearDupIncremental(
+        Multimodal.audioFingerprint(copies), Multimodal.audioFingerprint(base))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(inc === pairs.map { case (a, b, d) => (math.max(a, b), math.min(a, b), d) }.toSet)
+  }
+
   test("real GIF multi-frame decode: every frame's pixels round-trip exactly; frame count honored") {
     val media = Multimodal.syntheticGifMedia(docs)
     val rows = Multimodal.frameStats(media).collect()

@@ -263,6 +263,41 @@ class StreamingSpec extends SparkSpec {
     } finally r.stop()
   }
 
+  test("streaming runner maintains the audio fingerprint table; audio dedup vs the live corpus") {
+    import graft.views.AudioFingerprintTableView
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = graft.ops.Multimodal.syntheticWavMedia(docs, textured = true)
+    val logDir = java.nio.file.Files.createTempDirectory("graft-saflog").toString
+    val viewDir = java.nio.file.Files.createTempDirectory("graft-safview").toString
+    val log = new ParquetLog(spark, logDir, media.schema)
+    log.append(media.where(col("media_id") < 200))
+    val db = new FlumeDb(log)
+    db.use("af", AudioFingerprintTableView(viewDir, compactEvery = 2))
+    val view = db.view("af").view.asInstanceOf[AudioFingerprintTableView]
+    val r = new StreamingViewRunner(log, view)
+    try {
+      r.awaitParity()
+      // recordings arriving through the live tail extend the stored table
+      log.append(media.where(col("media_id") >= 200))
+      r.awaitParity()
+      assert(view.since === log.since)
+      assert(view.fingerprints.count() === media.count(),
+        "every ingested recording fingerprinted exactly once")
+      val dirs = new java.io.File(s"$viewDir/af").listFiles().map(_.getName)
+        .count(_.startsWith("batch="))
+      assert(dirs <= 2, s"compactEvery=2 must bound the chain, got $dirs dirs")
+      // a gain-scaled, silence-padded re-encode batch dedups against the
+      // STREAMED corpus — total recall (the fingerprint is invariant)
+      val batch = graft.ops.Multimodal.syntheticWavMedia(
+        docs, gain = 3, padSamples = 24, idOffset = 60000L, textured = true)
+      val pairs = view.dedupBatch(batch)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val n = media.count()
+      val recalled = pairs.count { case (a, b) => a == b + 60000L }
+      assert(recalled === n, s"planted recall $recalled/$n vs streamed table")
+    } finally r.stop()
+  }
+
   test("streaming runner maintains the gram table; span check vs the live corpus") {
     import graft.views.GramTableView
     val docSchema = StructType(Seq(

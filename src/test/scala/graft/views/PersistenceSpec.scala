@@ -398,6 +398,46 @@ class PersistenceSpec extends SparkSpec {
     assert(v2.hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === before)
   }
 
+  test("AudioFingerprintTableView: durable deltas, reopen at parity, incremental dedup, compaction") {
+    import spark.implicits._
+    val afDir = Files.createTempDirectory("graft-afp").toString
+    val v = new AudioFingerprintTableView(spark, s"$afDir/af", 1)
+    val rnd = new scala.util.Random(13)
+    val b1 = (0L until 60L).map(i => (i, rnd.nextLong()))
+    val b2 = (60L until 100L).map(i => (i, rnd.nextLong()))
+    v.absorbFingerprints(b1.toDF("media_id", "afp"), 1L)
+    v.absorbFingerprints(b2.toDF("media_id", "afp"), 2L)
+    assert(v.fingerprints.count() === 100L)
+    // reopen from the manifest: a new instance sees both deltas
+    val v2 = new AudioFingerprintTableView(spark, s"$afDir/af", 1)
+    assert(v2.since === 2L && v2.fingerprints.count() === 100L)
+    // incremental dedup: 1-bit flips of ids from BOTH stored batches
+    val batch = Seq((1000L, b1(5)._2 ^ 1L), (1001L, b2(10)._2 ^ (1L << 40)),
+      (1002L, rnd.nextLong()))
+    val pairs = v2.dedupBatchFingerprints(batch.toDF("media_id", "afp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1000L, 5L)) && pairs.contains((1001L, 70L)),
+      s"planted flips must match their stored originals, got $pairs")
+    // compaction collapses the chain without changing a single print
+    val before = v2.fingerprints.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    v2.compact()
+    val dirs = new java.io.File(s"$afDir/af").listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).sorted
+    assert(dirs.toSeq === Seq("batch=2"))
+    assert(v2.fingerprints.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === before)
+    // the decode-at-ingest path: absorbing real WAV media lands the same
+    // prints audioFingerprint computes
+    val afDir2 = Files.createTempDirectory("graft-afp2").toString
+    val media = graft.ops.Multimodal.syntheticWavMedia(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30),
+      textured = true)
+    val vm = new AudioFingerprintTableView(spark, s"$afDir2/af", 1)
+    vm.absorb(media, 1L)
+    val direct = graft.ops.Multimodal.audioFingerprint(media)
+      .select("media_id", "afp").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(vm.fingerprints.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === direct)
+  }
+
   test("auto-compaction bounds the delta chain: compactEvery collapses inline during absorbs") {
     val viewDir = Files.createTempDirectory("graft-autocmp").toString
     val v = new PersistentIndexView(spark, s"$viewDir/idx", 1, array(col("tag")), "seq",
