@@ -261,6 +261,26 @@ private[graft] object CoreQueries {
           fromSeq = mx * 2 / 5, toSeq = mx * 4 / 5)
         .orderBy("user_id")
     }),
+    "q_scd2" -> ((s, dir) => {
+      // SCD-2 dimension build (r8 verdict #5): one row per version of
+      // each user's record, validity [from_seq, to_seq) from a per-key
+      // lead window, to_seq null + is_current on the live version
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        col("event_type"), round(col("value"), 4).as("value_r"))
+      Scd2.dimension(ev, "user_id", "event_id", Seq("event_type", "value_r"))
+        .orderBy("user_id", "from_seq")
+    }),
+    "q_scd2_asof" -> ((s, dir) => {
+      // record-granular as-of read of the dimension: the version of
+      // each user valid at 2/5 of the log — one filter, no replay
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        col("event_type"), round(col("value"), 4).as("value_r"))
+      val mx = ev.agg(max("event_id")).head().getLong(0)
+      Scd2.asOf(
+          Scd2.dimension(ev, "user_id", "event_id", Seq("event_type", "value_r")),
+          mx * 2 / 5)
+        .orderBy("user_id")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -353,6 +373,20 @@ private[graft] object CoreQueries {
         "FROM events WHERE event_id <= (SELECT hi FROM m) GROUP BY user_id) " +
         "SELECT user_id, CASE WHEN old_seq IS NULL THEN 'insert' ELSE 'update' END AS op, " +
         "old_seq, old_value, new_seq, new_value FROM g WHERE new_seq > (SELECT lo FROM m) ORDER BY user_id"),
+    "q_scd2" ->
+      ("WITH d AS (SELECT user_id, event_id AS from_seq, " +
+        "lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS to_seq, " +
+        "event_type, round(value, 4) AS value_r FROM events) " +
+        "SELECT user_id, from_seq, to_seq, (to_seq IS NULL) AS is_current, event_type, value_r " +
+        "FROM d ORDER BY user_id, from_seq"),
+    "q_scd2_asof" ->
+      ("WITH m AS (SELECT max(event_id) * 2 // 5 AS at FROM events), " +
+        "d AS (SELECT user_id, event_id AS from_seq, " +
+        "lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS to_seq, " +
+        "event_type, round(value, 4) AS value_r FROM events) " +
+        "SELECT user_id, from_seq, to_seq, (to_seq IS NULL) AS is_current, event_type, value_r " +
+        "FROM d WHERE from_seq <= (SELECT at FROM m) AND (to_seq IS NULL OR to_seq > (SELECT at FROM m)) " +
+        "ORDER BY user_id"),
     "q_bloom_check" ->
       ("SELECT key, key IN (SELECT DISTINCT event_type FROM events) AS might_contain " +
         "FROM (VALUES ('click'),('error'),('nosuchtype'),('purchase'),('signup'),('view')) t(key) ORDER BY key"),
