@@ -185,6 +185,23 @@ private[graft] object CoreQueries {
         .limit(100)
         .run(db)
     }),
+    "q_query_indexed_or_mixed" -> ((s, dir) => {
+      // mixed-arm index union: an exact equality arm, a range arm, and
+      // a conjunctive arm — each served by its own posting read, seqs
+      // union-distinct, the original disjunction kept as the residual
+      // guard that makes the superset reads exact
+      val db = eventsDb(s, dir)
+        .use("byTypeIdx", IndexView.onColumn("event_type", "event_id"))
+        .use("byUserIdx", IndexView.onColumn("user_id", "event_id"))
+      Query()
+        .where(col("event_type") === "signup" ||
+          col("user_id") < 8 ||
+          (col("event_type") === "purchase" && col("value") > 95))
+        .select(col("event_id").as("seq"), col("user_id"), round(col("value"), 4).as("value_r"))
+        .orderBy(col("value_r").desc, col("seq"))
+        .limit(100)
+        .run(db)
+    }),
     "q_query_indexed_range" -> ((s, dir) => {
       // range-predicate index selection: >=/< conjuncts on the indexed
       // column become a range read of the (key, seq) posting table — the
@@ -339,6 +356,8 @@ private[graft] object CoreQueries {
       // identical answer to the unindexed disjunction — index-union
       // selection is a physical rewrite, never a semantic one
       "SELECT event_id AS seq, user_id, round(value, 4) AS value_r FROM events WHERE (event_type = 'purchase' OR user_id = 3) AND value > 50 ORDER BY value_r DESC, seq LIMIT 100",
+    "q_query_indexed_or_mixed" ->
+      "SELECT event_id AS seq, user_id, round(value, 4) AS value_r FROM events WHERE event_type = 'signup' OR user_id < 8 OR (event_type = 'purchase' AND value > 95) ORDER BY value_r DESC, seq LIMIT 100",
     "q_query_indexed_range" ->
       "SELECT event_id AS seq, user_id, round(value, 4) AS value_r FROM events WHERE user_id >= 3 AND user_id < 9 AND value > 50 ORDER BY value_r DESC, seq LIMIT 100",
     "q_search_term" ->

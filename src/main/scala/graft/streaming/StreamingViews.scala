@@ -155,16 +155,33 @@ object StreamingViews {
     * and one processor can hold several typed states. The final per-key
     * state is micro-batching-invariant, so the SAME batch aggregate
     * oracles both implementations (`q_stream_state` / `q_stream_state_tws`). */
+  /** `stateTtl`: the TWS-native eviction knob — per-VARIABLE state TTL
+    * (`TTLConfig`), the API surface [[timeoutConf]]'s per-key timeouts
+    * approximate on mapGroupsWithState. Semantics differ and are the
+    * point of having both: TWS TTL expires SILENTLY (an expired key's
+    * next read sees empty state and restarts — no final-snapshot
+    * re-emission), is enforced per state variable rather than per key
+    * function, and is cleaned up by the state store itself (RocksDB
+    * compaction filters at scale) rather than by scheduled sweep
+    * batches. Requires `TimeMode.ProcessingTime`, which — like the
+    * mapGroupsWithState timeouts — keeps `shouldRunAnotherBatch` true:
+    * pair with a real trigger interval and gate tests on sink contents. */
   def runningStatsPerKeyTws(
       stream: DataFrame,
       keyCol: String,
-      valueCol: String): Dataset[(Long, Stats)] = {
+      valueCol: String,
+      stateTtl: Option[java.time.Duration] = None): Dataset[(Long, Stats)] = {
     val spark = stream.sparkSession
     import spark.implicits._
+    val (ttlConf, timeMode) = stateTtl match {
+      case Some(d) => (org.apache.spark.sql.streaming.TTLConfig(d),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime())
+      case None => (org.apache.spark.sql.streaming.TTLConfig.NONE,
+        org.apache.spark.sql.streaming.TimeMode.None())
+    }
     stream.select(col(keyCol).cast("long"), col(valueCol).cast("double")).as[(Long, Double)]
       .groupByKey(_._1)
-      .transformWithState(new WelfordProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      .transformWithState(new WelfordProcessor(ttlConf), timeMode, OutputMode.Update())
   }
 
   /** Trailing-window state for [[rollingAnomalyPerKey]]: the last
@@ -496,7 +513,9 @@ object StreamingViews {
   * `ValueState[Stats]`, updated with the same fold/merge as the
   * mapGroupsWithState twin (bit-identical state transitions, so the two
   * implementations share an oracle). */
-private[streaming] class WelfordProcessor
+private[streaming] class WelfordProcessor(
+    ttl: org.apache.spark.sql.streaming.TTLConfig =
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
     extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), (Long, Stats)] {
   @transient private var state: org.apache.spark.sql.streaming.ValueState[Stats] = _
 
@@ -504,8 +523,7 @@ private[streaming] class WelfordProcessor
       outputMode: OutputMode,
       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
     state = getHandle.getValueState[Stats]("welford",
-      org.apache.spark.sql.Encoders.product[Stats],
-      org.apache.spark.sql.streaming.TTLConfig.NONE)
+      org.apache.spark.sql.Encoders.product[Stats], ttl)
 
   override def handleInputRows(
       key: Long,

@@ -79,9 +79,12 @@ final case class Query(
       case None =>
         Query.orIndexSeqs(db, conjuncts) match {
           case None => run(db.mapped)
-          case Some((matchedIdx, seqDf)) =>
+          case Some((matchedIdx, seqDf, drop)) =>
+            // drop = every arm exact equality; otherwise the original
+            // disjunction stays as a zero-cost residual guard over the
+            // seq-narrowed rows (superset reads made exact)
             val residual = conjuncts.zipWithIndex.collect {
-              case (c, j) if j != matchedIdx => c
+              case (c, j) if !(drop && j == matchedIdx) => c
             }
             val base = Query.readBySeqs(db, seqDf, maxInline)
             finish(residual.foldLeft(base)((d, f) => d.where(f)))
@@ -320,62 +323,126 @@ object Query {
     })
   }
 
+  /** One OR arm's chosen access path: an exact per-view `isin` key
+    * list, or a superset posting read (range bound / partial conjunct)
+    * that needs the original disjunction kept as a residual guard. */
+  private sealed trait OrArm
+  private final case class EqArm(viewName: String, keys: Seq[String]) extends OrArm
+  private final case class ReadArm(viewName: String, filter: DataFrame => DataFrame) extends OrArm
+
   /** Index-UNION selection (the r8 verdict's OR gap): the first
-    * top-level DISJUNCTION conjunct whose EVERY disjunct is an
-    * equality/`isin` on a mounted single-column index resolves to a
-    * union-distinct of posting reads — `type = 'a' OR user = 3` reads
-    * two posting tables and unions their seqs instead of scanning the
-    * log. The level-view analog is a union of two ordered index reads
+    * top-level DISJUNCTION conjunct whose EVERY arm has a servable
+    * index access path resolves to a union-distinct of posting reads —
+    * `type = 'a' OR user = 3` reads two posting tables and unions
+    * their seqs instead of scanning the log. The level-view analog is
+    * a union of two ordered index reads
     * (`/root/reference/README.md:93`).
     *
-    * Per VIEW the disjuncts' keys merge into ONE `isin` posting filter
-    * (one read per index, however many disjuncts name it); across
-    * views the seq lists union with `distinct` — a row matching two
-    * disjuncts must surface once, and the dedup shuffles only 8-byte
-    * seqs from already key-filtered postings, never log rows. Within
-    * one view no dedup is needed (a record holds one key, so distinct
-    * eq keys select disjoint postings). Equality lookups are exact
-    * (the `keyString` cast-round-trip contract, as [[indexHit]]), so
-    * the matched conjunct is fully served and dropped; any disqualified
-    * disjunct (unindexed column, un-castable literal) disqualifies the
+    * Arm shapes served (each arm independently):
+    *  - `col = lit` / `col isin (…)` on an indexed column — exact
+    *    (the `keyString` cast-round-trip contract, as [[indexHit]]);
+    *  - range conjuncts (`>=`/`<=`/`>`/`<`) on an indexed column — a
+    *    decoded-key range read of that posting table, ALL of the arm's
+    *    bounds on that column applied at once (the [[rangeIndexHit]]
+    *    shape);
+    *  - a CONJUNCTIVE arm (`a OR (b AND c)`): served through any one
+    *    indexable conjunct — the posting read is a SUPERSET of the
+    *    arm (rows satisfying b ⊇ rows satisfying b AND c), which the
+    *    residual guard below makes exact.
+    *
+    * Per VIEW the eq arms' keys merge into ONE `isin` posting filter;
+    * range/partial arms read their posting separately; across reads
+    * the seq lists union with `distinct` — a row matching two arms
+    * must surface once, and the dedup shuffles only 8-byte seqs from
+    * key-filtered postings, never log rows. When every arm is a bare
+    * exact equality the matched conjunct is fully served and dropped
+    * (`drop = true`); any range or conjunctive arm keeps the ORIGINAL
+    * disjunction as a zero-cost residual filter over the seq-narrowed
+    * rows — the superset reads stay exact. Any arm with no servable
+    * path (unindexed column, un-castable literal) disqualifies the
     * whole disjunction — OR is only safe to serve when every arm is.
     * A conjunction without any OR conjunct returns None at zero cost. */
-  private[views] def orIndexSeqs(db: FlumeDb, conjuncts: Seq[Column]): Option[(Int, DataFrame)] = {
+  private[views] def orIndexSeqs(
+      db: FlumeDb, conjuncts: Seq[Column]): Option[(Int, DataFrame, Boolean)] = {
     val indexes = mountedIndexes(db)
     if (indexes.isEmpty) return None
     lazy val schema = db.mapped.schema
+
+    def eqPath(d: Column): Option[EqArm] = for {
+      (attr, values) <- ColumnBridge.eqInOnAttribute(d)
+      viewName <- indexes.get(attr)
+      field <- schema.find(_.name == attr)
+      keys <- Some(values.flatMap(v => keyString(v, field.dataType)))
+      if keys.length == values.length
+    } yield EqArm(viewName, keys)
+
+    // range path over the arm's conjuncts: first indexed column with
+    // range bounds, ALL of that column's bounds applied to the decode
+    def rangePath(armConjuncts: Seq[Column]): Option[ReadArm] = {
+      val ranged = armConjuncts.flatMap(ColumnBridge.rangeOnAttribute)
+      ranged.collectFirst(Function.unlift { case (attr, _, _) =>
+        for {
+          viewName <- indexes.get(attr)
+          field <- schema.find(_.name == attr)
+          bounds <- Some(ranged.filter(_._1 == attr))
+          if bounds.forall { case (_, _, v) =>
+            scala.util.Try(keyString(v, field.dataType)).toOption.flatten.isDefined
+          }
+        } yield {
+          val decoded = col("key").cast(field.dataType)
+          val pred = bounds.map { case (_, op, v) =>
+            val l = lit(v).cast(field.dataType)
+            op match {
+              case ">=" => decoded >= l
+              case "<=" => decoded <= l
+              case ">"  => decoded > l
+              case "<"  => decoded < l
+            }
+          }.reduce(_ && _)
+          ReadArm(viewName, p => p.where(pred))
+        }
+      })
+    }
+
+    def armPath(d: Column): Option[OrArm] = {
+      val armConjuncts = ColumnBridge.conjuncts(d)
+      // a single-predicate arm tries eq first (exact); a conjunctive
+      // arm may serve through ANY of its conjuncts (superset read)
+      armConjuncts.flatMap(eqPath).headOption
+        .map(a => if (armConjuncts.length == 1) a
+          else ReadArm(a.viewName, p =>
+            if (a.keys.isEmpty) p.where(lit(false))
+            else p.where(col("key").isin(a.keys: _*))))
+        .orElse(rangePath(armConjuncts))
+    }
+
     conjuncts.zipWithIndex.collectFirst(Function.unlift { case (c, i) =>
       val ds = ColumnBridge.disjuncts(c)
       if (ds.length < 2) None
       else {
-        // every disjunct must be an indexed eq/isin with clean keys
-        val arms: Seq[Option[(String, Seq[String])]] = ds.map { d =>
-          for {
-            (attr, values) <- ColumnBridge.eqInOnAttribute(d)
-            viewName <- indexes.get(attr)
-            field <- schema.find(_.name == attr)
-            keys <- Some(values.flatMap(v => keyString(v, field.dataType)))
-            if keys.length == values.length
-          } yield (viewName, keys)
-        }
+        val arms = ds.map(armPath)
         if (arms.exists(_.isEmpty)) None
         else {
-          val byView = arms.flatten.groupBy(_._1)
-            .map { case (v, ks) => v -> ks.flatMap(_._2).distinct }
-          // every posting must be mounted AND ready, else fall back
-          val postings = byView.toSeq.sortBy(_._1).map { case (viewName, keys) =>
-            db.gated(viewName)(_.frameOption).map { p =>
-              if (keys.isEmpty) p.where(lit(false)).select(col("seq"))
-              else p.where(col("key").isin(keys: _*)).select(col("seq"))
+          val flat = arms.flatten
+          val exact = flat.forall(_.isInstanceOf[EqArm])
+          val eqByView = flat.collect { case EqArm(v, ks) => (v, ks) }
+            .groupBy(_._1).map { case (v, ks) => v -> ks.flatMap(_._2).distinct }
+          val reads: Seq[Option[DataFrame]] =
+            eqByView.toSeq.sortBy(_._1).map { case (viewName, keys) =>
+              db.gated(viewName)(_.frameOption).map { p =>
+                if (keys.isEmpty) p.where(lit(false)).select(col("seq"))
+                else p.where(col("key").isin(keys: _*)).select(col("seq"))
+              }
+            } ++ flat.collect { case ReadArm(viewName, f) =>
+              db.gated(viewName)(_.frameOption).map(p => f(p).select(col("seq")))
             }
-          }
-          if (postings.exists(_.isEmpty)) None
+          if (reads.exists(_.isEmpty)) None
           else {
-            val reads = postings.flatten
+            val rs = reads.flatten
             val seqDf =
-              if (reads.length == 1) reads.head
-              else reads.reduce(_ union _).distinct()
-            Some((i, seqDf))
+              if (rs.length == 1 && exact) rs.head
+              else rs.reduce(_ union _).distinct()
+            Some((i, seqDf, exact))
           }
         }
       }

@@ -768,6 +768,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TWS state TTL: expired key restarts silently; unexpired TTL matches no-TTL") {
+    val kvSchema = StructType(Seq(StructField("k", LongType), StructField("v", DoubleType)))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(name: String, ttl: java.time.Duration, idleMs: Long): Set[(Long, Long, Double)] = {
+        val log = new MemoryLog(spark, kvSchema)
+        log.appendRows(Seq(Row(1L, 1.0)))
+        val q = StreamingViews.runningStatsPerKeyTws(
+            log.readStream.select("k", "v"), "k", "v", stateTtl = Some(ttl))
+          .toDF("key", "stats")
+          .writeStream.format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+          .outputMode(OutputMode.Update()).start()
+        try {
+          def rows = spark.sql(s"SELECT key, stats.n, stats.mean FROM $name")
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+          pollUntil(s"$name: first observation")(rows.contains((1L, 1L, 1.0)))
+          Thread.sleep(idleMs)
+          log.appendRows(Seq(Row(1L, 5.0)))
+          pollUntil(s"$name: second observation")(
+            rows.exists(r => r._1 == 1L && r._3 != 1.0))
+          rows
+        } finally q.stop()
+      }
+      // TTL expired during the idle window: the value state reads empty
+      // on the next touch and the key restarts SILENTLY — n=1, mean=5
+      val expired = run("tws_ttl_fast", java.time.Duration.ofMillis(100), idleMs = 500)
+      assert(expired.contains((1L, 1L, 5.0)),
+        s"expired key must restart from zero, got $expired")
+      assert(!expired.exists(r => r._1 == 1L && r._2 == 2L),
+        s"no merge across an expiry, got $expired")
+      // TTL armed but unexpired: identical to the no-TTL twin's merge
+      val armed = run("tws_ttl_slow", java.time.Duration.ofHours(1), idleMs = 100)
+      assert(armed.contains((1L, 2L, 3.0)),
+        s"unexpired TTL must merge like no-TTL (n=2, mean=3), got $armed")
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState twin reaches the same per-key state across batches") {
     val kvSchema = StructType(Seq(StructField("k", LongType), StructField("v", DoubleType)))
     val log = new MemoryLog(spark, kvSchema)

@@ -218,6 +218,26 @@ class ViewsSpec extends SparkSpec {
       === mixed.run(db.mapped).collect().map(key).toSeq)
     // no arm matches anything → empty, not an error
     assert(Query().where(col("tag") === "zzz" || col("foo") === 777L).run(db).collect().isEmpty)
+    // RANGE arm: eq arm unions with a decoded-key range read; the
+    // original disjunction stays as a residual guard (exact answer)
+    val rangeOr = Query().where(col("tag") === "c" || col("foo") >= 8L)
+      .select(col("seq"), col("foo")).orderBy(col("seq"))
+    assert(rangeOr.run(db).collect().map(key).toSeq
+      === rangeOr.run(db.mapped).collect().map(key).toSeq)
+    // two range arms, one bounded both sides
+    val twoRanges = Query().where((col("foo") >= 8L && col("foo") < 10L) || col("foo") < 2L)
+      .select(col("seq"), col("foo")).orderBy(col("seq"))
+    assert(twoRanges.run(db).collect().map(key).toSeq
+      === twoRanges.run(db.mapped).collect().map(key).toSeq)
+    // CONJUNCTIVE arm: (tag = 'a' AND foo > 4) serves through the tag
+    // posting (superset read); the residual guard drops foo <= 4 rows
+    val conjArm = Query().where((col("tag") === "a" && col("foo") > 4L) || col("foo") === 9L)
+      .select(col("seq"), col("foo")).orderBy(col("seq"))
+    assert(conjArm.run(db).collect().map(key).toSeq
+      === conjArm.run(db.mapped).collect().map(key).toSeq)
+    // the superset read must NOT leak rows the arm rejects: (3, "a") at
+    // seq 4 matches tag = 'a' but fails foo > 4 and foo = 9
+    assert(!conjArm.run(db).collect().map(_.getLong(0)).contains(4L))
     // one arm on an UNINDEXED column disqualifies the whole disjunction
     // (falls back to the scan — same answer, no wrong-plan risk)
     val (_, dbp) = db2()
