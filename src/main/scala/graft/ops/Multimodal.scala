@@ -586,6 +586,181 @@ object Multimodal {
     spark.createDataFrame(rdd, audioFpSchema)
   }
 
+  private val audioGramSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("pos", LongType, nullable = false),
+    StructField("gram", StringType, nullable = false)))
+
+  /** Positional energy-sign grams over the REAL PCM decode — the audio
+    * analog of the text substring family's hashed shingles: the
+    * recording's window-energy SIGN string (bit w = energy(w+1) >
+    * energy(w), [[audioFingerprint]]'s bit rule without the 64-bit cap)
+    * is cut into every `gramWindows`-long substring with its window
+    * position. Signs are gain-invariant, and a clip cut at a
+    * WINDOW-ALIGNED sample offset reproduces the parent's sign string
+    * exactly over the shared windows — so clip-in-recording containment
+    * becomes a gram equi-join, like substring spans over text. Window
+    * alignment is the granularity trade: an unaligned cut shifts every
+    * window boundary (production systems pay overlapping hops for
+    * that; the window machinery here is the hop=window case).
+    *
+    * The gram is the literal sign substring (`gramWindows` chars of
+    * 0/1); at 64+ windows a pipeline would hash it to 8 bytes — the
+    * join key either way. Narrow partition-batched decode, no shuffle. */
+  def audioGrams(
+      media: DataFrame,
+      windowSamples: Int = 16,
+      gramWindows: Int = 24): DataFrame = {
+    require(gramWindows >= 8, s"gram needs enough windows to be selective, got $gramWindows")
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        if (bytes == null || bytes.length < 12) Iterator.empty
+        else try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16, "fixture decoder handles 16-bit PCM")
+            val data = ais.readAllBytes()
+            val bigEndian = fmt.isBigEndian
+            val n = data.length / 2
+            val nWindows = (n + windowSamples - 1) / windowSamples
+            val energy = new Array[Long](nWindows)
+            var w = 0
+            while (w < nWindows) {
+              val from = w * windowSamples
+              val until = math.min(from + windowSamples, n)
+              var sum = 0L; var i = from
+              while (i < until) {
+                val lo = data(if (bigEndian) 2 * i + 1 else 2 * i) & 0xff
+                val hi = data(if (bigEndian) 2 * i else 2 * i + 1)
+                sum += math.abs((hi << 8 | lo).toShort.toLong)
+                i += 1
+              }
+              energy(w) = sum
+              w += 1
+            }
+            val signs = new StringBuilder(math.max(0, nWindows - 1))
+            var k = 0
+            while (k < nWindows - 1) {
+              signs.append(if (energy(k + 1) > energy(k)) '1' else '0')
+              k += 1
+            }
+            val s = signs.toString
+            val id = r.getLong(0)
+            (0 to s.length - gramWindows).iterator.map(p =>
+              Row(id, p.toLong, s.substring(p, p + gramWindows)))
+          } finally ais.close()
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+      }
+    }
+    spark.createDataFrame(rdd, audioGramSchema)
+  }
+
+  /** Clip-in-recording containment: which stored recordings contain a
+    * query CLIP (at window granularity) — the audio rung of the
+    * substring-dedup ladder, the "this snippet is already in the
+    * corpus" check an ASR-ingest dedup runs on clip reuploads. Every
+    * clip gram must align at ONE offset: candidates come from a gram
+    * equi-join, grouped by (clip, corpus, offset = corpus pos − clip
+    * pos), and a full match (count == the clip's gram count) emits
+    * `(clip_id, corpus_id, offset_windows, n_grams)`.
+    *
+    * 100 TB shape mirrors the text incremental: the CLIP batch's gram
+    * table broadcasts (count-fenced with a shuffle fallback); the
+    * stored corpus grams are scanned once, never shuffled — only
+    * MATCHED rows reach the (clip, corpus, offset) aggregate, and the
+    * partial count collapses map-side. Corpus grams hotter than
+    * `maxBucket` are dropped whole before the join (degenerate audio —
+    * silence, tones — would otherwise expand O(corpus)); a clip
+    * overlapping a dropped gram cannot reach a full match, the strict
+    * trade documented on the text side's df cap too. */
+  def audioClipContainment(
+      clips: DataFrame,
+      corpus: DataFrame,
+      windowSamples: Int = 16,
+      gramWindows: Int = 24,
+      maxBucket: Int = 256,
+      maxBroadcastKeys: Long = 4L * 1000 * 1000): DataFrame = {
+    val clipGrams = audioGrams(clips, windowSamples, gramWindows)
+      .select(col("media_id").as("clip_id"), col("pos").as("kpos"), col("gram"))
+    val corpusGrams = audioGrams(corpus, windowSamples, gramWindows)
+      .select(col("media_id").as("corpus_id"), col("pos").as("cpos"), col("gram"))
+    audioClipContainmentFromGrams(clipGrams, corpusGrams, maxBucket, maxBroadcastKeys)
+  }
+
+  /** The join half of [[audioClipContainment]], over precomputed gram
+    * tables — the stored-artifact form (grams computed once at ingest,
+    * kept hot while the waveforms stay cold). */
+  def audioClipContainmentFromGrams(
+      clipGrams: DataFrame,
+      corpusGrams: DataFrame,
+      maxBucket: Int = 256,
+      maxBroadcastKeys: Long = 4L * 1000 * 1000): DataFrame = {
+    val spark = clipGrams.sparkSession
+    val hot = corpusGrams.groupBy("gram").count()
+      .where(col("count") > maxBucket).select("gram")
+    val kept = corpusGrams.join(hot, Seq("gram"), "left_anti")
+    val totals = clipGrams.groupBy("clip_id").agg(count(lit(1)).as("__total"))
+    val cg = clipGrams.persist()
+    val bcast = cg.limit((maxBroadcastKeys + 1).toInt).count() <= maxBroadcastKeys
+    val joined =
+      if (bcast) kept.join(broadcast(cg), Seq("gram"))
+      else kept.join(cg, Seq("gram"))
+    val out = joined
+      .groupBy(col("clip_id"), col("corpus_id"), (col("cpos") - col("kpos")).as("offset_windows"))
+      .agg(count(lit(1)).as("n_grams"))
+      .join(broadcast(totals), Seq("clip_id"))
+      .where(col("n_grams") === col("__total") && col("offset_windows") >= 0)
+      .select(col("clip_id"), col("corpus_id"), col("offset_windows"), col("n_grams"))
+    val ck = out.localCheckpoint(true)
+    cg.unpersist(blocking = false)
+    ck
+  }
+
+  /** Window-aligned clip fixture for the containment family: the
+    * samples of the TEXTURED waveform ([[syntheticWavMedia]]) from
+    * sample `startWindow * 16` for `nWindows * 16` samples, gain-scaled
+    * — a planted sub-segment of every original, replayable in SQL from
+    * the same mixer formula at the shifted sample index. */
+  def syntheticWavClip(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      startWindow: Int = 8,
+      nWindows: Int = 32,
+      gain: Int = 1,
+      idOffset: Long = 90000L): DataFrame = {
+    require(gain >= 1 && gain <= 30, s"gain must keep 16-bit PCM exact, got $gain")
+    val spark = docs.sparkSession
+    val s0 = startWindow * 16
+    val len = nWindows * 16
+    val rdd = docs.select(col(idCol)).where(col(idCol) % 3 === 2).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val pcm = new Array[Byte](len * 2)
+        var i = 0
+        while (i < len) {
+          val m = (id * 31 + 17L * (i + s0)) * 2654435761L
+          val v = (m ^ (m >> 15) ^ (m >> 30)) % 2003L - 1001L
+          val s = (gain * v).toShort
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, len.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(id + idOffset, "audio", bos.toByteArray, Row(0, 0, len * 1000L / 8000L, "audio/wav"))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
   /** Audio near-dup pairs from a `(media_id, afp)` fingerprint table:
     * the [[perceptualNearDup]] pigeonhole-segment machinery verbatim —
     * a 64-bit hamming space doesn't care which modality produced it. */

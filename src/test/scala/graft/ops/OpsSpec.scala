@@ -759,6 +759,27 @@ class OpsSpec extends SparkSpec {
     assert(inc === pairs.map { case (a, b, d) => (math.max(a, b), math.min(a, b), d) }.toSet)
   }
 
+  test("audio clip containment: every planted clip found at its exact window offset, nothing else") {
+    val corpus = Multimodal.syntheticWavMedia(docs, textured = true)
+    val clips = Multimodal.syntheticWavClip(docs, startWindow = 8, nWindows = 32, gain = 2)
+    val hits = Multimodal.audioClipContainment(clips, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = corpus.count()
+    // total recall: each clip contained in its parent at offset 8 (the
+    // cut point), all 8 grams aligned, despite the x2 gain
+    val planted = hits.filter { case (c, p, off, ng) =>
+      p == c - 90000L && off == 8L && ng == 8L }
+    assert(planted.length === n, s"planted containment ${planted.length}/$n")
+    // and nothing else: no cross-recording or wrong-offset full matches
+    assert(hits.length === planted.length,
+      s"unexpected extra containments: ${hits.filterNot(planted.contains).take(5).toSeq}")
+    // a clip NOT cut from the corpus (different texture id-space via a
+    // huge offset into untextured sawtooth audio) matches nothing
+    val foreign = Multimodal.syntheticWavMedia(docs.limit(9), gain = 2, idOffset = 95000L)
+    assert(Multimodal.audioClipContainment(foreign, corpus).count() === 0L,
+      "foreign audio must not be claimed as contained")
+  }
+
   test("real GIF multi-frame decode: every frame's pixels round-trip exactly; frame count honored") {
     val media = Multimodal.syntheticGifMedia(docs)
     val rows = Multimodal.frameStats(media).collect()
