@@ -564,6 +564,31 @@ private[graft] object EntryHelpers {
     }
   }
 
+  val agramViews = scala.collection.concurrent.TrieMap.empty[String, (SparkSession, graft.views.AudioGramTableView)]
+  val agramBuildLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
+  def agramTable(s: SparkSession, dir: String): graft.views.AudioGramTableView = {
+    def build(): (SparkSession, graft.views.AudioGramTableView) = {
+      val vdir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft-agram-" + sourceFingerprint(s"$dir/documents.parquet")).toString
+      val v = new graft.views.AudioGramTableView(s, vdir, 1)
+      if (v.since < 0)
+        v.absorbGrams(Multimodal.audioGrams(
+          Multimodal.syntheticWavMedia(t(s, dir, "documents"), textured = true)), 1L)
+      (s, v)
+    }
+    val lock = agramBuildLocks.getOrElseUpdate(dir, new Object)
+    lock.synchronized {
+      val e = agramViews.getOrElseUpdate(dir, build())
+      if (e._1 eq s) e._2
+      else {
+        agramViews.remove(dir, e)
+        val fresh = build()
+        agramViews.put(dir, fresh)
+        fresh._2
+      }
+    }
+  }
+
   def phashTable(s: SparkSession, dir: String): graft.views.PhashTableView = {
     def build(): (SparkSession, graft.views.PhashTableView) = {
       val vdir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),

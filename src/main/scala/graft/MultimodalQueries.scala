@@ -128,6 +128,14 @@ private[graft] object MultimodalQueries {
       Multimodal.audioClipContainment(clips, corpus)
         .orderBy("clip_id", "corpus_id", "offset_windows")
     }),
+    "q_audio_clip_containment_stored" -> ((s, dir) => {
+      // the stored-artifact form: the clip batch checks against the
+      // durable AudioGramTableView (grams computed once at ingest) —
+      // a physical rewrite of the one-shot, sharing its oracle
+      val clips = Multimodal.syntheticWavClip(t(s, dir, "documents"), gain = 2)
+      agramTable(s, dir).containsBatch(clips)
+        .orderBy("clip_id", "corpus_id", "offset_windows")
+    }),
     "q_image_phash" -> ((s, dir) =>
       // dHash over the REAL decode of the textured PNG fixture; emitted
       // as two 32-bit halves (both engines overflow assembling bit 63)
@@ -190,6 +198,36 @@ private[graft] object MultimodalQueries {
       Multimodal.frameStats(Multimodal.syntheticGifMedia(t(s, dir, "documents")))
         .orderBy("media_id", "frame_idx")),
   )
+
+  // shared by q_audio_clip_containment and its stored form (a physical
+  // rewrite): mixer energies for corpus AND the gain×2 sample-shifted
+  // clips, sign strings via string_agg, every positional 24-gram, the
+  // >256 hot drop, gram equi-join, full-alignment count at one offset
+  private val clipContainmentSql: String =
+    "WITH ids AS (SELECT doc_id AS media_id, 800 + doc_id % 400 AS n FROM documents WHERE doc_id % 3 = 2), " +
+      "w AS (SELECT media_id, n, unnest(generate_series(0, (n + 15) // 16 - 1)) AS wi FROM ids), " +
+      "sm AS (SELECT media_id, wi, (media_id * 31 + 17 * unnest(generate_series(wi * 16, least(wi * 16 + 15, n - 1)))) * 2654435761 AS m FROM w), " +
+      "e AS MATERIALIZED (SELECT media_id, wi, sum(abs(xor(xor(m, m // 32768), m // 1073741824) % 2003 - 1001)) AS en FROM sm GROUP BY 1, 2), " +
+      "bits AS (SELECT a.media_id, a.wi AS k, CASE WHEN b.en > a.en THEN '1' ELSE '0' END AS bit " +
+      "FROM e a JOIN e b ON a.media_id = b.media_id AND b.wi = a.wi + 1), " +
+      "sgn AS (SELECT media_id, string_agg(bit, '' ORDER BY k) AS s FROM bits GROUP BY 1), " +
+      "cg AS MATERIALIZED (SELECT media_id AS corpus_id, unnest(generate_series(0, length(s) - 24)) AS cpos, s FROM sgn), " +
+      "cg2 AS MATERIALIZED (SELECT corpus_id, cpos, substr(s, CAST(cpos + 1 AS INTEGER), 24) AS gram FROM cg), " +
+      "hot AS (SELECT gram FROM cg2 GROUP BY 1 HAVING count(*) > 256), " +
+      "kept AS (SELECT * FROM cg2 ANTI JOIN hot USING (gram)), " +
+      "kid AS (SELECT doc_id + 90000 AS clip_id, doc_id AS oid FROM documents WHERE doc_id % 3 = 2), " +
+      "kw AS (SELECT clip_id, oid, unnest(generate_series(0, 31)) AS wi FROM kid), " +
+      "ksm AS (SELECT clip_id, wi, (oid * 31 + 17 * (unnest(generate_series(wi * 16, wi * 16 + 15)) + 128)) * 2654435761 AS m FROM kw), " +
+      "ke AS MATERIALIZED (SELECT clip_id, wi, sum(2 * abs(xor(xor(m, m // 32768), m // 1073741824) % 2003 - 1001)) AS en FROM ksm GROUP BY 1, 2), " +
+      "kbits AS (SELECT a.clip_id, a.wi AS k, CASE WHEN b.en > a.en THEN '1' ELSE '0' END AS bit " +
+      "FROM ke a JOIN ke b ON a.clip_id = b.clip_id AND b.wi = a.wi + 1), " +
+      "ksgn AS (SELECT clip_id, string_agg(bit, '' ORDER BY k) AS s FROM kbits GROUP BY 1), " +
+      "kg AS MATERIALIZED (SELECT clip_id, unnest(generate_series(0, length(s) - 24)) AS kpos, s FROM ksgn), " +
+      "kg2 AS MATERIALIZED (SELECT clip_id, kpos, substr(s, CAST(kpos + 1 AS INTEGER), 24) AS gram FROM kg), " +
+      "tot AS (SELECT clip_id, count(*) AS t FROM kg2 GROUP BY 1), " +
+      "j AS (SELECT clip_id, corpus_id, cpos - kpos AS offset_windows, count(*) AS n_grams FROM kg2 JOIN kept USING (gram) GROUP BY 1, 2, 3) " +
+      "SELECT clip_id, corpus_id, offset_windows::BIGINT AS offset_windows, n_grams::BIGINT AS n_grams " +
+      "FROM j JOIN tot USING (clip_id) WHERE n_grams = t AND offset_windows >= 0 ORDER BY clip_id, corpus_id, offset_windows"
 
   def oracles: Map[String, String] = Map(
     "q_multimodal_resize" ->
@@ -305,35 +343,13 @@ private[graft] object MultimodalQueries {
         "SELECT id_a, id_b, (bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)))::BIGINT AS hamming " +
         "FROM cand JOIN fp pa ON pa.media_id = id_a JOIN fp pb ON pb.media_id = id_b " +
         "WHERE bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)) <= 7 ORDER BY id_a, id_b"),
-    "q_audio_clip_containment" ->
-      // the full containment replay: mixer energies for corpus AND the
-      // gain×2 sample-shifted clips, sign strings via string_agg, every
-      // 24-gram with its position, the >256 hot drop, gram equi-join,
-      // full-alignment count at one offset
-      ("WITH ids AS (SELECT doc_id AS media_id, 800 + doc_id % 400 AS n FROM documents WHERE doc_id % 3 = 2), " +
-        "w AS (SELECT media_id, n, unnest(generate_series(0, (n + 15) // 16 - 1)) AS wi FROM ids), " +
-        "sm AS (SELECT media_id, wi, (media_id * 31 + 17 * unnest(generate_series(wi * 16, least(wi * 16 + 15, n - 1)))) * 2654435761 AS m FROM w), " +
-        "e AS MATERIALIZED (SELECT media_id, wi, sum(abs(xor(xor(m, m // 32768), m // 1073741824) % 2003 - 1001)) AS en FROM sm GROUP BY 1, 2), " +
-        "bits AS (SELECT a.media_id, a.wi AS k, CASE WHEN b.en > a.en THEN '1' ELSE '0' END AS bit " +
-        "FROM e a JOIN e b ON a.media_id = b.media_id AND b.wi = a.wi + 1), " +
-        "sgn AS (SELECT media_id, string_agg(bit, '' ORDER BY k) AS s FROM bits GROUP BY 1), " +
-        "cg AS MATERIALIZED (SELECT media_id AS corpus_id, unnest(generate_series(0, length(s) - 24)) AS cpos, s FROM sgn), " +
-        "cg2 AS MATERIALIZED (SELECT corpus_id, cpos, substr(s, CAST(cpos + 1 AS INTEGER), 24) AS gram FROM cg), " +
-        "hot AS (SELECT gram FROM cg2 GROUP BY 1 HAVING count(*) > 256), " +
-        "kept AS (SELECT * FROM cg2 ANTI JOIN hot USING (gram)), " +
-        "kid AS (SELECT doc_id + 90000 AS clip_id, doc_id AS oid FROM documents WHERE doc_id % 3 = 2), " +
-        "kw AS (SELECT clip_id, oid, unnest(generate_series(0, 31)) AS wi FROM kid), " +
-        "ksm AS (SELECT clip_id, wi, (oid * 31 + 17 * (unnest(generate_series(wi * 16, wi * 16 + 15)) + 128)) * 2654435761 AS m FROM kw), " +
-        "ke AS MATERIALIZED (SELECT clip_id, wi, sum(2 * abs(xor(xor(m, m // 32768), m // 1073741824) % 2003 - 1001)) AS en FROM ksm GROUP BY 1, 2), " +
-        "kbits AS (SELECT a.clip_id, a.wi AS k, CASE WHEN b.en > a.en THEN '1' ELSE '0' END AS bit " +
-        "FROM ke a JOIN ke b ON a.clip_id = b.clip_id AND b.wi = a.wi + 1), " +
-        "ksgn AS (SELECT clip_id, string_agg(bit, '' ORDER BY k) AS s FROM kbits GROUP BY 1), " +
-        "kg AS MATERIALIZED (SELECT clip_id, unnest(generate_series(0, length(s) - 24)) AS kpos, s FROM ksgn), " +
-        "kg2 AS MATERIALIZED (SELECT clip_id, kpos, substr(s, CAST(kpos + 1 AS INTEGER), 24) AS gram FROM kg), " +
-        "tot AS (SELECT clip_id, count(*) AS t FROM kg2 GROUP BY 1), " +
-        "j AS (SELECT clip_id, corpus_id, cpos - kpos AS offset_windows, count(*) AS n_grams FROM kg2 JOIN kept USING (gram) GROUP BY 1, 2, 3) " +
-        "SELECT clip_id, corpus_id, offset_windows::BIGINT AS offset_windows, n_grams::BIGINT AS n_grams " +
-        "FROM j JOIN tot USING (clip_id) WHERE n_grams = t AND offset_windows >= 0 ORDER BY clip_id, corpus_id, offset_windows"),
+    // the full containment replay: mixer energies for corpus AND the
+    // gain×2 sample-shifted clips, sign strings via string_agg, every
+    // 24-gram with its position, the >256 hot drop, gram equi-join,
+    // full-alignment count at one offset; the STORED form is a physical
+    // rewrite (grams from the durable table) and shares the oracle
+    "q_audio_clip_containment" -> clipContainmentSql,
+    "q_audio_clip_containment_stored" -> clipContainmentSql,
     "q_image_phash" ->
       // PNG is lossless, so the decoded gray channel IS the mixer
       // formula and every dHash bit re-derives in integers: nearest

@@ -699,25 +699,39 @@ object Multimodal {
       corpusGrams: DataFrame,
       maxBucket: Int = 256,
       maxBroadcastKeys: Long = 4L * 1000 * 1000): DataFrame = {
-    val spark = clipGrams.sparkSession
+    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+    val out = audioClipContainmentStage(clipGrams, corpusGrams,
+      maxBucket, maxBroadcastKeys, persisted)
+    val ck = out.localCheckpoint(true)
+    persisted.foreach(_.unpersist(blocking = false))
+    ck
+  }
+
+  /** The pre-checkpoint containment stage — split out so PlanSpec can
+    * assert the broadcast shape (`localCheckpoint` truncates the
+    * visible plan, the [[perceptualNearDupIncrementalStage]] pattern). */
+  private[graft] def audioClipContainmentStage(
+      clipGrams: DataFrame,
+      corpusGrams: DataFrame,
+      maxBucket: Int,
+      maxBroadcastKeys: Long,
+      persisted: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
     val hot = corpusGrams.groupBy("gram").count()
       .where(col("count") > maxBucket).select("gram")
     val kept = corpusGrams.join(hot, Seq("gram"), "left_anti")
     val totals = clipGrams.groupBy("clip_id").agg(count(lit(1)).as("__total"))
     val cg = clipGrams.persist()
+    persisted += cg
     val bcast = cg.limit((maxBroadcastKeys + 1).toInt).count() <= maxBroadcastKeys
     val joined =
       if (bcast) kept.join(broadcast(cg), Seq("gram"))
       else kept.join(cg, Seq("gram"))
-    val out = joined
+    joined
       .groupBy(col("clip_id"), col("corpus_id"), (col("cpos") - col("kpos")).as("offset_windows"))
       .agg(count(lit(1)).as("n_grams"))
       .join(broadcast(totals), Seq("clip_id"))
       .where(col("n_grams") === col("__total") && col("offset_windows") >= 0)
       .select(col("clip_id"), col("corpus_id"), col("offset_windows"), col("n_grams"))
-    val ck = out.localCheckpoint(true)
-    cg.unpersist(blocking = false)
-    ck
   }
 
   /** Window-aligned clip fixture for the containment family: the

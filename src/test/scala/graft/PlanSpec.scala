@@ -428,6 +428,31 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("partial_min"), s"argmin must partial-aggregate pre-shuffle:\n${s.take(2000)}")
   }
 
+  test("audio clip containment: clip grams broadcast; corpus grams never shuffle before the match count") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpusGrams = graft.ops.Multimodal.audioGrams(
+      graft.ops.Multimodal.syntheticWavMedia(docs, textured = true))
+      .select(col("media_id").as("corpus_id"), col("pos").as("cpos"), col("gram"))
+    val clipGrams = graft.ops.Multimodal.audioGrams(
+      graft.ops.Multimodal.syntheticWavClip(docs, gain = 2))
+      .select(col("media_id").as("clip_id"), col("pos").as("kpos"), col("gram"))
+    val persisted = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+    try {
+      val stage = graft.ops.Multimodal.audioClipContainmentStage(
+        clipGrams, corpusGrams, 256, 4L * 1000 * 1000, persisted)
+      val s = planString(stage)
+      // the clip batch is the broadcast side of the gram join — the
+      // corpus gram scan meets it without an exchange of its own rows
+      assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+        s"clip grams must broadcast:\n${s.take(2500)}")
+      // the offset count partial-aggregates before its exchange: only
+      // matched (clip, corpus, offset) rows cross the wire, pre-reduced
+      assert(s.contains("partial_count"),
+        s"match count must partial-aggregate map-side:\n${s.take(2500)}")
+    } finally persisted.foreach(_.unpersist(blocking = false))
+  }
+
   test("DSIR scores via a BROADCAST of the bucket log-ratio table") {
     // the operator localCheckpoints its result (plan truncated to a
     // Scan ExistingRDD), so rebuild the pre-checkpoint weight join the

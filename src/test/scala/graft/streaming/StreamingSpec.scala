@@ -298,6 +298,33 @@ class StreamingSpec extends SparkSpec {
     } finally r.stop()
   }
 
+  test("streaming runner maintains the audio gram table; clip containment vs the live corpus") {
+    import graft.views.AudioGramTableView
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = graft.ops.Multimodal.syntheticWavMedia(docs, textured = true)
+    val logDir = java.nio.file.Files.createTempDirectory("graft-saglog").toString
+    val viewDir = java.nio.file.Files.createTempDirectory("graft-sagview").toString
+    val log = new ParquetLog(spark, logDir, media.schema)
+    log.append(media.where(col("media_id") < 200))
+    val db = new FlumeDb(log)
+    db.use("ag", AudioGramTableView(viewDir, compactEvery = 2))
+    val view = db.view("ag").view.asInstanceOf[AudioGramTableView]
+    val r = new StreamingViewRunner(log, view)
+    try {
+      r.awaitParity()
+      log.append(media.where(col("media_id") >= 200))
+      r.awaitParity()
+      assert(view.since === log.since)
+      // clip reuploads containment-check against the STREAMED corpus
+      val clips = graft.ops.Multimodal.syntheticWavClip(docs, gain = 2)
+      val hits = view.containsBatch(clips)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      val n = media.count()
+      assert(hits.count { case (c, p, off) => p == c - 90000L && off == 8L } === n,
+        s"planted containment vs streamed table: ${hits.size}/$n")
+    } finally r.stop()
+  }
+
   test("streaming runner maintains the gram table; span check vs the live corpus") {
     import graft.views.GramTableView
     val docSchema = StructType(Seq(

@@ -438,6 +438,37 @@ class PersistenceSpec extends SparkSpec {
     assert(vm.fingerprints.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === direct)
   }
 
+  test("AudioGramTableView: durable positional grams, reopen, stored containment, compaction") {
+    val agDir = Files.createTempDirectory("graft-agram").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = graft.ops.Multimodal.syntheticWavMedia(docs, textured = true)
+    val v = new AudioGramTableView(spark, s"$agDir/ag", 1)
+    // two deltas split the corpus; positions must survive the raw union
+    v.absorb(media.where(col("media_id") < 200), 1L)
+    v.absorb(media.where(col("media_id") >= 200), 2L)
+    val direct = graft.ops.Multimodal.audioGrams(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(v.grams.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      === direct, "stored grams == direct gram pass over the whole corpus")
+    // reopen from the manifest
+    val v2 = new AudioGramTableView(spark, s"$agDir/ag", 1)
+    assert(v2.since === 2L)
+    // stored containment: every planted clip found at its cut offset
+    val clips = graft.ops.Multimodal.syntheticWavClip(docs, gain = 2)
+    val hits = v2.containsBatch(clips)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val n = media.count()
+    assert(hits.count { case (c, p, off) => p == c - 90000L && off == 8L } === n)
+    assert(hits.size === n.toInt, s"no extra containments, got ${hits.size} vs $n")
+    // compaction rewrites to one base without losing a position
+    v2.compact()
+    val dirs = new java.io.File(s"$agDir/ag").listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).sorted
+    assert(dirs.toSeq === Seq("batch=2"))
+    assert(v2.grams.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      === direct)
+  }
+
   test("auto-compaction bounds the delta chain: compactEvery collapses inline during absorbs") {
     val viewDir = Files.createTempDirectory("graft-autocmp").toString
     val v = new PersistentIndexView(spark, s"$viewDir/idx", 1, array(col("tag")), "seq",
