@@ -586,6 +586,154 @@ object Multimodal {
     spark.createDataFrame(rdd, audioFpSchema)
   }
 
+  /** Textured multi-frame GIF fixture for the video near-dup family —
+    * the [[syntheticTexturePngMedia]] mixer with a frame term (the ramp
+    * GIF fixture is degenerate for gradient hashes the same way the
+    * ramp PNGs were). `shift` brightens every pixel mod 256 — the
+    * dHash-invariant perturbation except at wraps; `idOffset` relabels
+    * ids while keeping dims, frame count, and texture keyed to the
+    * ORIGINAL id, so (id, id + offset) are planted near-dup videos. */
+  def syntheticTextureGifMedia(docs: DataFrame, idCol: String = "doc_id",
+      shift: Int = 0, idOffset: Long = 0L): DataFrame = {
+    require(shift >= 0, s"shift must be >= 0 (oracle replays with truncated %), got $shift")
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol)).where(col(idCol) % 3 === 2).rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = 16 + (id % 16).toInt
+        val h = 16 + (id % 8).toInt
+        val frames = 3 + (id % 3).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < frames) {
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val a = id * 31 + 7L * x + 13L * y + 29L * f
+              val m = a * 2654435761L
+              val v = (m ^ (m >> 15) ^ (m >> 30)) + shift
+              raster.setSample(x, y, 0, java.lang.Math.floorMod(v, 256L).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence(); ios.close(); writer.dispose()
+        Row(id + idOffset, "video", bos.toByteArray, Row(w, h, frames * 40L, "image/gif"))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  private val frameHashSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("phash", LongType, nullable = false)))
+
+  /** Per-frame dHash over the REAL multi-frame decode — the video
+    * fingerprint: one 64-bit [[perceptualHash]]-rule signature per
+    * frame, so a video is a SEQUENCE of frame hashes and temporal
+    * structure survives (what a single whole-video hash loses). Frames
+    * are read with `getRGB & 0xFF` — exact for the gray-palette GIF
+    * frames ([[frameStats]]'s proven read; indexed rasters return
+    * palette positions, not values). Narrow partition-batched decode. */
+  def videoFrameHashes(media: DataFrame, hashW: Int = 8, hashH: Int = 8): DataFrame = {
+    require(hashW * hashH <= 64, s"hash must fit 64 bits, got ${hashW}x$hashH")
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) { in.close(); Iterator.empty }
+        else {
+          val reader = readers.next()
+          reader.setInput(in, false, true)
+          val n = reader.getNumImages(true)
+          val rows = (0 until n).map { i =>
+            val img = reader.read(i)
+            val w = img.getWidth; val h = img.getHeight
+            var hash = 0L
+            var y = 0
+            while (y < hashH) {
+              val sy = y * h / hashH
+              var x = 0
+              while (x < hashW) {
+                val pa = img.getRGB(x * w / (hashW + 1), sy) & 0xFF
+                val pb = img.getRGB((x + 1) * w / (hashW + 1), sy) & 0xFF
+                if (pb > pa) hash |= 1L << (y * hashW + x)
+                x += 1
+              }
+              y += 1
+            }
+            Row(r.getLong(0), i.toLong, hash)
+          }
+          reader.dispose(); in.close()
+          rows.iterator
+        }
+      }
+    }
+    spark.createDataFrame(rdd, frameHashSchema)
+  }
+
+  /** Video near-dup pairs from a `(media_id, frame_idx, phash)` table:
+    * two videos are near-dups when they have the SAME frame count and
+    * EVERY temporally-aligned frame pair is within `maxHamming` — the
+    * per-frame pigeonhole-segment machinery of [[perceptualNearDup]]
+    * with the frame index as part of the bucket key, so candidates only
+    * pair frame f with frame f (a re-encode/brightness-shift of the
+    * same cut; offset-tolerant matching is the audio gram shape, not
+    * this one). Any aligned pair within the distance shares ≥ 1 whole
+    * segment (pigeonhole), so the count of verified frames reaching
+    * the full frame count IS the every-frame guarantee. Hot (frame,
+    * segment, value) buckets above `maxBucket` drop whole — the
+    * standard degenerate-content trade. Emits `(id_a, id_b, n_frames,
+    * max_frame_hamming)`; only frame HASHES shuffle, never frames. */
+  def videoNearDup(
+      frameHashes: DataFrame,
+      maxHamming: Int = 7,
+      maxBucket: Int = 256): DataFrame = {
+    val nSeg = maxHamming + 1
+    require(64 % nSeg == 0, s"maxHamming + 1 = $nSeg must divide 64 to tile the hash")
+    val segBits = 64 / nSeg
+    val counts = frameHashes.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
+    val segmented = frameHashes.select(
+      col("media_id").as("id"), col("frame_idx").as("f"), col("phash"),
+      posexplode(array((0 until nSeg).map(s =>
+        shiftright(col("phash"), s * segBits).bitwiseAND(lit((1L << segBits) - 1))): _*)))
+      .withColumnRenamed("pos", "seg").withColumnRenamed("col", "segval")
+    val hot = segmented.groupBy("f", "seg", "segval").count()
+      .where(col("count") > maxBucket).select("f", "seg", "segval")
+    val kept = segmented.join(hot, Seq("f", "seg", "segval"), "left_anti")
+    val verified = kept
+      .select(col("f"), col("seg"), col("segval"), col("id").as("id_a"), col("phash").as("ph_a"))
+      .join(kept.select(col("f"), col("seg"), col("segval"),
+        col("id").as("id_b"), col("phash").as("ph_b")), Seq("f", "seg", "segval"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("f"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hd"))
+      .where(col("hd") <= maxHamming)
+      .distinct()
+    verified.groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_frames"), max("hd").as("max_frame_hamming"))
+      .join(counts.select(col("media_id").as("id_a"), col("nf").as("__nfa")), Seq("id_a"))
+      .join(counts.select(col("media_id").as("id_b"), col("nf").as("__nfb")), Seq("id_b"))
+      .where(col("n_frames") === col("__nfa") && col("__nfa") === col("__nfb"))
+      .select(col("id_a"), col("id_b"), col("n_frames"),
+        col("max_frame_hamming").cast("bigint").as("max_frame_hamming"))
+  }
+
   private val audioGramSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("pos", LongType, nullable = false),

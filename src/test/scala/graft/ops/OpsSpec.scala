@@ -780,6 +780,33 @@ class OpsSpec extends SparkSpec {
       "foreign audio must not be claimed as contained")
   }
 
+  test("video near-dup: brightness-shifted re-encodes matched frame-by-frame; no false pairs") {
+    val base = Multimodal.syntheticTextureGifMedia(docs)
+    val shifted = Multimodal.syntheticTextureGifMedia(docs, shift = 5, idOffset = 120000L)
+    val pairs = Multimodal.videoNearDup(
+        Multimodal.videoFrameHashes(base.unionByName(shifted)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = base.count()
+    val planted = pairs.filter { case (a, b, _, _) => b == a + 120000L }
+    // the every-frame-within-7 gate is strict: most planted pairs pass,
+    // a shift-wrap-heavy frame can disqualify its video
+    assert(planted.length >= (n * 7) / 10, s"planted recall ${planted.length}/$n")
+    // matched pairs carry the full frame count of their original
+    planted.foreach { case (a, _, nf, mh) =>
+      assert(nf === 3 + (a % 3), s"frame count must ride along for $a")
+      assert(mh <= 7L)
+    }
+    // the mixer fixture keeps unrelated videos apart: no cross pairs
+    assert(pairs.length === planted.length,
+      s"unexpected cross-video pairs: ${pairs.filterNot(planted.contains).take(5).toSeq}")
+    // identical copies (shift 0) match at hamming 0 on every frame
+    val exact = Multimodal.videoNearDup(Multimodal.videoFrameHashes(
+        base.unionByName(Multimodal.syntheticTextureGifMedia(docs, idOffset = 120000L))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(exact.length === n && exact.forall(_._3 == 0L),
+      "exact re-encodes must match every frame at hamming 0")
+  }
+
   test("real GIF multi-frame decode: every frame's pixels round-trip exactly; frame count honored") {
     val media = Multimodal.syntheticGifMedia(docs)
     val rows = Multimodal.frameStats(media).collect()
