@@ -589,6 +589,31 @@ private[graft] object EntryHelpers {
     }
   }
 
+  val fhashViews = scala.collection.concurrent.TrieMap.empty[String, (SparkSession, graft.views.FrameHashTableView)]
+  val fhashBuildLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
+  def fhashTable(s: SparkSession, dir: String): graft.views.FrameHashTableView = {
+    def build(): (SparkSession, graft.views.FrameHashTableView) = {
+      val vdir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft-fhash-" + sourceFingerprint(s"$dir/documents.parquet")).toString
+      val v = new graft.views.FrameHashTableView(s, vdir, 1)
+      if (v.since < 0)
+        v.absorbHashes(Multimodal.videoFrameHashes(
+          Multimodal.syntheticTextureGifMedia(t(s, dir, "documents"))), 1L)
+      (s, v)
+    }
+    val lock = fhashBuildLocks.getOrElseUpdate(dir, new Object)
+    lock.synchronized {
+      val e = fhashViews.getOrElseUpdate(dir, build())
+      if (e._1 eq s) e._2
+      else {
+        fhashViews.remove(dir, e)
+        val fresh = build()
+        fhashViews.put(dir, fresh)
+        fresh._2
+      }
+    }
+  }
+
   def phashTable(s: SparkSession, dir: String): graft.views.PhashTableView = {
     def build(): (SparkSession, graft.views.PhashTableView) = {
       val vdir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),

@@ -147,6 +147,16 @@ private[graft] object MultimodalQueries {
       Multimodal.videoNearDup(Multimodal.videoFrameHashes(base.unionByName(shifted)))
         .orderBy("id_a", "id_b")
     }),
+    "q_video_neardup_incremental" -> ((s, dir) => {
+      // the recurring form: the +5-brightness video batch checks
+      // against the STORED per-frame hash table — batch (frame,
+      // segment) keys broadcast, the stored side never shuffles;
+      // id_a = batch id, id_b = the stored original it matches
+      val batch = Multimodal.videoFrameHashes(Multimodal.syntheticTextureGifMedia(
+        t(s, dir, "documents"), shift = 5, idOffset = 120000L))
+      fhashTable(s, dir).dedupBatchHashes(batch)
+        .orderBy("id_a", "id_b")
+    }),
     "q_image_phash" -> ((s, dir) =>
       // dHash over the REAL decode of the textured PNG fixture; emitted
       // as two 32-bit halves (both engines overflow assembling bit 63)
@@ -381,6 +391,38 @@ private[graft] object MultimodalQueries {
         "hot AS (SELECT f, s, segval FROM seg GROUP BY 1, 2, 3 HAVING count(*) > 256), " +
         "kept AS (SELECT * FROM seg ANTI JOIN hot USING (f, s, segval)), " +
         "cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b, a.f AS f FROM kept a JOIN kept b ON a.f = b.f AND a.s = b.s AND a.segval = b.segval AND a.media_id < b.media_id), " +
+        "v AS (SELECT id_a, id_b, cand.f, (bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo))) AS hd " +
+        "FROM cand JOIN ph pa ON pa.media_id = id_a AND pa.f = cand.f JOIN ph pb ON pb.media_id = id_b AND pb.f = cand.f " +
+        "WHERE bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)) <= 7), " +
+        "agg AS (SELECT id_a, id_b, count(*) AS n_frames, max(hd) AS mh FROM v GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, n_frames::BIGINT AS n_frames, mh::BIGINT AS max_frame_hamming " +
+        "FROM agg JOIN ids ia ON ia.media_id = id_a JOIN ids ib ON ib.media_id = id_b " +
+        "WHERE n_frames = ia.nf AND ia.nf = ib.nf ORDER BY id_a, id_b"),
+    "q_video_neardup_incremental" ->
+      // the incremental replay: per-frame phashes for both sides, the
+      // batch side's (>= 120000) kept (frame, segment) keys select the
+      // stored side's matches (per-side hot drops mirroring the
+      // operator), frame-aligned candidates cross new x stored,
+      // per-frame verify, full-frame-count gate on both sides
+      ("WITH ids AS (SELECT doc_id AS media_id, doc_id AS oid, 0 AS sh, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h, 3 + doc_id % 3 AS nf FROM documents WHERE doc_id % 3 = 2 " +
+        "UNION ALL SELECT doc_id + 120000, doc_id, 5, 16 + doc_id % 16, 16 + doc_id % 8, 3 + doc_id % 3 FROM documents WHERE doc_id % 3 = 2), " +
+        "fr AS (SELECT media_id, oid, sh, w, h, unnest(generate_series(0, nf - 1)) AS f FROM ids), " +
+        "args AS (SELECT media_id, sh, f, k, " +
+        "(oid * 31 + 7 * (((k % 8) * w) // 9) + 13 * (((k // 8) * h) // 8) + 29 * f) * 2654435761 AS ma, " +
+        "(oid * 31 + 7 * ((((k % 8) + 1) * w) // 9) + 13 * (((k // 8) * h) // 8) + 29 * f) * 2654435761 AS mb " +
+        "FROM fr, (SELECT unnest(generate_series(0, 63)) AS k)), " +
+        "bits AS (SELECT media_id, f, k, CASE WHEN (xor(xor(mb, mb // 32768), mb // 1073741824) + sh) % 256 > (xor(xor(ma, ma // 32768), ma // 1073741824) + sh) % 256 THEN 1::BIGINT ELSE 0::BIGINT END AS bit FROM args), " +
+        "ph AS MATERIALIZED (SELECT media_id, f, sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)::BIGINT AS hi, " +
+        "sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)::BIGINT AS lo FROM bits GROUP BY 1, 2), " +
+        "seg AS MATERIALIZED (SELECT media_id, f, s, CASE WHEN s < 4 THEN (lo // (1::BIGINT << (8 * s))) % 256 ELSE (hi // (1::BIGINT << (8 * (s - 4)))) % 256 END AS segval " +
+        "FROM ph, (SELECT unnest(generate_series(0, 7)) AS s)), " +
+        "hotn AS (SELECT f, s, segval FROM seg WHERE media_id >= 120000 GROUP BY 1, 2, 3 HAVING count(*) > 256), " +
+        "kn AS (SELECT * FROM (SELECT * FROM seg WHERE media_id >= 120000) ANTI JOIN hotn USING (f, s, segval)), " +
+        "nk AS (SELECT DISTINCT f, s, segval FROM kn), " +
+        "mt AS MATERIALIZED (SELECT * FROM (SELECT * FROM seg WHERE media_id < 120000) SEMI JOIN nk USING (f, s, segval)), " +
+        "hotb AS (SELECT f, s, segval FROM mt GROUP BY 1, 2, 3 HAVING count(*) > 256), " +
+        "mk AS (SELECT * FROM mt ANTI JOIN hotb USING (f, s, segval)), " +
+        "cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b, a.f AS f FROM kn a JOIN mk b ON a.f = b.f AND a.s = b.s AND a.segval = b.segval), " +
         "v AS (SELECT id_a, id_b, cand.f, (bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo))) AS hd " +
         "FROM cand JOIN ph pa ON pa.media_id = id_a AND pa.f = cand.f JOIN ph pb ON pb.media_id = id_b AND pb.f = cand.f " +
         "WHERE bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)) <= 7), " +

@@ -734,6 +734,77 @@ object Multimodal {
         col("max_frame_hamming").cast("bigint").as("max_frame_hamming"))
   }
 
+  /** Incremental video near-dup: same-cut videos between a NEW batch's
+    * frame hashes and the STORED corpus table (`id_a` = batch, `id_b` =
+    * stored) — the recurring form of [[videoNearDup]], the
+    * [[perceptualNearDupIncremental]] broadcast shape with the frame
+    * index riding the bucket key and the every-aligned-frame gate on
+    * top: the batch's (frame, segment, value) keys broadcast
+    * (count-fenced), the stored corpus semi-joins against them and
+    * never shuffles, per-side hot caps bound degenerate buckets, and a
+    * pair emits only when its verified frame count equals BOTH sides'
+    * frame counts. */
+  def videoNearDupIncremental(
+      newHashes: DataFrame,
+      storedHashes: DataFrame,
+      maxHamming: Int = 7,
+      maxBucket: Int = 256,
+      maxBroadcastKeys: Long = 4L * 1000 * 1000): DataFrame = {
+    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+    val out = videoNearDupIncrementalStage(newHashes, storedHashes,
+      maxHamming, maxBucket, maxBroadcastKeys, persisted)
+    val ck = out.localCheckpoint(true)
+    persisted.foreach(_.unpersist(blocking = false))
+    ck
+  }
+
+  private[graft] def videoNearDupIncrementalStage(
+      newHashes: DataFrame,
+      storedHashes: DataFrame,
+      maxHamming: Int,
+      maxBucket: Int,
+      maxBroadcastKeys: Long,
+      persisted: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
+    val nSeg = maxHamming + 1
+    require(64 % nSeg == 0, s"maxHamming + 1 = $nSeg must divide 64 to tile the hash")
+    val segBits = 64 / nSeg
+    def segmented(df: DataFrame, idAs: String, phAs: String) = df.select(
+      col("media_id").as(idAs), col("frame_idx").as("f"), col("phash").as(phAs),
+      posexplode(array((0 until nSeg).map(s =>
+        shiftright(col("phash"), s * segBits).bitwiseAND(lit((1L << segBits) - 1))): _*)))
+      .withColumnRenamed("pos", "seg").withColumnRenamed("col", "segval")
+    val newCounts = newHashes.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
+    val storedCounts = storedHashes.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
+    val bn0 = segmented(newHashes, "id_a", "ph_a")
+    val hotNew = bn0.groupBy("f", "seg", "segval").count()
+      .where(col("count") > maxBucket).select("f", "seg", "segval")
+    val bn = bn0.join(hotNew, Seq("f", "seg", "segval"), "left_anti")
+    val newKeys = bn.select("f", "seg", "segval").distinct().persist()
+    persisted += newKeys
+    val bcast = newKeys.count() <= maxBroadcastKeys
+    val stored = segmented(storedHashes, "id_b", "ph_b")
+    val matched =
+      (if (bcast) stored.join(broadcast(newKeys), Seq("f", "seg", "segval"))
+       else stored.join(newKeys, Seq("f", "seg", "segval"))).persist()
+    persisted += matched
+    val hotBase = matched.groupBy("f", "seg", "segval").count()
+      .where(col("count") > maxBucket).select("f", "seg", "segval")
+    val verified = bn
+      .join(matched.join(hotBase, Seq("f", "seg", "segval"), "left_anti"),
+        Seq("f", "seg", "segval"))
+      .select(col("id_a"), col("id_b"), col("f"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hd"))
+      .where(col("hd") <= maxHamming)
+      .distinct()
+    verified.groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_frames"), max("hd").as("max_frame_hamming"))
+      .join(broadcast(newCounts.select(col("media_id").as("id_a"), col("nf").as("__nfa"))), Seq("id_a"))
+      .join(storedCounts.select(col("media_id").as("id_b"), col("nf").as("__nfb")), Seq("id_b"))
+      .where(col("n_frames") === col("__nfa") && col("__nfa") === col("__nfb"))
+      .select(col("id_a"), col("id_b"), col("n_frames"),
+        col("max_frame_hamming").cast("bigint").as("max_frame_hamming"))
+  }
+
   private val audioGramSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("pos", LongType, nullable = false),

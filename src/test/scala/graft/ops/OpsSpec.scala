@@ -805,6 +805,13 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
     assert(exact.length === n && exact.forall(_._3 == 0L),
       "exact re-encodes must match every frame at hamming 0")
+    // incremental == one-shot restricted to the cross set (batch ids on
+    // the left, stored originals on the right)
+    val inc = Multimodal.videoNearDupIncremental(
+        Multimodal.videoFrameHashes(shifted), Multimodal.videoFrameHashes(base))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(inc === pairs.map { case (a, b, nf, mh) => (b, a, nf, mh) }.toSet,
+      "incremental must equal the one-shot cross set")
   }
 
   test("real GIF multi-frame decode: every frame's pixels round-trip exactly; frame count honored") {

@@ -325,6 +325,33 @@ class StreamingSpec extends SparkSpec {
     } finally r.stop()
   }
 
+  test("streaming runner maintains the frame-hash table; video dedup vs the live corpus") {
+    import graft.views.FrameHashTableView
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = graft.ops.Multimodal.syntheticTextureGifMedia(docs)
+    val logDir = java.nio.file.Files.createTempDirectory("graft-sfhlog").toString
+    val viewDir = java.nio.file.Files.createTempDirectory("graft-sfhview").toString
+    val log = new ParquetLog(spark, logDir, media.schema)
+    log.append(media.where(col("media_id") < 200))
+    val db = new FlumeDb(log)
+    db.use("fh", FrameHashTableView(viewDir, compactEvery = 2))
+    val view = db.view("fh").view.asInstanceOf[FrameHashTableView]
+    val r = new StreamingViewRunner(log, view)
+    try {
+      r.awaitParity()
+      log.append(media.where(col("media_id") >= 200))
+      r.awaitParity()
+      assert(view.since === log.since)
+      // exact re-encodes dedup against the STREAMED corpus at hamming 0
+      val batch = graft.ops.Multimodal.syntheticTextureGifMedia(docs, idOffset = 120000L)
+      val hits = view.dedupBatch(batch)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(3))).toSet
+      val n = media.count()
+      assert(hits.count { case (a, b, mh) => a == b + 120000L && mh == 0L } === n,
+        s"video dedup vs streamed table: ${hits.size}/$n")
+    } finally r.stop()
+  }
+
   test("streaming runner maintains the gram table; span check vs the live corpus") {
     import graft.views.GramTableView
     val docSchema = StructType(Seq(

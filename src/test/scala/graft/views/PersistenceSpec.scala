@@ -469,6 +469,35 @@ class PersistenceSpec extends SparkSpec {
       === direct)
   }
 
+  test("FrameHashTableView: durable per-frame hashes, reopen, incremental video dedup, compaction") {
+    val fhDir = Files.createTempDirectory("graft-fhash").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = graft.ops.Multimodal.syntheticTextureGifMedia(docs)
+    val v = new FrameHashTableView(spark, s"$fhDir/fh", 1)
+    v.absorb(media.where(col("media_id") < 200), 1L)
+    v.absorb(media.where(col("media_id") >= 200), 2L)
+    val direct = graft.ops.Multimodal.videoFrameHashes(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(v.hashes.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      === direct, "stored frame hashes == direct pass over the whole corpus")
+    // reopen + incremental dedup of exact re-encodes: total recall
+    val v2 = new FrameHashTableView(spark, s"$fhDir/fh", 1)
+    assert(v2.since === 2L)
+    val batch = graft.ops.Multimodal.syntheticTextureGifMedia(docs, idOffset = 120000L)
+    val hits = v2.dedupBatch(batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val n = media.count()
+    assert(hits.count { case (a, b, mh) => a == b + 120000L && mh == 0L } === n,
+      s"exact re-encodes vs stored table: ${hits.size}/$n")
+    // compaction rewrites to one base without losing a frame
+    v2.compact()
+    val dirs = new java.io.File(s"$fhDir/fh").listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).sorted
+    assert(dirs.toSeq === Seq("batch=2"))
+    assert(v2.hashes.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      === direct)
+  }
+
   test("auto-compaction bounds the delta chain: compactEvery collapses inline during absorbs") {
     val viewDir = Files.createTempDirectory("graft-autocmp").toString
     val v = new PersistentIndexView(spark, s"$viewDir/idx", 1, array(col("tag")), "seq",
