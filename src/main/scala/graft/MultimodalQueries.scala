@@ -157,6 +157,18 @@ private[graft] object MultimodalQueries {
       fhashTable(s, dir).dedupBatchHashes(batch)
         .orderBy("id_a", "id_b")
     }),
+    "q_video_clip_containment" -> ((s, dir) => {
+      // clip-in-video containment: +5-brightness re-cuts (frames [1, 3)
+      // of every original, ids +150000) found inside the corpus at
+      // frame offset 1 — pigeonhole candidates WITHOUT frame alignment,
+      // per-frame-pair hamming verify, full-run count at one offset
+      val corpus = Multimodal.videoFrameHashes(
+        Multimodal.syntheticTextureGifMedia(t(s, dir, "documents")))
+      val clips = Multimodal.videoFrameHashes(
+        Multimodal.syntheticTextureGifClip(t(s, dir, "documents"), shift = 5))
+      Multimodal.videoClipContainment(clips, corpus)
+        .orderBy("clip_id", "corpus_id", "offset_frames")
+    }),
     "q_image_phash" -> ((s, dir) =>
       // dHash over the REAL decode of the textured PNG fixture; emitted
       // as two 32-bit halves (both engines overflow assembling bit 63)
@@ -430,6 +442,34 @@ private[graft] object MultimodalQueries {
         "SELECT id_a, id_b, n_frames::BIGINT AS n_frames, mh::BIGINT AS max_frame_hamming " +
         "FROM agg JOIN ids ia ON ia.media_id = id_a JOIN ids ib ON ib.media_id = id_b " +
         "WHERE n_frames = ia.nf AND ia.nf = ib.nf ORDER BY id_a, id_b"),
+    "q_video_clip_containment" ->
+      // the containment replay: per-frame phashes for full originals
+      // AND the 2-frame +5-brightness re-cuts (frame term f + 1), the
+      // corpus-side hot drop, UNALIGNED pigeonhole candidates,
+      // per-frame-pair bit_count verify, full-run count at one offset
+      ("WITH ids AS (SELECT doc_id AS media_id, doc_id AS oid, 0 AS sh, 0 AS foff, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h, 3 + doc_id % 3 AS nf FROM documents WHERE doc_id % 3 = 2 " +
+        "UNION ALL SELECT doc_id + 150000, doc_id, 5, 1, 16 + doc_id % 16, 16 + doc_id % 8, 2 FROM documents WHERE doc_id % 3 = 2), " +
+        "fr AS (SELECT media_id, oid, sh, foff, w, h, unnest(generate_series(0, nf - 1)) AS f FROM ids), " +
+        "args AS (SELECT media_id, sh, f, k, " +
+        "(oid * 31 + 7 * (((k % 8) * w) // 9) + 13 * (((k // 8) * h) // 8) + 29 * (f + foff)) * 2654435761 AS ma, " +
+        "(oid * 31 + 7 * ((((k % 8) + 1) * w) // 9) + 13 * (((k // 8) * h) // 8) + 29 * (f + foff)) * 2654435761 AS mb " +
+        "FROM fr, (SELECT unnest(generate_series(0, 63)) AS k)), " +
+        "bits AS (SELECT media_id, f, k, CASE WHEN (xor(xor(mb, mb // 32768), mb // 1073741824) + sh) % 256 > (xor(xor(ma, ma // 32768), ma // 1073741824) + sh) % 256 THEN 1::BIGINT ELSE 0::BIGINT END AS bit FROM args), " +
+        "ph AS MATERIALIZED (SELECT media_id, f, sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)::BIGINT AS hi, " +
+        "sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)::BIGINT AS lo FROM bits GROUP BY 1, 2), " +
+        "seg AS MATERIALIZED (SELECT media_id, f, s, CASE WHEN s < 4 THEN (lo // (1::BIGINT << (8 * s))) % 256 ELSE (hi // (1::BIGINT << (8 * (s - 4)))) % 256 END AS segval " +
+        "FROM ph, (SELECT unnest(generate_series(0, 7)) AS s)), " +
+        "hot AS (SELECT s, segval FROM seg WHERE media_id < 150000 GROUP BY 1, 2 HAVING count(*) > 256), " +
+        "kept AS (SELECT * FROM (SELECT * FROM seg WHERE media_id < 150000) ANTI JOIN hot USING (s, segval)), " +
+        "kseg AS (SELECT * FROM seg WHERE media_id >= 150000), " +
+        "cand AS (SELECT DISTINCT a.media_id AS clip_id, a.f AS kf, b.media_id AS corpus_id, b.f AS cf " +
+        "FROM kseg a JOIN kept b ON a.s = b.s AND a.segval = b.segval), " +
+        "v AS (SELECT clip_id, corpus_id, kf, cf " +
+        "FROM cand JOIN ph pa ON pa.media_id = clip_id AND pa.f = kf JOIN ph pb ON pb.media_id = corpus_id AND pb.f = cf " +
+        "WHERE bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)) <= 7), " +
+        "agg AS (SELECT clip_id, corpus_id, cf - kf AS offset_frames, count(*) AS n_frames FROM v GROUP BY 1, 2, 3) " +
+        "SELECT clip_id, corpus_id, offset_frames::BIGINT AS offset_frames, n_frames::BIGINT AS n_frames " +
+        "FROM agg WHERE n_frames = 2 AND offset_frames >= 0 ORDER BY clip_id, corpus_id, offset_frames"),
     "q_image_phash" ->
       // PNG is lossless, so the decoded gray channel IS the mixer
       // formula and every dHash bit re-derives in integers: nearest

@@ -734,6 +734,96 @@ object Multimodal {
         col("max_frame_hamming").cast("bigint").as("max_frame_hamming"))
   }
 
+  /** Textured GIF CLIP fixture: frames `[frameStart, frameStart +
+    * nFrames)` of the ORIGINAL video ([[syntheticTextureGifMedia]]'s
+    * mixer at frame term `f + frameStart`), optionally
+    * brightness-shifted — a planted re-cut of every original, the video
+    * analog of [[syntheticWavClip]]. */
+  def syntheticTextureGifClip(docs: DataFrame, idCol: String = "doc_id",
+      frameStart: Int = 1, nFrames: Int = 2, shift: Int = 0,
+      idOffset: Long = 150000L): DataFrame = {
+    require(shift >= 0, s"shift must be >= 0 (oracle replays with truncated %), got $shift")
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol)).where(col(idCol) % 3 === 2).rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = 16 + (id % 16).toInt
+        val h = 16 + (id % 8).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val a = id * 31 + 7L * x + 13L * y + 29L * (f + frameStart)
+              val m = a * 2654435761L
+              val v = (m ^ (m >> 15) ^ (m >> 30)) + shift
+              raster.setSample(x, y, 0, java.lang.Math.floorMod(v, 256L).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence(); ios.close(); writer.dispose()
+        Row(id + idOffset, "video", bos.toByteArray, Row(w, h, nFrames * 40L, "image/gif"))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Clip-in-video containment: which stored videos contain a query
+    * clip's FRAME RUN at some temporal offset — the video analog of
+    * [[audioClipContainment]], for re-cut reuploads. Unlike
+    * [[videoNearDup]] the frame index is NOT in the bucket key
+    * (clip frame f must meet corpus frame f + offset): candidates come
+    * from the plain pigeonhole segment join, each candidate frame pair
+    * verifies at `bit_count ≤ maxHamming`, and a full run (verified
+    * count at ONE offset == the clip's frame count) emits `(clip_id,
+    * corpus_id, offset_frames, n_frames)`. Pigeonhole still guarantees
+    * recall per frame pair; hot (segment, value) buckets above
+    * `maxBucket` drop whole. Only 8-byte frame hashes shuffle. */
+  def videoClipContainment(
+      clipHashes: DataFrame,
+      corpusHashes: DataFrame,
+      maxHamming: Int = 7,
+      maxBucket: Int = 256): DataFrame = {
+    val nSeg = maxHamming + 1
+    require(64 % nSeg == 0, s"maxHamming + 1 = $nSeg must divide 64 to tile the hash")
+    val segBits = 64 / nSeg
+    def segmented(df: DataFrame, idAs: String, fAs: String, phAs: String) = df.select(
+      col("media_id").as(idAs), col("frame_idx").as(fAs), col("phash").as(phAs),
+      posexplode(array((0 until nSeg).map(s =>
+        shiftright(col("phash"), s * segBits).bitwiseAND(lit((1L << segBits) - 1))): _*)))
+      .withColumnRenamed("pos", "seg").withColumnRenamed("col", "segval")
+    val totals = clipHashes.groupBy(col("media_id")).agg(count(lit(1)).as("__total"))
+    val corpusSeg = segmented(corpusHashes, "corpus_id", "cf", "ph_b")
+    val hot = corpusSeg.groupBy("seg", "segval").count()
+      .where(col("count") > maxBucket).select("seg", "segval")
+    val kept = corpusSeg.join(hot, Seq("seg", "segval"), "left_anti")
+    val verified = segmented(clipHashes, "clip_id", "kf", "ph_a")
+      .join(kept, Seq("seg", "segval"))
+      .select(col("clip_id"), col("corpus_id"), col("kf"), col("cf"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hd"))
+      .where(col("hd") <= maxHamming)
+      .distinct()
+    verified
+      .groupBy(col("clip_id"), col("corpus_id"), (col("cf") - col("kf")).as("offset_frames"))
+      .agg(count(lit(1)).as("n_frames"))
+      .join(broadcast(totals.select(col("media_id").as("clip_id"), col("__total"))), Seq("clip_id"))
+      .where(col("n_frames") === col("__total") && col("offset_frames") >= 0)
+      .select(col("clip_id"), col("corpus_id"), col("offset_frames"), col("n_frames"))
+  }
+
   /** Incremental video near-dup: same-cut videos between a NEW batch's
     * frame hashes and the STORED corpus table (`id_a` = batch, `id_b` =
     * stored) — the recurring form of [[videoNearDup]], the

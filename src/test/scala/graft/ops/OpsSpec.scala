@@ -814,6 +814,30 @@ class OpsSpec extends SparkSpec {
       "incremental must equal the one-shot cross set")
   }
 
+  test("video clip containment: exact re-cuts found at the cut offset; shifted re-cuts mostly") {
+    val corpus = Multimodal.videoFrameHashes(Multimodal.syntheticTextureGifMedia(docs))
+    val n = docs.where(col("doc_id") % 3 === 2).count()
+    // exact 2-frame re-cut of frames [1, 3): total recall at offset 1
+    val exact = Multimodal.videoClipContainment(
+        Multimodal.videoFrameHashes(Multimodal.syntheticTextureGifClip(docs)), corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val plantedE = exact.filter { case (c, p, off, nf) =>
+      p == c - 150000L && off == 1L && nf == 2L }
+    assert(plantedE.length === n, s"exact re-cut recall ${plantedE.length}/$n")
+    assert(exact.length === plantedE.length,
+      s"no spurious containments: ${exact.filterNot(plantedE.contains).take(5).toSeq}")
+    // +5-brightness re-cut: each frame pair within the hamming budget
+    // most of the time; any reported hit must still be the true parent
+    // at the true offset
+    val shifted = Multimodal.videoClipContainment(
+        Multimodal.videoFrameHashes(Multimodal.syntheticTextureGifClip(docs, shift = 5)), corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(shifted.length >= (n * 7) / 10, s"shifted re-cut recall ${shifted.length}/$n")
+    shifted.foreach { case (c, p, off) =>
+      assert(p == c - 150000L && off == 1L, s"hit must be the parent at the cut: ($c, $p, $off)")
+    }
+  }
+
   test("real GIF multi-frame decode: every frame's pixels round-trip exactly; frame count honored") {
     val media = Multimodal.syntheticGifMedia(docs)
     val rows = Multimodal.frameStats(media).collect()
