@@ -545,7 +545,7 @@ private[graft] object EntryHelpers {
     def build(): (SparkSession, graft.views.AudioFingerprintTableView) = {
       val vdir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         "graft-afp-" + sourceFingerprint(s"$dir/documents.parquet")).toString
-      val v = new graft.views.AudioFingerprintTableView(s, vdir, 1)
+      val v = new graft.views.AudioFingerprintTableView(s, vdir, 2)
       if (v.since < 0)
         v.absorbFingerprints(Multimodal.audioFingerprint(
           Multimodal.syntheticWavMedia(t(s, dir, "documents"), textured = true)), 1L)

@@ -83,10 +83,11 @@ private[graft] object MultimodalQueries {
       Multimodal.audioActivity(Multimodal.syntheticWavMedia(t(s, dir, "documents")))
         .orderBy("media_id", "window_idx")),
     "q_audio_fingerprint" -> ((s, dir) =>
-      // windowed-energy difference hash over the REAL PCM decode: 2ms
-      // windows (16 samples @ 8 kHz), bit k = energy(k+1) > energy(k);
-      // every energy is an exact integer, so the oracle replays every
-      // bit from the waveform formula. Two 32-bit halves (bit-63 rule).
+      // windowed-energy difference hash over the REAL PCM decode:
+      // trailing silence trimmed, window size duration-PROPORTIONAL
+      // (ceil(effLen/65), floor 16 samples) so the 64 bits tile the
+      // WHOLE recording; every energy is an exact integer, so the
+      // oracle replays every bit. Two 32-bit halves (bit-63 rule).
       Multimodal.audioFingerprint(
           Multimodal.syntheticWavMedia(t(s, dir, "documents"), textured = true))
         .select(col("media_id"), col("n_windows"),
@@ -96,9 +97,10 @@ private[graft] object MultimodalQueries {
     "q_audio_neardup" -> ((s, dir) => {
       // planted gain×3 + 24-sample-trailing-silence re-encodes (ids
       // +60000) against the originals: the fingerprint is invariant to
-      // both perturbations by construction, so planted pairs land at
-      // hamming 0 — pigeonhole segment join + bit_count verify, the
-      // image near-dup machinery on the audio hash space
+      // both perturbations by construction (silence is trimmed before
+      // the window size is chosen), so planted pairs land at hamming 0
+      // with EQUAL window counts — pigeonhole segment join with the
+      // n_windows length gate riding the bucket key + bit_count verify
       val base = Multimodal.syntheticWavMedia(t(s, dir, "documents"), textured = true)
       val copies = Multimodal.syntheticWavMedia(
         t(s, dir, "documents"), gain = 3, padSamples = 24, idOffset = 60000L,
@@ -262,6 +264,30 @@ private[graft] object MultimodalQueries {
       "SELECT clip_id, corpus_id, offset_windows::BIGINT AS offset_windows, n_grams::BIGINT AS n_grams " +
       "FROM j JOIN tot USING (clip_id) WHERE n_grams = t AND offset_windows >= 0 ORDER BY clip_id, corpus_id, offset_windows"
 
+  // shared fingerprint replay for the near-dup family: mixer samples
+  // for originals AND the gain×3/+24-silence copies, trailing-silence
+  // trim (effn = last nonzero sample + 1), duration-proportional window
+  // size (ceil(effn/65), floor 16), exact integer window energies,
+  // difference bits, two 32-bit halves, and the (n_windows, segment,
+  // value) pigeonhole segments the length-gated candidate join keys on
+  private val audioFpCtes: String =
+    "ids AS (SELECT doc_id AS media_id, doc_id AS oid, 1 AS g, 800 + doc_id % 400 AS no, 800 + doc_id % 400 AS n FROM documents WHERE doc_id % 3 = 2 " +
+      "UNION ALL SELECT doc_id + 60000, doc_id, 3, 800 + doc_id % 400, 800 + doc_id % 400 + 24 FROM documents WHERE doc_id % 3 = 2), " +
+      "si AS (SELECT media_id, oid, g, no, unnest(generate_series(0, n - 1)) AS i FROM ids), " +
+      "sv AS MATERIALIZED (SELECT media_id, i, CASE WHEN i < no THEN g * (xor(xor(m, m // 32768), m // 1073741824) % 2003 - 1001) ELSE 0 END AS v " +
+      "FROM (SELECT media_id, i, no, g, (oid * 31 + 17 * i) * 2654435761 AS m FROM si)), " +
+      "wsz AS MATERIALIZED (SELECT media_id, max(CASE WHEN v != 0 THEN i + 1 ELSE 0 END) AS effn, " +
+      "greatest(16, (max(CASE WHEN v != 0 THEN i + 1 ELSE 0 END) + 64) // 65) AS ws FROM sv GROUP BY 1), " +
+      "e AS MATERIALIZED (SELECT s.media_id, s.i // w.ws AS wi, sum(abs(s.v)) AS en FROM sv s JOIN wsz w USING (media_id) WHERE s.i < w.effn GROUP BY 1, 2), " +
+      "bits AS (SELECT a.media_id, a.wi AS k, CASE WHEN b.en > a.en THEN 1::BIGINT ELSE 0::BIGINT END AS bit " +
+      "FROM e a JOIN e b ON a.media_id = b.media_id AND b.wi = a.wi + 1 WHERE a.wi < 64), " +
+      "fp AS MATERIALIZED (SELECT w.media_id, ((w.effn + w.ws - 1) // w.ws)::BIGINT AS nw, " +
+      "coalesce(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END), 0)::BIGINT AS hi, " +
+      "coalesce(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END), 0)::BIGINT AS lo " +
+      "FROM wsz w LEFT JOIN bits b ON b.media_id = w.media_id GROUP BY 1, 2), " +
+      "seg AS MATERIALIZED (SELECT media_id, nw, s, CASE WHEN s < 4 THEN (lo // (1::BIGINT << (8 * s))) % 256 ELSE (hi // (1::BIGINT << (8 * (s - 4)))) % 256 END AS segval " +
+      "FROM fp, (SELECT unnest(generate_series(0, 7)) AS s))"
+
   def oracles: Map[String, String] = Map(
     "q_multimodal_resize" ->
       // nearest-neighbor 1-D resample replayed over the ASCII text:
@@ -313,67 +339,51 @@ private[graft] object MultimodalQueries {
         "(sum_abs > 600 * n_in_window) AS active FROM s ORDER BY media_id, window_idx"),
     "q_audio_fingerprint" ->
       // PCM is lossless, so the decoded stream IS the mixer formula and
-      // every fingerprint bit re-derives in integers: 16-sample window
-      // energies of |mixer % 2003 - 1001|, next-window comparison, two
-      // 32-bit halves
+      // every fingerprint bit re-derives in integers: trailing-silence
+      // trim, duration-proportional window size (ceil(effn/65), floor
+      // 16), window energies of |mixer % 2003 - 1001|, next-window
+      // comparison, two 32-bit halves
       ("WITH ids AS (SELECT doc_id AS media_id, 800 + doc_id % 400 AS n FROM documents WHERE doc_id % 3 = 2), " +
-        "w AS (SELECT media_id, n, unnest(generate_series(0, (n + 15) // 16 - 1)) AS wi FROM ids), " +
-        "sm AS (SELECT media_id, n, wi, (media_id * 31 + 17 * unnest(generate_series(wi * 16, least(wi * 16 + 15, n - 1)))) * 2654435761 AS m FROM w), " +
-        "e AS MATERIALIZED (SELECT media_id, n, wi, sum(abs(xor(xor(m, m // 32768), m // 1073741824) % 2003 - 1001)) AS en FROM sm GROUP BY 1, 2, 3), " +
-        "bits AS (SELECT a.media_id, a.n, a.wi AS k, CASE WHEN b.en > a.en THEN 1::BIGINT ELSE 0::BIGINT END AS bit " +
-        "FROM e a JOIN e b ON a.media_id = b.media_id AND b.wi = a.wi + 1 WHERE a.wi < 64) " +
-        "SELECT media_id, ((n + 15) // 16)::BIGINT AS n_windows, " +
-        "sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)::BIGINT AS fp_hi, " +
-        "sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)::BIGINT AS fp_lo " +
-        "FROM bits GROUP BY media_id, n ORDER BY media_id"),
-    "q_audio_neardup" ->
-      // the full near-dup replay: formula fingerprints for originals AND
-      // the gain×3/+24-silence copies (gain scales |s| exactly; padded
-      // samples contribute 0), the same 8x8-bit pigeonhole segments,
-      // the >maxBucket drop, candidate join, bit_count verify
-      ("WITH ids AS (SELECT doc_id AS media_id, doc_id AS oid, 1 AS g, 800 + doc_id % 400 AS no, 800 + doc_id % 400 AS n FROM documents WHERE doc_id % 3 = 2 " +
-        "UNION ALL SELECT doc_id + 60000, doc_id, 3, 800 + doc_id % 400, 800 + doc_id % 400 + 24 FROM documents WHERE doc_id % 3 = 2), " +
-        "w AS (SELECT media_id, oid, g, no, n, unnest(generate_series(0, (n + 15) // 16 - 1)) AS wi FROM ids), " +
-        "si AS (SELECT media_id, g, no, wi, oid, unnest(generate_series(wi * 16, least(wi * 16 + 15, n - 1))) AS i FROM w), " +
-        "sm AS (SELECT media_id, g, no, wi, i, (oid * 31 + 17 * i) * 2654435761 AS m FROM si), " +
-        "e AS MATERIALIZED (SELECT media_id, wi, sum(CASE WHEN i < no THEN g * abs(xor(xor(m, m // 32768), m // 1073741824) % 2003 - 1001) ELSE 0 END) AS en FROM sm GROUP BY 1, 2), " +
+        "si AS (SELECT media_id, unnest(generate_series(0, n - 1)) AS i FROM ids), " +
+        "sv AS MATERIALIZED (SELECT media_id, i, xor(xor(m, m // 32768), m // 1073741824) % 2003 - 1001 AS v " +
+        "FROM (SELECT media_id, i, (media_id * 31 + 17 * i) * 2654435761 AS m FROM si)), " +
+        "wsz AS MATERIALIZED (SELECT media_id, max(CASE WHEN v != 0 THEN i + 1 ELSE 0 END) AS effn, " +
+        "greatest(16, (max(CASE WHEN v != 0 THEN i + 1 ELSE 0 END) + 64) // 65) AS ws FROM sv GROUP BY 1), " +
+        "e AS MATERIALIZED (SELECT s.media_id, s.i // w.ws AS wi, sum(abs(s.v)) AS en FROM sv s JOIN wsz w USING (media_id) WHERE s.i < w.effn GROUP BY 1, 2), " +
         "bits AS (SELECT a.media_id, a.wi AS k, CASE WHEN b.en > a.en THEN 1::BIGINT ELSE 0::BIGINT END AS bit " +
-        "FROM e a JOIN e b ON a.media_id = b.media_id AND b.wi = a.wi + 1 WHERE a.wi < 64), " +
-        "fp AS MATERIALIZED (SELECT media_id, sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)::BIGINT AS hi, " +
-        "sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)::BIGINT AS lo FROM bits GROUP BY 1), " +
-        "seg AS MATERIALIZED (SELECT media_id, s, CASE WHEN s < 4 THEN (lo // (1::BIGINT << (8 * s))) % 256 ELSE (hi // (1::BIGINT << (8 * (s - 4)))) % 256 END AS segval " +
-        "FROM fp, (SELECT unnest(generate_series(0, 7)) AS s)), " +
-        "hot AS (SELECT s, segval FROM seg GROUP BY 1, 2 HAVING count(*) > 256), " +
-        "kept AS (SELECT * FROM seg ANTI JOIN hot USING (s, segval)), " +
-        "cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b FROM kept a JOIN kept b ON a.s = b.s AND a.segval = b.segval AND a.media_id < b.media_id) " +
-        "SELECT id_a, id_b, (bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)))::BIGINT AS hamming " +
+        "FROM e a JOIN e b ON a.media_id = b.media_id AND b.wi = a.wi + 1 WHERE a.wi < 64) " +
+        "SELECT w.media_id, ((w.effn + w.ws - 1) // w.ws)::BIGINT AS n_windows, " +
+        "coalesce(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END), 0)::BIGINT AS fp_hi, " +
+        "coalesce(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END), 0)::BIGINT AS fp_lo " +
+        "FROM wsz w LEFT JOIN bits b ON b.media_id = w.media_id GROUP BY 1, 2 ORDER BY media_id"),
+    "q_audio_neardup" ->
+      // the full near-dup replay: whole-signal formula fingerprints for
+      // originals AND the gain×3/+24-silence copies (gain scales |s|
+      // exactly; the trim removes the pad before the window size is
+      // chosen), the (n_windows, segment, value) pigeonhole keys, the
+      // >maxBucket drop, length-gated candidate join, bit_count verify
+      ("WITH " + audioFpCtes + ", " +
+        "hot AS (SELECT nw, s, segval FROM seg GROUP BY 1, 2, 3 HAVING count(*) > 256), " +
+        "kept AS (SELECT * FROM seg ANTI JOIN hot USING (nw, s, segval)), " +
+        "cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b, a.nw AS nw FROM kept a JOIN kept b ON a.nw = b.nw AND a.s = b.s AND a.segval = b.segval AND a.media_id < b.media_id) " +
+        "SELECT id_a, id_b, nw AS n_windows, (bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)))::BIGINT AS hamming " +
         "FROM cand JOIN fp pa ON pa.media_id = id_a JOIN fp pb ON pb.media_id = id_b " +
         "WHERE bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)) <= 7 ORDER BY id_a, id_b"),
     "q_audio_neardup_incremental" ->
-      // the incremental replay: formula fingerprints for both sides, the
-      // batch side's (>= 60000) kept segment keys select the stored
-      // side's matches (per-side >maxBucket drops, mirroring the
-      // operator), candidates cross new x stored, bit_count verify
-      ("WITH ids AS (SELECT doc_id AS media_id, doc_id AS oid, 1 AS g, 800 + doc_id % 400 AS no, 800 + doc_id % 400 AS n FROM documents WHERE doc_id % 3 = 2 " +
-        "UNION ALL SELECT doc_id + 60000, doc_id, 3, 800 + doc_id % 400, 800 + doc_id % 400 + 24 FROM documents WHERE doc_id % 3 = 2), " +
-        "w AS (SELECT media_id, oid, g, no, n, unnest(generate_series(0, (n + 15) // 16 - 1)) AS wi FROM ids), " +
-        "si AS (SELECT media_id, g, no, wi, oid, unnest(generate_series(wi * 16, least(wi * 16 + 15, n - 1))) AS i FROM w), " +
-        "sm AS (SELECT media_id, g, no, wi, i, (oid * 31 + 17 * i) * 2654435761 AS m FROM si), " +
-        "e AS MATERIALIZED (SELECT media_id, wi, sum(CASE WHEN i < no THEN g * abs(xor(xor(m, m // 32768), m // 1073741824) % 2003 - 1001) ELSE 0 END) AS en FROM sm GROUP BY 1, 2), " +
-        "bits AS (SELECT a.media_id, a.wi AS k, CASE WHEN b.en > a.en THEN 1::BIGINT ELSE 0::BIGINT END AS bit " +
-        "FROM e a JOIN e b ON a.media_id = b.media_id AND b.wi = a.wi + 1 WHERE a.wi < 64), " +
-        "fp AS MATERIALIZED (SELECT media_id, sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)::BIGINT AS hi, " +
-        "sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)::BIGINT AS lo FROM bits GROUP BY 1), " +
-        "seg AS MATERIALIZED (SELECT media_id, s, CASE WHEN s < 4 THEN (lo // (1::BIGINT << (8 * s))) % 256 ELSE (hi // (1::BIGINT << (8 * (s - 4)))) % 256 END AS segval " +
-        "FROM fp, (SELECT unnest(generate_series(0, 7)) AS s)), " +
-        "hotn AS (SELECT s, segval FROM seg WHERE media_id >= 60000 GROUP BY 1, 2 HAVING count(*) > 256), " +
-        "kn AS (SELECT * FROM (SELECT * FROM seg WHERE media_id >= 60000) ANTI JOIN hotn USING (s, segval)), " +
-        "nk AS (SELECT DISTINCT s, segval FROM kn), " +
-        "mt AS MATERIALIZED (SELECT * FROM (SELECT * FROM seg WHERE media_id < 60000) SEMI JOIN nk USING (s, segval)), " +
-        "hotb AS (SELECT s, segval FROM mt GROUP BY 1, 2 HAVING count(*) > 256), " +
-        "mk AS (SELECT * FROM mt ANTI JOIN hotb USING (s, segval)), " +
-        "cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b FROM kn a JOIN mk b ON a.s = b.s AND a.segval = b.segval) " +
-        "SELECT id_a, id_b, (bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)))::BIGINT AS hamming " +
+      // the incremental replay: whole-signal fingerprints for both
+      // sides, the batch side's (>= 60000) kept (n_windows, segment,
+      // value) keys select the stored side's matches (per-side
+      // >maxBucket drops, mirroring the operator), candidates cross
+      // new x stored within equal window counts, bit_count verify
+      ("WITH " + audioFpCtes + ", " +
+        "hotn AS (SELECT nw, s, segval FROM seg WHERE media_id >= 60000 GROUP BY 1, 2, 3 HAVING count(*) > 256), " +
+        "kn AS (SELECT * FROM (SELECT * FROM seg WHERE media_id >= 60000) ANTI JOIN hotn USING (nw, s, segval)), " +
+        "nk AS (SELECT DISTINCT nw, s, segval FROM kn), " +
+        "mt AS MATERIALIZED (SELECT * FROM (SELECT * FROM seg WHERE media_id < 60000) SEMI JOIN nk USING (nw, s, segval)), " +
+        "hotb AS (SELECT nw, s, segval FROM mt GROUP BY 1, 2, 3 HAVING count(*) > 256), " +
+        "mk AS (SELECT * FROM mt ANTI JOIN hotb USING (nw, s, segval)), " +
+        "cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b, a.nw AS nw FROM kn a JOIN mk b ON a.nw = b.nw AND a.s = b.s AND a.segval = b.segval) " +
+        "SELECT id_a, id_b, nw AS n_windows, (bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)))::BIGINT AS hamming " +
         "FROM cand JOIN fp pa ON pa.media_id = id_a JOIN fp pb ON pb.media_id = id_b " +
         "WHERE bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)) <= 7 ORDER BY id_a, id_b"),
     // the full containment replay: mixer energies for corpus AND the

@@ -516,21 +516,28 @@ object Multimodal {
 
   /** Audio fingerprint over the REAL PCM decode: a difference hash on
     * the energy envelope — the windowed-spectral-landmark idea
-    * (Shazam/Chromaprint family) reduced to its integer core. The sample
-    * stream is cut into `windowSamples`-sample windows (the
-    * [[audioActivity]] machinery); window w's energy is its exact
-    * integer sum-of-|amplitude|; fingerprint bit k (k < `nBits`) is set
-    * iff energy(k+1) > energy(k). Bits past the last window pair stay 0
-    * (zero-padding).
+    * (Shazam/Chromaprint family) reduced to its integer core, covering
+    * the WHOLE recording at any duration the way the image dHash covers
+    * the whole image at any resolution. Trailing silence (zero samples)
+    * is trimmed first; the trimmed stream is cut into
+    * `max(minWindowSamples, ceil(effLen / (nBits + 1)))`-sample windows
+    * — duration-PROPORTIONAL, so the `nBits + 1` windows always tile the
+    * full signal and bit `nBits - 1` observes the recording's END, not
+    * its first fraction of a second. Window w's energy is its exact
+    * integer sum-of-|amplitude|; fingerprint bit k is set iff
+    * energy(k+1) > energy(k). Short recordings (fewer than `nBits + 1`
+    * minimum-size windows) fall back to fixed `minWindowSamples` windows
+    * and leave high bits 0; `n_windows` carries the trimmed window count
+    * for [[audioNearDup]]'s length gate.
     *
-    * Two invariances fall out by construction — exactly the
-    * re-encodings an ASR-ingest dedup must catch:
+    * Two invariances hold by construction — exactly the re-encodings an
+    * ASR-ingest dedup must catch:
     *  - GAIN: scaling every sample by g > 0 scales every window energy
-    *    by g, preserving every comparison — identical fingerprint;
-    *  - TRAILING SILENCE: zero samples add nothing to any window
-    *    energy, and an all-zero appended window loses its boundary
-    *    comparison (0 > e is false) — bit-identical to the zero-padding
-    *    of the unpadded stream.
+    *    by g, preserving every comparison AND every zero sample —
+    *    identical fingerprint and window count;
+    *  - TRAILING SILENCE: trimmed before the window size is chosen, so
+    *    a padded re-encode reproduces the original's windows, bits, and
+    *    `n_windows` exactly.
     * Like [[perceptualHash]], this is a narrow partition-batched
     * decode — no shuffle, rows that do not decode are dropped; the
     * 8-byte fingerprint is the stored artifact, the audio bytes stay
@@ -538,9 +545,10 @@ object Multimodal {
     * every bit from the waveform formula ([[syntheticWavMedia]]). */
   def audioFingerprint(
       media: DataFrame,
-      windowSamples: Int = 16,
+      minWindowSamples: Int = 16,
       nBits: Int = 64): DataFrame = {
     require(nBits >= 1 && nBits <= 64, s"fingerprint must fit 64 bits, got $nBits")
+    require(minWindowSamples >= 1, s"window must hold a sample, got $minWindowSamples")
     val spark = media.sparkSession
     val rdd = media.select("media_id", "content").rdd.mapPartitions { it =>
       it.flatMap { r =>
@@ -555,22 +563,24 @@ object Multimodal {
             val data = ais.readAllBytes()
             val bigEndian = fmt.isBigEndian
             val n = data.length / 2
-            val nWindows = (n + windowSamples - 1) / windowSamples
-            val energy = new Array[Long](nWindows)
-            var w = 0
-            while (w < nWindows) {
-              val from = w * windowSamples
-              val until = math.min(from + windowSamples, n)
-              var sum = 0L; var i = from
-              while (i < until) {
-                val lo = data(if (bigEndian) 2 * i + 1 else 2 * i) & 0xff
-                val hi = data(if (bigEndian) 2 * i else 2 * i + 1)
-                sum += math.abs((hi << 8 | lo).toShort.toLong)
-                i += 1
-              }
-              energy(w) = sum
-              w += 1
+            val amp = new Array[Int](n)
+            var eff = 0
+            var i = 0
+            while (i < n) {
+              val lo = data(if (bigEndian) 2 * i + 1 else 2 * i) & 0xff
+              val hi = data(if (bigEndian) 2 * i else 2 * i + 1)
+              val s = (hi << 8 | lo).toShort.toInt
+              amp(i) = math.abs(s)
+              if (s != 0) eff = i + 1
+              i += 1
             }
+            // duration-proportional window: nBits + 1 windows tile the
+            // trimmed signal; short streams keep the minimum granularity
+            val ws = math.max(minWindowSamples, (eff + nBits) / (nBits + 1))
+            val nWindows = (eff + ws - 1) / ws
+            val energy = new Array[Long](math.max(nWindows, 1))
+            i = 0
+            while (i < eff) { energy(i / ws) += amp(i).toLong; i += 1 }
             var afp = 0L
             var k = 0
             val kMax = math.min(nBits, nWindows - 1)
@@ -1084,30 +1094,107 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
-  /** Audio near-dup pairs from a `(media_id, afp)` fingerprint table:
-    * the [[perceptualNearDup]] pigeonhole-segment machinery verbatim —
-    * a 64-bit hamming space doesn't care which modality produced it. */
+  /** Audio near-dup pairs from a `(media_id, n_windows, afp)`
+    * fingerprint table: the [[perceptualNearDup]] pigeonhole-segment
+    * machinery with the trimmed WINDOW COUNT riding the bucket key —
+    * [[videoNearDup]]'s frame-count gate in audio form. Candidates only
+    * pair recordings whose duration-proportional window counts match,
+    * so two recordings sharing an intro but differing in length cannot
+    * pair on the intro alone (and since [[audioFingerprint]] tiles the
+    * whole signal, equal-count recordings differing in their TAILS
+    * diverge in the high bits and fail the hamming verify). Pigeonhole
+    * recall is unchanged — a true pair has equal counts and shares ≥ 1
+    * whole segment; hot `(n_windows, segment, value)` buckets above
+    * `maxBucket` drop whole. Emits `(id_a, id_b, n_windows, hamming)`;
+    * only 8-byte fingerprints shuffle. */
   def audioNearDup(
       fingerprints: DataFrame,
       maxHamming: Int = 7,
-      maxBucket: Int = 256): DataFrame =
-    perceptualNearDup(
-      fingerprints.select(col("media_id"), col("afp").as("phash")),
-      maxHamming, maxBucket)
+      maxBucket: Int = 256): DataFrame = {
+    val nSeg = maxHamming + 1
+    require(64 % nSeg == 0, s"maxHamming + 1 = $nSeg must divide 64 to tile the hash")
+    val segBits = 64 / nSeg
+    val segmented = fingerprints.select(
+      col("media_id").as("id"), col("n_windows").as("nw"), col("afp"),
+      posexplode(array((0 until nSeg).map(s =>
+        shiftright(col("afp"), s * segBits).bitwiseAND(lit((1L << segBits) - 1))): _*)))
+      .withColumnRenamed("pos", "seg").withColumnRenamed("col", "segval")
+    val hot = segmented.groupBy("nw", "seg", "segval").count()
+      .where(col("count") > maxBucket).select("nw", "seg", "segval")
+    val kept = segmented.join(hot, Seq("nw", "seg", "segval"), "left_anti")
+    kept.select(col("nw"), col("seg"), col("segval"),
+        col("id").as("id_a"), col("afp").as("fp_a"))
+      .join(kept.select(col("nw"), col("seg"), col("segval"),
+        col("id").as("id_b"), col("afp").as("fp_b")), Seq("nw", "seg", "segval"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("nw").as("n_windows"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
 
   /** Incremental audio near-dup: a NEW batch's fingerprints against the
-    * STORED corpus table — [[perceptualNearDupIncremental]]'s broadcast
-    * shape (batch keys broadcast, stored side never shuffles). */
+    * STORED corpus table (`id_a` = batch, `id_b` = stored) —
+    * [[perceptualNearDupIncremental]]'s broadcast shape with
+    * [[audioNearDup]]'s window-count gate riding the bucket key: the
+    * batch's count-fenced `(n_windows, segment, value)` keys broadcast,
+    * the stored corpus semi-joins against them and never shuffles, hot
+    * caps apply per side. Emits `(id_a, id_b, n_windows, hamming)`. */
   def audioNearDupIncremental(
       newFingerprints: DataFrame,
       storedFingerprints: DataFrame,
       maxHamming: Int = 7,
       maxBucket: Int = 256,
-      maxBroadcastKeys: Long = 4L * 1000 * 1000): DataFrame =
-    perceptualNearDupIncremental(
-      newFingerprints.select(col("media_id"), col("afp").as("phash")),
-      storedFingerprints.select(col("media_id"), col("afp").as("phash")),
-      maxHamming, maxBucket, maxBroadcastKeys)
+      maxBroadcastKeys: Long = 4L * 1000 * 1000): DataFrame = {
+    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+    val out = audioNearDupIncrementalStage(newFingerprints, storedFingerprints,
+      maxHamming, maxBucket, maxBroadcastKeys, persisted)
+    val ck = out.localCheckpoint(true)
+    persisted.foreach(_.unpersist(blocking = false))
+    ck
+  }
+
+  /** The pre-checkpoint pair stage — split out so PlanSpec can assert
+    * the broadcast shape (`localCheckpoint` truncates the visible
+    * plan). Caches it creates are appended to `persisted`. */
+  private[graft] def audioNearDupIncrementalStage(
+      newFingerprints: DataFrame,
+      storedFingerprints: DataFrame,
+      maxHamming: Int,
+      maxBucket: Int,
+      maxBroadcastKeys: Long,
+      persisted: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
+    val nSeg = maxHamming + 1
+    require(64 % nSeg == 0, s"maxHamming + 1 = $nSeg must divide 64 to tile the hash")
+    val segBits = 64 / nSeg
+    def segmented(df: DataFrame, idAs: String, fpAs: String) = df.select(
+      col("media_id").as(idAs), col("n_windows").as("nw"), col("afp").as(fpAs),
+      posexplode(array((0 until nSeg).map(s =>
+        shiftright(col("afp"), s * segBits).bitwiseAND(lit((1L << segBits) - 1))): _*)))
+      .withColumnRenamed("pos", "seg").withColumnRenamed("col", "segval")
+    val bn0 = segmented(newFingerprints, "id_a", "fp_a")
+    val hotNew = bn0.groupBy("nw", "seg", "segval").count()
+      .where(col("count") > maxBucket).select("nw", "seg", "segval")
+    val bn = bn0.join(hotNew, Seq("nw", "seg", "segval"), "left_anti")
+    val newKeys = bn.select("nw", "seg", "segval").distinct().persist()
+    persisted += newKeys
+    // fence: a batch whose key set won't broadcast is corpus-sized —
+    // fall back to the symmetric shuffle (the one-shot's shape)
+    val bcast = newKeys.count() <= maxBroadcastKeys
+    val stored = segmented(storedFingerprints, "id_b", "fp_b")
+    val matched =
+      (if (bcast) stored.join(broadcast(newKeys), Seq("nw", "seg", "segval"))
+       else stored.join(newKeys, Seq("nw", "seg", "segval"))).persist()
+    persisted += matched
+    val hotBase = matched.groupBy("nw", "seg", "segval").count()
+      .where(col("count") > maxBucket).select("nw", "seg", "segval")
+    bn.join(matched.join(hotBase, Seq("nw", "seg", "segval"), "left_anti"),
+        Seq("nw", "seg", "segval"))
+      .select(col("id_a"), col("id_b"), col("nw").as("n_windows"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
 
   private val imageStatsSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

@@ -26,7 +26,7 @@ final class AudioFingerprintTableView(
     protected val spark: SparkSession,
     protected val dir: String,
     protected val protocolVersion: Int,
-    windowSamples: Int = 16,
+    minWindowSamples: Int = 16,
     nBits: Int = 64,
     compactEvery: Int = 0) extends FlumeView with CompactableDeltas {
 
@@ -35,22 +35,25 @@ final class AudioFingerprintTableView(
   openProtocol()
 
   /** Absorb a media batch: decode + fingerprint here (each recording
-    * hashed exactly once, at ingest), land the `(media_id, afp)` delta. */
+    * hashed exactly once, at ingest), land the `(media_id, n_windows,
+    * afp)` delta — the window count is stored beside the fingerprint
+    * because [[graft.ops.Multimodal.audioNearDup]]'s length gate needs
+    * it at dedup time without re-touching the waveform. */
   def absorb(entries: DataFrame, upto: Long): Unit =
     absorbFingerprints(
-      graft.ops.Multimodal.audioFingerprint(entries, windowSamples, nBits), upto)
+      graft.ops.Multimodal.audioFingerprint(entries, minWindowSamples, nBits), upto)
 
-  /** Absorb a PRECOMPUTED `(media_id, afp)` delta — for callers that
-    * already paid the decode for their own dedup decision. */
+  /** Absorb a PRECOMPUTED `(media_id, n_windows, afp)` delta — for
+    * callers that already paid the decode for their own dedup decision. */
   def absorbFingerprints(fps: DataFrame, upto: Long): Unit = {
-    fps.select("media_id", "afp")
+    fps.select("media_id", "n_windows", "afp")
       .write.mode("overwrite").parquet(batchPath(upto).toString)
     sinceSeq = upto
     writeManifest()
     maybeCompact()
   }
 
-  /** The accumulated `(media_id, afp)` table — feed to
+  /** The accumulated `(media_id, n_windows, afp)` table — feed to
     * [[graft.ops.Multimodal.audioNearDupIncremental]]. */
   def fingerprints: DataFrame = {
     val dirs = committedBatchDirs().map(_.toString)
@@ -62,7 +65,7 @@ final class AudioFingerprintTableView(
     * `dedupBatchFingerprints` when the batch's prints are precomputed. */
   def dedupBatch(media: DataFrame, maxHamming: Int = 7, maxBucket: Int = 256): DataFrame =
     dedupBatchFingerprints(
-      graft.ops.Multimodal.audioFingerprint(media, windowSamples, nBits),
+      graft.ops.Multimodal.audioFingerprint(media, minWindowSamples, nBits),
       maxHamming, maxBucket)
 
   def dedupBatchFingerprints(newFps: DataFrame, maxHamming: Int = 7,
@@ -75,14 +78,17 @@ final class AudioFingerprintTableView(
 }
 
 object AudioFingerprintTableView {
-  def apply(dir: String, windowSamples: Int = 16, nBits: Int = 64,
-      version: Int = 1, compactEvery: Int = 0): ViewDef = {
+  // default version 2: v2 added the n_windows column (the near-dup
+  // length gate) and duration-proportional fingerprint windows — a v1
+  // table reopened under v2 wipes and rebuilds per the protocol rule
+  def apply(dir: String, minWindowSamples: Int = 16, nBits: Int = 64,
+      version: Int = 2, compactEvery: Int = 0): ViewDef = {
     val v = version
     new ViewDef {
       def version: Int = v
       def create(db: FlumeDb, name: String) =
         new AudioFingerprintTableView(
-          db.log.spark, s"$dir/$name", v, windowSamples, nBits, compactEvery)
+          db.log.spark, s"$dir/$name", v, minWindowSamples, nBits, compactEvery)
     }
   }
 }
