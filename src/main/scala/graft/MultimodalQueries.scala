@@ -355,7 +355,7 @@ private[graft] object MultimodalQueries {
         "SELECT w.media_id, ((w.effn + w.ws - 1) // w.ws)::BIGINT AS n_windows, " +
         "coalesce(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END), 0)::BIGINT AS fp_hi, " +
         "coalesce(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END), 0)::BIGINT AS fp_lo " +
-        "FROM wsz w LEFT JOIN bits b ON b.media_id = w.media_id GROUP BY 1, 2 ORDER BY media_id"),
+        "FROM wsz w LEFT JOIN bits b ON b.media_id = w.media_id GROUP BY 1, 2 ORDER BY w.media_id"),
     "q_audio_neardup" ->
       // the full near-dup replay: whole-signal formula fingerprints for
       // originals AND the gain×3/+24-silence copies (gain scales |s|
@@ -366,7 +366,7 @@ private[graft] object MultimodalQueries {
         "hot AS (SELECT nw, s, segval FROM seg GROUP BY 1, 2, 3 HAVING count(*) > 256), " +
         "kept AS (SELECT * FROM seg ANTI JOIN hot USING (nw, s, segval)), " +
         "cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b, a.nw AS nw FROM kept a JOIN kept b ON a.nw = b.nw AND a.s = b.s AND a.segval = b.segval AND a.media_id < b.media_id) " +
-        "SELECT id_a, id_b, nw AS n_windows, (bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)))::BIGINT AS hamming " +
+        "SELECT id_a, id_b, cand.nw AS n_windows, (bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)))::BIGINT AS hamming " +
         "FROM cand JOIN fp pa ON pa.media_id = id_a JOIN fp pb ON pb.media_id = id_b " +
         "WHERE bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)) <= 7 ORDER BY id_a, id_b"),
     "q_audio_neardup_incremental" ->
@@ -383,7 +383,7 @@ private[graft] object MultimodalQueries {
         "hotb AS (SELECT nw, s, segval FROM mt GROUP BY 1, 2, 3 HAVING count(*) > 256), " +
         "mk AS (SELECT * FROM mt ANTI JOIN hotb USING (nw, s, segval)), " +
         "cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b, a.nw AS nw FROM kn a JOIN mk b ON a.nw = b.nw AND a.s = b.s AND a.segval = b.segval) " +
-        "SELECT id_a, id_b, nw AS n_windows, (bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)))::BIGINT AS hamming " +
+        "SELECT id_a, id_b, cand.nw AS n_windows, (bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)))::BIGINT AS hamming " +
         "FROM cand JOIN fp pa ON pa.media_id = id_a JOIN fp pb ON pb.media_id = id_b " +
         "WHERE bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)) <= 7 ORDER BY id_a, id_b"),
     // the full containment replay: mixer energies for corpus AND the

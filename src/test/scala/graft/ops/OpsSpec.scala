@@ -738,13 +738,25 @@ class OpsSpec extends SparkSpec {
       // gain x3 scales every window energy; 24 zero samples pad the last
       // window and append silent windows — both preserve every bit
       assert(fc(id)._2 === afp, s"fingerprint must be gain/silence-invariant for id=$id")
+      // re-derive the trim + duration-proportional window count: eff =
+      // last nonzero mixer sample + 1, ws = max(16, ceil(eff/65)),
+      // nw = ceil(eff/ws)
       val n = 800 + (id % 400).toInt
-      assert(nw === ((n + 15) / 16).toLong && fc(id)._1 === ((n + 24 + 15) / 16).toLong)
+      val eff = (0 until n).reverse.find { i =>
+        val m = (id * 31 + 17L * i) * 2654435761L
+        ((m ^ (m >> 15) ^ (m >> 30)) % 2003L - 1001L) != 0L
+      }.map(_ + 1).getOrElse(0)
+      val ws = math.max(16, (eff + 64) / 65)
+      assert(nw === ((eff + ws - 1) / ws).toLong,
+        s"trim+proportional window count for id=$id")
+      // gain preserves zero samples and the trailing pad trims away:
+      // the padded-gain copy must reproduce the SAME count
+      assert(fc(id)._1 === nw, s"padded copy must share the window count for id=$id")
     }
     // near-dup over the union finds EXACTLY the planted pairs, at hamming 0
     val pairs = Multimodal.audioNearDup(
         Multimodal.audioFingerprint(base.unionByName(copies)))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
     val planted = pairs.filter { case (a, b, _) => b == a + 60000L }
     assert(planted.length === fb.size, s"planted recall ${planted.length}/${fb.size}")
     assert(planted.forall(_._3 == 0), "planted re-encodes must land at hamming 0")
@@ -755,8 +767,64 @@ class OpsSpec extends SparkSpec {
     // incremental == one-shot restricted to the cross set (batch x stored)
     val inc = Multimodal.audioNearDupIncremental(
         Multimodal.audioFingerprint(copies), Multimodal.audioFingerprint(base))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(inc === pairs.map { case (a, b, d) => (math.max(a, b), math.min(a, b), d) }.toSet)
+  }
+
+  test("audio near-dup NEGATIVE: shared-prefix recordings must not pair") {
+    // hand-built WAVs from independent mixer streams; fixture-scale
+    // lengths so ws floors at 16 and the n_windows gate is live
+    def mix(key: Long, i: Int): Long = {
+      val m = (key * 31 + 17L * i) * 2654435761L
+      (m ^ (m >> 15) ^ (m >> 30)) % 2003L - 1001L
+    }
+    def wav(id: Long, n: Int, sample: Int => Long): org.apache.spark.sql.Row = {
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = sample(i).toShort
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      org.apache.spark.sql.Row(id, "audio", bos.toByteArray,
+        org.apache.spark.sql.Row(0, 0, n * 1000L / 8000L, "audio/wav"))
+    }
+    // A and B share their whole first 832 samples, then B runs on for
+    // another 288 — different durations → different window counts →
+    // the length gate must block the pair
+    // C and D are SAME-length recordings sharing their first 416
+    // samples (26 whole windows) with independent tails — equal
+    // counts, guaranteed pigeonhole CANDIDATES via the shared low
+    // segments, so only the hamming verify can reject them
+    val rows = Seq(
+      wav(1L, 832, i => mix(100L, i)),
+      wav(2L, 1120, i => if (i < 832) mix(100L, i) else mix(200L, i)),
+      wav(3L, 832, i => if (i < 416) mix(300L, i) else mix(301L, i)),
+      wav(4L, 832, i => if (i < 416) mix(300L, i) else mix(302L, i)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      Multimodal.syntheticWavMedia(docs).schema)
+    val fps = Multimodal.audioFingerprint(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fps.keySet === Set(1L, 2L, 3L, 4L))
+    assert(fps(1L)._1 !== fps(2L)._1,
+      "prefix-sharing recordings of different durations must differ in window count")
+    assert(fps(3L)._1 === fps(4L)._1, "same-length pair must share the window count")
+    // 26 shared prefix windows fix bits 0-24, so segments 0-2 of the
+    // 8x8-bit pigeonhole match: C/D reach the verify as candidates
+    assert(((fps(3L)._2 ^ fps(4L)._2) & 0xFFFFFFL) === 0L,
+      "shared prefix must make C/D pigeonhole candidates (low segments equal)")
+    val pairs = Multimodal.audioNearDup(
+      Multimodal.audioFingerprint(media)).collect()
+    assert(pairs.isEmpty,
+      s"shared-prefix recordings must NOT pair, got ${pairs.toSeq}")
   }
 
   test("audio clip containment: every planted clip found at its exact window offset, nothing else") {

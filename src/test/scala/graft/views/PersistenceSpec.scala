@@ -403,28 +403,32 @@ class PersistenceSpec extends SparkSpec {
     val afDir = Files.createTempDirectory("graft-afp").toString
     val v = new AudioFingerprintTableView(spark, s"$afDir/af", 1)
     val rnd = new scala.util.Random(13)
-    val b1 = (0L until 60L).map(i => (i, rnd.nextLong()))
-    val b2 = (60L until 100L).map(i => (i, rnd.nextLong()))
-    v.absorbFingerprints(b1.toDF("media_id", "afp"), 1L)
-    v.absorbFingerprints(b2.toDF("media_id", "afp"), 2L)
+    // precomputed 3-column deltas: the v2 contract stores the near-dup
+    // length gate (n_windows) beside each fingerprint
+    val b1 = (0L until 60L).map(i => (i, 52L, rnd.nextLong()))
+    val b2 = (60L until 100L).map(i => (i, 52L, rnd.nextLong()))
+    v.absorbFingerprints(b1.toDF("media_id", "n_windows", "afp"), 1L)
+    v.absorbFingerprints(b2.toDF("media_id", "n_windows", "afp"), 2L)
     assert(v.fingerprints.count() === 100L)
     // reopen from the manifest: a new instance sees both deltas
     val v2 = new AudioFingerprintTableView(spark, s"$afDir/af", 1)
     assert(v2.since === 2L && v2.fingerprints.count() === 100L)
     // incremental dedup: 1-bit flips of ids from BOTH stored batches
-    val batch = Seq((1000L, b1(5)._2 ^ 1L), (1001L, b2(10)._2 ^ (1L << 40)),
-      (1002L, rnd.nextLong()))
-    val pairs = v2.dedupBatchFingerprints(batch.toDF("media_id", "afp"))
+    val batch = Seq((1000L, 52L, b1(5)._3 ^ 1L), (1001L, 52L, b2(10)._3 ^ (1L << 40)),
+      (1002L, 52L, rnd.nextLong()))
+    val pairs = v2.dedupBatchFingerprints(batch.toDF("media_id", "n_windows", "afp"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1000L, 5L)) && pairs.contains((1001L, 70L)),
       s"planted flips must match their stored originals, got $pairs")
-    // compaction collapses the chain without changing a single print
-    val before = v2.fingerprints.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // compaction collapses the chain without changing a count or print
+    val before = v2.fingerprints.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     v2.compact()
     val dirs = new java.io.File(s"$afDir/af").listFiles().map(_.getName)
       .filter(_.startsWith("batch=")).sorted
     assert(dirs.toSeq === Seq("batch=2"))
-    assert(v2.fingerprints.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === before)
+    assert(v2.fingerprints.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap === before)
     // the decode-at-ingest path: absorbing real WAV media lands the same
     // prints audioFingerprint computes
     val afDir2 = Files.createTempDirectory("graft-afp2").toString
@@ -434,8 +438,10 @@ class PersistenceSpec extends SparkSpec {
     val vm = new AudioFingerprintTableView(spark, s"$afDir2/af", 1)
     vm.absorb(media, 1L)
     val direct = graft.ops.Multimodal.audioFingerprint(media)
-      .select("media_id", "afp").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(vm.fingerprints.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === direct)
+      .select("media_id", "n_windows", "afp").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(vm.fingerprints.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap === direct)
   }
 
   test("AudioGramTableView: durable positional grams, reopen, stored containment, compaction") {
