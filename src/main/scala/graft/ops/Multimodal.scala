@@ -1154,12 +1154,35 @@ object Multimodal {
     ck
   }
 
-  /** The pre-checkpoint pair stage — split out so PlanSpec can assert
-    * the broadcast shape (`localCheckpoint` truncates the visible
-    * plan). Caches it creates are appended to `persisted`. */
+  /** The pre-checkpoint pair stage — [[hammingNearDupIncrementalStage]]
+    * with the window-count gate column riding the bucket key; split out
+    * so PlanSpec can assert the broadcast shape (`localCheckpoint`
+    * truncates the visible plan). Caches land in `persisted`. */
   private[graft] def audioNearDupIncrementalStage(
       newFingerprints: DataFrame,
       storedFingerprints: DataFrame,
+      maxHamming: Int,
+      maxBucket: Int,
+      maxBroadcastKeys: Long,
+      persisted: scala.collection.mutable.Buffer[DataFrame]): DataFrame =
+    hammingNearDupIncrementalStage(newFingerprints, storedFingerprints,
+      "afp", Seq("n_windows"), maxHamming, maxBucket, maxBroadcastKeys, persisted)
+
+  /** The shared incremental hamming-near-dup pair stage: a NEW batch's
+    * 64-bit hashes against a STORED corpus, pigeonhole segments tiling
+    * the hash, with optional GATE columns riding the bucket key (the
+    * audio window count; image has none) so candidates only pair rows
+    * agreeing on every gate. 100 TB shape, identical for every caller:
+    * the batch's count-fenced `(gates…, segment, value)` key set
+    * broadcasts (falling back to a symmetric shuffle past
+    * `maxBroadcastKeys` — a corpus-sized "batch" IS the one-shot), the
+    * stored corpus semi-joins against it and never shuffles, hot caps
+    * apply per side. Emits `(id_a, id_b, gates…, hamming)`. */
+  private[graft] def hammingNearDupIncrementalStage(
+      newHashes: DataFrame,
+      storedHashes: DataFrame,
+      hashCol: String,
+      gateCols: Seq[String],
       maxHamming: Int,
       maxBucket: Int,
       maxBroadcastKeys: Long,
@@ -1167,31 +1190,32 @@ object Multimodal {
     val nSeg = maxHamming + 1
     require(64 % nSeg == 0, s"maxHamming + 1 = $nSeg must divide 64 to tile the hash")
     val segBits = 64 / nSeg
-    def segmented(df: DataFrame, idAs: String, fpAs: String) = df.select(
-      col("media_id").as(idAs), col("n_windows").as("nw"), col("afp").as(fpAs),
-      posexplode(array((0 until nSeg).map(s =>
-        shiftright(col("afp"), s * segBits).bitwiseAND(lit((1L << segBits) - 1))): _*)))
+    val keyCols = gateCols ++ Seq("seg", "segval")
+    def segmented(df: DataFrame, idAs: String, hAs: String) = df.select(
+      col("media_id").as(idAs) +: gateCols.map(col) ++: Seq(
+        col(hashCol).as(hAs),
+        posexplode(array((0 until nSeg).map(s =>
+          shiftright(col(hashCol), s * segBits).bitwiseAND(lit((1L << segBits) - 1))): _*))): _*)
       .withColumnRenamed("pos", "seg").withColumnRenamed("col", "segval")
-    val bn0 = segmented(newFingerprints, "id_a", "fp_a")
-    val hotNew = bn0.groupBy("nw", "seg", "segval").count()
-      .where(col("count") > maxBucket).select("nw", "seg", "segval")
-    val bn = bn0.join(hotNew, Seq("nw", "seg", "segval"), "left_anti")
-    val newKeys = bn.select("nw", "seg", "segval").distinct().persist()
+    val bn0 = segmented(newHashes, "id_a", "h_a")
+    val hotNew = bn0.groupBy(keyCols.map(col): _*).count()
+      .where(col("count") > maxBucket).select(keyCols.map(col): _*)
+    val bn = bn0.join(hotNew, keyCols, "left_anti")
+    val newKeys = bn.select(keyCols.map(col): _*).distinct().persist()
     persisted += newKeys
     // fence: a batch whose key set won't broadcast is corpus-sized —
     // fall back to the symmetric shuffle (the one-shot's shape)
     val bcast = newKeys.count() <= maxBroadcastKeys
-    val stored = segmented(storedFingerprints, "id_b", "fp_b")
+    val stored = segmented(storedHashes, "id_b", "h_b")
     val matched =
-      (if (bcast) stored.join(broadcast(newKeys), Seq("nw", "seg", "segval"))
-       else stored.join(newKeys, Seq("nw", "seg", "segval"))).persist()
+      (if (bcast) stored.join(broadcast(newKeys), keyCols)
+       else stored.join(newKeys, keyCols)).persist()
     persisted += matched
-    val hotBase = matched.groupBy("nw", "seg", "segval").count()
-      .where(col("count") > maxBucket).select("nw", "seg", "segval")
-    bn.join(matched.join(hotBase, Seq("nw", "seg", "segval"), "left_anti"),
-        Seq("nw", "seg", "segval"))
-      .select(col("id_a"), col("id_b"), col("nw").as("n_windows"),
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+    val hotBase = matched.groupBy(keyCols.map(col): _*).count()
+      .where(col("count") > maxBucket).select(keyCols.map(col): _*)
+    bn.join(matched.join(hotBase, keyCols, "left_anti"), keyCols)
+      .select(Seq(col("id_a"), col("id_b")) ++ gateCols.map(col) :+
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"): _*)
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
@@ -1473,44 +1497,16 @@ object Multimodal {
     ck
   }
 
-  /** The pre-checkpoint pair stage — split out so PlanSpec can assert
-    * the broadcast shape (`localCheckpoint` truncates the visible
-    * plan). Caches it creates are appended to `persisted`. */
+  /** The pre-checkpoint pair stage — [[hammingNearDupIncrementalStage]]
+    * with no gate columns; split out so PlanSpec can assert the
+    * broadcast shape (`localCheckpoint` truncates the visible plan). */
   private[graft] def perceptualNearDupIncrementalStage(
       newHashes: DataFrame,
       storedHashes: DataFrame,
       maxHamming: Int,
       maxBucket: Int,
       maxBroadcastKeys: Long,
-      persisted: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
-    val nSeg = maxHamming + 1
-    require(64 % nSeg == 0, s"maxHamming + 1 = $nSeg must divide 64 to tile the hash")
-    val segBits = 64 / nSeg
-    def segmented(df: DataFrame, idAs: String, phAs: String) = df.select(
-      col("media_id").as(idAs), col("phash").as(phAs),
-      posexplode(array((0 until nSeg).map(s =>
-        shiftright(col("phash"), s * segBits).bitwiseAND(lit((1L << segBits) - 1))): _*)))
-      .withColumnRenamed("pos", "seg").withColumnRenamed("col", "segval")
-    val bn0 = segmented(newHashes, "id_a", "ph_a")
-    val hotNew = bn0.groupBy("seg", "segval").count()
-      .where(col("count") > maxBucket).select("seg", "segval")
-    val bn = bn0.join(hotNew, Seq("seg", "segval"), "left_anti")
-    val newKeys = bn.select("seg", "segval").distinct().persist()
-    persisted += newKeys
-    // fence: a batch whose key set won't broadcast is corpus-sized —
-    // fall back to the symmetric shuffle (the one-shot's shape)
-    val bcast = newKeys.count() <= maxBroadcastKeys
-    val stored = segmented(storedHashes, "id_b", "ph_b")
-    val matched =
-      (if (bcast) stored.join(broadcast(newKeys), Seq("seg", "segval"))
-       else stored.join(newKeys, Seq("seg", "segval"))).persist()
-    persisted += matched
-    val hotBase = matched.groupBy("seg", "segval").count()
-      .where(col("count") > maxBucket).select("seg", "segval")
-    bn.join(matched.join(hotBase, Seq("seg", "segval"), "left_anti"), Seq("seg", "segval"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .distinct()
-  }
+      persisted: scala.collection.mutable.Buffer[DataFrame]): DataFrame =
+    hammingNearDupIncrementalStage(newHashes, storedHashes,
+      "phash", Nil, maxHamming, maxBucket, maxBroadcastKeys, persisted)
 }

@@ -291,6 +291,27 @@ class PlanSpec extends SparkSpec {
     } finally persisted.foreach(_.unpersist(blocking = false))
   }
 
+  test("incremental audio dedup: stored side filtered by a BROADCAST of batch (n_windows, segment) keys") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val stored = (0L until 200L).map(i => (i, 50L + i % 4, rnd.nextLong()))
+      .toDF("media_id", "n_windows", "afp")
+    val batch = (0L until 10L).map(i => (1000L + i, 50L + i % 4, rnd.nextLong()))
+      .toDF("media_id", "n_windows", "afp")
+    val persisted = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+    try {
+      val pairs = graft.ops.Multimodal.audioNearDupIncrementalStage(
+        batch, stored, 7, 256, 4L * 1000 * 1000, persisted)
+      val s = planString(pairs)
+      // the batch's gated segment-key set must reach the stored corpus
+      // as a broadcast — a symmetric shuffle of the stored fingerprint
+      // table per batch is the recurring-cost scale bug this stage
+      // exists to avoid (mirror of the image sibling's pin above)
+      assert(s.contains("strategy=broadcast"),
+        s"batch (n_windows, seg) keys must broadcast into the stored-side filter:\n${s.take(4000)}")
+    } finally persisted.foreach(_.unpersist(blocking = false))
+  }
+
   test("incremental substring dedup: stored gram table filtered by a BROADCAST of batch keys") {
     import spark.implicits._
     val stored = graft.ops.Dedup.gramTable(
