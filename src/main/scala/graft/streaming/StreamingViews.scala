@@ -103,6 +103,52 @@ object StreamingViews {
   private def timeoutConf(idleTtl: Option[String]): GroupStateTimeout =
     idleTtl.fold(GroupStateTimeout.NoTimeout)(_ => GroupStateTimeout.ProcessingTimeTimeout)
 
+  /** `evictAfter`: the EVENT-TIME eviction twin of [[timeoutConf]]'s
+    * `idleTtl`, on every machine below. `Some(duration)` arms a
+    * watermark-based `EventTimeTimeout` per key at (the key's max event
+    * time this batch) + duration: the key evicts when the GLOBAL
+    * watermark — a pure function of the event times in the data —
+    * passes that deadline. Where `idleTtl` depends on wall-clock sweep
+    * scheduling (checkpoint-recovery replay can evict differently than
+    * the original run), `evictAfter` eviction is deterministic under
+    * replay of the same log — the reference's totally-ordered
+    * deterministic-replay semantic (`/root/reference/README.md:222-223`)
+    * carried over to state eviction. Eviction SEMANTICS per operator
+    * are identical to `idleTtl`'s (snapshot re-emit on the Update-mode
+    * machines, silence on the Append-mode ones; reactivation starts
+    * fresh). Operationally it is also the cheaper knob: no
+    * processing-time sweep batches, so `processAllAvailable` still
+    * quiesces. Exactly one of `idleTtl` / `evictAfter` may be set; the
+    * machines without an event-time column take `tsCol` (epoch ms)
+    * alongside. Spark requires the watermarked column to survive into
+    * the stateful operator's child output, so the evict-arm plans carry
+    * one extra timestamp column the fold ignores. */
+  private def requireOneEviction(idleTtl: Option[String], evictAfter: Option[String]): Unit =
+    require(idleTtl.isEmpty || evictAfter.isEmpty,
+      "choose ONE eviction mode: idleTtl (processing-time) or evictAfter (event-time)")
+
+  /** The small duration vocabulary `evictAfter` accepts, in ms. */
+  private def durationMs(s: String): Long = {
+    val pat = "(\\d+)\\s*(milliseconds?|millis?|ms|seconds?|secs?|s|minutes?|mins?|hours?|h|days?|d)".r
+    s.trim.toLowerCase match {
+      case pat(n, u) =>
+        val mult =
+          if (u.startsWith("milli") || u == "ms") 1L
+          else if (u.startsWith("sec") || u == "s") 1000L
+          else if (u.startsWith("min")) 60000L
+          else if (u.startsWith("hour") || u == "h") 3600000L
+          else 86400000L
+        n.toLong * mult
+      case _ => throw new IllegalArgumentException(s"cannot parse duration: '$s'")
+    }
+  }
+
+  /** Arm the event-time deadline: the key's last activity + the TTL,
+    * clamped above the current watermark (Spark rejects a deadline the
+    * watermark has already passed — such a key evicts next batch). */
+  private def armEventTimeout(state: GroupState[_], evictMs: Long, maxEtMs: Long): Unit =
+    state.setTimeoutTimestamp(math.max(maxEtMs + evictMs, state.getCurrentWatermarkMs() + 1))
+
   /** Tumbling event-time counts with a watermark: late rows beyond
     * `watermark` are dropped, windows close and emit once (append mode). */
   def tumblingCounts(
@@ -207,6 +253,31 @@ object StreamingViews {
     * order within each batch (sorted here); across batches the source
     * must deliver per-key in seq order — the log stream source
     * contract (`README.md:222`), same assumption as every view. */
+  /** The per-key scoring walk shared by both eviction arms: rows =
+    * (seq, value), sorted here; returns the new window and the hits. */
+  private def anomalyFold(key: Long, rows: Seq[(Long, Double)], vals0: Vector[Double],
+      lookback: Int, minObs: Int, z: Double): (Vector[Double], Seq[AnomalyHit]) = {
+    var vals = vals0
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyHit]
+    rows.sortBy(_._1).foreach { case (seq, x) =>
+      val n = vals.length
+      if (n >= minObs) {
+        var sum = 0.0
+        vals.foreach(sum += _)
+        val mean = sum / n
+        var m2 = 0.0
+        vals.foreach(v => m2 += (v - mean) * (v - mean))
+        val sd = math.sqrt(m2 / n)
+        val dev = math.abs(x - mean)
+        if (dev >= z * sd && dev > 0)
+          out += AnomalyHit(key, seq, x, r4(mean * n), r4(sd), n,
+            if (sd > 0) Some(r4((x - mean) / sd)) else None)
+      }
+      vals = (vals :+ x).takeRight(lookback)
+    }
+    (vals, out.toSeq)
+  }
+
   def rollingAnomalyPerKey(
       stream: DataFrame,
       keyCol: String,
@@ -215,43 +286,58 @@ object StreamingViews {
       lookback: Int = 10,
       minObs: Int = 5,
       z: Double = 2.5,
-      idleTtl: Option[String] = None): Dataset[AnomalyHit] = {
+      idleTtl: Option[String] = None,
+      evictAfter: Option[String] = None,
+      tsCol: Option[String] = None,
+      lateness: String = "0 seconds"): Dataset[AnomalyHit] = {
+    requireOneEviction(idleTtl, evictAfter)
     val spark = stream.sparkSession
     import spark.implicits._
-    stream.select(col(keyCol).cast("long"), col(seqCol).cast("long"),
-        col(valueCol).cast("double"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[TrailingWindow, AnomalyHit](
-        OutputMode.Append(), timeoutConf(idleTtl)) {
-        case (_, _, state: GroupState[TrailingWindow]) if state.hasTimedOut =>
-          // evicted = cold telemetry key: its trailing window is gone;
-          // reactivation rebuilds history from scratch (minObs gate)
-          state.remove()
-          Iterator.empty
-        case (key, rows, state: GroupState[TrailingWindow]) =>
-          idleTtl.foreach(state.setTimeoutDuration)
-          var vals = state.getOption.fold(Vector.empty[Double])(_.vals.toVector)
-          val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyHit]
-          rows.toSeq.sortBy(_._2).foreach { case (_, seq, x) =>
-            val n = vals.length
-            if (n >= minObs) {
-              var sum = 0.0
-              vals.foreach(sum += _)
-              val mean = sum / n
-              var m2 = 0.0
-              vals.foreach(v => m2 += (v - mean) * (v - mean))
-              val sd = math.sqrt(m2 / n)
-              val dev = math.abs(x - mean)
-              if (dev >= z * sd && dev > 0)
-                out += AnomalyHit(key, seq, x, r4(mean * n), r4(sd), n,
-                  if (sd > 0) Some(r4((x - mean) / sd)) else None)
-            }
-            vals = (vals :+ x).takeRight(lookback)
+    evictAfter match {
+      case Some(d) =>
+        require(tsCol.nonEmpty, "evictAfter needs tsCol (epoch ms) as the event-time column")
+        val evictMs = durationMs(d)
+        stream.select(col(keyCol).cast("long"), col(seqCol).cast("long"),
+            col(valueCol).cast("double"),
+            timestamp_millis(col(tsCol.get).cast("long")).as("__et"))
+          .withWatermark("__et", lateness)
+          .as[(Long, Long, Double, java.sql.Timestamp)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[TrailingWindow, AnomalyHit](
+            OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+            case (_, _, state: GroupState[TrailingWindow]) if state.hasTimedOut =>
+              state.remove()
+              Iterator.empty
+            case (key, rows, state: GroupState[TrailingWindow]) =>
+              val rs = rows.toSeq
+              armEventTimeout(state, evictMs, rs.iterator.map(_._4.getTime).max)
+              val (vals, out) = anomalyFold(key, rs.map(r => (r._2, r._3)),
+                state.getOption.fold(Vector.empty[Double])(_.vals.toVector),
+                lookback, minObs, z)
+              state.update(TrailingWindow(vals))
+              out.iterator
           }
-          state.update(TrailingWindow(vals))
-          out.iterator
-      }
+      case None =>
+        stream.select(col(keyCol).cast("long"), col(seqCol).cast("long"),
+            col(valueCol).cast("double"))
+          .as[(Long, Long, Double)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[TrailingWindow, AnomalyHit](
+            OutputMode.Append(), timeoutConf(idleTtl)) {
+            case (_, _, state: GroupState[TrailingWindow]) if state.hasTimedOut =>
+              // evicted = cold telemetry key: its trailing window is gone;
+              // reactivation rebuilds history from scratch (minObs gate)
+              state.remove()
+              Iterator.empty
+            case (key, rows, state: GroupState[TrailingWindow]) =>
+              idleTtl.foreach(state.setTimeoutDuration)
+              val (vals, out) = anomalyFold(key, rows.map(r => (r._2, r._3)).toSeq,
+                state.getOption.fold(Vector.empty[Double])(_.vals.toVector),
+                lookback, minObs, z)
+              state.update(TrailingWindow(vals))
+              out.iterator
+          }
+    }
   }
 
   /** Per-key funnel progress for [[funnelPerKey]]: how many stages are
@@ -278,6 +364,21 @@ object StreamingViews {
     * equals [[graft.ops.Funnel.funnel]] with the same gap mode. The
     * single `lastTs` field IS the anchor: updated per advance in
     * `"prev"`, pinned at stage 1 in `"first"`. */
+  /** The greedy seq-order advance shared by both eviction arms: rows =
+    * (seq, ms, type), sorted by seq here. */
+  private def funnelAdvance(p0: FunnelProgress, rows: Seq[(Long, Long, String)],
+      stages: Seq[String], maxGap: Option[Long], gapFrom: String): FunnelProgress = {
+    var p = p0
+    rows.sortBy(_._1).foreach { case (seq, ms, t) =>
+      if (p.stage < stages.length && t == stages(p.stage) &&
+          (maxGap.isEmpty || p.stage == 0 || ms - p.lastTs <= maxGap.get)) {
+        val anchor = if (gapFrom == "first" && p.stage > 0) p.lastTs else ms
+        p = FunnelProgress(p.stage + 1, p.seqs :+ seq, anchor)
+      }
+    }
+    p
+  }
+
   def funnelPerKey(
       stream: DataFrame,
       keyCol: String,
@@ -287,36 +388,58 @@ object StreamingViews {
       tsCol: Option[String] = None,
       maxGap: Option[Long] = None,
       gapFrom: String = "prev",
-      idleTtl: Option[String] = None): Dataset[(Long, Seq[Long], Int)] = {
+      idleTtl: Option[String] = None,
+      evictAfter: Option[String] = None,
+      lateness: String = "0 seconds"): Dataset[(Long, Seq[Long], Int)] = {
     require(maxGap.isEmpty || tsCol.nonEmpty, "maxGap needs tsCol to measure gaps on")
     require(gapFrom == "prev" || gapFrom == "first", s"gapFrom must be prev|first, got $gapFrom")
+    requireOneEviction(idleTtl, evictAfter)
     val spark = stream.sparkSession
     import spark.implicits._
     val ts = tsCol.map(c => col(c).cast("long")).getOrElse(lit(0L))
-    stream.select(col(keyCol).cast("long"), col(seqCol).cast("long"), ts.as("__ts"), col(typeCol))
-      .as[(Long, Long, Long, String)]
-      .groupByKey(_._1)
-      .mapGroupsWithState[FunnelProgress, (Long, Seq[Long], Int)](timeoutConf(idleTtl)) {
-        case (k, _, state: GroupState[FunnelProgress]) if state.hasTimedOut =>
-          // evicted = abandoned funnel: the final snapshot re-emits (a
-          // latest-per-key consumer already holds it), then the cursor
-          // drops; reactivation starts a NEW attempt at stage 0
-          val p = state.get
-          state.remove()
-          (k, p.seqs, p.stage)
-        case (k, rows, state: GroupState[FunnelProgress]) =>
-          idleTtl.foreach(state.setTimeoutDuration)
-          var p = state.getOption.getOrElse(FunnelProgress(0, Nil))
-          rows.toSeq.sortBy(_._2).foreach { case (_, seq, ms, t) =>
-            if (p.stage < stages.length && t == stages(p.stage) &&
-                (maxGap.isEmpty || p.stage == 0 || ms - p.lastTs <= maxGap.get)) {
-              val anchor = if (gapFrom == "first" && p.stage > 0) p.lastTs else ms
-              p = FunnelProgress(p.stage + 1, p.seqs :+ seq, anchor)
-            }
+    evictAfter match {
+      case Some(d) =>
+        require(tsCol.nonEmpty, "evictAfter needs tsCol (epoch ms) as the event-time column")
+        val evictMs = durationMs(d)
+        stream.select(col(keyCol).cast("long"), col(seqCol).cast("long"), ts.as("__ts"),
+            col(typeCol), timestamp_millis(ts).as("__et"))
+          .withWatermark("__et", lateness)
+          .as[(Long, Long, Long, String, java.sql.Timestamp)]
+          .groupByKey(_._1)
+          .mapGroupsWithState[FunnelProgress, (Long, Seq[Long], Int)](
+            GroupStateTimeout.EventTimeTimeout) {
+            case (k, _, state: GroupState[FunnelProgress]) if state.hasTimedOut =>
+              val p = state.get
+              state.remove()
+              (k, p.seqs, p.stage)
+            case (k, rows, state: GroupState[FunnelProgress]) =>
+              val rs = rows.toSeq
+              armEventTimeout(state, evictMs, rs.iterator.map(_._5.getTime).max)
+              val p = funnelAdvance(state.getOption.getOrElse(FunnelProgress(0, Nil)),
+                rs.map(r => (r._2, r._3, r._4)), stages, maxGap, gapFrom)
+              state.update(p)
+              (k, p.seqs, p.stage)
           }
-          state.update(p)
-          (k, p.seqs, p.stage)
-      }
+      case None =>
+        stream.select(col(keyCol).cast("long"), col(seqCol).cast("long"), ts.as("__ts"), col(typeCol))
+          .as[(Long, Long, Long, String)]
+          .groupByKey(_._1)
+          .mapGroupsWithState[FunnelProgress, (Long, Seq[Long], Int)](timeoutConf(idleTtl)) {
+            case (k, _, state: GroupState[FunnelProgress]) if state.hasTimedOut =>
+              // evicted = abandoned funnel: the final snapshot re-emits (a
+              // latest-per-key consumer already holds it), then the cursor
+              // drops; reactivation starts a NEW attempt at stage 0
+              val p = state.get
+              state.remove()
+              (k, p.seqs, p.stage)
+            case (k, rows, state: GroupState[FunnelProgress]) =>
+              idleTtl.foreach(state.setTimeoutDuration)
+              val p = funnelAdvance(state.getOption.getOrElse(FunnelProgress(0, Nil)),
+                rows.map(r => (r._2, r._3, r._4)).toSeq, stages, maxGap, gapFrom)
+              state.update(p)
+              (k, p.seqs, p.stage)
+          }
+    }
   }
 
   /** Per-key retention state for [[retentionPerKey]]: the key's cohort
@@ -344,29 +467,58 @@ object StreamingViews {
       keyCol: String,
       periodCol: String,
       periodSeconds: Long = 86400L,
-      idleTtl: Option[String] = None): Dataset[(Long, Long, Seq[Long])] = {
+      idleTtl: Option[String] = None,
+      evictAfter: Option[String] = None,
+      lateness: String = "0 seconds"): Dataset[(Long, Long, Seq[Long])] = {
+    requireOneEviction(idleTtl, evictAfter)
     val spark = stream.sparkSession
     import spark.implicits._
-    stream.select(col(keyCol).cast("long"), col(periodCol).cast("long"))
-      .as[(Long, Long)]
-      .groupByKey(_._1)
-      .mapGroupsWithState[RetentionProgress, (Long, Long, Seq[Long])](timeoutConf(idleTtl)) {
-        case (k, _, state: GroupState[RetentionProgress]) if state.hasTimedOut =>
-          // evicted = cohort finalized: the key's last snapshot re-emits
-          // and its history drops; a long-idle returner starts a NEW
-          // cohort dated at reactivation (counts as a new user). Full
-          // first-touch attribution = rebuild from the log (batch op).
-          val p = state.get
-          state.remove()
-          (k, p.cohortS * 1000L, p.periods.map(x => (x - p.cohortS) / periodSeconds))
-        case (k, rows, state: GroupState[RetentionProgress]) =>
-          idleTtl.foreach(state.setTimeoutDuration)
-          val prev = state.getOption.getOrElse(RetentionProgress(Long.MaxValue, Nil))
-          val ps = (prev.periods.toSet ++ rows.map(_._2)).toSeq.sorted
-          val cohort = ps.head
-          state.update(RetentionProgress(cohort, ps))
-          (k, cohort * 1000L, ps.map(p => (p - cohort) / periodSeconds))
-      }
+    evictAfter match {
+      case Some(d) =>
+        // the activity period IS the event time here (epoch seconds)
+        val evictMs = durationMs(d)
+        stream.select(col(keyCol).cast("long"), col(periodCol).cast("long"),
+            timestamp_seconds(col(periodCol).cast("long")).as("__et"))
+          .withWatermark("__et", lateness)
+          .as[(Long, Long, java.sql.Timestamp)]
+          .groupByKey(_._1)
+          .mapGroupsWithState[RetentionProgress, (Long, Long, Seq[Long])](
+            GroupStateTimeout.EventTimeTimeout) {
+            case (k, _, state: GroupState[RetentionProgress]) if state.hasTimedOut =>
+              val p = state.get
+              state.remove()
+              (k, p.cohortS * 1000L, p.periods.map(x => (x - p.cohortS) / periodSeconds))
+            case (k, rows, state: GroupState[RetentionProgress]) =>
+              val rs = rows.toSeq
+              armEventTimeout(state, evictMs, rs.iterator.map(_._3.getTime).max)
+              val prev = state.getOption.getOrElse(RetentionProgress(Long.MaxValue, Nil))
+              val ps = (prev.periods.toSet ++ rs.map(_._2)).toSeq.sorted
+              val cohort = ps.head
+              state.update(RetentionProgress(cohort, ps))
+              (k, cohort * 1000L, ps.map(p => (p - cohort) / periodSeconds))
+          }
+      case None =>
+        stream.select(col(keyCol).cast("long"), col(periodCol).cast("long"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .mapGroupsWithState[RetentionProgress, (Long, Long, Seq[Long])](timeoutConf(idleTtl)) {
+            case (k, _, state: GroupState[RetentionProgress]) if state.hasTimedOut =>
+              // evicted = cohort finalized: the key's last snapshot re-emits
+              // and its history drops; a long-idle returner starts a NEW
+              // cohort dated at reactivation (counts as a new user). Full
+              // first-touch attribution = rebuild from the log (batch op).
+              val p = state.get
+              state.remove()
+              (k, p.cohortS * 1000L, p.periods.map(x => (x - p.cohortS) / periodSeconds))
+            case (k, rows, state: GroupState[RetentionProgress]) =>
+              idleTtl.foreach(state.setTimeoutDuration)
+              val prev = state.getOption.getOrElse(RetentionProgress(Long.MaxValue, Nil))
+              val ps = (prev.periods.toSet ++ rows.map(_._2)).toSeq.sorted
+              val cohort = ps.head
+              state.update(RetentionProgress(cohort, ps))
+              (k, cohort * 1000L, ps.map(p => (p - cohort) / periodSeconds))
+          }
+    }
   }
 
   /** Per-key distinct-type state for [[typeSetPerKey]]. */
@@ -392,26 +544,55 @@ object StreamingViews {
       stream: DataFrame,
       keyCol: String,
       typeCol: String,
-      idleTtl: Option[String] = None): Dataset[(Long, Seq[String])] = {
+      idleTtl: Option[String] = None,
+      evictAfter: Option[String] = None,
+      tsCol: Option[String] = None,
+      lateness: String = "0 seconds"): Dataset[(Long, Seq[String])] = {
+    requireOneEviction(idleTtl, evictAfter)
     val spark = stream.sparkSession
     import spark.implicits._
-    stream.select(col(keyCol).cast("long"), col(typeCol))
-      .as[(Long, String)]
-      .groupByKey(_._1)
-      .mapGroupsWithState[TypeSet, (Long, Seq[String])](timeoutConf(idleTtl)) {
-        case (k, _, state: GroupState[TypeSet]) if state.hasTimedOut =>
-          // evicted = affinity membership finalized: final snapshot
-          // re-emits, set drops; reactivation rebuilds an empty set
-          val p = state.get
-          state.remove()
-          (k, p.types)
-        case (k, rows, state: GroupState[TypeSet]) =>
-          idleTtl.foreach(state.setTimeoutDuration)
-          val prev = state.getOption.getOrElse(TypeSet(Nil))
-          val ts = (prev.types.toSet ++ rows.map(_._2)).toSeq.sorted
-          state.update(TypeSet(ts))
-          (k, ts)
-      }
+    evictAfter match {
+      case Some(d) =>
+        require(tsCol.nonEmpty, "evictAfter needs tsCol (epoch ms) as the event-time column")
+        val evictMs = durationMs(d)
+        stream.select(col(keyCol).cast("long"), col(typeCol),
+            timestamp_millis(col(tsCol.get).cast("long")).as("__et"))
+          .withWatermark("__et", lateness)
+          .as[(Long, String, java.sql.Timestamp)]
+          .groupByKey(_._1)
+          .mapGroupsWithState[TypeSet, (Long, Seq[String])](
+            GroupStateTimeout.EventTimeTimeout) {
+            case (k, _, state: GroupState[TypeSet]) if state.hasTimedOut =>
+              val p = state.get
+              state.remove()
+              (k, p.types)
+            case (k, rows, state: GroupState[TypeSet]) =>
+              val rs = rows.toSeq
+              armEventTimeout(state, evictMs, rs.iterator.map(_._3.getTime).max)
+              val prev = state.getOption.getOrElse(TypeSet(Nil))
+              val ts = (prev.types.toSet ++ rs.map(_._2)).toSeq.sorted
+              state.update(TypeSet(ts))
+              (k, ts)
+          }
+      case None =>
+        stream.select(col(keyCol).cast("long"), col(typeCol))
+          .as[(Long, String)]
+          .groupByKey(_._1)
+          .mapGroupsWithState[TypeSet, (Long, Seq[String])](timeoutConf(idleTtl)) {
+            case (k, _, state: GroupState[TypeSet]) if state.hasTimedOut =>
+              // evicted = affinity membership finalized: final snapshot
+              // re-emits, set drops; reactivation rebuilds an empty set
+              val p = state.get
+              state.remove()
+              (k, p.types)
+            case (k, rows, state: GroupState[TypeSet]) =>
+              idleTtl.foreach(state.setTimeoutDuration)
+              val prev = state.getOption.getOrElse(TypeSet(Nil))
+              val ts = (prev.types.toSet ++ rows.map(_._2)).toSeq.sorted
+              state.update(TypeSet(ts))
+              (k, ts)
+          }
+    }
   }
 
   /** Per-key path state for [[pathsPerKey]]: the ms of the key's last
@@ -434,6 +615,22 @@ object StreamingViews {
     * at append (monotone with seq per key, as in the events fixture);
     * a late cross-batch event would need the retention view's
     * self-revising-snapshot form instead, at O(history) state. */
+  /** The sliding n-gram walk shared by both eviction arms: rows =
+    * (ms, seq, type), sorted by (ms, seq) here. */
+  private def pathsFold(st0: PathWindow, rows: Seq[(Long, Long, String)],
+      gapMs: Long, n: Int): (PathWindow, Seq[String]) = {
+    var st = st0
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    rows.sortBy(r => (r._1, r._2)).foreach { case (ms, _, et) =>
+      val window =
+        if (!st.hasLast || ms - st.lastMs >= gapMs) Seq(et)
+        else st.tail :+ et
+      if (window.length == n) out += window.mkString(">")
+      st = PathWindow(hasLast = true, ms, window.takeRight(n - 1))
+    }
+    (st, out.toSeq)
+  }
+
   def pathsPerKey(
       stream: DataFrame,
       keyCol: String,
@@ -442,70 +639,127 @@ object StreamingViews {
       typeCol: String,
       gapMs: Long = 600000L,
       n: Int = 3,
-      idleTtl: Option[String] = None): Dataset[String] = {
+      idleTtl: Option[String] = None,
+      evictAfter: Option[String] = None,
+      lateness: String = "0 seconds"): Dataset[String] = {
     require(n >= 2, "a path needs at least 2 steps")
+    requireOneEviction(idleTtl, evictAfter)
     val spark = stream.sparkSession
     import spark.implicits._
-    stream.select(col(keyCol).cast("long"), col(msCol).cast("long"),
-        col(seqCol).cast("long"), col(typeCol))
-      .as[(Long, Long, Long, String)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[PathWindow, String](
-        OutputMode.Append(), timeoutConf(idleTtl)) {
-        case (_, _, state: GroupState[PathWindow]) if state.hasTimedOut =>
-          // evicted = session closed on an idle deadline: no n-gram
-          // completes; with ttl ≥ gapMs this agrees with the session
-          // rule — the next event would have reset the window anyway
-          state.remove()
-          Iterator.empty
-        case (_, rows, state: GroupState[PathWindow]) =>
-          idleTtl.foreach(state.setTimeoutDuration)
-          var st = state.getOption.getOrElse(PathWindow(false, 0L, Nil))
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ms, _, et) =>
-            val window =
-              if (!st.hasLast || ms - st.lastMs >= gapMs) Seq(et)
-              else st.tail :+ et
-            if (window.length == n) out += window.mkString(">")
-            st = PathWindow(hasLast = true, ms, window.takeRight(n - 1))
+    evictAfter match {
+      case Some(d) =>
+        // msCol IS the event time; evictAfter ≥ gapMs agrees with the
+        // session rule (the next event would reset the window anyway)
+        val evictMs = durationMs(d)
+        stream.select(col(keyCol).cast("long"), col(msCol).cast("long"),
+            col(seqCol).cast("long"), col(typeCol),
+            timestamp_millis(col(msCol).cast("long")).as("__et"))
+          .withWatermark("__et", lateness)
+          .as[(Long, Long, Long, String, java.sql.Timestamp)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[PathWindow, String](
+            OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+            case (_, _, state: GroupState[PathWindow]) if state.hasTimedOut =>
+              state.remove()
+              Iterator.empty
+            case (_, rows, state: GroupState[PathWindow]) =>
+              val rs = rows.toSeq
+              armEventTimeout(state, evictMs, rs.iterator.map(_._5.getTime).max)
+              val (st, out) = pathsFold(
+                state.getOption.getOrElse(PathWindow(false, 0L, Nil)),
+                rs.map(r => (r._2, r._3, r._4)), gapMs, n)
+              state.update(st)
+              out.iterator
           }
-          state.update(st)
-          out.iterator
-      }
+      case None =>
+        stream.select(col(keyCol).cast("long"), col(msCol).cast("long"),
+            col(seqCol).cast("long"), col(typeCol))
+          .as[(Long, Long, Long, String)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[PathWindow, String](
+            OutputMode.Append(), timeoutConf(idleTtl)) {
+            case (_, _, state: GroupState[PathWindow]) if state.hasTimedOut =>
+              // evicted = session closed on an idle deadline: no n-gram
+              // completes; with ttl ≥ gapMs this agrees with the session
+              // rule — the next event would have reset the window anyway
+              state.remove()
+              Iterator.empty
+            case (_, rows, state: GroupState[PathWindow]) =>
+              idleTtl.foreach(state.setTimeoutDuration)
+              val (st, out) = pathsFold(
+                state.getOption.getOrElse(PathWindow(false, 0L, Nil)),
+                rows.map(r => (r._2, r._3, r._4)).toSeq, gapMs, n)
+              state.update(st)
+              out.iterator
+          }
+    }
   }
 
   /** Custom incremental state via mapGroupsWithState: running
     * count/mean/M2 per key, merged with Welford — the streaming analog of
     * the reduce view, keyed. Demonstrates arbitrary user state where
     * built-in aggs don't fit (`KeyValueGroupedDataset.mapGroupsWithState`). */
+  /** The Welford fold shared by both eviction arms (and bit-identical
+    * to [[WelfordProcessor]]'s). */
+  private def statsFold(prev: Option[Stats], values: Iterator[Double]): Stats = {
+    val batch = values.foldLeft(Stats(0, 0.0, 0.0)) { (s, v) =>
+      val n = s.n + 1
+      val d = v - s.mean
+      val mean = s.mean + d / n
+      Stats(n, mean, s.m2 + d * (v - mean))
+    }
+    prev.fold(batch)(_.merge(batch))
+  }
+
   def runningStatsPerKey(
       stream: DataFrame,
       keyCol: String,
       valueCol: String,
-      idleTtl: Option[String] = None): Dataset[(Long, Stats)] = {
+      idleTtl: Option[String] = None,
+      evictAfter: Option[String] = None,
+      tsCol: Option[String] = None,
+      lateness: String = "0 seconds"): Dataset[(Long, Stats)] = {
+    requireOneEviction(idleTtl, evictAfter)
     val spark = stream.sparkSession
     import spark.implicits._
-    stream.select(col(keyCol).cast("long"), col(valueCol).cast("double")).as[(Long, Double)]
-      .groupByKey(_._1)
-      .mapGroupsWithState[Stats, (Long, Stats)](timeoutConf(idleTtl)) {
-        case (key, _, state: GroupState[Stats]) if state.hasTimedOut =>
-          // evicted = counters flushed: final snapshot re-emits, then
-          // the key restarts from zero on reactivation
-          val p = state.get
-          state.remove()
-          (key, p)
-        case (key, rows, state: GroupState[Stats]) =>
-          idleTtl.foreach(state.setTimeoutDuration)
-          val batch = rows.map(_._2).foldLeft(Stats(0, 0.0, 0.0)) { (s, v) =>
-            val n = s.n + 1
-            val d = v - s.mean
-            val mean = s.mean + d / n
-            Stats(n, mean, s.m2 + d * (v - mean))
+    evictAfter match {
+      case Some(d) =>
+        require(tsCol.nonEmpty, "evictAfter needs tsCol (epoch ms) as the event-time column")
+        val evictMs = durationMs(d)
+        stream.select(col(keyCol).cast("long"), col(valueCol).cast("double"),
+            timestamp_millis(col(tsCol.get).cast("long")).as("__et"))
+          .withWatermark("__et", lateness)
+          .as[(Long, Double, java.sql.Timestamp)]
+          .groupByKey(_._1)
+          .mapGroupsWithState[Stats, (Long, Stats)](GroupStateTimeout.EventTimeTimeout) {
+            case (key, _, state: GroupState[Stats]) if state.hasTimedOut =>
+              val p = state.get
+              state.remove()
+              (key, p)
+            case (key, rows, state: GroupState[Stats]) =>
+              val rs = rows.toSeq
+              armEventTimeout(state, evictMs, rs.iterator.map(_._3.getTime).max)
+              val merged = statsFold(state.getOption, rs.iterator.map(_._2))
+              state.update(merged)
+              (key, merged)
           }
-          val merged = state.getOption.fold(batch)(_.merge(batch))
-          state.update(merged)
-          (key, merged)
-      }
+      case None =>
+        stream.select(col(keyCol).cast("long"), col(valueCol).cast("double")).as[(Long, Double)]
+          .groupByKey(_._1)
+          .mapGroupsWithState[Stats, (Long, Stats)](timeoutConf(idleTtl)) {
+            case (key, _, state: GroupState[Stats]) if state.hasTimedOut =>
+              // evicted = counters flushed: final snapshot re-emits, then
+              // the key restarts from zero on reactivation
+              val p = state.get
+              state.remove()
+              (key, p)
+            case (key, rows, state: GroupState[Stats]) =>
+              idleTtl.foreach(state.setTimeoutDuration)
+              val merged = statsFold(state.getOption, rows.map(_._2))
+              state.update(merged)
+              (key, merged)
+          }
+    }
   }
 }
 

@@ -1405,4 +1405,197 @@ class StreamingSpec extends SparkSpec {
       assert(stream.toSeq === batch.toSeq, "streaming emissions == batch rollingZscore")
     } finally q.stop()
   }
+
+  // ---- evictAfter: event-time (watermark-based) state eviction ----
+
+  private val etFunnelSchema = StructType(Seq(
+    StructField("k", LongType), StructField("s", LongType),
+    StructField("ts", LongType), StructField("et", StringType)))
+
+  test("evictAfter: an event-time gap evicts the funnel key — no wall-clock sleep anywhere") {
+    val log = new MemoryLog(spark, etFunnelSchema)
+    log.appendRows(Seq(Row(1L, 1L, 1000L, "view"), Row(1L, 2L, 1500L, "click")))
+    val q = StreamingViews.funnelPerKey(
+        log.readStream.select("k", "s", "ts", "et"), "k", "s", "et",
+        Seq("view", "click", "purchase"), tsCol = Some("ts"),
+        evictAfter = Some("2 seconds"))
+      .toDF("k", "seqs", "stage")
+      .writeStream.format("memory").queryName("funnel_eta")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def k1rows = spark.sql("SELECT seqs, stage FROM funnel_eta WHERE k = 1")
+        .collect().map(r => (r.getAs[scala.collection.Seq[Long]](0).toList, r.getInt(1))).toSet
+      q.processAllAvailable()
+      assert(k1rows.exists(_._2 == 2), "key 1 reaches stage 2 in batch 1")
+      // another key's events push the watermark past key 1's deadline
+      // (1500 + 2000); the eviction fires on the batch AFTER the
+      // watermark advances — purely from the event times in the data
+      log.appendRows(Seq(Row(7L, 3L, 10000L, "view")))
+      q.processAllAvailable()
+      log.appendRows(Seq(Row(7L, 4L, 10100L, "click")))
+      q.processAllAvailable()
+      // reactivation: under the old cursor "purchase" would complete
+      // the funnel; after eviction it starts a NEW attempt at stage 0
+      log.appendRows(Seq(Row(1L, 5L, 10200L, "purchase")))
+      q.processAllAvailable()
+      assert(k1rows.contains((Nil, 0)),
+        s"evicted key must restart at stage 0, got $k1rows")
+      assert(!k1rows.exists(_._2 == 3),
+        s"the funnel must NOT complete across an event-time eviction, got $k1rows")
+    } finally q.stop()
+  }
+
+  test("evictAfter: kill/restart replay from the checkpoint is byte-identical to the uninterrupted run") {
+    def run(interrupted: Boolean): Set[(Long, List[Long], Int)] = {
+      val logDir = java.nio.file.Files.createTempDirectory("graft-eta-log").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-eta-ck").toString
+      val plog = new ParquetLog(spark, logDir, etFunnelSchema)
+      val got = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(Long, List[Long], Int)]())
+      def start() = StreamingViews.funnelPerKey(
+          plog.readStream.select("k", "s", "ts", "et"), "k", "s", "et",
+          Seq("view", "click", "purchase"), tsCol = Some("ts"),
+          evictAfter = Some("2 seconds"))
+        .toDF("k", "seqs", "stage")
+        .writeStream.option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          b.collect().foreach(r => got.add(
+            (r.getLong(0), r.getAs[scala.collection.Seq[Long]](1).toList, r.getInt(2))))
+        }.start()
+      plog.appendRows(Seq(Row(1L, 1L, 1000L, "view"), Row(1L, 2L, 1500L, "click")))
+      val q1 = start()
+      try q1.processAllAvailable() finally if (interrupted) q1.stop()
+      // the killed run appends while DOWN; the control appends live —
+      // either way the rows land in one micro-batch
+      plog.appendRows(Seq(Row(7L, 3L, 10000L, "view"), Row(7L, 4L, 10100L, "click")))
+      val q2 = if (interrupted) start() else q1
+      try {
+        q2.processAllAvailable()
+        plog.appendRows(Seq(Row(7L, 5L, 10200L, "purchase")))
+        q2.processAllAvailable()
+        plog.appendRows(Seq(Row(1L, 6L, 10300L, "purchase")))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      got.toArray().map(_.asInstanceOf[(Long, List[Long], Int)]).toSet
+    }
+    val control = run(interrupted = false)
+    val recovered = run(interrupted = true)
+    assert(recovered === control,
+      s"recovered emissions must equal the uninterrupted run's:\ncontrol=$control\nrecovered=$recovered")
+    assert(control.contains((1L, Nil, 0)), "the event-time eviction fired in both runs")
+    assert(!control.exists(r => r._1 == 1L && r._3 == 3), "no funnel completes across eviction")
+  }
+
+  test("evictAfter: armed-but-unexpired emits exactly the no-eviction run, machine by machine") {
+    // funnel + anomaly share the harness: same appends, three variants —
+    // None, evictAfter far in the future (never fires) — equal output
+    def runFunnel(name: String, evict: Option[String]): Seq[(Long, List[Long], Int)] = {
+      val log = new MemoryLog(spark, etFunnelSchema)
+      log.appendRows(Seq(Row(1L, 1L, 1000L, "view"), Row(2L, 2L, 1100L, "view")))
+      val q = StreamingViews.funnelPerKey(
+          log.readStream.select("k", "s", "ts", "et"), "k", "s", "et",
+          Seq("view", "click", "purchase"), tsCol = Some("ts"), evictAfter = evict)
+        .toDF("k", "seqs", "stage")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        q.processAllAvailable()
+        log.appendRows(Seq(Row(1L, 3L, 2000L, "click"), Row(2L, 4L, 2100L, "purchase")))
+        q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Long]](1).toList, r.getInt(2)))
+          .toSeq.sortBy(r => (r._1, r._3))
+      } finally q.stop()
+    }
+    assert(runFunnel("feta_none", None) === runFunnel("feta_far", Some("365 days")),
+      "an armed-but-unexpired evictAfter must emit exactly the None run's rows")
+
+    val anomSchema = StructType(Seq(StructField("k", LongType), StructField("s", LongType),
+      StructField("ts", LongType), StructField("v", DoubleType)))
+    def runAnom(name: String, evict: Option[String]): Seq[(Long, Long)] = {
+      val log = new MemoryLog(spark, anomSchema)
+      log.appendRows(Seq(Row(1L, 1L, 1000L, 10.0), Row(1L, 2L, 1100L, 10.0)))
+      val q = StreamingViews.rollingAnomalyPerKey(
+          log.readStream.select("k", "s", "ts", "v"), "k", "s", "v",
+          lookback = 5, minObs = 2, z = 0.5, evictAfter = evict, tsCol = Some("ts"))
+        .toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        log.appendRows(Seq(Row(1L, 3L, 2000L, 100.0)))
+        q.processAllAvailable()
+        spark.sql(s"SELECT key, seq FROM $name ORDER BY seq").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      } finally q.stop()
+    }
+    val anomNone = runAnom("aeta_none", None)
+    assert(anomNone.nonEmpty, "the control run flags the planted outlier")
+    assert(runAnom("aeta_far", Some("365 days")) === anomNone,
+      "anomaly: armed-but-unexpired evictAfter == None run")
+  }
+
+  test("evictAfter: retention, type-set and running-stats keys restart FRESH after an event-time gap") {
+    import spark.implicits._
+    // retention: the activity period is the event time (seconds)
+    val rSchema = StructType(Seq(StructField("k", LongType), StructField("p", LongType)))
+    val rlog = new MemoryLog(spark, rSchema)
+    rlog.appendRows(Seq(Row(1L, 1000L)))
+    val rq = StreamingViews.retentionPerKey(
+        rlog.readStream.select("k", "p"), "k", "p", periodSeconds = 100L,
+        evictAfter = Some("1 hour"))
+      .toDF("k", "cohort_ms", "offsets")
+      .writeStream.format("memory").queryName("ret_eta")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      rq.processAllAvailable()
+      rlog.appendRows(Seq(Row(2L, 100000L)))
+      rq.processAllAvailable()
+      rlog.appendRows(Seq(Row(2L, 100100L))) // watermark now past key 1's deadline
+      rq.processAllAvailable()
+      rlog.appendRows(Seq(Row(1L, 100200L))) // long-idle returner
+      rq.processAllAvailable()
+      val k1 = spark.sql("SELECT cohort_ms, offsets FROM ret_eta WHERE k = 1").collect()
+        .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Long]](1).toList)).toSet
+      assert(k1.contains((100200000L, List(0L))),
+        s"a long-idle returner starts a NEW cohort dated at reactivation, got $k1")
+    } finally rq.stop()
+
+    // type-set and running-stats: same rhythm, snapshot must restart empty
+    val tSchema = StructType(Seq(StructField("k", LongType), StructField("ts", LongType),
+      StructField("et", StringType), StructField("v", DoubleType)))
+    val tlog = new MemoryLog(spark, tSchema)
+    tlog.appendRows(Seq(Row(1L, 1000L, "a", 1.0)))
+    val tq = StreamingViews.typeSetPerKey(
+        tlog.readStream.select("k", "ts", "et"), "k", "et",
+        evictAfter = Some("2 seconds"), tsCol = Some("ts"))
+      .toDF("k", "types")
+      .writeStream.format("memory").queryName("ts_eta")
+      .outputMode(OutputMode.Update()).start()
+    val sq = StreamingViews.runningStatsPerKey(
+        tlog.readStream.select("k", "ts", "v"), "k", "v",
+        evictAfter = Some("2 seconds"), tsCol = Some("ts"))
+      .map { case (k, s) => (k, s.n, s.mean) }
+      .toDF("k", "n", "mean")
+      .writeStream.format("memory").queryName("st_eta")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      Seq(tq, sq).foreach(_.processAllAvailable())
+      tlog.appendRows(Seq(Row(7L, 60000L, "x", 2.0)))
+      Seq(tq, sq).foreach(_.processAllAvailable())
+      tlog.appendRows(Seq(Row(7L, 61000L, "y", 3.0))) // watermark passes key 1's deadline
+      Seq(tq, sq).foreach(_.processAllAvailable())
+      tlog.appendRows(Seq(Row(1L, 62000L, "b", 5.0))) // reactivation
+      Seq(tq, sq).foreach(_.processAllAvailable())
+      val types = spark.sql("SELECT types FROM ts_eta WHERE k = 1").collect()
+        .map(_.getAs[scala.collection.Seq[String]](0).toList).toSet
+      assert(types.contains(List("b")) && !types.contains(List("a", "b")),
+        s"an evicted key's type set restarts empty, got $types")
+      val stats = spark.sql("SELECT n, mean FROM st_eta WHERE k = 1").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(stats.contains((1L, 5.0)) && !stats.contains((2L, 3.0)),
+        s"an evicted key's counters restart from zero, got $stats")
+    } finally { tq.stop(); sq.stop() }
+  }
 }
