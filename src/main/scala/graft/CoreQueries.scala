@@ -287,6 +287,24 @@ private[graft] object CoreQueries {
       Scd2.dimension(ev, "user_id", "event_id", Seq("event_type", "value_r"))
         .orderBy("user_id", "from_seq")
     }),
+    "q_scd2_stored" -> ((s, dir) => {
+      // the DURABLE dimension (r9 verdict #3): three absorbed deltas,
+      // compacted to one base, then a fourth over the base — the
+      // physical rewrite of q_scd2, sharing its oracle; intervals close
+      // across deltas at read, compaction folds the closed ones
+      val tmp = java.nio.file.Files.createTempDirectory("graftscd2").toString
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        col("event_type"), round(col("value"), 4).as("value_r"))
+      val mx = ev.agg(max("event_id")).head().getLong(0)
+      val v = new graft.views.Scd2TableView(s, s"$tmp/scd2", 1,
+        "user_id", "event_id", Seq("event_type", "value_r"))
+      v.absorb(ev.where(col("event_id") <= mx / 4), mx / 4)
+      v.absorb(ev.where(col("event_id") > mx / 4 && col("event_id") <= mx / 2), mx / 2)
+      v.absorb(ev.where(col("event_id") > mx / 2 && col("event_id") <= mx * 3 / 4), mx * 3 / 4)
+      v.compact()
+      v.absorb(ev.where(col("event_id") > mx * 3 / 4), mx)
+      v.dimension.orderBy("user_id", "from_seq")
+    }),
     "q_scd2_asof" -> ((s, dir) => {
       // record-granular as-of read of the dimension: the version of
       // each user valid at 2/5 of the log — one filter, no replay
@@ -393,6 +411,13 @@ private[graft] object CoreQueries {
         "SELECT user_id, CASE WHEN old_seq IS NULL THEN 'insert' ELSE 'update' END AS op, " +
         "old_seq, old_value, new_seq, new_value FROM g WHERE new_seq > (SELECT lo FROM m) ORDER BY user_id"),
     "q_scd2" ->
+      ("WITH d AS (SELECT user_id, event_id AS from_seq, " +
+        "lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS to_seq, " +
+        "event_type, round(value, 4) AS value_r FROM events) " +
+        "SELECT user_id, from_seq, to_seq, (to_seq IS NULL) AS is_current, event_type, value_r " +
+        "FROM d ORDER BY user_id, from_seq"),
+    "q_scd2_stored" ->
+      // the stored dimension is a physical rewrite of q_scd2 — same oracle
       ("WITH d AS (SELECT user_id, event_id AS from_seq, " +
         "lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS to_seq, " +
         "event_type, round(value, 4) AS value_r FROM events) " +

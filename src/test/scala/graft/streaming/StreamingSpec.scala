@@ -192,6 +192,39 @@ class StreamingSpec extends SparkSpec {
     } finally r.stop()
   }
 
+  test("streaming runner maintains the durable SCD-2 dimension (live version history)") {
+    import graft.views.{Scd2, Scd2TableView}
+    val kvSchema = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+    val logDir = java.nio.file.Files.createTempDirectory("graft-scdlog").toString
+    val viewDir = java.nio.file.Files.createTempDirectory("graft-scdview").toString
+    val log = new ParquetLog(spark, logDir, kvSchema)
+    log.appendRows(Seq(Row(1L, "a"), Row(2L, "b")))
+    val db = new FlumeDb(log)
+    db.use("scd2", Scd2TableView(viewDir, "k", log.seqCol, Seq("v")))
+    val view = db.view("scd2").view.asInstanceOf[Scd2TableView]
+    val r = new StreamingViewRunner(log, view)
+    try {
+      r.awaitParity()
+      log.appendRows(Seq(Row(1L, "a2"))) // a live new version for key 1
+      r.awaitParity()
+      assert(view.since === 2L)
+      val dim = view.dimension.collect()
+        .map(rr => (rr.getLong(0), rr.getLong(1), Option(rr.get(2)),
+          rr.getBoolean(3), rr.getString(4))).toSet
+      // key 1: [0, 2) closed by the live version, [2, null) current
+      assert(dim === Set(
+        (1L, 0L, Some(2L), false, "a"),
+        (2L, 1L, None, true, "b"),
+        (1L, 2L, None, true, "a2")),
+        s"streamed dimension must carry the closed + open intervals, got $dim")
+      // and it equals the batch rebuild over the whole log
+      val direct = Scd2.dimension(log.read, "k", log.seqCol, Seq("v")).collect()
+        .map(rr => (rr.getLong(0), rr.getLong(1), Option(rr.get(2)),
+          rr.getBoolean(3), rr.getString(4))).toSet
+      assert(dim === direct)
+    } finally r.stop()
+  }
+
   test("streaming runner maintains the IVF ANN index incrementally, auto-compacted") {
     import graft.views.IVFIndexView
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -444,6 +444,68 @@ class PersistenceSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap === direct)
   }
 
+  test("Scd2TableView: stored == rebuild at every split, asOf, reopen, compaction, version bump") {
+    val dir = Files.createTempDirectory("graft-scd2").toString
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    val mx = ev.agg(max("event_id")).head().getLong(0)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.toString),
+        r.getBoolean(3), r.getString(4))).toSet
+    def rebuild(upTo: Long) = Scd2.dimension(
+      ev.where(col("event_id") <= upTo), "user_id", "event_id", Seq("event_type"))
+    val splits = Seq(mx / 3, mx * 2 / 3, mx)
+    val v = new Scd2TableView(spark, s"$dir/d", 1, "user_id", "event_id", Seq("event_type"))
+    var lo = -1L
+    splits.foreach { hi =>
+      v.absorb(ev.where(col("event_id") > lo && col("event_id") <= hi), hi)
+      lo = hi
+      // stored == rebuild at EVERY split: intervals open at one delta's
+      // tail must close the moment the next delta lands
+      assert(canon(v.dimension) === canon(rebuild(hi)),
+        s"stored dimension must equal the rebuild through seq $hi")
+    }
+    // batch-granular time travel agrees with the record-granular rebuild
+    // at the batch boundary; the record-granular asOf agrees everywhere
+    assert(canon(v.frameAsOf(splits.head)) === canon(rebuild(splits.head)))
+    val at = mx / 2
+    assert(canon(v.asOf(at)) ===
+      canon(Scd2.asOf(rebuild(mx), at)),
+      "stored as-of read == Scd2.asOf of the full rebuild")
+    // reopen from the manifest
+    val v2 = new Scd2TableView(spark, s"$dir/d", 1, "user_id", "event_id", Seq("event_type"))
+    assert(v2.since === mx && canon(v2.dimension) === canon(rebuild(mx)))
+    // compaction folds the closed intervals into ONE base delta without
+    // changing a single version row
+    v2.compact()
+    val dirs = new java.io.File(s"$dir/d").listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSeq
+    assert(dirs === Seq(s"batch=$mx"))
+    assert(canon(v2.dimension) === canon(rebuild(mx)))
+    // a version bump wipes back to since = -1 (the flume rebuild rule)
+    val v3 = new Scd2TableView(spark, s"$dir/d", 2, "user_id", "event_id", Seq("event_type"))
+    assert(v3.since === -1L)
+  }
+
+  test("Scd2TableView: post-compaction deltas still close the base's open intervals") {
+    val dir = Files.createTempDirectory("graft-scd2pc").toString
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    val mx = ev.agg(max("event_id")).head().getLong(0)
+    val v = new Scd2TableView(spark, s"$dir/d", 1, "user_id", "event_id", Seq("event_type"))
+    v.absorb(ev.where(col("event_id") <= mx / 2), mx / 2)
+    v.compact() // no-op on a single delta, but exercises the guard
+    v.absorb(ev.where(col("event_id") > mx / 2 && col("event_id") <= mx * 3 / 4), mx * 3 / 4)
+    v.compact() // base now carries intervals still OPEN at 3mx/4
+    v.absorb(ev.where(col("event_id") > mx * 3 / 4), mx)
+    val direct = Scd2.dimension(ev, "user_id", "event_id", Seq("event_type"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.toString),
+        r.getBoolean(3), r.getString(4))).toSet
+    assert(canon(v.dimension) === canon(direct),
+      "a delta landing after compaction must close the base's open intervals")
+  }
+
   test("AudioGramTableView: durable positional grams, reopen, stored containment, compaction") {
     val agDir = Files.createTempDirectory("graft-agram").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
