@@ -130,6 +130,18 @@ private[graft] object MultimodalQueries {
       Multimodal.audioClipContainment(clips, corpus)
         .orderBy("clip_id", "corpus_id", "offset_windows")
     }),
+    "q_audio_containment_sweep" -> ((s, dir) => {
+      // corpus-SELF containment sweep (r9 verdict #4): the corpus holds
+      // originals AND their gain×2 re-cuts (windows [8, 40), ids
+      // +90000) as peer recordings; one pass finds every shorter
+      // recording contained in any longer one — length-ordered pairing,
+      // gram self-join, full-alignment count
+      val docs = t(s, dir, "documents")
+      val corpus = Multimodal.syntheticWavMedia(docs, textured = true)
+        .unionByName(Multimodal.syntheticWavClip(docs, gain = 2))
+      Multimodal.audioContainmentSweep(corpus)
+        .orderBy("id_short", "id_long", "offset_windows")
+    }),
     "q_audio_clip_containment_stored" -> ((s, dir) => {
       // the stored-artifact form: the clip batch checks against the
       // durable AudioGramTableView (grams computed once at ingest) —
@@ -393,6 +405,31 @@ private[graft] object MultimodalQueries {
     // rewrite (grams from the durable table) and shares the oracle
     "q_audio_clip_containment" -> clipContainmentSql,
     "q_audio_clip_containment_stored" -> clipContainmentSql,
+    "q_audio_containment_sweep" ->
+      // the corpus-self replay: one gram CTE over originals (g=1,
+      // offset 0, n = 800 + id % 400) AND re-cuts (g=2, sample offset
+      // 128, n = 512) as peer recordings; sign strings, every 24-gram,
+      // hot drop, gram SELF-join, full-alignment count, length-ordered
+      // (gram-total, id) pairing rule
+      ("WITH ids AS (SELECT doc_id AS media_id, doc_id AS oid, 1 AS g, 0 AS s0, 800 + doc_id % 400 AS n FROM documents WHERE doc_id % 3 = 2 " +
+        "UNION ALL SELECT doc_id + 90000, doc_id, 2, 128, 512 FROM documents WHERE doc_id % 3 = 2), " +
+        "w AS (SELECT media_id, oid, g, s0, n, unnest(generate_series(0, (n + 15) // 16 - 1)) AS wi FROM ids), " +
+        "sm AS (SELECT media_id, wi, g, (oid * 31 + 17 * (unnest(generate_series(wi * 16, least(wi * 16 + 15, n - 1))) + s0)) * 2654435761 AS m FROM w), " +
+        "e AS MATERIALIZED (SELECT media_id, wi, sum(g * abs(xor(xor(m, m // 32768), m // 1073741824) % 2003 - 1001)) AS en FROM sm GROUP BY 1, 2), " +
+        "bits AS (SELECT a.media_id, a.wi AS k, CASE WHEN b.en > a.en THEN '1' ELSE '0' END AS bit " +
+        "FROM e a JOIN e b ON a.media_id = b.media_id AND b.wi = a.wi + 1), " +
+        "sgn AS (SELECT media_id, string_agg(bit, '' ORDER BY k) AS s FROM bits GROUP BY 1), " +
+        "gr AS (SELECT media_id, unnest(generate_series(0, length(s) - 24)) AS pos, s FROM sgn), " +
+        "gr2 AS MATERIALIZED (SELECT media_id, pos, substr(s, CAST(pos + 1 AS INTEGER), 24) AS gram FROM gr), " +
+        "tot AS MATERIALIZED (SELECT media_id, count(*) AS t FROM gr2 GROUP BY 1), " +
+        "hot AS (SELECT gram FROM gr2 GROUP BY 1 HAVING count(*) > 256), " +
+        "kept AS (SELECT * FROM gr2 ANTI JOIN hot USING (gram)), " +
+        "j AS (SELECT a.media_id AS id_short, b.media_id AS id_long, b.pos - a.pos AS offset_windows, count(*) AS n_grams " +
+        "FROM kept a JOIN kept b USING (gram) WHERE a.media_id != b.media_id GROUP BY 1, 2, 3) " +
+        "SELECT id_short, id_long, offset_windows::BIGINT AS offset_windows, n_grams::BIGINT AS n_grams " +
+        "FROM j JOIN tot ta ON ta.media_id = id_short JOIN tot tb ON tb.media_id = id_long " +
+        "WHERE n_grams = ta.t AND offset_windows >= 0 AND (ta.t < tb.t OR (ta.t = tb.t AND id_short < id_long)) " +
+        "ORDER BY id_short, id_long, offset_windows"),
     "q_video_neardup" ->
       // the full video replay: per-frame mixer dHashes for originals
       // AND the +5-brightness copies, frame-aligned 8x8-bit pigeonhole

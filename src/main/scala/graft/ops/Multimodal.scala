@@ -1053,6 +1053,58 @@ object Multimodal {
       .select(col("clip_id"), col("corpus_id"), col("offset_windows"), col("n_grams"))
   }
 
+  /** Corpus-SELF containment sweep: every shorter recording that is a
+    * window-aligned re-cut of any LONGER stored recording — the
+    * one-shot corpus-vs-corpus form of [[audioClipContainment]] (which
+    * needs a designated clip batch), the shape of a reupload sweep over
+    * an already-ingested corpus. Same gram machinery; the pairing rule
+    * is LENGTH-ORDERED: a pair is examined once, with the side holding
+    * fewer grams (the duration proxy) as the contained candidate —
+    * `(n_grams, media_id)` lexicographic, so equal-length pairs (full
+    * re-encodes) surface exactly once too. Emits
+    * `(id_short, id_long, offset_windows, n_grams)`.
+    *
+    * 100 TB shape: ONLY gram rows shuffle — one symmetric equi-join on
+    * the gram key (the one-shot trade; the recurring form stays
+    * [[audioClipContainment]]'s clip-batch broadcast), with hot grams
+    * above `maxBucket` dropped whole BEFORE the join. The
+    * (short, long, offset) count partial-aggregates map-side, and the
+    * per-recording gram totals join AFTER the aggregate, keyed on id —
+    * candidates only, never the gram table (totals are corpus-wide
+    * here, so no broadcast is forced; AQE picks one when they fit). */
+  def audioContainmentSweep(
+      corpus: DataFrame,
+      windowSamples: Int = 16,
+      gramWindows: Int = 24,
+      maxBucket: Int = 256): DataFrame =
+    audioContainmentSweepFromGrams(
+      audioGrams(corpus, windowSamples, gramWindows), maxBucket)
+
+  /** The join half of [[audioContainmentSweep]], over a precomputed
+    * `(media_id, pos, gram)` table ([[audioGrams]] or the durable
+    * [[graft.views.AudioGramTableView]]). */
+  def audioContainmentSweepFromGrams(
+      grams: DataFrame,
+      maxBucket: Int = 256): DataFrame = {
+    val totals = grams.groupBy(col("media_id")).agg(count(lit(1)).as("__t"))
+    val hot = grams.groupBy("gram").count()
+      .where(col("count") > maxBucket).select("gram")
+    val kept = grams.join(hot, Seq("gram"), "left_anti")
+    kept.select(col("media_id").as("id_short"), col("pos").as("apos"), col("gram"))
+      .join(kept.select(col("media_id").as("id_long"), col("pos").as("bpos"), col("gram")),
+        Seq("gram"))
+      .where(col("id_short") =!= col("id_long"))
+      .groupBy(col("id_short"), col("id_long"),
+        (col("bpos") - col("apos")).as("offset_windows"))
+      .agg(count(lit(1)).as("n_grams"))
+      .join(totals.select(col("media_id").as("id_short"), col("__t").as("__ts")), Seq("id_short"))
+      .join(totals.select(col("media_id").as("id_long"), col("__t").as("__tl")), Seq("id_long"))
+      .where(col("n_grams") === col("__ts") && col("offset_windows") >= 0 &&
+        (col("__ts") < col("__tl") ||
+          (col("__ts") === col("__tl") && col("id_short") < col("id_long"))))
+      .select(col("id_short"), col("id_long"), col("offset_windows"), col("n_grams"))
+  }
+
   /** Window-aligned clip fixture for the containment family: the
     * samples of the TEXTURED waveform ([[syntheticWavMedia]]) from
     * sample `startWindow * 16` for `nWindows * 16` samples, gain-scaled

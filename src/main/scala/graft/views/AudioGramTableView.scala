@@ -53,6 +53,13 @@ final class AudioGramTableView(
     spark.read.parquet(dirs: _*)
   }
 
+  /** Corpus-SELF containment sweep over the stored table: every
+    * shorter stored recording that is a re-cut of any longer one
+    * ([[graft.ops.Multimodal.audioContainmentSweepFromGrams]] — the
+    * reupload sweep, run over grams computed once at ingest). */
+  def containmentSweep(maxBucket: Int = 256): DataFrame =
+    graft.ops.Multimodal.audioContainmentSweepFromGrams(grams, maxBucket)
+
   /** Containment check of a clip batch against the stored corpus;
     * `containsBatchGrams` when the batch's grams are precomputed. */
   def containsBatch(clips: DataFrame, maxBucket: Int = 256): DataFrame =

@@ -474,6 +474,26 @@ class PlanSpec extends SparkSpec {
     } finally persisted.foreach(_.unpersist(blocking = false))
   }
 
+  test("audio containment sweep: only gram rows shuffle; the alignment count partial-aggregates") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = graft.ops.Multimodal.syntheticWavMedia(docs, textured = true)
+      .unionByName(graft.ops.Multimodal.syntheticWavClip(docs, gain = 2))
+    val grams = graft.ops.Multimodal.audioGrams(corpus)
+    val sweep = graft.ops.Multimodal.audioContainmentSweepFromGrams(grams)
+    val s = planString(sweep)
+    // the self-join exchanges partition on the GRAM key — the rows that
+    // cross the wire are (media_id, pos, gram), never audio payloads
+    assert(s.contains("hashpartitioning(gram"),
+      s"the candidate join must shuffle on the gram key:\n${s.take(3000)}")
+    assert(!s.contains("content"),
+      s"audio payload bytes must never reach a sweep exchange:\n${s.take(3000)}")
+    // the (short, long, offset) count collapses map-side before its
+    // exchange — only matched, pre-reduced rows shuffle to the verify
+    assert(s.contains("partial_count"),
+      s"alignment count must partial-aggregate map-side:\n${s.take(3000)}")
+  }
+
   test("DSIR scores via a BROADCAST of the bucket log-ratio table") {
     // the operator localCheckpoints its result (plan truncated to a
     // Scan ExistingRDD), so rebuild the pre-checkpoint weight join the

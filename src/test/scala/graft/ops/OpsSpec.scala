@@ -848,6 +848,26 @@ class OpsSpec extends SparkSpec {
       "foreign audio must not be claimed as contained")
   }
 
+  test("audio containment sweep: every planted re-cut found against its longer original, nothing else") {
+    // the corpus-SELF form: originals and their gain×2 re-cuts are PEER
+    // recordings in one corpus; the sweep must pair each re-cut with
+    // its longer original (length-ordered rule) at the cut offset
+    val originals = Multimodal.syntheticWavMedia(docs, textured = true)
+    val corpus = originals.unionByName(
+      Multimodal.syntheticWavClip(docs, startWindow = 8, nWindows = 32, gain = 2))
+    val hits = Multimodal.audioContainmentSweep(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = originals.count()
+    val planted = hits.filter { case (s, l, off, ng) =>
+      l == s - 90000L && off == 8L && ng == 8L }
+    assert(planted.length === n, s"planted sweep recall ${planted.length}/$n")
+    assert(hits.length === planted.length,
+      s"unexpected extra containments: ${hits.filterNot(planted.contains).take(5).toSeq}")
+    // the longer side is never reported as contained in the shorter:
+    // every emitted pair respects the length order
+    assert(hits.forall { case (s, l, _, _) => s >= 90000L && l < 90000L })
+  }
+
   test("video near-dup: brightness-shifted re-encodes matched frame-by-frame; no false pairs") {
     val base = Multimodal.syntheticTextureGifMedia(docs)
     val shifted = Multimodal.syntheticTextureGifMedia(docs, shift = 5, idOffset = 120000L)
