@@ -225,6 +225,15 @@ private[graft] object CoreQueries {
         .use("search", SearchView("text", "doc_id"))
       db.gated("search")(_.asInstanceOf[SearchView].searchAll(Seq("spark", "join")))
     }),
+    "q_search_or" -> ((s, dir) => {
+      // multi-term DISJUNCTION on the positional search view (r9
+      // verdict #5): posting union-distinct — one isin over the
+      // posting table, the orIndexSeqs shape, never a LIKE over the log
+      val db = new FlumeDb(new TableLog(s, t(s, dir, "documents"), "doc_id"))
+        .use("psearch", PositionalSearchView("text", "doc_id"))
+      db.gated("psearch")(_.asInstanceOf[PositionalSearchView]
+        .searchAny(Seq("spark", "join", "bloom")))
+    }),
     "q_search_phrase" -> ((s, dir) => {
       val db = new FlumeDb(new TableLog(s, t(s, dir, "documents"), "doc_id"))
         .use("psearch", PositionalSearchView("text", "doc_id"))
@@ -389,6 +398,10 @@ private[graft] object CoreQueries {
         "WHERE a.term = 'table' AND b.term = 'scan' ORDER BY seq"),
     "q_search_and" ->
       "SELECT doc_id AS seq FROM documents WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'spark') AND list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'join') ORDER BY seq",
+    "q_search_or" ->
+      // the unindexed disjunction form — index union is a physical
+      // rewrite, never a semantic one
+      "SELECT doc_id AS seq FROM documents WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'spark') OR list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'join') OR list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'bloom') ORDER BY seq",
     "q_hashtable_latest" ->
       "SELECT user_id, event_id AS seq, event_type, value FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) WHERE rn = 1 ORDER BY user_id",
     "q_seq_lookup_join" ->

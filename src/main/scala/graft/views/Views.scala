@@ -388,6 +388,16 @@ final class SearchView(textCol: String, seqCol: String) extends FrameView {
         .groupBy("seq").agg(count(lit(1)).as("nt"))
         .where(col("nt") === terms.distinct.size).select("seq").orderBy("seq"))
       .getOrElse(throw new IllegalStateException("search index empty"))
+
+  /** OR-query: seqs containing ANY of `terms` — the posting-UNION dual
+    * of [[searchAll]]'s intersection (the index-union `orIndexSeqs`
+    * shape from [[graft.views.Query]]): ONE `isin` filter over the
+    * posting table, then distinct — never a per-term rescan and never
+    * a disjunctive LIKE over the log. */
+  def searchAny(terms: Seq[String]): DataFrame =
+    state.map(_.where(col("term").isin(terms.distinct: _*))
+        .select("seq").distinct().orderBy("seq"))
+      .getOrElse(throw new IllegalStateException("search index empty"))
 }
 
 object SearchView {
@@ -424,6 +434,16 @@ final class PositionalSearchView(textCol: String, seqCol: String) extends FrameV
           .select(col("seq"), (col("pos") - i).as("pos")),
         Seq("seq", "pos"))
     }.select("seq").distinct().orderBy("seq")
+  }
+
+  /** OR-query over the positional postings — positions ignored, the
+    * same posting-union shape as [[SearchView.searchAny]], so the one
+    * index serves term, phrase, AND and OR reads. */
+  def searchAny(terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "empty disjunction")
+    state.map(_.where(col("term").isin(terms.distinct: _*))
+        .select("seq").distinct().orderBy("seq"))
+      .getOrElse(throw new IllegalStateException("search index empty"))
   }
 }
 

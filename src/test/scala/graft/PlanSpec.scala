@@ -340,6 +340,20 @@ class PlanSpec extends SparkSpec {
       s"no cartesian anywhere in the 6-table join:\n${s.take(3000)}")
   }
 
+  test("search OR serves from the materialized posting table, not a log rescan") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val v = new graft.views.PositionalSearchView("text", "doc_id")
+    v.absorb(docs.select("text", "doc_id"), docs.count() - 1)
+    v.compact() // materialize the postings — the stored-index read path
+    val s = planString(v.searchAny(Seq("spark", "join", "bloom")))
+    // the disjunction is ONE isin over the posting table: no parquet
+    // scan of the log, no per-term rescan, no LIKE anywhere
+    assert(!s.contains("parquet") && !s.contains("FileScan"),
+      s"the OR read must not rescan the log:\n${s.take(3000)}")
+    assert(s.contains("ExistingRDD"),
+      s"the OR read must serve from the materialized postings:\n${s.take(3000)}")
+  }
+
   test("range index selection reads the posting table, not the full log") {
     val s = planString(run("q_query_indexed_range"))
     // the user_id range was served by the posting read: the log scan

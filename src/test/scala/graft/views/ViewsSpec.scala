@@ -60,6 +60,26 @@ class ViewsSpec extends SparkSpec {
     db.awaitView("s")
     assert(sv.search("spark").collect().map(_.getLong(0)).toSeq === Seq(0L, 1L))
     assert(sv.searchAll(Seq("spark", "joins")).collect().map(_.getLong(0)).toSeq === Seq(0L))
+    // OR = posting union: any-term membership, each seq once
+    assert(sv.searchAny(Seq("streams", "slow")).collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L))
+    assert(sv.searchAny(Seq("spark", "joins")).collect().map(_.getLong(0)).toSeq
+      === Seq(0L, 1L, 2L))
+    assert(sv.searchAny(Seq("nosuchterm")).collect().isEmpty)
+  }
+
+  test("PositionalSearchView: OR disjunction = union of single-term reads, each seq once") {
+    val log = new MemoryLog(spark, StructType(Seq(StructField("text", StringType))))
+    val db = new FlumeDb(log).use("p", PositionalSearchView("text"))
+    db.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("spark joins fast"), Row("spark streams"), Row("slow joins"), Row("none here"))),
+      StructType(Seq(StructField("text", StringType)))))
+    val pv = db.view("p").view.asInstanceOf[PositionalSearchView]
+    db.awaitView("p")
+    assert(pv.searchAny(Seq("spark", "joins")).collect().map(_.getLong(0)).toSeq
+      === Seq(0L, 1L, 2L), "a doc holding both terms must appear exactly once")
+    assert(pv.searchAny(Seq("streams")).collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(pv.searchAny(Seq("absent", "missing")).collect().isEmpty)
   }
 
   test("PositionalSearchView: phrase matches adjacency and order, not co-occurrence") {
