@@ -207,17 +207,20 @@ private[graft] object StreamingQueries {
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
         try q.processAllAvailable() finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy(col("n").desc)
       // Emit (n, sum) rather than (n, mean): the fixture's values have
       // two decimals, so per-key SUMS sit safely off every 4-decimal
       // rounding boundary, while MEANS (sum/n) can land exactly on one
       // (user 20 at sf0.01: 58.55575) where the two engines' binary
       // representations round apart. sum = mean·n re-derives the state's
       // sum to ~1e-9, far inside the 5e-5 boundary margin.
+      // Latest snapshot per key = the max-n row (n strictly grows): a
+      // max_by aggregate like affinity's — partial collapses map-side,
+      // nothing sorts, no Window node (r9 verdict #7).
       s.table(name)
-        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("user_id"), col("n"), round(col("mean") * col("n"), 4).as("sum_v"))
+        .groupBy(col("user_id"))
+        .agg(max_by(struct(col("n"), col("mean")), col("n")).as("st"))
+        .select(col("user_id"), col("st.n").as("n"),
+          round(col("st.mean") * col("st.n"), 4).as("sum_v"))
         .orderBy("user_id")
     }),
     "q_stream_funnel" -> ((s, dir) => {
@@ -240,10 +243,12 @@ private[graft] object StreamingQueries {
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
         try q.processAllAvailable() finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy(col("stage").desc)
-      s.table(name).distinct()
-        .withColumn("rn", row_number().over(w)).where(col("rn") === 1 && col("stage") >= 1)
+      // latest emission per key = the max-stage row (equal-stage
+      // emissions are identical): max_by aggregate, no Window node
+      s.table(name)
+        .groupBy(col("user_id"))
+        .agg(max_by(col("seqs"), col("stage")).as("seqs"), max(col("stage")).as("stage"))
+        .where(col("stage") >= 1)
         .select(col("user_id"),
           element_at(col("seqs"), 1).as("s_view"),
           element_at(col("seqs"), 2).as("s_click"),
@@ -272,10 +277,11 @@ private[graft] object StreamingQueries {
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
         try q.processAllAvailable() finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy(col("stage").desc)
-      s.table(name).distinct()
-        .withColumn("rn", row_number().over(w)).where(col("rn") === 1 && col("stage") >= 1)
+      // latest emission per key = the max-stage row: max_by, no Window
+      s.table(name)
+        .groupBy(col("user_id"))
+        .agg(max_by(col("seqs"), col("stage")).as("seqs"), max(col("stage")).as("stage"))
+        .where(col("stage") >= 1)
         .select(col("user_id"),
           // try_element_at: unlike q_stream_funnel's fixture, gap-gated
           // funnels strand keys below stage 3 (ANSI element_at throws)
@@ -306,10 +312,11 @@ private[graft] object StreamingQueries {
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
         try q.processAllAvailable() finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy(col("stage").desc)
-      s.table(name).distinct()
-        .withColumn("rn", row_number().over(w)).where(col("rn") === 1 && col("stage") >= 1)
+      // latest emission per key = the max-stage row: max_by, no Window
+      s.table(name)
+        .groupBy(col("user_id"))
+        .agg(max_by(col("seqs"), col("stage")).as("seqs"), max(col("stage")).as("stage"))
+        .where(col("stage") >= 1)
         .select(col("user_id"),
           expr("try_element_at(seqs, 1)").as("s_view"),
           expr("try_element_at(seqs, 2)").as("s_click"),
@@ -392,11 +399,16 @@ private[graft] object StreamingQueries {
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
         try q.processAllAvailable() finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy(size(col("offsets")).desc)
-      s.table(name).distinct()
-        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("cohort_ms"), explode(col("offsets")).as("day_offset"))
+      // latest snapshot per key = the most-offsets row (snapshots
+      // strictly grow; equal-size snapshots are identical): max_by
+      // carries (cohort, offsets) together so a self-revised cohort
+      // rides its own snapshot — no Window node
+      s.table(name)
+        .groupBy(col("user_id"))
+        .agg(max_by(struct(col("cohort_ms"), col("offsets")),
+          size(col("offsets"))).as("st"))
+        .select(col("st.cohort_ms").as("cohort_ms"),
+          explode(col("st.offsets")).as("day_offset"))
         .groupBy("cohort_ms", "day_offset").agg(count(lit(1)).as("n_active"))
         .orderBy("cohort_ms", "day_offset")
     }),
