@@ -183,6 +183,18 @@ private[graft] object MultimodalQueries {
       Multimodal.videoClipContainment(clips, corpus)
         .orderBy("clip_id", "corpus_id", "offset_frames")
     }),
+    "q_video_containment_sweep" -> ((s, dir) => {
+      // corpus-SELF video containment sweep: originals AND their exact
+      // 2-frame re-cuts (frames [1, 3), ids +150000) as PEER videos in
+      // one corpus; one pass pairs each re-cut with its longer parent —
+      // frame-count-ordered pairing, unaligned pigeonhole candidates,
+      // per-frame-pair verify, full-run count
+      val docs = t(s, dir, "documents")
+      val corpus = Multimodal.syntheticTextureGifMedia(docs)
+        .unionByName(Multimodal.syntheticTextureGifClip(docs))
+      Multimodal.videoContainmentSweep(Multimodal.videoFrameHashes(corpus))
+        .orderBy("id_short", "id_long", "offset_frames")
+    }),
     "q_image_phash" -> ((s, dir) =>
       // dHash over the REAL decode of the textured PNG fixture; emitted
       // as two 32-bit halves (both engines overflow assembling bit 63)
@@ -517,6 +529,36 @@ private[graft] object MultimodalQueries {
         "agg AS (SELECT clip_id, corpus_id, cf - kf AS offset_frames, count(*) AS n_frames FROM v GROUP BY 1, 2, 3) " +
         "SELECT clip_id, corpus_id, offset_frames::BIGINT AS offset_frames, n_frames::BIGINT AS n_frames " +
         "FROM agg WHERE n_frames = 2 AND offset_frames >= 0 ORDER BY clip_id, corpus_id, offset_frames"),
+    "q_video_containment_sweep" ->
+      // the corpus-self video replay: per-frame phashes for originals
+      // (foff 0) AND exact 2-frame re-cuts (foff 1) as peers in ONE
+      // corpus-wide CTE; hot drop over the whole corpus, unaligned
+      // segment SELF-join, per-frame-pair bit_count verify, full-run
+      // count, frame-count-ordered (nf, id) pairing rule
+      ("WITH ids AS (SELECT doc_id AS media_id, doc_id AS oid, 0 AS foff, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h, 3 + doc_id % 3 AS nf FROM documents WHERE doc_id % 3 = 2 " +
+        "UNION ALL SELECT doc_id + 150000, doc_id, 1, 16 + doc_id % 16, 16 + doc_id % 8, 2 FROM documents WHERE doc_id % 3 = 2), " +
+        "fr AS (SELECT media_id, oid, foff, w, h, unnest(generate_series(0, nf - 1)) AS f FROM ids), " +
+        "args AS (SELECT media_id, f, k, " +
+        "(oid * 31 + 7 * (((k % 8) * w) // 9) + 13 * (((k // 8) * h) // 8) + 29 * (f + foff)) * 2654435761 AS ma, " +
+        "(oid * 31 + 7 * ((((k % 8) + 1) * w) // 9) + 13 * (((k // 8) * h) // 8) + 29 * (f + foff)) * 2654435761 AS mb " +
+        "FROM fr, (SELECT unnest(generate_series(0, 63)) AS k)), " +
+        "bits AS (SELECT media_id, f, k, CASE WHEN xor(xor(mb, mb // 32768), mb // 1073741824) % 256 > xor(xor(ma, ma // 32768), ma // 1073741824) % 256 THEN 1::BIGINT ELSE 0::BIGINT END AS bit FROM args), " +
+        "ph AS MATERIALIZED (SELECT media_id, f, sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)::BIGINT AS hi, " +
+        "sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)::BIGINT AS lo FROM bits GROUP BY 1, 2), " +
+        "seg AS MATERIALIZED (SELECT media_id, f, s, CASE WHEN s < 4 THEN (lo // (1::BIGINT << (8 * s))) % 256 ELSE (hi // (1::BIGINT << (8 * (s - 4)))) % 256 END AS segval " +
+        "FROM ph, (SELECT unnest(generate_series(0, 7)) AS s)), " +
+        "hot AS (SELECT s, segval FROM seg GROUP BY 1, 2 HAVING count(*) > 256), " +
+        "kept AS MATERIALIZED (SELECT * FROM seg ANTI JOIN hot USING (s, segval)), " +
+        "cand AS (SELECT DISTINCT a.media_id AS id_short, a.f AS kf, b.media_id AS id_long, b.f AS cf " +
+        "FROM kept a JOIN kept b ON a.s = b.s AND a.segval = b.segval AND a.media_id != b.media_id), " +
+        "v AS (SELECT id_short, id_long, kf, cf " +
+        "FROM cand JOIN ph pa ON pa.media_id = id_short AND pa.f = kf JOIN ph pb ON pb.media_id = id_long AND pb.f = cf " +
+        "WHERE bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)) <= 7), " +
+        "agg AS (SELECT id_short, id_long, cf - kf AS offset_frames, count(*) AS n_frames FROM v GROUP BY 1, 2, 3) " +
+        "SELECT id_short, id_long, offset_frames::BIGINT AS offset_frames, n_frames::BIGINT AS n_frames " +
+        "FROM agg JOIN ids ta ON ta.media_id = id_short JOIN ids tb ON tb.media_id = id_long " +
+        "WHERE n_frames = ta.nf AND offset_frames >= 0 AND (ta.nf < tb.nf OR (ta.nf = tb.nf AND id_short < id_long)) " +
+        "ORDER BY id_short, id_long, offset_frames"),
     "q_image_phash" ->
       // PNG is lossless, so the decoded gray channel IS the mixer
       // formula and every dHash bit re-derives in integers: nearest

@@ -834,6 +834,59 @@ object Multimodal {
       .select(col("clip_id"), col("corpus_id"), col("offset_frames"), col("n_frames"))
   }
 
+  /** Corpus-SELF video containment sweep: every shorter video that is
+    * a frame-run re-cut of any LONGER stored one — the video analog of
+    * [[audioContainmentSweep]], the one-shot corpus-vs-corpus form of
+    * [[videoClipContainment]] (which needs a designated clip batch).
+    * Same LENGTH-ORDERED pairing, on FRAME COUNTS: each pair examined
+    * once with the fewer-frames side as the contained candidate; the
+    * unaligned pigeonhole segment self-join proposes frame-pair
+    * candidates, each verifies at `bit_count ≤ maxHamming`, and a full
+    * run (verified count at ONE offset == the shorter side's frame
+    * count) emits `(id_short, id_long, offset_frames, n_frames)`.
+    *
+    * 100 TB shape: only 8-byte frame hashes shuffle (one symmetric
+    * segment equi-join, hot buckets dropped before it); the
+    * (short, long, offset) count partial-aggregates map-side, and the
+    * per-video frame totals join AFTER the aggregate keyed on id —
+    * candidates only, no forced broadcast of a corpus-wide table. */
+  def videoContainmentSweep(
+      frameHashes: DataFrame,
+      maxHamming: Int = 7,
+      maxBucket: Int = 256): DataFrame = {
+    val nSeg = maxHamming + 1
+    require(64 % nSeg == 0, s"maxHamming + 1 = $nSeg must divide 64 to tile the hash")
+    val segBits = 64 / nSeg
+    val totals = frameHashes.groupBy(col("media_id")).agg(count(lit(1)).as("__t"))
+    val segs = frameHashes.select(
+      col("media_id").as("id"), col("frame_idx").as("f"), col("phash"),
+      posexplode(array((0 until nSeg).map(s =>
+        shiftright(col("phash"), s * segBits).bitwiseAND(lit((1L << segBits) - 1))): _*)))
+      .withColumnRenamed("pos", "seg").withColumnRenamed("col", "segval")
+    val hot = segs.groupBy("seg", "segval").count()
+      .where(col("count") > maxBucket).select("seg", "segval")
+    val kept = segs.join(hot, Seq("seg", "segval"), "left_anti")
+    val verified = kept.select(col("seg"), col("segval"),
+        col("id").as("id_short"), col("f").as("kf"), col("phash").as("ph_s"))
+      .join(kept.select(col("seg"), col("segval"),
+        col("id").as("id_long"), col("f").as("cf"), col("phash").as("ph_l")),
+        Seq("seg", "segval"))
+      .where(col("id_short") =!= col("id_long"))
+      .select(col("id_short"), col("id_long"), col("kf"), col("cf"),
+        bit_count(col("ph_s").bitwiseXOR(col("ph_l"))).as("hd"))
+      .where(col("hd") <= maxHamming)
+      .distinct()
+    verified
+      .groupBy(col("id_short"), col("id_long"), (col("cf") - col("kf")).as("offset_frames"))
+      .agg(count(lit(1)).as("n_frames"))
+      .join(totals.select(col("media_id").as("id_short"), col("__t").as("__ts")), Seq("id_short"))
+      .join(totals.select(col("media_id").as("id_long"), col("__t").as("__tl")), Seq("id_long"))
+      .where(col("n_frames") === col("__ts") && col("offset_frames") >= 0 &&
+        (col("__ts") < col("__tl") ||
+          (col("__ts") === col("__tl") && col("id_short") < col("id_long"))))
+      .select(col("id_short"), col("id_long"), col("offset_frames"), col("n_frames"))
+  }
+
   /** Incremental video near-dup: same-cut videos between a NEW batch's
     * frame hashes and the STORED corpus table (`id_a` = batch, `id_b` =
     * stored) — the recurring form of [[videoNearDup]], the

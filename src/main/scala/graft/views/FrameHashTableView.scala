@@ -52,6 +52,13 @@ final class FrameHashTableView(
     spark.read.parquet(dirs: _*)
   }
 
+  /** Corpus-SELF containment sweep over the stored table: every
+    * shorter stored video that is a frame-run re-cut of any longer one
+    * ([[graft.ops.Multimodal.videoContainmentSweep]] — the reupload
+    * sweep, over frame hashes computed once at ingest). */
+  def containmentSweep(maxHamming: Int = 7, maxBucket: Int = 256): DataFrame =
+    graft.ops.Multimodal.videoContainmentSweep(hashes, maxHamming, maxBucket)
+
   /** Near-dup check of a new video batch against the stored corpus;
     * `dedupBatchHashes` when the batch's frame hashes are precomputed. */
   def dedupBatch(media: DataFrame, maxHamming: Int = 7, maxBucket: Int = 256): DataFrame =

@@ -868,6 +868,21 @@ class OpsSpec extends SparkSpec {
     assert(hits.forall { case (s, l, _, _) => s >= 90000L && l < 90000L })
   }
 
+  test("video containment sweep: every planted re-cut found against its longer parent, nothing else") {
+    val originals = Multimodal.syntheticTextureGifMedia(docs)
+    val corpus = originals.unionByName(Multimodal.syntheticTextureGifClip(docs))
+    val hits = Multimodal.videoContainmentSweep(Multimodal.videoFrameHashes(corpus))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = originals.count()
+    val planted = hits.filter { case (s, l, off, nf) =>
+      l == s - 150000L && off == 1L && nf == 2L }
+    assert(planted.length === n, s"planted video sweep recall ${planted.length}/$n")
+    assert(hits.length === planted.length,
+      s"unexpected extra video containments: ${hits.filterNot(planted.contains).take(5).toSeq}")
+    // frame-count order respected: the shorter side is always the re-cut
+    assert(hits.forall { case (s, l, _, _) => s >= 150000L && l < 150000L })
+  }
+
   test("video near-dup: brightness-shifted re-encodes matched frame-by-frame; no false pairs") {
     val base = Multimodal.syntheticTextureGifMedia(docs)
     val shifted = Multimodal.syntheticTextureGifMedia(docs, shift = 5, idOffset = 120000L)

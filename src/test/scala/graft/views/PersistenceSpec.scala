@@ -506,6 +506,36 @@ class PersistenceSpec extends SparkSpec {
       "a delta landing after compaction must close the base's open intervals")
   }
 
+  test("stored containment sweeps == one-shot over the same corpus (audio grams, video frames)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // audio: originals in one delta, re-cuts in a second — the sweep
+    // over the stored table must equal the one-shot over the union
+    val agDir = Files.createTempDirectory("graft-agsweep").toString
+    val media = graft.ops.Multimodal.syntheticWavMedia(docs, textured = true)
+    val clips = graft.ops.Multimodal.syntheticWavClip(docs, gain = 2)
+    val av = new AudioGramTableView(spark, s"$agDir/ag", 1)
+    av.absorb(media, 1L)
+    av.absorb(clips, 2L)
+    def canon4(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val aStored = canon4(av.containmentSweep())
+    val aDirect = canon4(graft.ops.Multimodal.audioContainmentSweep(media.unionByName(clips)))
+    assert(aStored === aDirect && aStored.nonEmpty,
+      s"stored audio sweep must equal the one-shot (${aStored.size} vs ${aDirect.size})")
+    // video: same discipline on the frame-hash table
+    val fhDir = Files.createTempDirectory("graft-fhsweep").toString
+    val vids = graft.ops.Multimodal.syntheticTextureGifMedia(docs)
+    val vclips = graft.ops.Multimodal.syntheticTextureGifClip(docs)
+    val fv = new FrameHashTableView(spark, s"$fhDir/fh", 1)
+    fv.absorb(vids, 1L)
+    fv.absorb(vclips, 2L)
+    val vStored = canon4(fv.containmentSweep())
+    val vDirect = canon4(graft.ops.Multimodal.videoContainmentSweep(
+      graft.ops.Multimodal.videoFrameHashes(vids.unionByName(vclips))))
+    assert(vStored === vDirect && vStored.nonEmpty,
+      s"stored video sweep must equal the one-shot (${vStored.size} vs ${vDirect.size})")
+  }
+
   test("AudioGramTableView: durable positional grams, reopen, stored containment, compaction") {
     val agDir = Files.createTempDirectory("graft-agram").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
