@@ -710,13 +710,41 @@ object Multimodal {
     * segment, value) buckets above `maxBucket` drop whole — the
     * standard degenerate-content trade. Emits `(id_a, id_b, n_frames,
     * max_frame_hamming)`; only frame HASHES shuffle, never frames. */
+  /** Persist-fence shared by the ONE-SHOT near-dup/containment
+    * operators: their plans reference the decode input from several
+    * subtrees (per-media totals, hot-bucket counts, BOTH self-join
+    * branches), and Spark rebuilds each subtree — so the
+    * partition-batched media DECODE re-executed once per reference (up
+    * to 8 `Scan ExistingRDD` nodes in the sweep plan; at 100 TB that
+    * is decoding the corpus eight times). Persisting the shared frames
+    * runs the decode ONCE; the eager `localCheckpoint` materializes
+    * the (pair-sized) result so every cache drops immediately — the
+    * same discipline the incremental stages already use. */
+  private def withPersistFence(
+      stage: scala.collection.mutable.Buffer[DataFrame] => DataFrame): DataFrame = {
+    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+    val out = stage(persisted)
+    val ck = out.localCheckpoint(true)
+    persisted.foreach(_.unpersist(blocking = false))
+    ck
+  }
+
   def videoNearDup(
       frameHashes: DataFrame,
       maxHamming: Int = 7,
-      maxBucket: Int = 256): DataFrame = {
+      maxBucket: Int = 256): DataFrame =
+    withPersistFence(videoNearDupStage(frameHashes, maxHamming, maxBucket, _))
+
+  private[graft] def videoNearDupStage(
+      frameHashes0: DataFrame,
+      maxHamming: Int,
+      maxBucket: Int,
+      persisted: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
     val nSeg = maxHamming + 1
     require(64 % nSeg == 0, s"maxHamming + 1 = $nSeg must divide 64 to tile the hash")
     val segBits = 64 / nSeg
+    val frameHashes = frameHashes0.persist()
+    persisted += frameHashes
     val counts = frameHashes.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
     val segmented = frameHashes.select(
       col("media_id").as("id"), col("frame_idx").as("f"), col("phash"),
@@ -725,7 +753,8 @@ object Multimodal {
       .withColumnRenamed("pos", "seg").withColumnRenamed("col", "segval")
     val hot = segmented.groupBy("f", "seg", "segval").count()
       .where(col("count") > maxBucket).select("f", "seg", "segval")
-    val kept = segmented.join(hot, Seq("f", "seg", "segval"), "left_anti")
+    val kept = segmented.join(hot, Seq("f", "seg", "segval"), "left_anti").persist()
+    persisted += kept
     val verified = kept
       .select(col("f"), col("seg"), col("segval"), col("id").as("id_a"), col("phash").as("ph_a"))
       .join(kept.select(col("f"), col("seg"), col("segval"),
@@ -806,7 +835,16 @@ object Multimodal {
       clipHashes: DataFrame,
       corpusHashes: DataFrame,
       maxHamming: Int = 7,
-      maxBucket: Int = 256): DataFrame = {
+      maxBucket: Int = 256): DataFrame =
+    withPersistFence(videoClipContainmentStage(clipHashes, corpusHashes,
+      maxHamming, maxBucket, _))
+
+  private[graft] def videoClipContainmentStage(
+      clipHashes0: DataFrame,
+      corpusHashes0: DataFrame,
+      maxHamming: Int,
+      maxBucket: Int,
+      persisted: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
     val nSeg = maxHamming + 1
     require(64 % nSeg == 0, s"maxHamming + 1 = $nSeg must divide 64 to tile the hash")
     val segBits = 64 / nSeg
@@ -815,6 +853,10 @@ object Multimodal {
       posexplode(array((0 until nSeg).map(s =>
         shiftright(col("phash"), s * segBits).bitwiseAND(lit((1L << segBits) - 1))): _*)))
       .withColumnRenamed("pos", "seg").withColumnRenamed("col", "segval")
+    val clipHashes = clipHashes0.persist()
+    persisted += clipHashes
+    val corpusHashes = corpusHashes0.persist()
+    persisted += corpusHashes
     val totals = clipHashes.groupBy(col("media_id")).agg(count(lit(1)).as("__total"))
     val corpusSeg = segmented(corpusHashes, "corpus_id", "cf", "ph_b")
     val hot = corpusSeg.groupBy("seg", "segval").count()
@@ -853,10 +895,19 @@ object Multimodal {
   def videoContainmentSweep(
       frameHashes: DataFrame,
       maxHamming: Int = 7,
-      maxBucket: Int = 256): DataFrame = {
+      maxBucket: Int = 256): DataFrame =
+    withPersistFence(videoContainmentSweepStage(frameHashes, maxHamming, maxBucket, _))
+
+  private[graft] def videoContainmentSweepStage(
+      frameHashes0: DataFrame,
+      maxHamming: Int,
+      maxBucket: Int,
+      persisted: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
     val nSeg = maxHamming + 1
     require(64 % nSeg == 0, s"maxHamming + 1 = $nSeg must divide 64 to tile the hash")
     val segBits = 64 / nSeg
+    val frameHashes = frameHashes0.persist()
+    persisted += frameHashes
     val totals = frameHashes.groupBy(col("media_id")).agg(count(lit(1)).as("__t"))
     val segs = frameHashes.select(
       col("media_id").as("id"), col("frame_idx").as("f"), col("phash"),
@@ -865,7 +916,8 @@ object Multimodal {
       .withColumnRenamed("pos", "seg").withColumnRenamed("col", "segval")
     val hot = segs.groupBy("seg", "segval").count()
       .where(col("count") > maxBucket).select("seg", "segval")
-    val kept = segs.join(hot, Seq("seg", "segval"), "left_anti")
+    val kept = segs.join(hot, Seq("seg", "segval"), "left_anti").persist()
+    persisted += kept
     val verified = kept.select(col("seg"), col("segval"),
         col("id").as("id_short"), col("f").as("kf"), col("phash").as("ph_s"))
       .join(kept.select(col("seg"), col("segval"),
@@ -1084,10 +1136,14 @@ object Multimodal {
     * visible plan, the [[perceptualNearDupIncrementalStage]] pattern). */
   private[graft] def audioClipContainmentStage(
       clipGrams: DataFrame,
-      corpusGrams: DataFrame,
+      corpusGrams0: DataFrame,
       maxBucket: Int,
       maxBroadcastKeys: Long,
       persisted: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
+    // the corpus grams feed the hot count AND the kept filter — persist
+    // so the (decode-backed, in the one-shot form) scan runs once
+    val corpusGrams = corpusGrams0.persist()
+    persisted += corpusGrams
     val hot = corpusGrams.groupBy("gram").count()
       .where(col("count") > maxBucket).select("gram")
     val kept = corpusGrams.join(hot, Seq("gram"), "left_anti")
@@ -1138,11 +1194,20 @@ object Multimodal {
     * [[graft.views.AudioGramTableView]]). */
   def audioContainmentSweepFromGrams(
       grams: DataFrame,
-      maxBucket: Int = 256): DataFrame = {
+      maxBucket: Int = 256): DataFrame =
+    withPersistFence(audioContainmentSweepStage(grams, maxBucket, _))
+
+  private[graft] def audioContainmentSweepStage(
+      grams0: DataFrame,
+      maxBucket: Int,
+      persisted: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
+    val grams = grams0.persist()
+    persisted += grams
     val totals = grams.groupBy(col("media_id")).agg(count(lit(1)).as("__t"))
     val hot = grams.groupBy("gram").count()
       .where(col("count") > maxBucket).select("gram")
-    val kept = grams.join(hot, Seq("gram"), "left_anti")
+    val kept = grams.join(hot, Seq("gram"), "left_anti").persist()
+    persisted += kept
     kept.select(col("media_id").as("id_short"), col("pos").as("apos"), col("gram"))
       .join(kept.select(col("media_id").as("id_long"), col("pos").as("bpos"), col("gram")),
         Seq("gram"))
@@ -1215,10 +1280,19 @@ object Multimodal {
   def audioNearDup(
       fingerprints: DataFrame,
       maxHamming: Int = 7,
-      maxBucket: Int = 256): DataFrame = {
+      maxBucket: Int = 256): DataFrame =
+    withPersistFence(audioNearDupStage(fingerprints, maxHamming, maxBucket, _))
+
+  private[graft] def audioNearDupStage(
+      fingerprints0: DataFrame,
+      maxHamming: Int,
+      maxBucket: Int,
+      persisted: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
     val nSeg = maxHamming + 1
     require(64 % nSeg == 0, s"maxHamming + 1 = $nSeg must divide 64 to tile the hash")
     val segBits = 64 / nSeg
+    val fingerprints = fingerprints0.persist()
+    persisted += fingerprints
     val segmented = fingerprints.select(
       col("media_id").as("id"), col("n_windows").as("nw"), col("afp"),
       posexplode(array((0 until nSeg).map(s =>
@@ -1226,7 +1300,8 @@ object Multimodal {
       .withColumnRenamed("pos", "seg").withColumnRenamed("col", "segval")
     val hot = segmented.groupBy("nw", "seg", "segval").count()
       .where(col("count") > maxBucket).select("nw", "seg", "segval")
-    val kept = segmented.join(hot, Seq("nw", "seg", "segval"), "left_anti")
+    val kept = segmented.join(hot, Seq("nw", "seg", "segval"), "left_anti").persist()
+    persisted += kept
     kept.select(col("nw"), col("seg"), col("segval"),
         col("id").as("id_a"), col("afp").as("fp_a"))
       .join(kept.select(col("nw"), col("seg"), col("segval"),
@@ -1551,10 +1626,19 @@ object Multimodal {
   def perceptualNearDup(
       hashes: DataFrame,
       maxHamming: Int = 7,
-      maxBucket: Int = 256): DataFrame = {
+      maxBucket: Int = 256): DataFrame =
+    withPersistFence(perceptualNearDupStage(hashes, maxHamming, maxBucket, _))
+
+  private[graft] def perceptualNearDupStage(
+      hashes0: DataFrame,
+      maxHamming: Int,
+      maxBucket: Int,
+      persisted: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
     val nSeg = maxHamming + 1
     require(64 % nSeg == 0, s"maxHamming + 1 = $nSeg must divide 64 to tile the hash")
     val segBits = 64 / nSeg
+    val hashes = hashes0.persist()
+    persisted += hashes
     val segmented = hashes.select(
       col("media_id").as("id"), col("phash"),
       posexplode(array((0 until nSeg).map(s =>
@@ -1562,7 +1646,8 @@ object Multimodal {
       .withColumnRenamed("pos", "seg").withColumnRenamed("col", "segval")
     val hot = segmented.groupBy("seg", "segval").count()
       .where(col("count") > maxBucket).select("seg", "segval")
-    val kept = segmented.join(hot, Seq("seg", "segval"), "left_anti")
+    val kept = segmented.join(hot, Seq("seg", "segval"), "left_anti").persist()
+    persisted += kept
     kept.select(col("seg"), col("segval"), col("id").as("id_a"), col("phash").as("ph_a"))
       .join(kept.select(col("seg"), col("segval"), col("id").as("id_b"), col("phash").as("ph_b")),
         Seq("seg", "segval"))

@@ -494,18 +494,28 @@ class PlanSpec extends SparkSpec {
     val corpus = graft.ops.Multimodal.syntheticWavMedia(docs, textured = true)
       .unionByName(graft.ops.Multimodal.syntheticWavClip(docs, gain = 2))
     val grams = graft.ops.Multimodal.audioGrams(corpus)
-    val sweep = graft.ops.Multimodal.audioContainmentSweepFromGrams(grams)
-    val s = planString(sweep)
-    // the self-join exchanges partition on the GRAM key — the rows that
-    // cross the wire are (media_id, pos, gram), never audio payloads
-    assert(s.contains("hashpartitioning(gram"),
-      s"the candidate join must shuffle on the gram key:\n${s.take(3000)}")
-    assert(!s.contains("content"),
-      s"audio payload bytes must never reach a sweep exchange:\n${s.take(3000)}")
-    // the (short, long, offset) count collapses map-side before its
-    // exchange — only matched, pre-reduced rows shuffle to the verify
-    assert(s.contains("partial_count"),
-      s"alignment count must partial-aggregate map-side:\n${s.take(3000)}")
+    val persisted = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+    try {
+      // the pre-checkpoint stage (the wrapper's localCheckpoint
+      // truncates the visible plan — the incremental-stage discipline)
+      val sweep = graft.ops.Multimodal.audioContainmentSweepStage(grams, 256, persisted)
+      val s = planString(sweep)
+      // the self-join exchanges partition on the GRAM key — the rows that
+      // cross the wire are (media_id, pos, gram), never audio payloads
+      assert(s.contains("hashpartitioning(gram"),
+        s"the candidate join must shuffle on the gram key:\n${s.take(3000)}")
+      assert(!s.contains("content"),
+        s"audio payload bytes must never reach a sweep exchange:\n${s.take(3000)}")
+      // the (short, long, offset) count collapses map-side before its
+      // exchange — only matched, pre-reduced rows shuffle to the verify
+      assert(s.contains("partial_count"),
+        s"alignment count must partial-aggregate map-side:\n${s.take(3000)}")
+      // the persist fence: the gram table is cached once, so the decode
+      // feeds every reference (totals, hot, both join branches) from
+      // ONE scan instead of re-decoding per subtree
+      assert(s.contains("InMemoryTableScan") || s.contains("TableCacheQueryStage"),
+        s"the gram table must be read through the persist fence:\n${s.take(3000)}")
+    } finally persisted.foreach(_.unpersist(blocking = false))
   }
 
   test("DSIR scores via a BROADCAST of the bucket log-ratio table") {
