@@ -212,22 +212,49 @@ object StreamingViews {
     * batches. Requires `TimeMode.ProcessingTime`, which — like the
     * mapGroupsWithState timeouts — keeps `shouldRunAnotherBatch` true:
     * pair with a real trigger interval and gate tests on sink contents. */
+  /** `evictAfter` on the TWS surface: a per-key EVENT-TIME TIMER
+    * (`getHandle.registerTimer`, `TimeMode.EventTime`) re-armed at
+    * (the key's max event time this batch) + TTL — the deterministic
+    * twin of `stateTtl`'s processing-time expiry, with the
+    * mapGroupsWithState `evictAfter` SEMANTICS (the expired key's
+    * final snapshot re-emits from `handleExpiredTimer`, then the state
+    * clears), where `stateTtl` expires SILENTLY. Like every event-time
+    * path: no sweep batches, `processAllAvailable` quiesces, replay
+    * from a checkpoint evicts identically. Takes `tsCol` (epoch ms) +
+    * `lateness` for the required watermark. */
   def runningStatsPerKeyTws(
       stream: DataFrame,
       keyCol: String,
       valueCol: String,
-      stateTtl: Option[java.time.Duration] = None): Dataset[(Long, Stats)] = {
+      stateTtl: Option[java.time.Duration] = None,
+      evictAfter: Option[String] = None,
+      tsCol: Option[String] = None,
+      lateness: String = "0 seconds"): Dataset[(Long, Stats)] = {
+    require(stateTtl.isEmpty || evictAfter.isEmpty,
+      "choose ONE eviction mode: stateTtl (processing-time) or evictAfter (event-time)")
     val spark = stream.sparkSession
     import spark.implicits._
-    val (ttlConf, timeMode) = stateTtl match {
-      case Some(d) => (org.apache.spark.sql.streaming.TTLConfig(d),
-        org.apache.spark.sql.streaming.TimeMode.ProcessingTime())
-      case None => (org.apache.spark.sql.streaming.TTLConfig.NONE,
-        org.apache.spark.sql.streaming.TimeMode.None())
+    evictAfter match {
+      case Some(d) =>
+        require(tsCol.nonEmpty, "evictAfter needs tsCol (epoch ms) as the event-time column")
+        stream.select(col(keyCol).cast("long"), col(valueCol).cast("double"),
+            timestamp_millis(col(tsCol.get).cast("long")).as("__et"))
+          .withWatermark("__et", lateness)
+          .as[(Long, Double, java.sql.Timestamp)]
+          .groupByKey(_._1)
+          .transformWithState(new WelfordEventTimeProcessor(durationMs(d)),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Update())
+      case None =>
+        val (ttlConf, timeMode) = stateTtl match {
+          case Some(d) => (org.apache.spark.sql.streaming.TTLConfig(d),
+            org.apache.spark.sql.streaming.TimeMode.ProcessingTime())
+          case None => (org.apache.spark.sql.streaming.TTLConfig.NONE,
+            org.apache.spark.sql.streaming.TimeMode.None())
+        }
+        stream.select(col(keyCol).cast("long"), col(valueCol).cast("double")).as[(Long, Double)]
+          .groupByKey(_._1)
+          .transformWithState(new WelfordProcessor(ttlConf), timeMode, OutputMode.Update())
     }
-    stream.select(col(keyCol).cast("long"), col(valueCol).cast("double")).as[(Long, Double)]
-      .groupByKey(_._1)
-      .transformWithState(new WelfordProcessor(ttlConf), timeMode, OutputMode.Update())
   }
 
   /** Trailing-window state for [[rollingAnomalyPerKey]]: the last
@@ -767,6 +794,59 @@ object StreamingViews {
   * `ValueState[Stats]`, updated with the same fold/merge as the
   * mapGroupsWithState twin (bit-identical state transitions, so the two
   * implementations share an oracle). */
+/** The event-time-evicting Welford processor: same fold as
+  * [[WelfordProcessor]], plus one per-key EVENT-TIME timer re-armed on
+  * every batch the key appears in at (max event time) + `evictMs`,
+  * clamped above the current watermark. When the watermark passes the
+  * deadline, [[handleExpiredTimer]] re-emits the key's final snapshot
+  * (idempotent for a latest-per-key consumer — the mapGroupsWithState
+  * `evictAfter` semantic, deliberately different from `stateTtl`'s
+  * silent expiry) and clears the state: a reactivated key restarts
+  * from zero. Eviction is a pure function of the event times, so
+  * checkpoint replay evicts identically. */
+private[streaming] class WelfordEventTimeProcessor(evictMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double, java.sql.Timestamp), (Long, Stats)] {
+  @transient private var state: org.apache.spark.sql.streaming.ValueState[Stats] = _
+
+  override def init(
+      outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    state = getHandle.getValueState[Stats]("welford",
+      org.apache.spark.sql.Encoders.product[Stats],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Double, java.sql.Timestamp)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Stats)] = {
+    val rs = rows.toSeq
+    val batch = rs.iterator.map(_._2).foldLeft(Stats(0, 0.0, 0.0)) { (s, v) =>
+      val n = s.n + 1
+      val d = v - s.mean
+      val mean = s.mean + d / n
+      Stats(n, mean, s.m2 + d * (v - mean))
+    }
+    val merged = Option(state.get()).fold(batch)(_.merge(batch))
+    state.update(merged)
+    // one live timer per key: drop the stale deadline, arm the new one
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+    getHandle.registerTimer(math.max(
+      rs.iterator.map(_._3.getTime).max + evictMs,
+      timerValues.getCurrentWatermarkInMs() + 1))
+    Iterator.single((key, merged))
+  }
+
+  override def handleExpiredTimer(
+      key: Long,
+      timerValues: org.apache.spark.sql.streaming.TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[(Long, Stats)] = {
+    val last = Option(state.get())
+    state.clear()
+    last.iterator.map(s => (key, s))
+  }
+}
+
 private[streaming] class WelfordProcessor(
     ttl: org.apache.spark.sql.streaming.TTLConfig =
       org.apache.spark.sql.streaming.TTLConfig.NONE)

@@ -898,6 +898,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("TWS evictAfter: an event-time timer evicts with a final re-emit — no wall-clock sleep") {
+    val kvSchema = StructType(Seq(
+      StructField("k", LongType), StructField("ts", LongType), StructField("v", DoubleType)))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val log = new MemoryLog(spark, kvSchema)
+      log.appendRows(Seq(Row(1L, 1000L, 1.0), Row(1L, 1100L, 3.0)))
+      val q = StreamingViews.runningStatsPerKeyTws(
+          log.readStream.select("k", "ts", "v"), "k", "v",
+          evictAfter = Some("2 seconds"), tsCol = Some("ts"))
+        .toDF("key", "stats")
+        .writeStream.format("memory").queryName("tws_eta")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        def rows = spark.sql("SELECT key, stats.n, stats.mean FROM tws_eta")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        q.processAllAvailable()
+        assert(rows.contains((1L, 2L, 2.0)), s"batch-1 merge, got $rows")
+        // another key's events advance the watermark past key 1's
+        // deadline (1100 + 2000); the timer fires on the NEXT batch and
+        // the final snapshot re-emits (the evictAfter semantic — unlike
+        // stateTtl's silent expiry). No wall-clock sleep anywhere.
+        log.appendRows(Seq(Row(7L, 60000L, 9.0)))
+        q.processAllAvailable()
+        log.appendRows(Seq(Row(7L, 61000L, 9.0)))
+        q.processAllAvailable()
+        // reactivation: the key restarts from zero
+        log.appendRows(Seq(Row(1L, 62000L, 5.0)))
+        q.processAllAvailable()
+        assert(rows.contains((1L, 1L, 5.0)),
+          s"an evicted key must restart from zero, got $rows")
+        assert(!rows.exists(r => r._1 == 1L && r._2 == 3L),
+          s"no merge across an event-time eviction, got $rows")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState twin reaches the same per-key state across batches") {
     val kvSchema = StructType(Seq(StructField("k", LongType), StructField("v", DoubleType)))
     val log = new MemoryLog(spark, kvSchema)
