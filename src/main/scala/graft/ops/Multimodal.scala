@@ -970,37 +970,17 @@ object Multimodal {
       maxBucket: Int,
       maxBroadcastKeys: Long,
       persisted: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
-    val nSeg = maxHamming + 1
-    require(64 % nSeg == 0, s"maxHamming + 1 = $nSeg must divide 64 to tile the hash")
-    val segBits = 64 / nSeg
-    def segmented(df: DataFrame, idAs: String, phAs: String) = df.select(
-      col("media_id").as(idAs), col("frame_idx").as("f"), col("phash").as(phAs),
-      posexplode(array((0 until nSeg).map(s =>
-        shiftright(col("phash"), s * segBits).bitwiseAND(lit((1L << segBits) - 1))): _*)))
-      .withColumnRenamed("pos", "seg").withColumnRenamed("col", "segval")
+    // the pair stage IS the shared gated stage with the frame index
+    // riding the bucket key (candidates only pair frame f with frame
+    // f); the every-aligned-frame count gate layers on top
     val newCounts = newHashes.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
     val storedCounts = storedHashes.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
-    val bn0 = segmented(newHashes, "id_a", "ph_a")
-    val hotNew = bn0.groupBy("f", "seg", "segval").count()
-      .where(col("count") > maxBucket).select("f", "seg", "segval")
-    val bn = bn0.join(hotNew, Seq("f", "seg", "segval"), "left_anti")
-    val newKeys = bn.select("f", "seg", "segval").distinct().persist()
-    persisted += newKeys
-    val bcast = newKeys.count() <= maxBroadcastKeys
-    val stored = segmented(storedHashes, "id_b", "ph_b")
-    val matched =
-      (if (bcast) stored.join(broadcast(newKeys), Seq("f", "seg", "segval"))
-       else stored.join(newKeys, Seq("f", "seg", "segval"))).persist()
-    persisted += matched
-    val hotBase = matched.groupBy("f", "seg", "segval").count()
-      .where(col("count") > maxBucket).select("f", "seg", "segval")
-    val verified = bn
-      .join(matched.join(hotBase, Seq("f", "seg", "segval"), "left_anti"),
-        Seq("f", "seg", "segval"))
-      .select(col("id_a"), col("id_b"), col("f"),
-        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hd"))
-      .where(col("hd") <= maxHamming)
-      .distinct()
+    def framed(df: DataFrame) = df.select(
+      col("media_id"), col("frame_idx").as("f"), col("phash"))
+    val verified = hammingNearDupIncrementalStage(
+        framed(newHashes), framed(storedHashes),
+        "phash", Seq("f"), maxHamming, maxBucket, maxBroadcastKeys, persisted)
+      .withColumnRenamed("hamming", "hd")
     verified.groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_frames"), max("hd").as("max_frame_hamming"))
       .join(broadcast(newCounts.select(col("media_id").as("id_a"), col("nf").as("__nfa"))), Seq("id_a"))
