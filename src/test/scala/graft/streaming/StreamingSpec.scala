@@ -355,6 +355,15 @@ class StreamingSpec extends SparkSpec {
       val n = media.count()
       assert(hits.count { case (c, p, off) => p == c - 90000L && off == 8L } === n,
         s"planted containment vs streamed table: ${hits.size}/$n")
+      // and once re-cuts land IN the log, the corpus-self sweep over
+      // the runner-maintained table finds every (re-cut, parent) pair
+      log.append(clips)
+      r.awaitParity()
+      val sweep = view.containmentSweep()
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      assert(sweep.count { case (s, l, off) => l == s - 90000L && off == 8L } === n,
+        s"planted sweep recall vs streamed table: ${sweep.size}/$n")
+      assert(sweep.size === n, s"no extra sweep pairs, got ${sweep.size}")
     } finally r.stop()
   }
 
