@@ -308,4 +308,30 @@ object PipelineProperties extends Properties("Pipeline") {
           r.getLong(3), r.getLong(4))).toSet
       got == refAffinity(evs)
     }
+
+  // ---- corpus-self audio containment sweep ----
+
+  private lazy val sweepDocs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+
+  /** ANY window-aligned cut of ANY stored recording must be found by
+    * the sweep at its exact offset (clip windows ≥ 25 so at least one
+    * 24-gram exists; cut bounded by the shortest fixture recording, 50
+    * windows). The sweep sees originals ∪ cuts as PEER recordings. */
+  property("containment sweep finds every window-aligned cut at its offset") =
+    forAll(for {
+      start <- Gen.choose(0, 20)
+      win <- Gen.choose(25, 50 - 20)
+      gain <- Gen.choose(1, 4)
+    } yield (start, win, gain)) { case (start, win, gain) =>
+      val originals = Multimodal.syntheticWavMedia(sweepDocs, textured = true)
+      val cuts = Multimodal.syntheticWavClip(sweepDocs,
+        startWindow = start, nWindows = win, gain = gain)
+      val hits = Multimodal.audioContainmentSweep(originals.unionByName(cuts))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val n = originals.count()
+      val planted = hits.filter { case (s, l, off, ng) =>
+        l == s - 90000L && off == start.toLong && ng == (win - 24).toLong }
+      planted.length == n && hits.length == planted.length
+    }
 }
