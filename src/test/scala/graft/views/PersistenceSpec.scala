@@ -487,6 +487,52 @@ class PersistenceSpec extends SparkSpec {
     assert(v3.since === -1L)
   }
 
+  test("Scd2TableView: compaction crash windows recover the full dimension") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    val mx = ev.agg(max("event_id")).head().getLong(0)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.toString),
+        r.getBoolean(3), r.getString(4))).toSet
+    val direct = canon(Scd2.dimension(ev, "user_id", "event_id", Seq("event_type")))
+    def fresh(dir: String) = {
+      val v = new Scd2TableView(spark, dir, 1, "user_id", "event_id", Seq("event_type"))
+      v.absorb(ev.where(col("event_id") <= mx / 2), mx / 2)
+      v.absorb(ev.where(col("event_id") > mx / 2), mx)
+      v
+    }
+    // crash window A: death between the delta deletes and the move —
+    // the complete base sits in compact.tmp with the cursor marker
+    // committed and no committed deltas; open must adopt it
+    val dirA = Files.createTempDirectory("graft-scd2cwa").toString + "/d"
+    val va = fresh(dirA)
+    va.compact()
+    val rootA = java.nio.file.Paths.get(dirA)
+    java.nio.file.Files.move(rootA.resolve(s"batch=$mx"), rootA.resolve("compact.tmp"))
+    java.nio.file.Files.writeString(rootA.resolve("compact.cursor"), mx.toString)
+    val va2 = new Scd2TableView(spark, dirA, 1, "user_id", "event_id", Seq("event_type"))
+    assert(va2.since === mx)
+    assert(canon(va2.dimension) === direct, "open must adopt the complete compact.tmp")
+    // crash window B: death PARTWAY through the deletes — marker + tmp
+    // complete, a PARTIAL delta set remains. Reading the partial set
+    // would lose every version in the deleted delta AND leave later
+    // intervals mis-opened; open must adopt the tmp instead.
+    val dirB = Files.createTempDirectory("graft-scd2cwb").toString + "/d"
+    val vb = fresh(dirB)
+    val rootB = java.nio.file.Paths.get(dirB)
+    vb.dimension.write.parquet(rootB.resolve("compact.tmp").toString) // what compact() writes
+    java.nio.file.Files.writeString(rootB.resolve("compact.cursor"), mx.toString)
+    graft.views.FsLists.walkDeepestFirst(rootB.resolve(s"batch=${mx / 2}"))
+      .foreach(java.nio.file.Files.delete)
+    val vb2 = new Scd2TableView(spark, dirB, 1, "user_id", "event_id", Seq("event_type"))
+    assert(vb2.since === mx)
+    assert(canon(vb2.dimension) === direct,
+      "adopting the tmp must recover the versions whose rows lived in the deleted delta")
+    val dirsB = new java.io.File(dirB).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSeq
+    assert(dirsB === Seq(s"batch=$mx"), s"tmp adopted as the single base, got $dirsB")
+  }
+
   test("Scd2TableView: post-compaction deltas still close the base's open intervals") {
     val dir = Files.createTempDirectory("graft-scd2pc").toString
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
