@@ -445,6 +445,24 @@ final class PositionalSearchView(textCol: String, seqCol: String) extends FrameV
         .select("seq").distinct().orderBy("seq"))
       .getOrElse(throw new IllegalStateException("search index empty"))
   }
+
+  /** Single-term membership — [[SearchView.search]] API parity, so the
+    * positional index fully subsumes the plain one. */
+  def search(term: String): DataFrame = searchAny(Seq(term))
+
+  /** AND-query: seqs containing EVERY term. Positional postings carry
+    * one row per OCCURRENCE, so the per-(term, seq) distinct comes
+    * first; then the same count == nTerms intersection as
+    * [[SearchView.searchAll]] — still one map-side-combined shuffle,
+    * no N-way self-join. */
+  def searchAll(terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "empty conjunction")
+    state.map(_.where(col("term").isin(terms.distinct: _*))
+        .select("term", "seq").distinct()
+        .groupBy("seq").agg(count(lit(1)).as("nt"))
+        .where(col("nt") === terms.distinct.size).select("seq").orderBy("seq"))
+      .getOrElse(throw new IllegalStateException("search index empty"))
+  }
 }
 
 object PositionalSearchView {

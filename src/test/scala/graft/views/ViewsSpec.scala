@@ -80,6 +80,11 @@ class ViewsSpec extends SparkSpec {
       === Seq(0L, 1L, 2L), "a doc holding both terms must appear exactly once")
     assert(pv.searchAny(Seq("streams")).collect().map(_.getLong(0)).toSeq === Seq(1L))
     assert(pv.searchAny(Seq("absent", "missing")).collect().isEmpty)
+    // API parity: the positional index fully subsumes the plain one —
+    // term and AND reads work here too (occurrence rows dedup first)
+    assert(pv.search("spark").collect().map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    assert(pv.searchAll(Seq("spark", "joins")).collect().map(_.getLong(0)).toSeq === Seq(0L))
+    assert(pv.searchAll(Seq("spark", "absent")).collect().isEmpty)
   }
 
   test("PositionalSearchView: phrase matches adjacency and order, not co-occurrence") {
