@@ -38,6 +38,31 @@ private[graft] object EmbeddingQueries {
     "q_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDup(embWithNearDups(s, dir), threshold = 0.95)
         .orderBy("id_a", "id_b")),
+    "q_embed_neardup_incremental" -> ((s, dir) => {
+      // the recurring form: a batch of re-encoded copies (ids +10000,
+      // ×1.001) near-dup checks against the STORED originals — the
+      // batch's band keys broadcast, the stored side never shuffles,
+      // vectors join by id for candidates only, exact-cosine verify
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val batch = e.select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(1.001)).cast("float")).as("embedding"))
+      Dedup.embeddingNearDupIncremental(batch, e, threshold = 0.95)
+        .orderBy("id_a", "id_b")
+    }),
+    "q_embed_neardup_stored" -> ((s, dir) => {
+      // the stored-artifact form: ingest-time signatures from the
+      // durable EmbeddingSigTableView (two deltas), vectors joined back
+      // from the corpus — a physical rewrite sharing the incremental's
+      // oracle
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val tmp = java.nio.file.Files.createTempDirectory("graftesig").toString
+      val v = new graft.views.EmbeddingSigTableView(s, s"$tmp/es", 1)
+      v.absorb(e.where(col("vec_id") < 200), 1L)
+      v.absorb(e.where(col("vec_id") >= 200), 2L)
+      val batch = e.select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(1.001)).cast("float")).as("embedding"))
+      v.dedupBatch(batch, e).orderBy("id_a", "id_b")
+    }),
     "q_knn_cosine" -> ((s, dir) =>
       Similarity.knnForVector(t(s, dir, "embeddings"), queryVec(s, dir, 0L), 10, excludeId = Some(0L))
         .orderBy(col("cos").desc, col("vec_id"))),
@@ -214,6 +239,21 @@ private[graft] object EmbeddingQueries {
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos " +
         "FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id " +
         "WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.95 ORDER BY id_a, id_b"),
+    "q_embed_neardup_incremental" ->
+      // the cross-set (batch × stored) half of q_embed_neardup's
+      // exhaustive predicate — oracle-safe for the same reasons (exact
+      // scalar multiples co-bucket in every band; natural pairs top out
+      // near cosine 0.45, far from the 0.95 verify)
+      ("WITH copies AS (SELECT vec_id + 10000 AS id_a, list_transform(embedding, x -> CAST(x * 1.001 AS FLOAT)) AS va FROM embeddings) " +
+        "SELECT id_a, b.vec_id AS id_b, round(list_cosine_similarity(va, b.embedding), 4) AS cos " +
+        "FROM copies, embeddings b " +
+        "WHERE round(list_cosine_similarity(va, b.embedding), 4) >= 0.95 ORDER BY id_a, id_b"),
+    "q_embed_neardup_stored" ->
+      // the stored-signature form is a physical rewrite — same oracle
+      ("WITH copies AS (SELECT vec_id + 10000 AS id_a, list_transform(embedding, x -> CAST(x * 1.001 AS FLOAT)) AS va FROM embeddings) " +
+        "SELECT id_a, b.vec_id AS id_b, round(list_cosine_similarity(va, b.embedding), 4) AS cos " +
+        "FROM copies, embeddings b " +
+        "WHERE round(list_cosine_similarity(va, b.embedding), 4) >= 0.95 ORDER BY id_a, id_b"),
     "q_knn_cosine" ->
       "SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q WHERE e.vec_id <> 0 ORDER BY cos DESC, e.vec_id LIMIT 10",
     "q_knn_batch" ->

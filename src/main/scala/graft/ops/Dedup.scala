@@ -1156,13 +1156,8 @@ object Dedup {
     val sig = Similarity.hyperplaneSignature(col(vecCol), bands * bitsPerBand)
     val sigs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("sig"))
       .persist()
-    val width = 1L << bitsPerBand
-    // bandkey = band * 2^r + bits: the band index folded in keeps band b
-    // of one vector from ever colliding with band b' of another
-    val keys = (0 until bands).map(b =>
-      shiftrightunsigned(col("sig"), b * bitsPerBand).bitwiseAND(lit(width - 1)) +
-        lit(b.toLong * width))
-    val banded = sigs.select(col("id"), explode(array(keys: _*)).as("bandkey"))
+    val banded = sigs.select(col("id"),
+      explode(array(hyperplaneBandKeys(bands, bitsPerBand): _*)).as("bandkey"))
     val hot = banded.groupBy("bandkey").count().where(col("count") > maxBucket).select("bandkey")
     val kept = banded.join(hot, Seq("bandkey"), "left_anti")
     val cand = kept.select(col("bandkey"), col("id").as("id_a"))
@@ -1181,6 +1176,118 @@ object Dedup {
     val ck = out.localCheckpoint(true)
     sigs.unpersist(blocking = false)
     ck
+  }
+
+  /** The `bands × bitsPerBand` band keys of a hyperplane signature —
+    * the banding shared by [[embeddingNearDup]] and its incremental
+    * form (band index folded in so band b of one vector never collides
+    * with band b' of another). */
+  private def hyperplaneBandKeys(bands: Int, bitsPerBand: Int): Seq[Column] = {
+    val width = 1L << bitsPerBand
+    (0 until bands).map(b =>
+      shiftrightunsigned(col("sig"), b * bitsPerBand).bitwiseAND(lit(width - 1)) +
+        lit(b.toLong * width))
+  }
+
+  /** Incremental embedding near-dup: cosine ≥ `threshold` pairs between
+    * a NEW embedding batch and the STORED corpus (`id_a` = batch,
+    * `id_b` = stored) — the recurring form of [[embeddingNearDup]],
+    * completing the modality ladder the text/image/audio/video sides
+    * already have. Same 100 TB shape as every incremental here: the
+    * batch's count-fenced BAND KEYS broadcast, the stored side
+    * semi-joins against them and never shuffles, hot caps apply per
+    * side, and the exact-cosine verify joins VECTORS by 8-byte id for
+    * candidates only — embeddings move the wire only when a band
+    * collides. Within-batch pairs are the batch's own one-shot pass. */
+  def embeddingNearDupIncremental(
+      newEmbeddings: DataFrame,
+      storedEmbeddings: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      bands: Int = 4,
+      bitsPerBand: Int = 8,
+      threshold: Double = 0.95,
+      maxBucket: Int = 1024,
+      maxBroadcastKeys: Long = 4L * 1000 * 1000): DataFrame = {
+    require(bands >= 1 && bitsPerBand >= 1 && bands * bitsPerBand <= 64,
+      s"bands*bitsPerBand must fit one 64-bit signature, got $bands*$bitsPerBand")
+    val sig = Similarity.hyperplaneSignature(col(vecCol), bands * bitsPerBand)
+    embeddingNearDupIncrementalFromSigs(newEmbeddings,
+      storedEmbeddings.select(col(idCol), sig.as("sig")), storedEmbeddings,
+      idCol, vecCol, bands, bitsPerBand, threshold, maxBucket, maxBroadcastKeys)
+  }
+
+  /** The stored-artifact form: stored-side signatures come precomputed
+    * (`(idCol, sig)` — [[graft.views.EmbeddingSigTableView]], hashed
+    * once at ingest) and `storedVectors` supplies the verify join's
+    * embeddings (usually the corpus table the signatures were built
+    * from — vectors are NOT duplicated into the signature artifact). */
+  def embeddingNearDupIncrementalFromSigs(
+      newEmbeddings: DataFrame,
+      storedSigs: DataFrame,
+      storedVectors: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      bands: Int = 4,
+      bitsPerBand: Int = 8,
+      threshold: Double = 0.95,
+      maxBucket: Int = 1024,
+      maxBroadcastKeys: Long = 4L * 1000 * 1000): DataFrame = {
+    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+    val out = embeddingNearDupIncrementalStage(newEmbeddings, storedSigs, storedVectors,
+      idCol, vecCol, bands, bitsPerBand, threshold, maxBucket, maxBroadcastKeys, persisted)
+    val ck = out.localCheckpoint(true)
+    persisted.foreach(_.unpersist(blocking = false))
+    ck
+  }
+
+  /** The pre-checkpoint pair stage — split out so PlanSpec can assert
+    * the broadcast shape (`localCheckpoint` truncates the visible
+    * plan). Caches it creates are appended to `persisted`. */
+  private[graft] def embeddingNearDupIncrementalStage(
+      newEmbeddings: DataFrame,
+      storedSigs: DataFrame,
+      storedVectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bands: Int,
+      bitsPerBand: Int,
+      threshold: Double,
+      maxBucket: Int,
+      maxBroadcastKeys: Long,
+      persisted: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
+    require(bands >= 1 && bitsPerBand >= 1 && bands * bitsPerBand <= 64,
+      s"bands*bitsPerBand must fit one 64-bit signature, got $bands*$bitsPerBand")
+    val keys = hyperplaneBandKeys(bands, bitsPerBand)
+    val sig = Similarity.hyperplaneSignature(col(vecCol), bands * bitsPerBand)
+    val bn0 = newEmbeddings.select(col(idCol).as("id_a"), sig.as("sig"))
+      .select(col("id_a"), explode(array(keys: _*)).as("bandkey"))
+      .persist()
+    persisted += bn0
+    val hotNew = bn0.groupBy("bandkey").count()
+      .where(col("count") > maxBucket).select("bandkey")
+    val bn = bn0.join(hotNew, Seq("bandkey"), "left_anti")
+    val newKeys = bn.select("bandkey").distinct().persist()
+    persisted += newKeys
+    // fence: a batch whose key set won't broadcast is corpus-sized —
+    // fall back to the symmetric shuffle (the one-shot's shape)
+    val bcast = newKeys.count() <= maxBroadcastKeys
+    val stored = storedSigs.select(col(idCol).as("id_b"), col("sig"))
+      .select(col("id_b"), explode(array(keys: _*)).as("bandkey"))
+    val matched =
+      (if (bcast) stored.join(broadcast(newKeys), Seq("bandkey"))
+       else stored.join(newKeys, Seq("bandkey"))).persist()
+    persisted += matched
+    val hotStored = matched.groupBy("bandkey").count()
+      .where(col("count") > maxBucket).select("bandkey")
+    val cand = bn.join(matched.join(hotStored, Seq("bandkey"), "left_anti"), Seq("bandkey"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(newEmbeddings.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), Seq("id_a"))
+      .join(storedVectors.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("v_a"), col("v_b")), 4).as("cos"))
+      .where(col("cos") >= threshold)
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-then-prune

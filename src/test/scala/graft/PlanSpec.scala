@@ -312,6 +312,27 @@ class PlanSpec extends SparkSpec {
     } finally persisted.foreach(_.unpersist(blocking = false))
   }
 
+  test("incremental embedding dedup: stored side filtered by a BROADCAST of batch band keys") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
+    val batch = emb.where(col("vec_id") < 20)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(1.001)).cast("float")).as("embedding"))
+    val sigs = emb.select(col("vec_id"),
+      graft.ops.Similarity.hyperplaneSignature(col("embedding"), 32).as("sig"))
+    val persisted = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+    try {
+      val stage = graft.ops.Dedup.embeddingNearDupIncrementalStage(
+        batch, sigs, emb, "vec_id", "embedding", 4, 8, 0.95, 1024, 4L * 1000 * 1000, persisted)
+      val s = planString(stage)
+      // the batch's band-key set must reach the stored signatures as a
+      // broadcast — a symmetric band shuffle of the stored corpus per
+      // batch is the recurring-cost scale bug this stage exists to avoid
+      assert(s.contains("strategy=broadcast"),
+        s"batch band keys must broadcast into the stored-side filter:\n${s.take(4000)}")
+    } finally persisted.foreach(_.unpersist(blocking = false))
+  }
+
   test("incremental substring dedup: stored gram table filtered by a BROADCAST of batch keys") {
     import spark.implicits._
     val stored = graft.ops.Dedup.gramTable(

@@ -219,6 +219,27 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert((0L until n).forall(id => !kept.contains(id + 10000)), "all twins dropped")
   }
 
+  test("embeddingNearDupIncremental == one-shot restricted to the cross set; total planted recall") {
+    import graft.ops.Dedup
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val n = emb.count()
+    val batch = emb.select((col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"), x => (x * lit(1.001)).cast("float")).as("embedding"))
+    val inc = Dedup.embeddingNearDupIncremental(batch, emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // every re-encoded copy pairs with exactly its original at cos 1.0
+    assert(inc.size === n, s"planted incremental recall ${inc.size}/$n")
+    assert(inc.forall { case (a, b, c) => a == b + 10000L && c == 1.0 },
+      s"only (copy, original) pairs at cos 1.0, got ${inc.take(5)}")
+    // == the one-shot over the union, restricted to the cross set
+    val oneShot = Dedup.embeddingNearDup(emb.unionByName(batch))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a < 10000L && b >= 10000L }
+      .map { case (a, b, c) => (b, a, c) }.toSet
+    assert(inc === oneShot, "incremental == one-shot cross set")
+  }
+
   test("semanticDedup never compares across cells; oversize cells skip the prune") {
     // two orthogonal blobs -> two cells (seeds 0 and 1, one per blob).
     // tau = 0.9: within-blob vectors are near-parallel (drop), across

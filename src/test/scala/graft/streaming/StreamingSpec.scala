@@ -225,6 +225,35 @@ class StreamingSpec extends SparkSpec {
     } finally r.stop()
   }
 
+  test("streaming runner maintains the embedding signature table; live dedup at total recall") {
+    import graft.views.EmbeddingSigTableView
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val logDir = java.nio.file.Files.createTempDirectory("graft-seslog").toString
+    val viewDir = java.nio.file.Files.createTempDirectory("graft-sesview").toString
+    val log = new ParquetLog(spark, logDir, emb.schema)
+    log.append(emb.where(col("vec_id") < 200))
+    val db = new FlumeDb(log)
+    db.use("es", EmbeddingSigTableView(viewDir))
+    val view = db.view("es").view.asInstanceOf[EmbeddingSigTableView]
+    val r = new StreamingViewRunner(log, view)
+    try {
+      r.awaitParity()
+      log.append(emb.where(col("vec_id") >= 200)) // live ingest
+      r.awaitParity()
+      assert(view.since === log.since)
+      val n = emb.count()
+      assert(view.sigs.count() === n)
+      // a batch of re-encoded copies dedups against the LIVE corpus
+      val batch = emb.select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(1.001)).cast("float")).as("embedding"))
+      val pairs = view.dedupBatch(batch, log.read.select("vec_id", "embedding"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+      assert(pairs.size === n && pairs.forall { case (a, b, c) => a == b + 10000L && c == 1.0 },
+        s"live embedding dedup at total recall, got ${pairs.size}/$n")
+    } finally r.stop()
+  }
+
   test("streaming runner maintains the IVF ANN index incrementally, auto-compacted") {
     import graft.views.IVFIndexView
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -398,6 +398,39 @@ class PersistenceSpec extends SparkSpec {
     assert(v2.hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === before)
   }
 
+  test("EmbeddingSigTableView: durable deltas, reopen, stored dedup == direct, compaction") {
+    val esDir = Files.createTempDirectory("graft-esig").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val n = emb.count()
+    val v = new EmbeddingSigTableView(spark, s"$esDir/es", 1)
+    v.absorb(emb.where(col("vec_id") < 200), 1L)
+    v.absorb(emb.where(col("vec_id") >= 200), 2L)
+    assert(v.sigs.count() === n)
+    // stored sigs == the direct signature pass (hashed once, at ingest)
+    val direct = emb.select(col("vec_id"),
+      graft.ops.Similarity.hyperplaneSignature(col("embedding"), 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v.sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === direct)
+    // reopen from the manifest
+    val v2 = new EmbeddingSigTableView(spark, s"$esDir/es", 1)
+    assert(v2.since === 2L && v2.sigs.count() === n)
+    // incremental dedup against the stored table: every re-encoded
+    // copy finds exactly its original at cos 1.0
+    val batch = emb.select((col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"), x => (x * lit(1.001)).cast("float")).as("embedding"))
+    val pairs = v2.dedupBatch(batch, emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs.size === n && pairs.forall { case (a, b, c) => a == b + 10000L && c == 1.0 },
+      s"stored dedup must find every planted copy, got ${pairs.size}/$n")
+    // compaction collapses the chain without changing a signature
+    v2.compact()
+    val dirs = new java.io.File(s"$esDir/es").listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSeq
+    assert(dirs === Seq("batch=2"))
+    assert(v2.sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === direct)
+  }
+
   test("AudioFingerprintTableView: durable deltas, reopen at parity, incremental dedup, compaction") {
     import spark.implicits._
     val afDir = Files.createTempDirectory("graft-afp").toString
