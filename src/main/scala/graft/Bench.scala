@@ -74,7 +74,9 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // full per-query dict first, compact total line LAST: the driver's
     // tail capture must never lose the total (it did in r4)
-    val prov = s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadavg)},"capture":"$capture","cpus":$cpus,"runs":$runs"""
+    // cpus comes straight from the env and may be non-numeric ("*" is
+    // a valid local[*] spec) — quote it so the JSON stays parseable.
+    val prov = s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadavg)},"capture":"$capture","cpus":"$cpus","runs":$runs"""
     println(s"""{"metric":"per_query","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir",$prov}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errs,"sf":"$sfDir",$prov}""")
     spark.stop()

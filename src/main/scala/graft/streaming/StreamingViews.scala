@@ -122,7 +122,23 @@ object StreamingViews {
     * machines without an event-time column take `tsCol` (epoch ms)
     * alongside. Spark requires the watermarked column to survive into
     * the stateful operator's child output, so the evict-arm plans carry
-    * one extra timestamp column the fold ignores. */
+    * one extra timestamp column the fold ignores.
+    *
+    * INPUT-SIDE caveat — `evictAfter` is MORE than an
+    * eviction-determinism twin of `idleTtl`: arming it adds
+    * `withWatermark` to the input, and Spark drops rows whose event
+    * time is older than the GLOBAL watermark minus `lateness` BEFORE
+    * they reach the state machine. With cross-key event-time skew a
+    * lagging key can lose events entirely — input loss `idleTtl` never
+    * has (no watermark, every row is folded). The `lateness` parameter
+    * (default "0 seconds") is the knob: it is the allowed cross-key
+    * skew, and a deployment with straggling partitions should set it to
+    * the expected skew bound. The default stays 0 because eviction
+    * determinism is the point of this mode — a lateness window delays
+    * every eviction by that bound, and for the in-order durable-log
+    * replay these views are built for (seq order == time order per the
+    * reference's total order) a late row cannot occur. Pinned by
+    * StreamingSpec "evictAfter drops rows behind the watermark". */
   private def requireOneEviction(idleTtl: Option[String], evictAfter: Option[String]): Unit =
     require(idleTtl.isEmpty || evictAfter.isEmpty,
       "choose ONE eviction mode: idleTtl (processing-time) or evictAfter (event-time)")
@@ -829,8 +845,11 @@ private[streaming] class WelfordEventTimeProcessor(evictMs: Long)
     }
     val merged = Option(state.get()).fold(batch)(_.merge(batch))
     state.update(merged)
-    // one live timer per key: drop the stale deadline, arm the new one
-    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+    // one live timer per key: drop the stale deadline, arm the new one.
+    // Materialize the timer list BEFORE deleting — deleteTimer while
+    // iterating a state-store-backed iterator is provider-dependent
+    // (passes under RocksDB, undefined under the default HDFS store).
+    getHandle.listTimers().toList.foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
     getHandle.registerTimer(math.max(
       rs.iterator.map(_._3.getTime).max + evictMs,
       timerValues.getCurrentWatermarkInMs() + 1))

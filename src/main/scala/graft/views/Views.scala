@@ -366,7 +366,20 @@ object HashtableView {
 
 /** flumeview-search (`/root/reference/README.md:95`): inverted-index
   * full-text search. Tokenize → explode → posting list `(term, seq)`;
-  * single-term query = equi-filter; AND = intersect via group-by-count. */
+  * single-term query = equi-filter; AND = intersect via group-by-count.
+  *
+  * Why this stays beside the subsuming [[PositionalSearchView]]
+  * (term/AND/OR parity since r12): COST, not capability. Plain
+  * postings are `array_distinct` per document — ONE row per (term,
+  * doc) — while positional postings carry one row per OCCURRENCE plus
+  * an int position. On natural text (Zipfian term repetition) the
+  * positional index is a multiple of the rows and wider, which at
+  * 100 TB is the same multiple on the index build shuffle, the
+  * stored-view footprint, AND every
+  * membership query's scan. Deployments that never issue phrase
+  * queries mount this view; phrase workloads pay for the positional
+  * one. Same FrameView lifecycle, same query API subset — choosing is
+  * a storage-budget decision, not a semantic one. */
 final class SearchView(textCol: String, seqCol: String) extends FrameView {
   protected def delta(entries: DataFrame): DataFrame =
     entries.select(
@@ -394,10 +407,12 @@ final class SearchView(textCol: String, seqCol: String) extends FrameView {
     * shape from [[graft.views.Query]]): ONE `isin` filter over the
     * posting table, then distinct — never a per-term rescan and never
     * a disjunctive LIKE over the log. */
-  def searchAny(terms: Seq[String]): DataFrame =
+  def searchAny(terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "empty disjunction")
     state.map(_.where(col("term").isin(terms.distinct: _*))
         .select("seq").distinct().orderBy("seq"))
       .getOrElse(throw new IllegalStateException("search index empty"))
+  }
 }
 
 object SearchView {

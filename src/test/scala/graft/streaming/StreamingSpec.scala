@@ -1558,6 +1558,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("evictAfter drops rows behind the watermark — lateness is the cross-key-skew knob") {
+    // idleTtl folds EVERY row; evictAfter adds withWatermark, and Spark
+    // drops input older than (global watermark - lateness) BEFORE the
+    // state machine sees it. Pin both halves: a lagging key's row IS
+    // lost at the default lateness=0, and a lateness bound covering the
+    // skew saves it.
+    def run(lateness: String): Set[Long] = {
+      val log = new MemoryLog(spark, etFunnelSchema)
+      val name = s"funnel_late_${lateness.replaceAll("[^a-z0-9]", "_")}"
+      val q = StreamingViews.funnelPerKey(
+          log.readStream.select("k", "s", "ts", "et"), "k", "s", "et",
+          Seq("view", "click", "purchase"), tsCol = Some("ts"),
+          evictAfter = Some("1 hour"), lateness = lateness)
+        .toDF("k", "seqs", "stage")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        // batch 1: key 7 at ts=10,000,000 sets the watermark high
+        log.appendRows(Seq(Row(7L, 1L, 10000000L, "view")))
+        q.processAllAvailable()
+        // batch 2: key 2 lags 9,998,000 ms behind the watermark —
+        // dropped at lateness=0, folded when lateness covers the skew
+        log.appendRows(Seq(Row(2L, 2L, 2000L, "view")))
+        q.processAllAvailable()
+        spark.sql(s"SELECT k FROM $name").collect().map(_.getLong(0)).toSet
+      } finally q.stop()
+    }
+    val strict = run("0 seconds")
+    assert(!strict.contains(2L),
+      s"at lateness=0 the lagging key's row is dropped by the watermark (input loss idleTtl never has), got $strict")
+    val slack = run("4 hours")
+    assert(slack.contains(2L),
+      s"a lateness bound covering the cross-key skew must let the lagging row through, got $slack")
+  }
+
   test("evictAfter: kill/restart replay from the checkpoint is byte-identical to the uninterrupted run") {
     def run(interrupted: Boolean): Set[(Long, List[Long], Int)] = {
       val logDir = java.nio.file.Files.createTempDirectory("graft-eta-log").toString
