@@ -263,11 +263,12 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5,
       maxBucket: Int = 64,
-      verifyExact: Boolean = false): DataFrame =
+      verifyExact: Boolean = false,
+      maxBroadcastKeys: Long = 4L * 1000 * 1000): DataFrame =
     minhashLshIncrementalStored(newDocs,
       signatureTable(baseDocs, idCol, textCol, perms).persist(),
       idCol, textCol, perms, bands, threshold, maxBucket, verifyExact,
-      ownsBase = true)
+      ownsBase = true, maxBroadcastKeys = maxBroadcastKeys)
 
   /** The `(id, hs, sig)` signature table of a corpus — compute once,
     * store (parquet), and hand to [[minhashLshIncrementalStored]] for
@@ -300,14 +301,15 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 64,
       verifyExact: Boolean = false,
-      ownsBase: Boolean = false): DataFrame = {
+      ownsBase: Boolean = false,
+      maxBroadcastKeys: Long = 4L * 1000 * 1000): DataFrame = {
     val hn = newDocs
       .select(col(idCol).as("id"), hashedShinglesCol(col(textCol)).as("hs"))
       .where(size(col("hs")) > 0)
       .persist()
     val sn = hn.select(col("id"), graft.functions.MinhashOph.minhash_oph(col("hs"), perms).as("sig")).persist()
     val out = incrementalFromParts(hn, sn, baseSigs, perms, bands, threshold, maxBucket,
-      verifyExact, ownsBase)
+      verifyExact, ownsBase, maxBroadcastKeys)
     Seq(sn, hn).foreach(_.unpersist(blocking = false))
     out
   }
@@ -325,9 +327,10 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 64,
       verifyExact: Boolean = false,
-      ownsBase: Boolean = false): DataFrame =
+      ownsBase: Boolean = false,
+      maxBroadcastKeys: Long = 4L * 1000 * 1000): DataFrame =
     incrementalFromParts(newSigs.select("id", "hs"), newSigs.select("id", "sig"),
-      baseSigs, perms, bands, threshold, maxBucket, verifyExact, ownsBase)
+      baseSigs, perms, bands, threshold, maxBucket, verifyExact, ownsBase, maxBroadcastKeys)
 
   private def incrementalFromParts(
       hn: DataFrame,
@@ -338,11 +341,12 @@ object Dedup {
       threshold: Double,
       maxBucket: Int,
       verifyExact: Boolean,
-      ownsBase: Boolean): DataFrame = {
+      ownsBase: Boolean,
+      maxBroadcastKeys: Long = 4L * 1000 * 1000): DataFrame = {
     val sb = baseSigs.select("id", "sig")
     val hb = baseSigs.select("id", "hs")
     val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
-    val cand = incrementalCandidates(sn, sb, perms, bands, maxBucket, persisted)
+    val cand = incrementalCandidates(sn, sb, perms, bands, maxBucket, persisted, maxBroadcastKeys)
 
     val pairs =
       if (verifyExact) {
@@ -381,7 +385,8 @@ object Dedup {
       perms: Int,
       bands: Int,
       maxBucket: Int,
-      persisted: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
+      persisted: scala.collection.mutable.Buffer[DataFrame],
+      maxBroadcastKeys: Long = 4L * 1000 * 1000): DataFrame = {
     def banded(s: DataFrame, as: String) = s.select(
       col("id").as(as), explode(graft.functions.BandKeys.band_keys(col("sig"), perms, bands)).as("bandkey"))
     def dropHot(b: DataFrame) = {
@@ -394,7 +399,7 @@ object Dedup {
     // fence: a batch so large its key set won't broadcast (~32 MB of
     // 8-byte keys) is corpus-sized — fall back to the symmetric shuffle,
     // where incremental dedup was the wrong tool to begin with
-    val broadcastKeys = newKeys.count() <= 4L * 1000 * 1000
+    val broadcastKeys = newKeys.count() <= maxBroadcastKeys
     val matched =
       (if (broadcastKeys) banded(sb, "id_b").join(broadcast(newKeys), Seq("bandkey"))
        else banded(sb, "id_b").join(newKeys, Seq("bandkey"))).persist()
@@ -409,9 +414,10 @@ object Dedup {
     * so plan assertions can see the broadcast shape). */
   private[graft] def incrementalCandidatesPublic(
       newSigs: DataFrame, baseSigs: DataFrame,
-      perms: Int = 64, bands: Int = 16, maxBucket: Int = 64): DataFrame =
+      perms: Int = 64, bands: Int = 16, maxBucket: Int = 64,
+      maxBroadcastKeys: Long = 4L * 1000 * 1000): DataFrame =
     incrementalCandidates(newSigs.select("id", "sig"), baseSigs.select("id", "sig"),
-      perms, bands, maxBucket, scala.collection.mutable.Buffer.empty)
+      perms, bands, maxBucket, scala.collection.mutable.Buffer.empty, maxBroadcastKeys)
 
   /** [[minhashLshFromShingles]] over a full precomputed `(id, hs, sig)`
     * signature table (persisted or stored) — the self-join dedup with

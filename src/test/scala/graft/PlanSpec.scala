@@ -273,6 +273,39 @@ class PlanSpec extends SparkSpec {
     } finally Seq(base, fresh).foreach(_.unpersist(blocking = false))
   }
 
+  test("fence fallback: past maxBroadcastKeys the plan carries NO broadcast hint (symmetric shuffle)") {
+    import spark.implicits._
+    // corpus-sized "batch": the fence at 0 forces the fallback arm in
+    // both the minhash candidate stage and the shared hamming stage —
+    // the branch that runs at corpus scale must not pin a broadcast the
+    // driver could never build (the hint would OOM on a real corpus).
+    val docs = (1L to 40L).map(i =>
+      (i, s"the quick brown fox number $i jumps over the lazy dog near gate $i"))
+    val base = graft.ops.Dedup.signatureTable(
+      spark.createDataFrame(docs).toDF("doc_id", "text")).persist()
+    val fresh = graft.ops.Dedup.signatureTable(
+      spark.createDataFrame(docs.take(5).map { case (i, t) => (i + 1000, t) })
+        .toDF("doc_id", "text")).persist()
+    val persisted = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+    try {
+      val cand = graft.ops.Dedup.incrementalCandidatesPublic(
+        fresh, base, maxBroadcastKeys = 0L)
+      val s = planString(cand)
+      assert(!s.contains("strategy=broadcast"),
+        s"fallback arm must not hint a broadcast of a corpus-sized key set:\n${s.take(4000)}")
+      assert(cand.collect().length >= 5,
+        "fallback arm still surfaces the planted candidates")
+      val rnd = new scala.util.Random(3)
+      val stored = (0L until 200L).map(i => (i, rnd.nextLong())).toDF("media_id", "phash")
+      val batch = (0L until 10L).map(i => (1000L + i, rnd.nextLong())).toDF("media_id", "phash")
+      val pairs = graft.ops.Multimodal.perceptualNearDupIncrementalStage(
+        batch, stored, 7, 256, 0L, persisted)
+      val s2 = planString(pairs)
+      assert(!s2.contains("strategy=broadcast"),
+        s"hamming fallback arm must not hint a broadcast:\n${s2.take(4000)}")
+    } finally (Seq(base, fresh) ++ persisted).foreach(_.unpersist(blocking = false))
+  }
+
   test("incremental phash dedup: stored side filtered by a BROADCAST of batch segment keys") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
