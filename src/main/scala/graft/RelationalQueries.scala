@@ -93,6 +93,33 @@ private[graft] object RelationalQueries {
         .groupBy(col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))),
+    "q_tpch_q18" -> ((s, dir) => {
+      // TPC-H Q18 (large-volume customer): HAVING over a corpus-wide
+      // agg, then re-join the survivors. Scale shape: the per-order
+      // quantity sum partial-aggregates map-side (one lineitem shuffle
+      // on l_orderkey); the HAVING survivor key set is tiny (~1.7% of
+      // orders at qty > 250) and BROADCASTS into semi-joins that reduce
+      // BOTH fact tables before any fact-fact join — lineitem and
+      // orders never meet at full width. The remaining joins are
+      // tiny-vs-large; AQE picks broadcast sides at runtime.
+      val li = t(s, dir, "lineitem")
+      val bigKeys = li.groupBy(col("l_orderkey"))
+        .agg(sum("l_quantity").as("qty")).where(col("qty") > 250)
+        .select("l_orderkey")
+      val liBig = li.join(broadcast(bigKeys), Seq("l_orderkey"), "left_semi")
+      val ordBig = t(s, dir, "orders").join(
+        broadcast(bigKeys.select(col("l_orderkey").as("o_orderkey"))),
+        Seq("o_orderkey"), "left_semi")
+      val perOrder = liBig.groupBy(col("l_orderkey"))
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+      ordBig.join(perOrder, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").as("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
     "q_window_rank" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
@@ -383,6 +410,12 @@ private[graft] object RelationalQueries {
         "JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
         "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
         "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+    "q_tpch_q18" ->
+      ("SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, round(sum(l_quantity), 2) AS sum_qty " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey " +
+        "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250) " +
+        "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
     "q_group_agg" ->
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base, round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc, round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, round(avg(l_quantity), 4) AS avg_qty, count(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q_bucketed_join" ->

@@ -384,6 +384,18 @@ class PlanSpec extends SparkSpec {
     } finally persisted.foreach(_.unpersist(blocking = false))
   }
 
+  test("tpch q18: HAVING keys broadcast into both fact semi-joins, no cartesian") {
+    val s = planString(run("q_tpch_q18"))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"q18 must stay equi-join only:\n${s.take(3000)}")
+    // the survivor key set reduces BOTH lineitem and orders as a
+    // broadcast semi-join — the fact tables never meet at full width
+    val semis = s.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+    assert(semis >= 2,
+      s"expected both fact sides semi-joined via broadcast of the HAVING keys:\n${s.take(4000)}")
+  }
+
   test("tpch q5: dims broadcast, date range pushed to the orders scan") {
     val s = planString(run("q_tpch_q5"))
     assert(s.contains("BroadcastHashJoin"),
