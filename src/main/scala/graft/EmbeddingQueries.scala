@@ -91,6 +91,19 @@ private[graft] object EmbeddingQueries {
       Similarity.annForVector(storedAnnSignatures(s, dir), queryVec(s, dir, 0L), 10,
           maxHamming = 8, excludeId = Some(0L), sigCol = Some("sig"))
         .orderBy(col("cos").desc, col("vec_id"))),
+    "q_ann_lsh_stored" -> ((s, dir) => {
+      // ANN served from the runner-maintained EmbeddingSigTableView —
+      // the SAME (vec_id, sig) artifact the incremental dedup consumes,
+      // so ingest maintains one signature table for both near-dup
+      // checks and similarity serving (32-bit sigs, two deltas)
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val tmp = java.nio.file.Files.createTempDirectory("graftannsig").toString
+      val v = new graft.views.EmbeddingSigTableView(s, s"$tmp/es", 1)
+      v.absorb(e.where(col("vec_id") < 200), 1L)
+      v.absorb(e.where(col("vec_id") >= 200), 2L)
+      v.annSearch(queryVec(s, dir, 0L), e, 10, maxHamming = 16, excludeId = Some(0L))
+        .orderBy(col("cos").desc, col("vec_id"))
+    }),
     "q_ann_ivfpq" -> ((s, dir) => {
       // the composed production ANN: probe 4 of 16 cells (partition
       // pruning over the stored code table), ADC inside probed cells,

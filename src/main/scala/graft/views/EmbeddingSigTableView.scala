@@ -2,7 +2,7 @@ package graft.views
 
 import graft.core.{FlumeDb, FlumeView, ViewDef}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{array, bit_count, broadcast, col, lit, round, typedLit}
 
 /** Durable, streaming-maintainable hyperplane-signature table — the
   * EMBEDDING rung of the stored-dedup ladder, completing the set
@@ -67,6 +67,45 @@ final class EmbeddingSigTableView(
     graft.ops.Dedup.embeddingNearDupIncrementalFromSigs(
       newEmbeddings, sigs, storedVectors, idCol, vecCol,
       bands, bitsPerBand, threshold, maxBucket)
+
+  /** ANN search served from the SAME stored signature artifact the
+    * dedup path uses — ingest maintains ONE `(vec_id, sig)` table for
+    * both near-dup checks ([[dedupBatch]]) and similarity serving.
+    * Filter-then-refine: the hamming prefilter scans only the 8-byte
+    * `sig` column (the whole point of the stored artifact — no
+    * nBits × dim recompute per query, vectors stay cold); survivor ids
+    * join the corpus vectors for the exact-cosine top-k, count-fenced
+    * broadcast with a shuffle fallback exactly like the incremental
+    * dedup stages (a degenerate corpus where most signatures land
+    * within `maxHamming` must not pin a driver-sized broadcast). */
+  def annSearch(
+      queryVec: Seq[Float],
+      storedVectors: DataFrame,
+      k: Int,
+      maxHamming: Int = 12,
+      excludeId: Option[Long] = None,
+      maxBroadcastKeys: Long = 4L * 1000 * 1000): DataFrame = {
+    val nBits = bands * bitsPerBand
+    val qSig = spark.range(1)
+      .select(graft.ops.Similarity.hyperplaneSignature(
+        typedLit(queryVec).cast("array<float>"), nBits).as("qsig"))
+      .head().getLong(0)
+    val base = excludeId.fold(sigs)(i => sigs.where(col(idCol) =!= i))
+    val cand = base
+      .where(bit_count(col("sig").bitwiseXOR(lit(qSig))) <= maxHamming)
+      .select(idCol)
+    val bcast = cand.limit((maxBroadcastKeys + 1).toInt).count() <= maxBroadcastKeys
+    val vecs = storedVectors.select(col(idCol), col(vecCol))
+    val joined =
+      if (bcast) vecs.join(broadcast(cand), Seq(idCol))
+      else vecs.join(cand, Seq(idCol))
+    joined
+      .select(col(idCol),
+        round(graft.ops.Similarity.cosine(col(vecCol),
+          array(queryVec.map(v => lit(v)): _*)), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
 
   override def frameOption: Option[DataFrame] =
     if (committedBatchDirs().isEmpty) None else Some(sigs)

@@ -431,6 +431,30 @@ class PersistenceSpec extends SparkSpec {
     assert(v2.sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === direct)
   }
 
+  test("EmbeddingSigTableView.annSearch == one-off signature-table ANN; fence fallback agrees") {
+    val esDir = Files.createTempDirectory("graft-esig-ann").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val v = new EmbeddingSigTableView(spark, s"$esDir/es", 1)
+    v.absorb(emb.where(col("vec_id") < 200), 1L)
+    v.absorb(emb.where(col("vec_id") >= 200), 2L)
+    val q = emb.where(col("vec_id") === 0L)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val stored = key(v.annSearch(q, emb, 10, maxHamming = 16, excludeId = Some(0L)))
+    // parity with the one-off table path: SAME artifact semantics, one
+    // build (32-bit sigs on both sides, same hamming budget)
+    val oneOff = key(graft.ops.Similarity.annForVector(
+      graft.ops.Similarity.withHyperplaneSignatures(emb, nBits = 32),
+      q, 10, nBits = 32, maxHamming = 16, excludeId = Some(0L), sigCol = Some("sig")))
+    assert(stored.nonEmpty && stored === oneOff,
+      s"view-served ANN must equal the one-off signature table's:\nstored=$stored\noneOff=$oneOff")
+    // the candidate-id fence's shuffle arm returns the same top-k
+    assert(key(v.annSearch(q, emb, 10, maxHamming = 16, excludeId = Some(0L),
+      maxBroadcastKeys = 0L)) === stored)
+  }
+
   test("AudioFingerprintTableView: durable deltas, reopen at parity, incremental dedup, compaction") {
     import spark.implicits._
     val afDir = Files.createTempDirectory("graft-afp").toString
