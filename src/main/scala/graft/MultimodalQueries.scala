@@ -294,7 +294,7 @@ private[graft] object MultimodalQueries {
   // size (ceil(effn/65), floor 16), exact integer window energies,
   // difference bits, two 32-bit halves, and the (n_windows, segment,
   // value) pigeonhole segments the length-gated candidate join keys on
-  private val audioFpCtes: String =
+  private[graft] val audioFpCtes: String =
     "ids AS (SELECT doc_id AS media_id, doc_id AS oid, 1 AS g, 800 + doc_id % 400 AS no, 800 + doc_id % 400 AS n FROM documents WHERE doc_id % 3 = 2 " +
       "UNION ALL SELECT doc_id + 60000, doc_id, 3, 800 + doc_id % 400, 800 + doc_id % 400 + 24 FROM documents WHERE doc_id % 3 = 2), " +
       "si AS (SELECT media_id, oid, g, no, unnest(generate_series(0, n - 1)) AS i FROM ids), " +

@@ -47,6 +47,36 @@ private[graft] object StreamingQueries {
         max("doc_id").as("max_id"),
         sum(when(col("doc_id") >= 10000, 1L).otherwise(0L)).as("perturbed_kept"))
     }),
+    "q_stream_curate_media" -> ((s, dir) => {
+      // continuous MEDIA curation — the multimodal rung of
+      // q_stream_curate: original recordings stream in as batch 1,
+      // gain×3 + trailing-silence re-encodes (ids +60000) as batch 2.
+      // Each batch decodes + fingerprints ONCE, self near-dups, then
+      // checks against the STORED AudioFingerprintTableView of the
+      // prior survivors (batch segment keys broadcast, the stored
+      // table never shuffles); survivors append + their fingerprints
+      // absorb, cursor advances.
+      def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+      val srcLog = new ParquetLog(s, tmp("graftmcur-src"), Multimodal.mediaSchema)
+      val curLog = new ParquetLog(s, tmp("graftmcur-dst"), Multimodal.mediaSchema)
+      val fpView = new graft.views.AudioFingerprintTableView(s, s"${tmp("graftmcur-fp")}/f", 2)
+      val commit = java.nio.file.Paths.get(tmp("graftmcur-c"), "_mark").toString
+      val docs = t(s, dir, "documents")
+      srcLog.append(Multimodal.syntheticWavMedia(docs, textured = true))
+      val cur = new graft.streaming.MediaStreamingCurator(srcLog, curLog,
+        graft.streaming.MediaDedupBinding.audio(fpView), commit)
+      try {
+        cur.awaitParity()
+        srcLog.append(Multimodal.syntheticWavMedia(docs, gain = 3, padSamples = 24,
+          idOffset = 60000L, textured = true))
+        cur.awaitParity()
+      } finally cur.stop()
+      curLog.read.agg(
+        count(lit(1)).as("n_kept"),
+        min("media_id").as("min_id"),
+        max("media_id").as("max_id"),
+        sum(when(col("media_id") >= 60000, 1L).otherwise(0L)).as("copies_kept"))
+    }),
     "q_stream_static_join" -> ((s, dir) => {
       // stream-static broadcast enrichment: the static dim joins into
       // every micro-batch statelessly — no watermark, no join state
@@ -649,6 +679,42 @@ private[graft] object StreamingQueries {
         "nx AS (SELECT DISTINCT id_new FROM px JOIN c2 ca ON ca.doc_id = id_new JOIN c1 cb ON cb.doc_id = id_base WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.6), " +
         "kept AS (SELECT doc_id FROM kept1 UNION ALL SELECT doc_id FROM kept2 WHERE doc_id NOT IN (SELECT id_new FROM nx)) " +
         "SELECT count(*) AS n_kept, min(doc_id) AS min_id, max(doc_id) AS max_id, sum(CASE WHEN doc_id >= 10000 THEN 1 ELSE 0 END)::BIGINT AS perturbed_kept FROM kept"),
+    "q_stream_curate_media" ->
+      // two-phase replay of the MEDIA curator over the shared
+      // fingerprint CTEs (originals + gain×3/+24-silence copies at ids
+      // +60000): phase-1 self near-dup within the originals (per-batch
+      // hot caps), phase-2 self near-dup within the copies, then the
+      // incremental check of the self-survivors against phase 1's kept
+      // fingerprints — the q_audio_neardup_incremental replay with the
+      // stored side restricted to kept1. Same per-batch semantics as
+      // the operator: hot caps per side, n_windows gate on the segment
+      // key, bit_count verify at hamming <= 7.
+      ("WITH " + MultimodalQueries.audioFpCtes + ", " +
+        "hot1 AS (SELECT nw, s, segval FROM seg WHERE media_id < 60000 GROUP BY 1, 2, 3 HAVING count(*) > 256), " +
+        "k1 AS (SELECT * FROM (SELECT * FROM seg WHERE media_id < 60000) ANTI JOIN hot1 USING (nw, s, segval)), " +
+        "d1 AS (SELECT DISTINCT b.media_id AS id_b FROM k1 a JOIN k1 b ON a.nw = b.nw AND a.s = b.s AND a.segval = b.segval AND a.media_id < b.media_id " +
+        "JOIN fp pa ON pa.media_id = a.media_id JOIN fp pb ON pb.media_id = b.media_id " +
+        "WHERE bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)) <= 7), " +
+        "kept1 AS (SELECT media_id FROM ids WHERE media_id < 60000 AND media_id NOT IN (SELECT id_b FROM d1)), " +
+        "hot2 AS (SELECT nw, s, segval FROM seg WHERE media_id >= 60000 GROUP BY 1, 2, 3 HAVING count(*) > 256), " +
+        "k2 AS (SELECT * FROM (SELECT * FROM seg WHERE media_id >= 60000) ANTI JOIN hot2 USING (nw, s, segval)), " +
+        "d2 AS (SELECT DISTINCT b.media_id AS id_b FROM k2 a JOIN k2 b ON a.nw = b.nw AND a.s = b.s AND a.segval = b.segval AND a.media_id < b.media_id " +
+        "JOIN fp pa ON pa.media_id = a.media_id JOIN fp pb ON pb.media_id = b.media_id " +
+        "WHERE bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)) <= 7), " +
+        "sv2 AS (SELECT media_id FROM ids WHERE media_id >= 60000 AND media_id NOT IN (SELECT id_b FROM d2)), " +
+        "segn AS MATERIALIZED (SELECT * FROM seg SEMI JOIN sv2 USING (media_id)), " +
+        "hotn AS (SELECT nw, s, segval FROM segn GROUP BY 1, 2, 3 HAVING count(*) > 256), " +
+        "kn AS (SELECT * FROM segn ANTI JOIN hotn USING (nw, s, segval)), " +
+        "nk AS (SELECT DISTINCT nw, s, segval FROM kn), " +
+        "mt AS MATERIALIZED (SELECT * FROM (SELECT * FROM seg SEMI JOIN kept1 USING (media_id)) SEMI JOIN nk USING (nw, s, segval)), " +
+        "hotb AS (SELECT nw, s, segval FROM mt GROUP BY 1, 2, 3 HAVING count(*) > 256), " +
+        "mk AS (SELECT * FROM mt ANTI JOIN hotb USING (nw, s, segval)), " +
+        "dx AS (SELECT DISTINCT a.media_id AS id_a FROM kn a JOIN mk b ON a.nw = b.nw AND a.s = b.s AND a.segval = b.segval " +
+        "JOIN fp pa ON pa.media_id = a.media_id JOIN fp pb ON pb.media_id = b.media_id " +
+        "WHERE bit_count(xor(pa.hi, pb.hi)) + bit_count(xor(pa.lo, pb.lo)) <= 7), " +
+        "kept AS (SELECT media_id FROM kept1 UNION ALL SELECT media_id FROM sv2 WHERE media_id NOT IN (SELECT id_a FROM dx)) " +
+        "SELECT count(*) AS n_kept, min(media_id) AS min_id, max(media_id) AS max_id, " +
+        "sum(CASE WHEN media_id >= 60000 THEN 1 ELSE 0 END)::BIGINT AS copies_kept FROM kept"),
     "q_stream_anomaly" ->
       // identical to q_rolling_zscore: the streaming gate re-derives the
       // batch answer (one-file source, in-seq processing, same rounding)

@@ -129,3 +129,188 @@ final class StreamingCurator(
 
   def stop(): Unit = query.stop()
 }
+
+object MediaStreamingCurator {
+  /** The curation decision for one batch — a PURE function of
+    * (batch, stored feature state), shared by the live stream and any
+    * crash-window replay: featurize once (decodability floor), drop
+    * the higher id of every within-batch pair, drop batch ids matching
+    * the stored table, survivors = the staged media rows of the kept
+    * ids. Returns (survivors, the batch's persisted feature table, the
+    * staged batch); the caller unpersists the latter two after the
+    * absorb lands. */
+  private[streaming] def decide(
+      binding: MediaDedupBinding,
+      batch: DataFrame,
+      idCol: String,
+      seqCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val staged = batch.persist()
+    val feats = binding.featurize(staged).persist() // decode ONCE per batch
+    val selfDrop = binding.selfPairs(feats).select(col("id_b").as(idCol)).distinct()
+    val crossDrop = binding.storedOption match {
+      case Some(stored) =>
+        binding.crossPairs(
+            feats.join(selfDrop, Seq(idCol), "left_anti"), stored)
+          .select(col("id_a").as(idCol)).distinct()
+      case None => selfDrop.limit(0)
+    }
+    val keptIds = feats.select(idCol)
+      .join(selfDrop.unionByName(crossDrop).distinct(), Seq(idCol), "left_anti")
+    val survivors = staged.drop(seqCol).join(keptIds, Seq(idCol), "left_semi")
+    (survivors, feats, staged)
+  }
+}
+
+/** Modality binding for [[MediaStreamingCurator]]: the four operations
+  * that differ between media types (image dHash, audio fingerprint,
+  * …) while the curation ENGINE — one decode per batch, self near-dup,
+  * incremental check, append + absorb under the exactly-once cursor
+  * discipline — stays shared. `featurize` must emit one row per
+  * DECODABLE input keyed by `media_id`; `selfPairs` emits within-batch
+  * near-dup pairs oriented `(id_a < id_b)` (the higher id drops, the
+  * keep-lowest rule the text curator uses); `crossPairs` emits
+  * batch-vs-stored pairs with `id_a` = batch side (the batch id
+  * drops). */
+trait MediaDedupBinding {
+  /** Stored-table cursor (seq HWM of the last absorbed interval). */
+  def since: Long
+  /** Stored feature table, `None` until the first absorb. */
+  def storedOption: Option[DataFrame]
+  /** Decode + feature the batch ONCE: `(media_id, …features)`. */
+  def featurize(media: DataFrame): DataFrame
+  /** Within-batch near-dup pairs `(id_a < id_b)` over the features. */
+  def selfPairs(features: DataFrame): DataFrame
+  /** Batch-vs-stored near-dup pairs (`id_a` = batch side). */
+  def crossPairs(features: DataFrame, stored: DataFrame): DataFrame
+  /** Land survivors' PRECOMPUTED feature rows, advance the cursor. */
+  def absorb(features: DataFrame, upto: Long): Unit
+}
+
+object MediaDedupBinding {
+  /** Image binding: dHash ([[graft.ops.Multimodal.perceptualHash]])
+    * over the [[graft.views.PhashTableView]]. */
+  def image(view: graft.views.PhashTableView,
+      maxHamming: Int = 7, maxBucket: Int = 256): MediaDedupBinding =
+    new MediaDedupBinding {
+      def since: Long = view.since
+      def storedOption: Option[DataFrame] = view.frameOption
+      def featurize(media: DataFrame): DataFrame =
+        graft.ops.Multimodal.perceptualHash(media)
+      def selfPairs(features: DataFrame): DataFrame =
+        graft.ops.Multimodal.perceptualNearDup(features, maxHamming, maxBucket)
+      def crossPairs(features: DataFrame, stored: DataFrame): DataFrame =
+        graft.ops.Multimodal.perceptualNearDupIncremental(
+          features, stored, maxHamming, maxBucket)
+      def absorb(features: DataFrame, upto: Long): Unit =
+        view.absorbHashes(features, upto)
+    }
+
+  /** Audio binding: trim + duration-proportional window fingerprint
+    * ([[graft.ops.Multimodal.audioFingerprint]]) over the
+    * [[graft.views.AudioFingerprintTableView]]; the `n_windows` length
+    * gate rides the feature row into both near-dup stages. */
+  def audio(view: graft.views.AudioFingerprintTableView,
+      maxHamming: Int = 7, maxBucket: Int = 256): MediaDedupBinding =
+    new MediaDedupBinding {
+      def since: Long = view.since
+      def storedOption: Option[DataFrame] = view.frameOption
+      def featurize(media: DataFrame): DataFrame =
+        graft.ops.Multimodal.audioFingerprint(media)
+      def selfPairs(features: DataFrame): DataFrame =
+        graft.ops.Multimodal.audioNearDup(features, maxHamming, maxBucket)
+      def crossPairs(features: DataFrame, stored: DataFrame): DataFrame =
+        graft.ops.Multimodal.audioNearDupIncremental(
+          features, stored, maxHamming, maxBucket)
+      def absorb(features: DataFrame, upto: Long): Unit =
+        view.absorbFingerprints(features, upto)
+    }
+}
+
+/** Continuous MEDIA curation — [[StreamingCurator]]'s discipline
+  * carried to the multimodal tables: a raw media log's live tail,
+  * per-batch decode-ONCE featurization, within-batch near-dedup,
+  * incremental near-dedup against the stored feature table, survivors
+  * appended to the curated log and their feature rows absorbed. This
+  * is the operational pretraining-ingest shape for images/audio:
+  * crawled media arrive continuously, the curated corpus and its
+  * 8-bytes-per-item feature artifact grow together, and the raw bytes
+  * are decoded exactly once — at ingest — never at dedup time.
+  *
+  * Per micro-batch (the `(binding.since, logSince]` delta):
+  *  1. decodability floor: `featurize` drops rows that do not decode
+  *     (the media analog of the text curator's quality floor — a blob
+  *     with no pixels/samples is garbage, unlike a short text with no
+  *     shingles, which that curator deliberately lets through);
+  *  2. near-dedup within the batch (`selfPairs`, drop the higher id);
+  *  3. near-dedup against the STORED feature table (`crossPairs` on
+  *     the self-survivors only, drop the batch id);
+  *  4. survivors append to the curated log; their ALREADY-COMPUTED
+  *     feature rows absorb into the table, advancing its cursor.
+  *
+  * Recovery is the text curator's exactly-once discipline verbatim:
+  * the whole batch is guarded by the feature-table cursor
+  * (`upto > binding.since`), the curated append by the seq HWM in
+  * `commitFile`, and the absorb again by the cursor — every crash
+  * window replays to the same curated log + feature state as the
+  * uninterrupted run.
+  *
+  * 100 TB shape: the decode (the dominant cost) runs once per item
+  * ever; the self near-dup shuffles 8-byte hashes inside pigeonhole
+  * buckets; the incremental check broadcasts the batch's count-fenced
+  * segment keys, so the stored table — the corpus — never shuffles;
+  * the media BYTES never enter any exchange (survivor selection is an
+  * id anti-join against the staged batch). */
+final class MediaStreamingCurator(
+    source: FlumeLog,
+    curated: FlumeLog,
+    binding: MediaDedupBinding,
+    commitFile: String,
+    idCol: String = "media_id",
+    checkpointDir: Option[String] = None) {
+
+  private val seqCol = source.seqCol
+  private val markPath = Paths.get(commitFile)
+
+  private def appendedUpto: Long =
+    if (Files.exists(markPath)) Files.readString(markPath).trim.toLong else -1L
+
+  /** The curation decision for one batch — pure function of
+    * (batch, stored feature state); see
+    * [[MediaStreamingCurator.decide]]. */
+  private[streaming] def surviveBatch(batch: DataFrame): (DataFrame, DataFrame, DataFrame) =
+    MediaStreamingCurator.decide(binding, batch, idCol, seqCol)
+
+  val query: StreamingQuery = {
+    var w = source.readStreamFrom(binding.since).writeStream
+      .trigger(Trigger.ProcessingTime(0))
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val upto = batch.agg(max(col(seqCol))).head().getLong(0)
+          if (upto > binding.since) { // replay after the absorb committed: skip whole
+            val (sv, feats, staged) = surviveBatch(batch)
+            val survivors = sv.localCheckpoint(true)
+            if (upto > appendedUpto) { // replay after the append committed: skip append
+              if (!survivors.isEmpty) curated.append(survivors)
+              Files.writeString(markPath, upto.toString) // append durable before the mark
+            }
+            // absorbed even when empty so the cursor tracks the log;
+            // the survivors' rows of the ALREADY-COMPUTED feature
+            // table land directly — no re-decode at absorb
+            binding.absorb(
+              feats.join(survivors.select(col(idCol)), Seq(idCol), "left_semi"), upto)
+            feats.unpersist(blocking = false)
+            staged.unpersist(blocking = false)
+            ()
+          }
+        }
+      }
+    checkpointDir.foreach(d => w = w.option("checkpointLocation", d))
+    w.start()
+  }
+
+  /** Block until everything appended so far is curated (read gate). */
+  def awaitParity(): Unit = query.processAllAvailable()
+
+  def stop(): Unit = query.stop()
+}

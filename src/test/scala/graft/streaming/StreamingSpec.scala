@@ -1152,6 +1152,88 @@ class StreamingSpec extends SparkSpec {
     staged9.unpersist(blocking = false)
   }
 
+  test("media streaming curator: decode-once curation over the stored phash table, exactly-once across every crash window") {
+    import graft.ops.Multimodal
+    import graft.views.PhashTableView
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val srcLog = new ParquetLog(spark, tmp("graft-mcur-src"), Multimodal.mediaSchema)
+    val curLog = new ParquetLog(spark, tmp("graft-mcur-dst"), Multimodal.mediaSchema)
+    val phView = new PhashTableView(spark, s"${tmp("graft-mcur-ph")}/ph", 1)
+    val commit = java.nio.file.Paths.get(tmp("graft-mcur-c"), "_mcurate_commit").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docsA = docs.where(col("doc_id") < 30)  // image ids 0,3,...,27
+    // batch A: 10 originals + a pixel-identical re-upload of id 0 as id
+    // 500 (idOffset shifts the id, pixels come from the source id) + a
+    // non-decodable blob (id 600) for the decodability floor
+    val originals = Multimodal.syntheticTexturePngMedia(docsA)
+    val reupload = Multimodal.syntheticTexturePngMedia(
+      docs.where(col("doc_id") === 0), idOffset = 500L)
+    val garbage = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(
+        600L, "image", Array.fill[Byte](64)(7), Row(0, 0, 0L, "application/octet-stream")))),
+      Multimodal.mediaSchema)
+    srcLog.append(originals.unionByName(reupload).unionByName(garbage))
+    val binding = MediaDedupBinding.image(phView)
+    val cur = new MediaStreamingCurator(srcLog, curLog, binding, commit)
+    try {
+      cur.awaitParity()
+      val kept1 = curLog.read.select("media_id").collect().map(_.getLong(0)).toSet
+      assert(kept1 === Set(0L, 3L, 6L, 9L, 12L, 15L, 18L, 21L, 24L, 27L),
+        s"re-upload (500, self near-dup) and garbage (600, no decode) must drop, got $kept1")
+      assert(phView.since === srcLog.since)
+      assert(phView.hashes.select("media_id").collect().map(_.getLong(0)).toSet === kept1,
+        "the feature table holds exactly the survivors' hashes")
+
+      // batch B through the live tail: id 1003 = pixel-identical to
+      // STORED id 3 (caught only via the stored table), id 33 fresh
+      srcLog.append(
+        Multimodal.syntheticTexturePngMedia(docs.where(col("doc_id") === 3), idOffset = 1000L)
+          .unionByName(Multimodal.syntheticTexturePngMedia(
+            docs.where(col("doc_id") === 33))))
+      cur.awaitParity()
+      val kept2 = curLog.read.select("media_id").collect().map(_.getLong(0)).toSet
+      assert(kept2 === (kept1 + 33L), s"1003 must drop against the stored corpus, got $kept2")
+      assert(phView.hashes.select("media_id").collect().map(_.getLong(0)).toSet === kept2)
+    } finally cur.stop()
+
+    // restart with NO checkpoint: the stream re-seeks to the feature
+    // cursor, the curated interval is never re-delivered
+    val cur2 = new MediaStreamingCurator(srcLog, curLog, MediaDedupBinding.image(phView), commit)
+    try {
+      cur2.awaitParity()
+      assert(curLog.read.count() === 11L, "restart must not re-append curated media")
+      srcLog.append(Multimodal.syntheticTexturePngMedia(docs.where(col("doc_id") === 36)))
+      cur2.awaitParity()
+      assert(curLog.read.select("media_id").collect().map(_.getLong(0)).toSet.contains(36L))
+      assert(phView.since === srcLog.since)
+    } finally cur2.stop()
+
+    // crash window: append committed (mark written) but absorb LOST —
+    // replay must skip the append and only absorb. Simulate the window
+    // by doing exactly what the batch body does, minus the absorb.
+    val batchC = Multimodal.syntheticTexturePngMedia(docs.where(col("doc_id") === 39))
+    val uptoC = srcLog.append(batchC)
+    val preCount = curLog.read.count()
+    val (svC, featsC, stagedC) = MediaStreamingCurator.decide(
+      MediaDedupBinding.image(phView),
+      srcLog.read.where(col("seq") > phView.since), "media_id", "seq")
+    curLog.append(svC.localCheckpoint(true))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(commit), uptoC.toString)
+    featsC.unpersist(blocking = false); stagedC.unpersist(blocking = false)
+    assert(curLog.read.count() === preCount + 1, "39 appended, absorb deliberately lost")
+    assert(phView.since < uptoC, "the crash window is open: mark written, cursor behind")
+    val cur3 = new MediaStreamingCurator(srcLog, curLog, MediaDedupBinding.image(phView), commit)
+    try {
+      cur3.awaitParity()
+      assert(curLog.read.count() === preCount + 1,
+        "replaying the open window must NOT double-append")
+      assert(curLog.read.where(col("media_id") === 39L).count() === 1L)
+      assert(phView.since === srcLog.since, "the replay closed the window by absorbing")
+      assert(phView.hashes.where(col("media_id") === 39L).count() === 1L,
+        "the lost absorb landed on replay")
+    } finally cur3.stop()
+  }
+
   test("signature table view survives restart from its manifest; version bump rebuilds") {
     import graft.views.SignatureTableView
     val viewDir = java.nio.file.Files.createTempDirectory("graft-sigv2").toString
