@@ -130,6 +130,19 @@ private[graft] object MultimodalQueries {
       Multimodal.audioClipContainment(clips, corpus)
         .orderBy("clip_id", "corpus_id", "offset_windows")
     }),
+    "q_audio_clip_containment_hop" -> ((s, dir) => {
+      // overlapping-hop containment (hop = ws/2 = 8): gain×2 clips cut
+      // at sample 136 — HALF a window off the grid, invisible to the
+      // aligned grams (OpsSpec pins the negative control) — land back
+      // on the hop grid at offset 17 hops. Both sides gram at hop 8,
+      // full windows only; 2× the gram rows buy half the alignment
+      // blind spot (SCALING.md)
+      val corpus = Multimodal.syntheticWavMedia(t(s, dir, "documents"), textured = true)
+      val clips = Multimodal.syntheticWavClip(
+        t(s, dir, "documents"), nWindows = 32, gain = 2, startSamples = 136)
+      Multimodal.audioClipContainment(clips, corpus, hopSamples = 8)
+        .orderBy("clip_id", "corpus_id", "offset_windows")
+    }),
     "q_audio_containment_sweep" -> ((s, dir) => {
       // corpus-SELF containment sweep (r9 verdict #4): the corpus holds
       // originals AND their gain×2 re-cuts (windows [8, 40), ids
@@ -417,6 +430,36 @@ private[graft] object MultimodalQueries {
     // rewrite (grams from the durable table) and shares the oracle
     "q_audio_clip_containment" -> clipContainmentSql,
     "q_audio_clip_containment_stored" -> clipContainmentSql,
+    "q_audio_clip_containment_hop" ->
+      // the hop = 8 replay: corpus windows OVERLAP at [wi*8, wi*8+16)
+      // (full windows only — wi <= (n-16)//8); the clip (512 samples at
+      // parent offset 136, gain x2) grams on the same hop grid. Same
+      // sign-string/gram/hot-drop/full-alignment pipeline as the
+      // aligned oracle, on the denser grid.
+      ("WITH ids AS (SELECT doc_id AS media_id, 800 + doc_id % 400 AS n FROM documents WHERE doc_id % 3 = 2), " +
+        "w AS (SELECT media_id, n, unnest(generate_series(0, (n - 16) // 8)) AS wi FROM ids), " +
+        "sm AS (SELECT media_id, wi, (media_id * 31 + 17 * unnest(generate_series(wi * 8, wi * 8 + 15))) * 2654435761 AS m FROM w), " +
+        "e AS MATERIALIZED (SELECT media_id, wi, sum(abs(xor(xor(m, m // 32768), m // 1073741824) % 2003 - 1001)) AS en FROM sm GROUP BY 1, 2), " +
+        "bits AS (SELECT a.media_id, a.wi AS k, CASE WHEN b.en > a.en THEN '1' ELSE '0' END AS bit " +
+        "FROM e a JOIN e b ON a.media_id = b.media_id AND b.wi = a.wi + 1), " +
+        "sgn AS (SELECT media_id, string_agg(bit, '' ORDER BY k) AS s FROM bits GROUP BY 1), " +
+        "cg AS MATERIALIZED (SELECT media_id AS corpus_id, unnest(generate_series(0, length(s) - 24)) AS cpos, s FROM sgn), " +
+        "cg2 AS MATERIALIZED (SELECT corpus_id, cpos, substr(s, CAST(cpos + 1 AS INTEGER), 24) AS gram FROM cg), " +
+        "hot AS (SELECT gram FROM cg2 GROUP BY 1 HAVING count(*) > 256), " +
+        "kept AS (SELECT * FROM cg2 ANTI JOIN hot USING (gram)), " +
+        "kid AS (SELECT doc_id + 90000 AS clip_id, doc_id AS oid FROM documents WHERE doc_id % 3 = 2), " +
+        "kw AS (SELECT clip_id, oid, unnest(generate_series(0, 62)) AS wi FROM kid), " +
+        "ksm AS (SELECT clip_id, wi, (oid * 31 + 17 * (unnest(generate_series(wi * 8, wi * 8 + 15)) + 136)) * 2654435761 AS m FROM kw), " +
+        "ke AS MATERIALIZED (SELECT clip_id, wi, sum(2 * abs(xor(xor(m, m // 32768), m // 1073741824) % 2003 - 1001)) AS en FROM ksm GROUP BY 1, 2), " +
+        "kbits AS (SELECT a.clip_id, a.wi AS k, CASE WHEN b.en > a.en THEN '1' ELSE '0' END AS bit " +
+        "FROM ke a JOIN ke b ON a.clip_id = b.clip_id AND b.wi = a.wi + 1), " +
+        "ksgn AS (SELECT clip_id, string_agg(bit, '' ORDER BY k) AS s FROM kbits GROUP BY 1), " +
+        "kg AS MATERIALIZED (SELECT clip_id, unnest(generate_series(0, length(s) - 24)) AS kpos, s FROM ksgn), " +
+        "kg2 AS MATERIALIZED (SELECT clip_id, kpos, substr(s, CAST(kpos + 1 AS INTEGER), 24) AS gram FROM kg), " +
+        "tot AS (SELECT clip_id, count(*) AS t FROM kg2 GROUP BY 1), " +
+        "j AS (SELECT clip_id, corpus_id, cpos - kpos AS offset_windows, count(*) AS n_grams FROM kg2 JOIN kept USING (gram) GROUP BY 1, 2, 3) " +
+        "SELECT clip_id, corpus_id, offset_windows::BIGINT AS offset_windows, n_grams::BIGINT AS n_grams " +
+        "FROM j JOIN tot USING (clip_id) WHERE n_grams = t AND offset_windows >= 0 ORDER BY clip_id, corpus_id, offset_windows"),
     "q_audio_containment_sweep" ->
       // the corpus-self replay: one gram CTE over originals (g=1,
       // offset 0, n = 800 + id % 400) AND re-cuts (g=2, sample offset

@@ -1003,19 +1003,34 @@ object Multimodal {
     * position. Signs are gain-invariant, and a clip cut at a
     * WINDOW-ALIGNED sample offset reproduces the parent's sign string
     * exactly over the shared windows — so clip-in-recording containment
-    * becomes a gram equi-join, like substring spans over text. Window
-    * alignment is the granularity trade: an unaligned cut shifts every
-    * window boundary (production systems pay overlapping hops for
-    * that; the window machinery here is the hop=window case).
+    * becomes a gram equi-join, like substring spans over text.
+    *
+    * `hopSamples` is the alignment-granularity knob (the overlapping
+    * hop production fingerprinting pays): at the default
+    * hop = windowSamples, windows tile without overlap and only cuts at
+    * whole-window sample offsets are detectable; at hop < window
+    * (hop = windowSamples/2 is the standard point) windows OVERLAP, the
+    * gram table grows by windowSamples/hop ×, and a cut at ANY multiple
+    * of `hopSamples` lands back on the corpus hop grid — halving the
+    * hop halves the alignment blind spot at linear gram-count cost (see
+    * SCALING.md). Overlapped windows are emitted only when FULL
+    * (truncated tail windows would mix the clip's end into an energy
+    * the parent computes over later samples, breaking the equi-join
+    * contract); the legacy hop == window path keeps its partial tail
+    * window, preserving the stored-gram-table format.
     *
     * The gram is the literal sign substring (`gramWindows` chars of
     * 0/1); at 64+ windows a pipeline would hash it to 8 bytes — the
-    * join key either way. Narrow partition-batched decode, no shuffle. */
+    * join key either way. Narrow partition-batched decode, no shuffle.
+    * `pos` is in HOP units. */
   def audioGrams(
       media: DataFrame,
       windowSamples: Int = 16,
-      gramWindows: Int = 24): DataFrame = {
+      gramWindows: Int = 24,
+      hopSamples: Int = -1): DataFrame = {
     require(gramWindows >= 8, s"gram needs enough windows to be selective, got $gramWindows")
+    val hop = if (hopSamples <= 0) windowSamples else hopSamples
+    require(hop <= windowSamples, s"hop must not exceed the window, got $hop > $windowSamples")
     val spark = media.sparkSession
     val rdd = media.select("media_id", "content").rdd.mapPartitions { it =>
       it.flatMap { r =>
@@ -1030,11 +1045,14 @@ object Multimodal {
             val data = ais.readAllBytes()
             val bigEndian = fmt.isBigEndian
             val n = data.length / 2
-            val nWindows = (n + windowSamples - 1) / windowSamples
+            val nWindows =
+              if (hop == windowSamples) (n + windowSamples - 1) / windowSamples
+              else if (n >= windowSamples) (n - windowSamples) / hop + 1
+              else 0
             val energy = new Array[Long](nWindows)
             var w = 0
             while (w < nWindows) {
-              val from = w * windowSamples
+              val from = w * hop
               val until = math.min(from + windowSamples, n)
               var sum = 0L; var i = from
               while (i < until) {
@@ -1087,10 +1105,11 @@ object Multimodal {
       windowSamples: Int = 16,
       gramWindows: Int = 24,
       maxBucket: Int = 256,
-      maxBroadcastKeys: Long = 4L * 1000 * 1000): DataFrame = {
-    val clipGrams = audioGrams(clips, windowSamples, gramWindows)
+      maxBroadcastKeys: Long = 4L * 1000 * 1000,
+      hopSamples: Int = -1): DataFrame = {
+    val clipGrams = audioGrams(clips, windowSamples, gramWindows, hopSamples)
       .select(col("media_id").as("clip_id"), col("pos").as("kpos"), col("gram"))
-    val corpusGrams = audioGrams(corpus, windowSamples, gramWindows)
+    val corpusGrams = audioGrams(corpus, windowSamples, gramWindows, hopSamples)
       .select(col("media_id").as("corpus_id"), col("pos").as("cpos"), col("gram"))
     audioClipContainmentFromGrams(clipGrams, corpusGrams, maxBucket, maxBroadcastKeys)
   }
@@ -1214,10 +1233,14 @@ object Multimodal {
       startWindow: Int = 8,
       nWindows: Int = 32,
       gain: Int = 1,
-      idOffset: Long = 90000L): DataFrame = {
+      idOffset: Long = 90000L,
+      startSamples: Int = -1): DataFrame = {
     require(gain >= 1 && gain <= 30, s"gain must keep 16-bit PCM exact, got $gain")
     val spark = docs.sparkSession
-    val s0 = startWindow * 16
+    // startSamples >= 0 cuts at an ARBITRARY sample offset (the
+    // non-window-aligned re-cut fixture for the overlapping-hop grams);
+    // the default stays the window-aligned startWindow * 16
+    val s0 = if (startSamples >= 0) startSamples else startWindow * 16
     val len = nWindows * 16
     val rdd = docs.select(col(idCol)).where(col(idCol) % 3 === 2).rdd.mapPartitions { it =>
       it.map { r =>

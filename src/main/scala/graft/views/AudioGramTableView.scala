@@ -27,7 +27,8 @@ final class AudioGramTableView(
     protected val protocolVersion: Int,
     windowSamples: Int = 16,
     gramWindows: Int = 24,
-    compactEvery: Int = 0) extends FlumeView with CompactableDeltas {
+    compactEvery: Int = 0,
+    hopSamples: Int = -1) extends FlumeView with CompactableDeltas {
 
   override protected def autoCompactEvery: Int = compactEvery
 
@@ -36,7 +37,8 @@ final class AudioGramTableView(
   /** Absorb a media batch: decode + gram here (each recording grammed
     * exactly once, at ingest), land the `(media_id, pos, gram)` delta. */
   def absorb(entries: DataFrame, upto: Long): Unit =
-    absorbGrams(graft.ops.Multimodal.audioGrams(entries, windowSamples, gramWindows), upto)
+    absorbGrams(
+      graft.ops.Multimodal.audioGrams(entries, windowSamples, gramWindows, hopSamples), upto)
 
   def absorbGrams(grams: DataFrame, upto: Long): Unit = {
     grams.select("media_id", "pos", "gram")
@@ -64,7 +66,7 @@ final class AudioGramTableView(
     * `containsBatchGrams` when the batch's grams are precomputed. */
   def containsBatch(clips: DataFrame, maxBucket: Int = 256): DataFrame =
     containsBatchGrams(
-      graft.ops.Multimodal.audioGrams(clips, windowSamples, gramWindows)
+      graft.ops.Multimodal.audioGrams(clips, windowSamples, gramWindows, hopSamples)
         .select(col("media_id").as("clip_id"), col("pos").as("kpos"), col("gram")),
       maxBucket)
 
@@ -79,14 +81,19 @@ final class AudioGramTableView(
 }
 
 object AudioGramTableView {
+  // hopSamples < windowSamples maintains an OVERLAPPING-hop gram table
+  // (hop = ws/2 is the standard point): hop/ws × more rows, cuts at any
+  // hop multiple detectable — pick per deployment and keep both sides
+  // (ingest + clip probes) on the same hop. A changed hop is a changed
+  // artifact: bump `version` so the protocol wipes and regrams.
   def apply(dir: String, windowSamples: Int = 16, gramWindows: Int = 24,
-      version: Int = 1, compactEvery: Int = 0): ViewDef = {
+      version: Int = 1, compactEvery: Int = 0, hopSamples: Int = -1): ViewDef = {
     val v = version
     new ViewDef {
       def version: Int = v
       def create(db: FlumeDb, name: String) =
         new AudioGramTableView(
-          db.log.spark, s"$dir/$name", v, windowSamples, gramWindows, compactEvery)
+          db.log.spark, s"$dir/$name", v, windowSamples, gramWindows, compactEvery, hopSamples)
     }
   }
 }

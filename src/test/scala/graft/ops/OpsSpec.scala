@@ -848,6 +848,38 @@ class OpsSpec extends SparkSpec {
       "foreign audio must not be claimed as contained")
   }
 
+  test("overlapping-hop audio grams catch NON-window-aligned re-cuts the aligned grams miss") {
+    val corpus = Multimodal.syntheticWavMedia(docs, textured = true)
+    // cut at sample 136 = 8.5 windows (ws = 16): every window boundary
+    // of the clip shifts half a window off the corpus grid
+    val clips = Multimodal.syntheticWavClip(docs, nWindows = 32, gain = 2, startSamples = 136)
+    val n = corpus.count()
+    // NEGATIVE CONTROL: the aligned (hop = window) grams are blind to
+    // the half-window cut — zero PLANTED pairs found. (Cross-recording
+    // hits are not asserted away: the mixer's (id*31 + 17*i) stream
+    // collides across ids 17k apart, so the fixture contains genuine
+    // 1-sample-skew near-copies the operator is RIGHT to report.)
+    val alignedHits = Multimodal.audioClipContainment(clips, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!alignedHits.exists { case (c, p) => p == c - 90000L },
+      s"aligned grams must miss every planted non-aligned cut, got ${alignedHits.toSeq}")
+    // hop = ws/2 = 8: the cut offset (136 = 17 hops) lands back on the
+    // corpus hop grid — TOTAL planted recall at hop-offset 17
+    val hits = Multimodal.audioClipContainment(clips, corpus, hopSamples = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // clip full windows = (512-16)/8+1 = 63 -> 62 sign bits -> 39 grams
+    val planted = hits.filter { case (c, p, off, ng) =>
+      p == c - 90000L && off == 17L && ng == 39L }
+    assert(planted.length === n, s"hop-gram recall ${planted.length}/$n: ${hits.take(5).toSeq}")
+    // and the hop grams still catch ALIGNED cuts (offset 128 = 16 hops)
+    val aligned = Multimodal.audioClipContainment(
+        Multimodal.syntheticWavClip(docs, startWindow = 8, nWindows = 32, gain = 2),
+        corpus, hopSamples = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(aligned.count { case (c, p, off) => p == c - 90000L && off == 16L } === n,
+      "hop grams must subsume the aligned case")
+  }
+
   test("audio containment sweep: every planted re-cut found against its longer original, nothing else") {
     // the corpus-SELF form: originals and their gain×2 re-cuts are PEER
     // recordings in one corpus; the sweep must pair each re-cut with
