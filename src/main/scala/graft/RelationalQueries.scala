@@ -93,6 +93,26 @@ private[graft] object RelationalQueries {
         .groupBy(col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))),
+    "q_tpch_q9" -> ((s, dir) =>
+      // TPC-H Q9-shaped (product-line profit by nation and year; the
+      // fixture has no partsupp, so profit = revenue): the part-name
+      // filter prunes the part dim BEFORE it broadcasts into the
+      // lineitem scan, supplier and nation broadcast, and the only
+      // fact-fact shuffle is lineitem x orders on the order key; the
+      // (nation, year) agg partial-aggregates map-side. The classic
+      // skew-sensitive composite: a hot part or nation lands on AQE's
+      // runtime skew split rather than a planning-time guess.
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .where(col("p_name").contains("widget")).select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("n_name"), col("o_year").desc)),
     "q_tpch_q18" -> ((s, dir) => {
       // TPC-H Q18 (large-volume customer): HAVING over a corpus-wide
       // agg, then re-join the survivors. Scale shape: the per-order
@@ -410,6 +430,12 @@ private[graft] object RelationalQueries {
         "JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
         "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
         "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+    "q_tpch_q9" ->
+      ("SELECT n_name, year(o_orderdate) AS o_year, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN orders ON l_orderkey = o_orderkey JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE p_name LIKE '%widget%' " +
+        "GROUP BY n_name, o_year ORDER BY n_name, o_year DESC"),
     "q_tpch_q18" ->
       ("SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, round(sum(l_quantity), 2) AS sum_qty " +
         "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey " +

@@ -112,6 +112,15 @@ private[graft] object TextQueries {
       // inverted index (LSH estimates Jaccard, which is ~0 here)
       Dedup.containment(docsWithQuotes(s, dir), threshold = 0.8, maxDocFreq = 1000)
         .orderBy("id_a", "id_b")),
+    "q_dedup_containment_budget" -> ((s, dir) =>
+      // the round-13 scale-probe operating rule executed end-to-end:
+      // the df cap is the p99 of the corpus's OWN df distribution
+      // (exact interpolated percentile over the distinct-shingle df
+      // table), so the posting quadratic is bounded by budget at any
+      // corpus size — never an absolute guess that df growth outruns
+      Dedup.containment(docsWithQuotes(s, dir), threshold = 0.8,
+          maxDocFreqPercentile = Some(0.99))
+        .orderBy("id_a", "id_b")),
     "q_dedup_containment_incremental" -> ((s, dir) =>
       // quote-batch-vs-stored-corpus containment: the new snippets
       // check against the STORED signature table's shingle sets (hs) —
@@ -371,6 +380,24 @@ private[graft] object TextQueries {
         "counts AS (SELECT doc_id, len(sh) AS n FROM sh WHERE len(sh) > 0), " +
         "inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh), " +
         "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM inv a JOIN inv b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, round(inter::DOUBLE / least(ca.n, cb.n), 4) AS containment " +
+        "FROM pairs JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b " +
+        "WHERE round(inter::DOUBLE / least(ca.n, cb.n), 4) >= 0.8 ORDER BY id_a, id_b"),
+    "q_dedup_containment_budget" ->
+      // the percentile-cap replay: quantile_cont over the
+      // distinct-shingle df table == Spark's exact interpolated
+      // percentile; postings above the p99 cap drop before pairing
+      ("WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 40000 AS doc_id, array_to_string(list_slice(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''), 1, 25), ' ') AS text " +
+        "FROM documents WHERE doc_id % 5 = 0), " +
+        "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM corpus), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(tk) = 0 THEN [] WHEN len(tk) < 3 THEN list_distinct(tk) ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sh FROM toks), " +
+        "counts AS (SELECT doc_id, len(sh) AS n FROM sh WHERE len(sh) > 0), " +
+        "inv AS MATERIALIZED (SELECT doc_id, unnest(sh) AS shingle FROM sh), " +
+        "dfs AS MATERIALIZED (SELECT shingle, count(*) AS df FROM inv GROUP BY 1), " +
+        "cap AS (SELECT quantile_cont(df, 0.99) AS c FROM dfs), " +
+        "rare AS (SELECT inv.doc_id, inv.shingle FROM inv JOIN dfs USING (shingle), cap WHERE df <= c), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM rare a JOIN rare b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) " +
         "SELECT id_a, id_b, round(inter::DOUBLE / least(ca.n, cb.n), 4) AS containment " +
         "FROM pairs JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b " +
         "WHERE round(inter::DOUBLE / least(ca.n, cb.n), 4) >= 0.8 ORDER BY id_a, id_b"),

@@ -748,15 +748,38 @@ object Dedup {
       textCol: String = "text",
       w: Int = 3,
       threshold: Double = 0.8,
-      maxDocFreq: Int = 100): DataFrame = {
+      maxDocFreq: Int = 100,
+      maxDocFreqPercentile: Option[Double] = None): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), hashedShinglesCol(col(textCol), w).as("sh"))
       .where(size(col("sh")) > 0)
       .persist()
     val counts = sh.select(col("id"), size(col("sh")).as("n"))
     val inv = sh.select(col("id"), explode(col("sh")).as("shingle"))
-    val rare = inv.withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-      .where(col("df") <= maxDocFreq).drop("df")
+    // Two cap forms. The ABSOLUTE `maxDocFreq` is right when the
+    // operator knows its boilerplate scale a priori; the PERCENTILE
+    // form is the round-13 scale-probe rule (SCALING.md): candidate
+    // volume is Σ df², and df grows with the corpus, so a cap that is
+    // a fixed df QUANTILE of the corpus's own distribution bounds the
+    // per-shingle quadratic by budget — a shingle in more documents
+    // than (1-p) of all shingles is boilerplate by definition, at any
+    // corpus size. The quantile is exact (interpolated `percentile`
+    // over the distinct-shingle df table — far smaller than the
+    // corpus; one scalar to the driver), so the oracle replays it with
+    // `quantile_cont`.
+    val release = scala.collection.mutable.Buffer.empty[DataFrame]
+    val rare = maxDocFreqPercentile match {
+      case Some(p) =>
+        require(p > 0 && p <= 1, s"maxDocFreqPercentile in (0,1], got $p")
+        val dfTable = inv.groupBy("shingle").agg(count(lit(1)).as("df")).persist()
+        release += dfTable
+        val cap = dfTable.agg(expr(s"percentile(df, $p)")).head().getDouble(0)
+        inv.join(dfTable.where(col("df") <= cap).select("shingle"),
+          Seq("shingle"), "left_semi")
+      case None =>
+        inv.withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+          .where(col("df") <= maxDocFreq).drop("df")
+    }
     val shared = rare.select(col("shingle"), col("id").as("id_a"))
       .join(rare.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
       .where(col("id_a") < col("id_b"))
@@ -769,7 +792,7 @@ object Dedup {
           .as("containment"))
       .where(col("containment") >= threshold)
       .localCheckpoint(true)
-    sh.unpersist(blocking = false)
+    (release :+ sh).foreach(_.unpersist(blocking = false))
     out
   }
 

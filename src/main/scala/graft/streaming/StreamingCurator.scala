@@ -205,6 +205,28 @@ object MediaDedupBinding {
         view.absorbHashes(features, upto)
     }
 
+  /** Video binding: per-frame dHash sequences
+    * ([[graft.ops.Multimodal.videoFrameHashes]] — MULTIPLE feature rows
+    * per item, which the engine's id-level semi/anti joins absorb
+    * unchanged) over the [[graft.views.FrameHashTableView]]; near-dup
+    * requires every aligned frame within `maxHamming` and equal frame
+    * counts on both sides. */
+  def video(view: graft.views.FrameHashTableView,
+      maxHamming: Int = 7, maxBucket: Int = 256): MediaDedupBinding =
+    new MediaDedupBinding {
+      def since: Long = view.since
+      def storedOption: Option[DataFrame] = view.frameOption
+      def featurize(media: DataFrame): DataFrame =
+        graft.ops.Multimodal.videoFrameHashes(media)
+      def selfPairs(features: DataFrame): DataFrame =
+        graft.ops.Multimodal.videoNearDup(features, maxHamming, maxBucket)
+      def crossPairs(features: DataFrame, stored: DataFrame): DataFrame =
+        graft.ops.Multimodal.videoNearDupIncremental(
+          features, stored, maxHamming, maxBucket)
+      def absorb(features: DataFrame, upto: Long): Unit =
+        view.absorbHashes(features, upto)
+    }
+
   /** Audio binding: trim + duration-proportional window fingerprint
     * ([[graft.ops.Multimodal.audioFingerprint]]) over the
     * [[graft.views.AudioFingerprintTableView]]; the `n_windows` length

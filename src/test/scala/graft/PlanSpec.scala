@@ -384,6 +384,20 @@ class PlanSpec extends SparkSpec {
     } finally persisted.foreach(_.unpersist(blocking = false))
   }
 
+  test("tpch q9: filtered part dim broadcasts, dims never shuffle the fact side, no cartesian") {
+    val s = planString(run("q_tpch_q9"))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"q9 must stay equi-join only:\n${s.take(3000)}")
+    val broadcasts = s.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("Inner"))
+    assert(broadcasts >= 3,
+      s"part/supplier/nation must all broadcast into the fact side:\n${s.take(4000)}")
+    // the part-name filter must reach the part SCAN (pushed), so the
+    // broadcast build side is the pruned dim, not the full table
+    assert(s.contains("StringContains(p_name,widget)"),
+      s"the p_name filter must push to the part scan, not post-join:\n${s.take(4000)}")
+  }
+
   test("tpch q18: HAVING keys broadcast into both fact semi-joins, no cartesian") {
     val s = planString(run("q_tpch_q18"))
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),

@@ -1433,6 +1433,31 @@ class OpsSpec extends SparkSpec {
     assert(strict.getString(3) === "novel\nnovel\nnovel")
   }
 
+  test("containment percentile df cap: budget rule drops boilerplate postings, p=1 keeps all") {
+    import spark.implicits._
+    // 30 docs share an 8-token boilerplate prefix (its shingles have
+    // df 31 with the quote); each tail is unique (df-1 shingles). A
+    // quote of JUST the boilerplate matches everything — unless the
+    // percentile cap classifies the boilerplate as boilerplate.
+    val docs = ((1L to 30L).map(i =>
+      (i, s"the quick brown fox jumps over the lazy dog number tail$i more$i here$i extra$i")) :+
+      (100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    // p = 1.0: cap = max df, nothing drops — the quote pairs with all 30
+    val all = Dedup.containment(docs, threshold = 0.8, maxDocFreqPercentile = Some(1.0))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.count(_._2 == 100L) === 30, s"p=1 must keep the boilerplate postings, got ${all.length}")
+    // p = 0.95: the df distribution is ~180 df-1 tail shingles + ~8
+    // df-31 boilerplate shingles -> the p95 cap lands at 1 and the
+    // boilerplate drops whole: the quote can no longer reach anything
+    assert(Dedup.containment(docs, threshold = 0.8,
+        maxDocFreqPercentile = Some(0.95)).count() === 0L,
+      "the budget cap must classify corpus-wide shingles as boilerplate")
+    // parity: p = 1.0 == an uncapped absolute run
+    val uncapped = Dedup.containment(docs, threshold = 0.8, maxDocFreq = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.toSet === uncapped.toSet, "p=1 must equal the uncapped absolute form")
+  }
+
   test("containmentIncremental == one-shot restricted to the cross set; hot shingles capped") {
     import spark.implicits._
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -1234,6 +1234,48 @@ class StreamingSpec extends SparkSpec {
     } finally cur3.stop()
   }
 
+  test("media streaming curator: video binding — multi-row frame features through the same engine") {
+    import graft.ops.Multimodal
+    import graft.views.FrameHashTableView
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val srcLog = new ParquetLog(spark, tmp("graft-vcur-src"), Multimodal.mediaSchema)
+    val curLog = new ParquetLog(spark, tmp("graft-vcur-dst"), Multimodal.mediaSchema)
+    val fhView = new FrameHashTableView(spark, s"${tmp("graft-vcur-fh")}/fh", 1)
+    val commit = java.nio.file.Paths.get(tmp("graft-vcur-c"), "_vcurate_commit").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("doc_id") < 30)
+    val originals = Multimodal.syntheticTextureGifMedia(docs) // ids 2,5,...(doc_id%3==2)
+    val origIds = originals.select("media_id").collect().map(_.getLong(0)).toSet
+    // batch A: originals + an exact re-encode of one (idOffset keeps
+    // frames identical) -> the re-encode drops in the SELF pass
+    val dupOfFirst = Multimodal.syntheticTextureGifMedia(
+      docs.where(col("doc_id") === 2), idOffset = 150000L)
+    srcLog.append(originals.unionByName(dupOfFirst))
+    val cur = new MediaStreamingCurator(srcLog, curLog, MediaDedupBinding.video(fhView), commit)
+    try {
+      cur.awaitParity()
+      val kept1 = curLog.read.select("media_id").collect().map(_.getLong(0)).toSet
+      assert(kept1 === origIds, s"the frame-identical re-encode must drop, got $kept1")
+      // the feature table holds every FRAME of every survivor
+      val frames = fhView.hashes.groupBy("media_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(frames.keySet === kept1)
+      assert(frames.forall { case (id, nf) => nf == 3 + (id % 3) },
+        s"per-video frame counts must ride into the stored table, got ${frames.take(3)}")
+      // batch B: an exact re-encode of a STORED video (drops via the
+      // incremental check) + a fresh one
+      srcLog.append(Multimodal.syntheticTextureGifMedia(
+          docs.where(col("doc_id") === 5), idOffset = 150000L)
+        .unionByName(Multimodal.syntheticTextureGifMedia(
+          spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .where(col("doc_id") === 32))))
+      cur.awaitParity()
+      val kept2 = curLog.read.select("media_id").collect().map(_.getLong(0)).toSet
+      assert(kept2 === (kept1 + 32L), s"stored dup must drop, fresh must survive, got $kept2")
+      assert(fhView.since === srcLog.since)
+    } finally cur.stop()
+  }
+
   test("signature table view survives restart from its manifest; version bump rebuilds") {
     import graft.views.SignatureTableView
     val viewDir = java.nio.file.Files.createTempDirectory("graft-sigv2").toString
