@@ -77,6 +77,40 @@ private[graft] object StreamingQueries {
         max("media_id").as("max_id"),
         sum(when(col("media_id") >= 60000, 1L).otherwise(0L)).as("copies_kept"))
     }),
+    "q_stream_curate_embed" -> ((s, dir) => {
+      // continuous EMBEDDING curation — the vector rung of
+      // q_stream_curate_media: originals stream in as batch 1, ×1.001
+      // re-encodes (ids +10000) as batch 2; each batch signatures once,
+      // self near-dups, then checks against the STORED
+      // EmbeddingSigTableView with the curated log itself as the
+      // verify-side vector corpus (no second vector artifact).
+      def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+      val embSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+      val srcLog = new ParquetLog(s, tmp("graftecur-src"), embSchema)
+      val curLog = new ParquetLog(s, tmp("graftecur-dst"), embSchema)
+      val sigView = new graft.views.EmbeddingSigTableView(s, s"${tmp("graftecur-sig")}/es", 1)
+      val commit = java.nio.file.Paths.get(tmp("graftecur-c"), "_mark").toString
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      srcLog.append(e)
+      val cur = new graft.streaming.MediaStreamingCurator(srcLog, curLog,
+        graft.streaming.MediaDedupBinding.embedding(sigView,
+          () => curLog.read.select("vec_id", "embedding")),
+        commit, idCol = "vec_id")
+      try {
+        cur.awaitParity()
+        srcLog.append(e.select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(1.001)).cast("float")).as("embedding")))
+        cur.awaitParity()
+      } finally cur.stop()
+      curLog.read.agg(
+        count(lit(1)).as("n_kept"),
+        min("vec_id").as("min_id"),
+        max("vec_id").as("max_id"),
+        sum(when(col("vec_id") >= 10000, 1L).otherwise(0L)).as("copies_kept"))
+    }),
     "q_stream_static_join" -> ((s, dir) => {
       // stream-static broadcast enrichment: the static dim joins into
       // every micro-batch statelessly — no watermark, no join state
@@ -679,6 +713,28 @@ private[graft] object StreamingQueries {
         "nx AS (SELECT DISTINCT id_new FROM px JOIN c2 ca ON ca.doc_id = id_new JOIN c1 cb ON cb.doc_id = id_base WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.6), " +
         "kept AS (SELECT doc_id FROM kept1 UNION ALL SELECT doc_id FROM kept2 WHERE doc_id NOT IN (SELECT id_new FROM nx)) " +
         "SELECT count(*) AS n_kept, min(doc_id) AS min_id, max(doc_id) AS max_id, sum(CASE WHEN doc_id >= 10000 THEN 1 ELSE 0 END)::BIGINT AS perturbed_kept FROM kept"),
+    "q_stream_curate_embed" ->
+      // two-phase replay of the embedding curator — oracle-safe by the
+      // q_embed_neardup argument: planted pairs are exact scalar
+      // multiples (co-bucketed in every band), the corpus has no
+      // natural pair above cosine ~0.45, and the exact ≥0.95 verify
+      // makes extra candidates irrelevant, so the banded pipeline
+      // equals the all-pairs predicate. Phase 1: originals minus
+      // within-batch pairs (drop the higher id). Phase 2: copies minus
+      // within-batch pairs, then minus cross pairs vs phase-1 kept.
+      ("WITH orig AS (SELECT vec_id, embedding FROM embeddings), " +
+        "pert AS (SELECT vec_id + 10000 AS vec_id, list_transform(embedding, x -> CAST(x * 1.001 AS FLOAT)) AS embedding FROM embeddings), " +
+        "d1 AS (SELECT DISTINCT b.vec_id AS id_b FROM orig a JOIN orig b ON a.vec_id < b.vec_id " +
+        "WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.95), " +
+        "kept1 AS (SELECT vec_id, embedding FROM orig WHERE vec_id NOT IN (SELECT id_b FROM d1)), " +
+        "d2 AS (SELECT DISTINCT b.vec_id AS id_b FROM pert a JOIN pert b ON a.vec_id < b.vec_id " +
+        "WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.95), " +
+        "sv2 AS (SELECT vec_id, embedding FROM pert WHERE vec_id NOT IN (SELECT id_b FROM d2)), " +
+        "dx AS (SELECT DISTINCT a.vec_id AS id_a FROM sv2 a JOIN kept1 b ON true " +
+        "WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.95), " +
+        "kept AS (SELECT vec_id FROM kept1 UNION ALL SELECT vec_id FROM sv2 WHERE vec_id NOT IN (SELECT id_a FROM dx)) " +
+        "SELECT count(*) AS n_kept, min(vec_id) AS min_id, max(vec_id) AS max_id, " +
+        "sum(CASE WHEN vec_id >= 10000 THEN 1 ELSE 0 END)::BIGINT AS copies_kept FROM kept"),
     "q_stream_curate_media" ->
       // two-phase replay of the MEDIA curator over the shared
       // fingerprint CTEs (originals + gain×3/+24-silence copies at ids

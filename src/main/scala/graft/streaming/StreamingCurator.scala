@@ -205,6 +205,39 @@ object MediaDedupBinding {
         view.absorbHashes(features, upto)
     }
 
+  /** Embedding binding: banded hyperplane signatures over the
+    * [[graft.views.EmbeddingSigTableView]] — continuous curation for a
+    * vector corpus (the SemDeDup-adjacent ingest shape). Unlike the
+    * media bindings, the exact-cosine verify needs the stored VECTORS;
+    * those are exactly the curator's own curated log, so
+    * `storedVectors` reads it back and NO second vector artifact
+    * exists — the signature table stays 8 bytes/vector. The signature
+    * is computed once at featurize for the ABSORB; the self and
+    * incremental passes re-derive it from the vectors (one codegen
+    * pass each — the featurize cost here is arithmetic, not the decode
+    * the media bindings amortize). */
+  def embedding(view: graft.views.EmbeddingSigTableView,
+      storedVectors: () => DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bands: Int = 4, bitsPerBand: Int = 8,
+      threshold: Double = 0.95, maxBucket: Int = 1024): MediaDedupBinding =
+    new MediaDedupBinding {
+      def since: Long = view.since
+      def storedOption: Option[DataFrame] = view.frameOption
+      def featurize(media: DataFrame): DataFrame =
+        media.select(col(idCol), col(vecCol),
+          graft.ops.Similarity.hyperplaneSignature(col(vecCol), bands * bitsPerBand).as("sig"))
+      def selfPairs(features: DataFrame): DataFrame =
+        graft.ops.Dedup.embeddingNearDup(features.select(col(idCol), col(vecCol)),
+          idCol, vecCol, bands, bitsPerBand, threshold, maxBucket)
+      def crossPairs(features: DataFrame, stored: DataFrame): DataFrame =
+        graft.ops.Dedup.embeddingNearDupIncrementalFromSigs(
+          features.select(col(idCol), col(vecCol)), stored, storedVectors(),
+          idCol, vecCol, bands, bitsPerBand, threshold, maxBucket)
+      def absorb(features: DataFrame, upto: Long): Unit =
+        view.absorbSigs(features.select(col(idCol), col("sig")), upto)
+    }
+
   /** Video binding: per-frame dHash sequences
     * ([[graft.ops.Multimodal.videoFrameHashes]] — MULTIPLE feature rows
     * per item, which the engine's id-level semi/anti joins absorb

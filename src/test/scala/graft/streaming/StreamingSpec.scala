@@ -1276,6 +1276,51 @@ class StreamingSpec extends SparkSpec {
     } finally cur.stop()
   }
 
+  test("media streaming curator: embedding binding — the curated log is the verify-side vector corpus") {
+    import graft.views.EmbeddingSigTableView
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    val srcLog = new ParquetLog(spark, tmp("graft-ecur-src"), embSchema)
+    val curLog = new ParquetLog(spark, tmp("graft-ecur-dst"), embSchema)
+    val sigView = new EmbeddingSigTableView(spark, s"${tmp("graft-ecur-sig")}/es", 1)
+    val commit = java.nio.file.Paths.get(tmp("graft-ecur-c"), "_ecurate_commit").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").where(col("vec_id") < 50)
+    val n = emb.count()
+    // batch A: 50 originals + a x1.001 rescale of vector 0 as id 500
+    // (cosine 1.0 -> drops in the SELF pass)
+    srcLog.append(emb.unionByName(emb.where(col("vec_id") === 0)
+      .select(lit(500L).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(1.001)).cast("float")).as("embedding"))))
+    val cur = new MediaStreamingCurator(srcLog, curLog,
+      MediaDedupBinding.embedding(sigView, () => curLog.read.select("vec_id", "embedding")),
+      commit, idCol = "vec_id")
+    try {
+      cur.awaitParity()
+      val kept1 = curLog.read.select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(kept1 === (0L until n).toSet, s"the rescaled copy (500) must drop, got ${kept1.size}")
+      // the signature artifact holds survivors only — and ONLY sigs
+      // (8 B/vector; vectors never duplicated into the view)
+      assert(sigView.sigs.columns.toSeq === Seq("vec_id", "sig"))
+      assert(sigView.sigs.count() === n && sigView.since === srcLog.since)
+      // batch B: a rescale of STORED vector 7 (drops only via the
+      // stored check, verified against the CURATED LOG's vectors) + a
+      // fresh vector far from everything
+      val fresh = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(900L,
+          (0 until 64).map(d => if (d % 2 == 0) 1.0f else -1.0f)))), embSchema)
+      srcLog.append(emb.where(col("vec_id") === 7)
+        .select(lit(700L).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(1.002)).cast("float")).as("embedding"))
+        .unionByName(fresh))
+      cur.awaitParity()
+      val kept2 = curLog.read.select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(kept2 === (kept1 + 900L), s"700 must drop vs the stored corpus, 900 survives, got $kept2")
+      assert(sigView.sigs.count() === n + 1)
+    } finally cur.stop()
+  }
+
   test("signature table view survives restart from its manifest; version bump rebuilds") {
     import graft.views.SignatureTableView
     val viewDir = java.nio.file.Files.createTempDirectory("graft-sigv2").toString
