@@ -113,6 +113,29 @@ private[graft] object RelationalQueries {
         .groupBy(col("n_name"), year(col("o_orderdate")).cast("bigint").as("o_year"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
         .orderBy(col("n_name"), col("o_year").desc)),
+    "q_tpch_q17" -> ((s, dir) => {
+      // TPC-H Q17-shaped (small-quantity-order revenue): the correlated
+      // scalar subquery (per-part 0.2×avg quantity) written in its
+      // DECORRELATED form — exactly what Catalyst rewrites a correlated
+      // subquery into, stated declaratively. Scale shape: the brand
+      // filter prunes part to a broadcast dim; lineitem is reduced by
+      // that broadcast BEFORE the per-part average (so the agg runs
+      // over the filtered slice, not the corpus, and partial-aggregates
+      // map-side); the tiny (part, threshold) table joins back by
+      // broadcast. Double arithmetic is safe across engines: quantity
+      // sums are exact integers in double, one division + one multiply.
+      val parts = broadcast(t(s, dir, "part")
+        .where(col("p_brand") === "Brand#13").select("p_partkey"))
+      val li = t(s, dir, "lineitem")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val qlim = li.groupBy("l_partkey")
+        .agg((avg("l_quantity") * 0.2).as("qlim"))
+      li.join(broadcast(qlim), Seq("l_partkey"))
+        .where(col("l_quantity") < col("qlim"))
+        .agg(count(lit(1)).as("n_small"),
+          round(sum("l_extendedprice") / 7.0, 4).as("avg_yearly"))
+    }),
     "q_tpch_q18" -> ((s, dir) => {
       // TPC-H Q18 (large-volume customer): HAVING over a corpus-wide
       // agg, then re-join the survivors. Scale shape: the per-order
@@ -436,6 +459,12 @@ private[graft] object RelationalQueries {
         "JOIN orders ON l_orderkey = o_orderkey JOIN nation ON s_nationkey = n_nationkey " +
         "WHERE p_name LIKE '%widget%' " +
         "GROUP BY n_name, o_year ORDER BY n_name, o_year DESC"),
+    "q_tpch_q17" ->
+      ("WITH parts AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'), " +
+        "li AS (SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem JOIN parts ON l_partkey = p_partkey), " +
+        "a AS (SELECT l_partkey, 0.2 * avg(l_quantity) AS qlim FROM li GROUP BY 1) " +
+        "SELECT count(*) AS n_small, round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly " +
+        "FROM li JOIN a USING (l_partkey) WHERE l_quantity < qlim"),
     "q_tpch_q18" ->
       ("SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, round(sum(l_quantity), 2) AS sum_qty " +
         "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey " +

@@ -398,6 +398,20 @@ class PlanSpec extends SparkSpec {
       s"the p_name filter must push to the part scan, not post-join:\n${s.take(4000)}")
   }
 
+  test("tpch q17: decorrelated threshold joins back by broadcast; part filter pushed; no cartesian") {
+    val s = planString(run("q_tpch_q17"))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"q17 must stay equi-join only:\n${s.take(3000)}")
+    assert(s.contains("EqualTo(p_brand,Brand#13)"),
+      s"the brand filter must push to the part scan:\n${s.take(4000)}")
+    val broadcasts = s.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 2,
+      s"both the part dim and the (part, threshold) table must broadcast:\n${s.take(4000)}")
+    // the per-part average partial-aggregates before its exchange
+    assert(s.contains("partial_avg") || s.contains("partial_average"),
+      s"the threshold agg must combine map-side:\n${s.take(4000)}")
+  }
+
   test("tpch q18: HAVING keys broadcast into both fact semi-joins, no cartesian") {
     val s = planString(run("q_tpch_q18"))
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),

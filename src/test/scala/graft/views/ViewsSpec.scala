@@ -361,6 +361,13 @@ class ViewsSpec extends SparkSpec {
     val plain = Query.lookupJoin(db, Seq((1L, "x")).toDF("foo", "lbl"), "foo")
       .select("seq", "lbl").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(plain === Set((0L, "x")))
+    // fence fallback: past maxBroadcastKeys the probe keys SHUFFLE into
+    // the posting join instead of broadcasting — answer-identical (the
+    // corpus-scale arm, same discipline as FenceFallbackSpec)
+    val fallback = Query.lookupJoin(db, probe, "tag", maxBroadcastKeys = 0L)
+      .select("seq", "tag", "w", "foo")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(fallback === want, "shuffle arm must equal the broadcast arm")
   }
 
   test("Query covering-index count: posting-only aggregation, null keys, filters, fallback") {
