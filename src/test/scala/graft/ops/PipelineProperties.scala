@@ -334,4 +334,28 @@ object PipelineProperties extends Properties("Pipeline") {
         l == s - 90000L && off == start.toLong && ng == (win - 24).toLong }
       planted.length == n && hits.length == planted.length
     }
+
+  /** ANY cut at ANY multiple of the hop (8 samples = ws/2, including
+    * every NON-window-aligned odd multiple) must be found by the
+    * hop-gram containment at its exact hop offset with the exact gram
+    * count (clip hop-windows = 2·win − 1 ⇒ grams = 2·win − 25).
+    * Planted recall only — the mixer's (id·31 + 17i) streams collide
+    * across ids 17k apart at 1-sample skew, which the operator is
+    * right to report as genuine near-copies, so extras are allowed. */
+  property("hop grams find every hop-multiple cut at its hop offset") =
+    forAll(for {
+      startHops <- Gen.choose(0, 40)
+      win <- Gen.choose(25, 30)
+      gain <- Gen.choose(1, 4)
+    } yield (startHops, win, gain)) { case (sh, win, gain) =>
+      val corpus = Multimodal.syntheticWavMedia(sweepDocs, textured = true)
+      val clips = Multimodal.syntheticWavClip(sweepDocs,
+        nWindows = win, gain = gain, startSamples = sh * 8)
+      val hits = Multimodal.audioClipContainment(clips, corpus, hopSamples = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val n = corpus.count()
+      val planted = hits.filter { case (c, p, off, ng) =>
+        p == c - 90000L && off == sh.toLong && ng == (2 * win - 25).toLong }
+      planted.length == n
+    }
 }

@@ -1150,6 +1150,31 @@ class StreamingSpec extends SparkSpec {
     assert(survivors.count() === 1L, "fresh doc survives the decision function")
     st9.unpersist(blocking = false)
     staged9.unpersist(blocking = false)
+
+    // the FULL open window, end to end (cur2 is stopped, so its
+    // surviveBatch is a pure decision function): append batch 10 to the
+    // source, do exactly what the batch body does MINUS the absorb —
+    // survivors appended, mark written, cursor left behind — then a
+    // fresh curator must close the window by absorbing WITHOUT
+    // double-appending
+    val upto10 = srcLog.appendRows(Seq(doc(10L,
+      "over the bright water the gulls wheeled and cried while the fishermen hauled their heavy nets ashore")))
+    val pre = curLog.read.count()
+    val (sv10, st10, staged10) = cur2.surviveBatch(
+      srcLog.read.where(col("seq") > sigView.since).drop("seq"))
+    curLog.append(sv10.localCheckpoint(true))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(commit), upto10.toString)
+    st10.unpersist(blocking = false); staged10.unpersist(blocking = false)
+    assert(curLog.read.count() === pre + 1 && sigView.since < upto10,
+      "window open: doc 10 appended, absorb deliberately lost")
+    val cur3 = new StreamingCurator(srcLog, curLog, sigView, commit)
+    try {
+      cur3.awaitParity()
+      assert(curLog.read.count() === pre + 1, "replay must NOT double-append doc 10")
+      assert(sigView.since === srcLog.since, "the replay closed the window by absorbing")
+      assert(sigView.sigs.where(col("id") === 10L).count() === 1L,
+        "the lost absorb landed on replay")
+    } finally cur3.stop()
   }
 
   test("media streaming curator: decode-once curation over the stored phash table, exactly-once across every crash window") {
