@@ -4,9 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // local[*] is a valid master spec but not a partition count — resolve
+    // "*" to the box's core count so shuffle.partitions always gets a number.
+    val shufflePartitions =
+      if (cpus == "*") Runtime.getRuntime.availableProcessors().toString else cpus
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -74,9 +78,12 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // full per-query dict first, compact total line LAST: the driver's
     // tail capture must never lose the total (it did in r4)
-    // cpus comes straight from the env and may be non-numeric ("*" is
-    // a valid local[*] spec) — quote it so the JSON stays parseable.
-    val prov = s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadavg)},"capture":"$capture","cpus":"$cpus","runs":$runs"""
+    // cpus comes straight from the env; emit it as a JSON number when it
+    // parses as one (the cross-round schema — BENCH_r01..r12 carry a
+    // number) and only fall back to a quoted string for non-numeric
+    // specs like "*", so round-over-round tooling keeps its int parse.
+    val cpusJson = if (cpus.forall(_.isDigit) && cpus.nonEmpty) cpus else "\"" + cpus + "\""
+    val prov = s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadavg)},"capture":"$capture","cpus":$cpusJson,"runs":$runs"""
     println(s"""{"metric":"per_query","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir",$prov}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errs,"sf":"$sfDir",$prov}""")
     spark.stop()

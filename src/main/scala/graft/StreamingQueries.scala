@@ -90,14 +90,17 @@ private[graft] object StreamingQueries {
         org.apache.spark.sql.types.StructField("embedding",
           org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
       val srcLog = new ParquetLog(s, tmp("graftecur-src"), embSchema)
-      val curLog = new ParquetLog(s, tmp("graftecur-dst"), embSchema)
+      // the curated log is seq-BUCKETED: the stored signature table
+      // carries each vector's curated seq, so the incremental verify
+      // reads only the candidate buckets (planning-time partition
+      // pruning) instead of rescanning the whole vector corpus per batch
+      val curLog = new ParquetLog(s, tmp("graftecur-dst"), embSchema, bucketSize = 64L)
       val sigView = new graft.views.EmbeddingSigTableView(s, s"${tmp("graftecur-sig")}/es", 1)
       val commit = java.nio.file.Paths.get(tmp("graftecur-c"), "_mark").toString
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
       srcLog.append(e)
       val cur = new graft.streaming.MediaStreamingCurator(srcLog, curLog,
-        graft.streaming.MediaDedupBinding.embedding(sigView,
-          () => curLog.read.select("vec_id", "embedding")),
+        graft.streaming.MediaDedupBinding.embedding(sigView, curLog),
         commit, idCol = "vec_id")
       try {
         cur.awaitParity()

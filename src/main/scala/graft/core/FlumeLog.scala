@@ -331,6 +331,19 @@ final class ParquetLog(
     * source's plan-time directory pruning. */
   private[graft] def bucketSizeOpt: Option[Long] = if (bucketed) Some(bucketSize) else None
 
+  /** Point-SET pruned read: scan only the given `seq_bucket` directories
+    * (planning-time partition pruning — the scan's PartitionFilters carry
+    * the isin, so non-candidate buckets are never listed or opened).
+    * This is the verify-side read of the incremental embedding dedup:
+    * candidate seqs come from the stored signature table, their distinct
+    * buckets are a batch-scoped set, and the corpus-sized log is read
+    * ∝ candidates instead of ∝ corpus. On an unbucketed log this
+    * degrades to the full read (no layout to prune). */
+  def readBuckets(buckets: Seq[Long]): DataFrame =
+    if (!bucketed) read
+    else if (buckets.isEmpty) read.limit(0)
+    else readRaw.where(col(bucketCol).isin(buckets: _*)).drop(bucketCol)
+
   /** Record-granular live tail: the seq-offset DSv2 source. Offsets ARE
     * seqs — each micro-batch is exactly the (start, end] interval of the
     * log, planned as partitioned parquet readers per overlapping file

@@ -772,9 +772,16 @@ object Dedup {
         require(p > 0 && p <= 1, s"maxDocFreqPercentile in (0,1], got $p")
         val dfTable = inv.groupBy("shingle").agg(count(lit(1)).as("df")).persist()
         release += dfTable
-        val cap = dfTable.agg(expr(s"percentile(df, $p)")).head().getDouble(0)
-        inv.join(dfTable.where(col("df") <= cap).select("shingle"),
-          Seq("shingle"), "left_semi")
+        // percentile over an EMPTY df table is null (every doc was
+        // empty/whitespace after shingling) — degrade to the empty
+        // postings frame like the absolute-cap arm does, instead of NPE.
+        val capRow = dfTable.agg(expr(s"percentile(df, $p)")).head()
+        if (capRow.isNullAt(0)) inv.limit(0)
+        else {
+          val cap = capRow.getDouble(0)
+          inv.join(dfTable.where(col("df") <= cap).select("shingle"),
+            Seq("shingle"), "left_semi")
+        }
       case None =>
         inv.withColumn("df", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
@@ -1285,10 +1292,34 @@ object Dedup {
       maxBucket: Int,
       maxBroadcastKeys: Long,
       persisted: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
+    val cand = embeddingIncrementalCandidates(newEmbeddings, storedSigs, idCol, vecCol,
+      bands, bitsPerBand, maxBucket, maxBroadcastKeys, persisted)
+    embeddingVerifyPairs(cand.select("id_a", "id_b"), newEmbeddings, storedVectors,
+      idCol, vecCol, threshold)
+  }
+
+  /** Candidate stage of the incremental embedding dedup: `(id_a, id_b)`
+    * band collisions between the batch and the stored signature table —
+    * the batch's capped band keys broadcast (count-fenced), hot caps on
+    * both sides, no vectors touched. When `storedSigs` carries a `seq`
+    * column (the [[graft.views.EmbeddingSigTableView]] curated-log
+    * layout) it rides through as the stored row's log seq, so the caller
+    * can prune the verify-side vector scan to candidate seq buckets. */
+  private[graft] def embeddingIncrementalCandidates(
+      newEmbeddings: DataFrame,
+      storedSigs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bands: Int,
+      bitsPerBand: Int,
+      maxBucket: Int,
+      maxBroadcastKeys: Long,
+      persisted: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
     require(bands >= 1 && bitsPerBand >= 1 && bands * bitsPerBand <= 64,
       s"bands*bitsPerBand must fit one 64-bit signature, got $bands*$bitsPerBand")
     val keys = hyperplaneBandKeys(bands, bitsPerBand)
     val sig = Similarity.hyperplaneSignature(col(vecCol), bands * bitsPerBand)
+    val hasSeq = storedSigs.columns.contains("seq")
     val bn0 = newEmbeddings.select(col(idCol).as("id_a"), sig.as("sig"))
       .select(col("id_a"), explode(array(keys: _*)).as("bandkey"))
       .persist()
@@ -1301,22 +1332,110 @@ object Dedup {
     // fence: a batch whose key set won't broadcast is corpus-sized —
     // fall back to the symmetric shuffle (the one-shot's shape)
     val bcast = newKeys.count() <= maxBroadcastKeys
-    val stored = storedSigs.select(col(idCol).as("id_b"), col("sig"))
-      .select(col("id_b"), explode(array(keys: _*)).as("bandkey"))
+    val storedCols =
+      if (hasSeq) Seq(col(idCol).as("id_b"), col("sig"), col("seq"))
+      else Seq(col(idCol).as("id_b"), col("sig"))
+    val bandedCols =
+      if (hasSeq) Seq(col("id_b"), explode(array(keys: _*)).as("bandkey"), col("seq"))
+      else Seq(col("id_b"), explode(array(keys: _*)).as("bandkey"))
+    val stored = storedSigs.select(storedCols: _*).select(bandedCols: _*)
     val matched =
       (if (bcast) stored.join(broadcast(newKeys), Seq("bandkey"))
        else stored.join(newKeys, Seq("bandkey"))).persist()
     persisted += matched
     val hotStored = matched.groupBy("bandkey").count()
       .where(col("count") > maxBucket).select("bandkey")
-    val cand = bn.join(matched.join(hotStored, Seq("bandkey"), "left_anti"), Seq("bandkey"))
-      .select("id_a", "id_b").distinct()
+    val joined = bn.join(matched.join(hotStored, Seq("bandkey"), "left_anti"), Seq("bandkey"))
+    // seq is functional on id_b, so the 3-column distinct yields the
+    // same pair set as the 2-column one
+    if (hasSeq) joined.select("id_a", "id_b", "seq").distinct()
+    else joined.select("id_a", "id_b").distinct()
+  }
+
+  /** Exact-cosine verify of an `(id_a, id_b)` candidate frame: vectors
+    * join by 8-byte id — candidates only ever move the wire. */
+  private[graft] def embeddingVerifyPairs(
+      cand: DataFrame,
+      newEmbeddings: DataFrame,
+      storedVectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame =
     cand
       .join(newEmbeddings.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), Seq("id_a"))
       .join(storedVectors.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(Similarity.cosine(col("v_a"), col("v_b")), 4).as("cos"))
       .where(col("cos") >= threshold)
+
+  /** Seq-bucket-PRUNED incremental embedding dedup — the corpus-scale
+    * form of [[embeddingNearDupIncrementalFromSigs]] for the continuous
+    * curator, where the verify-side vector corpus is the curated log
+    * itself (seq-bucketed parquet). The stored signature table carries
+    * each vector's log `seq` (8 more bytes/vector); after the candidate
+    * stage, the DISTINCT seq buckets of the candidates — a batch-scoped
+    * set, bounded by the hot caps — are collected and handed to
+    * `vectorsForBuckets(Some(buckets))`, whose scan then prunes to those
+    * partition directories at planning time. The full-log scan every
+    * micro-batch (∝ corpus) becomes a scan ∝ candidates.
+    *
+    * Fences, matching the incremental discipline: candidates whose seq
+    * is unknown (< 0 — rows absorbed without a seq) or a bucket set
+    * larger than `maxPrunedBuckets` fall back to
+    * `vectorsForBuckets(None)` — the unpruned corpus read, which is
+    * always correct, only slower. */
+  def embeddingNearDupIncrementalPruned(
+      newEmbeddings: DataFrame,
+      storedSigs: DataFrame,
+      bucketSize: Long,
+      vectorsForBuckets: Option[Seq[Long]] => DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      bands: Int = 4,
+      bitsPerBand: Int = 8,
+      threshold: Double = 0.95,
+      maxBucket: Int = 1024,
+      maxBroadcastKeys: Long = 4L * 1000 * 1000,
+      maxPrunedBuckets: Int = 100000): DataFrame = {
+    require(bucketSize > 0, s"bucketSize must be positive, got $bucketSize")
+    require(storedSigs.columns.contains("seq"),
+      "pruned incremental dedup needs a stored (id, sig, seq) table")
+    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+    // eager candidate table: reused by the bucket collect AND the verify
+    // join without re-running the band stage
+    val cand = embeddingIncrementalCandidates(newEmbeddings, storedSigs, idCol, vecCol,
+      bands, bitsPerBand, maxBucket, maxBroadcastKeys, persisted).localCheckpoint(true)
+    persisted.foreach(_.unpersist(blocking = false))
+    val buckets = cand.select(expr(s"`seq` div $bucketSize").as("b")).distinct()
+      .limit(maxPrunedBuckets + 1).collect().map(_.getLong(0)).toSeq
+    val pruneOk = buckets.length <= maxPrunedBuckets && buckets.forall(_ >= 0)
+    val vecs = vectorsForBuckets(if (pruneOk) Some(buckets) else None)
+    embeddingVerifyPairs(cand.select("id_a", "id_b"), newEmbeddings, vecs,
+      idCol, vecCol, threshold).localCheckpoint(true)
+  }
+
+  /** The pruned verify's pre-checkpoint plan, for plan assertions:
+    * returns (candidate buckets, the verify frame) with the pruned
+    * vector scan visible (`localCheckpoint` would truncate it). */
+  private[graft] def embeddingNearDupIncrementalPrunedStage(
+      newEmbeddings: DataFrame,
+      storedSigs: DataFrame,
+      bucketSize: Long,
+      vectorsForBuckets: Option[Seq[Long]] => DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      bands: Int = 4,
+      bitsPerBand: Int = 8,
+      threshold: Double = 0.95,
+      maxBucket: Int = 1024): (Seq[Long], DataFrame) = {
+    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+    val cand = embeddingIncrementalCandidates(newEmbeddings, storedSigs, idCol, vecCol,
+      bands, bitsPerBand, maxBucket, 4L * 1000 * 1000, persisted).localCheckpoint(true)
+    persisted.foreach(_.unpersist(blocking = false))
+    val buckets = cand.select(expr(s"`seq` div $bucketSize").as("b")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    (buckets, embeddingVerifyPairs(cand.select("id_a", "id_b"), newEmbeddings,
+      vectorsForBuckets(Some(buckets)), idCol, vecCol, threshold))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-then-prune

@@ -37,22 +37,32 @@ final class EmbeddingSigTableView(
   openProtocol()
 
   /** Absorb an embedding batch: signature here (each vector hashed
-    * exactly once, at ingest), land the `(vec_id, sig)` delta. */
+    * exactly once, at ingest), land the `(vec_id, sig, seq)` delta. */
   def absorb(entries: DataFrame, upto: Long): Unit =
-    absorbSigs(entries.select(col(idCol),
-      graft.ops.Similarity.hyperplaneSignature(col(vecCol), bands * bitsPerBand).as("sig")),
+    absorbSigs(entries.select(Seq(col(idCol),
+      graft.ops.Similarity.hyperplaneSignature(col(vecCol), bands * bitsPerBand).as("sig")) ++
+      (if (entries.columns.contains("seq")) Seq(col("seq")) else Nil): _*),
       upto)
 
-  /** Absorb a PRECOMPUTED `(vec_id, sig)` delta. */
+  /** Absorb a PRECOMPUTED `(vec_id, sig[, seq])` delta. `seq` — the
+    * vector's seq in the corpus LOG the verify side reads — is 8 more
+    * bytes/vector and is what lets the incremental verify prune the
+    * seq-bucketed corpus scan to candidate buckets
+    * ([[graft.ops.Dedup.embeddingNearDupIncrementalPruned]]); batches
+    * absorbed without one store -1 (= unknown, verify falls back to the
+    * full corpus read for candidates in them). */
   def absorbSigs(sigs: DataFrame, upto: Long): Unit = {
-    sigs.select(idCol, "sig")
+    val seqCol =
+      if (sigs.columns.contains("seq")) col("seq").cast("long")
+      else lit(-1L)
+    sigs.select(col(idCol), col("sig"), seqCol.as("seq"))
       .write.mode("overwrite").parquet(batchPath(upto).toString)
     sinceSeq = upto
     writeManifest()
     maybeCompact()
   }
 
-  /** The accumulated `(vec_id, sig)` table. */
+  /** The accumulated `(vec_id, sig, seq)` table. */
   def sigs: DataFrame = {
     val dirs = committedBatchDirs().map(_.toString)
     require(dirs.nonEmpty, "signature table empty — absorb a batch first")
@@ -94,7 +104,11 @@ final class EmbeddingSigTableView(
     val cand = base
       .where(bit_count(col("sig").bitwiseXOR(lit(qSig))) <= maxHamming)
       .select(idCol)
-    val bcast = cand.limit((maxBroadcastKeys + 1).toInt).count() <= maxBroadcastKeys
+    // clamp: maxBroadcastKeys near Long range would overflow the Int
+    // limit() argument to a negative; the fence only needs "more than
+    // maxBroadcastKeys exist", so cap the pre-pass at Int.MaxValue.
+    val fenceLimit = math.min(maxBroadcastKeys + 1, Int.MaxValue.toLong).toInt
+    val bcast = cand.limit(fenceLimit).count() <= maxBroadcastKeys
     val vecs = storedVectors.select(col(idCol), col(vecCol))
     val joined =
       if (bcast) vecs.join(broadcast(cand), Seq(idCol))

@@ -366,6 +366,49 @@ class PlanSpec extends SparkSpec {
     } finally persisted.foreach(_.unpersist(blocking = false))
   }
 
+  test("pruned embedding verify: the curated-log vector scan carries PartitionFilters from candidate seq buckets") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // a seq-bucketed curated log of 500 vectors (bucketSize 16 →
+    // buckets 0..31); the 2-vector batch's band collisions reach a
+    // handful of stored vectors, so the verify-side scan must prune to
+    // the candidates' buckets — a strict subset including the true
+    // near-dup targets' buckets (3 → 0, 35 → 2)
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    val logDir = java.nio.file.Files.createTempDirectory("graft-planprune").toString
+    val curLog = new graft.core.ParquetLog(spark, logDir, embSchema, bucketSize = 16L)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").orderBy("vec_id")
+    curLog.append(emb)
+    val nBuckets = (curLog.since / 16L) + 1
+    // stored signature table WITH each vector's curated seq (the
+    // EmbeddingSigTableView round-14 layout); seq == vec_id here since
+    // the append stamped 0..n in order
+    val sigs = curLog.stream().select(col("vec_id"), col("seq"),
+      graft.ops.Similarity.hyperplaneSignature(col("embedding"), 32).as("sig"))
+      .localCheckpoint(true)
+    val batch = emb.where(col("vec_id") === 3 || col("vec_id") === 35)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(1.001)).cast("float")).as("embedding"))
+      .localCheckpoint(true)
+    val (buckets, stage) = graft.ops.Dedup.embeddingNearDupIncrementalPrunedStage(
+      batch, sigs, 16L, bs => curLog.readBuckets(bs.get).select("vec_id", "embedding"))
+    assert(Set(0L, 2L).subsetOf(buckets.toSet),
+      s"the true near-dup targets' buckets (0, 2) must be candidates, got $buckets")
+    assert(buckets.length < nBuckets,
+      s"pruning must scan a strict subset of the $nBuckets buckets, got ${buckets.length}")
+    val s = planString(stage)
+    // the verify scan of the corpus log must be partition-PRUNED to the
+    // candidate buckets at planning time — a full-log scan per
+    // micro-batch is the ∝-corpus recurring cost this layout removes
+    val pf = s.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf.contains("seq_bucket"),
+      s"verify scan must carry seq_bucket PartitionFilters:\n${s.take(4000)}")
+    assert(buckets.forall(b => pf.contains(b.toString)),
+      s"PartitionFilters must name the candidate buckets $buckets, got:\n$pf")
+  }
+
   test("incremental substring dedup: stored gram table filtered by a BROADCAST of batch keys") {
     import spark.implicits._
     val stored = graft.ops.Dedup.gramTable(
@@ -422,6 +465,22 @@ class PlanSpec extends SparkSpec {
       l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
     assert(semis >= 2,
       s"expected both fact sides semi-joined via broadcast of the HAVING keys:\n${s.take(4000)}")
+  }
+
+  test("tpch q21: EXISTS/NOT EXISTS self-joins stay equi (semi + anti), no cartesian") {
+    val s = planString(run("q_tpch_q21"))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"the <> suppkey predicates must ride the equi-joins as residuals:\n${s.take(4000)}")
+    // EXISTS (another supplier on the order) plans as a semi join and
+    // NOT EXISTS (another LATE supplier) as an anti join — both on the
+    // shared l_orderkey hash; losing either shape silently turns the
+    // self-join into a pair expansion
+    assert(s.linesIterator.exists(l => l.contains("Join") && l.contains("LeftSemi")),
+      s"expected a semi self-join for EXISTS:\n${s.take(4000)}")
+    assert(s.linesIterator.exists(l => l.contains("Join") && l.contains("LeftAnti")),
+      s"expected an anti self-join for NOT EXISTS:\n${s.take(4000)}")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"the top-100 must not global-sort:\n${s.take(4000)}")
   }
 
   test("tpch q5: dims broadcast, date range pushed to the orders scan") {

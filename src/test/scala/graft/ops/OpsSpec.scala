@@ -1456,6 +1456,13 @@ class OpsSpec extends SparkSpec {
     val uncapped = Dedup.containment(docs, threshold = 0.8, maxDocFreq = Int.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(all.toSet === uncapped.toSet, "p=1 must equal the uncapped absolute form")
+    // degenerate corpus (nothing shingles): percentile over an empty df
+    // table is null — must degrade to the empty frame like the
+    // absolute-cap arm, not NPE
+    val blank = Seq((1L, "   "), (2L, "a b")).toDF("doc_id", "text")
+    assert(Dedup.containment(blank, threshold = 0.8,
+      maxDocFreqPercentile = Some(0.95)).count() === 0L,
+      "empty/whitespace corpus must yield an empty pair frame under the percentile cap")
   }
 
   test("containmentIncremental == one-shot restricted to the cross set; hot shingles capped") {

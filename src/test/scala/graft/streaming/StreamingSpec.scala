@@ -1307,7 +1307,10 @@ class StreamingSpec extends SparkSpec {
     val embSchema = StructType(Seq(
       StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
     val srcLog = new ParquetLog(spark, tmp("graft-ecur-src"), embSchema)
-    val curLog = new ParquetLog(spark, tmp("graft-ecur-dst"), embSchema)
+    // seq-bucketed curated log: the verify side must prune to candidate
+    // buckets instead of rescanning the corpus (round-14 close of the
+    // "nothing ever rescans history" caveat)
+    val curLog = new ParquetLog(spark, tmp("graft-ecur-dst"), embSchema, bucketSize = 16L)
     val sigView = new EmbeddingSigTableView(spark, s"${tmp("graft-ecur-sig")}/es", 1)
     val commit = java.nio.file.Paths.get(tmp("graft-ecur-c"), "_ecurate_commit").toString
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -1319,16 +1322,24 @@ class StreamingSpec extends SparkSpec {
       .select(lit(500L).as("vec_id"),
         transform(col("embedding"), x => (x * lit(1.001)).cast("float")).as("embedding"))))
     val cur = new MediaStreamingCurator(srcLog, curLog,
-      MediaDedupBinding.embedding(sigView, () => curLog.read.select("vec_id", "embedding")),
+      MediaDedupBinding.embedding(sigView, curLog),
       commit, idCol = "vec_id")
     try {
       cur.awaitParity()
       val kept1 = curLog.read.select("vec_id").collect().map(_.getLong(0)).toSet
       assert(kept1 === (0L until n).toSet, s"the rescaled copy (500) must drop, got ${kept1.size}")
-      // the signature artifact holds survivors only — and ONLY sigs
-      // (8 B/vector; vectors never duplicated into the view)
-      assert(sigView.sigs.columns.toSeq === Seq("vec_id", "sig"))
+      // the signature artifact holds survivors only — sigs plus each
+      // vector's CURATED-log seq (16 B/vector; vectors never duplicated
+      // into the view — the seq is what lets the verify prune the
+      // curated log's seq buckets instead of rescanning the corpus)
+      assert(sigView.sigs.columns.toSeq === Seq("vec_id", "sig", "seq"))
       assert(sigView.sigs.count() === n && sigView.since === srcLog.since)
+      // the stamped seqs ARE the curated log's seqs (id ↔ seq parity)
+      val sigSeqs = sigView.sigs.select("vec_id", "seq").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val logSeqs = curLog.stream().select("vec_id", "seq").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sigSeqs === logSeqs, "stored seqs must match the curated log's seq assignment")
       // batch B: a rescale of STORED vector 7 (drops only via the
       // stored check, verified against the CURATED LOG's vectors) + a
       // fresh vector far from everything
