@@ -163,6 +163,39 @@ private[graft] object RelationalQueries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
     }),
+    "q_tpch_q21" -> ((s, dir) => {
+      // TPC-H Q21-shaped (suppliers who kept orders waiting): the
+      // hardest composite tier — TWO lineitem SELF-joins carrying
+      // EXISTS / NOT EXISTS semantics at fact scale. The fixture has no
+      // receipt/commit dates, so "this line was late" re-shapes onto
+      // l_returnflag = 'R' (the same per-row boolean role); the join
+      // structure is Q21's verbatim: a late line of a finished order
+      // counts iff ANOTHER supplier shipped on the same order (EXISTS)
+      // and NO other supplier was late on it (NOT EXISTS).
+      // Scale shape: all three lineitem legs and the orders semi-join
+      // hash on the SAME key (l_orderkey) — one co-partitioning, reused;
+      // the <> suppkey predicates ride the equi-joins as residual
+      // conditions (never a cartesian); supplier and the filtered
+      // nation dim broadcast; the (s_name) agg partial-aggregates
+      // map-side and the top-100 is TakeOrderedAndProject.
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+      val l1 = li.where(col("l_returnflag") === "R")
+      val ordersF = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val l2 = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val l3 = li.where(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+      l1
+        .join(ordersF, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(l2, col("ok2") === col("l_orderkey") && col("sk2") =!= col("l_suppkey"), "left_semi")
+        .join(l3, col("ok3") === col("l_orderkey") && col("sk3") =!= col("l_suppkey"), "left_anti")
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation").where(col("n_nationkey") % 2 === 1)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
     "q_window_rank" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
@@ -471,6 +504,14 @@ private[graft] object RelationalQueries {
         "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250) " +
         "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice " +
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+    "q_tpch_q21" ->
+      ("SELECT s_name, count(*) AS numwait FROM supplier, lineitem l1, orders, nation " +
+        "WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey " +
+        "AND o_orderstatus = 'F' AND l1.l_returnflag = 'R' " +
+        "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') " +
+        "AND s_nationkey = n_nationkey AND n_nationkey % 2 = 1 " +
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"),
     "q_group_agg" ->
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base, round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc, round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, round(avg(l_quantity), 4) AS avg_qty, count(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q_bucketed_join" ->

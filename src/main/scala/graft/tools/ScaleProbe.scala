@@ -17,7 +17,13 @@ import org.apache.spark.sql.types._
   * vocabulary (read from the sf0.1 table, uniform draw), lengths in the
   * same [44, 577]-char band, embeddings 64-dim from the repo's standard
   * multiply + double-xor-fold mixer. Deterministic (seeded per row), so
-  * reruns probe identical data. */
+  * reruns probe identical data.
+  *
+  * Round-14 modes (second arg): `skew` — planted-hot-key fixture to
+  * observe the guards engaging ORGANICALLY at default caps (see
+  * [[skewMode]]); `heaps` — Heaps-law + Zipf document generator
+  * re-measuring the containment scaling under realistic vocabulary
+  * growth (see [[heapsMode]]). Default: the r13 10× families probe. */
 object ScaleProbe {
   private def mix(a: Long): Long = { val m = a * 2654435761L; m ^ (m >> 15) ^ (m >> 30) }
 
@@ -155,8 +161,191 @@ object ScaleProbe {
       println(s"[probe] {" + s""""scale":"$label","guard":"incremental_fence","batch_band_keys":$batchKeys,"flip_at":4000000""" + "}")
     }
 
-    families(sf01, "sf0.1")
-    families(outDir, "sf1")
+    args.lift(1).getOrElse("base") match {
+      case "skew" => skewMode(spark)
+      case "heaps" => heapsMode(spark)
+      case _ =>
+        families(sf01, "sf0.1")
+        families(outDir, "sf1")
+    }
     spark.stop()
+  }
+
+  /** Round-14 mode `skew`: a PLANTED-skew fixture — the hot-key shapes
+    * the uniform fixtures can't produce (SCALING.md r13 named this the
+    * open gap) — to record the first ORGANIC guard engagements at the
+    * DEFAULT caps:
+    *  - 30% of documents share a 16-word boilerplate prefix (4-word
+    *    unique tail) → hot minhash band buckets AND corpus-wide
+    *    boilerplate shingles;
+    *  - one "viral" audio clip re-shared 600× → hot audio gram buckets;
+    *  - 30% of embeddings are perturbations of ONE template vector →
+    *    one hot hyperplane band bucket;
+    *  - the uncapped band self-join under AQE with byte thresholds
+    *    scaled to probe size (the 5× skew FACTOR left at its default —
+    *    the organic signal; 256 MB-class byte floors assume cluster
+    *    partitions) → observe the runtime skew split fire. */
+  private def skewMode(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val nDocs = 20000L
+    val boiler = (1 to 16).map(i => s"boiler$i").mkString(" ")
+    val docRdd = spark.range(nDocs).rdd.map { i =>
+      val tail = (0 until 4).map(j => s"u${math.abs(mix(i * 131071L + j * 8191L + 29))}").mkString(" ")
+      val text = if (i % 10 < 3) s"$boiler $tail"
+        else (0 until 20).map(j => s"u${math.abs(mix(i * 524287L + j * 4099L + 31))}").mkString(" ")
+      Row(i, text)
+    }
+    val docs = spark.createDataFrame(docRdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))).persist()
+
+    // 1. minhash band buckets at the DEFAULT caps (self-dup 1000 /
+    // incremental 64): boilerplate docs share ~80% of shingles, so
+    // their band keys pile into shared buckets
+    val sigs = graft.ops.Dedup.signatureTable(docs).persist()
+    val bandCounts = sigs.select(explode(
+        graft.functions.BandKeys.band_keys(col("sig"), 64, 16)).as("bk"))
+      .groupBy("bk").count().persist()
+    val bs = bandCounts.agg(max("count").as("mx"),
+      count(when(col("count") > 1000, 1)).as("hot1000"),
+      sum(when(col("count") > 1000, col("count")).otherwise(0L)).as("rows1000")).head()
+    println(s"[probe] {" + s""""mode":"skew","guard":"minhash_band_buckets","max_bucket":${bs.getLong(0)},"hot_buckets_at_cap1000":${bs.getLong(1)},"rows_dropped_at_cap1000":${bs.getLong(2)}""" + "}")
+    val (selfSec, selfPairs) = {
+      val t0 = System.nanoTime()
+      val n = graft.ops.Dedup.minhashLshFromSigs(sigs, threshold = 0.5, maxBucket = 1000).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    println(f"""[probe] {"mode":"skew","family":"minhash_selfdup_capped","sec":$selfSec%.2f,"pairs":$selfPairs}""")
+
+    // 2. containment df guards on the planted boilerplate: absolute
+    // default 100 AND the percentile rule both classify it
+    val shingleDf = docs.select(explode(
+        graft.functions.HashedShingles.hashed_shingles(col("text"), 3)).as("sh"), col("doc_id"))
+      .groupBy("sh").agg(countDistinct("doc_id").as("df")).persist()
+    val p99 = shingleDf.agg(expr("percentile(df, 0.99)")).head().getDouble(0)
+    val dfs = shingleDf.agg(max("df").as("mx"),
+      count(when(col("df") > 100, 1)).as("hot_abs100"),
+      count(when(col("df") > p99, 1)).as("hot_p99")).head()
+    println(s"[probe] {" + s""""mode":"skew","guard":"containment_df_cap","max_df":${dfs.getLong(0)},"cap_p99":$p99,"shingles_dropped_abs100":${dfs.getLong(1)},"shingles_dropped_p99":${dfs.getLong(2)}""" + "}")
+    shingleDf.unpersist(blocking = false)
+
+    // 3. viral audio clip: ONE clip of recording 2, re-shared 600× under
+    // distinct media ids — its grams bucket at ~601 vs the 256 cap
+    val one = graft.ops.Multimodal.syntheticWavClip(
+      docs.where(col("doc_id") === 2), nWindows = 24)
+    val viral = one.crossJoin(spark.range(600).select(col("id").as("cp")))
+      .select((col("media_id") + col("cp")).as("media_id"),
+        col("modality"), col("content"), col("meta"))
+    val corpus = graft.ops.Multimodal.syntheticWavMedia(
+      docs.where(col("doc_id") < 2000), textured = true).unionByName(viral)
+    val gs = graft.ops.Multimodal.audioGrams(corpus)
+      .groupBy("gram").count()
+      .agg(max("count").as("mx"), count(when(col("count") > 256, 1)).as("hot256")).head()
+    println(s"[probe] {" + s""""mode":"skew","guard":"audio_gram_buckets","max_bucket":${gs.getLong(0)},"cap":256,"hot_grams_at_cap256":${gs.getLong(1)}""" + "}")
+
+    // 4. embedding template cluster: 30% of vectors perturb ONE
+    // template → a hyperplane band bucket of ~6000 vs the 1024 cap.
+    // Every shared band of a template pair is hot, so banding's
+    // any-cold-band rescue cannot save those pairs — the honest trade;
+    // a 30%-of-corpus near-identical cluster is SemDeDup's job, not
+    // pairwise near-dup's
+    val nVecs = 20000L
+    val embRdd = spark.range(nVecs).rdd.map { i =>
+      val v =
+        if (i % 10 < 3)
+          (0 until 64).map(d => (1000 - (d % 7) * 100 +
+            (math.abs(mix(i * 7919L + d * 13L + 5)) % 3).toInt) / 1000.0f)
+        else (0 until 64).map(d =>
+          ((math.abs(mix(i * 524287L + d * 4099L + 7)) % 2000) - 1000) / 1000.0f)
+      Row(i, v)
+    }
+    val emb = spark.createDataFrame(embRdd, StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))).persist()
+    val esig = emb.select(
+      graft.ops.Similarity.hyperplaneSignature(col("embedding"), 32).as("sig"))
+    val ebs = esig.select(explode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sig"), b * 8).bitwiseAND(lit(255L)) + lit(b * 256L)): _*)).as("bk"))
+      .groupBy("bk").count()
+      .agg(max("count").as("mx"), count(when(col("count") > 1024, 1)).as("hot1024")).head()
+    println(s"[probe] {" + s""""mode":"skew","guard":"embedding_band_buckets","max_bucket":${ebs.getLong(0)},"hot_buckets_at_cap1024":${ebs.getLong(1)}""" + "}")
+
+    // 5. AQE skew split: the UNCAPPED band self-join (shingle arrays as
+    // payload for realistic bytes), broadcast off, skew byte floors
+    // scaled probe-sized; the 5× factor stays default
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> scala.util.Try(conf.get(k)).toOption).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+      val banded = sigs.select(col("id"), col("hs"),
+        explode(graft.functions.BandKeys.band_keys(col("sig"), 64, 16)).as("bk"))
+      val joined = banded.select(col("bk"), col("id").as("ida"), col("hs").as("hsa"))
+        .join(banded.select(col("bk"), col("id").as("idb")), Seq("bk"))
+        .where(col("ida") < col("idb"))
+      val t0 = System.nanoTime()
+      val n = joined.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val plan = joined.queryExecution.executedPlan.toString
+      val skewFired = plan.contains("skew=true")
+      println(f"""[probe] {"mode":"skew","guard":"aqe_skew_join","fired":$skewFired,"pairs_uncapped":$n,"sec":$sec%.2f}""")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+    Seq(bandCounts, sigs, docs, emb).foreach(_.unpersist(blocking = false))
+  }
+
+  /** Round-14 mode `heaps`: the containment ratio re-measured under
+    * REALISTIC vocabulary growth. The r13 probe drew a FIXED 31-word
+    * vocab uniformly, making every df grow ∝ N (quadratic candidates by
+    * construction). Real corpora follow Heaps' law — vocab ∝ N^β,
+    * β ≈ 0.5 — with Zipf-distributed word frequencies; this generator
+    * does both (V = ⌈8√N⌉, rank drawn log-uniformly ⇒ P(rank) ∝ 1/rank)
+    * and re-runs containment at 5k vs 50k docs under (a) the r13 WRONG
+    * rule (absolute cap ∝ corpus), (b) the operating rule (percentile
+    * cap), (c) a fixed absolute cap. */
+  private def heapsMode(spark: SparkSession): Unit = {
+    def gen(n: Long): DataFrame = {
+      val vocabSize = math.max(31, math.ceil(8.0 * math.sqrt(n.toDouble)).toInt)
+      val rdd = spark.range(n).rdd.map { i =>
+        val words = (0 until 20).map { j =>
+          val u = (math.abs(mix(i * 131071L + j * 8191L + 23)) % 1000000L) / 1e6
+          val rank = math.min(vocabSize, math.max(1, math.pow(vocabSize.toDouble, u).toInt))
+          s"w$rank"
+        }
+        Row(i, words.mkString(" "))
+      }
+      spark.createDataFrame(rdd, StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+    }
+    def run(n: Long, label: String): Unit = {
+      val docs = gen(n).persist()
+      val quotes = docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat_ws(" ", slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 10)).as("text"))
+      val corpus = docs.unionByName(quotes).persist()
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val r = f; ((System.nanoTime() - t0) / 1e9, r)
+      }
+      val (sA, nA) = time(graft.ops.Dedup.containment(corpus,
+        threshold = 0.8, maxDocFreq = (n / 25).toInt).count())
+      println(f"""[probe] {"mode":"heaps","scale":"$label","cap":"absolute_corpus_proportional","sec":$sA%.2f,"pairs":$nA}""")
+      val (sP, nP) = time(graft.ops.Dedup.containment(corpus,
+        threshold = 0.8, maxDocFreqPercentile = Some(0.99)).count())
+      println(f"""[probe] {"mode":"heaps","scale":"$label","cap":"percentile_p99","sec":$sP%.2f,"pairs":$nP}""")
+      val (sF, nF) = time(graft.ops.Dedup.containment(corpus,
+        threshold = 0.8, maxDocFreq = 100).count())
+      println(f"""[probe] {"mode":"heaps","scale":"$label","cap":"absolute_100","sec":$sF%.2f,"pairs":$nF}""")
+      val dfTop = corpus.select(explode(
+          graft.functions.HashedShingles.hashed_shingles(col("text"), 3)).as("sh"), col("doc_id"))
+        .groupBy("sh").agg(countDistinct("doc_id").as("df"))
+        .agg(max("df").as("mx"), count(lit(1)).as("vocab_shingles")).head()
+      println(s"[probe] {" + s""""mode":"heaps","scale":"$label","max_df":${dfTop.getLong(0)},"distinct_shingles":${dfTop.getLong(1)}""" + "}")
+      Seq(corpus, docs).foreach(_.unpersist(blocking = false))
+    }
+    run(5000L, "5k")
+    run(50000L, "50k")
   }
 }
