@@ -229,9 +229,11 @@ object ScaleProbe {
     shingleDf.unpersist(blocking = false)
 
     // 3. viral audio clip: ONE clip of recording 2, re-shared 600× under
-    // distinct media ids — its grams bucket at ~601 vs the 256 cap
+    // distinct media ids — its grams bucket at ~601 vs the 256 cap.
+    // (48 windows → a 47-sign string → 24 grams of 24 windows each; a
+    // clip shorter than gramWindows+1 windows has NO grams at all)
     val one = graft.ops.Multimodal.syntheticWavClip(
-      docs.where(col("doc_id") === 2), nWindows = 24)
+      docs.where(col("doc_id") === 2), nWindows = 48)
     val viral = one.crossJoin(spark.range(600).select(col("id").as("cp")))
       .select((col("media_id") + col("cp")).as("media_id"),
         col("modality"), col("content"), col("meta"))
@@ -268,9 +270,13 @@ object ScaleProbe {
       .agg(max("count").as("mx"), count(when(col("count") > 1024, 1)).as("hot1024")).head()
     println(s"[probe] {" + s""""mode":"skew","guard":"embedding_band_buckets","max_bucket":${ebs.getLong(0)},"hot_buckets_at_cap1024":${ebs.getLong(1)}""" + "}")
 
-    // 5. AQE skew split: the UNCAPPED band self-join (shingle arrays as
-    // payload for realistic bytes), broadcast off, skew byte floors
-    // scaled probe-sized; the 5× factor stays default
+    // 5. AQE skew split: the UNCAPPED band self-join over a corpus
+    // where the template cluster DOMINATES — 6k identical 60-word docs
+    // (identical signature → 16 band buckets of 6k wide rows each) over
+    // a 2k uniform background, so the hot partitions are >5× the median
+    // (the default skew FACTOR, the organic signal). Broadcast off to
+    // force the sort-merge path; the BYTE floors are scaled probe-sized
+    // (cluster defaults assume 256 MB-class partitions).
     val conf = spark.conf
     val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
@@ -278,19 +284,50 @@ object ScaleProbe {
       .map(k => k -> scala.util.Try(conf.get(k)).toOption).toMap
     try {
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
-      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
-      val banded = sigs.select(col("id"), col("hs"),
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+      val template = (1 to 60).map(i => s"tmpl$i").mkString(" ")
+      val skewRdd = spark.range(7000L).rdd.map { i =>
+        val text = if (i < 6000) template
+          else (0 until 20).map(j => s"u${math.abs(mix(i * 524287L + j * 4099L + 41))}").mkString(" ")
+        Row(i, text)
+      }
+      val skewDocs = spark.createDataFrame(skewRdd, StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      val sigsSkew = graft.ops.Dedup.signatureTable(skewDocs).persist()
+      // per-row DISTINCT high-entropy payload (16 different md5s, no
+      // repetition): identical or repetitive rows compress to nothing
+      // in the shuffle blocks and the skew detector — which reads
+      // COMPRESSED map-output sizes — would see no oversized partition;
+      // real skewed fact rows carry distinct content. Only the LEFT
+      // side carries it: a partition skewed on BOTH sides of the same
+      // join is one OptimizeSkewedJoin refuses to split
+      val payload = expr("concat(" +
+        (0 until 16).map(j => s"md5(cast(id + ${j * 1000000} as string))").mkString(",") + ")")
+      val banded = sigsSkew.select(col("id"), payload.as("payload"),
         explode(graft.functions.BandKeys.band_keys(col("sig"), 64, 16)).as("bk"))
-      val joined = banded.select(col("bk"), col("id").as("ida"), col("hs").as("hsa"))
+      val joined = banded.select(col("bk"), col("id").as("ida"), col("payload"))
         .join(banded.select(col("bk"), col("id").as("idb")), Seq("bk"))
         .where(col("ida") < col("idb"))
       val t0 = System.nanoTime()
-      val n = joined.count()
+      // collect() runs THIS dataset's own QueryExecution (a write or a
+      // df.count() would plan a separate one and leave this plan
+      // unfinalized, isFinalPlan=false — no skew info to read)
+      // the aggregate must CONSUME the payload or column pruning strips
+      // it before the shuffle and no partition is big enough to be skewed
+      val cnt = joined.agg(count(lit(1)).as("pairs"),
+        sum(length(col("payload"))).as("payload_bytes"))
+      val n = cnt.collect()(0).getLong(0)
       val sec = (System.nanoTime() - t0) / 1e9
-      val plan = joined.queryExecution.executedPlan.toString
+      val plan = cnt.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case p => p.toString
+      }
+      if (sys.env.contains("SPARK_GRAFT_PROBE_DEBUG")) println(plan.take(8000))
       val skewFired = plan.contains("skew=true")
       println(f"""[probe] {"mode":"skew","guard":"aqe_skew_join","fired":$skewFired,"pairs_uncapped":$n,"sec":$sec%.2f}""")
+      sigsSkew.unpersist(blocking = false)
     } finally saved.foreach { case (k, v) =>
       v.fold(conf.unset(k))(conf.set(k, _))
     }
