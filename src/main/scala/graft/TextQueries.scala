@@ -34,6 +34,73 @@ private[graft] object TextQueries {
         max("doc_id").as("max_id"),
         sum(when(col("doc_id") >= 10000, 1L).otherwise(0L)).as("perturbed_kept"))
     }),
+    "q_pipeline_curate_budget" -> ((s, dir) => {
+      import s.implicits._
+      // the full pipeline with the CONTAINMENT stage on and the
+      // percentile df-cap running as the operational default (the
+      // round-13/14 probes' operating rule): quality floor → exact
+      // dedup → minhash near-dedup → containment dedup, dropping the
+      // CONTAINED side (fewer shingles; ties drop the higher id) of
+      // every quote pair under the p99 df budget. The corpus plants
+      // BOTH duplicate shapes: +10000 first-word-dropped near-dups
+      // (LSH's catch) and +40000 25-token quote prefixes (Jaccard ≈ 0
+      // — only the containment stage sees them).
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docsWithNearDups(s, dir).unionByName(
+        d.where(col("doc_id") % 5 === 0).select((col("doc_id") + 40000).as("doc_id"),
+          concat_ws(" ", slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 25)).as("text")))
+      val kept = graft.ops.Curate.curate(corpus,
+        minQuality = 0.2, nearThreshold = 0.6, verifyExact = true,
+        bands = 32, maxBucket = 1000, containmentThreshold = Some(0.9))
+      kept.agg(
+        count(lit(1)).as("n_kept"),
+        min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"),
+        sum(when(col("doc_id") >= 10000 && col("doc_id") < 40000, 1L).otherwise(0L))
+          .as("perturbed_kept"),
+        sum(when(col("doc_id") >= 40000, 1L).otherwise(0L)).as("quotes_kept"))
+    }),
+    "q_retract_reingest" -> ((s, dir) => {
+      // corpus takedown end-to-end, proving retracted signatures are
+      // REALLY gone: corpus → (seq-bucketed log, durable signature
+      // table); retract every doc_id % 10 == 3 through the intent-logged
+      // family path (log rewrite + filtered view compaction); then
+      // re-ingest near-dups of ALL % 5 == 3 docs. The half whose source
+      // was RETRACTED (% 10 == 3) must SURVIVE the incremental check —
+      // nothing left to match — while the half whose source was KEPT
+      // (% 10 == 8) still drops against the stored table.
+      def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+      val docSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+      val curLog = new ParquetLog(s, tmp("graftret-log"), docSchema, bucketSize = 128L)
+      val sigView = new graft.views.SignatureTableView(
+        s, s"${tmp("graftret-sig")}/sg", 1, "doc_id", "text")
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      curLog.append(d)
+      sigView.absorbSigs(graft.ops.Dedup.signatureTable(d), curLog.since)
+      val retractIds = d.where(col("doc_id") % 10 === 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      graft.views.Retraction.retract(curLog, "doc_id", retractIds,
+        ids => sigView.retractWhere(col("id").isin(ids: _*)),
+        java.nio.file.Paths.get(tmp("graftret-intent"), "_intent").toString)
+      val batch = d.where(col("doc_id") % 5 === 3)
+        .select((col("doc_id") + 50000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+      val drops = graft.ops.Dedup.minhashLshIncrementalStored(batch, sigView.sigs,
+          threshold = 0.6, bands = 32, maxBucket = 1000, verifyExact = true)
+        .select(col("id_a").as("doc_id")).distinct()
+      val survivors = batch.join(drops, Seq("doc_id"), "left_anti").localCheckpoint(true)
+      if (!survivors.isEmpty) curLog.append(survivors)
+      curLog.read.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("doc_id") < 50000 && col("doc_id") % 10 === 3, 1L).otherwise(0L))
+          .as("retracted_left"),
+        sum(when(col("doc_id") >= 50000 && (col("doc_id") - 50000) % 10 === 3, 1L).otherwise(0L))
+          .as("reingest_of_retracted"),
+        sum(when(col("doc_id") >= 50000 && (col("doc_id") - 50000) % 10 === 8, 1L).otherwise(0L))
+          .as("reingest_of_kept"))
+    }),
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"))
         .select("keep_id", "copies").orderBy("keep_id")),
@@ -545,6 +612,56 @@ private[graft] object TextQueries {
         "nears AS (SELECT DISTINCT id_b FROM pairs JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.6), " +
         "kept AS (SELECT doc_id FROM kept1 WHERE doc_id NOT IN (SELECT id_b FROM nears)) " +
         "SELECT count(*) AS n_kept, min(doc_id) AS min_id, max(doc_id) AS max_id, sum(CASE WHEN doc_id >= 10000 THEN 1 ELSE 0 END)::BIGINT AS perturbed_kept FROM kept"),
+    "q_retract_reingest" ->
+      // independent replay of the takedown: kept = corpus minus the
+      // retracted ids; the re-ingest batch drops only on exact-jaccard
+      // ≥ 0.6 vs a KEPT doc (32-band LSH+verify is exhaustive-equivalent
+      // on the fixture — the q_pipeline_curate argument); a drop vs a
+      // RETRACTED doc is impossible because its signatures left storage
+      ("WITH kept AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3), " +
+        "batch AS (SELECT doc_id + 50000 AS doc_id, regexp_replace(text, '^\\S+\\s+', '') AS text FROM documents WHERE doc_id % 5 = 3), " +
+        "allc AS (SELECT * FROM kept UNION ALL SELECT * FROM batch), " +
+        "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM allc), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(tk) = 0 THEN [] WHEN len(tk) < 3 THEN list_distinct(tk) ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sh FROM toks), " +
+        "counts AS (SELECT doc_id, len(sh) AS n FROM sh WHERE len(sh) > 0), " +
+        "inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM inv a JOIN inv b USING (shingle) WHERE a.doc_id >= 50000 AND b.doc_id < 50000 GROUP BY 1, 2), " +
+        "drops AS (SELECT DISTINCT id_a FROM pairs JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.6), " +
+        "final AS (SELECT doc_id FROM kept UNION ALL SELECT doc_id FROM batch WHERE doc_id NOT IN (SELECT id_a FROM drops)) " +
+        "SELECT count(*) AS n_rows, " +
+        "sum(CASE WHEN doc_id < 50000 AND doc_id % 10 = 3 THEN 1 ELSE 0 END)::BIGINT AS retracted_left, " +
+        "sum(CASE WHEN doc_id >= 50000 AND (doc_id - 50000) % 10 = 3 THEN 1 ELSE 0 END)::BIGINT AS reingest_of_retracted, " +
+        "sum(CASE WHEN doc_id >= 50000 AND (doc_id - 50000) % 10 = 8 THEN 1 ELSE 0 END)::BIGINT AS reingest_of_kept FROM final"),
+    "q_pipeline_curate_budget" ->
+      // the pipeline + containment-stage replay: same chain as
+      // q_pipeline_curate through the near-drop, then the quantile_cont
+      // p99 df cap over the SURVIVORS' postings, pairs from the rare
+      // postings, and the contained-side drop rule (fewer shingles;
+      // ties drop the higher id)
+      ("WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, regexp_replace(text, '^\\S+\\s+', '') FROM documents " +
+        "UNION ALL SELECT doc_id + 40000, array_to_string(list_slice(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''), 1, 25), ' ') FROM documents WHERE doc_id % 5 = 0), " +
+        "qual AS (SELECT doc_id, text FROM (SELECT doc_id, text, round(least(n::DOUBLE / 50.0, 1.0) * 0.4 + least((stop_hits::DOUBLE / greatest(n::DOUBLE, 1.0)) * 5.0, 1.0) * 0.4 + greatest(1.0 - punct * 4.0, 0.0) * 0.2, 4) AS quality FROM (SELECT doc_id, text, len(toks) AS n, len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t))) AS stop_hits, length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS punct FROM (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks FROM corpus))) WHERE quality >= 0.2), " +
+        "exact_keep AS (SELECT min(doc_id) AS doc_id FROM qual GROUP BY text), " +
+        "kept1 AS (SELECT q.doc_id, q.text FROM qual q JOIN exact_keep e USING (doc_id)), " +
+        "toks2 AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM kept1), " +
+        "sh AS MATERIALIZED (SELECT doc_id, CASE WHEN len(tk) = 0 THEN [] WHEN len(tk) < 3 THEN list_distinct(tk) ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sh FROM toks2), " +
+        "counts AS (SELECT doc_id, len(sh) AS n FROM sh WHERE len(sh) > 0), " +
+        "inv AS MATERIALIZED (SELECT doc_id, unnest(sh) AS shingle FROM sh), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM inv a JOIN inv b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "nears AS (SELECT DISTINCT id_b FROM pairs JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.6), " +
+        "kept2 AS MATERIALIZED (SELECT doc_id FROM kept1 WHERE doc_id NOT IN (SELECT id_b FROM nears)), " +
+        "inv2 AS MATERIALIZED (SELECT i.doc_id, i.shingle FROM inv i JOIN kept2 USING (doc_id)), " +
+        "dfs AS MATERIALIZED (SELECT shingle, count(*) AS df FROM inv2 GROUP BY 1), " +
+        "cap AS (SELECT quantile_cont(df, 0.99) AS c FROM dfs), " +
+        "rare AS (SELECT i.doc_id, i.shingle FROM inv2 i JOIN dfs USING (shingle), cap WHERE df <= c), " +
+        "cpairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM rare a JOIN rare b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "cdrop AS (SELECT DISTINCT CASE WHEN ca.n < cb.n THEN id_a WHEN cb.n < ca.n THEN id_b ELSE greatest(id_a, id_b) END AS doc_id " +
+        "FROM cpairs JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b " +
+        "WHERE round(inter::DOUBLE / least(ca.n, cb.n), 4) >= 0.9), " +
+        "kept AS (SELECT doc_id FROM kept2 WHERE doc_id NOT IN (SELECT doc_id FROM cdrop)) " +
+        "SELECT count(*) AS n_kept, min(doc_id) AS min_id, max(doc_id) AS max_id, " +
+        "sum(CASE WHEN doc_id >= 10000 AND doc_id < 40000 THEN 1 ELSE 0 END)::BIGINT AS perturbed_kept, " +
+        "sum(CASE WHEN doc_id >= 40000 THEN 1 ELSE 0 END)::BIGINT AS quotes_kept FROM kept"),
     "q_text_stats" ->
       "SELECT doc_id, length(text)::BIGINT AS n_chars, len(toks)::BIGINT AS n_tokens, round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) END, 4) AS avg_token_len, round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / greatest(length(text), 1), 4) AS punct_ratio FROM (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks FROM documents) ORDER BY doc_id",
     "q_token_count" ->

@@ -749,8 +749,21 @@ object Dedup {
       w: Int = 3,
       threshold: Double = 0.8,
       maxDocFreq: Int = 100,
+      maxDocFreqPercentile: Option[Double] = None): DataFrame =
+    containmentFromShingles(
+      docs.select(col(idCol).as("id"), hashedShinglesCol(col(textCol), w).as("sh")),
+      threshold, maxDocFreq, maxDocFreqPercentile)
+
+  /** [[containment]] over PRECOMPUTED shingle sets `(id, sh)` — the
+    * zero-reshingle form for pipelines that already hold the per-doc
+    * feature table ([[graft.ops.Curate.curate]]'s containment stage,
+    * anything holding a [[signatureTable]]'s `hs` column). */
+  def containmentFromShingles(
+      shingled: DataFrame,
+      threshold: Double = 0.8,
+      maxDocFreq: Int = 100,
       maxDocFreqPercentile: Option[Double] = None): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), hashedShinglesCol(col(textCol), w).as("sh"))
+    val sh = shingled.select(col("id"), col("sh"))
       .where(size(col("sh")) > 0)
       .persist()
     val counts = sh.select(col("id"), size(col("sh")).as("n"))

@@ -438,6 +438,36 @@ class OpsSpec extends SparkSpec {
     assert(perturbed <= 50, s"perturbed near-dups should be dropped, got $perturbed kept")
   }
 
+  test("curation containment stage drops the quote side under the percentile budget") {
+    import spark.implicits._
+    // distinct word-salad docs (no shared shingles between docs) + a
+    // 10-token quote prefix of doc 1: Jaccard quote/doc ≈ 10/40 < 0.6
+    // (minhash keeps both), containment = 1.0 (the stage drops the
+    // quote — the CONTAINED side, fewer shingles)
+    def salad(i: Long, n: Int): String =
+      (0 until n).map(j => s"w${i}x$j").mkString(" ")
+    val docs = ((1L to 20L).map(i => (i, salad(i, 40))) :+
+      (500L, salad(1L, 40).split(" ").take(10).mkString(" "))).toDF("doc_id", "text")
+    val base = Curate.curate(docs, minQuality = 0.0, nearThreshold = 0.6, verifyExact = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(base.contains(500L), "without the containment stage the quote survives (LSH-blind)")
+    val kept = Curate.curate(docs, minQuality = 0.0, nearThreshold = 0.6, verifyExact = true,
+        containmentThreshold = Some(0.9), maxDocFreqPercentile = 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === (1L to 20L).toSet, s"the quote (500) must drop, sources survive, got $kept")
+    // the budget trade, pinned: on this DEGENERATE corpus (every doc
+    // fully unique) the only repeated shingles ARE the quote's, so the
+    // p99 cap lands at df≈1 and classifies them as boilerplate — the
+    // quote becomes invisible and survives. The percentile rule assumes
+    // a corpus whose df distribution has real mass (any natural corpus);
+    // the oracle-backed q_pipeline_curate_budget covers that regime.
+    val keptP99 = Curate.curate(docs, minQuality = 0.0, nearThreshold = 0.6, verifyExact = true,
+        containmentThreshold = Some(0.9))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptP99.contains(500L),
+      "degenerate all-unique corpus: p99 classifies the sole repeats as boilerplate")
+  }
+
   test("minhash exact-verify reports true jaccard for candidates") {
     val pairs = Dedup.minhashLsh(docsND, threshold = 0.5, verifyExact = true).collect()
     val planted = pairs.filter(r => r.getLong(1) === r.getLong(0) + 10000)
