@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -475,6 +475,52 @@ final class ParquetLog(
     if (!root.renameTo(old)) throw new java.io.IOException(s"compact: cannot move $root aside")
     if (!tmp.renameTo(root)) { old.renameTo(root); throw new java.io.IOException(s"compact: cannot swap in $tmp") }
     deleteTree(old)
+  }
+
+  /** Corpus RETRACTION (takedown): physically remove every row matching
+    * `cond` from storage, returning the number removed. The one mutation
+    * an append-only pretraining log genuinely needs — a rights-holder
+    * takedown or GDPR erasure must actually delete the bytes, not
+    * tombstone them. Seqs of surviving rows are UNCHANGED (retraction
+    * leaves holes in the seq space — readers already tolerate gaps, and
+    * re-stamping would corrupt every downstream artifact keyed by seq).
+    *
+    * Implementation is [[compact]]'s documented rewrite path with a
+    * filter: full rewrite into `.compacting`, atomic two-rename swap,
+    * recovery via the same `.precompact` protocol — a JVM death at any
+    * point leaves either the old or the new state, never a partial one.
+    * The match scan is columnar (only `cond`'s columns are read). At
+    * cluster scale this is the per-bucket rewrite with a manifest flip:
+    * only buckets containing matches are rewritten, and the bucketed
+    * layout is preserved here for exactly that reason. NULL `cond` rows
+    * are KEPT (a predicate that cannot identify a row must not delete
+    * it). Idempotent: retracting already-absent rows rewrites nothing. */
+  def retract(cond: Column): Long = synchronized {
+    if (ParquetLog.liveTailStarted(dir))
+      throw new IllegalStateException(
+        s"retract: a file-granular live tail (readStreamFiles) was started on $dir; " +
+          "rewriting would re-deliver rewritten files to that stream as duplicates.")
+    if (cursor < 0) return 0L
+    val hit = coalesce(cond, lit(false))
+    val removed = readRaw.where(hit).count()
+    if (removed == 0L) return 0L
+    val root = new java.io.File(dir)
+    val tmp = new java.io.File(dir + ".compacting")
+    val old = new java.io.File(dir + ".precompact")
+    recoverCompactLeftovers(cleanStale = true)
+    val keep = readRaw.where(!hit)
+    if (bucketed)
+      keep.repartition(col(bucketCol)).write.partitionBy(bucketCol).parquet(tmp.getPath)
+    else keep.write.parquet(tmp.getPath)
+    if (!root.renameTo(old)) throw new java.io.IOException(s"retract: cannot move $root aside")
+    if (!tmp.renameTo(root)) { old.renameTo(root); throw new java.io.IOException(s"retract: cannot swap in $tmp") }
+    deleteTree(old)
+    cursor =
+      if (hasData)
+        spark.read.option("basePath", dir).schema(diskSchema).parquet(dir)
+          .agg(coalesce(max(col(seqCol)), lit(-1L))).head().getLong(0)
+      else -1L
+    removed
   }
 
   override def methods: Map[String, Seq[Any] => Any] =

@@ -168,9 +168,40 @@ private[views] trait CompactableDeltas extends DeltaProtocol {
   def compact(): Unit = {
     val dirs = committedBatchDirs()
     if (dirs.size <= 1) return
+    rewriteChain(mergeDeltas(readDeltas(dirs)), dirs)
+  }
+
+  /** RETRACTION (takedown) across the whole delta chain: physically
+    * remove every feature row matching `cond` — the view-side half of a
+    * corpus takedown (the log side is
+    * [[graft.core.ParquetLog.retract]]). A retracted document's
+    * signatures/hashes must actually leave storage, or a later
+    * re-ingest of near-identical content would still dedup against it.
+    *
+    * Implemented as a FILTERED compaction: the chain collapses into one
+    * base delta minus the matching rows, under [[compact]]'s exact
+    * crash protocol (tmp → marker → swap; a death at any point recovers
+    * to old or new state at open, never partial). The ingest cursor is
+    * UNCHANGED — retraction is not an absorb, and replaying the
+    * interval would find the rows already gone. Like any compaction it
+    * collapses [[frameAsOf]] history to the current state — which for a
+    * takedown is the POINT (no snapshot may resurrect the rows). NULL
+    * `cond` rows are kept; retracting absent rows is an idempotent
+    * rewrite. */
+  def retractWhere(cond: org.apache.spark.sql.Column): Unit = {
+    val dirs = committedBatchDirs()
+    if (dirs.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    rewriteChain(
+      mergeDeltas(readDeltas(dirs)).where(!coalesce(cond, lit(false))), dirs)
+  }
+
+  /** The shared tmp → marker → swap rewrite under the compaction crash
+    * protocol: collapse `dirs` into one base delta holding `merged`. */
+  private def rewriteChain(merged: DataFrame, dirs: Seq[Path]): Unit = {
     if (Files.exists(compactMarker)) Files.delete(compactMarker)
     if (Files.exists(compactTmp)) FsLists.walkDeepestFirst(compactTmp).foreach(Files.delete)
-    writeMerged(mergeDeltas(readDeltas(dirs)), compactTmp)
+    writeMerged(merged, compactTmp)
     Files.writeString(compactMarker, sinceSeq.toString) // tmp is now the commit point
     dirs.foreach(p => FsLists.walkDeepestFirst(p).foreach(Files.delete))
     Files.move(compactTmp, batchPath(sinceSeq))

@@ -811,6 +811,185 @@ class PersistenceSpec extends SparkSpec {
       "hot cells must keep all batch members")
   }
 
+  test("retractWhere removes rows across the delta chain in every modality table") {
+    // each modality's durable table: absorb TWO deltas, retract ids
+    // spanning both, and the read, a reopened instance, and the cursor
+    // must all agree the rows are gone and nothing else moved
+    def checkView[V <: AnyRef](
+        name: String,
+        make: String => V,
+        absorb: (V, Seq[Row], Long) => Unit,
+        retractIds: (V, Seq[Long]) => Unit,
+        readIds: V => Set[Long],
+        since: V => Long,
+        rowsA: Seq[Row], idsA: Set[Long],
+        rowsB: Seq[Row], idsB: Set[Long],
+        retract: Seq[Long]): Unit = {
+      val dir = Files.createTempDirectory(s"graft-ret-$name").toString + "/v"
+      val v = make(dir)
+      absorb(v, rowsA, 10L)
+      absorb(v, rowsB, 20L)
+      retractIds(v, retract)
+      val expect = (idsA ++ idsB) -- retract
+      assert(readIds(v) === expect, s"$name: retracted rows must leave the read")
+      assert(since(v) === 20L, s"$name: retraction must not move the ingest cursor")
+      val v2 = make(dir)
+      assert(readIds(v2) === expect, s"$name: a reopen must not resurrect retracted rows")
+      assert(since(v2) === 20L, s"$name: cursor survives reopen")
+    }
+    def rows2(f: Long => Row, ids: Seq[Long]): Seq[Row] = ids.map(f)
+    def df(schema: StructType, rows: Seq[Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+
+    val phSchema = StructType(Seq(
+      StructField("media_id", LongType), StructField("phash", LongType)))
+    checkView[PhashTableView]("phash",
+      d => new PhashTableView(spark, d, 1),
+      (v, r, u) => v.absorbHashes(df(phSchema, r), u),
+      (v, ids) => v.retractWhere(col("media_id").isin(ids: _*)),
+      v => v.hashes.select("media_id").collect().map(_.getLong(0)).toSet,
+      v => v.since,
+      rows2(i => Row(i, i * 7L), Seq(1L, 2L, 3L)), Set(1L, 2L, 3L),
+      rows2(i => Row(i, i * 7L), Seq(4L, 5L)), Set(4L, 5L),
+      Seq(2L, 5L))
+
+    val fpSchema = StructType(Seq(
+      StructField("media_id", LongType), StructField("n_windows", IntegerType),
+      StructField("afp", LongType)))
+    checkView[AudioFingerprintTableView]("audiofp",
+      d => new AudioFingerprintTableView(spark, d, 1),
+      (v, r, u) => v.absorbFingerprints(df(fpSchema, r), u),
+      (v, ids) => v.retractWhere(col("media_id").isin(ids: _*)),
+      v => v.fingerprints.select("media_id").collect().map(_.getLong(0)).toSet,
+      v => v.since,
+      rows2(i => Row(i, 4, i * 3L), Seq(1L, 2L)), Set(1L, 2L),
+      rows2(i => Row(i, 4, i * 3L), Seq(3L)), Set(3L),
+      Seq(1L))
+
+    val fhSchema = StructType(Seq(
+      StructField("media_id", LongType), StructField("frame_idx", IntegerType),
+      StructField("phash", LongType)))
+    checkView[FrameHashTableView]("framehash",
+      d => new FrameHashTableView(spark, d, 1),
+      (v, r, u) => v.absorbHashes(df(fhSchema, r), u),
+      (v, ids) => v.retractWhere(col("media_id").isin(ids: _*)),
+      v => v.hashes.select("media_id").collect().map(_.getLong(0)).toSet,
+      v => v.since,
+      Seq(Row(1L, 0, 11L), Row(1L, 1, 12L), Row(2L, 0, 21L)), Set(1L, 2L),
+      Seq(Row(3L, 0, 31L), Row(3L, 1, 32L)), Set(3L),
+      Seq(1L))
+
+    val esSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("sig", LongType)))
+    checkView[EmbeddingSigTableView]("embsig",
+      d => new EmbeddingSigTableView(spark, d, 1),
+      (v, r, u) => v.absorbSigs(df(esSchema, r), u),
+      (v, ids) => v.retractWhere(col("vec_id").isin(ids: _*)),
+      v => v.sigs.select("vec_id").collect().map(_.getLong(0)).toSet,
+      v => v.since,
+      rows2(i => Row(i, i * 5L), Seq(1L, 2L)), Set(1L, 2L),
+      rows2(i => Row(i, i * 5L), Seq(3L, 4L)), Set(3L, 4L),
+      Seq(3L))
+
+    // text: a REAL signature table (id, hs, sig) from tiny docs
+    import spark.implicits._
+    def sigsOf(ids: Seq[Long]) = graft.ops.Dedup.signatureTable(
+      ids.map(i => (i, (0 until 10).map(j => s"w${i}t$j").mkString(" "))).toDF("doc_id", "text"))
+    val sgDir = Files.createTempDirectory("graft-ret-sig").toString + "/v"
+    val sg = new SignatureTableView(spark, sgDir, 1, "doc_id", "text")
+    sg.absorbSigs(sigsOf(Seq(1L, 2L)), 10L)
+    sg.absorbSigs(sigsOf(Seq(3L)), 20L)
+    sg.retractWhere(col("id").isin(2L))
+    assert(sg.sigs.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    assert(sg.since === 20L)
+    val sg2 = new SignatureTableView(spark, sgDir, 1, "doc_id", "text")
+    assert(sg2.sigs.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 3L),
+      "text signature table: reopen must not resurrect retracted rows")
+  }
+
+  test("family takedown: intent replay closes the log-rewritten-but-features-lost crash window") {
+    import spark.implicits._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def salad(i: Long): String = (0 until 12).map(j => s"w${i}q$j").mkString(" ")
+    val docs = (1L to 10L).map(i => (i, salad(i))).toDF("doc_id", "text")
+    val logDir = Files.createTempDirectory("graft-fam-log").toString
+    val curLog = new ParquetLog(spark, logDir, docSchema, bucketSize = 4L)
+    val sgDir = Files.createTempDirectory("graft-fam-sig").toString + "/v"
+    val sigView = new SignatureTableView(spark, sgDir, 1, "doc_id", "text")
+    curLog.append(docs)
+    sigView.absorbSigs(graft.ops.Dedup.signatureTable(docs), curLog.since)
+    val intent = Files.createTempDirectory("graft-fam-int").toString + "/_intent"
+
+    // CRASH WINDOW: intent durable, log rewritten, feature delete LOST
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(intent), "3,7")
+    curLog.retract(col("doc_id").isin(3L, 7L))
+    assert(curLog.read.where(col("doc_id").isin(3L, 7L)).count() === 0L,
+      "window open: log rows gone")
+    assert(sigView.sigs.where(col("id").isin(3L, 7L)).count() === 2L,
+      "window open: ghost signatures still in the table")
+    // a re-ingest of a near-dup of retracted doc 3 would WRONGLY drop
+    // against the ghost signatures here — the exact state recover closes
+    val nearDup3 = Seq((503L, salad(3L).split(" ").drop(1).mkString(" ")))
+      .toDF("doc_id", "text")
+    val ghostDrops = graft.ops.Dedup.minhashLshIncrementalStored(nearDup3, sigView.sigs,
+      threshold = 0.5, bands = 32, maxBucket = 1000, verifyExact = true)
+    assert(ghostDrops.count() > 0, "ghosts must match (the bug recover exists to prevent)")
+
+    // reopen: recover replays BOTH halves idempotently and clears intent
+    val curLog2 = new ParquetLog(spark, logDir, docSchema, bucketSize = 4L)
+    val sigView2 = new SignatureTableView(spark, sgDir, 1, "doc_id", "text")
+    val replayed = Retraction.recover(curLog2, "doc_id",
+      ids => sigView2.retractWhere(col("id").isin(ids: _*)), intent)
+    assert(replayed === Seq(3L, 7L))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(intent)))
+    assert(sigView2.sigs.where(col("id").isin(3L, 7L)).count() === 0L,
+      "recover landed the lost feature delete")
+    // the proof: the near-dup of retracted doc 3 now SURVIVES the
+    // incremental check — the signatures are really gone
+    val drops = graft.ops.Dedup.minhashLshIncrementalStored(nearDup3, sigView2.sigs,
+      threshold = 0.5, bands = 32, maxBucket = 1000, verifyExact = true)
+    assert(drops.count() === 0L, "retracted content must be re-ingestable")
+    // seqs of surviving log rows unchanged; kept docs still dedup
+    assert(curLog2.stream().select("seq", "doc_id").collect()
+      .forall(r => r.getLong(0) === r.getLong(1) - 1), "surviving seqs unchanged (holes allowed)")
+    val nearDup4 = Seq((504L, salad(4L).split(" ").drop(1).mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(graft.ops.Dedup.minhashLshIncrementalStored(nearDup4, sigView2.sigs,
+      threshold = 0.5, bands = 32, maxBucket = 1000, verifyExact = true).count() > 0,
+      "kept content still dedups against the stored table")
+  }
+
+  test("ParquetLog.retract: bucketed rewrite preserves layout and survives the rename crash window") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    import spark.implicits._
+    val logDir = Files.createTempDirectory("graft-lret").toString
+    val log = new ParquetLog(spark, logDir, docSchema, bucketSize = 4L)
+    log.append((1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text"))
+    val removed = log.retract(col("doc_id") % 3 === 0)
+    assert(removed === 3L)
+    assert(log.read.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      (1L to 10L).filterNot(_ % 3 == 0).toSet)
+    // layout preserved: bucket dirs still present, range scans still prune
+    assert(new java.io.File(logDir).listFiles().exists(_.getName.startsWith("seq_bucket=")),
+      "bucketed layout survives retraction")
+    assert(log.stream(LogRange(gte = Some(4L), lte = Some(7L)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(5L, 7L, 8L),
+      "seqs unchanged after retraction (holes where retracted)")
+    // idempotent: nothing left to remove, no rewrite
+    assert(log.retract(col("doc_id") % 3 === 0) === 0L)
+    // crash window BETWEEN the two renames: tmp complete, root moved
+    // aside — a reopen must restore the ORIGINAL state (the retraction
+    // re-runs via the intent file, never half-applies)
+    val root = new java.io.File(logDir)
+    val pre = new java.io.File(logDir + ".precompact")
+    assert(root.renameTo(pre), "simulate: root moved aside, swap-in lost")
+    val log2 = new ParquetLog(spark, logDir, docSchema, bucketSize = 4L)
+    assert(log2.read.count() === 7L, "recovery restored the pre-crash state")
+    assert(!pre.exists(), "recovery consumed the leftover")
+  }
+
   test("log method passthrough with collision protection (index.js:270-283)") {
     val log = new MemoryLog(spark, schema) {
       override def methods: Map[String, Seq[Any] => Any] =
