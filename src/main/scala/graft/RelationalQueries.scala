@@ -196,6 +196,31 @@ private[graft] object RelationalQueries {
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(100)
     }),
+    "q_tpch_q22" -> ((s, dir) => {
+      // TPC-H Q22-shaped (global market opportunity): customers from a
+      // nation slice with ABOVE-AVERAGE positive balance and NO urgent
+      // order — the anti-join + scalar-subquery composite. Decorrelated
+      // declaratively: the positive-balance average is ONE row
+      // (broadcast cross join) compared in integer CENTS so the
+      // threshold is exact across engines (cents·n > Σcents — no float
+      // division, no rounding boundary); NOT EXISTS(urgent order) is an
+      // anti join on the customer key (the priority filter pushes to
+      // the orders scan and shrinks the anti build side 5×); the
+      // (nation) agg partial-aggregates map-side.
+      val cents = round(col("c_acctbal") * 100).cast("long")
+      val pool = t(s, dir, "customer").where(col("c_nationkey") % 3 === 1)
+        .select(col("c_custkey"), col("c_nationkey").cast("bigint").as("cntry"),
+          cents.as("cents"))
+      val thr = pool.where(col("cents") > 0)
+        .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+      pool.crossJoin(broadcast(thr))
+        .where(col("cents") * col("n") > col("s"))
+        .join(t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
+        .groupBy("cntry")
+        .agg(count(lit(1)).as("numcust"), sum("cents").as("tot_cents"))
+        .orderBy("cntry")
+    }),
     "q_window_rank" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
@@ -512,6 +537,12 @@ private[graft] object RelationalQueries {
         "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') " +
         "AND s_nationkey = n_nationkey AND n_nationkey % 2 = 1 " +
         "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"),
+    "q_tpch_q22" ->
+      ("WITH pool AS (SELECT c_custkey, c_nationkey::BIGINT AS cntry, CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer WHERE c_nationkey % 3 = 1), " +
+        "thr AS (SELECT count(*) AS n, sum(cents) AS s FROM pool WHERE cents > 0) " +
+        "SELECT cntry, count(*) AS numcust, sum(cents)::BIGINT AS tot_cents FROM pool, thr " +
+        "WHERE cents * n > s AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') " +
+        "GROUP BY cntry ORDER BY cntry"),
     "q_group_agg" ->
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base, round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc, round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, round(avg(l_quantity), 4) AS avg_qty, count(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q_bucketed_join" ->

@@ -47,6 +47,49 @@ private[graft] object StreamingQueries {
         max("doc_id").as("max_id"),
         sum(when(col("doc_id") >= 10000, 1L).otherwise(0L)).as("perturbed_kept"))
     }),
+    "q_stream_curate_retract" -> ((s, dir) => {
+      // mid-stream corpus takedown through the LIVE curator: batch 1
+      // curates the originals; every doc_id % 10 == 3 survivor is then
+      // retracted through the intent-logged family path (log rewrite +
+      // signature-table filtered compaction) at a batch boundary;
+      // batch 2 re-ingests near-dups of ALL % 5 == 3 docs — the half
+      // whose source was RETRACTED must survive the stored check (its
+      // signatures really left the table), the half whose source was
+      // KEPT must still drop. The curator keeps running throughout:
+      // retraction moves no cursor (the log HWM is preserved even when
+      // the tail is retracted), so the exactly-once gates are unmoved.
+      def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+      val docSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+      val srcLog = new ParquetLog(s, tmp("graftscr-src"), docSchema)
+      val curLog = new ParquetLog(s, tmp("graftscr-dst"), docSchema, bucketSize = 128L)
+      val sigView = new graft.views.SignatureTableView(s, s"${tmp("graftscr-sig")}/s", 1, "doc_id", "text")
+      val commit = java.nio.file.Paths.get(tmp("graftscr-c"), "_mark").toString
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      srcLog.append(docs)
+      val cur = new graft.streaming.StreamingCurator(srcLog, curLog, sigView, commit)
+      try {
+        cur.awaitParity()
+        val retractIds = curLog.read.where(col("doc_id") % 10 === 3)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        graft.views.Retraction.retract(curLog, "doc_id", retractIds,
+          ids => sigView.retractWhere(col("id").isin(ids: _*)),
+          java.nio.file.Paths.get(tmp("graftscr-i"), "_intent").toString)
+        srcLog.append(docs.where(col("doc_id") % 5 === 3)
+          .select((col("doc_id") + 50000).as("doc_id"),
+            regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+        cur.awaitParity()
+      } finally cur.stop()
+      curLog.read.agg(
+        count(lit(1)).as("n_kept"),
+        sum(when(col("doc_id") < 50000 && col("doc_id") % 10 === 3, 1L).otherwise(0L))
+          .as("retracted_left"),
+        sum(when(col("doc_id") >= 50000 && (col("doc_id") - 50000) % 10 === 3, 1L).otherwise(0L))
+          .as("reingest_of_retracted"),
+        sum(when(col("doc_id") >= 50000 && (col("doc_id") - 50000) % 10 === 8, 1L).otherwise(0L))
+          .as("reingest_of_kept"))
+    }),
     "q_stream_curate_media" -> ((s, dir) => {
       // continuous MEDIA curation — the multimodal rung of
       // q_stream_curate: original recordings stream in as batch 1,
@@ -716,6 +759,26 @@ private[graft] object StreamingQueries {
         "nx AS (SELECT DISTINCT id_new FROM px JOIN c2 ca ON ca.doc_id = id_new JOIN c1 cb ON cb.doc_id = id_base WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.6), " +
         "kept AS (SELECT doc_id FROM kept1 UNION ALL SELECT doc_id FROM kept2 WHERE doc_id NOT IN (SELECT id_new FROM nx)) " +
         "SELECT count(*) AS n_kept, min(doc_id) AS min_id, max(doc_id) AS max_id, sum(CASE WHEN doc_id >= 10000 THEN 1 ELSE 0 END)::BIGINT AS perturbed_kept FROM kept"),
+    "q_stream_curate_retract" ->
+      // the takedown replay: phase-1 curation of the originals, kept1
+      // minus the retracted ids = the stored state batch 2 checks
+      // against; phase-2 self-curation of the re-ingest batch, then the
+      // cross check vs the RETAINED survivors only — a drop against a
+      // retracted doc is impossible because its signatures left storage
+      ("WITH orig AS (SELECT doc_id, text FROM documents), " +
+        "pert AS (SELECT doc_id + 50000 AS doc_id, regexp_replace(text, '^\\S+\\s+', '') AS text FROM documents WHERE doc_id % 5 = 3), " +
+        sqlCuratePhase("1", "orig") + ", " +
+        "ret AS (SELECT doc_id FROM kept1 WHERE doc_id % 10 <> 3), " +
+        sqlCuratePhase("2", "pert") + ", " +
+        "i2s AS (SELECT i2.doc_id, shingle FROM i2 JOIN kept2 USING (doc_id)), " +
+        "i1k AS (SELECT i1.doc_id, shingle FROM i1 JOIN ret USING (doc_id)), " +
+        "px AS (SELECT a.doc_id AS id_new, b.doc_id AS id_base, count(*) AS inter FROM i2s a JOIN i1k b ON a.shingle = b.shingle GROUP BY 1, 2), " +
+        "nx AS (SELECT DISTINCT id_new FROM px JOIN c2 ca ON ca.doc_id = id_new JOIN c1 cb ON cb.doc_id = id_base WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.6), " +
+        "kept AS (SELECT doc_id FROM ret UNION ALL SELECT doc_id FROM kept2 WHERE doc_id NOT IN (SELECT id_new FROM nx)) " +
+        "SELECT count(*) AS n_kept, " +
+        "sum(CASE WHEN doc_id < 50000 AND doc_id % 10 = 3 THEN 1 ELSE 0 END)::BIGINT AS retracted_left, " +
+        "sum(CASE WHEN doc_id >= 50000 AND (doc_id - 50000) % 10 = 3 THEN 1 ELSE 0 END)::BIGINT AS reingest_of_retracted, " +
+        "sum(CASE WHEN doc_id >= 50000 AND (doc_id - 50000) % 10 = 8 THEN 1 ELSE 0 END)::BIGINT AS reingest_of_kept FROM kept"),
     "q_stream_curate_embed" ->
       // two-phase replay of the embedding curator — oracle-safe by the
       // q_embed_neardup argument: planted pairs are exact scalar

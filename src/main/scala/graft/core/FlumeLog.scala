@@ -287,11 +287,22 @@ final class ParquetLog(
 
   recoverCompactLeftovers(cleanStale = false)
 
-  @volatile private var cursor: Long =
-    if (hasData)
-      spark.read.option("basePath", dir).schema(diskSchema).parquet(dir)
-        .agg(coalesce(max(col(seqCol)), lit(-1L))).head().getLong(0)
-    else -1L
+  @volatile private var cursor: Long = {
+    val dataMax =
+      if (hasData)
+        spark.read.option("basePath", dir).schema(diskSchema).parquet(dir)
+          .agg(coalesce(max(col(seqCol)), lit(-1L))).head().getLong(0)
+      else -1L
+    // a retraction that removed the tail rows leaves the true HWM in
+    // the cursor marker — seqs of retracted rows must never be reused
+    val marker = new java.io.File(dir, ParquetLog.cursorMarker)
+    val markerMax =
+      if (marker.exists())
+        try java.nio.file.Files.readString(marker.toPath).trim.toLong
+        catch { case _: NumberFormatException => -1L }
+      else -1L
+    math.max(dataMax, markerMax)
+  }
 
   override def since: Long = cursor
 
@@ -472,6 +483,11 @@ final class ParquetLog(
         .write.partitionBy(bucketCol).parquet(tmp.getPath)
     else
       readRaw.coalesce(nFiles).write.parquet(tmp.getPath)
+    // a post-retraction cursor marker must survive the rewrite (the
+    // retracted tail seqs stay retired forever)
+    if (new java.io.File(root, ParquetLog.cursorMarker).exists())
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, ParquetLog.cursorMarker).toPath, cursor.toString)
     if (!root.renameTo(old)) throw new java.io.IOException(s"compact: cannot move $root aside")
     if (!tmp.renameTo(root)) { old.renameTo(root); throw new java.io.IOException(s"compact: cannot swap in $tmp") }
     deleteTree(old)
@@ -483,7 +499,11 @@ final class ParquetLog(
     * takedown or GDPR erasure must actually delete the bytes, not
     * tombstone them. Seqs of surviving rows are UNCHANGED (retraction
     * leaves holes in the seq space — readers already tolerate gaps, and
-    * re-stamping would corrupt every downstream artifact keyed by seq).
+    * re-stamping would corrupt every downstream artifact keyed by seq),
+    * and the cursor NEVER regresses — retracting the tail retires those
+    * seqs forever (a durable marker survives reopen and compaction), so
+    * the next append cannot re-stamp them under view cursors that have
+    * already passed.
     *
     * Implementation is [[compact]]'s documented rewrite path with a
     * filter: full rewrite into `.compacting`, atomic two-rename swap,
@@ -512,14 +532,19 @@ final class ParquetLog(
     if (bucketed)
       keep.repartition(col(bucketCol)).write.partitionBy(bucketCol).parquet(tmp.getPath)
     else keep.write.parquet(tmp.getPath)
+    // the cursor NEVER regresses: seqs are append-monotone and
+    // retraction leaves holes — including at the tail. Re-deriving the
+    // cursor from max(remaining seq) would re-stamp retracted tail seqs
+    // on the next append, and every downstream artifact gated by a seq
+    // cursor (view HWMs, curator marks) would silently skip the reused
+    // interval. The pre-retract HWM rides the swap in a `_`-prefixed
+    // marker (invisible to parquet file listing), so a REOPEN restores
+    // it too.
+    java.nio.file.Files.writeString(
+      new java.io.File(tmp, ParquetLog.cursorMarker).toPath, cursor.toString)
     if (!root.renameTo(old)) throw new java.io.IOException(s"retract: cannot move $root aside")
     if (!tmp.renameTo(root)) { old.renameTo(root); throw new java.io.IOException(s"retract: cannot swap in $tmp") }
     deleteTree(old)
-    cursor =
-      if (hasData)
-        spark.read.option("basePath", dir).schema(diskSchema).parquet(dir)
-          .agg(coalesce(max(col(seqCol)), lit(-1L))).head().getLong(0)
-      else -1L
     removed
   }
 
@@ -529,6 +554,11 @@ final class ParquetLog(
 }
 
 object ParquetLog {
+  /** Cursor high-water-mark marker written by [[ParquetLog.retract]]
+    * when rows are removed — `_`-prefixed so Spark's parquet file
+    * listing ignores it. */
+  private[core] val cursorMarker = "_graft_cursor"
+
   /** Directories with a FILE-GRANULAR live tail ([[ParquetLog.readStreamFiles]])
     * planned THIS JVM — sticky for the process lifetime, because the file
     * streaming source tracks processed files by name (a compact's

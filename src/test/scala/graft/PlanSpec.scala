@@ -483,6 +483,21 @@ class PlanSpec extends SparkSpec {
       s"the top-100 must not global-sort:\n${s.take(4000)}")
   }
 
+  test("tpch q22: anti join on the pushed-priority orders scan; scalar threshold broadcasts as one row") {
+    val df = run("q_tpch_q22")
+    val s = executed(df).toString
+    assert(s.linesIterator.exists(l => l.contains("Join") && l.contains("LeftAnti")),
+      s"NOT EXISTS(urgent order) must plan as an anti join:\n${s.take(4000)}")
+    assert(s.contains("EqualTo(o_orderpriority,1-URGENT)"),
+      s"the priority filter must reach the orders scan (5× smaller anti build side):\n${s.take(4000)}")
+    // the scalar threshold is a 1-ROW broadcast — the one place a
+    // nested-loop join is the right plan; more than one would mean the
+    // decorrelation regressed
+    val bnlj = s.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"only the 1-row threshold may nested-loop, got $bnlj:\n${s.take(4000)}")
+    assert(!s.contains("CartesianProduct"), s"no cartesian:\n${s.take(4000)}")
+  }
+
   test("tpch q5: dims broadcast, date range pushed to the orders scan") {
     val s = planString(run("q_tpch_q5"))
     assert(s.contains("BroadcastHashJoin"),

@@ -988,6 +988,21 @@ class PersistenceSpec extends SparkSpec {
     val log2 = new ParquetLog(spark, logDir, docSchema, bucketSize = 4L)
     assert(log2.read.count() === 7L, "recovery restored the pre-crash state")
     assert(!pre.exists(), "recovery consumed the leftover")
+
+    // TAIL retraction: the cursor must NOT regress — retired seqs are
+    // never re-stamped, or every downstream seq-gated artifact (view
+    // HWMs, curator marks) would silently skip the reused interval
+    assert(log2.since === 9L)
+    assert(log2.retract(col("doc_id").isin(8L, 10L)) === 2L) // seqs 7 and 9: the tail
+    assert(log2.since === 9L, "cursor preserved after tail retraction")
+    val log3 = new ParquetLog(spark, logDir, docSchema, bucketSize = 4L)
+    assert(log3.since === 9L, "cursor survives reopen via the durable marker")
+    assert(log3.append(Seq((99L, "fresh")).toDF("doc_id", "text")) === 10L,
+      "new rows extend the seq space; retired tail seqs are never reused")
+    log3.compact()
+    val log4 = new ParquetLog(spark, logDir, docSchema, bucketSize = 4L)
+    assert(log4.since === 10L, "marker survives compaction")
+    assert(log4.read.where(col("doc_id") === 99L).count() === 1L)
   }
 
   test("log method passthrough with collision protection (index.js:270-283)") {
