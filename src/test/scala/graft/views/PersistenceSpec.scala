@@ -907,6 +907,35 @@ class PersistenceSpec extends SparkSpec {
       "text signature table: reopen must not resurrect retracted rows")
   }
 
+  test("IVF retraction: filtered compaction keeps the per-cell layout; retracted vectors leave search") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft-ivfret").toString + "/v"
+    val v = new IVFIndexView(spark, dir, 1, "vec_id", "embedding", 8)
+    v.absorb(emb.where(col("vec_id") < 250), 249L)
+    v.absorb(emb.where(col("vec_id") >= 250), 499L)
+    val qv = emb.where(col("vec_id") === 42).head()
+      .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    assert(v.search(qv, 3).collect().map(_.getLong(0)).contains(42L),
+      "the target must be findable before retraction")
+    v.retractWhere(col("vec_id").isin(42L, 300L))
+    assert(v.frame.where(col("vec_id").isin(42L, 300L)).count() === 0L,
+      "retracted vectors must leave the stored index")
+    assert(v.since === 499L, "retraction must not move the ingest cursor")
+    val after = v.search(qv, 3).collect().map(_.getLong(0))
+    assert(!after.contains(42L) && !after.contains(300L),
+      "retracted vectors must leave search results")
+    // the overridden writeMerged keeps the per-cell layout through the
+    // filtered compaction: a one-cell filter still prunes directories
+    val c0 = v.frame.select("cell").head().get(0)
+    val (total, read) = graft.sources.Layout.pruningCounts(
+      v.frame, v.frame.where(col("cell") === lit(c0)))
+    assert(read < total, s"cell dirs must prune after retraction: read $read of $total")
+    val v2 = new IVFIndexView(spark, dir, 1, "vec_id", "embedding", 8)
+    assert(v2.frame.where(col("vec_id") === 42L).count() === 0L,
+      "a reopen must not resurrect retracted vectors")
+  }
+
   test("family takedown: intent replay closes the log-rewritten-but-features-lost crash window") {
     import spark.implicits._
     val docSchema = StructType(Seq(
