@@ -1032,6 +1032,16 @@ class PersistenceSpec extends SparkSpec {
     val log4 = new ParquetLog(spark, logDir, docSchema, bucketSize = 4L)
     assert(log4.since === 10L, "marker survives compaction")
     assert(log4.read.where(col("doc_id") === 99L).count() === 1L)
+
+    // total takedown: retracting EVERY remaining row leaves an empty
+    // but healthy log — reads empty, cursor preserved, appends continue
+    assert(log4.retract(lit(true)) === 6L)
+    assert(log4.read.count() === 0L && log4.since === 10L)
+    val log5 = new ParquetLog(spark, logDir, docSchema, bucketSize = 4L)
+    assert(log5.read.count() === 0L && log5.since === 10L,
+      "empty-after-retraction log reopens with the preserved cursor")
+    assert(log5.append(Seq((100L, "post")).toDF("doc_id", "text")) === 11L)
+    assert(log5.read.count() === 1L)
   }
 
   test("log method passthrough with collision protection (index.js:270-283)") {
