@@ -1419,7 +1419,11 @@ object Dedup {
     val cand = embeddingIncrementalCandidates(newEmbeddings, storedSigs, idCol, vecCol,
       bands, bitsPerBand, maxBucket, maxBroadcastKeys, persisted).localCheckpoint(true)
     persisted.foreach(_.unpersist(blocking = false))
-    val buckets = cand.select(expr(s"`seq` div $bucketSize").as("b")).distinct()
+    // `div` truncates toward zero, so an unknown seq (-1) would land in
+    // bucket 0 and silently prune AWAY its vector — map unknowns to -1
+    // explicitly so the >= 0 fence actually fires and falls back
+    val buckets = cand.select(
+        expr(s"CASE WHEN `seq` < 0 THEN -1 ELSE `seq` div $bucketSize END").as("b")).distinct()
       .limit(maxPrunedBuckets + 1).collect().map(_.getLong(0)).toSeq
     val pruneOk = buckets.length <= maxPrunedBuckets && buckets.forall(_ >= 0)
     val vecs = vectorsForBuckets(if (pruneOk) Some(buckets) else None)
@@ -1445,7 +1449,8 @@ object Dedup {
     val cand = embeddingIncrementalCandidates(newEmbeddings, storedSigs, idCol, vecCol,
       bands, bitsPerBand, maxBucket, 4L * 1000 * 1000, persisted).localCheckpoint(true)
     persisted.foreach(_.unpersist(blocking = false))
-    val buckets = cand.select(expr(s"`seq` div $bucketSize").as("b")).distinct()
+    val buckets = cand.select(
+        expr(s"CASE WHEN `seq` < 0 THEN -1 ELSE `seq` div $bucketSize END").as("b")).distinct()
       .collect().map(_.getLong(0)).toSeq
     (buckets, embeddingVerifyPairs(cand.select("id_a", "id_b"), newEmbeddings,
       vectorsForBuckets(Some(buckets)), idCol, vecCol, threshold))

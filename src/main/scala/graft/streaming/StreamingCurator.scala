@@ -30,13 +30,18 @@ trait MediaDedupBinding {
   def since: Long
   /** Stored feature table, `None` until the first absorb. */
   def storedOption: Option[DataFrame]
-  /** Decode + feature the batch ONCE: `(id, …features)`. */
+  /** ROW-level floor applied once, before featurize; the engine
+    * persists the result and every later stage reads it. Default
+    * identity (media can only floor by decoding — that IS featurize);
+    * text overrides with its quality + exact-dedup filter so the floor
+    * is computed exactly ONCE per batch. */
+  def floor(staged: DataFrame): DataFrame = staged
+  /** Decode + feature the FLOORED batch ONCE: `(id, …features)`. */
   def featurize(media: DataFrame): DataFrame
-  /** Ids eligible to survive the modality's floor. Default = the
-    * featurized ids (decodability floor: absent from features ⇒ drop);
-    * text overrides to its quality + exact-dedup floor, which keeps
-    * featureless (empty-shingle) docs. */
-  def eligibleIds(staged: DataFrame, features: DataFrame, idCol: String): DataFrame =
+  /** Ids eligible to survive. Default = the featurized ids
+    * (decodability floor: absent from features ⇒ drop); text overrides
+    * to the floored ids, which keeps featureless (empty-shingle) docs. */
+  def eligibleIds(floored: DataFrame, features: DataFrame, idCol: String): DataFrame =
     features.select(idCol)
   /** Within-batch near-dup pairs `(id_a < id_b)` over the features. */
   def selfPairs(features: DataFrame): DataFrame
@@ -59,11 +64,10 @@ object MediaDedupBinding {
   /** Text binding: quality floor + exact dedup + MinHash-LSH signatures
     * over the [[graft.views.SignatureTableView]] — the original
     * streaming curator expressed in the shared engine. The floor runs
-    * inside `featurize` (signatures are built from the floored rows)
-    * and again, featurize-free, in `eligibleIds` (one extra codegen'd
-    * agg over the persisted batch — text has no decode to amortize);
-    * docs whose shingle set is empty clear the floor but have no
-    * feature row, so they bypass both near-dup stages and survive. */
+    * ONCE per batch (the engine persists it); signatures are built from
+    * the floored rows; docs whose shingle set is empty clear the floor
+    * but have no feature row, so they bypass both near-dup stages and
+    * survive. */
   def text(view: SignatureTableView,
       idCol: String = "doc_id", textCol: String = "text",
       minQuality: Double = 0.2, threshold: Double = 0.6,
@@ -71,17 +75,17 @@ object MediaDedupBinding {
     new MediaDedupBinding {
       def since: Long = view.since
       def storedOption: Option[DataFrame] = view.frameOption
-      private def floor(staged: DataFrame): DataFrame = {
+      override def floor(staged: DataFrame): DataFrame = {
         val q = staged.where(graft.ops.TextAnalysis.qualityCol(col(textCol)) >= minQuality)
         val keep = q.groupBy(xxhash64(col(textCol)).as("__h"))
           .agg(min(col(idCol)).as(idCol)).select(idCol)
         q.join(keep, Seq(idCol), "left_semi")
       }
       def featurize(media: DataFrame): DataFrame =
-        graft.ops.Dedup.signatureTable(floor(media), idCol, textCol)
+        graft.ops.Dedup.signatureTable(media, idCol, textCol)
           .withColumnRenamed("id", idCol)
-      override def eligibleIds(staged: DataFrame, features: DataFrame, idCol: String): DataFrame =
-        floor(staged).select(idCol)
+      override def eligibleIds(floored: DataFrame, features: DataFrame, idCol: String): DataFrame =
+        floored.select(idCol)
       def selfPairs(features: DataFrame): DataFrame =
         graft.ops.Dedup.minhashLshFromSigs(features.withColumnRenamed(idCol, "id"),
           threshold = threshold, verifyExact = true, bands = bands, maxBucket = maxBucket)
@@ -227,18 +231,22 @@ object MediaDedupBinding {
 object MediaStreamingCurator {
   /** The curation decision for one batch — a PURE function of
     * (batch, stored feature state), shared by the live stream and any
-    * crash-window replay: featurize once (the modality floor), drop
-    * the higher id of every within-batch pair, drop batch ids matching
-    * the stored table, survivors = the staged rows of the kept
-    * eligible ids. Returns (survivors, the batch's persisted feature
-    * table, the staged batch); the caller unpersists the latter two
-    * after the absorb lands. */
+    * crash-window replay: floor once, featurize once, drop the higher
+    * id of every within-batch pair, drop batch ids matching the stored
+    * table, survivors = the floored rows of the kept eligible ids.
+    * Returns (survivors, the batch's persisted feature table, the
+    * persisted frames to release); the caller unpersists the release
+    * list after the absorb lands. */
   private[streaming] def decide(
       binding: MediaDedupBinding,
       batch: DataFrame,
       idCol: String,
-      seqCol: String): (DataFrame, DataFrame, DataFrame) = {
-    val staged = batch.persist()
+      seqCol: String): (DataFrame, DataFrame, Seq[DataFrame]) = {
+    val raw = batch.persist()
+    val floored = binding.floor(raw)
+    // text's floor is an agg + semi-join over the batch: compute it
+    // ONCE, persist, and feed featurize/eligibility/survivors from it
+    val staged = if (floored eq raw) raw else floored.persist()
     val feats = binding.featurize(staged).persist() // decode ONCE per batch
     val selfDrop = binding.selfPairs(feats).select(col("id_b").as(idCol)).distinct()
     val crossDrop = binding.storedOption match {
@@ -251,7 +259,8 @@ object MediaStreamingCurator {
     val keptIds = binding.eligibleIds(staged, feats, idCol)
       .join(selfDrop.unionByName(crossDrop).distinct(), Seq(idCol), "left_anti")
     val survivors = staged.drop(seqCol).join(keptIds, Seq(idCol), "left_semi")
-    (survivors, feats, staged)
+    (survivors, feats,
+      if (staged eq raw) Seq(feats, raw) else Seq(feats, staged, raw))
   }
 }
 
@@ -319,7 +328,7 @@ final class MediaStreamingCurator(
   /** The curation decision for one batch — pure function of
     * (batch, stored feature state); see
     * [[MediaStreamingCurator.decide]]. */
-  private[streaming] def surviveBatch(batch: DataFrame): (DataFrame, DataFrame, DataFrame) =
+  private[streaming] def surviveBatch(batch: DataFrame): (DataFrame, DataFrame, Seq[DataFrame]) =
     MediaStreamingCurator.decide(binding, batch, idCol, seqCol)
 
   val query: StreamingQuery = {
@@ -330,7 +339,7 @@ final class MediaStreamingCurator(
         if (!batch.isEmpty) {
           val upto = batch.agg(max(col(seqCol))).head().getLong(0)
           if (upto > binding.since) { // replay after the absorb committed: skip whole
-            val (sv, feats, staged) = surviveBatch(batch)
+            val (sv, feats, release) = surviveBatch(batch)
             val survivors = sv.localCheckpoint(true)
             val curatedPre: Option[Long] =
               if (upto > appendedUpto) { // normal path: append, then mark
@@ -347,8 +356,7 @@ final class MediaStreamingCurator(
                 feats.join(survivors.select(col(idCol)), Seq(idCol), "left_semi"),
                 curatedPre, curated.since),
               upto)
-            feats.unpersist(blocking = false)
-            staged.unpersist(blocking = false)
+            release.foreach(_.unpersist(blocking = false))
             ()
           }
         }
@@ -388,8 +396,8 @@ final class StreamingCurator(
 
   /** The per-batch curation decision (pure; exposed for crash-window
     * tests): (survivors, the batch's persisted `(doc_id, hs, sig)`
-    * signature table, the staged batch). */
-  private[streaming] def surviveBatch(batch: DataFrame): (DataFrame, DataFrame, DataFrame) =
+    * signature table, the persisted frames to release). */
+  private[streaming] def surviveBatch(batch: DataFrame): (DataFrame, DataFrame, Seq[DataFrame]) =
     inner.surviveBatch(batch)
 
   def query: StreamingQuery = inner.query

@@ -192,8 +192,18 @@ private[views] trait CompactableDeltas extends DeltaProtocol {
     val dirs = committedBatchDirs()
     if (dirs.isEmpty) return
     import org.apache.spark.sql.functions.{coalesce, lit}
-    rewriteChain(
-      mergeDeltas(readDeltas(dirs)).where(!coalesce(cond, lit(false))), dirs)
+    val keep = mergeDeltas(readDeltas(dirs)).where(!coalesce(cond, lit(false)))
+    if (keep.isEmpty) {
+      // TOTAL takedown: there is no base delta to write — a
+      // dynamic-partition writeMerged (IVF's per-cell layout) of an
+      // empty frame lands a _SUCCESS-only directory that later reads
+      // cannot infer a schema from, bricking the view. The retracted
+      // state IS "no committed batches": delete the chain (cursor
+      // unchanged; the view reads as empty and absorbs continue).
+      // Idempotent-completable: a death mid-delete leaves a subset of
+      // the rows and a re-run (the family intent replay) finishes it.
+      dirs.foreach(p => FsLists.walkDeepestFirst(p).foreach(Files.delete))
+    } else rewriteChain(keep, dirs)
   }
 
   /** The shared tmp → marker → swap rewrite under the compaction crash

@@ -2,7 +2,7 @@ package graft.views
 
 import graft.core.{FlumeDb, FlumeView, ViewDef}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array, bit_count, broadcast, col, lit, round, typedLit}
+import org.apache.spark.sql.functions.{array, bit_count, broadcast, coalesce, col, lit, round, typedLit}
 
 /** Durable, streaming-maintainable hyperplane-signature table — the
   * EMBEDDING rung of the stored-dedup ladder, completing the set
@@ -64,9 +64,24 @@ final class EmbeddingSigTableView(
 
   /** The accumulated `(vec_id, sig, seq)` table. */
   def sigs: DataFrame = {
-    val dirs = committedBatchDirs().map(_.toString)
+    val dirs = committedBatchDirs()
     require(dirs.nonEmpty, "signature table empty — absorb a batch first")
-    spark.read.parquet(dirs: _*)
+    readDeltas(dirs)
+  }
+
+  /** Delta reads normalize the seq column across UPGRADE boundaries: a
+    * chain mixing pre-seq `(vec_id, sig)` deltas with stamped ones is
+    * read with schema merge and nulls backfilled to -1 (= unknown, the
+    * pruned verify's fence falls back to the full corpus read for such
+    * candidates) — without this, parquet would surface whichever
+    * schema it sampled first: null seqs crashing the bucket collect,
+    * or no seq column at all, which a compaction would then bake in,
+    * permanently stripping the stamped rows' pruning metadata. */
+  override protected def readDeltas(dirs: Seq[java.nio.file.Path]): DataFrame = {
+    val df = spark.read.option("mergeSchema", "true").parquet(dirs.map(_.toString): _*)
+    if (df.columns.contains("seq"))
+      df.withColumn("seq", coalesce(col("seq"), lit(-1L)))
+    else df.withColumn("seq", lit(-1L))
   }
 
   /** Near-dup check of a new embedding batch against the stored

@@ -35,7 +35,13 @@ object Retraction {
       intentFile: String): Long = {
     val p = Paths.get(intentFile)
     if (p.getParent != null) Files.createDirectories(p.getParent)
-    Files.writeString(p, ids.mkString(","))
+    // the intent must be ALL-OR-NOTHING durable: a torn plain write
+    // would make recover() execute a truncated id list (retracting a
+    // wrong document, dropping the tail of the takedown) — write-then-
+    // atomic-rename, the same commit protocol as every marker here
+    val tmp = Paths.get(intentFile + ".tmp")
+    Files.writeString(tmp, ids.mkString(","))
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     val removed = log.retract(col(idCol).isin(ids: _*))
     retractFeatures(ids)
     Files.delete(p)
@@ -52,6 +58,10 @@ object Retraction {
       retractFeatures: Seq[Long] => Unit,
       intentFile: String): Seq[Long] = {
     val p = Paths.get(intentFile)
+    // a leftover .tmp is a takedown that was never made durable (the
+    // caller never got an acknowledgment) — discard it
+    val tmp = Paths.get(intentFile + ".tmp")
+    if (Files.exists(tmp)) Files.delete(tmp)
     if (!Files.exists(p)) return Seq.empty
     val ids = Files.readString(p).trim.split(",").filter(_.nonEmpty).map(_.toLong).toSeq
     if (ids.nonEmpty) {

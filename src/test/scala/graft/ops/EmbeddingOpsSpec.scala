@@ -371,4 +371,25 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(hasJoin(Similarity.assignCells(emb, big, "vec_id", "embedding")),
       "above the cap the assignment must become a centroid-table join")
   }
+
+  test("pruned embedding verify: unknown (-1) seqs force the unpruned fallback - never bucket 0") {
+    // `div` truncates toward zero, so -1 div bucketSize = 0: without the
+    // explicit unknown-seq mapping the fence would prune the scan to
+    // bucket 0 and silently LOSE the candidate's vector (a near-dup
+    // would be admitted). The fence must hand the reader None instead.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").where(col("vec_id") < 50)
+    val stored = emb.select(col("vec_id"),
+      Similarity.hyperplaneSignature(col("embedding"), 32).as("sig"),
+      lit(-1L).as("seq")) // legacy absorb: seq unknown
+    val batch = emb.where(col("vec_id") === 7)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(1.001)).cast("float")).as("embedding"))
+    var handed: Option[Option[Seq[Long]]] = None
+    val pairs = Dedup.embeddingNearDupIncrementalPruned(batch, stored, 16L,
+      bs => { handed = Some(bs); emb })
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(handed === Some(None), s"unknown seqs must fall back to the full corpus read, got $handed")
+    assert(pairs.contains((1007L, 7L)), s"the near-dup must still be found, got ${pairs.toSeq}")
+  }
 }

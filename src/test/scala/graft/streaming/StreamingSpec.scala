@@ -1144,12 +1144,11 @@ class StreamingSpec extends SparkSpec {
 
     // crash window: append committed (mark written) but absorb lost —
     // replaying the same interval must skip the append and only absorb
-    val (survivors, st9, staged9) = cur2.surviveBatch(
+    val (survivors, _, rel9) = cur2.surviveBatch(
       spark.createDataFrame(spark.sparkContext.parallelize(Seq(doc(9L,
         "yet another unique tale of mountains and the rivers that run through the green valley all summer"))), docSchema))
     assert(survivors.count() === 1L, "fresh doc survives the decision function")
-    st9.unpersist(blocking = false)
-    staged9.unpersist(blocking = false)
+    rel9.foreach(_.unpersist(blocking = false))
 
     // the FULL open window, end to end (cur2 is stopped, so its
     // surviveBatch is a pure decision function): append batch 10 to the
@@ -1160,11 +1159,11 @@ class StreamingSpec extends SparkSpec {
     val upto10 = srcLog.appendRows(Seq(doc(10L,
       "over the bright water the gulls wheeled and cried while the fishermen hauled their heavy nets ashore")))
     val pre = curLog.read.count()
-    val (sv10, st10, staged10) = cur2.surviveBatch(
+    val (sv10, _, rel10) = cur2.surviveBatch(
       srcLog.read.where(col("seq") > sigView.since).drop("seq"))
     curLog.append(sv10.localCheckpoint(true))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(commit), upto10.toString)
-    st10.unpersist(blocking = false); staged10.unpersist(blocking = false)
+    rel10.foreach(_.unpersist(blocking = false))
     assert(curLog.read.count() === pre + 1 && sigView.since < upto10,
       "window open: doc 10 appended, absorb deliberately lost")
     val cur3 = new StreamingCurator(srcLog, curLog, sigView, commit)
@@ -1239,12 +1238,12 @@ class StreamingSpec extends SparkSpec {
     val batchC = Multimodal.syntheticTexturePngMedia(docs.where(col("doc_id") === 39))
     val uptoC = srcLog.append(batchC)
     val preCount = curLog.read.count()
-    val (svC, featsC, stagedC) = MediaStreamingCurator.decide(
+    val (svC, _, relC) = MediaStreamingCurator.decide(
       MediaDedupBinding.image(phView),
       srcLog.read.where(col("seq") > phView.since), "media_id", "seq")
     curLog.append(svC.localCheckpoint(true))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(commit), uptoC.toString)
-    featsC.unpersist(blocking = false); stagedC.unpersist(blocking = false)
+    relC.foreach(_.unpersist(blocking = false))
     assert(curLog.read.count() === preCount + 1, "39 appended, absorb deliberately lost")
     assert(phView.since < uptoC, "the crash window is open: mark written, cursor behind")
     val cur3 = new MediaStreamingCurator(srcLog, curLog, MediaDedupBinding.image(phView), commit)

@@ -934,6 +934,57 @@ class PersistenceSpec extends SparkSpec {
     val v2 = new IVFIndexView(spark, dir, 1, "vec_id", "embedding", 8)
     assert(v2.frame.where(col("vec_id") === 42L).count() === 0L,
       "a reopen must not resurrect retracted vectors")
+
+    // TOTAL takedown on a dynamic-partitioned view: an empty
+    // partitionBy write would land a _SUCCESS-only dir no read can
+    // infer a schema from — the retracted state must instead be "no
+    // committed batches", with absorbs continuing after
+    v2.retractWhere(org.apache.spark.sql.functions.lit(true))
+    assert(v2.frameOption.isEmpty, "view reads as empty after total takedown")
+    assert(v2.since === 499L, "cursor unchanged")
+    v2.absorb(emb.where(col("vec_id") < 10), 600L)
+    assert(v2.frame.count() === 10L, "absorbs continue after a total takedown")
+  }
+
+  test("embedding sig table: pre-upgrade two-column deltas read normalized beside stamped ones; compaction keeps seq") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-esmix").toString + "/v"
+    val v = new EmbeddingSigTableView(spark, dir, 1)
+    v.absorbSigs(Seq((1L, 11L)).toDF("vec_id", "sig"), 10L)
+    // simulate a PRE-round-14 store: rewrite the delta as TWO columns
+    Seq((1L, 11L)).toDF("vec_id", "sig")
+      .write.mode("overwrite").parquet(s"$dir/batch=10")
+    v.absorbSigs(Seq((2L, 22L, 5L)).toDF("vec_id", "sig", "seq"), 20L)
+    def rows(x: EmbeddingSigTableView) = x.sigs.select("vec_id", "sig", "seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // mixed chain: legacy rows surface seq = -1 (unknown → the pruned
+    // verify falls back), stamped rows keep their seq — regardless of
+    // which file's footer parquet samples first
+    assert(rows(v) === Set((1L, 11L, -1L), (2L, 22L, 5L)))
+    v.compact()
+    // compaction must NOT strip the stamped seqs (the merged base is
+    // written from the normalized read)
+    val v2 = new EmbeddingSigTableView(spark, dir, 1)
+    assert(rows(v2) === Set((1L, 11L, -1L), (2L, 22L, 5L)),
+      "compacting a mixed chain must keep the pruning metadata")
+  }
+
+  test("takedown intent: a torn tmp (never made durable) is discarded, not executed") {
+    import spark.implicits._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val logDir = Files.createTempDirectory("graft-torn").toString
+    val log = new ParquetLog(spark, logDir, docSchema)
+    log.append(Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"))
+    val intent = Files.createTempDirectory("graft-torn-i").toString + "/_intent"
+    // a crash mid-write leaves only the .tmp — the caller was never
+    // acknowledged, so recover must discard it and retract NOTHING
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(intent + ".tmp"), "1,2")
+    var called = false
+    val replayed = Retraction.recover(log, "doc_id", _ => called = true, intent)
+    assert(replayed.isEmpty && !called, "an unacknowledged takedown must not execute")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(intent + ".tmp")))
+    assert(log.read.count() === 2L, "no rows retracted")
   }
 
   test("family takedown: intent replay closes the log-rewritten-but-features-lost crash window") {
