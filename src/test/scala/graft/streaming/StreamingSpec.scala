@@ -1258,6 +1258,44 @@ class StreamingSpec extends SparkSpec {
     } finally cur3.stop()
   }
 
+  test("media takedown through the live curator: a re-upload of a retracted image survives") {
+    import graft.ops.Multimodal
+    import graft.views.{PhashTableView, Retraction}
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val srcLog = new ParquetLog(spark, tmp("graft-mret-src"), Multimodal.mediaSchema)
+    val curLog = new ParquetLog(spark, tmp("graft-mret-dst"), Multimodal.mediaSchema)
+    val phView = new PhashTableView(spark, s"${tmp("graft-mret-ph")}/ph", 1)
+    val commit = java.nio.file.Paths.get(tmp("graft-mret-c"), "_mark").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("doc_id") < 30)
+    srcLog.append(Multimodal.syntheticTexturePngMedia(docs)) // ids 0,3,...,27
+    val cur = new MediaStreamingCurator(srcLog, curLog,
+      MediaDedupBinding.image(phView), commit)
+    try {
+      cur.awaitParity()
+      assert(curLog.read.where(col("media_id") === 3L).count() === 1L)
+      // takedown image 3 at a batch boundary through the family path
+      Retraction.retract(curLog, "media_id", Seq(3L),
+        ids => phView.retractWhere(col("media_id").isin(ids: _*)),
+        java.nio.file.Paths.get(tmp("graft-mret-i"), "_intent").toString)
+      assert(curLog.read.where(col("media_id") === 3L).count() === 0L,
+        "the retracted image left the curated log")
+      assert(phView.hashes.where(col("media_id") === 3L).count() === 0L,
+        "its hash left the feature table")
+      // re-uploads: a pixel-identical copy of RETRACTED 3 (id 1003) must
+      // SURVIVE — the stored hash is really gone — while a copy of KEPT
+      // image 6 (id 1006) still drops against the stored table
+      srcLog.append(
+        Multimodal.syntheticTexturePngMedia(docs.where(col("doc_id") === 3), idOffset = 1000L)
+          .unionByName(Multimodal.syntheticTexturePngMedia(
+            docs.where(col("doc_id") === 6), idOffset = 1000L)))
+      cur.awaitParity()
+      val kept = curLog.read.select("media_id").collect().map(_.getLong(0)).toSet
+      assert(kept.contains(1003L), s"retracted content must be re-ingestable, got $kept")
+      assert(!kept.contains(1006L), s"kept content must still dedup, got $kept")
+    } finally cur.stop()
+  }
+
   test("media streaming curator: video binding — multi-row frame features through the same engine") {
     import graft.ops.Multimodal
     import graft.views.FrameHashTableView
