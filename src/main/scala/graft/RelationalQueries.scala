@@ -221,6 +221,44 @@ private[graft] object RelationalQueries {
         .agg(count(lit(1)).as("numcust"), sum("cents").as("tot_cents"))
         .orderBy("cntry")
     }),
+    "q_tpch_q19" -> ((s, dir) => {
+      // TPC-H Q19-shaped (discounted revenue): the DISJUNCTIVE join
+      // predicate composite — an OR of three (brand, size-range,
+      // quantity-range) conjunctions spanning both sides of the join.
+      // Scale shape: Catalyst extracts each side's convertible
+      // disjunction and pushes it — the part scan carries the brand/size
+      // OR (pruning the dim before it broadcasts) and the lineitem scan
+      // the quantity OR — leaving only the cross-side residual on the
+      // join; the two-column agg collapses map-side.
+      def arm(brand: String, s0: Int, s1: Int, q0: Int, q1: Int) =
+        col("p_brand") === brand &&
+          col("p_size").between(s0, s1) && col("l_quantity").between(q0, q1)
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .where(arm("Brand#11", 1, 15, 1, 20) ||
+          arm("Brand#22", 10, 30, 10, 35) ||
+          arm("Brand#33", 20, 50, 20, 50))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+    "q_tpch_q16" -> ((s, dir) => {
+      // TPC-H Q16-shaped (supplier relationship count): DISTINCT
+      // supplier count per brand over a filtered part slice — the
+      // count-distinct composite. Scale shape: the NOT IN / size-set
+      // filters push to the part scan BEFORE its broadcast; Spark plans
+      // the single distinct agg as a TWO-LEVEL aggregate — partial
+      // dedup on (brand, suppkey) map-side, then the brand rollup —
+      // never an Expand (one row per distinct spec) and never a
+      // per-group sort.
+      t(s, dir, "part")
+        .where(!col("p_brand").isin("Brand#11", "Brand#22") &&
+          col("p_size").isin(1, 5, 9, 13, 17))
+        .join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"))
+    }),
     "q_window_rank" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
@@ -543,6 +581,17 @@ private[graft] object RelationalQueries {
         "SELECT cntry, count(*) AS numcust, sum(cents)::BIGINT AS tot_cents FROM pool, thr " +
         "WHERE cents * n > s AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') " +
         "GROUP BY cntry ORDER BY cntry"),
+    "q_tpch_q16" ->
+      ("SELECT p_brand, count(DISTINCT l_suppkey) AS supplier_cnt, count(*) AS n_items " +
+        "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+        "WHERE p_brand NOT IN ('Brand#11', 'Brand#22') AND p_size IN (1, 5, 9, 13, 17) " +
+        "GROUP BY p_brand ORDER BY supplier_cnt DESC, p_brand"),
+    "q_tpch_q19" ->
+      ("SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, count(*) AS n_items " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20) " +
+        "OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35) " +
+        "OR (p_brand = 'Brand#33' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)"),
     "q_group_agg" ->
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base, round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc, round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, round(avg(l_quantity), 4) AS avg_qty, count(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q_bucketed_join" ->

@@ -498,6 +498,32 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s"no cartesian:\n${s.take(4000)}")
   }
 
+  test("tpch q16: count-distinct plans as a two-level aggregate with pushed part filters — no Expand") {
+    val df = run("q_tpch_q16")
+    val e = executed(df).toString
+    val s = planString(df)
+    assert(s.contains("In(p_size"),
+      s"the size set must reach the part scan:\n${s.take(3000)}")
+    assert(!e.contains("Expand"),
+      s"a single distinct agg must not plan the multi-spec Expand:\n${e.take(3000)}")
+    // two-level: a (brand, suppkey) dedup aggregate below the brand rollup
+    assert(e.linesIterator.count(_.contains("HashAggregate")) >= 3,
+      s"expected the partial-dedup aggregate chain:\n${e.take(3000)}")
+  }
+
+  test("tpch q19: each side's convertible disjunction is pushed to its scan") {
+    val s = planString(run("q_tpch_q19"))
+    // Catalyst extracts the part-only OR (brand/size) and the
+    // lineitem-only OR (quantity ranges) from the cross-side
+    // disjunction — losing either pushdown re-widens a scan to the
+    // full table at 100 TB
+    assert(s.contains("Or(And(EqualTo(p_brand,Brand#11)"),
+      s"the brand/size disjunction must reach the part scan:\n${s.take(4000)}")
+    assert(s.contains("Or(And(GreaterThanOrEqual(l_quantity,1"),
+      s"the quantity disjunction must reach the lineitem scan:\n${s.take(4000)}")
+    assert(!s.contains("CartesianProduct"), s"no cartesian:\n${s.take(3000)}")
+  }
+
   test("tpch q5: dims broadcast, date range pushed to the orders scan") {
     val s = planString(run("q_tpch_q5"))
     assert(s.contains("BroadcastHashJoin"),
