@@ -259,6 +259,46 @@ private[graft] object RelationalQueries {
           count(lit(1)).as("n_items"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"))
     }),
+    "q_tpch_q14" -> ((s, dir) =>
+      // TPC-H Q14-shaped (promotion effect): conditional-sum over a
+      // date-windowed join. Scale shape: the shipdate range pushes to
+      // the lineitem scan; the 2-column part dim broadcasts; ONE pass
+      // computes both the promo and total sums map-side. Emits the SUM
+      // form (numerator + denominator, ratio derivable) — a ratio of
+      // double sums could land on a 4-decimal rounding boundary where
+      // the engines' binary doubles round apart (FIXTURES.md).
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")))
+        .join(broadcast(t(s, dir, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0))), 4)
+            .as("promo_rev"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("total_rev"),
+          count(lit(1)).as("n_items"))),
+    "q_tpch_q15" -> ((s, dir) => {
+      // TPC-H Q15-shaped (top supplier): the agg-over-agg / argmax
+      // composite — per-supplier quarterly revenue, then the supplier(s)
+      // AT the maximum. Scale shape: one lineitem shuffle on l_suppkey
+      // (partial map-side), the scalar max broadcasts back as one row,
+      // the equality filter runs on the ROUNDED revenue (the 4-decimal
+      // value both engines agree on — float equality is safe only after
+      // the shared rounding), and the supplier dim broadcasts last.
+      val rev = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")))
+        .groupBy("l_suppkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("total_rev"))
+      val mx = rev.agg(max("total_rev").as("m"))
+      rev.crossJoin(broadcast(mx))
+        .where(col("total_rev") === col("m"))
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+        .orderBy("s_suppkey")
+    }),
     "q_window_rank" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
@@ -581,6 +621,18 @@ private[graft] object RelationalQueries {
         "SELECT cntry, count(*) AS numcust, sum(cents)::BIGINT AS tot_cents FROM pool, thr " +
         "WHERE cents * n > s AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') " +
         "GROUP BY cntry ORDER BY cntry"),
+    "q_tpch_q14" ->
+      ("SELECT round(sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 4) AS promo_rev, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev, count(*) AS n_items " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'"),
+    "q_tpch_q15" ->
+      ("WITH rev AS (SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00' " +
+        "GROUP BY l_suppkey), " +
+        "mx AS (SELECT max(total_rev) AS m FROM rev) " +
+        "SELECT s_suppkey, s_name, total_rev FROM supplier JOIN rev ON s_suppkey = l_suppkey, mx " +
+        "WHERE total_rev = m ORDER BY s_suppkey"),
     "q_tpch_q16" ->
       ("SELECT p_brand, count(DISTINCT l_suppkey) AS supplier_cnt, count(*) AS n_items " +
         "FROM part JOIN lineitem ON p_partkey = l_partkey " +

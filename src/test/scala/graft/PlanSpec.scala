@@ -511,6 +511,26 @@ class PlanSpec extends SparkSpec {
       s"expected the partial-dedup aggregate chain:\n${e.take(3000)}")
   }
 
+  test("tpch q14: date window pushed to the lineitem scan; one pass for both conditional sums") {
+    val df = run("q_tpch_q14")
+    val s = planString(df)
+    assert(s.contains("GreaterThanOrEqual(l_shipdate"),
+      s"the shipdate window must reach the lineitem scan:\n${s.take(3000)}")
+    val scans = executed(df).toString.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2, s"one lineitem scan + one part scan, got $scans:\n${s.take(3000)}")
+  }
+
+  test("tpch q15: argmax-over-agg — the scalar max broadcasts back as one row") {
+    val df = run("q_tpch_q15")
+    val e = executed(df).toString
+    // the per-supplier agg shuffles once; the max re-joins as a 1-row
+    // broadcast (nested-loop on one row is the right plan), never a
+    // second full shuffle of the revenue table
+    assert(e.contains("BroadcastNestedLoopJoin") || e.contains("BroadcastHashJoin"),
+      s"the scalar max must broadcast:\n${e.take(3000)}")
+    assert(!e.contains("CartesianProduct"), s"no cartesian:\n${e.take(3000)}")
+  }
+
   test("tpch q19: each side's convertible disjunction is pushed to its scan") {
     val s = planString(run("q_tpch_q19"))
     // Catalyst extracts the part-only OR (brand/size) and the
