@@ -80,9 +80,14 @@ object Bench {
     // tail capture must never lose the total (it did in r4)
     // cpus comes straight from the env; emit it as a JSON number when it
     // parses as one (the cross-round schema — BENCH_r01..r12 carry a
-    // number) and only fall back to a quoted string for non-numeric
-    // specs like "*", so round-over-round tooling keeps its int parse.
-    val cpusJson = if (cpus.forall(_.isDigit) && cpus.nonEmpty) cpus else "\"" + cpus + "\""
+    // number) and only fall back to a quoted string for anything else,
+    // so round-over-round tooling keeps its int parse. toLongOption (not
+    // an all-digits check) because "04" re-emitted bare is invalid JSON
+    // and a digit string beyond Long range would not parse downstream.
+    val cpusJson = cpus.toLongOption match {
+      case Some(n) => n.toString
+      case None    => "\"" + cpus + "\""
+    }
     val prov = s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadavg)},"capture":"$capture","cpus":$cpusJson,"runs":$runs"""
     println(s"""{"metric":"per_query","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir",$prov}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errs,"sf":"$sfDir",$prov}""")

@@ -74,7 +74,7 @@ private[graft] object StreamingQueries {
         val retractIds = curLog.read.where(col("doc_id") % 10 === 3)
           .select("doc_id").collect().map(_.getLong(0)).toSeq
         graft.views.Retraction.retract(curLog, "doc_id", retractIds,
-          ids => sigView.retractWhere(col("id").isin(ids: _*)),
+          (ids: Seq[Long]) => sigView.retractWhere(col("id").isin(ids: _*)),
           java.nio.file.Paths.get(tmp("graftscr-i"), "_intent").toString)
         srcLog.append(docs.where(col("doc_id") % 5 === 3)
           .select((col("doc_id") + 50000).as("doc_id"),

@@ -82,7 +82,7 @@ private[graft] object TextQueries {
       val retractIds = d.where(col("doc_id") % 10 === 3)
         .select("doc_id").collect().map(_.getLong(0)).toSeq
       graft.views.Retraction.retract(curLog, "doc_id", retractIds,
-        ids => sigView.retractWhere(col("id").isin(ids: _*)),
+        (ids: Seq[Long]) => sigView.retractWhere(col("id").isin(ids: _*)),
         java.nio.file.Paths.get(tmp("graftret-intent"), "_intent").toString)
       val batch = d.where(col("doc_id") % 5 === 3)
         .select((col("doc_id") + 50000).as("doc_id"),

@@ -285,7 +285,44 @@ final class ParquetLog(
     }
   }
 
+  /** Crash recovery for [[retract]]'s PER-BUCKET swap. The marker is the
+    * commit point for the ONE in-flight bucket: it names the bucket
+    * directory and whether the filter emptied it. Rules — marker with an
+    * `EMPTY` outcome → delete the bucket dir (idempotent); marker plus a
+    * COMPLETE tmp (`_SUCCESS`) → delete the bucket dir, adopt the tmp;
+    * marker without a complete tmp, or a tmp with no marker → an
+    * UNCOMMITTED rewrite, dropped (the bucket's original files are
+    * untouched, the old state is intact). Buckets the takedown never
+    * reached keep their rows — the FAMILY intent replay
+    * ([[graft.views.Retraction.recover]]) re-runs the whole takedown
+    * idempotently to finish them; a bare `retract` call (no intent file)
+    * must therefore be treated as best-effort-complete after a crash. */
+  private def recoverRetractLeftovers(): Unit = {
+    val root = new java.io.File(dir)
+    val marker = new java.io.File(root, ParquetLog.retractMarker)
+    val tmp = new java.io.File(root, ParquetLog.retractTmp)
+    if (marker.exists()) {
+      val txt =
+        try java.nio.file.Files.readString(marker.toPath).trim
+        catch { case _: java.io.IOException => "" }
+      txt.split(" ") match {
+        case Array(unit, "EMPTY") if unit.startsWith(bucketCol + "=") =>
+          deleteTree(new java.io.File(root, unit))
+        case Array(unit) if unit.startsWith(bucketCol + "=") &&
+            new java.io.File(tmp, "_SUCCESS").exists() =>
+          val u = new java.io.File(root, unit)
+          deleteTree(u)
+          if (!tmp.renameTo(u))
+            throw new java.io.IOException(s"retract recovery: cannot adopt $tmp as $u")
+        case _ => () // torn/uncommitted: original bucket state intact
+      }
+      marker.delete()
+    }
+    deleteTree(tmp)
+  }
+
   recoverCompactLeftovers(cleanStale = false)
+  recoverRetractLeftovers()
 
   @volatile private var cursor: Long = {
     val dataMax =
@@ -473,6 +510,7 @@ final class ParquetLog(
     val tmp = new java.io.File(dir + ".compacting")
     val old = new java.io.File(dir + ".precompact")
     recoverCompactLeftovers(cleanStale = true)
+    recoverRetractLeftovers()
     def bytesUnder(f: java.io.File): Long = {
       val fs = f.listFiles()
       if (fs == null) 0L else fs.map(c => if (c.isDirectory) bytesUnder(c) else c.length()).sum
@@ -505,48 +543,137 @@ final class ParquetLog(
     * the next append cannot re-stamp them under view cursors that have
     * already passed.
     *
-    * Implementation is [[compact]]'s documented rewrite path with a
-    * filter: full rewrite into `.compacting`, atomic two-rename swap,
-    * recovery via the same `.precompact` protocol — a JVM death at any
-    * point leaves either the old or the new state, never a partial one.
-    * The match scan is columnar (only `cond`'s columns are read). At
-    * cluster scale this is the per-bucket rewrite with a manifest flip:
-    * only buckets containing matches are rewritten, and the bucketed
-    * layout is preserved here for exactly that reason. NULL `cond` rows
-    * are KEPT (a predicate that cannot identify a row must not delete
-    * it). Idempotent: retracting already-absent rows rewrites nothing. */
-  def retract(cond: Column): Long = synchronized {
+    * On the BUCKETED layout the rewrite is PRUNED to the matched
+    * partitions: one narrow match scan (only `cond`'s columns plus the
+    * directory-derived bucket column are read) yields per-bucket
+    * hit/total counts, and then ONLY the `seq_bucket=N/` directories
+    * containing matches are rewritten — each under its own
+    * tmp → marker-commit → swap protocol (recovered at open by
+    * [[recoverRetractLeftovers]]), a fully-emptied bucket deleted under
+    * an `EMPTY` tombstone marker. Untouched bucket directories keep
+    * their files byte-for-byte: at 100 TB a single-document takedown
+    * rewrites one bucket, not the corpus. A JVM death leaves every
+    * bucket in its old or new state, never partial; buckets not yet
+    * reached are finished by the family intent replay
+    * ([[graft.views.Retraction.recover]]). The unbucketed layout has no
+    * partitions to prune and keeps [[compact]]'s full-rewrite swap.
+    *
+    * CONCURRENCY: retraction requires QUIESCENT streams on this log.
+    * The file-granular tail ([[readStreamFiles]]) is fenced hard (throw,
+    * like [[compact]]); the record-granular DSv2 tail ([[readStream]])
+    * is fenced at batch granularity — a planned-but-uncommitted
+    * micro-batch makes retract throw, because the swap could invalidate
+    * that batch's planned file readers mid-read. Callers retract at
+    * parity boundaries (the curator's `awaitParity`), where no batch is
+    * in flight. NULL `cond` rows are KEPT (a predicate that cannot
+    * identify a row must not delete it). Idempotent: retracting
+    * already-absent rows rewrites nothing. */
+  def retract(cond: Column): Long =
+    retractMarked(df => df.withColumn(ParquetLog.hitCol, coalesce(cond, lit(false))))
+
+  /** Takedown by ID LIST — the batch form for rights-holder requests of
+    * 10⁵–10⁶ ids, where rendering the list into an `isin` literal would
+    * build a million-node `In` expression (Catalyst/codegen blowup and
+    * driver memory ∝ plan size before any data is touched). The ids
+    * stay a DataFrame end to end: matches are marked by a join against
+    * the distinct id set — broadcast under a count fence, shuffle
+    * fallback above it (the repo's fence discipline) — so the plan is
+    * one join regardless of list size. Same pruned per-bucket rewrite
+    * and crash protocol as [[retract]]. */
+  def retractIds(ids: DataFrame, idCol: String,
+      maxBroadcastKeys: Long = 4L * 1000 * 1000): Long =
+    retractMarked(ParquetLog.hitMarker(ids, idCol, maxBroadcastKeys))
+
+  private def retractMarked(mark: DataFrame => DataFrame): Long = synchronized {
+    val hitC = col(ParquetLog.hitCol)
     if (ParquetLog.liveTailStarted(dir))
       throw new IllegalStateException(
         s"retract: a file-granular live tail (readStreamFiles) was started on $dir; " +
           "rewriting would re-deliver rewritten files to that stream as duplicates.")
+    if (!inflightTailBatches.isEmpty)
+      throw new IllegalStateException(
+        s"retract: a record-granular live tail on $dir has a planned-but-uncommitted " +
+          "micro-batch; the rewrite would invalidate its planned readers. Retract at " +
+          "a parity boundary (awaitParity / processAllAvailable) instead.")
     if (cursor < 0) return 0L
-    val hit = coalesce(cond, lit(false))
-    val removed = readRaw.where(hit).count()
-    if (removed == 0L) return 0L
-    val root = new java.io.File(dir)
-    val tmp = new java.io.File(dir + ".compacting")
-    val old = new java.io.File(dir + ".precompact")
     recoverCompactLeftovers(cleanStale = true)
-    val keep = readRaw.where(!hit)
-    if (bucketed)
-      keep.repartition(col(bucketCol)).write.partitionBy(bucketCol).parquet(tmp.getPath)
-    else keep.write.parquet(tmp.getPath)
-    // the cursor NEVER regresses: seqs are append-monotone and
-    // retraction leaves holes — including at the tail. Re-deriving the
-    // cursor from max(remaining seq) would re-stamp retracted tail seqs
-    // on the next append, and every downstream artifact gated by a seq
-    // cursor (view HWMs, curator marks) would silently skip the reused
-    // interval. The pre-retract HWM rides the swap in a `_`-prefixed
-    // marker (invisible to parquet file listing), so a REOPEN restores
-    // it too.
-    java.nio.file.Files.writeString(
-      new java.io.File(tmp, ParquetLog.cursorMarker).toPath, cursor.toString)
-    if (!root.renameTo(old)) throw new java.io.IOException(s"retract: cannot move $root aside")
-    if (!tmp.renameTo(root)) { old.renameTo(root); throw new java.io.IOException(s"retract: cannot swap in $tmp") }
-    deleteTree(old)
-    removed
+    recoverRetractLeftovers()
+    val root = new java.io.File(dir)
+    if (!bucketed) {
+      // no partition layout to prune: compact()'s full-rewrite swap
+      val removed = mark(readRaw).where(hitC).count()
+      if (removed == 0L) return 0L
+      val tmp = new java.io.File(dir + ".compacting")
+      val old = new java.io.File(dir + ".precompact")
+      mark(readRaw).where(!hitC)
+        .select(diskSchema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
+        .write.parquet(tmp.getPath)
+      // the cursor NEVER regresses: seqs are append-monotone and
+      // retraction leaves holes — including at the tail. Re-deriving the
+      // cursor from max(remaining seq) would re-stamp retracted tail
+      // seqs on the next append, and every downstream artifact gated by
+      // a seq cursor (view HWMs, curator marks) would silently skip the
+      // reused interval. The pre-retract HWM rides the swap in a
+      // `_`-prefixed marker (invisible to parquet file listing), so a
+      // REOPEN restores it too.
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, ParquetLog.cursorMarker).toPath, cursor.toString)
+      if (!root.renameTo(old)) throw new java.io.IOException(s"retract: cannot move $root aside")
+      if (!tmp.renameTo(root)) { old.renameTo(root); throw new java.io.IOException(s"retract: cannot swap in $tmp") }
+      deleteTree(old)
+      return removed
+    }
+    // PRUNED match scan: per-bucket (hits, total) — columnar, reads only
+    // the marker's columns and the directory-derived partition column.
+    // The SCAN is corpus-wide but narrow; the REWRITE below is ∝ matched
+    // buckets only.
+    val stats = mark(readRaw)
+      .groupBy(col(bucketCol))
+      .agg(sum(when(hitC, lit(1L)).otherwise(lit(0L))).as("hits"),
+        count(lit(1)).as("total"))
+      .where(col("hits") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    if (stats.isEmpty) return 0L
+    // the HWM is made durable BEFORE any bucket is touched — atomic
+    // write, idempotent, survives reopen and compaction
+    ParquetLog.writeAtomic(new java.io.File(root, ParquetLog.cursorMarker), cursor.toString)
+    val marker = new java.io.File(root, ParquetLog.retractMarker)
+    val tmp = new java.io.File(root, ParquetLog.retractTmp)
+    stats.foreach { case (b, hits, total) =>
+      val unitName = s"$bucketCol=$b"
+      val unit = new java.io.File(root, unitName)
+      if (hits == total) {
+        // bucket fully emptied: tombstone commit, then delete — no
+        // empty parquet write (which could not carry a readable schema)
+        ParquetLog.writeAtomic(marker, s"$unitName EMPTY")
+        deleteTree(unit)
+        marker.delete()
+      } else {
+        deleteTree(tmp)
+        // bucket files hold the full row schema (the partition column is
+        // directory-encoded); read the one directory, keep the misses
+        mark(spark.read.schema(fullSchema).parquet(unit.getPath))
+          .where(!hitC)
+          .select(fullSchema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
+          .write.parquet(tmp.getPath)
+        ParquetLog.writeAtomic(marker, unitName) // commit point (with tmp/_SUCCESS)
+        deleteTree(unit)
+        if (!tmp.renameTo(unit))
+          throw new java.io.IOException(s"retract: cannot swap $tmp into $unit")
+        marker.delete()
+      }
+    }
+    stats.map(_._2).sum
   }
+
+  /** Stream ids of record-granular DSv2 tails with a
+    * planned-but-uncommitted micro-batch on this log — [[retract]]'s
+    * quiescence fence. Marked by
+    * [[graft.streaming.ParquetLogMicroBatchStream]] at plan time,
+    * cleared at batch commit and stream stop. */
+  private[graft] val inflightTailBatches =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   override def methods: Map[String, Seq[Any] => Any] =
     Map("compact" -> (args => { compact(args.headOption.map(_.toString.toLong)
@@ -558,6 +685,41 @@ object ParquetLog {
     * when rows are removed — `_`-prefixed so Spark's parquet file
     * listing ignores it. */
   private[core] val cursorMarker = "_graft_cursor"
+
+  /** Per-bucket retraction rewrite protocol files, `_`-prefixed so
+    * parquet file listing ignores them: the staged rewrite of the ONE
+    * in-flight bucket and its commit marker. */
+  private[core] val retractTmp = "_graft_retract_tmp"
+  private[core] val retractMarker = "_graft_retract_marker"
+
+  /** Internal match-marker column added by the retraction paths. */
+  private[graft] val hitCol = "__graft_hit"
+
+  /** Mark rows whose `idCol` appears in `ids` — the join-based takedown
+    * predicate shared by [[ParquetLog.retractIds]] and the view-side
+    * `retractIds`: a left join against the DISTINCT id set, broadcast
+    * under a count fence with a shuffle fallback, instead of an
+    * `isin` literal whose `In` expression grows with the list. */
+  private[graft] def hitMarker(ids: org.apache.spark.sql.DataFrame, idCol: String,
+      maxBroadcastKeys: Long): org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
+    val keys = ids.select(col(idCol)).distinct()
+    val fenceLimit = math.min(maxBroadcastKeys + 1, Int.MaxValue.toLong).toInt
+    val small = keys.limit(fenceLimit).count() <= maxBroadcastKeys
+    val marked = (if (small) org.apache.spark.sql.functions.broadcast(keys) else keys)
+      .withColumn(hitCol, lit(true))
+    df => df.join(marked, Seq(idCol), "left")
+      .withColumn(hitCol, coalesce(col(hitCol), lit(false)))
+  }
+
+  /** All-or-nothing small-file write (write-then-atomic-rename): a torn
+    * marker must never be readable as a valid commit. */
+  private[core] def writeAtomic(f: java.io.File, content: String): Unit = {
+    val tmp = new java.io.File(f.getPath + ".w")
+    java.nio.file.Files.writeString(tmp.toPath, content)
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Directories with a FILE-GRANULAR live tail ([[ParquetLog.readStreamFiles]])
     * planned THIS JVM — sticky for the process lifetime, because the file

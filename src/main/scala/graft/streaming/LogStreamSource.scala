@@ -171,8 +171,15 @@ class ParquetLogMicroBatchStream(
     * the query has no checkpoint yet. */
   override def initialOffset(): Offset = SeqOffset(startSeq)
   override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = LogStreamRegistry.unregister(logId)
+  // a planned batch's readers hold planned file paths until the batch
+  // commits — ParquetLog.retract's quiescence fence (it must not swap a
+  // bucket out from under an in-flight batch). Cleared at commit and at
+  // stream stop (a stopped query never runs its planned tasks).
+  override def commit(end: Offset): Unit = log.inflightTailBatches.remove(logId)
+  override def stop(): Unit = {
+    log.inflightTailBatches.remove(logId)
+    LogStreamRegistry.unregister(logId)
+  }
 
   private def listParquet(f: java.io.File, lower: Long, upper: Long): Seq[java.io.File] = {
     val fs = f.listFiles()
@@ -213,6 +220,7 @@ class ParquetLogMicroBatchStream(
     val gt = start.asInstanceOf[SeqOffset].seq
     val lte = end.asInstanceOf[SeqOffset].seq
     if (lte <= gt) return Array.empty
+    log.inflightTailBatches.add(logId)
     // Atomic w.r.t. compact()'s directory swap: compact holds the log
     // monitor across rewrite + rename, so a listing taken under the same
     // monitor sees the pre-compact layout or the post-compact layout,

@@ -41,12 +41,56 @@ private[views] trait DeltaProtocol {
       case Some(_)                              => destroy()
       case None                                 => ()
     }
+    recoverRetract()
     pruneOrphans()
     recoverCompact()
   }
 
   protected def compactTmp: Path = root.resolve("compact.tmp")
   protected def compactMarker: Path = root.resolve("compact.cursor")
+  protected def retractTmp: Path = root.resolve("retract.tmp")
+  protected def retractMarker: Path = root.resolve("retract.cursor")
+
+  private def deleteTreeIfExists(p: Path): Unit =
+    if (Files.exists(p)) FsLists.walkDeepestFirst(p).foreach(Files.delete)
+
+  /** All-or-nothing marker write: a torn marker must never read as a
+    * valid commit (it names a directory to DELETE). */
+  protected def writeAtomic(p: Path, content: String): Unit = {
+    val tmp = p.resolveSibling(p.getFileName.toString + ".w")
+    Files.writeString(tmp, content)
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Retraction crash recovery ([[CompactableDeltas.retractWhere]]'s
+    * per-unit swap; no-op for views that never retract). The marker is
+    * the commit point for the ONE in-flight rewrite unit (a `batch=`
+    * delta dir, or a partition subdir inside one): marker with an
+    * `EMPTY` outcome → delete the unit (idempotent tombstone); marker
+    * plus a COMPLETE tmp (`_SUCCESS`) → delete the unit, adopt the tmp;
+    * anything else is uncommitted — dropped, the unit's original files
+    * intact. Units the takedown never reached are finished by the
+    * family intent replay ([[Retraction.recover]]), which re-runs the
+    * whole `retractWhere` idempotently. */
+  protected def recoverRetract(): Unit = {
+    if (Files.exists(retractMarker)) {
+      val txt = scala.util.Try(Files.readString(retractMarker).trim).getOrElse("")
+      txt.split(" ") match {
+        case Array(unit, "EMPTY") if unit.startsWith("batch=") =>
+          deleteTreeIfExists(root.resolve(unit))
+        case Array(unit) if unit.startsWith("batch=") &&
+            Files.exists(retractTmp.resolve("_SUCCESS")) =>
+          deleteTreeIfExists(root.resolve(unit))
+          Files.move(retractTmp, root.resolve(unit))
+        case _ => () // torn/uncommitted: the unit's old state is intact
+      }
+      Files.deleteIfExists(retractMarker)
+    }
+    deleteTreeIfExists(retractTmp)
+    deleteTreeIfExists(retractTmp.resolveSibling(retractTmp.getFileName.toString + ".w"))
+    deleteTreeIfExists(retractMarker.resolveSibling(retractMarker.getFileName.toString + ".w"))
+  }
 
   /** Compaction crash recovery (no-op for views that never compact):
     * once the cursor marker exists, `compact.tmp` is the COMPLETE merge
@@ -171,39 +215,124 @@ private[views] trait CompactableDeltas extends DeltaProtocol {
     rewriteChain(mergeDeltas(readDeltas(dirs)), dirs)
   }
 
-  /** RETRACTION (takedown) across the whole delta chain: physically
-    * remove every feature row matching `cond` — the view-side half of a
-    * corpus takedown (the log side is
-    * [[graft.core.ParquetLog.retract]]). A retracted document's
-    * signatures/hashes must actually leave storage, or a later
-    * re-ingest of near-identical content would still dedup against it.
+  /** Partition column whose `col=value/` subdirectories inside each
+    * delta are independently rewritable units (IVF's `cell`); None =
+    * the delta dir itself is the rewrite unit. Finer units mean a
+    * takedown rewrites less: IVF rewrites only the matched cells. */
+  protected def retractPartitionCol: Option[String] = None
+
+  /** RETRACTION (takedown) across the delta chain: physically remove
+    * every feature row matching `cond` — the view-side half of a corpus
+    * takedown (the log side is [[graft.core.ParquetLog.retract]]). A
+    * retracted document's signatures/hashes must actually leave
+    * storage, or a later re-ingest of near-identical content would
+    * still dedup against it.
     *
-    * Implemented as a FILTERED compaction: the chain collapses into one
-    * base delta minus the matching rows, under [[compact]]'s exact
-    * crash protocol (tmp → marker → swap; a death at any point recovers
-    * to old or new state at open, never partial). The ingest cursor is
-    * UNCHANGED — retraction is not an absorb, and replaying the
-    * interval would find the rows already gone. Like any compaction it
-    * collapses [[frameAsOf]] history to the current state — which for a
-    * takedown is the POINT (no snapshot may resurrect the rows). NULL
-    * `cond` rows are kept; retracting absent rows is an idempotent
-    * rewrite. */
+    * PRUNED to the matched storage units: one narrow match scan (only
+    * `cond`'s columns plus the directory-derived `batch` — and
+    * [[retractPartitionCol]] where the view has one — are read) yields
+    * per-unit hit/total counts, then ONLY units containing matches are
+    * rewritten, each under its own tmp → marker-commit → swap protocol
+    * (recovered at open by [[DeltaProtocol.recoverRetract]]); a
+    * fully-emptied unit is deleted under an `EMPTY` tombstone marker —
+    * never written as an empty parquet dir, which could not carry a
+    * readable schema. Untouched deltas keep their files byte-for-byte,
+    * so at corpus scale a takedown costs ∝ its matches, not the chain —
+    * and, unlike a filtered compaction, the chain SURVIVES:
+    * [[frameAsOf]] history is preserved for everything except the
+    * retracted rows, which leave every snapshot (exactly what a
+    * takedown requires — no snapshot may resurrect them).
+    *
+    * `cond` is applied to RAW stored rows (it must reference stored
+    * data columns, not partition columns): for folding views
+    * (hashtable) every superseded version of a retracted key leaves
+    * storage too. The ingest cursor is UNCHANGED — retraction is not an
+    * absorb. A JVM death leaves each unit old or new, never partial;
+    * units not yet reached are finished by the family intent replay
+    * ([[Retraction.recover]] — callers outside that protocol must treat
+    * a crashed `retractWhere` as incomplete and re-run it). NULL `cond`
+    * rows are kept; retracting absent rows is an idempotent no-op. */
   def retractWhere(cond: org.apache.spark.sql.Column): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    retractMarked(df => df.withColumn(
+      graft.core.ParquetLog.hitCol, coalesce(cond, lit(false))))
+  }
+
+  /** Takedown by ID LIST — the batch form: ids stay a DataFrame and
+    * matches are marked by a count-fenced broadcast join (shuffle
+    * fallback) against the distinct id set, so a 10⁶-id takedown plans
+    * ONE join instead of a 10⁶-literal `In` expression. Same pruned
+    * per-unit rewrite and crash protocol as [[retractWhere]]. */
+  def retractIds(ids: DataFrame, idCol: String,
+      maxBroadcastKeys: Long = 4L * 1000 * 1000): Unit =
+    retractMarked(graft.core.ParquetLog.hitMarker(ids, idCol, maxBroadcastKeys))
+
+  private def retractMarked(mark: DataFrame => DataFrame): Unit = {
+    recoverRetract()
     val dirs = committedBatchDirs()
     if (dirs.isEmpty) return
-    import org.apache.spark.sql.functions.{coalesce, lit}
-    val keep = mergeDeltas(readDeltas(dirs)).where(!coalesce(cond, lit(false)))
-    if (keep.isEmpty) {
-      // TOTAL takedown: there is no base delta to write — a
-      // dynamic-partition writeMerged (IVF's per-cell layout) of an
-      // empty frame lands a _SUCCESS-only directory that later reads
-      // cannot infer a schema from, bricking the view. The retracted
-      // state IS "no committed batches": delete the chain (cursor
-      // unchanged; the view reads as empty and absorbs continue).
-      // Idempotent-completable: a death mid-delete leaves a subset of
-      // the rows and a re-run (the family intent replay) finishes it.
-      dirs.foreach(p => FsLists.walkDeepestFirst(p).foreach(Files.delete))
-    } else rewriteChain(keep, dirs)
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    val hit = col(graft.core.ParquetLog.hitCol)
+    // narrow match scan over the chain: (unit, hits, total). mergeSchema
+    // tolerates upgrade-mixed chains; basePath surfaces `batch` (and any
+    // partition subdir column) as directory-derived columns.
+    val all = mark(spark.read.option("basePath", root.toString)
+      .option("mergeSchema", "true").parquet(dirs.map(_.toString): _*))
+    // partition-value inference types small batch ids as Integer — pin
+    // to Long so the driver grouping below reads one type
+    val unitCols = Seq("batch") ++ retractPartitionCol
+    val groupCols = col("batch").cast("long").as("batch") +:
+      retractPartitionCol.map(col).toSeq
+    val stats = all.groupBy(groupCols: _*)
+      .agg(sum(when(hit, lit(1L)).otherwise(lit(0L))).as("hits"),
+        count(lit(1)).as("total"))
+      .where(col("hits") > 0)
+      .collect()
+    if (stats.isEmpty) return
+    // group to per-delta: a delta whose every row matches is tombstoned
+    // whole (also covers partition-col views — no _SUCCESS-only husk)
+    val byBatch = stats.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+    byBatch.foreach { case (b, rows) =>
+      val batchRel = s"batch=$b"
+      val batchHits = rows.map(_.getLong(unitCols.size)).sum
+      val batchTotal = rows.map(_.getLong(unitCols.size + 1)).sum
+      if (batchHits == batchTotal) retractUnit(batchRel, None)
+      else retractPartitionCol match {
+        case None => retractUnit(batchRel, Some(mark))
+        case Some(pc) =>
+          rows.sortBy(_.get(1).toString).foreach { r =>
+            val unitRel = s"$batchRel/$pc=${r.get(1)}"
+            if (r.getLong(2) == r.getLong(3)) retractUnit(unitRel, None)
+            else retractUnit(unitRel, Some(mark))
+          }
+      }
+    }
+  }
+
+  /** Rewrite (keep = NOT marked) or tombstone-delete (`mark` = None) one
+    * storage unit under the marker-commit protocol. */
+  private def retractUnit(rel: String, mark: Option[DataFrame => DataFrame]): Unit = {
+    val unit = root.resolve(rel)
+    mark match {
+      case None =>
+        writeAtomic(retractMarker, s"$rel EMPTY")
+        if (Files.exists(unit)) FsLists.walkDeepestFirst(unit).foreach(Files.delete)
+        Files.delete(retractMarker)
+      case Some(m) =>
+        import org.apache.spark.sql.functions.col
+        if (Files.exists(retractTmp)) FsLists.walkDeepestFirst(retractTmp).foreach(Files.delete)
+        // unit files hold the stored data columns (partition values are
+        // directory-encoded): read the one directory, keep the misses,
+        // preserving the stored column order
+        val raw = spark.read.parquet(unit.toString)
+        m(raw).where(!col(graft.core.ParquetLog.hitCol))
+          .select(raw.columns.toSeq.map(n => col(s"`$n`")): _*)
+          .write.parquet(retractTmp.toString)
+        writeAtomic(retractMarker, rel) // commit point (valid with tmp/_SUCCESS)
+        FsLists.walkDeepestFirst(unit).foreach(Files.delete)
+        Files.move(retractTmp, unit)
+        Files.delete(retractMarker)
+    }
   }
 
   /** The shared tmp → marker → swap rewrite under the compaction crash

@@ -209,6 +209,10 @@ final class IVFIndexView(
   override protected def readDeltas(dirs: Seq[java.nio.file.Path]): DataFrame =
     spark.read.option("basePath", root.toString).parquet(dirs.map(_.toString): _*)
 
+  /** A takedown rewrites only the matched `cell=` subdirectories of the
+    * matched deltas — the per-cell layout is also the retraction unit. */
+  override protected def retractPartitionCol: Option[String] = Some("cell")
+
   /** The compacted base keeps the per-cell layout (one dir per cell, so
     * probes prune the base exactly like they pruned the deltas); the
     * discovered `batch` column is dropped — the base carries the cursor

@@ -1,74 +1,178 @@
 package graft.views
 
 import graft.core.ParquetLog
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 import java.nio.file.{Files, Paths}
 
 /** Cross-artifact corpus retraction (takedown): remove documents from
-  * the curated LOG ([[graft.core.ParquetLog.retract]] — the compaction
-  * rewrite path) AND their feature rows from the modality table
-  * (`retractWhere` — the filtered-compaction path), atomically enough
-  * for a pretraining pipeline: an INTENT file is made durable before
-  * either rewrite, so a crash in the window between them (log rewritten,
-  * feature delete lost — the dangerous half-state, where a re-ingested
-  * near-dup of the retracted doc would still be dropped against ghost
-  * signatures) is closed by [[recover]] at the next open. Both halves
-  * are idempotent (retracting absent rows rewrites nothing / rewrites to
-  * the same state), so the replay is unconditional re-execution.
+  * the curated LOG ([[graft.core.ParquetLog.retract]] — the pruned
+  * per-bucket rewrite) AND their feature rows from the modality tables
+  * (`retractWhere`/`retractIds` — the pruned per-delta rewrite),
+  * atomically enough for a pretraining pipeline: an INTENT is made
+  * durable before either rewrite, so a crash in the window between them
+  * (log rewritten, feature delete lost — the dangerous half-state, where
+  * a re-ingested near-dup of the retracted doc would still be dropped
+  * against ghost signatures) is closed by [[recover]] at the next open.
+  * Both halves are idempotent (retracting absent rows rewrites nothing /
+  * rewrites to the same state), so the replay is unconditional
+  * re-execution — which also finishes any buckets/deltas a crash left
+  * un-rewritten mid-takedown (each storage unit is individually
+  * crash-safe; the intent replay provides whole-takedown completion).
+  *
+  * Two id-list forms share one intent protocol: a SMALL list travels
+  * inline in the intent file (comma-joined); a BATCH list (rights-holder
+  * requests of 10⁵–10⁶ ids) stays a DataFrame end to end — durably a
+  * parquet directory beside the intent file, retracted via a
+  * count-fenced broadcast anti-join instead of a million-literal `In`
+  * expression that would blow up Catalyst and driver memory. The intent
+  * file records which form is in flight (`@ids` = parquet), so one
+  * [[recover]] replays either.
   *
   * This is the deletion story the reference's append-only model lacks
   * and a real corpus pipeline cannot ship without: rights-holder
   * takedowns and GDPR erasure must remove the BYTES — log rows, stored
-  * signatures, and (because retraction is a compaction) every
-  * `frameAsOf` snapshot that could resurrect them. */
+  * signatures, and every snapshot that could resurrect them. */
 object Retraction {
+
+  /** Marker content of a batch (DataFrame) intent: the ids live in the
+    * sibling `<intentFile>.ids` parquet directory. */
+  private val BatchSentinel = "@ids"
+
+  private def idsDir(intentFile: String): String = intentFile + ".ids"
 
   /** Take down `ids` (the log's `idCol` values) across the family.
     * Order: intent durable → log rewrite → feature rewrite → intent
-    * cleared. Returns the number of log rows removed. */
+    * cleared. Returns the number of log rows removed. Convenience form
+    * for driver-scale lists; a takedown batch beyond driver scale uses
+    * the DataFrame overload. */
   def retract(
       log: ParquetLog,
       idCol: String,
       ids: Seq[Long],
       retractFeatures: Seq[Long] => Unit,
       intentFile: String): Long = {
-    val p = Paths.get(intentFile)
-    if (p.getParent != null) Files.createDirectories(p.getParent)
-    // the intent must be ALL-OR-NOTHING durable: a torn plain write
-    // would make recover() execute a truncated id list (retracting a
-    // wrong document, dropping the tail of the takedown) — write-then-
-    // atomic-rename, the same commit protocol as every marker here
-    val tmp = Paths.get(intentFile + ".tmp")
-    Files.writeString(tmp, ids.mkString(","))
-    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    val removed = log.retract(col(idCol).isin(ids: _*))
+    writeIntent(intentFile, ids.mkString(","))
+    // even the small form retracts via the id JOIN (one plan shape for
+    // both arms; an isin literal is never built)
+    val df = log.spark.createDataFrame(
+      log.spark.sparkContext.parallelize(ids.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol,
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val removed = log.retractIds(df, idCol)
     retractFeatures(ids)
-    Files.delete(p)
+    Files.delete(Paths.get(intentFile))
     removed
   }
 
-  /** Close an interrupted takedown window: if an intent file survives,
-    * both halves re-run (idempotent) and the intent clears. Call at
-    * family open, before serving reads. Returns the retracted ids (empty
-    * when no window was open). */
+  /** Batch takedown: `ids` is a one-column DataFrame of `idCol` values
+    * (any size — it is never collected). The intent is made durable as
+    * a parquet id list plus an atomic marker naming it; the log and
+    * feature rewrites run as count-fenced broadcast anti-joins. Returns
+    * the number of log rows removed. */
+  def retract(
+      log: ParquetLog,
+      idCol: String,
+      ids: DataFrame,
+      retractFeatures: DataFrame => Unit,
+      intentFile: String): Long = {
+    val dir = idsDir(intentFile)
+    deleteDirIfExists(dir) // a stale uncommitted list from a prior crash
+    ids.select(col(idCol)).distinct().write.parquet(dir)
+    // the parquet list is complete (_SUCCESS) — NOW commit the intent
+    writeIntent(intentFile, BatchSentinel)
+    val durable = log.spark.read.parquet(dir)
+    val removed = log.retractIds(durable, idCol)
+    retractFeatures(durable)
+    Files.delete(Paths.get(intentFile))
+    deleteDirIfExists(dir)
+    removed
+  }
+
+  /** Close an interrupted takedown window: if an intent survives, both
+    * halves re-run (idempotent) and the intent clears. Call at family
+    * open, before serving reads. Returns the retracted ids (empty when
+    * no window was open). The DataFrame-features callback serves both
+    * forms; small-list intents are replayed through the same join path. */
   def recover(
       log: ParquetLog,
       idCol: String,
       retractFeatures: Seq[Long] => Unit,
-      intentFile: String): Seq[Long] = {
+      intentFile: String): Seq[Long] =
+    recoverWith(log, idCol, intentFile,
+      onSeq = ids => retractFeatures(ids),
+      onBatch = df => retractFeatures(
+        df.collect().map(_.getLong(0)).toSeq)) // legacy callback: driver-scale by its signature
+
+  /** Batch-aware recovery: feature callbacks receive the id list as a
+    * DataFrame whichever form the intent took (never collected). */
+  def recoverBatch(
+      log: ParquetLog,
+      idCol: String,
+      retractFeatures: DataFrame => Unit,
+      intentFile: String): Seq[Long] =
+    recoverWith(log, idCol, intentFile,
+      onSeq = ids => retractFeatures(seqToDf(log.spark, idCol, ids)),
+      onBatch = retractFeatures)
+
+  private def recoverWith(
+      log: ParquetLog,
+      idCol: String,
+      intentFile: String,
+      onSeq: Seq[Long] => Unit,
+      onBatch: DataFrame => Unit): Seq[Long] = {
     val p = Paths.get(intentFile)
     // a leftover .tmp is a takedown that was never made durable (the
     // caller never got an acknowledgment) — discard it
     val tmp = Paths.get(intentFile + ".tmp")
     if (Files.exists(tmp)) Files.delete(tmp)
-    if (!Files.exists(p)) return Seq.empty
-    val ids = Files.readString(p).trim.split(",").filter(_.nonEmpty).map(_.toLong).toSeq
-    if (ids.nonEmpty) {
-      log.retract(col(idCol).isin(ids: _*))
-      retractFeatures(ids)
+    if (!Files.exists(p)) {
+      deleteDirIfExists(idsDir(intentFile)) // uncommitted parquet list
+      return Seq.empty
     }
+    val content = Files.readString(p).trim
+    val replayed: Seq[Long] =
+      if (content == BatchSentinel) {
+        val durable = log.spark.read.parquet(idsDir(intentFile))
+        log.retractIds(durable, idCol)
+        onBatch(durable)
+        Seq(-1L) // batch form: ids are not driver-enumerated
+      } else {
+        val ids = content.split(",").filter(_.nonEmpty).map(_.toLong).toSeq
+        if (ids.nonEmpty) {
+          log.retractIds(seqToDf(log.spark, idCol, ids), idCol)
+          onSeq(ids)
+        }
+        ids
+      }
     Files.delete(p)
-    ids
+    deleteDirIfExists(idsDir(intentFile))
+    replayed
+  }
+
+  private def seqToDf(spark: SparkSession, idCol: String, ids: Seq[Long]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(ids.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol,
+          org.apache.spark.sql.types.LongType, nullable = false))))
+
+  /** The intent must be ALL-OR-NOTHING durable: a torn plain write would
+    * make recover() execute a truncated id list (retracting a wrong
+    * document, dropping the tail of the takedown) — write-then-atomic-
+    * rename, the same commit protocol as every marker here. */
+  private def writeIntent(intentFile: String, content: String): Unit = {
+    val p = Paths.get(intentFile)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    val tmp = Paths.get(intentFile + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def deleteDirIfExists(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p)) FsLists.walkDeepestFirst(p).foreach(Files.delete)
   }
 }

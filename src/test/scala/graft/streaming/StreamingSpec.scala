@@ -1276,7 +1276,7 @@ class StreamingSpec extends SparkSpec {
       assert(curLog.read.where(col("media_id") === 3L).count() === 1L)
       // takedown image 3 at a batch boundary through the family path
       Retraction.retract(curLog, "media_id", Seq(3L),
-        ids => phView.retractWhere(col("media_id").isin(ids: _*)),
+        (ids: Seq[Long]) => phView.retractWhere(col("media_id").isin(ids: _*)),
         java.nio.file.Paths.get(tmp("graft-mret-i"), "_intent").toString)
       assert(curLog.read.where(col("media_id") === 3L).count() === 0L,
         "the retracted image left the curated log")

@@ -907,6 +907,99 @@ class PersistenceSpec extends SparkSpec {
       "text signature table: reopen must not resurrect retracted rows")
   }
 
+  test("retractWhere is delta-pruned: untouched deltas byte-identical, IVF rewrites only matched cells") {
+    val phSchema = StructType(Seq(
+      StructField("media_id", LongType), StructField("phash", LongType)))
+    def df(rows: Seq[Row]) = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), phSchema)
+    val dir = Files.createTempDirectory("graft-dprune").toString + "/v"
+    val v = new PhashTableView(spark, dir, 1)
+    v.absorbHashes(df(Seq(Row(1L, 11L), Row(2L, 22L))), 10L)
+    v.absorbHashes(df(Seq(Row(3L, 33L), Row(4L, 44L))), 20L)
+    v.absorbHashes(df(Seq(Row(5L, 55L))), 30L)
+    def fileState(): Map[String, Seq[(String, Long, Long)]] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(_.getName.startsWith("batch=")).map { b =>
+        b.getName -> b.listFiles().toSeq.sortBy(_.getName)
+          .map(f => (f.getName, f.length(), f.lastModified()))
+      }.toMap
+    }
+    val before = fileState()
+    v.retractWhere(col("media_id") === 3L) // only batch=20 matches
+    val after = fileState()
+    assert(after("batch=10") === before("batch=10") && after("batch=30") === before("batch=30"),
+      "deltas with no matches keep their files byte-for-byte")
+    assert(after("batch=20") !== before("batch=20"), "the matched delta is rewritten")
+    assert(v.hashes.select("media_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L, 4L, 5L))
+    // a fully-emptied delta is tombstone-deleted, not written empty
+    v.retractWhere(col("media_id") === 5L)
+    assert(!fileState().contains("batch=30"), "an emptied delta dir is deleted")
+    assert(fileState()("batch=10") === before("batch=10"), "others still untouched")
+    // frameAsOf history SURVIVES a pruned takedown (minus retracted rows)
+    assert(v.frameAsOf(10L).select("media_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L),
+      "snapshot reads survive retraction — the chain is filtered, not collapsed")
+
+    // IVF: only the matched delta's matched CELL dirs are rewritten
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val ivfDir = Files.createTempDirectory("graft-ivfprune").toString + "/v"
+    val ivf = new IVFIndexView(spark, ivfDir, 1, "vec_id", "embedding", 8)
+    ivf.absorb(emb.where(col("vec_id") < 250), 249L)
+    ivf.absorb(emb.where(col("vec_id") >= 250), 499L)
+    def cellState(): Map[String, Seq[(String, Long, Long)]] = {
+      val root = new java.io.File(ivfDir)
+      (for {
+        b <- root.listFiles().toSeq.filter(_.getName.startsWith("batch="))
+        c <- b.listFiles().toSeq.filter(_.getName.startsWith("cell="))
+      } yield s"${b.getName}/${c.getName}" ->
+        c.listFiles().toSeq.sortBy(_.getName).map(f => (f.getName, f.length(), f.lastModified()))
+      ).toMap
+    }
+    val cellsBefore = cellState()
+    val targetCell = ivf.frame.where(col("vec_id") === 42L).head().getAs[Any]("cell").toString
+    ivf.retractWhere(col("vec_id") === 42L) // one vector, delta batch=249, one cell
+    val cellsAfter = cellState()
+    val touched = cellsBefore.keys.filter(k => cellsAfter.get(k) != cellsBefore.get(k)).toSeq
+    assert(touched === Seq(s"batch=249/cell=$targetCell"),
+      s"only the matched delta's matched cell is rewritten, got $touched")
+    assert(ivf.frame.where(col("vec_id") === 42L).count() === 0L)
+  }
+
+  test("retractWhere crash windows (incl. total-takedown tombstone) recover at open") {
+    val phSchema = StructType(Seq(
+      StructField("media_id", LongType), StructField("phash", LongType)))
+    def df(rows: Seq[Row]) = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), phSchema)
+    val dir = Files.createTempDirectory("graft-dcrash").toString + "/v"
+    val root = java.nio.file.Paths.get(dir)
+    val v = new PhashTableView(spark, dir, 1)
+    v.absorbHashes(df(Seq(Row(1L, 11L), Row(2L, 22L))), 10L)
+    v.absorbHashes(df(Seq(Row(3L, 33L))), 20L)
+
+    // window A (the total-takedown half-state): EMPTY tombstone durable,
+    // delete lost mid-way — a reopened view must NOT resurrect the rows
+    java.nio.file.Files.writeString(root.resolve("retract.cursor"), "batch=20 EMPTY")
+    val v2 = new PhashTableView(spark, dir, 1)
+    assert(v2.hashes.select("media_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L),
+      "tombstoned delta deleted at open — no partial-chain resurrection")
+    assert(!java.nio.file.Files.exists(root.resolve("retract.cursor")))
+    assert(v2.since === 20L, "ingest cursor untouched by retraction recovery")
+
+    // window B: committed rewrite (tmp complete + marker), swap lost
+    spark.read.parquet(root.resolve("batch=10").toString)
+      .where(col("media_id") =!= 2L).write.parquet(root.resolve("retract.tmp").toString)
+    java.nio.file.Files.writeString(root.resolve("retract.cursor"), "batch=10")
+    val v3 = new PhashTableView(spark, dir, 1)
+    assert(v3.hashes.select("media_id").collect().map(_.getLong(0)).toSet === Set(1L),
+      "committed rewrite adopted at open")
+
+    // window C: tmp without marker (uncommitted) — dropped, rows intact
+    spark.read.parquet(root.resolve("batch=10").toString)
+      .where(col("media_id") =!= 1L).write.parquet(root.resolve("retract.tmp").toString)
+    val v4 = new PhashTableView(spark, dir, 1)
+    assert(v4.hashes.select("media_id").collect().map(_.getLong(0)).toSet === Set(1L),
+      "uncommitted tmp dropped; original delta intact")
+    assert(!java.nio.file.Files.exists(root.resolve("retract.tmp")))
+  }
+
   test("IVF retraction: filtered compaction keeps the per-cell layout; retracted vectors leave search") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")
@@ -1040,6 +1133,54 @@ class PersistenceSpec extends SparkSpec {
       "kept content still dedups against the stored table")
   }
 
+  test("batch takedown: a 100k-id DataFrame retracts via a join, never an In literal") {
+    import spark.implicits._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val logDir = Files.createTempDirectory("graft-bret-log").toString
+    val log = new ParquetLog(spark, logDir, docSchema, bucketSize = 8L)
+    log.append((1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text"))
+    val sgDir = Files.createTempDirectory("graft-bret-sig").toString + "/v"
+    val sg = new PhashTableView(spark, sgDir, 1)
+    sg.absorbHashes((1L to 40L).map(i => (i, i * 7L)).toDF("media_id", "phash"), 40L)
+
+    // 100k takedown ids, 3 actually present — the list is never
+    // collected and the predicate is a JOIN whose plan size is
+    // independent of the list size
+    val ids = spark.range(100000).select((col("id") + 1000000L).as("doc_id"))
+      .union(Seq(3L, 17L, 33L).toDF("doc_id"))
+    val marked = graft.core.ParquetLog.hitMarker(ids, "doc_id", 4L * 1000 * 1000)(log.read)
+    val plan = marked.queryExecution.executedPlan.toString
+    assert(plan.contains("Join"), s"takedown predicate must be a join, got:\n$plan")
+    assert(!plan.contains(" IN ("), "no In literal anywhere in the takedown plan")
+
+    val intent = Files.createTempDirectory("graft-bret-int").toString + "/_intent"
+    val removed = Retraction.retract(log, "doc_id", ids,
+      (df: org.apache.spark.sql.DataFrame) =>
+        sg.retractIds(df.withColumnRenamed("doc_id", "media_id"), "media_id"),
+      intent)
+    assert(removed === 3L)
+    assert(log.read.where(col("doc_id").isin(3L, 17L, 33L)).count() === 0L)
+    assert(sg.hashes.where(col("media_id").isin(3L, 17L, 33L)).count() === 0L)
+    assert(log.read.count() === 37L && sg.hashes.count() === 37L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(intent)))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(intent + ".ids")),
+      "the durable parquet id list is cleared with the intent")
+
+    // crash window: parquet list + intent durable, NEITHER rewrite ran —
+    // recoverBatch replays both halves from the durable list
+    Seq(5L, 9L).toDF("doc_id").write.parquet(intent + ".ids")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(intent), "@ids")
+    val log2 = new ParquetLog(spark, logDir, docSchema, bucketSize = 8L)
+    Retraction.recoverBatch(log2, "doc_id",
+      df => sg.retractIds(df.withColumnRenamed("doc_id", "media_id"), "media_id"), intent)
+    assert(log2.read.where(col("doc_id").isin(5L, 9L)).count() === 0L,
+      "recovered batch intent replays the log half")
+    assert(sg.hashes.where(col("media_id").isin(5L, 9L)).count() === 0L,
+      "recovered batch intent replays the feature half")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(intent)))
+  }
+
   test("ParquetLog.retract: bucketed rewrite preserves layout and survives the rename crash window") {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
@@ -1093,6 +1234,122 @@ class PersistenceSpec extends SparkSpec {
       "empty-after-retraction log reopens with the preserved cursor")
     assert(log5.append(Seq((100L, "post")).toDF("doc_id", "text")) === 11L)
     assert(log5.read.count() === 1L)
+  }
+
+  test("ParquetLog.retract is bucket-pruned: untouched bucket dirs stay byte-identical") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    import spark.implicits._
+    val logDir = Files.createTempDirectory("graft-lprune").toString
+    val log = new ParquetLog(spark, logDir, docSchema, bucketSize = 2L)
+    log.append((1L to 20L).map(i => (i, s"doc $i")).toDF("doc_id", "text")) // 10 buckets
+    def fileState(): Map[String, Seq[(String, Long, Long)]] = {
+      val root = new java.io.File(logDir)
+      root.listFiles().filter(_.getName.startsWith("seq_bucket=")).map { b =>
+        b.getName -> b.listFiles().toSeq.sortBy(_.getName)
+          .map(f => (f.getName, f.length(), f.lastModified()))
+      }.toMap
+    }
+    val before = fileState()
+    assert(before.size === 10)
+    // doc_id 7 is seq 6 → bucket 3; the other NINE buckets must not be touched
+    assert(log.retract(col("doc_id") === 7L) === 1L)
+    val after = fileState()
+    assert(after.size === 10)
+    before.foreach { case (bucket, files) =>
+      if (bucket == "seq_bucket=3")
+        assert(after(bucket) !== files, "the matched bucket must be rewritten")
+      else
+        assert(after(bucket) === files,
+          s"$bucket contains no matches and must keep its files byte-for-byte " +
+            "(same names, lengths, mtimes) — the pruned rewrite must not touch it")
+    }
+    assert(log.read.count() === 19L)
+    // a fully-emptied bucket is tombstone-deleted, the rest still untouched
+    assert(log.retract(col("doc_id").isin(9L, 10L)) === 2L) // seqs 8,9 = all of bucket 4
+    val after2 = fileState()
+    assert(!after2.contains("seq_bucket=4"), "an emptied bucket dir is deleted")
+    before.foreach { case (bucket, files) =>
+      if (bucket != "seq_bucket=3" && bucket != "seq_bucket=4")
+        assert(after2(bucket) === files, s"$bucket still untouched after the second takedown")
+    }
+    assert(log.read.count() === 17L)
+  }
+
+  test("ParquetLog.retract per-bucket crash windows recover to old or new state, never partial") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    import spark.implicits._
+    val logDir = Files.createTempDirectory("graft-lcrash").toString
+    val root = new java.io.File(logDir)
+    val log = new ParquetLog(spark, logDir, docSchema, bucketSize = 4L)
+    log.append((1L to 12L).map(i => (i, s"doc $i")).toDF("doc_id", "text")) // buckets 0,1,2
+
+    // window A: tmp complete + marker durable (committed), swap lost —
+    // recovery must ADOPT the tmp as the named bucket
+    val tmp = new java.io.File(root, "_graft_retract_tmp")
+    spark.read.schema(StructType(StructField("seq", LongType) +: docSchema.fields))
+      .parquet(new java.io.File(root, "seq_bucket=0").getPath)
+      .where(col("doc_id") =!= 2L).write.parquet(tmp.getPath)
+    java.nio.file.Files.writeString(
+      new java.io.File(root, "_graft_retract_marker").toPath, "seq_bucket=0")
+    val log2 = new ParquetLog(spark, logDir, docSchema, bucketSize = 4L)
+    assert(log2.read.where(col("doc_id") === 2L).count() === 0L,
+      "committed rewrite adopted at reopen")
+    assert(log2.read.count() === 11L)
+    assert(!tmp.exists() && !new java.io.File(root, "_graft_retract_marker").exists())
+
+    // window B: EMPTY tombstone durable, delete lost — recovery deletes
+    // the bucket. Bucket 2 is the TAIL: the real retract makes the
+    // cursor marker durable before touching any bucket — simulate that.
+    java.nio.file.Files.writeString(
+      new java.io.File(root, "_graft_cursor").toPath, "11")
+    java.nio.file.Files.writeString(
+      new java.io.File(root, "_graft_retract_marker").toPath, "seq_bucket=2 EMPTY")
+    val log3 = new ParquetLog(spark, logDir, docSchema, bucketSize = 4L)
+    assert(!new java.io.File(root, "seq_bucket=2").exists(), "tombstoned bucket deleted")
+    assert(log3.read.count() === 7L)
+    assert(log3.since === 11L, "cursor never regresses (marker written before any bucket)")
+
+    // window C: tmp written but marker never landed (uncommitted) —
+    // recovery drops the tmp, the bucket's original rows are intact
+    spark.read.schema(StructType(StructField("seq", LongType) +: docSchema.fields))
+      .parquet(new java.io.File(root, "seq_bucket=1").getPath)
+      .where(col("doc_id") =!= 5L).write.parquet(tmp.getPath)
+    val log4 = new ParquetLog(spark, logDir, docSchema, bucketSize = 4L)
+    assert(!tmp.exists(), "uncommitted tmp dropped")
+    assert(log4.read.where(col("doc_id") === 5L).count() === 1L, "original bucket intact")
+
+    // window D: torn marker (not atomic-rename-committed) is ignored
+    java.nio.file.Files.writeString(
+      new java.io.File(root, "_graft_retract_marker").toPath, "seq_bu")
+    val log5 = new ParquetLog(spark, logDir, docSchema, bucketSize = 4L)
+    assert(log5.read.count() === 7L)
+    assert(!new java.io.File(root, "_graft_retract_marker").exists())
+  }
+
+  test("ParquetLog.retract fences an in-flight record-granular tail micro-batch") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    import spark.implicits._
+    val logDir = Files.createTempDirectory("graft-lfence").toString
+    val log = new ParquetLog(spark, logDir, docSchema, bucketSize = 4L)
+    log.append((1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text"))
+    val stream = new graft.streaming.ParquetLogMicroBatchStream(
+      "fence-test", log, StructType(StructField("seq", LongType) +: docSchema.fields))
+    // a planned-but-uncommitted batch holds planned file readers: the
+    // swap would invalidate them — retract must refuse
+    stream.planInputPartitions(
+      graft.streaming.SeqOffset(-1L), graft.streaming.SeqOffset(log.since))
+    intercept[IllegalStateException] { log.retract(col("doc_id") === 1L) }
+    // the batch commits → quiescent → retraction proceeds
+    stream.commit(graft.streaming.SeqOffset(log.since))
+    assert(log.retract(col("doc_id") === 1L) === 1L)
+    // stop() also clears the fence (a stopped query never runs its tasks)
+    stream.planInputPartitions(
+      graft.streaming.SeqOffset(-1L), graft.streaming.SeqOffset(log.since))
+    stream.stop()
+    assert(log.retract(col("doc_id") === 2L) === 1L)
   }
 
   test("log method passthrough with collision protection (index.js:270-283)") {
