@@ -163,6 +163,44 @@ private[graft] object MultimodalQueries {
       agramTable(s, dir).containsBatch(clips)
         .orderBy("clip_id", "corpus_id", "offset_windows")
     }),
+    "q_retract_clip_reingest" -> ((s, dir) => {
+      // media-family takedown proving the CONTAINMENT POSTINGS are
+      // really gone — the clip sibling of q_retract_reingest: media
+      // corpus → (seq-bucketed curated log, durable audio-gram table);
+      // retract media_id % 10 == 3 through the intent-logged family
+      // path (pruned log rewrite + gram-table retraction); then
+      // containment-check gain×2 CLIPS of every % 5 == 3 parent against
+      // the stored postings and re-ingest the survivors. A clip of a
+      // RETRACTED parent finds no postings left to match (ingested); a
+      // clip of a KEPT parent still aligns (dropped). Without the gram
+      // rows in retractFeatures, the retracted clips would WRONGLY drop
+      // against ghost postings — the half-state this query pins away.
+      def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+      val docs = t(s, dir, "documents")
+      val media = Multimodal.syntheticWavMedia(docs, textured = true)
+      val curLog = new ParquetLog(s, tmp("graftmret-log"), Multimodal.mediaSchema, bucketSize = 128L)
+      val agView = new graft.views.AudioGramTableView(s, s"${tmp("graftmret-gram")}/v", 1)
+      curLog.append(media)
+      agView.absorb(media, curLog.since)
+      val rids = media.where(col("media_id") % 10 === 3)
+        .select("media_id").collect().map(_.getLong(0)).toSeq
+      graft.views.Retraction.retract(curLog, "media_id", rids,
+        (ids: Seq[Long]) => agView.retractWhere(col("media_id").isin(ids: _*)),
+        java.nio.file.Paths.get(tmp("graftmret-intent"), "_intent").toString)
+      val clips = Multimodal.syntheticWavClip(docs.where(col("doc_id") % 5 === 3), gain = 2)
+      val matched = agView.containsBatch(clips)
+        .select(col("clip_id").as("media_id")).distinct()
+      val survivors = clips.join(matched, Seq("media_id"), "left_anti").localCheckpoint(true)
+      if (!survivors.isEmpty) curLog.append(survivors)
+      curLog.read.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("media_id") < 90000 && col("media_id") % 10 === 3, 1L).otherwise(0L))
+          .as("retracted_left"),
+        sum(when(col("media_id") >= 90000 && (col("media_id") - 90000) % 10 === 3, 1L).otherwise(0L))
+          .as("reingest_of_retracted"),
+        sum(when(col("media_id") >= 90000 && (col("media_id") - 90000) % 10 === 8, 1L).otherwise(0L))
+          .as("reingest_of_kept"))
+    }),
     "q_video_neardup" -> ((s, dir) => {
       // video near-dup: +5-brightness re-encodes (ids +120000) of the
       // textured multi-frame GIFs vs the originals — per-frame dHash,
@@ -430,6 +468,39 @@ private[graft] object MultimodalQueries {
     // rewrite (grams from the durable table) and shares the oracle
     "q_audio_clip_containment" -> clipContainmentSql,
     "q_audio_clip_containment_stored" -> clipContainmentSql,
+    // the takedown replay: the SAME containment pipeline, with the
+    // corpus grams restricted to the KEPT media (doc_id % 10 <> 3 — the
+    // retraction physically removed the rest) and the clip batch to the
+    // % 5 == 3 parents; unmatched clips re-ingest beside the kept media
+    "q_retract_clip_reingest" ->
+      ("WITH ids AS (SELECT doc_id AS media_id, 800 + doc_id % 400 AS n FROM documents WHERE doc_id % 3 = 2 AND doc_id % 10 <> 3), " +
+        "w AS (SELECT media_id, n, unnest(generate_series(0, (n + 15) // 16 - 1)) AS wi FROM ids), " +
+        "sm AS (SELECT media_id, wi, (media_id * 31 + 17 * unnest(generate_series(wi * 16, least(wi * 16 + 15, n - 1)))) * 2654435761 AS m FROM w), " +
+        "e AS MATERIALIZED (SELECT media_id, wi, sum(abs(xor(xor(m, m // 32768), m // 1073741824) % 2003 - 1001)) AS en FROM sm GROUP BY 1, 2), " +
+        "bits AS (SELECT a.media_id, a.wi AS k, CASE WHEN b.en > a.en THEN '1' ELSE '0' END AS bit " +
+        "FROM e a JOIN e b ON a.media_id = b.media_id AND b.wi = a.wi + 1), " +
+        "sgn AS (SELECT media_id, string_agg(bit, '' ORDER BY k) AS s FROM bits GROUP BY 1), " +
+        "cg AS MATERIALIZED (SELECT media_id AS corpus_id, unnest(generate_series(0, length(s) - 24)) AS cpos, s FROM sgn), " +
+        "cg2 AS MATERIALIZED (SELECT corpus_id, cpos, substr(s, CAST(cpos + 1 AS INTEGER), 24) AS gram FROM cg), " +
+        "hot AS (SELECT gram FROM cg2 GROUP BY 1 HAVING count(*) > 256), " +
+        "kept AS (SELECT * FROM cg2 ANTI JOIN hot USING (gram)), " +
+        "kid AS (SELECT doc_id + 90000 AS clip_id, doc_id AS oid FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 = 3), " +
+        "kw AS (SELECT clip_id, oid, unnest(generate_series(0, 31)) AS wi FROM kid), " +
+        "ksm AS (SELECT clip_id, wi, (oid * 31 + 17 * (unnest(generate_series(wi * 16, wi * 16 + 15)) + 128)) * 2654435761 AS m FROM kw), " +
+        "ke AS MATERIALIZED (SELECT clip_id, wi, sum(2 * abs(xor(xor(m, m // 32768), m // 1073741824) % 2003 - 1001)) AS en FROM ksm GROUP BY 1, 2), " +
+        "kbits AS (SELECT a.clip_id, a.wi AS k, CASE WHEN b.en > a.en THEN '1' ELSE '0' END AS bit " +
+        "FROM ke a JOIN ke b ON a.clip_id = b.clip_id AND b.wi = a.wi + 1), " +
+        "ksgn AS (SELECT clip_id, string_agg(bit, '' ORDER BY k) AS s FROM kbits GROUP BY 1), " +
+        "kg AS MATERIALIZED (SELECT clip_id, unnest(generate_series(0, length(s) - 24)) AS kpos, s FROM ksgn), " +
+        "kg2 AS MATERIALIZED (SELECT clip_id, kpos, substr(s, CAST(kpos + 1 AS INTEGER), 24) AS gram FROM kg), " +
+        "tot AS (SELECT clip_id, count(*) AS t FROM kg2 GROUP BY 1), " +
+        "j AS (SELECT clip_id, corpus_id, cpos - kpos AS offset_windows, count(*) AS n_grams FROM kg2 JOIN kept USING (gram) GROUP BY 1, 2, 3), " +
+        "m AS (SELECT DISTINCT clip_id FROM j JOIN tot USING (clip_id) WHERE n_grams = t AND offset_windows >= 0), " +
+        "surv AS (SELECT clip_id, oid FROM kid ANTI JOIN m USING (clip_id)) " +
+        "SELECT ((SELECT count(*) FROM ids) + (SELECT count(*) FROM surv))::BIGINT AS n_rows, " +
+        "0::BIGINT AS retracted_left, " +
+        "(SELECT count(*) FROM surv WHERE oid % 10 = 3)::BIGINT AS reingest_of_retracted, " +
+        "(SELECT count(*) FROM surv WHERE oid % 10 = 8)::BIGINT AS reingest_of_kept"),
     "q_audio_clip_containment_hop" ->
       // the hop = 8 replay: corpus windows OVERLAP at [wi*8, wi*8+16)
       // (full windows only — wi <= (n-16)//8); the clip (512 samples at

@@ -1107,6 +1107,20 @@ object Dedup {
     docs.select(explode(graft.functions.PositionalGrams.positional_grams(col(textCol), k)).as("pg"))
       .select(col("pg._2").as("g")).distinct()
 
+  /** [[gramTable]] with DOC ATTRIBUTION: per-doc distinct `(doc_id, g)`
+    * postings — what a durable store needs so a takedown can remove one
+    * document's fingerprints (anonymous grams cannot be retracted).
+    * Membership consumers project `g`; the distinct is per doc, so the
+    * shuffle key is (doc_id, g) and hot grams don't skew it. */
+  def docGramTable(
+      docs: DataFrame,
+      k: Int = 15,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.PositionalGrams.positional_grams(col(textCol), k)).as("pg"))
+      .select(col("doc_id"), col("pg._2").as("g")).distinct()
+
   /** Spans of a NEW batch that already exist in the STORED corpus — the
     * recurring form of [[substringSpans]] and the span-granular shape
     * of decontamination ("which parts of this crawl are already in the

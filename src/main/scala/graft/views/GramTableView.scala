@@ -35,8 +35,15 @@ final class GramTableView(
 
   openProtocol()
 
+  /** Absorb a doc batch: postings are stored DOC-ATTRIBUTED
+    * `(doc_id, g)` — per-doc distinct — so a takedown can remove ONE
+    * document's fingerprints (`retractWhere`/`retractIds`) without
+    * them surviving as anonymous grams a re-ingested copy would still
+    * match. Span consumers project `g` and stay duplicate-safe, so the
+    * attribution costs nothing at read. Pre-attribution stores carry a
+    * bare `(g)` schema: bump the mounted version to rebuild. */
   def absorb(entries: DataFrame, upto: Long): Unit = {
-    graft.ops.Dedup.gramTable(entries, k, idCol, textCol)
+    graft.ops.Dedup.docGramTable(entries, k, idCol, textCol)
       .write.mode("overwrite").parquet(batchPath(upto).toString)
     sinceSeq = upto
     writeManifest()
@@ -54,12 +61,16 @@ final class GramTableView(
     spark.read.parquet(dirs: _*)
   }
 
+  /** The stored doc-attributed postings `(doc_id, g)` — the retraction
+    * unit and the provenance read ("which docs share this gram"). */
+  def postings: DataFrame = rawGrams
+
   /** The accumulated DISTINCT gram table. This dedups at read (one
     * shuffle of the whole table) — use it for counts/inspection;
     * membership consumers should take the duplicate-safe path
     * ([[spansForBatch]] does, via the raw delta union). Compaction
     * makes the two equivalent until the next absorb. */
-  def grams: DataFrame = rawGrams.distinct()
+  def grams: DataFrame = rawGrams.select("g").distinct()
 
   /** Spans of a new batch already present in the stored corpus — reads
     * the RAW delta union (no corpus-wide distinct: the span operator

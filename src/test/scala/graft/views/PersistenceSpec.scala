@@ -365,8 +365,20 @@ class PersistenceSpec extends SparkSpec {
       .filter(_.startsWith("batch=")).sorted
     assert(dirs.toSeq === Seq("batch=2"))
     assert(v2.grams.count() === nDistinct)
-    // the base itself holds exactly the distinct set (no re-distinct debt)
-    assert(spark.read.parquet(s"$gDir/g/batch=2").count() === nDistinct)
+    // the base holds exactly the distinct DOC-ATTRIBUTED postings (no
+    // re-distinct debt): doc 3 repeats doc 1's 16 grams under its own id
+    assert(spark.read.parquet(s"$gDir/g/batch=2").count() === 48L)
+    // takedown: doc 3's postings leave; doc 1's identical grams SURVIVE
+    // under doc 1's attribution (the shared text is still in the corpus)
+    v2.retractWhere(col("doc_id") === 3L)
+    assert(v2.grams.count() === nDistinct,
+      "gram set unchanged — doc 1 still attests the shared grams")
+    v2.retractWhere(col("doc_id") === 1L)
+    assert(v2.grams.count() === 16L,
+      "retracting the last attesting doc removes its grams")
+    val spansAfter = v2.spansForBatch(batch).collect()
+    assert(spansAfter.isEmpty,
+      "a re-ingested copy of retracted text must NOT match ghost postings")
   }
 
   test("PhashTableView: durable deltas, reopen at parity, incremental dedup, compaction") {
@@ -905,6 +917,50 @@ class PersistenceSpec extends SparkSpec {
     val sg2 = new SignatureTableView(spark, sgDir, 1, "doc_id", "text")
     assert(sg2.sigs.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 3L),
       "text signature table: reopen must not resurrect retracted rows")
+
+    // POSTING tables — the gram/index artifacts a takedown must also
+    // reach (ghost postings would still match a re-ingested copy):
+    // text substring grams (doc-attributed)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def docRow(i: Long): Row = Row(i, (1 to 30).map(j => s"v${i}w$j").mkString(" "))
+    checkView[GramTableView]("textgram",
+      d => new GramTableView(spark, d, 1, "doc_id", "text"),
+      (v, r, u) => v.absorb(df(docSchema, r), u),
+      (v, ids) => v.retractWhere(col("doc_id").isin(ids: _*)),
+      v => v.postings.select("doc_id").collect().map(_.getLong(0)).toSet,
+      v => v.since,
+      rows2(docRow, Seq(1L, 2L)), Set(1L, 2L),
+      rows2(docRow, Seq(3L)), Set(3L),
+      Seq(2L))
+
+    // audio/video clip-containment grams (positional)
+    val agSchema = StructType(Seq(
+      StructField("media_id", LongType), StructField("pos", IntegerType),
+      StructField("gram", StringType)))
+    checkView[AudioGramTableView]("audiogram",
+      d => new AudioGramTableView(spark, d, 1),
+      (v, r, u) => v.absorbGrams(df(agSchema, r), u),
+      (v, ids) => v.retractWhere(col("media_id").isin(ids: _*)),
+      v => v.grams.select("media_id").collect().map(_.getLong(0)).toSet,
+      v => v.since,
+      Seq(Row(1L, 0, "0101"), Row(1L, 1, "1010"), Row(2L, 0, "1100")), Set(1L, 2L),
+      Seq(Row(3L, 0, "0011")), Set(3L),
+      Seq(1L))
+
+    // search/index postings (key → seq): retraction by the takedown's
+    // log seqs removes the pointers, not just the rows they point at
+    val idxSchema = StructType(Seq(
+      StructField("seq", LongType), StructField("tag", StringType)))
+    checkView[PersistentIndexView]("indexpostings",
+      d => new PersistentIndexView(spark, d, 1, array(col("tag")), "seq"),
+      (v, r, u) => v.absorb(df(idxSchema, r), u),
+      (v, ids) => v.retractWhere(col("seq").isin(ids: _*)),
+      v => v.frame.select("seq").collect().map(_.getLong(0)).toSet,
+      v => v.since,
+      Seq(Row(1L, "a"), Row(2L, "b")), Set(1L, 2L),
+      Seq(Row(3L, "a")), Set(3L),
+      Seq(1L))
   }
 
   test("retractWhere is delta-pruned: untouched deltas byte-identical, IVF rewrites only matched cells") {
