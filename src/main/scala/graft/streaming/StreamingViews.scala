@@ -66,7 +66,33 @@ final class StreamingViewRunner(
 /** Event-time analytics over the live log — the windowed-aggregation
   * family flume cannot express (SURVEY §2.4: no watermarks/event-time in
   * the reference; total seq order makes lateness impossible there). All
-  * state is Spark-managed (HDFSBackedStateStore / RocksDB at scale). */
+  * state is Spark-managed (HDFSBackedStateStore / RocksDB at scale).
+  *
+  * ==Streaming-state ERASURE (the takedown's state-store half)==
+  * Every per-key machine takes an `erase` control stream — a streaming
+  * DataFrame of retracted keys (the key column named like the event
+  * stream's; event-time arms also need the machine's ts column, stamped
+  * with the takedown time). Erase rows UNION into the event stream with
+  * a sentinel flag, so they ride the same keyed shuffle to the key's
+  * state partition — cluster-correct with no side channel. On arrival
+  * the key's state is removed (mapGroupsWithState `state.remove()` also
+  * drops its timeout; the TWS processor clears its ValueState and
+  * deletes its timers, or an expired timer would re-emit the erased
+  * snapshot), events of the same batch are dropped WITH it (they are
+  * the erased user's data), and Update-mode machines emit an
+  * empty-state tombstone snapshot so a latest-per-key consumer
+  * overwrites its copy; Append-mode machines emit nothing (their
+  * emitted history lives in the sink — retract it there, the views'
+  * `retractWhere`). Later batches rebuild the key from zero.
+  *
+  * WATERMARK interaction: an erase row is an event — its event time
+  * must be STRICTLY ahead of the stream's watermark or it is dropped
+  * as late data (the late filter is inclusive — stamp erase requests
+  * past the current max event time, e.g. at the takedown's wall-clock
+  * time; the row itself advances the watermark like any other event).
+  * In practice the takedown appends key rows to a control log whose
+  * live tail feeds `erase` — the same intent-logged path as
+  * [[graft.views.Retraction]], extended to the state stores. */
 object StreamingViews {
 
   /** State-eviction knob shared by every per-key state machine below
@@ -245,7 +271,8 @@ object StreamingViews {
       stateTtl: Option[java.time.Duration] = None,
       evictAfter: Option[String] = None,
       tsCol: Option[String] = None,
-      lateness: String = "0 seconds"): Dataset[(Long, Stats)] = {
+      lateness: String = "0 seconds",
+      erase: Option[DataFrame] = None): Dataset[(Long, Stats)] = {
     require(stateTtl.isEmpty || evictAfter.isEmpty,
       "choose ONE eviction mode: stateTtl (processing-time) or evictAfter (event-time)")
     val spark = stream.sparkSession
@@ -253,10 +280,12 @@ object StreamingViews {
     evictAfter match {
       case Some(d) =>
         require(tsCol.nonEmpty, "evictAfter needs tsCol (epoch ms) as the event-time column")
-        stream.select(col(keyCol).cast("long"), col(valueCol).cast("double"),
-            timestamp_millis(col(tsCol.get).cast("long")).as("__et"))
+        val ev = stream.select(col(keyCol).cast("long"), col(valueCol).cast("double"),
+          timestamp_millis(col(tsCol.get).cast("long")).as("__et"), lit(false).as("__erase"))
+        erase.fold(ev)(e => ev.union(e.select(col(keyCol).cast("long"), lit(0.0),
+            timestamp_millis(col(tsCol.get).cast("long")), lit(true))))
           .withWatermark("__et", lateness)
-          .as[(Long, Double, java.sql.Timestamp)]
+          .as[(Long, Double, java.sql.Timestamp, Boolean)]
           .groupByKey(_._1)
           .transformWithState(new WelfordEventTimeProcessor(durationMs(d)),
             org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Update())
@@ -267,7 +296,10 @@ object StreamingViews {
           case None => (org.apache.spark.sql.streaming.TTLConfig.NONE,
             org.apache.spark.sql.streaming.TimeMode.None())
         }
-        stream.select(col(keyCol).cast("long"), col(valueCol).cast("double")).as[(Long, Double)]
+        val ev = stream.select(col(keyCol).cast("long"), col(valueCol).cast("double"),
+          lit(false).as("__erase"))
+        erase.fold(ev)(e => ev.union(e.select(col(keyCol).cast("long"), lit(0.0), lit(true))))
+          .as[(Long, Double, Boolean)]
           .groupByKey(_._1)
           .transformWithState(new WelfordProcessor(ttlConf), timeMode, OutputMode.Update())
     }
@@ -332,7 +364,8 @@ object StreamingViews {
       idleTtl: Option[String] = None,
       evictAfter: Option[String] = None,
       tsCol: Option[String] = None,
-      lateness: String = "0 seconds"): Dataset[AnomalyHit] = {
+      lateness: String = "0 seconds",
+      erase: Option[DataFrame] = None): Dataset[AnomalyHit] = {
     requireOneEviction(idleTtl, evictAfter)
     val spark = stream.sparkSession
     import spark.implicits._
@@ -340,11 +373,13 @@ object StreamingViews {
       case Some(d) =>
         require(tsCol.nonEmpty, "evictAfter needs tsCol (epoch ms) as the event-time column")
         val evictMs = durationMs(d)
-        stream.select(col(keyCol).cast("long"), col(seqCol).cast("long"),
-            col(valueCol).cast("double"),
-            timestamp_millis(col(tsCol.get).cast("long")).as("__et"))
+        val ev = stream.select(col(keyCol).cast("long"), col(seqCol).cast("long"),
+          col(valueCol).cast("double"),
+          timestamp_millis(col(tsCol.get).cast("long")).as("__et"), lit(false).as("__erase"))
+        erase.fold(ev)(e => ev.union(e.select(col(keyCol).cast("long"), lit(0L), lit(0.0),
+            timestamp_millis(col(tsCol.get).cast("long")), lit(true))))
           .withWatermark("__et", lateness)
-          .as[(Long, Long, Double, java.sql.Timestamp)]
+          .as[(Long, Long, Double, java.sql.Timestamp, Boolean)]
           .groupByKey(_._1)
           .flatMapGroupsWithState[TrailingWindow, AnomalyHit](
             OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
@@ -353,17 +388,22 @@ object StreamingViews {
               Iterator.empty
             case (key, rows, state: GroupState[TrailingWindow]) =>
               val rs = rows.toSeq
-              armEventTimeout(state, evictMs, rs.iterator.map(_._4.getTime).max)
-              val (vals, out) = anomalyFold(key, rs.map(r => (r._2, r._3)),
-                state.getOption.fold(Vector.empty[Double])(_.vals.toVector),
-                lookback, minObs, z)
-              state.update(TrailingWindow(vals))
-              out.iterator
+              if (rs.exists(_._5)) { state.remove(); Iterator.empty }
+              else {
+                armEventTimeout(state, evictMs, rs.iterator.map(_._4.getTime).max)
+                val (vals, out) = anomalyFold(key, rs.map(r => (r._2, r._3)),
+                  state.getOption.fold(Vector.empty[Double])(_.vals.toVector),
+                  lookback, minObs, z)
+                state.update(TrailingWindow(vals))
+                out.iterator
+              }
           }
       case None =>
-        stream.select(col(keyCol).cast("long"), col(seqCol).cast("long"),
-            col(valueCol).cast("double"))
-          .as[(Long, Long, Double)]
+        val ev = stream.select(col(keyCol).cast("long"), col(seqCol).cast("long"),
+          col(valueCol).cast("double"), lit(false).as("__erase"))
+        erase.fold(ev)(e => ev.union(e.select(
+            col(keyCol).cast("long"), lit(0L), lit(0.0), lit(true))))
+          .as[(Long, Long, Double, Boolean)]
           .groupByKey(_._1)
           .flatMapGroupsWithState[TrailingWindow, AnomalyHit](
             OutputMode.Append(), timeoutConf(idleTtl)) {
@@ -373,12 +413,16 @@ object StreamingViews {
               state.remove()
               Iterator.empty
             case (key, rows, state: GroupState[TrailingWindow]) =>
-              idleTtl.foreach(state.setTimeoutDuration)
-              val (vals, out) = anomalyFold(key, rows.map(r => (r._2, r._3)).toSeq,
-                state.getOption.fold(Vector.empty[Double])(_.vals.toVector),
-                lookback, minObs, z)
-              state.update(TrailingWindow(vals))
-              out.iterator
+              val rs = rows.toSeq
+              if (rs.exists(_._4)) { state.remove(); Iterator.empty }
+              else {
+                idleTtl.foreach(state.setTimeoutDuration)
+                val (vals, out) = anomalyFold(key, rs.map(r => (r._2, r._3)),
+                  state.getOption.fold(Vector.empty[Double])(_.vals.toVector),
+                  lookback, minObs, z)
+                state.update(TrailingWindow(vals))
+                out.iterator
+              }
           }
     }
   }
@@ -433,7 +477,8 @@ object StreamingViews {
       gapFrom: String = "prev",
       idleTtl: Option[String] = None,
       evictAfter: Option[String] = None,
-      lateness: String = "0 seconds"): Dataset[(Long, Seq[Long], Int)] = {
+      lateness: String = "0 seconds",
+      erase: Option[DataFrame] = None): Dataset[(Long, Seq[Long], Int)] = {
     require(maxGap.isEmpty || tsCol.nonEmpty, "maxGap needs tsCol to measure gaps on")
     require(gapFrom == "prev" || gapFrom == "first", s"gapFrom must be prev|first, got $gapFrom")
     requireOneEviction(idleTtl, evictAfter)
@@ -444,10 +489,12 @@ object StreamingViews {
       case Some(d) =>
         require(tsCol.nonEmpty, "evictAfter needs tsCol (epoch ms) as the event-time column")
         val evictMs = durationMs(d)
-        stream.select(col(keyCol).cast("long"), col(seqCol).cast("long"), ts.as("__ts"),
-            col(typeCol), timestamp_millis(ts).as("__et"))
+        val ev = stream.select(col(keyCol).cast("long"), col(seqCol).cast("long"), ts.as("__ts"),
+          col(typeCol), timestamp_millis(ts).as("__et"), lit(false).as("__erase"))
+        erase.fold(ev)(e => ev.union(e.select(col(keyCol).cast("long"), lit(0L), lit(0L),
+            lit(""), timestamp_millis(col(tsCol.get).cast("long")), lit(true))))
           .withWatermark("__et", lateness)
-          .as[(Long, Long, Long, String, java.sql.Timestamp)]
+          .as[(Long, Long, Long, String, java.sql.Timestamp, Boolean)]
           .groupByKey(_._1)
           .mapGroupsWithState[FunnelProgress, (Long, Seq[Long], Int)](
             GroupStateTimeout.EventTimeTimeout) {
@@ -457,15 +504,21 @@ object StreamingViews {
               (k, p.seqs, p.stage)
             case (k, rows, state: GroupState[FunnelProgress]) =>
               val rs = rows.toSeq
-              armEventTimeout(state, evictMs, rs.iterator.map(_._5.getTime).max)
-              val p = funnelAdvance(state.getOption.getOrElse(FunnelProgress(0, Nil)),
-                rs.map(r => (r._2, r._3, r._4)), stages, maxGap, gapFrom)
-              state.update(p)
-              (k, p.seqs, p.stage)
+              if (rs.exists(_._6)) { state.remove(); (k, Nil, 0) }
+              else {
+                armEventTimeout(state, evictMs, rs.iterator.map(_._5.getTime).max)
+                val p = funnelAdvance(state.getOption.getOrElse(FunnelProgress(0, Nil)),
+                  rs.map(r => (r._2, r._3, r._4)), stages, maxGap, gapFrom)
+                state.update(p)
+                (k, p.seqs, p.stage)
+              }
           }
       case None =>
-        stream.select(col(keyCol).cast("long"), col(seqCol).cast("long"), ts.as("__ts"), col(typeCol))
-          .as[(Long, Long, Long, String)]
+        val ev = stream.select(col(keyCol).cast("long"), col(seqCol).cast("long"),
+          ts.as("__ts"), col(typeCol), lit(false).as("__erase"))
+        erase.fold(ev)(e => ev.union(e.select(
+            col(keyCol).cast("long"), lit(0L), lit(0L), lit(""), lit(true))))
+          .as[(Long, Long, Long, String, Boolean)]
           .groupByKey(_._1)
           .mapGroupsWithState[FunnelProgress, (Long, Seq[Long], Int)](timeoutConf(idleTtl)) {
             case (k, _, state: GroupState[FunnelProgress]) if state.hasTimedOut =>
@@ -476,11 +529,17 @@ object StreamingViews {
               state.remove()
               (k, p.seqs, p.stage)
             case (k, rows, state: GroupState[FunnelProgress]) =>
-              idleTtl.foreach(state.setTimeoutDuration)
-              val p = funnelAdvance(state.getOption.getOrElse(FunnelProgress(0, Nil)),
-                rows.map(r => (r._2, r._3, r._4)).toSeq, stages, maxGap, gapFrom)
-              state.update(p)
-              (k, p.seqs, p.stage)
+              val rs = rows.toSeq
+              // ERASURE tombstone (see the erasure notes on the object):
+              // state + timeout drop, same-batch events drop with them
+              if (rs.exists(_._5)) { state.remove(); (k, Nil, 0) }
+              else {
+                idleTtl.foreach(state.setTimeoutDuration)
+                val p = funnelAdvance(state.getOption.getOrElse(FunnelProgress(0, Nil)),
+                  rs.map(r => (r._2, r._3, r._4)), stages, maxGap, gapFrom)
+                state.update(p)
+                (k, p.seqs, p.stage)
+              }
           }
     }
   }
@@ -512,7 +571,8 @@ object StreamingViews {
       periodSeconds: Long = 86400L,
       idleTtl: Option[String] = None,
       evictAfter: Option[String] = None,
-      lateness: String = "0 seconds"): Dataset[(Long, Long, Seq[Long])] = {
+      lateness: String = "0 seconds",
+      erase: Option[DataFrame] = None): Dataset[(Long, Long, Seq[Long])] = {
     requireOneEviction(idleTtl, evictAfter)
     val spark = stream.sparkSession
     import spark.implicits._
@@ -520,10 +580,12 @@ object StreamingViews {
       case Some(d) =>
         // the activity period IS the event time here (epoch seconds)
         val evictMs = durationMs(d)
-        stream.select(col(keyCol).cast("long"), col(periodCol).cast("long"),
-            timestamp_seconds(col(periodCol).cast("long")).as("__et"))
+        val ev = stream.select(col(keyCol).cast("long"), col(periodCol).cast("long"),
+          timestamp_seconds(col(periodCol).cast("long")).as("__et"), lit(false).as("__erase"))
+        erase.fold(ev)(e => ev.union(e.select(col(keyCol).cast("long"), lit(0L),
+            timestamp_seconds(col(periodCol).cast("long")), lit(true))))
           .withWatermark("__et", lateness)
-          .as[(Long, Long, java.sql.Timestamp)]
+          .as[(Long, Long, java.sql.Timestamp, Boolean)]
           .groupByKey(_._1)
           .mapGroupsWithState[RetentionProgress, (Long, Long, Seq[Long])](
             GroupStateTimeout.EventTimeTimeout) {
@@ -533,16 +595,21 @@ object StreamingViews {
               (k, p.cohortS * 1000L, p.periods.map(x => (x - p.cohortS) / periodSeconds))
             case (k, rows, state: GroupState[RetentionProgress]) =>
               val rs = rows.toSeq
-              armEventTimeout(state, evictMs, rs.iterator.map(_._3.getTime).max)
-              val prev = state.getOption.getOrElse(RetentionProgress(Long.MaxValue, Nil))
-              val ps = (prev.periods.toSet ++ rs.map(_._2)).toSeq.sorted
-              val cohort = ps.head
-              state.update(RetentionProgress(cohort, ps))
-              (k, cohort * 1000L, ps.map(p => (p - cohort) / periodSeconds))
+              if (rs.exists(_._4)) { state.remove(); (k, 0L, Nil) }
+              else {
+                armEventTimeout(state, evictMs, rs.iterator.map(_._3.getTime).max)
+                val prev = state.getOption.getOrElse(RetentionProgress(Long.MaxValue, Nil))
+                val ps = (prev.periods.toSet ++ rs.map(_._2)).toSeq.sorted
+                val cohort = ps.head
+                state.update(RetentionProgress(cohort, ps))
+                (k, cohort * 1000L, ps.map(p => (p - cohort) / periodSeconds))
+              }
           }
       case None =>
-        stream.select(col(keyCol).cast("long"), col(periodCol).cast("long"))
-          .as[(Long, Long)]
+        val ev = stream.select(col(keyCol).cast("long"), col(periodCol).cast("long"),
+          lit(false).as("__erase"))
+        erase.fold(ev)(e => ev.union(e.select(col(keyCol).cast("long"), lit(0L), lit(true))))
+          .as[(Long, Long, Boolean)]
           .groupByKey(_._1)
           .mapGroupsWithState[RetentionProgress, (Long, Long, Seq[Long])](timeoutConf(idleTtl)) {
             case (k, _, state: GroupState[RetentionProgress]) if state.hasTimedOut =>
@@ -554,12 +621,16 @@ object StreamingViews {
               state.remove()
               (k, p.cohortS * 1000L, p.periods.map(x => (x - p.cohortS) / periodSeconds))
             case (k, rows, state: GroupState[RetentionProgress]) =>
-              idleTtl.foreach(state.setTimeoutDuration)
-              val prev = state.getOption.getOrElse(RetentionProgress(Long.MaxValue, Nil))
-              val ps = (prev.periods.toSet ++ rows.map(_._2)).toSeq.sorted
-              val cohort = ps.head
-              state.update(RetentionProgress(cohort, ps))
-              (k, cohort * 1000L, ps.map(p => (p - cohort) / periodSeconds))
+              val rs = rows.toSeq
+              if (rs.exists(_._3)) { state.remove(); (k, 0L, Nil) }
+              else {
+                idleTtl.foreach(state.setTimeoutDuration)
+                val prev = state.getOption.getOrElse(RetentionProgress(Long.MaxValue, Nil))
+                val ps = (prev.periods.toSet ++ rs.map(_._2)).toSeq.sorted
+                val cohort = ps.head
+                state.update(RetentionProgress(cohort, ps))
+                (k, cohort * 1000L, ps.map(p => (p - cohort) / periodSeconds))
+              }
           }
     }
   }
@@ -590,7 +661,8 @@ object StreamingViews {
       idleTtl: Option[String] = None,
       evictAfter: Option[String] = None,
       tsCol: Option[String] = None,
-      lateness: String = "0 seconds"): Dataset[(Long, Seq[String])] = {
+      lateness: String = "0 seconds",
+      erase: Option[DataFrame] = None): Dataset[(Long, Seq[String])] = {
     requireOneEviction(idleTtl, evictAfter)
     val spark = stream.sparkSession
     import spark.implicits._
@@ -598,10 +670,12 @@ object StreamingViews {
       case Some(d) =>
         require(tsCol.nonEmpty, "evictAfter needs tsCol (epoch ms) as the event-time column")
         val evictMs = durationMs(d)
-        stream.select(col(keyCol).cast("long"), col(typeCol),
-            timestamp_millis(col(tsCol.get).cast("long")).as("__et"))
+        val ev = stream.select(col(keyCol).cast("long"), col(typeCol),
+          timestamp_millis(col(tsCol.get).cast("long")).as("__et"), lit(false).as("__erase"))
+        erase.fold(ev)(e => ev.union(e.select(col(keyCol).cast("long"), lit(""),
+            timestamp_millis(col(tsCol.get).cast("long")), lit(true))))
           .withWatermark("__et", lateness)
-          .as[(Long, String, java.sql.Timestamp)]
+          .as[(Long, String, java.sql.Timestamp, Boolean)]
           .groupByKey(_._1)
           .mapGroupsWithState[TypeSet, (Long, Seq[String])](
             GroupStateTimeout.EventTimeTimeout) {
@@ -611,15 +685,19 @@ object StreamingViews {
               (k, p.types)
             case (k, rows, state: GroupState[TypeSet]) =>
               val rs = rows.toSeq
-              armEventTimeout(state, evictMs, rs.iterator.map(_._3.getTime).max)
-              val prev = state.getOption.getOrElse(TypeSet(Nil))
-              val ts = (prev.types.toSet ++ rs.map(_._2)).toSeq.sorted
-              state.update(TypeSet(ts))
-              (k, ts)
+              if (rs.exists(_._4)) { state.remove(); (k, Nil) }
+              else {
+                armEventTimeout(state, evictMs, rs.iterator.map(_._3.getTime).max)
+                val prev = state.getOption.getOrElse(TypeSet(Nil))
+                val ts = (prev.types.toSet ++ rs.map(_._2)).toSeq.sorted
+                state.update(TypeSet(ts))
+                (k, ts)
+              }
           }
       case None =>
-        stream.select(col(keyCol).cast("long"), col(typeCol))
-          .as[(Long, String)]
+        val ev = stream.select(col(keyCol).cast("long"), col(typeCol), lit(false).as("__erase"))
+        erase.fold(ev)(e => ev.union(e.select(col(keyCol).cast("long"), lit(""), lit(true))))
+          .as[(Long, String, Boolean)]
           .groupByKey(_._1)
           .mapGroupsWithState[TypeSet, (Long, Seq[String])](timeoutConf(idleTtl)) {
             case (k, _, state: GroupState[TypeSet]) if state.hasTimedOut =>
@@ -629,11 +707,15 @@ object StreamingViews {
               state.remove()
               (k, p.types)
             case (k, rows, state: GroupState[TypeSet]) =>
-              idleTtl.foreach(state.setTimeoutDuration)
-              val prev = state.getOption.getOrElse(TypeSet(Nil))
-              val ts = (prev.types.toSet ++ rows.map(_._2)).toSeq.sorted
-              state.update(TypeSet(ts))
-              (k, ts)
+              val rs = rows.toSeq
+              if (rs.exists(_._3)) { state.remove(); (k, Nil) }
+              else {
+                idleTtl.foreach(state.setTimeoutDuration)
+                val prev = state.getOption.getOrElse(TypeSet(Nil))
+                val ts = (prev.types.toSet ++ rs.map(_._2)).toSeq.sorted
+                state.update(TypeSet(ts))
+                (k, ts)
+              }
           }
     }
   }
@@ -684,7 +766,8 @@ object StreamingViews {
       n: Int = 3,
       idleTtl: Option[String] = None,
       evictAfter: Option[String] = None,
-      lateness: String = "0 seconds"): Dataset[String] = {
+      lateness: String = "0 seconds",
+      erase: Option[DataFrame] = None): Dataset[String] = {
     require(n >= 2, "a path needs at least 2 steps")
     requireOneEviction(idleTtl, evictAfter)
     val spark = stream.sparkSession
@@ -694,11 +777,14 @@ object StreamingViews {
         // msCol IS the event time; evictAfter ≥ gapMs agrees with the
         // session rule (the next event would reset the window anyway)
         val evictMs = durationMs(d)
-        stream.select(col(keyCol).cast("long"), col(msCol).cast("long"),
-            col(seqCol).cast("long"), col(typeCol),
-            timestamp_millis(col(msCol).cast("long")).as("__et"))
+        val ev = stream.select(col(keyCol).cast("long"), col(msCol).cast("long"),
+          col(seqCol).cast("long"), col(typeCol),
+          timestamp_millis(col(msCol).cast("long")).as("__et"), lit(false).as("__erase"))
+        erase.fold(ev)(e => ev.union(e.select(col(keyCol).cast("long"),
+            col(msCol).cast("long"), lit(0L), lit(""),
+            timestamp_millis(col(msCol).cast("long")), lit(true))))
           .withWatermark("__et", lateness)
-          .as[(Long, Long, Long, String, java.sql.Timestamp)]
+          .as[(Long, Long, Long, String, java.sql.Timestamp, Boolean)]
           .groupByKey(_._1)
           .flatMapGroupsWithState[PathWindow, String](
             OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
@@ -707,17 +793,22 @@ object StreamingViews {
               Iterator.empty
             case (_, rows, state: GroupState[PathWindow]) =>
               val rs = rows.toSeq
-              armEventTimeout(state, evictMs, rs.iterator.map(_._5.getTime).max)
-              val (st, out) = pathsFold(
-                state.getOption.getOrElse(PathWindow(false, 0L, Nil)),
-                rs.map(r => (r._2, r._3, r._4)), gapMs, n)
-              state.update(st)
-              out.iterator
+              if (rs.exists(_._6)) { state.remove(); Iterator.empty }
+              else {
+                armEventTimeout(state, evictMs, rs.iterator.map(_._5.getTime).max)
+                val (st, out) = pathsFold(
+                  state.getOption.getOrElse(PathWindow(false, 0L, Nil)),
+                  rs.map(r => (r._2, r._3, r._4)), gapMs, n)
+                state.update(st)
+                out.iterator
+              }
           }
       case None =>
-        stream.select(col(keyCol).cast("long"), col(msCol).cast("long"),
-            col(seqCol).cast("long"), col(typeCol))
-          .as[(Long, Long, Long, String)]
+        val ev = stream.select(col(keyCol).cast("long"), col(msCol).cast("long"),
+          col(seqCol).cast("long"), col(typeCol), lit(false).as("__erase"))
+        erase.fold(ev)(e => ev.union(e.select(
+            col(keyCol).cast("long"), lit(0L), lit(0L), lit(""), lit(true))))
+          .as[(Long, Long, Long, String, Boolean)]
           .groupByKey(_._1)
           .flatMapGroupsWithState[PathWindow, String](
             OutputMode.Append(), timeoutConf(idleTtl)) {
@@ -728,12 +819,16 @@ object StreamingViews {
               state.remove()
               Iterator.empty
             case (_, rows, state: GroupState[PathWindow]) =>
-              idleTtl.foreach(state.setTimeoutDuration)
-              val (st, out) = pathsFold(
-                state.getOption.getOrElse(PathWindow(false, 0L, Nil)),
-                rows.map(r => (r._2, r._3, r._4)).toSeq, gapMs, n)
-              state.update(st)
-              out.iterator
+              val rs = rows.toSeq
+              if (rs.exists(_._5)) { state.remove(); Iterator.empty }
+              else {
+                idleTtl.foreach(state.setTimeoutDuration)
+                val (st, out) = pathsFold(
+                  state.getOption.getOrElse(PathWindow(false, 0L, Nil)),
+                  rs.map(r => (r._2, r._3, r._4)), gapMs, n)
+                state.update(st)
+                out.iterator
+              }
           }
     }
   }
@@ -761,7 +856,8 @@ object StreamingViews {
       idleTtl: Option[String] = None,
       evictAfter: Option[String] = None,
       tsCol: Option[String] = None,
-      lateness: String = "0 seconds"): Dataset[(Long, Stats)] = {
+      lateness: String = "0 seconds",
+      erase: Option[DataFrame] = None): Dataset[(Long, Stats)] = {
     requireOneEviction(idleTtl, evictAfter)
     val spark = stream.sparkSession
     import spark.implicits._
@@ -769,10 +865,12 @@ object StreamingViews {
       case Some(d) =>
         require(tsCol.nonEmpty, "evictAfter needs tsCol (epoch ms) as the event-time column")
         val evictMs = durationMs(d)
-        stream.select(col(keyCol).cast("long"), col(valueCol).cast("double"),
-            timestamp_millis(col(tsCol.get).cast("long")).as("__et"))
+        val ev = stream.select(col(keyCol).cast("long"), col(valueCol).cast("double"),
+          timestamp_millis(col(tsCol.get).cast("long")).as("__et"), lit(false).as("__erase"))
+        erase.fold(ev)(e => ev.union(e.select(col(keyCol).cast("long"), lit(0.0),
+            timestamp_millis(col(tsCol.get).cast("long")), lit(true))))
           .withWatermark("__et", lateness)
-          .as[(Long, Double, java.sql.Timestamp)]
+          .as[(Long, Double, java.sql.Timestamp, Boolean)]
           .groupByKey(_._1)
           .mapGroupsWithState[Stats, (Long, Stats)](GroupStateTimeout.EventTimeTimeout) {
             case (key, _, state: GroupState[Stats]) if state.hasTimedOut =>
@@ -781,13 +879,19 @@ object StreamingViews {
               (key, p)
             case (key, rows, state: GroupState[Stats]) =>
               val rs = rows.toSeq
-              armEventTimeout(state, evictMs, rs.iterator.map(_._3.getTime).max)
-              val merged = statsFold(state.getOption, rs.iterator.map(_._2))
-              state.update(merged)
-              (key, merged)
+              if (rs.exists(_._4)) { state.remove(); (key, Stats(0, 0.0, 0.0)) }
+              else {
+                armEventTimeout(state, evictMs, rs.iterator.map(_._3.getTime).max)
+                val merged = statsFold(state.getOption, rs.iterator.map(_._2))
+                state.update(merged)
+                (key, merged)
+              }
           }
       case None =>
-        stream.select(col(keyCol).cast("long"), col(valueCol).cast("double")).as[(Long, Double)]
+        val ev = stream.select(col(keyCol).cast("long"), col(valueCol).cast("double"),
+          lit(false).as("__erase"))
+        erase.fold(ev)(e => ev.union(e.select(col(keyCol).cast("long"), lit(0.0), lit(true))))
+          .as[(Long, Double, Boolean)]
           .groupByKey(_._1)
           .mapGroupsWithState[Stats, (Long, Stats)](timeoutConf(idleTtl)) {
             case (key, _, state: GroupState[Stats]) if state.hasTimedOut =>
@@ -797,10 +901,14 @@ object StreamingViews {
               state.remove()
               (key, p)
             case (key, rows, state: GroupState[Stats]) =>
-              idleTtl.foreach(state.setTimeoutDuration)
-              val merged = statsFold(state.getOption, rows.map(_._2))
-              state.update(merged)
-              (key, merged)
+              val rs = rows.toSeq
+              if (rs.exists(_._3)) { state.remove(); (key, Stats(0, 0.0, 0.0)) }
+              else {
+                idleTtl.foreach(state.setTimeoutDuration)
+                val merged = statsFold(state.getOption, rs.iterator.map(_._2))
+                state.update(merged)
+                (key, merged)
+              }
           }
     }
   }
@@ -822,7 +930,7 @@ object StreamingViews {
   * checkpoint replay evicts identically. */
 private[streaming] class WelfordEventTimeProcessor(evictMs: Long)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
-      Long, (Long, Double, java.sql.Timestamp), (Long, Stats)] {
+      Long, (Long, Double, java.sql.Timestamp, Boolean), (Long, Stats)] {
   @transient private var state: org.apache.spark.sql.streaming.ValueState[Stats] = _
 
   override def init(
@@ -834,9 +942,16 @@ private[streaming] class WelfordEventTimeProcessor(evictMs: Long)
 
   override def handleInputRows(
       key: Long,
-      rows: Iterator[(Long, Double, java.sql.Timestamp)],
+      rows: Iterator[(Long, Double, java.sql.Timestamp, Boolean)],
       timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Stats)] = {
     val rs = rows.toSeq
+    if (rs.exists(_._4)) {
+      // ERASURE tombstone: state AND the pending eviction timer drop —
+      // an expired timer would otherwise re-emit the erased snapshot
+      state.clear()
+      getHandle.listTimers().toList.foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      return Iterator.single((key, Stats(0, 0.0, 0.0)))
+    }
     val batch = rs.iterator.map(_._2).foldLeft(Stats(0, 0.0, 0.0)) { (s, v) =>
       val n = s.n + 1
       val d = v - s.mean
@@ -869,7 +984,8 @@ private[streaming] class WelfordEventTimeProcessor(evictMs: Long)
 private[streaming] class WelfordProcessor(
     ttl: org.apache.spark.sql.streaming.TTLConfig =
       org.apache.spark.sql.streaming.TTLConfig.NONE)
-    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), (Long, Stats)] {
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double, Boolean), (Long, Stats)] {
   @transient private var state: org.apache.spark.sql.streaming.ValueState[Stats] = _
 
   override def init(
@@ -880,9 +996,14 @@ private[streaming] class WelfordProcessor(
 
   override def handleInputRows(
       key: Long,
-      rows: Iterator[(Long, Double)],
+      rows: Iterator[(Long, Double, Boolean)],
       timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Stats)] = {
-    val batch = rows.map(_._2).foldLeft(Stats(0, 0.0, 0.0)) { (s, v) =>
+    val rs = rows.toSeq
+    if (rs.exists(_._3)) {
+      state.clear()
+      return Iterator.single((key, Stats(0, 0.0, 0.0)))
+    }
+    val batch = rs.iterator.map(_._2).foldLeft(Stats(0, 0.0, 0.0)) { (s, v) =>
       val n = s.n + 1
       val d = v - s.mean
       val mean = s.mean + d / n

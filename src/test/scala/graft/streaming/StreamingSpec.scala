@@ -1988,4 +1988,124 @@ class StreamingSpec extends SparkSpec {
         s"an evicted key's counters restart from zero, got $stats")
     } finally { tq.stop(); sq.stop() }
   }
+
+  test("streaming-state erasure: a retracted user's funnel and anomaly state drop on the next batch") {
+    // the takedown's state-store half: erase control rows ride the
+    // keyed shuffle, state.remove() lands on the next micro-batch, and
+    // NO later event resurrects the erased history
+    val evSchema = StructType(Seq(StructField("k", LongType),
+      StructField("s", LongType), StructField("et", StringType)))
+    val elog = new MemoryLog(spark, evSchema)
+    val eraseSchema = StructType(Seq(StructField("k", LongType)))
+    val eraseLog = new MemoryLog(spark, eraseSchema)
+    elog.appendRows(Seq(Row(1L, 1L, "view"), Row(1L, 2L, "click"), Row(2L, 3L, "view")))
+    val q = StreamingViews.funnelPerKey(
+        elog.readStream.select("k", "s", "et"), "k", "s", "et",
+        Seq("view", "click", "purchase"),
+        erase = Some(eraseLog.readStream.select("k")))
+      .toDF("k", "seqs", "stage")
+      .writeStream.format("memory").queryName("erase_funnel")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      // mid-stream takedown of user 1 (stage 2 at this point)
+      eraseLog.appendRows(Seq(Row(1L)))
+      q.processAllAvailable()
+      // user 1's purchase arrives AFTER the erasure: with history gone
+      // it cannot complete the funnel (purchase is not stage 1) — a
+      // surviving state would have emitted stage 3
+      elog.appendRows(Seq(Row(1L, 4L, "purchase"), Row(2L, 5L, "click")))
+      q.processAllAvailable()
+      val byKey = spark.sql("SELECT k, seqs, stage FROM erase_funnel").collect()
+        .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Long]](1).toList, r.getInt(2)))
+      assert(byKey.contains((1L, Nil, 0)), s"erasure must emit the empty tombstone, got ${byKey.toSeq}")
+      assert(!byKey.exists(r => r._1 == 1L && r._3 == 3),
+        s"no later event may resurrect erased funnel progress, got ${byKey.toSeq}")
+      assert(byKey.exists(r => r._1 == 2L && r._3 == 2),
+        s"other keys are untouched, got ${byKey.toSeq}")
+    } finally q.stop()
+
+    // anomaly machine (flatMapGroupsWithState, Append): erased history
+    // means the spike scores against NOTHING (minObs gate) — no hit
+    val aSchema = StructType(Seq(StructField("k", LongType),
+      StructField("s", LongType), StructField("v", DoubleType)))
+    val alog = new MemoryLog(spark, aSchema)
+    val aErase = new MemoryLog(spark, eraseSchema)
+    alog.appendRows(Seq(Row(1L, 1L, 1.0), Row(1L, 2L, 1.0), Row(1L, 3L, 1.0)))
+    val aq = StreamingViews.rollingAnomalyPerKey(
+        alog.readStream.select("k", "s", "v"), "k", "s", "v",
+        lookback = 5, minObs = 2, z = 2.0,
+        erase = Some(aErase.readStream.select("k")))
+      .toDF().writeStream.format("memory").queryName("erase_anom")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      aq.processAllAvailable()
+      aErase.appendRows(Seq(Row(1L)))
+      aq.processAllAvailable()
+      alog.appendRows(Seq(Row(1L, 4L, 100.0))) // would flag against the erased history
+      aq.processAllAvailable()
+      val hits = spark.sql("SELECT seq FROM erase_anom WHERE key = 1").collect().map(_.getLong(0))
+      assert(!hits.contains(4L),
+        s"an erased key's trailing window must not score later values, got ${hits.toSeq}")
+    } finally aq.stop()
+  }
+
+  test("streaming-state erasure: TWS clears state and timers; late erase rows drop at the watermark") {
+    val kvSchema = StructType(Seq(
+      StructField("k", LongType), StructField("ts", LongType), StructField("v", DoubleType)))
+    val eraseSchema = StructType(Seq(StructField("k", LongType), StructField("ts", LongType)))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val log = new MemoryLog(spark, kvSchema)
+      val eraseLog = new MemoryLog(spark, eraseSchema)
+      log.appendRows(Seq(Row(1L, 1000L, 1.0), Row(1L, 1100L, 3.0), Row(7L, 1000L, 9.0)))
+      val q = StreamingViews.runningStatsPerKeyTws(
+          log.readStream.select("k", "ts", "v"), "k", "v",
+          evictAfter = Some("2 seconds"), tsCol = Some("ts"),
+          erase = Some(eraseLog.readStream.select("k", "ts")))
+        .toDF("key", "stats")
+        .writeStream.format("memory").queryName("erase_tws")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        def rows = spark.sql("SELECT key, stats.n, stats.mean FROM erase_tws")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        q.processAllAvailable()
+        assert(rows.contains((1L, 2L, 2.0)))
+        // takedown of key 1, stamped STRICTLY AHEAD of the watermark
+        // (1100; the late filter is inclusive): state clears, tombstone
+        // emits, and the pending eviction timer (deadline 3100) is
+        // DELETED — an undeleted timer would re-emit the erased
+        // snapshot once the watermark passes it
+        eraseLog.appendRows(Seq(Row(1L, 1200L)))
+        q.processAllAvailable()
+        assert(rows.contains((1L, 0L, 0.0)), s"tombstone snapshot, got ${rows.toSeq}")
+        // key 7's events march the watermark far past key 1's old
+        // deadline; expired-timer processing must find nothing for key 1
+        log.appendRows(Seq(Row(7L, 60000L, 9.0)))
+        q.processAllAvailable()
+        log.appendRows(Seq(Row(7L, 61000L, 9.0)))
+        q.processAllAvailable()
+        assert(rows.count(r => r == ((1L, 2L, 2.0))) === 1,
+          s"the deleted timer must not re-emit the erased snapshot, got ${rows.toSeq}")
+        // a LATE erase row (event time behind the watermark) is dropped
+        // like any late event — the documented contract: stamp erase
+        // requests at or ahead of the current max event time
+        eraseLog.appendRows(Seq(Row(7L, 1000L)))
+        q.processAllAvailable()
+        log.appendRows(Seq(Row(7L, 61500L, 9.0)))
+        q.processAllAvailable()
+        assert(rows.exists(r => r._1 == 7L && r._2 == 4L),
+          s"a late erase row must NOT clear state (4 merged observations), got ${rows.toSeq}")
+        // reactivation after a successful erase: from zero
+        log.appendRows(Seq(Row(1L, 62000L, 5.0)))
+        q.processAllAvailable()
+        assert(rows.contains((1L, 1L, 5.0)), s"erased key restarts from zero, got ${rows.toSeq}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
