@@ -299,6 +299,232 @@ private[graft] object RelationalQueries {
         .select(col("s_suppkey"), col("s_name"), col("total_rev"))
         .orderBy("s_suppkey")
     }),
+    "q_tpch_q2" -> ((s, dir) => {
+      // TPC-H Q2-shaped (minimum-cost supplier): the correlated-min
+      // composite, DECORRELATED to a per-part min join. The fixture has
+      // no partsupp, so the supply relation derives from lineitem: the
+      // cost of (part, supplier) is the cheapest line price observed,
+      // in integer CENTS (exact cross-engine). The 4-dim chain
+      // (part slice, supplier, nation, region) all BROADCASTS; the one
+      // fact scan groups to (part, supplier) costs map-side, the
+      // per-part min is a second small agg, and the argmin is an
+      // equality JOIN back on (partkey, min) — never a correlated
+      // re-scan, never a cartesian (PlanSpec-pinned).
+      val supply = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").where(col("p_type") === "PROMO")
+          .select("p_partkey", "p_brand")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("p_partkey"), col("p_brand"), col("s_suppkey"), col("s_name"), col("n_name"))
+        .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("supp_cost"))
+      val minCost = supply.groupBy(col("p_partkey").as("mk"))
+        .agg(min("supp_cost").as("min_cost"))
+      supply
+        .join(minCost, col("p_partkey") === col("mk") && col("supp_cost") === col("min_cost"))
+        .select(col("p_partkey"), col("p_brand"), col("s_suppkey"), col("s_name"),
+          col("n_name"), col("supp_cost"))
+        .orderBy("p_partkey", "s_suppkey")
+        .limit(100)
+    }),
+    "q_tpch_q4" -> ((s, dir) =>
+      // TPC-H Q4-shaped (order priority checking): the EXISTS composite
+      // — orders of a quarter with at least one returned line, counted
+      // by priority. Scale shape: the date range pushes to the orders
+      // scan; the EXISTS is ONE left-semi join on o_orderkey (the
+      // returned-lines projection is 1 column + the key); the priority
+      // agg partial-aggregates map-side.
+      t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")))
+        .join(t(s, dir, "lineitem").where(col("l_returnflag") === "R").select("l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")),
+    "q_tpch_q6" -> ((s, dir) =>
+      // TPC-H Q6-shaped (forecast revenue change): the pure-pushdown
+      // composite — a single fact scan whose date + discount + quantity
+      // predicates ALL reach the parquet reader (PushedFilters), one
+      // map-side-collapsed aggregate, zero joins, zero shuffles beyond
+      // the final 1-row exchange.
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n_items"))),
+    "q_tpch_q7" -> ((s, dir) => {
+      // TPC-H Q7-shaped (volume shipping between two nations): the
+      // nation-PAIR composite. Scale shape: BOTH nation dims prefilter
+      // to the two trading nations before broadcasting (the pair OR
+      // residual then only flips orientation); supplier broadcasts;
+      // lineitem→orders→customer hash-join on their natural keys; the
+      // (supp_nation, cust_nation, year) agg partial-aggregates
+      // map-side.
+      val n1 = t(s, dir, "nation").where(col("n_name").isin("NATION_15", "NATION_19"))
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").where(col("n_name").isin("NATION_15", "NATION_19"))
+        .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("snk"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("cnk"))
+        .where((col("supp_nation") === "NATION_15" && col("cust_nation") === "NATION_19") ||
+          (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_15"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("bigint").as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+    "q_tpch_q8" -> ((s, dir) => {
+      // TPC-H Q8-shaped (national market share): the conditional-share
+      // composite — NATION_3's slice of the EUROPE market for PROMO
+      // parts, by order year. Emits the SUM form (nation + total
+      // revenue; the share is derivable) — a ratio of double sums can
+      // land on a rounding boundary where the engines' binary doubles
+      // round apart. Scale shape: part/ supplier/ both nation dims and
+      // region all broadcast (region filter prunes the customer-nation
+      // dim BEFORE its broadcast); one fact scan, two hash joins on
+      // orderkey/custkey, map-side partial agg on the year.
+      val custNation = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cnk"))
+      val suppNation = t(s, dir, "nation")
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").where(col("p_type") === "PROMO")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders")
+          .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+            col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(custNation), col("c_nationkey") === col("cnk"), "left_semi")
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("snk"))
+        .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(round(sum(when(col("supp_nation") === "NATION_3",
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0))), 4)
+          .as("nation_rev"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("total_rev"))
+        .orderBy("o_year")
+    }),
+    "q_tpch_q10" -> ((s, dir) =>
+      // TPC-H Q10-shaped (returned-item reporting): revenue lost to
+      // returns per customer in a quarter, top 20. Scale shape: date
+      // range pushes to orders, the returnflag filter to lineitem; the
+      // nation dim broadcasts; the per-customer agg partial-aggregates
+      // map-side; top-20 is TakeOrderedAndProject on the ROUNDED
+      // revenue + custkey (the tie-stable ordering convention).
+      t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders")
+          .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+            col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")))
+          .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)),
+    "q_tpch_q11" -> ((s, dir) => {
+      // TPC-H Q11-shaped (important stock): the global-scalar HAVING
+      // composite — parts whose inventory value (lineitem-derived, the
+      // fixture has no partsupp) exceeds 2× the average part's share of
+      // a nation-scoped total. The threshold is the Q22 convention:
+      // integer CENTS, compared in the rearranged multiply form
+      // (value·n_parts > 2·total — no division, no float), the scalar a
+      // ONE-ROW broadcast. Scale-invariant by construction: the gate is
+      // relative, so it bites identically at every SF.
+      val scoped = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier").where(col("s_nationkey") % 5 === 2)
+          .select("s_suppkey")), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .select(col("l_partkey"), round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val perPart = scoped.groupBy("l_partkey").agg(sum("cents").as("value_cents"))
+      val tot = perPart.agg(sum("value_cents").as("tc"), count(lit(1)).as("np"))
+      perPart.crossJoin(broadcast(tot))
+        .where(col("value_cents") * col("np") > col("tc") * 2)
+        .select(col("l_partkey"), col("value_cents"))
+        .orderBy(col("value_cents").desc, col("l_partkey"))
+    }),
+    "q_tpch_q12" -> ((s, dir) =>
+      // TPC-H Q12-shaped (shipping priority classification): the
+      // conditional-count composite — per line status (the fixture's
+      // shipmode role), how many lines of a ship-year belong to
+      // high- vs low-priority orders. ONE pass, both counts map-side;
+      // the date range pushes to the lineitem scan; orders projects 2
+      // columns into the join.
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("low_line_count"))
+        .orderBy("l_linestatus")),
+    "q_tpch_q13" -> ((s, dir) =>
+      // TPC-H Q13-shaped (customer order-count distribution): the
+      // LEFT-OUTER count composite — customers with ZERO qualifying
+      // orders must appear in the c_count = 0 bucket, so the outer join
+      // must SURVIVE optimization (PlanSpec-pinned; an inner join would
+      // silently drop them). count(o_custkey) skips the nulls the outer
+      // join manufactures. Scale shape: the priority exclusion
+      // prefilters orders BEFORE the join; two aggs, both partial
+      // map-side — the second one is tiny (distinct count values).
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(t(s, dir, "orders").where(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_custkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+    "q_tpch_q20" -> ((s, dir) => {
+      // TPC-H Q20-shaped (potential part promotion): the NESTED
+      // correlated-IN composite, reduced to a TWO-LEVEL semi-join chain
+      // (PlanSpec-pinned): the INNER IN (parts of a type slice) becomes
+      // a left-semi against the broadcast part slice; the qty gate over
+      // the year's shipments replaces partsupp's availqty rule; the
+      // OUTER IN (suppliers having such a part) becomes a left-semi on
+      // the distinct supplier keys; the nation filter broadcasts last.
+      // No subquery ever re-executes per row.
+      val qualifying = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .join(broadcast(t(s, dir, "part").where(col("p_type") === "SMALL")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum("l_quantity").as("qty"))
+        .where(col("qty") > 50.0)
+        .select(col("l_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(t(s, dir, "nation").where(col("n_nationkey") % 5 === 3)),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy("s_name")
+    }),
     "q_window_rank" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
@@ -644,6 +870,78 @@ private[graft] object RelationalQueries {
         "WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20) " +
         "OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35) " +
         "OR (p_brand = 'Brand#33' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)"),
+    "q_tpch_q2" ->
+      ("WITH supply AS (SELECT p_partkey, p_brand, s_suppkey, s_name, n_name, " +
+        "min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS supp_cost " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE p_type = 'PROMO' AND r_name = 'EUROPE' GROUP BY 1, 2, 3, 4, 5), " +
+        "mc AS (SELECT p_partkey AS mk, min(supp_cost) AS min_cost FROM supply GROUP BY 1) " +
+        "SELECT p_partkey, p_brand, s_suppkey, s_name, n_name, supp_cost " +
+        "FROM supply JOIN mc ON p_partkey = mk AND supp_cost = min_cost " +
+        "ORDER BY p_partkey, s_suppkey LIMIT 100"),
+    "q_tpch_q4" ->
+      ("SELECT o_orderpriority, count(*) AS order_count FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00' " +
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_tpch_q6" ->
+      ("SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue, count(*) AS n_items FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' " +
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+    "q_tpch_q7" ->
+      ("SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, count(*) AS n_items " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00' " +
+        "AND ((n1.n_name = 'NATION_15' AND n2.n_name = 'NATION_19') OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_15')) " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    "q_tpch_q8" ->
+      ("SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+        "round(sum(CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 4) AS nation_rev, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation n1 ON c_nationkey = n1.n_nationkey JOIN region ON n1.n_regionkey = r_regionkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
+        "WHERE p_type = 'PROMO' AND r_name = 'EUROPE' " +
+        "AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00' " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_tpch_q10" ->
+      ("SELECT c_custkey, c_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, count(*) AS n_items " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00' " +
+        "GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20"),
+    "q_tpch_q11" ->
+      ("WITH scoped AS (SELECT l_partkey, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem " +
+        "WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey % 5 = 2)), " +
+        "pp AS (SELECT l_partkey, sum(cents)::BIGINT AS value_cents FROM scoped GROUP BY 1), " +
+        "tot AS (SELECT sum(value_cents) AS tc, count(*) AS np FROM pp) " +
+        "SELECT l_partkey, value_cents FROM pp, tot WHERE value_cents * np > tc * 2 " +
+        "ORDER BY value_cents DESC, l_partkey"),
+    "q_tpch_q12" ->
+      ("SELECT l_linestatus, " +
+        "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count, " +
+        "sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS low_line_count " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_tpch_q13" ->
+      ("SELECT c_count, count(*) AS custdist FROM (" +
+        "SELECT c_custkey, count(o_custkey) AS c_count FROM customer " +
+        "LEFT JOIN (SELECT o_custkey FROM orders WHERE o_orderpriority <> '1-URGENT') o ON c_custkey = o_custkey " +
+        "GROUP BY c_custkey) GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
+    "q_tpch_q20" ->
+      ("SELECT s_suppkey, s_name FROM supplier " +
+        "WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' " +
+        "AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'SMALL') " +
+        "GROUP BY l_partkey, l_suppkey HAVING sum(l_quantity) > 50) " +
+        "AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_nationkey % 5 = 3) " +
+        "ORDER BY s_name"),
     "q_group_agg" ->
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base, round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc, round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, round(avg(l_quantity), 4) AS avg_qty, count(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q_bucketed_join" ->

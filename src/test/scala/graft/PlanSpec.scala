@@ -483,6 +483,38 @@ class PlanSpec extends SparkSpec {
       s"the top-100 must not global-sort:\n${s.take(4000)}")
   }
 
+  test("tpch q2: correlated min decorrelates to a min join — no cartesian, no per-row re-scan") {
+    val s = planString(run("q_tpch_q2"))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"the argmin must be an equality join on (partkey, min), never a cartesian:\n${s.take(4000)}")
+    // the per-part min is a standalone aggregate JOINED back — the
+    // decorrelated shape; a correlated form would re-scan supply per row
+    assert(s.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected the supply agg AND the per-part min agg:\n${s.take(4000)}")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"the top-100 must not global-sort:\n${s.take(4000)}")
+  }
+
+  test("tpch q13: the left-outer join SURVIVES optimization (zero-order customers kept)") {
+    val s = planString(run("q_tpch_q13"))
+    assert(s.linesIterator.exists(l => l.contains("Join") && l.contains("LeftOuter")),
+      s"an inner rewrite would drop zero-order customers from the c_count=0 bucket:\n${s.take(4000)}")
+    assert(s.contains("Not(EqualTo(o_orderpriority,1-URGENT))") ||
+      s.contains("o_orderpriority <> 1-URGENT") || s.contains("NOT (o_orderpriority = 1-URGENT)"),
+      s"the priority exclusion must prefilter orders before the join:\n${s.take(4000)}")
+  }
+
+  test("tpch q20: the nested correlated IN reduces to a two-level semi-join chain") {
+    val s = planString(run("q_tpch_q20"))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"no cartesian anywhere in the reduction:\n${s.take(4000)}")
+    // level 1: lineitem semi-joins the part slice; level 2: supplier
+    // semi-joins the qualifying keys (plus the nation semi) — at least
+    // two semi joins, zero inner fact joins
+    val semis = s.linesIterator.count(l => l.contains("Join") && l.contains("LeftSemi"))
+    assert(semis >= 2, s"expected the two-level semi-join chain, got $semis:\n${s.take(4000)}")
+  }
+
   test("tpch q22: anti join on the pushed-priority orders scan; scalar threshold broadcasts as one row") {
     val df = run("q_tpch_q22")
     val s = executed(df).toString
