@@ -635,6 +635,30 @@ final class ParquetLog(
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     if (stats.isEmpty) return 0L
+    // CROSSOVER: each pruned bucket rewrite is its own job — pure win
+    // while matches cluster in few buckets, but a scattered takedown
+    // matching MOST buckets would pay per-job latency × buckets where
+    // ONE whole-log job pays it once. Past half the buckets, take the
+    // single-job full swap (compact()'s two-rename protocol, layout
+    // preserved) — same end state, same crash-safety, one job.
+    val totalBuckets = {
+      val fs = root.listFiles()
+      if (fs == null) 0 else fs.count(_.getName.startsWith(bucketCol + "="))
+    }
+    if (stats.length * 2 > totalBuckets) {
+      val removed = stats.map(_._2).sum
+      val tmp = new java.io.File(dir + ".compacting")
+      val old = new java.io.File(dir + ".precompact")
+      mark(readRaw).where(!hitC)
+        .select(diskSchema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
+        .repartition(col(bucketCol)).write.partitionBy(bucketCol).parquet(tmp.getPath)
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, ParquetLog.cursorMarker).toPath, cursor.toString)
+      if (!root.renameTo(old)) throw new java.io.IOException(s"retract: cannot move $root aside")
+      if (!tmp.renameTo(root)) { old.renameTo(root); throw new java.io.IOException(s"retract: cannot swap in $tmp") }
+      deleteTree(old)
+      return removed
+    }
     // the HWM is made durable BEFORE any bucket is touched — atomic
     // write, idempotent, survives reopen and compaction
     ParquetLog.writeAtomic(new java.io.File(root, ParquetLog.cursorMarker), cursor.toString)

@@ -164,11 +164,67 @@ object ScaleProbe {
     args.lift(1).getOrElse("base") match {
       case "skew" => skewMode(spark)
       case "heaps" => heapsMode(spark)
+      case "retract" => retractMode(spark)
       case _ =>
         families(sf01, "sf0.1")
         families(outDir, "sf1")
     }
     spark.stop()
+  }
+
+  /** Round-15 mode `retract`: measures the PRUNED takedown's scale
+    * shape — wall ∝ matched buckets, not corpus. Builds seq-bucketed
+    * logs at 1× (50k rows) and 10× (500k rows), then takes down four
+    * shapes per corpus: a CLUSTERED 0.1% (one uploader's contiguous
+    * range — the common rights-holder case, few buckets), a SCATTERED
+    * 0.1% (ids spread across the seq space — many buckets, few rows
+    * each), a SCATTERED 10% (most buckets matched — crosses the
+    * half-the-buckets line where retract falls back to the single-job
+    * full swap), and the TAIL 0.1% (exercises the cursor-marker write
+    * and the never-regress rule). Reports removed rows, matched/total
+    * buckets, which arm ran, and wall seconds; the headline check is
+    * clustered-0.1% wall staying FLAT from 1× to 10× while the corpus
+    * grew tenfold (the r14 full-rewrite form scaled with the corpus). */
+  private def retractMode(spark: SparkSession): Unit = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", StringType)))
+    val bucketSize = 512L
+    def deleteTree(f: java.io.File): Unit = {
+      val fs = f.listFiles(); if (fs != null) fs.foreach(deleteTree); f.delete()
+    }
+    def buildLog(n: Long, dir: String): graft.core.ParquetLog = {
+      deleteTree(new java.io.File(dir))
+      val log = new graft.core.ParquetLog(spark, dir, schema, bucketSize = bucketSize)
+      // ~120 B payload per row so bucket rewrites move real bytes
+      log.append(spark.range(n).select(col("id").as("doc_id"),
+        concat(lit("p"), col("id"), lit("-"),
+          lpad(conv(col("id") * 2654435761L, 10, 16), 100, "x")).as("payload")))
+      log
+    }
+    for (scale <- Seq(1L, 10L)) {
+      val n = 50000L * scale
+      val totalBuckets = (n + bucketSize - 1) / bucketSize
+      val shapes: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+        ("clustered_0.1pct", col("doc_id") >= n / 2 && col("doc_id") < n / 2 + n / 1000),
+        ("scattered_0.1pct", col("doc_id") % 1000 === 7),
+        ("scattered_10pct", col("doc_id") % 10 === 3),
+        ("tail_0.1pct", col("doc_id") >= n - n / 1000))
+      shapes.foreach { case (label, cond) =>
+        val dir = s"/tmp/graft-retract-probe/n$n-$label"
+        val log = buildLog(n, dir)
+        val matched = log.read.where(cond)
+          .select((col("seq") / bucketSize).cast("long")).distinct().count()
+        val arm = if (matched * 2 > totalBuckets) "full-swap" else "pruned"
+        val t0 = System.nanoTime()
+        val removed = log.retract(cond)
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(s"[probe] {" +
+          s""""mode":"retract","corpus":$n,"shape":"$label","removed":$removed,""" +
+          s""""matched_buckets":$matched,"total_buckets":$totalBuckets,""" +
+          f""""arm":"$arm","wall_s":$wall%.2f""" + "}")
+        deleteTree(new java.io.File(dir))
+      }
+    }
   }
 
   /** Round-14 mode `skew`: a PLANTED-skew fixture — the hot-key shapes
