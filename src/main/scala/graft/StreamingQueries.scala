@@ -366,6 +366,61 @@ private[graft] object StreamingQueries {
           col("stage"))
         .orderBy("user_id")
     }),
+    "q_stream_erase" -> ((s, dir) => {
+      // GDPR erasure END TO END through the live funnel machine: phase
+      // A streams the first half of events, a takedown control row then
+      // erases every user_id % 10 == 3 (state + timeout drop mid-stream,
+      // empty tombstone emitted), phase B streams the rest WITHOUT the
+      // erased users (they left the platform). The final answer must
+      // contain NO erased user even though their phase-A progress sits
+      // in the sink history: emissions land via foreachBatch with the
+      // batch id, and per key the LAST emission (max batch id) IS the
+      // state — for an erased user that is the stage-0 tombstone, which
+      // the stage >= 1 gate drops. Oracle = the batch funnel over the
+      // KEPT users' events.
+      import org.apache.spark.sql.types._
+      val ev = t(s, dir, "events").select(
+        col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type"))
+      val cut = ev.agg(max("event_id")).head().getLong(0) / 2
+      val elog = new MemoryLog(s, StructType(Seq(StructField("user_id", LongType),
+        StructField("event_id", LongType), StructField("event_type", StringType))))
+      val erLog = new MemoryLog(s, StructType(Seq(StructField("user_id", LongType))))
+      val out = java.nio.file.Files.createTempDirectory("graft-serase").toString + "/emits"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.StreamingViews.funnelPerKey(
+            elog.readStream.select("user_id", "event_id", "event_type"),
+            "user_id", "event_id", "event_type", Seq("view", "click", "purchase"),
+            erase = Some(erLog.readStream.select("user_id")))
+          .toDF("user_id", "seqs", "stage")
+          .writeStream
+          .foreachBatch((b: DataFrame, id: Long) =>
+            b.withColumn("__b", lit(id)).write.mode("append").parquet(out))
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+        try {
+          elog.append(ev.where(col("event_id") <= cut))
+          q.processAllAvailable()
+          erLog.append(ev.where(col("user_id") % 10 === 3).select("user_id").distinct())
+          q.processAllAvailable()
+          elog.append(ev.where(col("event_id") > cut && col("user_id") % 10 =!= 3))
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.read.parquet(out)
+        .groupBy("user_id")
+        .agg(max_by(struct(col("stage"), col("seqs")), col("__b")).as("fin"))
+        .select(col("user_id"), col("fin.stage").as("stage"), col("fin.seqs").as("seqs"))
+        .where(col("stage") >= 1)
+        .select(col("user_id"),
+          expr("try_element_at(seqs, 1)").as("s_view"),
+          expr("try_element_at(seqs, 2)").as("s_click"),
+          expr("try_element_at(seqs, 3)").as("s_purchase"),
+          col("stage"))
+        .orderBy("user_id")
+    }),
     "q_stream_funnel_windowed" -> ((s, dir) => {
       // the expiring funnel as live per-key state: the gap gate rides
       // the same (stage, seqs, lastTs) cursor; final state equals the
@@ -733,6 +788,16 @@ private[graft] object StreamingQueries {
       ("WITH v AS (SELECT user_id, min(event_id) AS s_view FROM events WHERE event_type = 'view' GROUP BY 1), " +
         "c AS (SELECT e.user_id, min(event_id) AS s_click FROM events e JOIN v ON e.user_id = v.user_id AND e.event_id > v.s_view WHERE e.event_type = 'click' GROUP BY 1), " +
         "p AS (SELECT e.user_id, min(event_id) AS s_purchase FROM events e JOIN c ON e.user_id = c.user_id AND e.event_id > c.s_click WHERE e.event_type = 'purchase' GROUP BY 1) " +
+        "SELECT v.user_id, s_view, s_click, s_purchase, " +
+        "CASE WHEN s_purchase IS NOT NULL THEN 3 WHEN s_click IS NOT NULL THEN 2 ELSE 1 END AS stage " +
+        "FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id) ORDER BY user_id"),
+    "q_stream_erase" ->
+      // the funnel replay over the KEPT users only: an erased user's
+      // phase-A progress must not survive into the final answer
+      ("WITH ev AS (SELECT user_id, event_id, event_type FROM events WHERE user_id % 10 <> 3), " +
+        "v AS (SELECT user_id, min(event_id) AS s_view FROM ev WHERE event_type = 'view' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, min(event_id) AS s_click FROM ev e JOIN v ON e.user_id = v.user_id AND e.event_id > v.s_view WHERE e.event_type = 'click' GROUP BY 1), " +
+        "p AS (SELECT e.user_id, min(event_id) AS s_purchase FROM ev e JOIN c ON e.user_id = c.user_id AND e.event_id > c.s_click WHERE e.event_type = 'purchase' GROUP BY 1) " +
         "SELECT v.user_id, s_view, s_click, s_purchase, " +
         "CASE WHEN s_purchase IS NOT NULL THEN 3 WHEN s_click IS NOT NULL THEN 2 ELSE 1 END AS stage " +
         "FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id) ORDER BY user_id"),

@@ -306,6 +306,13 @@ final class ParquetLog(
         try java.nio.file.Files.readString(marker.toPath).trim
         catch { case _: java.io.IOException => "" }
       txt.split(" ") match {
+        case arr if arr.headOption.contains("MULTI") =>
+          // the committed multi-bucket plan (atomic write — never torn):
+          // replay the tombstone deletes and the remaining tmp swaps
+          def ids(prefix: String): Seq[Long] = arr.toSeq
+            .collectFirst { case t if t.startsWith(prefix) => t.stripPrefix(prefix) }
+            .map(_.split(",").filter(_.nonEmpty).map(_.toLong).toSeq).getOrElse(Nil)
+          applyRetractPlan(ids("rw="), ids("empty="))
         case Array(unit, "EMPTY") if unit.startsWith(bucketCol + "=") =>
           deleteTree(new java.io.File(root, unit))
         case Array(unit) if unit.startsWith(bucketCol + "=") &&
@@ -546,17 +553,20 @@ final class ParquetLog(
     * On the BUCKETED layout the rewrite is PRUNED to the matched
     * partitions: one narrow match scan (only `cond`'s columns plus the
     * directory-derived bucket column are read) yields per-bucket
-    * hit/total counts, and then ONLY the `seq_bucket=N/` directories
-    * containing matches are rewritten — each under its own
-    * tmp → marker-commit → swap protocol (recovered at open by
-    * [[recoverRetractLeftovers]]), a fully-emptied bucket deleted under
-    * an `EMPTY` tombstone marker. Untouched bucket directories keep
-    * their files byte-for-byte: at 100 TB a single-document takedown
-    * rewrites one bucket, not the corpus. A JVM death leaves every
-    * bucket in its old or new state, never partial; buckets not yet
-    * reached are finished by the family intent replay
-    * ([[graft.views.Retraction.recover]]). The unbucketed layout has no
-    * partitions to prune and keeps [[compact]]'s full-rewrite swap.
+    * hit/total counts; partially-matched `seq_bucket=N/` directories
+    * are then rewritten in ONE job (the pruned read touches only their
+    * dirs; `partitionBy` routes each bucket-local task's rows back to
+    * its own dir under a staging tree — no shuffle, no per-bucket job
+    * latency), fully-emptied buckets are tombstone-deleted, and an
+    * atomic marker naming every unit is the COMMIT POINT: a death
+    * before it leaves the original buckets intact (staging is
+    * uncommitted garbage, the family intent replay re-runs the
+    * takedown); after it, [[recoverRetractLeftovers]] replays the
+    * swap/delete plan idempotently at open. Untouched bucket
+    * directories keep their files byte-for-byte: at 100 TB a
+    * single-document takedown rewrites one bucket, not the corpus. The
+    * unbucketed layout has no partitions to prune and keeps
+    * [[compact]]'s full-rewrite swap.
     *
     * CONCURRENCY: retraction requires QUIESCENT streams on this log.
     * The file-granular tail ([[readStreamFiles]]) is fenced hard (throw,
@@ -635,60 +645,58 @@ final class ParquetLog(
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     if (stats.isEmpty) return 0L
-    // CROSSOVER: each pruned bucket rewrite is its own job — pure win
-    // while matches cluster in few buckets, but a scattered takedown
-    // matching MOST buckets would pay per-job latency × buckets where
-    // ONE whole-log job pays it once. Past half the buckets, take the
-    // single-job full swap (compact()'s two-rename protocol, layout
-    // preserved) — same end state, same crash-safety, one job.
-    val totalBuckets = {
-      val fs = root.listFiles()
-      if (fs == null) 0 else fs.count(_.getName.startsWith(bucketCol + "="))
-    }
-    if (stats.length * 2 > totalBuckets) {
-      val removed = stats.map(_._2).sum
-      val tmp = new java.io.File(dir + ".compacting")
-      val old = new java.io.File(dir + ".precompact")
-      mark(readRaw).where(!hitC)
-        .select(diskSchema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
-        .repartition(col(bucketCol)).write.partitionBy(bucketCol).parquet(tmp.getPath)
-      java.nio.file.Files.writeString(
-        new java.io.File(tmp, ParquetLog.cursorMarker).toPath, cursor.toString)
-      if (!root.renameTo(old)) throw new java.io.IOException(s"retract: cannot move $root aside")
-      if (!tmp.renameTo(root)) { old.renameTo(root); throw new java.io.IOException(s"retract: cannot swap in $tmp") }
-      deleteTree(old)
-      return removed
-    }
     // the HWM is made durable BEFORE any bucket is touched — atomic
     // write, idempotent, survives reopen and compaction
     ParquetLog.writeAtomic(new java.io.File(root, ParquetLog.cursorMarker), cursor.toString)
     val marker = new java.io.File(root, ParquetLog.retractMarker)
     val tmp = new java.io.File(root, ParquetLog.retractTmp)
-    stats.foreach { case (b, hits, total) =>
-      val unitName = s"$bucketCol=$b"
-      val unit = new java.io.File(root, unitName)
-      if (hits == total) {
-        // bucket fully emptied: tombstone commit, then delete — no
-        // empty parquet write (which could not carry a readable schema)
-        ParquetLog.writeAtomic(marker, s"$unitName EMPTY")
+    deleteTree(tmp)
+    // fully-emptied buckets are tombstone-DELETED (an empty parquet
+    // write could not carry a readable schema); partially-matched
+    // buckets rewrite in ONE job: the pruned read touches only their
+    // directories, and partitionBy routes each task's rows back to its
+    // own bucket dir under the tmp tree with NO shuffle (input tasks
+    // are bucket-local, so file counts are preserved). One job for any
+    // number of matched buckets — never per-bucket job latency, never
+    // a corpus-wide rewrite.
+    val empties = stats.collect { case (b, h, tot) if h == tot => b }
+    val rewrites = stats.collect { case (b, h, tot) if h < tot => b }
+    if (rewrites.nonEmpty) {
+      mark(readRaw.where(col(bucketCol).isin(rewrites: _*)))
+        .where(!hitC)
+        .select(diskSchema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
+        .write.partitionBy(bucketCol).parquet(tmp.getPath)
+    }
+    // COMMIT POINT: the atomic marker names every unit; written only
+    // after the rewrite job completed, so the marker implies a complete
+    // tmp tree. A death before it leaves the original buckets intact
+    // (tmp is uncommitted garbage); after it, recovery replays the
+    // swap/delete list idempotently.
+    ParquetLog.writeAtomic(marker,
+      s"MULTI rw=${rewrites.mkString(",")} empty=${empties.mkString(",")}")
+    applyRetractPlan(rewrites, empties)
+    marker.delete()
+    deleteTree(tmp)
+    stats.map(_._2).sum
+  }
+
+  /** Execute (or re-execute, from recovery) a committed retraction
+    * plan: delete tombstoned buckets, swap each rewritten bucket's tmp
+    * dir into place. Idempotent — a bucket whose tmp dir is gone was
+    * already swapped. */
+  private def applyRetractPlan(rewrites: Seq[Long], empties: Seq[Long]): Unit = {
+    val root = new java.io.File(dir)
+    val tmp = new java.io.File(root, ParquetLog.retractTmp)
+    empties.foreach(b => deleteTree(new java.io.File(root, s"$bucketCol=$b")))
+    rewrites.foreach { b =>
+      val src = new java.io.File(tmp, s"$bucketCol=$b")
+      if (src.exists()) {
+        val unit = new java.io.File(root, s"$bucketCol=$b")
         deleteTree(unit)
-        marker.delete()
-      } else {
-        deleteTree(tmp)
-        // bucket files hold the full row schema (the partition column is
-        // directory-encoded); read the one directory, keep the misses
-        mark(spark.read.schema(fullSchema).parquet(unit.getPath))
-          .where(!hitC)
-          .select(fullSchema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
-          .write.parquet(tmp.getPath)
-        ParquetLog.writeAtomic(marker, unitName) // commit point (with tmp/_SUCCESS)
-        deleteTree(unit)
-        if (!tmp.renameTo(unit))
-          throw new java.io.IOException(s"retract: cannot swap $tmp into $unit")
-        marker.delete()
+        if (!src.renameTo(unit))
+          throw new java.io.IOException(s"retract: cannot swap $src into $unit")
       }
     }
-    stats.map(_._2).sum
   }
 
   /** Stream ids of record-granular DSv2 tails with a

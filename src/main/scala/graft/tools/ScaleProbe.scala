@@ -173,18 +173,19 @@ object ScaleProbe {
   }
 
   /** Round-15 mode `retract`: measures the PRUNED takedown's scale
-    * shape — wall ∝ matched buckets, not corpus. Builds seq-bucketed
-    * logs at 1× (50k rows) and 10× (500k rows), then takes down four
-    * shapes per corpus: a CLUSTERED 0.1% (one uploader's contiguous
-    * range — the common rights-holder case, few buckets), a SCATTERED
-    * 0.1% (ids spread across the seq space — many buckets, few rows
-    * each), a SCATTERED 10% (most buckets matched — crosses the
-    * half-the-buckets line where retract falls back to the single-job
-    * full swap), and the TAIL 0.1% (exercises the cursor-marker write
-    * and the never-regress rule). Reports removed rows, matched/total
-    * buckets, which arm ran, and wall seconds; the headline check is
-    * clustered-0.1% wall staying FLAT from 1× to 10× while the corpus
-    * grew tenfold (the r14 full-rewrite form scaled with the corpus). */
+    * shape — rewrite cost ∝ matched buckets, not corpus. Builds
+    * seq-bucketed logs at 1× (50k rows) and 10× (500k rows), then takes
+    * down four shapes per corpus: a CLUSTERED 0.1% (one uploader's
+    * contiguous range — the common rights-holder case, few buckets), a
+    * SCATTERED 0.1% (ids spread across the seq space — many buckets,
+    * few rows each), a SCATTERED 10% (most buckets matched — the
+    * worst case, approaching a full rewrite by necessity), and the
+    * TAIL 0.1% (exercises the cursor-marker write and the never-regress
+    * rule). All shapes run the same ONE-JOB pruned rewrite (staging
+    * tree + atomic plan marker). Reports removed rows, matched/total
+    * buckets, and wall seconds; the headline check is clustered-0.1%
+    * rewrite work staying ∝ 1-2 buckets at both corpus sizes (the r14
+    * full-rewrite form scaled with the corpus). */
   private def retractMode(spark: SparkSession): Unit = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", StringType)))
@@ -214,14 +215,13 @@ object ScaleProbe {
         val log = buildLog(n, dir)
         val matched = log.read.where(cond)
           .select((col("seq") / bucketSize).cast("long")).distinct().count()
-        val arm = if (matched * 2 > totalBuckets) "full-swap" else "pruned"
         val t0 = System.nanoTime()
         val removed = log.retract(cond)
         val wall = (System.nanoTime() - t0) / 1e9
         println(s"[probe] {" +
           s""""mode":"retract","corpus":$n,"shape":"$label","removed":$removed,""" +
           s""""matched_buckets":$matched,"total_buckets":$totalBuckets,""" +
-          f""""arm":"$arm","wall_s":$wall%.2f""" + "}")
+          f""""wall_s":$wall%.2f""" + "}")
         deleteTree(new java.io.File(dir))
       }
     }

@@ -1382,6 +1382,23 @@ class PersistenceSpec extends SparkSpec {
     val log5 = new ParquetLog(spark, logDir, docSchema, bucketSize = 4L)
     assert(log5.read.count() === 7L)
     assert(!new java.io.File(root, "_graft_retract_marker").exists())
+
+    // window E: a committed MULTI plan (the one-job form) with the
+    // apply phase lost — bucket 0's staged rewrite unswapped AND bucket
+    // 1 tombstoned; recovery replays both
+    spark.read.schema(StructType(StructField("seq", LongType) +: docSchema.fields))
+      .parquet(new java.io.File(root, "seq_bucket=0").getPath)
+      .where(col("doc_id") =!= 1L)
+      .withColumn("seq_bucket", lit(0L))
+      .write.partitionBy("seq_bucket").parquet(tmp.getPath)
+    java.nio.file.Files.writeString(
+      new java.io.File(root, "_graft_retract_marker").toPath, "MULTI rw=0 empty=1")
+    val log6 = new ParquetLog(spark, logDir, docSchema, bucketSize = 4L)
+    assert(log6.read.where(col("doc_id") === 1L).count() === 0L,
+      "MULTI recovery swapped the staged bucket in")
+    assert(!new java.io.File(root, "seq_bucket=1").exists(),
+      "MULTI recovery applied the tombstone delete")
+    assert(!tmp.exists() && !new java.io.File(root, "_graft_retract_marker").exists())
   }
 
   test("ParquetLog.retract fences an in-flight record-granular tail micro-batch") {
