@@ -662,9 +662,15 @@ final class ParquetLog(
     val empties = stats.collect { case (b, h, tot) if h == tot => b }
     val rewrites = stats.collect { case (b, h, tot) if h < tot => b }
     if (rewrites.nonEmpty) {
-      mark(readRaw.where(col(bucketCol).isin(rewrites: _*)))
+      // read the matched bucket dirs DIRECTLY (leaf reads — no second
+      // listing of the whole partition tree, which at many thousands of
+      // buckets costs more than the rewrite itself) and re-derive the
+      // partition column from the seq, exactly as append stamps it
+      val dirs = rewrites.map(b => new java.io.File(root, s"$bucketCol=$b").getPath)
+      mark(spark.read.schema(fullSchema).parquet(dirs: _*))
         .where(!hitC)
-        .select(diskSchema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
+        .select(fullSchema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
+        .withColumn(bucketCol, expr(s"`$seqCol` div $bucketSize"))
         .write.partitionBy(bucketCol).parquet(tmp.getPath)
     }
     // COMMIT POINT: the atomic marker names every unit; written only
