@@ -104,6 +104,39 @@ trait FlumeLog {
 
   def close(): Unit = ()
 
+  // ---- retraction (takedown) ---------------------------------------------
+
+  /** Corpus RETRACTION (takedown): physically remove every row matching
+    * `cond` from storage, returning the number removed — the one
+    * mutation an append-only pretraining log genuinely needs (a
+    * rights-holder takedown or GDPR erasure must actually delete the
+    * bytes, not tombstone them). Contract shared by every writable
+    * backend: surviving rows keep their seqs (readers tolerate holes;
+    * re-stamping would corrupt every artifact keyed by seq), the cursor
+    * NEVER regresses (retracting the tail retires those seqs forever),
+    * NULL `cond` rows are KEPT (a predicate that cannot identify a row
+    * must not delete it), and retracting absent rows is an idempotent
+    * no-op. Read-only codec backends ([[TableLog]]) have no storage to
+    * rewrite and throw. */
+  def retract(cond: Column): Long =
+    retractMarked(df => df.withColumn(ParquetLog.hitCol, coalesce(cond, lit(false))))
+
+  /** Takedown by ID LIST — the batch form for rights-holder requests of
+    * 10⁵–10⁶ ids, where rendering the list into an `isin` literal would
+    * build a million-node `In` expression. The ids stay a DataFrame end
+    * to end: matches are marked by a join against the distinct id set —
+    * broadcast under a count fence, shuffle fallback — so the plan is
+    * one join regardless of list size. Same contract as [[retract]]. */
+  def retractIds(ids: DataFrame, idCol: String,
+      maxBroadcastKeys: Long = 4L * 1000 * 1000): Long =
+    retractMarked(ParquetLog.hitMarker(ids, idCol, maxBroadcastKeys))
+
+  /** Backend retraction kernel: rows marked `true` in
+    * [[ParquetLog.hitCol]] by `mark` leave storage. */
+  protected def retractMarked(mark: DataFrame => DataFrame): Long =
+    throw new UnsupportedOperationException(
+      s"${getClass.getSimpleName} is read-only — no storage to retract")
+
   // ---- since observable -------------------------------------------------
   // The reference's `log.since` is an obz observable surfaced directly as
   // `db.since` (`/root/reference/index.js:142`, `README.md:135-140`):
@@ -578,23 +611,7 @@ final class ParquetLog(
     * in flight. NULL `cond` rows are KEPT (a predicate that cannot
     * identify a row must not delete it). Idempotent: retracting
     * already-absent rows rewrites nothing. */
-  def retract(cond: Column): Long =
-    retractMarked(df => df.withColumn(ParquetLog.hitCol, coalesce(cond, lit(false))))
-
-  /** Takedown by ID LIST — the batch form for rights-holder requests of
-    * 10⁵–10⁶ ids, where rendering the list into an `isin` literal would
-    * build a million-node `In` expression (Catalyst/codegen blowup and
-    * driver memory ∝ plan size before any data is touched). The ids
-    * stay a DataFrame end to end: matches are marked by a join against
-    * the distinct id set — broadcast under a count fence, shuffle
-    * fallback above it (the repo's fence discipline) — so the plan is
-    * one join regardless of list size. Same pruned per-bucket rewrite
-    * and crash protocol as [[retract]]. */
-  def retractIds(ids: DataFrame, idCol: String,
-      maxBroadcastKeys: Long = 4L * 1000 * 1000): Long =
-    retractMarked(ParquetLog.hitMarker(ids, idCol, maxBroadcastKeys))
-
-  private def retractMarked(mark: DataFrame => DataFrame): Long = synchronized {
+  override protected def retractMarked(mark: DataFrame => DataFrame): Long = synchronized {
     val hitC = col(ParquetLog.hitCol)
     if (ParquetLog.liveTailStarted(dir))
       throw new IllegalStateException(
@@ -806,13 +823,81 @@ final class JsonLinesLog(
     fs != null && fs.exists(f => f.getName.endsWith(".json") || f.getName.endsWith(".txt"))
   }
 
-  @volatile private var cursor: Long =
-    if (hasData)
-      spark.read.schema(fullSchema).json(dir)
-        .agg(coalesce(max(col(seqCol)), lit(-1L))).head().getLong(0)
-    else -1L
+  private def deleteTree(f: java.io.File): Unit = {
+    val fs = f.listFiles(); if (fs != null) fs.foreach(deleteTree); f.delete()
+  }
+
+  /** Crash recovery for [[retractMarked]]'s directory swap — the same
+    * three-state rule as the parquet backend's compact recovery: root
+    * has data → side dirs are stale; root empty but `.preretract` has
+    * data → restore the original (death between the renames);
+    * `.retracting` complete (`_SUCCESS`) and root empty → adopt it. */
+  private def recoverSwapLeftovers(cleanStale: Boolean): Unit = {
+    val root = new java.io.File(dir)
+    val tmp = new java.io.File(dir + ".retracting")
+    val old = new java.io.File(dir + ".preretract")
+    def jsonUnder(f: java.io.File): Boolean = {
+      val fs = f.listFiles()
+      fs != null && fs.exists(_.getName.endsWith(".json"))
+    }
+    if (hasData) { if (cleanStale) { deleteTree(tmp); deleteTree(old) } }
+    else if (jsonUnder(old)) {
+      if (root.exists()) deleteTree(root)
+      if (!old.renameTo(root)) throw new java.io.IOException(s"retract recovery: cannot restore $old")
+      deleteTree(tmp)
+    } else if (jsonUnder(tmp) && new java.io.File(tmp, "_SUCCESS").exists()) {
+      if (root.exists()) deleteTree(root)
+      if (!tmp.renameTo(root)) throw new java.io.IOException(s"retract recovery: cannot adopt $tmp")
+      deleteTree(old)
+    }
+  }
+
+  recoverSwapLeftovers(cleanStale = false)
+
+  @volatile private var cursor: Long = {
+    val dataMax =
+      if (hasData)
+        spark.read.schema(fullSchema).json(dir)
+          .agg(coalesce(max(col(seqCol)), lit(-1L))).head().getLong(0)
+      else -1L
+    // tail retraction retires seqs forever: the true HWM survives in
+    // the `_`-prefixed marker (hidden from the json file listing)
+    val marker = new java.io.File(dir, ParquetLog.cursorMarker)
+    val markerMax =
+      if (marker.exists())
+        try java.nio.file.Files.readString(marker.toPath).trim.toLong
+        catch { case _: NumberFormatException => -1L }
+      else -1L
+    math.max(dataMax, markerMax)
+  }
 
   override def since: Long = cursor
+
+  /** JSON-lines retraction: the full-rewrite swap (this backend has no
+    * partition layout to prune — it is the convenience store, not the
+    * scale path; see the class doc). Same crash protocol as the parquet
+    * compact swap: write keep rows + the cursor marker into
+    * `.retracting`, two renames, recovery at open restores old or
+    * adopts new — never a partial state. */
+  override protected def retractMarked(mark: DataFrame => DataFrame): Long = synchronized {
+    if (cursor < 0) return 0L
+    recoverSwapLeftovers(cleanStale = true)
+    val hitC = col(ParquetLog.hitCol)
+    val removed = mark(read).where(hitC).count()
+    if (removed == 0L) return 0L
+    val root = new java.io.File(dir)
+    val tmp = new java.io.File(dir + ".retracting")
+    val old = new java.io.File(dir + ".preretract")
+    mark(read).where(!hitC)
+      .select(fullSchema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
+      .write.json(tmp.getPath)
+    java.nio.file.Files.writeString(
+      new java.io.File(tmp, ParquetLog.cursorMarker).toPath, cursor.toString)
+    if (!root.renameTo(old)) throw new java.io.IOException(s"retract: cannot move $root aside")
+    if (!tmp.renameTo(root)) { old.renameTo(root); throw new java.io.IOException(s"retract: cannot swap in $tmp") }
+    deleteTree(old)
+    removed
+  }
 
   override def read: DataFrame =
     if (cursor < 0) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], fullSchema)
@@ -881,7 +966,11 @@ class MemoryLog(
       .option("logId", id).option("startSeq", gt.toString).load()
   }
 
-  override def since: Long = synchronized { buf.size.toLong - 1 }
+  // the HWM is tracked separately from the buffer: retraction removes
+  // rows (holes allowed, tail included) but never regresses the cursor
+  @volatile private var cursor: Long = -1L
+
+  override def since: Long = cursor
 
   override def read: DataFrame = {
     val snapshot = synchronized { buf.toList }
@@ -894,14 +983,29 @@ class MemoryLog(
   }
 
   def appendRows(rows: Seq[Row]): Long = synchronized {
-    rows.foreach { r => buf += Row.fromSeq(buf.size.toLong +: r.toSeq) }
+    rows.foreach { r => cursor += 1; buf += Row.fromSeq(cursor +: r.toSeq) }
     emitSince()
-    buf.size.toLong - 1
+    cursor
   }
 
   def appendValues(values: Seq[Seq[Any]]): Long = synchronized {
-    values.foreach { v => buf += Row.fromSeq(buf.size.toLong +: v) }
+    values.foreach { v => cursor += 1; buf += Row.fromSeq(cursor +: v) }
     emitSince()
-    buf.size.toLong - 1
+    cursor
+  }
+
+  /** In-memory retraction: evaluate the marker over the stamped rows,
+    * keep the misses in seq order. Seqs unchanged, cursor unchanged. */
+  override protected def retractMarked(mark: DataFrame => DataFrame): Long = synchronized {
+    if (buf.isEmpty) return 0L
+    val hitC = col(ParquetLog.hitCol)
+    // the id-join marker reorders columns (join key first): reselect the
+    // stored row order before the rows re-enter the positional buffer
+    val kept = mark(read).where(!hitC)
+      .select(fullSchema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
+      .orderBy(col(seqCol)).collect()
+    val removed = buf.size - kept.length
+    if (removed > 0) { buf.clear(); buf ++= kept }
+    removed.toLong
   }
 }

@@ -79,6 +79,31 @@ trait FlumeLogContract extends SparkSpec {
     assert(log.stream(LogRange(seqs = false)).columns.toSeq === Seq("foo"))
     assert(log.stream().columns.toSeq === Seq("seq", "foo"))
   }
+
+  test("retract: matching rows leave, surviving seqs unchanged, cursor never regresses") {
+    import org.apache.spark.sql.functions.col
+    val log = mkLog()
+    append(log, 10L, 20L, 30L, 40L, 50L)
+    // middle takedown: holes in the seq space, neighbors untouched
+    assert(log.retract(col("foo") === 30L) === 1L)
+    assert(log.read.select("seq", "foo").collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((0L, 10L), (1L, 20L), (3L, 40L), (4L, 50L)))
+    assert(log.since === 4L)
+    // idempotent: nothing left to match, nothing rewritten
+    assert(log.retract(col("foo") === 30L) === 0L)
+    // NULL predicate rows are KEPT
+    assert(log.retract(org.apache.spark.sql.functions.lit(null).cast("boolean")) === 0L)
+    // TAIL takedown: retired seqs are never re-stamped
+    assert(log.retract(col("foo") === 50L) === 1L)
+    assert(log.since === 4L, "cursor preserved after tail retraction")
+    assert(append(log, 60L) === 5L, "new rows extend the seq space past the retired tail")
+    // batch id-list form: the join-marked path, same contract
+    val ids = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(20L), org.apache.spark.sql.Row(999L))),
+      StructType(Seq(StructField("foo", LongType))))
+    assert(log.retractIds(ids, "foo") === 1L)
+    assert(log.read.select("foo").collect().map(_.getLong(0)).toSet === Set(10L, 40L, 60L))
+  }
 }
 
 class MemoryLogSpec extends FlumeLogContract {
