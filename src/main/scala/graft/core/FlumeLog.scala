@@ -880,6 +880,11 @@ final class JsonLinesLog(
     * `.retracting`, two renames, recovery at open restores old or
     * adopts new — never a partial state. */
   override protected def retractMarked(mark: DataFrame => DataFrame): Long = synchronized {
+    if (ParquetLog.liveTailStarted(dir))
+      throw new IllegalStateException(
+        s"retract: a live tail (readStream) was started on $dir; the file streaming " +
+          "source tracks processed files by name, so the rewrite would re-deliver " +
+          "every kept row as a duplicate. Stop the stream before retracting.")
     if (cursor < 0) return 0L
     recoverSwapLeftovers(cleanStale = true)
     val hitC = col(ParquetLog.hitCol)
@@ -904,10 +909,14 @@ final class JsonLinesLog(
     else spark.read.schema(fullSchema).json(dir)
 
   /** Live tail via the file streaming source (file-granular offsets —
-    * this backend is not the scale path; see class doc). */
+    * this backend is not the scale path; see class doc). Marks the dir
+    * so [[retractMarked]] refuses to swap files out from under the
+    * file-name-tracking stream (same fence as the parquet backend's
+    * file-granular tail). */
   override def readStream: DataFrame = {
     val d = new java.io.File(dir)
     if (!d.exists()) d.mkdirs()
+    ParquetLog.markLiveTail(dir)
     spark.readStream.schema(fullSchema).json(dir)
   }
 

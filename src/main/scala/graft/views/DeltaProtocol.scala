@@ -63,6 +63,25 @@ private[views] trait DeltaProtocol {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Execute (or re-execute, from recovery) a committed per-delta cell
+    * plan: delete tombstoned cell dirs, swap each staged rewrite in.
+    * Idempotent — a cell whose staging dir is gone was already swapped. */
+  protected def applyCellPlan(batchRel: String, rwNames: Seq[String], emptyNames: Seq[String]): Unit = {
+    val batchDir = root.resolve(batchRel)
+    emptyNames.foreach { n =>
+      val unit = batchDir.resolve(n)
+      if (Files.exists(unit)) FsLists.walkDeepestFirst(unit).foreach(Files.delete)
+    }
+    rwNames.foreach { n =>
+      val src = retractTmp.resolve(n)
+      if (Files.exists(src)) {
+        val unit = batchDir.resolve(n)
+        if (Files.exists(unit)) FsLists.walkDeepestFirst(unit).foreach(Files.delete)
+        Files.move(src, unit)
+      }
+    }
+  }
+
   /** Retraction crash recovery ([[CompactableDeltas.retractWhere]]'s
     * per-unit swap; no-op for views that never retract). The marker is
     * the commit point for the ONE in-flight rewrite unit (a `batch=`
@@ -77,6 +96,13 @@ private[views] trait DeltaProtocol {
     if (Files.exists(retractMarker)) {
       val txt = scala.util.Try(Files.readString(retractMarker).trim).getOrElse("")
       txt.split(" ") match {
+        case arr if arr.headOption.contains("MULTIB") && arr.length >= 2 =>
+          // a committed per-delta cell plan (atomic write — never torn):
+          // replay the tombstone deletes and the remaining staged swaps
+          def names(prefix: String): Seq[String] = arr.toSeq
+            .collectFirst { case t if t.startsWith(prefix) => t.stripPrefix(prefix) }
+            .map(_.split(",").filter(_.nonEmpty).toSeq).getOrElse(Nil)
+          applyCellPlan(arr(1), names("rw="), names("empty="))
         case Array(unit, "EMPTY") if unit.startsWith("batch=") =>
           deleteTreeIfExists(root.resolve(unit))
         case Array(unit) if unit.startsWith("batch=") &&
@@ -283,31 +309,62 @@ private[views] trait CompactableDeltas extends DeltaProtocol {
     val unitCols = Seq("batch") ++ retractPartitionCol
     val groupCols = col("batch").cast("long").as("batch") +:
       retractPartitionCol.map(col).toSeq
+    // FULL per-unit stats — no hits > 0 filter in the scan: the
+    // whole-delta tombstone decision below needs the delta's TRUE row
+    // total. Summing only the matched cells would tombstone a delta
+    // whose unmatched cells still hold live rows (over-deletion: a
+    // takedown emptying exactly one IVF cell must not delete the
+    // batch's other cells).
     val stats = all.groupBy(groupCols: _*)
       .agg(sum(when(hit, lit(1L)).otherwise(lit(0L))).as("hits"),
         count(lit(1)).as("total"))
-      .where(col("hits") > 0)
       .collect()
-    if (stats.isEmpty) return
-    // group to per-delta: a delta whose every row matches is tombstoned
-    // whole (also covers partition-col views — no _SUCCESS-only husk)
     val byBatch = stats.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
     byBatch.foreach { case (b, rows) =>
       val batchRel = s"batch=$b"
       val batchHits = rows.map(_.getLong(unitCols.size)).sum
       val batchTotal = rows.map(_.getLong(unitCols.size + 1)).sum
-      if (batchHits == batchTotal) retractUnit(batchRel, None)
+      if (batchHits == 0L) () // untouched delta: byte-identical
+      else if (batchHits == batchTotal) retractUnit(batchRel, None)
       else retractPartitionCol match {
         case None => retractUnit(batchRel, Some(mark))
         case Some(pc) =>
-          rows.sortBy(_.get(1).toString).foreach { r =>
-            val unitRel = s"$batchRel/$pc=${r.get(1)}"
-            if (r.getLong(2) == r.getLong(3)) retractUnit(unitRel, None)
-            else retractUnit(unitRel, Some(mark))
-          }
+          // ONE job per matched delta: all its matched cells rewrite
+          // together (per-cell jobs would pay scheduling latency × cells)
+          val matched = rows.filter(_.getLong(2) > 0)
+          val empties = matched.filter(r => r.getLong(2) == r.getLong(3)).map(_.get(1))
+          val rewrites = matched.filter(r => r.getLong(2) < r.getLong(3)).map(_.get(1))
+          retractBatchCells(batchRel, pc, rewrites.toSeq, empties.toSeq, mark)
       }
     }
   }
+
+  /** Rewrite the matched `pc=` cells of ONE delta in a single job
+    * (staging tree + atomic plan marker — the log side's shape), and
+    * tombstone-delete its fully-emptied cells under the same plan. */
+  private def retractBatchCells(batchRel: String, pc: String,
+      rewrites: Seq[Any], empties: Seq[Any], mark: DataFrame => DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    val rwNames = rewrites.map(v => s"$pc=$v")
+    val emptyNames = empties.map(v => s"$pc=$v")
+    if (rewrites.nonEmpty) {
+      if (Files.exists(retractTmp)) FsLists.walkDeepestFirst(retractTmp).foreach(Files.delete)
+      val batchDir = root.resolve(batchRel)
+      // one-batch discovery (lists only this delta's cell dirs); the
+      // isin prunes the scan to the matched cells
+      val src = spark.read.option("basePath", batchDir.toString).parquet(batchDir.toString)
+      mark(src).where(!col(graft.core.ParquetLog.hitCol))
+        .where(col(pc).isin(rewrites: _*))
+        .select(src.columns.toSeq.map(n => col(s"`$n`")): _*)
+        .write.partitionBy(pc).parquet(retractTmp.toString)
+    }
+    writeAtomic(retractMarker,
+      s"MULTIB $batchRel rw=${rwNames.mkString(",")} empty=${emptyNames.mkString(",")}")
+    applyCellPlan(batchRel, rwNames, emptyNames)
+    Files.delete(retractMarker)
+    if (Files.exists(retractTmp)) FsLists.walkDeepestFirst(retractTmp).foreach(Files.delete)
+  }
+
 
   /** Rewrite (keep = NOT marked) or tombstone-delete (`mark` = None) one
     * storage unit under the marker-commit protocol. */

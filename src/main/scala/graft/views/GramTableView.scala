@@ -25,11 +25,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class GramTableView(
     protected val spark: SparkSession,
     protected val dir: String,
-    protected val protocolVersion: Int,
+    mountedVersion: Int,
     idCol: String,
     textCol: String,
     k: Int = 15,
     compactEvery: Int = 0) extends FlumeView with CompactableDeltas {
+
+  /** The stored version carries a SCHEMA EPOCH beside the caller's
+    * version: epoch 1 = doc-attributed `(doc_id, g)` postings. A store
+    * from the anonymous-`(g)` era mismatches and rebuilds at open —
+    * without this, a takedown over an old chain would keep its
+    * unattributable ghost grams (doc_id reads NULL → the null-safe
+    * predicate KEEPS them) and a re-ingested copy of retracted text
+    * would still match. */
+  override protected val protocolVersion: Int = 1000000 + mountedVersion
 
   override protected def autoCompactEvery: Int = compactEvery
 

@@ -56,12 +56,7 @@ object Retraction {
     writeIntent(intentFile, ids.mkString(","))
     // even the small form retracts via the id JOIN (one plan shape for
     // both arms; an isin literal is never built)
-    val df = log.spark.createDataFrame(
-      log.spark.sparkContext.parallelize(ids.map(org.apache.spark.sql.Row(_)), 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(idCol,
-          org.apache.spark.sql.types.LongType, nullable = false))))
-    val removed = log.retractIds(df, idCol)
+    val removed = log.retractIds(seqToDf(log.spark, idCol, ids), idCol)
     retractFeatures(ids)
     Files.delete(Paths.get(intentFile))
     removed
@@ -78,8 +73,12 @@ object Retraction {
       ids: DataFrame,
       retractFeatures: DataFrame => Unit,
       intentFile: String): Long = {
+    if (Files.exists(Paths.get(intentFile)))
+      throw new IllegalStateException(
+        s"an unrecovered takedown intent exists at $intentFile — run recover() first " +
+          "(deleting its durable id list here would abandon an acknowledged erasure)")
     val dir = idsDir(intentFile)
-    deleteDirIfExists(dir) // a stale uncommitted list from a prior crash
+    deleteDirIfExists(dir) // a stale UNCOMMITTED list from a prior crash
     ids.select(col(idCol)).distinct().write.parquet(dir)
     // the parquet list is complete (_SUCCESS) — NOW commit the intent
     writeIntent(intentFile, BatchSentinel)
@@ -162,9 +161,17 @@ object Retraction {
   /** The intent must be ALL-OR-NOTHING durable: a torn plain write would
     * make recover() execute a truncated id list (retracting a wrong
     * document, dropping the tail of the takedown) — write-then-atomic-
-    * rename, the same commit protocol as every marker here. */
+    * rename, the same commit protocol as every marker here. A SURVIVING
+    * intent is a crashed takedown whose erasure was already acknowledged:
+    * starting a new one would silently abandon it (and the batch form
+    * would destroy its durable id list) — refuse until [[recover]] has
+    * replayed it. */
   private def writeIntent(intentFile: String, content: String): Unit = {
     val p = Paths.get(intentFile)
+    if (Files.exists(p))
+      throw new IllegalStateException(
+        s"an unrecovered takedown intent exists at $intentFile — run recover() " +
+          "before starting a new takedown, or the crashed one's erasure is abandoned")
     if (p.getParent != null) Files.createDirectories(p.getParent)
     val tmp = Paths.get(intentFile + ".tmp")
     Files.writeString(tmp, content)

@@ -1020,6 +1020,82 @@ class PersistenceSpec extends SparkSpec {
     assert(ivf.frame.where(col("vec_id") === 42L).count() === 0L)
   }
 
+  test("retractWhere: emptying exactly one IVF cell must not tombstone the batch's other cells") {
+    // regression (round-15 self-review): the whole-delta tombstone
+    // decision must compare against the delta's TRUE row total — a
+    // stats scan filtered to matched cells would see hits == total
+    // whenever the only matched cells are fully emptied and delete the
+    // delta's unmatched cells with them
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft-ivfcell").toString + "/v"
+    val v = new IVFIndexView(spark, dir, 1, "vec_id", "embedding", 8)
+    v.absorb(emb, 499L)
+    val someCell = v.frame.select("cell").head().get(0)
+    val idsInCell = v.frame.where(col("cell") === lit(someCell))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val total = v.frame.count()
+    assert(idsInCell.nonEmpty && idsInCell.length < total)
+    v.retractWhere(col("vec_id").isin(idsInCell: _*))
+    assert(v.frame.where(col("cell") === lit(someCell)).count() === 0L,
+      "the emptied cell's vectors are gone")
+    assert(v.frame.count() === total - idsInCell.length,
+      "the batch's OTHER cells must survive a single-cell takedown")
+    val v2 = new IVFIndexView(spark, dir, 1, "vec_id", "embedding", 8)
+    assert(v2.frame.count() === total - idsInCell.length, "and survive reopen")
+  }
+
+  test("a new takedown refuses to start over an unrecovered intent") {
+    import spark.implicits._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val log = new ParquetLog(spark, Files.createTempDirectory("graft-int2").toString,
+      docSchema, bucketSize = 4L)
+    log.append((1L to 6L).map(i => (i, s"d$i")).toDF("doc_id", "text"))
+    val intent = Files.createTempDirectory("graft-int2i").toString + "/_intent"
+    // a crashed takedown's committed intent survives; starting another
+    // would abandon its acknowledged erasure (and the batch form would
+    // destroy its durable id list)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(intent), "3")
+    intercept[IllegalStateException] {
+      Retraction.retract(log, "doc_id", Seq(5L), (_: Seq[Long]) => (), intent)
+    }
+    intercept[IllegalStateException] {
+      Retraction.retract(log, "doc_id", Seq(5L).toDF("doc_id"),
+        (_: org.apache.spark.sql.DataFrame) => (), intent)
+    }
+    assert(log.read.count() === 6L, "nothing retracted while refused")
+    // after recovery the path is clear
+    Retraction.recover(log, "doc_id", (_: Seq[Long]) => (), intent)
+    assert(log.read.where(col("doc_id") === 3L).count() === 0L)
+    assert(Retraction.retract(log, "doc_id", Seq(5L), (_: Seq[Long]) => (), intent) === 1L)
+  }
+
+  test("GramTableView: a pre-attribution (g)-only store rebuilds at open (schema epoch)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-gepoch").toString + "/v"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    // simulate an old store: anonymous grams under the pre-epoch version
+    Seq("g1", "g2").toDF("g").write.parquet(s"$dir/batch=10")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/MANIFEST"), "1 10")
+    val v = new GramTableView(spark, dir, 1, "doc_id", "text")
+    assert(v.since === -1L,
+      "anonymous postings cannot honor takedowns — the epoch bump forces a rebuild")
+    v.absorb(Seq((1L, (1 to 20).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text"), 20L)
+    assert(v.postings.columns.toSeq === Seq("doc_id", "g"))
+  }
+
+  test("JsonLinesLog.retract fences a live file tail") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-jfence").toString
+    val docSchema = StructType(Seq(StructField("doc_id", LongType)))
+    val log = new JsonLinesLog(spark, dir, docSchema)
+    log.append(Seq(1L, 2L).toDF("doc_id"))
+    log.readStream // marks the dir: the file source tracks names
+    intercept[IllegalStateException] { log.retract(col("doc_id") === 1L) }
+    assert(log.read.count() === 2L)
+  }
+
   test("retractWhere crash windows (incl. total-takedown tombstone) recover at open") {
     val phSchema = StructType(Seq(
       StructField("media_id", LongType), StructField("phash", LongType)))
