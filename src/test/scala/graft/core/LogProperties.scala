@@ -70,6 +70,28 @@ object LogProperties extends Properties("FlumeLog") {
     got == expectBefore && log.since >= cursorBefore && appendOk
   }
 
+  property("retract ≡ filter: arbitrary takedown sets remove exactly their rows, seqs/cursor stable") = forAll(
+    Gen.resize(12, Gen.nonEmptyListOf(Gen.chooseNum(0L, 30L))),
+    Gen.resize(6, Gen.listOf(Gen.chooseNum(0L, 30L))),
+    Gen.resize(4, Gen.listOf(Gen.chooseNum(0L, 30L)))) { (vs, takedown, after) =>
+    import org.apache.spark.sql.functions.col
+    val log = new MemoryLog(spark, schema)
+    log.appendRows(rows(vs))
+    val stamped = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val cursorBefore = log.since
+    val ids = spark.createDataFrame(
+      spark.sparkContext.parallelize(takedown.distinct.map(Row(_)), 1), schema)
+    val removed = log.retractIds(ids, "foo")
+    val expect = stamped.filterNot { case (_, v) => takedown.contains(v) }
+    val got = log.read.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val appendOk = if (after.nonEmpty) {
+      log.appendRows(rows(after))
+      log.since == cursorBefore + after.size // retired tail seqs never reused
+    } else true
+    removed == (stamped.size - expect.size).toLong &&
+      got == expect && log.since >= cursorBefore && appendOk
+  }
+
   property("incremental stats across appends match a one-shot fold") = forAll(
     Gen.resize(10, Gen.nonEmptyListOf(Gen.chooseNum(-50L, 50L))),
     Gen.resize(10, Gen.nonEmptyListOf(Gen.chooseNum(-50L, 50L)))) { (a, b) =>
