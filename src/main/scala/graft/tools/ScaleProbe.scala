@@ -225,6 +225,24 @@ object ScaleProbe {
         deleteTree(new java.io.File(dir))
       }
     }
+    // the ADVICE scenario at its motivating scale: a MILLION-id
+    // rights-holder list against the 500k-row corpus (500 ids present,
+    // the rest unknown) — the DataFrame path must plan ONE join and
+    // complete in rewrite-proportional time; an isin literal would
+    // have built a million-node In expression before touching data
+    val n = 500000L
+    val dir = s"/tmp/graft-retract-probe/n$n-idlist"
+    val log = buildLog(n, dir)
+    val ids = spark.range(1000000L)
+      .select((col("id") % 1000L * 1000L + col("id") / 1000L + 10000000L).as("doc_id"))
+      .union(spark.range(500L).select((col("id") * 1000L + 7L).as("doc_id")))
+    val t0 = System.nanoTime()
+    val removed = log.retractIds(ids, "doc_id")
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(s"[probe] {" +
+      s""""mode":"retract","corpus":$n,"shape":"idlist_1M","removed":$removed,""" +
+      f""""wall_s":$wall%.2f""" + "}")
+    deleteTree(new java.io.File(dir))
   }
 
   /** Round-14 mode `skew`: a PLANTED-skew fixture — the hot-key shapes

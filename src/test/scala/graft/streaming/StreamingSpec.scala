@@ -1291,8 +1291,15 @@ class StreamingSpec extends SparkSpec {
             docs.where(col("doc_id") === 6), idOffset = 1000L)))
       cur.awaitParity()
       val kept = curLog.read.select("media_id").collect().map(_.getLong(0)).toSet
-      assert(kept.contains(1003L), s"retracted content must be re-ingestable, got $kept")
-      assert(!kept.contains(1006L), s"kept content must still dedup, got $kept")
+      // on failure, dump the stored table too: this test failed ONCE in
+      // a round-15 full-suite run with both re-uploads dropped (as if
+      // the pre-retraction store was consulted) and passed in four
+      // re-runs — if it recurs, the store snapshot is the diagnosis
+      def stored = phView.hashes.collect().map(_.getLong(0)).sorted.mkString(",")
+      assert(kept.contains(1003L),
+        s"retracted content must be re-ingestable, got $kept (stored media_ids: $stored)")
+      assert(!kept.contains(1006L),
+        s"kept content must still dedup, got $kept (stored media_ids: $stored)")
     } finally cur.stop()
   }
 
