@@ -1294,12 +1294,22 @@ class StreamingSpec extends SparkSpec {
       // on failure, dump the stored table too: this test failed ONCE in
       // a round-15 full-suite run with both re-uploads dropped (as if
       // the pre-retraction store was consulted) and passed in four
-      // re-runs — if it recurs, the store snapshot is the diagnosis
+      // re-runs — if it recurs, the store snapshot is the diagnosis.
+      // "Both dropped" is ALSO what a silently-skipped micro-batch looks
+      // like (neither re-upload curated), so the dump additionally
+      // records the two skip-guard inputs that decide batch processing:
+      // the view cursor (absorb advanced it ⇒ the batch RAN and cross-
+      // matched; stuck at the phase-1 upto ⇒ the batch was SKIPPED) and
+      // the curator's commit mark (appendedUpto moves only through the
+      // foreachBatch body).
       def stored = phView.hashes.collect().map(_.getLong(0)).sorted.mkString(",")
+      def diag = s"stored media_ids: $stored; view.since=${phView.since}; " +
+        s"mark='${java.nio.file.Files.readString(java.nio.file.Paths.get(commit)).trim}'; " +
+        s"srcLog.since=${srcLog.since}"
       assert(kept.contains(1003L),
-        s"retracted content must be re-ingestable, got $kept (stored media_ids: $stored)")
+        s"retracted content must be re-ingestable, got $kept ($diag)")
       assert(!kept.contains(1006L),
-        s"kept content must still dedup, got $kept (stored media_ids: $stored)")
+        s"kept content must still dedup, got $kept ($diag)")
     } finally cur.stop()
   }
 
