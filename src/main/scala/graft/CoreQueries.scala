@@ -22,6 +22,50 @@ private[graft] object CoreQueries {
       appendedEventsLog(s, dir).read
         .select("seq", "user_id", "event_type", "value", "props").orderBy("seq")
     }),
+    "q_expire" -> ((s, dir) => {
+      // RETENTION end-to-end: re-append events into a fresh seq-bucketed
+      // log, age out the oldest 40% by seq horizon — whole `seq_bucket=`
+      // directories DELETE without their data ever being read (bucket
+      // membership is arithmetic on the directory name), only the one
+      // boundary bucket rewrites — then aggregate the survivors.
+      // `min_seq` proves the prefix physically left storage; the cursor
+      // stays at the pre-expiry HWM (retired seqs never re-stamp).
+      val ev = t(s, dir, "events").orderBy("event_id")
+        .select("user_id", "event_type", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("graftexp-log").toString
+      val log = new ParquetLog(s, tmp, ev.schema, bucketSize = 512L)
+      log.append(ev)
+      val horizon = ((log.since + 1L) * 2L) / 5L
+      log.expire(horizon)
+      log.read.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 4).as("sum_value"),
+        min("seq").as("min_seq"))
+        .orderBy("event_type")
+    }),
+    "q_db_retract" -> ((s, dir) => {
+      // DB-LEVEL takedown: ONE call retracts the log AND brings every
+      // mounted view to a no-trace state — the seq-keyed posting index
+      // retracts IN PLACE (pruned delta rewrite, ∝ matches), the folding
+      // reduce view rebuilds from the retracted log (a Welford/sum fold
+      // cannot un-absorb a row any other way). Gated reads then prove
+      // both views serve the post-takedown state.
+      import s.implicits._
+      val ev = t(s, dir, "events").orderBy("event_id")
+        .select("user_id", "event_type", "value")
+      val tmpLog = java.nio.file.Files.createTempDirectory("graftdbr-log").toString
+      val tmpIdx = java.nio.file.Files.createTempDirectory("graftdbr-idx").toString
+      val log = new ParquetLog(s, tmpLog, ev.schema, bucketSize = 512L)
+      log.append(ev)
+      val db = new FlumeDb(log)
+        .use("byType", PersistentIndexView.onColumn(tmpIdx, "event_type"))
+        .use("sum", SumReduceView("value"))
+      db.retract(col("user_id") % 7 === 3)
+      val clicks = db.gated("byType")(_.asInstanceOf[PersistentIndexView].get("click")).count()
+      val (sumV, cnt) = db.gated("sum")(_.asInstanceOf[MergeableReduceView[(Double, Long)]].value.get)
+      Seq((log.read.count(), clicks, round4(sumV), cnt))
+        .toDF("n_rows", "click_postings", "sum_value", "value_cnt")
+    }),
     "q_get_point" -> ((s, dir) =>
       eventsDb(s, dir).get(500L)
         .select(col("event_id").as("seq"), col("user_id"), col("event_type"), col("value"), col("props"))),
@@ -330,6 +374,21 @@ private[graft] object CoreQueries {
   def oracles: Map[String, String] = Map(
     "q_append_scan" ->
       "SELECT row_number() OVER (ORDER BY event_id) - 1 AS seq, user_id, event_type, value, props FROM events ORDER BY seq",
+    "q_expire" ->
+      // retention replay: seqs are append order (row_number over
+      // event_id); the horizon is the oldest 40% by integer division,
+      // survivors are seq > horizon
+      ("WITH seqs AS (SELECT row_number() OVER (ORDER BY event_id) - 1 AS seq, event_type, value FROM events), " +
+        "h AS (SELECT (count(*) * 2) // 5 AS horizon FROM seqs) " +
+        "SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value, min(seq) AS min_seq " +
+        "FROM seqs, h WHERE seq > horizon GROUP BY event_type ORDER BY event_type"),
+    "q_db_retract" ->
+      // the takedown replay: every artifact of the db — log rows, index
+      // postings, the reduce fold — must agree with the kept set
+      ("SELECT count(*) AS n_rows, " +
+        "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click_postings, " +
+        "round(sum(value), 4) AS sum_value, count(*) AS value_cnt " +
+        "FROM events WHERE user_id % 7 <> 3"),
     "q_get_point" ->
       "SELECT event_id AS seq, user_id, event_type, value, props FROM events WHERE event_id = 500",
     "q_range_scan" ->

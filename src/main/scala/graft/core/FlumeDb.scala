@@ -46,6 +46,28 @@ trait ViewDef {
   def create(db: FlumeDb, name: String): FlumeView
 }
 
+/** Opt-in for mounted views whose derived rows are KEYED BY LOG SEQ and
+  * append-only — one derived row (or several) per log row, no fold
+  * across rows: posting tables like the index and search views. The
+  * db-level takedown ([[FlumeDb.retract]]) and retention
+  * ([[FlumeDb.expire]]) bring such views to the post-deletion state IN
+  * PLACE by the removed seq set — provably identical to a rebuild, at
+  * ∝-matches cost instead of ∝-log. Views that FOLD rows (reduce,
+  * latest-per-key hashtables, sketches) must NOT implement this:
+  * un-absorbing a folded row is impossible, and for a compacted
+  * latest-per-key store an in-place delete would diverge from the log
+  * (a superseded version the log still holds would not resurface); the
+  * db destroys and rebuilds those instead. */
+trait SeqRetractableView { self: FlumeView =>
+  /** Remove every derived row whose log seq appears in `seqs` — a
+    * one-column DataFrame named `seqCol` (never collected: implementors
+    * delete via an anti/marked join, the takedown-list discipline). */
+  def retractLogSeqs(seqs: DataFrame, seqCol: String): Unit
+  /** Remove every derived row with log seq ≤ `throughSeq` (retention —
+    * a pure predicate, no id list needed). */
+  def expireLogSeqs(throughSeq: Long): Unit
+}
+
 final class ClosedException(msg: String) extends IllegalStateException(msg)
 
 /** The engine core: one ordered log + a star of incrementally-maintained
@@ -256,6 +278,85 @@ final class FlumeDb(
       val it = views.values().iterator()
       while (it.hasNext) sync(it.next())
     } finally lock.unlock()
+  }
+
+  /** DB-LEVEL takedown: retract matching rows from the LOG and bring
+    * EVERY mounted view to a state with no trace of them — the
+    * orchestration between a bare `log.retract` (mounted views keep
+    * ghost rows: their cursors have already passed the retracted seqs,
+    * so the incremental build loop can never remove them) and the
+    * per-family [[graft.views.Retraction]] coordinator (which knows
+    * feature tables, not mounted views). `cond` is evaluated against
+    * the STORED log rows — the mapper is not applied; a takedown
+    * targets stored bytes. Views implementing [[SeqRetractableView]]
+    * retract in place by the removed seq set (∝ matches — the pruned
+    * delta rewrite underneath); every other view is destroyed and
+    * rebuilt from the retracted log, the universally correct fallback
+    * (a flume view is by contract derived + disposable): a folded
+    * Welford mean or a bloom filter cannot un-absorb a row any other
+    * way. Runs under the db lock (no concurrent append/sync). Returns
+    * the number of log rows removed. */
+  def retract(cond: org.apache.spark.sql.Column): Long = {
+    throwIfClosed(); count("retract")
+    lock.lock()
+    try {
+      // the removed seq set must outlive the rewrite it prunes:
+      // materialize BEFORE the log swap (the repo's persist-fence rule)
+      val seqs = log.read.where(cond).select(log.seqCol).localCheckpoint(true)
+      val removed = log.retract(cond)
+      if (removed > 0) retractViews(seqs)
+      removed
+    } finally lock.unlock()
+  }
+
+  /** Takedown by id list — the batch form: `ids` stays a DataFrame end
+    * to end (count-fenced broadcast join, shuffle fallback — never an
+    * `isin` literal). Same view orchestration as [[retract]]. */
+  def retractIds(ids: DataFrame, idCol: String): Long = {
+    throwIfClosed(); count("retract")
+    lock.lock()
+    try {
+      val seqs = log.read.join(ids.select(idCol).distinct(), Seq(idCol), "left_semi")
+        .select(log.seqCol).localCheckpoint(true)
+      val removed = log.retractIds(ids, idCol)
+      if (removed > 0) retractViews(seqs)
+      removed
+    } finally lock.unlock()
+  }
+
+  /** DB-LEVEL retention: age out the seq prefix from the log
+    * ([[FlumeLog.expire]] — pure directory truncation on a bucketed
+    * parquet log) and from every mounted view — in place where the view
+    * is seq-keyed (a predicate delete, no id list), destroy + rebuild
+    * from the surviving suffix otherwise. */
+  def expire(throughSeq: Long): Long = {
+    throwIfClosed(); count("expire")
+    lock.lock()
+    try {
+      val removed = log.expire(throughSeq)
+      if (removed > 0) {
+        val it = views.values().iterator()
+        while (it.hasNext) {
+          val m = it.next()
+          m.view match {
+            case s: SeqRetractableView => s.expireLogSeqs(throughSeq)
+            case _ => m.view.destroy(); sync(m)
+          }
+        }
+      }
+      removed
+    } finally lock.unlock()
+  }
+
+  private def retractViews(removedSeqs: DataFrame): Unit = {
+    val it = views.values().iterator()
+    while (it.hasNext) {
+      val m = it.next()
+      m.view match {
+        case s: SeqRetractableView => s.retractLogSeqs(removedSeqs, log.seqCol)
+        case _ => m.view.destroy(); sync(m)
+      }
+    }
   }
 
   /** Global pause switch (`/root/reference/README.md:115-118`): while not

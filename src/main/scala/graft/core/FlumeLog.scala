@@ -137,6 +137,22 @@ trait FlumeLog {
     throw new UnsupportedOperationException(
       s"${getClass.getSimpleName} is read-only — no storage to retract")
 
+  /** RETENTION (age-out): physically remove every row with
+    * `seq <= throughSeq` — the other deletion a 100 TB corpus log needs
+    * besides the takedown: data past its retention window must leave
+    * storage on schedule, and at scale that must cost ∝ the expired
+    * data, not the corpus. Same contract as [[retract]] (surviving seqs
+    * unchanged, cursor never regresses — expiring the tail retires its
+    * seqs forever, idempotent, read-only backends throw); `removed` is
+    * returned. Default = the retraction kernel with a seq-prefix
+    * predicate (a full-rewrite on the simple stores — correct, and
+    * proportional to what those stores can do); the bucketed
+    * [[ParquetLog]] overrides with pure directory truncation: NO scan,
+    * NO rewrite except the one boundary bucket. */
+  def expire(throughSeq: Long): Long =
+    if (throughSeq < 0) 0L
+    else retract(col(seqCol) <= lit(throughSeq))
+
   // ---- since observable -------------------------------------------------
   // The reference's `log.since` is an obz observable surfaced directly as
   // `db.since` (`/root/reference/index.js:142`, `README.md:135-140`):
@@ -611,17 +627,25 @@ final class ParquetLog(
     * in flight. NULL `cond` rows are KEPT (a predicate that cannot
     * identify a row must not delete it). Idempotent: retracting
     * already-absent rows rewrites nothing. */
-  override protected def retractMarked(mark: DataFrame => DataFrame): Long = synchronized {
-    val hitC = col(ParquetLog.hitCol)
+  /** Quiescence fence shared by the storage rewrites ([[retract]],
+    * [[expire]]): a file-granular tail would see rewritten files as
+    * duplicates; a record-granular tail's planned-but-uncommitted
+    * micro-batch would have its planned readers invalidated. */
+  private def fenceRewrite(op: String): Unit = {
     if (ParquetLog.liveTailStarted(dir))
       throw new IllegalStateException(
-        s"retract: a file-granular live tail (readStreamFiles) was started on $dir; " +
+        s"$op: a file-granular live tail (readStreamFiles) was started on $dir; " +
           "rewriting would re-deliver rewritten files to that stream as duplicates.")
     if (!inflightTailBatches.isEmpty)
       throw new IllegalStateException(
-        s"retract: a record-granular live tail on $dir has a planned-but-uncommitted " +
+        s"$op: a record-granular live tail on $dir has a planned-but-uncommitted " +
           "micro-batch; the rewrite would invalidate its planned readers. Retract at " +
           "a parity boundary (awaitParity / processAllAvailable) instead.")
+  }
+
+  override protected def retractMarked(mark: DataFrame => DataFrame): Long = synchronized {
+    val hitC = col(ParquetLog.hitCol)
+    fenceRewrite("retract")
     if (cursor < 0) return 0L
     recoverCompactLeftovers(cleanStale = true)
     recoverRetractLeftovers()
@@ -720,6 +744,77 @@ final class ParquetLog(
           throw new java.io.IOException(s"retract: cannot swap $src into $unit")
       }
     }
+  }
+
+  /** RETENTION on the bucketed layout: pure directory TRUNCATION.
+    * Whether a `seq_bucket=N/` directory is wholly inside the expired
+    * prefix is ARITHMETIC on its name (bucket N spans
+    * `[N·bucketSize, (N+1)·bucketSize)`), so — unlike [[retract]], whose
+    * predicate forces one narrow corpus-wide match scan — expiry reads
+    * NO data at all for the dropped buckets (their exact row count comes
+    * from parquet footer metadata) and rewrites at most ONE directory:
+    * the boundary bucket containing `throughSeq`, filtered through the
+    * same staged-tmp → atomic-plan-marker → swap protocol as the
+    * takedown ([[recoverRetractLeftovers]] replays it at open). At
+    * 100 TB a daily retention pass costs ∝ the day that ages out, not
+    * the corpus. Cursor and fencing contracts are [[retract]]'s:
+    * the HWM marker is durable before any bucket is touched (expiring
+    * the tail retires its seqs forever), live tails fence the rewrite.
+    * The unbucketed layout has no directories to truncate and uses the
+    * default full-rewrite kernel. */
+  override def expire(throughSeq: Long): Long = synchronized {
+    if (!bucketed) return super.expire(throughSeq)
+    fenceRewrite("expire")
+    if (cursor < 0 || throughSeq < 0) return 0L
+    recoverCompactLeftovers(cleanStale = true)
+    recoverRetractLeftovers()
+    val root = new java.io.File(dir)
+    val buckets = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith(bucketCol + "="))
+      .map(_.getName.stripPrefix(bucketCol + "=").toLong).sorted.toSeq
+    def bucketDir(b: Long) = new java.io.File(root, s"$bucketCol=$b").getPath
+    // bucket N is wholly expired iff its max possible seq ≤ throughSeq
+    val whole = buckets.filter(b => (b + 1) * bucketSize - 1 <= throughSeq)
+    val boundary = buckets.filter(b =>
+      b * bucketSize <= throughSeq && (b + 1) * bucketSize - 1 > throughSeq)
+    if (whole.isEmpty && boundary.isEmpty) return 0L
+    // exact removed counts: footer metadata only for whole buckets; the
+    // boundary bucket (at most one by arithmetic) pays one seq-column
+    // scan of just its own directory to split hits from survivors —
+    // holes left by earlier retractions mean its name alone cannot say
+    val wholeCount =
+      if (whole.isEmpty) 0L
+      else spark.read.schema(fullSchema).parquet(whole.map(bucketDir): _*).count()
+    val boundaryStats = boundary.map { b =>
+      val r = spark.read.schema(fullSchema).parquet(bucketDir(b))
+        .agg(sum(when(col(seqCol) <= throughSeq, lit(1L)).otherwise(lit(0L))),
+          count(lit(1))).head()
+      (b, r.getLong(0), r.getLong(1))
+    }
+    val removed = wholeCount + boundaryStats.map(_._2).sum
+    if (removed == 0L) return 0L
+    // the HWM outlives the data it counted — durable before any delete
+    ParquetLog.writeAtomic(new java.io.File(root, ParquetLog.cursorMarker), cursor.toString)
+    val marker = new java.io.File(root, ParquetLog.retractMarker)
+    val tmp = new java.io.File(root, ParquetLog.retractTmp)
+    deleteTree(tmp)
+    val empties = whole ++ boundaryStats.collect { case (b, h, t) if h == t => b }
+    val rewrites = boundaryStats.collect { case (b, h, t) if h > 0 && h < t => b }
+    if (rewrites.nonEmpty) {
+      // leaf read of the one boundary dir; survivors keep their bucket
+      // (partitionBy re-derives it from the seq, exactly as append does)
+      spark.read.schema(fullSchema).parquet(rewrites.map(bucketDir): _*)
+        .where(col(seqCol) > throughSeq)
+        .select(fullSchema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
+        .withColumn(bucketCol, expr(s"`$seqCol` div $bucketSize"))
+        .write.partitionBy(bucketCol).parquet(tmp.getPath)
+    }
+    ParquetLog.writeAtomic(marker,
+      s"MULTI rw=${rewrites.mkString(",")} empty=${empties.mkString(",")}")
+    applyRetractPlan(rewrites, empties)
+    marker.delete()
+    deleteTree(tmp)
+    removed
   }
 
   /** Stream ids of record-granular DSv2 tails with a

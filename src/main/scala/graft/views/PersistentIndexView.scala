@@ -31,11 +31,22 @@ final class PersistentIndexView(
     seqCol: String,
     val indexedColumn: Option[String] = None,
     val indexedColumns: Option[Seq[String]] = None,
-    compactEvery: Int = 0) extends FlumeView with CompactableDeltas {
+    compactEvery: Int = 0)
+    extends FlumeView with CompactableDeltas with graft.core.SeqRetractableView {
 
   override protected def autoCompactEvery: Int = compactEvery
 
   openProtocol()
+
+  /** db-level takedown/retention ([[graft.core.SeqRetractableView]]):
+    * postings are `(key, seq)` — append-only, never folded — so
+    * seq-keyed in-place deletion is exactly the rebuild result, served
+    * by the pruned per-delta rewrite (only deltas containing matches
+    * are touched). */
+  def retractLogSeqs(seqs: DataFrame, logSeqCol: String): Unit =
+    retractIds(seqs.select(col(logSeqCol).as("seq")), "seq")
+  def expireLogSeqs(throughSeq: Long): Unit =
+    retractWhere(col("seq") <= throughSeq)
 
   def absorb(entries: DataFrame, upto: Long): Unit = {
     entries.select(explode(keys).as("key"), col(seqCol).as("seq"))

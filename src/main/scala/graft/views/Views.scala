@@ -259,7 +259,8 @@ abstract class FrameView extends FlumeView {
   * when batched). */
 final class IndexView(keys: Column, seqCol: String,
     val indexedColumn: Option[String] = None,
-    val indexedColumns: Option[Seq[String]] = None) extends FrameView {
+    val indexedColumns: Option[Seq[String]] = None)
+    extends FrameView with graft.core.SeqRetractableView {
   protected def delta(entries: DataFrame): DataFrame =
     entries.select(explode(keys).as("key"), col(seqCol).as("seq"))
 
@@ -267,6 +268,19 @@ final class IndexView(keys: Column, seqCol: String,
   def get(key: String): DataFrame =
     state.map(_.where(col("key") === lit(key)).orderBy("seq"))
       .getOrElse(throw new IllegalStateException("index empty"))
+
+  // db-level takedown/retention: postings are (key, seq) — append-only,
+  // one derived row per exploded key per log row — so seq-keyed in-place
+  // deletion IS the rebuild result, at ∝-matches cost
+  def retractLogSeqs(seqs: DataFrame, logSeqCol: String): Unit =
+    state = state.map { s =>
+      // the anti-join reorders columns (join key first): reselect the
+      // stored (key, seq) order, same rule as the log kernels
+      s.join(seqs.select(col(logSeqCol).as("seq")), Seq("seq"), "left_anti")
+        .select(s.columns.toSeq.map(n => col(s"`$n`")): _*).localCheckpoint(true)
+    }
+  def expireLogSeqs(throughSeq: Long): Unit =
+    state = state.map(_.where(col("seq") > throughSeq).localCheckpoint(true))
 }
 
 object IndexView {

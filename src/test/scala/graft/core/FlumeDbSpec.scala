@@ -336,4 +336,69 @@ class FlumeDbSpec extends SparkSpec {
     m.onSince(late = _)
     assert(late === 2L)
   }
+
+  private def fooDf(vs: Long*): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(vs.map(Row(_))), schema)
+
+  test("db-level takedown: seq-keyed views retract in place ≡ rebuild; folding views rebuild") {
+    val (log, db) = mkDb()
+    val counting = new CountingView
+    db.use("idx", IndexView(array(col("foo").cast("string")), "seq"))
+      .use("stats", StatsReduceView("foo"))
+      .use("count", countingDef(counting))
+    db.append(fooDf(10L, 20L, 30L, 20L, 40L)) // seqs 0..4
+    val destroysBefore = counting.destroys.get()
+    assert(db.retract(col("foo") === 20L) === 2L)
+    // log: matching rows gone, surviving seqs keep their holes
+    assert(log.read.select("seq").collect().map(_.getLong(0)).toSet === Set(0L, 2L, 4L))
+    assert(db.since === 4L, "the log cursor never regresses")
+    // the seq-keyed index retracted IN PLACE: no ghost postings, cursor kept
+    val idx = db.view("idx").view.asInstanceOf[IndexView]
+    assert(idx.get("20").count() === 0L, "retracted postings must leave the index")
+    assert(idx.frame.get.select("seq").collect().map(_.getLong(0)).toSet === Set(0L, 2L, 4L))
+    assert(idx.since === 4L, "in-place retraction does not move the view cursor")
+    // ...and is IDENTICAL to a twin rebuilt from the retracted log
+    val twin = new IndexView(array(col("foo").cast("string")), "seq")
+    twin.absorb(log.read, log.since)
+    assert(idx.frame.get.collect().toSet === twin.frame.get.collect().toSet)
+    // folding views cannot un-absorb: destroyed + rebuilt from the kept rows
+    assert(counting.destroys.get() === destroysBefore + 1,
+      "a non-seq-keyed view must be destroyed and rebuilt by the takedown")
+    val st = db.gated("stats")(_.asInstanceOf[MergeableReduceView[Stats]].value.get)
+    assert(st.n === 3L && math.abs(st.mean - (10 + 30 + 40) / 3.0) < 1e-12,
+      s"the rebuilt fold must see only kept rows, got n=${st.n} mean=${st.mean}")
+  }
+
+  test("db-level takedown by id list: the batch form reaches log and views") {
+    val (log, db) = mkDb()
+    db.use("idx", IndexView(array(col("foo").cast("string")), "seq"))
+    db.append(fooDf(10L, 20L, 30L, 40L))
+    val ids = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(20L), Row(40L), Row(999L))),
+      StructType(Seq(StructField("foo", LongType))))
+    assert(db.retractIds(ids, "foo") === 2L)
+    assert(log.read.select("foo").collect().map(_.getLong(0)).toSet === Set(10L, 30L))
+    val idx = db.view("idx").view.asInstanceOf[IndexView]
+    assert(idx.frame.get.select("seq").collect().map(_.getLong(0)).toSet === Set(0L, 2L))
+  }
+
+  test("db-level retention: expire ages the prefix out of the log and every view") {
+    val (log, db) = mkDb()
+    db.use("idx", IndexView(array(col("foo").cast("string")), "seq"))
+      .use("stats", StatsReduceView("foo"))
+    db.append(fooDf(10L, 20L, 30L, 40L, 50L)) // seqs 0..4
+    assert(db.expire(2L) === 3L)
+    assert(log.read.select("seq").collect().map(_.getLong(0)).toSet === Set(3L, 4L))
+    assert(db.since === 4L, "expiry never regresses the cursor")
+    val idx = db.view("idx").view.asInstanceOf[IndexView]
+    assert(idx.frame.get.select("seq").collect().map(_.getLong(0)).toSet === Set(3L, 4L),
+      "expired postings must leave the seq-keyed index in place")
+    val st = db.gated("stats")(_.asInstanceOf[MergeableReduceView[Stats]].value.get)
+    assert(st.n === 2L && math.abs(st.mean - 45.0) < 1e-12,
+      s"the rebuilt fold must see only the surviving suffix, got n=${st.n} mean=${st.mean}")
+    // gated reads still gate correctly after the lifecycle ops
+    db.append(fooDf(60L))
+    val st2 = db.gated("stats")(_.asInstanceOf[MergeableReduceView[Stats]].value.get)
+    assert(st2.n === 3L)
+  }
 }

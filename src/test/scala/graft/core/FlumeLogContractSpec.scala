@@ -104,6 +104,24 @@ trait FlumeLogContract extends SparkSpec {
     assert(log.retractIds(ids, "foo") === 1L)
     assert(log.read.select("foo").collect().map(_.getLong(0)).toSet === Set(10L, 40L, 60L))
   }
+
+  test("expire: the seq prefix leaves, survivors keep seqs, cursor never regresses") {
+    val log = mkLog()
+    append(log, 10L, 20L, 30L, 40L, 50L) // seqs 0..4
+    assert(log.expire(1L) === 2L)
+    assert(log.read.select("seq", "foo").collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((2L, 30L), (3L, 40L), (4L, 50L)))
+    assert(log.since === 4L)
+    assert(log.expire(1L) === 0L, "idempotent: the prefix is already gone")
+    assert(log.expire(-5L) === 0L, "a negative horizon expires nothing")
+    // retention past the tail: everything leaves, but the cursor is the
+    // HWM of seqs ever ISSUED — the retired tail seqs never re-stamp
+    assert(log.expire(100L) === 3L)
+    assert(log.read.count() === 0L)
+    assert(log.since === 4L, "cursor preserved after tail expiry")
+    assert(append(log, 60L) === 5L, "new rows extend the retired seq space")
+    assert(log.read.select("seq").collect().map(_.getLong(0)).toSeq === Seq(5L))
+  }
 }
 
 class MemoryLogSpec extends FlumeLogContract {
@@ -141,6 +159,44 @@ class BucketedParquetLogSpec extends FlumeLogContract {
     assert(df.queryExecution.executedPlan.toString.contains("PartitionFilters"))
     log.appendRows(rows(77L))
     assert(log.since === 6L)
+  }
+
+  test("expire truncates whole buckets; buckets past the boundary stay byte-identical") {
+    val log = mkLog().asInstanceOf[ParquetLog] // bucketSize = 2
+    log.appendRows(rows(0L, 10L, 20L, 30L, 40L, 50L, 60L)) // seqs 0..6, buckets 0..3
+    def files(b: Long): Seq[(String, Long, Long)] =
+      Option(new java.io.File(log.dir, s"seq_bucket=$b").listFiles())
+        .getOrElse(Array.empty[java.io.File]).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).sortBy(_._1).toSeq
+    val sig2 = files(2L); val sig3 = files(3L)
+    // horizon inside bucket 1: bucket 0 truncates WHOLE (no read of its
+    // data), bucket 1 rewrites (seq 3 survives), buckets 2,3 untouched
+    assert(log.expire(2L) === 3L)
+    val names = new java.io.File(log.dir).listFiles()
+      .map(_.getName).filter(_.startsWith("seq_bucket=")).sorted
+    assert(names.toSeq === Seq("seq_bucket=1", "seq_bucket=2", "seq_bucket=3"))
+    assert(files(2L) === sig2 && files(3L) === sig3,
+      "buckets past the boundary must keep their files byte-for-byte")
+    assert(log.read.select("seq").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(3L, 4L, 5L, 6L))
+    // horizon exactly on a bucket edge: NO rewrite anywhere — bucket 1
+    // (now just seq 3) truncates whole, later buckets byte-identical
+    val sig2b = files(2L)
+    assert(log.expire(3L) === 1L)
+    assert(files(2L) === sig2b && files(3L) === sig3)
+    assert(log.read.select("seq").collect().map(_.getLong(0)).sorted.toSeq === Seq(4L, 5L, 6L))
+    assert(log.since === 6L)
+    // the HWM marker written by expiry survives reopen
+    val reopened = new ParquetLog(spark, log.dir, payloadSchema, bucketSize = 2L)
+    assert(reopened.since === 6L)
+  }
+
+  test("expire fences live tails like retract") {
+    val log = mkLog().asInstanceOf[ParquetLog]
+    log.appendRows(rows(1L, 2L))
+    log.readStreamFiles
+    val e = intercept[IllegalStateException](log.expire(0L))
+    assert(e.getMessage.startsWith("expire:") && e.getMessage.contains("file-granular"))
   }
 }
 
