@@ -165,6 +165,7 @@ object ScaleProbe {
       case "skew" => skewMode(spark)
       case "heaps" => heapsMode(spark)
       case "retract" => retractMode(spark)
+      case "expire" => expireMode(spark)
       case _ =>
         families(sf01, "sf0.1")
         families(outDir, "sf1")
@@ -243,6 +244,60 @@ object ScaleProbe {
       s""""mode":"retract","corpus":$n,"shape":"idlist_1M","removed":$removed,""" +
       f""""wall_s":$wall%.2f""" + "}")
     deleteTree(new java.io.File(dir))
+  }
+
+  /** Round-15 mode `expire`: retention's scale shape. The bucketed
+    * [[graft.core.ParquetLog.expire]] is pure directory truncation —
+    * whole-bucket membership is arithmetic on the directory NAME, counts
+    * come from parquet footer metadata, and only the one boundary bucket
+    * rewrites — so it reads NO corpus data; the equivalent predicate
+    * form `retract(seq <= horizon)` is also rewrite-pruned but must run
+    * its corpus-wide (narrow) match scan to find out what the directory
+    * names already say. Probe: 1×/10× corpora × {tiny 0.1%, bulk 40%}
+    * horizons, expire vs predicate-retract wall side by side. Headline
+    * checks: tiny-horizon expire wall FLAT across 10× corpus growth;
+    * bulk expire ∝ expired buckets (delete-only) while the predicate
+    * form adds the scan. */
+  private def expireMode(spark: SparkSession): Unit = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", StringType)))
+    val bucketSize = 512L
+    def deleteTree(f: java.io.File): Unit = {
+      val fs = f.listFiles(); if (fs != null) fs.foreach(deleteTree); f.delete()
+    }
+    def buildLog(n: Long, dir: String): graft.core.ParquetLog = {
+      deleteTree(new java.io.File(dir))
+      val log = new graft.core.ParquetLog(spark, dir, schema, bucketSize = bucketSize)
+      log.append(spark.range(n).select(col("id").as("doc_id"),
+        concat(lit("p"), col("id"), lit("-"),
+          lpad(conv(col("id") * 2654435761L, 10, 16), 100, "x")).as("payload")))
+      log
+    }
+    for (scale <- Seq(1L, 10L)) {
+      val n = 50000L * scale
+      val totalBuckets = (n + bucketSize - 1) / bucketSize
+      for ((label, horizon) <- Seq(
+          ("tiny_0.1pct", n / 1000 - 1), ("bulk_40pct", n * 2 / 5 - 1))) {
+        val expiredBuckets = (horizon + 1) / bucketSize // whole dirs deleted
+        val dirA = s"/tmp/graft-expire-probe/n$n-$label-expire"
+        val logA = buildLog(n, dirA)
+        val t0 = System.nanoTime()
+        val removedA = logA.expire(horizon)
+        val wallA = (System.nanoTime() - t0) / 1e9
+        deleteTree(new java.io.File(dirA))
+        val dirB = s"/tmp/graft-expire-probe/n$n-$label-retract"
+        val logB = buildLog(n, dirB)
+        val t1 = System.nanoTime()
+        val removedB = logB.retract(col("seq") <= horizon)
+        val wallB = (System.nanoTime() - t1) / 1e9
+        deleteTree(new java.io.File(dirB))
+        require(removedA == removedB, s"expire/retract disagree: $removedA vs $removedB")
+        println(s"[probe] {" +
+          s""""mode":"expire","corpus":$n,"shape":"$label","removed":$removedA,""" +
+          s""""whole_buckets_deleted":$expiredBuckets,"total_buckets":$totalBuckets,""" +
+          f""""wall_expire_s":$wallA%.2f,"wall_retract_form_s":$wallB%.2f""" + "}")
+      }
+    }
   }
 
   /** Round-14 mode `skew`: a PLANTED-skew fixture — the hot-key shapes

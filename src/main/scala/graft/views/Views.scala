@@ -251,6 +251,25 @@ abstract class FrameView extends FlumeView {
   def destroy(): Unit = { state = None; sinceSeq = -1L; appendsSinceCompact = 0 }
 }
 
+/** In-place db-level takedown/retention for [[FrameView]]s whose state
+  * rows carry the log seq in a `seq` column and are APPEND-ONLY (one or
+  * more derived rows per log row, never folded): index and search
+  * posting tables. For such views, deleting by the removed seq set is
+  * exactly the rebuild result at ∝-matches cost — see
+  * [[graft.core.SeqRetractableView]] for why folding views must not
+  * take this shortcut. */
+trait SeqKeyedPostings extends FrameView with graft.core.SeqRetractableView {
+  def retractLogSeqs(seqs: DataFrame, logSeqCol: String): Unit =
+    state = state.map { s =>
+      // the anti-join reorders columns (join key first): reselect the
+      // stored order, same rule as the log kernels
+      s.join(seqs.select(col(logSeqCol).as("seq")), Seq("seq"), "left_anti")
+        .select(s.columns.toSeq.map(n => col(s"`$n`")): _*).localCheckpoint(true)
+    }
+  def expireLogSeqs(throughSeq: Long): Unit =
+    state = state.map(_.where(col("seq") > throughSeq).localCheckpoint(true))
+}
+
 /** flumeview-level (`/root/reference/README.md:93`): a materialized
   * secondary index. `keysFn` maps one entry to N index keys
   * (`/root/reference/test/rebuild.js:27-31`); the index table is
@@ -260,7 +279,7 @@ abstract class FrameView extends FlumeView {
 final class IndexView(keys: Column, seqCol: String,
     val indexedColumn: Option[String] = None,
     val indexedColumns: Option[Seq[String]] = None)
-    extends FrameView with graft.core.SeqRetractableView {
+    extends FrameView with SeqKeyedPostings {
   protected def delta(entries: DataFrame): DataFrame =
     entries.select(explode(keys).as("key"), col(seqCol).as("seq"))
 
@@ -268,19 +287,6 @@ final class IndexView(keys: Column, seqCol: String,
   def get(key: String): DataFrame =
     state.map(_.where(col("key") === lit(key)).orderBy("seq"))
       .getOrElse(throw new IllegalStateException("index empty"))
-
-  // db-level takedown/retention: postings are (key, seq) — append-only,
-  // one derived row per exploded key per log row — so seq-keyed in-place
-  // deletion IS the rebuild result, at ∝-matches cost
-  def retractLogSeqs(seqs: DataFrame, logSeqCol: String): Unit =
-    state = state.map { s =>
-      // the anti-join reorders columns (join key first): reselect the
-      // stored (key, seq) order, same rule as the log kernels
-      s.join(seqs.select(col(logSeqCol).as("seq")), Seq("seq"), "left_anti")
-        .select(s.columns.toSeq.map(n => col(s"`$n`")): _*).localCheckpoint(true)
-    }
-  def expireLogSeqs(throughSeq: Long): Unit =
-    state = state.map(_.where(col("seq") > throughSeq).localCheckpoint(true))
 }
 
 object IndexView {
@@ -394,7 +400,8 @@ object HashtableView {
   * queries mount this view; phrase workloads pay for the positional
   * one. Same FrameView lifecycle, same query API subset — choosing is
   * a storage-budget decision, not a semantic one. */
-final class SearchView(textCol: String, seqCol: String) extends FrameView {
+final class SearchView(textCol: String, seqCol: String)
+    extends FrameView with SeqKeyedPostings {
   protected def delta(entries: DataFrame): DataFrame =
     entries.select(
       explode(array_distinct(filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= ""))).as("term"),
@@ -444,7 +451,8 @@ object SearchView {
   * doc AND the offset, and no positions array is ever materialized
   * per document (the classic positional-inverted-index plan, e.g.
   * Lucene's PhraseQuery, expressed relationally). */
-final class PositionalSearchView(textCol: String, seqCol: String) extends FrameView {
+final class PositionalSearchView(textCol: String, seqCol: String)
+    extends FrameView with SeqKeyedPostings {
   protected def delta(entries: DataFrame): DataFrame =
     entries.select(
       posexplode(filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")),

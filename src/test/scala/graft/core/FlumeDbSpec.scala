@@ -382,6 +382,20 @@ class FlumeDbSpec extends SparkSpec {
     assert(idx.frame.get.select("seq").collect().map(_.getLong(0)).toSet === Set(0L, 2L))
   }
 
+  test("db-level takedown prunes search postings in place (no ghost terms)") {
+    val schema2 = StructType(Seq(StructField("text", StringType)))
+    val log = new MemoryLog(spark, schema2)
+    val db = new FlumeDb(log)
+    db.use("search", SearchView("text"))
+    db.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("spark joins data"), Row("secret document"), Row("spark streams"))), schema2))
+    assert(db.retract(col("text").contains("secret")) === 1L)
+    val sv = db.view("search").view.asInstanceOf[SearchView]
+    assert(sv.search("secret").count() === 0L, "ghost postings must leave the search index")
+    assert(sv.search("spark").collect().map(_.getLong(0)).toSeq === Seq(0L, 2L))
+    assert(sv.since === 2L, "in-place pruning keeps the view cursor")
+  }
+
   test("db-level retention: expire ages the prefix out of the log and every view") {
     val (log, db) = mkDb()
     db.use("idx", IndexView(array(col("foo").cast("string")), "seq"))
