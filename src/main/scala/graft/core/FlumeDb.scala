@@ -334,16 +334,7 @@ final class FlumeDb(
     lock.lock()
     try {
       val removed = log.expire(throughSeq)
-      if (removed > 0) {
-        val it = views.values().iterator()
-        while (it.hasNext) {
-          val m = it.next()
-          m.view match {
-            case s: SeqRetractableView => s.expireLogSeqs(throughSeq)
-            case _ => m.view.destroy(); sync(m)
-          }
-        }
-      }
+      if (removed > 0) expireViews(throughSeq)
       removed
     } finally lock.unlock()
   }
@@ -357,6 +348,132 @@ final class FlumeDb(
         case _ => m.view.destroy(); sync(m)
       }
     }
+  }
+
+  // ---- durable (intent-logged) takedown -----------------------------------
+  // The undurable forms above are atomic under the db lock but NOT
+  // crash-durable across the log/view boundary: a JVM death between the
+  // log rewrite and the view pass leaves mounted views holding GHOST
+  // rows for seqs the log no longer serves — and the incremental build
+  // loop can never remove them (view cursors already passed those
+  // seqs). Same half-state the family-level [[graft.views.Retraction]]
+  // intent protocol closes for feature tables; closed here with the
+  // same shape. The durable currency is the REMOVED SEQ SET: a
+  // predicate cannot replay across JVMs (closures don't serialize into
+  // an intent file) but its matched seqs can — and every replay arm is
+  // idempotent (log retract of absent seqs rewrites nothing; a seq
+  // anti-join on a clean view is a no-op; destroy + rebuild is
+  // idempotent by construction).
+
+  /** Crash-durable takedown: like [[retract]], but the removed seq set
+    * is made durable as a parquet list plus an atomic intent marker
+    * BEFORE the log is touched; a death in any later window is closed
+    * by [[recoverRetract]] at the next open. Order: seq list durable →
+    * intent marker → log rewrite → view pass → intent cleared. */
+  def retract(cond: org.apache.spark.sql.Column, intentFile: String): Long = {
+    throwIfClosed(); count("retract")
+    lock.lock()
+    try {
+      val p = java.nio.file.Paths.get(intentFile)
+      if (java.nio.file.Files.exists(p))
+        throw new IllegalStateException(
+          s"an unrecovered db takedown intent exists at $intentFile — run recoverRetract() " +
+            "first (starting a new takedown would abandon the crashed one's erasure)")
+      val seqsDir = intentFile + ".seqs"
+      deleteDirIfExists(seqsDir) // uncommitted leftover from a pre-marker crash
+      log.read.where(cond).select(log.seqCol).write.parquet(seqsDir)
+      // the parquet list is complete (_SUCCESS) — NOW commit the intent
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      val tmp = java.nio.file.Paths.get(intentFile + ".tmp")
+      java.nio.file.Files.writeString(tmp, "@seqs")
+      java.nio.file.Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val seqs = readSeqList(seqsDir)
+      val removed = log.retract(cond)
+      retractViews(seqs)
+      java.nio.file.Files.delete(p)
+      deleteDirIfExists(seqsDir)
+      removed
+    } finally lock.unlock()
+  }
+
+  /** Crash-durable retention: like [[expire]], but the horizon itself is
+    * the (scalar, trivially durable) intent — marker committed before
+    * the log is touched, every replay arm idempotent. */
+  def expire(throughSeq: Long, intentFile: String): Long = {
+    throwIfClosed(); count("expire")
+    lock.lock()
+    try {
+      val p = java.nio.file.Paths.get(intentFile)
+      if (java.nio.file.Files.exists(p))
+        throw new IllegalStateException(
+          s"an unrecovered db takedown intent exists at $intentFile — run recoverRetract() " +
+            "first (starting a new pass would abandon the crashed one's erasure)")
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      val tmp = java.nio.file.Paths.get(intentFile + ".tmp")
+      java.nio.file.Files.writeString(tmp, s"EXPIRE $throughSeq")
+      java.nio.file.Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val removed = log.expire(throughSeq)
+      expireViews(throughSeq)
+      java.nio.file.Files.delete(p)
+      removed
+    } finally lock.unlock()
+  }
+
+  /** Close an interrupted durable takedown/retention pass: if an intent
+    * survives, both halves re-run from the durable record — the seq
+    * list for a takedown, the horizon for a retention pass — and the
+    * intent clears (every arm idempotent). Call at open, before serving
+    * reads. Returns true when a window was replayed. */
+  def recoverRetract(intentFile: String): Boolean = {
+    throwIfClosed()
+    lock.lock()
+    try {
+      val p = java.nio.file.Paths.get(intentFile)
+      val tmp = java.nio.file.Paths.get(intentFile + ".tmp")
+      if (java.nio.file.Files.exists(tmp)) java.nio.file.Files.delete(tmp)
+      val seqsDir = intentFile + ".seqs"
+      if (!java.nio.file.Files.exists(p)) {
+        deleteDirIfExists(seqsDir) // a list never committed by a marker
+        return false
+      }
+      java.nio.file.Files.readString(p).trim.split("\\s+") match {
+        case Array("EXPIRE", through) =>
+          val t = through.toLong
+          log.expire(t) // the prefix that survived the crash leaves now
+          expireViews(t)
+        case _ =>
+          val seqs = readSeqList(seqsDir)
+          log.retractIds(seqs, log.seqCol) // absent seqs rewrite nothing
+          retractViews(seqs)
+      }
+      java.nio.file.Files.delete(p)
+      deleteDirIfExists(seqsDir)
+      true
+    } finally lock.unlock()
+  }
+
+  private def expireViews(throughSeq: Long): Unit = {
+    val it = views.values().iterator()
+    while (it.hasNext) {
+      val m = it.next()
+      m.view match {
+        case s: SeqRetractableView => s.expireLogSeqs(throughSeq)
+        case _ => m.view.destroy(); sync(m)
+      }
+    }
+  }
+
+  /** The durable seq list, schema pinned: a zero-match takedown writes a
+    * zero-row list whose parquet dir may carry no footer to infer from. */
+  private def readSeqList(dir: String): DataFrame =
+    log.spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(log.seqCol,
+        org.apache.spark.sql.types.LongType, nullable = false)))).parquet(dir)
+
+  private def deleteDirIfExists(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p))
+      graft.views.FsLists.walkDeepestFirst(p).foreach(java.nio.file.Files.delete)
   }
 
   /** Global pause switch (`/root/reference/README.md:115-118`): while not

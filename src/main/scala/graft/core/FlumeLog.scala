@@ -786,8 +786,9 @@ final class ParquetLog(
       if (whole.isEmpty) 0L
       else spark.read.schema(fullSchema).parquet(whole.map(bucketDir): _*).count()
     val boundaryStats = boundary.map { b =>
+      // coalesce: sum over a zero-row (hand-emptied) bucket dir is NULL
       val r = spark.read.schema(fullSchema).parquet(bucketDir(b))
-        .agg(sum(when(col(seqCol) <= throughSeq, lit(1L)).otherwise(lit(0L))),
+        .agg(coalesce(sum(when(col(seqCol) <= throughSeq, lit(1L)).otherwise(lit(0L))), lit(0L)),
           count(lit(1))).head()
       (b, r.getLong(0), r.getLong(1))
     }

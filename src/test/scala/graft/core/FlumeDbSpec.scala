@@ -396,6 +396,60 @@ class FlumeDbSpec extends SparkSpec {
     assert(sv.since === 2L, "in-place pruning keeps the view cursor")
   }
 
+  test("durable takedown: the log/view crash window is replayed by recoverRetract") {
+    import java.nio.file.{Files, Paths}
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val dirLog = tmp("graft-dbr-log"); val dirIdx = tmp("graft-dbr-idx")
+    val intent = Paths.get(tmp("graft-dbr-i"), "_intent").toString
+    val log1 = new ParquetLog(spark, dirLog, schema)
+    log1.append(fooDf(10L, 20L, 30L, 40L))
+    new FlumeDb(log1).use("idx", PersistentIndexView.onColumn(dirIdx, "foo"))
+    // simulate a death AFTER the log rewrite, BEFORE the view pass: the
+    // durable protocol's state at that instant is (seq list, marker,
+    // retracted log, ghost postings)
+    log1.read.where(col("foo") === 20L).select("seq").write.parquet(intent + ".seqs")
+    Files.writeString(Paths.get(intent), "@seqs")
+    log1.retract(col("foo") === 20L)
+    // reopen: fresh handles over the same storage
+    val log2 = new ParquetLog(spark, dirLog, schema)
+    val db2 = new FlumeDb(log2).use("idx", PersistentIndexView.onColumn(dirIdx, "foo"))
+    val idx = db2.view("idx").view.asInstanceOf[graft.views.PersistentIndexView]
+    assert(idx.get("20").count() === 1L,
+      "precondition: the crash left a ghost posting the build loop can never remove")
+    // a NEW takedown must refuse while the window is open
+    intercept[IllegalStateException](db2.retract(col("foo") === 10L, intent))
+    assert(db2.recoverRetract(intent), "an open window must replay")
+    assert(idx.get("20").count() === 0L, "the ghost posting left on replay")
+    assert(log2.read.count() === 3L)
+    assert(!Files.exists(Paths.get(intent)), "the intent cleared")
+    assert(!db2.recoverRetract(intent), "no window: recovery is a no-op")
+    // the happy path end to end, same api
+    assert(db2.retract(col("foo") === 30L, intent) === 1L)
+    assert(idx.get("30").count() === 0L)
+    assert(!Files.exists(Paths.get(intent)))
+  }
+
+  test("durable retention: the EXPIRE intent replays the horizon across a crash") {
+    import java.nio.file.{Files, Paths}
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val dirLog = tmp("graft-dbe-log"); val dirIdx = tmp("graft-dbe-idx")
+    val intent = Paths.get(tmp("graft-dbe-i"), "_intent").toString
+    val log1 = new ParquetLog(spark, dirLog, schema, bucketSize = 2L)
+    log1.append(fooDf(10L, 20L, 30L, 40L, 50L)) // seqs 0..4
+    new FlumeDb(log1).use("idx", PersistentIndexView.onColumn(dirIdx, "foo"))
+    // death after the log truncation, before the view pass
+    Files.writeString(Paths.get(intent), "EXPIRE 2")
+    log1.expire(2L)
+    val log2 = new ParquetLog(spark, dirLog, schema, bucketSize = 2L)
+    val db2 = new FlumeDb(log2).use("idx", PersistentIndexView.onColumn(dirIdx, "foo"))
+    val idx = db2.view("idx").view.asInstanceOf[graft.views.PersistentIndexView]
+    assert(idx.frame.where(col("seq") <= 2L).count() === 3L, "precondition: ghost postings")
+    assert(db2.recoverRetract(intent))
+    assert(idx.frame.where(col("seq") <= 2L).count() === 0L)
+    assert(idx.frame.count() === 2L)
+    assert(log2.since === 4L, "replaying the horizon never regresses the cursor")
+  }
+
   test("db-level retention: expire ages the prefix out of the log and every view") {
     val (log, db) = mkDb()
     db.use("idx", IndexView(array(col("foo").cast("string")), "seq"))
