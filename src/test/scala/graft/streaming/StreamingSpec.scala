@@ -192,6 +192,36 @@ class StreamingSpec extends SparkSpec {
     } finally r.stop()
   }
 
+  test("retention under a live tail: expiring the consumed prefix disturbs nothing") {
+    import graft.views.PersistentHashtableView
+    val kvSchema = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+    val logDir = java.nio.file.Files.createTempDirectory("graft-sexp-log").toString
+    val viewDir = java.nio.file.Files.createTempDirectory("graft-sexp-view").toString
+    val log = new ParquetLog(spark, logDir, kvSchema, bucketSize = 2L)
+    log.appendRows(Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c"), Row(4L, "d"))) // seqs 0..3
+    val db = new FlumeDb(log)
+    db.use("ht", PersistentHashtableView(viewDir, "k"))
+    val view = db.view("ht").view.asInstanceOf[graft.views.PersistentHashtableView]
+    val r = new StreamingViewRunner(log, view)
+    try {
+      r.awaitParity()
+      // the operational combo: a retention pass runs at a parity boundary
+      // UNDER the live tail (the DSv2 fence only refuses mid-batch) —
+      // whole bucket seq_bucket=0 truncates, the tail's offsets are
+      // untouched (cursor never regresses), and the view keeps its own
+      // state: log retention is not view retention (FlumeDb.expire is)
+      assert(log.expire(1L) === 2L)
+      log.appendRows(Seq(Row(5L, "e")))
+      r.awaitParity()
+      assert(view.since === 4L, "the tail advanced past the expired prefix untouched")
+      assert(view.frame.count() === 5L,
+        "no redelivery and no view truncation: all five keys, exactly once each")
+      assert(view.get(1L).head().getString(2) === "a",
+        "expired-era state survives in the view (its artifact, its lifecycle)")
+      assert(log.read.select("seq").collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L, 4L))
+    } finally r.stop()
+  }
+
   test("streaming runner maintains the durable SCD-2 dimension (live version history)") {
     import graft.views.{Scd2, Scd2TableView}
     val kvSchema = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
