@@ -92,6 +92,28 @@ object LogProperties extends Properties("FlumeLog") {
       got == expect && log.since >= cursorBefore && appendOk
   }
 
+  property("expire ≡ filter(seq > horizon): arbitrary horizons on the bucketed layout") = forAll(
+    Gen.resize(16, Gen.nonEmptyListOf(Gen.chooseNum(0L, 30L))),
+    Gen.chooseNum(-2L, 20L),
+    Gen.resize(4, Gen.listOf(Gen.chooseNum(0L, 30L)))) { (vs, horizon, after) =>
+    // bucketSize 3 puts arbitrary horizons at every alignment: inside a
+    // bucket, on its edge, before the log, past the tail
+    val dir = java.nio.file.Files.createTempDirectory("graft-prop-expire").toString
+    val log = new ParquetLog(spark, dir, schema, bucketSize = 3L)
+    log.appendRows(rows(vs))
+    val stamped = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val cursorBefore = log.since
+    val removed = log.expire(horizon)
+    val expect = stamped.filter(_._1 > horizon)
+    val got = log.read.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val appendOk = if (after.nonEmpty) {
+      log.appendRows(rows(after))
+      log.since == cursorBefore + after.size // expired tail seqs never reused
+    } else true
+    removed == (stamped.size - expect.size).toLong &&
+      got == expect && log.since >= cursorBefore && appendOk
+  }
+
   property("incremental stats across appends match a one-shot fold") = forAll(
     Gen.resize(10, Gen.nonEmptyListOf(Gen.chooseNum(-50L, 50L))),
     Gen.resize(10, Gen.nonEmptyListOf(Gen.chooseNum(-50L, 50L)))) { (a, b) =>
