@@ -55,7 +55,10 @@ private[graft] object CoreQueries {
         .select("user_id", "event_type", "value")
       val tmpLog = java.nio.file.Files.createTempDirectory("graftdbr-log").toString
       val tmpIdx = java.nio.file.Files.createTempDirectory("graftdbr-idx").toString
-      val log = new ParquetLog(s, tmpLog, ev.schema, bucketSize = 512L)
+      // coarse buckets: a scattered takedown matches every bucket anyway
+      // (the worst shape, deliberately), so fine granularity only adds
+      // directory churn to the fixture build and swap
+      val log = new ParquetLog(s, tmpLog, ev.schema, bucketSize = 8192L)
       log.append(ev)
       val db = new FlumeDb(log)
         .use("byType", PersistentIndexView.onColumn(tmpIdx, "event_type"))
