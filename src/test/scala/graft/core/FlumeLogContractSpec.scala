@@ -186,9 +186,14 @@ class BucketedParquetLogSpec extends FlumeLogContract {
     assert(files(2L) === sig2b && files(3L) === sig3)
     assert(log.read.select("seq").collect().map(_.getLong(0)).sorted.toSeq === Seq(4L, 5L, 6L))
     assert(log.since === 6L)
-    // the HWM marker written by expiry survives reopen
+    // the HWM marker written by expiry survives reopen AND compaction
     val reopened = new ParquetLog(spark, log.dir, payloadSchema, bucketSize = 2L)
     assert(reopened.since === 6L)
+    reopened.compact()
+    assert(reopened.since === 6L)
+    val reopened2 = new ParquetLog(spark, log.dir, payloadSchema, bucketSize = 2L)
+    assert(reopened2.since === 6L, "the cursor marker must ride the compaction swap")
+    assert(reopened2.read.select("seq").collect().map(_.getLong(0)).sorted.toSeq === Seq(4L, 5L, 6L))
   }
 
   test("expire fences live tails like retract") {
