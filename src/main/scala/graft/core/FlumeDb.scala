@@ -311,17 +311,26 @@ final class FlumeDb(
 
   /** Takedown by id list — the batch form: `ids` stays a DataFrame end
     * to end (count-fenced broadcast join, shuffle fallback — never an
-    * `isin` literal). Same view orchestration as [[retract]]. */
+    * `isin` literal; the seq collection reuses the log rewrite's
+    * [[ParquetLog.hitMarker]] plan shape). Same view orchestration as
+    * [[retract]]. */
   def retractIds(ids: DataFrame, idCol: String): Long = {
     throwIfClosed(); count("retract")
     lock.lock()
     try {
-      val seqs = log.read.join(ids.select(idCol).distinct(), Seq(idCol), "left_semi")
-        .select(log.seqCol).localCheckpoint(true)
+      val seqs = markedSeqs(ids, idCol).localCheckpoint(true)
       val removed = log.retractIds(ids, idCol)
       if (removed > 0) retractViews(seqs)
       removed
     } finally lock.unlock()
+  }
+
+  /** Seqs of log rows whose `idCol` appears in `ids` — the same
+    * count-fenced broadcast-marked join the log rewrite plans. */
+  private def markedSeqs(ids: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    ParquetLog.hitMarker(ids, idCol, 4L * 1000 * 1000)(log.read)
+      .where(col(ParquetLog.hitCol)).select(log.seqCol)
   }
 
   /** DB-LEVEL retention: age out the seq prefix from the log
@@ -389,6 +398,36 @@ final class FlumeDb(
       java.nio.file.Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       val seqs = readSeqList(seqsDir)
       val removed = log.retract(cond)
+      retractViews(seqs)
+      java.nio.file.Files.delete(p)
+      deleteDirIfExists(seqsDir)
+      removed
+    } finally lock.unlock()
+  }
+
+  /** Crash-durable takedown by ID LIST: the batch form of
+    * `retract(cond, intentFile)`. The matched SEQ set (not the id list)
+    * is what goes durable — it is the currency every replay arm speaks:
+    * the log rewrite replays as `retractIds(seqs, seqCol)` and the view
+    * pass as the same anti-join, both idempotent. */
+  def retractIds(ids: DataFrame, idCol: String, intentFile: String): Long = {
+    throwIfClosed(); count("retract")
+    lock.lock()
+    try {
+      val p = java.nio.file.Paths.get(intentFile)
+      if (java.nio.file.Files.exists(p))
+        throw new IllegalStateException(
+          s"an unrecovered db takedown intent exists at $intentFile — run recoverRetract() " +
+            "first (starting a new takedown would abandon the crashed one's erasure)")
+      val seqsDir = intentFile + ".seqs"
+      deleteDirIfExists(seqsDir)
+      markedSeqs(ids, idCol).write.parquet(seqsDir)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      val tmp = java.nio.file.Paths.get(intentFile + ".tmp")
+      java.nio.file.Files.writeString(tmp, "@seqs")
+      java.nio.file.Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val seqs = readSeqList(seqsDir)
+      val removed = log.retractIds(seqs, log.seqCol)
       retractViews(seqs)
       java.nio.file.Files.delete(p)
       deleteDirIfExists(seqsDir)

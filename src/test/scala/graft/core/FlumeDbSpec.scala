@@ -427,6 +427,15 @@ class FlumeDbSpec extends SparkSpec {
     assert(db2.retract(col("foo") === 30L, intent) === 1L)
     assert(idx.get("30").count() === 0L)
     assert(!Files.exists(Paths.get(intent)))
+    // the durable ID-LIST form: same intent protocol, the matched seq
+    // set goes durable and both rewrites ride the count-fenced join
+    val ids = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(40L), Row(999L))),
+      StructType(Seq(StructField("foo", LongType))))
+    assert(db2.retractIds(ids, "foo", intent) === 1L)
+    assert(idx.get("40").count() === 0L)
+    assert(log2.read.select("foo").collect().map(_.getLong(0)).toSeq === Seq(10L))
+    assert(!Files.exists(Paths.get(intent)))
   }
 
   test("durable retention: the EXPIRE intent replays the horizon across a crash") {
