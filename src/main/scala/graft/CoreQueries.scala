@@ -37,11 +37,16 @@ private[graft] object CoreQueries {
       log.append(ev)
       val horizon = ((log.since + 1L) * 2L) / 5L
       log.expire(horizon)
-      log.read.groupBy("event_type").agg(
+      // materialize (the frame must outlive the fixture), then reclaim
+      // the temp log — bench runs this lambda repeatedly across SFs
+      val out = log.read.groupBy("event_type").agg(
         count(lit(1)).as("n"),
         round(sum("value"), 4).as("sum_value"),
         min("seq").as("min_seq"))
         .orderBy("event_type")
+        .localCheckpoint(true)
+      EntryHelpers.deleteTree(tmp)
+      out
     }),
     "q_db_retract" -> ((s, dir) => {
       // DB-LEVEL takedown: ONE call retracts the log AND brings every
@@ -66,7 +71,13 @@ private[graft] object CoreQueries {
       db.retract(col("user_id") % 7 === 3)
       val clicks = db.gated("byType")(_.asInstanceOf[PersistentIndexView].get("click")).count()
       val (sumV, cnt) = db.gated("sum")(_.asInstanceOf[MergeableReduceView[(Double, Long)]].value.get)
-      Seq((log.read.count(), clicks, round4(sumV), cnt))
+      // the result is driver-local (counts + gated scalars): reclaim the
+      // throwaway log/index before returning
+      val nRows = log.read.count()
+      db.close()
+      EntryHelpers.deleteTree(tmpLog)
+      EntryHelpers.deleteTree(tmpIdx)
+      Seq((nRows, clicks, round4(sumV), cnt))
         .toDF("n_rows", "click_postings", "sum_value", "value_cnt")
     }),
     "q_get_point" -> ((s, dir) =>

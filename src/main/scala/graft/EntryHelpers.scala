@@ -675,6 +675,16 @@ private[graft] object EntryHelpers {
   def round4(x: Double): Double =
     BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** Reclaim a per-execution fixture temp tree (no-op if absent) —
+    * bench runs each query lambda repeatedly across three SFs, so
+    * fixtures that build throwaway logs/views must delete them once the
+    * result frame is materialized. */
+  def deleteTree(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p))
+      graft.views.FsLists.walkDeepestFirst(p).foreach(java.nio.file.Files.delete)
+  }
+
 
   /** DuckDB oracles. Keys absent here (approximate / hash-seeded /
     * lifecycle operators) fall back to the driver's rows-only check and

@@ -377,28 +377,30 @@ final class FlumeDb(
   /** Crash-durable takedown: like [[retract]], but the removed seq set
     * is made durable as a parquet list plus an atomic intent marker
     * BEFORE the log is touched; a death in any later window is closed
-    * by [[recoverRetract]] at the next open. Order: seq list durable →
-    * intent marker → log rewrite → view pass → intent cleared. */
+    * by [[recoverRetract]] at the next open. Order: fence probe → seq
+    * list durable → intent marker → log rewrite → view pass → intent
+    * cleared. The log's live-tail quiescence fence is probed BEFORE the
+    * marker commits: a fence refusal mutates nothing, so it must not
+    * latch an open intent. The marker records the mounted view names —
+    * [[recoverRetract]] refuses to replay (and clear the intent) while
+    * any of them is missing, since a view mounted after recovery would
+    * keep its ghost rows forever. */
   def retract(cond: org.apache.spark.sql.Column, intentFile: String): Long = {
     throwIfClosed(); count("retract")
     lock.lock()
     try {
-      val p = java.nio.file.Paths.get(intentFile)
-      if (java.nio.file.Files.exists(p))
-        throw new IllegalStateException(
-          s"an unrecovered db takedown intent exists at $intentFile — run recoverRetract() " +
-            "first (starting a new takedown would abandon the crashed one's erasure)")
+      val p = intentPathForNew(intentFile)
+      log.probeRewriteFence("retract") // refuse BEFORE the intent exists
       val seqsDir = intentFile + ".seqs"
       deleteDirIfExists(seqsDir) // uncommitted leftover from a pre-marker crash
       log.read.where(cond).select(log.seqCol).write.parquet(seqsDir)
       // the parquet list is complete (_SUCCESS) — NOW commit the intent
-      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      val tmp = java.nio.file.Paths.get(intentFile + ".tmp")
-      java.nio.file.Files.writeString(tmp, "@seqs")
-      java.nio.file.Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      commitIntent(p, intentFile, s"@seqs$viewsToken")
       val seqs = readSeqList(seqsDir)
       val removed = log.retract(cond)
-      retractViews(seqs)
+      // mirror the undurable form: a zero-match takedown has no ghost
+      // rows to purge — do not destroy/rebuild every folding view
+      if (removed > 0) retractViews(seqs)
       java.nio.file.Files.delete(p)
       deleteDirIfExists(seqsDir)
       removed
@@ -414,21 +416,15 @@ final class FlumeDb(
     throwIfClosed(); count("retract")
     lock.lock()
     try {
-      val p = java.nio.file.Paths.get(intentFile)
-      if (java.nio.file.Files.exists(p))
-        throw new IllegalStateException(
-          s"an unrecovered db takedown intent exists at $intentFile — run recoverRetract() " +
-            "first (starting a new takedown would abandon the crashed one's erasure)")
+      val p = intentPathForNew(intentFile)
+      log.probeRewriteFence("retract")
       val seqsDir = intentFile + ".seqs"
       deleteDirIfExists(seqsDir)
       markedSeqs(ids, idCol).write.parquet(seqsDir)
-      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      val tmp = java.nio.file.Paths.get(intentFile + ".tmp")
-      java.nio.file.Files.writeString(tmp, "@seqs")
-      java.nio.file.Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      commitIntent(p, intentFile, s"@seqs$viewsToken")
       val seqs = readSeqList(seqsDir)
       val removed = log.retractIds(seqs, log.seqCol)
-      retractViews(seqs)
+      if (removed > 0) retractViews(seqs)
       java.nio.file.Files.delete(p)
       deleteDirIfExists(seqsDir)
       removed
@@ -442,27 +438,59 @@ final class FlumeDb(
     throwIfClosed(); count("expire")
     lock.lock()
     try {
-      val p = java.nio.file.Paths.get(intentFile)
-      if (java.nio.file.Files.exists(p))
-        throw new IllegalStateException(
-          s"an unrecovered db takedown intent exists at $intentFile — run recoverRetract() " +
-            "first (starting a new pass would abandon the crashed one's erasure)")
-      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      val tmp = java.nio.file.Paths.get(intentFile + ".tmp")
-      java.nio.file.Files.writeString(tmp, s"EXPIRE $throughSeq")
-      java.nio.file.Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val p = intentPathForNew(intentFile)
+      log.probeRewriteFence("expire")
+      commitIntent(p, intentFile, s"EXPIRE $throughSeq$viewsToken")
       val removed = log.expire(throughSeq)
-      expireViews(throughSeq)
+      if (removed > 0) expireViews(throughSeq)
       java.nio.file.Files.delete(p)
       removed
     } finally lock.unlock()
   }
 
+  /** Refuse a new durable pass while an unrecovered intent exists;
+    * returns the intent path (parent dirs not yet created). */
+  private def intentPathForNew(intentFile: String): java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(intentFile)
+    if (java.nio.file.Files.exists(p))
+      throw new IllegalStateException(
+        s"an unrecovered db takedown intent exists at $intentFile — run recoverRetract() " +
+          "first (starting a new pass would abandon the crashed one's erasure)")
+    p
+  }
+
+  /** Atomically commit the intent marker (write-then-rename). */
+  private def commitIntent(p: java.nio.file.Path, intentFile: String, content: String): Unit = {
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    val tmp = java.nio.file.Paths.get(intentFile + ".tmp")
+    java.nio.file.Files.writeString(tmp, content)
+    java.nio.file.Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** ` views=a,b,c` — the mounted view names recorded into a durable
+    * intent, so [[recoverRetract]] can detect a replay attempted before
+    * every persistent view of the crashed session is mounted again.
+    * Names containing whitespace or commas cannot be encoded losslessly
+    * in the single-line marker; such a set is recorded as unchecked. */
+  private def viewsToken: String = {
+    val names = viewNames
+    if (names.isEmpty || names.exists(n => n.contains(",") || n.exists(_.isWhitespace))) ""
+    else s" views=${names.mkString(",")}"
+  }
+
   /** Close an interrupted durable takedown/retention pass: if an intent
     * survives, both halves re-run from the durable record — the seq
     * list for a takedown, the horizon for a retention pass — and the
-    * intent clears (every arm idempotent). Call at open, before serving
-    * reads. Returns true when a window was replayed. */
+    * intent clears (every arm idempotent). Call at open AFTER mounting
+    * every persistent view the crashed session had mounted: the replay
+    * heals only views mounted NOW, and the incremental build loop can
+    * never remove ghost rows later ([[use]] sync only appends). The
+    * intent records the mounted-view names at takedown time and this
+    * method REFUSES to replay (leaving the window open) while any of
+    * them is missing. A corrupt marker, or a takedown marker whose
+    * durable seq list is gone, also refuses with a descriptive error
+    * rather than clearing the window. Returns true when a window was
+    * replayed. */
   def recoverRetract(intentFile: String): Boolean = {
     throwIfClosed()
     lock.lock()
@@ -475,15 +503,43 @@ final class FlumeDb(
         deleteDirIfExists(seqsDir) // a list never committed by a marker
         return false
       }
-      java.nio.file.Files.readString(p).trim.split("\\s+") match {
+      val content = java.nio.file.Files.readString(p).trim
+      val toks = content.split("\\s+")
+      val recorded = toks.find(_.startsWith("views="))
+        .map(_.stripPrefix("views=").split(",").toSeq.filter(_.nonEmpty))
+        .getOrElse(Seq.empty)
+      val missing = recorded.filterNot(viewNames.toSet)
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"recoverRetract: the crashed pass at $intentFile recorded mounted views " +
+            s"[${missing.mkString(", ")}] that are not mounted now — mount every " +
+            "persistent view first, or the replay cannot purge their ghost rows " +
+            "(the intent is left open)")
+      toks.takeWhile(!_.startsWith("views=")) match {
         case Array("EXPIRE", through) =>
-          val t = through.toLong
+          val t = through.toLongOption.getOrElse(throw new IllegalStateException(
+            s"recoverRetract: corrupt intent at $intentFile — 'EXPIRE' horizon " +
+              s"'$through' is not a seq; the durable window is left open"))
           log.expire(t) // the prefix that survived the crash leaves now
           expireViews(t)
-        case _ =>
+        case Array("@seqs") =>
+          if (!java.nio.file.Files.exists(java.nio.file.Paths.get(seqsDir)))
+            throw new IllegalStateException(
+              s"recoverRetract: takedown intent at $intentFile names a durable seq " +
+                s"list at $seqsDir that does not exist — the marker is committed only " +
+                "after the list, so the list was deleted out of band; the window is " +
+                "left open (restore the list or audit the takedown before clearing)")
           val seqs = readSeqList(seqsDir)
-          log.retractIds(seqs, log.seqCol) // absent seqs rewrite nothing
-          retractViews(seqs)
+          if (seqs.isEmpty) () // a zero-match pass: nothing to replay anywhere
+          else {
+            log.retractIds(seqs, log.seqCol) // absent seqs rewrite nothing
+            retractViews(seqs)
+          }
+        case _ =>
+          throw new IllegalStateException(
+            s"recoverRetract: unrecognized intent content '$content' at $intentFile — " +
+              "expected '@seqs' or 'EXPIRE <seq>'; the durable window is left open " +
+              "(a corrupt marker must be audited, not silently cleared)")
       }
       java.nio.file.Files.delete(p)
       deleteDirIfExists(seqsDir)

@@ -137,6 +137,16 @@ trait FlumeLog {
     throw new UnsupportedOperationException(
       s"${getClass.getSimpleName} is read-only — no storage to retract")
 
+  /** Probe the backend's rewrite quiescence fence WITHOUT mutating
+    * anything: throws exactly when [[retract]]/[[expire]] would refuse
+    * to start (a live tail in flight). Default no-op for backends with
+    * no fence. Lets durable orchestration
+    * ([[FlumeDb.retract(cond:org\.apache\.spark\.sql\.Column,intentFile:String)*]])
+    * verify the rewrite can begin BEFORE committing a crash-recovery
+    * intent marker — a fence refusal after the marker exists would
+    * latch an open intent for an operation that mutated nothing. */
+  def probeRewriteFence(op: String = "rewrite"): Unit = ()
+
   /** RETENTION (age-out): physically remove every row with
     * `seq <= throughSeq` — the other deletion a 100 TB corpus log needs
     * besides the takedown: data past its retention window must leave
@@ -643,6 +653,8 @@ final class ParquetLog(
           "a parity boundary (awaitParity / processAllAvailable) instead.")
   }
 
+  override def probeRewriteFence(op: String): Unit = fenceRewrite(op)
+
   override protected def retractMarked(mark: DataFrame => DataFrame): Long = synchronized {
     val hitC = col(ParquetLog.hitCol)
     fenceRewrite("retract")
@@ -975,12 +987,15 @@ final class JsonLinesLog(
     * compact swap: write keep rows + the cursor marker into
     * `.retracting`, two renames, recovery at open restores old or
     * adopts new — never a partial state. */
-  override protected def retractMarked(mark: DataFrame => DataFrame): Long = synchronized {
+  override def probeRewriteFence(op: String): Unit =
     if (ParquetLog.liveTailStarted(dir))
       throw new IllegalStateException(
-        s"retract: a live tail (readStream) was started on $dir; the file streaming " +
+        s"$op: a live tail (readStream) was started on $dir; the file streaming " +
           "source tracks processed files by name, so the rewrite would re-deliver " +
-          "every kept row as a duplicate. Stop the stream before retracting.")
+          "every kept row as a duplicate. Stop the stream first.")
+
+  override protected def retractMarked(mark: DataFrame => DataFrame): Long = synchronized {
+    probeRewriteFence("retract")
     if (cursor < 0) return 0L
     recoverSwapLeftovers(cleanStale = true)
     val hitC = col(ParquetLog.hitCol)

@@ -478,4 +478,100 @@ class FlumeDbSpec extends SparkSpec {
     val st2 = db.gated("stats")(_.asInstanceOf[MergeableReduceView[Stats]].value.get)
     assert(st2.n === 3L)
   }
+
+  test("recoverRetract refuses while a recorded persistent view is not mounted") {
+    import java.nio.file.{Files, Paths}
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val dirLog = tmp("graft-dbrv-log"); val dirIdx = tmp("graft-dbrv-idx")
+    val intent = Paths.get(tmp("graft-dbrv-i"), "_intent").toString
+    val log1 = new ParquetLog(spark, dirLog, schema)
+    log1.append(fooDf(10L, 20L, 30L))
+    val db1 = new FlumeDb(log1).use("idx", PersistentIndexView.onColumn(dirIdx, "foo"))
+    // crash AFTER the log rewrite, BEFORE the view pass — with the
+    // mounted-view names recorded the way the durable form records them
+    log1.read.where(col("foo") === 20L).select("seq").write.parquet(intent + ".seqs")
+    Files.writeString(Paths.get(intent), "@seqs views=idx")
+    log1.retract(col("foo") === 20L)
+    db1.close()
+    // reopen WITHOUT mounting the recorded view: recovery must refuse
+    // (clearing the intent now would leave 'idx' ghost postings forever)
+    val log2 = new ParquetLog(spark, dirLog, schema)
+    val dbBare = new FlumeDb(log2)
+    val e = intercept[IllegalStateException](dbBare.recoverRetract(intent))
+    assert(e.getMessage.contains("idx"), s"the refusal names the missing view: ${e.getMessage}")
+    assert(Files.exists(Paths.get(intent)), "the refusal leaves the window open")
+    // mount it, recover: the ghost posting leaves and the intent clears
+    val db2 = dbBare.use("idx", PersistentIndexView.onColumn(dirIdx, "foo"))
+    assert(db2.recoverRetract(intent))
+    val idx = db2.view("idx").view.asInstanceOf[graft.views.PersistentIndexView]
+    assert(idx.get("20").count() === 0L)
+    assert(!Files.exists(Paths.get(intent)))
+    // the durable forms RECORD the names end to end: crash a fresh pass
+    // by hand-checking the marker content they write
+    assert(db2.retract(col("foo") === 10L, intent) === 1L)
+    assert(!Files.exists(Paths.get(intent)), "happy path still clears")
+  }
+
+  test("recoverRetract refuses corrupt markers and missing seq lists descriptively") {
+    import java.nio.file.{Files, Paths}
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val intent = Paths.get(tmp("graft-dbrc-i"), "_intent").toString
+    val (_, db) = mkDb()
+    // corrupt content: neither '@seqs' nor 'EXPIRE <seq>'
+    Files.writeString(Paths.get(intent), "garbage 123")
+    val e1 = intercept[IllegalStateException](db.recoverRetract(intent))
+    assert(e1.getMessage.contains("unrecognized intent content"))
+    assert(Files.exists(Paths.get(intent)), "a corrupt window stays open for audit")
+    Files.delete(Paths.get(intent))
+    // EXPIRE with a non-numeric horizon
+    Files.writeString(Paths.get(intent), "EXPIRE soon")
+    val e2 = intercept[IllegalStateException](db.recoverRetract(intent))
+    assert(e2.getMessage.contains("not a seq"))
+    Files.delete(Paths.get(intent))
+    // a takedown marker whose durable seq list is gone
+    Files.writeString(Paths.get(intent), "@seqs")
+    val e3 = intercept[IllegalStateException](db.recoverRetract(intent))
+    assert(e3.getMessage.contains("does not exist"))
+    assert(Files.exists(Paths.get(intent)))
+    Files.delete(Paths.get(intent))
+  }
+
+  test("a fence refusal before the durable takedown leaves NO open intent") {
+    import java.nio.file.{Files, Paths}
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val dirLog = tmp("graft-dbrf-log")
+    val intent = Paths.get(tmp("graft-dbrf-i"), "_intent").toString
+    val log = new ParquetLog(spark, dirLog, schema)
+    log.append(fooDf(10L, 20L))
+    val db = new FlumeDb(log)
+    // simulate a file-granular live tail on the log dir: every rewrite
+    // (and the probe) must refuse
+    ParquetLog.markLiveTail(dirLog)
+    intercept[IllegalStateException](log.probeRewriteFence("probe"))
+    intercept[IllegalStateException](db.retract(col("foo") === 10L, intent))
+    assert(!Files.exists(Paths.get(intent)),
+      "nothing was mutated — the refusal must not latch an open intent")
+    assert(!Files.exists(Paths.get(intent + ".seqs")))
+    intercept[IllegalStateException](db.expire(0L, intent))
+    assert(!Files.exists(Paths.get(intent)))
+    assert(!db.recoverRetract(intent), "no window was ever opened")
+  }
+
+  test("a zero-match durable takedown skips the view pass but clears the intent") {
+    import java.nio.file.{Files, Paths}
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val intent = Paths.get(tmp("graft-dbrz-i"), "_intent").toString
+    val (_, db) = mkDb()
+    val v = new CountingView
+    db.use("count", countingDef(v))
+    db.append(fooDf(10L, 20L, 30L))
+    assert(v.destroys.get() === 0)
+    assert(db.retract(col("foo") === 999L, intent) === 0L)
+    assert(v.destroys.get() === 0,
+      "a takedown that matched nothing must not destroy/rebuild folding views")
+    assert(!Files.exists(Paths.get(intent)), "the intent still clears")
+    assert(db.expire(-1L, intent) === 0L)
+    assert(v.destroys.get() === 0)
+    assert(!Files.exists(Paths.get(intent)))
+  }
 }
