@@ -1343,6 +1343,73 @@ class StreamingSpec extends SparkSpec {
     } finally cur.stop()
   }
 
+  test("fault injection (r15 flake, skipped-batch theory): awaitParity cannot leave an interval unprocessed") {
+    // the other way the observed failure state can arise (both
+    // re-uploads missing from the curated log) is the micro-batch
+    // carrying them never being processed while awaitParity returned.
+    // Excluded here by construction: an instrumented binding records
+    // every absorbed interval; rapid appends land back-to-back WITHOUT
+    // parity waits between (so the source must coalesce and deliver
+    // them however it batches), a takedown runs mid-stream at a parity
+    // boundary, and at every awaitParity the cursor must equal the
+    // source HWM with the absorbed uptos tiling the whole seq range —
+    // a silently skipped batch breaks both.
+    import graft.ops.Multimodal
+    import graft.views.{PhashTableView, Retraction}
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val srcLog = new ParquetLog(spark, tmp("graft-skip-src"), Multimodal.mediaSchema)
+    val curLog = new ParquetLog(spark, tmp("graft-skip-dst"), Multimodal.mediaSchema)
+    val phView = new PhashTableView(spark, s"${tmp("graft-skip-ph")}/ph", 1)
+    val commit = java.nio.file.Paths.get(tmp("graft-skip-c"), "_mark").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val inner = MediaDedupBinding.image(phView)
+    val uptos = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+    val binding = new MediaDedupBinding {
+      def since: Long = inner.since
+      def storedOption = inner.storedOption
+      def featurize(media: org.apache.spark.sql.DataFrame) = inner.featurize(media)
+      def selfPairs(features: org.apache.spark.sql.DataFrame) = inner.selfPairs(features)
+      def crossPairs(features: org.apache.spark.sql.DataFrame,
+          stored: org.apache.spark.sql.DataFrame) = inner.crossPairs(features, stored)
+      def absorb(features: org.apache.spark.sql.DataFrame, upto: Long): Unit = {
+        uptos.add(upto); inner.absorb(features, upto)
+      }
+    }
+    def media(ids: Long*) =
+      Multimodal.syntheticTexturePngMedia(docs.where(col("doc_id").isin(ids: _*)))
+    val cur = new MediaStreamingCurator(srcLog, curLog, binding, commit)
+    try {
+      // three appends back-to-back, no parity wait between them
+      srcLog.append(media(0L, 3L)); srcLog.append(media(6L)); srcLog.append(media(9L, 12L))
+      cur.awaitParity()
+      assert(phView.since === srcLog.since,
+        s"cursor ${phView.since} behind source ${srcLog.since}: an interval was skipped")
+      val curated1 = curLog.read.select("media_id").collect().map(_.getLong(0)).toSet
+      assert(curated1 === Set(0L, 3L, 6L, 9L, 12L), s"got $curated1")
+      // mid-stream takedown at a parity boundary, then more rapid appends
+      Retraction.retract(curLog, "media_id", Seq(6L),
+        (ids: Seq[Long]) => phView.retractWhere(col("media_id").isin(ids: _*)),
+        java.nio.file.Paths.get(tmp("graft-skip-i"), "_intent").toString)
+      srcLog.append(Multimodal.syntheticTexturePngMedia(
+        docs.where(col("doc_id") === 6L), idOffset = 1000L)) // re-upload of retracted
+      srcLog.append(media(15L))
+      srcLog.append(Multimodal.syntheticTexturePngMedia(
+        docs.where(col("doc_id") === 9L), idOffset = 1000L)) // copy of kept
+      cur.awaitParity()
+      assert(phView.since === srcLog.since,
+        s"cursor ${phView.since} behind source ${srcLog.since} after takedown")
+      val curated2 = curLog.read.select("media_id").collect().map(_.getLong(0)).toSet
+      assert(curated2 === Set(0L, 3L, 9L, 12L, 15L, 1006L),
+        s"expected re-upload of retracted 6 to survive and copy of kept 9 to drop, got $curated2")
+      // the absorbed intervals tile the seq range: strictly increasing,
+      // ending at the source HWM (absorb runs even for all-dropped
+      // batches, so gaps = skipped batches)
+      val us = uptos.toArray.map(_.asInstanceOf[Long]).toSeq
+      assert(us === us.sorted && us.distinct == us, s"absorb order broke: $us")
+      assert(us.lastOption.contains(srcLog.since), s"absorbs $us never reached ${srcLog.since}")
+    } finally cur.stop()
+  }
+
   test("media streaming curator: video binding — multi-row frame features through the same engine") {
     import graft.ops.Multimodal
     import graft.views.FrameHashTableView

@@ -1045,6 +1045,50 @@ class PersistenceSpec extends SparkSpec {
     assert(v2.frame.count() === total - idsInCell.length, "and survive reopen")
   }
 
+  test("fault injection (r15 flake, stale-store theory): phash reads see the post-retract chain through primed caches") {
+    // the one observed live-curator failure looked as if a micro-batch
+    // consulted the PRE-retraction store. For that to happen, a fresh
+    // `hashes` frame (decide() builds one per batch) would have to
+    // serve the rewritten unit's OLD rows. This pins the exact read
+    // path: execute queries over the store BEFORE the rewrite (priming
+    // Spark's shared file-status/footer caches for the unit paths),
+    // hold a pre-retraction frame alive across the rewrite, then
+    // assert fresh frames — and the incremental near-dup join itself —
+    // see only the post-retract rows.
+    val hSchema = StructType(Seq(
+      StructField("media_id", LongType), StructField("phash", LongType)))
+    def hdf(rows: (Long, Long)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2))), hSchema)
+    val dir = Files.createTempDirectory("graft-stale").toString + "/ph"
+    val v = new PhashTableView(spark, dir, 1)
+    v.absorbHashes(hdf((1L, 0x1111L), (2L, 0x2222L)), 1L)
+    v.absorbHashes(hdf((3L, 0x3333L)), 2L)
+    val pre = v.hashes // frame created pre-retraction, kept alive
+    assert(pre.count() === 3L) // EXECUTED: listing caches now primed
+    assert(v.hashes.where(col("media_id") === 2L).count() === 1L)
+    v.retractWhere(col("media_id") === 2L)
+    // fresh frames must serve the rewritten unit, not any cached listing
+    assert(v.hashes.count() === 2L)
+    assert(v.hashes.where(col("media_id") === 2L).count() === 0L,
+      "a fresh store frame served pre-retraction rows: the stale-store window is REAL")
+    // the exact read the curator's crossPairs makes: a new batch
+    // identical to the RETRACTED hash must find no stored pair
+    val pairs = graft.ops.Multimodal.perceptualNearDupIncremental(
+      hdf((1002L, 0x2222L)), v.hashes, maxHamming = 0)
+    assert(pairs.count() === 0L,
+      "retracted hash matched from the store: the stale-store window is REAL")
+    // and a batch matching a KEPT hash still pairs (the store is live,
+    // not merely emptied)
+    val kept = graft.ops.Multimodal.perceptualNearDupIncremental(
+      hdf((1001L, 0x1111L)), v.hashes, maxHamming = 0)
+    assert(kept.count() === 1L)
+    // repeat the whole cycle once more against the SAME paths (a second
+    // rewrite over now-twice-cached listings)
+    v.retractWhere(col("media_id") === 1L)
+    assert(v.hashes.where(col("media_id") === 1L).count() === 0L)
+    assert(v.hashes.select("media_id").collect().map(_.getLong(0)).toSeq === Seq(3L))
+  }
+
   test("a new takedown refuses to start over an unrecovered intent") {
     import spark.implicits._
     val docSchema = StructType(Seq(
