@@ -68,6 +68,51 @@ trait SeqRetractableView { self: FlumeView =>
   def expireLogSeqs(throughSeq: Long): Unit
 }
 
+/** Opt-in for mounted KEYED folding views (latest-per-key stores like
+  * the hashtable): derived state folds per key, so a takedown can be
+  * taken IN PLACE at ∝-affected-keys cost instead of the ∝-corpus
+  * destroy + rebuild — (1) physically purge every stored row built
+  * from a removed log seq (old superseded versions too: takedown bytes
+  * must leave storage), (2) recompute ONLY the keys whose current
+  * state was built from a removed row, from a key-pruned scan of the
+  * post-takedown log (a broadcast semi-join on the affected keys: the
+  * scan is narrow and the aggregation materializes only the affected
+  * groups). Retention needs no recompute at all: a key's surviving
+  * latest is by definition newer than the horizon, so expire is a pure
+  * predicate delete. Views whose fold is IRREVERSIBLE across rows
+  * (Welford moments, sketches) must not implement this — there is no
+  * per-key recompute cheaper than the rebuild the db already does. */
+trait KeyRetractableView { self: FlumeView =>
+  /** Purge rows built from `seqs` (one column, `seqColName`) and
+    * recompute the affected keys from `postLog` — the POST-takedown
+    * mapped log frame (what [[FlumeView.absorb]] would have seen).
+    * Must be idempotent under whole-call replay: the db's durable
+    * intent protocol re-runs it after a crash in any window. */
+  def retractLogSeqsRecompute(seqs: DataFrame, seqColName: String, postLog: DataFrame): Unit
+  /** Remove every stored row with log seq ≤ `throughSeq` (retention —
+    * a pure predicate delete, see class doc). */
+  def expireLogSeqs(throughSeq: Long): Unit
+}
+
+/** Opt-in for mounted REDUCE views whose merge has an exact inverse
+  * (sum, count): a db-level takedown subtracts the removed rows'
+  * partial from the fold — O(matches), no rebuild, no storage rewrite.
+  * Welford-style moment folds deliberately do NOT opt in even though
+  * an algebraic inverse exists: un-merging m2 is catastrophic
+  * cancellation when the removed mass approaches the total (exactly
+  * the large-takedown case), so the db rebuilds those — stability over
+  * speed for a statistics artifact. Sketches (bloom, HLL, CountMin)
+  * cannot opt in at all: insertion destroys information. */
+trait InvertibleReduceView { self: FlumeView =>
+  /** False when the instance was built without an inverse — the db
+    * then falls back to destroy + rebuild. */
+  def canUnabsorb: Boolean
+  /** Subtract the partial of the REMOVED rows (already mapped — the
+    * same frame shape [[FlumeView.absorb]] consumed) from the fold.
+    * The view cursor is unchanged: a takedown is not an absorb. */
+  def unabsorb(removedRows: DataFrame): Unit
+}
+
 final class ClosedException(msg: String) extends IllegalStateException(msg)
 
 /** The engine core: one ordered log + a star of incrementally-maintained
@@ -302,9 +347,11 @@ final class FlumeDb(
     try {
       // the removed seq set must outlive the rewrite it prunes:
       // materialize BEFORE the log swap (the repo's persist-fence rule)
-      val seqs = log.read.where(cond).select(log.seqCol).localCheckpoint(true)
+      val matched = log.read.where(cond)
+      val seqs = matched.select(log.seqCol).localCheckpoint(true)
+      val rows = capturedRemovedRows(matched)
       val removed = log.retract(cond)
-      if (removed > 0) retractViews(seqs)
+      if (removed > 0) retractViews(seqs, rows)
       removed
     } finally lock.unlock()
   }
@@ -318,9 +365,13 @@ final class FlumeDb(
     throwIfClosed(); count("retract")
     lock.lock()
     try {
-      val seqs = markedSeqs(ids, idCol).localCheckpoint(true)
+      import org.apache.spark.sql.functions.col
+      val marked = ParquetLog.hitMarker(ids, idCol, 4L * 1000 * 1000)(log.read)
+        .where(col(ParquetLog.hitCol)).drop(ParquetLog.hitCol)
+      val seqs = marked.select(log.seqCol).localCheckpoint(true)
+      val rows = capturedRemovedRows(marked)
       val removed = log.retractIds(ids, idCol)
-      if (removed > 0) retractViews(seqs)
+      if (removed > 0) retractViews(seqs, rows)
       removed
     } finally lock.unlock()
   }
@@ -342,18 +393,53 @@ final class FlumeDb(
     throwIfClosed(); count("expire")
     lock.lock()
     try {
+      import org.apache.spark.sql.functions.{col, lit}
+      // the expiring prefix, captured ONLY if an invertible reduce is
+      // mounted (∝ expired data — the data leaving storage anyway;
+      // without it the fold pays a ∝-corpus rebuild instead)
+      val rows = capturedRemovedRows(
+        log.read.where(col(log.seqCol) <= lit(throughSeq)))
       val removed = log.expire(throughSeq)
-      if (removed > 0) expireViews(throughSeq)
+      if (removed > 0) expireViews(throughSeq, rows)
       removed
     } finally lock.unlock()
   }
 
-  private def retractViews(removedSeqs: DataFrame): Unit = {
+  /** The matched (mapped) rows, materialized pre-rewrite — captured
+    * only when a mounted view can consume them (an invertible reduce);
+    * every other family works from the seq set / horizon alone. */
+  private def capturedRemovedRows(matched: DataFrame): Option[DataFrame] = {
+    val needed = {
+      val it = views.values().iterator()
+      var found = false
+      while (it.hasNext && !found) it.next().view match {
+        case v: InvertibleReduceView if v.canUnabsorb => found = true
+        case _ => ()
+      }
+      found
+    }
+    if (needed) Some(mapper.fold(matched)(f => f(matched)).localCheckpoint(true)) else None
+  }
+
+  /** Bring every mounted view to the post-takedown state, cheapest
+    * mechanism first per family: seq-keyed posting tables delete in
+    * place; keyed folds purge + recompute only the affected keys;
+    * invertible reduces subtract the removed rows' partial (when the
+    * rows were capturable — a durable-intent REPLAY has only the seq
+    * list, the log is already rewritten, so those fall through to the
+    * rebuild); everything else destroys + rebuilds, the universally
+    * correct fallback. */
+  private def retractViews(removedSeqs: DataFrame, removedRows: Option[DataFrame]): Unit = {
+    lazy val postLog = mapper.fold(log.read)(f => f(log.read))
     val it = views.values().iterator()
     while (it.hasNext) {
       val m = it.next()
       m.view match {
         case s: SeqRetractableView => s.retractLogSeqs(removedSeqs, log.seqCol)
+        case k: KeyRetractableView =>
+          k.retractLogSeqsRecompute(removedSeqs, log.seqCol, postLog)
+        case v: InvertibleReduceView if v.canUnabsorb && removedRows.isDefined =>
+          v.unabsorb(removedRows.get)
         case _ => m.view.destroy(); sync(m)
       }
     }
@@ -397,10 +483,13 @@ final class FlumeDb(
       // the parquet list is complete (_SUCCESS) — NOW commit the intent
       commitIntent(p, intentFile, s"@seqs$viewsToken")
       val seqs = readSeqList(seqsDir)
+      // removed rows capturable only on the FRESH pass (a crash replay
+      // finds the log already rewritten — those views rebuild instead)
+      val rows = capturedRemovedRows(log.read.where(cond))
       val removed = log.retract(cond)
       // mirror the undurable form: a zero-match takedown has no ghost
       // rows to purge — do not destroy/rebuild every folding view
-      if (removed > 0) retractViews(seqs)
+      if (removed > 0) retractViews(seqs, rows)
       java.nio.file.Files.delete(p)
       deleteDirIfExists(seqsDir)
       removed
@@ -423,8 +512,12 @@ final class FlumeDb(
       markedSeqs(ids, idCol).write.parquet(seqsDir)
       commitIntent(p, intentFile, s"@seqs$viewsToken")
       val seqs = readSeqList(seqsDir)
+      val rows = capturedRemovedRows(
+        ParquetLog.hitMarker(seqs, log.seqCol, 4L * 1000 * 1000)(log.read)
+          .where(org.apache.spark.sql.functions.col(ParquetLog.hitCol))
+          .drop(ParquetLog.hitCol))
       val removed = log.retractIds(seqs, log.seqCol)
-      if (removed > 0) retractViews(seqs)
+      if (removed > 0) retractViews(seqs, rows)
       java.nio.file.Files.delete(p)
       deleteDirIfExists(seqsDir)
       removed
@@ -441,8 +534,11 @@ final class FlumeDb(
       val p = intentPathForNew(intentFile)
       log.probeRewriteFence("expire")
       commitIntent(p, intentFile, s"EXPIRE $throughSeq$viewsToken")
+      val rows = capturedRemovedRows(log.read.where(
+        org.apache.spark.sql.functions.col(log.seqCol) <=
+          org.apache.spark.sql.functions.lit(throughSeq)))
       val removed = log.expire(throughSeq)
-      if (removed > 0) expireViews(throughSeq)
+      if (removed > 0) expireViews(throughSeq, rows)
       java.nio.file.Files.delete(p)
       removed
     } finally lock.unlock()
@@ -533,7 +629,10 @@ final class FlumeDb(
           if (seqs.isEmpty) () // a zero-match pass: nothing to replay anywhere
           else {
             log.retractIds(seqs, log.seqCol) // absent seqs rewrite nothing
-            retractViews(seqs)
+            // rows = None: the log may already be rewritten, so the
+            // removed rows are unrecoverable — invertible reduces take
+            // the rebuild arm on replay (rare; correctness first)
+            retractViews(seqs, None)
           }
         case _ =>
           throw new IllegalStateException(
@@ -547,12 +646,15 @@ final class FlumeDb(
     } finally lock.unlock()
   }
 
-  private def expireViews(throughSeq: Long): Unit = {
+  private def expireViews(throughSeq: Long, removedRows: Option[DataFrame] = None): Unit = {
     val it = views.values().iterator()
     while (it.hasNext) {
       val m = it.next()
       m.view match {
         case s: SeqRetractableView => s.expireLogSeqs(throughSeq)
+        case k: KeyRetractableView => k.expireLogSeqs(throughSeq)
+        case v: InvertibleReduceView if v.canUnabsorb && removedRows.isDefined =>
+          v.unabsorb(removedRows.get)
         case _ => m.view.destroy(); sync(m)
       }
     }

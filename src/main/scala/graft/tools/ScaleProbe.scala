@@ -166,6 +166,7 @@ object ScaleProbe {
       case "heaps" => heapsMode(spark)
       case "retract" => retractMode(spark)
       case "expire" => expireMode(spark)
+      case "dbviews" => dbViewsMode(spark)
       case _ =>
         families(sf01, "sf0.1")
         families(outDir, "sf1")
@@ -297,6 +298,66 @@ object ScaleProbe {
           s""""whole_buckets_deleted":$expiredBuckets,"total_buckets":$totalBuckets,""" +
           f""""wall_expire_s":$wallA%.2f,"wall_retract_form_s":$wallB%.2f""" + "}")
       }
+    }
+  }
+
+  /** Round-16 mode `dbviews`: the db-level takedown's VIEW arm at
+    * scale. r15's one perf-weak mark: with a folding view mounted,
+    * every takedown paid a full-log rebuild per view (∝ corpus). The
+    * keyed families now take takedowns in place — hashtable = purge +
+    * affected-key recompute, SCD-2 = row delete, sum-reduce = inverse —
+    * so the view pass should scale with the AFFECTED KEYS, while a
+    * Welford stats view (no inverse, deliberately) still pays the
+    * rebuild. Probe: 1×/10× corpora, a fixed 10-key takedown, wall for
+    * a db mounting the three in-place families vs a db mounting the
+    * rebuild-only stats view. Headline check: in-place wall near-flat
+    * across 10× corpus growth; rebuild wall ∝ corpus. */
+  private def dbViewsMode(spark: SparkSession): Unit = {
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType)))
+    def deleteTree(f: java.io.File): Unit = {
+      val fs = f.listFiles(); if (fs != null) fs.foreach(deleteTree); f.delete()
+    }
+    for (scale <- Seq(1L, 10L)) {
+      val n = 50000L * scale
+      val keys = n / 50 // 50 versions per key
+      def buildLog(dir: String): graft.core.ParquetLog = {
+        deleteTree(new java.io.File(dir))
+        val log = new graft.core.ParquetLog(spark, dir, schema, bucketSize = 4096L)
+        log.append(spark.range(n).select((col("id") % keys).as("k"), col("id").as("v")))
+        log
+      }
+      // the last id block holds each key exactly once (ids cycle mod
+      // keys), so this cond removes the CURRENT latest of keys 0..9
+      val cond = col("k") < 10L && col("v") >= n - keys
+      // arm A: the three in-place families (hashtable recompute, SCD-2
+      // row delete, sum inverse)
+      val base = s"/tmp/graft-dbviews-probe/n$n"
+      val logA = buildLog(s"$base-a")
+      val dbA = new graft.core.FlumeDb(logA)
+        .use("ht", graft.views.PersistentHashtableView(s"$base-ht", "k"))
+        .use("dim", graft.views.Scd2TableView(s"$base-dim", "k", "seq", Seq("v")))
+        .use("sum", graft.views.SumReduceView("v"))
+      val t0 = System.nanoTime()
+      val removedA = dbA.retract(cond)
+      val wallA = (System.nanoTime() - t0) / 1e9
+      dbA.close()
+      // arm B: the rebuild-only fold (Welford stats — no inverse by
+      // design), the r15 scale-killer shape
+      val logB = buildLog(s"$base-b")
+      val dbB = new graft.core.FlumeDb(logB)
+        .use("stats", graft.views.StatsReduceView("v"))
+      val t1 = System.nanoTime()
+      val removedB = dbB.retract(cond)
+      val wallB = (System.nanoTime() - t1) / 1e9
+      dbB.close()
+      require(removedA == removedB && removedA == 10L,
+        s"probe cond drifted: $removedA / $removedB removed")
+      println(s"[probe] {" +
+        s""""mode":"dbviews","corpus":$n,"keys":$keys,"affected_keys":10,""" +
+        f""""wall_inplace_s":$wallA%.2f,"wall_rebuild_s":$wallB%.2f""" + "}")
+      Seq(s"$base-a", s"$base-b", s"$base-ht", s"$base-dim")
+        .foreach(d => deleteTree(new java.io.File(d)))
     }
   }
 

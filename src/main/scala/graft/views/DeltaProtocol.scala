@@ -366,6 +366,24 @@ private[views] trait CompactableDeltas extends DeltaProtocol {
   }
 
 
+  /** Replace ONE `batch=` delta's content wholesale under the retract
+    * marker-commit protocol (write tmp → marker → delete unit → move
+    * tmp in; recovered at open by [[DeltaProtocol.recoverRetract]]'s
+    * adopt-the-complete-tmp arm). For views whose takedown REPAIRS a
+    * delta rather than just filtering it — the hashtable lands its
+    * recomputed affected keys this way. `content` must be computed
+    * from frames that survive the swap (materialized, or reading other
+    * dirs). */
+  protected def swapUnit(rel: String, content: DataFrame): Unit = {
+    if (Files.exists(retractTmp)) FsLists.walkDeepestFirst(retractTmp).foreach(Files.delete)
+    content.write.parquet(retractTmp.toString)
+    writeAtomic(retractMarker, rel) // commit point (valid with tmp/_SUCCESS)
+    val unit = root.resolve(rel)
+    if (Files.exists(unit)) FsLists.walkDeepestFirst(unit).foreach(Files.delete)
+    Files.move(retractTmp, unit)
+    Files.delete(retractMarker)
+  }
+
   /** Rewrite (keep = NOT marked) or tombstone-delete (`mark` = None) one
     * storage unit under the marker-commit protocol. */
   private def retractUnit(rel: String, mark: Option[DataFrame => DataFrame]): Unit = {

@@ -22,7 +22,8 @@ final class PersistentHashtableView(
     protected val protocolVersion: Int,
     keyCol: String,
     seqCol: String,
-    compactEvery: Int = 0) extends FlumeView with CompactableDeltas {
+    compactEvery: Int = 0) extends FlumeView with CompactableDeltas
+    with graft.core.KeyRetractableView {
 
   override protected def autoCompactEvery: Int = compactEvery
 
@@ -57,6 +58,54 @@ final class PersistentHashtableView(
     if (committedBatchDirs().isEmpty) None else Some(frame)
 
   def get(key: Any): DataFrame = frame.where(col(keyCol) === lit(key))
+
+  /** Db-level takedown IN PLACE (∝ affected keys, not ∝ log): the store
+    * keeps per-batch latests only, so a pure row delete could surface a
+    * stale stored version as a key's new latest while the log still
+    * holds a newer superseded one (dropped by within-batch compaction).
+    * Instead: (1) find the AFFECTED keys — any stored version built
+    * from a removed seq (a narrow key+seq scan of the delta chain);
+    * (2) recompute those keys' latest from a key-pruned semi-join scan
+    * of the POST-takedown log and swap them into the newest delta
+    * (replacing that delta's rows for those keys — one unit rewrite
+    * under the retract marker protocol); (3) purge every remaining
+    * stored row with a removed seq from the older deltas (the pruned
+    * per-delta rewrite). Replay-idempotent in every crash window: the
+    * db's durable intent re-runs the whole call; until step 3 finishes,
+    * older deltas still hold removed seqs, so the affected keys are
+    * re-detected and steps 2-3 re-run to the same state; after step 3
+    * nothing matches and the call is a no-op. */
+  def retractLogSeqsRecompute(seqs: DataFrame, seqColName: String, postLog: DataFrame): Unit = {
+    val dirs = committedBatchDirs()
+    if (dirs.isEmpty) return
+    val removed = seqs.select(col(seqColName).cast("long").as(seqCol))
+    val hit = col(graft.core.ParquetLog.hitCol)
+    def markRemoved(df: DataFrame): DataFrame =
+      graft.core.ParquetLog.hitMarker(removed, seqCol, 4L * 1000 * 1000)(df)
+    // (1) affected keys, materialized: they must outlive the rewrites
+    val affected = markRemoved(readDeltas(dirs)).where(hit)
+      .select(keyCol).distinct().localCheckpoint(true)
+    if (affected.isEmpty) return // nothing stored was built from a removed row
+    // (2) recomputed latests from the post-takedown log (broadcast
+    // semi-join on the affected keys: narrow scan, tiny aggregation)
+    val recomputed = latest(postLog.join(affected, Seq(keyCol), "left_semi"))
+      .localCheckpoint(true)
+    val lastDir = dirs.last
+    val keptLast = markRemoved(readDeltas(Seq(lastDir))).where(!hit)
+      .drop(graft.core.ParquetLog.hitCol)
+      .join(affected, Seq(keyCol), "left_anti") // recomputed rows replace them
+    swapUnit(s"batch=${batchUpto(lastDir)}", keptLast.unionByName(recomputed))
+    // (3) purge removed-seq rows still stored in older deltas
+    retractIds(removed, seqCol)
+  }
+
+  /** Retention IN PLACE: a pure predicate delete — every surviving
+    * key's latest is by definition newer than the horizon (all its
+    * rows ≤ horizon are superseded versions whose bytes leave here),
+    * and a key whose every version aged out leaves entirely. Equals a
+    * rebuild from the surviving log suffix row-for-row. */
+  def expireLogSeqs(throughSeq: Long): Unit =
+    retractWhere(col(seqCol) <= lit(throughSeq))
 }
 
 object PersistentHashtableView {

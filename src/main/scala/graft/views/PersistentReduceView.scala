@@ -32,7 +32,9 @@ final class PersistentReduceView[S](
     partial: DataFrame => S,
     merge: (S, S) => S,
     encode: S => String,
-    decode: String => S) extends FlumeView {
+    decode: String => S,
+    inverse: Option[(S, S) => S] = None)
+    extends FlumeView with graft.core.InvertibleReduceView {
 
   private val root: Path = Paths.get(dir)
   private val file: Path = root.resolve("VALUE")
@@ -82,6 +84,15 @@ final class PersistentReduceView[S](
     val p = partial(entries)
     state = Some(state.fold(p)(s => merge(s, p)))
     sinceSeq = upto
+    writeFile()
+  }
+
+  /** Exact-inverse folds take db-level takedowns in place — the
+    * un-merged value is committed through the same atomic file swap as
+    * an absorb (cursor unchanged: a takedown is not an absorb). */
+  def canUnabsorb: Boolean = inverse.isDefined
+  def unabsorb(removedRows: DataFrame): Unit = {
+    state = state.map(s => inverse.get(s, partial(removedRows)))
     writeFile()
   }
 
@@ -164,6 +175,36 @@ object PersistentBloomView {
       def version: Int = v
       def create(db: FlumeDb, name: String): FlumeView =
         new PersistentBloomView(s"$dir/$name", v, keyCol, expectedItems, fpp)
+    }
+  }
+}
+
+object PersistentSumReduceView {
+  /** Durable (sum, count) — the persistent form of [[SumReduceView]],
+    * codec = one "sum count" text line. Sum/count has an exact inverse,
+    * so this view takes db-level takedowns IN PLACE (the removed rows'
+    * partial subtracted, committed through the value-file swap);
+    * [[PersistentStatsReduceView]] deliberately rebuilds instead —
+    * un-merging Welford's m2 is catastrophic cancellation when the
+    * removed mass approaches the total. */
+  def apply(dir: String, viewVersion: Int, valueCol: String): ViewDef = new ViewDef {
+    def version: Int = viewVersion
+    def create(db: FlumeDb, name: String): FlumeView = {
+      import org.apache.spark.sql.functions._
+      new PersistentReduceView[(Double, Long)](
+        dir, viewVersion,
+        partial = { df =>
+          val r = df.agg(coalesce(sum(col(valueCol)), lit(0.0)).as("s"),
+            count(lit(1)).as("c")).head()
+          (r.getDouble(0), r.getLong(1))
+        },
+        merge = { case ((s1, c1), (s2, c2)) => (s1 + s2, c1 + c2) },
+        encode = s => s"${s._1} ${s._2}",
+        decode = { line =>
+          val Array(s, c) = line.trim.split("\\s+")
+          (s.toDouble, c.toLong)
+        },
+        inverse = Some({ case ((s1, c1), (s2, c2)) => (s1 - s2, c1 - c2) }))
     }
   }
 }

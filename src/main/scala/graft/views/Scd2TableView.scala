@@ -42,7 +42,8 @@ final class Scd2TableView(
     keyCol: String,
     seqCol: String,
     valueCols: Seq[String],
-    compactEvery: Int = 0) extends FlumeView with CompactableDeltas {
+    compactEvery: Int = 0) extends FlumeView with CompactableDeltas
+    with graft.core.SeqRetractableView {
 
   override protected def autoCompactEvery: Int = compactEvery
 
@@ -84,6 +85,23 @@ final class Scd2TableView(
 
   override def frameOption: Option[DataFrame] =
     if (committedBatchDirs().isEmpty) None else Some(dimension)
+
+  /** Db-level takedown IN PLACE (∝ matches): each stored row is exactly
+    * one log record's version (`from_seq` = that record's log seq), and
+    * the read/compaction fold re-derives every `to_seq` endpoint from
+    * `(key, from_seq, values)` alone — so deleting the rows whose
+    * `from_seq` was removed is EXACTLY a rebuild from the retracted
+    * log: the neighbors' intervals re-close over the gap at the next
+    * read. The delete is the pruned per-delta rewrite. */
+  def retractLogSeqs(seqs: DataFrame, seqColName: String): Unit =
+    retractIds(seqs.select(col(seqColName).cast("long").as("from_seq")), "from_seq")
+
+  /** Retention IN PLACE: the versions that began before the horizon
+    * leave storage (their bytes age out with the log rows they mirror);
+    * surviving versions' intervals re-derive at read. Matches a rebuild
+    * from the surviving log suffix row-for-row. */
+  def expireLogSeqs(throughSeq: Long): Unit =
+    retractWhere(col("from_seq") <= org.apache.spark.sql.functions.lit(throughSeq))
 }
 
 object Scd2TableView {

@@ -26,7 +26,9 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 final class MergeableReduceView[S](
     partial: DataFrame => S,
-    merge: (S, S) => S) extends FlumeView {
+    merge: (S, S) => S,
+    inverse: Option[(S, S) => S] = None)
+    extends FlumeView with graft.core.InvertibleReduceView {
 
   @volatile private var state: Option[S] = None
   @volatile private var sinceSeq: Long = -1L
@@ -47,6 +49,14 @@ final class MergeableReduceView[S](
     state = Some(state.fold(p)(s => merge(s, p)))
     sinceSeq = upto
   }
+
+  /** Exact-inverse folds (sum/count) take db-level takedowns in place:
+    * one partial over the removed rows, un-merged — O(matches). Folds
+    * without an inverse (Welford, min/max) leave `inverse` None and the
+    * db rebuilds them. */
+  def canUnabsorb: Boolean = inverse.isDefined
+  def unabsorb(removedRows: DataFrame): Unit =
+    state = state.map(s => inverse.get(s, partial(removedRows)))
 
   def destroy(): Unit = { state = None; sinceSeq = -1L }
 }
@@ -78,6 +88,15 @@ object MergeableReduceView {
   def apply[S](partialFn: DataFrame => S)(mergeFn: (S, S) => S): ViewDef = new ViewDef {
     def version: Int = 1
     def create(db: FlumeDb, name: String) = new MergeableReduceView[S](partialFn, mergeFn)
+  }
+
+  /** A fold with an exact inverse — mounts as an in-place takedown
+    * target ([[graft.core.InvertibleReduceView]]). */
+  def invertible[S](partialFn: DataFrame => S)(mergeFn: (S, S) => S)(
+      inverseFn: (S, S) => S): ViewDef = new ViewDef {
+    def version: Int = 1
+    def create(db: FlumeDb, name: String) =
+      new MergeableReduceView[S](partialFn, mergeFn, Some(inverseFn))
   }
 }
 
@@ -113,11 +132,18 @@ object StatsReduceView {
 }
 
 object SumReduceView {
-  /** sum + count of a numeric column (`/root/reference/test/memlog-map.js:24-29`). */
-  def apply(valueCol: String): ViewDef = MergeableReduceView[(Double, Long)] { df =>
+  /** sum + count of a numeric column (`/root/reference/test/memlog-map.js:24-29`).
+    * Sum/count merge has an exact inverse, so this view takes db-level
+    * takedowns IN PLACE (one partial over the removed rows, subtracted)
+    * instead of a full-log rebuild. [[StatsReduceView]] deliberately
+    * does not: un-merging Welford's m2 is catastrophic cancellation
+    * when the removed mass approaches the total. */
+  def apply(valueCol: String): ViewDef = MergeableReduceView.invertible[(Double, Long)] { df =>
     val r = df.agg(coalesce(sum(col(valueCol)), lit(0.0)).as("s"), count(lit(1)).as("c")).head()
     (r.getDouble(0), r.getLong(1))
-  } { case ((s1, c1), (s2, c2)) => (s1 + s2, c1 + c2) }
+  } { case ((s1, c1), (s2, c2)) => (s1 + s2, c1 + c2) } {
+    case ((s1, c1), (s2, c2)) => (s1 - s2, c1 - c2)
+  }
 }
 
 /** Reference-parity ordered fold for arbitrary closures (see class doc on

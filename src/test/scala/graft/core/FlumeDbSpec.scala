@@ -479,6 +479,151 @@ class FlumeDbSpec extends SparkSpec {
     assert(st2.n === 3L)
   }
 
+  val kvSchema: StructType = StructType(Seq(
+    StructField("k", StringType), StructField("v", LongType)))
+  private def kvDf(rows: (String, Long)*): DataFrame = spark.createDataFrame(
+    spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2))), kvSchema)
+
+  test("hashtable takes a db takedown IN PLACE: purge + affected-key recompute equals rebuild") {
+    import java.nio.file.Files
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val dirLog = tmp("graft-htr-log"); val dirHt = tmp("graft-htr-ht")
+    val log = new ParquetLog(spark, dirLog, kvSchema)
+    val db = new FlumeDb(log).use("ht", PersistentHashtableView(dirHt, "k"))
+    // batch 1: a is superseded WITHIN the batch (seq 0 never stored —
+    // the within-batch compaction the recompute must see through)
+    db.append(kvDf(("a", 1L), ("a", 2L), ("b", 10L)))   // seqs 0,1,2
+    db.append(kvDf(("b", 11L), ("c", 20L)))             // seqs 3,4
+    val ht = db.view("ht").view.asInstanceOf[graft.views.PersistentHashtableView]
+    def state() = ht.frame.select("k", "v", "seq").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(state() === Set(("a", 2L, 1L), ("b", 11L, 3L), ("c", 20L, 4L)))
+    // takedown of a's CURRENT latest (seq 1): the true survivor a@0 is
+    // in the log but NOT in any stored delta — only the key-pruned log
+    // recompute can restore it; a stale-stored-version shortcut cannot
+    assert(db.retract(col("k") === "a" && col("v") === 2L) === 1L)
+    assert(ht.since === log.since, "in-place takedown keeps the view cursor")
+    assert(state() === Set(("a", 1L, 0L), ("b", 11L, 3L), ("c", 20L, 4L)),
+      "the affected key recomputed to the surviving superseded version")
+    // equivalence pin: a from-scratch rebuild of the same log agrees
+    val rebuilt = new graft.views.PersistentHashtableView(
+      spark, tmp("graft-htr-rb") + "/ht", 1, "k", "seq")
+    rebuilt.absorb(log.read, log.since)
+    assert(state() === rebuilt.frame.select("k", "v", "seq").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
+    // the removed bytes physically left every delta (not just the read)
+    val rawSeqs = spark.read.parquet(
+      graft.views.FsLists.children(java.nio.file.Paths.get(dirHt, "ht"))
+        .filter(_.getFileName.toString.startsWith("batch="))
+        .map(_.toString): _*).select("seq").collect().map(_.getLong(0)).toSet
+    assert(!rawSeqs.contains(1L), s"retracted seq still stored: $rawSeqs")
+    // whole-key takedown: b vanishes entirely (both versions purged)
+    assert(db.retract(col("k") === "b") === 2L)
+    assert(state() === Set(("a", 1L, 0L), ("c", 20L, 4L)))
+    // retention: a@0 ages out by predicate delete, c survives
+    assert(db.expire(2L) === 1L) // only seq 0 is left at/under the horizon
+    assert(state() === Set(("c", 20L, 4L)))
+  }
+
+  test("hashtable in-place takedown is replay-idempotent (the durable intent re-runs it)") {
+    import java.nio.file.Files
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val log = new ParquetLog(spark, tmp("graft-htp-log"), kvSchema)
+    log.append(kvDf(("a", 1L), ("a", 2L), ("b", 10L)))
+    log.append(kvDf(("c", 20L)))
+    val ht = new graft.views.PersistentHashtableView(
+      spark, tmp("graft-htp-ht") + "/ht", 1, "k", "seq")
+    ht.absorb(log.read.where(col("seq") <= 2L), 2L)
+    ht.absorb(log.read.where(col("seq") > 2L), 3L)
+    val seqs = log.read.where(col("k") === "a" && col("v") === 2L).select("seq")
+      .localCheckpoint(true)
+    log.retractIds(seqs, "seq")
+    ht.retractLogSeqsRecompute(seqs, "seq", log.read)
+    def state() = ht.frame.select("k", "seq").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val once = state()
+    ht.retractLogSeqsRecompute(seqs, "seq", log.read) // the replay
+    assert(state() === once, "a second (replayed) takedown must be a no-op")
+    assert(once === Set(("a", 0L), ("b", 2L), ("c", 3L)))
+  }
+
+  test("SCD-2 dimension takes a db takedown/retention IN PLACE, equal to rebuild") {
+    import java.nio.file.Files
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val log = new ParquetLog(spark, tmp("graft-scdr-log"), kvSchema)
+    val db = new FlumeDb(log).use("dim",
+      graft.views.Scd2TableView(tmp("graft-scdr-dim"), "k", "seq", Seq("v")))
+    db.append(kvDf(("a", 1L), ("b", 10L)))  // seqs 0,1
+    db.append(kvDf(("a", 2L), ("a", 3L)))   // seqs 2,3
+    val dim = db.view("dim").view.asInstanceOf[graft.views.Scd2TableView]
+    def rows() = dim.dimension.select("k", "from_seq", "to_seq", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))).toSet
+    assert(rows() === Set(("a", 0L, 2L, 1L), ("a", 2L, 3L, 2L), ("a", 3L, -1L, 3L),
+      ("b", 1L, -1L, 10L)))
+    // take down a's MIDDLE version: the neighbors' intervals must
+    // re-close over the gap (0 → 3 directly), exactly as a rebuild
+    assert(db.retract(col("k") === "a" && col("v") === 2L) === 1L)
+    assert(dim.since === log.since, "in-place delete keeps the view cursor")
+    assert(rows() === Set(("a", 0L, 3L, 1L), ("a", 3L, -1L, 3L), ("b", 1L, -1L, 10L)))
+    val rebuilt = Scd2.dimension(log.read.select("k", "seq", "v"), "k", "seq", Seq("v"))
+      .select("k", "from_seq", "to_seq", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))).toSet
+    assert(rows() === rebuilt, "in-place dimension diverged from rebuild")
+    // retention: versions that began before the horizon leave in place
+    assert(db.expire(0L) === 1L) // seq 0 (a v1)
+    assert(rows() === Set(("a", 3L, -1L, 3L), ("b", 1L, -1L, 10L)))
+  }
+
+  test("invertible sum reduce takes a db takedown by subtraction, not rebuild") {
+    val (log, db) = mkDb()
+    val partialRows = new java.util.concurrent.atomic.AtomicLong()
+    val vd = MergeableReduceView.invertible[(Double, Long)] { df =>
+      val n = df.count(); partialRows.addAndGet(n)
+      val s = if (n == 0) 0.0 else df.agg(sum(col("foo")).cast("double")).head().getDouble(0)
+      (s, n)
+    } { case ((s1, c1), (s2, c2)) => (s1 + s2, c1 + c2) } {
+      case ((s1, c1), (s2, c2)) => (s1 - s2, c1 - c2) }
+    db.use("sum", vd)
+    db.append(fooDf(10L, 20L, 30L, 40L, 50L)) // 5 rows folded
+    val before = partialRows.get()
+    assert(db.retract(col("foo") === 20L || col("foo") === 40L) === 2L)
+    val v = db.view("sum").view.asInstanceOf[MergeableReduceView[(Double, Long)]]
+    assert(v.value.get === ((90.0, 3L)), s"got ${v.value}")
+    assert(v.since === log.since, "unabsorb keeps the cursor")
+    assert(partialRows.get() - before === 2L,
+      s"the inverse path must fold ONLY the removed rows, saw ${partialRows.get() - before}")
+    // retention subtracts the expiring prefix the same way
+    assert(db.expire(2L) === 2L) // seqs 0,2 remain? removed seqs 1,3 earlier; 0,2 <= 2
+    assert(v.value.get === ((50.0, 1L)), s"got ${v.value}")
+    // a Welford stats view (no inverse) still rebuilds — and agrees
+    db.use("stats", StatsReduceView("foo"))
+    val st = db.gated("stats")(_.asInstanceOf[MergeableReduceView[Stats]].value.get)
+    assert(st.n === 1L && st.mean === 50.0)
+  }
+
+  test("durable sum reduce: the un-merged value survives reopen") {
+    import java.nio.file.Files
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val dirLog = tmp("graft-psr-log"); val dirV = tmp("graft-psr-v")
+    val log = new ParquetLog(spark, dirLog,
+      StructType(Seq(StructField("foo", LongType))))
+    val db = new FlumeDb(log).use("sum",
+      graft.views.PersistentSumReduceView(dirV, 1, "foo"))
+    db.append(fooDf(10L, 20L, 30L))
+    assert(db.retract(col("foo") === 20L) === 1L)
+    def readVal(d: FlumeDb) =
+      d.gated("sum")(_.asInstanceOf[graft.views.PersistentReduceView[(Double, Long)]].value.get)
+    assert(readVal(db) === ((40.0, 2L)))
+    db.close()
+    val log2 = new ParquetLog(spark, dirLog,
+      StructType(Seq(StructField("foo", LongType))))
+    val db2 = new FlumeDb(log2).use("sum",
+      graft.views.PersistentSumReduceView(dirV, 1, "foo"))
+    assert(readVal(db2) === ((40.0, 2L)), "the subtracted value must be the durable one")
+  }
+
   test("recoverRetract refuses while a recorded persistent view is not mounted") {
     import java.nio.file.{Files, Paths}
     def tmp(p: String) = Files.createTempDirectory(p).toString
