@@ -563,6 +563,92 @@ final class FlumeDb(
     java.nio.file.Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
+  // ---- takedown coalescing (the intent QUEUE) -----------------------------
+  // K pending rights-holder/GDPR requests cost K separate match scans +
+  // rewrites when executed one by one — at 100 TB the match scan is the
+  // corpus-proportional part, so batching K requests into ONE merged
+  // pass is a ~K× saving. The queue makes acceptance cheap and durable
+  // (a parquet id list + atomic marker per request — an acknowledged
+  // erasure that survives crashes) and defers execution to a drain that
+  // unions every pending list into one takedown. This also resolves
+  // the single-intent collision refusal operationally: a second request
+  // no longer throws at the caller — it queues.
+
+  /** Durably ACCEPT a takedown request without executing it: the id
+    * list lands as parquet beside an atomic marker naming `idCol`.
+    * Returns the number of pending intents (including this one). The
+    * request is executed — merged with every other pending intent into
+    * ONE match scan + pruned rewrite — at the next [[drainRetractQueue]]
+    * (or [[recoverRetractQueue]] at open, if the process dies first). */
+  def enqueueRetractIds(ids: DataFrame, idCol: String, queueDir: String): Int = {
+    throwIfClosed(); count("retract")
+    lock.lock()
+    try {
+      val q = java.nio.file.Paths.get(queueDir)
+      java.nio.file.Files.createDirectories(q)
+      val next = pendingIntents(q).map(_.getFileName.toString.stripPrefix("intent-").toLong)
+        .foldLeft(-1L)(_ max _) + 1L
+      val name = f"intent-$next%06d"
+      val idsDir = q.resolve(name + ".ids")
+      deleteDirIfExists(idsDir.toString) // uncommitted leftover
+      ids.select(ids.col(idCol)).distinct().write.parquet(idsDir.toString)
+      // list durable (_SUCCESS) — NOW commit the marker naming the column
+      commitIntent(q.resolve(name), q.resolve(name).toString, idCol)
+      pendingIntents(q).size
+    } finally lock.unlock()
+  }
+
+  /** Execute EVERY pending queued intent in one merged pass: union the
+    * id lists, run the crash-durable takedown once (one match scan, one
+    * pruned log rewrite, one view pass), then clear the drained
+    * intents. Returns the number of log rows removed. Crash-safe in
+    * every window: a death inside the merged pass leaves the `_drain`
+    * intent AND the queue markers — [[recoverRetractQueue]] replays the
+    * pass and re-drains (the second pass removes nothing and skips the
+    * view pass); a death while clearing markers re-drains the leftovers
+    * idempotently. */
+  def drainRetractQueue(queueDir: String): Long = {
+    throwIfClosed(); count("retract")
+    lock.lock()
+    try {
+      val q = java.nio.file.Paths.get(queueDir)
+      if (!java.nio.file.Files.exists(q)) return 0L
+      recoverRetract(q.resolve("_drain").toString) // finish a crashed drain first
+      val pend = pendingIntents(q)
+      if (pend.isEmpty) return 0L
+      val idCols = pend.map(p => java.nio.file.Files.readString(p).trim).distinct
+      if (idCols.size != 1)
+        throw new IllegalStateException(
+          s"drainRetractQueue: pending intents disagree on the id column " +
+            s"(${idCols.mkString(", ")}) — drain per column is not supported; " +
+            "the queue must carry one id domain")
+      val ids = pend.map(p => log.spark.read.parquet(p.toString + ".ids"))
+        .reduce(_ unionByName _)
+      val removed = retractIds(ids, idCols.head, q.resolve("_drain").toString)
+      pend.foreach { p =>
+        java.nio.file.Files.delete(p)
+        deleteDirIfExists(p.toString + ".ids")
+      }
+      removed
+    } finally lock.unlock()
+  }
+
+  /** Close every interrupted takedown window under `queueDir` at open:
+    * finish a crashed drain (its `_drain` intent replays log + views),
+    * then drain any still-pending intents. Call AFTER mounting every
+    * persistent view, like [[recoverRetract]]. Returns rows removed. */
+  def recoverRetractQueue(queueDir: String): Long = drainRetractQueue(queueDir)
+
+  /** Committed queue intents (marker present), oldest first. */
+  private def pendingIntents(q: java.nio.file.Path): Seq[java.nio.file.Path] =
+    graft.views.FsLists.children(q)
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("intent-") && !n.endsWith(".ids") && !n.endsWith(".tmp") &&
+          !n.endsWith(".seqs")
+      }
+      .sortBy(_.getFileName.toString)
+
   /** ` views=a,b,c` — the mounted view names recorded into a durable
     * intent, so [[recoverRetract]] can detect a replay attempted before
     * every persistent view of the crashed session is mounted again.

@@ -167,6 +167,7 @@ object ScaleProbe {
       case "retract" => retractMode(spark)
       case "expire" => expireMode(spark)
       case "dbviews" => dbViewsMode(spark)
+      case "coalesce" => coalesceMode(spark)
       case _ =>
         families(sf01, "sf0.1")
         families(outDir, "sf1")
@@ -359,6 +360,56 @@ object ScaleProbe {
       Seq(s"$base-a", s"$base-b", s"$base-ht", s"$base-dim")
         .foreach(d => deleteTree(new java.io.File(d)))
     }
+  }
+
+  /** Round-16 mode `coalesce`: the takedown QUEUE's saving. K pending
+    * requests executed one by one pay K match scans + K rewrites; the
+    * queue drains them as ONE merged pass. Probe: a 500k-row log,
+    * 10 requests of 50 scattered ids each — sequential durable
+    * takedowns vs enqueue-all + one drain. Headline check: drain wall
+    * ≈ one single-pass wall, not 10×. */
+  private def coalesceMode(spark: SparkSession): Unit = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", StringType)))
+    def deleteTree(f: java.io.File): Unit = {
+      val fs = f.listFiles(); if (fs != null) fs.foreach(deleteTree); f.delete()
+    }
+    val n = 500000L
+    def buildLog(dir: String): graft.core.ParquetLog = {
+      deleteTree(new java.io.File(dir))
+      val log = new graft.core.ParquetLog(spark, dir, schema, bucketSize = 512L)
+      log.append(spark.range(n).select(col("id").as("doc_id"),
+        concat(lit("p"), col("id"), lit("-"),
+          lpad(conv(col("id") * 2654435761L, 10, 16), 100, "x")).as("payload")))
+      log
+    }
+    def request(k: Long) = // 50 scattered ids per request
+      spark.range(50L).select((col("id") * 10000L + k * 7L + 3L).as("doc_id"))
+    val base = "/tmp/graft-coalesce-probe"
+    // arm A: 10 sequential durable takedowns (the pre-queue shape)
+    val logA = buildLog(s"$base-a")
+    val dbA = new graft.core.FlumeDb(logA)
+    val t0 = System.nanoTime()
+    val removedA = (0L until 10L).map(k =>
+      dbA.retractIds(request(k), "doc_id", s"$base-a-intent")).sum
+    val wallA = (System.nanoTime() - t0) / 1e9
+    dbA.close()
+    // arm B: accept all 10, ONE merged drain
+    val logB = buildLog(s"$base-b")
+    val dbB = new graft.core.FlumeDb(logB)
+    val t1 = System.nanoTime()
+    (0L until 10L).foreach(k => dbB.enqueueRetractIds(request(k), "doc_id", s"$base-q"))
+    val acceptWall = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    val removedB = dbB.drainRetractQueue(s"$base-q")
+    val drainWall = (System.nanoTime() - t2) / 1e9
+    dbB.close()
+    require(removedA == removedB, s"arms disagree: $removedA vs $removedB")
+    println(s"[probe] {" +
+      s""""mode":"coalesce","corpus":$n,"requests":10,"removed":$removedA,""" +
+      f""""wall_sequential_s":$wallA%.2f,"wall_accept_s":$acceptWall%.2f,""" +
+      f""""wall_drain_s":$drainWall%.2f""" + "}")
+    Seq(s"$base-a", s"$base-b", s"$base-q").foreach(d => deleteTree(new java.io.File(d)))
   }
 
   /** Round-14 mode `skew`: a PLANTED-skew fixture — the hot-key shapes

@@ -624,6 +624,60 @@ class FlumeDbSpec extends SparkSpec {
     assert(readVal(db2) === ((40.0, 2L)), "the subtracted value must be the durable one")
   }
 
+  test("takedown queue: K enqueued intents drain as ONE merged pass; crash windows replay") {
+    import java.nio.file.{Files, Paths}
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    def idsDf(vs: Long*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(vs.map(Row(_))),
+      StructType(Seq(StructField("foo", LongType))))
+    val dirLog = tmp("graft-q-log"); val dirIdx = tmp("graft-q-idx")
+    val queue = tmp("graft-q-q") + "/queue"
+    val log = new ParquetLog(spark, dirLog, schema)
+    val db = new FlumeDb(log).use("idx", PersistentIndexView.onColumn(dirIdx, "foo"))
+    db.append(fooDf(10L, 20L, 30L, 40L, 50L, 60L))
+    // three requests accepted durably, none executed yet
+    assert(db.enqueueRetractIds(idsDf(20L), "foo", queue) === 1)
+    assert(db.enqueueRetractIds(idsDf(40L, 999L), "foo", queue) === 2)
+    assert(db.enqueueRetractIds(idsDf(60L), "foo", queue) === 3)
+    assert(log.read.count() === 6L, "acceptance must not touch the log")
+    // one merged drain: one match scan, one rewrite, one view pass
+    assert(db.drainRetractQueue(queue) === 3L)
+    assert(log.read.select("foo").collect().map(_.getLong(0)).toSet === Set(10L, 30L, 50L))
+    val idx = db.view("idx").view.asInstanceOf[graft.views.PersistentIndexView]
+    Seq("20", "40", "60").foreach(k => assert(idx.get(k).count() === 0L, s"ghost posting $k"))
+    assert(Files.list(Paths.get(queue)).count() === 0L, "drained intents must clear")
+    assert(db.drainRetractQueue(queue) === 0L, "an empty queue drains to nothing")
+    // crash BEFORE any drain: enqueued intents survive and recover at open
+    db.enqueueRetractIds(idsDf(10L), "foo", queue)
+    db.close()
+    val log2 = new ParquetLog(spark, dirLog, schema)
+    val db2 = new FlumeDb(log2).use("idx", PersistentIndexView.onColumn(dirIdx, "foo"))
+    assert(db2.recoverRetractQueue(queue) === 1L, "the accepted request executes at open")
+    assert(log2.read.select("foo").collect().map(_.getLong(0)).toSet === Set(30L, 50L))
+    // crash MID-drain: the merged _drain intent exists (log rewritten,
+    // views not), queue markers still pending — recovery replays BOTH
+    val idx2 = db2.view("idx").view.asInstanceOf[graft.views.PersistentIndexView]
+    db2.enqueueRetractIds(idsDf(30L), "foo", queue)
+    log2.read.where(col("foo") === 30L).select("seq")
+      .write.parquet(queue + "/_drain.seqs")
+    Files.writeString(Paths.get(queue + "/_drain"), "@seqs views=idx")
+    log2.retractIds(idsDf(30L), "foo")
+    assert(idx2.get("30").count() === 1L, "precondition: ghost posting in the crash window")
+    assert(db2.recoverRetractQueue(queue) === 0L,
+      "replay: the _drain pass re-runs (log already clean), the pending intent re-drains")
+    assert(idx2.get("30").count() === 0L, "the ghost posting left on replay")
+    assert(log2.read.select("foo").collect().map(_.getLong(0)).toSet === Set(50L))
+    assert(Files.list(Paths.get(queue)).count() === 0L)
+    // mixed id domains refuse descriptively
+    db2.enqueueRetractIds(idsDf(50L), "foo", queue)
+    val other = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L))),
+      StructType(Seq(StructField("bar", LongType))))
+    db2.enqueueRetractIds(other, "bar", queue)
+    val e = intercept[IllegalStateException](db2.drainRetractQueue(queue))
+    assert(e.getMessage.contains("id column"))
+  }
+
   test("recoverRetract refuses while a recorded persistent view is not mounted") {
     import java.nio.file.{Files, Paths}
     def tmp(p: String) = Files.createTempDirectory(p).toString
