@@ -94,6 +94,23 @@ trait KeyRetractableView { self: FlumeView =>
   def expireLogSeqs(throughSeq: Long): Unit
 }
 
+/** Marker for mounted FEATURE tables (minhash signatures, perceptual
+  * hashes, grams, embedding sketches): derived dedup artifacts whose
+  * rows carry no log seq. A db-level [[FlumeDb.expire]] leaves them
+  * UNTOUCHED by default — the keep-signatures semantic: content aged
+  * out by retention should still dedup when re-crawled, so its
+  * signatures outlive its bytes (erasure semantics, where the
+  * signatures must go too, is the takedown path). Pass
+  * `expireFeatures = true` to reclaim them instead: the table
+  * truncates its delta chain at absorbed-batch granularity
+  * ([[graft.views.CompactableDeltas.expireDeltasThrough]] — pure
+  * directory deletes, no data read). */
+trait FeatureExpirableView { self: FlumeView =>
+  /** Truncate feature deltas absorbed at-or-before the horizon.
+    * Returns storage units deleted. */
+  def expireFeatureDeltas(throughSeq: Long): Int
+}
+
 /** Opt-in for mounted REDUCE views whose merge has an exact inverse
   * (sum, count): a db-level takedown subtracts the removed rows'
   * partial from the fold — O(matches), no rebuild, no storage rewrite.
@@ -388,8 +405,13 @@ final class FlumeDb(
     * ([[FlumeLog.expire]] — pure directory truncation on a bucketed
     * parquet log) and from every mounted view — in place where the view
     * is seq-keyed (a predicate delete, no id list), destroy + rebuild
-    * from the surviving suffix otherwise. */
-  def expire(throughSeq: Long): Long = {
+    * from the surviving suffix otherwise. Mounted FEATURE tables
+    * ([[FeatureExpirableView]]) are left untouched by default — aged-out
+    * content should still dedup on re-crawl — and truncate their delta
+    * chains when `expireFeatures = true` (the opt-in for pure-retention
+    * workloads where the signature tables would otherwise grow without
+    * bound). */
+  def expire(throughSeq: Long, expireFeatures: Boolean = false): Long = {
     throwIfClosed(); count("expire")
     lock.lock()
     try {
@@ -400,9 +422,21 @@ final class FlumeDb(
       val rows = capturedRemovedRows(
         log.read.where(col(log.seqCol) <= lit(throughSeq)))
       val removed = log.expire(throughSeq)
-      if (removed > 0) expireViews(throughSeq, rows)
+      if (removed > 0) expireViews(throughSeq, rows, expireFeatures)
+      // the log prefix may have left in an EARLIER keep-features pass:
+      // an explicit opt-in still reclaims the feature deltas (cheap —
+      // directory arithmetic, no data read)
+      else if (expireFeatures) expireFeatureTables(throughSeq)
       removed
     } finally lock.unlock()
+  }
+
+  private def expireFeatureTables(throughSeq: Long): Unit = {
+    val it = views.values().iterator()
+    while (it.hasNext) it.next().view match {
+      case f: FeatureExpirableView => f.expireFeatureDeltas(throughSeq)
+      case _ => ()
+    }
   }
 
   /** The matched (mapped) rows, materialized pre-rewrite — captured
@@ -527,18 +561,23 @@ final class FlumeDb(
   /** Crash-durable retention: like [[expire]], but the horizon itself is
     * the (scalar, trivially durable) intent — marker committed before
     * the log is touched, every replay arm idempotent. */
-  def expire(throughSeq: Long, intentFile: String): Long = {
+  def expire(throughSeq: Long, intentFile: String): Long =
+    expire(throughSeq, intentFile, expireFeatures = false)
+
+  def expire(throughSeq: Long, intentFile: String, expireFeatures: Boolean): Long = {
     throwIfClosed(); count("expire")
     lock.lock()
     try {
       val p = intentPathForNew(intentFile)
       log.probeRewriteFence("expire")
-      commitIntent(p, intentFile, s"EXPIRE $throughSeq$viewsToken")
+      val featTok = if (expireFeatures) " FEATURES" else ""
+      commitIntent(p, intentFile, s"EXPIRE $throughSeq$featTok$viewsToken")
       val rows = capturedRemovedRows(log.read.where(
         org.apache.spark.sql.functions.col(log.seqCol) <=
           org.apache.spark.sql.functions.lit(throughSeq)))
       val removed = log.expire(throughSeq)
-      if (removed > 0) expireViews(throughSeq, rows)
+      if (removed > 0) expireViews(throughSeq, rows, expireFeatures)
+      else if (expireFeatures) expireFeatureTables(throughSeq)
       java.nio.file.Files.delete(p)
       removed
     } finally lock.unlock()
@@ -698,12 +737,12 @@ final class FlumeDb(
             "persistent view first, or the replay cannot purge their ghost rows " +
             "(the intent is left open)")
       toks.takeWhile(!_.startsWith("views=")) match {
-        case Array("EXPIRE", through) =>
+        case Array("EXPIRE", through, rest @ _*) if rest.isEmpty || rest == Seq("FEATURES") =>
           val t = through.toLongOption.getOrElse(throw new IllegalStateException(
             s"recoverRetract: corrupt intent at $intentFile — 'EXPIRE' horizon " +
               s"'$through' is not a seq; the durable window is left open"))
           log.expire(t) // the prefix that survived the crash leaves now
-          expireViews(t)
+          expireViews(t, None, expireFeatures = rest.nonEmpty)
         case Array("@seqs") =>
           if (!java.nio.file.Files.exists(java.nio.file.Paths.get(seqsDir)))
             throw new IllegalStateException(
@@ -732,11 +771,17 @@ final class FlumeDb(
     } finally lock.unlock()
   }
 
-  private def expireViews(throughSeq: Long, removedRows: Option[DataFrame] = None): Unit = {
+  private def expireViews(throughSeq: Long, removedRows: Option[DataFrame] = None,
+      expireFeatures: Boolean = false): Unit = {
     val it = views.values().iterator()
     while (it.hasNext) {
       val m = it.next()
       m.view match {
+        // feature tables first: KEEP by default (re-crawls of aged-out
+        // content still dedup), truncate the delta chain on opt-in —
+        // never the ∝-corpus rebuild the fallback arm would pay
+        case f: FeatureExpirableView =>
+          if (expireFeatures) f.expireFeatureDeltas(throughSeq)
         case s: SeqRetractableView => s.expireLogSeqs(throughSeq)
         case k: KeyRetractableView => k.expireLogSeqs(throughSeq)
         case v: InvertibleReduceView if v.canUnabsorb && removedRows.isDefined =>

@@ -28,7 +28,7 @@ final class AudioGramTableView(
     windowSamples: Int = 16,
     gramWindows: Int = 24,
     compactEvery: Int = 0,
-    hopSamples: Int = -1) extends FlumeView with CompactableDeltas {
+    hopSamples: Int = -1) extends FlumeView with FeatureTableDeltas {
 
   override protected def autoCompactEvery: Int = compactEvery
 

@@ -178,6 +178,16 @@ private[views] trait DeltaProtocol {
   }
 }
 
+/** The feature-table face of the delta store: dedup artifacts
+  * (signatures, hashes, grams, embedding sketches) opt in to db-level
+  * retention as delta-chain truncation
+  * ([[graft.core.FeatureExpirableView]] — kept by default, truncated
+  * on request; see that trait for the keep-signatures rationale). */
+private[views] trait FeatureTableDeltas extends CompactableDeltas
+    with graft.core.FeatureExpirableView { self: graft.core.FlumeView =>
+  def expireFeatureDeltas(throughSeq: Long): Int = expireDeltasThrough(throughSeq)
+}
+
 /** Shared compaction + snapshot reads for [[DeltaProtocol]] views whose
   * deltas are parquet directories. After thousands of absorbed batches
   * the delta chain is the classic small-files death at 100 TB — every
@@ -246,6 +256,30 @@ private[views] trait CompactableDeltas extends DeltaProtocol {
     * the delta dir itself is the rewrite unit. Finer units mean a
     * takedown rewrites less: IVF rewrites only the matched cells. */
   protected def retractPartitionCol: Option[String] = None
+
+  /** RETENTION on the delta chain, at absorbed-batch granularity:
+    * every committed delta whose `upto ≤ throughSeq` is deleted WHOLE —
+    * pure directory truncation, no data read (a delta's rows were all
+    * absorbed from log seqs ≤ its upto by the build-loop contract).
+    * The boundary batch straddling the horizon is KEPT: feature rows
+    * carry no log seq, so splitting it would require a scan — retention
+    * here conservatively keeps at most one absorbed batch extra.
+    * Compaction folds the chain into one base delta at the cursor, so
+    * a compacted chain expires nothing until the horizon passes the
+    * cursor — the same granularity trade [[frameAsOf]] makes. The view
+    * cursor is UNCHANGED (retention is not an absorb; retired seqs
+    * never re-stamp). Each delete rides the retract-unit tombstone
+    * protocol (a crash replays at open). Returns deltas deleted. */
+  def expireDeltasThrough(throughSeq: Long): Int = {
+    recoverRetract()
+    val victims = committedBatchDirs().filter(batchUpto(_) <= throughSeq)
+    victims.foreach { d =>
+      writeAtomic(retractMarker, s"batch=${batchUpto(d)} EMPTY")
+      FsLists.walkDeepestFirst(d).foreach(Files.delete)
+      Files.delete(retractMarker)
+    }
+    victims.size
+  }
 
   /** RETRACTION (takedown) across the delta chain: physically remove
     * every feature row matching `cond` — the view-side half of a corpus

@@ -30,7 +30,7 @@ final class EmbeddingSigTableView(
     vecCol: String = "embedding",
     bands: Int = 4,
     bitsPerBand: Int = 8,
-    compactEvery: Int = 0) extends FlumeView with CompactableDeltas {
+    compactEvery: Int = 0) extends FlumeView with FeatureTableDeltas {
 
   override protected def autoCompactEvery: Int = compactEvery
 

@@ -26,7 +26,7 @@ final class FrameHashTableView(
     protected val protocolVersion: Int,
     hashW: Int = 8,
     hashH: Int = 8,
-    compactEvery: Int = 0) extends FlumeView with CompactableDeltas {
+    compactEvery: Int = 0) extends FlumeView with FeatureTableDeltas {
 
   override protected def autoCompactEvery: Int = compactEvery
 

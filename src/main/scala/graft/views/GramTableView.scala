@@ -29,7 +29,7 @@ final class GramTableView(
     idCol: String,
     textCol: String,
     k: Int = 15,
-    compactEvery: Int = 0) extends FlumeView with CompactableDeltas {
+    compactEvery: Int = 0) extends FlumeView with FeatureTableDeltas {
 
   /** The stored version carries a SCHEMA EPOCH beside the caller's
     * version: epoch 1 = doc-attributed `(doc_id, g)` postings. A store

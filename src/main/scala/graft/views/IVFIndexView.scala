@@ -29,7 +29,7 @@ final class IVFIndexView(
     idCol: String,
     vecCol: String,
     nCentroids: Int,
-    compactEvery: Int = 0) extends FlumeView with CompactableDeltas {
+    compactEvery: Int = 0) extends FlumeView with FeatureTableDeltas {
 
   override protected def autoCompactEvery: Int = compactEvery
 

@@ -27,7 +27,7 @@ final class PhashTableView(
     protected val protocolVersion: Int,
     hashW: Int = 8,
     hashH: Int = 8,
-    compactEvery: Int = 0) extends FlumeView with CompactableDeltas {
+    compactEvery: Int = 0) extends FlumeView with FeatureTableDeltas {
 
   override protected def autoCompactEvery: Int = compactEvery
 

@@ -28,7 +28,7 @@ final class SignatureTableView(
     idCol: String,
     textCol: String,
     perms: Int = 64,
-    compactEvery: Int = 0) extends FlumeView with CompactableDeltas {
+    compactEvery: Int = 0) extends FlumeView with FeatureTableDeltas {
 
   override protected def autoCompactEvery: Int = compactEvery
 

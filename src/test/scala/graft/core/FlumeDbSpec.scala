@@ -624,6 +624,44 @@ class FlumeDbSpec extends SparkSpec {
     assert(readVal(db2) === ((40.0, 2L)), "the subtracted value must be the durable one")
   }
 
+  test("retention keeps mounted feature tables by default; expireFeatures truncates their deltas") {
+    import java.nio.file.Files
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def docs(rows: (Long, String)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2))), docSchema)
+    val log = new ParquetLog(spark, tmp("graft-fexp-log"), docSchema)
+    val db = new FlumeDb(log).use("sigs",
+      graft.views.SignatureTableView(tmp("graft-fexp-sig"), "doc_id", "text"))
+    db.append(docs((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")))          // seqs 0,1 → delta upto 1
+    db.append(docs((3L, "red green blue yellow purple orange")))   // seq 2 → delta upto 2
+    val sv = db.view("sigs").view.asInstanceOf[graft.views.SignatureTableView]
+    def sigIds() = sv.sigs.select("id").collect().map(_.getLong(0)).toSet
+    assert(sigIds() === Set(1L, 2L, 3L))
+    // DEFAULT: the log prefix leaves, the signatures stay (a re-crawl
+    // of aged-out content must still dedup) and the cursor is untouched
+    assert(db.expire(1L) === 2L)
+    assert(log.read.count() === 1L)
+    assert(sigIds() === Set(1L, 2L, 3L), "keep-signatures is the default")
+    assert(sv.since === log.since)
+    // OPT-IN: the aged-out delta truncates — even though the log rows
+    // already left in the earlier keep-features pass
+    assert(db.expire(1L, expireFeatures = true) === 0L)
+    assert(sigIds() === Set(3L), "the horizon delta aged out; the boundary delta stays")
+    assert(sv.since === log.since, "feature truncation never moves the cursor")
+    // durable form records the flag: replay after a crash reclaims too
+    db.append(docs((4L, "omega sigma theta lambda kappa mu")))  // seq 3 → delta upto 3
+    val intent = java.nio.file.Paths.get(tmp("graft-fexp-i"), "_intent").toString
+    Files.createDirectories(java.nio.file.Paths.get(intent).getParent)
+    Files.writeString(java.nio.file.Paths.get(intent), "EXPIRE 2 FEATURES views=sigs")
+    log.expire(2L) // crash window: log truncated, features not
+    assert(sigIds() === Set(3L, 4L))
+    assert(db.recoverRetract(intent))
+    assert(sigIds() === Set(4L), "the FEATURES intent replays the truncation")
+  }
+
   test("takedown queue: K enqueued intents drain as ONE merged pass; crash windows replay") {
     import java.nio.file.{Files, Paths}
     def tmp(p: String) = Files.createTempDirectory(p).toString

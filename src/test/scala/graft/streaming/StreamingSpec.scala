@@ -1410,6 +1410,48 @@ class StreamingSpec extends SparkSpec {
     } finally cur.stop()
   }
 
+  test("retention with expireFeatures: a re-crawl of aged-out media re-ingests; kept content still dedups") {
+    // the INVERSE of the takedown re-ingest proof: retention ages
+    // content out of the curated log, and when the operator also opts
+    // the feature table in (expireDeltasThrough — delta-chain
+    // truncation, no data read), a re-crawl of that content is treated
+    // as NEW (its hash is really gone) while content newer than the
+    // horizon still dedups against the surviving deltas
+    import graft.ops.Multimodal
+    import graft.views.PhashTableView
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val srcLog = new ParquetLog(spark, tmp("graft-fexp-src"), Multimodal.mediaSchema)
+    val curLog = new ParquetLog(spark, tmp("graft-fexp-dst"), Multimodal.mediaSchema)
+    val phView = new PhashTableView(spark, s"${tmp("graft-fexp-ph")}/ph", 1)
+    val commit = java.nio.file.Paths.get(tmp("graft-fexp-c"), "_mark").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def media(ids: Long*) =
+      Multimodal.syntheticTexturePngMedia(docs.where(col("doc_id").isin(ids: _*)))
+    val cur = new MediaStreamingCurator(srcLog, curLog, MediaDedupBinding.image(phView), commit)
+    try {
+      srcLog.append(media(0L, 3L)); cur.awaitParity()   // phash delta upto = src seq 1
+      val batch1Upto = phView.since
+      srcLog.append(media(6L, 9L)); cur.awaitParity()   // second delta
+      assert(curLog.read.count() === 4L)
+      // retention at a parity boundary: batch 1 ages out of the curated
+      // log (seqs 0,1) AND the feature table (the delta at its upto)
+      assert(curLog.expire(1L) === 2L)
+      assert(phView.expireDeltasThrough(batch1Upto) === 1)
+      assert(phView.hashes.select("media_id").collect().map(_.getLong(0)).toSet
+        === Set(6L, 9L), "only the surviving batch's hashes remain")
+      assert(phView.since === srcLog.since, "truncation never moves the cursor")
+      // re-crawl: a copy of AGED-OUT 3 re-ingests; a copy of KEPT 6 drops
+      srcLog.append(
+        Multimodal.syntheticTexturePngMedia(docs.where(col("doc_id") === 3), idOffset = 1000L)
+          .unionByName(Multimodal.syntheticTexturePngMedia(
+            docs.where(col("doc_id") === 6), idOffset = 1000L)))
+      cur.awaitParity()
+      val kept = curLog.read.select("media_id").collect().map(_.getLong(0)).toSet
+      assert(kept.contains(1003L), s"aged-out content must re-ingest, got $kept")
+      assert(!kept.contains(1006L), s"kept content must still dedup, got $kept")
+    } finally cur.stop()
+  }
+
   test("media streaming curator: video binding — multi-row frame features through the same engine") {
     import graft.ops.Multimodal
     import graft.views.FrameHashTableView
