@@ -281,9 +281,107 @@ final class ParquetLog(
     override val spark: SparkSession,
     val dir: String,
     payloadSchema: StructType,
-    bucketSize: Long = 0L) extends FlumeLog {
+    bucketSize: Long = 0L,
+    statsColumns: Seq[String] = Nil) extends FlumeLog {
 
   private val fullSchema = StructType(StructField(seqCol, LongType, nullable = false) +: payloadSchema.fields)
+
+  // ---- per-bucket min/max stats for takedown-key columns ----------------
+  // Declared takedown keys (`statsColumns` — doc_id, media_id, user_id)
+  // get a tiny per-bucket [min, max] manifest beside the cursor marker,
+  // maintained at append. A predicate or id-list takedown then SKIPS
+  // non-overlapping buckets in its match scan the way seq pruning
+  // already skips them for retention — without it the (narrow) match
+  // scan is always ∝ corpus. Conservative by construction: the manifest
+  // is widened BEFORE the batch lands (a crash between leaves ranges
+  // too wide, never too narrow), rewrites only shrink true ranges, and
+  // buckets with no entry are always scanned.
+  statsColumns.foreach { c =>
+    val f = payloadSchema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(s"stats column '$c' is not a payload column"))
+    require(f.dataType == LongType || f.dataType == org.apache.spark.sql.types.IntegerType ||
+        f.dataType == org.apache.spark.sql.types.ShortType,
+      s"stats column '$c' must be integral, got ${f.dataType}")
+  }
+  private val statsFile = new java.io.File(dir, ParquetLog.statsMarker)
+  private val bucketStats: scala.collection.mutable.Map[(Long, String), (Long, Long)] = {
+    val m = scala.collection.mutable.Map.empty[(Long, String), (Long, Long)]
+    if (statsFile.exists())
+      java.nio.file.Files.readAllLines(statsFile.toPath).forEach { line =>
+        line.trim.split("\\s+") match {
+          case Array(b, c, lo, hi) =>
+            try m((b.toLong, c)) = (lo.toLong, hi.toLong)
+            catch { case _: NumberFormatException => () } // torn line: unprunable, safe
+          case _ => ()
+        }
+      }
+    m
+  }
+  private def writeBucketStats(): Unit = {
+    new java.io.File(dir).mkdirs()
+    val body = bucketStats.toSeq.sortBy(e => (e._1._1, e._1._2))
+      .map { case ((b, c), (lo, hi)) => s"$b $c $lo $hi" }.mkString("\n")
+    ParquetLog.writeAtomic(statsFile, body)
+  }
+
+  /** Bucket ids present on disk (directory names — no data read). */
+  private def listBucketIds(): Seq[Long] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$bucketCol="))
+      .map(_.getName.stripPrefix(s"$bucketCol=").toLong).toSeq.sorted
+
+  /** Candidate buckets for a PREDICATE takedown: every existing bucket
+    * the stats cannot prove hit-free. The seq column's range is implied
+    * by the directory name (the freebie seq pruning already used by
+    * retention); declared stats columns read the manifest; buckets with
+    * no entry are always candidates. None = pruning unavailable. */
+  private def candidatesForPredicate(cond: Column): Option[Seq[Long]] = {
+    if (!bucketed) return None
+    val ids = listBucketIds()
+    if (ids.isEmpty) return None
+    Some(ids.filter { b =>
+      val lookup: String => Option[(Long, Long)] = c =>
+        if (c == seqCol) Some((b * bucketSize, (b + 1) * bucketSize - 1))
+        else bucketStats.get((b, c))
+      !org.apache.spark.sql.graftbridge.ColumnBridge.statsProveEmpty(cond, lookup)
+    })
+  }
+
+  /** Candidate buckets for an ID-LIST takedown: the id list's [min,max]
+    * envelope (one tiny agg — exact per-id intersection would cost an
+    * ids × buckets range join) against each bucket's stored range for
+    * `idCol`. A clustered rights-holder list prunes to its neighborhood;
+    * a scattered list keeps every bucket, which is correct. */
+  private def candidatesForIds(ids: DataFrame, idCol: String): Option[Seq[Long]] = {
+    if (!bucketed || !statsColumns.contains(idCol)) return None
+    val existing = listBucketIds()
+    if (existing.isEmpty) return None
+    val env = ids.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
+    if (env.isNullAt(0)) return Some(Nil) // empty id list matches nothing
+    val (lo, hi) = (env.getLong(0), env.getLong(1))
+    Some(existing.filter { b =>
+      bucketStats.get((b, idCol)) match {
+        case Some((bLo, bHi)) => bHi >= lo && bLo <= hi
+        case None => true // no stats: always a candidate
+      }
+    })
+  }
+
+  /** Set by [[retract]]/[[retractIds]] for the duration of the rewrite,
+    * consumed by [[retractMarked]]'s match scan (same monitor — the
+    * rewrite paths are synchronized and reentrant). */
+  private var pruneHint: Option[Seq[Long]] = None
+
+  override def retract(cond: Column): Long = synchronized {
+    pruneHint = candidatesForPredicate(cond)
+    try super.retract(cond) finally pruneHint = None
+  }
+
+  override def retractIds(ids: DataFrame, idCol: String,
+      maxBroadcastKeys: Long = 4L * 1000 * 1000): Long = synchronized {
+    pruneHint = candidatesForIds(ids, idCol)
+    try super.retractIds(ids, idCol, maxBroadcastKeys) finally pruneHint = None
+  }
 
   /** When bucketSize > 0 the log is laid out as
     * `seq_bucket=<seq/bucketSize>/part-*.parquet` and range scans add a
@@ -533,6 +631,29 @@ final class ParquetLog(
           it.map { r => val out = Row.fromSeq(s +: r.toSeq); s += 1; out }
         }
         val withSeq = spark.createDataFrame(stamped, fullSchema)
+        // widen the bucket-stats manifest BEFORE the rows land: a crash
+        // between the two leaves ranges too wide (safe), never too
+        // narrow (which would prune a bucket holding matching rows)
+        if (bucketed && statsColumns.nonEmpty) {
+          val aggCols = statsColumns.flatMap(c => Seq(
+            min(col(s"`$c`")).cast("long").as(s"min_$c"),
+            max(col(s"`$c`")).cast("long").as(s"max_$c")))
+          withSeq.withColumn(bucketCol, expr(s"`$seqCol` div $bucketSize"))
+            .groupBy(col(bucketCol)).agg(aggCols.head, aggCols.tail: _*)
+            .collect().foreach { r =>
+              val b = r.getLong(0)
+              statsColumns.zipWithIndex.foreach { case (c, i) =>
+                if (!r.isNullAt(1 + 2 * i)) { // all-null batch: no range to extend
+                  val (lo, hi) = (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
+                  val merged = bucketStats.get((b, c))
+                    .map { case (l0, h0) => (math.min(l0, lo), math.max(h0, hi)) }
+                    .getOrElse((lo, hi))
+                  bucketStats((b, c)) = merged
+                }
+              }
+            }
+          writeBucketStats()
+        }
         if (bucketed)
           withSeq.withColumn(bucketCol, expr(s"`$seqCol` div $bucketSize"))
             .write.partitionBy(bucketCol).mode("append").parquet(dir)
@@ -688,9 +809,22 @@ final class ParquetLog(
     }
     // PRUNED match scan: per-bucket (hits, total) — columnar, reads only
     // the marker's columns and the directory-derived partition column.
-    // The SCAN is corpus-wide but narrow; the REWRITE below is ∝ matched
-    // buckets only.
-    val stats = mark(readRaw)
+    // With bucket stats ([[candidatesForPredicate]]/[[candidatesForIds]])
+    // the scan reads ONLY the candidate bucket dirs — skipped buckets
+    // are PROVEN hit-free by their [min,max] ranges; without stats the
+    // scan is corpus-wide but narrow. The REWRITE below is ∝ matched
+    // buckets either way.
+    val scanSrc = pruneHint match {
+      case Some(cands) =>
+        if (cands.isEmpty) return 0L
+        val dirs = cands.map(b => new java.io.File(root, s"$bucketCol=$b"))
+          .filter(_.exists()).map(_.getPath)
+        if (dirs.isEmpty) return 0L
+        spark.read.schema(fullSchema).parquet(dirs: _*)
+          .withColumn(bucketCol, expr(s"`$seqCol` div $bucketSize"))
+      case None => readRaw
+    }
+    val stats = mark(scanSrc)
       .groupBy(col(bucketCol))
       .agg(sum(when(hitC, lit(1L)).otherwise(lit(0L))).as("hits"),
         count(lit(1)).as("total"))
@@ -854,6 +988,9 @@ object ParquetLog {
     * in-flight bucket and its commit marker. */
   private[core] val retractTmp = "_graft_retract_tmp"
   private[core] val retractMarker = "_graft_retract_marker"
+  /** Per-bucket [min,max] manifest for declared takedown-key columns
+    * (`_`-prefixed: invisible to parquet file listing). */
+  private[core] val statsMarker = "_graft_stats"
 
   /** Internal match-marker column added by the retraction paths. */
   private[graft] val hitCol = "__graft_hit"

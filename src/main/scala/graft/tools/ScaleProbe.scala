@@ -168,6 +168,7 @@ object ScaleProbe {
       case "expire" => expireMode(spark)
       case "dbviews" => dbViewsMode(spark)
       case "coalesce" => coalesceMode(spark)
+      case "bucketstats" => bucketStatsMode(spark)
       case _ =>
         families(sf01, "sf0.1")
         families(outDir, "sf1")
@@ -359,6 +360,38 @@ object ScaleProbe {
         f""""wall_inplace_s":$wallA%.2f,"wall_rebuild_s":$wallB%.2f""" + "}")
       Seq(s"$base-a", s"$base-b", s"$base-ht", s"$base-dim")
         .foreach(d => deleteTree(new java.io.File(d)))
+    }
+  }
+
+  /** Round-16 mode `bucketstats`: per-bucket [min,max] stats for
+    * declared takedown keys. r15 named the predicate takedown's match
+    * scan the last ∝-corpus surface (clustered 0.1%: 1.12 → 2.41 s
+    * across 10×). With `statsColumns` the scan reads only overlapping
+    * buckets. Probe: clustered 0.1% takedown, 1×/10× corpus, stats on
+    * vs off. Headline check: stats-on wall FLAT across 10×. */
+  private def bucketStatsMode(spark: SparkSession): Unit = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", StringType)))
+    def deleteTree(f: java.io.File): Unit = {
+      val fs = f.listFiles(); if (fs != null) fs.foreach(deleteTree); f.delete()
+    }
+    for (scale <- Seq(1L, 10L); stats <- Seq(false, true)) {
+      val n = 50000L * scale
+      val dir = s"/tmp/graft-bstats-probe/n$n-$stats"
+      deleteTree(new java.io.File(dir))
+      val log = new graft.core.ParquetLog(spark, dir, schema, bucketSize = 512L,
+        statsColumns = if (stats) Seq("doc_id") else Nil)
+      log.append(spark.range(n).select(col("id").as("doc_id"),
+        concat(lit("p"), col("id"), lit("-"),
+          lpad(conv(col("id") * 2654435761L, 10, 16), 100, "x")).as("payload")))
+      val cond = col("doc_id") >= n / 2 && col("doc_id") < n / 2 + n / 1000
+      val t0 = System.nanoTime()
+      val removed = log.retract(cond)
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(s"[probe] {" +
+        s""""mode":"bucketstats","corpus":$n,"stats":$stats,"removed":$removed,""" +
+        f""""wall_s":$wall%.2f""" + "}")
+      deleteTree(new java.io.File(dir))
     }
   }
 

@@ -85,6 +85,58 @@ object ColumnBridge {
   /** Bare attribute name of a Column, if it is exactly one. */
   def attributeName(c: Column): Option[String] = attr(c.node)
 
+  /** True when the filter PROVABLY selects no row of a storage unit
+    * whose per-column `[min, max]` ranges are `stats` (None = column
+    * untracked ⇒ unknowable). Conservative three-valued logic over the
+    * unresolved ColumnNode tree — the Delta-style data-skipping grammar:
+    * and/or, the four comparisons, equality and IN against integral
+    * literals; every other node is Unknown and keeps the unit. Used by
+    * [[graft.core.ParquetLog]]'s bucket-stats takedown pruning. */
+  def statsProveEmpty(c: Column, stats: String => Option[(Long, Long)]): Boolean = {
+    def asLong(v: Any): Option[Long] = v match {
+      case l: Long => Some(l); case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong); case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    def ev(n: ColumnNode): Boolean = n match {
+      case f: UnresolvedFunction => f.functionName match {
+        case "and" => f.arguments.exists(ev)
+        case "or" => f.arguments.nonEmpty && f.arguments.forall(ev)
+        case "=" if f.arguments.size == 2 =>
+          val Seq(x, y) = f.arguments
+          (for { a <- attr(x); v <- lit(y).flatMap(asLong); r <- stats(a) }
+            yield v < r._1 || v > r._2)
+            .orElse(for { a <- attr(y); v <- lit(x).flatMap(asLong); r <- stats(a) }
+              yield v < r._1 || v > r._2)
+            .getOrElse(false)
+        case op @ (">" | ">=" | "<" | "<=") if f.arguments.size == 2 =>
+          val Seq(x, y) = f.arguments
+          def prove(a: String, o: String, v: Long): Option[Boolean] =
+            stats(a).map { case (lo, hi) => o match {
+              case ">"  => hi <= v  // no row can exceed v
+              case ">=" => hi < v
+              case "<"  => lo >= v
+              case "<=" => lo > v
+            } }
+          val flip = Map(">" -> "<", "<" -> ">", ">=" -> "<=", "<=" -> ">=")
+          attr(x).zip(lit(y).flatMap(asLong)).flatMap { case (a, v) => prove(a, op, v) }
+            .orElse(attr(y).zip(lit(x).flatMap(asLong))
+              .flatMap { case (a, v) => prove(a, flip(op), v) })
+            .getOrElse(false)
+        case "in" if f.arguments.size >= 2 =>
+          (for { a <- attr(f.arguments.head); r <- stats(a) } yield {
+            val vs = f.arguments.tail.map(lit)
+            // provable only when EVERY member is a known integral
+            // literal outside the range (an unknown member could match)
+            vs.forall(_.flatMap(asLong).exists(v => v < r._1 || v > r._2))
+          }).getOrElse(false)
+        case _ => false
+      }
+      case _ => false
+    }
+    ev(c.node)
+  }
+
   /** If the Column is an ALIASED bare `count(<literal>)` (non-distinct),
     * return the alias — the aggregate shape a covering index can serve
     * without touching the log. */

@@ -415,3 +415,92 @@ class TableLogFormatsSpec extends SparkSpec {
       s"expected pushed ORC filters:\n${qe.take(1500)}")
   }
 }
+
+/** Bucket-stats takedown pruning: per-bucket [min,max] for declared
+  * takedown-key columns lets a predicate or id-list takedown SKIP
+  * non-overlapping buckets in its match scan (the way seq arithmetic
+  * already prunes retention). */
+class BucketStatsPruningSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("tag", StringType)))
+
+  test("statsProveEmpty: the data-skipping grammar, conservatively") {
+    val st: String => Option[(Long, Long)] =
+      { case "a" => Some((10L, 20L)); case _ => None }
+    def empty(c: org.apache.spark.sql.Column) = ColumnBridge.statsProveEmpty(c, st)
+    assert(empty(col("a") === 5L) && empty(col("a") === 25L))
+    assert(!empty(col("a") === 15L))
+    assert(empty(lit(5L) === col("a")), "flipped equality")
+    assert(empty(col("a") > 20L) && !empty(col("a") > 19L))
+    assert(empty(col("a") >= 21L) && !empty(col("a") >= 20L))
+    assert(empty(col("a") < 10L) && !empty(col("a") < 11L))
+    assert(empty(col("a") <= 9L) && !empty(col("a") <= 10L))
+    assert(empty(lit(25L) < col("a")), "flipped comparison: 25 < a is a > 25")
+    assert(empty(col("a").isin(1L, 2L, 30L)) && !empty(col("a").isin(1L, 15L)))
+    // and: one provably-empty conjunct suffices; or: all disjuncts must be
+    assert(empty(col("a") === 5L && col("b") === 1L))
+    assert(!empty(col("a") === 15L && col("b") === 1L))
+    assert(empty(col("a") === 5L || col("a") === 25L))
+    assert(!empty(col("a") === 5L || col("a") === 15L))
+    // untracked columns, non-integral literals, other operators: Unknown
+    assert(!empty(col("b") === 5L))
+    assert(!empty(col("a") === "x"))
+    assert(!empty(col("a") % 2 === 0L))
+    assert(!empty(!(col("a") === 15L)), "negation is Unknown, kept")
+  }
+
+  test("stats-pruned takedown skips non-overlapping buckets (poisoned-bucket proof) and stays correct") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bstats").toString
+    val log = new ParquetLog(spark, dir, schema, bucketSize = 100L,
+      statsColumns = Seq("doc_id"))
+    // doc_id aligned with seq so each 100-seq bucket holds a distinct range
+    log.append(spark.range(1000L).select(col("id").as("doc_id"), lit("x").as("tag")))
+    assert(new java.io.File(dir, "_graft_stats").exists(), "manifest written")
+    // POISON bucket 0: drop a garbage "parquet" file in it — any scan
+    // that touches the bucket fails loudly, so a takedown whose stats
+    // prune it away is PROVEN never to read it
+    val poison = new java.io.File(dir, "seq_bucket=0/part-poison.parquet")
+    java.nio.file.Files.writeString(poison.toPath, "this is not parquet")
+    // clustered predicate inside bucket 9 only
+    assert(log.retract(col("doc_id") >= 950L && col("doc_id") < 960L) === 10L)
+    // clustered id list inside bucket 8 only
+    val ids = spark.range(10L).select((col("id") + 840L).as("doc_id"))
+    assert(log.retractIds(ids, "doc_id") === 10L)
+    // an out-of-range takedown prunes EVERY bucket: zero jobs, zero rows
+    assert(log.retract(col("doc_id") === 99999L) === 0L)
+    java.nio.file.Files.delete(poison.toPath)
+    assert(log.read.count() === 980L)
+    assert(log.read.where(col("doc_id").between(950L, 959L)).count() === 0L)
+    assert(log.read.where(col("doc_id").between(840L, 849L)).count() === 0L)
+    // a predicate on an UNTRACKED column cannot prune — still correct
+    assert(log.retract(col("tag") === "nope") === 0L)
+    // manifest survives reopen; a reopened log still prunes and removes
+    val log2 = new ParquetLog(spark, dir, schema, bucketSize = 100L,
+      statsColumns = Seq("doc_id"))
+    java.nio.file.Files.writeString(poison.toPath, "still not parquet")
+    assert(log2.retract(col("doc_id") === 955L) === 0L, "already retracted: idempotent")
+    assert(log2.retract(col("doc_id") === 970L) === 1L)
+    java.nio.file.Files.delete(poison.toPath)
+    assert(log2.read.count() === 979L)
+  }
+
+  test("stats merge across appends widens ranges; seq-column pruning rides directory names") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bstats2").toString
+    val log = new ParquetLog(spark, dir, schema, bucketSize = 1000L,
+      statsColumns = Seq("doc_id"))
+    // two appends into the SAME bucket with disjoint doc_id bands: the
+    // manifest entry must widen, not replace
+    log.append(spark.range(10L).select((col("id") + 100L).as("doc_id"), lit("a").as("tag")))
+    log.append(spark.range(10L).select((col("id") + 500L).as("doc_id"), lit("b").as("tag")))
+    assert(log.retract(col("doc_id") === 105L) === 1L)
+    assert(log.retract(col("doc_id") === 505L) === 1L)
+    assert(log.read.count() === 18L)
+    // a seq predicate prunes by directory arithmetic even with no
+    // stats entry for it (the retention freebie on the retract path)
+    assert(log.retract(col("seq") >= 19L) === 1L)
+    assert(log.read.count() === 17L)
+  }
+}
