@@ -48,6 +48,64 @@ private[graft] object CoreQueries {
       EntryHelpers.deleteTree(tmp)
       out
     }),
+    "q_retract_pruned" -> ((s, dir) => {
+      // BUCKET-STATS pruned takedown: the log declares its takedown key
+      // (`statsColumns`) so append maintains a per-bucket [min,max]
+      // manifest, and a clustered predicate takedown then reads ONLY
+      // the overlapping `seq_bucket=` dirs in its match scan — the
+      // r15-era corpus-wide (narrow) scan is proven skippable for every
+      // other bucket. event_id rides append order, so the middle-decile
+      // range is physically clustered, the shape of a single uploader's
+      // corpus leaving under a rights-holder request.
+      val ev = t(s, dir, "events").orderBy("event_id")
+        .select("event_id", "event_type", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("graftprn-log").toString
+      val log = new ParquetLog(s, tmp, ev.schema, bucketSize = 512L,
+        statsColumns = Seq("event_id"))
+      log.append(ev)
+      val n = log.since + 1L
+      log.retract(col("event_id") >= n / 2 && col("event_id") < n / 2 + (n + 9L) / 10L)
+      val out = log.read.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+        .localCheckpoint(true)
+      EntryHelpers.deleteTree(tmp)
+      out
+    }),
+    "q_db_retract_keyed" -> ((s, dir) => {
+      // IN-PLACE db takedown through the KEYED folding families (the
+      // r15 scale-killer closed): a latest-per-key hashtable purges +
+      // recomputes ONLY the affected keys from a key-pruned log scan,
+      // the SCD-2 dimension deletes removed version rows outright, and
+      // the sum reduce subtracts the removed rows' partial — no view
+      // pays a full-log rebuild. The outputs read every artifact after
+      // ONE db.retract call.
+      import s.implicits._
+      val ev = t(s, dir, "events").orderBy("event_id")
+        .select("user_id", "event_type", "value")
+      val tmpLog = java.nio.file.Files.createTempDirectory("graftdbk-log").toString
+      val tmpHt = java.nio.file.Files.createTempDirectory("graftdbk-ht").toString
+      val tmpDim = java.nio.file.Files.createTempDirectory("graftdbk-dim").toString
+      val log = new ParquetLog(s, tmpLog, ev.schema, bucketSize = 8192L)
+      val db = new FlumeDb(log)
+        .use("ht", PersistentHashtableView(tmpHt, "user_id"))
+        .use("dim", Scd2TableView(tmpDim, "user_id", "seq", Seq("value")))
+        .use("sum", SumReduceView("value"))
+      db.append(ev)
+      db.retract(col("user_id") % 7 === 3)
+      val ht = db.gated("ht")(_.asInstanceOf[PersistentHashtableView].frame)
+      val latestSum = round4(ht.agg(sum("value")).head().getDouble(0))
+      val nUsers = ht.count()
+      val versions = db.gated("dim")(_.asInstanceOf[Scd2TableView].dimension).count()
+      val (sumV, cnt) = db.gated("sum")(_.asInstanceOf[MergeableReduceView[(Double, Long)]].value.get)
+      db.close()
+      EntryHelpers.deleteTree(tmpLog)
+      EntryHelpers.deleteTree(tmpHt)
+      EntryHelpers.deleteTree(tmpDim)
+      Seq((nUsers, latestSum, versions, round4(sumV), cnt))
+        .toDF("n_users", "latest_sum", "versions", "sum_value", "value_cnt")
+    }),
     "q_db_retract" -> ((s, dir) => {
       // DB-LEVEL takedown: ONE call retracts the log AND brings every
       // mounted view to a no-trace state — the seq-keyed posting index
@@ -396,6 +454,24 @@ private[graft] object CoreQueries {
         "h AS (SELECT (count(*) * 2) // 5 AS horizon FROM seqs) " +
         "SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value, min(seq) AS min_seq " +
         "FROM seqs, h WHERE seq > horizon GROUP BY event_type ORDER BY event_type"),
+    "q_retract_pruned" ->
+      // event_id IS the seq (dense 0-based append order), so the
+      // clustered middle-decile range maps 1:1 onto the Spark cond
+      ("WITH c AS (SELECT count(*) AS total FROM events) " +
+        "SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value " +
+        "FROM events, c " +
+        "WHERE NOT (event_id >= total // 2 AND event_id < total // 2 + (total + 9) // 10) " +
+        "GROUP BY event_type ORDER BY event_type"),
+    "q_db_retract_keyed" ->
+      // every keyed artifact after the takedown: latest-per-user store,
+      // version dimension, and the (sum, count) fold over kept rows
+      ("WITH kept AS (SELECT * FROM events WHERE user_id % 7 <> 3), " +
+        "latest AS (SELECT user_id, arg_max(value, event_id) AS lv FROM kept GROUP BY user_id) " +
+        "SELECT (SELECT count(*) FROM latest)::BIGINT AS n_users, " +
+        "(SELECT round(sum(lv), 4) FROM latest) AS latest_sum, " +
+        "(SELECT count(*) FROM kept)::BIGINT AS versions, " +
+        "(SELECT round(sum(value), 4) FROM kept) AS sum_value, " +
+        "(SELECT count(*) FROM kept)::BIGINT AS value_cnt"),
     "q_db_retract" ->
       // the takedown replay: every artifact of the db — log rows, index
       // postings, the reduce fold — must agree with the kept set
