@@ -124,10 +124,16 @@ trait InvertibleReduceView { self: FlumeView =>
   /** False when the instance was built without an inverse — the db
     * then falls back to destroy + rebuild. */
   def canUnabsorb: Boolean
-  /** Subtract the partial of the REMOVED rows (already mapped — the
-    * same frame shape [[FlumeView.absorb]] consumed) from the fold.
-    * The view cursor is unchanged: a takedown is not an absorb. */
-  def unabsorb(removedRows: DataFrame): Unit
+  /** Two-phase un-absorb: eagerly compute the REMOVED rows' partial NOW
+    * (the rows are about to leave storage — one narrow aggregate scan,
+    * never a materialization of the rows themselves), and return a
+    * thunk that APPLIES the subtraction. The db runs the thunk only
+    * after the log rewrite succeeds, so a fence refusal or rewrite
+    * failure leaves the fold untouched. The view cursor never moves:
+    * a takedown is not an absorb. */
+  def prepareUnabsorb(removedRows: DataFrame): () => Unit
+  /** One-shot convenience: compute and apply immediately. */
+  def unabsorb(removedRows: DataFrame): Unit = prepareUnabsorb(removedRows)()
 }
 
 final class ClosedException(msg: String) extends IllegalStateException(msg)
@@ -362,13 +368,15 @@ final class FlumeDb(
     throwIfClosed(); count("retract")
     lock.lock()
     try {
+      log.probeRewriteFence("retract")
       // the removed seq set must outlive the rewrite it prunes:
-      // materialize BEFORE the log swap (the repo's persist-fence rule)
-      val matched = log.read.where(cond)
+      // materialize BEFORE the log swap (the repo's persist-fence rule);
+      // the auxiliary scans ride the log's bucket-stats pruning
+      val matched = log.readWherePruned(cond)
       val seqs = matched.select(log.seqCol).localCheckpoint(true)
-      val rows = capturedRemovedRows(matched)
+      val prepared = prepareInversions(matched)
       val removed = log.retract(cond)
-      if (removed > 0) retractViews(seqs, rows)
+      if (removed > 0) { prepared.foreach(_._2()); retractViews(seqs, prepared.map(_._1).toSet) }
       removed
     } finally lock.unlock()
   }
@@ -383,12 +391,14 @@ final class FlumeDb(
     lock.lock()
     try {
       import org.apache.spark.sql.functions.col
-      val marked = ParquetLog.hitMarker(ids, idCol, 4L * 1000 * 1000)(log.read)
+      log.probeRewriteFence("retract")
+      val marked = ParquetLog.hitMarker(ids, idCol, 4L * 1000 * 1000)(
+          log.readForTakedownIds(ids, idCol))
         .where(col(ParquetLog.hitCol)).drop(ParquetLog.hitCol)
       val seqs = marked.select(log.seqCol).localCheckpoint(true)
-      val rows = capturedRemovedRows(marked)
+      val prepared = prepareInversions(marked)
       val removed = log.retractIds(ids, idCol)
-      if (removed > 0) retractViews(seqs, rows)
+      if (removed > 0) { prepared.foreach(_._2()); retractViews(seqs, prepared.map(_._1).toSet) }
       removed
     } finally lock.unlock()
   }
@@ -416,13 +426,18 @@ final class FlumeDb(
     lock.lock()
     try {
       import org.apache.spark.sql.functions.{col, lit}
-      // the expiring prefix, captured ONLY if an invertible reduce is
-      // mounted (∝ expired data — the data leaving storage anyway;
-      // without it the fold pays a ∝-corpus rebuild instead)
-      val rows = capturedRemovedRows(
-        log.read.where(col(log.seqCol) <= lit(throughSeq)))
+      log.probeRewriteFence("expire")
+      // the expiring prefix is never materialized: each invertible fold
+      // computes its (tiny) partial over the lazy, bucket-pruned frame
+      // NOW — an expiring year of log must not be checkpointed to
+      // subtract two numbers — and applies it only after the truncation
+      val prepared = prepareInversions(
+        log.readWherePruned(col(log.seqCol) <= lit(throughSeq)))
       val removed = log.expire(throughSeq)
-      if (removed > 0) expireViews(throughSeq, rows, expireFeatures)
+      if (removed > 0) {
+        prepared.foreach(_._2())
+        expireViews(throughSeq, prepared.map(_._1).toSet, expireFeatures)
+      }
       // the log prefix may have left in an EARLIER keep-features pass:
       // an explicit opt-in still reclaims the feature deltas (cheap —
       // directory arithmetic, no data read)
@@ -439,41 +454,44 @@ final class FlumeDb(
     }
   }
 
-  /** The matched (mapped) rows, materialized pre-rewrite — captured
-    * only when a mounted view can consume them (an invertible reduce);
-    * every other family works from the seq set / horizon alone. */
-  private def capturedRemovedRows(matched: DataFrame): Option[DataFrame] = {
-    val needed = {
-      val it = views.values().iterator()
-      var found = false
-      while (it.hasNext && !found) it.next().view match {
-        case v: InvertibleReduceView if v.canUnabsorb => found = true
+  /** Phase 1 of reduce inversion: every invertible fold computes its
+    * removed-rows partial NOW (one narrow aggregate scan per view over
+    * the pruned matched frame — the rows themselves are never
+    * materialized), applying NOTHING. The returned thunks run only
+    * after the log rewrite succeeds; a fence refusal or rewrite
+    * failure drops them, leaving the folds untouched. */
+  private def prepareInversions(matched: => DataFrame): Seq[(FlumeView, () => Unit)] = {
+    val out = Seq.newBuilder[(FlumeView, () => Unit)]
+    lazy val m = { val f = matched; mapper.fold(f)(g => g(f)) }
+    val it = views.values().iterator()
+    while (it.hasNext) {
+      val mv = it.next().view
+      mv match {
+        case v: InvertibleReduceView if v.canUnabsorb => out += ((mv, v.prepareUnabsorb(m)))
         case _ => ()
       }
-      found
     }
-    if (needed) Some(mapper.fold(matched)(f => f(matched)).localCheckpoint(true)) else None
+    out.result()
   }
 
   /** Bring every mounted view to the post-takedown state, cheapest
     * mechanism first per family: seq-keyed posting tables delete in
     * place; keyed folds purge + recompute only the affected keys;
-    * invertible reduces subtract the removed rows' partial (when the
-    * rows were capturable — a durable-intent REPLAY has only the seq
+    * invertible reduces were already handled by the two-phase
+    * inversion (`handled` — a durable-intent REPLAY has only the seq
     * list, the log is already rewritten, so those fall through to the
     * rebuild); everything else destroys + rebuilds, the universally
     * correct fallback. */
-  private def retractViews(removedSeqs: DataFrame, removedRows: Option[DataFrame]): Unit = {
+  private def retractViews(removedSeqs: DataFrame, handled: Set[FlumeView]): Unit = {
     lazy val postLog = mapper.fold(log.read)(f => f(log.read))
     val it = views.values().iterator()
     while (it.hasNext) {
       val m = it.next()
       m.view match {
+        case v if handled.contains(v) => ()
         case s: SeqRetractableView => s.retractLogSeqs(removedSeqs, log.seqCol)
         case k: KeyRetractableView =>
           k.retractLogSeqsRecompute(removedSeqs, log.seqCol, postLog)
-        case v: InvertibleReduceView if v.canUnabsorb && removedRows.isDefined =>
-          v.unabsorb(removedRows.get)
         case _ => m.view.destroy(); sync(m)
       }
     }
@@ -513,22 +531,37 @@ final class FlumeDb(
       log.probeRewriteFence("retract") // refuse BEFORE the intent exists
       val seqsDir = intentFile + ".seqs"
       deleteDirIfExists(seqsDir) // uncommitted leftover from a pre-marker crash
-      log.read.where(cond).select(log.seqCol).write.parquet(seqsDir)
+      log.readWherePruned(cond).select(log.seqCol).write.parquet(seqsDir)
       // the parquet list is complete (_SUCCESS) — NOW commit the intent
       commitIntent(p, intentFile, s"@seqs$viewsToken")
       val seqs = readSeqList(seqsDir)
-      // removed rows capturable only on the FRESH pass (a crash replay
-      // finds the log already rewritten — those views rebuild instead)
-      val rows = capturedRemovedRows(log.read.where(cond))
-      val removed = log.retract(cond)
+      // inversions prepare on the FRESH pass only (a crash replay finds
+      // the log already rewritten — those views rebuild on replay)
+      val prepared = prepareInversions(log.readWherePruned(cond))
+      val removed = mutateLogOrUnlatch(p, seqsDir)(log.retract(cond))
       // mirror the undurable form: a zero-match takedown has no ghost
       // rows to purge — do not destroy/rebuild every folding view
-      if (removed > 0) retractViews(seqs, rows)
+      if (removed > 0) { prepared.foreach(_._2()); retractViews(seqs, prepared.map(_._1).toSet) }
       java.nio.file.Files.delete(p)
       deleteDirIfExists(seqsDir)
       removed
     } finally lock.unlock()
   }
+
+  /** Run the log mutation of a durable pass; if it is refused by the
+    * live-tail quiescence fence (a tail started in the window between
+    * the entry probe and the rewrite — nothing was mutated), unlatch
+    * the just-committed intent before rethrowing, so a pure refusal
+    * never leaves an open window that blocks all future takedowns. A
+    * re-probe distinguishes a fence refusal from any other failure
+    * (which keeps the intent: the rewrite may have partially run). */
+  private def mutateLogOrUnlatch(p: java.nio.file.Path, seqsDir: String)(op: => Long): Long =
+    try op catch {
+      case e: IllegalStateException if scala.util.Try(log.probeRewriteFence("probe")).isFailure =>
+        java.nio.file.Files.deleteIfExists(p)
+        if (seqsDir != null) deleteDirIfExists(seqsDir)
+        throw e
+    }
 
   /** Crash-durable takedown by ID LIST: the batch form of
     * `retract(cond, intentFile)`. The matched SEQ set (not the id list)
@@ -546,12 +579,13 @@ final class FlumeDb(
       markedSeqs(ids, idCol).write.parquet(seqsDir)
       commitIntent(p, intentFile, s"@seqs$viewsToken")
       val seqs = readSeqList(seqsDir)
-      val rows = capturedRemovedRows(
-        ParquetLog.hitMarker(seqs, log.seqCol, 4L * 1000 * 1000)(log.read)
+      val prepared = prepareInversions(
+        ParquetLog.hitMarker(seqs, log.seqCol, 4L * 1000 * 1000)(
+            log.readForTakedownIds(seqs, log.seqCol))
           .where(org.apache.spark.sql.functions.col(ParquetLog.hitCol))
           .drop(ParquetLog.hitCol))
-      val removed = log.retractIds(seqs, log.seqCol)
-      if (removed > 0) retractViews(seqs, rows)
+      val removed = mutateLogOrUnlatch(p, seqsDir)(log.retractIds(seqs, log.seqCol))
+      if (removed > 0) { prepared.foreach(_._2()); retractViews(seqs, prepared.map(_._1).toSet) }
       java.nio.file.Files.delete(p)
       deleteDirIfExists(seqsDir)
       removed
@@ -572,11 +606,14 @@ final class FlumeDb(
       log.probeRewriteFence("expire")
       val featTok = if (expireFeatures) " FEATURES" else ""
       commitIntent(p, intentFile, s"EXPIRE $throughSeq$featTok$viewsToken")
-      val rows = capturedRemovedRows(log.read.where(
+      val prepared = prepareInversions(log.readWherePruned(
         org.apache.spark.sql.functions.col(log.seqCol) <=
           org.apache.spark.sql.functions.lit(throughSeq)))
-      val removed = log.expire(throughSeq)
-      if (removed > 0) expireViews(throughSeq, rows, expireFeatures)
+      val removed = mutateLogOrUnlatch(p, null)(log.expire(throughSeq))
+      if (removed > 0) {
+        prepared.foreach(_._2())
+        expireViews(throughSeq, prepared.map(_._1).toSet, expireFeatures)
+      }
       else if (expireFeatures) expireFeatureTables(throughSeq)
       java.nio.file.Files.delete(p)
       removed
@@ -742,7 +779,7 @@ final class FlumeDb(
             s"recoverRetract: corrupt intent at $intentFile — 'EXPIRE' horizon " +
               s"'$through' is not a seq; the durable window is left open"))
           log.expire(t) // the prefix that survived the crash leaves now
-          expireViews(t, None, expireFeatures = rest.nonEmpty)
+          expireViews(t, Set.empty, expireFeatures = rest.nonEmpty)
         case Array("@seqs") =>
           if (!java.nio.file.Files.exists(java.nio.file.Paths.get(seqsDir)))
             throw new IllegalStateException(
@@ -754,10 +791,10 @@ final class FlumeDb(
           if (seqs.isEmpty) () // a zero-match pass: nothing to replay anywhere
           else {
             log.retractIds(seqs, log.seqCol) // absent seqs rewrite nothing
-            // rows = None: the log may already be rewritten, so the
-            // removed rows are unrecoverable — invertible reduces take
-            // the rebuild arm on replay (rare; correctness first)
-            retractViews(seqs, None)
+            // no prepared inversions on REPLAY: the log may already be
+            // rewritten, so the removed rows are unrecoverable —
+            // invertible reduces take the rebuild arm (rare; correct)
+            retractViews(seqs, Set.empty)
           }
         case _ =>
           throw new IllegalStateException(
@@ -771,12 +808,13 @@ final class FlumeDb(
     } finally lock.unlock()
   }
 
-  private def expireViews(throughSeq: Long, removedRows: Option[DataFrame] = None,
+  private def expireViews(throughSeq: Long, handled: Set[FlumeView] = Set.empty,
       expireFeatures: Boolean = false): Unit = {
     val it = views.values().iterator()
     while (it.hasNext) {
       val m = it.next()
       m.view match {
+        case v if handled.contains(v) => ()
         // feature tables first: KEEP by default (re-crawls of aged-out
         // content still dedup), truncate the delta chain on opt-in —
         // never the ∝-corpus rebuild the fallback arm would pay
@@ -784,8 +822,6 @@ final class FlumeDb(
           if (expireFeatures) f.expireFeatureDeltas(throughSeq)
         case s: SeqRetractableView => s.expireLogSeqs(throughSeq)
         case k: KeyRetractableView => k.expireLogSeqs(throughSeq)
-        case v: InvertibleReduceView if v.canUnabsorb && removedRows.isDefined =>
-          v.unabsorb(removedRows.get)
         case _ => m.view.destroy(); sync(m)
       }
     }

@@ -137,6 +137,17 @@ trait FlumeLog {
     throw new UnsupportedOperationException(
       s"${getClass.getSimpleName} is read-only — no storage to retract")
 
+  /** The log frame a takedown's AUXILIARY scans should read (seq
+    * collection, removed-rows capture for reduce inversion): backends
+    * with a prunable layout override to skip storage units that
+    * provably hold none of `ids` — so the db orchestration's side scans
+    * prune like the rewrite itself. Default: the full read. */
+  def readForTakedownIds(ids: DataFrame, idCol: String): DataFrame = read
+
+  /** Predicate twin of [[readForTakedownIds]]: `read.where(cond)` with
+    * provably-unmatched storage units skipped. */
+  def readWherePruned(cond: Column): DataFrame = read.where(cond)
+
   /** Probe the backend's rewrite quiescence fence WITHOUT mutating
     * anything: throws exactly when [[retract]]/[[expire]] would refuse
     * to start (a live tail in flight). Default no-op for backends with
@@ -349,23 +360,43 @@ final class ParquetLog(
 
   /** Candidate buckets for an ID-LIST takedown: the id list's [min,max]
     * envelope (one tiny agg — exact per-id intersection would cost an
-    * ids × buckets range join) against each bucket's stored range for
-    * `idCol`. A clustered rights-holder list prunes to its neighborhood;
-    * a scattered list keeps every bucket, which is correct. */
+    * ids × buckets range join) against each bucket's range for `idCol` —
+    * the stored manifest for declared stats columns, pure directory
+    * arithmetic when the id column IS the seq (the durable replay and
+    * drain paths rewrite by seq list). A clustered rights-holder list
+    * prunes to its neighborhood; a scattered list keeps every bucket,
+    * which is correct. */
   private def candidatesForIds(ids: DataFrame, idCol: String): Option[Seq[Long]] = {
-    if (!bucketed || !statsColumns.contains(idCol)) return None
+    if (!bucketed) return None
+    val seqBased = idCol == seqCol
+    if (!seqBased && !statsColumns.contains(idCol)) return None
     val existing = listBucketIds()
     if (existing.isEmpty) return None
     val env = ids.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
     if (env.isNullAt(0)) return Some(Nil) // empty id list matches nothing
     val (lo, hi) = (env.getLong(0), env.getLong(1))
     Some(existing.filter { b =>
-      bucketStats.get((b, idCol)) match {
+      val range =
+        if (seqBased) Some((b * bucketSize, (b + 1) * bucketSize - 1))
+        else bucketStats.get((b, idCol))
+      range match {
         case Some((bLo, bHi)) => bHi >= lo && bLo <= hi
         case None => true // no stats: always a candidate
       }
     })
   }
+
+  override def readForTakedownIds(ids: DataFrame, idCol: String): DataFrame =
+    candidatesForIds(ids, idCol) match {
+      case Some(cands) => readBuckets(cands)
+      case None => read
+    }
+
+  override def readWherePruned(cond: Column): DataFrame =
+    candidatesForPredicate(cond) match {
+      case Some(cands) => readBuckets(cands).where(cond)
+      case None => read.where(cond)
+    }
 
   /** Set by [[retract]]/[[retractIds]] for the duration of the rewrite,
     * consumed by [[retractMarked]]'s match scan (same monitor — the
@@ -635,6 +666,15 @@ final class ParquetLog(
         // between the two leaves ranges too wide (safe), never too
         // narrow (which would prune a bucket holding matching rows)
         if (bucketed && statsColumns.nonEmpty) {
+          // a bucket already on disk WITHOUT a manifest entry holds rows
+          // appended before stats were enabled (or before this column
+          // was declared) — creating an entry from this batch alone
+          // would claim coverage it doesn't have and a takedown would
+          // silently skip the legacy rows. Such buckets stay entry-less
+          // (= always scanned) forever; only brand-new buckets and
+          // already-covered buckets get entries.
+          val preExisting = listBucketIds().toSet
+          val batchBuckets = scala.collection.mutable.Set.empty[Long]
           val aggCols = statsColumns.flatMap(c => Seq(
             min(col(s"`$c`")).cast("long").as(s"min_$c"),
             max(col(s"`$c`")).cast("long").as(s"max_$c")))
@@ -642,16 +682,26 @@ final class ParquetLog(
             .groupBy(col(bucketCol)).agg(aggCols.head, aggCols.tail: _*)
             .collect().foreach { r =>
               val b = r.getLong(0)
+              batchBuckets += b
               statsColumns.zipWithIndex.foreach { case (c, i) =>
                 if (!r.isNullAt(1 + 2 * i)) { // all-null batch: no range to extend
                   val (lo, hi) = (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
-                  val merged = bucketStats.get((b, c))
-                    .map { case (l0, h0) => (math.min(l0, lo), math.max(h0, hi)) }
-                    .getOrElse((lo, hi))
-                  bucketStats((b, c)) = merged
+                  bucketStats.get((b, c)) match {
+                    case Some((l0, h0)) =>
+                      bucketStats((b, c)) = (math.min(l0, lo), math.max(h0, hi))
+                    case None if !preExisting.contains(b) =>
+                      bucketStats((b, c)) = (lo, hi)
+                    case None => () // legacy uncovered bucket: stays unprunable
+                  }
                 }
               }
             }
+          // entries for buckets that expire/retract tombstoned would
+          // otherwise accumulate forever (correctness holds — candidates
+          // intersect with existing dirs — but every append rewrites the
+          // whole manifest): retain only live + this batch's buckets
+          val live = preExisting ++ batchBuckets
+          bucketStats.filterInPlace { case ((b, _), _) => live.contains(b) }
           writeBucketStats()
         }
         if (bucketed)

@@ -409,6 +409,17 @@ private[views] trait CompactableDeltas extends DeltaProtocol {
     * from frames that survive the swap (materialized, or reading other
     * dirs). */
   protected def swapUnit(rel: String, content: DataFrame): Unit = {
+    if (content.isEmpty) {
+      // Spark writes no part files for an empty frame — the unit would
+      // become a schema-less dir no reader can infer. The protocol's
+      // answer is the EMPTY tombstone: delete the unit outright
+      // (recovered at open by the same marker arm).
+      writeAtomic(retractMarker, s"$rel EMPTY")
+      val unit = root.resolve(rel)
+      if (Files.exists(unit)) FsLists.walkDeepestFirst(unit).foreach(Files.delete)
+      Files.delete(retractMarker)
+      return
+    }
     if (Files.exists(retractTmp)) FsLists.walkDeepestFirst(retractTmp).foreach(Files.delete)
     content.write.parquet(retractTmp.toString)
     writeAtomic(retractMarker, rel) // commit point (valid with tmp/_SUCCESS)

@@ -91,9 +91,12 @@ final class PersistentReduceView[S](
     * un-merged value is committed through the same atomic file swap as
     * an absorb (cursor unchanged: a takedown is not an absorb). */
   def canUnabsorb: Boolean = inverse.isDefined
-  def unabsorb(removedRows: DataFrame): Unit = {
-    state = state.map(s => inverse.get(s, partial(removedRows)))
-    writeFile()
+  def prepareUnabsorb(removedRows: DataFrame): () => Unit = {
+    val p = partial(removedRows) // eager: the rows are about to leave storage
+    () => {
+      state = state.map(s => inverse.get(s, p))
+      writeFile()
+    }
   }
 
   def destroy(): Unit = {

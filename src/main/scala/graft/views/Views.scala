@@ -55,8 +55,10 @@ final class MergeableReduceView[S](
     * without an inverse (Welford, min/max) leave `inverse` None and the
     * db rebuilds them. */
   def canUnabsorb: Boolean = inverse.isDefined
-  def unabsorb(removedRows: DataFrame): Unit =
-    state = state.map(s => inverse.get(s, partial(removedRows)))
+  def prepareUnabsorb(removedRows: DataFrame): () => Unit = {
+    val p = partial(removedRows) // eager: the rows are about to leave storage
+    () => state = state.map(s => inverse.get(s, p))
+  }
 
   def destroy(): Unit = { state = None; sinceSeq = -1L }
 }

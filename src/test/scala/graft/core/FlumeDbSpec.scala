@@ -547,6 +547,56 @@ class FlumeDbSpec extends SparkSpec {
     assert(once === Set(("a", 0L), ("b", 2L), ("c", 3L)))
   }
 
+  test("hashtable in-place takedown of EVERY row tombstones the delta instead of writing an empty dir") {
+    // review regression: when all affected keys lose all surviving rows
+    // and the last delta held only affected keys, the repair swap's
+    // content is EMPTY — Spark writes no part files for an empty frame,
+    // so a plain swap would leave a schema-less dir (_SUCCESS only)
+    // that breaks every later read. swapUnit must tombstone instead.
+    import java.nio.file.Files
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val log = new ParquetLog(spark, tmp("graft-hte-log"), kvSchema)
+    val db = new FlumeDb(log).use("ht",
+      PersistentHashtableView(tmp("graft-hte-ht"), "k"))
+    db.append(kvDf(("a", 1L), ("b", 2L)))
+    val ht = db.view("ht").view.asInstanceOf[graft.views.PersistentHashtableView]
+    assert(db.retract(col("k") === "a" || col("k") === "b") === 2L,
+      "the takedown matches every row of every key")
+    assert(ht.frameOption.isEmpty, "the store is empty, not corrupt")
+    // the store still works: a later append absorbs into a fresh delta
+    db.append(kvDf(("c", 3L)))
+    assert(ht.frame.select("k").collect().map(_.getString(0)).toSeq === Seq("c"))
+  }
+
+  test("a fence refusal DURING a durable pass (post-intent) unlatches the fresh intent") {
+    // review regression: the entry probe narrows but cannot close the
+    // race — a tail starting between the probe and the rewrite makes
+    // log.retract throw AFTER the marker exists, which used to latch an
+    // open intent for an operation that mutated nothing
+    import java.nio.file.{Files, Paths}
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val intent = Paths.get(tmp("graft-dbfr-i"), "_intent").toString
+    val log = new MemoryLog(spark, schema) {
+      var probes = 0
+      override def probeRewriteFence(op: String): Unit = {
+        probes += 1
+        if (probes > 1) throw new IllegalStateException(s"$op: a tail started mid-pass")
+      }
+      override protected def retractMarked(mark: DataFrame => DataFrame): Long = {
+        probeRewriteFence("retract"); super.retractMarked(mark)
+      }
+    }
+    val db = new FlumeDb(log)
+    db.append(fooDf(10L, 20L))
+    val e = intercept[IllegalStateException](db.retract(col("foo") === 10L, intent))
+    assert(e.getMessage.contains("tail started"))
+    assert(!Files.exists(Paths.get(intent)),
+      "nothing was mutated — the refusal must not leave an open intent")
+    assert(!Files.exists(Paths.get(intent + ".seqs")))
+    assert(log.read.count() === 2L)
+    assert(!db.recoverRetract(intent), "no window was latched")
+  }
+
   test("SCD-2 dimension takes a db takedown/retention IN PLACE, equal to rebuild") {
     import java.nio.file.Files
     def tmp(p: String) = Files.createTempDirectory(p).toString

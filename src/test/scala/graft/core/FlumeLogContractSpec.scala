@@ -487,6 +487,53 @@ class BucketStatsPruningSpec extends SparkSpec {
     assert(log2.read.count() === 979L)
   }
 
+  test("legacy buckets (rows predating statsColumns) stay unprunable — a takedown cannot miss them") {
+    // the upgrade path every pre-existing log hits: rows appended
+    // WITHOUT stats, then the same dir reopened WITH statsColumns and
+    // appended into the same bucket — an entry built from the new batch
+    // alone would claim coverage it doesn't have and a takedown would
+    // silently skip the legacy rows (erasure failure, not a crash)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bstats3").toString
+    val legacy = new ParquetLog(spark, dir, schema, bucketSize = 100L)
+    legacy.append(spark.range(50L).select(col("id").as("doc_id"), lit("old").as("tag")))
+    val log = new ParquetLog(spark, dir, schema, bucketSize = 100L,
+      statsColumns = Seq("doc_id"))
+    log.append(spark.range(10L).select((col("id") + 500L).as("doc_id"), lit("new").as("tag")))
+    // bucket 0 holds legacy doc_ids 0..49 AND new 500..509; the
+    // manifest must NOT hold a (bucket 0) entry narrowed to [500,509]
+    assert(log.retract(col("doc_id") === 10L) === 1L,
+      "legacy row must be found: its bucket is unprunable by design")
+    assert(log.read.where(col("doc_id") === 10L).count() === 0L)
+    // a brand-new bucket appended under stats IS prunable
+    log.append(spark.range(100L).select((col("id") + 10000L).as("doc_id"), lit("n2").as("tag")))
+    assert(log.retract(col("doc_id") === 10005L) === 1L)
+    assert(log.read.count() === 158L)
+  }
+
+  test("seq-list takedowns prune by directory arithmetic; expired buckets leave the manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bstats4").toString
+    val log = new ParquetLog(spark, dir, schema, bucketSize = 100L,
+      statsColumns = Seq("doc_id"))
+    log.append(spark.range(1000L).select(col("id").as("doc_id"), lit("x").as("tag")))
+    // poison bucket 0: a seq-list takedown clustered in bucket 9 must
+    // never read it (the durable replay / drain path rewrites by seq)
+    val poison = new java.io.File(dir, "seq_bucket=0/part-poison.parquet")
+    java.nio.file.Files.writeString(poison.toPath, "not parquet")
+    val seqs = spark.range(10L).select((col("id") + 950L).as("seq"))
+    assert(log.retractIds(seqs, "seq") === 10L)
+    // and the pruned auxiliary read the db orchestration uses
+    assert(log.readForTakedownIds(seqs, "seq").count() === 90L)
+    java.nio.file.Files.delete(poison.toPath)
+    // manifest hygiene: expire drops whole buckets; the next append
+    // retains only live buckets' entries
+    log.expire(499L)
+    log.append(spark.range(5L).select((col("id") + 5000L).as("doc_id"), lit("y").as("tag")))
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "_graft_stats"))
+    assert(!manifest.lines().anyMatch(l => l.startsWith("0 ") || l.startsWith("1 ")),
+      s"expired buckets' entries must leave the manifest:\n$manifest")
+  }
+
   test("stats merge across appends widens ranges; seq-column pruning rides directory names") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bstats2").toString
     val log = new ParquetLog(spark, dir, schema, bucketSize = 1000L,
