@@ -114,6 +114,65 @@ object LogProperties extends Properties("FlumeLog") {
       got == expect && log.since >= cursorBefore && appendOk
   }
 
+  property("db takedown with every view family mounted ≡ rebuild from the retracted log") = forAll(
+    Gen.resize(8, Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf("a", "b", "c", "d"), Gen.chooseNum(-50L, 50L)))),
+    Gen.resize(4, Gen.listOf(Gen.chooseNum(-50L, 50L)))) { (kvs, takedownVs) =>
+    import org.apache.spark.sql.functions._
+    val kvSchema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType)))
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val dirs = Seq(tmp("gp-dbr-log"), tmp("gp-dbr-ht"), tmp("gp-dbr-dim"), tmp("gp-dbr-idx"))
+    try {
+      val log = new ParquetLog(spark, dirs(0), kvSchema, bucketSize = 4L)
+      val db = new FlumeDb(log)
+        .use("ht", graft.views.PersistentHashtableView(dirs(1), "k"))
+        .use("dim", graft.views.Scd2TableView(dirs(2), "k", "seq", Seq("v")))
+        .use("sum", graft.views.SumReduceView("v"))
+        .use("stats", StatsReduceView("v"))
+        .use("idx", graft.views.PersistentIndexView.onColumn(dirs(3), "k"))
+      // two appends so the delta chains have >1 unit
+      val (h, t) = kvs.splitAt(kvs.size / 2 max 1)
+      def df(rs: Seq[(String, Long)]) = spark.createDataFrame(
+        spark.sparkContext.parallelize(rs.map(r => Row(r._1, r._2))), kvSchema)
+      db.append(df(h)); if (t.nonEmpty) db.append(df(t))
+      db.retract(col("v").isin(takedownVs.distinct: _*))
+      // ground truth from the retracted log itself
+      val kept = log.read.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toSeq // (seq, k, v)
+      val ht = db.view("ht").view.asInstanceOf[graft.views.PersistentHashtableView]
+      val htGot: Set[(String, Long, Long)] =
+        if (kept.isEmpty) { if (ht.frameOption.isEmpty) Set.empty else Set(("CORRUPT", -1L, -1L)) }
+        else ht.frame.select("k", "v", "seq").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val htWant = kept.groupBy(_._2).view.mapValues(_.maxBy(_._1)).values
+        .map(r => (r._2, r._3, r._1)).toSet
+      val dim = db.view("dim").view.asInstanceOf[graft.views.Scd2TableView]
+      val dimGot: Set[(String, Long, Long)] =
+        if (kept.isEmpty) Set.empty
+        else dim.dimension.select("k", "from_seq", "v").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val dimWant = kept.map(r => (r._2, r._1, r._3)).toSet // one row per log record
+      val (sumV, cnt) = db.gated("sum")(
+        _.asInstanceOf[MergeableReduceView[(Double, Long)]].value.getOrElse((0.0, 0L)))
+      val st = db.gated("stats")(_.asInstanceOf[MergeableReduceView[Stats]].value)
+      val idx = db.view("idx").view.asInstanceOf[graft.views.PersistentIndexView]
+      val idxGot = if (kept.isEmpty) Set.empty[(String, Long)]
+        else idx.frame.select("key", "seq").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet
+      val idxWant = kept.map(r => (r._2, r._1)).toSet
+      htGot == htWant &&
+        dimGot == dimWant &&
+        math.abs(sumV - kept.map(_._3).sum.toDouble) < 1e-6 && cnt == kept.size.toLong &&
+        st.forall(_.n == kept.size.toLong) &&
+        idxGot == idxWant
+    } finally dirs.foreach { d =>
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p))
+        graft.views.FsLists.walkDeepestFirst(p).foreach(java.nio.file.Files.delete)
+    }
+  }
+
   property("incremental stats across appends match a one-shot fold") = forAll(
     Gen.resize(10, Gen.nonEmptyListOf(Gen.chooseNum(-50L, 50L))),
     Gen.resize(10, Gen.nonEmptyListOf(Gen.chooseNum(-50L, 50L)))) { (a, b) =>
