@@ -95,8 +95,9 @@ private[graft] object CoreQueries {
       db.append(ev)
       db.retract(col("user_id") % 7 === 3)
       val ht = db.gated("ht")(_.asInstanceOf[PersistentHashtableView].frame)
-      val latestSum = round4(ht.agg(sum("value")).head().getDouble(0))
-      val nUsers = ht.count()
+      val htRow = ht.agg(sum("value").cast("double").as("s"), count(lit(1)).as("c")).head()
+      val latestSum = round4(htRow.getDouble(0))
+      val nUsers = htRow.getLong(1)
       val versions = db.gated("dim")(_.asInstanceOf[Scd2TableView].dimension).count()
       val (sumV, cnt) = db.gated("sum")(_.asInstanceOf[MergeableReduceView[(Double, Long)]].value.get)
       db.close()

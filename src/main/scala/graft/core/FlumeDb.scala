@@ -552,12 +552,18 @@ final class FlumeDb(
     * live-tail quiescence fence (a tail started in the window between
     * the entry probe and the rewrite — nothing was mutated), unlatch
     * the just-committed intent before rethrowing, so a pure refusal
-    * never leaves an open window that blocks all future takedowns. A
-    * re-probe distinguishes a fence refusal from any other failure
-    * (which keeps the intent: the rewrite may have partially run). */
+    * never leaves an open window that blocks all future takedowns.
+    * Unlatching requires BOTH discriminators — the exception is the
+    * fence's own (every backend's fence message names the "live tail")
+    * AND a re-probe still refuses — because an UNRELATED mid-rewrite
+    * failure with a tail that happened to open concurrently must keep
+    * the intent: the rewrite may have partially run and only the
+    * replay completes the erasure. */
   private def mutateLogOrUnlatch(p: java.nio.file.Path, seqsDir: String)(op: => Long): Long =
     try op catch {
-      case e: IllegalStateException if scala.util.Try(log.probeRewriteFence("probe")).isFailure =>
+      case e: IllegalStateException
+          if e.getMessage != null && e.getMessage.contains("live tail") &&
+            scala.util.Try(log.probeRewriteFence("probe")).isFailure =>
         java.nio.file.Files.deleteIfExists(p)
         if (seqsDir != null) deleteDirIfExists(seqsDir)
         throw e

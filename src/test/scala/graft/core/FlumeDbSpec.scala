@@ -580,7 +580,7 @@ class FlumeDbSpec extends SparkSpec {
       var probes = 0
       override def probeRewriteFence(op: String): Unit = {
         probes += 1
-        if (probes > 1) throw new IllegalStateException(s"$op: a tail started mid-pass")
+        if (probes > 1) throw new IllegalStateException(s"$op: a live tail started mid-pass")
       }
       override protected def retractMarked(mark: DataFrame => DataFrame): Long = {
         probeRewriteFence("retract"); super.retractMarked(mark)
@@ -595,6 +595,19 @@ class FlumeDbSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(intent + ".seqs")))
     assert(log.read.count() === 2L)
     assert(!db.recoverRetract(intent), "no window was latched")
+    // the dual: an UNRELATED mid-rewrite failure must KEEP the intent
+    // (the rewrite may have partially run; only the replay completes it)
+    val log2 = new MemoryLog(spark, schema) {
+      override protected def retractMarked(mark: DataFrame => DataFrame): Long =
+        throw new IllegalStateException("disk on fire mid-rewrite")
+    }
+    val db2 = new FlumeDb(log2)
+    db2.append(fooDf(10L))
+    val intent2 = Paths.get(tmp("graft-dbfr-i2"), "_intent").toString
+    intercept[IllegalStateException](db2.retract(col("foo") === 10L, intent2))
+    assert(Files.exists(Paths.get(intent2)),
+      "a non-fence failure keeps the window open for the replay")
+    Files.delete(Paths.get(intent2))
   }
 
   test("SCD-2 dimension takes a db takedown/retention IN PLACE, equal to rebuild") {
