@@ -51,10 +51,97 @@ object Multimodal {
     * None for bytes no installed reader accepts, which routes those rows
     * to the stub path — real media decodes, text-byte fixtures keep their
     * deterministic fake. */
-  private def decodeImage(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    if (content == null || content.length < 8) None
-    else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
-    catch { case _: Throwable => None }
+  /** Decode image bytes, or None when the bytes are PROVABLY not an
+    * image. A decode failure must be proven deterministic before it
+    * reads as garbage: the decodability floor silently DROPS media
+    * whose decode returns None, so a TRANSIENT failure misclassified
+    * as garbage becomes a permanently wrong curation decision —
+    * reproduced in live-curator stress loops as a valid re-upload
+    * vanishing with a clean store and an advanced cursor (the r15/r16
+    * flake). The failure mode that actually reproduces is
+    * `ImageIO.read` returning NULL — which it does exactly when NO
+    * registered reader claims the stream — for bytes carrying a valid
+    * PNG signature: the ImageIO plugin registry is per thread-group
+    * application context, and an executor thread whose context
+    * initialized badly sees an empty registry for the whole task (a
+    * per-call retry cannot help — same thread, same registry; the old
+    * swallow-everything catch then read it as "not an image").
+    * Discrimination, mode by mode:
+    *  - reader THREW (corrupt/truncated body behind a real signature):
+    *    deterministic garbage — retried once, then dropped;
+    *  - NULL and the bytes carry NO known-JDK image signature: genuine
+    *    non-image payload — dropped (the stub-decoder fixtures);
+    *  - NULL but the bytes DO carry a PNG/JPEG/GIF/BMP signature (the
+    *    JDK always ships readers for these): registry breakage — repair
+    *    with `scanForPlugins()` and retry; if the registry still claims
+    *    nothing, THROW so the task fails and Spark retries it on a
+    *    healthy context rather than silently misclassifying media.
+    * Fatal VM errors always propagate (an OOM must fail the task). */
+  private def decodeImage(content: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (content == null || content.length < 8) return None
+    // NULL ⇔ no registered reader claimed the stream (reader failures
+    // throw); track the two modes separately
+    def attempt(): Option[Option[java.awt.image.BufferedImage]] =
+      try Some(Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))))
+      catch { case scala.util.control.NonFatal(_) => None } // reader threw
+    attempt() match {
+      case Some(Some(img)) => Some(img)
+      case None => attempt().flatten // reader threw: one retry, then a real drop
+      case Some(None) if !jdkImageSignature(content) => None // genuine non-image bytes
+      case Some(None) =>
+        // greppable forensic marker: this branch firing at all proves the
+        // registry-breakage mode (a valid signature that no reader claims)
+        System.err.println("[graft] image-decode: no ImageIO reader claimed a " +
+          "known-signature payload; re-scanning plugins on this thread context")
+        javax.imageio.ImageIO.scanForPlugins() // heal the thread-context registry
+        attempt() match {
+          case Some(Some(img)) => Some(img)
+          case None => None // post-repair the reader ran and threw: corrupt body
+          case Some(None) => throw new IllegalStateException(
+            "transient image-decode failure: the bytes carry a PNG/JPEG/GIF/BMP " +
+              "signature but no ImageIO reader claimed them even after " +
+              "scanForPlugins() — plugin-registry breakage on this task's thread " +
+              "context; failing the task so Spark retries it instead of " +
+              "silently misclassifying valid media as garbage")
+        }
+    }
+  }
+
+  /** Signatures of formats the JDK ALWAYS ships ImageIO readers for —
+    * a no-reader result on these proves registry breakage, never an
+    * unsupported format. (Deliberately excludes WEBP and friends: no
+    * built-in reader, so a no-reader result there is expected.) */
+  private def jdkImageSignature(c: Array[Byte]): Boolean =
+    (c(0) == 0x89.toByte && c(1) == 'P' && c(2) == 'N' && c(3) == 'G') ||
+      (c(0) == 0xFF.toByte && c(1) == 0xD8.toByte && c(2) == 0xFF.toByte) ||
+      (c(0) == 'G' && c(1) == 'I' && c(2) == 'F' && c(3) == '8') ||
+      (c(0) == 'B' && c(1) == 'M')
+
+  /** Claim an ImageReader for multi-frame payloads with the same
+    * transient-vs-deterministic discrimination as [[decodeImage]]:
+    * None = genuinely not decodable media (no known-JDK signature);
+    * registry breakage (a valid signature no reader claims even after
+    * a plugin re-scan) THROWS so the task fails loudly and Spark
+    * retries it — a silent `Iterator.empty` here would drop every
+    * frame of valid media at the video dedup floor. */
+  private def claimFrameReader(bytes: Array[Byte],
+      in: javax.imageio.stream.ImageInputStream): Option[javax.imageio.ImageReader] = {
+    val rs = javax.imageio.ImageIO.getImageReaders(in)
+    if (rs.hasNext) Some(rs.next())
+    else if (bytes == null || bytes.length < 8 || !jdkImageSignature(bytes)) None
+    else {
+      System.err.println("[graft] frame-decode: no ImageIO reader claimed a " +
+        "known-signature payload; re-scanning plugins on this thread context")
+      javax.imageio.ImageIO.scanForPlugins()
+      val rs2 = javax.imageio.ImageIO.getImageReaders(in)
+      if (rs2.hasNext) Some(rs2.next())
+      else throw new IllegalStateException(
+        "transient frame-decode failure: the bytes carry a PNG/JPEG/GIF/BMP " +
+          "signature but no ImageIO reader claimed them even after " +
+          "scanForPlugins() — failing the task so Spark retries it instead of " +
+          "silently dropping valid media's frames")
+    }
+  }
 
   /** STUB decoder for non-decodable payloads: derives a small
     * deterministic feature vector from the byte content so downstream
@@ -325,10 +412,9 @@ object Multimodal {
       it.flatMap { r =>
         val bytes = r.getAs[Array[Byte]]("content")
         val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
-        val readers = javax.imageio.ImageIO.getImageReaders(in)
-        if (!readers.hasNext) { in.close(); Iterator.empty }
-        else {
-          val reader = readers.next()
+        claimFrameReader(bytes, in) match {
+          case None => in.close(); Iterator.empty
+          case Some(reader) =>
           reader.setInput(in, false, true)
           val n = reader.getNumImages(true)
           val rows = (0 until n).map { i =>
@@ -665,10 +751,9 @@ object Multimodal {
       it.flatMap { r =>
         val bytes = r.getAs[Array[Byte]]("content")
         val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
-        val readers = javax.imageio.ImageIO.getImageReaders(in)
-        if (!readers.hasNext) { in.close(); Iterator.empty }
-        else {
-          val reader = readers.next()
+        claimFrameReader(bytes, in) match {
+          case None => in.close(); Iterator.empty
+          case Some(reader) =>
           reader.setInput(in, false, true)
           val n = reader.getNumImages(true)
           val rows = (0 until n).map { i =>

@@ -77,9 +77,13 @@ object StressCuratorTakedown {
       cur.awaitParity()
       val kept = curLog.read.select("media_id").collect().map(_.getLong(0)).toSet
       def stored = phView.hashes.collect().map(_.getLong(0)).sorted.mkString(",")
+      // discriminator: if the SAME bytes hash fine when re-attempted at
+      // failure time, the batch-time decode failure was transient
+      def rehash = graft.ops.Multimodal.perceptualHash(
+        srcLog.read.where(col("media_id") >= 1000L)).count()
       def diag = s"stored media_ids: $stored; view.since=${phView.since}; " +
         s"mark='${java.nio.file.Files.readString(java.nio.file.Paths.get(commit)).trim}'; " +
-        s"srcLog.since=${srcLog.since}"
+        s"srcLog.since=${srcLog.since}; rehash_now=$rehash/2"
       if (!kept.contains(1003L))
         throw new AssertionError(s"iter $iter: retracted content dropped, got $kept ($diag)")
       if (kept.contains(1006L))

@@ -1321,17 +1321,19 @@ class StreamingSpec extends SparkSpec {
             docs.where(col("doc_id") === 6), idOffset = 1000L)))
       cur.awaitParity()
       val kept = curLog.read.select("media_id").collect().map(_.getLong(0)).toSet
-      // on failure, dump the stored table too: this test failed ONCE in
-      // a round-15 full-suite run with both re-uploads dropped (as if
-      // the pre-retraction store was consulted) and passed in four
-      // re-runs — if it recurs, the store snapshot is the diagnosis.
-      // "Both dropped" is ALSO what a silently-skipped micro-batch looks
-      // like (neither re-upload curated), so the dump additionally
-      // records the two skip-guard inputs that decide batch processing:
-      // the view cursor (absorb advanced it ⇒ the batch RAN and cross-
-      // matched; stuck at the phase-1 upto ⇒ the batch was SKIPPED) and
-      // the curator's commit mark (appendedUpto moves only through the
-      // foreachBatch body).
+      // ROOT-CAUSED in round 16. This test failed ~1/100 runs with both
+      // re-uploads dropped; the planted diagnostics (kept below for any
+      // recurrence) discriminated the candidate mechanisms when the
+      // r16 stress loop reproduced it: view.since == srcLog.since and a
+      // moved commit mark proved the batch RAN (not skipped), the store
+      // dump proved the retraction held (not stale) — leaving the
+      // decision itself, whose ONLY nondeterministic input was
+      // decodeImage's swallow-everything catch: a TRANSIENT ImageIO
+      // failure read as "not an image" and the decodability floor
+      // dropped the valid re-upload. Fixed at the decode site (retry
+      // once; fatal VM errors propagate so the task fails and Spark
+      // retries it); both other mechanisms stay excluded by the
+      // deterministic fault-injection tests.
       def stored = phView.hashes.collect().map(_.getLong(0)).sorted.mkString(",")
       def diag = s"stored media_ids: $stored; view.since=${phView.since}; " +
         s"mark='${java.nio.file.Files.readString(java.nio.file.Paths.get(commit)).trim}'; " +
