@@ -403,14 +403,6 @@ final class FlumeDb(
     } finally lock.unlock()
   }
 
-  /** Seqs of log rows whose `idCol` appears in `ids` — the same
-    * count-fenced broadcast-marked join the log rewrite plans. */
-  private def markedSeqs(ids: DataFrame, idCol: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    ParquetLog.hitMarker(ids, idCol, 4L * 1000 * 1000)(log.read)
-      .where(col(ParquetLog.hitCol)).select(log.seqCol)
-  }
-
   /** DB-LEVEL retention: age out the seq prefix from the log
     * ([[FlumeLog.expire]] — pure directory truncation on a bucketed
     * parquet log) and from every mounted view — in place where the view
@@ -577,25 +569,45 @@ final class FlumeDb(
   def retractIds(ids: DataFrame, idCol: String, intentFile: String): Long = {
     throwIfClosed(); count("retract")
     lock.lock()
-    try {
-      val p = intentPathForNew(intentFile)
-      log.probeRewriteFence("retract")
-      val seqsDir = intentFile + ".seqs"
-      deleteDirIfExists(seqsDir)
-      markedSeqs(ids, idCol).write.parquet(seqsDir)
-      commitIntent(p, intentFile, s"@seqs$viewsToken")
-      val seqs = readSeqList(seqsDir)
-      val prepared = prepareInversions(
-        ParquetLog.hitMarker(seqs, log.seqCol, 4L * 1000 * 1000)(
-            log.readForTakedownIds(seqs, log.seqCol))
-          .where(org.apache.spark.sql.functions.col(ParquetLog.hitCol))
-          .drop(ParquetLog.hitCol))
-      val removed = mutateLogOrUnlatch(p, seqsDir)(log.retractIds(seqs, log.seqCol))
-      if (removed > 0) { prepared.foreach(_._2()); retractViews(seqs, prepared.map(_._1).toSet) }
-      java.nio.file.Files.delete(p)
-      deleteDirIfExists(seqsDir)
-      removed
-    } finally lock.unlock()
+    try durableRetractBySeqs(matchedSeqsPruned(ids, idCol), intentFile)
+    finally lock.unlock()
+  }
+
+  /** Seqs of log rows whose `idCol` appears in `ids`, with the match
+    * scan pruned to the buckets the log's stats manifest cannot prove
+    * id-free — the per-domain half of the drain's merged pass. */
+  private def matchedSeqsPruned(ids: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    ParquetLog.hitMarker(ids, idCol, 4L * 1000 * 1000)(
+        log.readForTakedownIds(ids, idCol))
+      .where(col(ParquetLog.hitCol)).select(log.seqCol)
+  }
+
+  /** The durable takedown KERNEL every batch arm shares: make the
+    * matched seq set durable (parquet list + atomic intent marker),
+    * rewrite the log by seq (bucket pruning on the seq list is exact
+    * directory arithmetic), run ONE view pass, clear the intent. Must
+    * be called under the db lock. `seqSet` may union several domains'
+    * matches (the drain) — it is distinct-ed before going durable. */
+  private def durableRetractBySeqs(seqSet: DataFrame, intentFile: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val p = intentPathForNew(intentFile)
+    log.probeRewriteFence("retract")
+    val seqsDir = intentFile + ".seqs"
+    deleteDirIfExists(seqsDir)
+    seqSet.select(col(log.seqCol)).distinct().write.parquet(seqsDir)
+    commitIntent(p, intentFile, s"@seqs$viewsToken")
+    val seqs = readSeqList(seqsDir)
+    val prepared = prepareInversions(
+      ParquetLog.hitMarker(seqs, log.seqCol, 4L * 1000 * 1000)(
+          log.readForTakedownIds(seqs, log.seqCol))
+        .where(col(ParquetLog.hitCol))
+        .drop(ParquetLog.hitCol))
+    val removed = mutateLogOrUnlatch(p, seqsDir)(log.retractIds(seqs, log.seqCol))
+    if (removed > 0) { prepared.foreach(_._2()); retractViews(seqs, prepared.map(_._1).toSet) }
+    java.nio.file.Files.delete(p)
+    deleteDirIfExists(seqsDir)
+    removed
   }
 
   /** Crash-durable retention: like [[expire]], but the horizon itself is
@@ -626,6 +638,31 @@ final class FlumeDb(
     } finally lock.unlock()
   }
 
+  /** EVENT-TIME retention: users speak time ("older than 90 days"),
+    * [[expire]] speaks seq. The log translates
+    * ([[FlumeLog.horizonOlderThan]] — manifest arithmetic plus at most
+    * a boundary-bucket scan on a stats-declared ts column), then the
+    * standard retention orchestration runs at that horizon: log
+    * truncation, per-family view handling, feature-table opt-in. The
+    * horizon derivation is a pure read — a concurrent append between
+    * it and the truncation only makes the horizon conservative. */
+  def expireOlderThan(tsCol: String, through: Any, expireFeatures: Boolean = false): Long = {
+    throwIfClosed()
+    lock.lock()
+    try expire(log.horizonOlderThan(tsCol, through), expireFeatures)
+    finally lock.unlock()
+  }
+
+  /** Crash-durable event-time retention: the derived seq horizon is the
+    * (scalar) durable intent, exactly [[expire(throughSeq:Long,intentFile:String,expireFeatures:Boolean)*]]. */
+  def expireOlderThan(tsCol: String, through: Any, intentFile: String,
+      expireFeatures: Boolean): Long = {
+    throwIfClosed()
+    lock.lock()
+    try expire(log.horizonOlderThan(tsCol, through), intentFile, expireFeatures)
+    finally lock.unlock()
+  }
+
   /** Refuse a new durable pass while an unrecovered intent exists;
     * returns the intent path (parent dirs not yet created). */
   private def intentPathForNew(intentFile: String): java.nio.file.Path = {
@@ -650,27 +687,32 @@ final class FlumeDb(
   // rewrites when executed one by one — at 100 TB the match scan is the
   // corpus-proportional part, so batching K requests into ONE merged
   // pass is a ~K× saving. The queue makes acceptance cheap and durable
-  // (a parquet id list + atomic marker per request — an acknowledged
-  // erasure that survives crashes) and defers execution to a drain that
-  // unions every pending list into one takedown. This also resolves
-  // the single-intent collision refusal operationally: a second request
-  // no longer throws at the caller — it queues.
+  // (a parquet id list — or a replayable SQL predicate — beside an
+  // atomic marker per request: an acknowledged erasure that survives
+  // crashes) and defers execution to a drain. A real queue holds MIXED
+  // requests (doc_id lists, media_id lists, predicates): the drain
+  // groups them into domains, runs ONE pruned match scan per domain to
+  // collect seqs — the universal takedown currency — and then ONE
+  // seq-based log rewrite plus ONE view pass for everything. This also
+  // resolves the single-intent collision refusal operationally: a
+  // second request no longer throws at the caller — it queues.
 
   /** Durably ACCEPT a takedown request without executing it: the id
     * list lands as parquet beside an atomic marker naming `idCol`.
     * Returns the number of pending intents (including this one). The
-    * request is executed — merged with every other pending intent into
-    * ONE match scan + pruned rewrite — at the next [[drainRetractQueue]]
-    * (or [[recoverRetractQueue]] at open, if the process dies first). */
+    * request is executed — its domain's lists merged into one match
+    * scan, all domains sharing one log rewrite and one view pass — at
+    * the next [[drainRetractQueue]] (or [[recoverRetractQueue]] at
+    * open, if the process dies first). */
   def enqueueRetractIds(ids: DataFrame, idCol: String, queueDir: String): Int = {
     throwIfClosed(); count("retract")
+    require(!idCol.startsWith(FlumeDb.PredicateIntent),
+      s"id column may not start with '${FlumeDb.PredicateIntent}'")
     lock.lock()
     try {
       val q = java.nio.file.Paths.get(queueDir)
       java.nio.file.Files.createDirectories(q)
-      val next = pendingIntents(q).map(_.getFileName.toString.stripPrefix("intent-").toLong)
-        .foldLeft(-1L)(_ max _) + 1L
-      val name = f"intent-$next%06d"
+      val name = nextIntentName(q)
       val idsDir = q.resolve(name + ".ids")
       deleteDirIfExists(idsDir.toString) // uncommitted leftover
       ids.select(ids.col(idCol)).distinct().write.parquet(idsDir.toString)
@@ -680,15 +722,49 @@ final class FlumeDb(
     } finally lock.unlock()
   }
 
-  /** Execute EVERY pending queued intent in one merged pass: union the
-    * id lists, run the crash-durable takedown once (one match scan, one
-    * pruned log rewrite, one view pass), then clear the drained
-    * intents. Returns the number of log rows removed. Crash-safe in
-    * every window: a death inside the merged pass leaves the `_drain`
-    * intent AND the queue markers — [[recoverRetractQueue]] replays the
-    * pass and re-drains (the second pass removes nothing and skips the
-    * view pass); a death while clearing markers re-drains the leftovers
-    * idempotently. */
+  /** Durably ACCEPT a PREDICATE takedown request: a `Column` closure
+    * cannot replay across JVMs, but its SQL text can — `condSql` (a
+    * boolean expression over the stored log columns, e.g.
+    * `"source = 'bad-crawler' AND lang = 'en'"`) is parsed NOW (fail at
+    * accept, not at drain) and recorded verbatim in the intent marker.
+    * At drain it re-enters as `expr(condSql)`, whose match scan still
+    * prunes by bucket stats (the SQL-text path of
+    * [[org.apache.spark.sql.graftbridge.ColumnBridge.statsProveEmpty]]). */
+  def enqueueRetractWhere(condSql: String, queueDir: String): Int = {
+    throwIfClosed(); count("retract")
+    log.spark.sessionState.sqlParser.parseExpression(condSql) // fail fast
+    require(!condSql.contains("\n") && !condSql.contains("\r"),
+      "predicate SQL must be single-line (the intent marker is line-oriented)")
+    lock.lock()
+    try {
+      val q = java.nio.file.Paths.get(queueDir)
+      java.nio.file.Files.createDirectories(q)
+      val name = nextIntentName(q)
+      commitIntent(q.resolve(name), q.resolve(name).toString,
+        s"${FlumeDb.PredicateIntent}$condSql")
+      pendingIntents(q).size
+    } finally lock.unlock()
+  }
+
+  private def nextIntentName(q: java.nio.file.Path): String = {
+    val next = pendingIntents(q).map(_.getFileName.toString.stripPrefix("intent-").toLong)
+      .foldLeft(-1L)(_ max _) + 1L
+    f"intent-$next%06d"
+  }
+
+  /** Execute EVERY pending queued intent — id lists across ANY number
+    * of id domains, plus predicates — in one merged pass: per id
+    * domain, union its lists and run ONE pruned match scan collecting
+    * seqs; per predicate, one pruned narrow scan; then ONE durable
+    * seq-based takedown (one log rewrite, one view pass) for the union,
+    * and clear the drained intents. K mixed requests therefore cost
+    * Σ(one match scan per domain) + one rewrite + one view pass — never
+    * K separate passes. Returns the number of log rows removed.
+    * Crash-safe in every window: a death inside the merged pass leaves
+    * the `_drain` intent AND the queue markers — [[recoverRetractQueue]]
+    * replays the seq-based pass and re-drains (the second pass finds no
+    * matches and skips the view pass); a death while clearing markers
+    * re-drains the leftovers idempotently. */
   def drainRetractQueue(queueDir: String): Long = {
     throwIfClosed(); count("retract")
     lock.lock()
@@ -698,15 +774,23 @@ final class FlumeDb(
       recoverRetract(q.resolve("_drain").toString) // finish a crashed drain first
       val pend = pendingIntents(q)
       if (pend.isEmpty) return 0L
-      val idCols = pend.map(p => java.nio.file.Files.readString(p).trim).distinct
-      if (idCols.size != 1)
-        throw new IllegalStateException(
-          s"drainRetractQueue: pending intents disagree on the id column " +
-            s"(${idCols.mkString(", ")}) — drain per column is not supported; " +
-            "the queue must carry one id domain")
-      val ids = pend.map(p => log.spark.read.parquet(p.toString + ".ids"))
-        .reduce(_ unionByName _)
-      val removed = retractIds(ids, idCols.head, q.resolve("_drain").toString)
+      val byContent = pend.map(p => (java.nio.file.Files.readString(p).trim, p))
+      val (preds, idIntents) = byContent.partition(_._1.startsWith(FlumeDb.PredicateIntent))
+      // one merged match scan per id DOMAIN (each pruned by that
+      // domain's bucket stats), one pruned scan per predicate — all
+      // yielding the universal currency, seqs
+      val domainSeqs = idIntents.groupBy(_._1).toSeq.sortBy(_._1).map { case (idCol, ps) =>
+        val ids = ps.map(p => log.spark.read.parquet(p._2.toString + ".ids"))
+          .reduce(_ unionByName _)
+        matchedSeqsPruned(ids, idCol)
+      }
+      val predSeqs = preds.map { case (content, _) =>
+        val cond = org.apache.spark.sql.functions.expr(
+          content.stripPrefix(FlumeDb.PredicateIntent))
+        log.readWherePruned(cond).select(log.seqCol)
+      }
+      val allSeqs = (domainSeqs ++ predSeqs).reduce(_ unionByName _)
+      val removed = durableRetractBySeqs(allSeqs, q.resolve("_drain").toString)
       pend.foreach { p =>
         java.nio.file.Files.delete(p)
         deleteDirIfExists(p.toString + ".ids")
@@ -966,6 +1050,11 @@ final class FlumeDb(
 
 object FlumeDb {
   private val dbIds = new AtomicLong()
+
+  /** Queue-intent marker prefix distinguishing a replayable SQL
+    * predicate request from an id-list request (whose marker holds the
+    * bare id column name). */
+  private[core] val PredicateIntent = "WHERE "
 
   // ONE QueryExecutionListener per SparkSession, fanned out to per-db
   // meta maps through this registry — many short-lived dbs on a shared

@@ -174,6 +174,38 @@ trait FlumeLog {
     if (throughSeq < 0) 0L
     else retract(col(seqCol) <= lit(throughSeq))
 
+  /** EVENT-TIME retention horizon: the largest seq `h` such that no row
+    * with `seq <= h` has `tsColName > through` — users write retention
+    * policies in time ("older than 90 days"), but [[expire]]'s contract
+    * is a seq PREFIX (whole-directory truncation on the bucketed
+    * store), so the policy must first be translated into the longest
+    * prefix it provably covers. Exactly
+    * `min(seq where ts > through) - 1` (or `since` when no row is
+    * newer): rows older than the horizon that sit ABOVE a newer row's
+    * seq are conservatively kept — out-of-order event times cannot be
+    * prefix-truncated, and at 100 TB ingest order tracks event time
+    * closely enough that the residue is the boundary neighborhood, not
+    * the corpus. Rows with NULL `tsColName` never extend the horizon
+    * (min ignores them): a row whose age is unknowable ages out with
+    * its seq neighborhood rather than pinning the prefix forever.
+    * `through` is compared with the column's own type (epoch long, or a
+    * lexicographically-ordered string such as an ISO date). Default:
+    * one narrow (ts, seq) scan; [[ParquetLog]] overrides with manifest
+    * arithmetic that reads no data except at most the boundary buckets.
+    * Returns -1 when nothing is provably expirable. */
+  def horizonOlderThan(tsColName: String, through: Any): Long = {
+    if (since < 0) return -1L
+    val first = read.where(col(tsColName) > lit(through))
+      .agg(coalesce(min(col(seqCol)), lit(Long.MaxValue))).head().getLong(0)
+    if (first == Long.MaxValue) since else first - 1L
+  }
+
+  /** EVENT-TIME retention: [[expire]] at the [[horizonOlderThan]]
+    * horizon — "delete everything older than `through`" as the seq
+    * prefix it provably covers. Same contract as [[expire]]. */
+  def expireOlderThan(tsColName: String, through: Any): Long =
+    expire(horizonOlderThan(tsColName, through))
+
   // ---- since observable -------------------------------------------------
   // The reference's `log.since` is an obz observable surfaced directly as
   // `db.since` (`/root/reference/index.js:142`, `README.md:135-140`):
@@ -298,40 +330,63 @@ final class ParquetLog(
   private val fullSchema = StructType(StructField(seqCol, LongType, nullable = false) +: payloadSchema.fields)
 
   // ---- per-bucket min/max stats for takedown-key columns ----------------
-  // Declared takedown keys (`statsColumns` — doc_id, media_id, user_id)
-  // get a tiny per-bucket [min, max] manifest beside the cursor marker,
-  // maintained at append. A predicate or id-list takedown then SKIPS
+  // Declared takedown keys (`statsColumns` — doc_id, media_id, user_id,
+  // url/uuid/sha256 strings, epoch-long event times) get a tiny
+  // per-bucket [min, max] manifest beside the cursor marker, maintained
+  // at append. A predicate or id-list takedown then SKIPS
   // non-overlapping buckets in its match scan the way seq pruning
   // already skips them for retention — without it the (narrow) match
-  // scan is always ∝ corpus. Conservative by construction: the manifest
-  // is widened BEFORE the batch lands (a crash between leaves ranges
-  // too wide, never too narrow), rewrites only shrink true ranges, and
-  // buckets with no entry are always scanned.
+  // scan is always ∝ corpus — and [[horizonOlderThan]] derives an
+  // event-time retention horizon from the same entries with no data
+  // read. Conservative by construction: the manifest is widened BEFORE
+  // the batch lands (a crash between leaves ranges too wide, never too
+  // narrow), rewrites only shrink true ranges, and buckets with no
+  // entry are always scanned. Two domains ([[graftbridge.StatsRange]]):
+  // integral and string (binary-UTF-8 order, matching Spark's own
+  // string comparisons); timestamps are declared as epoch longs —
+  // lossless and unit-explicit, where a floored timestamp cast could
+  // narrow a true range and silently skip matching rows.
+  import org.apache.spark.sql.graftbridge.{LongStats, StatsRange, StringStats}
+  private def isStringStatsCol(c: String): Boolean =
+    payloadSchema.fields.find(_.name == c).exists(_.dataType == org.apache.spark.sql.types.StringType)
   statsColumns.foreach { c =>
     val f = payloadSchema.fields.find(_.name == c).getOrElse(
       throw new IllegalArgumentException(s"stats column '$c' is not a payload column"))
     require(f.dataType == LongType || f.dataType == org.apache.spark.sql.types.IntegerType ||
-        f.dataType == org.apache.spark.sql.types.ShortType,
-      s"stats column '$c' must be integral, got ${f.dataType}")
+        f.dataType == org.apache.spark.sql.types.ShortType ||
+        f.dataType == org.apache.spark.sql.types.StringType,
+      s"stats column '$c' must be integral or string, got ${f.dataType} " +
+        "(declare event times as epoch longs: a floored timestamp cast could " +
+        "narrow the range and silently skip matching rows)")
   }
   private val statsFile = new java.io.File(dir, ParquetLog.statsMarker)
-  private val bucketStats: scala.collection.mutable.Map[(Long, String), (Long, Long)] = {
-    val m = scala.collection.mutable.Map.empty[(Long, String), (Long, Long)]
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+  private val bucketStats: scala.collection.mutable.Map[(Long, String), StatsRange] = {
+    val m = scala.collection.mutable.Map.empty[(Long, String), StatsRange]
     if (statsFile.exists())
       java.nio.file.Files.readAllLines(statsFile.toPath).forEach { line =>
-        line.trim.split("\\s+") match {
-          case Array(b, c, lo, hi) =>
-            try m((b.toLong, c)) = (lo.toLong, hi.toLong)
-            catch { case _: NumberFormatException => () } // torn line: unprunable, safe
+        // `bucket col L lo hi` / `bucket col S enc(lo) enc(hi)`; the
+        // 4-token form is the pre-string legacy (integral). A torn or
+        // unparseable line drops its entry: unprunable, safe.
+        try line.trim.split("\\s+") match {
+          case Array(b, c, "L", lo, hi) => m((b.toLong, c)) = LongStats(lo.toLong, hi.toLong)
+          case Array(b, c, "S", lo, hi) => m((b.toLong, c)) = StringStats(dec(lo), dec(hi))
+          case Array(b, c, lo, hi) => m((b.toLong, c)) = LongStats(lo.toLong, hi.toLong)
           case _ => ()
-        }
+        } catch { case _: NumberFormatException | _: IllegalArgumentException => () }
       }
     m
   }
   private def writeBucketStats(): Unit = {
     new java.io.File(dir).mkdirs()
     val body = bucketStats.toSeq.sortBy(e => (e._1._1, e._1._2))
-      .map { case ((b, c), (lo, hi)) => s"$b $c $lo $hi" }.mkString("\n")
+      .map {
+        case ((b, c), LongStats(lo, hi)) => s"$b $c L $lo $hi"
+        case ((b, c), StringStats(lo, hi)) => s"$b $c S ${enc(lo)} ${enc(hi)}"
+      }.mkString("\n")
     ParquetLog.writeAtomic(statsFile, body)
   }
 
@@ -351,36 +406,53 @@ final class ParquetLog(
     val ids = listBucketIds()
     if (ids.isEmpty) return None
     Some(ids.filter { b =>
-      val lookup: String => Option[(Long, Long)] = c =>
-        if (c == seqCol) Some((b * bucketSize, (b + 1) * bucketSize - 1))
+      val lookup: String => Option[StatsRange] = c =>
+        if (c == seqCol) Some(LongStats(b * bucketSize, (b + 1) * bucketSize - 1))
         else bucketStats.get((b, c))
       !org.apache.spark.sql.graftbridge.ColumnBridge.statsProveEmpty(cond, lookup)
     })
   }
 
-  /** Candidate buckets for an ID-LIST takedown: the id list's [min,max]
+  /** Candidate buckets for an ID-LIST takedown. When the id column IS
+    * the seq (the durable replay and drain paths rewrite by seq list),
+    * the candidate set is EXACT: the ids' distinct `seq div bucketSize`
+    * values — a driver list bounded by the bucket count, never by the
+    * id count — so a scattered seq list rewrites only its own buckets
+    * (an envelope would keep everything between its extremes). For a
+    * declared stats column the test is the id list's [min, max]
     * envelope (one tiny agg — exact per-id intersection would cost an
-    * ids × buckets range join) against each bucket's range for `idCol` —
-    * the stored manifest for declared stats columns, pure directory
-    * arithmetic when the id column IS the seq (the durable replay and
-    * drain paths rewrite by seq list). A clustered rights-holder list
-    * prunes to its neighborhood; a scattered list keeps every bucket,
-    * which is correct. */
+    * ids × buckets range join) against each bucket's manifest range,
+    * integral or string ([[StatsRange.cmpToRange]]). A clustered
+    * rights-holder list prunes to its neighborhood; a scattered one
+    * keeps every bucket, which is correct. */
   private def candidatesForIds(ids: DataFrame, idCol: String): Option[Seq[Long]] = {
     if (!bucketed) return None
     val seqBased = idCol == seqCol
     if (!seqBased && !statsColumns.contains(idCol)) return None
     val existing = listBucketIds()
     if (existing.isEmpty) return None
-    val env = ids.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
+    if (seqBased) {
+      val present = ids.selectExpr(s"cast(`$idCol` as long) div $bucketSize as b")
+        .where(col("b").isNotNull)
+        .distinct().collect().map(_.getLong(0)).toSet
+      return Some(existing.filter(present.contains))
+    }
+    val isStr = isStringStatsCol(idCol)
+    val env =
+      if (isStr) ids.agg(min(col(idCol)).cast("string"), max(col(idCol)).cast("string")).head()
+      else ids.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
     if (env.isNullAt(0)) return Some(Nil) // empty id list matches nothing
-    val (lo, hi) = (env.getLong(0), env.getLong(1))
+    val pair: (Any, Any) =
+      if (isStr) (env.getString(0), env.getString(1)) else (env.getLong(0), env.getLong(1))
+    val (lo, hi) = pair
     Some(existing.filter { b =>
-      val range =
-        if (seqBased) Some((b * bucketSize, (b + 1) * bucketSize - 1))
-        else bucketStats.get((b, idCol))
-      range match {
-        case Some((bLo, bHi)) => bHi >= lo && bLo <= hi
+      bucketStats.get((b, idCol)) match {
+        // overlap iff cmp(lo, bucketHi) <= 0 and cmp(hi, bucketLo) >= 0
+        case Some(r) =>
+          (r.cmpToRange(lo), r.cmpToRange(hi)) match {
+            case (Some((_, loVsHi)), Some((hiVsLo, _))) => loVsHi <= 0 && hiVsLo >= 0
+            case _ => true // type mismatch: unknowable, keep the bucket
+          }
         case None => true // no stats: always a candidate
       }
     })
@@ -675,9 +747,11 @@ final class ParquetLog(
           // already-covered buckets get entries.
           val preExisting = listBucketIds().toSet
           val batchBuckets = scala.collection.mutable.Set.empty[Long]
-          val aggCols = statsColumns.flatMap(c => Seq(
-            min(col(s"`$c`")).cast("long").as(s"min_$c"),
-            max(col(s"`$c`")).cast("long").as(s"max_$c")))
+          val aggCols = statsColumns.flatMap { c =>
+            val cast = if (isStringStatsCol(c)) "string" else "long"
+            Seq(min(col(s"`$c`")).cast(cast).as(s"min_$c"),
+              max(col(s"`$c`")).cast(cast).as(s"max_$c"))
+          }
           withSeq.withColumn(bucketCol, expr(s"`$seqCol` div $bucketSize"))
             .groupBy(col(bucketCol)).agg(aggCols.head, aggCols.tail: _*)
             .collect().foreach { r =>
@@ -685,12 +759,20 @@ final class ParquetLog(
               batchBuckets += b
               statsColumns.zipWithIndex.foreach { case (c, i) =>
                 if (!r.isNullAt(1 + 2 * i)) { // all-null batch: no range to extend
-                  val (lo, hi) = (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
+                  val batchRange: StatsRange =
+                    if (isStringStatsCol(c)) StringStats(r.getString(1 + 2 * i), r.getString(2 + 2 * i))
+                    else LongStats(r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
                   bucketStats.get((b, c)) match {
-                    case Some((l0, h0)) =>
-                      bucketStats((b, c)) = (math.min(l0, lo), math.max(h0, hi))
+                    case Some(prev) =>
+                      ParquetLog.widen(prev, batchRange) match {
+                        case Some(w) => bucketStats((b, c)) = w
+                        // domain flip (payload schema redeclared across
+                        // reopens): the old range cannot cover the new
+                        // rows — drop the entry, bucket stays scanned
+                        case None => bucketStats.remove((b, c))
+                      }
                     case None if !preExisting.contains(b) =>
-                      bucketStats((b, c)) = (lo, hi)
+                      bucketStats((b, c)) = batchRange
                     case None => () // legacy uncovered bucket: stays unprunable
                   }
                 }
@@ -1014,6 +1096,45 @@ final class ParquetLog(
     removed
   }
 
+  /** EVENT-TIME retention horizon from the stats manifest: with the ts
+    * column declared in `statsColumns`, walk buckets in seq order —
+    * a bucket whose manifest `max(ts) <= through` is provably whole-old
+    * (pure arithmetic, NO data read); the first bucket that cannot be
+    * proven (manifest wide, legacy entry-less, or genuinely boundary)
+    * pays ONE single-bucket (ts, seq) scan, which either finds the
+    * first newer row (the exact horizon — stop) or lets the walk
+    * continue past a merely-wide manifest range. At 100 TB a daily
+    * `expireOlderThan` resolves its horizon from the manifest alone
+    * plus at most a few boundary-bucket scans — never a corpus scan.
+    * The result is EXACTLY the base contract's
+    * `min(seq where ts > through) - 1`: the walk stops at the first
+    * bucket containing a newer row, which by seq order contains the
+    * global minimum. An undeclared ts column falls back to the base's
+    * single narrow corpus scan (parquet row-group stats still skip). */
+  override def horizonOlderThan(tsColName: String, through: Any): Long = {
+    if (!bucketed || cursor < 0 || !statsColumns.contains(tsColName))
+      return super.horizonOlderThan(tsColName, through)
+    var horizon = -1L
+    listBucketIds().foreach { b =>
+      val provablyOld = bucketStats.get((b, tsColName)).exists { r =>
+        r.cmpToRange(through) match {
+          case Some((_, cmpHi)) => cmpHi >= 0 // through >= bucket's max ts
+          case None => false // type mismatch: unknowable
+        }
+      }
+      if (provablyOld) horizon = math.min((b + 1) * bucketSize - 1, cursor)
+      else {
+        val first = spark.read.schema(fullSchema)
+          .parquet(new java.io.File(dir, s"$bucketCol=$b").getPath)
+          .where(col(tsColName) > lit(through))
+          .agg(coalesce(min(col(seqCol)), lit(Long.MaxValue))).head().getLong(0)
+        if (first != Long.MaxValue) return first - 1L
+        horizon = math.min((b + 1) * bucketSize - 1, cursor)
+      }
+    }
+    horizon
+  }
+
   /** Stream ids of record-granular DSv2 tails with a
     * planned-but-uncommitted micro-batch on this log — [[retract]]'s
     * quiescence fence. Marked by
@@ -1044,6 +1165,25 @@ object ParquetLog {
 
   /** Internal match-marker column added by the retraction paths. */
   private[graft] val hitCol = "__graft_hit"
+
+  /** The union of two manifest ranges for the same (bucket, column) —
+    * stats only ever widen at append. None on a domain flip (the
+    * payload schema was redeclared across reopens): the old range
+    * cannot cover the new rows, so the entry must drop (unprunable). */
+  private[core] def widen(a: org.apache.spark.sql.graftbridge.StatsRange,
+      b: org.apache.spark.sql.graftbridge.StatsRange): Option[org.apache.spark.sql.graftbridge.StatsRange] = {
+    import org.apache.spark.sql.graftbridge.{LongStats, StringStats}
+    import org.apache.spark.unsafe.types.UTF8String
+    (a, b) match {
+      case (LongStats(l0, h0), LongStats(l1, h1)) =>
+        Some(LongStats(math.min(l0, l1), math.max(h0, h1)))
+      case (StringStats(l0, h0), StringStats(l1, h1)) =>
+        def lt(x: String, y: String): Boolean =
+          UTF8String.fromString(x).compareTo(UTF8String.fromString(y)) < 0
+        Some(StringStats(if (lt(l1, l0)) l1 else l0, if (lt(h0, h1)) h1 else h0))
+      case _ => None
+    }
+  }
 
   /** Mark rows whose `idCol` appears in `ids` — the join-based takedown
     * predicate shared by [[ParquetLog.retractIds]] and the view-side

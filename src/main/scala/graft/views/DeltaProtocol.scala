@@ -82,6 +82,27 @@ private[views] trait DeltaProtocol {
     }
   }
 
+  /** Execute (or re-execute, from recovery) a committed MULTI-DELTA
+    * plan — the cross-batch twin of [[applyCellPlan]], for takedowns
+    * that rewrite several flat `batch=` deltas in ONE staged job
+    * (staging tree holds `batch=<upto>` subdirs): delete tombstoned
+    * delta dirs, swap each staged rewrite in. Idempotent — a delta
+    * whose staging subdir is gone was already swapped. */
+  protected def applyDeltaPlan(rwNames: Seq[String], emptyNames: Seq[String]): Unit = {
+    emptyNames.foreach { n =>
+      val unit = root.resolve(n)
+      if (Files.exists(unit)) FsLists.walkDeepestFirst(unit).foreach(Files.delete)
+    }
+    rwNames.foreach { n =>
+      val src = retractTmp.resolve(n)
+      if (Files.exists(src)) {
+        val unit = root.resolve(n)
+        if (Files.exists(unit)) FsLists.walkDeepestFirst(unit).foreach(Files.delete)
+        Files.move(src, unit)
+      }
+    }
+  }
+
   /** Retraction crash recovery ([[CompactableDeltas.retractWhere]]'s
     * per-unit swap; no-op for views that never retract). The marker is
     * the commit point for the ONE in-flight rewrite unit (a `batch=`
@@ -103,6 +124,13 @@ private[views] trait DeltaProtocol {
             .collectFirst { case t if t.startsWith(prefix) => t.stripPrefix(prefix) }
             .map(_.split(",").filter(_.nonEmpty).toSeq).getOrElse(Nil)
           applyCellPlan(arr(1), names("rw="), names("empty="))
+        case arr if arr.headOption.contains("MULTID") =>
+          // a committed multi-delta plan (the hashtable's fused purge):
+          // replay the whole-delta tombstones and staged delta swaps
+          def dnames(prefix: String): Seq[String] = arr.toSeq
+            .collectFirst { case t if t.startsWith(prefix) => t.stripPrefix(prefix) }
+            .map(_.split(",").filter(_.nonEmpty).toSeq).getOrElse(Nil)
+          applyDeltaPlan(dnames("rw="), dnames("empty="))
         case Array(unit, "EMPTY") if unit.startsWith("batch=") =>
           deleteTreeIfExists(root.resolve(unit))
         case Array(unit) if unit.startsWith("batch=") &&
@@ -221,6 +249,23 @@ private[views] trait CompactableDeltas extends DeltaProtocol {
     * partitioning). */
   protected def writeMerged(df: DataFrame, path: Path): Unit =
     df.write.parquet(path.toString)
+
+  /** Exact row count of one FLAT delta dir from its parquet footers — a
+    * driver-side metadata read, NO Spark job, milliseconds per file:
+    * the tombstone-vs-rewrite decision of a fused multi-delta takedown
+    * needs each hit delta's true total, and scheduling a count job per
+    * delta is exactly the fixed-latency tax the fusion removes. */
+  protected def footerRowCount(delta: Path): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    FsLists.children(delta)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toUri), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
 
   /** When > 0, absorb paths call [[maybeCompact]] after committing each
     * delta, collapsing the chain whenever the committed delta count

@@ -63,40 +63,79 @@ final class PersistentHashtableView(
     * keeps per-batch latests only, so a pure row delete could surface a
     * stale stored version as a key's new latest while the log still
     * holds a newer superseded one (dropped by within-batch compaction).
-    * Instead: (1) find the AFFECTED keys — any stored version built
-    * from a removed seq (a narrow key+seq scan of the delta chain);
-    * (2) recompute those keys' latest from a key-pruned semi-join scan
-    * of the POST-takedown log and swap them into the newest delta
-    * (replacing that delta's rows for those keys — one unit rewrite
-    * under the retract marker protocol); (3) purge every remaining
-    * stored row with a removed seq from the older deltas (the pruned
-    * per-delta rewrite). Replay-idempotent in every crash window: the
-    * db's durable intent re-runs the whole call; until step 3 finishes,
-    * older deltas still hold removed seqs, so the affected keys are
-    * re-detected and steps 2-3 re-run to the same state; after step 3
-    * nothing matches and the call is a no-op. */
+    * Instead: (1) ONE narrow scan of the delta chain (key + seq + the
+    * directory-derived `batch`) checkpoints the HIT rows — ∝ matches —
+    * from which every later step derives: the AFFECTED key set, the
+    * per-delta purge plan, and the anti-join seq list (the pre-fused
+    * shape rescanned the chain once for detection and once for the
+    * purge, and its per-delta rewrites each paid a job — at toy scale
+    * ~10 small Spark jobs of pure scheduling latency, the r16 probe's
+    * fixed wall); (2) recompute the affected keys' latest from a
+    * key-pruned semi-join scan of the POST-takedown log and swap them
+    * into the newest delta (replacing that delta's rows for those keys
+    * — one unit rewrite under the retract marker protocol); (3) purge
+    * removed-seq rows from the older hit deltas in ONE staged job:
+    * footer row counts (driver metadata, no job) split fully-emptied
+    * deltas (tombstoned) from partial ones, which rewrite together
+    * under a `MULTID` plan marker ([[DeltaProtocol.applyDeltaPlan]] —
+    * replayed at open after a crash). Replay-idempotent in every crash
+    * window: the db's durable intent re-runs the whole call; until
+    * step 3 finishes, older deltas still hold removed seqs, so the
+    * affected keys are re-detected and steps 2-3 re-run to the same
+    * state; after step 3 nothing matches and the call is a no-op. */
   def retractLogSeqsRecompute(seqs: DataFrame, seqColName: String, postLog: DataFrame): Unit = {
+    recoverRetract() // a crashed MULTID purge replays before new planning
     val dirs = committedBatchDirs()
     if (dirs.isEmpty) return
     val removed = seqs.select(col(seqColName).cast("long").as(seqCol))
     val hit = col(graft.core.ParquetLog.hitCol)
-    def markRemoved(df: DataFrame): DataFrame =
-      graft.core.ParquetLog.hitMarker(removed, seqCol, 4L * 1000 * 1000)(df)
-    // (1) affected keys, materialized: they must outlive the rewrites
-    val affected = markRemoved(readDeltas(dirs)).where(hit)
-      .select(keyCol).distinct().localCheckpoint(true)
-    if (affected.isEmpty) return // nothing stored was built from a removed row
+    // (1) the one chain scan: hit rows, ∝ matches, checkpointed
+    val chain = spark.read.option("basePath", root.toString)
+      .option("mergeSchema", "true").parquet(dirs.map(_.toString): _*)
+    val hits = graft.core.ParquetLog.hitMarker(removed, seqCol, 4L * 1000 * 1000)(chain)
+      .where(hit)
+      .select(col("batch").cast("long").as("__b"), col(keyCol), col(seqCol))
+      .localCheckpoint(true)
+    val perBatch = hits.groupBy(col("__b")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    if (perBatch.isEmpty) return // nothing stored was built from a removed row
+    val affected = hits.select(keyCol).distinct()
+    val hitSeqs = hits.select(seqCol)
     // (2) recomputed latests from the post-takedown log (broadcast
     // semi-join on the affected keys: narrow scan, tiny aggregation)
     val recomputed = latest(postLog.join(affected, Seq(keyCol), "left_semi"))
       .localCheckpoint(true)
     val lastDir = dirs.last
-    val keptLast = markRemoved(readDeltas(Seq(lastDir))).where(!hit)
-      .drop(graft.core.ParquetLog.hitCol)
+    val keptLast = readDeltas(Seq(lastDir))
+      .join(hitSeqs, Seq(seqCol), "left_anti") // ≡ NOT hit, from the checkpoint
       .join(affected, Seq(keyCol), "left_anti") // recomputed rows replace them
     swapUnit(s"batch=${batchUpto(lastDir)}", keptLast.unionByName(recomputed))
-    // (3) purge removed-seq rows still stored in older deltas
-    retractIds(removed, seqCol)
+    // (3) purge removed-seq rows still stored in OLDER hit deltas —
+    // one staged job for all of them
+    val olderHit = dirs.init.filter(d => perBatch.contains(batchUpto(d)))
+    if (olderHit.nonEmpty) {
+      val (emptied, partial) = olderHit.partition(d =>
+        perBatch(batchUpto(d)) >= footerRowCount(d))
+      val emptyNames = emptied.map(d => s"batch=${batchUpto(d)}")
+      val rwNames = partial.map(d => s"batch=${batchUpto(d)}")
+      if (java.nio.file.Files.exists(retractTmp))
+        FsLists.walkDeepestFirst(retractTmp).foreach(java.nio.file.Files.delete)
+      if (partial.nonEmpty) {
+        val src = spark.read.option("basePath", root.toString)
+          .option("mergeSchema", "true").parquet(partial.map(_.toString): _*)
+        val dataCols = src.columns.filter(_ != "batch").toSeq
+        src.join(hitSeqs, Seq(seqCol), "left_anti")
+          .withColumn("batch", col("batch").cast("long"))
+          .select((dataCols :+ "batch").map(n => col(s"`$n`")): _*)
+          .write.partitionBy("batch").parquet(retractTmp.toString)
+      }
+      writeAtomic(retractMarker,
+        s"MULTID rw=${rwNames.mkString(",")} empty=${emptyNames.mkString(",")}")
+      applyDeltaPlan(rwNames, emptyNames)
+      java.nio.file.Files.delete(retractMarker)
+      if (java.nio.file.Files.exists(retractTmp))
+        FsLists.walkDeepestFirst(retractTmp).foreach(java.nio.file.Files.delete)
+    }
   }
 
   /** Retention IN PLACE: a pure predicate delete — every surviving

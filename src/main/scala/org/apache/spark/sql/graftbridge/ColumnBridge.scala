@@ -4,6 +4,47 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
+/** A storage unit's `[min, max]` range for one tracked column — the
+  * typed currency of the data-skipping proofs ([[ColumnBridge.statsProveEmpty]])
+  * and of [[graft.core.ParquetLog]]'s bucket-stats manifest. Two
+  * domains: integral (seqs, numeric doc ids, epoch-long event times)
+  * and string (urls, uuids, content hashes — the id shapes real
+  * corpora key on). String order is Spark's own — binary UTF-8
+  * ([[org.apache.spark.unsafe.types.UTF8String]]), the order parquet
+  * stats and Spark comparisons use — NOT Java's UTF-16 `compareTo`,
+  * which disagrees above the BMP. */
+sealed trait StatsRange {
+  /** `(cmp(v, lo), cmp(v, hi))` when literal `v`'s type matches this
+    * range's domain; None (Unknown, unprunable) otherwise. */
+  def cmpToRange(v: Any): Option[(Int, Int)]
+}
+
+final case class LongStats(lo: Long, hi: Long) extends StatsRange {
+  def cmpToRange(v: Any): Option[(Int, Int)] = StatsRange.asLong(v)
+    .map(x => (java.lang.Long.compare(x, lo), java.lang.Long.compare(x, hi)))
+}
+
+final case class StringStats(lo: String, hi: String) extends StatsRange {
+  import org.apache.spark.unsafe.types.UTF8String
+  def cmpToRange(v: Any): Option[(Int, Int)] = StatsRange.asString(v).map { x =>
+    val u = UTF8String.fromString(x)
+    (u.compareTo(UTF8String.fromString(lo)), u.compareTo(UTF8String.fromString(hi)))
+  }
+}
+
+object StatsRange {
+  private[graftbridge] def asLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l); case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong); case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+  private[graftbridge] def asString(v: Any): Option[String] = v match {
+    case s: String => Some(s)
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+    case _ => None
+  }
+}
+
 /** Bridge into the `private[sql]` Column ⇄ Expression converters (the
   * Spark 4 replacement for the removed public `new Column(expr)`), so the
   * engine can expose custom Catalyst expressions as user-facing Columns. */
@@ -89,52 +130,106 @@ object ColumnBridge {
     * whose per-column `[min, max]` ranges are `stats` (None = column
     * untracked ⇒ unknowable). Conservative three-valued logic over the
     * unresolved ColumnNode tree — the Delta-style data-skipping grammar:
-    * and/or, the four comparisons, equality and IN against integral
-    * literals; every other node is Unknown and keeps the unit. Used by
-    * [[graft.core.ParquetLog]]'s bucket-stats takedown pruning. */
-  def statsProveEmpty(c: Column, stats: String => Option[(Long, Long)]): Boolean = {
-    def asLong(v: Any): Option[Long] = v match {
-      case l: Long => Some(l); case i: Int => Some(i.toLong)
-      case s: Short => Some(s.toLong); case b: Byte => Some(b.toLong)
-      case _ => None
-    }
+    * and/or, the four comparisons, equality and IN against integral OR
+    * string literals (string ranges compare in Spark's binary UTF-8
+    * order — [[StatsRange.cmpToRange]]); a literal whose type disagrees
+    * with the tracked range is Unknown, as is every other node shape,
+    * and keeps the unit. `expr("...")`-built predicates arrive as a
+    * [[org.apache.spark.sql.internal.SqlExpression]] leaf — parsed with
+    * [[org.apache.spark.sql.catalyst.parser.CatalystSqlParser]] and
+    * evaluated over the Catalyst tree by the same grammar, so durable
+    * predicate takedowns replayed from SQL text keep their pruning.
+    * Used by [[graft.core.ParquetLog]]'s bucket-stats pruning. */
+  def statsProveEmpty(c: Column, stats: String => Option[StatsRange]): Boolean = {
+    // (cmp(v, lo), cmp(v, hi)) when the literal's type matches the range
+    def cmps(a: String, v: Any): Option[(Int, Int)] =
+      stats(a).flatMap(_.cmpToRange(v))
+    def eqEmpty(a: String, v: Any): Option[Boolean] =
+      cmps(a, v).map { case (cl, ch) => cl < 0 || ch > 0 }
+    def cmpEmpty(a: String, op: String, v: Any): Option[Boolean] =
+      cmps(a, v).map { case (cl, ch) => op match {
+        case ">"  => ch >= 0 // hi <= v: no row can exceed v
+        case ">=" => ch > 0
+        case "<"  => cl <= 0
+        case "<=" => cl < 0
+      } }
+    val flip = Map(">" -> "<", "<" -> ">", ">=" -> "<=", "<=" -> ">=")
     def ev(n: ColumnNode): Boolean = n match {
       case f: UnresolvedFunction => f.functionName match {
         case "and" => f.arguments.exists(ev)
         case "or" => f.arguments.nonEmpty && f.arguments.forall(ev)
         case "=" if f.arguments.size == 2 =>
           val Seq(x, y) = f.arguments
-          (for { a <- attr(x); v <- lit(y).flatMap(asLong); r <- stats(a) }
-            yield v < r._1 || v > r._2)
-            .orElse(for { a <- attr(y); v <- lit(x).flatMap(asLong); r <- stats(a) }
-              yield v < r._1 || v > r._2)
+          attr(x).zip(lit(y)).flatMap { case (a, v) => eqEmpty(a, v) }
+            .orElse(attr(y).zip(lit(x)).flatMap { case (a, v) => eqEmpty(a, v) })
             .getOrElse(false)
         case op @ (">" | ">=" | "<" | "<=") if f.arguments.size == 2 =>
           val Seq(x, y) = f.arguments
-          def prove(a: String, o: String, v: Long): Option[Boolean] =
-            stats(a).map { case (lo, hi) => o match {
-              case ">"  => hi <= v  // no row can exceed v
-              case ">=" => hi < v
-              case "<"  => lo >= v
-              case "<=" => lo > v
-            } }
-          val flip = Map(">" -> "<", "<" -> ">", ">=" -> "<=", "<=" -> ">=")
-          attr(x).zip(lit(y).flatMap(asLong)).flatMap { case (a, v) => prove(a, op, v) }
-            .orElse(attr(y).zip(lit(x).flatMap(asLong))
-              .flatMap { case (a, v) => prove(a, flip(op), v) })
+          attr(x).zip(lit(y)).flatMap { case (a, v) => cmpEmpty(a, op, v) }
+            .orElse(attr(y).zip(lit(x)).flatMap { case (a, v) => cmpEmpty(a, flip(op), v) })
             .getOrElse(false)
         case "in" if f.arguments.size >= 2 =>
-          (for { a <- attr(f.arguments.head); r <- stats(a) } yield {
+          attr(f.arguments.head).exists { a =>
             val vs = f.arguments.tail.map(lit)
-            // provable only when EVERY member is a known integral
-            // literal outside the range (an unknown member could match)
-            vs.forall(_.flatMap(asLong).exists(v => v < r._1 || v > r._2))
-          }).getOrElse(false)
+            // provable only when EVERY member is a known literal of the
+            // range's type, outside the range (an unknown could match)
+            vs.nonEmpty && vs.forall(_.flatMap(v => eqEmpty(a, v)).contains(true))
+          }
         case _ => false
       }
+      case s: org.apache.spark.sql.internal.SqlExpression =>
+        // expr("...") leaf: parse once, walk the Catalyst tree
+        scala.util.Try(
+          org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(s.expression))
+          .toOption.exists(e => evCatalyst(e, eqEmpty, cmpEmpty))
       case _ => false
     }
     ev(c.node)
+  }
+
+  /** The same conservative data-skipping walk over a PARSED Catalyst
+    * expression tree — durable takedown predicates replay from SQL text
+    * (`expr(sql)`), whose Column is one opaque [[org.apache.spark.sql.internal.SqlExpression]]
+    * leaf the ColumnNode walk cannot see into. */
+  private def evCatalyst(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      eqEmpty: (String, Any) => Option[Boolean],
+      cmpEmpty: (String, String, Any) => Option[Boolean]): Boolean = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute => UAttr}
+    def aName(x: ce.Expression): Option[String] = x match {
+      case u: UAttr => Some(u.nameParts.mkString("."))
+      case _ => None
+    }
+    def lv(x: ce.Expression): Option[Any] = x match {
+      case ce.Literal(v, _) if v != null => Some(v)
+      case _ => None
+    }
+    def binary(l: ce.Expression, r: ce.Expression,
+        direct: (String, Any) => Option[Boolean],
+        flipped: (String, Any) => Option[Boolean]): Boolean =
+      aName(l).zip(lv(r)).flatMap { case (a, v) => direct(a, v) }
+        .orElse(aName(r).zip(lv(l)).flatMap { case (a, v) => flipped(a, v) })
+        .getOrElse(false)
+    def ev(x: ce.Expression): Boolean = x match {
+      case ce.And(l, r) => ev(l) || ev(r)
+      case ce.Or(l, r) => ev(l) && ev(r)
+      case ce.EqualTo(l, r) => binary(l, r, eqEmpty, eqEmpty)
+      case ce.GreaterThan(l, r) =>
+        binary(l, r, cmpEmpty(_, ">", _), cmpEmpty(_, "<", _))
+      case ce.GreaterThanOrEqual(l, r) =>
+        binary(l, r, cmpEmpty(_, ">=", _), cmpEmpty(_, "<=", _))
+      case ce.LessThan(l, r) =>
+        binary(l, r, cmpEmpty(_, "<", _), cmpEmpty(_, ">", _))
+      case ce.LessThanOrEqual(l, r) =>
+        binary(l, r, cmpEmpty(_, "<=", _), cmpEmpty(_, ">=", _))
+      case ce.In(v, list) =>
+        aName(v).exists { a =>
+          list.nonEmpty && list.forall(m =>
+            lv(m).flatMap(eqEmpty(a, _)).contains(true))
+        }
+      case _ => false
+    }
+    ev(e)
   }
 
   /** If the Column is an ALIASED bare `count(<literal>)` (non-distinct),

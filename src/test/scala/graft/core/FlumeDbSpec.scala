@@ -725,6 +725,35 @@ class FlumeDbSpec extends SparkSpec {
     assert(sigIds() === Set(4L), "the FEATURES intent replays the truncation")
   }
 
+  test("db-level EVENT-TIME retention: expireOlderThan orchestrates views at the derived horizon") {
+    import java.nio.file.Files
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val tsSchema = StructType(Seq(
+      StructField("ts_ms", LongType), StructField("k", StringType), StructField("v", LongType)))
+    def rows(vs: (Long, String, Long)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(vs.map(x => Row(x._1, x._2, x._3))), tsSchema)
+    val log = new ParquetLog(spark, tmp("graft-ett-log"), tsSchema, bucketSize = 2L,
+      statsColumns = Seq("ts_ms"))
+    val db = new FlumeDb(log)
+      .use("ht", PersistentHashtableView(tmp("graft-ett-ht"), "k"))
+      .use("sum", SumReduceView("v"))
+    db.append(rows((1000L, "a", 1L), (2000L, "b", 2L), (3000L, "a", 3L),
+      (4000L, "c", 4L), (5000L, "b", 5L)))
+    // "older than 3500ms": seqs 0..2 age out of log AND every view
+    assert(db.expireOlderThan("ts_ms", 3500L) === 3L)
+    assert(log.read.count() === 2L)
+    val ht = db.view("ht").view.asInstanceOf[graft.views.PersistentHashtableView]
+    assert(ht.frame.select("k", "v").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      === Set(("c", 4L), ("b", 5L)), "the hashtable aged out in place")
+    val (s, n) = db.gated("sum")(_.asInstanceOf[MergeableReduceView[(Double, Long)]].value.get)
+    assert((s, n) === ((9.0, 2L)), "the sum fold subtracted the expired prefix exactly")
+    // durable form: the derived horizon is the scalar intent
+    val intent = java.nio.file.Paths.get(tmp("graft-ett-i"), "_intent").toString
+    assert(db.expireOlderThan("ts_ms", 4500L, intent, expireFeatures = false) === 1L)
+    assert(log.read.count() === 1L)
+    assert(!Files.exists(java.nio.file.Paths.get(intent)), "the completed intent cleared")
+  }
+
   test("takedown queue: K enqueued intents drain as ONE merged pass; crash windows replay") {
     import java.nio.file.{Files, Paths}
     def tmp(p: String) = Files.createTempDirectory(p).toString
@@ -769,14 +798,49 @@ class FlumeDbSpec extends SparkSpec {
     assert(idx2.get("30").count() === 0L, "the ghost posting left on replay")
     assert(log2.read.select("foo").collect().map(_.getLong(0)).toSet === Set(50L))
     assert(Files.list(Paths.get(queue)).count() === 0L)
-    // mixed id domains refuse descriptively
-    db2.enqueueRetractIds(idsDf(50L), "foo", queue)
-    val other = spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq(Row(1L))),
-      StructType(Seq(StructField("bar", LongType))))
-    db2.enqueueRetractIds(other, "bar", queue)
-    val e = intercept[IllegalStateException](db2.drainRetractQueue(queue))
-    assert(e.getMessage.contains("id column"))
+  }
+
+  test("takedown queue: MIXED domains (two id columns + a predicate) drain as one seq-based pass") {
+    import java.nio.file.{Files, Paths}
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val kv = StructType(Seq(
+      StructField("doc_id", LongType), StructField("media_id", LongType),
+      StructField("src", StringType)))
+    def rows(vs: (Long, Long, String)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(vs.map(v => Row(v._1, v._2, v._3))), kv)
+    def ids(colName: String, vs: Long*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(vs.map(Row(_))),
+      StructType(Seq(StructField(colName, LongType))))
+    val dirLog = tmp("graft-qm-log"); val dirIdx = tmp("graft-qm-idx")
+    val queue = tmp("graft-qm-q") + "/queue"
+    val log = new ParquetLog(spark, dirLog, kv)
+    val db = new FlumeDb(log).use("idx", PersistentIndexView.onColumn(dirIdx, "src"))
+    db.append(rows((1L, 100L, "a"), (2L, 200L, "a"), (3L, 300L, "bad"),
+      (4L, 400L, "b"), (5L, 500L, "b"), (6L, 600L, "c")))
+    // a doc_id list, a media_id list (overlapping doc 4's row via its
+    // media id — the union must dedupe seqs), and a SQL predicate
+    assert(db.enqueueRetractIds(ids("doc_id", 1L, 4L), "doc_id", queue) === 1)
+    assert(db.enqueueRetractIds(ids("media_id", 400L, 600L), "media_id", queue) === 2)
+    assert(db.enqueueRetractWhere("src = 'bad'", queue) === 3)
+    assert(log.read.count() === 6L, "acceptance must not touch the log")
+    assert(db.drainRetractQueue(queue) === 4L,
+      "docs 1,4 + media 400,600 + src=bad → seqs {0,3,5,2}: four rows, counted once")
+    assert(log.read.select("doc_id").collect().map(_.getLong(0)).toSet === Set(2L, 5L))
+    val idx = db.view("idx").view.asInstanceOf[graft.views.PersistentIndexView]
+    assert(idx.get("bad").count() === 0L, "the predicate domain's ghost postings left")
+    assert(idx.get("c").count() === 0L && idx.get("a").count() === 1L)
+    assert(Files.list(Paths.get(queue)).count() === 0L, "all three intents cleared")
+    // a predicate intent survives a crash-before-drain and replays at open
+    db.enqueueRetractWhere("doc_id = 2", queue)
+    db.close()
+    val log2 = new ParquetLog(spark, dirLog, kv)
+    val db2 = new FlumeDb(log2).use("idx", PersistentIndexView.onColumn(dirIdx, "src"))
+    assert(db2.recoverRetractQueue(queue) === 1L,
+      "the accepted predicate executes at open, from its SQL text")
+    assert(log2.read.select("doc_id").collect().map(_.getLong(0)).toSet === Set(5L))
+    // garbage SQL refuses at ACCEPT time, not at drain
+    intercept[Exception](db2.enqueueRetractWhere("not (((", queue))
+    assert(Files.list(Paths.get(queue)).count() === 0L, "a refused accept leaves nothing")
   }
 
   test("recoverRetract refuses while a recorded persistent view is not mounted") {

@@ -428,8 +428,9 @@ class BucketStatsPruningSpec extends SparkSpec {
     StructField("doc_id", LongType), StructField("tag", StringType)))
 
   test("statsProveEmpty: the data-skipping grammar, conservatively") {
-    val st: String => Option[(Long, Long)] =
-      { case "a" => Some((10L, 20L)); case _ => None }
+    import org.apache.spark.sql.graftbridge.{LongStats, StatsRange}
+    val st: String => Option[StatsRange] =
+      { case "a" => Some(LongStats(10L, 20L)); case _ => None }
     def empty(c: org.apache.spark.sql.Column) = ColumnBridge.statsProveEmpty(c, st)
     assert(empty(col("a") === 5L) && empty(col("a") === 25L))
     assert(!empty(col("a") === 15L))
@@ -450,6 +451,40 @@ class BucketStatsPruningSpec extends SparkSpec {
     assert(!empty(col("a") === "x"))
     assert(!empty(col("a") % 2 === 0L))
     assert(!empty(!(col("a") === 15L)), "negation is Unknown, kept")
+  }
+
+  test("statsProveEmpty: string ranges (binary UTF-8 order) and expr() SQL predicates") {
+    import org.apache.spark.sql.graftbridge.{LongStats, StatsRange, StringStats}
+    val st: String => Option[StatsRange] = {
+      case "u" => Some(StringStats("example.com/b", "example.com/m"))
+      case "a" => Some(LongStats(10L, 20L))
+      case _ => None
+    }
+    def empty(c: org.apache.spark.sql.Column) = ColumnBridge.statsProveEmpty(c, st)
+    assert(empty(col("u") === "example.com/a") && empty(col("u") === "example.com/z"))
+    assert(!empty(col("u") === "example.com/c"))
+    assert(empty(lit("example.com/zz") === col("u")), "flipped string equality")
+    assert(empty(col("u") > "example.com/m") && !empty(col("u") > "example.com/l"))
+    assert(empty(col("u") < "example.com/b") && !empty(col("u") < "example.com/c"))
+    assert(empty(col("u").isin("aaa", "zzz")) && !empty(col("u").isin("aaa", "example.com/c")))
+    // a literal of the WRONG domain for the tracked range is Unknown
+    assert(!empty(col("u") === 5L))
+    assert(!empty(col("a") === "x"))
+    // prefix boundary: min/max sharing a prefix still prune correctly
+    assert(empty(col("u") >= "example.com/m "),
+      "just above the max in binary order")
+    // expr("...") predicates (the durable queue's replayable form) parse
+    // into the same grammar — pruning survives the SQL round-trip
+    assert(empty(expr("a > 20")) && !empty(expr("a > 19")))
+    assert(empty(expr("a = 5 AND u = 'example.com/c'")))
+    assert(empty(expr("u = 'zzz'")) && !empty(expr("u = 'example.com/c'")))
+    assert(empty(expr("a IN (1, 2, 30)")) && !empty(expr("a IN (1, 15)")))
+    assert(empty(expr("a = 5 OR u > 'example.com/m'")))
+    assert(!empty(expr("a = 5 OR u > 'example.com/a'")))
+    assert(!empty(expr("a % 2 = 0")), "non-grammar SQL is Unknown, kept")
+    assert(!empty(expr("not a garbage expression ((")), "unparseable SQL is Unknown, kept")
+    // composed: a DSL conjunct plus an expr() leaf inside one Column
+    assert(empty(col("a") === 15L && expr("u = 'zzz'")))
   }
 
   test("stats-pruned takedown skips non-overlapping buckets (poisoned-bucket proof) and stays correct") {
@@ -532,6 +567,113 @@ class BucketStatsPruningSpec extends SparkSpec {
       java.nio.file.Paths.get(dir, "_graft_stats"))
     assert(!manifest.lines().anyMatch(l => l.startsWith("0 ") || l.startsWith("1 ")),
       s"expired buckets' entries must leave the manifest:\n$manifest")
+  }
+
+  test("STRING takedown-key stats prune buckets (poisoned-bucket proof) — urls/uuids/hashes") {
+    // real corpora key on strings; before r17 these silently fell back
+    // to the ∝-corpus match scan. Same proof shape as the integral
+    // twin: a garbage parquet planted in a non-candidate bucket makes
+    // any scan that touches it fail loudly.
+    val strSchema = StructType(Seq(
+      StructField("url", StringType), StructField("v", LongType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bstats-s").toString
+    val log = new ParquetLog(spark, dir, strSchema, bucketSize = 100L,
+      statsColumns = Seq("url"))
+    // urls sorted with seq so each bucket holds a distinct lexicographic band
+    log.append(spark.range(1000L).select(
+      format_string("https://example.com/doc-%04d", col("id")).as("url"), col("id").as("v")))
+    val poison = new java.io.File(dir, "seq_bucket=0/part-poison.parquet")
+    java.nio.file.Files.writeString(poison.toPath, "this is not parquet")
+    // clustered string-range predicate inside bucket 9 only
+    assert(log.retract(col("url") >= "https://example.com/doc-0950" &&
+      col("url") < "https://example.com/doc-0960") === 10L)
+    // clustered string id list inside bucket 8 only
+    val ids = spark.range(10L).select(
+      format_string("https://example.com/doc-%04d", col("id") + 840L).as("url"))
+    assert(log.retractIds(ids, "url") === 10L)
+    // equality fully outside every range prunes every bucket
+    assert(log.retract(col("url") === "zzz://nowhere") === 0L)
+    // the pruned auxiliary read the db orchestration uses
+    assert(log.readForTakedownIds(ids, "url").count() === 90L)
+    java.nio.file.Files.delete(poison.toPath)
+    assert(log.read.count() === 980L)
+    assert(log.read.where(col("url") >= "https://example.com/doc-0950" &&
+      col("url") < "https://example.com/doc-0960").count() === 0L)
+    // the manifest survives reopen with its string ranges intact
+    val log2 = new ParquetLog(spark, dir, strSchema, bucketSize = 100L,
+      statsColumns = Seq("url"))
+    java.nio.file.Files.writeString(poison.toPath, "still not parquet")
+    assert(log2.retract(col("url") === "https://example.com/doc-0970") === 1L)
+    java.nio.file.Files.delete(poison.toPath)
+    assert(log2.read.count() === 979L)
+    // strings with whitespace/newlines round-trip the manifest encoding
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-bstats-s2").toString
+    val logWs = new ParquetLog(spark, dir2, strSchema, bucketSize = 100L,
+      statsColumns = Seq("url"))
+    logWs.append(spark.range(5L).select(
+      concat(lit("a b\nc "), col("id").cast("string")).as("url"), col("id").as("v")))
+    val logWs2 = new ParquetLog(spark, dir2, strSchema, bucketSize = 100L,
+      statsColumns = Seq("url"))
+    assert(logWs2.retract(col("url") === "a b\nc 3") === 1L)
+    assert(logWs2.read.count() === 4L)
+  }
+
+  test("horizonOlderThan: manifest arithmetic + boundary scan equals min(seq where ts > T) - 1") {
+    val tsSchema = StructType(Seq(
+      StructField("ts_ms", LongType), StructField("v", LongType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ettl").toString
+    val log = new ParquetLog(spark, dir, tsSchema, bucketSize = 100L,
+      statsColumns = Seq("ts_ms"))
+    // event time tracks seq except ONE out-of-order newer row at seq 250
+    log.append(spark.range(1000L).select(
+      when(col("id") === 250L, lit(999999L)).otherwise(col("id") * 10L).as("ts_ms"),
+      col("id").as("v")))
+    // poison buckets past the boundary: the walk must stop at bucket 2
+    // (the first newer row) and never read later buckets
+    val poison = new java.io.File(dir, "seq_bucket=7/part-poison.parquet")
+    java.nio.file.Files.writeString(poison.toPath, "not parquet")
+    // T = 5000ms: rows 0..500 are nominally old, but seq 250 is newer —
+    // the PREFIX contract stops just before it (boundary conservatism)
+    assert(log.horizonOlderThan("ts_ms", 5000L) === 249L)
+    java.nio.file.Files.delete(poison.toPath)
+    assert(log.expireOlderThan("ts_ms", 5000L) === 250L)
+    assert(log.read.count() === 750L)
+    assert(log.read.agg(min("seq")).head().getLong(0) === 250L,
+      "the out-of-order newer row held the prefix line")
+    assert(log.since === 999L, "retention never regresses the cursor")
+    // after the newer row itself ages out, the rest of the old prefix goes
+    assert(log.expireOlderThan("ts_ms", 999999L + 1L) === 750L)
+    assert(log.read.count() === 0L)
+    // nothing expirable → horizon -1, expire is a no-op
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ettl2").toString
+    val log2 = new ParquetLog(spark, dir2, tsSchema, bucketSize = 100L,
+      statsColumns = Seq("ts_ms"))
+    log2.append(spark.range(10L).select((col("id") + 100L).as("ts_ms"), col("id").as("v")))
+    assert(log2.horizonOlderThan("ts_ms", 50L) === -1L)
+    assert(log2.expireOlderThan("ts_ms", 50L) === 0L)
+    // an UNDECLARED ts column falls back to the single corpus scan —
+    // same horizon, no manifest
+    assert(log2.horizonOlderThan("v", 3L) === 3L)
+    // string event times order lexicographically (ISO dates)
+    val isoSchema = StructType(Seq(
+      StructField("day", StringType), StructField("v", LongType)))
+    val dir3 = java.nio.file.Files.createTempDirectory("graft-ettl3").toString
+    val log3 = new ParquetLog(spark, dir3, isoSchema, bucketSize = 4L,
+      statsColumns = Seq("day"))
+    log3.append(spark.range(12L).select(
+      format_string("2026-01-%02d", col("id") + 1L).as("day"), col("id").as("v")))
+    assert(log3.horizonOlderThan("day", "2026-01-08") === 7L)
+    assert(log3.expireOlderThan("day", "2026-01-08") === 8L)
+    assert(log3.read.count() === 4L)
+    // a live tail fences event-time retention exactly like expire
+    val dirT = java.nio.file.Files.createTempDirectory("graft-ettl4").toString
+    val logT = new ParquetLog(spark, dirT, tsSchema, bucketSize = 100L,
+      statsColumns = Seq("ts_ms"))
+    logT.append(spark.range(10L).select((col("id") * 10L).as("ts_ms"), col("id").as("v")))
+    logT.readStreamFiles // marks the file-granular tail
+    val e = intercept[IllegalStateException](logT.expireOlderThan("ts_ms", 1000L))
+    assert(e.getMessage.contains("live tail"))
+    assert(logT.read.count() === 10L, "a fence refusal mutates nothing")
   }
 
   test("stats merge across appends widens ranges; seq-column pruning rides directory names") {
