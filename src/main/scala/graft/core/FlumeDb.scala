@@ -376,7 +376,7 @@ final class FlumeDb(
       val seqs = matched.select(log.seqCol).localCheckpoint(true)
       val prepared = prepareInversions(matched)
       val removed = log.retract(cond)
-      if (removed > 0) { prepared.foreach(_._2()); retractViews(seqs, prepared.map(_._1).toSet) }
+      if (removed > 0) { prepared.foreach(_._2()); retractViews(seqs, prepared.map(_._1).toSet); fireRetractHooks(seqs) }
       removed
     } finally lock.unlock()
   }
@@ -398,7 +398,7 @@ final class FlumeDb(
       val seqs = marked.select(log.seqCol).localCheckpoint(true)
       val prepared = prepareInversions(marked)
       val removed = log.retractIds(ids, idCol)
-      if (removed > 0) { prepared.foreach(_._2()); retractViews(seqs, prepared.map(_._1).toSet) }
+      if (removed > 0) { prepared.foreach(_._2()); retractViews(seqs, prepared.map(_._1).toSet); fireRetractHooks(seqs) }
       removed
     } finally lock.unlock()
   }
@@ -464,6 +464,41 @@ final class FlumeDb(
       }
     }
     out.result()
+  }
+
+  // ---- derived-model retrain hook ------------------------------------------
+  // Mounted views rebuild or repair under a takedown, but TRAINED
+  // ARTIFACTS held OUTSIDE the db (a PQ [[graft.ops.Pq.Model]], k-means
+  // centroids, an NB model, a BPE merge table) summarize a corpus
+  // snapshot the db cannot see — a takedown purges the rows while a
+  // model trained on them persists in the caller's hands. Per-family
+  // policy (also on each trainer's Scaladoc): k-means-REFINED artifacts
+  // (KMeans.fit with iters ≥ 1, Pq.train) are aggregate statistics a
+  // takedown may keep; SEED-BY-ID artifacts (Pq.seedCodebooks,
+  // IVFIndexView's quantizer, KMeans' iters = 0 degenerate) are literal
+  // copies of corpus vectors and must re-derive when a seed retracts —
+  // the mounted IVF view does this itself (seed redaction); for
+  // driver-held models, this hook is the retrain trigger.
+
+  /** Register a callback fired after EVERY completed db takedown (not
+    * retention — aging out rows does not erase their statistical
+    * influence obligations the way an erasure request does) with the
+    * removed SEQ set, so pipelines holding derived models can decide —
+    * by intersecting with their training lineage — whether to retrain.
+    * Fires only when rows were actually removed, after the view pass.
+    * Returns an unsubscribe thunk. */
+  def onRetract(hook: DataFrame => Unit): () => Unit = {
+    throwIfClosed()
+    retractHooks.add(hook)
+    () => { retractHooks.remove(hook); () }
+  }
+
+  private val retractHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[DataFrame => Unit]()
+
+  private def fireRetractHooks(removedSeqs: DataFrame): Unit = {
+    val it = retractHooks.iterator()
+    while (it.hasNext) it.next()(removedSeqs)
   }
 
   /** Bring every mounted view to the post-takedown state, cheapest
@@ -533,7 +568,7 @@ final class FlumeDb(
       val removed = mutateLogOrUnlatch(p, seqsDir)(log.retract(cond))
       // mirror the undurable form: a zero-match takedown has no ghost
       // rows to purge — do not destroy/rebuild every folding view
-      if (removed > 0) { prepared.foreach(_._2()); retractViews(seqs, prepared.map(_._1).toSet) }
+      if (removed > 0) { prepared.foreach(_._2()); retractViews(seqs, prepared.map(_._1).toSet); fireRetractHooks(seqs) }
       java.nio.file.Files.delete(p)
       deleteDirIfExists(seqsDir)
       removed
@@ -604,7 +639,7 @@ final class FlumeDb(
         .where(col(ParquetLog.hitCol))
         .drop(ParquetLog.hitCol))
     val removed = mutateLogOrUnlatch(p, seqsDir)(log.retractIds(seqs, log.seqCol))
-    if (removed > 0) { prepared.foreach(_._2()); retractViews(seqs, prepared.map(_._1).toSet) }
+    if (removed > 0) { prepared.foreach(_._2()); retractViews(seqs, prepared.map(_._1).toSet); fireRetractHooks(seqs) }
     java.nio.file.Files.delete(p)
     deleteDirIfExists(seqsDir)
     removed

@@ -42,6 +42,17 @@ import org.apache.spark.sql.functions._
   * rounds with one collect — the same size-based strategy switch as
   * `Cluster.connectedComponents`; the distributed loop remains the
   * 100 TB path and both are equality-tested.
+  *
+  * TAKEDOWN POLICY: a merge table is a ranked list of character-pair
+  * fusions chosen by CORPUS-WIDE pair frequency — aggregate order
+  * statistics, not document content (any individual document's
+  * influence is one vote among the distinct-word counts), so a takedown
+  * may keep a trained tokenizer; retraining would also invalidate every
+  * stored token-count artifact for no erasure gain. The exception a
+  * holder must own: a vocabulary so small that a merge rank exists
+  * ONLY because of the retracted document (it effectively spells out
+  * that document's words) — retrain via
+  * [[graft.core.FlumeDb.onRetract]] in that regime.
   */
 object Bpe {
 

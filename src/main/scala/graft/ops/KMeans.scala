@@ -106,7 +106,19 @@ object KMeans {
 
   /** `iters` Lloyd iterations from the deterministic seed (k lowest-id
     * vectors). Returns the final centroids — k×dim driver-side doubles,
-    * the model artifact. */
+    * the model artifact.
+    *
+    * TAKEDOWN POLICY: with `iters >= 1` every non-empty cluster's
+    * centroid is the MEAN of its members — an aggregate statistic a
+    * corpus takedown may keep (it summarizes, it does not copy). Two
+    * residual copies to know about: `iters = 0` returns the seed
+    * vectors verbatim, and an iteration whose cluster EMPTIES keeps the
+    * previous vector (which at iteration 1 is still the seed copy) —
+    * callers whose erasure obligations cover model bytes should retrain
+    * via [[graft.core.FlumeDb.onRetract]] when the removed seq set
+    * intersects their training snapshot (the hook delivers exactly that
+    * set). The mounted IVF quantizer handles its own seed redaction
+    * ([[graft.views.IVFIndexView]]). */
   def fit(
       points: DataFrame,
       k: Int,

@@ -26,6 +26,14 @@ import org.apache.spark.sql.functions._
   * per-doc class scores reduce by (doc, class) with map-side combine;
   * argmax is a per-doc window over exactly `classes` rows. No driver
   * state, no iteration — one linear pass each for train and score.
+  *
+  * TAKEDOWN POLICY: the model rows are corpus-wide term COUNTS per
+  * class — aggregate statistics, never document copies, so a takedown
+  * may keep a trained model. The residual risk is a degenerate class
+  * trained on very few documents (its counts approach a term list of
+  * those documents); holders with erasure obligations at that
+  * granularity retrain on [[graft.core.FlumeDb.onRetract]] — training
+  * is one linear pass, so the retrain costs one score-free epoch.
   */
 object NaiveBayes {
 

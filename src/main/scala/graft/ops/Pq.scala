@@ -66,7 +66,18 @@ object Pq {
     * [[Similarity.seedCentroids]]. Recall trails [[train]]'s k-means
     * books, but the encode → ADC → re-rank pipeline and its cost shape
     * are identical, and the whole search becomes replayable by an
-    * external oracle with no trained state. */
+    * external oracle with no trained state.
+    *
+    * TAKEDOWN POLICY: these codewords are literal SUB-VECTOR COPIES of
+    * the k lowest-id corpus vectors — takedown-bearing bytes, unlike
+    * [[train]]'s k-means-refined codebooks (aggregates a takedown may
+    * keep, with [[graft.ops.KMeans.fit]]'s two documented residual-copy
+    * caveats). A seeded model's holder must re-derive it when any of
+    * those k ids retracts: subscribe [[graft.core.FlumeDb.onRetract]]
+    * and re-call this method — re-derivation is deterministic, so the
+    * new model differs only where seeds left, and every stored code
+    * table built with the old model must re-encode (codes are indices
+    * into the books). */
   def seedModel(
       corpus: DataFrame,
       m: Int = 8,

@@ -39,12 +39,19 @@ final class IVFIndexView(
   openProtocol()
 
   /** The quantizer: loaded from disk, or seeded from the given frame and
-    * persisted on first absorb. */
+    * persisted on first absorb. Stored schema is
+    * `(cid, vec, seeded: boolean)`: a SEEDED centroid is a literal COPY
+    * of the corpus vector whose id is `cid` (`seedCentroids` — cid IS
+    * the seed's id), so it is takedown-bearing data; a redacted or
+    * derived centroid (`seeded = false`) is an aggregate summary. Pre-
+    * provenance stores lack the column — every centroid there IS a
+    * literal seed copy, so absence reads as `seeded = true`. */
   private def centroids(seedFrom: Option[DataFrame] = None): Array[(Long, Seq[Float])] =
     cents.getOrElse {
       val loaded =
         if (Files.isDirectory(centroidsDir))
-          spark.read.parquet(centroidsDir.toString).collect()
+          spark.read.parquet(centroidsDir.toString)
+            .select(col("cid"), col("vec")).collect()
             .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Float]](1).toSeq))
             .sortBy(_._1)
         else seedFrom match {
@@ -52,14 +59,31 @@ final class IVFIndexView(
             val seeds = Similarity.seedCentroids(df, nCentroids, idCol, vecCol)
             require(seeds.nonEmpty,
               "IVF quantizer cannot seed from an empty batch; absorb data first")
-            import spark.implicits._
-            seeds.toSeq.toDF("cid", "vec").write.mode("overwrite")
-              .parquet(centroidsDir.toString)
+            writeCentroids(seeds.toSeq.map { case (cid, v) => (cid, v, true) })
             seeds
           case None => throw new IllegalStateException("IVF index is empty — no centroids yet")
         }
       cents = Some(loaded)
       loaded
+    }
+
+  private def writeCentroids(rows: Seq[(Long, Seq[Float], Boolean)]): Unit = {
+    import spark.implicits._
+    rows.toDF("cid", "vec", "seeded").write.mode("overwrite")
+      .parquet(centroidsDir.toString)
+    cents = None // reload on next use
+  }
+
+  /** Centroids that are still literal SEED COPIES (takedown-bearing):
+    * their cids. Pre-provenance stores (no `seeded` column) report every
+    * centroid, which is exactly true of them. */
+  private def seededCids(): Set[Long] =
+    if (!Files.isDirectory(centroidsDir)) Set.empty
+    else {
+      val df = spark.read.parquet(centroidsDir.toString)
+      val flagged =
+        if (df.columns.contains("seeded")) df.where(col("seeded")) else df
+      flagged.select("cid").collect().map(_.getLong(0)).toSet
     }
 
   def absorb(entries: DataFrame, upto: Long): Unit = {
@@ -212,6 +236,108 @@ final class IVFIndexView(
   /** A takedown rewrites only the matched `cell=` subdirectories of the
     * matched deltas — the per-cell layout is also the retraction unit. */
   override protected def retractPartitionCol: Option[String] = Some("cell")
+
+  // ---- derived-model takedown policy (the quantizer) ----------------------
+  // The coarse quantizer's SEEDED centroids are literal copies of corpus
+  // vectors (seed-by-id), so a takedown that removes a seed vector's row
+  // must also remove its copy from the model — unlike k-means-refined
+  // centroids, which are aggregates a takedown may keep. Policy here:
+  // after the row purge, every hit seed centroid is REDACTED — replaced
+  // by the element-wise mean of its cell's SURVIVING members (an
+  // aggregate, like a k-means centroid), keeping its cid so stored cell
+  // assignments stay valid (recall drifts marginally on that cell; the
+  // exact-cosine refine is unaffected). An emptied cell redacts to the
+  // mean of the other centroids; a TOTAL takedown deletes the quantizer
+  // outright (it was 100% retracted bytes) and the next absorb re-seeds.
+
+  /** Seed cids among the ids being taken down, without scanning the
+    * corpus: the id LIST filters against the ≤ nCentroids seed set. */
+  private def hitSeedsForIds(ids: DataFrame, idsCol: String): Set[Long] = {
+    val seeds = seededCids()
+    if (seeds.isEmpty) Set.empty
+    else if (idsCol == idCol)
+      ids.where(col(idsCol).isin(seeds.toSeq: _*))
+        .select(col(idsCol).cast("long")).distinct().collect().map(_.getLong(0)).toSet
+    else if (committedBatchDirs().isEmpty) Set.empty
+    else // takedown keyed on another column: check the stored seed rows
+      frame.join(ids.select(col(idsCol)).distinct(), Seq(idsCol), "left_semi")
+        .where(col(idCol).isin(seeds.toSeq: _*))
+        .select(col(idCol).cast("long")).distinct().collect().map(_.getLong(0)).toSet
+  }
+
+  /** Seed cids matching a predicate takedown: evaluated over the ≤
+    * nCentroids reconstructed seed rows (driver-small, no corpus scan);
+    * a cond referencing columns seeds lack falls back to the pruned
+    * stored scan. */
+  private def hitSeedsForCond(cond: org.apache.spark.sql.Column): Set[Long] = {
+    val seeds = seededCids()
+    if (seeds.isEmpty) return Set.empty
+    import spark.implicits._
+    val seedRows = centroids().filter(c => seeds.contains(c._1)).toSeq
+      .toDF(idCol, vecCol)
+      .select(col(idCol), col(vecCol).cast("array<float>").as(vecCol))
+    scala.util.Try(
+      seedRows.where(coalesce(cond, lit(false)))
+        .select(col(idCol)).collect().map(_.getLong(0)).toSet
+    ).getOrElse {
+      if (committedBatchDirs().isEmpty) Set.empty
+      else frame.where(coalesce(cond, lit(false)))
+        .where(col(idCol).isin(seeds.toSeq: _*))
+        .select(col(idCol).cast("long")).distinct().collect().map(_.getLong(0)).toSet
+    }
+  }
+
+  /** Redact hit seed centroids to aggregates (see the policy note). */
+  private def redactSeeds(hitCids: Set[Long]): Unit = {
+    if (hitCids.isEmpty) return
+    if (committedBatchDirs().isEmpty) {
+      // total takedown: nothing to aggregate over — the quantizer was
+      // entirely retracted bytes; drop it and re-seed at next absorb
+      if (Files.isDirectory(centroidsDir))
+        FsLists.walkDeepestFirst(centroidsDir).foreach(Files.delete)
+      cents = None
+      return
+    }
+    val raw = spark.read.parquet(centroidsDir.toString)
+    val flagged = if (raw.columns.contains("seeded")) raw
+      else raw.withColumn("seeded", lit(true))
+    val rows = flagged.select("cid", "vec", "seeded").collect()
+      .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Float]](1).toSeq, r.getBoolean(2)))
+      .toSeq
+    // ONE job: element-wise survivor means of the hit cells (post-purge)
+    val means: Map[Long, Seq[Float]] = frame
+      .where(col("cell").isin(hitCids.toSeq: _*))
+      .select(col("cell").cast("long").as("cell"), posexplode(col(vecCol)))
+      .groupBy("cell", "pos").agg(avg("col").as("m"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (c, rs) =>
+        c -> rs.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+      }
+    // emptied cells: the mean of every other derived/surviving centroid
+    // (pure driver arithmetic — still an aggregate, never a copy)
+    lazy val pool: Seq[Seq[Float]] =
+      rows.collect { case (cid, v, _) if !hitCids.contains(cid) => v } ++ means.values
+    lazy val poolMean: Seq[Float] =
+      pool.transpose.map(xs => (xs.map(_.toDouble).sum / xs.size).toFloat)
+    val out = rows.map { case (cid, vec, seeded) =>
+      if (hitCids.contains(cid)) (cid, means.getOrElse(cid, poolMean), false)
+      else (cid, vec, seeded)
+    }
+    writeCentroids(out)
+  }
+
+  override def retractWhere(cond: org.apache.spark.sql.Column): Unit = {
+    val hit = hitSeedsForCond(cond) // detected BEFORE the rows leave
+    super.retractWhere(cond)
+    redactSeeds(hit)
+  }
+
+  override def retractIds(ids: DataFrame, idsCol: String,
+      maxBroadcastKeys: Long = 4L * 1000 * 1000): Unit = {
+    val hit = hitSeedsForIds(ids, idsCol)
+    super.retractIds(ids, idsCol, maxBroadcastKeys)
+    redactSeeds(hit)
+  }
 
   /** The compacted base keeps the per-cell layout (one dir per cell, so
     * probes prune the base exactly like they pruned the deltas); the

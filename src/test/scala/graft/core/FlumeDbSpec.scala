@@ -725,6 +725,36 @@ class FlumeDbSpec extends SparkSpec {
     assert(sigIds() === Set(4L), "the FEATURES intent replays the truncation")
   }
 
+  test("onRetract (the derived-model retrain hook) fires the removed seq set on takedowns, never on retention") {
+    val (_, db) = mkDb()
+    db.append(fooDf(10L, 20L, 30L, 40L, 50L)) // seqs 0..4
+    var fired = Vector.empty[Seq[Long]]
+    val unsub = db.onRetract(seqs =>
+      fired :+= seqs.collect().map(_.getLong(0)).sorted.toSeq)
+    assert(db.retract(col("foo") === 20L) === 1L)
+    assert(fired === Vector(Seq(1L)), "the hook receives exactly the removed seqs")
+    import org.apache.spark.sql.Row
+    val ids = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(40L))),
+      StructType(Seq(StructField("foo", LongType))))
+    assert(db.retractIds(ids, "foo") === 1L)
+    assert(fired === Vector(Seq(1L), Seq(3L)))
+    // zero-match takedowns fire nothing (no model influence changed)
+    assert(db.retract(col("foo") === 999L) === 0L)
+    assert(fired.size === 2)
+    // RETENTION does not fire: aging out is not an erasure request
+    assert(db.expire(0L) === 1L)
+    assert(fired.size === 2)
+    // the durable form fires too (takedown via intent)
+    val intent = java.nio.file.Paths.get(
+      java.nio.file.Files.createTempDirectory("graft-hook-i").toString, "_i").toString
+    assert(db.retract(col("foo") === 30L, intent) === 1L)
+    assert(fired.size === 3 && fired.last === Seq(2L))
+    unsub()
+    assert(db.retract(col("foo") === 50L) === 1L)
+    assert(fired.size === 3, "an unsubscribed hook stays silent")
+  }
+
   test("db-level EVENT-TIME retention: expireOlderThan orchestrates views at the derived horizon") {
     import java.nio.file.Files
     def tmp(p: String) = Files.createTempDirectory(p).toString

@@ -1215,6 +1215,73 @@ class PersistenceSpec extends SparkSpec {
     assert(v2.frame.count() === 10L, "absorbs continue after a total takedown")
   }
 
+  test("IVF quantizer seed redaction: a retracted seed vector's copy leaves the model") {
+    // the derived-model takedown policy, enforced: SEEDED centroids are
+    // literal copies of the first-k corpus vectors, so a takedown that
+    // removes a seed's row must also remove its copy — redacted to the
+    // cell's survivor MEAN (an aggregate, like a k-means centroid),
+    // keeping the cid so stored cell assignments stay valid
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft-ivfseed").toString + "/v"
+    val v = new IVFIndexView(spark, dir, 1, "vec_id", "embedding", 8)
+    v.absorb(emb, 499L)
+    def centTable() = spark.read.parquet(dir + "/centroids")
+      .select("cid", "vec", "seeded").collect()
+      .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Float]](1).toSeq, r.getBoolean(2)))
+      .sortBy(_._1)
+    val seedVec3 = emb.where(col("vec_id") === 3L).head()
+      .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    assert(centTable().find(_._1 === 3L).exists(c => c._2 === seedVec3 && c._3),
+      "precondition: centroid 3 is a literal seeded copy of vector 3")
+    // a NON-seed takedown leaves the quantizer untouched
+    import spark.implicits._
+    v.retractIds(Seq(42L).toDF("vec_id"), "vec_id")
+    assert(centTable().find(_._1 === 3L).exists(c => c._2 === seedVec3 && c._3),
+      "a non-seed takedown must not touch the model")
+    assert(centTable().forall(_._3), "all centroids still seeded")
+    // the SEED takedown: row purged AND the model copy redacted
+    v.retractWhere(col("vec_id") === 3L)
+    assert(v.frame.where(col("vec_id") === 3L).count() === 0L)
+    val c3 = centTable().find(_._1 === 3L).get
+    assert(!c3._3, "centroid 3 must no longer claim seed provenance")
+    assert(c3._2 !== seedVec3, "the retracted vector's bytes must leave the model")
+    // the redaction is the survivor mean of cell 3 (an aggregate)
+    val mean3 = v.frame.where(col("cell") === 3L)
+      .select(posexplode(col("embedding")))
+      .groupBy("pos").agg(avg("col").as("m")).collect()
+      .sortBy(_.getInt(0)).map(_.getDouble(1).toFloat).toSeq
+    assert(c3._2.size === mean3.size &&
+      c3._2.zip(mean3).forall { case (a, b) => math.abs(a - b) < 1e-4f },
+      "redacted centroid must be the cell's survivor mean")
+    // search still serves (the cid kept its cell identity) and the
+    // retracted id never resurfaces; redaction survives reopen
+    val v2 = new IVFIndexView(spark, dir, 1, "vec_id", "embedding", 8)
+    val got = v2.search(seedVec3, 5).collect().map(_.getLong(0))
+    assert(got.nonEmpty && !got.contains(3L))
+    assert(centTable().count(_._3) === 7)
+    // id-list form redacts too (the family coordinators' path)
+    v2.retractIds(Seq(5L, 77L).toDF("vec_id"), "vec_id")
+    val c5 = centTable().find(_._1 === 5L).get
+    assert(!c5._3 && v2.frame.where(col("vec_id") === 5L).count() === 0L)
+    // TOTAL takedown: the quantizer itself is retracted bytes — it
+    // resets, and the next absorb re-seeds from surviving data
+    v2.retractWhere(lit(true))
+    assert(!Files.isDirectory(java.nio.file.Paths.get(dir, "centroids")),
+      "a total takedown must drop the quantizer")
+    v2.absorb(emb.where(col("vec_id") >= 490L), 600L)
+    assert(v2.frame.count() === 10L, "absorbs re-seed and continue")
+    assert(centTable().forall(_._3), "the re-seeded quantizer is seed-provenanced again")
+    // PRE-PROVENANCE store (no `seeded` column): every centroid IS a
+    // seed copy — absence must read as seeded, and takedowns redact
+    val legacy = centTable().map(c => (c._1, c._2)).toSeq.toDF("cid", "vec")
+    legacy.write.mode("overwrite").parquet(dir + "/centroids")
+    val v3 = new IVFIndexView(spark, dir, 1, "vec_id", "embedding", 8)
+    v3.retractIds(Seq(491L).toDF("vec_id"), "vec_id")
+    val c491 = centTable().find(_._1 === 491L)
+    assert(c491.exists(!_._3), "legacy centroid redacted on its seed's takedown")
+  }
+
   test("embedding sig table: pre-upgrade two-column deltas read normalized beside stamped ones; compaction keeps seq") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-esmix").toString + "/v"
