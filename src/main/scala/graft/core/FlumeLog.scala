@@ -249,7 +249,16 @@ trait FlumeLog {
     * [[ParquetLog]] the file streaming source. A log without a
     * partition-planned source must throw rather than inherit a planner
     * that would materialize the table on the driver — at 100 TB that is
-    * a cluster-killer, not a fallback. */
+    * a cluster-killer, not a fallback.
+    *
+    * ORDERING CONTRACT (r17, the curator-takedown flake's true root
+    * cause): consumers that track a seq high-water mark across
+    * micro-batches (every curator) REQUIRE the seq-offset source —
+    * its batches are exact seq intervals in order. The file-granular
+    * fallback can SPLIT one append across batches out of seq order
+    * when the tail polls during the append's commit (files rename into
+    * place one at a time), and an HWM consumer then skips the
+    * earlier-seq batch as a replay: permanent silent record loss. */
   def readStream: DataFrame =
     throw new UnsupportedOperationException(
       s"${getClass.getSimpleName} has no streaming source; use ParquetLog (file source) " +
@@ -666,9 +675,12 @@ final class ParquetLog(
     * skipping otherwise; no driver collect — see
     * [[graft.streaming.ParquetLogMicroBatchStream]]). This is the
     * reference build loop's `{gt: upto, live: true}` at record precision
-    * on the durable log. Nested payload types fall back to the
-    * file-granular [[readStreamFiles]] source, which delivers the same
-    * rows at coarser offset granularity. */
+    * on the durable log. The slice reader decodes primitives, structs,
+    * and arrays of primitives — every graft log schema (media structs,
+    * embedding arrays) rides THIS ordered source; only payloads outside
+    * those shapes fall back to the file-granular [[readStreamFiles]]
+    * source, whose batches carry NO seq-order guarantee across an append
+    * racing the tail (see [[readStream]]'s ordering contract). */
   override def readStream: DataFrame = readStreamFrom(-1L)
 
   override def readStreamFrom(gt: Long): DataFrame = {
@@ -690,10 +702,15 @@ final class ParquetLog(
   }
 
   /** File streaming source over the log directory — the fallback live
-    * tail for payload schemas the slice reader does not decode (nested
-    * types). Offsets are file-granular, but view absorption is
-    * idempotent per batch — a durable view overwrites its `batch=<upto>`
-    * delta on replay — so recovery stays exactly-once in effect. */
+    * tail for payload schemas the slice reader does not decode (maps,
+    * arrays of structs). Offsets are file-granular, but view absorption
+    * is idempotent per batch — a durable view overwrites its
+    * `batch=<upto>` delta on replay — so recovery stays exactly-once in
+    * effect. CAVEAT (r17): file-granular batches carry no seq-order
+    * guarantee when an append races the tail (a multi-file append can
+    * split across batches, later seqs first) — an HWM-guarded consumer
+    * (any curator) must NOT tail a concurrently-appended log through
+    * this source; the seq-offset [[readStream]] is the ordered one. */
   def readStreamFiles: DataFrame = {
     val d = new java.io.File(dir)
     if (!d.exists()) d.mkdirs()

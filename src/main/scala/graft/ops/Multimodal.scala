@@ -76,36 +76,86 @@ object Multimodal {
     *    with `scanForPlugins()` and retry; if the registry still claims
     *    nothing, THROW so the task fails and Spark retries it on a
     *    healthy context rather than silently misclassifying media.
-    * Fatal VM errors always propagate (an OOM must fail the task). */
+    * Fatal VM errors always propagate (an OOM must fail the task).
+    *
+    * ROUND-17 RE-INVESTIGATION — decode EXONERATED, the true root cause
+    * found upstream: the stress loop reproduced the
+    * both-re-uploads-dropped signature at 1/20, 1/40, 1/60 with ZERO
+    * decode forensic markers in the log (after this round's hardening,
+    * decodeImage cannot return None for a known-signature payload
+    * without printing one) and rehash-now reading 2/2 — the rows never
+    * reached the decode at all. The actual mode: the seq-offset
+    * planner's footer-read catch silently SKIPPED a committed log file
+    * on a transient read failure, so one re-upload's row fell out of
+    * the micro-batch while the batch's max seq still advanced the
+    * cursor past it forever ([[graft.streaming.ParquetLogMicroBatchStream]]
+    * `bounds` — fixed to retry-then-THROW; the r15/r16 flake has the
+    * same observable, so the r16 decode root-cause was at most a
+    * second contributor). THIS round's decode hardening stays, as
+    * defense in depth: [[imageIoCacheOff]] disables ImageIO's DISK
+    * cache JVM-wide (by default even a ByteArrayInputStream gets a
+    * FileCacheImageInputStream whose tmpdir temp file is a transient-
+    * failure surface and an I/O serialization point across 32
+    * concurrent decode tasks); the thrown-retry path routes a NULL
+    * retry result through the signature discrimination instead of
+    * silently flattening it; and a double-throw on a known-JDK
+    * signature prints its own greppable marker naming the exception,
+    * so any future drop at this layer is attributable from the log
+    * alone. */
   private def decodeImage(content: Array[Byte]): Option[java.awt.image.BufferedImage] = {
     if (content == null || content.length < 8) return None
-    // NULL ⇔ no registered reader claimed the stream (reader failures
-    // throw); track the two modes separately
-    def attempt(): Option[Option[java.awt.image.BufferedImage]] =
-      try Some(Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))))
-      catch { case scala.util.control.NonFatal(_) => None } // reader threw
-    attempt() match {
-      case Some(Some(img)) => Some(img)
-      case None => attempt().flatten // reader threw: one retry, then a real drop
-      case Some(None) if !jdkImageSignature(content) => None // genuine non-image bytes
-      case Some(None) =>
+    imageIoCacheOff
+    // Right(None) ⇔ no registered reader claimed the stream; Left ⇔ the
+    // read threw; track the modes separately
+    def attempt(): Either[Throwable, Option[java.awt.image.BufferedImage]] =
+      try Right(Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))))
+      catch { case scala.util.control.NonFatal(e) => Left(e) }
+    // the NULL path: genuine non-image vs registry breakage
+    def classifyNull(): Option[java.awt.image.BufferedImage] =
+      if (!jdkImageSignature(content)) None // genuine non-image bytes
+      else {
         // greppable forensic marker: this branch firing at all proves the
         // registry-breakage mode (a valid signature that no reader claims)
         System.err.println("[graft] image-decode: no ImageIO reader claimed a " +
           "known-signature payload; re-scanning plugins on this thread context")
         javax.imageio.ImageIO.scanForPlugins() // heal the thread-context registry
         attempt() match {
-          case Some(Some(img)) => Some(img)
-          case None => None // post-repair the reader ran and threw: corrupt body
-          case Some(None) => throw new IllegalStateException(
+          case Right(Some(img)) => Some(img)
+          case Left(_) => None // post-repair the reader ran and threw: corrupt body
+          case Right(None) => throw new IllegalStateException(
             "transient image-decode failure: the bytes carry a PNG/JPEG/GIF/BMP " +
               "signature but no ImageIO reader claimed them even after " +
               "scanForPlugins() — plugin-registry breakage on this task's thread " +
               "context; failing the task so Spark retries it instead of " +
               "silently misclassifying valid media as garbage")
         }
+      }
+    attempt() match {
+      case Right(Some(img)) => Some(img)
+      case Right(None) => classifyNull()
+      case Left(_) => attempt() match { // reader threw: one retry
+        case Right(Some(img)) => Some(img)
+        case Right(None) => classifyNull() // retry went NULL: discriminate, never flatten
+        case Left(e2) =>
+          if (jdkImageSignature(content))
+            // greppable forensic marker for the residual double-throw mode
+            System.err.println("[graft] image-decode: reader threw twice on a " +
+              s"known-signature payload (${e2.getClass.getName}: ${e2.getMessage}); " +
+              "dropping as corrupt body")
+          None
+      }
     }
   }
+
+  /** Disable ImageIO's DISK cache once per JVM (idempotent, lazy —
+    * first decode/encode on driver or executor trips it): every graft
+    * payload is an in-memory byte array, so the default
+    * FileCacheImage{Input,Output}Stream only adds a tmpdir temp file
+    * per decode — a transient-failure surface (the r17 stress
+    * recurrence) and an I/O serialization point 32 concurrent decode
+    * tasks do not want. */
+  private lazy val imageIoCacheOff: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
 
   /** Signatures of formats the JDK ALWAYS ships ImageIO readers for —
     * a no-reader result on these proves registry breakage, never an
@@ -126,6 +176,7 @@ object Multimodal {
     * frame of valid media at the video dedup floor. */
   private def claimFrameReader(bytes: Array[Byte],
       in: javax.imageio.stream.ImageInputStream): Option[javax.imageio.ImageReader] = {
+    imageIoCacheOff
     val rs = javax.imageio.ImageIO.getImageReaders(in)
     if (rs.hasNext) Some(rs.next())
     else if (bytes == null || bytes.length < 8 || !jdkImageSignature(bytes)) None
@@ -240,7 +291,7 @@ object Multimodal {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        imageIoCacheOff; javax.imageio.ImageIO.write(img, "png", bos)
         Row(id, "image", bos.toByteArray, Row(w, h, 0L, "image/png"))
       }
     }
@@ -270,7 +321,7 @@ object Multimodal {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "jpg", bos)
+        imageIoCacheOff; javax.imageio.ImageIO.write(img, "jpg", bos)
         Row(id, "image", bos.toByteArray, Row(w, h, 0L, "image/jpeg"))
       }
     }
@@ -296,6 +347,7 @@ object Multimodal {
         val h = 16 + (id % 8).toInt
         val frames = 3 + (id % 3).toInt
         val bos = new java.io.ByteArrayOutputStream()
+        imageIoCacheOff
         val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
         val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
         writer.setOutput(ios)
@@ -348,7 +400,7 @@ object Multimodal {
         }
         val fmt = if (id % 2 == 0) "png" else "bmp"
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, fmt, bos)
+        imageIoCacheOff; javax.imageio.ImageIO.write(img, fmt, bos)
         Row(id, "image", bos.toByteArray, Row(w, h, 0L, s"image/$fmt"))
       }
     }
@@ -701,6 +753,7 @@ object Multimodal {
         val h = 16 + (id % 8).toInt
         val frames = 3 + (id % 3).toInt
         val bos = new java.io.ByteArrayOutputStream()
+        imageIoCacheOff
         val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
         val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
         writer.setOutput(ios)
@@ -875,6 +928,7 @@ object Multimodal {
         val w = 16 + (id % 16).toInt
         val h = 16 + (id % 8).toInt
         val bos = new java.io.ByteArrayOutputStream()
+        imageIoCacheOff
         val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
         val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
         writer.setOutput(ios)
@@ -1651,7 +1705,7 @@ object Multimodal {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        imageIoCacheOff; javax.imageio.ImageIO.write(img, "png", bos)
         Row(id + idOffset, "image", bos.toByteArray, Row(w, h, 0L, "image/png"))
       }
     }

@@ -204,17 +204,41 @@ class ParquetLogMicroBatchStream(
     }
   }
 
-  /** Footer bounds, or None while a footer is unreadable (a file still
-    * being committed by a concurrent append — its seqs are beyond this
-    * batch's `end` by the append protocol, so skipping it is correct;
-    * nothing is cached so the completed file is picked up next batch). */
-  private def bounds(path: String): Option[(Long, Long)] =
-    footerBounds.get(path).orElse {
-      try {
-        val b = ParquetSliceReader.seqBounds(path, log.seqCol)
-        footerBounds.put(path, b); Some(b)
-      } catch { case scala.util.control.NonFatal(_) => None }
-    }
+  /** Footer bounds of a LISTED log file. A visible `part-*.parquet` in
+    * final position is always fully committed (every write path here is
+    * committer-mediated: task files live under `_temporary/`/dot names
+    * — which [[listParquet]] excludes — until an atomic rename), so an
+    * unreadable footer is TRANSIENT INFRASTRUCTURE (fd pressure, a
+    * checksum sidecar racing its rename), never "a file that is not
+    * ours yet". The pre-r17 version returned None here and the planner
+    * skipped the file for the batch — SILENT RECORD LOSS: the committed
+    * offset interval advanced past the skipped file's rows forever.
+    * That was the real curator-takedown flake (r15 → r17: a re-upload
+    * vanishing with a clean store, an advanced cursor, and — the r17
+    * discriminators — no decode forensic marker and rehash-now fine:
+    * the row never entered the batch at all). Now: retry briefly, then
+    * THROW — a batch must fail loudly and replan rather than silently
+    * lose records; a file that stays unreadable is log corruption, not
+    * something to skip. */
+  private def bounds(path: String): (Long, Long) =
+    footerBounds.getOrElseUpdate(path, {
+      var attempt = 0
+      var out: Option[(Long, Long)] = None
+      var last: Throwable = null
+      while (out.isEmpty && attempt < 6) {
+        try out = Some(ParquetSliceReader.seqBounds(path, log.seqCol))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            last = e; attempt += 1
+            if (attempt < 6) Thread.sleep(25L * attempt)
+        }
+      }
+      out.getOrElse(throw new java.io.IOException(
+        s"seq-offset planner: footer of committed log file $path unreadable after " +
+          s"$attempt attempts — failing the batch rather than silently skipping " +
+          "its rows (a skipped file's seqs would fall out of the committed " +
+          "offset interval forever)", last))
+    })
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val gt = start.asInstanceOf[SeqOffset].seq
@@ -227,10 +251,11 @@ class ParquetLogMicroBatchStream(
     // never the empty mid-swap gap (which would silently plan zero rows
     // for a committed offset range — data loss).
     log.synchronized {
-      listParquet(new java.io.File(log.dir), gt + 1, lte)
+      val parts = listParquet(new java.io.File(log.dir), gt + 1, lte)
         .map(_.getPath)
         .flatMap { p =>
-          bounds(p).collect { case (lo, hi) if hi > gt && lo <= lte =>
+          val (lo, hi) = bounds(p)
+          if (hi > gt && lo <= lte) {
             // clip the batch interval to THIS file's footer range: log
             // files carry pairwise-disjoint seq ranges, so the clipped
             // intervals partition the batch — and if compaction deletes
@@ -239,12 +264,15 @@ class ParquetLogMicroBatchStream(
             // overlap against sibling partitions
             val gtEff = if (lo == Long.MinValue || lo - 1 < gt) gt else lo - 1
             val lteEff = math.min(lte, hi)
-            ParquetSlicePartition(p, gtEff, lteEff, log.dir)
-          }
+            Some(ParquetSlicePartition(p, gtEff, lteEff, log.dir))
+          } else None
         }
         .sortBy(_.gt)
-        .map(p => p: InputPartition)
-        .toArray
+      if (java.lang.Boolean.getBoolean("graft.debug.batchTrace"))
+        System.err.println(s"[graft-trace] plan ($gt,$lte] -> " +
+          parts.map(p => s"${new java.io.File(p.file).getName}:(${p.gt},${p.lte}]")
+            .mkString(" ") + s" (cursor=${log.since})")
+      parts.map(p => p: InputPartition).toArray
     }
   }
 
@@ -342,17 +370,37 @@ object ParquetSliceReader {
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.schema.LogicalTypeAnnotation
 
-  /** Flat primitive payloads only — exactly what a log record is. A
-    * nested payload should use the parquet FILE streaming source
-    * ([[graft.core.ParquetLog.readStreamFiles]]) instead of this reader. */
+  /** Payload shapes this reader decodes: primitives, STRUCTS of them
+    * (recursively), and ARRAYS of primitives — which covers every graft
+    * log schema (media rows carry a `meta` struct, embedding rows an
+    * `array<float>`). The coverage is LOAD-BEARING, not convenience:
+    * the r15→r17 curator-takedown flake was media logs silently
+    * falling back to the parquet FILE streaming source, whose
+    * file-granular batches can SPLIT one append and deliver its files
+    * out of seq order when the tail polls during the append's commit —
+    * the later-seq file's batch advances the curator cursor, and the
+    * earlier-seq file's batch then reads as a replay and is skipped:
+    * permanent silent record loss. The seq-offset source is immune by
+    * construction (offsets are seq intervals; a batch is exactly its
+    * interval), so every schema a curator tails must decode HERE. A
+    * payload outside these shapes (maps, arrays of structs) still
+    * throws — and its caller must not tail a log it appends to
+    * concurrently. */
   def requireSupported(schema: StructType): Unit = schema.fields.foreach { f =>
-    f.dataType match {
+    def check(name: String, dt: DataType, insideArray: Boolean): Unit = dt match {
       case LongType | IntegerType | ShortType | ByteType | DoubleType | FloatType |
            BooleanType | StringType | BinaryType | TimestampType | DateType => ()
+      case st: StructType if !insideArray =>
+        st.fields.foreach(g => check(s"$name.${g.name}", g.dataType, insideArray = false))
+      case ArrayType(et, _) if !insideArray => check(s"$name[]", et, insideArray = true)
       case other => throw new UnsupportedOperationException(
-        s"seq-offset parquet source supports flat primitive payloads; column '${f.name}' is $other — " +
-          "use ParquetLog.readStreamFiles (file streaming source) for nested payloads")
+        s"seq-offset parquet source supports primitives, structs, and arrays of " +
+          s"primitives; column '$name' is $other — use ParquetLog.readStreamFiles " +
+          "(file streaming source) for such payloads, and never tail a log that " +
+          "is appended concurrently through it (file-granular batches can split " +
+          "an append out of seq order)")
     }
+    check(f.name, f.dataType, insideArray = false)
   }
 
   /** Re-resolve a seq interval against a log directory's current files —
@@ -375,20 +423,41 @@ object ParquetSliceReader {
         case _ => Nil
       }
     }
-    def attempt(): List[String] =
+    // a visible part file is always fully committed (committer-mediated
+    // writes; dot/underscore staging excluded by walk) — an unreadable
+    // footer is transient infrastructure, retried per ATTEMPT; a file
+    // that stays unreadable after the retry loop fails the task rather
+    // than silently dropping its share of the interval (the same
+    // no-silent-skip rule as the planner's `bounds`)
+    def attempt(strict: Boolean): List[String] =
       walk(new java.io.File(dir)).flatMap { p =>
         try {
           val (lo, hi) = seqBounds(p.getPath, seqCol)
           if (hi > gt && lo <= lte) List((lo, p.getPath)) else Nil
-        } catch { case scala.util.control.NonFatal(_) => Nil } // file mid-commit: not ours
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            if (strict) throw new java.io.IOException(
+              s"seq interval ($gt, $lte]: footer of committed log file ${p.getPath} " +
+                "unreadable after retries — failing the task rather than silently " +
+                "dropping its rows", e)
+            throw RetryResolve
+        }
       }.sortBy(_._1).map(_._2)
-    var out = attempt()
+    var out: Option[List[String]] = None
     var tries = 0
-    while (out.isEmpty && tries < 20) { Thread.sleep(50); out = attempt(); tries += 1 }
-    if (out.isEmpty) throw new java.io.FileNotFoundException(
-      s"seq interval ($gt, $lte] unresolvable under $dir after compaction")
-    out
+    while (out.isEmpty && tries < 20) {
+      try {
+        val r = attempt(strict = tries == 19)
+        if (r.isEmpty) { Thread.sleep(50); tries += 1 } // mid-swap gap: retry
+        else out = Some(r)
+      } catch { case RetryResolve => Thread.sleep(50); tries += 1 }
+    }
+    out.getOrElse(throw new java.io.FileNotFoundException(
+      s"seq interval ($gt, $lte] unresolvable under $dir after compaction"))
   }
+
+  /** Control-flow marker for [[resolveInterval]]'s per-attempt retry. */
+  private object RetryResolve extends scala.util.control.ControlThrowable
 
   /** (min, max) of the seq column from the file footer — metadata only. */
   def seqBounds(path: String, seqCol: String): (Long, Long) = {
@@ -414,10 +483,27 @@ object ParquetSliceReader {
     } finally r.close()
   }
 
-  /** Group field → Catalyst internal value (UTF8String / micros / days). */
+  /** Group field → Catalyst internal value (UTF8String / micros / days;
+    * structs recurse to InternalRow, arrays of primitives to
+    * GenericArrayData — the shapes [[requireSupported]] admits). */
   def readField(g: Group, i: Int, dt: DataType): Any = {
     if (g.getFieldRepetitionCount(i) == 0) return null
     dt match {
+      case st: StructType =>
+        val g2 = g.getGroup(i, 0)
+        InternalRow.fromSeq(st.fields.indices.map(j => readField(g2, j, st.fields(j).dataType)))
+      case ArrayType(et, _) =>
+        // Spark's standard 3-level LIST: group (LIST) { repeated group
+        // list { optional element } } — walk the repeated inner group
+        val lst = g.getGroup(i, 0)
+        val n = lst.getFieldRepetitionCount(0)
+        val arr = new Array[Any](n)
+        var k = 0
+        while (k < n) {
+          arr(k) = readField(lst.getGroup(0, k), 0, et)
+          k += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
       case LongType    => g.getLong(i, 0)
       case IntegerType => g.getInteger(i, 0)
       case ShortType   => g.getInteger(i, 0).toShort

@@ -229,6 +229,14 @@ object MediaDedupBinding {
 }
 
 object MediaStreamingCurator {
+  /** Diagnostic batch tracing (`-Dgraft.debug.batchTrace=true`): prints
+    * each micro-batch's source seqs, feature ids, and kept ids to
+    * stderr — the discriminator that located the r17 silent-row-loss
+    * recurrence (which stage a vanished row actually vanished at).
+    * Costs extra evaluations of the batch; for stress/debug runs only. */
+  private[streaming] val batchTrace: Boolean =
+    java.lang.Boolean.getBoolean("graft.debug.batchTrace")
+
   /** The curation decision for one batch — a PURE function of
     * (batch, stored feature state), shared by the live stream and any
     * crash-window replay: floor once, featurize once, drop the higher
@@ -339,7 +347,16 @@ final class MediaStreamingCurator(
         if (!batch.isEmpty) {
           val upto = batch.agg(max(col(seqCol))).head().getLong(0)
           if (upto > binding.since) { // replay after the absorb committed: skip whole
+            if (MediaStreamingCurator.batchTrace)
+              System.err.println(s"[graft-trace] batch seqs=" +
+                batch.select(col(seqCol)).collect().map(_.getLong(0)).sorted.mkString(",") +
+                s" bindingSince=${binding.since} upto=$upto")
             val (sv, feats, release) = surviveBatch(batch)
+            if (MediaStreamingCurator.batchTrace)
+              System.err.println(s"[graft-trace] feats ids=" +
+                feats.select(col(idCol)).collect().map(_.getLong(0)).sorted.mkString(",") +
+                " survivors=" +
+                sv.select(col(idCol)).collect().map(_.getLong(0)).sorted.mkString(","))
             val survivors = sv.localCheckpoint(true)
             val curatedPre: Option[Long] =
               if (upto > appendedUpto) { // normal path: append, then mark

@@ -169,6 +169,8 @@ object ScaleProbe {
       case "dbviews" => dbViewsMode(spark)
       case "coalesce" => coalesceMode(spark)
       case "bucketstats" => bucketStatsMode(spark)
+      case "strstats" => strStatsMode(spark)
+      case "drainmix" => drainMixMode(spark)
       case _ =>
         families(sf01, "sf0.1")
         families(outDir, "sf1")
@@ -323,42 +325,62 @@ object ScaleProbe {
     for (scale <- Seq(1L, 10L)) {
       val n = 50000L * scale
       val keys = n / 50 // 50 versions per key
-      def buildLog(dir: String): graft.core.ParquetLog = {
-        deleteTree(new java.io.File(dir))
-        val log = new graft.core.ParquetLog(spark, dir, schema, bucketSize = 4096L)
-        log.append(spark.range(n).select((col("id") % keys).as("k"), col("id").as("v")))
-        log
-      }
-      // the last id block holds each key exactly once (ids cycle mod
-      // keys), so this cond removes the CURRENT latest of keys 0..9
-      val cond = col("k") < 10L && col("v") >= n - keys
+      // r17: the log/view pair is built INCREMENTALLY (5 absorbed
+      // batches → a 5-delta chain per view) — the realistic shape, and
+      // the one where the fused purge's job accounting matters: the
+      // pre-r17 path rescanned the chain once for detection and once
+      // for purge stats, then rewrote hit deltas one job each
+      val nBatches = 5L
       // arm A: the three in-place families (hashtable recompute, SCD-2
       // row delete, sum inverse)
       val base = s"/tmp/graft-dbviews-probe/n$n"
-      val logA = buildLog(s"$base-a")
-      val dbA = new graft.core.FlumeDb(logA)
-        .use("ht", graft.views.PersistentHashtableView(s"$base-ht", "k"))
-        .use("dim", graft.views.Scd2TableView(s"$base-dim", "k", "seq", Seq("v")))
-        .use("sum", graft.views.SumReduceView("v"))
+      def buildDb(tag: String, mount: graft.core.FlumeDb => graft.core.FlumeDb): (graft.core.ParquetLog, graft.core.FlumeDb) = {
+        Seq(s"$base-$tag", s"$base-$tag-ht", s"$base-$tag-dim")
+          .foreach(d => deleteTree(new java.io.File(d)))
+        val log = new graft.core.ParquetLog(spark, s"$base-$tag", schema, bucketSize = 4096L)
+        val db = mount(new graft.core.FlumeDb(log))
+        val per = n / nBatches
+        (0L until nBatches).foreach { b =>
+          db.append(spark.range(b * per, (b + 1) * per)
+            .select((col("id") % keys).as("k"), col("id").as("v")))
+        }
+        (log, db)
+      }
+      // the last id block holds each key exactly once (ids cycle mod
+      // keys), so these conds remove the CURRENT latest of 10 keys each
+      val cond = col("k") < 10L && col("v") >= n - keys
+      val cond2 = col("k") >= 10L && col("k") < 20L && col("v") >= n - keys
+      val (_, dbA) = buildDb("a", db => db
+        .use("ht", graft.views.PersistentHashtableView(s"$base-a-ht", "k"))
+        .use("dim", graft.views.Scd2TableView(s"$base-a-dim", "k", "seq", Seq("v")))
+        .use("sum", graft.views.SumReduceView("v")))
       val t0 = System.nanoTime()
       val removedA = dbA.retract(cond)
       val wallA = (System.nanoTime() - t0) / 1e9
+      // a SECOND takedown in the same JVM: codegen/session warmup paid,
+      // the steady per-takedown wall the fusion targets
+      val t0b = System.nanoTime()
+      val removedA2 = dbA.retract(cond2)
+      val wallA2 = (System.nanoTime() - t0b) / 1e9
       dbA.close()
       // arm B: the rebuild-only fold (Welford stats — no inverse by
       // design), the r15 scale-killer shape
-      val logB = buildLog(s"$base-b")
-      val dbB = new graft.core.FlumeDb(logB)
-        .use("stats", graft.views.StatsReduceView("v"))
+      val (_, dbB) = buildDb("b", db => db
+        .use("stats", graft.views.StatsReduceView("v")))
       val t1 = System.nanoTime()
       val removedB = dbB.retract(cond)
       val wallB = (System.nanoTime() - t1) / 1e9
+      val t1b = System.nanoTime()
+      val removedB2 = dbB.retract(cond2)
+      val wallB2 = (System.nanoTime() - t1b) / 1e9
       dbB.close()
-      require(removedA == removedB && removedA == 10L,
-        s"probe cond drifted: $removedA / $removedB removed")
+      require(removedA == removedB && removedA == 10L && removedA2 == removedB2 && removedA2 == 10L,
+        s"probe cond drifted: $removedA/$removedA2 vs $removedB/$removedB2 removed")
       println(s"[probe] {" +
-        s""""mode":"dbviews","corpus":$n,"keys":$keys,"affected_keys":10,""" +
-        f""""wall_inplace_s":$wallA%.2f,"wall_rebuild_s":$wallB%.2f""" + "}")
-      Seq(s"$base-a", s"$base-b", s"$base-ht", s"$base-dim")
+        s""""mode":"dbviews","corpus":$n,"keys":$keys,"deltas":$nBatches,"affected_keys":10,""" +
+        f""""wall_inplace_s":$wallA%.2f,"wall_inplace_warm_s":$wallA2%.2f,""" +
+        f""""wall_rebuild_s":$wallB%.2f,"wall_rebuild_warm_s":$wallB2%.2f""" + "}")
+      Seq(s"$base-a", s"$base-b", s"$base-a-ht", s"$base-a-dim")
         .foreach(d => deleteTree(new java.io.File(d)))
     }
   }
@@ -393,6 +415,106 @@ object ScaleProbe {
         f""""wall_s":$wall%.2f""" + "}")
       deleteTree(new java.io.File(dir))
     }
+  }
+
+  /** Round-17 mode `strstats`: the STRING twin of [[bucketStatsMode]] —
+    * real corpora key on urls/uuids/hashes, which before r17 silently
+    * fell back to the ∝-corpus match scan (the integral-only `require`).
+    * Same clustered-0.1% shape with the doc id as a zero-padded URL
+    * string; headline check: stats-on wall FLAT across 10×. */
+  private def strStatsMode(spark: SparkSession): Unit = {
+    val schema = StructType(Seq(
+      StructField("url", StringType), StructField("payload", StringType)))
+    def deleteTree(f: java.io.File): Unit = {
+      val fs = f.listFiles(); if (fs != null) fs.foreach(deleteTree); f.delete()
+    }
+    for (scale <- Seq(1L, 10L); stats <- Seq(false, true)) {
+      val n = 50000L * scale
+      val dir = s"/tmp/graft-sstats-probe/n$n-$stats"
+      deleteTree(new java.io.File(dir))
+      val log = new graft.core.ParquetLog(spark, dir, schema, bucketSize = 512L,
+        statsColumns = if (stats) Seq("url") else Nil)
+      log.append(spark.range(n).select(
+        format_string("https://example.com/doc-%012d", col("id")).as("url"),
+        concat(lit("p"), col("id"), lit("-"),
+          lpad(conv(col("id") * 2654435761L, 10, 16), 100, "x")).as("payload")))
+      def u(i: Long) = f"https://example.com/doc-$i%012d"
+      val cond = col("url") >= u(n / 2) && col("url") < u(n / 2 + n / 1000)
+      val t0 = System.nanoTime()
+      val removed = log.retract(cond)
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(s"[probe] {" +
+        s""""mode":"strstats","corpus":$n,"stats":$stats,"removed":$removed,""" +
+        f""""wall_s":$wall%.2f""" + "}")
+      deleteTree(new java.io.File(dir))
+    }
+  }
+
+  /** Round-17 mode `drainmix`: the queue across MIXED id domains plus a
+    * predicate (r16's drain refused mixed columns; predicates could not
+    * enqueue at all). A 500k-row log with two id columns and a source
+    * tag, a mounted posting index (so the per-pass VIEW cost is
+    * visible), 9 requests: 4 doc_id lists + 4 media_id lists + 1
+    * predicate. Arm A executes them as 9 sequential durable takedowns
+    * (9 match scans, 9 rewrites, 9 view passes); arm B accepts all 9
+    * and drains ONCE (one pruned match scan per domain + one predicate
+    * scan → ONE seq-based rewrite + ONE view pass). Headline check:
+    * drain ≈ Σ(one scan per domain) + one pass, not 9 passes. */
+  private def drainMixMode(spark: SparkSession): Unit = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("media_id", LongType),
+      StructField("src", StringType), StructField("payload", StringType)))
+    def deleteTree(f: java.io.File): Unit = {
+      val fs = f.listFiles(); if (fs != null) fs.foreach(deleteTree); f.delete()
+    }
+    val n = 500000L
+    def buildDb(tag: String): (graft.core.ParquetLog, graft.core.FlumeDb) = {
+      val dir = s"/tmp/graft-drainmix-$tag"
+      val idxDir = s"/tmp/graft-drainmix-$tag-idx"
+      deleteTree(new java.io.File(dir)); deleteTree(new java.io.File(idxDir))
+      val log = new graft.core.ParquetLog(spark, dir, schema, bucketSize = 512L)
+      log.append(spark.range(n).select(col("id").as("doc_id"),
+        (col("id") + 10000000L).as("media_id"),
+        concat(lit("s"), pmod(col("id"), lit(97L))).as("src"),
+        concat(lit("p"), col("id"), lit("-"),
+          lpad(conv(col("id") * 2654435761L, 10, 16), 100, "x")).as("payload")))
+      (log, new graft.core.FlumeDb(log)
+        .use("idx", graft.views.PersistentIndexView.onColumn(idxDir, "src")))
+    }
+    def docReq(k: Long) = // 50 scattered doc ids per request
+      spark.range(50L).select((col("id") * 10000L + k * 7L + 3L).as("doc_id"))
+    def mediaReq(k: Long) =
+      spark.range(50L).select((col("id") * 10000L + k * 11L + 10000005L).as("media_id"))
+    val predSql = "src = 's13' AND doc_id % 5 = 0"
+    // arm A: 9 sequential durable takedowns (the pre-queue shape)
+    val (_, dbA) = buildDb("a")
+    val t0 = System.nanoTime()
+    var removedA = 0L
+    (0L until 4L).foreach(k => removedA += dbA.retractIds(docReq(k), "doc_id", "/tmp/graft-drainmix-a-i"))
+    (0L until 4L).foreach(k => removedA += dbA.retractIds(mediaReq(k), "media_id", "/tmp/graft-drainmix-a-i"))
+    removedA += dbA.retract(expr(predSql), "/tmp/graft-drainmix-a-i")
+    val wallA = (System.nanoTime() - t0) / 1e9
+    dbA.close()
+    // arm B: accept all 9 durably, ONE mixed drain
+    val (_, dbB) = buildDb("b")
+    val q = "/tmp/graft-drainmix-q"
+    deleteTree(new java.io.File(q))
+    val t1 = System.nanoTime()
+    (0L until 4L).foreach(k => dbB.enqueueRetractIds(docReq(k), "doc_id", q))
+    (0L until 4L).foreach(k => dbB.enqueueRetractIds(mediaReq(k), "media_id", q))
+    dbB.enqueueRetractWhere(predSql, q)
+    val acceptWall = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    val removedB = dbB.drainRetractQueue(q)
+    val drainWall = (System.nanoTime() - t2) / 1e9
+    dbB.close()
+    require(removedA == removedB, s"arms disagree: $removedA vs $removedB")
+    println(s"[probe] {" +
+      s""""mode":"drainmix","corpus":$n,"requests":9,"domains":3,"removed":$removedA,""" +
+      f""""wall_sequential_s":$wallA%.2f,"wall_accept_s":$acceptWall%.2f,""" +
+      f""""wall_drain_s":$drainWall%.2f""" + "}")
+    Seq("/tmp/graft-drainmix-a", "/tmp/graft-drainmix-a-idx", "/tmp/graft-drainmix-b",
+      "/tmp/graft-drainmix-b-idx", q).foreach(d => deleteTree(new java.io.File(d)))
   }
 
   /** Round-16 mode `coalesce`: the takedown QUEUE's saving. K pending

@@ -96,6 +96,26 @@ class StreamingSpec extends SparkSpec {
     assert(stream.planInputPartitions(SeqOffset(24L), SeqOffset(24L)).isEmpty)
   }
 
+  test("planner NEVER silently skips a committed file: an unreadable footer fails the batch loudly") {
+    // the r15→r17 curator-takedown flake's true root cause: a transient
+    // footer-read failure made the planner SKIP a committed file, so its
+    // rows fell out of the committed offset interval forever (a
+    // re-upload vanished with a clean store and an advanced cursor).
+    // The contract now: retry briefly, then THROW — record loss is
+    // never silent, a failed batch replans.
+    val logDir = java.nio.file.Files.createTempDirectory("graft-pskip").toString
+    val plog = new ParquetLog(spark, logDir, schema, bucketSize = 10L)
+    plog.appendRows((1L to 5L).map(Row(_))) // seqs 0..4, bucket 0
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(logDir, "seq_bucket=0", "part-garbage.parquet"),
+      "not parquet")
+    val stream = new ParquetLogMicroBatchStream(
+      LogStreamRegistry.register(plog), plog, plog.read.schema)
+    val e = intercept[java.io.IOException](
+      stream.planInputPartitions(SeqOffset(-1L), SeqOffset(4L)))
+    assert(e.getMessage.contains("unreadable"), e.getMessage)
+  }
+
   test("live tail and compact() coexist: every seq delivered exactly once across rewrites") {
     val logDir = java.nio.file.Files.createTempDirectory("graft-ctail").toString
     val plog = new ParquetLog(spark, logDir, schema)
@@ -550,6 +570,43 @@ class StreamingSpec extends SparkSpec {
       assert(rows(0).getAs[Array[Byte]](5).toSeq === Seq[Byte](1, 2, 3))
       assert(rows(0).getBoolean(6) === true)
       assert((1 to 6).forall(rows(1).isNullAt))
+    } finally q.stop()
+  }
+
+  test("slice reader round-trips STRUCT and ARRAY payloads (media/embedding schemas ride the ordered source)") {
+    // load-bearing (the r15→r17 flake): a schema this reader cannot
+    // decode silently fell back to the file source, whose batches can
+    // split an append out of seq order under a racing tail
+    val logDir = java.nio.file.Files.createTempDirectory("graft-ntypes").toString
+    val metaT = StructType(Seq(
+      StructField("w", IntegerType), StructField("h", IntegerType),
+      StructField("mime", StringType)))
+    val nSchema = StructType(Seq(
+      StructField("content", BinaryType), StructField("meta", metaT),
+      StructField("emb", ArrayType(FloatType))))
+    val plog = new ParquetLog(spark, logDir, nSchema)
+    plog.appendRows(Seq(
+      Row(Array[Byte](9, 8), Row(4, 3, "image/png"), Seq(1.5f, -2.25f)),
+      Row(null, Row(1, 2, null), Seq.empty[Float]),
+      Row(Array[Byte](7), null, null)))
+    // the media/embedding shapes must plan through the seq-offset
+    // source, not the file source
+    val q = plog.readStream.writeStream
+      .format("memory").queryName("ntypes_test").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM ntypes_test ORDER BY seq").collect()
+      assert(rows.length === 3)
+      assert(rows(0).getAs[Array[Byte]]("content").toSeq === Seq[Byte](9, 8))
+      assert(rows(0).getStruct(2) === Row(4, 3, "image/png"))
+      assert(rows(0).getSeq[Float](3) === Seq(1.5f, -2.25f))
+      assert(rows(1).isNullAt(1) && rows(1).getStruct(2) === Row(1, 2, null))
+      assert(rows(1).getSeq[Float](3) === Seq.empty[Float])
+      assert(rows(2).isNullAt(2) && rows(2).isNullAt(3))
+      // and the real media schema is slice-reader supported (no fallback)
+      graft.streaming.ParquetSliceReader.requireSupported(
+        StructType(StructField("seq", LongType, nullable = false) +:
+          graft.ops.Multimodal.mediaSchema.fields))
     } finally q.stop()
   }
 
