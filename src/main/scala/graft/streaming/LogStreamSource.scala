@@ -68,15 +68,23 @@ class LogStreamTable(schema: StructType, logId: String, startSeq: Long = -1L)
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      // column pruning is LOAD-BEARING for media logs: without it every
+      // control query on the tail (the curator's max(seq) fence, seq
+      // traces) decodes each row's full binary content — the parquet
+      // projection below skips those pages entirely
+      private var required: StructType = schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = schema
+        override def readSchema(): StructType = required
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           LogStreamRegistry.get(logId) match {
-            case p: graft.core.ParquetLog => new ParquetLogMicroBatchStream(logId, p, schema, startSeq)
-            case _ => new LogMicroBatchStream(logId, schema, startSeq)
+            case p: graft.core.ParquetLog =>
+              new ParquetLogMicroBatchStream(logId, p, schema, startSeq, required)
+            case _ => new LogMicroBatchStream(logId, schema, startSeq, required)
           }
-        override def toBatch: Batch = new LogBatch(logId, schema, None, None)
+        override def toBatch: Batch = new LogBatch(logId, schema, None, None, required)
       }
     }
 }
@@ -85,9 +93,11 @@ class LogStreamTable(schema: StructType, logId: String, startSeq: Long = -1L)
   * split into `parallelism` contiguous sub-ranges. Rows are serialized to
   * UnsafeRow at plan time (local-mode logs are driver-resident; partition
   * payloads stay small because a batch is only the delta). */
-class LogMicroBatchStream(logId: String, schema: StructType, startSeq: Long = -1L)
+class LogMicroBatchStream(logId: String, schema: StructType, startSeq: Long = -1L,
+    required: StructType = null)
     extends MicroBatchStream {
   private def log = LogStreamRegistry.get(logId)
+  private def out: StructType = if (required == null) schema else required
 
   override def latestOffset(): Offset = SeqOffset(log.since)
   /** A live tail from `{gt: N}` starts AT N — a seek, not a scan+filter
@@ -99,7 +109,7 @@ class LogMicroBatchStream(logId: String, schema: StructType, startSeq: Long = -1
   override def stop(): Unit = LogStreamRegistry.unregister(logId)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    LogBatch.plan(log, schema,
+    LogBatch.plan(log, out,
       Some(start.asInstanceOf[SeqOffset].seq), Some(end.asInstanceOf[SeqOffset].seq))
 
   override def createReaderFactory(): PartitionReaderFactory = new LogPartitionReaderFactory
@@ -107,14 +117,16 @@ class LogMicroBatchStream(logId: String, schema: StructType, startSeq: Long = -1
 
 /** Batch-mode scan of the same table (so the source is usable with
   * `spark.read` too). */
-class LogBatch(logId: String, schema: StructType, gt: Option[Long], lte: Option[Long]) extends Batch {
+class LogBatch(logId: String, schema: StructType, gt: Option[Long], lte: Option[Long],
+    required: StructType = null) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
-    LogBatch.plan(LogStreamRegistry.get(logId), schema, gt, lte)
+    LogBatch.plan(LogStreamRegistry.get(logId),
+      if (required == null) schema else required, gt, lte)
   override def createReaderFactory(): PartitionReaderFactory = new LogPartitionReaderFactory
 }
 
 object LogBatch {
-  def plan(log: FlumeLog, schema: StructType, gt: Option[Long], lte: Option[Long]): Array[InputPartition] = {
+  def plan(log: FlumeLog, out: StructType, gt: Option[Long], lte: Option[Long]): Array[InputPartition] = {
     import org.apache.spark.sql.functions.col
     // This planner collects the delta to the driver — correct only for a
     // log whose data is already driver-resident. Anything table-backed
@@ -126,9 +138,11 @@ object LogBatch {
     var df = log.read
     gt.foreach(v => df = df.where(col(log.seqCol) > v))
     lte.foreach(v => df = df.where(col(log.seqCol) <= v))
-    val rows = df.orderBy(col(log.seqCol)).collect()
+    // pruned output: serialize only the required columns (order kept)
+    val rows = df.orderBy(col(log.seqCol))
+      .select(out.fieldNames.toSeq.map(n => col(s"`$n`")): _*).collect()
     if (rows.isEmpty) return Array.empty
-    val ser = ExpressionEncoder(schema).createSerializer()
+    val ser = ExpressionEncoder(out).createSerializer()
     val internal = rows.map(r => ser(r).copy().asInstanceOf[InternalRow])
     val slices = math.min(4, internal.length)
     internal.grouped(math.max(1, math.ceil(internal.length.toDouble / slices).toInt))
@@ -156,9 +170,11 @@ class ParquetLogMicroBatchStream(
     logId: String,
     log: graft.core.ParquetLog,
     schema: StructType,
-    startSeq: Long = -1L) extends MicroBatchStream {
+    startSeq: Long = -1L,
+    required: StructType = null) extends MicroBatchStream {
 
   ParquetSliceReader.requireSupported(schema)
+  private def out: StructType = if (required == null) schema else required
 
   // file → (minSeq, maxSeq); log files never change once written, so a
   // footer is read at most once per stream lifetime
@@ -277,7 +293,7 @@ class ParquetLogMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ParquetSliceReaderFactory(schema, log.seqCol)
+    new ParquetSliceReaderFactory(out, log.seqCol)
 }
 
 /** One parquet file's slice of a micro-batch: rows with seq ∈ (gt, lte],
@@ -296,7 +312,12 @@ class ParquetSliceReaderFactory(schema: StructType, seqCol: String) extends Part
 
 /** Executor-side parquet decode of one file with a pushed seq-range
   * filter (row groups skipped by min/max stats, records filtered by the
-  * predicate) — the reader never materializes out-of-range rows.
+  * predicate) — the reader never materializes out-of-range rows — and a
+  * pushed COLUMN PROJECTION: `schema` here is the scan's REQUIRED
+  * output (Spark's pruneColumns), and the parquet read schema is the
+  * file's own MessageType filtered to those columns (+ the seq column,
+  * which the record filter and the defensive range check need), so a
+  * `max(seq)` over a media log never decodes a content byte.
   *
   * Compaction resilience: the planned file is the fast path. If a
   * [[graft.core.ParquetLog.compact]] rewrote the log between planning
@@ -315,13 +336,34 @@ class ParquetSliceReader(part: ParquetSlicePartition, schema: StructType, seqCol
     FilterApi.gt(FilterApi.longColumn(seqCol), java.lang.Long.valueOf(part.gt)),
     FilterApi.ltEq(FilterApi.longColumn(seqCol), java.lang.Long.valueOf(part.lte)))
 
-  private def open(path: String): org.apache.parquet.hadoop.ParquetReader[Group] =
+  // physical projection: the required output columns plus the seq column
+  private val physicalNames: Set[String] = schema.fieldNames.toSet + seqCol
+
+  // per-opened-file name→index maps into the PROJECTED group (projection
+  // preserves the file's field order, which may differ from the output's)
+  private var groupIdx: Array[Int] = _
+  private var seqIdx: Int = _
+
+  private def open(path: String): org.apache.parquet.hadoop.ParquetReader[Group] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fileType = {
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf))
+      try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+    }
+    import scala.jdk.CollectionConverters._
+    val kept = fileType.getFields.asScala.filter(f => physicalNames.contains(f.getName))
+    val projected = new org.apache.parquet.schema.MessageType(fileType.getName, kept.asJava)
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
+    groupIdx = schema.fieldNames.map(projected.getFieldIndex)
+    seqIdx = projected.getFieldIndex(seqCol)
     org.apache.parquet.hadoop.ParquetReader
-      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
-        new org.apache.hadoop.fs.Path(path))
-      .withConf(new org.apache.hadoop.conf.Configuration())
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), hPath)
+      .withConf(conf)
       .withFilter(FilterCompat.get(pred))
       .build()
+  }
 
   private var paths: List[String] = List(part.file)
   private var fellBack = false
@@ -357,10 +399,9 @@ class ParquetSliceReader(part: ParquetSlicePartition, schema: StructType, seqCol
     if (row == null) { if (advanceReader()) next() else false } else true
   }
 
-  private lazy val seqIdx = schema.fieldIndex(seqCol)
-
   override def get(): InternalRow =
-    InternalRow.fromSeq(schema.fields.indices.map(i => ParquetSliceReader.readField(row, i, schema.fields(i).dataType)))
+    InternalRow.fromSeq(schema.fields.indices.map(i =>
+      ParquetSliceReader.readField(row, groupIdx(i), schema.fields(i).dataType)))
 
   override def close(): Unit = if (reader != null) reader.close()
 }
