@@ -55,10 +55,13 @@ private[graft] object EmbeddingQueries {
       // from the corpus — a physical rewrite sharing the incremental's
       // oracle
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val tmp = java.nio.file.Files.createTempDirectory("graftesig").toString
+      val tmp = EntryHelpers.stableTmpDir("graftesig", dir)
       val v = new graft.views.EmbeddingSigTableView(s, s"$tmp/es", 1)
-      v.absorb(e.where(col("vec_id") < 200), 1L)
-      v.absorb(e.where(col("vec_id") >= 200), 2L)
+      // first rep absorbs both deltas; later reps reopen at parity
+      if (v.since < 2L) {
+        v.absorb(e.where(col("vec_id") < 200), 1L)
+        v.absorb(e.where(col("vec_id") >= 200), 2L)
+      }
       val batch = e.select((col("vec_id") + 10000).as("vec_id"),
         transform(col("embedding"), x => (x * lit(1.001)).cast("float")).as("embedding"))
       v.dedupBatch(batch, e).orderBy("id_a", "id_b")
@@ -97,10 +100,13 @@ private[graft] object EmbeddingQueries {
       // so ingest maintains one signature table for both near-dup
       // checks and similarity serving (32-bit sigs, two deltas)
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val tmp = java.nio.file.Files.createTempDirectory("graftannsig").toString
+      val tmp = EntryHelpers.stableTmpDir("graftannsig", dir)
       val v = new graft.views.EmbeddingSigTableView(s, s"$tmp/es", 1)
-      v.absorb(e.where(col("vec_id") < 200), 1L)
-      v.absorb(e.where(col("vec_id") >= 200), 2L)
+      // first rep absorbs both deltas; later reps reopen at parity
+      if (v.since < 2L) {
+        v.absorb(e.where(col("vec_id") < 200), 1L)
+        v.absorb(e.where(col("vec_id") >= 200), 2L)
+      }
       v.annSearch(queryVec(s, dir, 0L), e, 10, maxHamming = 16, excludeId = Some(0L))
         .orderBy(col("cos").desc, col("vec_id"))
     }),

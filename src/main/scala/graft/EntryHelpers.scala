@@ -698,14 +698,62 @@ private[graft] object EntryHelpers {
       db.append(ev)
       (s, db, Seq(tmpLog, tmpHt, tmpDim))
     }
-    val e = dbRetractKeyedFixtures.getOrElseUpdate(dir, build())
-    if (e._1 eq s) e._2
-    else {
-      dbRetractKeyedFixtures.remove(dir, e)
-      scala.util.Try(e._2.close())
-      e._3.foreach(d => scala.util.Try(deleteTree(d)))
-      dbRetractKeyedFixtures.getOrElseUpdate(dir, build())._2
+    // One build at a time per data dir: TrieMap.getOrElseUpdate may run
+    // two racing thunks and keep only one — the loser would leak an OPEN
+    // FlumeDb plus three /tmp fixture trees (same hazard ivfBuildLocks
+    // guards for the IVF store).
+    val lock = dbkBuildLocks.getOrElseUpdate(dir, new Object)
+    lock.synchronized {
+      val e = dbRetractKeyedFixtures.getOrElseUpdate(dir, build())
+      if (e._1 eq s) e._2
+      else {
+        dbRetractKeyedFixtures.remove(dir, e)
+        scala.util.Try(e._2.close())
+        e._3.foreach(d => scala.util.Try(deleteTree(d)))
+        dbRetractKeyedFixtures.getOrElseUpdate(dir, build())._2
+      }
     }
+  }
+  val dbkBuildLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  // Stable per-(fixture, data dir) temp directories for DURABLE view
+  // stores that are deterministic functions of a source table: the
+  // first rep builds into the dir (callers guard their absorbs on the
+  // view's cursor), later reps reopen at parity — no rebuild cost, no
+  // one-tree-per-rep /tmp litter — and the process-exit sweep deletes
+  // them. (The cached-FlumeDb pattern above does the same for fixtures
+  // that need open handles; this one is for paths alone.)
+  val stableDirs = scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  def stableTmpDir(name: String, dir: String): String =
+    stableDirs.getOrElseUpdate((name, dir),
+      java.nio.file.Files.createTempDirectory(name).toString)
+
+  // Process-exit sweep: the per-dir caches above intentionally live for
+  // the JVM (bench/verify reuse them across reps and SFs), so nothing
+  // closes them in-line — without this hook every run exits with open
+  // dbs/logs and leaves its temp trees in /tmp (the accumulating
+  // `graft*` litter). Durable fingerprint stores (graft-ivf-*,
+  // graft-phash-* ...) are NOT deleted: they are reopen-at-parity
+  // stores, deterministic per content — only their open handles close.
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread("graft-fixture-sweep") {
+      override def run(): Unit = {
+        dbRetractKeyedFixtures.values.foreach { e =>
+          scala.util.Try(e._2.close()); e._3.foreach(d => scala.util.Try(deleteTree(d)))
+        }
+        appendedLogs.values.foreach { e =>
+          scala.util.Try(e._2.close()); scala.util.Try(deleteTree(e._2.dir))
+        }
+        ivfViews.values.foreach(e => scala.util.Try(e.db.close()))
+        (rangeLayouts.values ++ zLayouts.values ++ bucketedJoinTables.values ++
+          sigTables.values ++ annSigTables.values ++ clusterTables.values ++
+          lineFreqTables.values ++ gramTables.values ++ orcTables.values)
+          .foreach(e => scala.util.Try(deleteTree(e._2)))
+        pqModels.values.foreach(e => scala.util.Try(deleteTree(e._3)))
+        ivfpqModels.values.foreach(e => scala.util.Try(deleteTree(e._4)))
+        stableDirs.values.foreach(d => scala.util.Try(deleteTree(d)))
+      }
+    })
   }
 
   def round4(x: Double): Double =

@@ -178,21 +178,23 @@ private[graft] object MultimodalQueries {
       def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
       val docs = t(s, dir, "documents")
       val media = Multimodal.syntheticWavMedia(docs, textured = true)
-      val curLog = new ParquetLog(s, tmp("graftmret-log"), Multimodal.mediaSchema, bucketSize = 128L)
-      val agView = new graft.views.AudioGramTableView(s, s"${tmp("graftmret-gram")}/v", 1)
+      val logDir = tmp("graftmret-log"); val gramDir = tmp("graftmret-gram")
+      val intentDir = tmp("graftmret-intent")
+      val curLog = new ParquetLog(s, logDir, Multimodal.mediaSchema, bucketSize = 128L)
+      val agView = new graft.views.AudioGramTableView(s, s"$gramDir/v", 1)
       curLog.append(media)
       agView.absorb(media, curLog.since)
-      val rids = media.where(col("media_id") % 10 === 3)
-        .select("media_id").collect().map(_.getLong(0)).toSeq
-      graft.views.Retraction.retract(curLog, "media_id", rids,
-        (ids: Seq[Long]) => agView.retractWhere(col("media_id").isin(ids: _*)),
-        java.nio.file.Paths.get(tmp("graftmret-intent"), "_intent").toString)
+      // id list stays a DataFrame end to end (no collected isin literal)
+      graft.views.Retraction.retract(curLog, "media_id",
+        media.where(col("media_id") % 10 === 3).select("media_id"),
+        (ids: org.apache.spark.sql.DataFrame) => agView.retractIds(ids, "media_id"),
+        java.nio.file.Paths.get(intentDir, "_intent").toString)
       val clips = Multimodal.syntheticWavClip(docs.where(col("doc_id") % 5 === 3), gain = 2)
       val matched = agView.containsBatch(clips)
         .select(col("clip_id").as("media_id")).distinct()
       val survivors = clips.join(matched, Seq("media_id"), "left_anti").localCheckpoint(true)
       if (!survivors.isEmpty) curLog.append(survivors)
-      curLog.read.agg(
+      val out = curLog.read.agg(
         count(lit(1)).as("n_rows"),
         sum(when(col("media_id") < 90000 && col("media_id") % 10 === 3, 1L).otherwise(0L))
           .as("retracted_left"),
@@ -200,6 +202,9 @@ private[graft] object MultimodalQueries {
           .as("reingest_of_retracted"),
         sum(when(col("media_id") >= 90000 && (col("media_id") - 90000) % 10 === 8, 1L).otherwise(0L))
           .as("reingest_of_kept"))
+        .localCheckpoint(true)
+      Seq(logDir, gramDir, intentDir).foreach(EntryHelpers.deleteTree)
+      out
     }),
     "q_video_neardup" -> ((s, dir) => {
       // video near-dup: +5-brightness re-encodes (ids +120000) of the

@@ -28,10 +28,11 @@ private[graft] object StreamingQueries {
       val docSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
-      val srcLog = new ParquetLog(s, tmp("graftscur-src"), docSchema)
-      val curLog = new ParquetLog(s, tmp("graftscur-dst"), docSchema)
-      val sigView = new graft.views.SignatureTableView(s, s"${tmp("graftscur-sig")}/s", 1, "doc_id", "text")
-      val commit = java.nio.file.Paths.get(tmp("graftscur-c"), "_mark").toString
+      val dirs = Seq("graftscur-src", "graftscur-dst", "graftscur-sig", "graftscur-c").map(tmp)
+      val srcLog = new ParquetLog(s, dirs(0), docSchema)
+      val curLog = new ParquetLog(s, dirs(1), docSchema)
+      val sigView = new graft.views.SignatureTableView(s, s"${dirs(2)}/s", 1, "doc_id", "text")
+      val commit = java.nio.file.Paths.get(dirs(3), "_mark").toString
       val docs = t(s, dir, "documents").select("doc_id", "text")
       srcLog.append(docs)
       val cur = new graft.streaming.StreamingCurator(srcLog, curLog, sigView, commit)
@@ -41,11 +42,14 @@ private[graft] object StreamingQueries {
           regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
         cur.awaitParity()
       } finally cur.stop()
-      curLog.read.agg(
+      val out = curLog.read.agg(
         count(lit(1)).as("n_kept"),
         min("doc_id").as("min_id"),
         max("doc_id").as("max_id"),
         sum(when(col("doc_id") >= 10000, 1L).otherwise(0L)).as("perturbed_kept"))
+        .localCheckpoint(true)
+      dirs.foreach(EntryHelpers.deleteTree)
+      out
     }),
     "q_stream_curate_retract" -> ((s, dir) => {
       // mid-stream corpus takedown through the LIVE curator: batch 1
@@ -62,26 +66,30 @@ private[graft] object StreamingQueries {
       val docSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
-      val srcLog = new ParquetLog(s, tmp("graftscr-src"), docSchema)
-      val curLog = new ParquetLog(s, tmp("graftscr-dst"), docSchema, bucketSize = 128L)
-      val sigView = new graft.views.SignatureTableView(s, s"${tmp("graftscr-sig")}/s", 1, "doc_id", "text")
-      val commit = java.nio.file.Paths.get(tmp("graftscr-c"), "_mark").toString
+      val dirs = Seq("graftscr-src", "graftscr-dst", "graftscr-sig",
+        "graftscr-c", "graftscr-i").map(tmp)
+      val srcLog = new ParquetLog(s, dirs(0), docSchema)
+      val curLog = new ParquetLog(s, dirs(1), docSchema, bucketSize = 128L)
+      val sigView = new graft.views.SignatureTableView(s, s"${dirs(2)}/s", 1, "doc_id", "text")
+      val commit = java.nio.file.Paths.get(dirs(3), "_mark").toString
       val docs = t(s, dir, "documents").select("doc_id", "text")
       srcLog.append(docs)
       val cur = new graft.streaming.StreamingCurator(srcLog, curLog, sigView, commit)
       try {
         cur.awaitParity()
-        val retractIds = curLog.read.where(col("doc_id") % 10 === 3)
-          .select("doc_id").collect().map(_.getLong(0)).toSeq
-        graft.views.Retraction.retract(curLog, "doc_id", retractIds,
-          (ids: Seq[Long]) => sigView.retractWhere(col("id").isin(ids: _*)),
-          java.nio.file.Paths.get(tmp("graftscr-i"), "_intent").toString)
+        // id list stays a DataFrame: the batch-form intent materializes
+        // it to the durable sidecar BEFORE the log rewrite begins
+        graft.views.Retraction.retract(curLog, "doc_id",
+          curLog.read.where(col("doc_id") % 10 === 3).select("doc_id"),
+          (ids: org.apache.spark.sql.DataFrame) =>
+            sigView.retractIds(ids.withColumnRenamed("doc_id", "id"), "id"),
+          java.nio.file.Paths.get(dirs(4), "_intent").toString)
         srcLog.append(docs.where(col("doc_id") % 5 === 3)
           .select((col("doc_id") + 50000).as("doc_id"),
             regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
         cur.awaitParity()
       } finally cur.stop()
-      curLog.read.agg(
+      val out = curLog.read.agg(
         count(lit(1)).as("n_kept"),
         sum(when(col("doc_id") < 50000 && col("doc_id") % 10 === 3, 1L).otherwise(0L))
           .as("retracted_left"),
@@ -89,6 +97,9 @@ private[graft] object StreamingQueries {
           .as("reingest_of_retracted"),
         sum(when(col("doc_id") >= 50000 && (col("doc_id") - 50000) % 10 === 8, 1L).otherwise(0L))
           .as("reingest_of_kept"))
+        .localCheckpoint(true)
+      dirs.foreach(EntryHelpers.deleteTree)
+      out
     }),
     "q_stream_curate_media" -> ((s, dir) => {
       // continuous MEDIA curation — the multimodal rung of
@@ -100,10 +111,11 @@ private[graft] object StreamingQueries {
       // table never shuffles); survivors append + their fingerprints
       // absorb, cursor advances.
       def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
-      val srcLog = new ParquetLog(s, tmp("graftmcur-src"), Multimodal.mediaSchema)
-      val curLog = new ParquetLog(s, tmp("graftmcur-dst"), Multimodal.mediaSchema)
-      val fpView = new graft.views.AudioFingerprintTableView(s, s"${tmp("graftmcur-fp")}/f", 2)
-      val commit = java.nio.file.Paths.get(tmp("graftmcur-c"), "_mark").toString
+      val dirs = Seq("graftmcur-src", "graftmcur-dst", "graftmcur-fp", "graftmcur-c").map(tmp)
+      val srcLog = new ParquetLog(s, dirs(0), Multimodal.mediaSchema)
+      val curLog = new ParquetLog(s, dirs(1), Multimodal.mediaSchema)
+      val fpView = new graft.views.AudioFingerprintTableView(s, s"${dirs(2)}/f", 2)
+      val commit = java.nio.file.Paths.get(dirs(3), "_mark").toString
       val docs = t(s, dir, "documents")
       srcLog.append(Multimodal.syntheticWavMedia(docs, textured = true))
       val cur = new graft.streaming.MediaStreamingCurator(srcLog, curLog,
@@ -114,11 +126,14 @@ private[graft] object StreamingQueries {
           idOffset = 60000L, textured = true))
         cur.awaitParity()
       } finally cur.stop()
-      curLog.read.agg(
+      val out = curLog.read.agg(
         count(lit(1)).as("n_kept"),
         min("media_id").as("min_id"),
         max("media_id").as("max_id"),
         sum(when(col("media_id") >= 60000, 1L).otherwise(0L)).as("copies_kept"))
+        .localCheckpoint(true)
+      dirs.foreach(EntryHelpers.deleteTree)
+      out
     }),
     "q_stream_curate_embed" -> ((s, dir) => {
       // continuous EMBEDDING curation — the vector rung of
@@ -132,14 +147,15 @@ private[graft] object StreamingQueries {
         org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("embedding",
           org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
-      val srcLog = new ParquetLog(s, tmp("graftecur-src"), embSchema)
+      val dirs = Seq("graftecur-src", "graftecur-dst", "graftecur-sig", "graftecur-c").map(tmp)
+      val srcLog = new ParquetLog(s, dirs(0), embSchema)
       // the curated log is seq-BUCKETED: the stored signature table
       // carries each vector's curated seq, so the incremental verify
       // reads only the candidate buckets (planning-time partition
       // pruning) instead of rescanning the whole vector corpus per batch
-      val curLog = new ParquetLog(s, tmp("graftecur-dst"), embSchema, bucketSize = 64L)
-      val sigView = new graft.views.EmbeddingSigTableView(s, s"${tmp("graftecur-sig")}/es", 1)
-      val commit = java.nio.file.Paths.get(tmp("graftecur-c"), "_mark").toString
+      val curLog = new ParquetLog(s, dirs(1), embSchema, bucketSize = 64L)
+      val sigView = new graft.views.EmbeddingSigTableView(s, s"${dirs(2)}/es", 1)
+      val commit = java.nio.file.Paths.get(dirs(3), "_mark").toString
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
       srcLog.append(e)
       val cur = new graft.streaming.MediaStreamingCurator(srcLog, curLog,
@@ -151,11 +167,14 @@ private[graft] object StreamingQueries {
           transform(col("embedding"), x => (x * lit(1.001)).cast("float")).as("embedding")))
         cur.awaitParity()
       } finally cur.stop()
-      curLog.read.agg(
+      val out = curLog.read.agg(
         count(lit(1)).as("n_kept"),
         min("vec_id").as("min_id"),
         max("vec_id").as("max_id"),
         sum(when(col("vec_id") >= 10000, 1L).otherwise(0L)).as("copies_kept"))
+        .localCheckpoint(true)
+      dirs.foreach(EntryHelpers.deleteTree)
+      out
     }),
     "q_stream_static_join" -> ((s, dir) => {
       // stream-static broadcast enrichment: the static dim joins into
@@ -387,7 +406,8 @@ private[graft] object StreamingQueries {
       val elog = new MemoryLog(s, StructType(Seq(StructField("user_id", LongType),
         StructField("event_id", LongType), StructField("event_type", StringType))))
       val erLog = new MemoryLog(s, StructType(Seq(StructField("user_id", LongType))))
-      val out = java.nio.file.Files.createTempDirectory("graft-serase").toString + "/emits"
+      val outRoot = java.nio.file.Files.createTempDirectory("graft-serase").toString
+      val out = outRoot + "/emits"
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
@@ -409,7 +429,7 @@ private[graft] object StreamingQueries {
           q.processAllAvailable()
         } finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      s.read.parquet(out)
+      val res = s.read.parquet(out)
         .groupBy("user_id")
         .agg(max_by(struct(col("stage"), col("seqs")), col("__b")).as("fin"))
         .select(col("user_id"), col("fin.stage").as("stage"), col("fin.seqs").as("seqs"))
@@ -420,6 +440,9 @@ private[graft] object StreamingQueries {
           expr("try_element_at(seqs, 3)").as("s_purchase"),
           col("stage"))
         .orderBy("user_id")
+        .localCheckpoint(true)
+      EntryHelpers.deleteTree(outRoot)
+      res
     }),
     "q_stream_funnel_windowed" -> ((s, dir) => {
       // the expiring funnel as live per-key state: the gap gate rides

@@ -73,17 +73,21 @@ private[graft] object TextQueries {
       val docSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
-      val curLog = new ParquetLog(s, tmp("graftret-log"), docSchema, bucketSize = 128L)
+      val logDir = tmp("graftret-log"); val sigDir = tmp("graftret-sig")
+      val intentDir = tmp("graftret-intent")
+      val curLog = new ParquetLog(s, logDir, docSchema, bucketSize = 128L)
       val sigView = new graft.views.SignatureTableView(
-        s, s"${tmp("graftret-sig")}/sg", 1, "doc_id", "text")
+        s, s"$sigDir/sg", 1, "doc_id", "text")
       val d = t(s, dir, "documents").select("doc_id", "text")
       curLog.append(d)
       sigView.absorbSigs(graft.ops.Dedup.signatureTable(d), curLog.since)
-      val retractIds = d.where(col("doc_id") % 10 === 3)
-        .select("doc_id").collect().map(_.getLong(0)).toSeq
-      graft.views.Retraction.retract(curLog, "doc_id", retractIds,
-        (ids: Seq[Long]) => sigView.retractWhere(col("id").isin(ids: _*)),
-        java.nio.file.Paths.get(tmp("graftret-intent"), "_intent").toString)
+      // the id list stays a DataFrame end to end: log AND feature
+      // rewrites plan count-fenced joins, never a collected isin literal
+      graft.views.Retraction.retract(curLog, "doc_id",
+        d.where(col("doc_id") % 10 === 3).select("doc_id"),
+        (ids: org.apache.spark.sql.DataFrame) =>
+          sigView.retractIds(ids.withColumnRenamed("doc_id", "id"), "id"),
+        java.nio.file.Paths.get(intentDir, "_intent").toString)
       val batch = d.where(col("doc_id") % 5 === 3)
         .select((col("doc_id") + 50000).as("doc_id"),
           regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
@@ -92,7 +96,7 @@ private[graft] object TextQueries {
         .select(col("id_a").as("doc_id")).distinct()
       val survivors = batch.join(drops, Seq("doc_id"), "left_anti").localCheckpoint(true)
       if (!survivors.isEmpty) curLog.append(survivors)
-      curLog.read.agg(
+      val out = curLog.read.agg(
         count(lit(1)).as("n_rows"),
         sum(when(col("doc_id") < 50000 && col("doc_id") % 10 === 3, 1L).otherwise(0L))
           .as("retracted_left"),
@@ -100,6 +104,9 @@ private[graft] object TextQueries {
           .as("reingest_of_retracted"),
         sum(when(col("doc_id") >= 50000 && (col("doc_id") - 50000) % 10 === 8, 1L).otherwise(0L))
           .as("reingest_of_kept"))
+        .localCheckpoint(true)
+      Seq(logDir, sigDir, intentDir).foreach(EntryHelpers.deleteTree)
+      out
     }),
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"))

@@ -561,16 +561,25 @@ final class FlumeDb(
       log.readWherePruned(cond).select(log.seqCol).write.parquet(seqsDir)
       // the parquet list is complete (_SUCCESS) — NOW commit the intent
       commitIntent(p, intentFile, s"@seqs$viewsToken")
-      val seqs = readSeqList(seqsDir)
+      // checkpoint the durable list NOW: the seqsDir parquet is deleted
+      // at the end of this pass, but the retract hooks' contract is a
+      // frame usable AFTER this call returns (a pipeline intersecting
+      // removed seqs with training lineage evaluates it deferred) — the
+      // same contract the undurable arms already give
+      val seqs = readSeqList(seqsDir).localCheckpoint(true)
       // inversions prepare on the FRESH pass only (a crash replay finds
       // the log already rewritten — those views rebuild on replay)
       val prepared = prepareInversions(log.readWherePruned(cond))
       val removed = mutateLogOrUnlatch(p, seqsDir)(log.retract(cond))
       // mirror the undurable form: a zero-match takedown has no ghost
       // rows to purge — do not destroy/rebuild every folding view
-      if (removed > 0) { prepared.foreach(_._2()); retractViews(seqs, prepared.map(_._1).toSet); fireRetractHooks(seqs) }
+      if (removed > 0) { prepared.foreach(_._2()); retractViews(seqs, prepared.map(_._1).toSet) }
       java.nio.file.Files.delete(p)
       deleteDirIfExists(seqsDir)
+      // hooks fire AFTER the intent is cleared: the erasure is complete
+      // at this point, so a throwing hook must surface to the caller
+      // without latching an intent that would block all future takedowns
+      if (removed > 0) fireRetractHooks(seqs)
       removed
     } finally lock.unlock()
   }
@@ -632,16 +641,20 @@ final class FlumeDb(
     deleteDirIfExists(seqsDir)
     seqSet.select(col(log.seqCol)).distinct().write.parquet(seqsDir)
     commitIntent(p, intentFile, s"@seqs$viewsToken")
-    val seqs = readSeqList(seqsDir)
+    // checkpointed for the same reason as the cond arm: the retract
+    // hooks may evaluate this frame after seqsDir is deleted
+    val seqs = readSeqList(seqsDir).localCheckpoint(true)
     val prepared = prepareInversions(
       ParquetLog.hitMarker(seqs, log.seqCol, 4L * 1000 * 1000)(
           log.readForTakedownIds(seqs, log.seqCol))
         .where(col(ParquetLog.hitCol))
         .drop(ParquetLog.hitCol))
     val removed = mutateLogOrUnlatch(p, seqsDir)(log.retractIds(seqs, log.seqCol))
-    if (removed > 0) { prepared.foreach(_._2()); retractViews(seqs, prepared.map(_._1).toSet); fireRetractHooks(seqs) }
+    if (removed > 0) { prepared.foreach(_._2()); retractViews(seqs, prepared.map(_._1).toSet) }
     java.nio.file.Files.delete(p)
     deleteDirIfExists(seqsDir)
+    // after intent cleanup — a throwing hook surfaces without latching
+    if (removed > 0) fireRetractHooks(seqs)
     removed
   }
 
@@ -767,7 +780,15 @@ final class FlumeDb(
     * [[org.apache.spark.sql.graftbridge.ColumnBridge.statsProveEmpty]]). */
   def enqueueRetractWhere(condSql: String, queueDir: String): Int = {
     throwIfClosed(); count("retract")
-    log.spark.sessionState.sqlParser.parseExpression(condSql) // fail fast
+    log.spark.sessionState.sqlParser.parseExpression(condSql) // fail fast: syntax
+    // fail fast: SEMANTICS. A parseable predicate over a nonexistent
+    // column (a typo) would durably enqueue, then throw at ANALYSIS time
+    // inside every later drain AND open-time recovery — blocking the
+    // whole queue, valid erasure requests included, until the marker is
+    // deleted by hand. Resolving against the log schema here makes a
+    // semantic error refuse at accept exactly like a syntax error.
+    log.read.where(org.apache.spark.sql.functions.expr(condSql))
+      .queryExecution.assertAnalyzed()
     require(!condSql.contains("\n") && !condSql.contains("\r"),
       "predicate SQL must be single-line (the intent marker is line-oriented)")
     lock.lock()
@@ -886,6 +907,7 @@ final class FlumeDb(
         deleteDirIfExists(seqsDir) // a list never committed by a marker
         return false
       }
+      var replayedSeqs: Option[DataFrame] = None
       val content = java.nio.file.Files.readString(p).trim
       val toks = content.split("\\s+")
       val recorded = toks.find(_.startsWith("views="))
@@ -912,7 +934,7 @@ final class FlumeDb(
                 s"list at $seqsDir that does not exist — the marker is committed only " +
                 "after the list, so the list was deleted out of band; the window is " +
                 "left open (restore the list or audit the takedown before clearing)")
-          val seqs = readSeqList(seqsDir)
+          val seqs = readSeqList(seqsDir).localCheckpoint(true)
           if (seqs.isEmpty) () // a zero-match pass: nothing to replay anywhere
           else {
             log.retractIds(seqs, log.seqCol) // absent seqs rewrite nothing
@@ -920,6 +942,10 @@ final class FlumeDb(
             // rewritten, so the removed rows are unrecoverable —
             // invertible reduces take the rebuild arm (rare; correct)
             retractViews(seqs, Set.empty)
+            // the crashed pass died before its hooks could fire — the
+            // replay is the completion signal derived-model holders wait
+            // on; fired after the intent clears, like the fresh arms
+            replayedSeqs = Some(seqs)
           }
         case _ =>
           throw new IllegalStateException(
@@ -929,6 +955,7 @@ final class FlumeDb(
       }
       java.nio.file.Files.delete(p)
       deleteDirIfExists(seqsDir)
+      replayedSeqs.foreach(fireRetractHooks)
       true
     } finally lock.unlock()
   }

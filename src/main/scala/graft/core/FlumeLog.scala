@@ -369,10 +369,19 @@ final class ParquetLog(
         "narrow the range and silently skip matching rows)")
   }
   private val statsFile = new java.io.File(dir, ParquetLog.statsMarker)
+  // String tokens carry a '=' marker prefix so they are NEVER empty:
+  // enc("") alone would serialize `b c S  hi`, which the whitespace-
+  // collapsing split parses as the 4-token legacy integral form and
+  // drops — the bucket would silently lose pruning for a legal column
+  // value. '=' cannot come from URLEncoder (it escapes '=' as %3D), so
+  // a leading '=' unambiguously marks the new form; bare tokens from
+  // pre-marker manifests still decode.
   private def enc(s: String): String =
-    java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+    "=" + java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
   private def dec(s: String): String =
-    java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+    java.net.URLDecoder.decode(
+      if (s.startsWith("=")) s.substring(1) else s,
+      java.nio.charset.StandardCharsets.UTF_8)
   private val bucketStats: scala.collection.mutable.Map[(Long, String), StatsRange] = {
     val m = scala.collection.mutable.Map.empty[(Long, String), StatsRange]
     if (statsFile.exists())
@@ -675,48 +684,31 @@ final class ParquetLog(
     * skipping otherwise; no driver collect — see
     * [[graft.streaming.ParquetLogMicroBatchStream]]). This is the
     * reference build loop's `{gt: upto, live: true}` at record precision
-    * on the durable log. The slice reader decodes primitives, structs,
-    * and arrays of primitives — every graft log schema (media structs,
-    * embedding arrays) rides THIS ordered source; only payloads outside
-    * those shapes fall back to the file-granular [[readStreamFiles]]
-    * source, whose batches carry NO seq-order guarantee across an append
-    * racing the tail (see [[readStream]]'s ordering contract). */
+    * on the durable log. The slice readers decode through Spark's own
+    * parquet machinery (vectorized ColumnarBatch for whole files, the
+    * ParquetReadSupport row materializer for boundary slices), so EVERY
+    * payload schema the log can store rides THIS ordered source — there
+    * is no file-granular fallback tail anymore. (The r15→r17 curator
+    * flake was exactly that fallback: the file streaming source's
+    * file-granular batches can split one append OUT of seq order under a
+    * racing poll, and an HWM-guarded consumer then reads the earlier
+    * half as a replay — permanent silent record loss. Deleting the path
+    * closes the loss mode by construction.) Schema evolution matches the
+    * batch read: a column added after old files were written null-fills
+    * when the tail crosses them. */
   override def readStream: DataFrame = readStreamFrom(-1L)
 
   override def readStreamFrom(gt: Long): DataFrame = {
-    val flat = scala.util.Try(
-      graft.streaming.ParquetSliceReader.requireSupported(fullSchema)).isSuccess
-    if (!flat) readStreamFiles
-    else {
-      val d = new java.io.File(dir)
-      if (!d.exists()) d.mkdirs()
-      // no compaction fence: this source plans by seq intervals against
-      // the directory's current files (listing is atomic with compact's
-      // swap via the log monitor, and readers re-resolve their interval
-      // if a planned file was rewritten), so a live tail and compact()
-      // coexist — every seq is still delivered exactly once
-      val id = graft.streaming.LogStreamRegistry.register(this)
-      spark.readStream.format("graft.streaming.LogStreamProvider")
-        .option("logId", id).option("startSeq", gt.toString).load()
-    }
-  }
-
-  /** File streaming source over the log directory — the fallback live
-    * tail for payload schemas the slice reader does not decode (maps,
-    * arrays of structs). Offsets are file-granular, but view absorption
-    * is idempotent per batch — a durable view overwrites its
-    * `batch=<upto>` delta on replay — so recovery stays exactly-once in
-    * effect. CAVEAT (r17): file-granular batches carry no seq-order
-    * guarantee when an append races the tail (a multi-file append can
-    * split across batches, later seqs first) — an HWM-guarded consumer
-    * (any curator) must NOT tail a concurrently-appended log through
-    * this source; the seq-offset [[readStream]] is the ordered one. */
-  def readStreamFiles: DataFrame = {
     val d = new java.io.File(dir)
     if (!d.exists()) d.mkdirs()
-    ParquetLog.markLiveTail(dir)
-    val s = spark.readStream.option("basePath", dir).schema(diskSchema).parquet(dir)
-    if (bucketed) s.drop(bucketCol) else s
+    // no compaction fence: this source plans by seq intervals against
+    // the directory's current files (listing is atomic with compact's
+    // swap via the log monitor, and readers re-resolve their interval
+    // if a planned file was rewritten), so a live tail and compact()
+    // coexist — every seq is still delivered exactly once
+    val id = graft.streaming.LogStreamRegistry.register(this)
+    spark.readStream.format("graft.streaming.LogStreamProvider")
+      .option("logId", id).option("startSeq", gt.toString).load()
   }
 
   override def append(payload: DataFrame): Long = synchronized {
@@ -827,20 +819,11 @@ final class ParquetLog(
     * (same contract as any table rewrite — at cluster scale this is a
     * per-bucket rewrite with an atomic manifest flip).
     *
-    * Coexists with the default seq-offset live tail ([[readStream]]):
-    * that source plans each micro-batch by seq interval under this same
-    * monitor and its readers re-resolve a rewritten file's interval, so
-    * every seq is delivered exactly once across the rewrite. Only the
-    * file-granular fallback tail ([[readStreamFiles]]) still fences
-    * compaction: the file streaming source tracks processed files by
-    * name, so rewritten files would be re-delivered as duplicates. */
+    * Coexists with the live tail ([[readStream]]): the seq-offset source
+    * plans each micro-batch by seq interval under this same monitor and
+    * its readers re-resolve a rewritten file's interval, so every seq is
+    * delivered exactly once across the rewrite. */
   def compact(targetFileBytes: Long = 128L * 1024 * 1024): Unit = synchronized {
-    if (ParquetLog.liveTailStarted(dir))
-      throw new IllegalStateException(
-        s"compact: a file-granular live tail (readStreamFiles) was started on $dir; " +
-          "compacting would re-deliver every rewritten file to that stream as " +
-          "duplicates. Stop the stream before compacting in a fresh process. " +
-          "(The default seq-offset tail does not fence compaction.)")
     if (cursor < 0) return
     val root = new java.io.File(dir)
     val tmp = new java.io.File(dir + ".compacting")
@@ -898,24 +881,18 @@ final class ParquetLog(
     * [[compact]]'s full-rewrite swap.
     *
     * CONCURRENCY: retraction requires QUIESCENT streams on this log.
-    * The file-granular tail ([[readStreamFiles]]) is fenced hard (throw,
-    * like [[compact]]); the record-granular DSv2 tail ([[readStream]])
-    * is fenced at batch granularity — a planned-but-uncommitted
-    * micro-batch makes retract throw, because the swap could invalidate
-    * that batch's planned file readers mid-read. Callers retract at
-    * parity boundaries (the curator's `awaitParity`), where no batch is
-    * in flight. NULL `cond` rows are KEPT (a predicate that cannot
-    * identify a row must not delete it). Idempotent: retracting
-    * already-absent rows rewrites nothing. */
+    * The record-granular DSv2 tail ([[readStream]]) is fenced at batch
+    * granularity — a planned-but-uncommitted micro-batch makes retract
+    * throw, because the swap could invalidate that batch's planned file
+    * readers mid-read. Callers retract at parity boundaries (the
+    * curator's `awaitParity`), where no batch is in flight. NULL `cond`
+    * rows are KEPT (a predicate that cannot identify a row must not
+    * delete it). Idempotent: retracting already-absent rows rewrites
+    * nothing. */
   /** Quiescence fence shared by the storage rewrites ([[retract]],
-    * [[expire]]): a file-granular tail would see rewritten files as
-    * duplicates; a record-granular tail's planned-but-uncommitted
-    * micro-batch would have its planned readers invalidated. */
+    * [[expire]]): a live tail's planned-but-uncommitted micro-batch
+    * would have its planned readers invalidated by the swap. */
   private def fenceRewrite(op: String): Unit = {
-    if (ParquetLog.liveTailStarted(dir))
-      throw new IllegalStateException(
-        s"$op: a file-granular live tail (readStreamFiles) was started on $dir; " +
-          "rewriting would re-deliver rewritten files to that stream as duplicates.")
     if (!inflightTailBatches.isEmpty)
       throw new IllegalStateException(
         s"$op: a record-granular live tail on $dir has a planned-but-uncommitted " +
@@ -1228,15 +1205,15 @@ object ParquetLog {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Directories with a FILE-GRANULAR live tail ([[ParquetLog.readStreamFiles]])
-    * planned THIS JVM — sticky for the process lifetime, because the file
-    * streaming source tracks processed files by name (a compact's
-    * rewritten files would be re-delivered as duplicates, even to a query
-    * started from another `ParquetLog` instance on the same dir). The
-    * default seq-offset tail is compaction-safe and does not mark here.
-    * Keyed by canonical path so a second instance cannot sidestep the
-    * guard; cross-process tails are outside the guard and covered by the
-    * single-writer contract. */
+  /** Directories with a FILE-GRANULAR live tail planned THIS JVM —
+    * sticky for the process lifetime, because the file streaming source
+    * tracks processed files by name (a rewrite's files would be
+    * re-delivered as duplicates, even to a query started from another
+    * log instance on the same dir). Only [[JsonLinesLog.readStream]]
+    * marks here now (the parquet log's tail is the rewrite-safe
+    * seq-offset source). Keyed by canonical path so a second instance
+    * cannot sidestep the guard; cross-process tails are outside the
+    * guard and covered by the single-writer contract. */
   private val liveTailDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def canonical(dir: String): String =

@@ -173,7 +173,6 @@ class ParquetLogMicroBatchStream(
     startSeq: Long = -1L,
     required: StructType = null) extends MicroBatchStream {
 
-  ParquetSliceReader.requireSupported(schema)
   private def out: StructType = if (required == null) schema else required
 
   // file → (minSeq, maxSeq); log files never change once written, so a
@@ -280,7 +279,13 @@ class ParquetLogMicroBatchStream(
             // overlap against sibling partitions
             val gtEff = if (lo == Long.MinValue || lo - 1 < gt) gt else lo - 1
             val lteEff = math.min(lte, hi)
-            Some(ParquetSlicePartition(p, gtEff, lteEff, log.dir))
+            // fullFile: the clip excludes nothing — every row of the
+            // file is in (gt, lte]. These partitions read COLUMNAR (no
+            // per-record filter needed); boundary files that the batch
+            // interval cuts mid-file stay on the row reader.
+            val fullFile = lo != Long.MinValue && hi != Long.MaxValue &&
+              lo - 1 >= gt && hi <= lte
+            Some(ParquetSlicePartition(p, gtEff, lteEff, log.dir, fullFile))
           } else None
         }
         .sortBy(_.gt)
@@ -292,32 +297,65 @@ class ParquetLogMicroBatchStream(
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new ParquetSliceReaderFactory(out, log.seqCol)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // decided on the DRIVER (SQLConf in scope): columnar decode needs
+    // Spark's vectorized reader to support every output type, and the
+    // executor-side parquet interpretation flags must match the session
+    val conf = log.spark.sessionState.conf
+    val vectorizable = conf.parquetVectorizedReaderEnabled &&
+      org.apache.spark.sql.execution.datasources.parquet.ParquetUtils
+        .isBatchReadSupportedForSchema(conf, out)
+    new ParquetSliceReaderFactory(out, log.seqCol, vectorizable,
+      ParquetSliceReader.captureConf(log.spark))
+  }
 }
 
 /** One parquet file's slice of a micro-batch: rows with seq ∈ (gt, lte],
   * where (gt, lte] is already clipped to the file's footer seq range.
   * `dir` is the log root, carried so the reader can re-resolve its
-  * interval if a compaction rewrote the layout after planning. */
-case class ParquetSlicePartition(file: String, gt: Long, lte: Long, dir: String)
-    extends InputPartition
+  * interval if a compaction rewrote the layout after planning.
+  * `fullFile` = the clip excludes no row of the file (the planner proved
+  * it from footer stats) — such partitions decode COLUMNAR. */
+case class ParquetSlicePartition(file: String, gt: Long, lte: Long, dir: String,
+    fullFile: Boolean = false) extends InputPartition
 
-class ParquetSliceReaderFactory(schema: StructType, seqCol: String) extends PartitionReaderFactory {
+class ParquetSliceReaderFactory(schema: StructType, seqCol: String,
+    vectorizable: Boolean = false, confKVs: Map[String, String] = Map.empty)
+    extends PartitionReaderFactory {
+  /** Columnar whenever the schema is vectorizable — the decision must be
+    * UNIFORM across a scan (Spark refuses mixed row/columnar partition
+    * sets), so per-partition shape differences are handled INSIDE the
+    * columnar reader: whole-file partitions pass batches through
+    * untouched, boundary slices range-check (and copy only the straddling
+    * batches). The row reader remains for the rare non-vectorizable
+    * schema. */
+  override def supportColumnarReads(partition: InputPartition): Boolean = vectorizable
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ParquetSlicePartition]
-    new ParquetSliceReader(p, schema, seqCol)
+    new ParquetSliceRowReader(p, schema, seqCol, confKVs)
+  }
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[ParquetSlicePartition]
+    new ParquetSliceColumnarReader(p, schema, seqCol, confKVs)
   }
 }
 
-/** Executor-side parquet decode of one file with a pushed seq-range
-  * filter (row groups skipped by min/max stats, records filtered by the
-  * predicate) — the reader never materializes out-of-range rows — and a
-  * pushed COLUMN PROJECTION: `schema` here is the scan's REQUIRED
-  * output (Spark's pruneColumns), and the parquet read schema is the
-  * file's own MessageType filtered to those columns (+ the seq column,
-  * which the record filter and the defensive range check need), so a
-  * `max(seq)` over a media log never decodes a content byte.
+/** Executor-side ROW decode of one file slice through Spark's own
+  * parquet materializer ([[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport]]
+  * → ParquetRowConverter): a pushed seq-range filter (row groups skipped
+  * by min/max stats, records dropped by the predicate before
+  * materialization), a pushed COLUMN PROJECTION (`schema` is the scan's
+  * REQUIRED output; the parquet requested schema is clipped to it plus
+  * the seq column, so a `max(seq)` over a media log never decodes a
+  * content byte), EVERY Catalyst type Spark can read from parquet (maps,
+  * arrays of structs, nested anything — the same converter batch reads
+  * use), and batch-read SCHEMA-EVOLUTION semantics (a requested column
+  * absent from an old file null-fills instead of throwing).
+  *
+  * Used for the files a batch interval cuts MID-FILE (at most the first
+  * and last of a batch) and for the rare non-vectorizable schema; whole
+  * files decode through [[ParquetSliceColumnarReader]].
   *
   * Compaction resilience: the planned file is the fast path. If a
   * [[graft.core.ParquetLog.compact]] rewrote the log between planning
@@ -326,49 +364,36 @@ class ParquetSliceReaderFactory(schema: StructType, seqCol: String) extends Part
   * CURRENT files. Planned partitions carry disjoint intervals, so the
   * fallback neither duplicates nor drops records, which is what lets a
   * live tail and compaction coexist. */
-class ParquetSliceReader(part: ParquetSlicePartition, schema: StructType, seqCol: String)
-    extends PartitionReader[InternalRow] {
+class ParquetSliceRowReader(part: ParquetSlicePartition, schema: StructType, seqCol: String,
+    confKVs: Map[String, String]) extends PartitionReader[InternalRow] {
   import org.apache.parquet.filter2.compat.FilterCompat
   import org.apache.parquet.filter2.predicate.FilterApi
-  import org.apache.parquet.example.data.Group
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 
   private val pred = FilterApi.and(
     FilterApi.gt(FilterApi.longColumn(seqCol), java.lang.Long.valueOf(part.gt)),
     FilterApi.ltEq(FilterApi.longColumn(seqCol), java.lang.Long.valueOf(part.lte)))
 
-  // physical projection: the required output columns plus the seq column
-  private val physicalNames: Set[String] = schema.fieldNames.toSet + seqCol
+  // requested = output columns (+ seq appended LAST if pruned out: the
+  // record filter and the defensive range check need it)
+  private val requested = ParquetSliceReader.withSeq(schema, seqCol)
+  private val seqIdx = requested.fieldIndex(seqCol)
+  // The materializer's row is REUSED across read() calls; this projection
+  // strips the appended seq column (output fields are a PREFIX of
+  // `requested`) and copies into an UnsafeRow — the same hand-out
+  // contract as Spark's own parquet row path.
+  private val project = UnsafeProjection.create(
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      BoundReference(i, f.dataType, f.nullable): org.apache.spark.sql.catalyst.expressions.Expression
+    }.toIndexedSeq)
 
-  // per-opened-file name→index maps into the PROJECTED group (projection
-  // preserves the file's field order, which may differ from the output's)
-  private var groupIdx: Array[Int] = _
-  private var seqIdx: Int = _
-
-  private def open(path: String): org.apache.parquet.hadoop.ParquetReader[Group] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fileType = {
-      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf))
-      try fr.getFooter.getFileMetaData.getSchema finally fr.close()
-    }
-    import scala.jdk.CollectionConverters._
-    val kept = fileType.getFields.asScala.filter(f => physicalNames.contains(f.getName))
-    val projected = new org.apache.parquet.schema.MessageType(fileType.getName, kept.asJava)
-    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
-    groupIdx = schema.fieldNames.map(projected.getFieldIndex)
-    seqIdx = projected.getFieldIndex(seqCol)
-    org.apache.parquet.hadoop.ParquetReader
-      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), hPath)
-      .withConf(conf)
-      .withFilter(FilterCompat.get(pred))
-      .build()
-  }
+  private def open(path: String): org.apache.parquet.hadoop.ParquetReader[InternalRow] =
+    ParquetSliceReader.openRowReader(path, requested, confKVs, FilterCompat.get(pred))
 
   private var paths: List[String] = List(part.file)
   private var fellBack = false
-  private var reader: org.apache.parquet.hadoop.ParquetReader[Group] = null
-  private var row: Group = _
+  private var reader: org.apache.parquet.hadoop.ParquetReader[InternalRow] = null
+  private var row: InternalRow = _
 
   /** Open the next file, falling back to interval re-resolution exactly
     * once if the planned file vanished under a compaction. A fallback
@@ -394,54 +419,236 @@ class ParquetSliceReader(part: ParquetSlicePartition, schema: StructType, seqCol
     // parquet's record-level filter drops out-of-range rows already; the
     // loop guards against readers configured without record filtering
     while (row != null && {
-      val s = row.getLong(seqIdx, 0); s <= part.gt || s > part.lte
+      val s = row.getLong(seqIdx); s <= part.gt || s > part.lte
     }) row = reader.read()
     if (row == null) { if (advanceReader()) next() else false } else true
   }
 
-  override def get(): InternalRow =
-    InternalRow.fromSeq(schema.fields.indices.map(i =>
-      ParquetSliceReader.readField(row, groupIdx(i), schema.fields(i).dataType)))
+  override def get(): InternalRow = project(row)
 
   override def close(): Unit = if (reader != null) reader.close()
 }
 
+/** Executor-side COLUMNAR decode through Spark's vectorized parquet
+  * reader — the ingestion hot path. A partition whose file lies entirely
+  * inside the batch interval (`fullFile`, proved from footer stats at
+  * plan time — the overwhelmingly common live-tail case, since appends
+  * commit whole files) streams its batches straight out as ColumnarBatch
+  * and feeds whole-stage codegen without a row transition or a single
+  * copy. A BOUNDARY slice (the batch interval cuts the file mid-way, or
+  * a compaction fallback re-resolved onto merged files) reads with the
+  * seq column appended and a row-group filter pushed, then range-checks
+  * each batch: fully-inside batches pass through zero-copy (minus the
+  * appended seq vector), straddling batches copy only their in-range
+  * rows via Spark's RowToColumnConverter. One reader shape for every
+  * partition keeps the scan uniformly columnar (Spark refuses mixed
+  * row/columnar partition sets). */
+class ParquetSliceColumnarReader(part: ParquetSlicePartition, schema: StructType,
+    seqCol: String, confKVs: Map[String, String])
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+  import org.apache.spark.sql.execution.vectorized.{OnHeapColumnVector, WritableColumnVector}
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val withSeq = ParquetSliceReader.withSeq(schema, seqCol)
+  private val seqIdx = withSeq.fieldIndex(seqCol)
+  private val nOut = schema.length
+
+  private var paths: List[String] = List(part.file)
+  // checked mode: the current file may hold out-of-interval rows, so
+  // read `withSeq` and range-check per batch. Off only for the planned
+  // full file; always on after a compaction fallback (merged files).
+  private var checked = !part.fullFile
+  private var fellBack = false
+  private var reader: VectorizedParquetRecordReader = null
+  private var current: ColumnarBatch = null
+  private var copied: Array[OnHeapColumnVector] = null
+
+  private def closeReader(): Unit = if (reader != null) { reader.close(); reader = null }
+  private def releaseCopied(): Unit = if (copied != null) { copied.foreach(_.close()); copied = null }
+
+  private def openNext(): Boolean = paths match {
+    case p :: rest =>
+      paths = rest
+      closeReader()
+      try {
+        val f = new java.io.File(p)
+        if (!f.isFile) throw new java.io.FileNotFoundException(p)
+        reader = ParquetSliceReader.openVectorized(
+          p, f.length(), if (checked) withSeq else schema, confKVs,
+          // boundary slices skip row groups wholly outside the interval
+          rowGroupFilter = if (checked) Some((seqCol, part.gt, part.lte)) else None)
+        true
+      } catch {
+        case _: java.io.FileNotFoundException if !fellBack =>
+          fellBack = true
+          checked = true
+          paths = ParquetSliceReader.resolveInterval(part.dir, seqCol, part.gt, part.lte)
+          openNext()
+      }
+    case Nil => false
+  }
+
+  override def next(): Boolean = {
+    releaseCopied()
+    current = null
+    while (current == null) {
+      if (reader == null && !openNext()) return false
+      if (!reader.nextKeyValue()) closeReader() // loop on to the next file
+      else {
+        val b = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+        if (!checked) current = b // whole file ⊂ interval: pass through
+        else prepareChecked(b)    // sets `current` unless the batch has no in-range row
+      }
+    }
+    true
+  }
+
+  /** Range-check one batch (columns follow `withSeq`): pass through
+    * zero-copy when fully inside the interval, copy the in-range rows
+    * when the file straddles it. */
+  private def prepareChecked(b: ColumnarBatch): Unit = {
+    val n = b.numRows()
+    if (n == 0) return
+    val sv = b.column(seqIdx)
+    var mn = Long.MaxValue; var mx = Long.MinValue
+    var r = 0
+    while (r < n) {
+      val v = sv.getLong(r)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      r += 1
+    }
+    if (mx <= part.gt || mn > part.lte) () // entirely outside: skip
+    else if (mn > part.gt && mx <= part.lte)
+      current = new ColumnarBatch(Array.tabulate[ColumnVector](nOut)(b.column), n)
+    else {
+      // straddling: copy rows in (gt, lte] — the converter is built over
+      // `withSeq` because it appends by ROW ordinal (the seq vector is
+      // filled and then simply not exposed in the emitted batch)
+      val vecs = OnHeapColumnVector.allocateColumns(n, withSeq)
+      val conv = org.apache.spark.sql.execution.graftbridge.RowToColumnarBridge.converter(withSeq)
+      var kept = 0
+      val it = b.rowIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        val s = row.getLong(seqIdx)
+        if (s > part.gt && s <= part.lte) {
+          conv(row, vecs.asInstanceOf[Array[WritableColumnVector]])
+          kept += 1
+        }
+      }
+      if (kept == 0) vecs.foreach(_.close())
+      else {
+        copied = vecs
+        current = new ColumnarBatch(vecs.take(nOut).toArray[ColumnVector], kept)
+      }
+    }
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = current
+
+  override def close(): Unit = { releaseCopied(); closeReader() }
+}
+
 object ParquetSliceReader {
   import org.apache.spark.sql.types._
-  import org.apache.parquet.example.data.Group
-  import org.apache.parquet.schema.LogicalTypeAnnotation
 
-  /** Payload shapes this reader decodes: primitives, STRUCTS of them
-    * (recursively), and ARRAYS of primitives — which covers every graft
-    * log schema (media rows carry a `meta` struct, embedding rows an
-    * `array<float>`). The coverage is LOAD-BEARING, not convenience:
-    * the r15→r17 curator-takedown flake was media logs silently
-    * falling back to the parquet FILE streaming source, whose
-    * file-granular batches can SPLIT one append and deliver its files
-    * out of seq order when the tail polls during the append's commit —
-    * the later-seq file's batch advances the curator cursor, and the
-    * earlier-seq file's batch then reads as a replay and is skipped:
-    * permanent silent record loss. The seq-offset source is immune by
-    * construction (offsets are seq intervals; a batch is exactly its
-    * interval), so every schema a curator tails must decode HERE. A
-    * payload outside these shapes (maps, arrays of structs) still
-    * throws — and its caller must not tail a log it appends to
-    * concurrently. */
-  def requireSupported(schema: StructType): Unit = schema.fields.foreach { f =>
-    def check(name: String, dt: DataType, insideArray: Boolean): Unit = dt match {
-      case LongType | IntegerType | ShortType | ByteType | DoubleType | FloatType |
-           BooleanType | StringType | BinaryType | TimestampType | DateType => ()
-      case st: StructType if !insideArray =>
-        st.fields.foreach(g => check(s"$name.${g.name}", g.dataType, insideArray = false))
-      case ArrayType(et, _) if !insideArray => check(s"$name[]", et, insideArray = true)
-      case other => throw new UnsupportedOperationException(
-        s"seq-offset parquet source supports primitives, structs, and arrays of " +
-          s"primitives; column '$name' is $other — use ParquetLog.readStreamFiles " +
-          "(file streaming source) for such payloads, and never tail a log that " +
-          "is appended concurrently through it (file-granular batches can split " +
-          "an append out of seq order)")
+  /** The session's parquet-interpretation flags, captured at PLAN time on
+    * the driver and mirrored into the executor-side Hadoop conf so the
+    * slice decode matches `spark.read.parquet` bit for bit. (Nested
+    * schema pruning is pinned OFF: the requested schema handed to the
+    * readers IS the projection — Spark's pruneColumns already applied.) */
+  def captureConf(spark: org.apache.spark.sql.SparkSession): Map[String, String] = {
+    val c = spark.sessionState.conf
+    def kv(key: String, default: String): (String, String) = key -> c.getConfString(key, default)
+    Map(
+      kv("spark.sql.caseSensitive", "false"),
+      kv("spark.sql.parquet.binaryAsString", "false"),
+      kv("spark.sql.parquet.int96AsTimestamp", "true"),
+      kv("spark.sql.parquet.inferTimestampNTZ.enabled", "true"),
+      kv("spark.sql.legacy.parquet.nanosAsLong", "false"),
+      kv("spark.sql.parquet.fieldId.read.enabled", "false"),
+      kv("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID),
+      "spark.sql.optimizer.nestedSchemaPruning.enabled" -> "false")
+  }
+
+  /** Output schema + the seq column appended LAST if the projection
+    * pruned it (readers need it for record filtering / range checks; the
+    * output fields staying a PREFIX is what lets the strip projection and
+    * the row-to-columnar copy index by output ordinal). */
+  def withSeq(out: StructType, seqCol: String): StructType =
+    if (out.fieldNames.contains(seqCol)) out
+    else StructType(out.fields :+ StructField(seqCol, LongType, nullable = false))
+
+  private def hadoopConf(confKVs: Map[String, String], requested: StructType)
+      : org.apache.hadoop.conf.Configuration = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    confKVs.foreach { case (k, v) => conf.set(k, v) }
+    conf.set(org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
+      .SPARK_ROW_REQUESTED_SCHEMA, requested.json)
+    // the vectorized base reader instantiates its ReadSupport from conf
+    // (the same registration ParquetFileFormat performs)
+    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
+    conf
+  }
+
+  private def correctedRebase = org.apache.spark.sql.catalyst.util.RebaseDateTime
+    .RebaseSpec(org.apache.spark.sql.internal.LegacyBehaviorPolicy.CORRECTED, None)
+
+  /** Row-materializing reader over Spark's ParquetReadSupport: clipped
+    * projection, null-filled missing columns, full nested-type coverage,
+    * record-level filtering. Rebase mode is CORRECTED on both calendars —
+    * log files are written by THIS engine (Spark 4, proleptic). */
+  def openRowReader(path: String, requested: StructType, confKVs: Map[String, String],
+      filter: org.apache.parquet.filter2.compat.FilterCompat.Filter)
+      : org.apache.parquet.hadoop.ParquetReader[InternalRow] = {
+    val support = new org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport(
+      None, false, correctedRebase, correctedRebase)
+    org.apache.parquet.hadoop.ParquetReader
+      .builder(support, new org.apache.hadoop.fs.Path(path))
+      .withConf(hadoopConf(confKVs, requested))
+      .withFilter(filter)
+      .build()
+  }
+
+  /** Spark's vectorized parquet reader over one whole file, configured
+    * to emit ColumnarBatch in `requested` column order (missing columns
+    * null-fill, same as the batch read path). `rowGroupFilter` pushes a
+    * seq-interval predicate for ROW-GROUP skipping (records cannot be
+    * filtered columnar-side — the caller range-checks batches). */
+  def openVectorized(path: String, length: Long, requested: StructType,
+      confKVs: Map[String, String],
+      rowGroupFilter: Option[(String, Long, Long)] = None)
+      : org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = {
+    val conf = hadoopConf(confKVs, requested)
+    rowGroupFilter.foreach { case (seqCol, gt, lte) =>
+      org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf,
+        org.apache.parquet.filter2.predicate.FilterApi.and(
+          org.apache.parquet.filter2.predicate.FilterApi.gt(
+            org.apache.parquet.filter2.predicate.FilterApi.longColumn(seqCol),
+            java.lang.Long.valueOf(gt)),
+          org.apache.parquet.filter2.predicate.FilterApi.ltEq(
+            org.apache.parquet.filter2.predicate.FilterApi.longColumn(seqCol),
+            java.lang.Long.valueOf(lte))))
     }
-    check(f.name, f.dataType, insideArray = false)
+    // the OLD-API FileSplit (it extends the mapreduce one): Spark's
+    // SpecificParquetRecordReaderBase downcasts to it internally
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new org.apache.hadoop.fs.Path(path), 0, length, Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    val r = new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+    var ok = false
+    try {
+      r.initialize(split, ctx)
+      r.initBatch(new StructType(), InternalRow.empty)
+      r.enableReturningBatches()
+      ok = true
+    } finally if (!ok) r.close()
+    r
   }
 
   /** Re-resolve a seq interval against a log directory's current files —
@@ -524,63 +731,6 @@ object ParquetSliceReader {
     } finally r.close()
   }
 
-  /** Group field → Catalyst internal value (UTF8String / micros / days;
-    * structs recurse to InternalRow, arrays of primitives to
-    * GenericArrayData — the shapes [[requireSupported]] admits). */
-  def readField(g: Group, i: Int, dt: DataType): Any = {
-    if (g.getFieldRepetitionCount(i) == 0) return null
-    dt match {
-      case st: StructType =>
-        val g2 = g.getGroup(i, 0)
-        InternalRow.fromSeq(st.fields.indices.map(j => readField(g2, j, st.fields(j).dataType)))
-      case ArrayType(et, _) =>
-        // Spark's standard 3-level LIST: group (LIST) { repeated group
-        // list { optional element } } — walk the repeated inner group
-        val lst = g.getGroup(i, 0)
-        val n = lst.getFieldRepetitionCount(0)
-        val arr = new Array[Any](n)
-        var k = 0
-        while (k < n) {
-          arr(k) = readField(lst.getGroup(0, k), 0, et)
-          k += 1
-        }
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
-      case LongType    => g.getLong(i, 0)
-      case IntegerType => g.getInteger(i, 0)
-      case ShortType   => g.getInteger(i, 0).toShort
-      case ByteType    => g.getInteger(i, 0).toByte
-      case DoubleType  => g.getDouble(i, 0)
-      case FloatType   => g.getFloat(i, 0)
-      case BooleanType => g.getBoolean(i, 0)
-      case StringType  => org.apache.spark.unsafe.types.UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
-      case BinaryType  => g.getBinary(i, 0).getBytes
-      case DateType    => g.getInteger(i, 0)
-      case TimestampType =>
-        // Spark internal timestamps are micros since epoch. Spark writes
-        // INT96 (Julian day + nanos-of-day) by default; INT64 carries a
-        // logical unit annotation.
-        val pt = g.getType.getType(i).asPrimitiveType()
-        if (pt.getPrimitiveTypeName == org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96) {
-          val bytes = g.getInt96(i, 0).getBytes // 8B nanos-of-day LE + 4B julian day LE
-          val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          val nanosOfDay = buf.getLong
-          val julianDay = buf.getInt
-          (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
-        } else {
-          val v = g.getLong(i, 0)
-          g.getType.getType(i).getLogicalTypeAnnotation match {
-            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-              t.getUnit match {
-                case LogicalTypeAnnotation.TimeUnit.MILLIS => v * 1000L
-                case LogicalTypeAnnotation.TimeUnit.MICROS => v
-                case LogicalTypeAnnotation.TimeUnit.NANOS  => v / 1000L
-              }
-            case _ => v
-          }
-        }
-      case other => throw new UnsupportedOperationException(s"unsupported type $other")
-    }
-  }
 }
 
 case class LogInputPartition(rows: Array[InternalRow]) extends InputPartition

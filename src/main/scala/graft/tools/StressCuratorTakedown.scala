@@ -66,7 +66,7 @@ object StressCuratorTakedown {
       cur.awaitParity()
       require(curLog.read.where(col("media_id") === 3L).count() == 1L, "3 not curated")
       Retraction.retract(curLog, "media_id", Seq(3L),
-        (ids: Seq[Long]) => phView.retractWhere(col("media_id").isin(ids: _*)),
+        (ids: org.apache.spark.sql.DataFrame) => phView.retractIds(ids, "media_id"),
         java.nio.file.Paths.get(t("stress-mret-i"), "_intent").toString)
       require(curLog.read.where(col("media_id") === 3L).count() == 0L, "3 still in log")
       require(phView.hashes.where(col("media_id") === 3L).count() == 0L, "3 still in store")

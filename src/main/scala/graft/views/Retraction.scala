@@ -45,19 +45,22 @@ object Retraction {
   /** Take down `ids` (the log's `idCol` values) across the family.
     * Order: intent durable → log rewrite → feature rewrite → intent
     * cleared. Returns the number of log rows removed. Convenience form
-    * for driver-scale lists; a takedown batch beyond driver scale uses
-    * the DataFrame overload. */
+    * for driver-scale lists — the intent travels inline (comma-joined)
+    * instead of as a parquet sidecar — but the EXECUTION is the same
+    * join path as the batch overload end to end: the feature callback
+    * receives the ids as a DataFrame, so no caller ever builds an
+    * `isin` literal that would stop scaling past driver-sized lists
+    * (the r15 rule: id lists stay DataFrames in every takedown plan). */
   def retract(
       log: ParquetLog,
       idCol: String,
       ids: Seq[Long],
-      retractFeatures: Seq[Long] => Unit,
+      retractFeatures: DataFrame => Unit,
       intentFile: String): Long = {
     writeIntent(intentFile, ids.mkString(","))
-    // even the small form retracts via the id JOIN (one plan shape for
-    // both arms; an isin literal is never built)
-    val removed = log.retractIds(seqToDf(log.spark, idCol, ids), idCol)
-    retractFeatures(ids)
+    val idsDf = seqToDf(log.spark, idCol, ids)
+    val removed = log.retractIds(idsDf, idCol)
+    retractFeatures(idsDf)
     Files.delete(Paths.get(intentFile))
     removed
   }

@@ -755,6 +755,121 @@ class FlumeDbSpec extends SparkSpec {
     assert(fired.size === 3, "an unsubscribed hook stays silent")
   }
 
+  test("durable takedown hooks: a deferred frame stays usable; a throwing hook cannot latch the intent") {
+    import java.nio.file.{Files, Paths}
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val dirLog = tmp("graft-hookd-log")
+    val log = new ParquetLog(spark, dirLog, schema)
+    val db = new FlumeDb(log)
+    db.append(fooDf(10L, 20L, 30L, 40L))
+    // DEFERRED evaluation: the documented use is intersecting removed
+    // seqs with training lineage, possibly after the call returns — by
+    // then the durable .seqs parquet beside the intent is deleted, so
+    // the hook frame must not read through it
+    var deferred: Option[DataFrame] = None
+    val unsub = db.onRetract(seqs => deferred = Some(seqs))
+    val i1 = Paths.get(tmp("graft-hookd-i1"), "_i").toString
+    assert(db.retract(col("foo") === 20L, i1) === 1L)
+    assert(!Files.exists(Paths.get(i1 + ".seqs")), "precondition: the durable list is gone")
+    assert(deferred.get.collect().map(_.getLong(0)).toSeq === Seq(1L),
+      "the hook frame evaluates after the durable copy left")
+    unsub()
+    // A THROWING hook surfaces to the caller but must not latch the
+    // intent: the erasure itself completed, and an open intent would
+    // refuse every future takedown until deleted by hand
+    val unsub2 = db.onRetract(_ => throw new RuntimeException("hook boom"))
+    val i2 = Paths.get(tmp("graft-hookd-i2"), "_i").toString
+    val e = intercept[RuntimeException](db.retract(col("foo") === 30L, i2))
+    assert(e.getMessage === "hook boom")
+    assert(!Files.exists(Paths.get(i2)), "the completed intent cleared despite the hook")
+    assert(log.read.count() === 2L, "the takedown itself completed")
+    unsub2()
+    // the id-list durable arm gives the same contract
+    var deferred2: Option[DataFrame] = None
+    db.onRetract(seqs => deferred2 = Some(seqs))
+    val ids = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(40L))),
+      StructType(Seq(StructField("foo", LongType))))
+    val i3 = Paths.get(tmp("graft-hookd-i3"), "_i").toString
+    assert(db.retractIds(ids, "foo", i3) === 1L)
+    assert(deferred2.get.collect().map(_.getLong(0)).toSeq === Seq(3L))
+    // and a REPLAYED crash window fires the hook (the crashed pass never
+    // did) — the completion signal derived-model holders wait on
+    var replayFired: Option[Seq[Long]] = None
+    db.onRetract(seqs => replayFired = Some(seqs.collect().map(_.getLong(0)).toSeq))
+    val i4 = Paths.get(tmp("graft-hookd-i4"), "_i").toString
+    log.read.where(col("foo") === 10L).select("seq").write.parquet(i4 + ".seqs")
+    Files.writeString(Paths.get(i4), "@seqs")
+    assert(db.recoverRetract(i4))
+    assert(replayFired === Some(Seq(0L)), "replay fires the removed seq set")
+  }
+
+  test("onRetract drives a k-means refit — the hook payload suffices for a derived-model consumer") {
+    import java.nio.file.{Files, Paths}
+    // The worked example the retrain policy promises: a pipeline holds a
+    // KMeans model trained on a log snapshot; the hook's removed-seq set
+    // intersected with the training lineage decides whether to refit.
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val dir = Files.createTempDirectory("graft-hookkm").toString
+    val log = new ParquetLog(spark, dir, embSchema)
+    val db = new FlumeDb(log)
+    def vec(seed: Long): Seq[Float] = Seq.tabulate(4)(i => ((seed * 31 + i * 7) % 13).toFloat)
+    db.append(spark.createDataFrame(
+      spark.sparkContext.parallelize((0L until 12L).map(i => Row(i, vec(i))), 2),
+      embSchema))
+    var trainedThrough = log.since // lineage: the cursor the snapshot covered
+    var model = graft.ops.KMeans.fit(log.read, k = 3, iters = 2)
+    var refits = 0
+    val unsub = db.onRetract { removed =>
+      // seq-set ∩ lineage — the decision the hook exists to enable
+      if (removed.where(col("seq") <= trainedThrough).limit(1).count() > 0) {
+        model = graft.ops.KMeans.fit(log.read, k = 3, iters = 2)
+        trainedThrough = log.since
+        refits += 1
+      }
+    }
+    // vec_id 1 is one of the k lowest-id SEED vectors: the refit must
+    // both fire and move the model
+    val before = model
+    assert(db.retract(col("vec_id") === 1L) === 1L)
+    assert(refits === 1, "a takedown intersecting the lineage refits exactly once")
+    assert(model !== before, "removing a seed vector must move the model")
+    // deterministic replay: the hook-driven refit equals a from-scratch
+    // fit over the surviving corpus
+    assert(model === graft.ops.KMeans.fit(log.read, k = 3, iters = 2))
+    // RETENTION does not fire the hook (aging out is not an erasure)
+    db.expire(2L)
+    assert(refits === 1, "expire must not trigger a retrain")
+    // a takedown with NO lineage overlap fires the hook but not a refit
+    db.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(99L, vec(99L))), 1), embSchema))
+    assert(db.retract(col("vec_id") === 99L) === 1L)
+    assert(refits === 1, "post-lineage rows do not invalidate the model")
+    unsub()
+  }
+
+  test("enqueueRetractWhere refuses a predicate over a nonexistent column at ACCEPT, not at drain") {
+    import java.nio.file.{Files, Paths}
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val log = new ParquetLog(spark, tmp("graft-qsem-log"), schema)
+    val db = new FlumeDb(log)
+    db.append(fooDf(10L, 20L, 30L))
+    val queue = tmp("graft-qsem-q") + "/queue"
+    // parseable but semantically wrong (a typo'd column): before the
+    // accept-time resolution this enqueued durably and then threw inside
+    // EVERY drain and open-time recovery — blocking valid erasure
+    // requests queued behind it until the marker was deleted by hand
+    intercept[Exception](db.enqueueRetractWhere("fooo = 20", queue))
+    assert(!Files.exists(Paths.get(queue)) || Files.list(Paths.get(queue)).count() === 0L,
+      "a semantic refusal leaves nothing durable")
+    // the queue stays fully operational for valid requests
+    assert(db.enqueueRetractWhere("foo = 20", queue) === 1)
+    assert(db.drainRetractQueue(queue) === 1L)
+    assert(log.read.select("foo").collect().map(_.getLong(0)).toSet === Set(10L, 30L))
+  }
+
   test("db-level EVENT-TIME retention: expireOlderThan orchestrates views at the derived horizon") {
     import java.nio.file.Files
     def tmp(p: String) = Files.createTempDirectory(p).toString
@@ -938,17 +1053,20 @@ class FlumeDbSpec extends SparkSpec {
     val log = new ParquetLog(spark, dirLog, schema)
     log.append(fooDf(10L, 20L))
     val db = new FlumeDb(log)
-    // simulate a file-granular live tail on the log dir: every rewrite
-    // (and the probe) must refuse
-    ParquetLog.markLiveTail(dirLog)
-    intercept[IllegalStateException](log.probeRewriteFence("probe"))
-    intercept[IllegalStateException](db.retract(col("foo") === 10L, intent))
-    assert(!Files.exists(Paths.get(intent)),
-      "nothing was mutated — the refusal must not latch an open intent")
-    assert(!Files.exists(Paths.get(intent + ".seqs")))
-    intercept[IllegalStateException](db.expire(0L, intent))
-    assert(!Files.exists(Paths.get(intent)))
-    assert(!db.recoverRetract(intent), "no window was ever opened")
+    // simulate a planned-but-uncommitted micro-batch on the live tail
+    // (the one tail state a rewrite must wait out): every rewrite (and
+    // the probe) must refuse
+    log.inflightTailBatches.add("tail-z")
+    try {
+      intercept[IllegalStateException](log.probeRewriteFence("probe"))
+      intercept[IllegalStateException](db.retract(col("foo") === 10L, intent))
+      assert(!Files.exists(Paths.get(intent)),
+        "nothing was mutated — the refusal must not latch an open intent")
+      assert(!Files.exists(Paths.get(intent + ".seqs")))
+      intercept[IllegalStateException](db.expire(0L, intent))
+      assert(!Files.exists(Paths.get(intent)))
+      assert(!db.recoverRetract(intent), "no window was ever opened")
+    } finally log.inflightTailBatches.remove("tail-z")
   }
 
   test("a zero-match durable takedown skips the view pass but clears the intent") {

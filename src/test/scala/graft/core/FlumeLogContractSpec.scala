@@ -199,9 +199,14 @@ class BucketedParquetLogSpec extends FlumeLogContract {
   test("expire fences live tails like retract") {
     val log = mkLog().asInstanceOf[ParquetLog]
     log.appendRows(rows(1L, 2L))
-    log.readStreamFiles
+    // a planned-but-uncommitted micro-batch (the only tail state a
+    // rewrite must wait out now that every tail rides the seq-offset
+    // source) makes the rewrite refuse rather than invalidate readers
+    log.inflightTailBatches.add("tail-x")
     val e = intercept[IllegalStateException](log.expire(0L))
-    assert(e.getMessage.startsWith("expire:") && e.getMessage.contains("file-granular"))
+    assert(e.getMessage.startsWith("expire:") && e.getMessage.contains("micro-batch"))
+    log.inflightTailBatches.remove("tail-x")
+    assert(log.expire(0L) === 1L, "the fence lifts when the batch commits")
   }
 }
 
@@ -354,19 +359,17 @@ class ParquetLogSpec extends FlumeLogContract {
     assert(reopened.read.count() === 2L, "compact discards the abandoned rewrite, not the data")
   }
 
-  test("compact fences the file-granular tail only; the seq-offset tail is compact-safe") {
+  test("compact coexists with the seq-offset tail (no file-granular fence remains)") {
     val log = mkLog().asInstanceOf[ParquetLog]
     log.appendRows(rows(1L, 2L, 3L))
-    log.readStream // DEFAULT tail: seq-offset source, plans by seq intervals
-    log.compact()  // ...so compaction proceeds
+    log.readStream // the ONLY tail: seq-offset source, plans by seq intervals
+    log.compact()  // ...so compaction proceeds (readers re-resolve intervals)
     assert(log.read.count() === 3L)
-    log.readStreamFiles // file source tracks processed files by name → fence
-    val e = intercept[IllegalStateException](log.compact())
-    assert(e.getMessage.contains("file-granular"))
-    // the guard is per-directory, not per-instance: a fresh handle on the
-    // same dir must refuse too (the running stream doesn't know about it)
+    // a fresh handle on the same dir compacts too — there is no sticky
+    // per-directory file-tail guard left to trip
     val second = new ParquetLog(spark, log.dir, payloadSchema)
-    intercept[IllegalStateException](second.compact())
+    second.compact()
+    assert(second.read.count() === 3L)
   }
 }
 
@@ -670,10 +673,11 @@ class BucketStatsPruningSpec extends SparkSpec {
     val logT = new ParquetLog(spark, dirT, tsSchema, bucketSize = 100L,
       statsColumns = Seq("ts_ms"))
     logT.append(spark.range(10L).select((col("id") * 10L).as("ts_ms"), col("id").as("v")))
-    logT.readStreamFiles // marks the file-granular tail
+    logT.inflightTailBatches.add("tail-y") // a planned-but-uncommitted micro-batch
     val e = intercept[IllegalStateException](logT.expireOlderThan("ts_ms", 1000L))
     assert(e.getMessage.contains("live tail"))
     assert(logT.read.count() === 10L, "a fence refusal mutates nothing")
+    logT.inflightTailBatches.remove("tail-y")
   }
 
   test("stats merge across appends widens ranges; seq-column pruning rides directory names") {
@@ -691,5 +695,46 @@ class BucketStatsPruningSpec extends SparkSpec {
     // stats entry for it (the retention freebie on the retract path)
     assert(log.retract(col("seq") >= 19L) === 1L)
     assert(log.read.count() === 17L)
+  }
+
+  test("empty-string stats values survive reopen (non-empty manifest tokens)") {
+    // "" is a legal column value, and before the '=' token marker the
+    // manifest line for a bucket whose min was "" serialized with an
+    // EMPTY token — whitespace-collapsed into the 4-token legacy form,
+    // 'S'.toLong threw, and the entry was silently dropped: the bucket
+    // permanently lost pruning. Poisoned-bucket proof: after reopen, a
+    // provably-outside retract must still prune bucket 0.
+    val strSchema = StructType(Seq(
+      StructField("url", StringType), StructField("v", LongType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bstats-e").toString
+    val log = new ParquetLog(spark, dir, strSchema, bucketSize = 4L,
+      statsColumns = Seq("url"))
+    log.append(spark.range(8L).select(
+      when(col("id") === 0L, lit("")).otherwise(concat(lit("k"), col("id"))).as("url"),
+      col("id").as("v"))) // bucket 0 range ["", "k3"], bucket 1 ["k4", "k7"]
+    val log2 = new ParquetLog(spark, dir, strSchema, bucketSize = 4L,
+      statsColumns = Seq("url"))
+    val poison = new java.io.File(dir, "seq_bucket=0/part-poison.parquet")
+    java.nio.file.Files.writeString(poison.toPath, "not parquet")
+    assert(log2.retract(col("url") === "zzz") === 0L,
+      "bucket 0's entry survived reopen: the outside match never reads it")
+    java.nio.file.Files.delete(poison.toPath)
+    assert(log2.retract(col("url") === "") === 1L, "empty string still matches")
+    assert(log2.read.count() === 7L)
+    // legacy bare-token manifest lines (pre-marker) still parse
+    val dirL = java.nio.file.Files.createTempDirectory("graft-bstats-l").toString
+    val logL = new ParquetLog(spark, dirL, strSchema, bucketSize = 4L,
+      statsColumns = Seq("url"))
+    logL.append(spark.range(4L).select(concat(lit("m"), col("id")).as("url"),
+      col("id").as("v")))
+    val mf = new java.io.File(dirL, "_graft_stats")
+    java.nio.file.Files.writeString(mf.toPath, "0 url S m0 m3") // r17 form, no '='
+    val logL2 = new ParquetLog(spark, dirL, strSchema, bucketSize = 4L,
+      statsColumns = Seq("url"))
+    val poisonL = new java.io.File(dirL, "seq_bucket=0/part-poison.parquet")
+    java.nio.file.Files.writeString(poisonL.toPath, "not parquet")
+    assert(logL2.retract(col("url") === "zzz") === 0L, "legacy tokens still prune")
+    java.nio.file.Files.delete(poisonL.toPath)
+    assert(logL2.retract(col("url") === "m2") === 1L)
   }
 }

@@ -151,8 +151,9 @@ class StreamingSpec extends SparkSpec {
     plog.compact()
     assert(parts.exists(p => !new java.io.File(p.file).exists()),
       "compact must have replaced the planned files for this test to bite")
+    val kvs = ParquetSliceReader.captureConf(spark)
     val got = parts.flatMap { p =>
-      val r = new ParquetSliceReader(p, plog.read.schema, "seq")
+      val r = new ParquetSliceRowReader(p, plog.read.schema, "seq", kvs)
       try {
         val buf = scala.collection.mutable.Buffer[Long]()
         while (r.next()) buf += r.get().getLong(0)
@@ -161,6 +162,23 @@ class StreamingSpec extends SparkSpec {
     }
     assert(got.sorted.toSeq === Seq(0L, 1L, 2L, 3L),
       s"fallback must re-read each partition's exact interval, got ${got.sorted.toSeq}")
+    // the COLUMNAR reader takes the same fallback: re-resolved files may
+    // merge ranges beyond a partition's share, so straddling batches
+    // copy only their in-range rows — the union must still tile exactly
+    val gotCol = parts.flatMap { p =>
+      val r = new ParquetSliceColumnarReader(p, plog.read.schema, "seq", kvs)
+      try {
+        val buf = scala.collection.mutable.Buffer[Long]()
+        while (r.next()) {
+          val b = r.get()
+          val it = b.rowIterator()
+          while (it.hasNext) buf += it.next().getLong(0)
+        }
+        buf
+      } finally r.close()
+    }
+    assert(gotCol.sorted.toSeq === Seq(0L, 1L, 2L, 3L),
+      s"columnar fallback must re-read each partition's exact interval, got ${gotCol.sorted.toSeq}")
   }
 
   test("durable tail restart from checkpoint is record-precise (delta only)") {
@@ -580,17 +598,27 @@ class StreamingSpec extends SparkSpec {
     val logDir = java.nio.file.Files.createTempDirectory("graft-ntypes").toString
     val metaT = StructType(Seq(
       StructField("w", IntegerType), StructField("h", IntegerType),
-      StructField("mime", StringType)))
+      StructField("mime", StringType), StructField("taken", TimestampType)))
+    val spanT = StructType(Seq(
+      StructField("s", IntegerType), StructField("e", IntegerType)))
+    // every nested shape a payload can carry — structs (with a nested
+    // INT96 timestamp), arrays of primitives, MAPS, and ARRAYS OF
+    // STRUCTS all ride the ordered seq-offset source now (the pre-r18
+    // slice reader rejected the last two and silently fell back to the
+    // file source — the r15→r17 record-loss mode)
     val nSchema = StructType(Seq(
       StructField("content", BinaryType), StructField("meta", metaT),
-      StructField("emb", ArrayType(FloatType))))
+      StructField("emb", ArrayType(FloatType)),
+      StructField("tags", MapType(StringType, IntegerType)),
+      StructField("spans", ArrayType(spanT))))
+    val t0 = new java.sql.Timestamp(1700000000000L)
     val plog = new ParquetLog(spark, logDir, nSchema)
     plog.appendRows(Seq(
-      Row(Array[Byte](9, 8), Row(4, 3, "image/png"), Seq(1.5f, -2.25f)),
-      Row(null, Row(1, 2, null), Seq.empty[Float]),
-      Row(Array[Byte](7), null, null)))
-    // the media/embedding shapes must plan through the seq-offset
-    // source, not the file source
+      Row(Array[Byte](9, 8), Row(4, 3, "image/png", t0), Seq(1.5f, -2.25f),
+        Map("a" -> 1, "b" -> 2), Seq(Row(0, 4), Row(7, 9))),
+      Row(null, Row(1, 2, null, null), Seq.empty[Float], Map.empty[String, Int],
+        Seq.empty[Row]),
+      Row(Array[Byte](7), null, null, null, null)))
     val q = plog.readStream.writeStream
       .format("memory").queryName("ntypes_test").outputMode(OutputMode.Append()).start()
     try {
@@ -598,15 +626,52 @@ class StreamingSpec extends SparkSpec {
       val rows = spark.sql("SELECT * FROM ntypes_test ORDER BY seq").collect()
       assert(rows.length === 3)
       assert(rows(0).getAs[Array[Byte]]("content").toSeq === Seq[Byte](9, 8))
-      assert(rows(0).getStruct(2) === Row(4, 3, "image/png"))
+      assert(rows(0).getStruct(2) === Row(4, 3, "image/png", t0))
       assert(rows(0).getSeq[Float](3) === Seq(1.5f, -2.25f))
-      assert(rows(1).isNullAt(1) && rows(1).getStruct(2) === Row(1, 2, null))
+      assert(rows(0).getMap[String, Int](4) === Map("a" -> 1, "b" -> 2))
+      assert(rows(0).getSeq[Row](5) === Seq(Row(0, 4), Row(7, 9)))
+      assert(rows(1).isNullAt(1) && rows(1).getStruct(2) === Row(1, 2, null, null))
       assert(rows(1).getSeq[Float](3) === Seq.empty[Float])
-      assert(rows(2).isNullAt(2) && rows(2).isNullAt(3))
-      // and the real media schema is slice-reader supported (no fallback)
-      graft.streaming.ParquetSliceReader.requireSupported(
-        StructType(StructField("seq", LongType, nullable = false) +:
-          graft.ops.Multimodal.mediaSchema.fields))
+      assert(rows(1).getMap[String, Int](4) === Map.empty[String, Int])
+      assert(rows(1).getSeq[Row](5) === Seq.empty[Row])
+      assert(rows(2).isNullAt(2) && rows(2).isNullAt(3) &&
+        rows(2).isNullAt(4) && rows(2).isNullAt(5))
+    } finally q.stop()
+  }
+
+  test("live tail null-fills columns added after old files were written (schema evolution)") {
+    // batch reads null-fill absent columns via spark.read.schema(full);
+    // the tail must match — a log whose schema gained a column across a
+    // reopen used to THROW in the slice reader's projection when the
+    // stream crossed a pre-upgrade file
+    val logDir = java.nio.file.Files.createTempDirectory("graft-sevol").toString
+    val v1 = StructType(Seq(StructField("body", StringType)))
+    val log1 = new ParquetLog(spark, logDir, v1)
+    log1.appendRows(Seq(Row("old-a"), Row("old-b")))
+    // reopen with an ADDED column (and a nested added struct) — the old
+    // files on disk lack both
+    val v2 = StructType(Seq(
+      StructField("body", StringType), StructField("lang", StringType),
+      StructField("meta", StructType(Seq(StructField("score", DoubleType))))))
+    val log2 = new ParquetLog(spark, logDir, v2)
+    log2.appendRows(Seq(Row("new-c", "en", Row(0.5))))
+    assert(log2.read.count() === 3L, "precondition: batch read spans both file vintages")
+    val q = log2.readStream.writeStream
+      .format("memory").queryName("sevol_test").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // one more append AFTER the tail started: old and new vintages
+      // flow through the live path, not just the initial catch-up
+      log2.appendRows(Seq(Row("new-d", "fr", Row(1.5))))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM sevol_test ORDER BY seq").collect()
+      assert(rows.length === 4)
+      assert(rows(0).getString(1) === "old-a" && rows(0).isNullAt(2) && rows(0).isNullAt(3))
+      assert(rows(1).getString(1) === "old-b" && rows(1).isNullAt(2) && rows(1).isNullAt(3))
+      assert(rows(2).getString(1) === "new-c" && rows(2).getString(2) === "en" &&
+        rows(2).getStruct(3) === Row(0.5))
+      assert(rows(3).getString(1) === "new-d" && rows(3).getString(2) === "fr" &&
+        rows(3).getStruct(3) === Row(1.5))
     } finally q.stop()
   }
 
@@ -1363,7 +1428,7 @@ class StreamingSpec extends SparkSpec {
       assert(curLog.read.where(col("media_id") === 3L).count() === 1L)
       // takedown image 3 at a batch boundary through the family path
       Retraction.retract(curLog, "media_id", Seq(3L),
-        (ids: Seq[Long]) => phView.retractWhere(col("media_id").isin(ids: _*)),
+        (ids: org.apache.spark.sql.DataFrame) => phView.retractIds(ids, "media_id"),
         java.nio.file.Paths.get(tmp("graft-mret-i"), "_intent").toString)
       assert(curLog.read.where(col("media_id") === 3L).count() === 0L,
         "the retracted image left the curated log")
@@ -1447,7 +1512,7 @@ class StreamingSpec extends SparkSpec {
       assert(curated1 === Set(0L, 3L, 6L, 9L, 12L), s"got $curated1")
       // mid-stream takedown at a parity boundary, then more rapid appends
       Retraction.retract(curLog, "media_id", Seq(6L),
-        (ids: Seq[Long]) => phView.retractWhere(col("media_id").isin(ids: _*)),
+        (ids: org.apache.spark.sql.DataFrame) => phView.retractIds(ids, "media_id"),
         java.nio.file.Paths.get(tmp("graft-skip-i"), "_intent").toString)
       srcLog.append(Multimodal.syntheticTexturePngMedia(
         docs.where(col("doc_id") === 6L), idOffset = 1000L)) // re-upload of retracted

@@ -1102,7 +1102,7 @@ class PersistenceSpec extends SparkSpec {
     // destroy its durable id list)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(intent), "3")
     intercept[IllegalStateException] {
-      Retraction.retract(log, "doc_id", Seq(5L), (_: Seq[Long]) => (), intent)
+      Retraction.retract(log, "doc_id", Seq(5L), (_: org.apache.spark.sql.DataFrame) => (), intent)
     }
     intercept[IllegalStateException] {
       Retraction.retract(log, "doc_id", Seq(5L).toDF("doc_id"),
@@ -1112,7 +1112,8 @@ class PersistenceSpec extends SparkSpec {
     // after recovery the path is clear
     Retraction.recover(log, "doc_id", (_: Seq[Long]) => (), intent)
     assert(log.read.where(col("doc_id") === 3L).count() === 0L)
-    assert(Retraction.retract(log, "doc_id", Seq(5L), (_: Seq[Long]) => (), intent) === 1L)
+    assert(Retraction.retract(log, "doc_id", Seq(5L),
+      (_: org.apache.spark.sql.DataFrame) => (), intent) === 1L)
   }
 
   test("GramTableView: a pre-attribution (g)-only store rebuilds at open (schema epoch)") {
