@@ -45,7 +45,7 @@ private[graft] object CoreQueries {
         min("seq").as("min_seq"))
         .orderBy("event_type")
         .localCheckpoint(true)
-      EntryHelpers.deleteTree(tmp)
+      EntryHelpers.deleteTreeAsync(tmp)
       out
     }),
     "q_retract_pruned" -> ((s, dir) => {
@@ -70,7 +70,7 @@ private[graft] object CoreQueries {
         round(sum("value"), 4).as("sum_value"))
         .orderBy("event_type")
         .localCheckpoint(true)
-      EntryHelpers.deleteTree(tmp)
+      EntryHelpers.deleteTreeAsync(tmp)
       out
     }),
     "q_db_retract_keyed" -> ((s, dir) => {
@@ -120,7 +120,7 @@ private[graft] object CoreQueries {
         min("seq").as("min_seq"))
         .orderBy("event_type")
         .localCheckpoint(true)
-      EntryHelpers.deleteTree(tmp)
+      EntryHelpers.deleteTreeAsync(tmp)
       out
     }),
     "q_retract_pruned_str" -> ((s, dir) => {
@@ -144,7 +144,7 @@ private[graft] object CoreQueries {
         round(sum("value"), 4).as("sum_value"))
         .orderBy("event_type")
         .localCheckpoint(true)
-      EntryHelpers.deleteTree(tmp)
+      EntryHelpers.deleteTreeAsync(tmp)
       out
     }),
     "q_db_retract" -> ((s, dir) => {
@@ -174,8 +174,8 @@ private[graft] object CoreQueries {
       // throwaway log/index before returning
       val nRows = log.read.count()
       db.close()
-      EntryHelpers.deleteTree(tmpLog)
-      EntryHelpers.deleteTree(tmpIdx)
+      EntryHelpers.deleteTreeAsync(tmpLog)
+      EntryHelpers.deleteTreeAsync(tmpIdx)
       Seq((nRows, clicks, round4(sumV), cnt))
         .toDF("n_rows", "click_postings", "sum_value", "value_cnt")
     }),

@@ -203,7 +203,7 @@ private[graft] object MultimodalQueries {
         sum(when(col("media_id") >= 90000 && (col("media_id") - 90000) % 10 === 8, 1L).otherwise(0L))
           .as("reingest_of_kept"))
         .localCheckpoint(true)
-      Seq(logDir, gramDir, intentDir).foreach(EntryHelpers.deleteTree)
+      Seq(logDir, gramDir, intentDir).foreach(EntryHelpers.deleteTreeAsync)
       out
     }),
     "q_video_neardup" -> ((s, dir) => {

@@ -48,7 +48,7 @@ private[graft] object StreamingQueries {
         max("doc_id").as("max_id"),
         sum(when(col("doc_id") >= 10000, 1L).otherwise(0L)).as("perturbed_kept"))
         .localCheckpoint(true)
-      dirs.foreach(EntryHelpers.deleteTree)
+      dirs.foreach(EntryHelpers.deleteTreeAsync)
       out
     }),
     "q_stream_curate_retract" -> ((s, dir) => {
@@ -98,7 +98,7 @@ private[graft] object StreamingQueries {
         sum(when(col("doc_id") >= 50000 && (col("doc_id") - 50000) % 10 === 8, 1L).otherwise(0L))
           .as("reingest_of_kept"))
         .localCheckpoint(true)
-      dirs.foreach(EntryHelpers.deleteTree)
+      dirs.foreach(EntryHelpers.deleteTreeAsync)
       out
     }),
     "q_stream_curate_media" -> ((s, dir) => {
@@ -132,7 +132,7 @@ private[graft] object StreamingQueries {
         max("media_id").as("max_id"),
         sum(when(col("media_id") >= 60000, 1L).otherwise(0L)).as("copies_kept"))
         .localCheckpoint(true)
-      dirs.foreach(EntryHelpers.deleteTree)
+      dirs.foreach(EntryHelpers.deleteTreeAsync)
       out
     }),
     "q_stream_curate_embed" -> ((s, dir) => {
@@ -173,7 +173,7 @@ private[graft] object StreamingQueries {
         max("vec_id").as("max_id"),
         sum(when(col("vec_id") >= 10000, 1L).otherwise(0L)).as("copies_kept"))
         .localCheckpoint(true)
-      dirs.foreach(EntryHelpers.deleteTree)
+      dirs.foreach(EntryHelpers.deleteTreeAsync)
       out
     }),
     "q_stream_static_join" -> ((s, dir) => {
@@ -441,7 +441,7 @@ private[graft] object StreamingQueries {
           col("stage"))
         .orderBy("user_id")
         .localCheckpoint(true)
-      EntryHelpers.deleteTree(outRoot)
+      EntryHelpers.deleteTreeAsync(outRoot)
       res
     }),
     "q_stream_funnel_windowed" -> ((s, dir) => {

@@ -105,7 +105,7 @@ private[graft] object TextQueries {
         sum(when(col("doc_id") >= 50000 && (col("doc_id") - 50000) % 10 === 8, 1L).otherwise(0L))
           .as("reingest_of_kept"))
         .localCheckpoint(true)
-      Seq(logDir, sigDir, intentDir).foreach(EntryHelpers.deleteTree)
+      Seq(logDir, sigDir, intentDir).foreach(EntryHelpers.deleteTreeAsync)
       out
     }),
     "q_dedup_exact" -> ((s, dir) =>
