@@ -15,9 +15,12 @@ import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 
 /** In-JVM registry handing logs to the streaming source (local mode: the
-  * driver and executors share the JVM; a cluster deployment would use the
-  * parquet-directory log with the file streaming source instead — this
-  * source exists to give MEMORY logs flume's record-granular live tail). */
+  * driver and executors share the JVM). Every log backend tails through
+  * this source — it is THE live tail, not a convenience: offsets are
+  * exact seq intervals, which no file-granular source can provide. At
+  * cluster scale the registry's role (resolving a table name to log
+  * metadata at plan time) is played by a catalog/manifest lookup; the
+  * partition/reader shapes are unchanged. */
 object LogStreamRegistry {
   private val logs = TrieMap.empty[String, FlumeLog]
   private val ids = new AtomicLong()

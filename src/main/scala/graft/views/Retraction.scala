@@ -96,21 +96,11 @@ object Retraction {
   /** Close an interrupted takedown window: if an intent survives, both
     * halves re-run (idempotent) and the intent clears. Call at family
     * open, before serving reads. Returns the retracted ids (empty when
-    * no window was open). The DataFrame-features callback serves both
-    * forms; small-list intents are replayed through the same join path. */
+    * no window was open; `Seq(-1L)` for a batch-form window, whose ids
+    * are never driver-enumerated). Like the retract arms, the feature
+    * callback receives the id list as a DataFrame whichever form the
+    * intent took — no replay path collects or builds an isin literal. */
   def recover(
-      log: ParquetLog,
-      idCol: String,
-      retractFeatures: Seq[Long] => Unit,
-      intentFile: String): Seq[Long] =
-    recoverWith(log, idCol, intentFile,
-      onSeq = ids => retractFeatures(ids),
-      onBatch = df => retractFeatures(
-        df.collect().map(_.getLong(0)).toSeq)) // legacy callback: driver-scale by its signature
-
-  /** Batch-aware recovery: feature callbacks receive the id list as a
-    * DataFrame whichever form the intent took (never collected). */
-  def recoverBatch(
       log: ParquetLog,
       idCol: String,
       retractFeatures: DataFrame => Unit,

@@ -1110,7 +1110,7 @@ class PersistenceSpec extends SparkSpec {
     }
     assert(log.read.count() === 6L, "nothing retracted while refused")
     // after recovery the path is clear
-    Retraction.recover(log, "doc_id", (_: Seq[Long]) => (), intent)
+    Retraction.recover(log, "doc_id", (_: org.apache.spark.sql.DataFrame) => (), intent)
     assert(log.read.where(col("doc_id") === 3L).count() === 0L)
     assert(Retraction.retract(log, "doc_id", Seq(5L),
       (_: org.apache.spark.sql.DataFrame) => (), intent) === 1L)
@@ -1357,7 +1357,7 @@ class PersistenceSpec extends SparkSpec {
     val curLog2 = new ParquetLog(spark, logDir, docSchema, bucketSize = 4L)
     val sigView2 = new SignatureTableView(spark, sgDir, 1, "doc_id", "text")
     val replayed = Retraction.recover(curLog2, "doc_id",
-      ids => sigView2.retractWhere(col("id").isin(ids: _*)), intent)
+      ids => sigView2.retractIds(ids.withColumnRenamed("doc_id", "id"), "id"), intent)
     assert(replayed === Seq(3L, 7L))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(intent)))
     assert(sigView2.sigs.where(col("id").isin(3L, 7L)).count() === 0L,
@@ -1412,11 +1412,11 @@ class PersistenceSpec extends SparkSpec {
       "the durable parquet id list is cleared with the intent")
 
     // crash window: parquet list + intent durable, NEITHER rewrite ran —
-    // recoverBatch replays both halves from the durable list
+    // recover replays both halves from the durable list
     Seq(5L, 9L).toDF("doc_id").write.parquet(intent + ".ids")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(intent), "@ids")
     val log2 = new ParquetLog(spark, logDir, docSchema, bucketSize = 8L)
-    Retraction.recoverBatch(log2, "doc_id",
+    Retraction.recover(log2, "doc_id",
       df => sg.retractIds(df.withColumnRenamed("doc_id", "media_id"), "media_id"), intent)
     assert(log2.read.where(col("doc_id").isin(5L, 9L)).count() === 0L,
       "recovered batch intent replays the log half")
