@@ -45,4 +45,21 @@ class EntrySpec extends SparkSpec {
     }
     assert(problems.isEmpty, problems.mkString("\n"))
   }
+
+  test("cached-fixture lifecycle queries are rep-stable (bench reps 2+ hash identically)") {
+    // Bench runs each lambda 3×; these five share a per-process fixture
+    // (r18 — the q_db_retract_keyed precedent extended), so a re-run is
+    // a zero-match probe over the post-takedown/post-expiry state. The
+    // contract that keeps the answer hash stable across reps is value
+    // identity of the COLLECTED result — pin it query by query.
+    val dir = "/root/testdata/sf0.001"
+    Seq("q_expire", "q_expire_by_time", "q_retract_pruned",
+      "q_retract_pruned_str", "q_db_retract").foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val first = fn(spark, dir).collect().map(_.toString).sorted.toSeq
+      val second = fn(spark, dir).collect().map(_.toString).sorted.toSeq
+      assert(first == second, s"$name drifted between reps")
+      assert(first.nonEmpty, s"$name returned no rows")
+    }
+  }
 }
