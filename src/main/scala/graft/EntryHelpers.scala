@@ -751,6 +751,45 @@ private[graft] object EntryHelpers {
     }
   }
 
+  // Immutable fixture TEMPLATES for the NON-idempotent lifecycle
+  // queries (retract + RE-INGEST append new rows, so reps cannot share
+  // a live fixture the way the cached-log queries above do): the
+  // deterministic pre-lifecycle state (log + feature view) builds ONCE
+  // per (name, data dir) into a template tree, and each rep FILE-COPIES
+  // it into a fresh tmp dir — the takedown/re-ingest lifecycle then
+  // runs for real on the pristine copy while the bench stops re-paying
+  // the Spark jobs that construct the corpus state every rep. Safe
+  // because both stores are path-relocatable by design: DeltaProtocol's
+  // MANIFEST is "version seq" with batch=N dirs resolved under the
+  // root, and ParquetLog recovers cursor/stats from names + footers.
+  // Templates (plain bytes, no session handle) are swept at exit.
+  val fixtureTemplates = scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  def clonedFixture(name: String, dir: String)(build: String => Unit): String = {
+    val lock = logFixtureLocks.getOrElseUpdate(("tpl:" + name, dir), new Object)
+    val tpl = lock.synchronized {
+      fixtureTemplates.getOrElseUpdate((name, dir), {
+        val d = java.nio.file.Files.createTempDirectory(s"$name-tpl").toString
+        build(d); d
+      })
+    }
+    val dst = java.nio.file.Files.createTempDirectory(name).toString
+    copyTree(tpl, dst)
+    dst
+  }
+  private def copyTree(src: String, dst: String): Unit = {
+    val sp = java.nio.file.Paths.get(src); val dp = java.nio.file.Paths.get(dst)
+    val it = java.nio.file.Files.walk(sp).iterator()
+    while (it.hasNext) {
+      val p = it.next(); val t = dp.resolve(sp.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else {
+        java.nio.file.Files.createDirectories(t.getParent)
+        java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
   // q_db_retract's fixture (log + event_type posting index + sum reduce
   // over events) — same shape as dbRetractKeyedDb above; the takedown
   // predicate is constant so re-runs are zero-match probes over the
@@ -839,6 +878,7 @@ private[graft] object EntryHelpers {
         logFixtures.values.foreach { e =>
           scala.util.Try(e.log.close()); e.dirs.foreach(d => scala.util.Try(deleteTree(d)))
         }
+        fixtureTemplates.values.foreach(d => scala.util.Try(deleteTree(d)))
         appendedLogs.values.foreach { e =>
           scala.util.Try(e._2.close()); scala.util.Try(deleteTree(e._2.dir))
         }

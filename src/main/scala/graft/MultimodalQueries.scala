@@ -175,20 +175,25 @@ private[graft] object MultimodalQueries {
       // clip of a KEPT parent still aligns (dropped). Without the gram
       // rows in retractFeatures, the retracted clips would WRONGLY drop
       // against ghost postings — the half-state this query pins away.
-      def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+      // Pre-lifecycle state (curated log + gram table) builds once per
+      // process as an immutable TEMPLATE; each rep clones it byte-level
+      // and runs the real takedown + clip re-ingest on the pristine
+      // copy (r18 — the appends make reps non-idempotent, so the clone,
+      // not a shared fixture, is what keeps the hash stable).
       val docs = t(s, dir, "documents")
       val media = Multimodal.syntheticWavMedia(docs, textured = true)
-      val logDir = tmp("graftmret-log"); val gramDir = tmp("graftmret-gram")
-      val intentDir = tmp("graftmret-intent")
-      val curLog = new ParquetLog(s, logDir, Multimodal.mediaSchema, bucketSize = 128L)
-      val agView = new graft.views.AudioGramTableView(s, s"$gramDir/v", 1)
-      curLog.append(media)
-      agView.absorb(media, curLog.since)
+      val root = EntryHelpers.clonedFixture("graftmret", dir) { tpl =>
+        val log = new ParquetLog(s, s"$tpl/log", Multimodal.mediaSchema, bucketSize = 128L)
+        log.append(media)
+        new graft.views.AudioGramTableView(s, s"$tpl/gram/v", 1).absorb(media, log.since)
+      }
+      val curLog = new ParquetLog(s, s"$root/log", Multimodal.mediaSchema, bucketSize = 128L)
+      val agView = new graft.views.AudioGramTableView(s, s"$root/gram/v", 1)
       // id list stays a DataFrame end to end (no collected isin literal)
       graft.views.Retraction.retract(curLog, "media_id",
         media.where(col("media_id") % 10 === 3).select("media_id"),
         (ids: org.apache.spark.sql.DataFrame) => agView.retractIds(ids, "media_id"),
-        java.nio.file.Paths.get(intentDir, "_intent").toString)
+        java.nio.file.Paths.get(s"$root/intent", "_intent").toString)
       val clips = Multimodal.syntheticWavClip(docs.where(col("doc_id") % 5 === 3), gain = 2)
       val matched = agView.containsBatch(clips)
         .select(col("clip_id").as("media_id")).distinct()
@@ -203,7 +208,7 @@ private[graft] object MultimodalQueries {
         sum(when(col("media_id") >= 90000 && (col("media_id") - 90000) % 10 === 8, 1L).otherwise(0L))
           .as("reingest_of_kept"))
         .localCheckpoint(true)
-      Seq(logDir, gramDir, intentDir).foreach(EntryHelpers.deleteTreeAsync)
+      EntryHelpers.deleteTreeAsync(root)
       out
     }),
     "q_video_neardup" -> ((s, dir) => {

@@ -69,18 +69,26 @@ private[graft] object TextQueries {
       // was RETRACTED (% 10 == 3) must SURVIVE the incremental check —
       // nothing left to match — while the half whose source was KEPT
       // (% 10 == 8) still drops against the stored table.
-      def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+      // The retract+reingest lifecycle APPENDS, so reps cannot share a
+      // live fixture — instead the deterministic pre-lifecycle state
+      // (bucketed log + signature table) builds once per process as an
+      // immutable TEMPLATE and each rep runs the real lifecycle on a
+      // fresh byte-level clone (r18: the bench prices the takedown +
+      // re-ingest check, not the corpus re-construction, every rep).
       val docSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
-      val logDir = tmp("graftret-log"); val sigDir = tmp("graftret-sig")
-      val intentDir = tmp("graftret-intent")
-      val curLog = new ParquetLog(s, logDir, docSchema, bucketSize = 128L)
-      val sigView = new graft.views.SignatureTableView(
-        s, s"$sigDir/sg", 1, "doc_id", "text")
       val d = t(s, dir, "documents").select("doc_id", "text")
-      curLog.append(d)
-      sigView.absorbSigs(graft.ops.Dedup.signatureTable(d), curLog.since)
+      val root = EntryHelpers.clonedFixture("graftret", dir) { tpl =>
+        val log = new ParquetLog(s, s"$tpl/log", docSchema, bucketSize = 128L)
+        log.append(d)
+        new graft.views.SignatureTableView(s, s"$tpl/sig/sg", 1, "doc_id", "text")
+          .absorbSigs(graft.ops.Dedup.signatureTable(d), log.since)
+      }
+      val intentDir = s"$root/intent"
+      val curLog = new ParquetLog(s, s"$root/log", docSchema, bucketSize = 128L)
+      val sigView = new graft.views.SignatureTableView(
+        s, s"$root/sig/sg", 1, "doc_id", "text")
       // the id list stays a DataFrame end to end: log AND feature
       // rewrites plan count-fenced joins, never a collected isin literal
       graft.views.Retraction.retract(curLog, "doc_id",
@@ -105,7 +113,7 @@ private[graft] object TextQueries {
         sum(when(col("doc_id") >= 50000 && (col("doc_id") - 50000) % 10 === 8, 1L).otherwise(0L))
           .as("reingest_of_kept"))
         .localCheckpoint(true)
-      Seq(logDir, sigDir, intentDir).foreach(EntryHelpers.deleteTreeAsync)
+      EntryHelpers.deleteTreeAsync(root)
       out
     }),
     "q_dedup_exact" -> ((s, dir) =>

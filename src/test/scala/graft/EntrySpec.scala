@@ -52,9 +52,13 @@ class EntrySpec extends SparkSpec {
     // a zero-match probe over the post-takedown/post-expiry state. The
     // contract that keeps the answer hash stable across reps is value
     // identity of the COLLECTED result — pin it query by query.
+    // q_retract_reingest / q_retract_clip_reingest run each rep on a
+    // fresh byte-level CLONE of a once-built template (appends make
+    // them non-idempotent); the same value-identity contract applies.
     val dir = "/root/testdata/sf0.001"
     Seq("q_expire", "q_expire_by_time", "q_retract_pruned",
-      "q_retract_pruned_str", "q_db_retract").foreach { name =>
+      "q_retract_pruned_str", "q_db_retract",
+      "q_retract_reingest", "q_retract_clip_reingest").foreach { name =>
       val fn = SparkEntry.queries(name)
       val first = fn(spark, dir).collect().map(_.toString).sorted.toSeq
       val second = fn(spark, dir).collect().map(_.toString).sorted.toSeq
