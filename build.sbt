@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout must pass through UNPREFIXED: sbt's default
+// LoggedOutput stamps every line with "[info] ", which broke the
+// bench's one-line JSON contract for the r17/r18 driver captures
+// (BENCH_r17/r18.json: parsed=null). StdoutOutput hands the child's
+// stdout straight through.
+run / outputStrategy := Some(StdoutOutput)
+// Forking hides sbt's sys-props from the child JVM, so Bench's capture
+// provenance self-reported "java" under sbt; stamp the launcher into
+// the forked environment instead.
+run / envVars += ("GRAFT_BENCH_LAUNCHER" -> "sbt")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

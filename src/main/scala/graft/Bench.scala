@@ -8,9 +8,24 @@ object Bench {
     // "*" to the box's core count so shuffle.partitions always gets a number.
     val shufflePartitions =
       if (cpus == "*") Runtime.getRuntime.availableProcessors().toString else cpus
+    // Scale-adaptive post-shuffle partition sizing (guide §2.2/§2.4 —
+    // r18 verdict item 4): `shuffle.partitions = cpus` stays the
+    // driver-contract INITIAL value, but the post-shuffle partition
+    // COUNT derives from data volume via AQE coalescing toward the
+    // advisory byte size, not from the core count —
+    // `parallelismFirst=false` is the switch that makes AQE honor the
+    // advisory size instead of fragmenting kilobyte-scale shuffles into
+    // `cpus` near-empty tasks (the r18 finding that local[8] beat
+    // local[32] at sf0.1 was exactly this overhead). At 100 TB the same
+    // setting yields many advisory-sized partitions — the value is a
+    // data-proportional rule, not a local[32] constant; override with
+    // SPARK_GRAFT_ADVISORY_PARTITION (e.g. "256m") for cluster runs.
+    val advisory = sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "64m")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -25,11 +40,15 @@ object Bench {
     def loadavg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadavg
-    // plain `java -cp` is the round convention; an sbt-wrapped run has
-    // sbt.launcher / jline on the stack of properties
-    val capture =
+    // plain `java -cp` is the round convention. An sbt `runMain` FORKS
+    // the JVM (build.sbt `run / fork := true`), which hides sbt's
+    // sys-props from the child — r17/r18 runs self-reported "java"
+    // under sbt — so build.sbt now stamps the forked environment
+    // (`run / envVars`: GRAFT_BENCH_LAUNCHER=sbt) and the sys-prop
+    // check survives only as the in-process fallback.
+    val capture = sys.env.getOrElse("GRAFT_BENCH_LAUNCHER",
       if (sys.props.contains("sbt.launcher") || sys.props.contains("sbt.boot.directory")) "sbt"
-      else "java"
+      else "java")
     // noop sink forces full evaluation of every column (count() lets
     // Spark shortcut scans to metadata / prune all columns).
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
@@ -89,8 +108,20 @@ object Bench {
       case None    => "\"" + cpus + "\""
     }
     val prov = s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadavg)},"capture":"$capture","cpus":$cpusJson,"runs":$runs"""
-    println(s"""{"metric":"per_query","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir",$prov}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errs,"sf":"$sfDir",$prov}""")
+    val perQueryLine =
+      s"""{"metric":"per_query","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir",$prov}"""
+    val totalLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errs,"sf":"$sfDir",$prov}"""
+    println(perQueryLine)
+    println(totalLine)
+    // Belt-and-braces channel for the one-line JSON contract (r18
+    // verdict item 1): the r17/r18 driver captures lost BOTH lines to
+    // sbt's `[info] ` logger prefix on forked stdout. build.sbt now
+    // forces StdoutOutput pass-through, and the same two lines land in
+    // a plain file so the contract survives any launcher.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    scala.util.Try(java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outFile), perQueryLine + "\n" + totalLine + "\n"))
     spark.stop()
   }
 }

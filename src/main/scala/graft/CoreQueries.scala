@@ -30,20 +30,17 @@ private[graft] object CoreQueries {
       // boundary bucket rewrites — then aggregate the survivors.
       // `min_seq` proves the prefix physically left storage; the cursor
       // stays at the pre-expiry HWM (retired seqs never re-stamp).
-      // Fixture CACHED across reps (the q_db_retract_keyed precedent,
-      // r18): expire is idempotent — the horizon derives from
-      // `log.since`, which the truncation never regresses, so rep 1 pays
-      // build + the real directory truncation and later reps the
-      // zero-match manifest probe over the same survivors (same hash).
-      val fx = cachedLogFixture("graftexp", s, dir) { () =>
-        val ev = t(s, dir, "events").orderBy("event_id")
-          .select("user_id", "event_type", "value")
-        val tmp = java.nio.file.Files.createTempDirectory("graftexp-log").toString
-        val log = new ParquetLog(s, tmp, ev.schema, bucketSize = 512L)
-        log.append(ev)
-        (log, 0L, Seq(tmp))
+      // Pre-expiry log TEMPLATE-CLONED per rep (r19, the r18 verdict's
+      // item 2 — the reingest precedent): the deterministic ingested log
+      // builds once, every rep byte-copies it and runs the REAL
+      // directory truncation on the pristine copy, so the bench median
+      // prices the operator, never a zero-match re-probe.
+      val ev = t(s, dir, "events").orderBy("event_id")
+        .select("user_id", "event_type", "value")
+      val root = EntryHelpers.clonedFixtureLazy("graftexp", dir) { tpl =>
+        new ParquetLog(s, s"$tpl/log", ev.schema, bucketSize = 512L).append(ev)
       }
-      val log = fx.log
+      val log = new ParquetLog(s, s"$root/log", ev.schema, bucketSize = 512L)
       val horizon = ((log.since + 1L) * 2L) / 5L
       log.expire(horizon)
       log.read.groupBy("event_type").agg(
@@ -61,20 +58,17 @@ private[graft] object CoreQueries {
       // other bucket. event_id rides append order, so the middle-decile
       // range is physically clustered, the shape of a single uploader's
       // corpus leaving under a rights-holder request.
-      // Fixture CACHED across reps (r18): the takedown range derives
-      // from `log.since` (stable across retract), so re-runs are
-      // zero-match pruned probes over the post-takedown log — rep 1
-      // prices build + the real rewrite, later reps the steady probe.
-      val fx = cachedLogFixture("graftprn", s, dir) { () =>
-        val ev = t(s, dir, "events").orderBy("event_id")
-          .select("event_id", "event_type", "value")
-        val tmp = java.nio.file.Files.createTempDirectory("graftprn-log").toString
-        val log = new ParquetLog(s, tmp, ev.schema, bucketSize = 512L,
-          statsColumns = Seq("event_id"))
-        log.append(ev)
-        (log, 0L, Seq(tmp))
+      // Pre-takedown log TEMPLATE-CLONED per rep (r19, verdict item 2):
+      // every rep runs the REAL pruned match-scan + boundary-bucket
+      // rewrite on a pristine byte-copy of the once-built ingested log.
+      val ev = t(s, dir, "events").orderBy("event_id")
+        .select("event_id", "event_type", "value")
+      val root = EntryHelpers.clonedFixtureLazy("graftprn", dir) { tpl =>
+        new ParquetLog(s, s"$tpl/log", ev.schema, bucketSize = 512L,
+          statsColumns = Seq("event_id")).append(ev)
       }
-      val log = fx.log
+      val log = new ParquetLog(s, s"$root/log", ev.schema, bucketSize = 512L,
+        statsColumns = Seq("event_id"))
       val n = log.since + 1L
       log.retract(col("event_id") >= n / 2 && col("event_id") < n / 2 + (n + 9L) / 10L)
       log.read.groupBy("event_type").agg(
@@ -89,21 +83,38 @@ private[graft] object CoreQueries {
       // the SCD-2 dimension deletes removed version rows outright, and
       // the sum reduce subtracts the removed rows' partial — no view
       // pays a full-log rebuild. The outputs read every artifact after
-      // ONE db.retract call. The fixture (log + three views) is CACHED
-      // across reps (r16 verdict: the in-lambda build was ~80% of the
-      // bench value) — the takedown is idempotent, so re-runs price the
-      // operator's steady in-place cost and hash to the same answer.
+      // ONE db.retract call. Pre-takedown state (log + hashtable +
+      // SCD-2 stores at parity) TEMPLATE-CLONED per rep (r19, verdict
+      // item 2 — supersedes the r16-era live cache): every rep runs the
+      // REAL keyed in-place takedown on a pristine byte-copy; the gated
+      // reads collect scalars, so the clone is reclaimed in-line.
       import s.implicits._
-      val db = dbRetractKeyedDb(s, dir)
-      db.retract(col("user_id") % 7 === 3)
-      val ht = db.gated("ht")(_.asInstanceOf[PersistentHashtableView].frame)
-      val htRow = ht.agg(sum("value").cast("double").as("s"), count(lit(1)).as("c")).head()
-      val latestSum = round4(htRow.getDouble(0))
-      val nUsers = htRow.getLong(1)
-      val versions = db.gated("dim")(_.asInstanceOf[Scd2TableView].dimension).count()
-      val (sumV, cnt) = db.gated("sum")(_.asInstanceOf[MergeableReduceView[(Double, Long)]].value.get)
-      Seq((nUsers, latestSum, versions, round4(sumV), cnt))
-        .toDF("n_users", "latest_sum", "versions", "sum_value", "value_cnt")
+      val ev = t(s, dir, "events").orderBy("event_id")
+        .select("user_id", "event_type", "value")
+      val root = EntryHelpers.clonedFixture("graftdbk", dir) { tpl =>
+        val log = new ParquetLog(s, s"$tpl/log", ev.schema, bucketSize = 8192L)
+        val db0 = new FlumeDb(log)
+          .use("ht", graft.views.PersistentHashtableView(s"$tpl/ht", "user_id"))
+          .use("dim", graft.views.Scd2TableView(s"$tpl/dim", "user_id", "seq", Seq("value")))
+        db0.append(ev)
+        db0.close()
+      }
+      val log = new ParquetLog(s, s"$root/log", ev.schema, bucketSize = 8192L)
+      val db = new FlumeDb(log)
+        .use("ht", graft.views.PersistentHashtableView(s"$root/ht", "user_id"))
+        .use("dim", graft.views.Scd2TableView(s"$root/dim", "user_id", "seq", Seq("value")))
+        .use("sum", graft.views.SumReduceView("value"))
+      try {
+        db.retract(col("user_id") % 7 === 3)
+        val ht = db.gated("ht")(_.asInstanceOf[PersistentHashtableView].frame)
+        val htRow = ht.agg(sum("value").cast("double").as("s"), count(lit(1)).as("c")).head()
+        val latestSum = round4(htRow.getDouble(0))
+        val nUsers = htRow.getLong(1)
+        val versions = db.gated("dim")(_.asInstanceOf[Scd2TableView].dimension).count()
+        val (sumV, cnt) = db.gated("sum")(_.asInstanceOf[MergeableReduceView[(Double, Long)]].value.get)
+        Seq((nUsers, latestSum, versions, round4(sumV), cnt))
+          .toDF("n_users", "latest_sum", "versions", "sum_value", "value_cnt")
+      } finally { db.close(); EntryHelpers.deleteTreeAsync(root) }
     }),
     "q_expire_by_time" -> ((s, dir) => {
       // EVENT-TIME retention end-to-end: the log declares its epoch-ms
@@ -113,25 +124,29 @@ private[graft] object CoreQueries {
       // bucket pays a (ts, seq) scan — then ages the prefix out exactly
       // like q_expire. The horizon is min(seq where ts > T) - 1: the
       // prefix a time policy provably covers.
-      // Fixture CACHED across reps (r18): the policy threshold is read
-      // BEFORE the first expiry (its boundary row leaves storage with
-      // the aged prefix) and carried in the fixture's aux slot, so later
-      // reps re-run `expireOlderThan` at the same threshold — a
-      // zero-match manifest probe over the same survivors.
-      val fx = cachedLogFixture("graftett", s, dir) { () =>
-        val ev = t(s, dir, "events").orderBy("event_id")
-          .select(tsMs(s, dir).as("ts_ms"), col("event_type"), col("value"))
-        val tmp = java.nio.file.Files.createTempDirectory("graftett-log").toString
-        val log = new ParquetLog(s, tmp, ev.schema, bucketSize = 512L,
+      // Pre-expiry log TEMPLATE-CLONED per rep (r19, verdict item 2);
+      // the policy threshold is read at TEMPLATE-build time (its
+      // boundary row leaves storage with the aged prefix on every rep)
+      // and rides the template as a sidecar file, so each rep re-runs
+      // the REAL manifest-arithmetic truncation at the same threshold
+      // on a pristine byte-copy.
+      val ev = t(s, dir, "events").orderBy("event_id")
+        .select(tsMs(s, dir).as("ts_ms"), col("event_type"), col("value"))
+      val root = EntryHelpers.clonedFixtureLazy("graftett", dir) { tpl =>
+        val log = new ParquetLog(s, s"$tpl/log", ev.schema, bucketSize = 512L,
           statsColumns = Seq("ts_ms"))
         log.append(ev)
         // the policy threshold: the event time at the 40%-by-seq row
         val thr = log.read.where(col("seq") === (log.since + 1L) * 2L / 5L)
           .select("ts_ms").head().getLong(0)
-        (log, thr, Seq(tmp))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(tpl, "thr"), thr.toString)
       }
-      val log = fx.log
-      log.expireOlderThan("ts_ms", fx.aux)
+      val log = new ParquetLog(s, s"$root/log", ev.schema, bucketSize = 512L,
+        statsColumns = Seq("ts_ms"))
+      val thr = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(root, "thr")).trim.toLong
+      log.expireOlderThan("ts_ms", thr)
       log.read.groupBy("event_type").agg(
         count(lit(1)).as("n"),
         round(sum("value"), 4).as("sum_value"),
@@ -144,19 +159,17 @@ private[graft] object CoreQueries {
       // (binary-UTF-8 order) per bucket, and a clustered url-range
       // takedown reads only the overlapping `seq_bucket=` dirs in its
       // match scan, exactly like the integral twin q_retract_pruned.
-      // Fixture CACHED across reps (r18, same idempotence argument as
-      // q_retract_pruned — the url range derives from `log.since`).
-      val fx = cachedLogFixture("graftprs", s, dir) { () =>
-        val ev = t(s, dir, "events").orderBy("event_id")
-          .select(format_string("https://example.com/doc-%09d", col("event_id")).as("url"),
-            col("event_type"), col("value"))
-        val tmp = java.nio.file.Files.createTempDirectory("graftprs-log").toString
-        val log = new ParquetLog(s, tmp, ev.schema, bucketSize = 512L,
-          statsColumns = Seq("url"))
-        log.append(ev)
-        (log, 0L, Seq(tmp))
+      // Pre-takedown log TEMPLATE-CLONED per rep (r19, verdict item 2 —
+      // same shape as the integral twin q_retract_pruned).
+      val ev = t(s, dir, "events").orderBy("event_id")
+        .select(format_string("https://example.com/doc-%09d", col("event_id")).as("url"),
+          col("event_type"), col("value"))
+      val root = EntryHelpers.clonedFixtureLazy("graftprs", dir) { tpl =>
+        new ParquetLog(s, s"$tpl/log", ev.schema, bucketSize = 512L,
+          statsColumns = Seq("url")).append(ev)
       }
-      val log = fx.log
+      val log = new ParquetLog(s, s"$root/log", ev.schema, bucketSize = 512L,
+        statsColumns = Seq("url"))
       val n = log.since + 1L
       def u(i: Long) = f"https://example.com/doc-$i%09d"
       log.retract(col("url") >= u(n / 2) && col("url") < u(n / 2 + (n + 9L) / 10L))
@@ -172,19 +185,40 @@ private[graft] object CoreQueries {
       // reduce view rebuilds from the retracted log (a Welford/sum fold
       // cannot un-absorb a row any other way). Gated reads then prove
       // both views serve the post-takedown state.
-      // Fixture (log + index + sum views) CACHED across reps (r18,
-      // the q_db_retract_keyed precedent): the takedown predicate is
-      // constant, so rep 1 prices the real db-level takedown and later
-      // reps its zero-match probe; gated reads serve the same
-      // post-takedown state either way (same hash).
+      // Pre-takedown state (coarse-bucketed log + posting index at
+      // parity) TEMPLATE-CLONED per rep (r19, verdict item 2): every
+      // rep mounts the pristine byte-copy and runs the REAL db-level
+      // takedown — log rewrite, in-place posting retraction, reduce
+      // rebuild from the retracted log — so the bench median prices the
+      // operator. The gated reads collect scalars, so the clone is
+      // reclaimed in-line once they land.
       import s.implicits._
-      val db = dbRetractDb(s, dir)
-      db.retract(col("user_id") % 7 === 3)
-      val clicks = db.gated("byType")(_.asInstanceOf[PersistentIndexView].get("click")).count()
-      val (sumV, cnt) = db.gated("sum")(_.asInstanceOf[MergeableReduceView[(Double, Long)]].value.get)
-      val nRows = db.log.read.count()
-      Seq((nRows, clicks, round4(sumV), cnt))
-        .toDF("n_rows", "click_postings", "sum_value", "value_cnt")
+      val ev = t(s, dir, "events").orderBy("event_id")
+        .select("user_id", "event_type", "value")
+      val root = EntryHelpers.clonedFixture("graftdbr", dir) { tpl =>
+        // coarse buckets: a scattered takedown matches every bucket
+        // anyway (the worst shape, deliberately), so fine granularity
+        // only adds directory churn to the build and the clones
+        val log = new ParquetLog(s, s"$tpl/log", ev.schema, bucketSize = 8192L)
+        log.append(ev)
+        // mount syncs the posting index to parity; the template then
+        // holds its materialized store alongside the log
+        new FlumeDb(log)
+          .use("byType", graft.views.PersistentIndexView.onColumn(s"$tpl/idx", "event_type"))
+          .close()
+      }
+      val log = new ParquetLog(s, s"$root/log", ev.schema, bucketSize = 8192L)
+      val db = new FlumeDb(log)
+        .use("byType", graft.views.PersistentIndexView.onColumn(s"$root/idx", "event_type"))
+        .use("sum", graft.views.SumReduceView("value"))
+      try {
+        db.retract(col("user_id") % 7 === 3)
+        val clicks = db.gated("byType")(_.asInstanceOf[PersistentIndexView].get("click")).count()
+        val (sumV, cnt) = db.gated("sum")(_.asInstanceOf[MergeableReduceView[(Double, Long)]].value.get)
+        val nRows = db.log.read.count()
+        Seq((nRows, clicks, round4(sumV), cnt))
+          .toDF("n_rows", "click_postings", "sum_value", "value_cnt")
+      } finally { db.close(); EntryHelpers.deleteTreeAsync(root) }
     }),
     "q_get_point" -> ((s, dir) =>
       eventsDb(s, dir).get(500L)

@@ -672,84 +672,11 @@ private[graft] object EntryHelpers {
     t(s, dir, "embeddings").where(col("vec_id") === id)
       .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
 
-  // q_db_retract_keyed's fixture (bucketed log + hashtable + SCD-2 +
-  // sum reduce over the events table), shared across bench reps so the
-  // timed lambda prices the TAKEDOWN, not three view builds plus
-  // teardown (r16 verdict: the old in-lambda fixture was ~80% of the
-  // bench value). The takedown is idempotent — a re-run on the
-  // already-retracted fixture removes nothing and skips the view pass —
-  // so every rep after the first reads the same post-takedown state and
-  // the answer hash is unchanged. Same stale-session guard as the other
-  // derived caches; evicted fixtures close their db and reclaim /tmp.
-  val dbRetractKeyedFixtures =
-    scala.collection.concurrent.TrieMap.empty[String, (SparkSession, FlumeDb, Seq[String])]
-  def dbRetractKeyedDb(s: SparkSession, dir: String): FlumeDb = {
-    def build(): (SparkSession, FlumeDb, Seq[String]) = {
-      val ev = t(s, dir, "events").orderBy("event_id")
-        .select("user_id", "event_type", "value")
-      val tmpLog = java.nio.file.Files.createTempDirectory("graftdbk-log").toString
-      val tmpHt = java.nio.file.Files.createTempDirectory("graftdbk-ht").toString
-      val tmpDim = java.nio.file.Files.createTempDirectory("graftdbk-dim").toString
-      val log = new ParquetLog(s, tmpLog, ev.schema, bucketSize = 8192L)
-      val db = new FlumeDb(log)
-        .use("ht", graft.views.PersistentHashtableView(tmpHt, "user_id"))
-        .use("dim", graft.views.Scd2TableView(tmpDim, "user_id", "seq", Seq("value")))
-        .use("sum", graft.views.SumReduceView("value"))
-      db.append(ev)
-      (s, db, Seq(tmpLog, tmpHt, tmpDim))
-    }
-    // One build at a time per data dir: TrieMap.getOrElseUpdate may run
-    // two racing thunks and keep only one — the loser would leak an OPEN
-    // FlumeDb plus three /tmp fixture trees (same hazard ivfBuildLocks
-    // guards for the IVF store).
-    val lock = dbkBuildLocks.getOrElseUpdate(dir, new Object)
-    lock.synchronized {
-      val e = dbRetractKeyedFixtures.getOrElseUpdate(dir, build())
-      if (e._1 eq s) e._2
-      else {
-        dbRetractKeyedFixtures.remove(dir, e)
-        scala.util.Try(e._2.close())
-        e._3.foreach(d => scala.util.Try(deleteTree(d)))
-        dbRetractKeyedFixtures.getOrElseUpdate(dir, build())._2
-      }
-    }
-  }
-  val dbkBuildLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
 
-  // Cached LOG fixtures for the retention/takedown lifecycle queries
-  // (q_expire, q_expire_by_time, q_retract_pruned, q_retract_pruned_str,
-  // q_db_retract) — the r16/r17 q_db_retract_keyed precedent extended:
-  // each of these re-appended the whole events table into a throwaway
-  // bucketed log EVERY rep, so the bench priced fixture construction,
-  // not the operator. The operators are idempotent (expire/retract
-  // horizons derive from `log.since`, which never regresses; a re-run on
-  // the already-aged log matches nothing and reads the same survivors),
-  // so the first rep pays build + the real operation and later reps the
-  // steady zero-match probe — same rows, same hash. `aux` carries a
-  // value that must survive the first operation (q_expire_by_time's
-  // policy threshold: the boundary row it reads is expired by rep 1).
-  final case class LogFixture(session: SparkSession, log: ParquetLog,
-      aux: Long, dirs: Seq[String])
-  val logFixtures = scala.collection.concurrent.TrieMap.empty[(String, String), LogFixture]
+  // Per-template build locks (clonedFixture): one build at a time per
+  // (name, data dir) -- TrieMap.getOrElseUpdate may run two racing
+  // thunks and keep only one, and the loser would leak a template tree.
   private val logFixtureLocks = scala.collection.concurrent.TrieMap.empty[(String, String), Object]
-  def cachedLogFixture(name: String, s: SparkSession, dir: String)(
-      build: () => (ParquetLog, Long, Seq[String])): LogFixture = {
-    val key = (name, dir)
-    val lock = logFixtureLocks.getOrElseUpdate(key, new Object)
-    lock.synchronized {
-      def fresh(): LogFixture = {
-        val (l, a, ds) = build(); LogFixture(s, l, a, ds)
-      }
-      val e = logFixtures.getOrElseUpdate(key, fresh())
-      if (e.session eq s) e
-      else {
-        logFixtures.remove(key)
-        scala.util.Try(e.log.close())
-        e.dirs.foreach(d => scala.util.Try(deleteTree(d)))
-        val f = fresh(); logFixtures.put(key, f); f
-      }
-    }
-  }
 
   // Immutable fixture TEMPLATES for the NON-idempotent lifecycle
   // queries (retract + RE-INGEST append new rows, so reps cannot share
@@ -776,53 +703,49 @@ private[graft] object EntryHelpers {
     copyTree(tpl, dst)
     dst
   }
+
+  /** [[clonedFixture]] for lifecycle queries whose RESULT frame reads the
+    * clone lazily (the bench's noop sink materializes it after the lambda
+    * returns, so the clone cannot be deleted in-line the way the eager
+    * reingest queries do): each call sweeps the PREVIOUS clone handed out
+    * under the same key — by the time a next rep starts, the prior rep's
+    * result is fully consumed (the bench/verify/test runners are all
+    * sequential; the no-concurrency rule is documented on the bench) —
+    * and the process-exit sweep reclaims the last one. */
+  val liveClones = scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  def clonedFixtureLazy(name: String, dir: String)(build: String => Unit): String = {
+    val dst = clonedFixture(name, dir)(build)
+    liveClones.put((name, dir), dst).foreach(deleteTreeAsync)
+    dst
+  }
   private def copyTree(src: String, dst: String): Unit = {
     val sp = java.nio.file.Paths.get(src); val dp = java.nio.file.Paths.get(dst)
-    val it = java.nio.file.Files.walk(sp).iterator()
-    while (it.hasNext) {
-      val p = it.next(); val t = dp.resolve(sp.relativize(p).toString)
-      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
-      else {
-        java.nio.file.Files.createDirectories(t.getParent)
-        java.nio.file.Files.copy(p, t,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val st = java.nio.file.Files.walk(sp)
+    try {
+      val it = st.iterator()
+      while (it.hasNext) {
+        val p = it.next(); val t = dp.resolve(sp.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else {
+          java.nio.file.Files.createDirectories(t.getParent)
+          java.nio.file.Files.copy(p, t,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
       }
-    }
+    } finally st.close()
   }
 
-  // q_db_retract's fixture (log + event_type posting index + sum reduce
-  // over events) — same shape as dbRetractKeyedDb above; the takedown
-  // predicate is constant so re-runs are zero-match probes over the
-  // post-takedown state.
-  val dbRetractFixtures =
-    scala.collection.concurrent.TrieMap.empty[String, (SparkSession, FlumeDb, Seq[String])]
-  def dbRetractDb(s: SparkSession, dir: String): FlumeDb = {
-    def build(): (SparkSession, FlumeDb, Seq[String]) = {
-      val ev = t(s, dir, "events").orderBy("event_id")
-        .select("user_id", "event_type", "value")
-      val tmpLog = java.nio.file.Files.createTempDirectory("graftdbr-log").toString
-      val tmpIdx = java.nio.file.Files.createTempDirectory("graftdbr-idx").toString
-      // coarse buckets: a scattered takedown matches every bucket anyway
-      // (the worst shape, deliberately), so fine granularity only adds
-      // directory churn to the fixture build and swap
-      val log = new ParquetLog(s, tmpLog, ev.schema, bucketSize = 8192L)
-      log.append(ev)
-      val db = new FlumeDb(log)
-        .use("byType", graft.views.PersistentIndexView.onColumn(tmpIdx, "event_type"))
-        .use("sum", graft.views.SumReduceView("value"))
-      (s, db, Seq(tmpLog, tmpIdx))
-    }
-    val lock = dbkBuildLocks.getOrElseUpdate("dbr::" + dir, new Object)
-    lock.synchronized {
-      val e = dbRetractFixtures.getOrElseUpdate(dir, build())
-      if (e._1 eq s) e._2
-      else {
-        dbRetractFixtures.remove(dir, e)
-        scala.util.Try(e._2.close())
-        e._3.foreach(d => scala.util.Try(deleteTree(d)))
-        dbRetractFixtures.getOrElseUpdate(dir, build())._2
-      }
-    }
+  /** Plan visibility for lifecycle queries that `localCheckpoint(true)`
+    * their result to decouple the async fixture teardown (their dumped
+    * plan is otherwise an opaque `Scan ExistingRDD` — the r18 audit's
+    * item 4): the lambda registers the PRE-checkpoint frame here and the
+    * plan dumpers ([[graft.tools.DumpPlans]]/[[graft.tools.DumpPlanFiles]])
+    * read-and-clear it. Outside the dumpers this stores one frame
+    * reference per query — no extra jobs, no behavior change. */
+  @volatile var lastPreCheckpointPlan: Option[DataFrame] = None
+  def notePlan(df: DataFrame): DataFrame = { lastPreCheckpointPlan = Some(df); df }
+  def takePreCheckpointPlan(): Option[DataFrame] = {
+    val p = lastPreCheckpointPlan; lastPreCheckpointPlan = None; p
   }
 
   // Stable per-(fixture, data dir) temp directories for DURABLE view
@@ -872,13 +795,8 @@ private[graft] object EntryHelpers {
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread("graft-fixture-sweep") {
       override def run(): Unit = {
-        (dbRetractKeyedFixtures.values ++ dbRetractFixtures.values).foreach { e =>
-          scala.util.Try(e._2.close()); e._3.foreach(d => scala.util.Try(deleteTree(d)))
-        }
-        logFixtures.values.foreach { e =>
-          scala.util.Try(e.log.close()); e.dirs.foreach(d => scala.util.Try(deleteTree(d)))
-        }
         fixtureTemplates.values.foreach(d => scala.util.Try(deleteTree(d)))
+        liveClones.values.foreach(d => scala.util.Try(deleteTree(d)))
         appendedLogs.values.foreach { e =>
           scala.util.Try(e._2.close()); scala.util.Try(deleteTree(e._2.dir))
         }

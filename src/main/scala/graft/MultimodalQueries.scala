@@ -199,14 +199,14 @@ private[graft] object MultimodalQueries {
         .select(col("clip_id").as("media_id")).distinct()
       val survivors = clips.join(matched, Seq("media_id"), "left_anti").localCheckpoint(true)
       if (!survivors.isEmpty) curLog.append(survivors)
-      val out = curLog.read.agg(
+      val out = EntryHelpers.notePlan(curLog.read.agg(
         count(lit(1)).as("n_rows"),
         sum(when(col("media_id") < 90000 && col("media_id") % 10 === 3, 1L).otherwise(0L))
           .as("retracted_left"),
         sum(when(col("media_id") >= 90000 && (col("media_id") - 90000) % 10 === 3, 1L).otherwise(0L))
           .as("reingest_of_retracted"),
         sum(when(col("media_id") >= 90000 && (col("media_id") - 90000) % 10 === 8, 1L).otherwise(0L))
-          .as("reingest_of_kept"))
+          .as("reingest_of_kept")))
         .localCheckpoint(true)
       EntryHelpers.deleteTreeAsync(root)
       out

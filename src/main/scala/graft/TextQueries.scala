@@ -104,14 +104,14 @@ private[graft] object TextQueries {
         .select(col("id_a").as("doc_id")).distinct()
       val survivors = batch.join(drops, Seq("doc_id"), "left_anti").localCheckpoint(true)
       if (!survivors.isEmpty) curLog.append(survivors)
-      val out = curLog.read.agg(
+      val out = EntryHelpers.notePlan(curLog.read.agg(
         count(lit(1)).as("n_rows"),
         sum(when(col("doc_id") < 50000 && col("doc_id") % 10 === 3, 1L).otherwise(0L))
           .as("retracted_left"),
         sum(when(col("doc_id") >= 50000 && (col("doc_id") - 50000) % 10 === 3, 1L).otherwise(0L))
           .as("reingest_of_retracted"),
         sum(when(col("doc_id") >= 50000 && (col("doc_id") - 50000) % 10 === 8, 1L).otherwise(0L))
-          .as("reingest_of_kept"))
+          .as("reingest_of_kept")))
         .localCheckpoint(true)
       EntryHelpers.deleteTreeAsync(root)
       out

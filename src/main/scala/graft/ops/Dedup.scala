@@ -792,13 +792,18 @@ object Dedup {
         if (capRow.isNullAt(0)) inv.limit(0)
         else {
           val cap = capRow.getDouble(0)
-          inv.join(dfTable.where(col("df") <= cap).select("shingle"),
+          // df >= 2: a shingle held by a single document can never
+          // produce an (id_a < id_b) pair, so dropping singletons here
+          // is result-identical and removes the bulk of the postings
+          // (most shingles are unique) before the self-join's exchange
+          // — guide §2.3, shuffle fewer bytes.
+          inv.join(dfTable.where(col("df") <= cap && col("df") >= 2).select("shingle"),
             Seq("shingle"), "left_semi")
         }
       case None =>
         inv.withColumn("df", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-          .where(col("df") <= maxDocFreq).drop("df")
+          .where(col("df") <= maxDocFreq && col("df") >= 2).drop("df")
     }
     val shared = rare.select(col("shingle"), col("id").as("id_a"))
       .join(rare.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))

@@ -28,9 +28,16 @@ object DumpPlanFiles {
     Files.createDirectories(Paths.get(outDir))
     names.foreach { name =>
       val plan =
-        try SparkEntry.queries(name)(spark, dir).queryExecution
-          .explainString(org.apache.spark.sql.execution.FormattedMode)
-        catch { case e: Throwable => s"ERROR dumping $name: ${e.getMessage}" }
+        try {
+          graft.EntryHelpers.takePreCheckpointPlan() // drop any stale capture
+          val df = SparkEntry.queries(name)(spark, dir)
+          // lifecycle queries checkpoint their result to decouple async
+          // fixture teardown; they register the PRE-checkpoint frame so
+          // the dump shows the real operators, not `Scan ExistingRDD`
+          graft.EntryHelpers.takePreCheckpointPlan().getOrElse(df)
+            .queryExecution
+            .explainString(org.apache.spark.sql.execution.FormattedMode)
+        } catch { case e: Throwable => s"ERROR dumping $name: ${e.getMessage}" }
       Files.writeString(Paths.get(outDir, s"$name$suffix.txt"), plan)
       println(s"[plans] $name$suffix")
     }

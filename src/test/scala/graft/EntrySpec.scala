@@ -46,24 +46,51 @@ class EntrySpec extends SparkSpec {
     assert(problems.isEmpty, problems.mkString("\n"))
   }
 
-  test("cached-fixture lifecycle queries are rep-stable (bench reps 2+ hash identically)") {
-    // Bench runs each lambda 3×; these five share a per-process fixture
-    // (r18 — the q_db_retract_keyed precedent extended), so a re-run is
-    // a zero-match probe over the post-takedown/post-expiry state. The
-    // contract that keeps the answer hash stable across reps is value
-    // identity of the COLLECTED result — pin it query by query.
-    // q_retract_reingest / q_retract_clip_reingest run each rep on a
-    // fresh byte-level CLONE of a once-built template (appends make
-    // them non-idempotent); the same value-identity contract applies.
+  test("template-cloned lifecycle queries are rep-stable (bench reps 2+ hash identically)") {
+    // Bench runs each lambda 3×; every lifecycle query below runs each
+    // rep on a fresh byte-level CLONE of a once-built immutable template
+    // (r19 — the r18 verdict's item 2: the zero-match live caches are
+    // gone, every rep performs the REAL expire/retract/curate), so the
+    // contract is value identity of the COLLECTED result across reps —
+    // pin it query by query.
     val dir = "/root/testdata/sf0.001"
+    // the stream_curate rows double as template-IMMUTABILITY pins: a
+    // rep that wrote back into the template (instead of its clone)
+    // would poison the next rep's clone and diverge here
     Seq("q_expire", "q_expire_by_time", "q_retract_pruned",
-      "q_retract_pruned_str", "q_db_retract",
-      "q_retract_reingest", "q_retract_clip_reingest").foreach { name =>
+      "q_retract_pruned_str", "q_db_retract", "q_db_retract_keyed",
+      "q_retract_reingest", "q_retract_clip_reingest",
+      "q_stream_curate", "q_stream_curate_retract",
+      "q_stream_curate_media", "q_stream_curate_embed").foreach { name =>
       val fn = SparkEntry.queries(name)
       val first = fn(spark, dir).collect().map(_.toString).sorted.toSeq
       val second = fn(spark, dir).collect().map(_.toString).sorted.toSeq
       assert(first == second, s"$name drifted between reps")
       assert(first.nonEmpty, s"$name returned no rows")
     }
+  }
+
+  test("clonedFixtureLazy hands out fresh clones and sweeps the previous one") {
+    // the deferred sweep is what lets a lifecycle query return a LAZY
+    // frame over its clone (the bench's noop sink materializes it after
+    // the lambda returns): the next rep reclaims the prior clone, the
+    // exit hook reclaims the last
+    val dir = "/tmp/entryspec-clone-src"
+    val c1 = EntryHelpers.clonedFixtureLazy("graftspec", dir) { tpl =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(tpl, "x"), "1")
+    }
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(c1, "x")))
+    val c2 = EntryHelpers.clonedFixtureLazy("graftspec", dir) { tpl =>
+      fail("template must build exactly once")
+    }
+    assert(c1 != c2)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(c2, "x")),
+      "clone must carry the template bytes")
+    // the async sweep reclaims the PREVIOUS clone
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (java.nio.file.Files.exists(java.nio.file.Paths.get(c1)) &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(c1)),
+      "previous clone must be swept when the next rep clones")
   }
 }
