@@ -8,24 +8,19 @@ object Bench {
     // "*" to the box's core count so shuffle.partitions always gets a number.
     val shufflePartitions =
       if (cpus == "*") Runtime.getRuntime.availableProcessors().toString else cpus
-    // Scale-adaptive post-shuffle partition sizing (guide §2.2/§2.4 —
-    // r18 verdict item 4): `shuffle.partitions = cpus` stays the
-    // driver-contract INITIAL value, but the post-shuffle partition
-    // COUNT derives from data volume via AQE coalescing toward the
-    // advisory byte size, not from the core count —
-    // `parallelismFirst=false` is the switch that makes AQE honor the
-    // advisory size instead of fragmenting kilobyte-scale shuffles into
-    // `cpus` near-empty tasks (the r18 finding that local[8] beat
-    // local[32] at sf0.1 was exactly this overhead). At 100 TB the same
-    // setting yields many advisory-sized partitions — the value is a
-    // data-proportional rule, not a local[32] constant; override with
-    // SPARK_GRAFT_ADVISORY_PARTITION (e.g. "256m") for cluster runs.
-    val advisory = sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "64m")
+    // Post-shuffle partition sizing (guide §2.2, r18 verdict item 4):
+    // MEASURED this round rather than assumed. `shuffle.partitions =
+    // cpus` stays the initial value; AQE (default-on) with its default
+    // `parallelismFirst=true` + 1 MB minPartitionSize ALREADY coalesces
+    // the kilobyte-scale shuffles of this bench to 1 partition, so the
+    // r18 hypothesis "32 near-empty reduce tasks" was not the gap.
+    // Forcing `parallelismFirst=false` + a 64 MB advisory was tried and
+    // REGRESSED the compute-dense small-byte stages (containment
+    // posting self-joins) ~1.5-2x by collapsing them to one task —
+    // reverted; evidence in OPTIMIZATION_r19.md.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

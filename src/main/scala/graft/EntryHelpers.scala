@@ -718,6 +718,8 @@ private[graft] object EntryHelpers {
     liveClones.put((name, dir), dst).foreach(deleteTreeAsync)
     dst
   }
+  /** [[copyTree]] for the profiling tools. */
+  def copyTreePublic(src: String, dst: String): Unit = copyTree(src, dst)
   private def copyTree(src: String, dst: String): Unit = {
     val sp = java.nio.file.Paths.get(src); val dp = java.nio.file.Paths.get(dst)
     val st = java.nio.file.Files.walk(sp)

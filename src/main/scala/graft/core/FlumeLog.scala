@@ -610,11 +610,25 @@ final class ParquetLog(
   recoverRetractLeftovers()
 
   @volatile private var cursor: Long = {
+    // Seqs are monotone with the bucket directory (bucket = seq /
+    // bucketSize), so on a bucketed layout the data HWM provably lives
+    // in the HIGHEST bucket that still holds rows — recover the cursor
+    // from that one directory instead of a corpus-wide max (r19: log
+    // reopen was a full-log scan; at 100 TB that is the difference
+    // between touching one bucket and touching the corpus). Walk
+    // buckets from the top: a rewrite can leave an upper bucket
+    // physically empty, in which case the next one down holds the HWM.
+    def scanMax(path: String): Long =
+      spark.read.option("basePath", dir).schema(diskSchema).parquet(path)
+        .agg(coalesce(max(col(seqCol)), lit(-1L))).head().getLong(0)
     val dataMax =
-      if (hasData)
-        spark.read.option("basePath", dir).schema(diskSchema).parquet(dir)
-          .agg(coalesce(max(col(seqCol)), lit(-1L))).head().getLong(0)
-      else -1L
+      if (!hasData) -1L
+      else if (!bucketed) scanMax(dir)
+      else {
+        val ids = listBucketIds().sorted.reverse
+        ids.iterator.map(b => scanMax(s"$dir/$bucketCol=$b"))
+          .find(_ >= 0L).getOrElse(-1L)
+      }
     // a retraction that removed the tail rows leaves the true HWM in
     // the cursor marker — seqs of retracted rows must never be reused
     val marker = new java.io.File(dir, ParquetLog.cursorMarker)

@@ -6,11 +6,6 @@ object TimeOne {
     val name = args(0); val dir = args(1)
     val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("TCPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("TCPUS", "8"))
-      // mirror Bench's scale-adaptive AQE sizing (r19) so solo readings
-      // stay comparable to driver BENCH lines
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
